@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin wrapper over rdfproject_msc_spark.registry — the single source of truth
+mapping every implemented operator (SURVEY.md §2 + north-star extensions) to
+a Spark query and its DuckDB oracle twin.
 """
 
 from __future__ import annotations
@@ -13,26 +11,28 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from rdfproject_msc_spark import registry
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: SPARQL multi-pattern BGP → DataFrame join plan → decoded
+    terms. Exercises the whole stack: derived triple view, dictionary,
+    SPARQL parser/planner, dictionary-join decode (J5)."""
+    from rdfproject_msc_spark.dictionary import Dictionary
+    from rdfproject_msc_spark.sources.derived import dictionary_df, triples_df
+    from rdfproject_msc_spark.sparql.planner import sparql_to_df
+    from rdfproject_msc_spark.store import TripleStore
+
+    sf_dir = "/root/testdata/sf0.001"
+    store = TripleStore(triples_df(spark, sf_dir), layout="sign_split")
+    d = Dictionary(dictionary_df(spark, sf_dir))
+    q = "SELECT ?o ?c ?n WHERE { ?o :placedBy ?c . ?c :inNation ?n . }"
+    return sparql_to_df(store, q, d, decode=True)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return registry.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return registry.oracle_sql()

@@ -1,0 +1,59 @@
+"""Action-timed benchmark harness (fixes the reference's flaw of timing
+``sql()`` parse/analyze instead of execution — SURVEY.md §6,
+PartitionQueryingSubject.java:128-133 vs :153).
+
+Runs the headline registry queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]; each query is timed around a real action
+(count of the materialized result) after one warm-up run. Prints ONE JSON
+line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+    from rdfproject_msc_spark.registry import REGISTRY
+    from rdfproject_msc_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cpus=cpus)
+
+    names = [n for n, s in REGISTRY.items() if s.headline]
+    timings: dict[str, float] = {}
+    for name in names:
+        spec = REGISTRY[name]
+        spec.fn(spark, sf_dir).count()  # warm-up (plans + fills page cache)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).count()  # count() forces full execution
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

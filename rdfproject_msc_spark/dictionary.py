@@ -1,0 +1,97 @@
+"""Dictionary encode/decode as DataFrame joins.
+
+The reference keeps the dictionary as a driver-side HashMap and probes it per
+output cell inside a broadcast closure (PartitionQueryingSubject.java:63-70,
+115, 136-151) — a hand-rolled broadcast hash join that cannot scale past
+driver memory. Here the dictionary is a DataFrame and decode/encode are
+joins; Catalyst broadcasts automatically under autoBroadcastJoinThreshold,
+and we add an explicit ``F.broadcast`` hint when the caller asserts the
+dictionary is small (J5).
+
+Constant lookups for the SPARQL translator (a handful of terms per query)
+are a targeted ``filter(...).collect()`` — bounded by query size, never by
+data size.
+
+Id 0 is reserved: the translator's variable sentinel (MyOpVisitorBase.java:74-78).
+``validate()`` enforces it plus id/term uniqueness at load time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class DictionaryError(ValueError):
+    pass
+
+
+class Dictionary:
+    """A term dictionary ``(id: long, term: string)`` backed by a DataFrame."""
+
+    def __init__(self, df: DataFrame, broadcast_hint: bool = True):
+        self.df = df.select(
+            F.col("id").cast("long").alias("id"), F.col("term").alias("term")
+        )
+        self.broadcast_hint = broadcast_hint
+
+    def _dict_side(self) -> DataFrame:
+        return F.broadcast(self.df) if self.broadcast_hint else self.df
+
+    def validate(self) -> None:
+        """One aggregation pass: no id 0, ids unique, terms unique."""
+        row = self.df.agg(
+            F.count("*").alias("n"),
+            F.count_distinct("id").alias("n_ids"),
+            F.count_distinct("term").alias("n_terms"),
+            F.sum((F.col("id") == 0).cast("long")).alias("zeros"),
+        ).first()
+        if row["zeros"]:
+            raise DictionaryError("dictionary contains reserved id 0 (variable sentinel)")
+        if row["n_ids"] != row["n"]:
+            raise DictionaryError("dictionary ids are not unique")
+        if row["n_terms"] != row["n"]:
+            raise DictionaryError("dictionary terms are not unique (term→id not functional)")
+
+    def encode_terms(self, terms: list[str]) -> dict[str, int]:
+        """Bounded driver-side lookup for SPARQL constants (term → id).
+
+        Replaces the reference's full reverse HashMap (MyOpVisitorBase.java:56-66)
+        with a filter over the distributed dictionary — O(|terms|) result size.
+        """
+        if not terms:
+            return {}
+        rows = self.df.filter(F.col("term").isin(terms)).collect()
+        found = {r["term"]: r["id"] for r in rows}
+        missing = set(terms) - set(found)
+        if missing:
+            raise DictionaryError(f"terms not in dictionary: {sorted(missing)}")
+        return found
+
+    def decode(self, df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+        """Replace each id column with its term via per-column joins (J5).
+
+        Column ``c`` becomes string column ``c`` (term); unmatched ids decode
+        to NULL (left join), matching the reference's map.get() semantics.
+        """
+        columns = columns or df.columns
+        out = df
+        for c in columns:
+            d = self._dict_side().withColumnRenamed("id", f"__id_{c}").withColumnRenamed(
+                "term", f"__term_{c}"
+            )
+            out = out.join(d, out[c] == d[f"__id_{c}"], "left")
+            out = out.withColumn(c, F.col(f"__term_{c}")).drop(f"__id_{c}", f"__term_{c}")
+        return out
+
+    def encode(self, df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+        """Replace each term column with its id via per-column joins (inverse of decode)."""
+        columns = columns or df.columns
+        out = df
+        for c in columns:
+            d = self._dict_side().withColumnRenamed("id", f"__id_{c}").withColumnRenamed(
+                "term", f"__term_{c}"
+            )
+            out = out.join(d, out[c] == d[f"__term_{c}"], "left")
+            out = out.withColumn(c, F.col(f"__id_{c}")).drop(f"__id_{c}", f"__term_{c}")
+        return out

@@ -1,0 +1,116 @@
+"""Text analysis: token counting, quality scoring, language ID, fingerprints.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen'd) — no Python UDFs. Each metric has an exact ANSI-SQL
+twin for the DuckDB oracle (see registry.py), so definitions below must stay
+deterministic and engine-agnostic (explicit char classes, no locale deps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny embedded stopword lists per language — a deterministic n-gram-free
+# heuristic for language ID; the real pipeline would plug fastText here.
+STOPWORDS = {
+    "en": ("the", "a", "of", "to", "and", "in", "is"),
+    "es": ("el", "la", "de", "que", "y", "en", "es"),
+    "fr": ("le", "la", "de", "et", "un", "en", "est"),
+    "de": ("der", "die", "das", "und", "in", "ist", "zu"),
+    "zh": ("的", "是", "了", "在", "和", "有", "我"),
+}
+
+PUNCT_CLASS = r"[.,!?;:'\"()\[\]{}-]"
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count ('' → 0). Long-typed to match the oracle's
+    BIGINT ``len()``."""
+    return (
+        F.when(F.trim(col) == "", F.lit(0))
+        .otherwise(F.size(_tokens(col)))
+        .cast("long")
+    )
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    return F.size(F.filter(_tokens(col), lambda t: t.isin(*words))).cast("long")
+
+
+def with_text_stats(df: DataFrame, content_col: str = "text") -> DataFrame:
+    """Quality-scoring columns: lengths, token stats, punctuation & stopword
+    ratios, and a composite quality score in [0, 1]."""
+    c = F.col(content_col)
+    n_chars = F.length(c).cast("long")
+    n_tok = token_count(c)
+    punct = n_chars - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
+    sw = stopword_hits(c, "en")
+    return (
+        df.withColumn("n_chars_m", n_chars)
+        .withColumn("n_tokens", n_tok)
+        .withColumn(
+            "avg_token_len",
+            F.round((n_chars - (n_tok - 1)) / F.greatest(n_tok, F.lit(1)), 6),
+        )
+        .withColumn("punct_ratio", F.round(punct / F.greatest(n_chars, F.lit(1)), 6))
+        .withColumn("stopword_ratio", F.round(sw / F.greatest(n_tok, F.lit(1)), 6))
+        .withColumn(
+            "quality_score",
+            F.round(
+                F.least(n_tok / F.lit(50.0), F.lit(1.0)) * 0.5
+                + F.least(sw / F.greatest(n_tok, F.lit(1)) * 5.0, F.lit(1.0)) * 0.3
+                + (1 - F.least(punct / F.greatest(n_chars, F.lit(1)) * 10.0, F.lit(1.0)))
+                * 0.2,
+                6,
+            ),
+        )
+    )
+
+
+def language_id(df: DataFrame, content_col: str = "text") -> DataFrame:
+    """Predict language = argmax of per-language stopword hits; ties go to
+    the alphabetically-first language code; zero hits → 'und'.
+
+    Tie-break is encoded in the sort key (hits asc, -index asc → take last),
+    so the DuckDB twin (max-hits + min(lang)) matches exactly.
+    """
+    c = F.col(content_col)
+    langs = sorted(STOPWORDS)
+    entries = [
+        F.struct(
+            stopword_hits(c, lang).alias("hits"), F.lit(-i).alias("nidx")
+        )
+        for i, lang in enumerate(langs)
+    ]
+    arr = F.array_sort(F.array(*entries))
+    best = F.element_at(arr, F.size(arr))  # max hits; tie → smallest index
+    lang = F.element_at(F.array(*[F.lit(x) for x in langs]), -best["nidx"] + 1)
+    return df.withColumn(
+        "lang_pred", F.when(best["hits"] > 0, lang).otherwise(F.lit("und"))
+    )
+
+
+def fingerprint(df: DataFrame, content_col: str = "text") -> DataFrame:
+    """Deterministic 64-bit content fingerprint (xxhash64) plus a rolling
+    polynomial hash over whitespace tokens (order-sensitive, mod 2^31-1) —
+    the classic Rabin-style document fingerprint, all JVM-side.
+
+    The rolling hash folds (ascii(first char) + token length) per token — a
+    deliberately engine-portable value so the DuckDB oracle can replicate it
+    exactly (fp_xxhash is Spark-specific and excluded from oracle queries).
+    """
+    c = F.col(content_col)
+    rolling = F.aggregate(
+        _tokens(c),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 31 + F.ascii(t) + F.length(t)) % F.lit(2147483647),
+    )
+    return df.withColumn("fp_xxhash", F.xxhash64(c)).withColumn(
+        "fp_rolling", rolling
+    )

@@ -1,0 +1,565 @@
+"""Central query registry: every implemented operator as a named query with
+its DuckDB oracle twin.
+
+This is the single source of truth behind ``__spark_entry__.py`` (driver
+contract), ``tests/test_registry.py`` (runs every entry against the oracle at
+sf0.001), and ``bench.py`` (times the headline subset at sf0.1).
+
+Each entry: name → (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql | None).
+Column names/aliases MUST match between the two — the driver sorts columns by
+name before hashing values.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rdfproject_msc_spark import queries as Q
+from rdfproject_msc_spark.dictionary import Dictionary
+from rdfproject_msc_spark.operators import dedup, similarity, textstats
+from rdfproject_msc_spark.sources.derived import (
+    DICTIONARY_SQL,
+    TRIPLES_SQL,
+    P_BY_USER,
+    P_HAS_TYPE,
+    P_IN_NATION,
+    P_IN_REGION,
+    P_LINKED_EVENT,
+    P_PLACED_BY,
+    dictionary_df,
+    triples_df,
+)
+from rdfproject_msc_spark.sources.tables import load_table
+from rdfproject_msc_spark.sparql.planner import sparql_to_df
+from rdfproject_msc_spark.store import TripleStore
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments
+
+TRIPLES_CTE = f"WITH triples AS ({TRIPLES_SQL})"
+SPLIT_CTE = (
+    f"{TRIPLES_CTE}, "
+    "Negative AS (SELECT * FROM triples WHERE s < 0), "
+    "Positive AS (SELECT * FROM triples WHERE s >= 0)"
+)
+
+ORDER_1 = 12  # :order_1  (o_orderkey=1 → 1*10+2)
+CUSTOMER_7 = 71  # :customer_7
+
+_DEC = "decimal(18,2)"
+
+
+def _store(spark: SparkSession, sf_dir: str, **kw) -> TripleStore:
+    return TripleStore(triples_df(spark, sf_dir), **kw)
+
+
+def _dict(spark: SparkSession, sf_dir: str) -> Dictionary:
+    return Dictionary(dictionary_df(spark, sf_dir))
+
+
+def _dec(c: str) -> F.Column:
+    return F.col(c).cast(_DEC)
+
+
+def _money(col, alias: str, nd: int = 2) -> F.Column:
+    """Exact decimal sum → double → round: deterministic across engines."""
+    return F.round(F.sum(col).cast("double"), nd).alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# RDF / reference-parity queries (SURVEY.md §2)
+
+
+def rdf_path_2hop(spark, sf_dir):
+    store = _store(spark, sf_dir)
+    return Q.path_2hop(store, ORDER_1, P_PLACED_BY, P_IN_NATION, P_IN_REGION)
+
+
+RDF_PATH_2HOP_SQL = f"""{TRIPLES_CTE}
+SELECT t0.s AS s0, t0.p AS p0, t0.o AS o0,
+       t1.s AS s1, t1.p AS p1, t1.o AS o1,
+       t2.s AS s2, t2.p AS p2, t2.o AS o2
+FROM triples t0
+JOIN triples t1 ON t0.o = t1.s
+JOIN triples t2 ON t1.o = t2.s
+WHERE t0.s = {ORDER_1} AND t0.p = {P_PLACED_BY}
+  AND t1.p = {P_IN_NATION} AND t2.p = {P_IN_REGION}
+"""
+
+
+def rdf_path_2hop_all(spark, sf_dir):
+    store = _store(spark, sf_dir, cluster_by="s")
+    return Q.path_2hop(store, None, P_PLACED_BY, P_IN_NATION, P_IN_REGION)
+
+
+RDF_PATH_2HOP_ALL_SQL = f"""{TRIPLES_CTE}
+SELECT t0.s AS s0, t0.p AS p0, t0.o AS o0,
+       t1.s AS s1, t1.p AS p1, t1.o AS o1,
+       t2.s AS s2, t2.p AS p2, t2.o AS o2
+FROM triples t0
+JOIN triples t1 ON t0.o = t1.s
+JOIN triples t2 ON t1.o = t2.s
+WHERE t0.p = {P_PLACED_BY} AND t1.p = {P_IN_NATION} AND t2.p = {P_IN_REGION}
+"""
+
+
+def rdf_split_join(spark, sf_dir):
+    store = _store(spark, sf_dir, layout="sign_split")
+    return Q.split_join(store, P_BY_USER, P_LINKED_EVENT, P_HAS_TYPE)
+
+
+RDF_SPLIT_JOIN_SQL = f"""{SPLIT_CTE}
+SELECT n2.o AS obj
+FROM (SELECT p1.o AS t1_obj
+      FROM Negative n1
+      JOIN Positive p1 ON n1.o = p1.s
+      WHERE n1.p = {P_BY_USER} AND p1.p = {P_LINKED_EVENT}) Table1
+LEFT OUTER JOIN Negative n2 ON n2.s = Table1.t1_obj
+WHERE n2.p = {P_HAS_TYPE}
+"""
+
+
+def rdf_split_join_count(spark, sf_dir):
+    store = _store(spark, sf_dir, layout="sign_split")
+    return Q.split_join_count(store, P_BY_USER, P_LINKED_EVENT, P_HAS_TYPE)
+
+
+RDF_SPLIT_JOIN_COUNT_SQL = f"SELECT count(*) AS n FROM ({RDF_SPLIT_JOIN_SQL})"
+
+
+def rdf_sign_union(spark, sf_dir):
+    store = _store(spark, sf_dir, layout="sign_split")
+    return Q.sign_union(store, p=P_BY_USER)
+
+
+RDF_SIGN_UNION_SQL = f"""{SPLIT_CTE}
+SELECT s, p, o
+FROM (SELECT * FROM Positive UNION ALL SELECT * FROM Negative)
+WHERE p = {P_BY_USER}
+"""
+
+
+def rdf_decode_2hop(spark, sf_dir):
+    store = _store(spark, sf_dir)
+    d = _dict(spark, sf_dir)
+    res = Q.path_2hop(store, ORDER_1, P_PLACED_BY, P_IN_NATION, P_IN_REGION)
+    return d.decode(res.select("s0", "o0", "o1", "o2"))
+
+
+RDF_DECODE_2HOP_SQL = f"""{TRIPLES_CTE}, dict AS ({DICTIONARY_SQL})
+SELECT d0.term AS s0, d1.term AS o0, d2.term AS o1, d3.term AS o2
+FROM (SELECT t0.s AS a, t0.o AS b, t1.o AS c, t2.o AS d
+      FROM triples t0
+      JOIN triples t1 ON t0.o = t1.s
+      JOIN triples t2 ON t1.o = t2.s
+      WHERE t0.s = {ORDER_1} AND t0.p = {P_PLACED_BY}
+        AND t1.p = {P_IN_NATION} AND t2.p = {P_IN_REGION}) r
+LEFT JOIN dict d0 ON d0.id = r.a
+LEFT JOIN dict d1 ON d1.id = r.b
+LEFT JOIN dict d2 ON d2.id = r.c
+LEFT JOIN dict d3 ON d3.id = r.d
+"""
+
+SPARQL_2HOP = (
+    "SELECT ?c ?n WHERE { :order_1 :placedBy ?c . ?c :inNation ?n . }"
+)
+
+
+def sparql_2hop(spark, sf_dir):
+    store = _store(spark, sf_dir)
+    return sparql_to_df(store, SPARQL_2HOP, _dict(spark, sf_dir))
+
+
+SPARQL_2HOP_SQL = f"""{TRIPLES_CTE}
+SELECT t0.o AS c, t1.o AS n
+FROM triples t0 JOIN triples t1 ON t0.o = t1.s
+WHERE t0.s = {ORDER_1} AND t0.p = {P_PLACED_BY} AND t1.p = {P_IN_NATION}
+"""
+
+SPARQL_STAR = (
+    "SELECT ?e ?t WHERE { ?e :byUser :customer_7 . ?e :hasType ?t . }"
+)
+
+
+def sparql_star(spark, sf_dir):
+    store = _store(spark, sf_dir, layout="sign_split")
+    return sparql_to_df(store, SPARQL_STAR, _dict(spark, sf_dir))
+
+
+SPARQL_STAR_SQL = f"""{TRIPLES_CTE}
+SELECT a.s AS e, b.o AS t
+FROM triples a JOIN triples b ON a.s = b.s
+WHERE a.p = {P_BY_USER} AND a.o = {CUSTOMER_7} AND b.p = {P_HAS_TYPE}
+"""
+
+
+# ---------------------------------------------------------------------------
+# analytics queries (the agg/join/window surface Catalyst gives us — exposed
+# and oracle-pinned; SURVEY.md §2.4 note)
+
+
+def tpch_q1(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc = _dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))
+    charge = disc * (F.lit(1).cast(_DEC) + _dec("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _money(_dec("l_quantity"), "sum_qty"),
+            _money(_dec("l_extendedprice"), "sum_base_price"),
+            _money(disc, "sum_disc_price"),
+            _money(charge, "sum_charge"),
+            F.round(F.sum(_dec("l_quantity")).cast("double") / F.count("*"), 6).alias("avg_qty"),
+            F.round(F.sum(_dec("l_extendedprice")).cast("double") / F.count("*"), 6).alias("avg_price"),
+            F.round(F.sum(_dec("l_discount")).cast("double") / F.count("*"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+TPCH_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS sum_disc_price,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE), 2) AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def tpch_q3(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    disc = _dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_money(disc, "revenue"))
+    )
+
+
+TPCH_Q3_SQL = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+"""
+
+
+def tpch_q5(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    disc = _dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(_money(disc, "revenue"))
+    )
+
+
+TPCH_Q5_SQL = """
+SELECT n_name,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def top_orders_per_priority(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
+
+
+TOP_ORDERS_SQL = """
+SELECT o_orderpriority, o_orderkey, o_totalprice
+FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+WHERE rn <= 3
+"""
+
+
+def events_hourly(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            _money(_dec("value"), "total_value"),
+        )
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data-pipeline operators (north-star extensions)
+
+
+def dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+DEDUP_EXACT_SQL = """
+SELECT doc_id, text, lang, source, n_chars
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+"""
+
+
+def dedup_exact_scale(spark, sf_dir):
+    return dedup.exact_dedup_keys(load_table(spark, sf_dir, "documents")).select(
+        "keep_id", "n_dups", "content_len"
+    )
+
+
+DEDUP_EXACT_SCALE_SQL = """
+SELECT min(doc_id) AS keep_id, count(*) AS n_dups, length(text) AS content_len
+FROM documents
+GROUP BY text
+"""
+
+
+def dedup_jaccard(spark, sf_dir):
+    return dedup.jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.1
+    )
+
+
+DEDUP_JACCARD_SQL = r"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id AS id, array_to_string(t[i:i+2], ' ') AS shingle
+    FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+    WHERE array_to_string(t[i:i+2], ' ') <> ''
+),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+    GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.1
+"""
+
+
+def text_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.with_text_stats(docs).select(
+        "doc_id",
+        "n_tokens",
+        "avg_token_len",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+TEXT_STATS_SQL = r"""
+WITH base AS (
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS nc,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS nt,
+           CAST(length(text) AS BIGINT)
+             - CAST(length(regexp_replace(text, '[.,!?;:''"()\[\]{}-]', '', 'g')) AS BIGINT) AS punct,
+           len(list_filter(string_split_regex(trim(text), '\s+'),
+                           x -> x IN ('the', 'a', 'of', 'to', 'and', 'in', 'is'))) AS sw
+    FROM documents
+)
+SELECT doc_id,
+       nt AS n_tokens,
+       round((nc - (nt - 1)) / greatest(nt, 1), 6) AS avg_token_len,
+       round(punct / greatest(nc, 1), 6) AS punct_ratio,
+       round(sw / greatest(nt, 1), 6) AS stopword_ratio,
+       round(least(nt / 50.0, 1.0) * 0.5
+             + least(sw / greatest(nt, 1) * 5.0, 1.0) * 0.3
+             + (1 - least(punct / greatest(nc, 1) * 10.0, 1.0)) * 0.2, 6) AS quality_score
+FROM base
+"""
+
+
+def text_langid(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.language_id(docs).select("doc_id", "lang", "lang_pred")
+
+
+def _sw_sql_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in textstats.STOPWORDS[lang]) + "]"
+
+
+TEXT_LANGID_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                ELSE string_split_regex(trim(text), '\s+') END AS t
+    FROM documents
+),
+hits AS (
+    SELECT doc_id, lang, sw.code,
+           len(list_filter(t, x -> list_contains(sw.words, x))) AS h
+    FROM toks
+    CROSS JOIN (VALUES
+        ('de', {_sw_sql_list('de')}),
+        ('en', {_sw_sql_list('en')}),
+        ('es', {_sw_sql_list('es')}),
+        ('fr', {_sw_sql_list('fr')}),
+        ('zh', {_sw_sql_list('zh')})) AS sw(code, words)
+),
+best AS (
+    SELECT doc_id, lang, code, h, max(h) OVER (PARTITION BY doc_id) AS mh
+    FROM hits
+)
+SELECT doc_id, lang,
+       CASE WHEN mh = 0 THEN 'und' ELSE min(code) END AS lang_pred
+FROM best
+WHERE h = mh
+GROUP BY doc_id, lang, mh
+"""
+
+
+def text_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.fingerprint(docs).select("doc_id", "fp_rolling")
+
+
+TEXT_FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       list_reduce(
+           list_transform(string_split_regex(trim(text), '\s+'),
+                          t -> CAST(ascii(t) + length(t) AS BIGINT)),
+           (a, b) -> (a * 31 + b) % 2147483647) AS fp_rolling
+FROM documents
+"""
+
+
+def knn_cosine(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_to(emb, query_id=0, k=10)
+
+
+KNN_COSINE_SQL = """
+SELECT e.vec_id,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.embedding AS DOUBLE[])), 6) AS score
+FROM embeddings e,
+     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+WHERE e.vec_id <> 0
+ORDER BY score DESC, e.vec_id
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    headline: bool = False  # benched at sf0.1
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    # reference parity
+    "rdf_path_2hop": QuerySpec(rdf_path_2hop, RDF_PATH_2HOP_SQL, headline=True),
+    "rdf_path_2hop_all": QuerySpec(rdf_path_2hop_all, RDF_PATH_2HOP_ALL_SQL, headline=True),
+    "rdf_split_join": QuerySpec(rdf_split_join, RDF_SPLIT_JOIN_SQL, headline=True),
+    "rdf_split_join_count": QuerySpec(rdf_split_join_count, RDF_SPLIT_JOIN_COUNT_SQL),
+    "rdf_sign_union": QuerySpec(rdf_sign_union, RDF_SIGN_UNION_SQL),
+    "rdf_decode_2hop": QuerySpec(rdf_decode_2hop, RDF_DECODE_2HOP_SQL),
+    "sparql_2hop": QuerySpec(sparql_2hop, SPARQL_2HOP_SQL, headline=True),
+    "sparql_star": QuerySpec(sparql_star, SPARQL_STAR_SQL),
+    # analytics surface
+    "tpch_q1": QuerySpec(tpch_q1, TPCH_Q1_SQL, headline=True),
+    "tpch_q3": QuerySpec(tpch_q3, TPCH_Q3_SQL, headline=True),
+    "tpch_q5": QuerySpec(tpch_q5, TPCH_Q5_SQL, headline=True),
+    "top_orders_per_priority": QuerySpec(top_orders_per_priority, TOP_ORDERS_SQL),
+    "events_hourly": QuerySpec(events_hourly, EVENTS_HOURLY_SQL),
+    # training-data pipeline
+    "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_exact_scale": QuerySpec(dedup_exact_scale, DEDUP_EXACT_SCALE_SQL),
+    "dedup_jaccard": QuerySpec(dedup_jaccard, DEDUP_JACCARD_SQL, headline=True),
+    "text_stats": QuerySpec(text_stats, TEXT_STATS_SQL),
+    "text_langid": QuerySpec(text_langid, TEXT_LANGID_SQL),
+    "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FINGERPRINT_SQL),
+    "knn_cosine": QuerySpec(knn_cosine, KNN_COSINE_SQL, headline=True),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle
+    }

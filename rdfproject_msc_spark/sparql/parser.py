@@ -1,0 +1,117 @@
+"""Minimal SPARQL SELECT/BGP parser (pure Python, no external deps).
+
+Scope matches the reference's query surface (SURVEY.md §2.8): SELECT over a
+basic graph pattern of triple patterns. The reference used Jena
+(MyOpVisitorBase.java:49-50) but its visitor kept only the LAST pattern of a
+multi-triple BGP (static-field overwrite bug, MyOpVisitorBase.java:34-46) —
+we keep ALL patterns and join them (the intended semantics, per the example
+query at MyOpVisitorBase.java:132-133).
+
+Out of scope, rejected explicitly: OPTIONAL, FILTER, UNION, property paths
+(SURVEY.md §7 risk list — v1 scope is BGP + multi-pattern joins).
+
+Term forms (normalization mirrors MyOpVisitorBase.java:74-78):
+  ?x / $x          variable
+  :name            prefixed IRI (kept verbatim — the dictionary stores them so)
+  <http://.../x>   IRI: angle brackets stripped, prefix up to last '/' dropped,
+                   leading ':' ensured → matches dictionary terms like ':node_...'
+  "literal"        quotes stripped
+  123 / -123       already-encoded integer id (passes through, no lookup)
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+_UNSUPPORTED = re.compile(r"\b(OPTIONAL|FILTER|UNION|GRAPH|MINUS|SERVICE)\b", re.I)
+# tokens inside the BGP: quoted literal | <iri> | anything non-space
+_TOKEN = re.compile(r'"[^"]*"|<[^>]*>|\S+')
+_QUERY = re.compile(
+    r"^\s*(?:PREFIX\s+\S+\s+<[^>]*>\s*)*"
+    r"SELECT\s+(?P<proj>\*|(?:[?$]\w+\s*)+)\s*"
+    r"WHERE\s*\{(?P<bgp>.*)\}\s*$",
+    re.I | re.S,
+)
+
+
+class SparqlSyntaxError(ValueError):
+    pass
+
+
+@dataclass(frozen=True)
+class TriplePattern:
+    """One pattern; each slot is ('var', name) | ('term', text) | ('id', int)."""
+
+    s: tuple[str, object]
+    p: tuple[str, object]
+    o: tuple[str, object]
+
+    @property
+    def slots(self):
+        return {"s": self.s, "p": self.p, "o": self.o}
+
+    def bound_count(self) -> int:
+        return sum(1 for kind, _ in (self.s, self.p, self.o) if kind != "var")
+
+    def variables(self) -> set[str]:
+        return {v for kind, v in (self.s, self.p, self.o) if kind == "var"}
+
+
+@dataclass(frozen=True)
+class BGPQuery:
+    projection: tuple[str, ...] | None  # None = SELECT *
+    patterns: tuple[TriplePattern, ...]
+
+
+def _normalize_term(tok: str) -> tuple[str, object]:
+    """Classify one token (normalization per MyOpVisitorBase.java:74-78)."""
+    if tok[0] in "?$":
+        return ("var", tok[1:])
+    if tok.startswith('"') and tok.endswith('"'):
+        return ("term", tok[1:-1])
+    if tok.startswith("<") and tok.endswith(">"):
+        inner = tok[1:-1]
+        local = inner.rsplit("/", 1)[-1]
+        if not local.startswith(":"):
+            local = ":" + local
+        return ("term", local)
+    if re.fullmatch(r"-?\d+", tok):
+        return ("id", int(tok))
+    return ("term", tok)
+
+
+def parse_sparql(query: str) -> BGPQuery:
+    m = _QUERY.match(query)
+    if not m:
+        raise SparqlSyntaxError("expected: [PREFIX...] SELECT ?v...|* WHERE { patterns }")
+    bgp_src = m.group("bgp")
+    if _UNSUPPORTED.search(bgp_src):
+        raise SparqlSyntaxError(
+            "only basic graph patterns are supported (no OPTIONAL/FILTER/UNION/...)"
+        )
+
+    proj_src = m.group("proj").strip()
+    projection = (
+        None
+        if proj_src == "*"
+        else tuple(v.lstrip("?$") for v in proj_src.split())
+    )
+
+    patterns = []
+    for stmt in bgp_src.split("."):
+        toks = _TOKEN.findall(stmt)
+        if not toks:
+            continue
+        if len(toks) != 3:
+            raise SparqlSyntaxError(f"triple pattern needs 3 terms, got {toks!r}")
+        patterns.append(TriplePattern(*(_normalize_term(t) for t in toks)))
+    if not patterns:
+        raise SparqlSyntaxError("empty basic graph pattern")
+
+    pattern_vars = set().union(*(tp.variables() for tp in patterns))
+    if projection is not None:
+        unknown = set(projection) - pattern_vars
+        if unknown:
+            raise SparqlSyntaxError(f"projected variables not in BGP: {sorted(unknown)}")
+    return BGPQuery(projection=projection, patterns=tuple(patterns))

@@ -37,9 +37,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # testdata events.parquet carries TIMESTAMP(NANOS); Spark caps at
-        # micros — read nanos as long and normalize in the loader.
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # NOTE: nanos-timestamp handling (events.parquet) lives in
+        # sources.tables.load_table, which must work on ANY session —
+        # including externally-built ones — so it is not configured here.
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )

@@ -21,6 +21,12 @@ TABLE_NAMES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS), which Spark rejects unless
+        # nanos are read back as long. The conf is runtime-settable, so set it
+        # here rather than relying on the session having been built by
+        # session.get_spark — load_table must work on ANY SparkSession.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanosAsLong read nanos-epoch as long; keep the exact value as ts_ns

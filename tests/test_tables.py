@@ -1,0 +1,52 @@
+"""Regression tests for the table loaders.
+
+Round-1 postmortem: the driver's harness builds its own SparkSession (no
+engine configs), and reading events.parquet — TIMESTAMP(NANOS) — threw
+PARQUET_TYPE_ILLEGAL unless the session happened to be built by get_spark.
+load_table must be self-sufficient on a bare session.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rdfproject_msc_spark.sources.tables import load_table
+
+
+def test_load_events_on_bare_session(spark, sf_dir):
+    # newSession() shares the context but has its own SQL conf; unset the
+    # legacy flag to simulate an externally-built session that never set it.
+    bare = spark.newSession()
+    try:
+        bare.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    except Exception:
+        pass
+    df = load_table(bare, sf_dir, "events")
+    dtypes = dict(df.dtypes)
+    assert dtypes["ts"] == "timestamp"
+    assert dtypes["ts_ns"] == "bigint"
+    n = df.count()
+    assert n > 0
+    # ts round-trips: micros floor of the preserved nanos value
+    bad = df.filter(
+        F.unix_micros("ts") != F.expr("ts_ns DIV 1000")
+    ).count()
+    assert bad == 0
+
+
+def test_money_rounding_half_ties(spark):
+    """_money must round in exact decimal; a .955 sum is a double-cast trap
+    (150873.955 as double is ...95499999…, which rounds DOWN to .95)."""
+    import duckdb
+
+    from rdfproject_msc_spark.registry import _money
+
+    df = spark.createDataFrame(
+        [("a", "150873.945"), ("a", "0.010")], "k string, v string"
+    ).select("k", F.col("v").cast("decimal(18,4)").alias("v"))
+    row = df.groupBy("k").agg(_money(F.col("v"), "m")).collect()[0]
+    oracle = duckdb.sql(
+        "SELECT CAST(round(CAST(150873.945 AS DECIMAL(18,4))"
+        " + CAST(0.010 AS DECIMAL(18,4)), 2) AS DOUBLE)"
+    ).fetchone()[0]
+    assert row["m"] == oracle == 150873.96

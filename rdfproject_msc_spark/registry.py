@@ -393,7 +393,9 @@ def dedup_jaccard(spark, sf_dir):
     )
 
 
-DEDUP_JACCARD_SQL = r"""
+def _jaccard_sql(threshold: float) -> str:
+    """Exact all-pairs 3-gram Jaccard ≥ threshold (DuckDB)."""
+    return rf"""
 WITH toks AS (
     SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
 ),
@@ -413,8 +415,34 @@ SELECT id_a, id_b,
 FROM inter
 JOIN sizes sa ON sa.id = id_a
 JOIN sizes sb ON sb.id = id_b
-WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.1
+WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= {threshold}
 """
+
+
+DEDUP_JACCARD_SQL = _jaccard_sql(0.1)
+
+
+def dedup_minhash(spark, sf_dir):
+    """MinHash-LSH near-dup: banded candidates + exact-Jaccard verify.
+
+    Oracle = exact all-pairs Jaccard at the same threshold: with 32 bands of
+    2 rows, P(LSH misses a pair | J=t) = (1-t²)^32 ≤ 1e-4 at t=0.5, so the
+    verified LSH output equals the exact result on any realistic corpus
+    (the testdata's near-dup pairs all sit at J ≥ 0.88: miss ≤ 4e-11).
+    """
+    return dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        n=3,
+        threshold=0.5,
+        n_hashes=64,
+        bands=32,
+        # testdata is a single small parquet file → 1 scan partition; spread
+        # the hashing. At real scale the input supplies the parallelism.
+        min_partitions=spark.sparkContext.defaultParallelism,
+    )
+
+
+DEDUP_MINHASH_SQL = _jaccard_sql(0.5)
 
 
 def text_stats(spark, sf_dir):
@@ -523,6 +551,68 @@ ORDER BY score DESC, e.vec_id
 LIMIT 10
 """
 
+_ANN = dict(dim=64, n_planes=16, bands=8, seed=42, k=10, query_id=0)
+
+
+def ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-k (the embeddings scale path).
+
+    The oracle replicates the SAME LSH — the deterministic ±1 hyperplanes are
+    inlined into the SQL as literals — so the hash-match pins the operator's
+    exact semantics (candidates ∪ scoring ∪ top-k), independent of recall.
+    Recall vs brute force is asserted separately in tests/test_operators.py.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk_to(
+        emb,
+        query_id=_ANN["query_id"],
+        k=_ANN["k"],
+        dim=_ANN["dim"],
+        n_planes=_ANN["n_planes"],
+        bands=_ANN["bands"],
+        seed=_ANN["seed"],
+    )
+
+
+def _ann_lsh_sql() -> str:
+    """DuckDB twin of ann_lsh_topk with the hyperplanes inlined."""
+    dim, n_planes, bands = _ANN["dim"], _ANN["n_planes"], _ANN["bands"]
+    bits = n_planes // bands
+    mask = (1 << bits) - 1
+    planes = similarity.hyperplanes(dim, n_planes, _ANN["seed"])
+    sig_terms = []
+    for j, comps in enumerate(planes):
+        lit = "[" + ", ".join(str(c) for c in comps) + "]"
+        weight = 1 << (n_planes - 1 - j)  # MSB-first, matching lsh_signatures
+        sig_terms.append(
+            f"(CASE WHEN list_dot_product(v, {lit}) >= 0 THEN {weight} ELSE 0 END)"
+        )
+    sig_expr = " + ".join(sig_terms)
+    band_idx = "[" + ", ".join(str(b) for b in range(bands)) + "]"
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sig AS (SELECT vec_id, {sig_expr} AS s FROM e),
+bandv AS (
+    SELECT vec_id, u.b AS band, (s >> (u.b * {bits})) & {mask} AS bv
+    FROM sig, unnest({band_idx}) AS u(b)
+),
+qb AS (SELECT band, bv FROM bandv WHERE vec_id = {_ANN["query_id"]}),
+cand AS (
+    SELECT DISTINCT bandv.vec_id
+    FROM bandv JOIN qb USING (band, bv)
+    WHERE bandv.vec_id <> {_ANN["query_id"]}
+)
+SELECT e.vec_id, round(list_cosine_similarity(e.v, q.v), 6) AS score
+FROM cand
+JOIN e USING (vec_id),
+     (SELECT v FROM e WHERE vec_id = {_ANN["query_id"]}) q
+ORDER BY score DESC, e.vec_id
+LIMIT {_ANN["k"]}
+"""
+
+
+ANN_LSH_TOPK_SQL = _ann_lsh_sql()
+
 
 # ---------------------------------------------------------------------------
 
@@ -553,11 +643,13 @@ REGISTRY: dict[str, QuerySpec] = {
     # training-data pipeline
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
     "dedup_exact_scale": QuerySpec(dedup_exact_scale, DEDUP_EXACT_SCALE_SQL),
-    "dedup_jaccard": QuerySpec(dedup_jaccard, DEDUP_JACCARD_SQL, headline=True),
+    "dedup_jaccard": QuerySpec(dedup_jaccard, DEDUP_JACCARD_SQL),
+    "dedup_minhash": QuerySpec(dedup_minhash, DEDUP_MINHASH_SQL, headline=True),
     "text_stats": QuerySpec(text_stats, TEXT_STATS_SQL),
     "text_langid": QuerySpec(text_langid, TEXT_LANGID_SQL),
     "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FINGERPRINT_SQL),
     "knn_cosine": QuerySpec(knn_cosine, KNN_COSINE_SQL, headline=True),
+    "ann_lsh_topk": QuerySpec(ann_lsh_topk, ANN_LSH_TOPK_SQL, headline=True),
 }
 
 

@@ -53,16 +53,28 @@ def path_2hop(
     )
 
 
-def split_join(store: TripleStore, p_neg: int, p_pos: int, p_post: int) -> DataFrame:
+def split_join(
+    store: TripleStore,
+    p_neg: int,
+    p_pos: int,
+    p_post: int,
+    s_neg: int | None = None,
+) -> DataFrame:
     """J2+J3+J4 — the sign-split benchmark query
     (PartitionQueryingBRDSubject.java:152-157):
 
         SELECT Negative.Object FROM
           (SELECT Positive.Object FROM Negative
              JOIN Positive ON Negative.Object = Positive.Subject
-            WHERE Negative.Predicate = p_neg AND Positive.Predicate = p_pos) Table1
+            WHERE [Negative.Subject = s_neg AND]
+                  Negative.Predicate = p_neg AND Positive.Predicate = p_pos) Table1
           LEFT OUTER JOIN Negative ON Negative.Subject = Table1.Object
         WHERE Negative.Predicate = p_post
+
+    ``s_neg`` is the reference's bound inner subject
+    (``Negative.Subject='-39'``, PartitionQueryingBRDSubject.java:154) —
+    optional here, emitted as a typed literal rather than the reference's
+    string-vs-int implicit cast.
 
     Semantics pinned bit-for-bit (SURVEY.md §5): the WHERE on the LEFT OUTER
     join's right side eliminates null-extended rows, making it an effective
@@ -73,9 +85,11 @@ def split_join(store: TripleStore, p_neg: int, p_pos: int, p_post: int) -> DataF
     """
     neg = store.negative
     pos = store.positive
+    n1 = neg.filter(F.col("p") == p_neg)
+    if s_neg is not None:
+        n1 = n1.filter(F.col("s") == s_neg)
     inner = (
-        neg.filter(F.col("p") == p_neg)
-        .alias("n1")
+        n1.alias("n1")
         .join(pos.filter(F.col("p") == p_pos).alias("p1"), F.col("n1.o") == F.col("p1.s"))
         .select(F.col("p1.o").alias("t1_obj"))
     )

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from rdfproject_msc_spark import queries as Q
 from rdfproject_msc_spark.dictionary import Dictionary
-from rdfproject_msc_spark.operators import dedup, similarity, textstats
+from rdfproject_msc_spark.operators import dedup, multimodal, similarity, textstats
 from rdfproject_msc_spark.sources.derived import (
     DICTIONARY_SQL,
     TRIPLES_SQL,
@@ -54,7 +54,34 @@ _DEC = "decimal(18,2)"
 
 
 def _store(spark: SparkSession, sf_dir: str, **kw) -> TripleStore:
+    # cache=True: the triple relation is DERIVED (6-way union over 4 parquet
+    # tables); multi-leg self-joins would otherwise re-derive it per leg.
+    kw.setdefault("cache", True)
     return TripleStore(triples_df(spark, sf_dir), **kw)
+
+
+def _persisted_store(
+    spark: SparkSession,
+    sf_dir: str,
+    layout: str = "sign_split",
+    cluster_by: str | None = "s",
+) -> TripleStore:
+    """Write-once/read-forever path: persist the laid-out store as Parquet
+    (sign partition dirs + cluster-key row-group order), then answer from
+    the files. This is the engine's actual 100 TB read path — layout cost is
+    paid at ingest, after which every query gets directory pruning and
+    row-group skipping instead of an in-query shuffle (store.py:24-27)."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "rdfproject_msc_store",
+        f"{tag}_{layout}_{cluster_by or 'none'}",
+    )
+    _store(spark, sf_dir, layout=layout, cluster_by=cluster_by).write(path)
+    return TripleStore.read(spark, path, layout=layout, cluster_by=cluster_by)
 
 
 def _dict(spark: SparkSession, sf_dir: str) -> Dictionary:
@@ -98,7 +125,11 @@ WHERE t0.s = {ORDER_1} AND t0.p = {P_PLACED_BY}
 
 
 def rdf_path_2hop_all(spark, sf_dir):
-    store = _store(spark, sf_dir, cluster_by="s")
+    """Unbound-subject 2-hop over the PERSISTED subject-clustered store —
+    round 1 built the clustered layout inside the query (a full shuffle that
+    bought nothing); now the layout is written once and the query reads the
+    laid-out Parquet."""
+    store = _persisted_store(spark, sf_dir, layout="single", cluster_by="s")
     return Q.path_2hop(store, None, P_PLACED_BY, P_IN_NATION, P_IN_REGION)
 
 
@@ -113,6 +144,15 @@ WHERE t0.p = {P_PLACED_BY} AND t1.p = {P_IN_NATION} AND t2.p = {P_IN_REGION}
 """
 
 
+def rdf_path_2hop_store(spark, sf_dir):
+    """Bound-subject 2-hop over the persisted sign-split store: the sign
+    routing is a Parquet PartitionFilter (directory pruning) and the s=const
+    predicate is a PushedFilter hitting the cluster-key row-group stats —
+    the full 100 TB read-path story in one plan."""
+    store = _persisted_store(spark, sf_dir, layout="sign_split", cluster_by="s")
+    return Q.path_2hop(store, ORDER_1, P_PLACED_BY, P_IN_NATION, P_IN_REGION)
+
+
 def rdf_split_join(spark, sf_dir):
     store = _store(spark, sf_dir, layout="sign_split")
     return Q.split_join(store, P_BY_USER, P_LINKED_EVENT, P_HAS_TYPE)
@@ -124,6 +164,31 @@ FROM (SELECT p1.o AS t1_obj
       FROM Negative n1
       JOIN Positive p1 ON n1.o = p1.s
       WHERE n1.p = {P_BY_USER} AND p1.p = {P_LINKED_EVENT}) Table1
+LEFT OUTER JOIN Negative n2 ON n2.s = Table1.t1_obj
+WHERE n2.p = {P_HAS_TYPE}
+"""
+
+
+EVENT_3 = -37  # :event_3 → -(3*10+7); a NEGATIVE subject, as in the reference
+
+
+def rdf_split_join_bound(spark, sf_dir):
+    """The reference's benchmark shape VERBATIM: the inner query also binds
+    Negative.Subject (PartitionQueryingBRDSubject.java:152-157,
+    ``WHERE Negative.Subject='-39' AND ...``) — round 1 omitted the bound
+    subject; this entry restores full fidelity."""
+    store = _store(spark, sf_dir, layout="sign_split")
+    return Q.split_join(
+        store, P_BY_USER, P_LINKED_EVENT, P_HAS_TYPE, s_neg=EVENT_3
+    )
+
+
+RDF_SPLIT_JOIN_BOUND_SQL = f"""{SPLIT_CTE}
+SELECT n2.o AS obj
+FROM (SELECT p1.o AS t1_obj
+      FROM Negative n1
+      JOIN Positive p1 ON n1.o = p1.s
+      WHERE n1.s = {EVENT_3} AND n1.p = {P_BY_USER} AND p1.p = {P_LINKED_EVENT}) Table1
 LEFT OUTER JOIN Negative n2 ON n2.s = Table1.t1_obj
 WHERE n2.p = {P_HAS_TYPE}
 """
@@ -169,6 +234,48 @@ LEFT JOIN dict d1 ON d1.id = r.b
 LEFT JOIN dict d2 ON d2.id = r.c
 LEFT JOIN dict d3 ON d3.id = r.d
 """
+
+def rdf_text_lifecycle(spark, sf_dir):
+    """The reference's full lifecycle, end to end
+    (PartitionQueryingSubject.java:82-153): triples TEXT in (S1) + dictionary
+    TSV (S2) → subject-clustered layout (O1) → temp-view registration (S6) →
+    the 2-hop SQL with typed literals (J1/P7/P9) → dictionary-join decode
+    (J5) → CSV text out (S4) → read back. Every literal-I/O operator of the
+    reference in one oracle-checked flow."""
+    import os
+    import tempfile
+
+    from rdfproject_msc_spark.dictionary import Dictionary
+    from rdfproject_msc_spark.sources import triples as TIO
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(tempfile.gettempdir(), "rdfproject_msc_text", tag)
+    # materialize the derived graph in the reference's text formats
+    triples_df(spark, sf_dir).write.mode("overwrite").csv(
+        os.path.join(base, "triples"), sep=" "
+    )
+    dictionary_df(spark, sf_dir).write.mode("overwrite").csv(
+        os.path.join(base, "dict"), sep="\t"
+    )
+
+    t = TIO.read_triples_text(spark, os.path.join(base, "triples"))
+    d = Dictionary(TIO.read_dictionary_tsv(spark, os.path.join(base, "dict")))
+    store = TripleStore(t, layout="single", cluster_by="s")
+    store.register(spark, "table")
+    res = spark.sql(
+        f"""SELECT table.s AS s0, table.o AS o0, t1.o AS o1, t2.o AS o2
+            FROM table INNER JOIN table t1 ON table.o = t1.s
+                       INNER JOIN table t2 ON t1.o = t2.s
+            WHERE table.s = {ORDER_1} AND table.p = {P_PLACED_BY}
+              AND t1.p = {P_IN_NATION} AND t2.p = {P_IN_REGION}"""
+    )
+    decoded = d.decode(res)
+    TIO.write_result_csv(decoded, os.path.join(base, "out"))
+    return spark.read.csv(
+        os.path.join(base, "out"),
+        schema="s0 string, o0 string, o1 string, o2 string",
+    )
+
 
 SPARQL_2HOP = (
     "SELECT ?c ?n WHERE { :order_1 :placedBy ?c . ?c :inNation ?n . }"
@@ -551,6 +658,68 @@ ORDER BY score DESC, e.vec_id
 LIMIT 10
 """
 
+# ---------------------------------------------------------------------------
+# multimodal columns (binary payload + typed metadata; operators/multimodal.py)
+
+_ASSETS_CTE = """
+assets AS (
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INT)
+                WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+           END AS modality,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+)"""
+
+
+def multimodal_stats(spark, sf_dir):
+    assets = multimodal.attach_assets(load_table(spark, sf_dir, "documents"))
+    return multimodal.asset_stats(assets)
+
+
+MULTIMODAL_STATS_SQL = f"""
+WITH {_ASSETS_CTE}
+SELECT modality,
+       count(*) AS n_assets,
+       sum(n_bytes) AS total_bytes,
+       round(avg(n_bytes), 6) AS avg_bytes,
+       max(n_bytes % 640 + 1) AS max_width,
+       min((n_bytes * 7) % 480 + 1) AS min_height
+FROM assets
+GROUP BY modality
+"""
+
+
+def multimodal_filter(spark, sf_dir):
+    assets = multimodal.attach_assets(load_table(spark, sf_dir, "documents"))
+    return multimodal.filter_assets(
+        assets, modality="image", min_bytes=200
+    ).select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+
+MULTIMODAL_FILTER_SQL = f"""
+WITH {_ASSETS_CTE}
+SELECT doc_id, n_bytes,
+       n_bytes % 640 + 1 AS width,
+       (n_bytes * 7) % 480 + 1 AS height
+FROM assets
+WHERE modality = 'image' AND n_bytes >= 200
+"""
+
+
+def multimodal_decode(spark, sf_dir):
+    """mapInPandas decode stage (deterministic fake decoder — see
+    operators/multimodal.py). Not SQL-expressible (byte-level decode in
+    Python): registered without an oracle → driver records rows-only."""
+    assets = multimodal.attach_assets(load_table(spark, sf_dir, "documents"))
+    return multimodal.decode_assets(assets)
+
+
 _ANN = dict(dim=64, n_planes=16, bands=8, seed=42, k=10, query_id=0)
 
 
@@ -628,8 +797,11 @@ REGISTRY: dict[str, QuerySpec] = {
     # reference parity
     "rdf_path_2hop": QuerySpec(rdf_path_2hop, RDF_PATH_2HOP_SQL, headline=True),
     "rdf_path_2hop_all": QuerySpec(rdf_path_2hop_all, RDF_PATH_2HOP_ALL_SQL, headline=True),
+    "rdf_path_2hop_store": QuerySpec(rdf_path_2hop_store, RDF_PATH_2HOP_SQL, headline=True),
     "rdf_split_join": QuerySpec(rdf_split_join, RDF_SPLIT_JOIN_SQL, headline=True),
+    "rdf_split_join_bound": QuerySpec(rdf_split_join_bound, RDF_SPLIT_JOIN_BOUND_SQL),
     "rdf_split_join_count": QuerySpec(rdf_split_join_count, RDF_SPLIT_JOIN_COUNT_SQL),
+    "rdf_text_lifecycle": QuerySpec(rdf_text_lifecycle, RDF_DECODE_2HOP_SQL),
     "rdf_sign_union": QuerySpec(rdf_sign_union, RDF_SIGN_UNION_SQL),
     "rdf_decode_2hop": QuerySpec(rdf_decode_2hop, RDF_DECODE_2HOP_SQL),
     "sparql_2hop": QuerySpec(sparql_2hop, SPARQL_2HOP_SQL, headline=True),
@@ -650,6 +822,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FINGERPRINT_SQL),
     "knn_cosine": QuerySpec(knn_cosine, KNN_COSINE_SQL, headline=True),
     "ann_lsh_topk": QuerySpec(ann_lsh_topk, ANN_LSH_TOPK_SQL, headline=True),
+    # multimodal columns
+    "multimodal_stats": QuerySpec(multimodal_stats, MULTIMODAL_STATS_SQL),
+    "multimodal_filter": QuerySpec(multimodal_filter, MULTIMODAL_FILTER_SQL),
+    "multimodal_decode": QuerySpec(multimodal_decode, None),
 }
 
 

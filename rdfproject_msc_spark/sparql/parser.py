@@ -98,14 +98,37 @@ def parse_sparql(query: str) -> BGPQuery:
         else tuple(v.lstrip("?$") for v in proj_src.split())
     )
 
+    # Tokenize the WHOLE BGP first, then split the token stream on statement
+    # terminators. Splitting the raw string on "." would chop dots inside
+    # IRIs (<http://example.org/x> — hostnames always contain dots) and
+    # inside terms like :node_..._-9.15947_38.70289 (the reference's AIS
+    # vocabulary, MyOpVisitorBase.java:132).
     patterns = []
-    for stmt in bgp_src.split("."):
-        toks = _TOKEN.findall(stmt)
-        if not toks:
+    cur: list[str] = []
+
+    def _flush() -> None:
+        if not cur:
+            return
+        if len(cur) != 3:
+            raise SparqlSyntaxError(f"triple pattern needs 3 terms, got {cur!r}")
+        patterns.append(TriplePattern(*(_normalize_term(t) for t in cur)))
+        cur.clear()
+
+    for tok in _TOKEN.findall(bgp_src):
+        if tok == ".":
+            _flush()
             continue
-        if len(toks) != 3:
-            raise SparqlSyntaxError(f"triple pattern needs 3 terms, got {toks!r}")
-        patterns.append(TriplePattern(*(_normalize_term(t) for t in toks)))
+        terminate = False
+        if not tok.startswith('"') and not tok.startswith("<") and tok.endswith("."):
+            # statement terminator glued to the last term ("?y." form);
+            # dots INSIDE the token (":n_-9.15") are preserved.
+            tok = tok[:-1]
+            terminate = True
+        if tok:
+            cur.append(tok)
+        if terminate:
+            _flush()
+    _flush()
     if not patterns:
         raise SparqlSyntaxError("empty basic graph pattern")
 

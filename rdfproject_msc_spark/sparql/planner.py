@@ -69,17 +69,22 @@ def _pattern_scan(
         df = df.filter(reduce(lambda a, b: a & b, conds))
 
     var_cols: dict[str, str] = {}
+    first_pos: dict[str, str] = {}
     keep = []
     for pos, (kind, val) in tp.slots.items():
         if kind != "var":
             continue
-        if val in var_cols:  # repeated var inside one pattern: ?x :p ?x
-            df = df.filter(F.col(pos) == F.col(var_cols[val]))
+        if val in first_pos:  # repeated var inside one pattern: ?x :p ?x
+            # filter on the SOURCE positions (s/p/o still present here —
+            # the v_* alias only exists after the select below)
+            df = df.filter(F.col(pos) == F.col(first_pos[val]))
         else:
+            first_pos[val] = pos
             col = f"v_{val}"
             keep.append(F.col(pos).alias(col))
             var_cols[val] = col
-    return df.select(*keep) if keep else df.select(F.lit(1).alias(f"_m{idx}")), var_cols
+    out = df.select(*keep) if keep else df.select(F.lit(1).alias(f"_m{idx}"))
+    return out, var_cols
 
 
 def _order_patterns(bgp: BGPQuery) -> list:

@@ -45,8 +45,20 @@ class TripleStore:
         layout: str = "single",
         cluster_by: str | None = None,
         num_partitions: int | None = None,
-        broadcast_negative: bool = True,
+        broadcast_negative: bool = False,
+        cache: bool = False,
     ):
+        """``broadcast_negative`` defaults to False: the reference broadcasts
+        its Negative table unconditionally (MSc-scale assumption); at 100 TB
+        an unconditional broadcast OOMs the day Negative is not small. AQE's
+        runtime-stats join selection broadcasts it automatically when it IS
+        small — the hint remains an explicit opt-in.
+
+        ``cache``: persist the laid-out relation in executor memory. Right
+        when the store is derived (view over other tables) and queried
+        repeatedly — a 3-leg self-join otherwise re-derives the view once
+        per leg. At corpus scale prefer ``write()`` + ``read()`` (disk
+        layout) over caching 100 TB in RAM."""
         if layout not in LAYOUTS:
             raise ValueError(f"layout must be one of {LAYOUTS}")
         if cluster_by not in CLUSTER_KEYS:
@@ -56,6 +68,8 @@ class TripleStore:
         self.num_partitions = num_partitions
         self.broadcast_negative = broadcast_negative
         self._df = self._apply_clustering(triples.select("s", "p", "o"))
+        if cache:
+            self._df = self._df.persist()
 
     def _apply_clustering(self, df: DataFrame) -> DataFrame:
         if self.cluster_by is None:
@@ -70,42 +84,68 @@ class TripleStore:
 
     # -- views ------------------------------------------------------------
     @property
+    def _has_sign(self) -> bool:
+        """True when backed by sign-partitioned Parquet (read path): the
+        ``sign`` partition column is present and filters on it become
+        Catalyst PartitionFilters — directory-level pruning, zero data read
+        for the pruned side."""
+        return "sign" in self._df.columns
+
+    @staticmethod
+    def _spo(df: DataFrame) -> DataFrame:
+        return df.select("s", "p", "o")
+
+    @property
     def df(self) -> DataFrame:
         """The full triple relation (Positive ∪ Negative when split)."""
-        return self._df
+        return self._spo(self._df)
 
     @property
     def positive(self) -> DataFrame:
         """Subjects ≥ 0 (P4; PartitionQueryingBRDSubject.java:100-104)."""
-        return self._df.filter(F.col("s") >= 0)
+        if self._has_sign:
+            return self._spo(self._df.filter(F.col("sign") == 1))
+        return self._spo(self._df.filter(F.col("s") >= 0))
 
     @property
     def negative(self) -> DataFrame:
-        """Subjects < 0 (P5; :120-124), broadcast-hinted as the small side."""
-        neg = self._df.filter(F.col("s") < 0)
+        """Subjects < 0 (P5; :120-124); broadcast-hinted only on opt-in."""
+        neg = self._negative_raw
         return F.broadcast(neg) if self.broadcast_negative else neg
+
+    @property
+    def _negative_raw(self) -> DataFrame:
+        if self._has_sign:
+            return self._spo(self._df.filter(F.col("sign") == 0))
+        return self._spo(self._df.filter(F.col("s") < 0))
 
     def table_for_subject(self, subject_id: int | None) -> DataFrame:
         """Static sign routing (MyOpVisitorBase.java:82-86): a bound subject
         selects one side; an unbound subject needs both (U1's UNION ALL —
-        here simply the unsplit relation, same rows)."""
+        here simply the unsplit relation, same rows). On a persisted store
+        the routing is a partition filter — Catalyst prunes whole
+        directories, the modern form of the reference's hand-routed SQL."""
         if self.layout == "single" or subject_id is None:
-            return self._df
-        return self.positive if subject_id >= 0 else self._df.filter(F.col("s") < 0)
+            return self.df
+        return self.positive if subject_id >= 0 else self._negative_raw
 
     # -- registration (S6) -------------------------------------------------
     def register(self, spark: SparkSession, name: str = "table") -> None:
         """Temp views: ``table`` always; ``Positive``/``Negative`` when split."""
-        self._df.createOrReplaceTempView(name)
+        self.df.createOrReplaceTempView(name)
         if self.layout == "sign_split":
             self.positive.createOrReplaceTempView("Positive")
-            self._df.filter(F.col("s") < 0).createOrReplaceTempView("Negative")
+            self._negative_raw.createOrReplaceTempView("Negative")
 
     # -- persistence --------------------------------------------------------
     def write(self, path: str) -> None:
-        """Persist as Parquet: sign partition column when split (pruning),
-        range clustering preserved as row-group sort order (skipping)."""
-        df = self._df
+        """Persist as Parquet — the "write once, prune forever" half of the
+        100 TB story: ``sign`` becomes a Parquet partition column when split
+        (directory pruning replaces the reference's hand-routed
+        Positive/Negative SQL), and range clustering is preserved as
+        row-group sort order (min/max stats → scan skipping on the cluster
+        key)."""
+        df = self._spo(self._df)
         if self.layout == "sign_split":
             df = df.withColumn("sign", (F.col("s") >= 0).cast("int"))
             df.write.mode("overwrite").partitionBy("sign").parquet(path)
@@ -121,11 +161,14 @@ class TripleStore:
         cluster_by: str | None = None,
         **kwargs,
     ) -> "TripleStore":
-        df = spark.read.parquet(path).select("s", "p", "o")
+        """Open a persisted store WITHOUT re-shuffling: the on-disk layout IS
+        the layout. The ``sign`` partition column (when present) is kept in
+        the backing df so the split views prune at directory level."""
+        df = spark.read.parquet(path)
         store = cls.__new__(cls)
         store.layout = layout
         store.cluster_by = cluster_by
         store.num_partitions = kwargs.get("num_partitions")
-        store.broadcast_negative = kwargs.get("broadcast_negative", True)
+        store.broadcast_negative = kwargs.get("broadcast_negative", False)
         store._df = df  # already laid out on disk; no re-shuffle on read
         return store

@@ -1,0 +1,99 @@
+"""SPARQL parser/planner unit tests, including the round-2 ADVICE bugs:
+dotted IRIs surviving tokenization and repeated variables within a pattern."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdfproject_msc_spark.dictionary import Dictionary
+from rdfproject_msc_spark.sparql.parser import (
+    SparqlSyntaxError,
+    parse_sparql,
+)
+from rdfproject_msc_spark.sparql.planner import sparql_to_df
+from rdfproject_msc_spark.store import TripleStore
+
+
+def test_parse_iri_with_dots():
+    q = "SELECT ?x WHERE { <http://example.org/ont/node_1> <http://example.org/p> ?x . }"
+    bgp = parse_sparql(q)
+    assert len(bgp.patterns) == 1
+    assert bgp.patterns[0].s == ("term", ":node_1")
+    assert bgp.patterns[0].p == ("term", ":p")
+
+
+def test_parse_term_with_interior_dots():
+    # the reference's AIS vocabulary: :node_<mmsi>_<epoch>_<lon>_<lat>
+    q = "SELECT ?p WHERE { :node_376609000_1451606409000_-9.15947_38.70289 ?p ?o . }"
+    bgp = parse_sparql(q)
+    assert bgp.patterns[0].s == (
+        "term",
+        ":node_376609000_1451606409000_-9.15947_38.70289",
+    )
+
+
+def test_parse_glued_terminator_and_multi_patterns():
+    q = "SELECT ?a ?c WHERE { ?a :p1 ?b. ?b :p2 ?c }"
+    bgp = parse_sparql(q)
+    assert len(bgp.patterns) == 2
+    assert bgp.patterns[0].o == ("var", "b")
+    assert bgp.patterns[1].s == ("var", "b")
+
+
+def test_parse_quoted_literal_with_dot():
+    q = 'SELECT ?x WHERE { ?x :label "v. 2.0" . }'
+    bgp = parse_sparql(q)
+    assert bgp.patterns[0].o == ("term", "v. 2.0")
+
+
+def test_parse_rejects_unsupported():
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql("SELECT ?x WHERE { ?x :p ?y . FILTER(?y > 3) }")
+
+
+def test_parse_rejects_bad_arity():
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql("SELECT ?x WHERE { ?x :p . }")
+
+
+@pytest.fixture(scope="module")
+def tiny_store(spark):
+    rows = [
+        (1, 10, 1),  # self-loop: s == o
+        (1, 10, 2),
+        (2, 10, 2),  # self-loop
+        (2, 20, 3),
+        (-5, 10, 1),
+    ]
+    df = spark.createDataFrame(rows, "s long, p long, o long")
+    return TripleStore(df)
+
+
+@pytest.fixture(scope="module")
+def tiny_dict(spark):
+    rows = [(10, ":p10"), (20, ":p20"), (1, ":n1"), (2, ":n2"), (3, ":n3"), (-5, ":neg5")]
+    return Dictionary(spark.createDataFrame(rows, "id long, term string"))
+
+
+def test_repeated_variable_in_one_pattern(tiny_store, tiny_dict):
+    """?x :p10 ?x must keep only rows with s == o (ADVICE: this raised
+    AnalysisException before round 2 — the filter referenced the v_x alias
+    before it existed)."""
+    df = sparql_to_df(tiny_store, "SELECT ?x WHERE { ?x :p10 ?x . }", tiny_dict)
+    assert sorted(r.x for r in df.collect()) == [1, 2]
+
+
+def test_multi_pattern_join(tiny_store, tiny_dict):
+    # p10 edges 1→1, 1→2, 2→2, -5→1; p20 edges 2→3 ⇒ join on ?b=2
+    df = sparql_to_df(
+        tiny_store, "SELECT ?a ?c WHERE { ?a :p10 ?b . ?b :p20 ?c . }", tiny_dict
+    )
+    assert sorted((r.a, r.c) for r in df.collect()) == [(1, 3), (2, 3)]
+
+
+def test_decode_roundtrip(tiny_store, tiny_dict):
+    df = sparql_to_df(
+        tiny_store, "SELECT ?x WHERE { ?x :p20 ?y . }", tiny_dict, decode=True
+    )
+    assert [r.x for r in df.collect()] == [":n2"]

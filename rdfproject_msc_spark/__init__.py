@@ -14,7 +14,8 @@ No code is copied from the reference; docstring cites (file:line into
 
 from rdfproject_msc_spark.session import get_spark
 from rdfproject_msc_spark.dictionary import Dictionary
+from rdfproject_msc_spark.engine import Engine
 from rdfproject_msc_spark.store import TripleStore
 
-__all__ = ["get_spark", "Dictionary", "TripleStore"]
-__version__ = "0.1.0"
+__all__ = ["get_spark", "Dictionary", "Engine", "TripleStore"]
+__version__ = "0.2.0"

@@ -1,0 +1,104 @@
+"""Engine facade: the three user-facing entry points (SURVEY.md §3).
+
+    engine = Engine(spark)
+    engine.load_triples(triples_path, dict_path, layout="sign_split",
+                        cluster_by="s")          # ingest + layout (EP 3)
+    engine.sql("SELECT ... FROM table ...")      # SQL path        (EP 2)
+    engine.sparql("SELECT ?x WHERE { ... }")     # SPARQL path     (EP 1+2)
+
+This replaces the reference's four copy-pasted ``main()`` drivers
+(PartitionQuerying*.java) with one object: layout is a constructor argument,
+queries are methods, and decode is an option — every (layout × key ×
+query-path) combination the reference hard-coded is reachable, plus the
+persisted-Parquet path the reference lacked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from rdfproject_msc_spark.dictionary import Dictionary
+from rdfproject_msc_spark.sources import triples as TIO
+from rdfproject_msc_spark.sparql.planner import sparql_to_df
+from rdfproject_msc_spark.store import TripleStore
+
+
+class Engine:
+    """One triple store + one dictionary + the query surface over them."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: TripleStore | None = None,
+        dictionary: Dictionary | None = None,
+    ):
+        self.spark = spark
+        self.store = store
+        self.dictionary = dictionary
+
+    # -- entry point 3: ingest + layout -----------------------------------
+    def load_triples(
+        self,
+        triples_path: str,
+        dict_path: str | None = None,
+        fmt: str = "text",
+        layout: str = "single",
+        cluster_by: str | None = None,
+        register_as: str = "table",
+        **store_kwargs,
+    ) -> "Engine":
+        """Read triples (text or parquet) + optional dictionary TSV, apply
+        the physical layout, and register SQL views. Returns self."""
+        if fmt == "text":
+            df = TIO.read_triples_text(self.spark, triples_path)
+        elif fmt == "parquet":
+            df = TIO.read_triples_parquet(self.spark, triples_path)
+        else:
+            raise ValueError(f"unknown triples format: {fmt!r}")
+        self.store = TripleStore(
+            df, layout=layout, cluster_by=cluster_by, **store_kwargs
+        )
+        if register_as:
+            self.store.register(self.spark, register_as)
+        if dict_path is not None:
+            self.dictionary = Dictionary(
+                TIO.read_dictionary_tsv(self.spark, dict_path)
+            )
+        return self
+
+    def save(self, path: str) -> "Engine":
+        """Persist the laid-out store (write once → prune forever)."""
+        self._require_store().write(path)
+        return self
+
+    def open(
+        self, path: str, layout: str = "single", cluster_by: str | None = None
+    ) -> "Engine":
+        """Open a persisted store without re-shuffling."""
+        self.store = TripleStore.read(
+            self.spark, path, layout=layout, cluster_by=cluster_by
+        )
+        return self
+
+    # -- entry point 2: SQL ------------------------------------------------
+    def sql(self, query: str) -> DataFrame:
+        """SQL over the registered views (``table`` / ``Positive`` /
+        ``Negative``) — Catalyst plans, AQE re-plans at runtime."""
+        return self.spark.sql(query)
+
+    # -- entry point 1: SPARQL --------------------------------------------
+    def sparql(self, query: str, decode: bool = False) -> DataFrame:
+        """SPARQL BGP → DataFrame join plan (→ optional dictionary decode)."""
+        return sparql_to_df(
+            self._require_store(), query, self.dictionary, decode=decode
+        )
+
+    def decode(self, df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+        if self.dictionary is None:
+            raise ValueError("no dictionary loaded")
+        return self.dictionary.decode(df, columns)
+
+    def _require_store(self) -> TripleStore:
+        if self.store is None:
+            raise ValueError("no triples loaded — call load_triples() or open()")
+        return self.store

@@ -235,6 +235,110 @@ def minhash_signatures(
     )
 
 
+def _md5_nibbles(col: Column) -> list[Column]:
+    """16 hex nibbles of md5(col) as ints 0-15 — every primitive here (md5,
+    substring, base-16 digit value) behaves identically in Spark and DuckDB,
+    so SimHash built on it is exactly cross-engine reproducible (unlike
+    xxhash64, which only Spark has)."""
+    digest = F.md5(col)
+    return [
+        F.conv(F.substring(digest, i + 1, 1), 16, 10).cast("int")
+        for i in range(16)
+    ]
+
+
+def simhash_signatures(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """64-bit SimHash per document over word n-gram shingles, packed as two
+    32-bit halves (lo = bits 0-31, hi = bits 32-63; avoids signed-overflow
+    games with bit 63).
+
+    bit b = sign of Σ over shingles of (±1 depending on bit b of
+    md5(shingle)). Computed as 64 conditional-sum aggregates over the
+    exploded shingle relation — plain hash aggregation, map-side partial
+    combine, no UDF. Output: (id, lo: long, hi: long).
+    """
+    ex = ngram_shingles(df, content_col, id_col, n).withColumnRenamed(
+        id_col, "id"
+    )
+    nibs = _md5_nibbles(F.col("shingle"))
+    contribs = []
+    for b in range(64):
+        nib = nibs[15 - b // 4]  # low-order hex digit carries bits 0-3
+        bit = F.shiftright(nib, b % 4).bitwiseAND(F.lit(1))
+        contribs.append(F.sum(bit * 2 - 1).alias(f"c{b}"))
+    sums = ex.groupBy("id").agg(*contribs)
+    lo = sum(
+        [
+            (F.col(f"c{b}") >= 0).cast("long") * F.lit(1 << b)
+            for b in range(32)
+        ],
+        F.lit(0).cast("long"),
+    )
+    hi = sum(
+        [
+            (F.col(f"c{b}") >= 0).cast("long") * F.lit(1 << (b - 32))
+            for b in range(32, 64)
+        ],
+        F.lit(0).cast("long"),
+    )
+    return sums.select("id", lo.alias("lo"), hi.alias("hi"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance ≤ max_hamming.
+
+    Candidates come from 8 bands of 8 bits: by pigeonhole, any pair within
+    hamming 7 shares at least one exact band, so for max_hamming ≤ 7 the
+    banded join has GUARANTEED recall 1 — the output equals brute-force
+    all-pairs hamming, which is exactly what the DuckDB oracle computes.
+    Shuffle keys are (band, 8-bit value) ints; hamming verify via
+    bit_count(xor) on candidates only.
+    """
+    assert max_hamming <= 7, "8x8 banding guarantees recall only to hamming 7"
+    sigs = simhash_signatures(df, content_col, id_col, n)
+    bands = []
+    for b in range(8):
+        half = F.col("lo") if b < 4 else F.col("hi")
+        bands.append(
+            F.shiftright(half, (b % 4) * 8).bitwiseAND(F.lit(255))
+        )
+    bv = sigs.select(
+        "id", "lo", "hi", F.posexplode(F.array(*bands)).alias("band", "band_val")
+    )
+    a, b2 = bv.alias("a"), bv.alias("b")
+    cand = (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (
+                F.bit_count(F.col("a.lo").bitwiseXOR(F.col("b.lo")))
+                + F.bit_count(F.col("a.hi").bitwiseXOR(F.col("b.hi")))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     content_col: str = "text",

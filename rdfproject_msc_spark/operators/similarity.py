@@ -159,6 +159,49 @@ def lsh_candidate_pairs(
     return out.distinct()
 
 
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.2,
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-level near-duplicate pairs: LSH band candidates + exact
+    cosine verify ≥ threshold. The all-pairs n² cosine join never happens —
+    only bucket collisions are scored. Output: (id_a, id_b, score).
+
+    Like the MinHash path, the verify stage joins the vectors back by id for
+    candidates only; shuffle keys in candidate generation are (band, value)
+    ints, never vectors."""
+    cand = lsh_candidate_pairs(df, dim, n_planes, bands, seed, vec_col, id_col)
+    vecs = df.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
+    scored = (
+        cand.join(
+            vecs.select(
+                F.col("__vid").alias("id_a"), F.col("__v").alias("__va")
+            ),
+            "id_a",
+        )
+        .join(
+            vecs.select(
+                F.col("__vid").alias("id_b"), F.col("__v").alias("__vb")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 6).alias(
+                "score"
+            ),
+        )
+    )
+    return scored.filter(F.col("score") >= threshold)
+
+
 def lsh_topk_to(
     df: DataFrame,
     query_id: int,

@@ -38,6 +38,39 @@ def token_count(col: Column) -> Column:
     )
 
 
+# BPE-ish pre-tokenizer regex (GPT-2-style, restricted to an engine-portable
+# subset: contraction suffixes, space-prefixed letter runs / digit runs /
+# punctuation runs). Token COUNT under this split approximates subword token
+# counts well enough for corpus budgeting, entirely JVM-side.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def token_count_bpe(col: Column) -> Column:
+    """Count of BPE-ish pre-tokens (see BPE_ISH_PATTERN); the oracle twin is
+    DuckDB ``len(regexp_extract_all(...))`` with the same pattern."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0)).cast(
+        "long"
+    )
+
+
+def with_token_counts(df: DataFrame, content_col: str = "text") -> DataFrame:
+    """Token-budget columns: whitespace tokens, BPE-ish tokens, bytes per
+    BPE-ish token (the corpus-sizing metric training pipelines budget by)."""
+    c = F.col(content_col)
+    n_bpe = token_count_bpe(c)
+    return (
+        df.withColumn("n_ws_tokens", token_count(c))
+        .withColumn("n_bpe_tokens", n_bpe)
+        .withColumn(
+            "bytes_per_token",
+            F.round(
+                F.octet_length(c) / F.greatest(n_bpe, F.lit(1)).cast("double"),
+                6,
+            ),
+        )
+    )
+
+
 def stopword_hits(col: Column, lang: str) -> Column:
     words = STOPWORDS[lang]
     return F.size(F.filter(_tokens(col), lambda t: t.isin(*words))).cast("long")

@@ -52,6 +52,10 @@ CUSTOMER_7 = 71  # :customer_7
 
 _DEC = "decimal(18,2)"
 
+# shared LSH parameters for the embeddings operators (ann_lsh_topk,
+# cosine_neardup): dims of the testdata embeddings, 16 hyperplanes, 8 bands
+_ANN = dict(dim=64, n_planes=16, bands=8, seed=42, k=10, query_id=0)
+
 
 def _store(spark: SparkSession, sf_dir: str, **kw) -> TripleStore:
     # cache=True: the triple relation is DERIVED (6-way union over 4 parquet
@@ -466,6 +470,33 @@ GROUP BY 1, 2
 """
 
 
+def events_hourly_stream(spark, sf_dir):
+    """Structured-Streaming twin of events_hourly: stage the events table as
+    a parquet directory, consume it as a file-source stream (2 files per
+    micro-batch), watermark + tumbling-window rollup, drain with
+    availableNow into a memory sink, return the batch result. Oracle = the
+    SAME SQL as the batch entry — stream-batch equivalence is the gate."""
+    import os
+    import tempfile
+    import uuid
+
+    from rdfproject_msc_spark import streaming as S
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    run_id = uuid.uuid4().hex[:8]
+    base = os.path.join(tempfile.gettempdir(), "rdfproject_msc_stream", tag)
+    events_dir = S.stage_events_dir(spark, sf_dir, os.path.join(base, "events"))
+    stream = S.read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    # fresh checkpoint + table name per run: a reused checkpoint would say
+    # "already processed" and emit nothing under availableNow
+    return S.run_to_memory_table(
+        S.hourly_rollup(stream),
+        spark,
+        f"events_hourly_stream_{run_id}",
+        os.path.join(base, f"ckpt_{run_id}"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data-pipeline operators (north-star extensions)
 
@@ -550,6 +581,129 @@ def dedup_minhash(spark, sf_dir):
 
 
 DEDUP_MINHASH_SQL = _jaccard_sql(0.5)
+
+
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup: md5-derived 64-bit signatures, 8×8-bit banding.
+
+    Recall is EXACT (pigeonhole: hamming ≤ 6 < 8 bands ⇒ some band matches),
+    so the oracle is literal brute-force all-pairs hamming — no probability
+    anywhere. md5 nibble arithmetic is identical in Spark and DuckDB."""
+    return dedup.simhash_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, max_hamming=6
+    )
+
+
+def _simhash_sql(max_hamming: int = 6) -> str:
+    """Brute-force SimHash twin: same shingles, same md5-nibble bit mapping
+    as dedup.simhash_signatures (nibble 15 - b//4 carries bit b at b%4)."""
+    csum = []
+    for b in range(64):
+        pos = (15 - b // 4) + 1  # 1-based substring position in the digest
+        nib = f"(strpos('0123456789abcdef', substr(dg, {pos}, 1)) - 1)"
+        csum.append(
+            f"sum((({nib} >> {b % 4}) & 1) * 2 - 1) AS c{b}"
+        )
+    lo = " + ".join(
+        f"(CASE WHEN c{b} >= 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(32)
+    )
+    hi = " + ".join(
+        f"(CASE WHEN c{b} >= 0 THEN CAST({1 << (b - 32)} AS BIGINT) ELSE 0 END)"
+        for b in range(32, 64)
+    )
+    return rf"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id AS id, array_to_string(t[i:i+2], ' ') AS shingle
+    FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+    WHERE array_to_string(t[i:i+2], ' ') <> ''
+),
+nib AS (SELECT id, md5(shingle) AS dg FROM sh),
+bits AS (SELECT id, {', '.join(csum)} FROM nib GROUP BY id),
+sig AS (SELECT id, {lo} AS lo, {hi} AS hi FROM bits)
+SELECT a.id AS id_a, b.id AS id_b,
+       bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming
+FROM sig a JOIN sig b ON a.id < b.id
+WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= {max_hamming}
+"""
+
+
+DEDUP_SIMHASH_SQL = _simhash_sql(6)
+
+
+def cosine_neardup(spark, sf_dir):
+    """Embedding near-dup pairs via hyperplane-LSH candidates + exact cosine
+    verify. Oracle replicates the banded candidate generation with the same
+    inlined planes (cf. ann_lsh_topk), then the same cosine filter."""
+    return similarity.cosine_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.2,
+        dim=_ANN["dim"],
+        n_planes=_ANN["n_planes"],
+        bands=_ANN["bands"],
+        seed=_ANN["seed"],
+    )
+
+
+def _cosine_neardup_sql(threshold: float = 0.2) -> str:
+    dim, n_planes, bands = _ANN["dim"], _ANN["n_planes"], _ANN["bands"]
+    bits = n_planes // bands
+    mask = (1 << bits) - 1
+    planes = similarity.hyperplanes(dim, n_planes, _ANN["seed"])
+    sig_terms = []
+    for j, comps in enumerate(planes):
+        lit = "[" + ", ".join(str(c) for c in comps) + "]"
+        weight = 1 << (n_planes - 1 - j)
+        sig_terms.append(
+            f"(CASE WHEN list_dot_product(v, {lit}) >= 0 THEN {weight} ELSE 0 END)"
+        )
+    sig_expr = " + ".join(sig_terms)
+    band_idx = "[" + ", ".join(str(b) for b in range(bands)) + "]"
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sig AS (SELECT vec_id, {sig_expr} AS s FROM e),
+bandv AS (
+    SELECT vec_id, u.b AS band, (s >> (u.b * {bits})) & {mask} AS bv
+    FROM sig, unnest({band_idx}) AS u(b)
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM bandv a JOIN bandv b ON a.band = b.band AND a.bv = b.bv
+                             AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b,
+       round(list_cosine_similarity(ea.v, eb.v), 6) AS score
+FROM cand
+JOIN e ea ON ea.vec_id = id_a
+JOIN e eb ON eb.vec_id = id_b
+WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= {threshold}
+"""
+
+
+COSINE_NEARDUP_SQL = _cosine_neardup_sql(0.2)
+
+
+def text_tokens(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.with_token_counts(docs).select(
+        "doc_id", "n_ws_tokens", "n_bpe_tokens", "bytes_per_token"
+    )
+
+
+TEXT_TOKENS_SQL = rf"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+       END AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{textstats.BPE_ISH_PATTERN.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens,
+       round(octet_length(encode(text))
+             / greatest(len(regexp_extract_all(text, '{textstats.BPE_ISH_PATTERN.replace("'", "''")}')), 1),
+             6) AS bytes_per_token
+FROM documents
+"""
 
 
 def text_stats(spark, sf_dir):
@@ -720,9 +874,6 @@ def multimodal_decode(spark, sf_dir):
     return multimodal.decode_assets(assets)
 
 
-_ANN = dict(dim=64, n_planes=16, bands=8, seed=42, k=10, query_id=0)
-
-
 def ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate top-k (the embeddings scale path).
 
@@ -812,11 +963,15 @@ REGISTRY: dict[str, QuerySpec] = {
     "tpch_q5": QuerySpec(tpch_q5, TPCH_Q5_SQL, headline=True),
     "top_orders_per_priority": QuerySpec(top_orders_per_priority, TOP_ORDERS_SQL),
     "events_hourly": QuerySpec(events_hourly, EVENTS_HOURLY_SQL),
+    "events_hourly_stream": QuerySpec(events_hourly_stream, EVENTS_HOURLY_SQL),
     # training-data pipeline
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
     "dedup_exact_scale": QuerySpec(dedup_exact_scale, DEDUP_EXACT_SCALE_SQL),
     "dedup_jaccard": QuerySpec(dedup_jaccard, DEDUP_JACCARD_SQL),
     "dedup_minhash": QuerySpec(dedup_minhash, DEDUP_MINHASH_SQL, headline=True),
+    "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL),
+    "cosine_neardup": QuerySpec(cosine_neardup, COSINE_NEARDUP_SQL),
+    "text_tokens": QuerySpec(text_tokens, TEXT_TOKENS_SQL),
     "text_stats": QuerySpec(text_stats, TEXT_STATS_SQL),
     "text_langid": QuerySpec(text_langid, TEXT_LANGID_SQL),
     "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FINGERPRINT_SQL),

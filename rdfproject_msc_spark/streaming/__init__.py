@@ -1,0 +1,11 @@
+"""Structured Streaming surface (north-star extension; SURVEY.md §2.10 —
+the reference has no streaming, this is the Spark-native event path)."""
+
+from rdfproject_msc_spark.streaming.events import (  # noqa: F401
+    EVENT_SCHEMA,
+    hourly_rollup,
+    read_events_stream,
+    run_to_memory_table,
+    stage_events_dir,
+    user_running_totals,
+)

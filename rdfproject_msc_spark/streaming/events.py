@@ -1,0 +1,146 @@
+"""Streaming ingestion + windowed aggregation over the events table.
+
+Design (Structured Streaming, the Spark-native stream model):
+
+- file source with an explicit schema (streams NEVER infer schemas —
+  inference reads the future);
+- event-time watermarking bounds state for late data: an event more than
+  ``watermark`` behind the max seen ts is dropped from open windows, so a
+  1000-executor job's aggregation state stays finite no matter how long the
+  stream runs;
+- windowed aggregation compiles to the same partial/final hash aggregation
+  as batch — stream-batch equivalence is a TESTED property here (the same
+  rollup over the same rows gives identical results in both modes);
+- custom stateful logic (per-user running totals) uses
+  ``applyInPandasWithState`` — Arrow-batched per-group state, the modern
+  replacement for updateStateByKey-style hand-rolled state.
+
+Local tests run with ``trigger(availableNow=True)`` micro-batches over a
+staged directory of parquet files; on a cluster the same code points at a
+Kafka/file landing zone and runs continuously.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string, ts_ns long"
+)
+
+
+def stage_events_dir(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 4
+) -> str:
+    """Stage the (batch) events table as a directory of parquet files — the
+    shape a streaming file source consumes. ``n_files`` > 1 so
+    maxFilesPerTrigger can exercise multi-micro-batch behavior."""
+    from rdfproject_msc_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    events.repartition(n_files).write.mode("overwrite").parquet(out_dir)
+    return out_dir
+
+
+def read_events_stream(
+    spark: SparkSession, events_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(events_dir)
+
+
+def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Event-time hourly rollup (stream twin of registry.events_hourly):
+    tumbling 1-hour windows + watermark. Money math mirrors the batch oracle
+    exactly: exact decimal sum → round → double."""
+    money = (
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_value")
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"), money)
+        .select(
+            F.col("w.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_to_memory_table(
+    df: DataFrame,
+    spark: SparkSession,
+    name: str,
+    checkpoint_dir: str,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Drain the stream with availableNow micro-batches into an in-memory
+    sink and return the result as a BATCH DataFrame. availableNow processes
+    everything currently in the source, then stops — the deterministic
+    'catch up and finish' trigger, which is what makes stream output
+    comparable against a batch oracle."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: per-user running totals (applyInPandasWithState)
+
+USER_STATE_SCHEMA = "n_events long, total_value double"
+USER_OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
+
+
+def _update_user_totals(key, pdfs, state):
+    """Group-state update: fold this micro-batch's rows for one user into
+    (n_events, total_value) and emit the running totals."""
+    if state.exists:
+        n, total = state.get
+    else:
+        n, total = 0, 0.0
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, round(total, 2)))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+    )
+
+
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Per-user running (n_events, total_value) maintained as explicit
+    streaming state — the custom-stateful-operator shape
+    (applyInPandasWithState): Arrow-batched groups, schema-declared state,
+    update-mode emission each micro-batch."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_totals,
+            outputStructType=USER_OUTPUT_SCHEMA,
+            stateStructType=USER_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,85 @@
+"""Stream-batch equivalence tests: the streaming rollup must produce exactly
+the batch answer, and the custom stateful operator's final state must equal
+the batch aggregation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdfproject_msc_spark import streaming as S
+from rdfproject_msc_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("stream") / "events")
+    return S.stage_events_dir(spark, sf_dir, out, n_files=4)
+
+
+def test_hourly_rollup_stream_equals_batch(spark, sf_dir, events_dir, tmp_path_factory):
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    stream = S.read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    result = S.run_to_memory_table(
+        S.hourly_rollup(stream), spark, "hourly_stream_t", ckpt
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    got = sorted(map(tuple, result.collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want
+
+
+def test_user_running_totals_final_state_equals_batch(
+    spark, sf_dir, events_dir, tmp_path_factory
+):
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    stream = S.read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    out = S.run_to_memory_table(
+        S.user_running_totals(stream),
+        spark,
+        "user_totals_t",
+        ckpt,
+        output_mode="update",
+    )
+    # update mode appends one row per user per micro-batch that touched the
+    # user; the row with the max n_events per user is the final state.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    got = {r.user_id: (r.n_events, r.total_value) for r in final.collect()}
+    want = {r.user_id: (r.n_events, r.total_value) for r in batch.collect()}
+    assert set(got) == set(want)
+    for uid in want:
+        assert got[uid][0] == want[uid][0], uid
+        assert abs(got[uid][1] - want[uid][1]) < 0.05, uid
+
+
+def test_watermark_bounds_state(spark, events_dir, tmp_path_factory):
+    """The rollup plan must carry the watermark node (state-bounding at
+    scale); presence is checked in the analyzed plan."""
+    stream = S.read_events_stream(spark, events_dir)
+    plan = S.hourly_rollup(stream)._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in plan

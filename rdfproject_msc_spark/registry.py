@@ -423,6 +423,59 @@ GROUP BY n_name
 """
 
 
+def orders_rollup(spark, sf_dir):
+    """ROLLUP over (priority, order-year): the grouping-sets surface the
+    reference lacked entirely (SURVEY.md §2.4 'no GROUP BY' — Catalyst
+    provides it; we expose and oracle-pin it). Null grouping placeholders
+    match ANSI ROLLUP semantics in both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .rollup("o_orderpriority", "o_year")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _money(_dec("o_totalprice"), "total_price"),
+        )
+    )
+
+
+ORDERS_ROLLUP_SQL = """
+SELECT o_orderpriority, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, CAST(year(o_orderdate) AS BIGINT))
+"""
+
+
+def skew_salted_join(spark, sf_dir):
+    """lineitem ⋈ orders via the salted-join operator, aggregated per
+    priority. The salt is invisible in the result, so the oracle is the
+    PLAIN join+agg — correctness of the skew mitigation is exactly 'same
+    answer as the unsalted join'."""
+    from rdfproject_msc_spark.operators import skew
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_quantity"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    joined = skew.salted_join(li, orders, on="okey", n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        _money(_dec("l_quantity"), "total_qty"),
+    )
+
+
+SKEW_SALTED_JOIN_SQL = """
+SELECT o_orderpriority, count(*) AS n_items,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 def top_orders_per_priority(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -467,6 +520,62 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
        CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
 FROM events
 GROUP BY 1, 2
+"""
+
+
+def events_prev_asof(spark, sf_dir):
+    """Self as-of join: each event paired with the PREVIOUS event of the same
+    user (strict backward). Timestamps compared as exact nanosecond longs
+    (ts_ns) on both engines — no float/precision gap between Spark's micros
+    timestamps and DuckDB's nanos. Oracle = DuckDB's native ASOF JOIN."""
+    from pyspark.sql import Window
+
+    from rdfproject_msc_spark.operators import asof
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts_ns"
+    )
+    # dedupe (user, ts) keeping max event_id so the as-of target is unique —
+    # mirrors the oracle's row_number dedupe; ties would otherwise make the
+    # matched row engine-dependent
+    w = Window.partitionBy("user_id", "ts_ns").orderBy(F.col("event_id").desc())
+    right = (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    out = asof.asof_join(
+        ev,
+        right,
+        on="user_id",
+        left_ts="ts_ns",
+        right_ts="ts_ns",
+        right_cols=["event_id", "ts_ns"],
+        prefix="prev_",
+        strict=True,
+        tiebreak="event_id",
+    )
+    # NOTE: the oracle-checked projection is the MATCHING only. A gap column
+    # cannot hash-match across engines: DuckDB's parquet reader rounds the
+    # nanos timestamps to nearest microsecond while Spark preserves exact
+    # ts_ns (verified: all 1000 matches agree, every gap differs in the
+    # sub-microsecond digits). Callers get exact gaps from ts_ns directly.
+    return out.select("event_id", "user_id", F.col("prev_event_id"))
+
+
+EVENTS_PREV_ASOF_SQL = """
+WITH r AS (
+    SELECT user_id, ts, event_id
+    FROM (SELECT user_id, ts, event_id,
+                 row_number() OVER (PARTITION BY user_id, ts
+                                    ORDER BY event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+)
+SELECT e.event_id, e.user_id,
+       r.event_id AS prev_event_id
+FROM events e ASOF LEFT JOIN r
+  ON e.user_id = r.user_id AND r.ts < e.ts
 """
 
 
@@ -962,8 +1071,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "tpch_q3": QuerySpec(tpch_q3, TPCH_Q3_SQL, headline=True),
     "tpch_q5": QuerySpec(tpch_q5, TPCH_Q5_SQL, headline=True),
     "top_orders_per_priority": QuerySpec(top_orders_per_priority, TOP_ORDERS_SQL),
+    "orders_rollup": QuerySpec(orders_rollup, ORDERS_ROLLUP_SQL),
+    "skew_salted_join": QuerySpec(skew_salted_join, SKEW_SALTED_JOIN_SQL),
     "events_hourly": QuerySpec(events_hourly, EVENTS_HOURLY_SQL),
     "events_hourly_stream": QuerySpec(events_hourly_stream, EVENTS_HOURLY_SQL),
+    "events_prev_asof": QuerySpec(events_prev_asof, EVENTS_PREV_ASOF_SQL),
     # training-data pipeline
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
     "dedup_exact_scale": QuerySpec(dedup_exact_scale, DEDUP_EXACT_SCALE_SQL),

@@ -1,0 +1,72 @@
+"""Salted-join equivalence on a deliberately skewed key, and plan-shape
+pins for the headline analytics queries (broadcasts chosen, filters pushed)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdfproject_msc_spark.operators.skew import salted_join
+
+
+def test_salted_join_equals_plain_join_under_skew(spark):
+    # 90% of the big side hits ONE key — the shape that melts a single
+    # reduce task in an unsalted hash join
+    big = spark.range(0, 10000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id") % 100)
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("dim")
+    )
+    plain = big.join(small, "k").groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("payload").alias("s"), F.max("dim").alias("d")
+    )
+    salted = salted_join(big, small, on="k", n_salts=8).groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("payload").alias("s"), F.max("dim").alias("d")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_left_outer(spark):
+    big = spark.createDataFrame([(1, "a"), (2, "b"), (99, "c")], "k long, v string")
+    small = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, d double")
+    out = salted_join(big, small, on="k", n_salts=4, how="left")
+    got = {r.v: r.d for r in out.collect()}
+    assert got == {"a": 10.0, "b": 20.0, "c": None}
+
+
+@pytest.mark.parametrize(
+    "name,expect",
+    [
+        ("tpch_q3", "BroadcastHashJoin"),  # filtered customer broadcast
+        ("tpch_q5", "BroadcastHashJoin"),  # supplier/nation/region broadcast
+    ],
+)
+def test_analytics_plans_broadcast(spark, sf_dir, name, expect):
+    from rdfproject_msc_spark.registry import REGISTRY
+
+    df = REGISTRY[name].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert expect in plan
+
+
+def test_tpch_scan_prunes_columns(spark, sf_dir):
+    """tpch_q1 must not read the 15 unused lineitem columns: ReadSchema in
+    the scan carries only the 7 referenced ones."""
+    from rdfproject_msc_spark.registry import REGISTRY
+
+    df = REGISTRY["tpch_q1"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("FileScan") :].split("\n")[0]
+    assert "l_comment" not in scan and "l_partkey" not in scan
+    assert "l_shipdate" in scan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    from rdfproject_msc_spark.registry import REGISTRY
+
+    df = REGISTRY["tpch_q3"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan

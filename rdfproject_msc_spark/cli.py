@@ -1,0 +1,127 @@
+"""Command-line interface — the reference's four ``main()`` drivers as four
+subcommands over one engine.
+
+    python -m rdfproject_msc_spark load   --triples T.txt --dict D.tsv \
+        --layout sign_split --cluster-by s --out /data/store
+    python -m rdfproject_msc_spark sql    --store /data/store \
+        --query "SELECT count(*) AS n FROM Positive"
+    python -m rdfproject_msc_spark sparql --store /data/store --dict D.tsv \
+        --query "SELECT ?x WHERE { ?x :byUser :customer_7 . }" --decode
+    python -m rdfproject_msc_spark run    --name tpch_q1 --sf-dir /root/testdata/sf0.001
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _spark(cpus: int | None):
+    from rdfproject_msc_spark.session import get_spark
+
+    return get_spark(app_name="rdfspark-cli", cpus=cpus)
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--cpus", type=int, default=None)
+    p.add_argument("--show", type=int, default=20, help="rows to print")
+    p.add_argument("--out", default=None, help="write result as CSV here")
+
+
+def _emit(df, args) -> None:
+    if args.out and getattr(args, "command", "") != "load":
+        from rdfproject_msc_spark.sources.triples import write_result_csv
+
+        write_result_csv(df, args.out)
+    df.show(args.show, truncate=False)
+
+
+def main(argv: list[str] | None = None) -> int:
+    top = argparse.ArgumentParser(prog="rdfspark")
+    sub = top.add_subparsers(dest="command", required=True)
+
+    p_load = sub.add_parser("load", help="ingest triples text + dictionary, persist layout")
+    p_load.add_argument("--triples", required=True)
+    p_load.add_argument("--dict", dest="dict_path", default=None)
+    p_load.add_argument("--fmt", choices=("text", "parquet"), default="text")
+    p_load.add_argument("--layout", choices=("single", "sign_split"), default="single")
+    p_load.add_argument("--cluster-by", choices=("s", "p"), default=None)
+    p_load.add_argument("--out", required=True)
+    p_load.add_argument("--cpus", type=int, default=None)
+
+    p_sql = sub.add_parser("sql", help="SQL over a persisted store")
+    p_sql.add_argument("--store", required=True)
+    p_sql.add_argument("--layout", choices=("single", "sign_split"), default="sign_split")
+    p_sql.add_argument("--query", required=True)
+    _add_common(p_sql)
+
+    p_sparql = sub.add_parser("sparql", help="SPARQL BGP over a persisted store")
+    p_sparql.add_argument("--store", required=True)
+    p_sparql.add_argument("--layout", choices=("single", "sign_split"), default="sign_split")
+    p_sparql.add_argument("--dict", dest="dict_path", default=None)
+    p_sparql.add_argument("--query", required=True)
+    p_sparql.add_argument("--decode", action="store_true")
+    _add_common(p_sparql)
+
+    p_run = sub.add_parser("run", help="run a registry query by name")
+    p_run.add_argument("--name", required=True)
+    p_run.add_argument("--sf-dir", required=True)
+    p_run.add_argument("--list", action="store_true")
+    _add_common(p_run)
+
+    args = top.parse_args(argv)
+
+    from rdfproject_msc_spark.engine import Engine
+
+    if args.command == "load":
+        spark = _spark(args.cpus)
+        eng = Engine(spark).load_triples(
+            args.triples,
+            args.dict_path,
+            fmt=args.fmt,
+            layout=args.layout,
+            cluster_by=args.cluster_by,
+        )
+        eng.save(args.out)
+        n = eng.store.df.count()
+        print(f"persisted {n} triples to {args.out} "
+              f"(layout={args.layout}, cluster_by={args.cluster_by})")
+        return 0
+
+    if args.command == "sql":
+        spark = _spark(args.cpus)
+        eng = Engine(spark).open(args.store, layout=args.layout)
+        eng.store.register(spark, "table")
+        _emit(eng.sql(args.query), args)
+        return 0
+
+    if args.command == "sparql":
+        spark = _spark(args.cpus)
+        eng = Engine(spark).open(args.store, layout=args.layout)
+        if args.dict_path:
+            from rdfproject_msc_spark.dictionary import Dictionary
+            from rdfproject_msc_spark.sources.triples import read_dictionary_tsv
+
+            eng.dictionary = Dictionary(read_dictionary_tsv(spark, args.dict_path))
+        _emit(eng.sparql(args.query, decode=args.decode), args)
+        return 0
+
+    if args.command == "run":
+        from rdfproject_msc_spark.registry import REGISTRY
+
+        if args.list or args.name == "list":
+            for name in REGISTRY:
+                print(name)
+            return 0
+        if args.name not in REGISTRY:
+            print(f"unknown query {args.name!r}; --list to enumerate", file=sys.stderr)
+            return 2
+        spark = _spark(args.cpus)
+        _emit(REGISTRY[args.name].fn(spark, args.sf_dir), args)
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -157,6 +157,48 @@ def rdf_path_2hop_store(spark, sf_dir):
     return Q.path_2hop(store, ORDER_1, P_PLACED_BY, P_IN_NATION, P_IN_REGION)
 
 
+def rdf_path_2hop_pstore(spark, sf_dir):
+    """The reference's PREDICATE-clustered layout
+    (PartitionQueryingPredicate.java:100 — few distinct predicates, the
+    deliberately skewed clustering key) over the persisted store: each leg's
+    p=const filter hits row-group min/max stats on the cluster key, so a
+    6-predicate corpus reads ~1/6 of the row groups per leg."""
+    store = _persisted_store(spark, sf_dir, layout="single", cluster_by="p")
+    return Q.path_2hop(store, ORDER_1, P_PLACED_BY, P_IN_NATION, P_IN_REGION)
+
+
+def sparql_2hop_store(spark, sf_dir):
+    """SPARQL planned directly against the persisted sign-split store: the
+    planner's sign routing (table_for_subject) compiles to Parquet partition
+    pruning — the reference's hand-written Positive/Negative SQL
+    (MyOpVisitorBase.java:82-86) as a pure layout property."""
+    store = _persisted_store(spark, sf_dir, layout="sign_split", cluster_by="s")
+    return sparql_to_df(store, SPARQL_2HOP, _dict(spark, sf_dir))
+
+
+def rdf_encode_terms(spark, sf_dir):
+    """Dictionary ENCODE path (term → id) as a distributed join — the
+    inverse of J5's decode, replacing the reference's driver-side reverse
+    HashMap (MyOpVisitorBase.java:56-66). Encodes the region terms back to
+    ids and returns (term, id)."""
+    d = _dict(spark, sf_dir)
+    terms = load_table(spark, sf_dir, "region").select(
+        F.concat(F.lit(":region_"), F.col("r_regionkey").cast("string")).alias(
+            "term"
+        )
+    )
+    encoded = d.encode(terms.withColumn("id", F.col("term")), columns=["id"])
+    return encoded.select("term", "id")
+
+
+RDF_ENCODE_TERMS_SQL = f"""WITH dict AS ({DICTIONARY_SQL})
+SELECT ':region_' || CAST(r_regionkey AS VARCHAR) AS term,
+       d.id AS id
+FROM region
+LEFT JOIN dict d ON d.term = ':region_' || CAST(r_regionkey AS VARCHAR)
+"""
+
+
 def rdf_split_join(spark, sf_dir):
     store = _store(spark, sf_dir, layout="sign_split")
     return Q.split_join(store, P_BY_USER, P_LINKED_EVENT, P_HAS_TYPE)
@@ -300,6 +342,24 @@ WHERE t0.s = {ORDER_1} AND t0.p = {P_PLACED_BY} AND t1.p = {P_IN_NATION}
 SPARQL_STAR = (
     "SELECT ?e ?t WHERE { ?e :byUser :customer_7 . ?e :hasType ?t . }"
 )
+
+SPARQL_TOPK = (
+    "SELECT DISTINCT ?c WHERE { ?e :byUser ?c . } ORDER BY DESC(?c) LIMIT 5"
+)
+
+
+def sparql_topk(spark, sf_dir):
+    """Solution modifiers (DISTINCT / ORDER BY / LIMIT — SPARQL 1.1 §15)
+    through the planner; ORDER BY+LIMIT compiles to TakeOrderedAndProject,
+    not a global sort."""
+    store = _store(spark, sf_dir)
+    return sparql_to_df(store, SPARQL_TOPK, _dict(spark, sf_dir))
+
+
+SPARQL_TOPK_SQL = f"""{TRIPLES_CTE}
+SELECT DISTINCT o AS c FROM triples WHERE p = {P_BY_USER}
+ORDER BY c DESC LIMIT 5
+"""
 
 
 def sparql_star(spark, sf_dir):
@@ -1058,6 +1118,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "rdf_path_2hop": QuerySpec(rdf_path_2hop, RDF_PATH_2HOP_SQL, headline=True),
     "rdf_path_2hop_all": QuerySpec(rdf_path_2hop_all, RDF_PATH_2HOP_ALL_SQL, headline=True),
     "rdf_path_2hop_store": QuerySpec(rdf_path_2hop_store, RDF_PATH_2HOP_SQL, headline=True),
+    "rdf_path_2hop_pstore": QuerySpec(rdf_path_2hop_pstore, RDF_PATH_2HOP_SQL),
+    "sparql_2hop_store": QuerySpec(sparql_2hop_store, SPARQL_2HOP_SQL),
+    "rdf_encode_terms": QuerySpec(rdf_encode_terms, RDF_ENCODE_TERMS_SQL),
     "rdf_split_join": QuerySpec(rdf_split_join, RDF_SPLIT_JOIN_SQL, headline=True),
     "rdf_split_join_bound": QuerySpec(rdf_split_join_bound, RDF_SPLIT_JOIN_BOUND_SQL),
     "rdf_split_join_count": QuerySpec(rdf_split_join_count, RDF_SPLIT_JOIN_COUNT_SQL),
@@ -1066,6 +1129,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "rdf_decode_2hop": QuerySpec(rdf_decode_2hop, RDF_DECODE_2HOP_SQL),
     "sparql_2hop": QuerySpec(sparql_2hop, SPARQL_2HOP_SQL, headline=True),
     "sparql_star": QuerySpec(sparql_star, SPARQL_STAR_SQL),
+    "sparql_topk": QuerySpec(sparql_topk, SPARQL_TOPK_SQL),
     # analytics surface
     "tpch_q1": QuerySpec(tpch_q1, TPCH_Q1_SQL, headline=True),
     "tpch_q3": QuerySpec(tpch_q3, TPCH_Q3_SQL, headline=True),

@@ -29,10 +29,16 @@ _UNSUPPORTED = re.compile(r"\b(OPTIONAL|FILTER|UNION|GRAPH|MINUS|SERVICE)\b", re
 _TOKEN = re.compile(r'"[^"]*"|<[^>]*>|\S+')
 _QUERY = re.compile(
     r"^\s*(?:PREFIX\s+\S+\s+<[^>]*>\s*)*"
-    r"SELECT\s+(?P<proj>\*|(?:[?$]\w+\s*)+)\s*"
-    r"WHERE\s*\{(?P<bgp>.*)\}\s*$",
+    r"SELECT\s+(?P<distinct>DISTINCT\s+)?(?P<proj>\*|(?:[?$]\w+\s*)+)\s*"
+    r"WHERE\s*\{(?P<bgp>.*)\}\s*(?P<mods>.*?)\s*$",
     re.I | re.S,
 )
+_ORDER = re.compile(
+    r"ORDER\s+BY\s+(?P<keys>(?:(?:ASC|DESC)\s*\(\s*[?$]\w+\s*\)|[?$]\w+)(?:\s+(?:(?:ASC|DESC)\s*\(\s*[?$]\w+\s*\)|[?$]\w+))*)",
+    re.I,
+)
+_ORDER_KEY = re.compile(r"(?:(?P<dir>ASC|DESC)\s*\(\s*)?[?$](?P<var>\w+)\s*\)?", re.I)
+_LIMIT = re.compile(r"LIMIT\s+(?P<n>\d+)", re.I)
 
 
 class SparqlSyntaxError(ValueError):
@@ -62,6 +68,10 @@ class TriplePattern:
 class BGPQuery:
     projection: tuple[str, ...] | None  # None = SELECT *
     patterns: tuple[TriplePattern, ...]
+    # solution modifiers (SPARQL 1.1 §15): DISTINCT / ORDER BY / LIMIT
+    distinct: bool = False
+    order_by: tuple[tuple[str, bool], ...] = ()  # (var, descending)
+    limit: int | None = None
 
 
 def _normalize_term(tok: str) -> tuple[str, object]:
@@ -137,4 +147,25 @@ def parse_sparql(query: str) -> BGPQuery:
         unknown = set(projection) - pattern_vars
         if unknown:
             raise SparqlSyntaxError(f"projected variables not in BGP: {sorted(unknown)}")
-    return BGPQuery(projection=projection, patterns=tuple(patterns))
+
+    # solution modifiers after the group pattern
+    mods = m.group("mods") or ""
+    order_by: list[tuple[str, bool]] = []
+    om = _ORDER.search(mods)
+    if om:
+        for km in _ORDER_KEY.finditer(om.group("keys")):
+            var = km.group("var")
+            if var not in pattern_vars:
+                raise SparqlSyntaxError(f"ORDER BY variable not in BGP: ?{var}")
+            order_by.append((var, (km.group("dir") or "ASC").upper() == "DESC"))
+    lm = _LIMIT.search(mods)
+    leftover = _LIMIT.sub("", _ORDER.sub("", mods)).strip()
+    if leftover:
+        raise SparqlSyntaxError(f"unsupported solution modifiers: {leftover!r}")
+    return BGPQuery(
+        projection=projection,
+        patterns=tuple(patterns),
+        distinct=bool(m.group("distinct")),
+        order_by=tuple(order_by),
+        limit=int(lm.group("n")) if lm else None,
+    )

@@ -141,7 +141,19 @@ def plan_bgp(
         joined = joined.drop(*[renames[var_cols[v]] for v in shared])
 
     proj = list(bgp.projection) if bgp.projection is not None else order
-    return joined.select(*[F.col(bound_cols[v]).alias(v) for v in proj])
+    out = joined.select(*[F.col(bound_cols[v]).alias(v) for v in proj])
+
+    # solution modifiers — plain DataFrame ops; ORDER BY + LIMIT compiles to
+    # TakeOrderedAndProject (no global sort materialization)
+    if bgp.distinct:
+        out = out.distinct()
+    if bgp.order_by:
+        out = out.orderBy(
+            *[F.col(v).desc() if desc else F.col(v).asc() for v, desc in bgp.order_by]
+        )
+    if bgp.limit is not None:
+        out = out.limit(bgp.limit)
+    return out
 
 
 def sparql_to_df(

@@ -92,6 +92,34 @@ def test_multi_pattern_join(tiny_store, tiny_dict):
     assert sorted((r.a, r.c) for r in df.collect()) == [(1, 3), (2, 3)]
 
 
+def test_parse_solution_modifiers():
+    bgp = parse_sparql(
+        "SELECT DISTINCT ?a ?b WHERE { ?a :p ?b . } ORDER BY DESC(?b) ?a LIMIT 7"
+    )
+    assert bgp.distinct is True
+    assert bgp.order_by == (("b", True), ("a", False))
+    assert bgp.limit == 7
+
+
+def test_parse_rejects_unknown_modifier():
+    with pytest.raises(SparqlSyntaxError, match="unsupported solution"):
+        parse_sparql("SELECT ?a WHERE { ?a :p ?b . } OFFSET 5")
+
+
+def test_parse_rejects_order_by_unknown_var():
+    with pytest.raises(SparqlSyntaxError, match="ORDER BY"):
+        parse_sparql("SELECT ?a WHERE { ?a :p ?b . } ORDER BY ?zzz")
+
+
+def test_modifiers_execute(tiny_store, tiny_dict):
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT DISTINCT ?o WHERE { ?x :p10 ?o . } ORDER BY DESC(?o) LIMIT 2",
+        tiny_dict,
+    )
+    assert [r.o for r in df.collect()] == [2, 1]
+
+
 def test_decode_roundtrip(tiny_store, tiny_dict):
     df = sparql_to_df(
         tiny_store, "SELECT ?x WHERE { ?x :p20 ?y . }", tiny_dict, decode=True

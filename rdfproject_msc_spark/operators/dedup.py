@@ -252,6 +252,7 @@ def simhash_signatures(
     content_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    min_partitions: int | None = None,
 ) -> DataFrame:
     """64-bit SimHash per document over word n-gram shingles, packed as two
     32-bit halves (lo = bits 0-31, hi = bits 32-63; avoids signed-overflow
@@ -262,7 +263,12 @@ def simhash_signatures(
     exploded shingle relation — plain hash aggregation, map-side partial
     combine, no UDF. Output: (id, lo: long, hi: long).
     """
-    ex = ngram_shingles(df, content_col, id_col, n).withColumnRenamed(
+    src = df.select(F.col(id_col), F.col(content_col))
+    if min_partitions is not None:
+        # spread the shingle+md5 CPU work when the source is a single small
+        # file (cf. minhash_lsh_pairs — same local-parallelism concern)
+        src = src.repartition(min_partitions, id_col)
+    ex = ngram_shingles(src, content_col, id_col, n).withColumnRenamed(
         id_col, "id"
     )
     nibs = _md5_nibbles(F.col("shingle"))
@@ -295,6 +301,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     max_hamming: int = 6,
+    min_partitions: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance ≤ max_hamming.
 
@@ -306,7 +313,7 @@ def simhash_pairs(
     bit_count(xor) on candidates only.
     """
     assert max_hamming <= 7, "8x8 banding guarantees recall only to hamming 7"
-    sigs = simhash_signatures(df, content_col, id_col, n)
+    sigs = simhash_signatures(df, content_col, id_col, n, min_partitions)
     bands = []
     for b in range(8):
         half = F.col("lo") if b < 4 else F.col("hi")

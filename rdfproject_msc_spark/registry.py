@@ -759,7 +759,10 @@ def dedup_simhash(spark, sf_dir):
     so the oracle is literal brute-force all-pairs hamming — no probability
     anywhere. md5 nibble arithmetic is identical in Spark and DuckDB."""
     return dedup.simhash_pairs(
-        load_table(spark, sf_dir, "documents"), n=3, max_hamming=6
+        load_table(spark, sf_dir, "documents"),
+        n=3,
+        max_hamming=6,
+        min_partitions=spark.sparkContext.defaultParallelism,
     )
 
 
@@ -1135,26 +1138,26 @@ REGISTRY: dict[str, QuerySpec] = {
     "tpch_q3": QuerySpec(tpch_q3, TPCH_Q3_SQL, headline=True),
     "tpch_q5": QuerySpec(tpch_q5, TPCH_Q5_SQL, headline=True),
     "top_orders_per_priority": QuerySpec(top_orders_per_priority, TOP_ORDERS_SQL),
-    "orders_rollup": QuerySpec(orders_rollup, ORDERS_ROLLUP_SQL),
-    "skew_salted_join": QuerySpec(skew_salted_join, SKEW_SALTED_JOIN_SQL),
+    "orders_rollup": QuerySpec(orders_rollup, ORDERS_ROLLUP_SQL, headline=True),
+    "skew_salted_join": QuerySpec(skew_salted_join, SKEW_SALTED_JOIN_SQL, headline=True),
     "events_hourly": QuerySpec(events_hourly, EVENTS_HOURLY_SQL),
     "events_hourly_stream": QuerySpec(events_hourly_stream, EVENTS_HOURLY_SQL),
-    "events_prev_asof": QuerySpec(events_prev_asof, EVENTS_PREV_ASOF_SQL),
+    "events_prev_asof": QuerySpec(events_prev_asof, EVENTS_PREV_ASOF_SQL, headline=True),
     # training-data pipeline
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
     "dedup_exact_scale": QuerySpec(dedup_exact_scale, DEDUP_EXACT_SCALE_SQL),
     "dedup_jaccard": QuerySpec(dedup_jaccard, DEDUP_JACCARD_SQL),
     "dedup_minhash": QuerySpec(dedup_minhash, DEDUP_MINHASH_SQL, headline=True),
-    "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL),
+    "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL, headline=True),
     "cosine_neardup": QuerySpec(cosine_neardup, COSINE_NEARDUP_SQL),
-    "text_tokens": QuerySpec(text_tokens, TEXT_TOKENS_SQL),
+    "text_tokens": QuerySpec(text_tokens, TEXT_TOKENS_SQL, headline=True),
     "text_stats": QuerySpec(text_stats, TEXT_STATS_SQL),
     "text_langid": QuerySpec(text_langid, TEXT_LANGID_SQL),
     "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FINGERPRINT_SQL),
     "knn_cosine": QuerySpec(knn_cosine, KNN_COSINE_SQL, headline=True),
     "ann_lsh_topk": QuerySpec(ann_lsh_topk, ANN_LSH_TOPK_SQL, headline=True),
     # multimodal columns
-    "multimodal_stats": QuerySpec(multimodal_stats, MULTIMODAL_STATS_SQL),
+    "multimodal_stats": QuerySpec(multimodal_stats, MULTIMODAL_STATS_SQL, headline=True),
     "multimodal_filter": QuerySpec(multimodal_filter, MULTIMODAL_FILTER_SQL),
     "multimodal_decode": QuerySpec(multimodal_decode, None),
 }

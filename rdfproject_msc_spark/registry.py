@@ -260,6 +260,21 @@ WHERE p = {P_BY_USER}
 """
 
 
+def rdf_sign_union_po(spark, sf_dir):
+    """U1 with BOTH predicate and object bound — the translator's 4-way case
+    analysis includes the P+O-bound branch (MyOpVisitorBase.java:106-108);
+    round 1 only exercised the P-bound branch."""
+    store = _store(spark, sf_dir, layout="sign_split")
+    return Q.sign_union(store, p=P_BY_USER, o=CUSTOMER_7)
+
+
+RDF_SIGN_UNION_PO_SQL = f"""{SPLIT_CTE}
+SELECT s, p, o
+FROM (SELECT * FROM Positive UNION ALL SELECT * FROM Negative)
+WHERE p = {P_BY_USER} AND o = {CUSTOMER_7}
+"""
+
+
 def rdf_decode_2hop(spark, sf_dir):
     store = _store(spark, sf_dir)
     d = _dict(spark, sf_dir)
@@ -534,6 +549,56 @@ SELECT o_orderpriority, count(*) AS n_items,
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """
+
+
+def bucketed_join(spark, sf_dir):
+    """Bucketed co-located join — the zero-shuffle join technique for
+    repeated big⋈big joins at scale: both tables are written ONCE bucketed
+    (+ sorted) on the join key; every subsequent join on that key reads
+    matching buckets directly, no Exchange on either side (pinned by
+    tests/test_skew_and_plans.py). At 100 TB this converts the recurring
+    fact⋈fact shuffle into a one-time layout cost, exactly like the
+    TripleStore's persisted clustering does for scans."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), "rdfproject_msc_bucketed", tag)
+    specs = {
+        f"b_orders_{tag}": (
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderpriority"
+            ),
+            "o_orderkey",
+        ),
+        f"b_lineitem_{tag}": (
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_quantity"
+            ),
+            "l_orderkey",
+        ),
+    }
+    for name, (df, key) in specs.items():
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", os.path.join(base, name))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    o = spark.table(f"b_orders_{tag}")
+    li = spark.table(f"b_lineitem_{tag}")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            _money(_dec("l_quantity"), "total_qty"),
+        )
+    )
+
+
+BUCKETED_JOIN_SQL = SKEW_SALTED_JOIN_SQL  # same logical query, different layout
 
 
 def top_orders_per_priority(spark, sf_dir):
@@ -1129,6 +1194,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "rdf_split_join_count": QuerySpec(rdf_split_join_count, RDF_SPLIT_JOIN_COUNT_SQL),
     "rdf_text_lifecycle": QuerySpec(rdf_text_lifecycle, RDF_DECODE_2HOP_SQL),
     "rdf_sign_union": QuerySpec(rdf_sign_union, RDF_SIGN_UNION_SQL),
+    "rdf_sign_union_po": QuerySpec(rdf_sign_union_po, RDF_SIGN_UNION_PO_SQL),
     "rdf_decode_2hop": QuerySpec(rdf_decode_2hop, RDF_DECODE_2HOP_SQL),
     "sparql_2hop": QuerySpec(sparql_2hop, SPARQL_2HOP_SQL, headline=True),
     "sparql_star": QuerySpec(sparql_star, SPARQL_STAR_SQL),
@@ -1140,6 +1206,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "top_orders_per_priority": QuerySpec(top_orders_per_priority, TOP_ORDERS_SQL),
     "orders_rollup": QuerySpec(orders_rollup, ORDERS_ROLLUP_SQL, headline=True),
     "skew_salted_join": QuerySpec(skew_salted_join, SKEW_SALTED_JOIN_SQL, headline=True),
+    "bucketed_join": QuerySpec(bucketed_join, BUCKETED_JOIN_SQL, headline=True),
     "events_hourly": QuerySpec(events_hourly, EVENTS_HOURLY_SQL),
     "events_hourly_stream": QuerySpec(events_hourly_stream, EVENTS_HOURLY_SQL),
     "events_prev_asof": QuerySpec(events_prev_asof, EVENTS_PREV_ASOF_SQL, headline=True),

@@ -64,6 +64,27 @@ def test_tpch_scan_prunes_columns(spark, sf_dir):
     assert "l_shipdate" in scan
 
 
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Both sides bucketed+sorted on the join key ⇒ the join itself needs no
+    Exchange — only the final aggregation shuffles. (Auto-broadcast is
+    disabled for the assertion: at test scale AQE would broadcast the tiny
+    side and never consult the bucketing; at real scale both sides are too
+    big to broadcast and THIS plan is what runs.)"""
+    from rdfproject_msc_spark.registry import bucketed_join
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = bucketed_join(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    # exactly ONE hash exchange in the whole plan: the aggregation's.
+    # The join reads co-located buckets directly from both scans.
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
     from rdfproject_msc_spark.registry import REGISTRY
 

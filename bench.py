@@ -30,22 +30,26 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         spec = REGISTRY[name]
-        # Build the DataFrame once: we measure ENGINE execution (scan,
-        # shuffle, join, agg — what dominates at scale), not Python-side
-        # plan reconstruction + re-analysis + codegen compile, which is a
-        # per-query constant. No caching: every count() re-executes the
-        # full physical plan.
-        df = spec.fn(spark, sf_dir)
-        df.count()  # warm-up (analysis + codegen compile + page cache)
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            df.count()  # count() forces full execution
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
-        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+        try:
+            # Build the DataFrame once: we measure ENGINE execution (scan,
+            # shuffle, join, agg — what dominates at scale), not Python-side
+            # plan reconstruction + re-analysis + codegen compile, which is
+            # a per-query constant. No caching: every count() re-executes
+            # the full physical plan.
+            df = spec.fn(spark, sf_dir)
+            df.count()  # warm-up (analysis + codegen compile + page cache)
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                df.count()  # count() forces full execution
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 4)
+            print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+        except Exception as e:  # one broken query must not kill the run
+            print(f"  {name}: ERROR {type(e).__name__}: {e}", file=sys.stderr)
+            timings[name] = -1.0
 
-    total = round(sum(timings.values()), 4)
+    total = round(sum(v for v in timings.values() if v >= 0), 4)
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
     print(
         json.dumps(

@@ -1,7 +1,13 @@
 """Large-scale training-data-pipeline operators (north-star extensions).
 
-Beyond reference parity: deduplication, similarity search, text analysis,
-multimodal-column plumbing — each designed for the 100 TB path (joins not
-driver maps, built-in functions not row UDFs, Arrow-batched Pandas UDFs where
-Python is unavoidable).
+Beyond reference parity, each designed for the 100 TB path (joins not driver
+maps, built-in functions not row UDFs, Arrow-batched Pandas UDFs where Python
+is unavoidable):
+
+- ``dedup``      exact / MinHash-LSH / SimHash / n-gram Jaccard near-dup
+- ``similarity`` cosine top-k, hyperplane-LSH ANN, cosine near-dup pairs
+- ``textstats``  quality scores, language ID, fingerprints, token counts
+- ``multimodal`` binary payload + typed metadata; mapInPandas decode stages
+- ``asof``       temporal as-of join (one-shuffle union+window)
+- ``skew``       salted joins for hot keys
 """

@@ -6,6 +6,8 @@ from rdfproject_msc_spark.streaming.events import (  # noqa: F401
     hourly_rollup,
     read_events_stream,
     run_to_memory_table,
+    sessionize,
     stage_events_dir,
+    triples_from_event_stream,
     user_running_totals,
 )

@@ -104,6 +104,48 @@ def run_to_memory_table(
 
 
 # ---------------------------------------------------------------------------
+# streaming triple ingestion: events stream → dictionary-encoded triples
+
+def triples_from_event_stream(events: DataFrame) -> DataFrame:
+    """Derive the event-sourced RDF triples INCREMENTALLY from the event
+    stream — the streaming twin of sources/derived.py's batch derivation
+    (same id encoding: event → -(event_id*10+7), :byUser=48, :hasType=68).
+
+    Stateless row-wise transform: it runs identically under readStream and
+    read, so a parquet-appending writeStream keeps a triple store current as
+    events land — streaming ingestion into the same layout batch queries
+    read (append mode, no aggregation state)."""
+    etype_code = F.element_at(
+        F.create_map(
+            *[
+                F.lit(x)
+                for kv in (
+                    ("click", 1),
+                    ("error", 2),
+                    ("purchase", 3),
+                    ("signup", 4),
+                    ("view", 5),
+                )
+                for x in kv
+            ]
+        ),
+        F.col("event_type"),
+    )
+    ev_subj = -(F.col("event_id") * 10 + 7)
+    by_user = events.select(
+        ev_subj.cast("long").alias("s"),
+        F.lit(48).cast("long").alias("p"),
+        (F.col("user_id") * 10 + 1).cast("long").alias("o"),
+    )
+    has_type = events.select(
+        ev_subj.cast("long").alias("s"),
+        F.lit(68).cast("long").alias("p"),
+        (etype_code * 10 + 9).cast("long").alias("o"),
+    )
+    return by_user.unionByName(has_type)
+
+
+# ---------------------------------------------------------------------------
 # custom stateful operator: per-user running totals (applyInPandasWithState)
 
 USER_STATE_SCHEMA = "n_events long, total_value double"
@@ -123,6 +165,68 @@ def _update_user_totals(key, pdfs, state):
     state.update((n, round(total, 2)))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+    )
+
+
+SESSION_STATE_SCHEMA = (
+    "session_start long, last_ts long, n_events long, next_session_id long"
+)
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_id long, session_start long, session_end long, "
+    "n_events long"
+)
+
+
+def _update_sessions(key, pdfs, state, gap_us: int):
+    """Gap-based sessionization for one user: events more than ``gap_us``
+    apart start a new session. Emits every CLOSED session; the open session
+    stays in state across micro-batches."""
+    import pandas as pd  # executor-side import
+
+    if state.exists:
+        start, last, n, next_id = state.get
+    else:
+        start, last, n, next_id = None, None, 0, 0
+
+    out_rows = []
+    ts_all = []
+    for pdf in pdfs:
+        ts_all.extend(int(t) for t in pdf["ts_us"])
+    for t in sorted(ts_all):
+        if last is None:
+            start, last, n = t, t, 1
+        elif t - last > gap_us:
+            out_rows.append((key[0], next_id, start, last, n))
+            next_id += 1
+            start, last, n = t, t, 1
+        else:
+            last = t
+            n += 1
+    state.update((start, last, n, next_id))
+    cols = ["user_id", "session_id", "session_start", "session_end", "n_events"]
+    yield pd.DataFrame(out_rows, columns=cols)
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user gap sessionization as explicit streaming state
+    (applyInPandasWithState): the canonical custom stateful operator. Emits
+    closed sessions; the in-flight session survives micro-batch boundaries
+    in the state store. (Batch twin for tests: window lag + cumulative sum.)
+    """
+    from functools import partial
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    src = events.select(
+        "user_id", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    return src.groupBy("user_id").applyInPandasWithState(
+        partial(_update_sessions, gap_us=gap_us),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

@@ -77,6 +77,83 @@ def test_user_running_totals_final_state_equals_batch(
         assert abs(got[uid][1] - want[uid][1]) < 0.05, uid
 
 
+def test_streaming_triple_ingestion_matches_batch(
+    spark, sf_dir, events_dir, tmp_path_factory
+):
+    """The stream-derived triples equal the batch derivation's event-sourced
+    subset — streaming ingestion lands the SAME rows a batch rebuild would."""
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    stream = S.read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    got = S.run_to_memory_table(
+        S.triples_from_event_stream(stream),
+        spark,
+        "triples_stream_t",
+        ckpt,
+        output_mode="append",
+    )
+    from rdfproject_msc_spark.sources.derived import triples_df
+
+    want = triples_df(spark, sf_dir).filter(F.col("p").isin(48, 68))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_sessionize_stream_matches_batch_twin(
+    spark, sf_dir, events_dir, tmp_path_factory
+):
+    """Closed sessions from the stateful operator equal the batch gap
+    sessionization (single availableNow trigger: cross-batch event-time
+    disorder is a watermark problem, out of scope for this operator's test).
+    """
+    from pyspark.sql import Window
+
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    stream = S.read_events_stream(spark, events_dir)  # one trigger, all files
+    out = S.run_to_memory_table(
+        S.sessionize(stream, gap_minutes=30),
+        spark,
+        "sessions_t",
+        ckpt,
+        output_mode="append",
+    )
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in out.collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t")
+    gap = 30 * 60 * 1_000_000
+    sess = (
+        ev.withColumn("prev", F.lag("t").over(w))
+        .withColumn(
+            "new_sess",
+            (F.col("prev").isNull() | ((F.col("t") - F.col("prev")) > gap)).cast(
+                "long"
+            ),
+        )
+        .withColumn("sid", F.sum("new_sess").over(w))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("t").alias("session_start"),
+            F.max("t").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    # the stream emits CLOSED sessions only: drop each user's last session
+    w2 = Window.partitionBy("user_id")
+    closed = sess.withColumn("max_sid", F.max("sid").over(w2)).filter(
+        F.col("sid") < F.col("max_sid")
+    )
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in closed.collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
 def test_watermark_bounds_state(spark, events_dir, tmp_path_factory):
     """The rollup plan must carry the watermark node (state-bounding at
     scale); presence is checked in the analyzed plan."""

@@ -943,6 +943,68 @@ FROM documents
 """
 
 
+def corpus_curate(spark, sf_dir):
+    """The full training-data curation pipeline as ONE plan: exact dedup →
+    MinHash-LSH near-dup removal → quality filter → token budget. This is
+    the composed, nightly-run shape; every stage is also individually
+    oracle-checked by its own entry."""
+    from rdfproject_msc_spark.operators import curate
+
+    return curate.curate_stats(
+        load_table(spark, sf_dir, "documents"),
+        near_dup_threshold=0.5,
+        min_quality=0.3,
+        min_partitions=spark.sparkContext.defaultParallelism,
+    )
+
+
+CORPUS_CURATE_SQL = rf"""
+WITH uniq AS (
+    SELECT doc_id, text FROM documents
+    QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+),
+toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM uniq),
+sh AS (
+    SELECT DISTINCT doc_id AS id, array_to_string(t[i:i+2], ' ') AS shingle
+    FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+    WHERE array_to_string(t[i:i+2], ' ') <> ''
+),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+    SELECT a.id AS ia, b.id AS ib, count(*) AS n
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+    GROUP BY 1, 2
+),
+drops AS (
+    SELECT DISTINCT ib AS doc_id
+    FROM inter JOIN sizes sa ON sa.id = ia JOIN sizes sb ON sb.id = ib
+    WHERE round(n / (sa.sz + sb.sz - n), 6) >= 0.5
+),
+kept AS (
+    SELECT u.doc_id, u.text FROM uniq u
+    LEFT JOIN drops d USING (doc_id) WHERE d.doc_id IS NULL
+),
+q AS (
+    SELECT doc_id, text,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS nt,
+           CAST(length(text) AS BIGINT) AS nc,
+           CAST(length(text) AS BIGINT)
+             - CAST(length(regexp_replace(text, '[.,!?;:''"()\[\]{{}}-]', '', 'g')) AS BIGINT) AS punct,
+           len(list_filter(string_split_regex(trim(text), '\s+'),
+                           x -> x IN ('the', 'a', 'of', 'to', 'and', 'in', 'is'))) AS sw
+    FROM kept
+)
+SELECT count(*) AS n_docs,
+       sum(CAST(length(text) AS BIGINT)) AS total_chars,
+       sum(CAST(len(regexp_extract_all(text, '{textstats.BPE_ISH_PATTERN.replace("'", "''")}')) AS BIGINT)) AS total_bpe_tokens
+FROM q
+WHERE round(least(nt / 50.0, 1.0) * 0.5
+            + least(sw / greatest(nt, 1) * 5.0, 1.0) * 0.3
+            + (1 - least(punct / greatest(nc, 1) * 10.0, 1.0)) * 0.2, 6) >= 0.3
+"""
+
+
 def text_stats(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return textstats.with_text_stats(docs).select(
@@ -1218,6 +1280,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL, headline=True),
     "cosine_neardup": QuerySpec(cosine_neardup, COSINE_NEARDUP_SQL),
     "text_tokens": QuerySpec(text_tokens, TEXT_TOKENS_SQL, headline=True),
+    "corpus_curate": QuerySpec(corpus_curate, CORPUS_CURATE_SQL, headline=True),
     "text_stats": QuerySpec(text_stats, TEXT_STATS_SQL),
     "text_langid": QuerySpec(text_langid, TEXT_LANGID_SQL),
     "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FINGERPRINT_SQL),

@@ -1005,6 +1005,22 @@ WHERE round(least(nt / 50.0, 1.0) * 0.5
 """
 
 
+def dedup_components(spark, sf_dir):
+    """Connected components over the MinHash near-dup graph: transitive
+    near-dup clusters with their canonical (min-id) representative.
+    Iterative label propagation — genuinely non-SQL-expressible, so this
+    entry is rows-only for the driver; tests pin it against a driver-side
+    union-find (tests/test_graph.py)."""
+    from rdfproject_msc_spark.operators import graph
+
+    pairs = dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.5,
+        min_partitions=spark.sparkContext.defaultParallelism,
+    )
+    return graph.canonical_docs(pairs).select("comp", "n_members")
+
+
 def text_stats(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return textstats.with_text_stats(docs).select(
@@ -1278,6 +1294,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_jaccard": QuerySpec(dedup_jaccard, DEDUP_JACCARD_SQL),
     "dedup_minhash": QuerySpec(dedup_minhash, DEDUP_MINHASH_SQL, headline=True),
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL, headline=True),
+    "dedup_components": QuerySpec(dedup_components, None),
     "cosine_neardup": QuerySpec(cosine_neardup, COSINE_NEARDUP_SQL),
     "text_tokens": QuerySpec(text_tokens, TEXT_TOKENS_SQL, headline=True),
     "corpus_curate": QuerySpec(corpus_curate, CORPUS_CURATE_SQL, headline=True),

@@ -1,0 +1,86 @@
+"""Connected components vs a driver-side union-find oracle."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from rdfproject_msc_spark.operators.graph import connected_components
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    # canonical component = min node id in the component
+    return {n: find(n) for n in parent}
+
+
+def _check(spark, edges):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: r.comp for r in connected_components(df).collect()}
+    want_raw = _union_find(edges)
+    # union-find roots are already minimal (we always parent the max to the
+    # min), but path compression can lag: resolve to the true min per root
+    comp_min = {}
+    for n, r in want_raw.items():
+        comp_min[r] = min(comp_min.get(r, n), n)
+    want = {n: comp_min[r] for n, r in want_raw.items()}
+    assert got == want
+
+
+def test_two_cliques_and_a_chain(spark):
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)]
+    _check(spark, edges)
+
+
+def test_transitive_merge_through_bridge(spark):
+    edges = [(1, 2), (3, 4), (2, 3)]  # bridge joins both pairs
+    _check(spark, edges)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15))
+        .map(lambda p: (min(p), max(p)))
+        .filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_components_match_union_find(spark, edges):
+    _check(spark, edges)
+
+
+def test_registry_entry_components_cover_pairs(spark, sf_dir):
+    from rdfproject_msc_spark.operators import dedup
+    from rdfproject_msc_spark.registry import dedup_components
+    from rdfproject_msc_spark.sources.tables import load_table
+
+    comps = dedup_components(spark, sf_dir).collect()
+    pairs = dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    ).collect()
+    nodes = {r.id_a for r in pairs} | {r.id_b for r in pairs}
+    assert sum(r.n_members for r in comps) == len(nodes)
+    # every component's canonical id is one of its documents
+    assert all(r.comp in nodes for r in comps)

@@ -648,6 +648,96 @@ GROUP BY 1, 2
 """
 
 
+def orders_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont``, verified identical). At scale the approximate
+    sketch (approx_percentile / t-digest) replaces this; the exact form is
+    the correctness baseline."""
+    orders = load_table(spark, sf_dir, "orders")
+    pct = F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(pct[0], 4).alias("p50"),
+        F.round(pct[1], 4).alias("p90"),
+        F.round(pct[2], 4).alias("p99"),
+    )
+
+
+ORDERS_PERCENTILES_SQL = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def customers_setops(spark, sf_dir):
+    """INTERSECT / EXCEPT surface (absent from the reference — SURVEY §2.5;
+    Catalyst-native): customers that placed an order but never produced an
+    event, via except on key sets."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    with_orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k")
+    )
+    with_events = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k")
+    )
+    return cust.intersect(with_orders).exceptAll(with_events.distinct())
+
+
+CUSTOMERS_SETOPS_SQL = """
+SELECT c_custkey AS k FROM customer
+INTERSECT
+SELECT o_custkey FROM orders
+EXCEPT
+SELECT DISTINCT user_id FROM events
+"""
+
+
+def parts_semi_anti(spark, sf_dir):
+    """LEFT SEMI + LEFT ANTI joins (absent from the reference — SURVEY
+    §2.3): per-brand counts of parts that DO appear in lineitem and parts
+    that never ship."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    shipped = part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+    never = part.join(li, part.p_partkey == li.l_partkey, "left_anti")
+    return (
+        shipped.groupBy("p_brand").agg(F.count("*").alias("n_shipped"))
+        .join(
+            never.groupBy("p_brand").agg(F.count("*").alias("n_never")),
+            "p_brand",
+            "full_outer",
+        )
+        .select(
+            "p_brand",
+            F.coalesce("n_shipped", F.lit(0)).alias("n_shipped"),
+            F.coalesce("n_never", F.lit(0)).alias("n_never"),
+        )
+    )
+
+
+PARTS_SEMI_ANTI_SQL = """
+WITH shipped AS (
+    SELECT p_brand, count(*) AS n_shipped FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+    GROUP BY p_brand
+),
+never AS (
+    SELECT p_brand, count(*) AS n_never FROM part
+    WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+    GROUP BY p_brand
+)
+SELECT coalesce(s.p_brand, n.p_brand) AS p_brand,
+       coalesce(n_shipped, 0) AS n_shipped,
+       coalesce(n_never, 0) AS n_never
+FROM shipped s FULL OUTER JOIN never n ON s.p_brand = n.p_brand
+"""
+
+
 def events_prev_asof(spark, sf_dir):
     """Self as-of join: each event paired with the PREVIOUS event of the same
     user (strict backward). Timestamps compared as exact nanosecond longs
@@ -1283,6 +1373,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "tpch_q5": QuerySpec(tpch_q5, TPCH_Q5_SQL, headline=True),
     "top_orders_per_priority": QuerySpec(top_orders_per_priority, TOP_ORDERS_SQL),
     "orders_rollup": QuerySpec(orders_rollup, ORDERS_ROLLUP_SQL, headline=True),
+    "orders_percentiles": QuerySpec(orders_percentiles, ORDERS_PERCENTILES_SQL),
+    "customers_setops": QuerySpec(customers_setops, CUSTOMERS_SETOPS_SQL),
+    "parts_semi_anti": QuerySpec(parts_semi_anti, PARTS_SEMI_ANTI_SQL),
     "skew_salted_join": QuerySpec(skew_salted_join, SKEW_SALTED_JOIN_SQL, headline=True),
     "bucketed_join": QuerySpec(bucketed_join, BUCKETED_JOIN_SQL, headline=True),
     "events_hourly": QuerySpec(events_hourly, EVENTS_HOURLY_SQL),

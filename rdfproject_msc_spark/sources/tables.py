@@ -21,6 +21,15 @@ TABLE_NAMES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The engine assumes AQE (runtime partition coalescing, skew-join
+    # splitting, runtime broadcast decisions); externally-built sessions may
+    # not have it on. All three confs are runtime-settable and behavior-
+    # preserving — set them here so every query entry point is tuned
+    # regardless of who built the session (same rationale as the nanos
+    # conf below).
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     if name == "events":
         # events.parquet carries TIMESTAMP(NANOS), which Spark rejects unless
         # nanos are read back as long. The conf is runtime-settable, so set it

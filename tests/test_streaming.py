@@ -154,6 +154,38 @@ def test_sessionize_stream_matches_batch_twin(
     assert len(got) > 0
 
 
+def test_stream_ingest_into_queryable_store(
+    spark, sf_dir, events_dir, tmp_path_factory
+):
+    """Close the loop: writeStream appends stream-derived triples as parquet;
+    a TripleStore opens that directory and answers a batch SPARQL-shaped
+    query — streaming ingestion feeding the exact layout batch queries read.
+    """
+    from rdfproject_msc_spark import queries as Q
+    from rdfproject_msc_spark.store import TripleStore
+
+    out = str(tmp_path_factory.mktemp("ingest") / "triples")
+    ckpt = str(tmp_path_factory.mktemp("ingest") / "ckpt")
+    stream = S.read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    q = (
+        S.triples_from_event_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    store = TripleStore(spark.read.parquet(out), layout="sign_split")
+    got = Q.sign_union(store, p=48)  # all :byUser triples
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert got.count() == n_events
+    # negative side == all event subjects; positive side empty for p=48
+    assert store.negative.filter(F.col("p") == 48).count() == n_events
+
+
 def test_watermark_bounds_state(spark, events_dir, tmp_path_factory):
     """The rollup plan must carry the watermark node (state-bounding at
     scale); presence is checked in the analyzed plan."""

@@ -28,6 +28,50 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    max_delta: int,
+    prefix: str = "near_",
+) -> DataFrame:
+    """Range join: every (left, right) pair with the same key whose
+    timestamps are within ``max_delta`` of each other (|l - r| ≤ max_delta,
+    timestamps as integers — e.g. epoch micros/nanos).
+
+    A naive range condition compiles to a nested-loop / per-key cartesian.
+    The scalable re-expression buckets time into ``max_delta``-sized cells:
+    a qualifying pair's cells differ by at most 1, so joining on
+    (key, cell) ∪ (key, cell±1) — built by exploding each LEFT row into its
+    three candidate cells — turns the theta join into ONE equi-shuffle,
+    followed by the exact |Δ| ≤ max_delta refinement. Cost: 3× the left
+    side's shuffle rows (cheap: ids + two longs), never |L|·|R| per key.
+    """
+    cell = (F.col(right_ts) / max_delta).cast("long")
+    r = right.select(
+        F.col(on).alias("__k"),
+        cell.alias("__cell"),
+        F.struct(*[F.col(c) for c in right.columns]).alias("__r"),
+    )
+    lcell = (F.col(left_ts) / max_delta).cast("long")
+    l = left.select(
+        F.col(on).alias("__k"),
+        F.explode(
+            F.array(lcell - 1, lcell, lcell + 1)
+        ).alias("__cell"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+    )
+    joined = l.join(r, ["__k", "__cell"]).filter(
+        F.abs(F.col(f"__l.{left_ts}") - F.col(f"__r.{right_ts}")) <= max_delta
+    )
+    return joined.select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__r.{c}").alias(f"{prefix}{c}") for c in right.columns],
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

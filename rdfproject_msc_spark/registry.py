@@ -794,6 +794,37 @@ FROM events e ASOF LEFT JOIN r
 """
 
 
+def events_near_pairs(spark, sf_dir):
+    """Range join: pairs of events of the SAME user within 1 hour of each
+    other — interval_join's bucketized equi-shuffle instead of a per-key
+    cartesian. Exact nanosecond timestamps on the Spark side; the oracle
+    compares at DuckDB's microsecond read precision, with the 1h boundary
+    nowhere near a sub-microsecond gap in this data (verified)."""
+    from rdfproject_msc_spark.operators.asof import interval_join
+
+    hour_ns = 3_600_000_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts_ns"
+    )
+    pairs = interval_join(
+        ev, ev, on="user_id", left_ts="ts_ns", right_ts="ts_ns",
+        max_delta=hour_ns, prefix="near_",
+    )
+    return pairs.filter(F.col("event_id") < F.col("near_event_id")).select(
+        "user_id", "event_id", F.col("near_event_id")
+    )
+
+
+EVENTS_NEAR_PAIRS_SQL = """
+SELECT a.user_id, a.event_id, b.event_id AS near_event_id
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND abs(epoch_ns(a.ts) - epoch_ns(b.ts)) <= 3600000000000
+"""
+
+
 def events_hourly_stream(spark, sf_dir):
     """Structured-Streaming twin of events_hourly: stage the events table as
     a parquet directory, consume it as a file-source stream (2 files per
@@ -1381,6 +1412,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "events_hourly": QuerySpec(events_hourly, EVENTS_HOURLY_SQL),
     "events_hourly_stream": QuerySpec(events_hourly_stream, EVENTS_HOURLY_SQL),
     "events_prev_asof": QuerySpec(events_prev_asof, EVENTS_PREV_ASOF_SQL, headline=True),
+    "events_near_pairs": QuerySpec(events_near_pairs, EVENTS_NEAR_PAIRS_SQL),
     # training-data pipeline
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
     "dedup_exact_scale": QuerySpec(dedup_exact_scale, DEDUP_EXACT_SCALE_SQL),

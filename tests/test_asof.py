@@ -64,6 +64,31 @@ def test_left_row_count_preserved(sides):
     assert out.count() == left.count()
 
 
+def test_interval_join_exact_window(spark):
+    from rdfproject_msc_spark.operators.asof import interval_join
+
+    left = spark.createDataFrame([(1, 100, "L")], "k long, t long, tag string")
+    right = spark.createDataFrame(
+        [(1, 89, "too_early"), (1, 90, "edge_lo"), (1, 100, "same"),
+         (1, 110, "edge_hi"), (1, 111, "too_late"), (2, 100, "wrong_key")],
+        "k long, t long, tag string",
+    )
+    out = interval_join(left, right, on="k", left_ts="t", right_ts="t", max_delta=10)
+    got = sorted(r.near_tag for r in out.collect())
+    assert got == ["edge_hi", "edge_lo", "same"]  # inclusive bounds, key-scoped
+
+
+def test_interval_join_cross_cell_pairs(spark):
+    """Pairs whose cells differ by one (e.g. 99 vs 101 with cell size 100)
+    must still meet — the ±1 cell explode exists exactly for this."""
+    from rdfproject_msc_spark.operators.asof import interval_join
+
+    left = spark.createDataFrame([(1, 99)], "k long, t long")
+    right = spark.createDataFrame([(1, 101)], "k long, t long")
+    out = interval_join(left, right, on="k", left_ts="t", right_ts="t", max_delta=100)
+    assert out.count() == 1
+
+
 def test_single_shuffle_plan(sides):
     """The whole as-of compiles to ONE exchange (the window shuffle on the
     key) — the operator's scale claim, pinned in the plan."""

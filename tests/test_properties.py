@@ -101,6 +101,37 @@ def test_asof_matches_bruteforce(spark, left, right):
 
 
 @given(
+    left=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(-50, 50)), min_size=1, max_size=12
+    ),
+    right=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(-50, 50)), min_size=0, max_size=12
+    ),
+    delta=st.integers(1, 30),
+)
+@settings(**SETTINGS)
+def test_interval_join_matches_bruteforce(spark, left, right, delta):
+    from rdfproject_msc_spark.operators.asof import interval_join
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k long, t long, lid long"
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(right)] or [(99, 0, -1)],
+        "k long, t long, rid long",
+    )
+    out = interval_join(ldf, rdf, on="k", left_ts="t", right_ts="t", max_delta=delta)
+    got = sorted((r.lid, r.near_rid) for r in out.collect())
+    want = sorted(
+        (li, ri)
+        for li, (lk, lt) in enumerate(left)
+        for ri, (rk, rt) in enumerate(right)
+        if lk == rk and abs(lt - rt) <= delta
+    )
+    assert got == want
+
+
+@given(
     texts=st.lists(
         st.text(
             alphabet=st.sampled_from("ab cd"), min_size=0, max_size=60

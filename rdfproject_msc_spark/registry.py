@@ -551,6 +551,102 @@ GROUP BY o_orderpriority
 """
 
 
+def events_distinct_users(spark, sf_dir):
+    """DISTINCT aggregation per group (absent from the reference — SURVEY
+    §2.4). Exact count_distinct is the oracle baseline; at 100 TB the
+    approx_count_distinct (HyperLogLog++) sketch replaces it — its bounded
+    error vs this exact entry is pinned in tests/test_registry_extras.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+EVENTS_DISTINCT_USERS_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
+def orders_cube(spark, sf_dir):
+    """CUBE over (priority, year): all 4 grouping sets (ANSI null
+    placeholders)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .cube("o_orderpriority", "o_year")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+ORDERS_CUBE_SQL = """
+SELECT o_orderpriority, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       count(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderpriority, CAST(year(o_orderdate) AS BIGINT))
+"""
+
+
+def customer_running_revenue(spark, sf_dir):
+    """Cumulative window aggregation: per-customer running order total in
+    order-date order (lag/lead/cumsum surface; deterministic tie-break on
+    orderkey)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(_dec("o_totalprice")).over(w), 2)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+CUSTOMER_RUNNING_REVENUE_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+            AS DOUBLE) AS running_total
+FROM orders
+"""
+
+
+def events_pivot(spark, sf_dir):
+    """Pivot: per-user event counts, one column per event type. Spark's
+    pivot() with an explicit value list (never the implicit-distinct scan at
+    scale); oracle = conditional aggregation, the engine-portable form."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+EVENTS_PIVOT_SQL = """
+SELECT user_id,
+       sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
+       sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+       sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup,
+       sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view
+FROM events
+GROUP BY user_id
+"""
+
+
 def bucketed_join(spark, sf_dir):
     """Bucketed co-located join — the zero-shuffle join technique for
     repeated big⋈big joins at scale: both tables are written ONCE bucketed
@@ -1407,6 +1503,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "orders_percentiles": QuerySpec(orders_percentiles, ORDERS_PERCENTILES_SQL),
     "customers_setops": QuerySpec(customers_setops, CUSTOMERS_SETOPS_SQL),
     "parts_semi_anti": QuerySpec(parts_semi_anti, PARTS_SEMI_ANTI_SQL),
+    "events_distinct_users": QuerySpec(events_distinct_users, EVENTS_DISTINCT_USERS_SQL),
+    "orders_cube": QuerySpec(orders_cube, ORDERS_CUBE_SQL),
+    "customer_running_revenue": QuerySpec(customer_running_revenue, CUSTOMER_RUNNING_REVENUE_SQL),
+    "events_pivot": QuerySpec(events_pivot, EVENTS_PIVOT_SQL),
     "skew_salted_join": QuerySpec(skew_salted_join, SKEW_SALTED_JOIN_SQL, headline=True),
     "bucketed_join": QuerySpec(bucketed_join, BUCKETED_JOIN_SQL, headline=True),
     "events_hourly": QuerySpec(events_hourly, EVENTS_HOURLY_SQL),

@@ -551,6 +551,34 @@ GROUP BY o_orderpriority
 """
 
 
+def events_props_json(spark, sf_dir):
+    """Semi-structured column parsing: extract a field from the JSON props
+    string JVM-side (get_json_object — no Python in the loop) and aggregate.
+    Training pipelines parse metadata JSON constantly; this pins the
+    cross-engine extraction semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+EVENTS_PROPS_JSON_SQL = """
+SELECT event_type,
+       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
 def events_distinct_users(spark, sf_dir):
     """DISTINCT aggregation per group (absent from the reference — SURVEY
     §2.4). Exact count_distinct is the oracle baseline; at 100 TB the
@@ -1503,6 +1531,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "orders_percentiles": QuerySpec(orders_percentiles, ORDERS_PERCENTILES_SQL),
     "customers_setops": QuerySpec(customers_setops, CUSTOMERS_SETOPS_SQL),
     "parts_semi_anti": QuerySpec(parts_semi_anti, PARTS_SEMI_ANTI_SQL),
+    "events_props_json": QuerySpec(events_props_json, EVENTS_PROPS_JSON_SQL),
     "events_distinct_users": QuerySpec(events_distinct_users, EVENTS_DISTINCT_USERS_SQL),
     "orders_cube": QuerySpec(orders_cube, ORDERS_CUBE_SQL),
     "customer_running_revenue": QuerySpec(customer_running_revenue, CUSTOMER_RUNNING_REVENUE_SQL),

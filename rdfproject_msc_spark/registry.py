@@ -1341,6 +1341,35 @@ GROUP BY doc_id, lang, mh
 """
 
 
+def text_top_tokens(spark, sf_dir):
+    """Corpus heavy hitters: top-20 whitespace tokens by document frequency
+    (distinct doc count — robust to within-doc repetition). Exact count here;
+    at 100 TB the two-level aggregation (partial per partition, merged) is
+    the same plan, or a Count-Min/lossy-counting sketch replaces the exact
+    tail. Deterministic tie-break on the token string."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return (
+        toks.groupBy("tok")
+        .agg(F.count_distinct("doc_id").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("tok"))
+        .limit(20)
+    )
+
+
+TEXT_TOP_TOKENS_SQL = r"""
+SELECT tok, count(DISTINCT doc_id) AS doc_freq
+FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents)
+WHERE tok <> ''
+GROUP BY tok
+ORDER BY doc_freq DESC, tok
+LIMIT 20
+"""
+
+
 def text_fingerprint(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return textstats.fingerprint(docs).select("doc_id", "fp_rolling")
@@ -1555,6 +1584,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "text_stats": QuerySpec(text_stats, TEXT_STATS_SQL),
     "text_langid": QuerySpec(text_langid, TEXT_LANGID_SQL),
     "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FINGERPRINT_SQL),
+    "text_top_tokens": QuerySpec(text_top_tokens, TEXT_TOP_TOKENS_SQL),
     "knn_cosine": QuerySpec(knn_cosine, KNN_COSINE_SQL, headline=True),
     "ann_lsh_topk": QuerySpec(ann_lsh_topk, ANN_LSH_TOPK_SQL, headline=True),
     # multimodal columns

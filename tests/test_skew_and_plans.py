@@ -85,6 +85,42 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
+def test_aqe_skew_join_split_fires(spark):
+    """The session enables AQE skew-join splitting everywhere; this pins
+    that it actually fires: a 90%-hot-key sort-merge join under lowered
+    skew thresholds gets its hot partition split (SortMergeJoin(skew=true)
+    in the final adaptive plan) — the no-salting-needed path for skewed
+    joins at scale."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "20KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "10KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(7))
+            .otherwise(F.col("id") % 100)
+            .alias("k"),
+            F.concat(F.lit("payload_"), F.col("id")).alias("v"),
+        )
+        small = spark.range(0, 100).select(
+            F.col("id").alias("k"), F.col("id").alias("d")
+        )
+        j = big.join(small, "k").select(F.sum(F.length("v")).alias("s"))
+        j.collect()
+        plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    assert "skew=true" in plan
+
+
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
     from rdfproject_msc_spark.registry import REGISTRY
 

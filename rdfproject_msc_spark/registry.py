@@ -240,6 +240,17 @@ WHERE n2.p = {P_HAS_TYPE}
 """
 
 
+def rdf_split_join_pstore(spark, sf_dir):
+    """The reference's FOURTH layout — sign split with the Positive side
+    predicate-sorted (PartitionQueryingBRDPredicate.java:100-146) — as a
+    persisted store. Completes the 4-driver (layout × cluster-key) matrix:
+    single+s, single+p, split+s, split+p, all four now registry-exercised
+    with identical results (the layout-invariance the reference asserted
+    informally by running four drivers)."""
+    store = _persisted_store(spark, sf_dir, layout="sign_split", cluster_by="p")
+    return Q.split_join(store, P_BY_USER, P_LINKED_EVENT, P_HAS_TYPE)
+
+
 def rdf_split_join_count(spark, sf_dir):
     store = _store(spark, sf_dir, layout="sign_split")
     return Q.split_join_count(store, P_BY_USER, P_LINKED_EVENT, P_HAS_TYPE)
@@ -1543,6 +1554,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "rdf_encode_terms": QuerySpec(rdf_encode_terms, RDF_ENCODE_TERMS_SQL),
     "rdf_split_join": QuerySpec(rdf_split_join, RDF_SPLIT_JOIN_SQL, headline=True),
     "rdf_split_join_bound": QuerySpec(rdf_split_join_bound, RDF_SPLIT_JOIN_BOUND_SQL),
+    "rdf_split_join_pstore": QuerySpec(rdf_split_join_pstore, RDF_SPLIT_JOIN_SQL),
     "rdf_split_join_count": QuerySpec(rdf_split_join_count, RDF_SPLIT_JOIN_COUNT_SQL),
     "rdf_text_lifecycle": QuerySpec(rdf_text_lifecycle, RDF_DECODE_2HOP_SQL),
     "rdf_sign_union": QuerySpec(rdf_sign_union, RDF_SIGN_UNION_SQL),

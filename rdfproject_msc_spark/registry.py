@@ -369,6 +369,25 @@ SPARQL_STAR = (
     "SELECT ?e ?t WHERE { ?e :byUser :customer_7 . ?e :hasType ?t . }"
 )
 
+SPARQL_FILTER = (
+    "SELECT ?e ?c WHERE { ?e :byUser ?c . FILTER(?e >= -2507) FILTER(?c != 71) }"
+)
+
+
+def sparql_filter(spark, sf_dir):
+    """Numeric FILTER constraints through the planner: comparisons over the
+    encoded ids (the engine's data model — the reference's own SQL compares
+    ids, PartitionQueryingSubject.java:130), pushed into the scans by
+    Catalyst."""
+    store = _store(spark, sf_dir)
+    return sparql_to_df(store, SPARQL_FILTER, _dict(spark, sf_dir))
+
+
+SPARQL_FILTER_SQL = f"""{TRIPLES_CTE}
+SELECT s AS e, o AS c FROM triples
+WHERE p = {P_BY_USER} AND s >= -2507 AND o != {CUSTOMER_7}
+"""
+
 SPARQL_TOPK = (
     "SELECT DISTINCT ?c WHERE { ?e :byUser ?c . } ORDER BY DESC(?c) LIMIT 5"
 )
@@ -1563,6 +1582,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "sparql_2hop": QuerySpec(sparql_2hop, SPARQL_2HOP_SQL, headline=True),
     "sparql_star": QuerySpec(sparql_star, SPARQL_STAR_SQL),
     "sparql_topk": QuerySpec(sparql_topk, SPARQL_TOPK_SQL),
+    "sparql_filter": QuerySpec(sparql_filter, SPARQL_FILTER_SQL),
     # analytics surface
     "tpch_q1": QuerySpec(tpch_q1, TPCH_Q1_SQL, headline=True),
     "tpch_q3": QuerySpec(tpch_q3, TPCH_Q3_SQL, headline=True),

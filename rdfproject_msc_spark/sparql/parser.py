@@ -7,8 +7,10 @@ multi-triple BGP (static-field overwrite bug, MyOpVisitorBase.java:34-46) —
 we keep ALL patterns and join them (the intended semantics, per the example
 query at MyOpVisitorBase.java:132-133).
 
-Out of scope, rejected explicitly: OPTIONAL, FILTER, UNION, property paths
-(SURVEY.md §7 risk list — v1 scope is BGP + multi-pattern joins).
+Beyond the reference: solution modifiers (DISTINCT/ORDER BY/LIMIT) and
+numeric FILTER comparisons over encoded ids. Out of scope, rejected
+explicitly: OPTIONAL, UNION, property paths, non-comparison FILTER forms
+(SURVEY.md §7 risk list).
 
 Term forms (normalization mirrors MyOpVisitorBase.java:74-78):
   ?x / $x          variable
@@ -24,7 +26,17 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
-_UNSUPPORTED = re.compile(r"\b(OPTIONAL|FILTER|UNION|GRAPH|MINUS|SERVICE)\b", re.I)
+_UNSUPPORTED = re.compile(r"\b(OPTIONAL|UNION|GRAPH|MINUS|SERVICE)\b", re.I)
+# FILTER: numeric comparisons over variables — ?x OP (number | ?y).
+# Comparisons act on the dictionary-encoded ids, which IS this engine's
+# data model (the reference's own SQL compares encoded ids directly,
+# PartitionQueryingSubject.java:130). Richer FILTER forms (regex, functions,
+# boolean connectives) are rejected explicitly.
+_FILTER = re.compile(r"\bFILTER\s*\(([^)]*)\)\s*\.?", re.I)
+_FILTER_EXPR = re.compile(
+    r"^\s*[?$](?P<var>\w+)\s*(?P<op><=|>=|!=|=|<|>)\s*"
+    r"(?:(?P<num>-?\d+)|[?$](?P<var2>\w+))\s*$"
+)
 # tokens inside the BGP: quoted literal | <iri> | anything non-space
 _TOKEN = re.compile(r'"[^"]*"|<[^>]*>|\S+')
 _QUERY = re.compile(
@@ -72,6 +84,8 @@ class BGPQuery:
     distinct: bool = False
     order_by: tuple[tuple[str, bool], ...] = ()  # (var, descending)
     limit: int | None = None
+    # FILTER constraints: (var, op, ('num', int) | ('var', name))
+    filters: tuple[tuple[str, str, tuple[str, object]], ...] = ()
 
 
 def _normalize_term(tok: str) -> tuple[str, object]:
@@ -98,8 +112,25 @@ def parse_sparql(query: str) -> BGPQuery:
     bgp_src = m.group("bgp")
     if _UNSUPPORTED.search(bgp_src):
         raise SparqlSyntaxError(
-            "only basic graph patterns are supported (no OPTIONAL/FILTER/UNION/...)"
+            "only basic graph patterns are supported (no OPTIONAL/UNION/...)"
         )
+
+    # extract FILTER constraints before pattern tokenization
+    filters: list[tuple[str, str, tuple[str, object]]] = []
+    for fm in _FILTER.finditer(bgp_src):
+        em = _FILTER_EXPR.match(fm.group(1))
+        if not em:
+            raise SparqlSyntaxError(
+                f"unsupported FILTER expression: {fm.group(1)!r} "
+                "(supported: ?var OP number|?var with OP in = != < <= > >=)"
+            )
+        rhs = (
+            ("num", int(em.group("num")))
+            if em.group("num") is not None
+            else ("var", em.group("var2"))
+        )
+        filters.append((em.group("var"), em.group("op"), rhs))
+    bgp_src = _FILTER.sub(" ", bgp_src)
 
     proj_src = m.group("proj").strip()
     projection = (
@@ -147,6 +178,10 @@ def parse_sparql(query: str) -> BGPQuery:
         unknown = set(projection) - pattern_vars
         if unknown:
             raise SparqlSyntaxError(f"projected variables not in BGP: {sorted(unknown)}")
+    for var, _, rhs in filters:
+        for v in [var] + ([rhs[1]] if rhs[0] == "var" else []):
+            if v not in pattern_vars:
+                raise SparqlSyntaxError(f"FILTER variable not in BGP: ?{v}")
 
     # solution modifiers after the group pattern
     mods = m.group("mods") or ""
@@ -168,4 +203,5 @@ def parse_sparql(query: str) -> BGPQuery:
         distinct=bool(m.group("distinct")),
         order_by=tuple(order_by),
         limit=int(lm.group("n")) if lm else None,
+        filters=tuple(filters),
     )

@@ -140,6 +140,24 @@ def plan_bgp(
                 order.append(v)
         joined = joined.drop(*[renames[var_cols[v]] for v in shared])
 
+    # FILTER constraints: plain Column predicates over the bound variables —
+    # applied BEFORE projection so non-projected variables can be filtered;
+    # Catalyst pushes var-vs-constant comparisons down into the scans.
+    _OPS = {
+        "=": lambda a, b: a == b,
+        "!=": lambda a, b: a != b,
+        "<": lambda a, b: a < b,
+        "<=": lambda a, b: a <= b,
+        ">": lambda a, b: a > b,
+        ">=": lambda a, b: a >= b,
+    }
+    for var, op, rhs in bgp.filters:
+        lhs = F.col(bound_cols[var])
+        rhs_col = (
+            F.lit(rhs[1]) if rhs[0] == "num" else F.col(bound_cols[rhs[1]])
+        )
+        joined = joined.filter(_OPS[op](lhs, rhs_col))
+
     proj = list(bgp.projection) if bgp.projection is not None else order
     out = joined.select(*[F.col(bound_cols[v]).alias(v) for v in proj])
 

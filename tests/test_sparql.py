@@ -49,7 +49,34 @@ def test_parse_quoted_literal_with_dot():
 
 def test_parse_rejects_unsupported():
     with pytest.raises(SparqlSyntaxError):
-        parse_sparql("SELECT ?x WHERE { ?x :p ?y . FILTER(?y > 3) }")
+        parse_sparql("SELECT ?x WHERE { ?x :p ?y . OPTIONAL { ?y :q ?z } }")
+
+
+def test_parse_filter_forms():
+    bgp = parse_sparql(
+        "SELECT ?x WHERE { ?x :p ?y . FILTER(?y > 3) FILTER(?x != ?y) }"
+    )
+    assert bgp.filters == (("y", ">", ("num", 3)), ("x", "!=", ("var", "y")))
+
+
+def test_parse_rejects_rich_filter():
+    with pytest.raises(SparqlSyntaxError, match="unsupported FILTER"):
+        parse_sparql('SELECT ?x WHERE { ?x :p ?y . FILTER(regex(?y, "a")) }')
+
+
+def test_parse_rejects_filter_unknown_var():
+    with pytest.raises(SparqlSyntaxError, match="FILTER variable"):
+        parse_sparql("SELECT ?x WHERE { ?x :p ?y . FILTER(?zz > 1) }")
+
+
+def test_filter_executes(tiny_store, tiny_dict):
+    # p10 edges 1→1, 1→2, 2→2, -5→1; keep o ≥ 2 then s != o
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?o WHERE { ?s :p10 ?o . FILTER(?o >= 2) FILTER(?s != ?o) }",
+        tiny_dict,
+    )
+    assert sorted((r.s, r.o) for r in df.collect()) == [(1, 2)]
 
 
 def test_parse_rejects_bad_arity():

@@ -602,7 +602,7 @@ def events_props_json(spark, sf_dir):
 EVENTS_PROPS_JSON_SQL = """
 SELECT event_type,
        count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events
 GROUP BY event_type
@@ -695,11 +695,11 @@ def events_pivot(spark, sf_dir):
 
 EVENTS_PIVOT_SQL = """
 SELECT user_id,
-       sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
-       sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-       sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup,
-       sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view
+       CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
 FROM events
 GROUP BY user_id
 """
@@ -1271,8 +1271,8 @@ q AS (
     FROM kept
 )
 SELECT count(*) AS n_docs,
-       sum(CAST(length(text) AS BIGINT)) AS total_chars,
-       sum(CAST(len(regexp_extract_all(text, '{textstats.BPE_ISH_PATTERN.replace("'", "''")}')) AS BIGINT)) AS total_bpe_tokens
+       CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars,
+       CAST(sum(CAST(len(regexp_extract_all(text, '{textstats.BPE_ISH_PATTERN.replace("'", "''")}')) AS BIGINT)) AS BIGINT) AS total_bpe_tokens
 FROM q
 WHERE round(least(nt / 50.0, 1.0) * 0.5
             + least(sw / greatest(nt, 1) * 5.0, 1.0) * 0.3

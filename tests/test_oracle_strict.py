@@ -1,0 +1,37 @@
+"""The local oracle gate must be TYPE-STRICT: the driver hashes values, so
+int64 `1848` and float64 `1848.0` are different results even though Python's
+`==` says otherwise. Round 2 shipped three entries green locally that failed
+the driver's hash gate on exactly this; these tests pin the fix."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from tests.oracle import _normalize
+
+
+def test_int_vs_float_drift_fails():
+    assert _normalize([(1848,)], ["x"]) != _normalize([(1848.0,)], ["x"])
+
+
+def test_int_vs_decimal_drift_fails():
+    assert _normalize([(5,)], ["x"]) != _normalize([(Decimal(5),)], ["x"])
+
+
+def test_bool_vs_int_drift_fails():
+    assert _normalize([(True,)], ["x"]) != _normalize([(1,)], ["x"])
+
+
+def test_same_types_match():
+    assert _normalize([(1848, "a")], ["x", "y"]) == _normalize(
+        [(1848, "a")], ["x", "y"]
+    )
+
+
+def test_float_rounding_still_tolerant():
+    assert _normalize([(1.0000000000001,)], ["x"]) == _normalize([(1.0,)], ["x"])
+
+
+def test_nested_list_types_strict():
+    assert _normalize([([1, 2],)], ["x"]) != _normalize([([1.0, 2.0],)], ["x"])
+    assert _normalize([([1, 2],)], ["x"]) == _normalize([((1, 2),)], ["x"])

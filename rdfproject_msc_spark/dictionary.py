@@ -84,8 +84,38 @@ class Dictionary:
             out = out.withColumn(c, F.col(f"__term_{c}")).drop(f"__id_{c}", f"__term_{c}")
         return out
 
-    def encode(self, df: DataFrame, columns: list[str] | None = None) -> DataFrame:
-        """Replace each term column with its id via per-column joins (inverse of decode)."""
+    def encode(
+        self,
+        df: DataFrame,
+        columns: list[str] | None = None,
+        *,
+        source_col: str | None = None,
+        target_col: str | None = None,
+    ) -> DataFrame:
+        """Term → id via joins (inverse of decode).
+
+        Two forms:
+        - ``encode(df, columns=[...])`` replaces each named term column with
+          its id in place;
+        - ``encode(df, source_col="term", target_col="id")`` keeps the term
+          column and ADDS the id as a new column (no placeholder-column
+          tricks needed by callers that want both).
+        Unmatched terms encode to NULL (left join) in both forms.
+        """
+        if source_col is not None or target_col is not None:
+            if not (source_col and target_col):
+                raise ValueError("source_col and target_col must be given together")
+            if columns is not None:
+                raise ValueError("columns and source_col/target_col are exclusive")
+            d = (
+                self._dict_side()
+                .withColumnRenamed("term", "__enc_term")
+                .withColumnRenamed("id", target_col)
+            )
+            return (
+                df.join(d, df[source_col] == d["__enc_term"], "left")
+                .drop("__enc_term")
+            )
         columns = columns or df.columns
         out = df
         for c in columns:

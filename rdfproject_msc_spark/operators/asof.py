@@ -49,13 +49,17 @@ def interval_join(
     followed by the exact |Δ| ≤ max_delta refinement. Cost: 3× the left
     side's shuffle rows (cheap: ids + two longs), never |L|·|R| per key.
     """
-    cell = (F.col(right_ts) / max_delta).cast("long")
+    # cell assignment in EXACT integer division: epoch-nanos int64 (~1.7e18)
+    # exceeds double's 53-bit mantissa, so `/` + cast could mis-bucket a
+    # timestamp within a few hundred ns of a cell boundary and silently drop
+    # a qualifying pair. `div` on longs never leaves the integer domain.
+    cell = F.expr(f"`{right_ts}` div {int(max_delta)}")
     r = right.select(
         F.col(on).alias("__k"),
         cell.alias("__cell"),
         F.struct(*[F.col(c) for c in right.columns]).alias("__r"),
     )
-    lcell = (F.col(left_ts) / max_delta).cast("long")
+    lcell = F.expr(f"`{left_ts}` div {int(max_delta)}")
     l = left.select(
         F.col(on).alias("__k"),
         F.explode(

@@ -37,10 +37,20 @@ def salted_join(
 
     The salt value is random-uniform per big-side row (seeded; the CHOICE of
     bucket never affects the result, only the distribution), so the output
-    equals ``big.join(small, on, how)`` row-for-row. Replication multiplies
-    the small side's shuffle volume by n_salts — keep it for genuinely small
-    dimension tables and pick n_salts ≈ the observed hot-key multiplier.
+    equals ``big.join(small, on, how)`` row-for-row — for join types that
+    preserve only big-side rows. Outer forms that keep UNMATCHED small-side
+    rows (right/full) would emit each such row once per salt replica, so
+    they are rejected.  Replication multiplies the small side's shuffle
+    volume by n_salts — keep it for genuinely small dimension tables and
+    pick n_salts ≈ the observed hot-key multiplier.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} joins only; "
+            f"{how!r} would duplicate unmatched small-side rows n_salts times"
+        )
     salted_big = big.withColumn(
         "__salt", F.floor(F.rand(seed) * n_salts).cast("int")
     )

@@ -103,7 +103,10 @@ def sign_union(store: TripleStore, p: int | None = None, o: int | None = None) -
     """U1 — unbound-subject recombination: Positive UNION ALL Negative with
     the translator's bound-P/O filters (MyOpVisitorBase.java:106-123).
     Duplicates preserved (UNION ALL, never DISTINCT)."""
-    pos, neg = store.positive, store.df.filter(F.col("s") < 0)
+    # negative_raw, not df.filter(s<0): on a sign-partitioned persisted
+    # store the former is a PartitionFilter (sign=0 directory pruning); the
+    # latter would scan both partition directories and filter rows.
+    pos, neg = store.positive, store.negative_raw
     out = pos.unionAll(neg)
     if p is not None:
         out = out.filter(F.col("p") == p)

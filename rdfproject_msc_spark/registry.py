@@ -84,7 +84,12 @@ def _persisted_store(
         "rdfproject_msc_store",
         f"{tag}_{layout}_{cluster_by or 'none'}",
     )
-    _store(spark, sf_dir, layout=layout, cluster_by=cluster_by).write(path)
+    # write-once, really: a completed Parquet write leaves _SUCCESS at the
+    # root — if it's there, the layout cost is already paid and re-writing
+    # would be a full re-ingest per query (fatal at 100 TB; the input
+    # testdata dirs are immutable, so no staleness check is needed).
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _store(spark, sf_dir, layout=layout, cluster_by=cluster_by).write(path)
     return TripleStore.read(spark, path, layout=layout, cluster_by=cluster_by)
 
 
@@ -105,6 +110,19 @@ def _money(col, alias: str, nd: int = 2) -> F.Column:
     DuckDB's rounding of the binary value diverge by one cent.
     """
     return F.round(F.sum(col), nd).cast("double").alias(alias)
+
+
+def _equiv_union(a: DataFrame, *others: DataFrame) -> DataFrame:
+    """Multiset-equivalence harness (registry-only; NOT a production op):
+    returns exactly ``a`` iff every other result is multiset-equal to it —
+    any missing/extra row survives the symmetric EXCEPT ALL difference and
+    breaks the driver's row-count/hash gate. Lets one registry entry pin N
+    implementation/layout variants against one oracle (the layout-invariance
+    the reference asserted informally by running four drivers)."""
+    out = a
+    for b in others:
+        out = out.union(a.exceptAll(b)).union(b.exceptAll(a))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -157,14 +175,24 @@ def rdf_path_2hop_store(spark, sf_dir):
     return Q.path_2hop(store, ORDER_1, P_PLACED_BY, P_IN_NATION, P_IN_REGION)
 
 
-def rdf_path_2hop_pstore(spark, sf_dir):
-    """The reference's PREDICATE-clustered layout
-    (PartitionQueryingPredicate.java:100 — few distinct predicates, the
-    deliberately skewed clustering key) over the persisted store: each leg's
-    p=const filter hits row-group min/max stats on the cluster key, so a
-    6-predicate corpus reads ~1/6 of the row groups per leg."""
-    store = _persisted_store(spark, sf_dir, layout="single", cluster_by="p")
-    return Q.path_2hop(store, ORDER_1, P_PLACED_BY, P_IN_NATION, P_IN_REGION)
+def rdf_layout_matrix(spark, sf_dir):
+    """The reference's FULL 4-driver (layout × cluster-key) matrix in one
+    oracle-checked entry: the bound-subject 2-hop runs over all four
+    persisted layouts — single+s (PartitionQueryingSubject.java:100),
+    single+p (PartitionQueryingPredicate.java:100 — the deliberately skewed
+    predicate clustering key), split+s (PartitionQueryingBRDSubject.java:
+    100-146), split+p (PartitionQueryingBRDPredicate.java:100-146) — and the
+    multiset-equivalence union pins layout invariance: any layout producing
+    a divergent row breaks the row-count gate."""
+    results = [
+        Q.path_2hop(
+            _persisted_store(spark, sf_dir, layout=layout, cluster_by=key),
+            ORDER_1, P_PLACED_BY, P_IN_NATION, P_IN_REGION,
+        )
+        for layout in ("single", "sign_split")
+        for key in ("s", "p")
+    ]
+    return _equiv_union(*results)
 
 
 def sparql_2hop_store(spark, sf_dir):
@@ -187,8 +215,7 @@ def rdf_encode_terms(spark, sf_dir):
             "term"
         )
     )
-    encoded = d.encode(terms.withColumn("id", F.col("term")), columns=["id"])
-    return encoded.select("term", "id")
+    return d.encode(terms, source_col="term", target_col="id").select("term", "id")
 
 
 RDF_ENCODE_TERMS_SQL = f"""WITH dict AS ({DICTIONARY_SQL})
@@ -241,12 +268,9 @@ WHERE n2.p = {P_HAS_TYPE}
 
 
 def rdf_split_join_pstore(spark, sf_dir):
-    """The reference's FOURTH layout — sign split with the Positive side
-    predicate-sorted (PartitionQueryingBRDPredicate.java:100-146) — as a
-    persisted store. Completes the 4-driver (layout × cluster-key) matrix:
-    single+s, single+p, split+s, split+p, all four now registry-exercised
-    with identical results (the layout-invariance the reference asserted
-    informally by running four drivers)."""
+    """Split-join over the persisted split+p store (kept as a library path;
+    registry coverage of this layout lives in rdf_layout_matrix — this
+    function remains pytest-exercised via tests/test_store.py)."""
     store = _persisted_store(spark, sf_dir, layout="sign_split", cluster_by="p")
     return Q.split_join(store, P_BY_USER, P_LINKED_EVENT, P_HAS_TYPE)
 
@@ -260,26 +284,21 @@ RDF_SPLIT_JOIN_COUNT_SQL = f"SELECT count(*) AS n FROM ({RDF_SPLIT_JOIN_SQL})"
 
 
 def rdf_sign_union(spark, sf_dir):
+    """U1 — BOTH translator branches in one entry: the P-bound branch and
+    the P+O-bound branch (MyOpVisitorBase.java:106-108,116-118), UNION ALL'd
+    with the identically-shaped oracle. Duplicates preserved throughout
+    (UNION ALL, never DISTINCT)."""
     store = _store(spark, sf_dir, layout="sign_split")
-    return Q.sign_union(store, p=P_BY_USER)
+    return Q.sign_union(store, p=P_BY_USER).unionAll(
+        Q.sign_union(store, p=P_BY_USER, o=CUSTOMER_7)
+    )
 
 
 RDF_SIGN_UNION_SQL = f"""{SPLIT_CTE}
 SELECT s, p, o
 FROM (SELECT * FROM Positive UNION ALL SELECT * FROM Negative)
 WHERE p = {P_BY_USER}
-"""
-
-
-def rdf_sign_union_po(spark, sf_dir):
-    """U1 with BOTH predicate and object bound — the translator's 4-way case
-    analysis includes the P+O-bound branch (MyOpVisitorBase.java:106-108);
-    round 1 only exercised the P-bound branch."""
-    store = _store(spark, sf_dir, layout="sign_split")
-    return Q.sign_union(store, p=P_BY_USER, o=CUSTOMER_7)
-
-
-RDF_SIGN_UNION_PO_SQL = f"""{SPLIT_CTE}
+UNION ALL
 SELECT s, p, o
 FROM (SELECT * FROM Positive UNION ALL SELECT * FROM Negative)
 WHERE p = {P_BY_USER} AND o = {CUSTOMER_7}
@@ -381,6 +400,32 @@ def sparql_filter(spark, sf_dir):
     Catalyst."""
     store = _store(spark, sf_dir)
     return sparql_to_df(store, SPARQL_FILTER, _dict(spark, sf_dir))
+
+
+# PREFIX + OPTIONAL in one query: `ex:` expands per the declared mapping and
+# localizes to the dictionary's `:name` form; the OPTIONAL group left-joins
+# each customer's events (customers without events survive null-extended).
+SPARQL_OPTIONAL = """
+PREFIX ex: <http://example.org/vocab/>
+SELECT ?c ?n ?e WHERE { ?c ex:inNation ?n . OPTIONAL { ?e ex:byUser ?c . } }
+"""
+
+
+def sparql_optional(spark, sf_dir):
+    """OPTIONAL → left join (SPARQL 1.1 §5.3) plus PREFIX resolution — the
+    two front-end features the reference's Jena path provided for free
+    (MyOpVisitorBase.java:49) that round 2 lacked. The oracle is the
+    equivalent LEFT JOIN with the same null-extension semantics."""
+    store = _store(spark, sf_dir, layout="sign_split")
+    return sparql_to_df(store, SPARQL_OPTIONAL, _dict(spark, sf_dir))
+
+
+SPARQL_OPTIONAL_SQL = f"""{TRIPLES_CTE}
+SELECT t0.s AS c, t0.o AS n, t1.s AS e
+FROM triples t0
+LEFT JOIN triples t1 ON t1.p = {P_BY_USER} AND t1.o = t0.s
+WHERE t0.p = {P_IN_NATION}
+"""
 
 
 SPARQL_FILTER_SQL = f"""{TRIPLES_CTE}
@@ -1011,26 +1056,34 @@ def events_hourly_stream(spark, sf_dir):
 
 
 def dedup_exact(spark, sf_dir):
-    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+    """Exact dedup, BOTH paths cross-checked in one entry: the bit-exact
+    window baseline (full-text partition key) inner-joined with the scale
+    path (xxhash64+length shuffle keys, text never shuffled). If the scale
+    path kept a different representative for any text, the join loses that
+    row and the driver's row-count gate breaks."""
+    docs = load_table(spark, sf_dir, "documents")
+    baseline = dedup.exact_dedup(docs)
+    keys = dedup.exact_dedup_keys(docs).select("keep_id", "n_dups", "content_len")
+    return baseline.join(
+        keys, baseline.doc_id == keys.keep_id, "inner"
+    ).select("doc_id", "text", "lang", "source", "n_chars", "n_dups", "content_len")
 
 
 DEDUP_EXACT_SQL = """
-SELECT doc_id, text, lang, source, n_chars
-FROM documents
-QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
-"""
-
-
-def dedup_exact_scale(spark, sf_dir):
-    return dedup.exact_dedup_keys(load_table(spark, sf_dir, "documents")).select(
-        "keep_id", "n_dups", "content_len"
-    )
-
-
-DEDUP_EXACT_SCALE_SQL = """
-SELECT min(doc_id) AS keep_id, count(*) AS n_dups, length(text) AS content_len
-FROM documents
-GROUP BY text
+WITH kept AS (
+    SELECT doc_id, text, lang, source, n_chars
+    FROM documents
+    QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+),
+keys AS (
+    SELECT min(doc_id) AS keep_id, count(*) AS n_dups,
+           length(text) AS content_len
+    FROM documents
+    GROUP BY text
+)
+SELECT k.doc_id, k.text, k.lang, k.source, k.n_chars,
+       s.n_dups, s.content_len
+FROM kept k JOIN keys s ON s.keep_id = k.doc_id
 """
 
 
@@ -1283,9 +1336,12 @@ WHERE round(least(nt / 50.0, 1.0) * 0.5
 def dedup_components(spark, sf_dir):
     """Connected components over the MinHash near-dup graph: transitive
     near-dup clusters with their canonical (min-id) representative.
-    Iterative label propagation — genuinely non-SQL-expressible, so this
-    entry is rows-only for the driver; tests pin it against a driver-side
-    union-find (tests/test_graph.py)."""
+    Iterative min-label propagation on the engine side; since round 3 the
+    oracle is a DuckDB RECURSIVE transitive closure over the exact-Jaccard
+    edge set (fine at oracle scale; the recursive closure is the oracle's
+    luxury, not the engine's plan), upgrading this entry from rows-only to
+    fully hash-checked. The driver-side union-find twin remains pinned in
+    tests/test_graph.py."""
     from rdfproject_msc_spark.operators import graph
 
     pairs = dedup.minhash_lsh_pairs(
@@ -1294,6 +1350,27 @@ def dedup_components(spark, sf_dir):
         min_partitions=spark.sparkContext.defaultParallelism,
     )
     return graph.canonical_docs(pairs).select("comp", "n_members")
+
+
+DEDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE pairs AS ({_jaccard_sql(0.5)}),
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION
+    SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, v) AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+labels AS (
+    SELECT u AS node, least(u, min(v)) AS comp FROM reach GROUP BY u
+)
+SELECT comp, CAST(count(*) AS BIGINT) AS n_members
+FROM labels
+GROUP BY comp
+"""
 
 
 def text_stats(spark, sf_dir):
@@ -1563,26 +1640,35 @@ class QuerySpec:
     headline: bool = False  # benched at sf0.1
 
 
+# The external driver records correctness rows for at most 50 registry
+# entries, so the registry is held at EXACTLY 50: implementation/layout
+# variants share one cross-checking entry (rdf_layout_matrix, dedup_exact,
+# rdf_sign_union) and twins whose oracle another entry already carries
+# (events_hourly batch, rdf_decode_2hop, dedup_jaccard, split+p split-join)
+# are pytest-covered instead (tests/test_demoted.py). Least-proven entries
+# lead, long-multi-round-green reference parity follows.
 REGISTRY: dict[str, QuerySpec] = {
-    # reference parity
-    "rdf_path_2hop": QuerySpec(rdf_path_2hop, RDF_PATH_2HOP_SQL, headline=True),
-    "rdf_path_2hop_all": QuerySpec(rdf_path_2hop_all, RDF_PATH_2HOP_ALL_SQL, headline=True),
-    "rdf_path_2hop_store": QuerySpec(rdf_path_2hop_store, RDF_PATH_2HOP_SQL, headline=True),
-    "rdf_path_2hop_pstore": QuerySpec(rdf_path_2hop_pstore, RDF_PATH_2HOP_SQL),
-    "sparql_2hop_store": QuerySpec(sparql_2hop_store, SPARQL_2HOP_SQL),
-    "rdf_encode_terms": QuerySpec(rdf_encode_terms, RDF_ENCODE_TERMS_SQL),
-    "rdf_split_join": QuerySpec(rdf_split_join, RDF_SPLIT_JOIN_SQL, headline=True),
-    "rdf_split_join_bound": QuerySpec(rdf_split_join_bound, RDF_SPLIT_JOIN_BOUND_SQL),
-    "rdf_split_join_pstore": QuerySpec(rdf_split_join_pstore, RDF_SPLIT_JOIN_SQL),
-    "rdf_split_join_count": QuerySpec(rdf_split_join_count, RDF_SPLIT_JOIN_COUNT_SQL),
-    "rdf_text_lifecycle": QuerySpec(rdf_text_lifecycle, RDF_DECODE_2HOP_SQL),
-    "rdf_sign_union": QuerySpec(rdf_sign_union, RDF_SIGN_UNION_SQL),
-    "rdf_sign_union_po": QuerySpec(rdf_sign_union_po, RDF_SIGN_UNION_PO_SQL),
-    "rdf_decode_2hop": QuerySpec(rdf_decode_2hop, RDF_DECODE_2HOP_SQL),
-    "sparql_2hop": QuerySpec(sparql_2hop, SPARQL_2HOP_SQL, headline=True),
-    "sparql_star": QuerySpec(sparql_star, SPARQL_STAR_SQL),
-    "sparql_topk": QuerySpec(sparql_topk, SPARQL_TOPK_SQL),
-    "sparql_filter": QuerySpec(sparql_filter, SPARQL_FILTER_SQL),
+    # similarity + multimodal (starved of driver rows in round 2 — first)
+    "knn_cosine": QuerySpec(knn_cosine, KNN_COSINE_SQL, headline=True),
+    "ann_lsh_topk": QuerySpec(ann_lsh_topk, ANN_LSH_TOPK_SQL, headline=True),
+    "multimodal_stats": QuerySpec(multimodal_stats, MULTIMODAL_STATS_SQL, headline=True),
+    "multimodal_filter": QuerySpec(multimodal_filter, MULTIMODAL_FILTER_SQL),
+    "multimodal_decode": QuerySpec(multimodal_decode, None),
+    # new / reworked this round
+    "rdf_layout_matrix": QuerySpec(rdf_layout_matrix, RDF_PATH_2HOP_SQL),
+    "sparql_optional": QuerySpec(sparql_optional, SPARQL_OPTIONAL_SQL),
+    "dedup_components": QuerySpec(dedup_components, DEDUP_COMPONENTS_SQL),
+    # training-data pipeline
+    "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_minhash": QuerySpec(dedup_minhash, DEDUP_MINHASH_SQL, headline=True),
+    "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL, headline=True),
+    "cosine_neardup": QuerySpec(cosine_neardup, COSINE_NEARDUP_SQL),
+    "text_tokens": QuerySpec(text_tokens, TEXT_TOKENS_SQL, headline=True),
+    "corpus_curate": QuerySpec(corpus_curate, CORPUS_CURATE_SQL, headline=True),
+    "text_stats": QuerySpec(text_stats, TEXT_STATS_SQL),
+    "text_langid": QuerySpec(text_langid, TEXT_LANGID_SQL),
+    "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FINGERPRINT_SQL),
+    "text_top_tokens": QuerySpec(text_top_tokens, TEXT_TOP_TOKENS_SQL),
     # analytics surface
     "tpch_q1": QuerySpec(tpch_q1, TPCH_Q1_SQL, headline=True),
     "tpch_q3": QuerySpec(tpch_q3, TPCH_Q3_SQL, headline=True),
@@ -1599,30 +1685,24 @@ REGISTRY: dict[str, QuerySpec] = {
     "events_pivot": QuerySpec(events_pivot, EVENTS_PIVOT_SQL),
     "skew_salted_join": QuerySpec(skew_salted_join, SKEW_SALTED_JOIN_SQL, headline=True),
     "bucketed_join": QuerySpec(bucketed_join, BUCKETED_JOIN_SQL, headline=True),
-    "events_hourly": QuerySpec(events_hourly, EVENTS_HOURLY_SQL),
     "events_hourly_stream": QuerySpec(events_hourly_stream, EVENTS_HOURLY_SQL),
     "events_prev_asof": QuerySpec(events_prev_asof, EVENTS_PREV_ASOF_SQL, headline=True),
     "events_near_pairs": QuerySpec(events_near_pairs, EVENTS_NEAR_PAIRS_SQL),
-    # training-data pipeline
-    "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
-    "dedup_exact_scale": QuerySpec(dedup_exact_scale, DEDUP_EXACT_SCALE_SQL),
-    "dedup_jaccard": QuerySpec(dedup_jaccard, DEDUP_JACCARD_SQL),
-    "dedup_minhash": QuerySpec(dedup_minhash, DEDUP_MINHASH_SQL, headline=True),
-    "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL, headline=True),
-    "dedup_components": QuerySpec(dedup_components, None),
-    "cosine_neardup": QuerySpec(cosine_neardup, COSINE_NEARDUP_SQL),
-    "text_tokens": QuerySpec(text_tokens, TEXT_TOKENS_SQL, headline=True),
-    "corpus_curate": QuerySpec(corpus_curate, CORPUS_CURATE_SQL, headline=True),
-    "text_stats": QuerySpec(text_stats, TEXT_STATS_SQL),
-    "text_langid": QuerySpec(text_langid, TEXT_LANGID_SQL),
-    "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FINGERPRINT_SQL),
-    "text_top_tokens": QuerySpec(text_top_tokens, TEXT_TOP_TOKENS_SQL),
-    "knn_cosine": QuerySpec(knn_cosine, KNN_COSINE_SQL, headline=True),
-    "ann_lsh_topk": QuerySpec(ann_lsh_topk, ANN_LSH_TOPK_SQL, headline=True),
-    # multimodal columns
-    "multimodal_stats": QuerySpec(multimodal_stats, MULTIMODAL_STATS_SQL, headline=True),
-    "multimodal_filter": QuerySpec(multimodal_filter, MULTIMODAL_FILTER_SQL),
-    "multimodal_decode": QuerySpec(multimodal_decode, None),
+    # reference parity (green in rounds 1 and 2)
+    "rdf_path_2hop": QuerySpec(rdf_path_2hop, RDF_PATH_2HOP_SQL, headline=True),
+    "rdf_path_2hop_all": QuerySpec(rdf_path_2hop_all, RDF_PATH_2HOP_ALL_SQL, headline=True),
+    "rdf_path_2hop_store": QuerySpec(rdf_path_2hop_store, RDF_PATH_2HOP_SQL, headline=True),
+    "sparql_2hop_store": QuerySpec(sparql_2hop_store, SPARQL_2HOP_SQL),
+    "rdf_encode_terms": QuerySpec(rdf_encode_terms, RDF_ENCODE_TERMS_SQL),
+    "rdf_split_join": QuerySpec(rdf_split_join, RDF_SPLIT_JOIN_SQL, headline=True),
+    "rdf_split_join_bound": QuerySpec(rdf_split_join_bound, RDF_SPLIT_JOIN_BOUND_SQL),
+    "rdf_split_join_count": QuerySpec(rdf_split_join_count, RDF_SPLIT_JOIN_COUNT_SQL),
+    "rdf_text_lifecycle": QuerySpec(rdf_text_lifecycle, RDF_DECODE_2HOP_SQL),
+    "rdf_sign_union": QuerySpec(rdf_sign_union, RDF_SIGN_UNION_SQL),
+    "sparql_2hop": QuerySpec(sparql_2hop, SPARQL_2HOP_SQL, headline=True),
+    "sparql_star": QuerySpec(sparql_star, SPARQL_STAR_SQL),
+    "sparql_topk": QuerySpec(sparql_topk, SPARQL_TOPK_SQL),
+    "sparql_filter": QuerySpec(sparql_filter, SPARQL_FILTER_SQL),
 }
 
 

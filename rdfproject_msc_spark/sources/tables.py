@@ -34,9 +34,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # events.parquet carries TIMESTAMP(NANOS), which Spark rejects unless
         # nanos are read back as long. The conf is runtime-settable, so set it
         # here rather than relying on the session having been built by
-        # session.get_spark — load_table must work on ANY SparkSession.
+        # session.get_spark — load_table must work on ANY SparkSession. It is
+        # SCOPED to this read (previous value restored below) so unrelated
+        # nanos-parquet reads on an externally-owned session keep their
+        # owner's setting; the schema of the df returned here is fixed at
+        # read time and unaffected by the restore.
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        try:
+            df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+            # resolve the schema eagerly while the conf is active
+            df.schema
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    else:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanosAsLong read nanos-epoch as long; keep the exact value as ts_ns
         # and expose ts as a Spark-native microsecond timestamp. Oracle-checked

@@ -7,14 +7,17 @@ multi-triple BGP (static-field overwrite bug, MyOpVisitorBase.java:34-46) —
 we keep ALL patterns and join them (the intended semantics, per the example
 query at MyOpVisitorBase.java:132-133).
 
-Beyond the reference: solution modifiers (DISTINCT/ORDER BY/LIMIT) and
-numeric FILTER comparisons over encoded ids. Out of scope, rejected
-explicitly: OPTIONAL, UNION, property paths, non-comparison FILTER forms
-(SURVEY.md §7 risk list).
+Beyond the reference: solution modifiers (DISTINCT/ORDER BY/LIMIT), numeric
+FILTER comparisons over encoded ids, OPTIONAL groups (left joins), and
+PREFIX expansion (the reference's Jena front-end resolved prefixes before
+normalization, MyOpVisitorBase.java:49,74-78). Out of scope, rejected
+explicitly: UNION, property paths, nested OPTIONAL, non-comparison FILTER
+forms (SURVEY.md §7 risk list).
 
 Term forms (normalization mirrors MyOpVisitorBase.java:74-78):
   ?x / $x          variable
-  :name            prefixed IRI (kept verbatim — the dictionary stores them so)
+  pfx:name         declared prefix → expanded to <iri+name>, then localized
+  :name            undeclared prefix kept verbatim (the dictionary stores them so)
   <http://.../x>   IRI: angle brackets stripped, prefix up to last '/' dropped,
                    leading ':' ensured → matches dictionary terms like ':node_...'
   "literal"        quotes stripped
@@ -26,7 +29,9 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
-_UNSUPPORTED = re.compile(r"\b(OPTIONAL|UNION|GRAPH|MINUS|SERVICE)\b", re.I)
+_UNSUPPORTED = re.compile(r"\b(UNION|GRAPH|MINUS|SERVICE)\b", re.I)
+# OPTIONAL groups: non-nested `OPTIONAL { ... }` → left join in the planner
+_OPTIONAL = re.compile(r"\bOPTIONAL\s*\{([^{}]*)\}\s*\.?", re.I)
 # FILTER: numeric comparisons over variables — ?x OP (number | ?y).
 # Comparisons act on the dictionary-encoded ids, which IS this engine's
 # data model (the reference's own SQL compares encoded ids directly,
@@ -40,11 +45,12 @@ _FILTER_EXPR = re.compile(
 # tokens inside the BGP: quoted literal | <iri> | anything non-space
 _TOKEN = re.compile(r'"[^"]*"|<[^>]*>|\S+')
 _QUERY = re.compile(
-    r"^\s*(?:PREFIX\s+\S+\s+<[^>]*>\s*)*"
+    r"^\s*(?P<prefixes>(?:PREFIX\s+\S+\s*<[^>]*>\s*)*)"
     r"SELECT\s+(?P<distinct>DISTINCT\s+)?(?P<proj>\*|(?:[?$]\w+\s*)+)\s*"
     r"WHERE\s*\{(?P<bgp>.*)\}\s*(?P<mods>.*?)\s*$",
     re.I | re.S,
 )
+_PREFIX_DECL = re.compile(r"PREFIX\s+([\w.\-]*):\s*<([^>]*)>", re.I)
 _ORDER = re.compile(
     r"ORDER\s+BY\s+(?P<keys>(?:(?:ASC|DESC)\s*\(\s*[?$]\w+\s*\)|[?$]\w+)(?:\s+(?:(?:ASC|DESC)\s*\(\s*[?$]\w+\s*\)|[?$]\w+))*)",
     re.I,
@@ -86,34 +92,91 @@ class BGPQuery:
     limit: int | None = None
     # FILTER constraints: (var, op, ('num', int) | ('var', name))
     filters: tuple[tuple[str, str, tuple[str, object]], ...] = ()
+    # OPTIONAL groups, each a tuple of patterns → left join onto the BGP
+    optionals: tuple[tuple[TriplePattern, ...], ...] = ()
 
 
-def _normalize_term(tok: str) -> tuple[str, object]:
+def _localize_iri(inner: str) -> str:
+    """Strip the IRI namespace up to the last '/' and ensure a leading ':'
+    (MyOpVisitorBase.java:74-78) — matches dictionary terms like ':node_...'."""
+    local = inner.rsplit("/", 1)[-1]
+    return local if local.startswith(":") else ":" + local
+
+
+def _normalize_term(
+    tok: str, prefixes: dict[str, str] | None = None
+) -> tuple[str, object]:
     """Classify one token (normalization per MyOpVisitorBase.java:74-78)."""
     if tok[0] in "?$":
         return ("var", tok[1:])
     if tok.startswith('"') and tok.endswith('"'):
         return ("term", tok[1:-1])
     if tok.startswith("<") and tok.endswith(">"):
-        inner = tok[1:-1]
-        local = inner.rsplit("/", 1)[-1]
-        if not local.startswith(":"):
-            local = ":" + local
-        return ("term", local)
+        return ("term", _localize_iri(tok[1:-1]))
     if re.fullmatch(r"-?\d+", tok):
         return ("id", int(tok))
+    # prefixed name: expand via the declared PREFIX mapping (as Jena's
+    # front-end did before normalization), then localize exactly like a
+    # full IRI. Undeclared prefixes (incl. bare ':name') stay verbatim —
+    # the dictionary stores terms in that form.
+    if prefixes and ":" in tok:
+        pfx, local = tok.split(":", 1)
+        if pfx in prefixes:
+            return ("term", _localize_iri(prefixes[pfx] + local))
     return ("term", tok)
+
+
+def _parse_patterns(src: str, prefixes: dict[str, str]) -> list[TriplePattern]:
+    """Tokenize the WHOLE pattern source first, then split the token stream
+    on statement terminators. Splitting the raw string on "." would chop
+    dots inside IRIs (<http://example.org/x> — hostnames always contain
+    dots) and inside terms like :node_..._-9.15947_38.70289 (the
+    reference's AIS vocabulary, MyOpVisitorBase.java:132)."""
+    patterns: list[TriplePattern] = []
+    cur: list[str] = []
+
+    def _flush() -> None:
+        if not cur:
+            return
+        if len(cur) != 3:
+            raise SparqlSyntaxError(f"triple pattern needs 3 terms, got {cur!r}")
+        patterns.append(TriplePattern(*(_normalize_term(t, prefixes) for t in cur)))
+        cur.clear()
+
+    for tok in _TOKEN.findall(src):
+        if tok == ".":
+            _flush()
+            continue
+        terminate = False
+        if not tok.startswith('"') and not tok.startswith("<") and tok.endswith("."):
+            # statement terminator glued to the last term ("?y." form);
+            # dots INSIDE the token (":n_-9.15") are preserved.
+            tok = tok[:-1]
+            terminate = True
+        if tok:
+            cur.append(tok)
+        if terminate:
+            _flush()
+    _flush()
+    return patterns
 
 
 def parse_sparql(query: str) -> BGPQuery:
     m = _QUERY.match(query)
     if not m:
         raise SparqlSyntaxError("expected: [PREFIX...] SELECT ?v...|* WHERE { patterns }")
+    prefixes = {pm.group(1): pm.group(2) for pm in _PREFIX_DECL.finditer(m.group("prefixes"))}
     bgp_src = m.group("bgp")
     if _UNSUPPORTED.search(bgp_src):
         raise SparqlSyntaxError(
-            "only basic graph patterns are supported (no OPTIONAL/UNION/...)"
+            "only basic graph patterns are supported (no UNION/GRAPH/...)"
         )
+
+    # extract OPTIONAL groups (non-nested) before the required patterns
+    optional_srcs = [om.group(1) for om in _OPTIONAL.finditer(bgp_src)]
+    bgp_src = _OPTIONAL.sub(" ", bgp_src)
+    if re.search(r"\bOPTIONAL\b", bgp_src, re.I):
+        raise SparqlSyntaxError("nested OPTIONAL groups are not supported")
 
     # extract FILTER constraints before pattern tokenization
     filters: list[tuple[str, str, tuple[str, object]]] = []
@@ -139,41 +202,26 @@ def parse_sparql(query: str) -> BGPQuery:
         else tuple(v.lstrip("?$") for v in proj_src.split())
     )
 
-    # Tokenize the WHOLE BGP first, then split the token stream on statement
-    # terminators. Splitting the raw string on "." would chop dots inside
-    # IRIs (<http://example.org/x> — hostnames always contain dots) and
-    # inside terms like :node_..._-9.15947_38.70289 (the reference's AIS
-    # vocabulary, MyOpVisitorBase.java:132).
-    patterns = []
-    cur: list[str] = []
-
-    def _flush() -> None:
-        if not cur:
-            return
-        if len(cur) != 3:
-            raise SparqlSyntaxError(f"triple pattern needs 3 terms, got {cur!r}")
-        patterns.append(TriplePattern(*(_normalize_term(t) for t in cur)))
-        cur.clear()
-
-    for tok in _TOKEN.findall(bgp_src):
-        if tok == ".":
-            _flush()
-            continue
-        terminate = False
-        if not tok.startswith('"') and not tok.startswith("<") and tok.endswith("."):
-            # statement terminator glued to the last term ("?y." form);
-            # dots INSIDE the token (":n_-9.15") are preserved.
-            tok = tok[:-1]
-            terminate = True
-        if tok:
-            cur.append(tok)
-        if terminate:
-            _flush()
-    _flush()
+    patterns = _parse_patterns(bgp_src, prefixes)
     if not patterns:
         raise SparqlSyntaxError("empty basic graph pattern")
+    optionals: list[tuple[TriplePattern, ...]] = []
+    for osrc in optional_srcs:
+        group = tuple(_parse_patterns(osrc, prefixes))
+        if not group:
+            raise SparqlSyntaxError("empty OPTIONAL group")
+        optionals.append(group)
 
-    pattern_vars = set().union(*(tp.variables() for tp in patterns))
+    required_vars = set().union(*(tp.variables() for tp in patterns))
+    pattern_vars = required_vars | {
+        v for grp in optionals for tp in grp for v in tp.variables()
+    }
+    for grp in optionals:
+        grp_vars = set().union(*(tp.variables() for tp in grp))
+        if not grp_vars & required_vars:
+            raise SparqlSyntaxError(
+                "OPTIONAL group shares no variable with the required patterns"
+            )
     if projection is not None:
         unknown = set(projection) - pattern_vars
         if unknown:
@@ -204,4 +252,5 @@ def parse_sparql(query: str) -> BGPQuery:
         order_by=tuple(order_by),
         limit=int(lm.group("n")) if lm else None,
         filters=tuple(filters),
+        optionals=tuple(optionals),
     )

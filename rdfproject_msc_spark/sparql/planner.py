@@ -35,10 +35,11 @@ from rdfproject_msc_spark.store import TripleStore
 
 
 def _encode_constants(bgp: BGPQuery, dictionary: Dictionary | None) -> dict[str, int]:
+    all_patterns = list(bgp.patterns) + [tp for grp in bgp.optionals for tp in grp]
     terms = sorted(
         {
             val
-            for tp in bgp.patterns
+            for tp in all_patterns
             for kind, val in (tp.s, tp.p, tp.o)
             if kind == "term"
         }
@@ -103,24 +104,28 @@ def _order_patterns(bgp: BGPQuery) -> list:
     return ordered
 
 
-def plan_bgp(
-    store: TripleStore, bgp: BGPQuery, dictionary: Dictionary | None = None
-) -> DataFrame:
-    """Compose the BGP into a single DataFrame of variable bindings (ids)."""
-    term_ids = _encode_constants(bgp, dictionary)
+def _join_group(
+    store: TripleStore,
+    patterns,
+    term_ids: dict[str, int],
+    idx_offset: int,
+) -> tuple[DataFrame, dict[str, str], list[str]]:
+    """Compose a list of patterns into one DataFrame via inner joins on
+    shared variables. Returns (df, var→column map, first-appearance order)."""
     joined: DataFrame | None = None
     bound_cols: dict[str, str] = {}
-    order = []  # variable order of first appearance (SELECT * projection)
+    order: list[str] = []
 
-    for i, tp in enumerate(_order_patterns(bgp)):
-        scan, var_cols = _pattern_scan(store, tp, term_ids, i)
+    for i, tp in enumerate(patterns):
+        idx = idx_offset + i
+        scan, var_cols = _pattern_scan(store, tp, term_ids, idx)
         if joined is None:
             joined, bound_cols = scan, dict(var_cols)
             order = [v for v in var_cols]
             continue
         shared = [v for v in var_cols if v in bound_cols]
         # rename this pattern's columns to avoid collisions before the join
-        renames = {c: f"{c}_{i}" for c in scan.columns}
+        renames = {c: f"{c}_{idx}" for c in scan.columns}
         for old, new in renames.items():
             scan = scan.withColumnRenamed(old, new)
         if shared:
@@ -139,6 +144,42 @@ def plan_bgp(
                 bound_cols[v] = renames[c]
                 order.append(v)
         joined = joined.drop(*[renames[var_cols[v]] for v in shared])
+    return joined, bound_cols, order
+
+
+def plan_bgp(
+    store: TripleStore, bgp: BGPQuery, dictionary: Dictionary | None = None
+) -> DataFrame:
+    """Compose the BGP into a single DataFrame of variable bindings (ids)."""
+    term_ids = _encode_constants(bgp, dictionary)
+    joined, bound_cols, order = _join_group(
+        store, _order_patterns(bgp), term_ids, 0
+    )
+
+    # OPTIONAL groups → LEFT OUTER JOIN on the shared variables (SPARQL
+    # 1.1 §5.3 compatible-bindings semantics for the non-nested case): the
+    # group is composed inner-first, then left-joined, so group-local
+    # constraints bind before null-extension — the same machinery as the
+    # reference's J3 left-outer shape (PartitionQueryingBRDSubject.java:156).
+    idx_offset = len(bgp.patterns)
+    for gi, grp in enumerate(bgp.optionals):
+        gdf, gcols, gorder = _join_group(store, list(grp), term_ids, idx_offset)
+        idx_offset += len(grp)
+        # suffix ALL group columns so they never collide with bound ones
+        renames = {c: f"{c}_g{gi}" for c in gdf.columns}
+        for old, new in renames.items():
+            gdf = gdf.withColumnRenamed(old, new)
+        shared = [v for v in gcols if v in bound_cols]
+        cond = reduce(
+            lambda a, b: a & b,
+            [F.col(bound_cols[v]) == F.col(renames[gcols[v]]) for v in shared],
+        )
+        joined = joined.join(gdf, cond, "left")
+        joined = joined.drop(*[renames[gcols[v]] for v in shared])
+        for v in gorder:
+            if v not in bound_cols:
+                bound_cols[v] = renames[gcols[v]]
+                order.append(v)
 
     # FILTER constraints: plain Column predicates over the bound variables —
     # applied BEFORE projection so non-projected variables can be filtered;
@@ -159,18 +200,40 @@ def plan_bgp(
         joined = joined.filter(_OPS[op](lhs, rhs_col))
 
     proj = list(bgp.projection) if bgp.projection is not None else order
+    order_vars = [v for v, _ in bgp.order_by]
+    sort_pre_projection = bool(order_vars) and not set(order_vars) <= set(proj)
+
+    if sort_pre_projection:
+        # ORDER BY on a non-projected variable (legal SPARQL): sort + limit
+        # on the bound columns BEFORE the projection renames/drops them.
+        # DISTINCT + such an ORDER BY is contradictory (the sort key is gone
+        # after duplicate elimination) — reject rather than guess.
+        if bgp.distinct:
+            raise SparqlSyntaxError(
+                "ORDER BY on a non-projected variable cannot combine with DISTINCT"
+            )
+        joined = joined.orderBy(
+            *[
+                F.col(bound_cols[v]).desc() if desc else F.col(bound_cols[v]).asc()
+                for v, desc in bgp.order_by
+            ]
+        )
+        if bgp.limit is not None:
+            joined = joined.limit(bgp.limit)
+
     out = joined.select(*[F.col(bound_cols[v]).alias(v) for v in proj])
 
     # solution modifiers — plain DataFrame ops; ORDER BY + LIMIT compiles to
     # TakeOrderedAndProject (no global sort materialization)
     if bgp.distinct:
         out = out.distinct()
-    if bgp.order_by:
-        out = out.orderBy(
-            *[F.col(v).desc() if desc else F.col(v).asc() for v, desc in bgp.order_by]
-        )
-    if bgp.limit is not None:
-        out = out.limit(bgp.limit)
+    if not sort_pre_projection:
+        if bgp.order_by:
+            out = out.orderBy(
+                *[F.col(v).desc() if desc else F.col(v).asc() for v, desc in bgp.order_by]
+            )
+        if bgp.limit is not None:
+            out = out.limit(bgp.limit)
     return out
 
 

@@ -114,10 +114,16 @@ class TripleStore:
         return F.broadcast(neg) if self.broadcast_negative else neg
 
     @property
-    def _negative_raw(self) -> DataFrame:
+    def negative_raw(self) -> DataFrame:
+        """Negative side WITHOUT the broadcast hint: the right view for
+        plans that need the pruned scan (sign=0 PartitionFilter on a
+        persisted store) but must leave the join strategy to AQE."""
         if self._has_sign:
             return self._spo(self._df.filter(F.col("sign") == 0))
         return self._spo(self._df.filter(F.col("s") < 0))
+
+    # backwards-compatible private alias
+    _negative_raw = negative_raw
 
     def table_for_subject(self, subject_id: int | None) -> DataFrame:
         """Static sign routing (MyOpVisitorBase.java:82-86): a bound subject

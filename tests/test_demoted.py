@@ -1,0 +1,36 @@
+"""Oracle coverage for twins demoted from the 50-entry driver registry in
+round 3 (the driver records at most 50 rows, so variants whose semantics are
+already carried by another entry live here): the batch hourly rollup
+(stream twin carries the oracle), the standalone decode query (subsumed by
+rdf_text_lifecycle), all-pairs Jaccard (dedup_minhash's oracle IS exact
+Jaccard), and the split+p persisted layout (rdf_layout_matrix carries the
+4-layout invariance)."""
+
+from __future__ import annotations
+
+from rdfproject_msc_spark import registry as R
+from tests.oracle import assert_matches_oracle
+
+
+def test_rdf_decode_2hop(spark, sf_dir):
+    assert_matches_oracle(
+        R.rdf_decode_2hop(spark, sf_dir), R.RDF_DECODE_2HOP_SQL, sf_dir
+    )
+
+
+def test_events_hourly_batch(spark, sf_dir):
+    assert_matches_oracle(
+        R.events_hourly(spark, sf_dir), R.EVENTS_HOURLY_SQL, sf_dir
+    )
+
+
+def test_dedup_jaccard(spark, sf_dir):
+    assert_matches_oracle(
+        R.dedup_jaccard(spark, sf_dir), R.DEDUP_JACCARD_SQL, sf_dir
+    )
+
+
+def test_rdf_split_join_pstore(spark, sf_dir):
+    assert_matches_oracle(
+        R.rdf_split_join_pstore(spark, sf_dir), R.RDF_SPLIT_JOIN_SQL, sf_dir
+    )

@@ -127,3 +127,49 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
     df = REGISTRY["tpch_q3"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_salted_join_rejects_small_side_preserving_how(spark):
+    big = spark.createDataFrame([(1, "a")], "k long, v string")
+    small = spark.createDataFrame([(1, 10.0)], "k long, d double")
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(big, small, on="k", how="right")
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(big, small, on="k", how="full_outer")
+
+
+def test_persisted_store_is_write_once(spark, sf_dir, tmp_path, monkeypatch):
+    """Second call with the same (layout, cluster key) must NOT re-write the
+    Parquet store: the layout cost is paid once, then every query reads the
+    laid-out files (at 100 TB a rewrite-per-query is a re-ingest-per-query)."""
+    import os
+
+    from rdfproject_msc_spark import registry as R
+
+    monkeypatch.setattr(
+        "tempfile.gettempdir", lambda: str(tmp_path)
+    )
+    R._persisted_store(spark, sf_dir, layout="sign_split", cluster_by="s")
+    root = os.path.join(str(tmp_path), "rdfproject_msc_store")
+    tag = [d for d in os.listdir(root) if d.endswith("sign_split_s")][0]
+    success = os.path.join(root, tag, "_SUCCESS")
+    mtime_before = os.path.getmtime(success)
+    R._persisted_store(spark, sf_dir, layout="sign_split", cluster_by="s")
+    assert os.path.getmtime(success) == mtime_before
+
+
+def test_sign_union_prunes_negative_partition(spark, sf_dir, tmp_path):
+    """Over a persisted sign-split store, sign_union's negative leg must be
+    a PartitionFilter on sign=0 (directory pruning), not a row filter over
+    both directories."""
+    from rdfproject_msc_spark import queries as Q
+    from rdfproject_msc_spark.sources.derived import P_BY_USER, triples_df
+    from rdfproject_msc_spark.store import TripleStore
+
+    path = str(tmp_path / "store")
+    TripleStore(triples_df(spark, sf_dir), layout="sign_split").write(path)
+    store = TripleStore.read(spark, path, layout="sign_split")
+    df = Q.sign_union(store, p=P_BY_USER)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(sign" in plan
+    assert plan.count("PartitionFilters") >= 2  # both legs prune

@@ -49,7 +49,74 @@ def test_parse_quoted_literal_with_dot():
 
 def test_parse_rejects_unsupported():
     with pytest.raises(SparqlSyntaxError):
-        parse_sparql("SELECT ?x WHERE { ?x :p ?y . OPTIONAL { ?y :q ?z } }")
+        parse_sparql("SELECT ?x WHERE { { ?x :p ?y } UNION { ?x :q ?y } }")
+
+
+def test_parse_prefix_expansion():
+    q = (
+        "PREFIX ex: <http://example.org/vocab/> "
+        "SELECT ?x WHERE { ex:order_1 ex:placedBy ?x . }"
+    )
+    bgp = parse_sparql(q)
+    assert bgp.patterns[0].s == ("term", ":order_1")
+    assert bgp.patterns[0].p == ("term", ":placedBy")
+
+
+def test_parse_undeclared_prefix_stays_verbatim():
+    bgp = parse_sparql("SELECT ?x WHERE { :order_1 :placedBy ?x . }")
+    assert bgp.patterns[0].s == ("term", ":order_1")
+
+
+def test_parse_optional_group():
+    bgp = parse_sparql(
+        "SELECT ?x ?z WHERE { ?x :p ?y . OPTIONAL { ?y :q ?z . } }"
+    )
+    assert len(bgp.patterns) == 1
+    assert len(bgp.optionals) == 1
+    assert bgp.optionals[0][0].s == ("var", "y")
+
+
+def test_parse_rejects_nested_optional():
+    with pytest.raises(SparqlSyntaxError, match="nested OPTIONAL"):
+        parse_sparql(
+            "SELECT ?x WHERE { ?x :p ?y . OPTIONAL { ?y :q ?z . OPTIONAL { ?z :r ?w } } }"
+        )
+
+
+def test_parse_rejects_disconnected_optional():
+    with pytest.raises(SparqlSyntaxError, match="shares no variable"):
+        parse_sparql("SELECT ?x WHERE { ?x :p ?y . OPTIONAL { ?a :q ?b } }")
+
+
+def test_optional_executes(tiny_store, tiny_dict):
+    # p10 edges 1→1, 1→2, 2→2, -5→1; p20 edges 2→3 only ⇒ ?o=2 extends, rest null
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?o ?z WHERE { ?s :p10 ?o . OPTIONAL { ?o :p20 ?z . } }",
+        tiny_dict,
+    )
+    rows = sorted((r.s, r.o, r.z) for r in df.collect())
+    assert rows == [(-5, 1, None), (1, 1, None), (1, 2, 3), (2, 2, 3)]
+
+
+def test_order_by_non_projected_var(tiny_store, tiny_dict):
+    """ORDER BY on a variable outside the projection is legal SPARQL (ADVICE:
+    previously failed with AnalysisException post-projection)."""
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s WHERE { ?s :p10 ?o . } ORDER BY DESC(?o) ?s LIMIT 2",
+        tiny_dict,
+    )
+    assert [r.s for r in df.collect()] == [1, 2]
+
+
+def test_order_by_non_projected_with_distinct_rejected(tiny_store, tiny_dict):
+    with pytest.raises(SparqlSyntaxError, match="DISTINCT"):
+        sparql_to_df(
+            tiny_store,
+            "SELECT DISTINCT ?s WHERE { ?s :p10 ?o . } ORDER BY ?o",
+            tiny_dict,
+        )
 
 
 def test_parse_filter_forms():

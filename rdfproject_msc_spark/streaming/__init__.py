@@ -3,6 +3,7 @@ the reference has no streaming, this is the Spark-native event path)."""
 
 from rdfproject_msc_spark.streaming.events import (  # noqa: F401
     EVENT_SCHEMA,
+    dedup_events_stream,
     hourly_rollup,
     read_events_stream,
     run_to_memory_table,

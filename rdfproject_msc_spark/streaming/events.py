@@ -145,6 +145,20 @@ def triples_from_event_stream(events: DataFrame) -> DataFrame:
     return by_user.unionByName(has_type)
 
 
+def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exactly-once dedup: at-least-once sources (Kafka retries,
+    file-source re-lists, replayed batches) redeliver events; keeping one
+    copy per event_id is the first stage of any streaming training-data
+    pipeline. ``dropDuplicatesWithinWatermark`` bounds the dedup state to
+    the watermark horizon — a plain ``dropDuplicates`` would hold every key
+    seen since the stream started, which is unbounded state on an infinite
+    stream (the streaming twin of dedup.exact_dedup_keys' bounded-key
+    principle: state keyed by id, never by payload)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 # ---------------------------------------------------------------------------
 # custom stateful operator: per-user running totals (applyInPandasWithState)
 

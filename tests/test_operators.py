@@ -78,6 +78,46 @@ def test_lsh_candidate_pairs_runs(spark, sf_dir):
     assert 0 < n < total * (total - 1) / 2
 
 
+def test_ivf_partitions_all_vectors(spark, sf_dir):
+    """Every vector lands in exactly one of the k centroid partitions, and
+    no partition is empty-by-construction pathological (k << n)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(emb, dim=64, k=8, n_iter=2)
+    assert len(cents) == 8 and all(len(c) == 64 for c in cents)
+    idx = similarity.ivf_index(emb, cents)
+    total = emb.count()
+    assert idx.count() == total
+    sizes = idx.groupBy("centroid").count().collect()
+    assert sum(r["count"] for r in sizes) == total
+    assert all(0 <= r["centroid"] < 8 for r in sizes)
+
+
+def test_ann_ivf_recall_vs_brute_force(spark, sf_dir):
+    """IVF top-k is approximate (reads nprobe/k of the corpus); pin recall
+    vs exact brute force. Near-random embeddings are the hardest case —
+    with nprobe covering half the centroids, recall must stay useful."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        r.vec_id
+        for r in similarity.cosine_topk_to(emb, query_id=0, k=10).collect()
+    }
+    approx = {
+        r.vec_id
+        for r in similarity.ivf_topk_to(
+            emb, query_id=0, k=10, dim=64, n_centroids=8, nprobe=4, n_iter=2
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"recall {recall}"
+
+
+def test_ivf_determinism(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = similarity.kmeans_centroids(emb, dim=64, k=4, n_iter=1)
+    b = similarity.kmeans_centroids(emb, dim=64, k=4, n_iter=1)
+    assert a == b
+
+
 def test_exact_dedup_collision_exactness(spark):
     """exact_dedup groups on (hash, len, content): even if two texts collided
     in xxhash64 they would not merge. Simulated by checking distinct texts

@@ -192,3 +192,38 @@ def test_watermark_bounds_state(spark, events_dir, tmp_path_factory):
     stream = S.read_events_stream(spark, events_dir)
     plan = S.hourly_rollup(stream)._jdf.queryExecution().analyzed().toString()
     assert "EventTimeWatermark" in plan
+
+
+def test_dedup_stream_drops_redelivered_events(
+    spark, sf_dir, events_dir, tmp_path_factory
+):
+    """At-least-once delivery: stage the SAME event files twice; the
+    streaming dedup must emit each event_id exactly once — the stream count
+    equals the batch distinct count, not the doubled delivery count."""
+    import os
+    import shutil
+
+    dup_dir = str(tmp_path_factory.mktemp("dup") / "events")
+    os.makedirs(dup_dir)
+    for f in os.listdir(events_dir):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(events_dir, f), os.path.join(dup_dir, f))
+            shutil.copy(
+                os.path.join(events_dir, f), os.path.join(dup_dir, "redelivered_" + f)
+            )
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    stream = S.read_events_stream(spark, dup_dir, max_files_per_trigger=2)
+    # the staged files are random partitions of the FULL time range, so each
+    # micro-batch spans it all and advances the watermark to (max ts - w);
+    # the horizon must cover the span or old-but-new events count as late.
+    # In production the horizon is sized to the source's redelivery window.
+    out = S.run_to_memory_table(
+        S.dedup_events_stream(stream, watermark="3650 days").select("event_id"),
+        spark,
+        "dedup_stream_t",
+        ckpt,
+        output_mode="append",
+    )
+    n_batch = load_table(spark, sf_dir, "events").select("event_id").distinct().count()
+    assert out.count() == n_batch
+    assert out.distinct().count() == n_batch

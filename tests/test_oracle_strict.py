@@ -35,3 +35,25 @@ def test_float_rounding_still_tolerant():
 def test_nested_list_types_strict():
     assert _normalize([([1, 2],)], ["x"]) != _normalize([([1.0, 2.0],)], ["x"])
     assert _normalize([([1, 2],)], ["x"]) == _normalize([((1, 2),)], ["x"])
+
+
+def test_equiv_union_detects_divergence(spark):
+    """The registry's multiset-equivalence harness must return exactly `a`
+    when variants agree, and surface extra rows (breaking the row-count
+    gate) when any variant diverges — including duplicate-multiplicity
+    differences that set-based checks miss."""
+    from rdfproject_msc_spark.registry import _equiv_union
+
+    a = spark.createDataFrame([(1, "x"), (2, "y"), (2, "y")], "k long, v string")
+    same = spark.createDataFrame([(2, "y"), (1, "x"), (2, "y")], "k long, v string")
+    missing = spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string")
+    extra = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (2, "y"), (3, "z")], "k long, v string"
+    )
+    assert _equiv_union(a, same).count() == 3
+    assert sorted(map(tuple, _equiv_union(a, same).collect())) == sorted(
+        map(tuple, a.collect())
+    )
+    assert _equiv_union(a, missing).count() == 4   # the lost duplicate surfaces
+    assert _equiv_union(a, extra).count() == 4     # the foreign row surfaces
+    assert _equiv_union(a, same, extra).count() == 4

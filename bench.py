@@ -19,7 +19,10 @@ import time
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # best-of-5: in a 19-query single-JVM run, JIT/GC noise occasionally
+    # inflates one query's all-3 reps (observed 1.4s → 2.4s on dedup_simhash);
+    # two extra reps cost ~7s total and pin the steady-state number.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
 
     from rdfproject_msc_spark.registry import REGISTRY
     from rdfproject_msc_spark.session import get_spark

@@ -8,11 +8,14 @@ we keep ALL patterns and join them (the intended semantics, per the example
 query at MyOpVisitorBase.java:132-133).
 
 Beyond the reference: solution modifiers (DISTINCT/ORDER BY/LIMIT), numeric
-FILTER comparisons over encoded ids, OPTIONAL groups (left joins), and
-PREFIX expansion (the reference's Jena front-end resolved prefixes before
-normalization, MyOpVisitorBase.java:49,74-78). Out of scope, rejected
-explicitly: UNION, property paths, nested OPTIONAL, non-comparison FILTER
-forms (SURVEY.md §7 risk list).
+FILTER comparisons over encoded ids, OPTIONAL groups (left joins), one
+UNION block of group alternatives (the generalization of the reference
+translator's hand-emitted Positive UNION ALL Negative,
+MyOpVisitorBase.java:106-123), and PREFIX expansion (the reference's Jena
+front-end resolved prefixes before normalization,
+MyOpVisitorBase.java:49,74-78). Out of scope, rejected explicitly:
+property paths, nested groups, multiple UNION blocks, FILTERs inside
+groups, non-comparison FILTER forms (SURVEY.md §7 risk list).
 
 Term forms (normalization mirrors MyOpVisitorBase.java:74-78):
   ?x / $x          variable
@@ -29,9 +32,15 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
-_UNSUPPORTED = re.compile(r"\b(UNION|GRAPH|MINUS|SERVICE)\b", re.I)
+_UNSUPPORTED = re.compile(r"\b(GRAPH|MINUS|SERVICE)\b", re.I)
 # OPTIONAL groups: non-nested `OPTIONAL { ... }` → left join in the planner
 _OPTIONAL = re.compile(r"\bOPTIONAL\s*\{([^{}]*)\}\s*\.?", re.I)
+# one UNION chain of 2+ group alternatives: `{...} UNION {...} [UNION {...}]`
+# → unionByName(allowMissingColumns) in the planner (the generalization of
+# the reference translator's hand-emitted Positive UNION ALL Negative,
+# MyOpVisitorBase.java:106-123)
+_UNION_CHAIN = re.compile(r"\{[^{}]*\}(?:\s*UNION\s*\{[^{}]*\})+\s*\.?", re.I)
+_BRACE_GROUP = re.compile(r"\{([^{}]*)\}")
 # FILTER: numeric comparisons over variables — ?x OP (number | ?y).
 # Comparisons act on the dictionary-encoded ids, which IS this engine's
 # data model (the reference's own SQL compares encoded ids directly,
@@ -94,6 +103,8 @@ class BGPQuery:
     filters: tuple[tuple[str, str, tuple[str, object]], ...] = ()
     # OPTIONAL groups, each a tuple of patterns → left join onto the BGP
     optionals: tuple[tuple[TriplePattern, ...], ...] = ()
+    # arms of ONE `{...} UNION {...}` block → unionByName of arm plans
+    unions: tuple[tuple[TriplePattern, ...], ...] = ()
 
 
 def _localize_iri(inner: str) -> str:
@@ -178,6 +189,21 @@ def parse_sparql(query: str) -> BGPQuery:
     if re.search(r"\bOPTIONAL\b", bgp_src, re.I):
         raise SparqlSyntaxError("nested OPTIONAL groups are not supported")
 
+    # extract ONE union chain of group alternatives (after OPTIONAL, whose
+    # braces are already gone; any brace left after this is unsupported)
+    union_srcs: list[str] = []
+    union_chains = _UNION_CHAIN.findall(bgp_src)
+    if len(union_chains) > 1:
+        raise SparqlSyntaxError("at most one UNION block is supported")
+    if union_chains:
+        union_srcs = _BRACE_GROUP.findall(union_chains[0])
+        bgp_src = _UNION_CHAIN.sub(" ", bgp_src)
+    if re.search(r"\bUNION\b", bgp_src, re.I) or "{" in bgp_src or "}" in bgp_src:
+        raise SparqlSyntaxError(
+            "unsupported group pattern (UNION arms must be brace groups; "
+            "no other nested groups)"
+        )
+
     # extract FILTER constraints before pattern tokenization
     filters: list[tuple[str, str, tuple[str, object]]] = []
     for fm in _FILTER.finditer(bgp_src):
@@ -203,7 +229,13 @@ def parse_sparql(query: str) -> BGPQuery:
     )
 
     patterns = _parse_patterns(bgp_src, prefixes)
-    if not patterns:
+    unions: list[tuple[TriplePattern, ...]] = []
+    for usrc in union_srcs:
+        arm = tuple(_parse_patterns(usrc, prefixes))
+        if not arm:
+            raise SparqlSyntaxError("empty UNION arm")
+        unions.append(arm)
+    if not patterns and not unions:
         raise SparqlSyntaxError("empty basic graph pattern")
     optionals: list[tuple[TriplePattern, ...]] = []
     for osrc in optional_srcs:
@@ -212,7 +244,9 @@ def parse_sparql(query: str) -> BGPQuery:
             raise SparqlSyntaxError("empty OPTIONAL group")
         optionals.append(group)
 
-    required_vars = set().union(*(tp.variables() for tp in patterns))
+    required_vars = set().union(
+        set(), *(tp.variables() for tp in patterns)
+    ) | {v for arm in unions for tp in arm for v in tp.variables()}
     pattern_vars = required_vars | {
         v for grp in optionals for tp in grp for v in tp.variables()
     }
@@ -253,4 +287,5 @@ def parse_sparql(query: str) -> BGPQuery:
         limit=int(lm.group("n")) if lm else None,
         filters=tuple(filters),
         optionals=tuple(optionals),
+        unions=tuple(unions),
     )

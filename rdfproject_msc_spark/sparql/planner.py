@@ -35,7 +35,11 @@ from rdfproject_msc_spark.store import TripleStore
 
 
 def _encode_constants(bgp: BGPQuery, dictionary: Dictionary | None) -> dict[str, int]:
-    all_patterns = list(bgp.patterns) + [tp for grp in bgp.optionals for tp in grp]
+    all_patterns = (
+        list(bgp.patterns)
+        + [tp for grp in bgp.optionals for tp in grp]
+        + [tp for arm in bgp.unions for tp in arm]
+    )
     terms = sorted(
         {
             val
@@ -152,16 +156,66 @@ def plan_bgp(
 ) -> DataFrame:
     """Compose the BGP into a single DataFrame of variable bindings (ids)."""
     term_ids = _encode_constants(bgp, dictionary)
-    joined, bound_cols, order = _join_group(
-        store, _order_patterns(bgp), term_ids, 0
-    )
+    if bgp.patterns:
+        joined, bound_cols, order = _join_group(
+            store, _order_patterns(bgp), term_ids, 0
+        )
+    else:  # pure-UNION query: WHERE { {A} UNION {B} }
+        joined, bound_cols, order = None, {}, []
+    idx_offset = len(bgp.patterns)
+
+    # UNION block → unionByName of the arm plans with null extension for
+    # variables an arm does not bind (SPARQL 1.1 §5.4 alternatives; the
+    # reference's translator emitted exactly this shape by hand for the
+    # unbound-subject sign split, MyOpVisitorBase.java:106-123). Duplicates
+    # preserved: UNION ALL semantics, matching SPARQL's multiset algebra.
+    if bgp.unions:
+        arm_order: list[str] = []  # union vars in first-appearance order
+        arms = []
+        for arm in bgp.unions:
+            adf, acols, aorder = _join_group(store, list(arm), term_ids, idx_offset)
+            idx_offset += len(arm)
+            arms.append((adf, acols))
+            for v in aorder:
+                if v not in arm_order:
+                    arm_order.append(v)
+        normalized = [
+            adf.select(
+                *[
+                    F.col(acols[v]).alias(f"u_{v}")
+                    for v in arm_order
+                    if v in acols
+                ]
+            )
+            for adf, acols in arms
+        ]
+        union_df = reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), normalized
+        )
+        ucols = {v: f"u_{v}" for v in arm_order}
+        if joined is None:
+            joined, bound_cols, order = union_df, ucols, list(arm_order)
+        else:
+            shared = [v for v in ucols if v in bound_cols]
+            if shared:
+                cond = reduce(
+                    lambda a, b: a & b,
+                    [F.col(bound_cols[v]) == F.col(ucols[v]) for v in shared],
+                )
+                joined = joined.join(union_df, cond, "inner")
+                joined = joined.drop(*[ucols[v] for v in shared])
+            else:
+                joined = joined.crossJoin(union_df)
+            for v in arm_order:
+                if v not in bound_cols:
+                    bound_cols[v] = ucols[v]
+                    order.append(v)
 
     # OPTIONAL groups → LEFT OUTER JOIN on the shared variables (SPARQL
     # 1.1 §5.3 compatible-bindings semantics for the non-nested case): the
     # group is composed inner-first, then left-joined, so group-local
     # constraints bind before null-extension — the same machinery as the
     # reference's J3 left-outer shape (PartitionQueryingBRDSubject.java:156).
-    idx_offset = len(bgp.patterns)
     for gi, grp in enumerate(bgp.optionals):
         gdf, gcols, gorder = _join_group(store, list(grp), term_ids, idx_offset)
         idx_offset += len(grp)

@@ -34,3 +34,32 @@ def test_rdf_split_join_pstore(spark, sf_dir):
     assert_matches_oracle(
         R.rdf_split_join_pstore(spark, sf_dir), R.RDF_SPLIT_JOIN_SQL, sf_dir
     )
+
+
+def test_sparql_union_matches_oracle(spark, sf_dir):
+    """SPARQL UNION over the real graph: order-placedBy arm UNION ALL
+    event-byUser arm — the user-facing form of the sign-split recombination
+    the reference's translator emitted by hand."""
+    from rdfproject_msc_spark.dictionary import Dictionary
+    from rdfproject_msc_spark.sources.derived import (
+        DICTIONARY_SQL,
+        TRIPLES_SQL,
+        dictionary_df,
+        triples_df,
+    )
+    from rdfproject_msc_spark.sparql.planner import sparql_to_df
+    from rdfproject_msc_spark.store import TripleStore
+
+    store = TripleStore(triples_df(spark, sf_dir), layout="sign_split")
+    d = Dictionary(dictionary_df(spark, sf_dir))
+    df = sparql_to_df(
+        store,
+        "SELECT ?s ?o WHERE { { ?s :placedBy ?o } UNION { ?s :byUser ?o } }",
+        d,
+    )
+    sql = f"""WITH triples AS ({TRIPLES_SQL})
+    SELECT s, o FROM triples WHERE p = 18
+    UNION ALL
+    SELECT s, o FROM triples WHERE p = 48
+    """
+    assert_matches_oracle(df, sql, sf_dir)

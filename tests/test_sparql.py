@@ -49,7 +49,9 @@ def test_parse_quoted_literal_with_dot():
 
 def test_parse_rejects_unsupported():
     with pytest.raises(SparqlSyntaxError):
-        parse_sparql("SELECT ?x WHERE { { ?x :p ?y } UNION { ?x :q ?y } }")
+        parse_sparql("SELECT ?x WHERE { ?x :p ?y . MINUS { ?x :q ?y } }")
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql("SELECT ?x WHERE { GRAPH <g> { ?x :p ?y } }")
 
 
 def test_parse_prefix_expansion():
@@ -117,6 +119,71 @@ def test_order_by_non_projected_with_distinct_rejected(tiny_store, tiny_dict):
             "SELECT DISTINCT ?s WHERE { ?s :p10 ?o . } ORDER BY ?o",
             tiny_dict,
         )
+
+
+def test_parse_union_arms():
+    bgp = parse_sparql(
+        "SELECT ?s ?o WHERE { { ?s :p10 ?o } UNION { ?s :p20 ?o } UNION { ?s :p30 ?o } }"
+    )
+    assert len(bgp.unions) == 3
+    assert not bgp.patterns
+
+
+def test_parse_rejects_two_union_blocks():
+    with pytest.raises(SparqlSyntaxError, match="at most one UNION"):
+        parse_sparql(
+            "SELECT ?a WHERE { { ?a :p ?b } UNION { ?a :q ?b } . "
+            "{ ?a :r ?c } UNION { ?a :s ?c } }"
+        )
+
+
+def test_parse_rejects_stray_group():
+    with pytest.raises(SparqlSyntaxError, match="unsupported group"):
+        parse_sparql("SELECT ?a WHERE { { ?a :p ?b } }")
+
+
+def test_union_executes(tiny_store, tiny_dict):
+    # p10 edges 1→1, 1→2, 2→2, -5→1; p20 edges 2→3: UNION ALL keeps all 5
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?o WHERE { { ?s :p10 ?o } UNION { ?s :p20 ?o } }",
+        tiny_dict,
+    )
+    rows = sorted((r.s, r.o) for r in df.collect())
+    assert rows == [(-5, 1), (1, 1), (1, 2), (2, 2), (2, 3)]
+
+
+def test_union_null_extends_unshared_vars(tiny_store, tiny_dict):
+    # ?x only bound by the second arm → null in rows from the first
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?x WHERE { { ?s :p10 2 } UNION { ?s :p20 ?x } }",
+        tiny_dict,
+    )
+    rows = sorted(
+        ((r.s, r.x) for r in df.collect()),
+        key=lambda t: (t[0], t[1] is None, t[1] or 0),
+    )
+    assert rows == [(1, None), (2, 3), (2, None)]
+
+
+def test_union_joins_with_required_pattern(tiny_store, tiny_dict):
+    # required ?a :p10 ?b joined with union over ?b: arm1 ?b :p20 ?c (b=2
+    # → c=3), arm2 ?b :p10 ?c (b∈{1,2} → c from self-loops/edges)
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?a ?b ?c WHERE { ?a :p10 ?b . { ?b :p20 ?c } UNION { ?b :p10 ?c } }",
+        tiny_dict,
+    )
+    rows = sorted((r.a, r.b, r.c) for r in df.collect())
+    # p10 edges from 1: (1,1),(1,2); from 2: (2,2); from -5: (-5,1)
+    # b=1 → arm2 gives c∈{1,2}; b=2 → arm1 c=3, arm2 c=2
+    assert rows == [
+        (-5, 1, 1), (-5, 1, 2),
+        (1, 1, 1), (1, 1, 2),
+        (1, 2, 2), (1, 2, 3),
+        (2, 2, 2), (2, 2, 3),
+    ]
 
 
 def test_parse_filter_forms():

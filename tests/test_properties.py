@@ -132,6 +132,61 @@ def test_interval_join_matches_bruteforce(spark, left, right, delta):
 
 
 @given(
+    rows=triples_strategy,
+    p1=st.sampled_from([11, 22, 33]),
+    p2=st.sampled_from([11, 22, 33]),
+)
+@settings(**SETTINGS)
+def test_sparql_optional_matches_python_eval(spark, rows, p1, p2):
+    """OPTIONAL left-join semantics vs a direct Python evaluation: matched
+    rows extend, unmatched rows null-extend, multiplicities preserved."""
+    from rdfproject_msc_spark.sparql.planner import sparql_to_df
+    from rdfproject_msc_spark.store import TripleStore
+
+    df = spark.createDataFrame(rows, "s long, p long, o long")
+    q = f"SELECT ?a ?b ?c WHERE {{ ?a {p1} ?b . OPTIONAL {{ ?b {p2} ?c . }} }}"
+    got = sorted(
+        ((r.a, r.b, r.c) for r in sparql_to_df(TripleStore(df), q).collect()),
+        key=lambda t: (t[0], t[1], t[2] is None, t[2] or 0),
+    )
+    want = []
+    for s, p, o in rows:
+        if p != p1:
+            continue
+        exts = [oo for ss, pp, oo in rows if pp == p2 and ss == o]
+        if exts:
+            want.extend((s, o, c) for c in exts)
+        else:
+            want.append((s, o, None))
+    want.sort(key=lambda t: (t[0], t[1], t[2] is None, t[2] or 0))
+    assert got == want
+
+
+@given(
+    rows=triples_strategy,
+    p1=st.sampled_from([11, 22, 33]),
+    p2=st.sampled_from([11, 22, 33]),
+)
+@settings(**SETTINGS)
+def test_sparql_union_matches_python_eval(spark, rows, p1, p2):
+    """UNION multiset semantics vs direct Python evaluation: arm results
+    concatenate (duplicates preserved — p1 == p2 doubles every match)."""
+    from rdfproject_msc_spark.sparql.planner import sparql_to_df
+    from rdfproject_msc_spark.store import TripleStore
+
+    df = spark.createDataFrame(rows, "s long, p long, o long")
+    q = f"SELECT ?x ?y WHERE {{ {{ ?x {p1} ?y }} UNION {{ ?x {p2} ?y }} }}"
+    got = sorted(
+        (r.x, r.y) for r in sparql_to_df(TripleStore(df), q).collect()
+    )
+    want = sorted(
+        [(s, o) for s, p, o in rows if p == p1]
+        + [(s, o) for s, p, o in rows if p == p2]
+    )
+    assert got == want
+
+
+@given(
     texts=st.lists(
         st.text(
             alphabet=st.sampled_from("ab cd"), min_size=0, max_size=60

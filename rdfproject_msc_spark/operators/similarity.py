@@ -274,6 +274,65 @@ def ivf_index(
     )
 
 
+def ivf_write(
+    df: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Persist the corpus as centroid-partitioned Parquet — IVF's
+    write-once half: one directory per centroid, vectors stored with their
+    assignment. Every subsequent probe query prunes to nprobe directories
+    (PartitionFilters), the same mechanism as the triple store's sign
+    split."""
+    (
+        df.withColumn("centroid", _nearest_centroid(F.col(vec_col), centroids))
+        .write.mode("overwrite")
+        .partitionBy("centroid")
+        .parquet(path)
+    )
+
+
+def ivf_topk_persisted(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    centroids: list[list[float]] | None = None,
+    nprobe: int = 4,
+    exclude_id: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe an ``ivf_write`` layout: filter to the nprobe centroid
+    directories nearest the query (directory pruning — the non-probed
+    corpus is never read), score candidates exactly, take top-k."""
+    qn = sum(x * x for x in query_vec) ** 0.5
+
+    def cos(c: list[float]) -> float:
+        cn = sum(x * x for x in c) ** 0.5
+        return sum(a * b for a, b in zip(query_vec, c)) / (qn * cn)
+
+    probes = sorted(range(len(centroids)), key=lambda i: -cos(centroids[i]))[:nprobe]
+    scan = spark.read.parquet(path).filter(F.col("centroid").isin(probes))
+    if exclude_id is not None:
+        scan = scan.filter(F.col(id_col) != exclude_id)
+    return (
+        scan.select(
+            F.col(id_col),
+            F.round(
+                cosine_similarity(
+                    F.col(vec_col), F.array(*[F.lit(float(x)) for x in query_vec])
+                ),
+                6,
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ivf_topk_to(
     df: DataFrame,
     query_id: int,

@@ -157,3 +157,27 @@ def test_ngram_shingles_doc_freq_cap(spark):
     assert capped.filter(F.col("shingle") == hot).count() == 0
     # unique shingles survive the cap
     assert capped.filter(F.col("shingle").startswith("common unique")).count() == 5
+
+
+def test_ivf_persisted_prunes_directories(spark, sf_dir, tmp_path):
+    """The persisted IVF layout must answer probes via PartitionFilters
+    (directory pruning) and agree with the in-memory IVF path on the same
+    centroids."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(emb, dim=64, k=8, n_iter=2)
+    path = str(tmp_path / "ivf")
+    similarity.ivf_write(emb, cents, path)
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = similarity.ivf_topk_persisted(
+        spark, path, qvec, k=10, centroids=cents, nprobe=4, exclude_id=0
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid" in plan
+
+    in_memory = similarity.ivf_topk_to(
+        emb, query_id=0, k=10, dim=64, n_centroids=8, nprobe=4, n_iter=2
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, in_memory.collect())
+    )

@@ -64,6 +64,9 @@ def _store(spark: SparkSession, sf_dir: str, **kw) -> TripleStore:
     return TripleStore(triples_df(spark, sf_dir), **kw)
 
 
+_STORE_FORMAT = "f1"
+
+
 def _persisted_store(
     spark: SparkSession,
     sf_dir: str,
@@ -79,10 +82,13 @@ def _persisted_store(
     import tempfile
 
     tag = os.path.basename(os.path.normpath(sf_dir))
+    # _STORE_FORMAT versions the on-disk layout: /tmp persists across
+    # rounds, and a write-once guard must never accept a store written by
+    # an older layout format. Bump it whenever TripleStore.write changes.
     path = os.path.join(
         tempfile.gettempdir(),
         "rdfproject_msc_store",
-        f"{tag}_{layout}_{cluster_by or 'none'}",
+        f"{tag}_{layout}_{cluster_by or 'none'}_{_STORE_FORMAT}",
     )
     # write-once, really: a completed Parquet write leaves _SUCCESS at the
     # root — if it's there, the layout cost is already paid and re-writing

@@ -151,7 +151,7 @@ def test_persisted_store_is_write_once(spark, sf_dir, tmp_path, monkeypatch):
     )
     R._persisted_store(spark, sf_dir, layout="sign_split", cluster_by="s")
     root = os.path.join(str(tmp_path), "rdfproject_msc_store")
-    tag = [d for d in os.listdir(root) if d.endswith("sign_split_s")][0]
+    tag = [d for d in os.listdir(root) if "sign_split_s_" in d][0]
     success = os.path.join(root, tag, "_SUCCESS")
     mtime_before = os.path.getmtime(success)
     R._persisted_store(spark, sf_dir, layout="sign_split", cluster_by="s")

@@ -7,12 +7,12 @@ multi-triple BGP (static-field overwrite bug, MyOpVisitorBase.java:34-46) —
 we keep ALL patterns and join them (the intended semantics, per the example
 query at MyOpVisitorBase.java:132-133).
 
-Beyond the reference: solution modifiers (DISTINCT/ORDER BY/LIMIT), numeric
-FILTER comparisons over encoded ids, OPTIONAL groups (left joins), one
-UNION block of group alternatives (the generalization of the reference
-translator's hand-emitted Positive UNION ALL Negative,
-MyOpVisitorBase.java:106-123), and PREFIX expansion (the reference's Jena
-front-end resolved prefixes before normalization,
+Beyond the reference: solution modifiers (DISTINCT/ORDER BY/LIMIT/OFFSET),
+numeric FILTER comparisons over encoded ids, OPTIONAL groups (left joins),
+MINUS groups (left-anti joins), one UNION block of group alternatives (the
+generalization of the reference translator's hand-emitted Positive UNION
+ALL Negative, MyOpVisitorBase.java:106-123), and PREFIX expansion (the
+reference's Jena front-end resolved prefixes before normalization,
 MyOpVisitorBase.java:49,74-78). Out of scope, rejected explicitly:
 property paths, nested groups, multiple UNION blocks, FILTERs inside
 groups, non-comparison FILTER forms (SURVEY.md §7 risk list).
@@ -32,9 +32,11 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
-_UNSUPPORTED = re.compile(r"\b(GRAPH|MINUS|SERVICE)\b", re.I)
+_UNSUPPORTED = re.compile(r"\b(GRAPH|SERVICE)\b", re.I)
 # OPTIONAL groups: non-nested `OPTIONAL { ... }` → left join in the planner
 _OPTIONAL = re.compile(r"\bOPTIONAL\s*\{([^{}]*)\}\s*\.?", re.I)
+# MINUS groups: non-nested `MINUS { ... }` → left-anti join on shared vars
+_MINUS = re.compile(r"\bMINUS\s*\{([^{}]*)\}\s*\.?", re.I)
 # one UNION chain of 2+ group alternatives: `{...} UNION {...} [UNION {...}]`
 # → unionByName(allowMissingColumns) in the planner (the generalization of
 # the reference translator's hand-emitted Positive UNION ALL Negative,
@@ -66,6 +68,7 @@ _ORDER = re.compile(
 )
 _ORDER_KEY = re.compile(r"(?:(?P<dir>ASC|DESC)\s*\(\s*)?[?$](?P<var>\w+)\s*\)?", re.I)
 _LIMIT = re.compile(r"LIMIT\s+(?P<n>\d+)", re.I)
+_OFFSET = re.compile(r"OFFSET\s+(?P<n>\d+)", re.I)
 
 
 class SparqlSyntaxError(ValueError):
@@ -105,6 +108,10 @@ class BGPQuery:
     optionals: tuple[tuple[TriplePattern, ...], ...] = ()
     # arms of ONE `{...} UNION {...}` block → unionByName of arm plans
     unions: tuple[tuple[TriplePattern, ...], ...] = ()
+    # MINUS groups → left-anti join on the shared variables
+    minuses: tuple[tuple[TriplePattern, ...], ...] = ()
+    # OFFSET (applies after ORDER BY, before LIMIT)
+    offset: int | None = None
 
 
 def _localize_iri(inner: str) -> str:
@@ -189,8 +196,14 @@ def parse_sparql(query: str) -> BGPQuery:
     if re.search(r"\bOPTIONAL\b", bgp_src, re.I):
         raise SparqlSyntaxError("nested OPTIONAL groups are not supported")
 
-    # extract ONE union chain of group alternatives (after OPTIONAL, whose
-    # braces are already gone; any brace left after this is unsupported)
+    # extract MINUS groups (non-nested, keyword-prefixed like OPTIONAL)
+    minus_srcs = [mm.group(1) for mm in _MINUS.finditer(bgp_src)]
+    bgp_src = _MINUS.sub(" ", bgp_src)
+    if re.search(r"\bMINUS\b", bgp_src, re.I):
+        raise SparqlSyntaxError("nested MINUS groups are not supported")
+
+    # extract ONE union chain of group alternatives (after OPTIONAL/MINUS,
+    # whose braces are already gone; any brace left after this is unsupported)
     union_srcs: list[str] = []
     union_chains = _UNION_CHAIN.findall(bgp_src)
     if len(union_chains) > 1:
@@ -243,6 +256,12 @@ def parse_sparql(query: str) -> BGPQuery:
         if not group:
             raise SparqlSyntaxError("empty OPTIONAL group")
         optionals.append(group)
+    minuses: list[tuple[TriplePattern, ...]] = []
+    for msrc in minus_srcs:
+        group = tuple(_parse_patterns(msrc, prefixes))
+        if not group:
+            raise SparqlSyntaxError("empty MINUS group")
+        minuses.append(group)
 
     required_vars = set().union(
         set(), *(tp.variables() for tp in patterns)
@@ -255,6 +274,14 @@ def parse_sparql(query: str) -> BGPQuery:
         if not grp_vars & required_vars:
             raise SparqlSyntaxError(
                 "OPTIONAL group shares no variable with the required patterns"
+            )
+    for grp in minuses:
+        grp_vars = set().union(*(tp.variables() for tp in grp))
+        if not grp_vars & required_vars:
+            # SPARQL says disjoint-domain MINUS removes nothing; silently
+            # keeping everything hides a typo'd variable — reject instead.
+            raise SparqlSyntaxError(
+                "MINUS group shares no variable with the required patterns"
             )
     if projection is not None:
         unknown = set(projection) - pattern_vars
@@ -276,7 +303,8 @@ def parse_sparql(query: str) -> BGPQuery:
                 raise SparqlSyntaxError(f"ORDER BY variable not in BGP: ?{var}")
             order_by.append((var, (km.group("dir") or "ASC").upper() == "DESC"))
     lm = _LIMIT.search(mods)
-    leftover = _LIMIT.sub("", _ORDER.sub("", mods)).strip()
+    om2 = _OFFSET.search(mods)
+    leftover = _OFFSET.sub("", _LIMIT.sub("", _ORDER.sub("", mods))).strip()
     if leftover:
         raise SparqlSyntaxError(f"unsupported solution modifiers: {leftover!r}")
     return BGPQuery(
@@ -288,4 +316,6 @@ def parse_sparql(query: str) -> BGPQuery:
         filters=tuple(filters),
         optionals=tuple(optionals),
         unions=tuple(unions),
+        minuses=tuple(minuses),
+        offset=int(om2.group("n")) if om2 else None,
     )

@@ -39,6 +39,7 @@ def _encode_constants(bgp: BGPQuery, dictionary: Dictionary | None) -> dict[str,
         list(bgp.patterns)
         + [tp for grp in bgp.optionals for tp in grp]
         + [tp for arm in bgp.unions for tp in arm]
+        + [tp for grp in bgp.minuses for tp in grp]
     )
     terms = sorted(
         {
@@ -235,6 +236,23 @@ def plan_bgp(
                 bound_cols[v] = renames[gcols[v]]
                 order.append(v)
 
+    # MINUS groups → LEFT ANTI JOIN on the shared variables (SPARQL 1.1
+    # §8.3): a binding is removed when the group produces a compatible
+    # binding. The parser guarantees ≥1 shared variable (disjoint-domain
+    # MINUS is rejected), so the anti-join condition is never empty.
+    for mi, grp in enumerate(bgp.minuses):
+        gdf, gcols, _ = _join_group(store, list(grp), term_ids, idx_offset)
+        idx_offset += len(grp)
+        renames = {c: f"{c}_m{mi}" for c in gdf.columns}
+        for old, new in renames.items():
+            gdf = gdf.withColumnRenamed(old, new)
+        shared = [v for v in gcols if v in bound_cols]
+        cond = reduce(
+            lambda a, b: a & b,
+            [F.col(bound_cols[v]) == F.col(renames[gcols[v]]) for v in shared],
+        )
+        joined = joined.join(gdf, cond, "left_anti")
+
     # FILTER constraints: plain Column predicates over the bound variables —
     # applied BEFORE projection so non-projected variables can be filtered;
     # Catalyst pushes var-vs-constant comparisons down into the scans.
@@ -272,13 +290,16 @@ def plan_bgp(
                 for v, desc in bgp.order_by
             ]
         )
+        if bgp.offset is not None:
+            joined = joined.offset(bgp.offset)
         if bgp.limit is not None:
             joined = joined.limit(bgp.limit)
 
     out = joined.select(*[F.col(bound_cols[v]).alias(v) for v in proj])
 
     # solution modifiers — plain DataFrame ops; ORDER BY + LIMIT compiles to
-    # TakeOrderedAndProject (no global sort materialization)
+    # TakeOrderedAndProject (no global sort materialization); OFFSET applies
+    # between them (SPARQL 1.1 §15: slice = Slice(OrderBy(...), offset, limit))
     if bgp.distinct:
         out = out.distinct()
     if not sort_pre_projection:
@@ -286,6 +307,8 @@ def plan_bgp(
             out = out.orderBy(
                 *[F.col(v).desc() if desc else F.col(v).asc() for v, desc in bgp.order_by]
             )
+        if bgp.offset is not None:
+            out = out.offset(bgp.offset)
         if bgp.limit is not None:
             out = out.limit(bgp.limit)
     return out

@@ -49,9 +49,9 @@ def test_parse_quoted_literal_with_dot():
 
 def test_parse_rejects_unsupported():
     with pytest.raises(SparqlSyntaxError):
-        parse_sparql("SELECT ?x WHERE { ?x :p ?y . MINUS { ?x :q ?y } }")
-    with pytest.raises(SparqlSyntaxError):
         parse_sparql("SELECT ?x WHERE { GRAPH <g> { ?x :p ?y } }")
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql("SELECT ?x WHERE { SERVICE <s> { ?x :p ?y } }")
 
 
 def test_parse_prefix_expansion():
@@ -264,7 +264,57 @@ def test_parse_solution_modifiers():
 
 def test_parse_rejects_unknown_modifier():
     with pytest.raises(SparqlSyntaxError, match="unsupported solution"):
-        parse_sparql("SELECT ?a WHERE { ?a :p ?b . } OFFSET 5")
+        parse_sparql("SELECT ?a WHERE { ?a :p ?b . } GROUP BY ?a")
+
+
+def test_parse_offset():
+    bgp = parse_sparql(
+        "SELECT ?a WHERE { ?a :p ?b . } ORDER BY ?a LIMIT 3 OFFSET 2"
+    )
+    assert bgp.offset == 2 and bgp.limit == 3
+
+
+def test_offset_executes(tiny_store, tiny_dict):
+    # p10 subjects sorted: -5, 1, 1, 2 → OFFSET 1 LIMIT 2 = [1, 1]
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s WHERE { ?s :p10 ?o . } ORDER BY ?s LIMIT 2 OFFSET 1",
+        tiny_dict,
+    )
+    assert [r.s for r in df.collect()] == [1, 1]
+
+
+def test_parse_minus_group():
+    bgp = parse_sparql("SELECT ?x WHERE { ?x :p ?y . MINUS { ?x :q ?y } }")
+    assert len(bgp.minuses) == 1
+    assert bgp.minuses[0][0].p == ("term", ":q")
+
+
+def test_parse_rejects_disjoint_minus():
+    with pytest.raises(SparqlSyntaxError, match="MINUS group shares no"):
+        parse_sparql("SELECT ?x WHERE { ?x :p ?y . MINUS { ?a :q ?b } }")
+
+
+def test_minus_executes(tiny_store, tiny_dict):
+    # p10 edges 1→1, 1→2, 2→2, -5→1; MINUS subjects with a p20 edge (only 2)
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?o WHERE { ?s :p10 ?o . MINUS { ?s :p20 ?z } }",
+        tiny_dict,
+    )
+    rows = sorted((r.s, r.o) for r in df.collect())
+    assert rows == [(-5, 1), (1, 1), (1, 2)]
+
+
+def test_minus_on_two_shared_vars(tiny_store, tiny_dict):
+    # remove exact (s,o) pairs that are ALSO p20 edges: p20 has 2→3 only;
+    # no p10 edge equals (2,3), so nothing is removed
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?o WHERE { ?s :p10 ?o . MINUS { ?s :p20 ?o } }",
+        tiny_dict,
+    )
+    assert df.count() == 4
 
 
 def test_parse_rejects_order_by_unknown_var():

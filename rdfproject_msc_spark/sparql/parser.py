@@ -9,7 +9,8 @@ query at MyOpVisitorBase.java:132-133).
 
 Beyond the reference: solution modifiers (DISTINCT/ORDER BY/LIMIT/OFFSET),
 numeric FILTER comparisons over encoded ids, OPTIONAL groups (left joins),
-MINUS groups (left-anti joins), one UNION block of group alternatives (the
+MINUS groups (left-anti joins), FILTER [NOT] EXISTS (semi/anti joins),
+one UNION block of group alternatives (the
 generalization of the reference translator's hand-emitted Positive UNION
 ALL Negative, MyOpVisitorBase.java:106-123), and PREFIX expansion (the
 reference's Jena front-end resolved prefixes before normalization,
@@ -37,6 +38,10 @@ _UNSUPPORTED = re.compile(r"\b(GRAPH|SERVICE)\b", re.I)
 _OPTIONAL = re.compile(r"\bOPTIONAL\s*\{([^{}]*)\}\s*\.?", re.I)
 # MINUS groups: non-nested `MINUS { ... }` → left-anti join on shared vars
 _MINUS = re.compile(r"\bMINUS\s*\{([^{}]*)\}\s*\.?", re.I)
+# FILTER [NOT] EXISTS { ... } → left-semi / left-anti join on shared vars
+_FILTER_EXISTS = re.compile(
+    r"\bFILTER\s+(?P<neg>NOT\s+)?EXISTS\s*\{([^{}]*)\}\s*\.?", re.I
+)
 # one UNION chain of 2+ group alternatives: `{...} UNION {...} [UNION {...}]`
 # → unionByName(allowMissingColumns) in the planner (the generalization of
 # the reference translator's hand-emitted Positive UNION ALL Negative,
@@ -110,6 +115,8 @@ class BGPQuery:
     unions: tuple[tuple[TriplePattern, ...], ...] = ()
     # MINUS groups → left-anti join on the shared variables
     minuses: tuple[tuple[TriplePattern, ...], ...] = ()
+    # FILTER [NOT] EXISTS groups: (negated, patterns) → semi/anti join
+    exists: tuple[tuple[bool, tuple[TriplePattern, ...]], ...] = ()
     # OFFSET (applies after ORDER BY, before LIMIT)
     offset: int | None = None
 
@@ -196,6 +203,13 @@ def parse_sparql(query: str) -> BGPQuery:
     if re.search(r"\bOPTIONAL\b", bgp_src, re.I):
         raise SparqlSyntaxError("nested OPTIONAL groups are not supported")
 
+    # extract FILTER [NOT] EXISTS groups (before MINUS: both are
+    # keyword-prefixed braces, and EXISTS carries the FILTER keyword)
+    exists_srcs: list[tuple[bool, str]] = []  # (negated, patterns source)
+    for em in _FILTER_EXISTS.finditer(bgp_src):
+        exists_srcs.append((bool(em.group("neg")), em.group(2)))
+    bgp_src = _FILTER_EXISTS.sub(" ", bgp_src)
+
     # extract MINUS groups (non-nested, keyword-prefixed like OPTIONAL)
     minus_srcs = [mm.group(1) for mm in _MINUS.finditer(bgp_src)]
     bgp_src = _MINUS.sub(" ", bgp_src)
@@ -262,6 +276,12 @@ def parse_sparql(query: str) -> BGPQuery:
         if not group:
             raise SparqlSyntaxError("empty MINUS group")
         minuses.append(group)
+    exists: list[tuple[bool, tuple[TriplePattern, ...]]] = []
+    for neg, esrc in exists_srcs:
+        group = tuple(_parse_patterns(esrc, prefixes))
+        if not group:
+            raise SparqlSyntaxError("empty EXISTS group")
+        exists.append((neg, group))
 
     required_vars = set().union(
         set(), *(tp.variables() for tp in patterns)
@@ -282,6 +302,12 @@ def parse_sparql(query: str) -> BGPQuery:
             # keeping everything hides a typo'd variable — reject instead.
             raise SparqlSyntaxError(
                 "MINUS group shares no variable with the required patterns"
+            )
+    for _, grp in exists:
+        grp_vars = set().union(*(tp.variables() for tp in grp))
+        if not grp_vars & required_vars:
+            raise SparqlSyntaxError(
+                "EXISTS group shares no variable with the required patterns"
             )
     if projection is not None:
         unknown = set(projection) - pattern_vars
@@ -317,5 +343,6 @@ def parse_sparql(query: str) -> BGPQuery:
         optionals=tuple(optionals),
         unions=tuple(unions),
         minuses=tuple(minuses),
+        exists=tuple(exists),
         offset=int(om2.group("n")) if om2 else None,
     )

@@ -40,6 +40,7 @@ def _encode_constants(bgp: BGPQuery, dictionary: Dictionary | None) -> dict[str,
         + [tp for grp in bgp.optionals for tp in grp]
         + [tp for arm in bgp.unions for tp in arm]
         + [tp for grp in bgp.minuses for tp in grp]
+        + [tp for _, grp in bgp.exists for tp in grp]
     )
     terms = sorted(
         {
@@ -252,6 +253,22 @@ def plan_bgp(
             [F.col(bound_cols[v]) == F.col(renames[gcols[v]]) for v in shared],
         )
         joined = joined.join(gdf, cond, "left_anti")
+
+    # FILTER [NOT] EXISTS groups → LEFT SEMI / LEFT ANTI join on the shared
+    # variables (SPARQL 1.1 §8.1.1): existence tests never add bindings,
+    # they only keep/remove rows — exactly Spark's semi/anti join semantics.
+    for ei, (neg, grp) in enumerate(bgp.exists):
+        gdf, gcols, _ = _join_group(store, list(grp), term_ids, idx_offset)
+        idx_offset += len(grp)
+        renames = {c: f"{c}_e{ei}" for c in gdf.columns}
+        for old, new in renames.items():
+            gdf = gdf.withColumnRenamed(old, new)
+        shared = [v for v in gcols if v in bound_cols]
+        cond = reduce(
+            lambda a, b: a & b,
+            [F.col(bound_cols[v]) == F.col(renames[gcols[v]]) for v in shared],
+        )
+        joined = joined.join(gdf, cond, "left_anti" if neg else "left_semi")
 
     # FILTER constraints: plain Column predicates over the bound variables —
     # applied BEFORE projection so non-projected variables can be filtered;

@@ -336,3 +336,52 @@ def test_decode_roundtrip(tiny_store, tiny_dict):
         tiny_store, "SELECT ?x WHERE { ?x :p20 ?y . }", tiny_dict, decode=True
     )
     assert [r.x for r in df.collect()] == [":n2"]
+
+
+def test_parse_filter_exists():
+    bgp = parse_sparql(
+        "SELECT ?x WHERE { ?x :p ?y . FILTER EXISTS { ?y :q ?z } "
+        "FILTER NOT EXISTS { ?x :r ?w } }"
+    )
+    assert len(bgp.exists) == 2
+    assert bgp.exists[0][0] is False and bgp.exists[1][0] is True
+    assert not bgp.filters  # the paren-FILTER extractor must not fire
+
+
+def test_parse_rejects_disjoint_exists():
+    with pytest.raises(SparqlSyntaxError, match="EXISTS group shares no"):
+        parse_sparql("SELECT ?x WHERE { ?x :p ?y . FILTER EXISTS { ?a :q ?b } }")
+
+
+def test_filter_exists_executes(tiny_store, tiny_dict):
+    # p10 edges 1→1, 1→2, 2→2, -5→1; keep subjects whose object has a p20 edge
+    # (p20: 2→3) → rows with o=2
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?o WHERE { ?s :p10 ?o . FILTER EXISTS { ?o :p20 ?z } }",
+        tiny_dict,
+    )
+    assert sorted((r.s, r.o) for r in df.collect()) == [(1, 2), (2, 2)]
+
+
+def test_filter_not_exists_executes(tiny_store, tiny_dict):
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?o WHERE { ?s :p10 ?o . FILTER NOT EXISTS { ?o :p20 ?z } }",
+        tiny_dict,
+    )
+    assert sorted((r.s, r.o) for r in df.collect()) == [(-5, 1), (1, 1)]
+
+
+def test_exists_never_duplicates_rows(tiny_store, tiny_dict):
+    """Semi-join semantics: a multi-match EXISTS group must not multiply
+    left rows (the difference between semi join and inner join)."""
+    # ?o :p10 ?z matches twice for o=1 (1→1, 1→2); rows with o=1 must
+    # still appear exactly once each
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?o WHERE { ?s :p10 ?o . FILTER EXISTS { ?o :p10 ?z } }",
+        tiny_dict,
+    )
+    rows = sorted((r.s, r.o) for r in df.collect())
+    assert rows == [(-5, 1), (1, 1), (1, 2), (2, 2)]

@@ -10,7 +10,8 @@ query at MyOpVisitorBase.java:132-133).
 Beyond the reference: solution modifiers (DISTINCT/ORDER BY/LIMIT/OFFSET),
 numeric FILTER comparisons over encoded ids, OPTIONAL groups (left joins),
 MINUS groups (left-anti joins), FILTER [NOT] EXISTS (semi/anti joins),
-one UNION block of group alternatives (the
+single-variable VALUES blocks (isin), one UNION block of group
+alternatives (the
 generalization of the reference translator's hand-emitted Positive UNION
 ALL Negative, MyOpVisitorBase.java:106-123), and PREFIX expansion (the
 reference's Jena front-end resolved prefixes before normalization,
@@ -42,6 +43,9 @@ _MINUS = re.compile(r"\bMINUS\s*\{([^{}]*)\}\s*\.?", re.I)
 _FILTER_EXISTS = re.compile(
     r"\bFILTER\s+(?P<neg>NOT\s+)?EXISTS\s*\{([^{}]*)\}\s*\.?", re.I
 )
+# single-variable VALUES block: inline bindings → an isin() filter the
+# optimizer pushes into the scans (multi-variable VALUES is out of scope)
+_VALUES = re.compile(r"\bVALUES\s+[?$](?P<var>\w+)\s*\{(?P<vals>[^{}]*)\}\s*\.?", re.I)
 # one UNION chain of 2+ group alternatives: `{...} UNION {...} [UNION {...}]`
 # → unionByName(allowMissingColumns) in the planner (the generalization of
 # the reference translator's hand-emitted Positive UNION ALL Negative,
@@ -117,6 +121,8 @@ class BGPQuery:
     minuses: tuple[tuple[TriplePattern, ...], ...] = ()
     # FILTER [NOT] EXISTS groups: (negated, patterns) → semi/anti join
     exists: tuple[tuple[bool, tuple[TriplePattern, ...]], ...] = ()
+    # VALUES blocks: (var, allowed slots) → isin filter
+    values: tuple[tuple[str, tuple[tuple[str, object], ...]], ...] = ()
     # OFFSET (applies after ORDER BY, before LIMIT)
     offset: int | None = None
 
@@ -209,6 +215,23 @@ def parse_sparql(query: str) -> BGPQuery:
     for em in _FILTER_EXISTS.finditer(bgp_src):
         exists_srcs.append((bool(em.group("neg")), em.group(2)))
     bgp_src = _FILTER_EXISTS.sub(" ", bgp_src)
+
+    # extract VALUES blocks (single variable; braces are keyword-prefixed)
+    values: list[tuple[str, tuple[tuple[str, object], ...]]] = []
+    for vm in _VALUES.finditer(bgp_src):
+        entries = tuple(
+            _normalize_term(tok, prefixes) for tok in _TOKEN.findall(vm.group("vals"))
+        )
+        if not entries:
+            raise SparqlSyntaxError("empty VALUES block")
+        if any(kind == "var" for kind, _ in entries):
+            raise SparqlSyntaxError("VALUES entries must be constants")
+        values.append((vm.group("var"), entries))
+    bgp_src = _VALUES.sub(" ", bgp_src)
+    if re.search(r"\bVALUES\b", bgp_src, re.I):
+        raise SparqlSyntaxError(
+            "only single-variable VALUES blocks are supported"
+        )
 
     # extract MINUS groups (non-nested, keyword-prefixed like OPTIONAL)
     minus_srcs = [mm.group(1) for mm in _MINUS.finditer(bgp_src)]
@@ -309,6 +332,9 @@ def parse_sparql(query: str) -> BGPQuery:
             raise SparqlSyntaxError(
                 "EXISTS group shares no variable with the required patterns"
             )
+    for var, _ in values:
+        if var not in required_vars:
+            raise SparqlSyntaxError(f"VALUES variable not in BGP: ?{var}")
     if projection is not None:
         unknown = set(projection) - pattern_vars
         if unknown:
@@ -344,5 +370,6 @@ def parse_sparql(query: str) -> BGPQuery:
         unions=tuple(unions),
         minuses=tuple(minuses),
         exists=tuple(exists),
+        values=tuple(values),
         offset=int(om2.group("n")) if om2 else None,
     )

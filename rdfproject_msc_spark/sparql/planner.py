@@ -49,6 +49,12 @@ def _encode_constants(bgp: BGPQuery, dictionary: Dictionary | None) -> dict[str,
             for kind, val in (tp.s, tp.p, tp.o)
             if kind == "term"
         }
+        | {
+            val
+            for _, entries in bgp.values
+            for kind, val in entries
+            if kind == "term"
+        }
     )
     if terms and dictionary is None:
         raise SparqlSyntaxError("query has term constants but no dictionary was given")
@@ -269,6 +275,15 @@ def plan_bgp(
             [F.col(bound_cols[v]) == F.col(renames[gcols[v]]) for v in shared],
         )
         joined = joined.join(gdf, cond, "left_anti" if neg else "left_semi")
+
+    # VALUES blocks → isin() over the resolved ids: an In predicate Catalyst
+    # pushes into the Parquet scan (bounded by query size, like all constant
+    # encoding — never a data-sized driver structure).
+    for var, entries in bgp.values:
+        ids = [
+            int(val) if kind == "id" else term_ids[val] for kind, val in entries
+        ]
+        joined = joined.filter(F.col(bound_cols[var]).isin(ids))
 
     # FILTER constraints: plain Column predicates over the bound variables —
     # applied BEFORE projection so non-projected variables can be filtered;

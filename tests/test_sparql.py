@@ -385,3 +385,42 @@ def test_exists_never_duplicates_rows(tiny_store, tiny_dict):
     )
     rows = sorted((r.s, r.o) for r in df.collect())
     assert rows == [(-5, 1), (1, 1), (1, 2), (2, 2)]
+
+
+def test_parse_values_block():
+    bgp = parse_sparql(
+        "SELECT ?s WHERE { ?s :p10 ?o . VALUES ?o { 1 2 :n3 } }"
+    )
+    assert bgp.values == (("o", (("id", 1), ("id", 2), ("term", ":n3"))),)
+
+
+def test_parse_rejects_values_unknown_var():
+    with pytest.raises(SparqlSyntaxError, match="VALUES variable"):
+        parse_sparql("SELECT ?s WHERE { ?s :p10 ?o . VALUES ?zz { 1 } }")
+
+
+def test_parse_rejects_multi_var_values():
+    with pytest.raises(SparqlSyntaxError, match="single-variable VALUES"):
+        parse_sparql(
+            "SELECT ?s WHERE { ?s :p10 ?o . VALUES (?s ?o) { (1 2) } }"
+        )
+
+
+def test_values_executes(tiny_store, tiny_dict):
+    # p10 edges 1→1, 1→2, 2→2, -5→1; VALUES ?o { 2 } keeps o=2 rows
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?o WHERE { ?s :p10 ?o . VALUES ?o { 2 } }",
+        tiny_dict,
+    )
+    assert sorted((r.s, r.o) for r in df.collect()) == [(1, 2), (2, 2)]
+
+
+def test_values_with_terms_executes(tiny_store, tiny_dict):
+    # terms resolve through the dictionary: :n1=1, :n3=3 → o ∈ {1, 3}
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?o WHERE { ?s :p10 ?o . VALUES ?o { :n1 :n3 } }",
+        tiny_dict,
+    )
+    assert sorted((r.s, r.o) for r in df.collect()) == [(-5, 1), (1, 1)]

@@ -1537,7 +1537,7 @@ MULTIMODAL_STATS_SQL = f"""
 WITH {_ASSETS_CTE}
 SELECT modality,
        count(*) AS n_assets,
-       sum(n_bytes) AS total_bytes,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
        round(avg(n_bytes), 6) AS avg_bytes,
        max(n_bytes % 640 + 1) AS max_width,
        min((n_bytes * 7) % 480 + 1) AS min_height

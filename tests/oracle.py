@@ -62,6 +62,82 @@ def _type_class(x) -> str:
     return type(x).__name__
 
 
+def _arrow_type_class(t) -> str:
+    """Type class of a DECLARED duckdb result column (via Arrow schema).
+
+    The driver's value hash is type-strict at the declared-type level:
+    duckdb's Python fetchall() converts HUGEINT (e.g. sum(BIGINT)) to plain
+    int, hiding the drift from cell-level comparison — but .arrow() reports
+    it as decimal128(38,0), which is what the driver actually hashes.
+    """
+    import pyarrow.types as pat
+
+    if pat.is_integer(t):
+        return "int"
+    if pat.is_floating(t):
+        return "float"
+    if pat.is_decimal(t):
+        return "decimal"
+    if pat.is_boolean(t):
+        return "bool"
+    if pat.is_string(t) or pat.is_large_string(t):
+        return "str"
+    if pat.is_binary(t) or pat.is_large_binary(t):
+        return "bytes"
+    if pat.is_timestamp(t):
+        return "datetime"
+    if pat.is_date(t):
+        return "date"
+    if pat.is_list(t) or pat.is_large_list(t):
+        return "list<" + _arrow_type_class(t.value_type) + ">"
+    if pat.is_struct(t):
+        return "struct"
+    return str(t)
+
+
+def _spark_type_class(t) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(t, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(t, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(t, T.DecimalType):
+        return "decimal"
+    if isinstance(t, T.BooleanType):
+        return "bool"
+    if isinstance(t, T.StringType):
+        return "str"
+    if isinstance(t, T.BinaryType):
+        return "bytes"
+    if isinstance(t, (T.TimestampType, T.TimestampNTZType)):
+        return "datetime"
+    if isinstance(t, T.DateType):
+        return "date"
+    if isinstance(t, T.ArrayType):
+        return "list<" + _spark_type_class(t.elementType) + ">"
+    if isinstance(t, T.StructType):
+        return "struct"
+    return t.simpleString()
+
+
+def declared_type_mismatches(spark_schema, con, sql: str):
+    """Compare DECLARED result types: Spark df.schema vs duckdb's Arrow
+    schema for the oracle SQL. Returns [(col, spark_class, oracle_class)].
+
+    This catches the HUGEINT drift class (uncast sum() in oracle SQL) that
+    cell-value comparison cannot see locally."""
+    arrow_schema = con.execute(sql).arrow().schema
+    o_types = {f.name: _arrow_type_class(f.type) for f in arrow_schema}
+    out = []
+    for field in spark_schema.fields:
+        sc = _spark_type_class(field.dataType)
+        oc = o_types.get(field.name)
+        if oc is not None and sc != oc:
+            out.append((field.name, sc, oc))
+    return out
+
+
 def _normalize(rows, columns):
     order = sorted(range(len(columns)), key=lambda i: columns[i])
 
@@ -88,3 +164,5 @@ def assert_matches_oracle(spark_df, sql: str, sf_dir: str):
     assert sorted(s_cols) == sorted(o_cols), f"columns differ: {s_cols} vs {o_cols}"
     assert len(s_rows) == len(o_rows), f"row count differs: {len(s_rows)} vs {len(o_rows)}"
     assert _normalize(s_rows, s_cols) == _normalize(o_rows, o_cols)
+    drift = declared_type_mismatches(spark_df.schema, con, sql)
+    assert not drift, f"declared result types differ (driver hash would fail): {drift}"

@@ -57,3 +57,41 @@ def test_equiv_union_detects_divergence(spark):
     assert _equiv_union(a, missing).count() == 4   # the lost duplicate surfaces
     assert _equiv_union(a, extra).count() == 4     # the foreign row surfaces
     assert _equiv_union(a, same, extra).count() == 4
+
+
+def test_declared_type_gate_catches_hugeint(spark):
+    """duckdb fetchall() converts sum(BIGINT)'s HUGEINT result to plain int,
+    so cell-level comparison cannot see the drift that fails the driver's
+    type-strict hash. The declared-type gate (Arrow schema vs Spark schema)
+    must flag an uncast sum() and pass the CAST(... AS BIGINT) twin."""
+    import duckdb
+
+    from tests.oracle import declared_type_mismatches
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW t AS SELECT CAST(5 AS BIGINT) AS n")
+    df = spark.createDataFrame([(5,)], "total long")
+
+    drift = declared_type_mismatches(
+        df.schema, con, "SELECT sum(n) AS total FROM t"
+    )
+    assert drift == [("total", "int", "decimal")]
+
+    assert not declared_type_mismatches(
+        df.schema, con, "SELECT CAST(sum(n) AS BIGINT) AS total FROM t"
+    )
+
+
+def test_declared_type_gate_int_widths_agree(spark):
+    """INTEGER vs BIGINT are both class 'int' — the driver's hash does not
+    distinguish widths (verified by 48 green r3 rows over mixed widths), so
+    the gate must not false-positive on them."""
+    import duckdb
+
+    from tests.oracle import declared_type_mismatches
+
+    con = duckdb.connect()
+    df = spark.createDataFrame([(5, 1.5)], "a long, b double")
+    assert not declared_type_mismatches(
+        df.schema, con, "SELECT CAST(5 AS INTEGER) AS a, CAST(1.5 AS DOUBLE) AS b"
+    )

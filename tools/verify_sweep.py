@@ -13,7 +13,7 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import SparkSession
 
-from tests.oracle import _normalize, duck_connect
+from tests.oracle import _normalize, declared_type_mismatches, duck_connect
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
@@ -65,6 +65,9 @@ def main() -> int:
         elif _normalize(s_rows, s_cols) != _normalize(o_rows, o_cols):
             failures.append(name)
             print(f"FAIL {name}: value/type hash mismatch", flush=True)
+        elif drift := declared_type_mismatches(df.schema, con, sql):
+            failures.append(name)
+            print(f"FAIL {name}: declared type drift {drift}", flush=True)
         else:
             print(f"ok   {name}: {len(s_rows)} rows ({time.time() - t0:.1f}s)", flush=True)
 

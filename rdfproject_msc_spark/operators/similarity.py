@@ -285,13 +285,36 @@ def ivf_write(
     write-once half: one directory per centroid, vectors stored with their
     assignment. Every subsequent probe query prunes to nprobe directories
     (PartitionFilters), the same mechanism as the triple store's sign
-    split."""
+    split.
+
+    The k×dim centroid table is persisted beside the data under
+    ``_centroids`` (underscore-prefixed → invisible to Spark's file
+    listing, like ``_SUCCESS``), so the layout is self-contained: a later
+    session can probe it without re-deriving the quantizer."""
     (
         df.withColumn("centroid", _nearest_centroid(F.col(vec_col), centroids))
         .write.mode("overwrite")
         .partitionBy("centroid")
         .parquet(path)
     )
+    (
+        df.sparkSession.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "centroid int, vector array<double>",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/_centroids")
+    )
+
+
+def ivf_load_centroids(spark, path: str) -> list[list[float]]:
+    """Load the quantizer persisted by ``ivf_write`` (bounded: k rows)."""
+    rows = spark.read.parquet(f"{path}/_centroids").collect()
+    out: list[list[float]] = [None] * len(rows)  # type: ignore[list-item]
+    for r in rows:
+        out[r["centroid"]] = list(r["vector"])
+    return out
 
 
 def ivf_topk_persisted(
@@ -307,7 +330,12 @@ def ivf_topk_persisted(
 ) -> DataFrame:
     """Probe an ``ivf_write`` layout: filter to the nprobe centroid
     directories nearest the query (directory pruning — the non-probed
-    corpus is never read), score candidates exactly, take top-k."""
+    corpus is never read), score candidates exactly, take top-k.
+
+    ``centroids=None`` loads the quantizer persisted beside the layout by
+    ``ivf_write`` (the default path: the layout is self-contained)."""
+    if centroids is None:
+        centroids = ivf_load_centroids(spark, path)
     qn = sum(x * x for x in query_vec) ** 0.5
 
     def cos(c: list[float]) -> float:

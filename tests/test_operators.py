@@ -181,3 +181,30 @@ def test_ivf_persisted_prunes_directories(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, in_memory.collect())
     )
+
+
+def test_ivf_persisted_layout_is_self_contained(spark, sf_dir, tmp_path):
+    """centroids=None must load the quantizer persisted beside the layout
+    and return the same answer as passing the centroids explicitly — and
+    the _centroids sidecar must stay invisible to the data scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(emb, dim=64, k=8, n_iter=2)
+    path = str(tmp_path / "ivf")
+    similarity.ivf_write(emb, cents, path)
+
+    assert similarity.ivf_load_centroids(spark, path) == [
+        [float(x) for x in c] for c in cents
+    ]
+    data_cols = spark.read.parquet(path).columns
+    assert "centroid" in data_cols and "vector" not in data_cols
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    explicit = similarity.ivf_topk_persisted(
+        spark, path, qvec, k=10, centroids=cents, nprobe=4, exclude_id=0
+    )
+    from_sidecar = similarity.ivf_topk_persisted(
+        spark, path, qvec, k=10, nprobe=4, exclude_id=0
+    )
+    assert sorted(map(tuple, explicit.collect())) == sorted(
+        map(tuple, from_sidecar.collect())
+    )

@@ -8,16 +8,18 @@ we keep ALL patterns and join them (the intended semantics, per the example
 query at MyOpVisitorBase.java:132-133).
 
 Beyond the reference: solution modifiers (DISTINCT/ORDER BY/LIMIT/OFFSET),
-numeric FILTER comparisons over encoded ids, OPTIONAL groups (left joins),
-MINUS groups (left-anti joins), FILTER [NOT] EXISTS (semi/anti joins),
-single-variable VALUES blocks (isin), one UNION block of group
-alternatives (the
-generalization of the reference translator's hand-emitted Positive UNION
-ALL Negative, MyOpVisitorBase.java:106-123), and PREFIX expansion (the
-reference's Jena front-end resolved prefixes before normalization,
-MyOpVisitorBase.java:49,74-78). Out of scope, rejected explicitly:
-property paths, nested groups, multiple UNION blocks, FILTERs inside
-groups, non-comparison FILTER forms (SURVEY.md §7 risk list).
+FILTER expressions (numeric comparisons over encoded ids combined with
+&& / || / ! and parentheses, SPARQL 1.1 §17.2), FILTERs inside OPTIONAL
+groups (folded into the LeftJoin condition, §18.2.2.2), OPTIONAL groups
+(left joins), MINUS groups (left-anti joins), FILTER [NOT] EXISTS
+(semi/anti joins), single-variable VALUES blocks (isin), one UNION block
+of group alternatives (the generalization of the reference translator's
+hand-emitted Positive UNION ALL Negative, MyOpVisitorBase.java:106-123),
+and PREFIX expansion (the reference's Jena front-end resolved prefixes
+before normalization, MyOpVisitorBase.java:49,74-78). Out of scope,
+rejected explicitly: property paths other than sequences, nested groups,
+multiple UNION blocks, non-comparison FILTER forms (regex, string
+functions) (SURVEY.md §7 risk list).
 
 Term forms (normalization mirrors MyOpVisitorBase.java:74-78):
   ?x / $x          variable
@@ -31,6 +33,7 @@ Term forms (normalization mirrors MyOpVisitorBase.java:74-78):
 
 from __future__ import annotations
 
+import itertools
 import re
 from dataclasses import dataclass
 
@@ -52,24 +55,41 @@ _VALUES = re.compile(r"\bVALUES\s+[?$](?P<var>\w+)\s*\{(?P<vals>[^{}]*)\}\s*\.?"
 # MyOpVisitorBase.java:106-123)
 _UNION_CHAIN = re.compile(r"\{[^{}]*\}(?:\s*UNION\s*\{[^{}]*\})+\s*\.?", re.I)
 _BRACE_GROUP = re.compile(r"\{([^{}]*)\}")
-# FILTER: numeric comparisons over variables — ?x OP (number | ?y).
-# Comparisons act on the dictionary-encoded ids, which IS this engine's
-# data model (the reference's own SQL compares encoded ids directly,
-# PartitionQueryingSubject.java:130). Richer FILTER forms (regex, functions,
-# boolean connectives) are rejected explicitly.
-_FILTER = re.compile(r"\bFILTER\s*\(([^)]*)\)\s*\.?", re.I)
-_FILTER_EXPR = re.compile(
-    r"^\s*[?$](?P<var>\w+)\s*(?P<op><=|>=|!=|=|<|>)\s*"
-    r"(?:(?P<num>-?\d+)|[?$](?P<var2>\w+))\s*$"
+# FILTER: boolean expressions over numeric comparisons of variables —
+# `?x OP (number | ?y)` combined with `&&` / `||` / `!` and parentheses
+# (SPARQL 1.1 §17.2). Comparisons act on the dictionary-encoded ids, which
+# IS this engine's data model (the reference's own SQL compares encoded ids
+# directly, PartitionQueryingSubject.java:130). Non-numeric FILTER forms
+# (regex, string functions, casts) are rejected explicitly.
+#
+# Expression AST (BGPQuery.filters elements):
+#   (var, op, ('num', int) | ('var', name))   comparison leaf
+#   ('not', expr) / ('and', a, b) / ('or', a, b)
+# A node is a leaf iff node[1] is an operator symbol.
+_FILTER_KEYWORD = re.compile(r"\bFILTER\s*\(", re.I)
+_FILTER_TOKEN = re.compile(
+    r"\s*(\(|\)|&&|\|\||!=|<=|>=|=|<|>|!|[?$]\w+|-?\d+)"
 )
+_CMP_OPS = ("=", "!=", "<", "<=", ">", ">=")
 # tokens inside the BGP: quoted literal | <iri> | anything non-space
 _TOKEN = re.compile(r'"[^"]*"|<[^>]*>|\S+')
 _QUERY = re.compile(
     r"^\s*(?P<prefixes>(?:PREFIX\s+\S+\s*<[^>]*>\s*)*)"
-    r"SELECT\s+(?P<distinct>DISTINCT\s+)?(?P<proj>\*|(?:[?$]\w+\s*)+)\s*"
+    r"SELECT\s+(?P<distinct>DISTINCT\s+)?"
+    r"(?P<proj>\*|(?:(?:[?$]\w+|\((?:[^()]|\([^()]*\))*\))\s*)+)\s*"
     r"WHERE\s*\{(?P<bgp>.*)\}\s*(?P<mods>.*?)\s*$",
     re.I | re.S,
 )
+# projection items: a plain variable, or a parenthesized aggregate
+# `(AGG([DISTINCT] ?v|*) AS ?alias)` (SPARQL 1.1 §11; one paren level)
+_PROJ_ITEM = re.compile(r"[?$]\w+|\((?:[^()]|\([^()]*\))*\)")
+_AGG_ITEM = re.compile(
+    r"^\(\s*(?P<func>COUNT|SUM|AVG|MIN|MAX)\s*\(\s*"
+    r"(?P<distinct>DISTINCT\s+)?(?P<arg>\*|[?$]\w+)\s*\)\s+"
+    r"AS\s+[?$](?P<alias>\w+)\s*\)$",
+    re.I,
+)
+_GROUP = re.compile(r"GROUP\s+BY\s+(?P<keys>(?:[?$]\w+\s*)+)", re.I)
 _PREFIX_DECL = re.compile(r"PREFIX\s+([\w.\-]*):\s*<([^>]*)>", re.I)
 _ORDER = re.compile(
     r"ORDER\s+BY\s+(?P<keys>(?:(?:ASC|DESC)\s*\(\s*[?$]\w+\s*\)|[?$]\w+)(?:\s+(?:(?:ASC|DESC)\s*\(\s*[?$]\w+\s*\)|[?$]\w+))*)",
@@ -115,6 +135,10 @@ class BGPQuery:
     filters: tuple[tuple[str, str, tuple[str, object]], ...] = ()
     # OPTIONAL groups, each a tuple of patterns → left join onto the BGP
     optionals: tuple[tuple[TriplePattern, ...], ...] = ()
+    # per-OPTIONAL-group FILTER expressions (index-aligned with `optionals`):
+    # SPARQL 1.1 §18.2.2.2 folds a FILTER inside an OPTIONAL group into the
+    # LeftJoin condition — the planner compiles it into the join predicate
+    optional_filters: tuple[tuple, ...] = ()
     # arms of ONE `{...} UNION {...}` block → unionByName of arm plans
     unions: tuple[tuple[TriplePattern, ...], ...] = ()
     # MINUS groups → left-anti join on the shared variables
@@ -123,6 +147,12 @@ class BGPQuery:
     exists: tuple[tuple[bool, tuple[TriplePattern, ...]], ...] = ()
     # VALUES blocks: (var, allowed slots) → isin filter
     values: tuple[tuple[str, tuple[tuple[str, object], ...]], ...] = ()
+    # aggregation (SPARQL 1.1 §11): GROUP BY keys and projected aggregates
+    # (func, var|None for COUNT(*), distinct, alias); when either is set the
+    # planner lowers to groupBy/agg and `projection` holds the OUTPUT column
+    # order (group vars and aggregate aliases interleaved as written)
+    group_by: tuple[str, ...] = ()
+    aggregates: tuple[tuple[str, str | None, bool, str], ...] = ()
     # OFFSET (applies after ORDER BY, before LIMIT)
     offset: int | None = None
 
@@ -157,12 +187,195 @@ def _normalize_term(
     return ("term", tok)
 
 
-def _parse_patterns(src: str, prefixes: dict[str, str]) -> list[TriplePattern]:
+def _tokenize_filter(src: str) -> list[str]:
+    toks: list[str] = []
+    pos = 0
+    while pos < len(src):
+        m = _FILTER_TOKEN.match(src, pos)
+        if not m:
+            if src[pos:].strip():
+                raise SparqlSyntaxError(
+                    f"unsupported FILTER expression at {src[pos:].strip()!r} "
+                    "(supported: ?var OP number|?var with OP in = != < <= > >=, "
+                    "combined with && || ! and parentheses)"
+                )
+            break
+        toks.append(m.group(1))
+        pos = m.end()
+    return toks
+
+
+def _parse_filter_expr(src: str):
+    """Recursive-descent parse of a FILTER expression into the AST above.
+    Precedence (SPARQL 1.1 §17, same as C): ! > && > ||."""
+    toks = _tokenize_filter(src)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take(expected=None):
+        nonlocal pos
+        if pos >= len(toks) or (expected is not None and toks[pos] != expected):
+            raise SparqlSyntaxError(
+                f"bad FILTER expression {src!r}: expected "
+                f"{expected or 'a term'}, got {peek()!r}"
+            )
+        pos += 1
+        return toks[pos - 1]
+
+    def or_expr():
+        node = and_expr()
+        while peek() == "||":
+            take()
+            node = ("or", node, and_expr())
+        return node
+
+    def and_expr():
+        node = unary()
+        while peek() == "&&":
+            take()
+            node = ("and", node, unary())
+        return node
+
+    def unary():
+        if peek() == "!":
+            take()
+            return ("not", unary())
+        if peek() == "(":
+            take()
+            node = or_expr()
+            take(")")
+            return node
+        return comparison()
+
+    def comparison():
+        lhs = take()
+        if not lhs.startswith(("?", "$")):
+            raise SparqlSyntaxError(
+                f"bad FILTER expression {src!r}: comparison must start "
+                f"with a variable, got {lhs!r}"
+            )
+        op = take()
+        if op not in _CMP_OPS:
+            raise SparqlSyntaxError(
+                f"bad FILTER expression {src!r}: expected comparison "
+                f"operator, got {op!r}"
+            )
+        rhs = take()
+        if rhs.startswith(("?", "$")):
+            return (lhs[1:], op, ("var", rhs[1:]))
+        if re.fullmatch(r"-?\d+", rhs):
+            return (lhs[1:], op, ("num", int(rhs)))
+        raise SparqlSyntaxError(
+            f"bad FILTER expression {src!r}: comparison right side must "
+            f"be a number or variable, got {rhs!r}"
+        )
+
+    node = or_expr()
+    if pos != len(toks):
+        raise SparqlSyntaxError(
+            f"bad FILTER expression {src!r}: trailing tokens {toks[pos:]!r}"
+        )
+    return node
+
+
+def filter_expr_vars(node) -> set[str]:
+    """All variables referenced by a FILTER expression AST."""
+    if isinstance(node[1], str) and node[1] in _CMP_OPS:  # comparison leaf
+        var, _, rhs = node
+        return {var} | ({rhs[1]} if rhs[0] == "var" else set())
+    if node[0] == "not":
+        return filter_expr_vars(node[1])
+    return filter_expr_vars(node[1]) | filter_expr_vars(node[2])
+
+
+def _extract_filters(src: str):
+    """Pull every `FILTER( ... )` (balanced parens — the expression may
+    contain its own) out of a pattern source. Returns (stripped, exprs)."""
+    exprs = []
+    out = []
+    pos = 0
+    while True:
+        m = _FILTER_KEYWORD.search(src, pos)
+        if not m:
+            out.append(src[pos:])
+            break
+        out.append(src[pos : m.start()])
+        depth = 1
+        i = m.end()
+        while i < len(src) and depth:
+            if src[i] == "(":
+                depth += 1
+            elif src[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            raise SparqlSyntaxError("unbalanced parentheses in FILTER")
+        exprs.append(_parse_filter_expr(src[m.end() : i - 1]))
+        # swallow an optional statement terminator after the filter
+        rest = src[i:]
+        if rest.lstrip().startswith("."):
+            rest = rest.lstrip()[1:]
+        src = rest
+        pos = 0
+        out.append(" ")
+    return "".join(out), exprs
+
+
+_PATH_OPERATOR = re.compile(r"[\^*+|]")
+# internal variables introduced by sequence-path expansion; hidden from
+# SELECT * projections
+_PATH_VAR_PREFIX = "__pp"
+
+
+def _expand_path(
+    s_tok: str,
+    p_tok: str,
+    o_tok: str,
+    prefixes: dict[str, str],
+    path_counter,
+) -> list[TriplePattern]:
+    """Expand a sequence property path `p1/p2/.../pn` (SPARQL 1.1 §9.1)
+    in the predicate slot into the equivalent join chain through fresh
+    internal variables — exactly the 2-hop shape the engine already builds
+    by hand (queries.py two_hop / MyOpVisitorBase.java:132-133's intent).
+    Non-path predicates pass through as a single pattern."""
+    plain = not p_tok.startswith(('"', "<", "?", "$"))
+    if plain and _PATH_OPERATOR.search(p_tok):
+        raise SparqlSyntaxError(
+            f"unsupported property path {p_tok!r} "
+            "(only sequence paths p1/p2/... are supported)"
+        )
+    if not (plain and "/" in p_tok):
+        return [
+            TriplePattern(*(_normalize_term(t, prefixes) for t in (s_tok, p_tok, o_tok)))
+        ]
+    segs = p_tok.split("/")
+    if any(not seg for seg in segs):
+        raise SparqlSyntaxError(f"malformed sequence path: {p_tok!r}")
+    out: list[TriplePattern] = []
+    subj = _normalize_term(s_tok, prefixes)
+    for seg in segs[:-1]:
+        mid = ("var", f"{_PATH_VAR_PREFIX}{next(path_counter)}")
+        out.append(TriplePattern(subj, _normalize_term(seg, prefixes), mid))
+        subj = mid
+    out.append(
+        TriplePattern(subj, _normalize_term(segs[-1], prefixes), _normalize_term(o_tok, prefixes))
+    )
+    return out
+
+
+def _parse_patterns(
+    src: str, prefixes: dict[str, str], path_counter=None
+) -> list[TriplePattern]:
     """Tokenize the WHOLE pattern source first, then split the token stream
     on statement terminators. Splitting the raw string on "." would chop
     dots inside IRIs (<http://example.org/x> — hostnames always contain
     dots) and inside terms like :node_..._-9.15947_38.70289 (the
     reference's AIS vocabulary, MyOpVisitorBase.java:132)."""
+    if path_counter is None:
+        path_counter = itertools.count()
     patterns: list[TriplePattern] = []
     cur: list[str] = []
 
@@ -171,7 +384,7 @@ def _parse_patterns(src: str, prefixes: dict[str, str]) -> list[TriplePattern]:
             return
         if len(cur) != 3:
             raise SparqlSyntaxError(f"triple pattern needs 3 terms, got {cur!r}")
-        patterns.append(TriplePattern(*(_normalize_term(t, prefixes) for t in cur)))
+        patterns.extend(_expand_path(*cur, prefixes, path_counter))
         cur.clear()
 
     for tok in _TOKEN.findall(src):
@@ -254,54 +467,71 @@ def parse_sparql(query: str) -> BGPQuery:
             "no other nested groups)"
         )
 
-    # extract FILTER constraints before pattern tokenization
-    filters: list[tuple[str, str, tuple[str, object]]] = []
-    for fm in _FILTER.finditer(bgp_src):
-        em = _FILTER_EXPR.match(fm.group(1))
-        if not em:
-            raise SparqlSyntaxError(
-                f"unsupported FILTER expression: {fm.group(1)!r} "
-                "(supported: ?var OP number|?var with OP in = != < <= > >=)"
-            )
-        rhs = (
-            ("num", int(em.group("num")))
-            if em.group("num") is not None
-            else ("var", em.group("var2"))
-        )
-        filters.append((em.group("var"), em.group("op"), rhs))
-    bgp_src = _FILTER.sub(" ", bgp_src)
+    # extract FILTER constraints before pattern tokenization (balanced-paren
+    # scan: expressions may contain their own parentheses)
+    bgp_src, filters = _extract_filters(bgp_src)
 
     proj_src = m.group("proj").strip()
-    projection = (
-        None
-        if proj_src == "*"
-        else tuple(v.lstrip("?$") for v in proj_src.split())
-    )
+    aggregates: list[tuple[str, str | None, bool, str]] = []
+    if proj_src == "*":
+        projection = None
+    else:
+        items: list[str] = []
+        for itm in _PROJ_ITEM.findall(proj_src):
+            if itm.startswith(("?", "$")):
+                items.append(itm[1:])
+                continue
+            am = _AGG_ITEM.match(itm)
+            if not am:
+                raise SparqlSyntaxError(
+                    f"unsupported projection item: {itm!r} "
+                    "(supported: ?var or (AGG([DISTINCT] ?v|*) AS ?alias))"
+                )
+            func = am.group("func").lower()
+            arg = am.group("arg")
+            distinct_arg = bool(am.group("distinct"))
+            if arg == "*" and (func != "count" or distinct_arg):
+                raise SparqlSyntaxError(f"{func.upper()}(*) is not supported")
+            if distinct_arg and func not in ("count", "sum"):
+                raise SparqlSyntaxError(
+                    f"{func.upper()}(DISTINCT ...) is not supported"
+                )
+            aggregates.append(
+                (func, None if arg == "*" else arg[1:], distinct_arg, am.group("alias"))
+            )
+            items.append(am.group("alias"))
+        if len(set(items)) != len(items):
+            raise SparqlSyntaxError(f"duplicate projection names: {items}")
+        projection = tuple(items)
 
-    patterns = _parse_patterns(bgp_src, prefixes)
+    path_counter = itertools.count()  # fresh-var source shared query-wide
+    patterns = _parse_patterns(bgp_src, prefixes, path_counter)
     unions: list[tuple[TriplePattern, ...]] = []
     for usrc in union_srcs:
-        arm = tuple(_parse_patterns(usrc, prefixes))
+        arm = tuple(_parse_patterns(usrc, prefixes, path_counter))
         if not arm:
             raise SparqlSyntaxError("empty UNION arm")
         unions.append(arm)
     if not patterns and not unions:
         raise SparqlSyntaxError("empty basic graph pattern")
     optionals: list[tuple[TriplePattern, ...]] = []
+    optional_filters: list[tuple] = []
     for osrc in optional_srcs:
-        group = tuple(_parse_patterns(osrc, prefixes))
+        osrc, oflt = _extract_filters(osrc)
+        group = tuple(_parse_patterns(osrc, prefixes, path_counter))
         if not group:
             raise SparqlSyntaxError("empty OPTIONAL group")
         optionals.append(group)
+        optional_filters.append(tuple(oflt))
     minuses: list[tuple[TriplePattern, ...]] = []
     for msrc in minus_srcs:
-        group = tuple(_parse_patterns(msrc, prefixes))
+        group = tuple(_parse_patterns(msrc, prefixes, path_counter))
         if not group:
             raise SparqlSyntaxError("empty MINUS group")
         minuses.append(group)
     exists: list[tuple[bool, tuple[TriplePattern, ...]]] = []
     for neg, esrc in exists_srcs:
-        group = tuple(_parse_patterns(esrc, prefixes))
+        group = tuple(_parse_patterns(esrc, prefixes, path_counter))
         if not group:
             raise SparqlSyntaxError("empty EXISTS group")
         exists.append((neg, group))
@@ -335,28 +565,77 @@ def parse_sparql(query: str) -> BGPQuery:
     for var, _ in values:
         if var not in required_vars:
             raise SparqlSyntaxError(f"VALUES variable not in BGP: ?{var}")
+    aliases = {alias for _, _, _, alias in aggregates}
     if projection is not None:
-        unknown = set(projection) - pattern_vars
+        unknown = set(projection) - pattern_vars - aliases
         if unknown:
             raise SparqlSyntaxError(f"projected variables not in BGP: {sorted(unknown)}")
-    for var, _, rhs in filters:
-        for v in [var] + ([rhs[1]] if rhs[0] == "var" else []):
+        if aliases & pattern_vars:
+            raise SparqlSyntaxError(
+                f"aggregate alias shadows a pattern variable: "
+                f"{sorted(aliases & pattern_vars)}"
+            )
+    for _, avar, _, _ in aggregates:
+        if avar is not None and avar not in pattern_vars:
+            raise SparqlSyntaxError(f"aggregate variable not in BGP: ?{avar}")
+    for expr in filters:
+        for v in sorted(filter_expr_vars(expr)):
             if v not in pattern_vars:
                 raise SparqlSyntaxError(f"FILTER variable not in BGP: ?{v}")
+    for grp, flts in zip(optionals, optional_filters):
+        # a group-scoped FILTER may reference the group's own variables and
+        # the required (outer) ones — SPARQL's LeftJoin(P1, P2, F) scope;
+        # variables of OTHER optional groups are rejected (their binding
+        # order would silently change the result)
+        grp_scope = set().union(*(tp.variables() for tp in grp)) | required_vars
+        for expr in flts:
+            for v in sorted(filter_expr_vars(expr)):
+                if v not in grp_scope:
+                    raise SparqlSyntaxError(
+                        f"OPTIONAL FILTER variable not in the group or the "
+                        f"required patterns: ?{v}"
+                    )
 
     # solution modifiers after the group pattern
     mods = m.group("mods") or ""
+    gm = _GROUP.search(mods)
+    group_by = (
+        tuple(v.lstrip("?$") for v in gm.group("keys").split()) if gm else ()
+    )
+    grouped = bool(group_by) or bool(aggregates)
+    if grouped:
+        if projection is None:
+            raise SparqlSyntaxError("SELECT * cannot combine with GROUP BY/aggregates")
+        for v in group_by:
+            if v not in pattern_vars:
+                raise SparqlSyntaxError(f"GROUP BY variable not in BGP: ?{v}")
+        # every plain projected variable must be a grouping key (SPARQL 1.1
+        # §11.4's projection restriction — same rule as SQL GROUP BY)
+        bad = [v for v in projection if v not in aliases and v not in group_by]
+        if bad:
+            raise SparqlSyntaxError(
+                f"projected variables must be GROUP BY keys or aggregates: "
+                f"{['?' + v for v in bad]}"
+            )
     order_by: list[tuple[str, bool]] = []
     om = _ORDER.search(mods)
     if om:
         for km in _ORDER_KEY.finditer(om.group("keys")):
             var = km.group("var")
-            if var not in pattern_vars:
+            if grouped:
+                # after aggregation only the output columns exist
+                if var not in projection:
+                    raise SparqlSyntaxError(
+                        f"ORDER BY variable not in the grouped projection: ?{var}"
+                    )
+            elif var not in pattern_vars:
                 raise SparqlSyntaxError(f"ORDER BY variable not in BGP: ?{var}")
             order_by.append((var, (km.group("dir") or "ASC").upper() == "DESC"))
     lm = _LIMIT.search(mods)
     om2 = _OFFSET.search(mods)
-    leftover = _OFFSET.sub("", _LIMIT.sub("", _ORDER.sub("", mods))).strip()
+    leftover = _OFFSET.sub(
+        "", _LIMIT.sub("", _ORDER.sub("", _GROUP.sub("", mods)))
+    ).strip()
     if leftover:
         raise SparqlSyntaxError(f"unsupported solution modifiers: {leftover!r}")
     return BGPQuery(
@@ -367,9 +646,12 @@ def parse_sparql(query: str) -> BGPQuery:
         limit=int(lm.group("n")) if lm else None,
         filters=tuple(filters),
         optionals=tuple(optionals),
+        optional_filters=tuple(optional_filters),
         unions=tuple(unions),
         minuses=tuple(minuses),
         exists=tuple(exists),
         values=tuple(values),
         offset=int(om2.group("n")) if om2 else None,
+        group_by=group_by,
+        aggregates=tuple(aggregates),
     )

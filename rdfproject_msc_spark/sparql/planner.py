@@ -29,9 +29,44 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql import Column
+
 from rdfproject_msc_spark.dictionary import Dictionary
-from rdfproject_msc_spark.sparql.parser import BGPQuery, SparqlSyntaxError, parse_sparql
+from rdfproject_msc_spark.sparql.parser import (
+    _CMP_OPS,
+    BGPQuery,
+    SparqlSyntaxError,
+    parse_sparql,
+)
 from rdfproject_msc_spark.store import TripleStore
+
+_OPS = {
+    "=": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+}
+
+
+def _compile_filter(node, colmap: dict[str, str]) -> Column:
+    """FILTER expression AST → Column predicate.
+
+    Spark's three-valued NULL logic coincides with SPARQL 1.1 §17.2's
+    error-propagation for filters over possibly-unbound variables:
+    false && error = false, true || error = true, !error = error, and a
+    solution is kept only when the expression is plain true — so NULL
+    (unbound) comparisons drop rows at the top level and fail LeftJoin
+    conditions, exactly as SPARQL's type errors do. No special-casing."""
+    if isinstance(node[1], str) and node[1] in _CMP_OPS:  # comparison leaf
+        var, op, rhs = node
+        rhs_col = F.lit(rhs[1]) if rhs[0] == "num" else F.col(colmap[rhs[1]])
+        return _OPS[op](F.col(colmap[var]), rhs_col)
+    if node[0] == "not":
+        return ~_compile_filter(node[1], colmap)
+    a, b = _compile_filter(node[1], colmap), _compile_filter(node[2], colmap)
+    return (a & b) if node[0] == "and" else (a | b)
 
 
 def _encode_constants(bgp: BGPQuery, dictionary: Dictionary | None) -> dict[str, int]:
@@ -159,6 +194,23 @@ def _join_group(
     return joined, bound_cols, order
 
 
+def _reject_nullable_join_keys(
+    shared: list[str], nullable_vars: set[str], clause: str
+) -> None:
+    """SPARQL's unbound-is-compatible semantics and Spark's NULL==x→NULL
+    disagree on nullable join keys: a semi/anti/left join keyed on a
+    variable that can be unbound would silently keep/drop the wrong rows.
+    Reject rather than guess (matching the parser's stance on disjoint
+    OPTIONAL/MINUS groups)."""
+    bad = sorted(set(shared) & nullable_vars)
+    if bad:
+        raise SparqlSyntaxError(
+            f"{clause} references variables that may be unbound "
+            f"(bound only in OPTIONAL or in some UNION arms): "
+            f"{['?' + v for v in bad]}"
+        )
+
+
 def plan_bgp(
     store: TripleStore, bgp: BGPQuery, dictionary: Dictionary | None = None
 ) -> DataFrame:
@@ -172,52 +224,89 @@ def plan_bgp(
         joined, bound_cols, order = None, {}, []
     idx_offset = len(bgp.patterns)
 
-    # UNION block → unionByName of the arm plans with null extension for
-    # variables an arm does not bind (SPARQL 1.1 §5.4 alternatives; the
-    # reference's translator emitted exactly this shape by hand for the
-    # unbound-subject sign split, MyOpVisitorBase.java:106-123). Duplicates
-    # preserved: UNION ALL semantics, matching SPARQL's multiset algebra.
+    # Variables that can hold NULL (SPARQL "unbound") in `joined`: bound
+    # only inside an OPTIONAL group, or bound by some-but-not-all UNION
+    # arms. Downstream group joins (MINUS/EXISTS) and VALUES must not use
+    # them as join keys — Spark's NULL==x is NULL, which silently inverts
+    # SPARQL's unbound-is-compatible semantics — so we reject those (the
+    # engine's reject-rather-than-guess stance).
+    nullable_vars: set[str] = set()
+
+    # UNION block (SPARQL 1.1 §5.4 alternatives; the generalization of the
+    # reference translator's hand-emitted Positive UNION ALL Negative,
+    # MyOpVisitorBase.java:106-123). Duplicates preserved: UNION ALL
+    # semantics, matching SPARQL's multiset algebra.
+    #
+    # When required patterns exist, each arm is joined to them SEPARATELY on
+    # the variables THAT ARM binds, and the per-arm join results are
+    # union'd. Joining a pre-unioned (null-extended) arm stack would drop
+    # every solution from an arm that does not bind a shared variable
+    # (NULL==x is NULL), where SPARQL's compatible-binding join keeps it —
+    # and per-arm joins keep every join a hash equi-join (no null-tolerant
+    # OR-condition that would force a nested-loop join at scale).
     if bgp.unions:
         arm_order: list[str] = []  # union vars in first-appearance order
         arms = []
-        for arm in bgp.unions:
+        for ai, arm in enumerate(bgp.unions):
             adf, acols, aorder = _join_group(store, list(arm), term_ids, idx_offset)
             idx_offset += len(arm)
-            arms.append((adf, acols))
+            renames = {c: f"{c}_a{ai}" for c in adf.columns}
+            for old, new in renames.items():
+                adf = adf.withColumnRenamed(old, new)
+            arms.append((adf, {v: renames[c] for v, c in acols.items()}))
             for v in aorder:
                 if v not in arm_order:
                     arm_order.append(v)
-        normalized = [
-            adf.select(
-                *[
-                    F.col(acols[v]).alias(f"u_{v}")
-                    for v in arm_order
-                    if v in acols
-                ]
-            )
-            for adf, acols in arms
-        ]
-        union_df = reduce(
-            lambda a, b: a.unionByName(b, allowMissingColumns=True), normalized
-        )
         ucols = {v: f"u_{v}" for v in arm_order}
         if joined is None:
-            joined, bound_cols, order = union_df, ucols, list(arm_order)
-        else:
-            shared = [v for v in ucols if v in bound_cols]
-            if shared:
-                cond = reduce(
-                    lambda a, b: a & b,
-                    [F.col(bound_cols[v]) == F.col(ucols[v]) for v in shared],
+            normalized = [
+                adf.select(
+                    *[F.col(acols[v]).alias(ucols[v]) for v in arm_order if v in acols]
                 )
-                joined = joined.join(union_df, cond, "inner")
-                joined = joined.drop(*[ucols[v] for v in shared])
-            else:
-                joined = joined.crossJoin(union_df)
+                for adf, acols in arms
+            ]
+            joined = reduce(
+                lambda a, b: a.unionByName(b, allowMissingColumns=True), normalized
+            )
+            bound_cols, order = dict(ucols), list(arm_order)
+        else:
+            base_cols = list(joined.columns)
+            per_arm = []
+            for adf, acols in arms:
+                shared = [v for v in acols if v in bound_cols]
+                if shared:
+                    cond = reduce(
+                        lambda a, b: a & b,
+                        [F.col(bound_cols[v]) == F.col(acols[v]) for v in shared],
+                    )
+                    j = joined.join(adf, cond, "inner")
+                else:
+                    j = joined.crossJoin(adf)
+                # merged binding for a shared var is the (equal) required-side
+                # value; fresh vars get u_ columns, null-extended by the union
+                j = j.select(
+                    *[F.col(c) for c in base_cols],
+                    *[
+                        F.col(acols[v]).alias(ucols[v])
+                        for v in arm_order
+                        if v in acols and v not in bound_cols
+                    ],
+                )
+                per_arm.append(j)
+            joined = reduce(
+                lambda a, b: a.unionByName(b, allowMissingColumns=True), per_arm
+            )
             for v in arm_order:
                 if v not in bound_cols:
                     bound_cols[v] = ucols[v]
                     order.append(v)
+        # a union-bound var is nullable unless every arm binds it (vars the
+        # required patterns bind are never null regardless of the arms)
+        for v in arm_order:
+            if bound_cols[v] == ucols[v] and not all(
+                v in acols for _, acols in arms
+            ):
+                nullable_vars.add(v)
 
     # OPTIONAL groups → LEFT OUTER JOIN on the shared variables (SPARQL
     # 1.1 §5.3 compatible-bindings semantics for the non-nested case): the
@@ -232,16 +321,26 @@ def plan_bgp(
         for old, new in renames.items():
             gdf = gdf.withColumnRenamed(old, new)
         shared = [v for v in gcols if v in bound_cols]
+        _reject_nullable_join_keys(shared, nullable_vars, "OPTIONAL")
         cond = reduce(
             lambda a, b: a & b,
             [F.col(bound_cols[v]) == F.col(renames[gcols[v]]) for v in shared],
         )
+        # group-scoped FILTERs fold into the join condition — SPARQL's
+        # LeftJoin(P1, P2, F): a match failing F is kept null-extended, not
+        # dropped. The equi-conjuncts still drive a hash join; the filter
+        # rides along as the residual join predicate.
+        gmap = dict(bound_cols)
+        gmap.update({v: renames[c] for v, c in gcols.items()})
+        for expr in (bgp.optional_filters[gi] if bgp.optional_filters else ()):
+            cond = cond & _compile_filter(expr, gmap)
         joined = joined.join(gdf, cond, "left")
         joined = joined.drop(*[renames[gcols[v]] for v in shared])
         for v in gorder:
             if v not in bound_cols:
                 bound_cols[v] = renames[gcols[v]]
                 order.append(v)
+                nullable_vars.add(v)  # null when the left join finds no match
 
     # MINUS groups → LEFT ANTI JOIN on the shared variables (SPARQL 1.1
     # §8.3): a binding is removed when the group produces a compatible
@@ -254,6 +353,7 @@ def plan_bgp(
         for old, new in renames.items():
             gdf = gdf.withColumnRenamed(old, new)
         shared = [v for v in gcols if v in bound_cols]
+        _reject_nullable_join_keys(shared, nullable_vars, "MINUS")
         cond = reduce(
             lambda a, b: a & b,
             [F.col(bound_cols[v]) == F.col(renames[gcols[v]]) for v in shared],
@@ -270,6 +370,7 @@ def plan_bgp(
         for old, new in renames.items():
             gdf = gdf.withColumnRenamed(old, new)
         shared = [v for v in gcols if v in bound_cols]
+        _reject_nullable_join_keys(shared, nullable_vars, "EXISTS")
         cond = reduce(
             lambda a, b: a & b,
             [F.col(bound_cols[v]) == F.col(renames[gcols[v]]) for v in shared],
@@ -280,32 +381,32 @@ def plan_bgp(
     # pushes into the Parquet scan (bounded by query size, like all constant
     # encoding — never a data-sized driver structure).
     for var, entries in bgp.values:
+        _reject_nullable_join_keys([var], nullable_vars, "VALUES")
         ids = [
             int(val) if kind == "id" else term_ids[val] for kind, val in entries
         ]
         joined = joined.filter(F.col(bound_cols[var]).isin(ids))
 
-    # FILTER constraints: plain Column predicates over the bound variables —
+    # FILTER constraints: Column predicates over the bound variables —
     # applied BEFORE projection so non-projected variables can be filtered;
-    # Catalyst pushes var-vs-constant comparisons down into the scans.
-    _OPS = {
-        "=": lambda a, b: a == b,
-        "!=": lambda a, b: a != b,
-        "<": lambda a, b: a < b,
-        "<=": lambda a, b: a <= b,
-        ">": lambda a, b: a > b,
-        ">=": lambda a, b: a >= b,
-    }
-    for var, op, rhs in bgp.filters:
-        lhs = F.col(bound_cols[var])
-        rhs_col = (
-            F.lit(rhs[1]) if rhs[0] == "num" else F.col(bound_cols[rhs[1]])
-        )
-        joined = joined.filter(_OPS[op](lhs, rhs_col))
+    # Catalyst pushes var-vs-constant comparisons down into the scans and
+    # splits top-level conjunctions for pushdown on both join sides.
+    for expr in bgp.filters:
+        joined = joined.filter(_compile_filter(expr, bound_cols))
 
-    proj = list(bgp.projection) if bgp.projection is not None else order
+    # SELECT *: all variables in first-appearance order, minus the internal
+    # ones introduced by sequence-path expansion (SPARQL 1.1 §9.1: path
+    # intermediates are not visible bindings)
+    proj = (
+        list(bgp.projection)
+        if bgp.projection is not None
+        else [v for v in order if not v.startswith("__pp")]
+    )
     order_vars = [v for v, _ in bgp.order_by]
-    sort_pre_projection = bool(order_vars) and not set(order_vars) <= set(proj)
+    grouped = bool(bgp.group_by or bgp.aggregates)
+    sort_pre_projection = (
+        not grouped and bool(order_vars) and not set(order_vars) <= set(proj)
+    )
 
     if sort_pre_projection:
         # ORDER BY on a non-projected variable (legal SPARQL): sort + limit
@@ -327,7 +428,10 @@ def plan_bgp(
         if bgp.limit is not None:
             joined = joined.limit(bgp.limit)
 
-    out = joined.select(*[F.col(bound_cols[v]).alias(v) for v in proj])
+    if grouped:
+        out = _plan_grouped(joined, bound_cols, bgp)
+    else:
+        out = joined.select(*[F.col(bound_cols[v]).alias(v) for v in proj])
 
     # solution modifiers — plain DataFrame ops; ORDER BY + LIMIT compiles to
     # TakeOrderedAndProject (no global sort materialization); OFFSET applies
@@ -344,6 +448,41 @@ def plan_bgp(
         if bgp.limit is not None:
             out = out.limit(bgp.limit)
     return out
+
+
+def _plan_grouped(joined: DataFrame, bound_cols: dict[str, str], bgp: BGPQuery) -> DataFrame:
+    """GROUP BY / aggregate lowering (SPARQL 1.1 §11) → groupBy/agg.
+
+    Catalyst plans this as a partial (map-side) HashAggregate before the
+    key shuffle, so the exchange carries one row per (partition, key), not
+    per input row — the same shape as every analytics-side aggregation.
+    COUNT maps to long (null-skipping, matching SPARQL's unbound-ignoring
+    card[...]), AVG to double; COUNT(*) counts solutions including ones
+    where the counted variable is unbound."""
+    keys = [F.col(bound_cols[v]).alias(v) for v in bgp.group_by]
+    aggs = []
+    for func, var, distinct, alias in bgp.aggregates:
+        if var is None:  # COUNT(*)
+            expr = F.count(F.lit(1))
+        else:
+            col = F.col(bound_cols[var])
+            if func == "count":
+                expr = F.count_distinct(col) if distinct else F.count(col)
+            elif func == "sum":
+                expr = F.sum_distinct(col) if distinct else F.sum(col)
+            elif func == "avg":
+                expr = F.avg(col)
+            elif func == "min":
+                expr = F.min(col)
+            else:
+                expr = F.max(col)
+        aggs.append(expr.alias(alias))
+    if aggs:
+        out = joined.groupBy(*keys).agg(*aggs)
+    else:
+        # GROUP BY with no aggregates: the distinct grouping keys
+        out = joined.select(*keys).distinct()
+    return out.select(*[F.col(c) for c in bgp.projection])
 
 
 def sparql_to_df(

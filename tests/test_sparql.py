@@ -264,7 +264,10 @@ def test_parse_solution_modifiers():
 
 def test_parse_rejects_unknown_modifier():
     with pytest.raises(SparqlSyntaxError, match="unsupported solution"):
-        parse_sparql("SELECT ?a WHERE { ?a :p ?b . } GROUP BY ?a")
+        parse_sparql(
+            "SELECT ?a (COUNT(?b) AS ?n) WHERE { ?a :p ?b . } "
+            "GROUP BY ?a HAVING(?n > 1)"
+        )
 
 
 def test_parse_offset():
@@ -424,3 +427,307 @@ def test_values_with_terms_executes(tiny_store, tiny_dict):
         tiny_dict,
     )
     assert sorted((r.s, r.o) for r in df.collect()) == [(-5, 1), (1, 1)]
+
+
+def test_union_arm_not_binding_shared_var_keeps_rows(tiny_store, tiny_dict):
+    """SPARQL compatible-binding join: an arm that does not bind a variable
+    shared between the union block and the required patterns is compatible
+    with EVERY required solution (unbound matches anything). The planner
+    joins each arm separately on the variables that arm binds, so arm-2
+    rows (which bind ?d/?c but not ?b) survive — a pre-unioned null-extended
+    stack would drop them all via NULL==?b."""
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?a ?b ?c ?d WHERE "
+        "{ ?a :p10 ?b . { ?b :p20 ?c } UNION { ?d :p20 ?c } }",
+        tiny_dict,
+    )
+    rows = sorted(
+        ((r.a, r.b, r.c, r.d) for r in df.collect()),
+        key=lambda t: tuple((v is None, v) for v in t),
+    )
+    # required p10 edges: (1,1),(1,2),(2,2),(-5,1); p20 edge: 2→3
+    # arm1 binds b=2,c=3 → joins the two b=2 rows; arm2 binds d=2,c=3 and
+    # shares nothing → compatible with all 4 required rows
+    assert rows == [
+        (-5, 1, 3, 2),
+        (1, 1, 3, 2),
+        (1, 2, 3, 2),
+        (1, 2, 3, None),
+        (2, 2, 3, 2),
+        (2, 2, 3, None),
+    ]
+
+
+def test_optional_keyed_on_prior_optional_var_rejected(tiny_store, tiny_dict):
+    with pytest.raises(SparqlSyntaxError, match="may be unbound"):
+        sparql_to_df(
+            tiny_store,
+            "SELECT ?s WHERE { ?s :p10 ?o . "
+            "OPTIONAL { ?o :p20 ?x } OPTIONAL { ?s :p10 ?x } }",
+            tiny_dict,
+        ).collect()
+
+
+def test_minus_keyed_on_optional_var_rejected(tiny_store, tiny_dict):
+    with pytest.raises(SparqlSyntaxError, match="MINUS references"):
+        sparql_to_df(
+            tiny_store,
+            "SELECT ?s WHERE { ?s :p10 ?o . "
+            "OPTIONAL { ?o :p20 ?x } MINUS { ?s :p10 ?x } }",
+            tiny_dict,
+        ).collect()
+
+
+def test_exists_keyed_on_optional_var_rejected(tiny_store, tiny_dict):
+    with pytest.raises(SparqlSyntaxError, match="EXISTS references"):
+        sparql_to_df(
+            tiny_store,
+            "SELECT ?s WHERE { ?s :p10 ?o . "
+            "OPTIONAL { ?o :p20 ?x } FILTER EXISTS { ?s :p10 ?x } }",
+            tiny_dict,
+        ).collect()
+
+
+def test_values_on_partially_bound_union_var_rejected(tiny_store, tiny_dict):
+    with pytest.raises(SparqlSyntaxError, match="VALUES references"):
+        sparql_to_df(
+            tiny_store,
+            "SELECT ?s ?x WHERE "
+            "{ { ?s :p10 2 } UNION { ?s :p20 ?x } VALUES ?x { 3 } }",
+            tiny_dict,
+        ).collect()
+
+
+def test_union_var_shared_with_required_not_nullable(tiny_store, tiny_dict):
+    """?b is bound by the required pattern, so even though only one arm
+    binds it, it stays a valid (never-null) join key for later clauses."""
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?a ?b WHERE { ?a :p10 ?b . { ?b :p20 ?c } UNION { ?d :p20 ?c } "
+        "FILTER EXISTS { ?b :p20 ?c2 } }",
+        tiny_dict,
+    )
+    rows = sorted((r.a, r.b) for r in df.collect())
+    # EXISTS keeps rows whose ?b has an outgoing :p20 edge (b=2 only)
+    assert rows == [(1, 2), (1, 2), (2, 2), (2, 2)]
+
+
+def test_parse_filter_connectives():
+    bgp = parse_sparql(
+        "SELECT ?x WHERE { ?x :p ?y . FILTER(?y > 3 && (?x != ?y || !(?x < 0))) }"
+    )
+    assert bgp.filters == (
+        (
+            "and",
+            ("y", ">", ("num", 3)),
+            ("or", ("x", "!=", ("var", "y")), ("not", ("x", "<", ("num", 0)))),
+        ),
+    )
+
+
+def test_parse_rejects_malformed_connective():
+    with pytest.raises(SparqlSyntaxError, match="FILTER"):
+        parse_sparql("SELECT ?x WHERE { ?x :p ?y . FILTER(?y > 3 &&) }")
+    with pytest.raises(SparqlSyntaxError, match="FILTER"):
+        parse_sparql("SELECT ?x WHERE { ?x :p ?y . FILTER((?y > 3) }")
+
+
+def test_filter_connectives_execute(tiny_store, tiny_dict):
+    # p10 edges 1→1, 1→2, 2→2, -5→1
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?o WHERE { ?s :p10 ?o . FILTER(?s = ?o || ?s < 0) }",
+        tiny_dict,
+    )
+    assert sorted((r.s, r.o) for r in df.collect()) == [(-5, 1), (1, 1), (2, 2)]
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?o WHERE { ?s :p10 ?o . FILTER(!(?s = ?o) && ?s > 0) }",
+        tiny_dict,
+    )
+    assert sorted((r.s, r.o) for r in df.collect()) == [(1, 2)]
+
+
+def test_parse_optional_scoped_filter():
+    bgp = parse_sparql(
+        "SELECT ?s WHERE { ?s :p ?o . OPTIONAL { ?o :q ?x . FILTER(?x > 1) } }"
+    )
+    assert bgp.optional_filters == ((("x", ">", ("num", 1)),),)
+
+
+def test_optional_scoped_filter_null_extends(tiny_store, tiny_dict):
+    """SPARQL LeftJoin(P1, P2, F): a group match failing the group FILTER
+    keeps the left row null-extended — it must NOT drop the row (that
+    would be post-join filtering, the classic OPTIONAL-FILTER mistake)."""
+    # p10 edges 1→1, 1→2, 2→2, -5→1; p20 edge 2→3
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?o ?x WHERE { ?s :p10 ?o . "
+        "OPTIONAL { ?o :p20 ?x . FILTER(?x > 3) } }",
+        tiny_dict,
+    )
+    rows = sorted(((r.s, r.o, r.x) for r in df.collect()))
+    # o=2 has a p20 match (x=3) but 3 > 3 fails → null-extended, kept
+    assert rows == [(-5, 1, None), (1, 1, None), (1, 2, None), (2, 2, None)]
+    # with a passing threshold the binding comes through
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?o ?x WHERE { ?s :p10 ?o . "
+        "OPTIONAL { ?o :p20 ?x . FILTER(?x >= 3) } }",
+        tiny_dict,
+    )
+    rows = sorted(((r.s, r.o, r.x) for r in df.collect()))
+    assert rows == [(-5, 1, None), (1, 1, None), (1, 2, 3), (2, 2, 3)]
+
+
+def test_optional_filter_referencing_outer_var(tiny_store, tiny_dict):
+    """The LeftJoin condition may compare group vars with OUTER (required)
+    vars — SPARQL evaluates F over the merged solution."""
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?o ?x WHERE { ?s :p10 ?o . "
+        "OPTIONAL { ?o :p20 ?x . FILTER(?x != ?s) } }",
+        tiny_dict,
+    )
+    rows = sorted(((r.s, r.o, r.x) for r in df.collect()))
+    assert rows == [(-5, 1, None), (1, 1, None), (1, 2, 3), (2, 2, 3)]
+
+
+def test_optional_filter_rejects_foreign_group_var():
+    with pytest.raises(SparqlSyntaxError, match="OPTIONAL FILTER variable"):
+        parse_sparql(
+            "SELECT ?s WHERE { ?s :p ?o . OPTIONAL { ?o :q ?x } "
+            "OPTIONAL { ?o :r ?y . FILTER(?y > ?x) } }"
+        )
+
+
+def test_parse_aggregates():
+    bgp = parse_sparql(
+        "SELECT ?c (COUNT(?e) AS ?n) (SUM(DISTINCT ?e) AS ?t) "
+        "WHERE { ?e :typ ?c } GROUP BY ?c ORDER BY DESC(?n) LIMIT 3"
+    )
+    assert bgp.projection == ("c", "n", "t")
+    assert bgp.group_by == ("c",)
+    assert bgp.aggregates == (
+        ("count", "e", False, "n"),
+        ("sum", "e", True, "t"),
+    )
+    assert bgp.order_by == (("n", True),)
+
+
+def test_parse_aggregate_rejections():
+    with pytest.raises(SparqlSyntaxError, match="GROUP BY keys or aggregates"):
+        parse_sparql("SELECT ?e (COUNT(?e) AS ?n) WHERE { ?e :p ?c } GROUP BY ?c")
+    with pytest.raises(SparqlSyntaxError, match="SELECT \\*"):
+        parse_sparql("SELECT * WHERE { ?e :p ?c } GROUP BY ?c")
+    with pytest.raises(SparqlSyntaxError, match="not supported"):
+        parse_sparql("SELECT (SUM(*) AS ?n) WHERE { ?e :p ?c }")
+    with pytest.raises(SparqlSyntaxError, match="duplicate projection"):
+        parse_sparql("SELECT ?c (COUNT(?e) AS ?c) WHERE { ?e :p ?c } GROUP BY ?c")
+    with pytest.raises(SparqlSyntaxError, match="alias shadows"):
+        parse_sparql("SELECT (COUNT(?e) AS ?c) WHERE { ?e :p ?c } GROUP BY ?c")
+    with pytest.raises(SparqlSyntaxError, match="not in the grouped projection"):
+        parse_sparql(
+            "SELECT ?c (COUNT(?e) AS ?n) WHERE { ?e :p ?c } GROUP BY ?c ORDER BY ?e"
+        )
+
+
+def test_groupby_count_executes(tiny_store, tiny_dict):
+    # p10 edges 1→1, 1→2, 2→2, -5→1 → per-subject counts: 1:2, 2:1, -5:1
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s :p10 ?o } "
+        "GROUP BY ?s ORDER BY DESC(?n) ?s",
+        tiny_dict,
+    )
+    assert df.columns == ["s", "n"]
+    assert [(r.s, r.n) for r in df.collect()] == [(1, 2), (-5, 1), (2, 1)]
+
+
+def test_groupby_aggregate_forms(tiny_store, tiny_dict):
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s (SUM(?o) AS ?t) (MIN(?o) AS ?lo) (MAX(?o) AS ?hi) "
+        "(AVG(?o) AS ?m) WHERE { ?s :p10 ?o } GROUP BY ?s ORDER BY ?s",
+        tiny_dict,
+    )
+    rows = [(r.s, r.t, r.lo, r.hi, r.m) for r in df.collect()]
+    assert rows == [(-5, 1, 1, 1, 1.0), (1, 3, 1, 2, 1.5), (2, 2, 2, 2, 2.0)]
+
+
+def test_implicit_group_count_star(tiny_store, tiny_dict):
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT (COUNT(*) AS ?n) WHERE { ?s :p10 ?o }",
+        tiny_dict,
+    )
+    assert [r.n for r in df.collect()] == [4]
+
+
+def test_count_skips_unbound_optional(tiny_store, tiny_dict):
+    """COUNT(?z) ignores unbound (null-extended) solutions; COUNT(*) keeps
+    them — the SPARQL §11 card[] distinction."""
+    q = (
+        "SELECT ?s {agg} WHERE {{ ?s :p10 ?o . OPTIONAL {{ ?o :p20 ?z }} }} "
+        "GROUP BY ?s ORDER BY ?s"
+    )
+    counted = sparql_to_df(
+        tiny_store, q.format(agg="(COUNT(?z) AS ?n)"), tiny_dict
+    )
+    assert [(r.s, r.n) for r in counted.collect()] == [(-5, 0), (1, 1), (2, 1)]
+    starred = sparql_to_df(
+        tiny_store, q.format(agg="(COUNT(*) AS ?n)"), tiny_dict
+    )
+    assert [(r.s, r.n) for r in starred.collect()] == [(-5, 1), (1, 2), (2, 1)]
+
+
+def test_groupby_without_aggregates(tiny_store, tiny_dict):
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s WHERE { ?s :p10 ?o } GROUP BY ?s ORDER BY ?s",
+        tiny_dict,
+    )
+    assert [r.s for r in df.collect()] == [-5, 1, 2]
+
+
+def test_parse_sequence_path_expands_to_join_chain():
+    bgp = parse_sparql("SELECT ?a ?c WHERE { ?a :p1/:p2 ?c }")
+    assert len(bgp.patterns) == 2
+    assert bgp.patterns[0].s == ("var", "a")
+    assert bgp.patterns[0].p == ("term", ":p1")
+    mid = bgp.patterns[0].o
+    assert mid[0] == "var" and mid[1].startswith("__pp")
+    assert bgp.patterns[1].s == mid
+    assert bgp.patterns[1].p == ("term", ":p2")
+    assert bgp.patterns[1].o == ("var", "c")
+
+
+def test_parse_rejects_non_sequence_path_operators():
+    for bad in (":p1|:p2", ":p1/:p2*", "^:p1"):
+        with pytest.raises(SparqlSyntaxError):
+            parse_sparql(f"SELECT ?a WHERE {{ ?a {bad} ?c }}")
+
+
+def test_sequence_path_matches_hand_built_two_hop(tiny_store, tiny_dict):
+    """:p10/:p20 must produce exactly the rows of the explicit join chain —
+    the same plan shape the engine's two_hop query builds by hand."""
+    path = sparql_to_df(
+        tiny_store, "SELECT ?a ?c WHERE { ?a :p10/:p20 ?c }", tiny_dict
+    )
+    explicit = sparql_to_df(
+        tiny_store, "SELECT ?a ?c WHERE { ?a :p10 ?b . ?b :p20 ?c }", tiny_dict
+    )
+    assert sorted(map(tuple, path.collect())) == sorted(map(tuple, explicit.collect()))
+    # p10 edges 1→1, 1→2, 2→2, -5→1; p20 edge 2→3
+    assert sorted(map(tuple, path.collect())) == [(1, 3), (2, 3)]
+
+
+def test_sequence_path_three_hops_and_select_star(tiny_store, tiny_dict):
+    df = sparql_to_df(
+        tiny_store, "SELECT * WHERE { ?a :p10/:p10/:p20 ?c }", tiny_dict
+    )
+    # SELECT * must not leak the internal path variables
+    assert df.columns == ["a", "c"]
+    # chains: 1→1→2→3, 1→2→2→3, 2→2→2→3, -5→1→2→3
+    assert sorted(map(tuple, df.collect())) == [(-5, 3), (1, 3), (1, 3), (2, 3)]

@@ -377,11 +377,28 @@ def rdf_text_lifecycle(spark, sf_dir):
 SPARQL_2HOP = (
     "SELECT ?c ?n WHERE { :order_1 :placedBy ?c . ?c :inNation ?n . }"
 )
+# same query as a sequence property path (SPARQL 1.1 §9.1): the planner
+# expands :placedBy/:inNation to the identical join chain through an
+# internal variable — but the path intermediate (?c) is NOT a visible
+# binding, so the path query projects and re-derives ?c via the explicit
+# first hop to keep the same output shape
+SPARQL_2HOP_PATH = (
+    "SELECT ?c ?n WHERE { :order_1 :placedBy ?c . ?c :inNation ?n . "
+    ":order_1 :placedBy/:inNation ?n . }"
+)
 
 
 def sparql_2hop(spark, sf_dir):
+    """The flagship 2-hop BGP, pinned in BOTH spellings: explicit join
+    chain and sequence property path. The multiset-equivalence union
+    returns exactly the explicit result iff the path expansion produces
+    identical rows — a divergent expansion breaks the row-count gate."""
     store = _store(spark, sf_dir)
-    return sparql_to_df(store, SPARQL_2HOP, _dict(spark, sf_dir))
+    d = _dict(spark, sf_dir)
+    return _equiv_union(
+        sparql_to_df(store, SPARQL_2HOP, d),
+        sparql_to_df(store, SPARQL_2HOP_PATH, d),
+    )
 
 
 SPARQL_2HOP_SQL = f"""{TRIPLES_CTE}
@@ -395,15 +412,17 @@ SPARQL_STAR = (
 )
 
 SPARQL_FILTER = (
-    "SELECT ?e ?c WHERE { ?e :byUser ?c . FILTER(?e >= -2507) FILTER(?c != 71) }"
+    "SELECT ?e ?c WHERE { ?e :byUser ?c . "
+    "FILTER((?e >= -2507 && !(?c = 71)) || ?c < 60) }"
 )
 
 
 def sparql_filter(spark, sf_dir):
-    """Numeric FILTER constraints through the planner: comparisons over the
+    """FILTER expressions through the planner: numeric comparisons over the
     encoded ids (the engine's data model — the reference's own SQL compares
-    ids, PartitionQueryingSubject.java:130), pushed into the scans by
-    Catalyst."""
+    ids, PartitionQueryingSubject.java:130) combined with the SPARQL 1.1
+    §17.2 connectives && / || / ! and parentheses. Catalyst still splits
+    the pushdown-able conjuncts into the scans."""
     store = _store(spark, sf_dir)
     return sparql_to_df(store, SPARQL_FILTER, _dict(spark, sf_dir))
 
@@ -413,15 +432,18 @@ def sparql_filter(spark, sf_dir):
 # each customer's events (customers without events survive null-extended).
 SPARQL_OPTIONAL = """
 PREFIX ex: <http://example.org/vocab/>
-SELECT ?c ?n ?e WHERE { ?c ex:inNation ?n . OPTIONAL { ?e ex:byUser ?c . } }
+SELECT ?c ?n ?e WHERE
+{ ?c ex:inNation ?n . OPTIONAL { ?e ex:byUser ?c . FILTER(?e >= -2507) } }
 """
 
 
 def sparql_optional(spark, sf_dir):
     """OPTIONAL → left join (SPARQL 1.1 §5.3) plus PREFIX resolution — the
     two front-end features the reference's Jena path provided for free
-    (MyOpVisitorBase.java:49) that round 2 lacked. The oracle is the
-    equivalent LEFT JOIN with the same null-extension semantics."""
+    (MyOpVisitorBase.java:49) that round 2 lacked — plus a group-scoped
+    FILTER folded into the LeftJoin condition (§18.2.2.2): an event failing
+    the filter leaves its customer null-extended, not dropped. The oracle
+    is the equivalent LEFT JOIN with the filter in the ON clause."""
     store = _store(spark, sf_dir, layout="sign_split")
     return sparql_to_df(store, SPARQL_OPTIONAL, _dict(spark, sf_dir))
 
@@ -429,32 +451,48 @@ def sparql_optional(spark, sf_dir):
 SPARQL_OPTIONAL_SQL = f"""{TRIPLES_CTE}
 SELECT t0.s AS c, t0.o AS n, t1.s AS e
 FROM triples t0
-LEFT JOIN triples t1 ON t1.p = {P_BY_USER} AND t1.o = t0.s
+LEFT JOIN triples t1
+  ON t1.p = {P_BY_USER} AND t1.o = t0.s AND t1.s >= -2507
 WHERE t0.p = {P_IN_NATION}
 """
 
 
 SPARQL_FILTER_SQL = f"""{TRIPLES_CTE}
 SELECT s AS e, o AS c FROM triples
-WHERE p = {P_BY_USER} AND s >= -2507 AND o != {CUSTOMER_7}
+WHERE p = {P_BY_USER}
+  AND ((s >= -2507 AND NOT o = {CUSTOMER_7}) OR o < 60)
 """
 
 SPARQL_TOPK = (
     "SELECT DISTINCT ?c WHERE { ?e :byUser ?c . } ORDER BY DESC(?c) LIMIT 5"
 )
-
-
-def sparql_topk(spark, sf_dir):
-    """Solution modifiers (DISTINCT / ORDER BY / LIMIT — SPARQL 1.1 §15)
-    through the planner; ORDER BY+LIMIT compiles to TakeOrderedAndProject,
-    not a global sort."""
-    store = _store(spark, sf_dir)
-    return sparql_to_df(store, SPARQL_TOPK, _dict(spark, sf_dir))
-
-
 SPARQL_TOPK_SQL = f"""{TRIPLES_CTE}
 SELECT DISTINCT o AS c FROM triples WHERE p = {P_BY_USER}
 ORDER BY c DESC LIMIT 5
+"""
+# sparql_topk (DISTINCT/ORDER BY/LIMIT) was demoted to tests/test_demoted.py
+# after two green rounds to free its 50-cap slot for sparql_groupby; the
+# modifier lowering it pinned is unchanged and stays oracle-checked there.
+
+SPARQL_GROUPBY = (
+    "SELECT ?c (COUNT(?e) AS ?n_events) WHERE { ?e :byUser ?c . } "
+    "GROUP BY ?c ORDER BY DESC(?n_events) ?c LIMIT 10"
+)
+
+
+def sparql_groupby(spark, sf_dir):
+    """SPARQL 1.1 §11 aggregation through the planner: GROUP BY + COUNT
+    lowered to groupBy/agg (partial aggregation before the key shuffle —
+    the exchange carries one row per key per partition, not per event).
+    ORDER BY the aggregate alias with a key tiebreak keeps the LIMIT
+    deterministic."""
+    store = _store(spark, sf_dir)
+    return sparql_to_df(store, SPARQL_GROUPBY, _dict(spark, sf_dir))
+
+
+SPARQL_GROUPBY_SQL = f"""{TRIPLES_CTE}
+SELECT o AS c, count(s) AS n_events FROM triples WHERE p = {P_BY_USER}
+GROUP BY o ORDER BY n_events DESC, c LIMIT 10
 """
 
 
@@ -1570,10 +1608,43 @@ WHERE modality = 'image' AND n_bytes >= 200
 
 def multimodal_decode(spark, sf_dir):
     """mapInPandas decode stage (deterministic fake decoder — see
-    operators/multimodal.py). Not SQL-expressible (byte-level decode in
-    Python): registered without an oracle → driver records rows-only."""
+    operators/multimodal.py). The fake decoder is byte arithmetic over the
+    payload, so it IS SQL-expressible: the oracle re-derives width/height/
+    channels/frames from the same bytes via hex()+substring byte extraction
+    in DuckDB — the full Arrow round-trip (binary column → pandas batch →
+    declared schema) is hash-checked, not just row-counted."""
     assets = multimodal.attach_assets(load_table(spark, sf_dir, "documents"))
     return multimodal.decode_assets(assets)
+
+
+# byte b at 0-indexed position i of blob c == ('0x'||substring(hex(c),
+# i*2+1, 2))::INT — DuckDB has no direct blob indexing, hex does it
+MULTIMODAL_DECODE_SQL = """
+WITH assets AS (
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INT)
+                WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+           END AS modality,
+           encode(text) AS content,
+           octet_length(encode(text)) AS n
+    FROM documents
+)
+SELECT doc_id,
+       modality,
+       n > 0 AS ok,
+       'fake' AS decoder,
+       CASE WHEN n = 0 THEN 0
+            ELSE ('0x' || substring(hex(content), 1, 2))::INT % 64 + 1
+       END AS width,
+       CASE WHEN n = 0 THEN 0
+            ELSE ('0x' || substring(hex(content), n * 2 - 1, 2))::INT % 64 + 1
+       END AS height,
+       CASE WHEN n = 0 THEN 0
+            ELSE ('0x' || substring(hex(content), (n // 2) * 2 + 1, 2))::INT % 3 + 1
+       END AS n_channels,
+       CASE WHEN n = 0 THEN 0 ELSE CAST(n % 16 + 1 AS INT) END AS n_frames
+FROM assets
+"""
 
 
 def ann_lsh_topk(spark, sf_dir):
@@ -1659,7 +1730,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "ann_lsh_topk": QuerySpec(ann_lsh_topk, ANN_LSH_TOPK_SQL, headline=True),
     "multimodal_stats": QuerySpec(multimodal_stats, MULTIMODAL_STATS_SQL, headline=True),
     "multimodal_filter": QuerySpec(multimodal_filter, MULTIMODAL_FILTER_SQL),
-    "multimodal_decode": QuerySpec(multimodal_decode, None),
+    "multimodal_decode": QuerySpec(multimodal_decode, MULTIMODAL_DECODE_SQL),
     # new / reworked this round
     "rdf_layout_matrix": QuerySpec(rdf_layout_matrix, RDF_PATH_2HOP_SQL),
     "sparql_optional": QuerySpec(sparql_optional, SPARQL_OPTIONAL_SQL),
@@ -1707,7 +1778,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "rdf_sign_union": QuerySpec(rdf_sign_union, RDF_SIGN_UNION_SQL),
     "sparql_2hop": QuerySpec(sparql_2hop, SPARQL_2HOP_SQL, headline=True),
     "sparql_star": QuerySpec(sparql_star, SPARQL_STAR_SQL),
-    "sparql_topk": QuerySpec(sparql_topk, SPARQL_TOPK_SQL),
+    "sparql_groupby": QuerySpec(sparql_groupby, SPARQL_GROUPBY_SQL),
     "sparql_filter": QuerySpec(sparql_filter, SPARQL_FILTER_SQL),
 }
 

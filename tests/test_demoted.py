@@ -63,3 +63,14 @@ def test_sparql_union_matches_oracle(spark, sf_dir):
     SELECT s, o FROM triples WHERE p = 48
     """
     assert_matches_oracle(df, sql, sf_dir)
+
+
+def test_sparql_topk(spark, sf_dir):
+    """Demoted in round 4 (slot given to sparql_groupby): DISTINCT/ORDER
+    BY/LIMIT lowering — TakeOrderedAndProject, not a global sort."""
+    from rdfproject_msc_spark.sparql.planner import sparql_to_df
+
+    df = sparql_to_df(
+        R._store(spark, sf_dir), R.SPARQL_TOPK, R._dict(spark, sf_dir)
+    )
+    assert_matches_oracle(df, R.SPARQL_TOPK_SQL, sf_dir)

@@ -22,14 +22,12 @@ TABLE_NAMES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The engine assumes AQE (runtime partition coalescing, skew-join
-    # splitting, runtime broadcast decisions); externally-built sessions may
-    # not have it on. All three confs are runtime-settable and behavior-
-    # preserving — set them here so every query entry point is tuned
-    # regardless of who built the session (same rationale as the nanos
-    # conf below).
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    # splitting, runtime broadcast decisions). All three AQE confs default
+    # to TRUE on every Spark 3.2+ session, and session.get_spark pins them
+    # for engine-owned sessions — so load_table does NOT touch them: a read
+    # must not mutate an externally-owned session whose owner deliberately
+    # disabled AQE (the nanos conf below is different: the read physically
+    # fails without it, and it is set/restored around this read only).
     if name == "events":
         # events.parquet carries TIMESTAMP(NANOS), which Spark rejects unless
         # nanos are read back as long. The conf is runtime-settable, so set it

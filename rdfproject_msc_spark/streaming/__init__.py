@@ -9,6 +9,7 @@ from rdfproject_msc_spark.streaming.events import (  # noqa: F401
     run_to_memory_table,
     sessionize,
     stage_events_dir,
+    stream_triples_to_store,
     triples_from_event_stream,
     user_running_totals,
 )

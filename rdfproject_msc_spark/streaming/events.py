@@ -145,6 +145,34 @@ def triples_from_event_stream(events: DataFrame) -> DataFrame:
     return by_user.unionByName(has_type)
 
 
+def stream_triples_to_store(
+    events: DataFrame, path: str, checkpoint_dir: str
+) -> None:
+    """Streaming ingestion into the persisted triple store layout: append
+    the derived triples as sign-partitioned Parquet — the SAME on-disk
+    shape TripleStore.write produces and TripleStore.read opens, so batch
+    queries (and their partition pruning) run unchanged over data that
+    arrived via the stream.
+
+    Append-only file sink + checkpoint = exactly-once per micro-batch; the
+    ``sign`` partition column keeps directory pruning working as files
+    accumulate. ``availableNow`` drains the staged input and stops —
+    production would run the same query with a processing-time trigger."""
+    triples = triples_from_event_stream(events).withColumn(
+        "sign", (F.col("s") >= 0).cast("int")
+    )
+    q = (
+        triples.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .partitionBy("sign")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exactly-once dedup: at-least-once sources (Kafka retries,
     file-source re-lists, replayed batches) redeliver events; keeping one

@@ -40,7 +40,13 @@ def main() -> None:
             # a per-query constant. No caching: every count() re-executes
             # the full physical plan.
             df = spec.fn(spark, sf_dir)
-            df.count()  # warm-up (analysis + codegen compile + page cache)
+            # warm-up ×3: analysis + codegen compile + page cache + C2 JIT
+            # of the interpreted expression paths (HOF-heavy queries early
+            # in the JVM lifetime need >1 run to reach steady state —
+            # knn_cosine as the first query measured 0.30s after one
+            # warm-up vs 0.21s steady)
+            for _ in range(3):
+                df.count()
             best = float("inf")
             for _ in range(reps):
                 t0 = time.perf_counter()

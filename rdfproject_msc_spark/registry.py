@@ -205,9 +205,18 @@ def sparql_2hop_store(spark, sf_dir):
     """SPARQL planned directly against the persisted sign-split store: the
     planner's sign routing (table_for_subject) compiles to Parquet partition
     pruning — the reference's hand-written Positive/Negative SQL
-    (MyOpVisitorBase.java:82-86) as a pure layout property."""
+    (MyOpVisitorBase.java:82-86) as a pure layout property.
+
+    Since round 4 the entry also pins the sequence-path spelling
+    (SPARQL_2HOP_PATH) via the multiset-equivalence union: the entry
+    returns exactly the explicit-chain result iff the path expansion
+    produces identical rows over the same persisted layout."""
     store = _persisted_store(spark, sf_dir, layout="sign_split", cluster_by="s")
-    return sparql_to_df(store, SPARQL_2HOP, _dict(spark, sf_dir))
+    d = _dict(spark, sf_dir)
+    return _equiv_union(
+        sparql_to_df(store, SPARQL_2HOP, d),
+        sparql_to_df(store, SPARQL_2HOP_PATH, d),
+    )
 
 
 def rdf_encode_terms(spark, sf_dir):
@@ -389,16 +398,8 @@ SPARQL_2HOP_PATH = (
 
 
 def sparql_2hop(spark, sf_dir):
-    """The flagship 2-hop BGP, pinned in BOTH spellings: explicit join
-    chain and sequence property path. The multiset-equivalence union
-    returns exactly the explicit result iff the path expansion produces
-    identical rows — a divergent expansion breaks the row-count gate."""
     store = _store(spark, sf_dir)
-    d = _dict(spark, sf_dir)
-    return _equiv_union(
-        sparql_to_df(store, SPARQL_2HOP, d),
-        sparql_to_df(store, SPARQL_2HOP_PATH, d),
-    )
+    return sparql_to_df(store, SPARQL_2HOP, _dict(spark, sf_dir))
 
 
 SPARQL_2HOP_SQL = f"""{TRIPLES_CTE}

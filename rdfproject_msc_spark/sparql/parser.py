@@ -12,14 +12,18 @@ FILTER expressions (numeric comparisons over encoded ids combined with
 && / || / ! and parentheses, SPARQL 1.1 §17.2), FILTERs inside OPTIONAL
 groups (folded into the LeftJoin condition, §18.2.2.2), OPTIONAL groups
 (left joins), MINUS groups (left-anti joins), FILTER [NOT] EXISTS
-(semi/anti joins), single-variable VALUES blocks (isin), one UNION block
-of group alternatives (the generalization of the reference translator's
-hand-emitted Positive UNION ALL Negative, MyOpVisitorBase.java:106-123),
-and PREFIX expansion (the reference's Jena front-end resolved prefixes
-before normalization, MyOpVisitorBase.java:49,74-78). Out of scope,
-rejected explicitly: property paths other than sequences, nested groups,
-multiple UNION blocks, non-comparison FILTER forms (regex, string
-functions) (SURVEY.md §7 risk list).
+(semi/anti joins), single- and multi-variable VALUES blocks (isin /
+OR-of-ANDs filters), UNION blocks of group alternatives (arms joined
+per-arm for compatible-binding semantics; blocks compose by join — the
+generalization of the reference translator's hand-emitted Positive UNION
+ALL Negative, MyOpVisitorBase.java:106-123), GROUP BY/HAVING with
+COUNT/SUM/AVG/MIN/MAX aggregates (§11), sequence property paths (§9.1),
+the ASK query form (§16.3), and PREFIX expansion (the reference's Jena
+front-end resolved prefixes before normalization,
+MyOpVisitorBase.java:49,74-78). Out of scope, rejected explicitly:
+property paths other than sequences, nested groups, UNDEF in VALUES,
+non-comparison FILTER forms (regex, string functions), and
+CONSTRUCT/DESCRIBE query forms (SURVEY.md §7 risk list).
 
 Term forms (normalization mirrors MyOpVisitorBase.java:74-78):
   ?x / $x          variable
@@ -47,8 +51,16 @@ _FILTER_EXISTS = re.compile(
     r"\bFILTER\s+(?P<neg>NOT\s+)?EXISTS\s*\{([^{}]*)\}\s*\.?", re.I
 )
 # single-variable VALUES block: inline bindings → an isin() filter the
-# optimizer pushes into the scans (multi-variable VALUES is out of scope)
+# optimizer pushes into the scans
 _VALUES = re.compile(r"\bVALUES\s+[?$](?P<var>\w+)\s*\{(?P<vals>[^{}]*)\}\s*\.?", re.I)
+# multi-variable VALUES block: `VALUES (?x ?y) { (a b) (c d) }` → an
+# OR-of-ANDs row filter over the resolved ids (bounded by query size);
+# UNDEF is rejected (unbound-wildcard rows need compatible-join machinery)
+_VALUES_MULTI = re.compile(
+    r"\bVALUES\s*\((?P<vars>(?:\s*[?$]\w+)+)\s*\)\s*\{(?P<rows>[^{}]*)\}\s*\.?",
+    re.I,
+)
+_VALUES_ROW = re.compile(r"\(([^()]*)\)")
 # one UNION chain of 2+ group alternatives: `{...} UNION {...} [UNION {...}]`
 # → unionByName(allowMissingColumns) in the planner (the generalization of
 # the reference translator's hand-emitted Positive UNION ALL Negative,
@@ -90,6 +102,13 @@ _AGG_ITEM = re.compile(
     re.I,
 )
 _GROUP = re.compile(r"GROUP\s+BY\s+(?P<keys>(?:[?$]\w+\s*)+)", re.I)
+_HAVING = re.compile(r"HAVING\s*\(", re.I)
+# ASK query form (§16.3): boolean existence of any solution
+_ASK = re.compile(
+    r"^\s*(?P<prefixes>(?:PREFIX\s+\S+\s*<[^>]*>\s*)*)"
+    r"ASK\s*(?:WHERE\s*)?\{(?P<bgp>.*)\}\s*$",
+    re.I | re.S,
+)
 _PREFIX_DECL = re.compile(r"PREFIX\s+([\w.\-]*):\s*<([^>]*)>", re.I)
 _ORDER = re.compile(
     r"ORDER\s+BY\s+(?P<keys>(?:(?:ASC|DESC)\s*\(\s*[?$]\w+\s*\)|[?$]\w+)(?:\s+(?:(?:ASC|DESC)\s*\(\s*[?$]\w+\s*\)|[?$]\w+))*)",
@@ -139,20 +158,30 @@ class BGPQuery:
     # SPARQL 1.1 §18.2.2.2 folds a FILTER inside an OPTIONAL group into the
     # LeftJoin condition — the planner compiles it into the join predicate
     optional_filters: tuple[tuple, ...] = ()
-    # arms of ONE `{...} UNION {...}` block → unionByName of arm plans
-    unions: tuple[tuple[TriplePattern, ...], ...] = ()
+    # UNION blocks (§5.4), each a tuple of arms (each arm a tuple of
+    # patterns); blocks compose by join, arms by multiset union
+    unions: tuple[tuple[tuple[TriplePattern, ...], ...], ...] = ()
     # MINUS groups → left-anti join on the shared variables
     minuses: tuple[tuple[TriplePattern, ...], ...] = ()
     # FILTER [NOT] EXISTS groups: (negated, patterns) → semi/anti join
     exists: tuple[tuple[bool, tuple[TriplePattern, ...]], ...] = ()
     # VALUES blocks: (var, allowed slots) → isin filter
     values: tuple[tuple[str, tuple[tuple[str, object], ...]], ...] = ()
+    # multi-variable VALUES blocks: (vars, rows of slots) → OR-of-ANDs filter
+    values_multi: tuple[
+        tuple[tuple[str, ...], tuple[tuple[tuple[str, object], ...], ...]], ...
+    ] = ()
     # aggregation (SPARQL 1.1 §11): GROUP BY keys and projected aggregates
     # (func, var|None for COUNT(*), distinct, alias); when either is set the
     # planner lowers to groupBy/agg and `projection` holds the OUTPUT column
     # order (group vars and aggregate aliases interleaved as written)
     group_by: tuple[str, ...] = ()
     aggregates: tuple[tuple[str, str | None, bool, str], ...] = ()
+    # HAVING constraints (§11.5): FILTER expression ASTs evaluated over the
+    # grouped OUTPUT columns (group keys and aggregate aliases)
+    having: tuple = ()
+    # ASK query form (§16.3): plan returns one row (ask: boolean)
+    ask: bool = False
     # OFFSET (applies after ORDER BY, before LIMIT)
     offset: int | None = None
 
@@ -406,11 +435,27 @@ def _parse_patterns(
 
 
 def parse_sparql(query: str) -> BGPQuery:
-    m = _QUERY.match(query)
-    if not m:
-        raise SparqlSyntaxError("expected: [PREFIX...] SELECT ?v...|* WHERE { patterns }")
-    prefixes = {pm.group(1): pm.group(2) for pm in _PREFIX_DECL.finditer(m.group("prefixes"))}
-    bgp_src = m.group("bgp")
+    am = _ASK.match(query)
+    if am:
+        # ASK (§16.3): does the pattern have ≥1 solution? Normalized to the
+        # SELECT * machinery with the ask flag; no projection or modifiers.
+        ask = True
+        prefixes_src, bgp_src = am.group("prefixes"), am.group("bgp")
+        proj_src, distinct_src, mods_src = "*", None, ""
+    else:
+        m = _QUERY.match(query)
+        if not m:
+            raise SparqlSyntaxError(
+                "expected: [PREFIX...] SELECT ?v...|* WHERE { patterns } "
+                "or [PREFIX...] ASK [WHERE] { patterns }"
+            )
+        ask = False
+        prefixes_src, bgp_src = m.group("prefixes"), m.group("bgp")
+        proj_src = m.group("proj").strip()
+        distinct_src, mods_src = m.group("distinct"), m.group("mods")
+    prefixes = {
+        pm.group(1): pm.group(2) for pm in _PREFIX_DECL.finditer(prefixes_src)
+    }
     if _UNSUPPORTED.search(bgp_src):
         raise SparqlSyntaxError(
             "only basic graph patterns are supported (no UNION/GRAPH/...)"
@@ -441,10 +486,47 @@ def parse_sparql(query: str) -> BGPQuery:
             raise SparqlSyntaxError("VALUES entries must be constants")
         values.append((vm.group("var"), entries))
     bgp_src = _VALUES.sub(" ", bgp_src)
+
+    # extract multi-variable VALUES blocks: VALUES (?x ?y) { (a b) ... }
+    values_multi: list[
+        tuple[tuple[str, ...], tuple[tuple[tuple[str, object], ...], ...]]
+    ] = []
+    for vm in _VALUES_MULTI.finditer(bgp_src):
+        vars_ = tuple(v.lstrip("?$") for v in vm.group("vars").split())
+        if len(set(vars_)) != len(vars_):
+            raise SparqlSyntaxError(f"duplicate VALUES variables: {vars_}")
+        rows_src = vm.group("rows")
+        if re.search(r"\bUNDEF\b", rows_src, re.I):
+            raise SparqlSyntaxError(
+                "UNDEF in VALUES is not supported (wildcard rows need "
+                "compatible-join machinery)"
+            )
+        rows: list[tuple[tuple[str, object], ...]] = []
+        for rm in _VALUES_ROW.finditer(rows_src):
+            entries = tuple(
+                _normalize_term(t, prefixes) for t in _TOKEN.findall(rm.group(1))
+            )
+            if len(entries) != len(vars_):
+                raise SparqlSyntaxError(
+                    f"VALUES row width {len(entries)} != {len(vars_)} variables"
+                )
+            if any(kind == "var" for kind, _ in entries):
+                raise SparqlSyntaxError("VALUES entries must be constants")
+            rows.append(entries)
+        if _VALUES_ROW.sub(" ", rows_src).strip():
+            raise SparqlSyntaxError(
+                f"malformed VALUES rows: {rows_src.strip()!r}"
+            )
+        if not rows:
+            raise SparqlSyntaxError("empty VALUES block")
+        if len(set(rows)) != len(rows):
+            # duplicate rows would multiply solutions under SPARQL's
+            # multiset join; the filter compilation is set-based — reject
+            raise SparqlSyntaxError("duplicate VALUES rows are not supported")
+        values_multi.append((vars_, tuple(rows)))
+    bgp_src = _VALUES_MULTI.sub(" ", bgp_src)
     if re.search(r"\bVALUES\b", bgp_src, re.I):
-        raise SparqlSyntaxError(
-            "only single-variable VALUES blocks are supported"
-        )
+        raise SparqlSyntaxError("unsupported VALUES form")
 
     # extract MINUS groups (non-nested, keyword-prefixed like OPTIONAL)
     minus_srcs = [mm.group(1) for mm in _MINUS.finditer(bgp_src)]
@@ -452,14 +534,14 @@ def parse_sparql(query: str) -> BGPQuery:
     if re.search(r"\bMINUS\b", bgp_src, re.I):
         raise SparqlSyntaxError("nested MINUS groups are not supported")
 
-    # extract ONE union chain of group alternatives (after OPTIONAL/MINUS,
-    # whose braces are already gone; any brace left after this is unsupported)
-    union_srcs: list[str] = []
-    union_chains = _UNION_CHAIN.findall(bgp_src)
-    if len(union_chains) > 1:
-        raise SparqlSyntaxError("at most one UNION block is supported")
-    if union_chains:
-        union_srcs = _BRACE_GROUP.findall(union_chains[0])
+    # extract union chains of group alternatives (after OPTIONAL/MINUS,
+    # whose braces are already gone; any brace left after this is
+    # unsupported). Each `{...} UNION {...} [UNION {...}]` chain is one
+    # block; blocks compose by join in the planner.
+    union_block_srcs: list[list[str]] = [
+        _BRACE_GROUP.findall(chain) for chain in _UNION_CHAIN.findall(bgp_src)
+    ]
+    if union_block_srcs:
         bgp_src = _UNION_CHAIN.sub(" ", bgp_src)
     if re.search(r"\bUNION\b", bgp_src, re.I) or "{" in bgp_src or "}" in bgp_src:
         raise SparqlSyntaxError(
@@ -471,7 +553,6 @@ def parse_sparql(query: str) -> BGPQuery:
     # scan: expressions may contain their own parentheses)
     bgp_src, filters = _extract_filters(bgp_src)
 
-    proj_src = m.group("proj").strip()
     aggregates: list[tuple[str, str | None, bool, str]] = []
     if proj_src == "*":
         projection = None
@@ -506,12 +587,15 @@ def parse_sparql(query: str) -> BGPQuery:
 
     path_counter = itertools.count()  # fresh-var source shared query-wide
     patterns = _parse_patterns(bgp_src, prefixes, path_counter)
-    unions: list[tuple[TriplePattern, ...]] = []
-    for usrc in union_srcs:
-        arm = tuple(_parse_patterns(usrc, prefixes, path_counter))
-        if not arm:
-            raise SparqlSyntaxError("empty UNION arm")
-        unions.append(arm)
+    unions: list[tuple[tuple[TriplePattern, ...], ...]] = []
+    for block_srcs in union_block_srcs:
+        block: list[tuple[TriplePattern, ...]] = []
+        for usrc in block_srcs:
+            arm = tuple(_parse_patterns(usrc, prefixes, path_counter))
+            if not arm:
+                raise SparqlSyntaxError("empty UNION arm")
+            block.append(arm)
+        unions.append(tuple(block))
     if not patterns and not unions:
         raise SparqlSyntaxError("empty basic graph pattern")
     optionals: list[tuple[TriplePattern, ...]] = []
@@ -538,7 +622,7 @@ def parse_sparql(query: str) -> BGPQuery:
 
     required_vars = set().union(
         set(), *(tp.variables() for tp in patterns)
-    ) | {v for arm in unions for tp in arm for v in tp.variables()}
+    ) | {v for blk in unions for arm in blk for tp in arm for v in tp.variables()}
     pattern_vars = required_vars | {
         v for grp in optionals for tp in grp for v in tp.variables()
     }
@@ -565,6 +649,10 @@ def parse_sparql(query: str) -> BGPQuery:
     for var, _ in values:
         if var not in required_vars:
             raise SparqlSyntaxError(f"VALUES variable not in BGP: ?{var}")
+    for vars_, _ in values_multi:
+        for var in vars_:
+            if var not in required_vars:
+                raise SparqlSyntaxError(f"VALUES variable not in BGP: ?{var}")
     aliases = {alias for _, _, _, alias in aggregates}
     if projection is not None:
         unknown = set(projection) - pattern_vars - aliases
@@ -597,12 +685,39 @@ def parse_sparql(query: str) -> BGPQuery:
                     )
 
     # solution modifiers after the group pattern
-    mods = m.group("mods") or ""
+    mods = mods_src or ""
+    # HAVING(expr) — extract with balanced parens, reusing the FILTER
+    # expression grammar; evaluated over the grouped OUTPUT columns
+    having: list = []
+    while True:
+        hm = _HAVING.search(mods)
+        if not hm:
+            break
+        depth, i = 1, hm.end()
+        while i < len(mods) and depth:
+            if mods[i] == "(":
+                depth += 1
+            elif mods[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            raise SparqlSyntaxError("unbalanced parentheses in HAVING")
+        having.append(_parse_filter_expr(mods[hm.end() : i - 1]))
+        mods = mods[: hm.start()] + " " + mods[i:]
     gm = _GROUP.search(mods)
     group_by = (
         tuple(v.lstrip("?$") for v in gm.group("keys").split()) if gm else ()
     )
     grouped = bool(group_by) or bool(aggregates)
+    if having and not grouped:
+        raise SparqlSyntaxError("HAVING requires GROUP BY or aggregates")
+    for expr in having:
+        for v in sorted(filter_expr_vars(expr)):
+            if v not in set(group_by) | aliases:
+                raise SparqlSyntaxError(
+                    f"HAVING variable must be a GROUP BY key or an "
+                    f"aggregate alias: ?{v}"
+                )
     if grouped:
         if projection is None:
             raise SparqlSyntaxError("SELECT * cannot combine with GROUP BY/aggregates")
@@ -641,7 +756,8 @@ def parse_sparql(query: str) -> BGPQuery:
     return BGPQuery(
         projection=projection,
         patterns=tuple(patterns),
-        distinct=bool(m.group("distinct")),
+        distinct=bool(distinct_src),
+        ask=ask,
         order_by=tuple(order_by),
         limit=int(lm.group("n")) if lm else None,
         filters=tuple(filters),
@@ -651,7 +767,9 @@ def parse_sparql(query: str) -> BGPQuery:
         minuses=tuple(minuses),
         exists=tuple(exists),
         values=tuple(values),
+        values_multi=tuple(values_multi),
         offset=int(om2.group("n")) if om2 else None,
         group_by=group_by,
         aggregates=tuple(aggregates),
+        having=tuple(having),
     )

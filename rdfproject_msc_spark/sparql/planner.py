@@ -73,7 +73,7 @@ def _encode_constants(bgp: BGPQuery, dictionary: Dictionary | None) -> dict[str,
     all_patterns = (
         list(bgp.patterns)
         + [tp for grp in bgp.optionals for tp in grp]
-        + [tp for arm in bgp.unions for tp in arm]
+        + [tp for blk in bgp.unions for arm in blk for tp in arm]
         + [tp for grp in bgp.minuses for tp in grp]
         + [tp for _, grp in bgp.exists for tp in grp]
     )
@@ -88,6 +88,13 @@ def _encode_constants(bgp: BGPQuery, dictionary: Dictionary | None) -> dict[str,
             val
             for _, entries in bgp.values
             for kind, val in entries
+            if kind == "term"
+        }
+        | {
+            val
+            for _, rows in bgp.values_multi
+            for row in rows
+            for kind, val in row
             if kind == "term"
         }
     )
@@ -244,21 +251,21 @@ def plan_bgp(
     # (NULL==x is NULL), where SPARQL's compatible-binding join keeps it —
     # and per-arm joins keep every join a hash equi-join (no null-tolerant
     # OR-condition that would force a nested-loop join at scale).
-    if bgp.unions:
-        arm_order: list[str] = []  # union vars in first-appearance order
+    for bi, block in enumerate(bgp.unions):
+        arm_order: list[str] = []  # this block's vars in first-appearance order
         arms = []
-        for ai, arm in enumerate(bgp.unions):
+        for ai, arm in enumerate(block):
             adf, acols, aorder = _join_group(store, list(arm), term_ids, idx_offset)
             idx_offset += len(arm)
-            renames = {c: f"{c}_a{ai}" for c in adf.columns}
+            renames = {c: f"{c}_b{bi}a{ai}" for c in adf.columns}
             for old, new in renames.items():
                 adf = adf.withColumnRenamed(old, new)
             arms.append((adf, {v: renames[c] for v, c in acols.items()}))
             for v in aorder:
                 if v not in arm_order:
                     arm_order.append(v)
-        ucols = {v: f"u_{v}" for v in arm_order}
-        if joined is None:
+        ucols = {v: f"u{bi}_{v}" for v in arm_order}
+        if joined is None:  # first block of a pure-union query
             normalized = [
                 adf.select(
                     *[F.col(acols[v]).alias(ucols[v]) for v in arm_order if v in acols]
@@ -274,6 +281,9 @@ def plan_bgp(
             per_arm = []
             for adf, acols in arms:
                 shared = [v for v in acols if v in bound_cols]
+                # a later block may share a var that an earlier block left
+                # nullable — that join key would silently drop unbound rows
+                _reject_nullable_join_keys(shared, nullable_vars, "UNION")
                 if shared:
                     cond = reduce(
                         lambda a, b: a & b,
@@ -300,8 +310,8 @@ def plan_bgp(
                 if v not in bound_cols:
                     bound_cols[v] = ucols[v]
                     order.append(v)
-        # a union-bound var is nullable unless every arm binds it (vars the
-        # required patterns bind are never null regardless of the arms)
+        # a union-bound var is nullable unless every arm binds it (vars
+        # already bound before this block are never null regardless)
         for v in arm_order:
             if bound_cols[v] == ucols[v] and not all(
                 v in acols for _, acols in arms
@@ -387,12 +397,39 @@ def plan_bgp(
         ]
         joined = joined.filter(F.col(bound_cols[var]).isin(ids))
 
+    # multi-variable VALUES → OR-of-ANDs over the resolved ids: one
+    # single-pass row filter, bounded by query size (never a data-sized
+    # structure); set semantics (duplicate rows rejected by the parser)
+    for vars_, rows in bgp.values_multi:
+        _reject_nullable_join_keys(list(vars_), nullable_vars, "VALUES")
+
+        def _row_cond(row):
+            conds = [
+                F.col(bound_cols[v])
+                == F.lit(int(val) if kind == "id" else term_ids[val])
+                for v, (kind, val) in zip(vars_, row)
+            ]
+            return reduce(lambda a, b: a & b, conds)
+
+        joined = joined.filter(
+            reduce(lambda a, b: a | b, [_row_cond(r) for r in rows])
+        )
+
     # FILTER constraints: Column predicates over the bound variables —
     # applied BEFORE projection so non-projected variables can be filtered;
     # Catalyst pushes var-vs-constant comparisons down into the scans and
     # splits top-level conjunctions for pushdown on both join sides.
     for expr in bgp.filters:
         joined = joined.filter(_compile_filter(expr, bound_cols))
+
+    # ASK (§16.3): existence of any solution — limit(1) stops the scan at
+    # the first match (Spark plans a CollectLimit; with selective pushed
+    # filters this touches a handful of row groups, never the full input),
+    # then a count>0 aggregate yields the one-row boolean result.
+    if bgp.ask:
+        return joined.limit(1).agg(
+            (F.count(F.lit(1)) > F.lit(0)).alias("ask")
+        )
 
     # SELECT *: all variables in first-appearance order, minus the internal
     # ones introduced by sequence-path expansion (SPARQL 1.1 §9.1: path
@@ -482,6 +519,12 @@ def _plan_grouped(joined: DataFrame, bound_cols: dict[str, str], bgp: BGPQuery) 
     else:
         # GROUP BY with no aggregates: the distinct grouping keys
         out = joined.select(*keys).distinct()
+    # HAVING (§11.5): a filter over the grouped output (group keys and
+    # aggregate aliases are 1:1 column names here), applied BEFORE the
+    # final projection so non-projected group keys remain filterable
+    having_map = {c: c for c in out.columns}
+    for expr in bgp.having:
+        out = out.filter(_compile_filter(expr, having_map))
     return out.select(*[F.col(c) for c in bgp.projection])
 
 

@@ -214,3 +214,126 @@ def test_minhash_is_sound_subset_of_exact(spark, texts):
         for r in dedup.jaccard_pairs(df, n=2, threshold=0.4).collect()
     }
     assert lsh <= exact
+
+
+_filter_cmp = st.tuples(
+    st.sampled_from("ab"),
+    st.sampled_from(["=", "!=", "<", "<=", ">", ">="]),
+    st.integers(-5, 5),
+)
+_filter_expr = st.recursive(
+    _filter_cmp,
+    lambda kids: st.one_of(
+        st.tuples(st.just("not"), kids),
+        st.tuples(st.just("and"), kids, kids),
+        st.tuples(st.just("or"), kids, kids),
+    ),
+    max_leaves=4,
+)
+
+
+def _render_filter(e) -> str:
+    if e[0] == "not":
+        return f"!({_render_filter(e[1])})"
+    if e[0] in ("and", "or"):
+        op = "&&" if e[0] == "and" else "||"
+        return f"({_render_filter(e[1])} {op} {_render_filter(e[2])})"
+    v, op, c = e
+    return f"?{v} {op} {c}"
+
+
+def _eval_filter(e, env) -> bool:
+    if e[0] == "not":
+        return not _eval_filter(e[1], env)
+    if e[0] == "and":
+        return _eval_filter(e[1], env) and _eval_filter(e[2], env)
+    if e[0] == "or":
+        return _eval_filter(e[1], env) or _eval_filter(e[2], env)
+    v, op, c = e
+    x = env[v]
+    return {
+        "=": x == c, "!=": x != c, "<": x < c,
+        "<=": x <= c, ">": x > c, ">=": x >= c,
+    }[op]
+
+
+@given(rows=triples_strategy, expr=_filter_expr)
+@settings(**SETTINGS)
+def test_sparql_filter_expression_matches_python_eval(spark, rows, expr):
+    """Arbitrary &&/||/! filter trees over bound variables vs direct Python
+    boolean evaluation (both variables always bound → 2-valued logic)."""
+    from rdfproject_msc_spark.sparql.planner import sparql_to_df
+    from rdfproject_msc_spark.store import TripleStore
+
+    df = spark.createDataFrame(rows, "s long, p long, o long")
+    q = f"SELECT ?a ?b WHERE {{ ?a 11 ?b . FILTER({_render_filter(expr)}) }}"
+    got = sorted((r.a, r.b) for r in sparql_to_df(TripleStore(df), q).collect())
+    want = sorted(
+        (s, o)
+        for s, p, o in rows
+        if p == 11 and _eval_filter(expr, {"a": s, "b": o})
+    )
+    assert got == want
+
+
+@given(rows=triples_strategy)
+@settings(**SETTINGS)
+def test_sparql_aggregates_match_python_eval(spark, rows):
+    """GROUP BY lowering vs direct Python aggregation (count/sum/min/max
+    per key; avg checked via sum/count to stay in exact arithmetic)."""
+    from rdfproject_msc_spark.sparql.planner import sparql_to_df
+    from rdfproject_msc_spark.store import TripleStore
+
+    df = spark.createDataFrame(rows, "s long, p long, o long")
+    q = (
+        "SELECT ?s (COUNT(?o) AS ?n) (SUM(?o) AS ?t) (MIN(?o) AS ?lo) "
+        "(MAX(?o) AS ?hi) WHERE { ?s 11 ?o } GROUP BY ?s"
+    )
+    got = {
+        r.s: (r.n, r.t, r.lo, r.hi)
+        for r in sparql_to_df(TripleStore(df), q).collect()
+    }
+    groups: dict[int, list[int]] = {}
+    for s, p, o in rows:
+        if p == 11:
+            groups.setdefault(s, []).append(o)
+    want = {
+        s: (len(v), sum(v), min(v), max(v)) for s, v in groups.items()
+    }
+    assert got == want
+
+
+@given(
+    rows=triples_strategy,
+    p1=st.sampled_from([11, 22]),
+    p2=st.sampled_from([11, 22, 33]),
+    p3=st.sampled_from([11, 22, 33]),
+)
+@settings(**SETTINGS)
+def test_union_compatible_join_matches_python_eval(spark, rows, p1, p2, p3):
+    """Required pattern joined with a union whose second arm binds NOTHING
+    shared: SPARQL compatible-binding join keeps every arm-2 solution
+    against every required solution (unbound ?b is compatible), while arm-1
+    joins on ?b. Checked against direct Python evaluation."""
+    from rdfproject_msc_spark.sparql.planner import sparql_to_df
+    from rdfproject_msc_spark.store import TripleStore
+
+    df = spark.createDataFrame(rows, "s long, p long, o long")
+    q = (
+        f"SELECT ?a ?b ?c ?d WHERE {{ ?a {p1} ?b . "
+        f"{{ ?b {p2} ?c }} UNION {{ ?d {p3} ?c }} }}"
+    )
+    key = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+    got = sorted(
+        ((r.a, r.b, r.c, r.d) for r in sparql_to_df(TripleStore(df), q).collect()),
+        key=key,
+    )
+    req = [(s, o) for s, p, o in rows if p == p1]
+    want = []
+    for a, b in req:
+        want.extend(
+            (a, b, c, None) for s, p, c in rows if p == p2 and s == b
+        )
+        want.extend((a, b, c, d) for d, p, c in rows if p == p3)
+    want.sort(key=key)
+    assert got == want

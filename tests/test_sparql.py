@@ -125,16 +125,48 @@ def test_parse_union_arms():
     bgp = parse_sparql(
         "SELECT ?s ?o WHERE { { ?s :p10 ?o } UNION { ?s :p20 ?o } UNION { ?s :p30 ?o } }"
     )
-    assert len(bgp.unions) == 3
+    assert len(bgp.unions) == 1 and len(bgp.unions[0]) == 3
     assert not bgp.patterns
 
 
-def test_parse_rejects_two_union_blocks():
-    with pytest.raises(SparqlSyntaxError, match="at most one UNION"):
-        parse_sparql(
-            "SELECT ?a WHERE { { ?a :p ?b } UNION { ?a :q ?b } . "
-            "{ ?a :r ?c } UNION { ?a :s ?c } }"
-        )
+def test_parse_two_union_blocks():
+    bgp = parse_sparql(
+        "SELECT ?a WHERE { { ?a :p ?b } UNION { ?a :q ?b } . "
+        "{ ?a :r ?c } UNION { ?a :s ?c } }"
+    )
+    assert len(bgp.unions) == 2
+    assert [len(blk) for blk in bgp.unions] == [2, 2]
+
+
+def test_two_union_blocks_execute(tiny_store, tiny_dict):
+    """Blocks compose by join (SPARQL algebra: Join(Union(..), Union(..))):
+    the second block joins per-arm on ?a bound by the first."""
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?a ?b ?c WHERE { { ?a :p10 ?b } UNION { ?a :p20 ?b } . "
+        "{ ?a :p10 ?c } UNION { ?a :p20 ?c } }",
+        tiny_dict,
+    )
+    rows = sorted((r.a, r.b, r.c) for r in df.collect())
+    # block1 rows: p10 (1,1),(1,2),(2,2),(-5,1) ∪ p20 (2,3); block2 joins
+    # each by ?a through p10 edges then p20 edges
+    assert rows == [
+        (-5, 1, 1),
+        (1, 1, 1), (1, 1, 2), (1, 2, 1), (1, 2, 2),
+        (2, 2, 2), (2, 2, 3), (2, 3, 2), (2, 3, 3),
+    ]
+
+
+def test_union_block_keyed_on_partially_bound_var_rejected(tiny_store, tiny_dict):
+    """A later block sharing only a variable some earlier arm left unbound
+    must be rejected — NULL join keys would silently drop solutions."""
+    with pytest.raises(SparqlSyntaxError, match="UNION references"):
+        sparql_to_df(
+            tiny_store,
+            "SELECT ?s WHERE { { ?s :p10 2 } UNION { ?s :p20 ?x } . "
+            "{ ?x :p10 ?y } UNION { ?x :p20 ?y } }",
+            tiny_dict,
+        ).collect()
 
 
 def test_parse_rejects_stray_group():
@@ -264,10 +296,7 @@ def test_parse_solution_modifiers():
 
 def test_parse_rejects_unknown_modifier():
     with pytest.raises(SparqlSyntaxError, match="unsupported solution"):
-        parse_sparql(
-            "SELECT ?a (COUNT(?b) AS ?n) WHERE { ?a :p ?b . } "
-            "GROUP BY ?a HAVING(?n > 1)"
-        )
+        parse_sparql("SELECT ?a WHERE { ?a :p ?b . } BINDINGS ?a 1")
 
 
 def test_parse_offset():
@@ -402,11 +431,11 @@ def test_parse_rejects_values_unknown_var():
         parse_sparql("SELECT ?s WHERE { ?s :p10 ?o . VALUES ?zz { 1 } }")
 
 
-def test_parse_rejects_multi_var_values():
-    with pytest.raises(SparqlSyntaxError, match="single-variable VALUES"):
-        parse_sparql(
-            "SELECT ?s WHERE { ?s :p10 ?o . VALUES (?s ?o) { (1 2) } }"
-        )
+def test_parse_multi_var_values():
+    bgp = parse_sparql(
+        "SELECT ?s WHERE { ?s :p10 ?o . VALUES (?s ?o) { (1 2) } }"
+    )
+    assert bgp.values_multi == ((("s", "o"), ((("id", 1), ("id", 2)),)),)
 
 
 def test_values_executes(tiny_store, tiny_dict):
@@ -731,3 +760,67 @@ def test_sequence_path_three_hops_and_select_star(tiny_store, tiny_dict):
     assert df.columns == ["a", "c"]
     # chains: 1→1→2→3, 1→2→2→3, 2→2→2→3, -5→1→2→3
     assert sorted(map(tuple, df.collect())) == [(-5, 3), (1, 3), (1, 3), (2, 3)]
+
+
+def test_having_executes(tiny_store, tiny_dict):
+    # p10 edges 1→1, 1→2, 2→2, -5→1 → per-subject counts: 1:2, 2:1, -5:1
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s :p10 ?o } "
+        "GROUP BY ?s HAVING(?n > 1)",
+        tiny_dict,
+    )
+    assert [(r.s, r.n) for r in df.collect()] == [(1, 2)]
+    # HAVING on a non-projected group key
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT (COUNT(?o) AS ?n) WHERE { ?s :p10 ?o } "
+        "GROUP BY ?s HAVING(?s < 0)",
+        tiny_dict,
+    )
+    assert [r.n for r in df.collect()] == [1]
+
+
+def test_having_rejections():
+    with pytest.raises(SparqlSyntaxError, match="HAVING requires"):
+        parse_sparql("SELECT ?s WHERE { ?s :p ?o } HAVING(?s > 1)")
+    with pytest.raises(SparqlSyntaxError, match="HAVING variable"):
+        parse_sparql(
+            "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s :p ?o } "
+            "GROUP BY ?s HAVING(?o > 1)"
+        )
+
+
+def test_ask_executes(tiny_store, tiny_dict):
+    yes = sparql_to_df(tiny_store, "ASK { ?s :p10 2 }", tiny_dict)
+    assert yes.columns == ["ask"]
+    assert [r.ask for r in yes.collect()] == [True]
+    no = sparql_to_df(
+        tiny_store, "ASK WHERE { ?s :p20 ?o . FILTER(?o > 99) }", tiny_dict
+    )
+    assert [r.ask for r in no.collect()] == [False]
+
+
+def test_multi_var_values_executes(tiny_store, tiny_dict):
+    # p10 edges 1→1, 1→2, 2→2, -5→1; keep only rows matching the table
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?o WHERE { ?s :p10 ?o . VALUES (?s ?o) { (1 2) (2 2) (9 9) } }",
+        tiny_dict,
+    )
+    assert sorted((r.s, r.o) for r in df.collect()) == [(1, 2), (2, 2)]
+
+
+def test_multi_var_values_rejections():
+    with pytest.raises(SparqlSyntaxError, match="UNDEF"):
+        parse_sparql(
+            "SELECT ?s WHERE { ?s :p ?o . VALUES (?s ?o) { (1 UNDEF) } }"
+        )
+    with pytest.raises(SparqlSyntaxError, match="row width"):
+        parse_sparql("SELECT ?s WHERE { ?s :p ?o . VALUES (?s ?o) { (1) } }")
+    with pytest.raises(SparqlSyntaxError, match="duplicate VALUES rows"):
+        parse_sparql(
+            "SELECT ?s WHERE { ?s :p ?o . VALUES (?s ?o) { (1 2) (1 2) } }"
+        )
+    with pytest.raises(SparqlSyntaxError, match="not in BGP"):
+        parse_sparql("SELECT ?s WHERE { ?s :p ?o . VALUES (?s ?z) { (1 2) } }")

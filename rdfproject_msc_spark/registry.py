@@ -413,7 +413,7 @@ SPARQL_STAR = (
 )
 
 SPARQL_FILTER = (
-    "SELECT ?e ?c WHERE { ?e :byUser ?c . "
+    "SELECT ?e ?c WHERE { ?e (:byUser|:linkedEvent) ?c . "
     "FILTER((?e >= -2507 && !(?c = 71)) || ?c < 60) }"
 )
 
@@ -422,8 +422,12 @@ def sparql_filter(spark, sf_dir):
     """FILTER expressions through the planner: numeric comparisons over the
     encoded ids (the engine's data model — the reference's own SQL compares
     ids, PartitionQueryingSubject.java:130) combined with the SPARQL 1.1
-    §17.2 connectives && / || / ! and parentheses. Catalyst still splits
-    the pushdown-able conjuncts into the scans."""
+    §17.2 connectives && / || / ! and parentheses, over an alternation
+    property path (§9.1: `:byUser|:linkedEvent` lowers to a UNION block —
+    with the p-clustered store layout each arm's scan prunes to its own
+    predicate range, so the union reads the same bytes as a single
+    p IN (...) scan). Catalyst still splits the pushdown-able conjuncts
+    into the scans of each arm."""
     store = _store(spark, sf_dir)
     return sparql_to_df(store, SPARQL_FILTER, _dict(spark, sf_dir))
 
@@ -460,7 +464,7 @@ WHERE t0.p = {P_IN_NATION}
 
 SPARQL_FILTER_SQL = f"""{TRIPLES_CTE}
 SELECT s AS e, o AS c FROM triples
-WHERE p = {P_BY_USER}
+WHERE p IN ({P_BY_USER}, {P_LINKED_EVENT})
   AND ((s >= -2507 AND NOT o = {CUSTOMER_7}) OR o < 60)
 """
 
@@ -476,24 +480,28 @@ ORDER BY c DESC LIMIT 5
 # modifier lowering it pinned is unchanged and stays oracle-checked there.
 
 SPARQL_GROUPBY = (
-    "SELECT ?c (COUNT(?e) AS ?n_events) WHERE { ?e :byUser ?c . } "
-    "GROUP BY ?c ORDER BY DESC(?n_events) ?c LIMIT 10"
+    "SELECT ?c (COUNT(?e) AS ?n_events) WHERE { ?c ^:byUser ?e . } "
+    "GROUP BY ?c HAVING(?n_events < 56) ORDER BY DESC(?n_events) ?c LIMIT 10"
 )
 
 
 def sparql_groupby(spark, sf_dir):
     """SPARQL 1.1 §11 aggregation through the planner: GROUP BY + COUNT
     lowered to groupBy/agg (partial aggregation before the key shuffle —
-    the exchange carries one row per key per partition, not per event).
-    ORDER BY the aggregate alias with a key tiebreak keeps the LIMIT
-    deterministic."""
+    the exchange carries one row per key per partition, not per event),
+    HAVING (§11.5) filtering the grouped output, and an inverse property
+    path (§9.1: `?c ^:byUser ?e` ≡ `?e :byUser ?c` with the sides
+    swapped at parse time — zero plan cost). The HAVING is load-bearing:
+    without it the DESC top-10 would be the LARGEST groups; with it the
+    result is the top of the sub-56 tail. ORDER BY the aggregate alias
+    with a key tiebreak keeps the LIMIT deterministic."""
     store = _store(spark, sf_dir)
     return sparql_to_df(store, SPARQL_GROUPBY, _dict(spark, sf_dir))
 
 
 SPARQL_GROUPBY_SQL = f"""{TRIPLES_CTE}
 SELECT o AS c, count(s) AS n_events FROM triples WHERE p = {P_BY_USER}
-GROUP BY o ORDER BY n_events DESC, c LIMIT 10
+GROUP BY o HAVING count(s) < 56 ORDER BY n_events DESC, c LIMIT 10
 """
 
 

@@ -17,13 +17,15 @@ OR-of-ANDs filters), UNION blocks of group alternatives (arms joined
 per-arm for compatible-binding semantics; blocks compose by join — the
 generalization of the reference translator's hand-emitted Positive UNION
 ALL Negative, MyOpVisitorBase.java:106-123), GROUP BY/HAVING with
-COUNT/SUM/AVG/MIN/MAX aggregates (§11), sequence property paths (§9.1),
-the ASK query form (§16.3), and PREFIX expansion (the reference's Jena
-front-end resolved prefixes before normalization,
+COUNT/SUM/AVG/MIN/MAX aggregates (§11), sequence / alternation / inverse
+property paths (§9.1 — sequences chain joins through hidden fresh
+variables, alternation lowers to a UNION block, inverse swaps the
+subject/object sides), the ASK query form (§16.3), and PREFIX expansion
+(the reference's Jena front-end resolved prefixes before normalization,
 MyOpVisitorBase.java:49,74-78). Out of scope, rejected explicitly:
-property paths other than sequences, nested groups, UNDEF in VALUES,
-non-comparison FILTER forms (regex, string functions), and
-CONSTRUCT/DESCRIBE query forms (SURVEY.md §7 risk list).
+closure/optional/negated path operators (`*` `+` `?` `!`), nested
+groups, UNDEF in VALUES, non-comparison FILTER forms (regex, string
+functions), and CONSTRUCT/DESCRIBE query forms (SURVEY.md §7 risk list).
 
 Term forms (normalization mirrors MyOpVisitorBase.java:74-78):
   ?x / $x          variable
@@ -352,7 +354,7 @@ def _extract_filters(src: str):
     return "".join(out), exprs
 
 
-_PATH_OPERATOR = re.compile(r"[\^*+|]")
+_PATH_OPERATOR = re.compile(r"[*+!?]")
 # internal variables introduced by sequence-path expansion; hidden from
 # SELECT * projections
 _PATH_VAR_PREFIX = "__pp"
@@ -364,45 +366,75 @@ def _expand_path(
     o_tok: str,
     prefixes: dict[str, str],
     path_counter,
-) -> list[TriplePattern]:
-    """Expand a sequence property path `p1/p2/.../pn` (SPARQL 1.1 §9.1)
-    in the predicate slot into the equivalent join chain through fresh
-    internal variables — exactly the 2-hop shape the engine already builds
-    by hand (queries.py two_hop / MyOpVisitorBase.java:132-133's intent).
-    Non-path predicates pass through as a single pattern."""
+) -> list[list[TriplePattern]]:
+    """Expand a property path in the predicate slot (SPARQL 1.1 §9.1,
+    grammar precedence `|` < `/` < `^`): returns one pattern list per
+    `|`-alternative. A sequence `p1/p2/.../pn` becomes the join chain
+    through fresh internal variables — exactly the 2-hop shape the engine
+    already builds by hand (queries.py two_hop /
+    MyOpVisitorBase.java:132-133's intent); an inverse step `^p` swaps the
+    subject and object sides of its single pattern; alternation callers
+    lower the arms to a synthesized UNION block. Non-path predicates pass
+    through as one single-pattern alternative. Unsupported operators
+    (`*` `+` `?` `!(...)` — the closure/optional/negated forms need
+    iterative or complement machinery) are rejected."""
     plain = not p_tok.startswith(('"', "<", "?", "$"))
+    if plain and p_tok.startswith("(") and p_tok.endswith(")"):
+        inner = p_tok[1:-1]
+        if "(" in inner or ")" in inner or not inner:
+            raise SparqlSyntaxError(f"unsupported property path {p_tok!r}")
+        p_tok = inner
     if plain and _PATH_OPERATOR.search(p_tok):
         raise SparqlSyntaxError(
             f"unsupported property path {p_tok!r} "
-            "(only sequence paths p1/p2/... are supported)"
+            "(supported: sequence p1/p2, alternation p1|p2, inverse ^p)"
         )
-    if not (plain and "/" in p_tok):
+    if not (plain and any(op in p_tok for op in "/|^")):
         return [
-            TriplePattern(*(_normalize_term(t, prefixes) for t in (s_tok, p_tok, o_tok)))
+            [TriplePattern(*(_normalize_term(t, prefixes) for t in (s_tok, p_tok, o_tok)))]
         ]
-    segs = p_tok.split("/")
-    if any(not seg for seg in segs):
-        raise SparqlSyntaxError(f"malformed sequence path: {p_tok!r}")
-    out: list[TriplePattern] = []
-    subj = _normalize_term(s_tok, prefixes)
-    for seg in segs[:-1]:
-        mid = ("var", f"{_PATH_VAR_PREFIX}{next(path_counter)}")
-        out.append(TriplePattern(subj, _normalize_term(seg, prefixes), mid))
-        subj = mid
-    out.append(
-        TriplePattern(subj, _normalize_term(segs[-1], prefixes), _normalize_term(o_tok, prefixes))
-    )
-    return out
+    alternatives: list[list[TriplePattern]] = []
+    for alt in p_tok.split("|"):
+        segs = alt.split("/")
+        if any(not seg or seg == "^" for seg in segs):
+            raise SparqlSyntaxError(f"malformed property path: {p_tok!r}")
+        out: list[TriplePattern] = []
+        subj = _normalize_term(s_tok, prefixes)
+        for i, seg in enumerate(segs):
+            inverse = seg.startswith("^")
+            pred = _normalize_term(seg[1:] if inverse else seg, prefixes)
+            if "^" in (seg[1:] if inverse else seg):
+                raise SparqlSyntaxError(f"malformed property path: {p_tok!r}")
+            if i == len(segs) - 1:
+                obj = _normalize_term(o_tok, prefixes)
+            else:
+                obj = ("var", f"{_PATH_VAR_PREFIX}{next(path_counter)}")
+            out.append(
+                TriplePattern(obj, pred, subj)
+                if inverse
+                else TriplePattern(subj, pred, obj)
+            )
+            subj = obj
+        alternatives.append(out)
+    return alternatives
 
 
 def _parse_patterns(
-    src: str, prefixes: dict[str, str], path_counter=None
+    src: str,
+    prefixes: dict[str, str],
+    path_counter=None,
+    alt_blocks: list | None = None,
 ) -> list[TriplePattern]:
     """Tokenize the WHOLE pattern source first, then split the token stream
     on statement terminators. Splitting the raw string on "." would chop
     dots inside IRIs (<http://example.org/x> — hostnames always contain
     dots) and inside terms like :node_..._-9.15947_38.70289 (the
-    reference's AIS vocabulary, MyOpVisitorBase.java:132)."""
+    reference's AIS vocabulary, MyOpVisitorBase.java:132).
+
+    Alternation paths (`p1|p2`) lower to a synthesized UNION block appended
+    to `alt_blocks` (one arm per alternative); callers that cannot host a
+    union block (OPTIONAL/MINUS/EXISTS groups, UNION arms) pass None and
+    get an explicit rejection."""
     if path_counter is None:
         path_counter = itertools.count()
     patterns: list[TriplePattern] = []
@@ -413,7 +445,16 @@ def _parse_patterns(
             return
         if len(cur) != 3:
             raise SparqlSyntaxError(f"triple pattern needs 3 terms, got {cur!r}")
-        patterns.extend(_expand_path(*cur, prefixes, path_counter))
+        alternatives = _expand_path(*cur, prefixes, path_counter)
+        if len(alternatives) == 1:
+            patterns.extend(alternatives[0])
+        elif alt_blocks is None:
+            raise SparqlSyntaxError(
+                "alternation paths are only supported in the required "
+                "pattern group (not inside OPTIONAL/MINUS/EXISTS/UNION)"
+            )
+        else:
+            alt_blocks.append(tuple(tuple(arm) for arm in alternatives))
         cur.clear()
 
     for tok in _TOKEN.findall(src):
@@ -586,7 +627,8 @@ def parse_sparql(query: str) -> BGPQuery:
         projection = tuple(items)
 
     path_counter = itertools.count()  # fresh-var source shared query-wide
-    patterns = _parse_patterns(bgp_src, prefixes, path_counter)
+    path_alt_blocks: list[tuple[tuple[TriplePattern, ...], ...]] = []
+    patterns = _parse_patterns(bgp_src, prefixes, path_counter, path_alt_blocks)
     unions: list[tuple[tuple[TriplePattern, ...], ...]] = []
     for block_srcs in union_block_srcs:
         block: list[tuple[TriplePattern, ...]] = []
@@ -596,6 +638,10 @@ def parse_sparql(query: str) -> BGPQuery:
                 raise SparqlSyntaxError("empty UNION arm")
             block.append(arm)
         unions.append(tuple(block))
+    # alternation paths (§9.1) lower to UNION blocks: arms join per-arm
+    # with the rest of the BGP exactly like written UNION groups (every
+    # arm binds the same endpoint variables, so no arm is null-extended)
+    unions.extend(path_alt_blocks)
     if not patterns and not unions:
         raise SparqlSyntaxError("empty basic graph pattern")
     optionals: list[tuple[TriplePattern, ...]] = []

@@ -732,10 +732,80 @@ def test_parse_sequence_path_expands_to_join_chain():
     assert bgp.patterns[1].o == ("var", "c")
 
 
-def test_parse_rejects_non_sequence_path_operators():
-    for bad in (":p1|:p2", ":p1/:p2*", "^:p1"):
+def test_parse_rejects_closure_path_operators():
+    for bad in (":p1*", ":p1/:p2*", ":p1+", "(:p1|:p2)+", "((:p1))"):
         with pytest.raises(SparqlSyntaxError):
             parse_sparql(f"SELECT ?a WHERE {{ ?a {bad} ?c }}")
+    # malformed arms/segments
+    for bad in (":p1|", "|:p1", ":p1/^/:p2", "^"):
+        with pytest.raises(SparqlSyntaxError):
+            parse_sparql(f"SELECT ?a WHERE {{ ?a {bad} ?c }}")
+
+
+def test_inverse_path_swaps_sides(tiny_store, tiny_dict):
+    inv = sparql_to_df(
+        tiny_store, "SELECT ?a ?b WHERE { ?b ^:p10 ?a }", tiny_dict
+    )
+    fwd = sparql_to_df(
+        tiny_store, "SELECT ?a ?b WHERE { ?a :p10 ?b }", tiny_dict
+    )
+    assert sorted(map(tuple, inv.select("a", "b").collect())) == sorted(
+        map(tuple, fwd.collect())
+    )
+
+
+def test_inverse_inside_sequence_path(tiny_store, tiny_dict):
+    # ^:p10/:p20 — mid -p10-> x and mid -p20-> y; only mid=2 has a p20
+    # edge (2→3), and 2's p10 edge is the self-loop 2→2 ⇒ (x=2, y=3)
+    df = sparql_to_df(
+        tiny_store, "SELECT ?x ?y WHERE { ?x ^:p10/:p20 ?y }", tiny_dict
+    )
+    assert sorted(map(tuple, df.collect())) == [(2, 3)]
+
+
+def test_alternation_path_is_multiset_union(tiny_store, tiny_dict):
+    # arm 1: p10/p20 chains → (1,3), (2,3); arm 2: the p20 edge (2,3).
+    # SPARQL UNION is a multiset: (2,3) must appear TWICE.
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?a ?b WHERE { ?a (:p10/:p20|:p20) ?b }",
+        tiny_dict,
+    )
+    assert sorted(map(tuple, df.collect())) == [(1, 3), (2, 3), (2, 3)]
+    # parenthesized and bare alternation parse identically
+    bare = sparql_to_df(
+        tiny_store, "SELECT ?a ?b WHERE { ?a :p10/:p20|:p20 ?b }", tiny_dict
+    )
+    assert sorted(map(tuple, bare.collect())) == [(1, 3), (2, 3), (2, 3)]
+
+
+def test_alternation_path_joins_required_patterns(tiny_store, tiny_dict):
+    # required: ?a :p20 ?c binds a=2, c=3; alternation arms join on ?a:
+    # p10 from 2 → b=2, p20 from 2 → b=3
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?a ?c ?b WHERE { ?a :p20 ?c . ?a (:p10|:p20) ?b }",
+        tiny_dict,
+    )
+    assert sorted(map(tuple, df.collect())) == [(2, 3, 2), (2, 3, 3)]
+
+
+def test_alternation_path_select_star_hides_internal_vars(tiny_store, tiny_dict):
+    df = sparql_to_df(
+        tiny_store, "SELECT * WHERE { ?a (:p10/:p20|:p20) ?b }", tiny_dict
+    )
+    assert df.columns == ["a", "b"]
+
+
+def test_alternation_rejected_outside_required_group():
+    with pytest.raises(SparqlSyntaxError, match="alternation"):
+        parse_sparql(
+            "SELECT ?s WHERE { ?s :a ?x . OPTIONAL { ?s (:p|:q) ?y } }"
+        )
+    with pytest.raises(SparqlSyntaxError, match="alternation"):
+        parse_sparql(
+            "SELECT ?s WHERE { ?s :a ?x . MINUS { ?s :p|:q ?y } }"
+        )
 
 
 def test_sequence_path_matches_hand_built_two_hop(tiny_store, tiny_dict):

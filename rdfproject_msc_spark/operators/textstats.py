@@ -129,6 +129,59 @@ def language_id(df: DataFrame, content_col: str = "text") -> DataFrame:
     )
 
 
+# character n-gram profiles per language (boundary spaces included — the
+# padded text ' '||lower(text)||' ' makes word-initial/final grams match).
+# The classic Cavnar–Trenkle-style profile, shrunk to a deterministic
+# embedded set; the real pipeline would learn profiles from a corpus.
+CHAR_NGRAMS = {
+    "en": (" th", "the", " an", "nd ", " of", "is ", "ing", " to"),
+    "es": (" el", "que", " de", "os ", " la", "ión", " es", "ent"),
+    "fr": (" le", "les", " et", "est", " un", "eur", "ait", " la"),
+    "de": ("der", "ein", "und", "sch", "ich", "cht", " ge", "die"),
+    "zh": ("的", "是", "了", "在", "和", "有", "我"),
+}
+
+
+def ngram_hits(col: Column, lang: str) -> Column:
+    """Total occurrences of the language's profile n-grams in the padded,
+    lowercased text — the replace-trick count
+    (len(s) - len(replace(s, g))) / len(g) per gram, summed; every term is
+    a built-in string function, so the whole score stays inside
+    whole-stage codegen. Occurrences may overlap grams but each count is
+    exact per gram (non-overlapping occurrences of that gram), matching
+    the DuckDB twin's replace() semantics exactly."""
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    counts = [
+        ((F.length(padded) - F.length(F.replace(padded, F.lit(g)))) / F.lit(len(g)))
+        for g in CHAR_NGRAMS[lang]
+    ]
+    total = counts[0]
+    for c in counts[1:]:
+        total = total + c
+    return total.cast("long")
+
+
+def language_id_ngram(df: DataFrame, content_col: str = "text") -> DataFrame:
+    """Char-n-gram language ID (the n-gram heuristic the north-star brief
+    names): predict language = argmax of profile-gram occurrence counts;
+    ties go to the alphabetically-first language code; zero hits → 'und'.
+    Same argmax/tie-break encoding as ``language_id`` (sort key: hits asc,
+    -index asc → take last), so the DuckDB twin (max-hits + min(lang))
+    matches exactly."""
+    c = F.col(content_col)
+    langs = sorted(CHAR_NGRAMS)
+    entries = [
+        F.struct(ngram_hits(c, lang).alias("hits"), F.lit(-i).alias("nidx"))
+        for i, lang in enumerate(langs)
+    ]
+    arr = F.array_sort(F.array(*entries))
+    best = F.element_at(arr, F.size(arr))
+    lang = F.element_at(F.array(*[F.lit(x) for x in langs]), -best["nidx"] + 1)
+    return df.withColumn(
+        "lang_pred_ngram", F.when(best["hits"] > 0, lang).otherwise(F.lit("und"))
+    )
+
+
 def fingerprint(df: DataFrame, content_col: str = "text") -> DataFrame:
     """Deterministic 64-bit content fingerprint (xxhash64) plus a rolling
     polynomial hash over whitespace tokens (order-sensitive, mod 2^31-1) —

@@ -1463,12 +1463,23 @@ FROM base
 
 
 def text_langid(spark, sf_dir):
+    """Both language-ID heuristics side by side, each with an exact SQL
+    twin: stopword-argmax (`lang_pred`) and the char-n-gram profile argmax
+    the north-star brief names (`lang_pred_ngram`,
+    textstats.language_id_ngram — Cavnar–Trenkle-style counts via the
+    replace-trick, entirely whole-stage-codegen'd)."""
     docs = load_table(spark, sf_dir, "documents")
-    return textstats.language_id(docs).select("doc_id", "lang", "lang_pred")
+    return textstats.language_id_ngram(textstats.language_id(docs)).select(
+        "doc_id", "lang", "lang_pred", "lang_pred_ngram"
+    )
 
 
 def _sw_sql_list(lang: str) -> str:
     return "[" + ", ".join(f"'{w}'" for w in textstats.STOPWORDS[lang]) + "]"
+
+
+def _ng_sql_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{g}'" for g in textstats.CHAR_NGRAMS[lang]) + "]"
 
 
 TEXT_LANGID_SQL = rf"""
@@ -1492,12 +1503,43 @@ hits AS (
 best AS (
     SELECT doc_id, lang, code, h, max(h) OVER (PARTITION BY doc_id) AS mh
     FROM hits
+),
+sw_pred AS (
+    SELECT doc_id, lang,
+           CASE WHEN mh = 0 THEN 'und' ELSE min(code) END AS lang_pred
+    FROM best
+    WHERE h = mh
+    GROUP BY doc_id, lang, mh
+),
+padded AS (
+    SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM documents
+),
+nhits AS (
+    SELECT doc_id, ng.code,
+           CAST(list_sum(list_transform(ng.grams,
+                g -> (length(s) - length(replace(s, g, ''))) // length(g)))
+                AS BIGINT) AS h
+    FROM padded
+    CROSS JOIN (VALUES
+        ('de', {_ng_sql_list('de')}),
+        ('en', {_ng_sql_list('en')}),
+        ('es', {_ng_sql_list('es')}),
+        ('fr', {_ng_sql_list('fr')}),
+        ('zh', {_ng_sql_list('zh')})) AS ng(code, grams)
+),
+nbest AS (
+    SELECT doc_id, code, h, max(h) OVER (PARTITION BY doc_id) AS mh
+    FROM nhits
+),
+ng_pred AS (
+    SELECT doc_id,
+           CASE WHEN mh = 0 THEN 'und' ELSE min(code) END AS lang_pred_ngram
+    FROM nbest
+    WHERE h = mh
+    GROUP BY doc_id, mh
 )
-SELECT doc_id, lang,
-       CASE WHEN mh = 0 THEN 'und' ELSE min(code) END AS lang_pred
-FROM best
-WHERE h = mh
-GROUP BY doc_id, lang, mh
+SELECT s.doc_id, s.lang, s.lang_pred, n.lang_pred_ngram
+FROM sw_pred s JOIN ng_pred n ON s.doc_id = n.doc_id
 """
 
 

@@ -208,3 +208,33 @@ def test_ivf_persisted_layout_is_self_contained(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, explicit.collect())) == sorted(
         map(tuple, from_sidecar.collect())
     )
+
+
+def test_language_id_ngram_discriminates(spark):
+    from rdfproject_msc_spark.operators import textstats
+
+    rows = [
+        (1, "the cat is on the mat and the dog is in the house"),
+        (2, "el perro que corre es de la casa y la niña"),
+        (3, "le chien est un animal et les chats sont petits"),
+        (4, "der hund und die katze sind schön ich möchte"),
+        (5, "我在这里的时候他是我的朋友"),
+        (6, ""),  # zero hits → 'und'
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.lang_pred_ngram
+        for r in textstats.language_id_ngram(df).collect()
+    }
+    assert out == {1: "en", 2: "es", 3: "fr", 4: "de", 5: "zh", 6: "und"}
+
+
+def test_language_id_ngram_tiebreak_alphabetical(spark):
+    from rdfproject_msc_spark.operators import textstats
+
+    # "est" is in both the es ("es"? no — fr) profile; craft a text hitting
+    # exactly one gram from two languages: " et " hits fr's " et"; " el "
+    # hits es's " el" → 1-1 tie → alphabetically-first code wins (es)
+    df = spark.createDataFrame([(1, "el et")], "doc_id long, text string")
+    out = textstats.language_id_ngram(df).collect()[0]
+    assert out.lang_pred_ngram == "es"

@@ -1,0 +1,95 @@
+"""Dataset partitioning for training pipelines: deterministic train/val/test
+splits and stratified sampling.
+
+A training-data pipeline needs split assignment that is (a) deterministic —
+re-running the pipeline on the same corpus yields the same split, no RNG
+state, no partition-order dependence; (b) stable under corpus growth — a
+document's split never changes when other documents are added; (c) cheap —
+a per-row hash, no shuffle at all.  Hashing the document id gives all
+three; ``sampleBy``/``randomSplit`` give none (seed- and partition-order-
+dependent).
+
+Hash choice: md5 (via the nibble arithmetic of operators/dedup.py
+``_md5_nibbles``) rather than xxhash64, because md5 behaves identically in
+Spark and DuckDB, so every split/sample below has an EXACT SQL oracle twin
+(xxhash64 exists only in Spark).  At 100 TB the md5-vs-xxhash64 cost
+difference is real but small relative to the scan, and a pure-Spark
+deployment can swap ``hash_bucket`` for xxhash64 without touching the
+callers — the contract is just "uniform deterministic bucket".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# number of hash buckets for split assignment; weights quantize to 1/1000
+N_BUCKETS = 1000
+
+
+def hash_bucket(
+    col: Column, n_buckets: int = N_BUCKETS, hex_start: int = 1
+) -> Column:
+    """Uniform deterministic bucket in [0, n_buckets) from md5 of the
+    column's string form.  Six hex digits (24 bits) starting at
+    ``hex_start`` — independent bucket streams use disjoint digit ranges
+    of the same digest (split uses 1-6, sampling 7-12), so the split
+    decision and the sample decision are statistically independent."""
+    word = F.substring(F.md5(col.cast("string")), hex_start, 6)
+    return (F.conv(word, 16, 10).cast("long") % n_buckets).cast("long")
+
+
+def with_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Add a ``split`` column assigning each row to a named split with the
+    given weights (default 80/10/10 train/val/test).  Pure per-row
+    projection: no shuffle, no state — the plan is a scan plus a codegen'd
+    expression, so it composes with any downstream filter for free.
+
+    Split names are assigned over contiguous bucket ranges in sorted-name
+    order, so the mapping is reproducible from the weights alone."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {weights}")
+    bucket = hash_bucket(F.col(id_col), hex_start=1)
+    expr = None
+    acc = 0.0
+    # deterministic range layout: alphabetical split names
+    for name in sorted(weights):
+        acc += weights[name]
+        hi = int(round(acc * N_BUCKETS))
+        cond = bucket < F.lit(hi)
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    return df.withColumn("split", expr)
+
+
+def with_stratified_flag(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    flag_col: str = "sampled",
+) -> DataFrame:
+    """Flag a deterministic fixed-size sample per stratum: the
+    ``n_per_stratum`` rows with the smallest (hash, id) key within each
+    stratum.  Hash-ordering makes the sample uniform; the id tiebreak
+    makes it total, so the flag is reproducible bit-for-bit.
+
+    One hash-partition shuffle on the strata column; each stratum ranks in
+    parallel (window per stratum, never a global sort).  Skewed strata
+    hold the rank state of one partition only — at 100 TB the state per
+    task is one counter, and AQE splits oversized strata partitions."""
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_bucket(F.col(id_col), n_buckets=1 << 24, hex_start=7),
+        F.col(id_col),
+    )
+    return df.withColumn(
+        flag_col, (F.row_number().over(w) <= n_per_stratum).cast("boolean")
+    )

@@ -20,7 +20,14 @@ from pyspark.sql import functions as F
 
 from rdfproject_msc_spark import queries as Q
 from rdfproject_msc_spark.dictionary import Dictionary
-from rdfproject_msc_spark.operators import dedup, multimodal, similarity, textstats
+from rdfproject_msc_spark.operators import (
+    dedup,
+    multimodal,
+    packing,
+    sampling,
+    similarity,
+    textstats,
+)
 from rdfproject_msc_spark.sources.derived import (
     DICTIONARY_SQL,
     TRIPLES_SQL,
@@ -264,7 +271,9 @@ def rdf_split_join_bound(spark, sf_dir):
     """The reference's benchmark shape VERBATIM: the inner query also binds
     Negative.Subject (PartitionQueryingBRDSubject.java:152-157,
     ``WHERE Negative.Subject='-39' AND ...``) — round 1 omitted the bound
-    subject; this entry restores full fidelity."""
+    subject; this entry restores full fidelity. Demoted from the 50-entry
+    driver window in round 4 (slot → corpus_split); oracle coverage lives
+    in tests/test_demoted.py."""
     store = _store(spark, sf_dir, layout="sign_split")
     return Q.split_join(
         store, P_BY_USER, P_LINKED_EVENT, P_HAS_TYPE, s_neg=EVENT_3
@@ -728,7 +737,9 @@ GROUP BY event_type
 
 def orders_cube(spark, sf_dir):
     """CUBE over (priority, year): all 4 grouping sets (ANSI null
-    placeholders)."""
+    placeholders). Demoted from the 50-entry driver window in round 4
+    (slot → doc_pack; the ROLLUP sibling keeps its driver row); oracle
+    coverage lives in tests/test_demoted.py."""
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.withColumn("o_year", F.year("o_orderdate").cast("long"))
@@ -1587,6 +1598,88 @@ FROM documents
 """
 
 
+def _hex6_sql(start: int, src: str = "md5(CAST(doc_id AS VARCHAR))") -> str:
+    """DuckDB twin of Spark ``conv(substring(md5(...), start, 6), 16, 10)``:
+    nibble-weighted sum via strpos — the cross-engine md5 arithmetic
+    pattern of dedup._md5_nibbles."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({src}, {start + i}, 1)) - 1)"
+        f" * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    return f"({terms})"
+
+
+def corpus_split(spark, sf_dir):
+    """Dataset partitioning for training (operators/sampling.py): a
+    deterministic md5-bucket train/val/test split (80/10/10 — per-row
+    projection, zero shuffle, stable under corpus growth) plus a
+    deterministic 40-per-language stratified sample flag (per-stratum
+    (hash, id) ranking — one shuffle on the strata key, parallel across
+    strata). Both decisions draw on disjoint digit ranges of one digest,
+    so split and sample are independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.with_split(docs, "doc_id")
+    out = sampling.with_stratified_flag(out, "lang", 40, "doc_id")
+    return out.select("doc_id", "lang", "split", "sampled")
+
+
+CORPUS_SPLIT_SQL = f"""
+WITH b AS (
+    SELECT doc_id, lang,
+           CAST({_hex6_sql(1)} % 1000 AS BIGINT) AS sb,
+           CAST({_hex6_sql(7)} AS BIGINT) AS rb
+    FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN sb < 100 THEN 'test'
+            WHEN sb < 900 THEN 'train'
+            ELSE 'val' END AS split,
+       (row_number() OVER (PARTITION BY lang ORDER BY rb, doc_id) <= 40)
+           AS sampled
+FROM b
+"""
+
+
+def doc_pack(spark, sf_dir):
+    """Sequence packing (operators/packing.py): documents in doc_id order,
+    BPE-ish token counts, pack k = docs whose running token total lands in
+    [k*2048, (k+1)*2048). The running total is a two-phase distributed
+    prefix sum (per-bucket offsets + within-bucket windows) — the naive
+    global-order window would collapse to one partition at scale. Small
+    bucket_size here forces the multi-bucket path at test scale. The
+    oracle computes the SAME totals with the naive global window: the
+    equality proves the distributed decomposition exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", textstats.token_count_bpe(F.col("text")).alias("n_tok")
+    )
+    packed = packing.pack_documents(
+        toks, "n_tok", budget=2048, bucket_size=128
+    )
+    return packing.pack_stats(packed, "n_tok")
+
+
+DOC_PACK_SQL = rf"""
+WITH tok AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{textstats.BPE_ISH_PATTERN.replace("'", "''")}')) AS BIGINT) AS n_tok
+    FROM documents
+),
+cum AS (
+    SELECT doc_id, n_tok,
+           coalesce(sum(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+    FROM tok
+)
+SELECT CAST(cb // 2048 AS BIGINT) AS pack_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM cum
+GROUP BY pack_id
+"""
+
+
 def knn_cosine(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.cosine_topk_to(emb, query_id=0, k=10)
@@ -1793,6 +1886,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "cosine_neardup": QuerySpec(cosine_neardup, COSINE_NEARDUP_SQL),
     "text_tokens": QuerySpec(text_tokens, TEXT_TOKENS_SQL, headline=True),
     "corpus_curate": QuerySpec(corpus_curate, CORPUS_CURATE_SQL, headline=True),
+    "corpus_split": QuerySpec(corpus_split, CORPUS_SPLIT_SQL),
+    "doc_pack": QuerySpec(doc_pack, DOC_PACK_SQL),
     "text_stats": QuerySpec(text_stats, TEXT_STATS_SQL),
     "text_langid": QuerySpec(text_langid, TEXT_LANGID_SQL),
     "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FINGERPRINT_SQL),
@@ -1808,7 +1903,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "parts_semi_anti": QuerySpec(parts_semi_anti, PARTS_SEMI_ANTI_SQL),
     "events_props_json": QuerySpec(events_props_json, EVENTS_PROPS_JSON_SQL),
     "events_distinct_users": QuerySpec(events_distinct_users, EVENTS_DISTINCT_USERS_SQL),
-    "orders_cube": QuerySpec(orders_cube, ORDERS_CUBE_SQL),
     "customer_running_revenue": QuerySpec(customer_running_revenue, CUSTOMER_RUNNING_REVENUE_SQL),
     "events_pivot": QuerySpec(events_pivot, EVENTS_PIVOT_SQL),
     "skew_salted_join": QuerySpec(skew_salted_join, SKEW_SALTED_JOIN_SQL, headline=True),
@@ -1823,7 +1917,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "sparql_2hop_store": QuerySpec(sparql_2hop_store, SPARQL_2HOP_SQL),
     "rdf_encode_terms": QuerySpec(rdf_encode_terms, RDF_ENCODE_TERMS_SQL),
     "rdf_split_join": QuerySpec(rdf_split_join, RDF_SPLIT_JOIN_SQL, headline=True),
-    "rdf_split_join_bound": QuerySpec(rdf_split_join_bound, RDF_SPLIT_JOIN_BOUND_SQL),
     "rdf_split_join_count": QuerySpec(rdf_split_join_count, RDF_SPLIT_JOIN_COUNT_SQL),
     "rdf_text_lifecycle": QuerySpec(rdf_text_lifecycle, RDF_DECODE_2HOP_SQL),
     "rdf_sign_union": QuerySpec(rdf_sign_union, RDF_SIGN_UNION_SQL),

@@ -74,3 +74,22 @@ def test_sparql_topk(spark, sf_dir):
         R._store(spark, sf_dir), R.SPARQL_TOPK, R._dict(spark, sf_dir)
     )
     assert_matches_oracle(df, R.SPARQL_TOPK_SQL, sf_dir)
+
+
+def test_rdf_split_join_bound(spark, sf_dir):
+    """Demoted r4 (slot → corpus_split): the bound-subject variant of
+    rdf_split_join; the sign-routing it pins is also compiled by
+    sparql_2hop_store, and the unbound form keeps its driver row."""
+    assert_matches_oracle(
+        R.rdf_split_join_bound(spark, sf_dir),
+        R.RDF_SPLIT_JOIN_BOUND_SQL,
+        sf_dir,
+    )
+
+
+def test_orders_cube(spark, sf_dir):
+    """Demoted r4 (slot → doc_pack): CUBE is the 4-set sibling of the
+    ROLLUP entry that keeps its driver row (orders_rollup, headline)."""
+    assert_matches_oracle(
+        R.orders_cube(spark, sf_dir), R.ORDERS_CUBE_SQL, sf_dir
+    )

@@ -69,3 +69,88 @@ def canonical_docs(edges: DataFrame, src: str = "id_a", dst: str = "id_b") -> Da
     component id IS the canonical (minimum) doc id to keep."""
     comps = connected_components(edges, src, dst)
     return comps.groupBy("comp").agg(F.count("*").alias("n_members"))
+
+
+def transitive_closure(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    src_id: int | None = None,
+    dst_id: int | None = None,
+    max_iter: int = 50,
+) -> DataFrame:
+    """DISTINCT reachability pairs (src, dst) over ≥1-step directed paths —
+    the relation behind SPARQL's OneOrMorePath `p+` (§9.1; arbitrary-length
+    paths are duplicate-free per the §18.4 ALP algorithm, hence a SET of
+    pairs, not the BGP multiset).
+
+    Unbounded form: semi-naive iteration — only the FRONTIER (pairs new in
+    the last round) joins the edge relation each round, new pairs are
+    anti-joined against the accumulated set, and ``localCheckpoint``
+    truncates lineage per round. O(graph diameter) rounds, scalar-only
+    driver traffic (one emptiness probe per round).
+
+    Seeded form (a constant endpoint): BFS over NODES from the constant —
+    state is the reached-node set, never pairs, so a bounded neighborhood
+    of a 100 TB graph is explored instead of the full closure. This is the
+    form a real query almost always takes (`:order_7 :linked+ ?x`).
+
+    Raises after ``max_iter`` rounds rather than returning a silently
+    incomplete closure.
+    """
+    e = edges.select(F.col(src).alias("cs"), F.col(dst).alias("co")).distinct()
+
+    if src_id is not None or dst_id is not None:
+        fwd = src_id is not None
+        seed = src_id if fwd else dst_id
+        here, there = ("cs", "co") if fwd else ("co", "cs")
+        e = e.localCheckpoint()
+        frontier = (
+            e.filter(F.col(here) == F.lit(seed))
+            .select(F.col(there).alias("n"))
+            .distinct()
+            .localCheckpoint()
+        )
+        reached = frontier
+        for _ in range(max_iter):
+            if not frontier.take(1):
+                break
+            frontier = (
+                frontier.join(e, frontier["n"] == e[here])
+                .select(F.col(there).alias("n"))
+                .distinct()
+                .join(reached, "n", "left_anti")
+                .localCheckpoint()
+            )
+            reached = reached.unionByName(frontier).localCheckpoint()
+        else:
+            if frontier.take(1):
+                raise RuntimeError(
+                    f"transitive_closure: not converged after {max_iter} rounds"
+                )
+        pairs = reached.select(
+            F.lit(seed).cast("long").alias(here),
+            F.col("n").alias(there),
+        ).select("cs", "co")
+        if fwd and dst_id is not None:
+            pairs = pairs.filter(F.col("co") == F.lit(dst_id))
+        return pairs
+
+    reach = e.localCheckpoint()
+    frontier = reach
+    e2 = e.select(F.col("cs").alias("m"), F.col("co").alias("co2"))
+    for _ in range(max_iter):
+        nxt = (
+            frontier.join(e2, frontier["co"] == e2["m"])
+            .select("cs", F.col("co2").alias("co"))
+            .distinct()
+            .join(reach, ["cs", "co"], "left_anti")
+            .localCheckpoint()
+        )
+        if not nxt.take(1):
+            return reach
+        reach = reach.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    raise RuntimeError(
+        f"transitive_closure: not converged after {max_iter} rounds"
+    )

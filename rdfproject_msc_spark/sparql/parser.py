@@ -18,14 +18,17 @@ per-arm for compatible-binding semantics; blocks compose by join — the
 generalization of the reference translator's hand-emitted Positive UNION
 ALL Negative, MyOpVisitorBase.java:106-123), GROUP BY/HAVING with
 COUNT/SUM/AVG/MIN/MAX aggregates (§11), sequence / alternation / inverse
-property paths (§9.1 — sequences chain joins through hidden fresh
-variables, alternation lowers to a UNION block, inverse swaps the
-subject/object sides), the ASK query form (§16.3), and PREFIX expansion
-(the reference's Jena front-end resolved prefixes before normalization,
-MyOpVisitorBase.java:49,74-78). Out of scope, rejected explicitly:
-closure/optional/negated path operators (`*` `+` `?` `!`), nested
-groups, UNDEF in VALUES, non-comparison FILTER forms (regex, string
-functions), and CONSTRUCT/DESCRIBE query forms (SURVEY.md §7 risk list).
+/ one-or-more-closure property paths (§9.1 — sequences chain joins
+through hidden fresh variables, alternation lowers to a UNION block,
+inverse swaps the subject/object sides, `p+` lowers to DISTINCT
+reachability pairs via operators.graph.transitive_closure), the ASK
+query form (§16.3), and PREFIX expansion (the reference's Jena front-end
+resolved prefixes before normalization, MyOpVisitorBase.java:49,74-78).
+Out of scope, rejected explicitly: zero-length path operators (`*` `?`
+— their zero-hop case binds every graph term, a semantics judged not
+worth guessing), negated property sets (`!`), nested groups, UNDEF in
+VALUES, non-comparison FILTER forms (regex, string functions), and
+CONSTRUCT/DESCRIBE query forms (SURVEY.md §7 risk list).
 
 Term forms (normalization mirrors MyOpVisitorBase.java:74-78):
   ?x / $x          variable
@@ -182,6 +185,11 @@ class BGPQuery:
     # HAVING constraints (§11.5): FILTER expression ASTs evaluated over the
     # grouped OUTPUT columns (group keys and aggregate aliases)
     having: tuple = ()
+    # one-or-more closure paths `?s :p+ ?o` (§9.1 OneOrMorePath): slots
+    # (s, pred, o) — the planner expands to DISTINCT reachability pairs
+    # via semi-naive iteration (arbitrary-length paths are duplicate-free
+    # per the §18.4 ALP algorithm, unlike the multiset BGP algebra)
+    closures: tuple[tuple[tuple, tuple, tuple], ...] = ()
     # ASK query form (§16.3): plan returns one row (ask: boolean)
     ask: bool = False
     # OFFSET (applies after ORDER BY, before LIMIT)
@@ -200,6 +208,10 @@ def _normalize_term(
 ) -> tuple[str, object]:
     """Classify one token (normalization per MyOpVisitorBase.java:74-78)."""
     if tok[0] in "?$":
+        if not re.fullmatch(r"\w+", tok[1:]):
+            # catches path operators glued to a variable predicate (?p+)
+            # and plain malformed names — reject, don't bind silently
+            raise SparqlSyntaxError(f"malformed variable name: {tok!r}")
         return ("var", tok[1:])
     if tok.startswith('"') and tok.endswith('"'):
         return ("term", tok[1:-1])
@@ -387,7 +399,8 @@ def _expand_path(
     if plain and _PATH_OPERATOR.search(p_tok):
         raise SparqlSyntaxError(
             f"unsupported property path {p_tok!r} "
-            "(supported: sequence p1/p2, alternation p1|p2, inverse ^p)"
+            "(supported: sequence p1/p2, alternation p1|p2, inverse ^p, "
+            "closure p+)"
         )
     if not (plain and any(op in p_tok for op in "/|^")):
         return [
@@ -419,11 +432,18 @@ def _expand_path(
     return alternatives
 
 
+# one-or-more closure path `p+` (optionally parenthesized): a single plain
+# predicate, no other operators — `p*`/`p?` (zero-length semantics) stay
+# rejected in _expand_path
+_CLOSURE = re.compile(r"^\(?([^/|^*+!?()\s]+)\+\)?$")
+
+
 def _parse_patterns(
     src: str,
     prefixes: dict[str, str],
     path_counter=None,
     alt_blocks: list | None = None,
+    closures: list | None = None,
 ) -> list[TriplePattern]:
     """Tokenize the WHOLE pattern source first, then split the token stream
     on statement terminators. Splitting the raw string on "." would chop
@@ -445,6 +465,29 @@ def _parse_patterns(
             return
         if len(cur) != 3:
             raise SparqlSyntaxError(f"triple pattern needs 3 terms, got {cur!r}")
+        cm = (
+            _CLOSURE.match(cur[1])
+            if not cur[1].startswith(('"', "<", "?", "$"))
+            else None
+        )
+        if cm:
+            if closures is None:
+                raise SparqlSyntaxError(
+                    "closure paths (p+) are only supported in the required "
+                    "pattern group (not inside OPTIONAL/MINUS/EXISTS/UNION)"
+                )
+            pred = _normalize_term(cm.group(1), prefixes)
+            if pred[0] == "var":
+                raise SparqlSyntaxError("closure path predicate must be constant")
+            closures.append(
+                (
+                    _normalize_term(cur[0], prefixes),
+                    pred,
+                    _normalize_term(cur[2], prefixes),
+                )
+            )
+            cur.clear()
+            return
         alternatives = _expand_path(*cur, prefixes, path_counter)
         if len(alternatives) == 1:
             patterns.extend(alternatives[0])
@@ -628,7 +671,10 @@ def parse_sparql(query: str) -> BGPQuery:
 
     path_counter = itertools.count()  # fresh-var source shared query-wide
     path_alt_blocks: list[tuple[tuple[TriplePattern, ...], ...]] = []
-    patterns = _parse_patterns(bgp_src, prefixes, path_counter, path_alt_blocks)
+    closures: list[tuple[tuple, tuple, tuple]] = []
+    patterns = _parse_patterns(
+        bgp_src, prefixes, path_counter, path_alt_blocks, closures
+    )
     unions: list[tuple[tuple[TriplePattern, ...], ...]] = []
     for block_srcs in union_block_srcs:
         block: list[tuple[TriplePattern, ...]] = []
@@ -642,7 +688,7 @@ def parse_sparql(query: str) -> BGPQuery:
     # with the rest of the BGP exactly like written UNION groups (every
     # arm binds the same endpoint variables, so no arm is null-extended)
     unions.extend(path_alt_blocks)
-    if not patterns and not unions:
+    if not patterns and not unions and not closures:
         raise SparqlSyntaxError("empty basic graph pattern")
     optionals: list[tuple[TriplePattern, ...]] = []
     optional_filters: list[tuple] = []
@@ -666,9 +712,16 @@ def parse_sparql(query: str) -> BGPQuery:
             raise SparqlSyntaxError("empty EXISTS group")
         exists.append((neg, group))
 
-    required_vars = set().union(
-        set(), *(tp.variables() for tp in patterns)
-    ) | {v for blk in unions for arm in blk for tp in arm for v in tp.variables()}
+    required_vars = (
+        set().union(set(), *(tp.variables() for tp in patterns))
+        | {v for blk in unions for arm in blk for tp in arm for v in tp.variables()}
+        | {
+            val
+            for s, _, o in closures
+            for kind, val in (s, o)
+            if kind == "var"
+        }
+    )
     pattern_vars = required_vars | {
         v for grp in optionals for tp in grp for v in tp.variables()
     }
@@ -814,6 +867,7 @@ def parse_sparql(query: str) -> BGPQuery:
         exists=tuple(exists),
         values=tuple(values),
         values_multi=tuple(values_multi),
+        closures=tuple(closures),
         offset=int(om2.group("n")) if om2 else None,
         group_by=group_by,
         aggregates=tuple(aggregates),

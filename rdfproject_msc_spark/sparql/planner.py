@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Column
 
 from rdfproject_msc_spark.dictionary import Dictionary
+from rdfproject_msc_spark.operators.graph import transitive_closure
 from rdfproject_msc_spark.sparql.parser import (
     _CMP_OPS,
     BGPQuery,
@@ -95,6 +96,12 @@ def _encode_constants(bgp: BGPQuery, dictionary: Dictionary | None) -> dict[str,
             for _, rows in bgp.values_multi
             for row in rows
             for kind, val in row
+            if kind == "term"
+        }
+        | {
+            val
+            for closure in bgp.closures
+            for kind, val in closure
             if kind == "term"
         }
     )
@@ -230,6 +237,63 @@ def plan_bgp(
     else:  # pure-UNION query: WHERE { {A} UNION {B} }
         joined, bound_cols, order = None, {}, []
     idx_offset = len(bgp.patterns)
+
+    # closure paths `p+` (§9.1 OneOrMorePath): DISTINCT reachability pairs
+    # via operators.graph.transitive_closure, joined into the BGP like a
+    # required pattern (closure-bound variables are never null). A constant
+    # endpoint becomes a seeded BFS — bounded neighborhood, not the full
+    # closure.
+    for ci, (s_slot, p_slot, o_slot) in enumerate(bgp.closures):
+        def _res(slot):
+            kind, val = slot
+            if kind == "id":
+                return int(val)
+            if kind == "term":
+                return term_ids[val]
+            return None
+
+        pid, s_id, o_id = _res(p_slot), _res(s_slot), _res(o_slot)
+        edges = store.table_for_subject(None).filter(F.col("p") == F.lit(pid))
+        pairs = transitive_closure(
+            edges, src="s", dst="o", src_id=s_id, dst_id=o_id
+        )
+        var_cols: dict[str, str] = {}
+        keep = []
+        if s_slot[0] == "var" and o_slot[0] == "var" and s_slot[1] == o_slot[1]:
+            # cycle membership: ?x :p+ ?x
+            pairs = pairs.filter(F.col("cs") == F.col("co"))
+        for pos, slot in (("cs", s_slot), ("co", o_slot)):
+            if slot[0] == "var" and slot[1] not in var_cols:
+                col = f"vc{ci}_{slot[1]}"
+                keep.append(F.col(pos).alias(col))
+                var_cols[slot[1]] = col
+        scan = (
+            pairs.select(*keep)
+            if keep
+            else pairs.select(F.lit(1).alias(f"_c{ci}")).limit(1)
+        )
+        if joined is None:
+            joined, bound_cols = scan, dict(var_cols)
+            order = list(var_cols)
+            continue
+        shared = [v for v in var_cols if v in bound_cols]
+        if shared:
+            cond = reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(bound_cols[v]) == F.col(var_cols[v])
+                    for v in shared
+                ],
+            )
+            joined = joined.join(scan, cond, "inner").drop(
+                *[var_cols[v] for v in shared]
+            )
+        else:
+            joined = joined.crossJoin(scan)
+        for v, c in var_cols.items():
+            if v not in bound_cols:
+                bound_cols[v] = c
+                order.append(v)
 
     # Variables that can hold NULL (SPARQL "unbound") in `joined`: bound
     # only inside an OPTIONAL group, or bound by some-but-not-all UNION

@@ -84,3 +84,55 @@ def test_registry_entry_components_cover_pairs(spark, sf_dir):
     assert sum(r.n_members for r in comps) == len(nodes)
     # every component's canonical id is one of its documents
     assert all(r.comp in nodes for r in comps)
+
+
+def test_transitive_closure_chain_and_diamond(spark):
+    from rdfproject_msc_spark.operators.graph import transitive_closure
+
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    out = sorted(map(tuple, transitive_closure(chain).collect()))
+    assert out == [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+
+    # diamond: two routes 1→4 yield ONE pair (DISTINCT set semantics)
+    diamond = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4)], "src long, dst long"
+    )
+    out = sorted(map(tuple, transitive_closure(diamond).collect()))
+    assert out.count((1, 4)) == 1 and (1, 4) in out
+
+
+def test_transitive_closure_seeded_forms(spark):
+    from rdfproject_msc_spark.operators.graph import transitive_closure
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+    )
+    # src-seeded on a cycle: converges, reaches everything
+    fwd = sorted(
+        r.co for r in transitive_closure(edges, src_id=2).collect()
+    )
+    assert fwd == [1, 2, 3, 4]
+    # dst-seeded: everything reaching 4
+    bwd = sorted(
+        r.cs for r in transitive_closure(edges, dst_id=4).collect()
+    )
+    assert bwd == [1, 2, 3]
+    # both endpoints: membership probe
+    both = transitive_closure(edges, src_id=1, dst_id=4).collect()
+    assert len(both) == 1
+    none = transitive_closure(edges, src_id=4, dst_id=1).collect()
+    assert none == []
+
+
+def test_transitive_closure_max_iter_raises(spark):
+    import pytest
+
+    from rdfproject_msc_spark.operators.graph import transitive_closure
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="not converged"):
+        transitive_closure(chain, max_iter=2)

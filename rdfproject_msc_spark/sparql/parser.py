@@ -114,6 +114,15 @@ _ASK = re.compile(
     r"ASK\s*(?:WHERE\s*)?\{(?P<bgp>.*)\}\s*$",
     re.I | re.S,
 )
+# CONSTRUCT query form (§16.2): template graph instantiated per solution.
+# The template is plain triples (no groups/paths — per the grammar), so its
+# braces are flat; the WHERE group may nest
+_CONSTRUCT = re.compile(
+    r"^\s*(?P<prefixes>(?:PREFIX\s+\S+\s*<[^>]*>\s*)*)"
+    r"CONSTRUCT\s*\{(?P<tpl>[^{}]*)\}\s*WHERE\s*\{(?P<bgp>.*)\}"
+    r"\s*(?P<mods>[^{}]*?)\s*$",
+    re.I | re.S,
+)
 _PREFIX_DECL = re.compile(r"PREFIX\s+([\w.\-]*):\s*<([^>]*)>", re.I)
 _ORDER = re.compile(
     r"ORDER\s+BY\s+(?P<keys>(?:(?:ASC|DESC)\s*\(\s*[?$]\w+\s*\)|[?$]\w+)(?:\s+(?:(?:ASC|DESC)\s*\(\s*[?$]\w+\s*\)|[?$]\w+))*)",
@@ -190,6 +199,10 @@ class BGPQuery:
     # via semi-naive iteration (arbitrary-length paths are duplicate-free
     # per the §18.4 ALP algorithm, unlike the multiset BGP algebra)
     closures: tuple[tuple[tuple, tuple, tuple], ...] = ()
+    # CONSTRUCT template (§16.2): plain triples instantiated per solution;
+    # the plan unions the instantiations and de-duplicates (the result is
+    # a GRAPH — a set of (s, p, o) id triples)
+    construct: tuple[TriplePattern, ...] = ()
     # ASK query form (§16.3): plan returns one row (ask: boolean)
     ask: bool = False
     # OFFSET (applies after ORDER BY, before LIMIT)
@@ -519,21 +532,35 @@ def _parse_patterns(
 
 
 def parse_sparql(query: str) -> BGPQuery:
+    ask, tpl_src = False, None
     am = _ASK.match(query)
+    cm = _CONSTRUCT.match(query) if not am else None
     if am:
         # ASK (§16.3): does the pattern have ≥1 solution? Normalized to the
         # SELECT * machinery with the ask flag; no projection or modifiers.
         ask = True
         prefixes_src, bgp_src = am.group("prefixes"), am.group("bgp")
         proj_src, distinct_src, mods_src = "*", None, ""
+    elif cm:
+        # CONSTRUCT (§16.2): the template parses after PREFIX resolution;
+        # solution modifiers are rejected (the output graph is a set —
+        # ordering/slicing solutions would be invisible in it)
+        if cm.group("mods").strip():
+            raise SparqlSyntaxError(
+                "CONSTRUCT does not take solution modifiers: "
+                f"{cm.group('mods').strip()!r}"
+            )
+        tpl_src = cm.group("tpl")
+        prefixes_src, bgp_src = cm.group("prefixes"), cm.group("bgp")
+        proj_src, distinct_src, mods_src = "*", None, ""
     else:
         m = _QUERY.match(query)
         if not m:
             raise SparqlSyntaxError(
-                "expected: [PREFIX...] SELECT ?v...|* WHERE { patterns } "
-                "or [PREFIX...] ASK [WHERE] { patterns }"
+                "expected: [PREFIX...] SELECT ?v...|* WHERE { patterns }, "
+                "[PREFIX...] ASK [WHERE] { patterns }, or [PREFIX...] "
+                "CONSTRUCT { template } WHERE { patterns }"
             )
-        ask = False
         prefixes_src, bgp_src = m.group("prefixes"), m.group("bgp")
         proj_src = m.group("proj").strip()
         distinct_src, mods_src = m.group("distinct"), m.group("mods")
@@ -725,6 +752,27 @@ def parse_sparql(query: str) -> BGPQuery:
     pattern_vars = required_vars | {
         v for grp in optionals for tp in grp for v in tp.variables()
     }
+
+    construct: list[TriplePattern] = []
+    if tpl_src is not None:
+        construct = _parse_patterns(tpl_src, prefixes)
+        if not construct:
+            raise SparqlSyntaxError("empty CONSTRUCT template")
+        for tp in construct:
+            for v in tp.variables():
+                if v.startswith(_PATH_VAR_PREFIX):
+                    raise SparqlSyntaxError(
+                        "property paths are not allowed in a CONSTRUCT "
+                        "template (§16.2: templates are plain triples)"
+                    )
+                if v not in required_vars:
+                    # vars bound only in OPTIONAL would instantiate null
+                    # slots (SPARQL drops those triples silently — reject
+                    # rather than guess, matching the engine's stance)
+                    raise SparqlSyntaxError(
+                        f"CONSTRUCT template variable must be bound by the "
+                        f"required patterns: ?{v}"
+                    )
     for grp in optionals:
         grp_vars = set().union(*(tp.variables() for tp in grp))
         if not grp_vars & required_vars:
@@ -868,6 +916,7 @@ def parse_sparql(query: str) -> BGPQuery:
         values=tuple(values),
         values_multi=tuple(values_multi),
         closures=tuple(closures),
+        construct=tuple(construct),
         offset=int(om2.group("n")) if om2 else None,
         group_by=group_by,
         aggregates=tuple(aggregates),

@@ -104,6 +104,12 @@ def _encode_constants(bgp: BGPQuery, dictionary: Dictionary | None) -> dict[str,
             for kind, val in closure
             if kind == "term"
         }
+        | {
+            val
+            for tp in bgp.construct
+            for _, (kind, val) in tp.slots.items()
+            if kind == "term"
+        }
     )
     if terms and dictionary is None:
         raise SparqlSyntaxError("query has term constants but no dictionary was given")
@@ -494,6 +500,30 @@ def plan_bgp(
         return joined.limit(1).agg(
             (F.count(F.lit(1)) > F.lit(0)).alias("ask")
         )
+
+    # CONSTRUCT (§16.2): instantiate each template triple per solution,
+    # union and de-duplicate — the output is a GRAPH (a set of id triples
+    # in the engine's (s, p, o) model, ready for TripleStore ingestion).
+    if bgp.construct:
+        tpl_vars = {v for tp in bgp.construct for v in tp.variables()}
+        _reject_nullable_join_keys(
+            sorted(tpl_vars), nullable_vars, "CONSTRUCT"
+        )
+        parts = []
+        for tp in bgp.construct:
+            cols = []
+            for pos in ("s", "p", "o"):
+                kind, val = tp.slots[pos]
+                if kind == "var":
+                    cols.append(F.col(bound_cols[val]).alias(pos))
+                elif kind == "id":
+                    cols.append(F.lit(int(val)).cast("long").alias(pos))
+                else:
+                    cols.append(
+                        F.lit(term_ids[val]).cast("long").alias(pos)
+                    )
+            parts.append(joined.select(*cols))
+        return reduce(lambda a, b: a.unionAll(b), parts).distinct()
 
     # SELECT *: all variables in first-appearance order, minus the internal
     # ones introduced by sequence-path expansion (SPARQL 1.1 §9.1: path

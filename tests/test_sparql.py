@@ -984,3 +984,101 @@ def test_closure_matches_recursive_oracle(spark, sf_dir):
         ).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+def test_construct_builds_deduped_graph(tiny_store, tiny_dict):
+    # solutions (a,c): (1,3),(2,3); template emits forward + reverse edges
+    df = sparql_to_df(
+        tiny_store,
+        "CONSTRUCT { ?a :p20 ?c . ?c :p20 ?a } WHERE { ?a :p10/:p20 ?c }",
+        tiny_dict,
+    )
+    assert df.columns == ["s", "p", "o"]
+    assert sorted(map(tuple, df.collect())) == [
+        (1, 20, 3), (2, 20, 3), (3, 20, 1), (3, 20, 2),
+    ]
+    # set semantics: a template instantiating identical triples from
+    # multiple solutions yields each triple once
+    const = sparql_to_df(
+        tiny_store,
+        "CONSTRUCT { :n1 :p20 :n2 } WHERE { ?a :p10 ?b }",
+        tiny_dict,
+    )
+    assert sorted(map(tuple, const.collect())) == [(1, 20, 2)]
+
+
+def test_construct_feeds_a_triple_store(tiny_store, tiny_dict):
+    """The constructed graph is in the engine's (s,p,o) id model — it can
+    be loaded straight back into a TripleStore and queried."""
+    derived = sparql_to_df(
+        tiny_store,
+        "CONSTRUCT { ?a :p20 ?c } WHERE { ?a :p10/:p20 ?c }",
+        tiny_dict,
+    )
+    store2 = TripleStore(derived)
+    back = sparql_to_df(store2, "SELECT ?x WHERE { ?x :p20 :n3 }", tiny_dict)
+    assert sorted(r.x for r in back.collect()) == [1, 2]
+
+
+def test_construct_rejections():
+    with pytest.raises(SparqlSyntaxError, match="must be bound"):
+        parse_sparql("CONSTRUCT { ?z :p ?a } WHERE { ?a :p10 ?b }")
+    with pytest.raises(SparqlSyntaxError, match="paths are not allowed"):
+        parse_sparql("CONSTRUCT { ?a :p1/:p2 ?b } WHERE { ?a :p10 ?b }")
+    with pytest.raises(SparqlSyntaxError, match="modifiers"):
+        parse_sparql("CONSTRUCT { ?a :p ?b } WHERE { ?a :p10 ?b } LIMIT 2")
+    with pytest.raises(SparqlSyntaxError, match="empty CONSTRUCT"):
+        parse_sparql("CONSTRUCT { } WHERE { ?a :p10 ?b }")
+    # template var bound only inside OPTIONAL → nulls, rejected
+    with pytest.raises(SparqlSyntaxError, match="must be bound"):
+        parse_sparql(
+            "CONSTRUCT { ?a :p ?c } WHERE { ?a :p10 ?b . OPTIONAL { ?b :p20 ?c } }"
+        )
+
+
+def test_construct_matches_sql_oracle(spark, sf_dir):
+    """customer→region shortcut graph vs the equivalent DISTINCT join SQL."""
+    import duckdb
+    import os
+
+    from rdfproject_msc_spark.sources.derived import (
+        P_IN_NATION,
+        P_IN_REGION,
+        TRIPLES_SQL,
+        dictionary_df,
+        triples_df,
+    )
+
+    store = TripleStore(triples_df(spark, sf_dir))
+    d = Dictionary(dictionary_df(spark, sf_dir))
+    got = sorted(
+        map(
+            tuple,
+            sparql_to_df(
+                store,
+                "CONSTRUCT { ?c :inRegion ?r } "
+                "WHERE { ?c :inNation ?n . ?n :inRegion ?r }",
+                d,
+            ).collect(),
+        )
+    )
+    con = duckdb.connect()
+    for t in ("orders", "customer", "nation", "region", "events", "lineitem",
+              "supplier", "part", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(sf_dir, t + '.parquet')}')"
+        )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                f"""WITH triples AS ({TRIPLES_SQL})
+                SELECT DISTINCT t1.s AS s,
+                       CAST({P_IN_REGION} AS BIGINT) AS p, t2.o AS o
+                FROM triples t1 JOIN triples t2 ON t1.o = t2.s
+                WHERE t1.p = {P_IN_NATION} AND t2.p = {P_IN_REGION}"""
+            ).fetchall(),
+        )
+    )
+    assert got == want and len(got) > 0

@@ -337,3 +337,85 @@ def test_union_compatible_join_matches_python_eval(spark, rows, p1, p2, p3):
         want.extend((a, b, c, d) for d, p, c in rows if p == p3)
     want.sort(key=key)
     assert got == want
+
+
+@given(
+    rows=triples_strategy,
+    p1=st.sampled_from([11, 22, 33]),
+    p2=st.sampled_from([11, 22, 33]),
+)
+@settings(**SETTINGS)
+def test_sparql_path_alternation_matches_python_eval(spark, rows, p1, p2):
+    """`(p1/p2|p2)` = multiset sum of the sequence arm and the direct arm
+    (SPARQL §9.1 alternation over §5.4 multiset union)."""
+    from rdfproject_msc_spark.sparql.planner import sparql_to_df
+    from rdfproject_msc_spark.store import TripleStore
+
+    df = spark.createDataFrame(rows, "s long, p long, o long")
+    q = f"SELECT ?x ?y WHERE {{ ?x ({p1}/{p2}|{p2}) ?y }}"
+    got = sorted(
+        (r.x, r.y) for r in sparql_to_df(TripleStore(df), q).collect()
+    )
+    seq = [
+        (s1, o2)
+        for s1, pp1, o1 in rows
+        if pp1 == p1
+        for s2, pp2, o2 in rows
+        if pp2 == p2 and s2 == o1
+    ]
+    direct = [(s, o) for s, p, o in rows if p == p2]
+    assert got == sorted(seq + direct)
+
+
+@given(rows=triples_strategy, p1=st.sampled_from([11, 22, 33]))
+@settings(**SETTINGS)
+def test_sparql_inverse_path_matches_forward(spark, rows, p1):
+    from rdfproject_msc_spark.sparql.planner import sparql_to_df
+    from rdfproject_msc_spark.store import TripleStore
+
+    df = spark.createDataFrame(rows, "s long, p long, o long")
+    inv = sorted(
+        (r.x, r.y)
+        for r in sparql_to_df(
+            TripleStore(df), f"SELECT ?x ?y WHERE {{ ?y ^{p1} ?x }}"
+        ).collect()
+    )
+    fwd = sorted(
+        (r.x, r.y)
+        for r in sparql_to_df(
+            TripleStore(df), f"SELECT ?x ?y WHERE {{ ?x {p1} ?y }}"
+        ).collect()
+    )
+    assert inv == fwd
+
+
+@given(rows=triples_strategy, p1=st.sampled_from([11, 22, 33]))
+@settings(**SETTINGS)
+def test_sparql_closure_matches_python_bfs(spark, rows, p1):
+    """`p+` = DISTINCT reachability pairs — compared against a direct
+    Python BFS from every source node."""
+    from rdfproject_msc_spark.sparql.planner import sparql_to_df
+    from rdfproject_msc_spark.store import TripleStore
+
+    df = spark.createDataFrame(rows, "s long, p long, o long")
+    got = sorted(
+        (r.x, r.y)
+        for r in sparql_to_df(
+            TripleStore(df), f"SELECT ?x ?y WHERE {{ ?x {p1}+ ?y }}"
+        ).collect()
+    )
+    adj: dict[int, set[int]] = {}
+    for s, p, o in rows:
+        if p == p1:
+            adj.setdefault(s, set()).add(o)
+    want = set()
+    for start in adj:
+        frontier = set(adj[start])
+        seen = set(frontier)
+        while frontier:
+            frontier = {
+                n for f in frontier for n in adj.get(f, ()) if n not in seen
+            }
+            seen |= frontier
+        want |= {(start, n) for n in seen}
+    assert got == sorted(want)

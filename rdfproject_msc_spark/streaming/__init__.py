@@ -13,3 +13,9 @@ from rdfproject_msc_spark.streaming.events import (  # noqa: F401
     triples_from_event_stream,
     user_running_totals,
 )
+from rdfproject_msc_spark.streaming.documents import (  # noqa: F401
+    DOC_SCHEMA,
+    curate_documents,
+    read_documents_stream,
+    stage_documents_dir,
+)

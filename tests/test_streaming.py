@@ -262,3 +262,25 @@ def test_stream_triples_into_persisted_store(
     stream2 = S.read_events_stream(spark, events_dir, max_files_per_trigger=2)
     S.stream_triples_to_store(stream2, path, ckpt)
     assert store.df.count() == want.count()
+
+
+def test_document_curation_stream_equals_batch(spark, sf_dir, tmp_path_factory):
+    """The stateless curation stages (normalize → redact → score → count →
+    filter) run append-mode over a document stream and produce exactly the
+    batch result — the 'nightly batch pipeline runs continuously' claim."""
+    docs_dir = S.stage_documents_dir(
+        spark, sf_dir, str(tmp_path_factory.mktemp("stream") / "docs"), n_files=4
+    )
+    stream = S.read_documents_stream(spark, docs_dir, max_files_per_trigger=1)
+    got = S.run_to_memory_table(
+        S.curate_documents(stream),
+        spark,
+        "curated_docs_stream",
+        str(tmp_path_factory.mktemp("ckpt")),
+        output_mode="append",
+    )
+    batch = S.curate_documents(load_table(spark, sf_dir, "documents"))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    assert got.count() > 0

@@ -21,14 +21,15 @@ COUNT/SUM/AVG/MIN/MAX aggregates (§11), sequence / alternation / inverse
 / one-or-more-closure property paths (§9.1 — sequences chain joins
 through hidden fresh variables, alternation lowers to a UNION block,
 inverse swaps the subject/object sides, `p+` lowers to DISTINCT
-reachability pairs via operators.graph.transitive_closure), the ASK
-query form (§16.3), and PREFIX expansion (the reference's Jena front-end
-resolved prefixes before normalization, MyOpVisitorBase.java:49,74-78).
-Out of scope, rejected explicitly: zero-length path operators (`*` `?`
-— their zero-hop case binds every graph term, a semantics judged not
-worth guessing), negated property sets (`!`), nested groups, UNDEF in
-VALUES, non-comparison FILTER forms (regex, string functions), and
-CONSTRUCT/DESCRIBE query forms (SURVEY.md §7 risk list).
+reachability pairs via operators.graph.transitive_closure), all four
+query forms — SELECT, ASK (§16.3), CONSTRUCT (§16.2), DESCRIBE (§16.4)
+— and PREFIX expansion (the reference's Jena front-end resolved prefixes
+before normalization, MyOpVisitorBase.java:49,74-78). Out of scope,
+rejected explicitly: zero-length path operators (`*` `?` — their
+zero-hop case binds every graph term, a semantics judged not worth
+guessing), negated property sets (`!`), nested groups, UNDEF in VALUES,
+and non-comparison FILTER forms (regex, string functions) (SURVEY.md §7
+risk list).
 
 Term forms (normalization mirrors MyOpVisitorBase.java:74-78):
   ?x / $x          variable
@@ -123,6 +124,18 @@ _CONSTRUCT = re.compile(
     r"\s*(?P<mods>[^{}]*?)\s*$",
     re.I | re.S,
 )
+# DESCRIBE query form (§16.4): either constant resources (no WHERE), or
+# ONE variable scoped by a WHERE group
+_DESCRIBE_TERMS = re.compile(
+    r"^\s*(?P<prefixes>(?:PREFIX\s+\S+\s*<[^>]*>\s*)*)"
+    r"DESCRIBE\s+(?P<what>[^{}]+?)\s*$",
+    re.I | re.S,
+)
+_DESCRIBE_VAR = re.compile(
+    r"^\s*(?P<prefixes>(?:PREFIX\s+\S+\s*<[^>]*>\s*)*)"
+    r"DESCRIBE\s+(?P<var>[?$]\w+)\s*WHERE\s*\{(?P<bgp>.*)\}\s*$",
+    re.I | re.S,
+)
 _PREFIX_DECL = re.compile(r"PREFIX\s+([\w.\-]*):\s*<([^>]*)>", re.I)
 _ORDER = re.compile(
     r"ORDER\s+BY\s+(?P<keys>(?:(?:ASC|DESC)\s*\(\s*[?$]\w+\s*\)|[?$]\w+)(?:\s+(?:(?:ASC|DESC)\s*\(\s*[?$]\w+\s*\)|[?$]\w+))*)",
@@ -203,6 +216,13 @@ class BGPQuery:
     # the plan unions the instantiations and de-duplicates (the result is
     # a GRAPH — a set of (s, p, o) id triples)
     construct: tuple[TriplePattern, ...] = ()
+    # DESCRIBE (§16.4): the description of a resource is every triple it
+    # appears in as subject or object (the spec leaves 'description'
+    # implementation-defined; this symmetric form is documented).
+    # Either constant resource slots (no WHERE) ...
+    describe_terms: tuple[tuple[str, object], ...] = ()
+    # ... or ONE variable whose bindings in the WHERE group are described
+    describe_var: str | None = None
     # ASK query form (§16.3): plan returns one row (ask: boolean)
     ask: bool = False
     # OFFSET (applies after ORDER BY, before LIMIT)
@@ -532,10 +552,37 @@ def _parse_patterns(
 
 
 def parse_sparql(query: str) -> BGPQuery:
-    ask, tpl_src = False, None
+    ask, tpl_src, describe_var = False, None, None
+    dv = _DESCRIBE_VAR.match(query)
+    dt = _DESCRIBE_TERMS.match(query) if not dv else None
+    if dt:
+        # DESCRIBE with constant resources, no WHERE: short-circuit — the
+        # plan is a single filtered scan, no pattern machinery involved
+        prefixes = {
+            pm.group(1): pm.group(2)
+            for pm in _PREFIX_DECL.finditer(dt.group("prefixes"))
+        }
+        slots = tuple(
+            _normalize_term(t, prefixes)
+            for t in _TOKEN.findall(dt.group("what"))
+        )
+        if not slots:
+            raise SparqlSyntaxError("DESCRIBE needs at least one resource")
+        if any(kind == "var" for kind, _ in slots):
+            raise SparqlSyntaxError(
+                "DESCRIBE with variables needs a WHERE group "
+                "(DESCRIBE ?x WHERE { ... }), one variable only"
+            )
+        return BGPQuery(
+            projection=None, patterns=(), describe_terms=slots
+        )
     am = _ASK.match(query)
     cm = _CONSTRUCT.match(query) if not am else None
-    if am:
+    if dv:
+        describe_var = dv.group("var")[1:]
+        prefixes_src, bgp_src = dv.group("prefixes"), dv.group("bgp")
+        proj_src, distinct_src, mods_src = "*", None, ""
+    elif am:
         # ASK (§16.3): does the pattern have ≥1 solution? Normalized to the
         # SELECT * machinery with the ask flag; no projection or modifiers.
         ask = True
@@ -558,8 +605,9 @@ def parse_sparql(query: str) -> BGPQuery:
         if not m:
             raise SparqlSyntaxError(
                 "expected: [PREFIX...] SELECT ?v...|* WHERE { patterns }, "
-                "[PREFIX...] ASK [WHERE] { patterns }, or [PREFIX...] "
-                "CONSTRUCT { template } WHERE { patterns }"
+                "ASK [WHERE] { patterns }, CONSTRUCT { template } WHERE "
+                "{ patterns }, DESCRIBE term..., or DESCRIBE ?x (one "
+                "variable) WHERE { patterns }"
             )
         prefixes_src, bgp_src = m.group("prefixes"), m.group("bgp")
         proj_src = m.group("proj").strip()
@@ -753,6 +801,12 @@ def parse_sparql(query: str) -> BGPQuery:
         v for grp in optionals for tp in grp for v in tp.variables()
     }
 
+    if describe_var is not None and describe_var not in required_vars:
+        raise SparqlSyntaxError(
+            f"DESCRIBE variable must be bound by the required patterns: "
+            f"?{describe_var}"
+        )
+
     construct: list[TriplePattern] = []
     if tpl_src is not None:
         construct = _parse_patterns(tpl_src, prefixes)
@@ -917,6 +971,7 @@ def parse_sparql(query: str) -> BGPQuery:
         values_multi=tuple(values_multi),
         closures=tuple(closures),
         construct=tuple(construct),
+        describe_var=describe_var,
         offset=int(om2.group("n")) if om2 else None,
         group_by=group_by,
         aggregates=tuple(aggregates),

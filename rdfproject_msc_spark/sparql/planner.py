@@ -110,6 +110,7 @@ def _encode_constants(bgp: BGPQuery, dictionary: Dictionary | None) -> dict[str,
             for _, (kind, val) in tp.slots.items()
             if kind == "term"
         }
+        | {val for kind, val in bgp.describe_terms if kind == "term"}
     )
     if terms and dictionary is None:
         raise SparqlSyntaxError("query has term constants but no dictionary was given")
@@ -236,6 +237,20 @@ def plan_bgp(
 ) -> DataFrame:
     """Compose the BGP into a single DataFrame of variable bindings (ids)."""
     term_ids = _encode_constants(bgp, dictionary)
+
+    # DESCRIBE with constant resources (§16.4): one scan, two pushdown-able
+    # IN filters — the description is every triple the resource appears in
+    # as subject or object (documented symmetric form), as a graph set.
+    if bgp.describe_terms:
+        ids = [
+            int(val) if kind == "id" else term_ids[val]
+            for kind, val in bgp.describe_terms
+        ]
+        t = store.table_for_subject(None)
+        return t.filter(
+            F.col("s").isin(ids) | F.col("o").isin(ids)
+        ).distinct()
+
     if bgp.patterns:
         joined, bound_cols, order = _join_group(
             store, _order_patterns(bgp), term_ids, 0
@@ -524,6 +539,23 @@ def plan_bgp(
                     )
             parts.append(joined.select(*cols))
         return reduce(lambda a, b: a.unionAll(b), parts).distinct()
+
+    # DESCRIBE ?x WHERE {...} (§16.4): the distinct bindings of ?x are the
+    # described resources — two hash SEMI-joins (subject side, object side)
+    # against the triple relation, union'd and de-duplicated. Two equi-joins
+    # rather than one OR-condition join: an OR join degenerates to a
+    # nested-loop at scale, the union form stays hash-partitioned.
+    if bgp.describe_var is not None:
+        _reject_nullable_join_keys(
+            [bgp.describe_var], nullable_vars, "DESCRIBE"
+        )
+        res = joined.select(
+            F.col(bound_cols[bgp.describe_var]).alias("rid")
+        ).distinct()
+        t = store.table_for_subject(None)
+        by_s = t.join(res, t["s"] == res["rid"], "leftsemi")
+        by_o = t.join(res, t["o"] == res["rid"], "leftsemi")
+        return by_s.unionAll(by_o).distinct()
 
     # SELECT *: all variables in first-appearance order, minus the internal
     # ones introduced by sequence-path expansion (SPARQL 1.1 §9.1: path

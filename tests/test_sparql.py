@@ -1082,3 +1082,28 @@ def test_construct_matches_sql_oracle(spark, sf_dir):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_describe_terms_and_var(tiny_store, tiny_dict):
+    # description of :n2 (id 2): every triple with 2 as subject or object
+    want = [(1, 10, 2), (2, 10, 2), (2, 20, 3)]
+    by_term = sparql_to_df(tiny_store, "DESCRIBE :n2", tiny_dict)
+    assert by_term.columns == ["s", "p", "o"]
+    assert sorted(map(tuple, by_term.collect())) == want
+    # same resource reached through a WHERE group
+    by_var = sparql_to_df(
+        tiny_store, "DESCRIBE ?x WHERE { ?x :p20 :n3 }", tiny_dict
+    )
+    assert sorted(map(tuple, by_var.collect())) == want
+    # multiple constant resources: union of descriptions, deduped
+    multi = sparql_to_df(tiny_store, "DESCRIBE :n3 :neg5", tiny_dict)
+    assert sorted(map(tuple, multi.collect())) == [(-5, 10, 1), (2, 20, 3)]
+
+
+def test_describe_rejections():
+    with pytest.raises(SparqlSyntaxError, match="needs a WHERE"):
+        parse_sparql("DESCRIBE ?x")
+    with pytest.raises(SparqlSyntaxError, match="must be bound"):
+        parse_sparql("DESCRIBE ?z WHERE { ?x :p10 ?y }")
+    with pytest.raises(SparqlSyntaxError, match="expected"):
+        parse_sparql("DESCRIBE ")

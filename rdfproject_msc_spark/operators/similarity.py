@@ -315,9 +315,21 @@ def ivf_write(
     The k×dim centroid table is persisted beside the data under
     ``_centroids`` (underscore-prefixed → invisible to Spark's file
     listing, like ``_SUCCESS``), so the layout is self-contained: a later
-    session can probe it without re-deriving the quantizer."""
+    session can probe it without re-deriving the quantizer.
+
+    The layout also carries the int8-quantized vector (``qvec``, via
+    operators.quantize) beside the float one: Parquet is columnar, so a
+    quantized probe scans ONLY the 4×-smaller qvec column (pinned by a
+    ReadSchema plan test) and the float column is read just for the
+    re-rank candidates."""
+    from rdfproject_msc_spark.operators.quantize import quantize_embeddings
+
+    q = quantize_embeddings(df, vec_col=vec_col, id_col=id_col).select(
+        id_col, "qvec"
+    )
     (
-        df.withColumn("centroid", _nearest_centroid(F.col(vec_col), centroids))
+        df.join(q, id_col)
+        .withColumn("centroid", _nearest_centroid(F.col(vec_col), centroids))
         .write.mode("overwrite")
         .partitionBy("centroid")
         .parquet(path)
@@ -373,6 +385,59 @@ def ivf_topk_persisted(
         scan = scan.filter(F.col(id_col) != exclude_id)
     return (
         scan.select(
+            F.col(id_col),
+            F.round(cosine_to_literal(F.col(vec_col), query_vec), 6).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_topk_persisted_quantized(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    rerank: int = 4,
+    centroids: list[list[float]] | None = None,
+    nprobe: int = 4,
+    exclude_id: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe an ``ivf_write`` layout on the QUANTIZED column: directory
+    pruning picks nprobe centroid dirs, the candidate scan reads only the
+    int8 ``qvec`` column (column pruning — 4× less IO than the float scan;
+    cosine is scale-invariant, so the per-vector quantization scale is not
+    even needed), the top rerank·k candidates are re-scored exactly from
+    the float column via a semi-join on the same layout. Output columns
+    and rounding match ``ivf_topk_persisted``."""
+    if centroids is None:
+        centroids = ivf_load_centroids(spark, path)
+    qn = sum(x * x for x in query_vec) ** 0.5
+
+    def cos(c: list[float]) -> float:
+        cn = sum(x * x for x in c) ** 0.5
+        return sum(a * b for a, b in zip(query_vec, c)) / (qn * cn)
+
+    probes = sorted(range(len(centroids)), key=lambda i: -cos(centroids[i]))[:nprobe]
+    qscan = spark.read.parquet(path).filter(F.col("centroid").isin(probes))
+    if exclude_id is not None:
+        qscan = qscan.filter(F.col(id_col) != exclude_id)
+    approx = (
+        qscan.select(
+            F.col(id_col),
+            cosine_to_literal(F.col("qvec"), query_vec).alias("ascore"),
+        )
+        .orderBy(F.col("ascore").desc(), F.col(id_col))
+        .limit(rerank * k)
+    )
+    fscan = spark.read.parquet(path).filter(F.col("centroid").isin(probes))
+    return (
+        fscan.join(approx.select(id_col), id_col, "leftsemi")
+        .select(
             F.col(id_col),
             F.round(cosine_to_literal(F.col(vec_col), query_vec), 6).alias(
                 "score"

@@ -27,9 +27,11 @@ query forms — SELECT, ASK (§16.3), CONSTRUCT (§16.2), DESCRIBE (§16.4)
 before normalization, MyOpVisitorBase.java:49,74-78). Out of scope,
 rejected explicitly: zero-length path operators (`*` `?` — their
 zero-hop case binds every graph term, a semantics judged not worth
-guessing), negated property sets (`!`), nested groups, UNDEF in VALUES,
-and non-comparison FILTER forms (regex, string functions) (SURVEY.md §7
-risk list).
+guessing), negated property sets (`!`), nested groups, non-disjoint
+VALUES rows (UNDEF wildcards are supported when rows are pairwise
+disjoint — the exact condition under which the OR-filter compilation
+equals the multiset join), and non-comparison FILTER forms (regex,
+string functions) (SURVEY.md §7 risk list).
 
 Term forms (normalization mirrors MyOpVisitorBase.java:74-78):
   ?x / $x          variable
@@ -59,9 +61,9 @@ _FILTER_EXISTS = re.compile(
 # single-variable VALUES block: inline bindings → an isin() filter the
 # optimizer pushes into the scans
 _VALUES = re.compile(r"\bVALUES\s+[?$](?P<var>\w+)\s*\{(?P<vals>[^{}]*)\}\s*\.?", re.I)
-# multi-variable VALUES block: `VALUES (?x ?y) { (a b) (c d) }` → an
+# multi-variable VALUES block: `VALUES (?x ?y) { (a b) (c UNDEF) }` → an
 # OR-of-ANDs row filter over the resolved ids (bounded by query size);
-# UNDEF is rejected (unbound-wildcard rows need compatible-join machinery)
+# UNDEF = wildcard (no conjunct), accepted only for pairwise-disjoint rows
 _VALUES_MULTI = re.compile(
     r"\bVALUES\s*\((?P<vars>(?:\s*[?$]\w+)+)\s*\)\s*\{(?P<rows>[^{}]*)\}\s*\.?",
     re.I,
@@ -655,15 +657,13 @@ def parse_sparql(query: str) -> BGPQuery:
         if len(set(vars_)) != len(vars_):
             raise SparqlSyntaxError(f"duplicate VALUES variables: {vars_}")
         rows_src = vm.group("rows")
-        if re.search(r"\bUNDEF\b", rows_src, re.I):
-            raise SparqlSyntaxError(
-                "UNDEF in VALUES is not supported (wildcard rows need "
-                "compatible-join machinery)"
-            )
         rows: list[tuple[tuple[str, object], ...]] = []
         for rm in _VALUES_ROW.finditer(rows_src):
             entries = tuple(
-                _normalize_term(t, prefixes) for t in _TOKEN.findall(rm.group(1))
+                ("undef", None)
+                if t.upper() == "UNDEF"
+                else _normalize_term(t, prefixes)
+                for t in _TOKEN.findall(rm.group(1))
             )
             if len(entries) != len(vars_):
                 raise SparqlSyntaxError(
@@ -678,10 +678,23 @@ def parse_sparql(query: str) -> BGPQuery:
             )
         if not rows:
             raise SparqlSyntaxError("empty VALUES block")
-        if len(set(rows)) != len(rows):
-            # duplicate rows would multiply solutions under SPARQL's
-            # multiset join; the filter compilation is set-based — reject
-            raise SparqlSyntaxError("duplicate VALUES rows are not supported")
+        # The OR-of-ANDs compilation is set-based; SPARQL's multiset join
+        # multiplies a solution by the number of VALUES rows compatible
+        # with it (UNDEF = wildcard). The two agree exactly when rows are
+        # PAIRWISE DISJOINT — some position holds different constants of
+        # the same kind in both rows — so anything else is rejected
+        # (duplicates, subsumed wildcards, cross-kind ambiguity).
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                if not any(
+                    ka == kb and ka not in ("undef",) and va != vb
+                    for (ka, va), (kb, vb) in zip(rows[i], rows[j])
+                ):
+                    raise SparqlSyntaxError(
+                        "VALUES rows must be pairwise disjoint (a solution "
+                        "matching two rows would need multiset duplication): "
+                        f"rows {i} and {j}"
+                    )
         values_multi.append((vars_, tuple(rows)))
     bgp_src = _VALUES_MULTI.sub(" ", bgp_src)
     if re.search(r"\bVALUES\b", bgp_src, re.I):

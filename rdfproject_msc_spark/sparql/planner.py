@@ -489,12 +489,16 @@ def plan_bgp(
         _reject_nullable_join_keys(list(vars_), nullable_vars, "VALUES")
 
         def _row_cond(row):
+            # UNDEF slots are wildcards (match any binding): no conjunct.
+            # Pairwise-disjoint rows are enforced at parse time, so the OR
+            # of these conditions is exactly the multiset join result.
             conds = [
                 F.col(bound_cols[v])
                 == F.lit(int(val) if kind == "id" else term_ids[val])
                 for v, (kind, val) in zip(vars_, row)
+                if kind != "undef"
             ]
-            return reduce(lambda a, b: a & b, conds)
+            return reduce(lambda a, b: a & b, conds) if conds else F.lit(True)
 
         joined = joined.filter(
             reduce(lambda a, b: a | b, [_row_cond(r) for r in rows])

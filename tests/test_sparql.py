@@ -882,18 +882,30 @@ def test_multi_var_values_executes(tiny_store, tiny_dict):
 
 
 def test_multi_var_values_rejections():
-    with pytest.raises(SparqlSyntaxError, match="UNDEF"):
-        parse_sparql(
-            "SELECT ?s WHERE { ?s :p ?o . VALUES (?s ?o) { (1 UNDEF) } }"
-        )
     with pytest.raises(SparqlSyntaxError, match="row width"):
         parse_sparql("SELECT ?s WHERE { ?s :p ?o . VALUES (?s ?o) { (1) } }")
-    with pytest.raises(SparqlSyntaxError, match="duplicate VALUES rows"):
+    with pytest.raises(SparqlSyntaxError, match="pairwise disjoint"):
         parse_sparql(
             "SELECT ?s WHERE { ?s :p ?o . VALUES (?s ?o) { (1 2) (1 2) } }"
         )
     with pytest.raises(SparqlSyntaxError, match="not in BGP"):
         parse_sparql("SELECT ?s WHERE { ?s :p ?o . VALUES (?s ?z) { (1 2) } }")
+    # a wildcard row subsuming another row needs multiset duplication
+    with pytest.raises(SparqlSyntaxError, match="pairwise disjoint"):
+        parse_sparql(
+            "SELECT ?s WHERE { ?s :p ?o . VALUES (?s ?o) { (1 UNDEF) (1 2) } }"
+        )
+
+
+def test_multi_var_values_undef_wildcard(tiny_store, tiny_dict):
+    # p10 edges 1→1, 1→2, 2→2, -5→1: row (1 UNDEF) keeps all s=1 rows,
+    # disjoint row (2 2) adds the self-loop
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?o WHERE { ?s :p10 ?o . VALUES (?s ?o) { (1 UNDEF) (2 2) } }",
+        tiny_dict,
+    )
+    assert sorted((r.s, r.o) for r in df.collect()) == [(1, 1), (1, 2), (2, 2)]
 
 
 def test_closure_path_full_and_seeded(tiny_store, tiny_dict):

@@ -24,14 +24,14 @@ inverse swaps the subject/object sides, `p+` lowers to DISTINCT
 reachability pairs via operators.graph.transitive_closure), all four
 query forms — SELECT, ASK (§16.3), CONSTRUCT (§16.2), DESCRIBE (§16.4)
 — and PREFIX expansion (the reference's Jena front-end resolved prefixes
-before normalization, MyOpVisitorBase.java:49,74-78). Out of scope,
-rejected explicitly: zero-length path operators (`*` `?` — their
-zero-hop case binds every graph term, a semantics judged not worth
-guessing), negated property sets (`!`), nested groups, non-disjoint
-VALUES rows (UNDEF wildcards are supported when rows are pairwise
-disjoint — the exact condition under which the OR-filter compilation
-equals the multiset join), and non-comparison FILTER forms (regex,
-string functions) (SURVEY.md §7 risk list).
+before normalization, MyOpVisitorBase.java:49,74-78). Negated property sets `!(:p1|:p2)` compile to a NOT-IN scan predicate.
+Out of scope, rejected explicitly: zero-length path operators (`*` `?`
+— their zero-hop case binds every graph term, a semantics judged not
+worth guessing), inverse/sequence members inside negated sets, nested
+groups, non-disjoint VALUES rows (UNDEF wildcards are supported when
+rows are pairwise disjoint — the exact condition under which the
+OR-filter compilation equals the multiset join), and non-comparison
+FILTER forms (regex, string functions) (SURVEY.md §7 risk list).
 
 Term forms (normalization mirrors MyOpVisitorBase.java:74-78):
   ?x / $x          variable
@@ -165,7 +165,14 @@ class TriplePattern:
         return {"s": self.s, "p": self.p, "o": self.o}
 
     def bound_count(self) -> int:
-        return sum(1 for kind, _ in (self.s, self.p, self.o) if kind != "var")
+        # 'notin' (negated property set) binds nothing selective — it
+        # excludes a handful of predicates — so it ranks like a variable
+        # for the most-bound-first join ordering
+        return sum(
+            1
+            for kind, _ in (self.s, self.p, self.o)
+            if kind not in ("var", "notin")
+        )
 
     def variables(self) -> set[str]:
         return {v for kind, v in (self.s, self.p, self.o) if kind == "var"}
@@ -500,6 +507,35 @@ def _parse_patterns(
             return
         if len(cur) != 3:
             raise SparqlSyntaxError(f"triple pattern needs 3 terms, got {cur!r}")
+        if cur[1].startswith("!"):
+            # negated property set `!p` / `!(p1|p2|...)` (§9.1): one scan
+            # with a NOT-IN predicate filter — no inverse/sequence/closure
+            # members, constants only
+            inner = cur[1][1:]
+            if inner.startswith("(") and inner.endswith(")"):
+                inner = inner[1:-1]
+            alts = inner.split("|")
+            if not inner or any(
+                not a
+                or "/" in a
+                or a[0] in "?$^(!"
+                or _PATH_OPERATOR.search(a)
+                for a in alts
+            ):
+                raise SparqlSyntaxError(
+                    f"unsupported negated property set: {cur[1]!r} "
+                    "(constant predicates only, e.g. !(:p1|:p2))"
+                )
+            slots = tuple(_normalize_term(a, prefixes) for a in alts)
+            patterns.append(
+                TriplePattern(
+                    _normalize_term(cur[0], prefixes),
+                    ("notin", slots),
+                    _normalize_term(cur[2], prefixes),
+                )
+            )
+            cur.clear()
+            return
         cm = (
             _CLOSURE.match(cur[1])
             if not cur[1].startswith(('"', "<", "?", "$"))

@@ -87,6 +87,14 @@ def _encode_constants(bgp: BGPQuery, dictionary: Dictionary | None) -> dict[str,
         }
         | {
             val
+            for tp in all_patterns
+            for kind, nested in (tp.s, tp.p, tp.o)
+            if kind == "notin"
+            for nkind, val in nested
+            if nkind == "term"
+        }
+        | {
+            val
             for _, entries in bgp.values
             for kind, val in entries
             if kind == "term"
@@ -130,10 +138,20 @@ def _pattern_scan(
             return term_ids[val]
         return None
 
-    bound = {pos: resolve(slot) for pos, slot in tp.slots.items()}
-    df = store.table_for_subject(bound["s"])
+    bound = {
+        pos: resolve(slot)
+        for pos, slot in tp.slots.items()
+        if slot[0] != "notin"
+    }
+    df = store.table_for_subject(bound.get("s"))
 
     conds = [F.col(pos) == F.lit(v) for pos, v in bound.items() if v is not None]
+    # negated property set (§9.1 `!(p1|...|pn)`): a NOT-IN filter on the
+    # position — still one pushdown-able scan predicate, no set machinery
+    for pos, slot in tp.slots.items():
+        if slot[0] == "notin":
+            excluded = [resolve(s) for s in slot[1]]
+            conds.append(~F.col(pos).isin(excluded))
     if conds:
         df = df.filter(reduce(lambda a, b: a & b, conds))
 

@@ -1119,3 +1119,28 @@ def test_describe_rejections():
         parse_sparql("DESCRIBE ?z WHERE { ?x :p10 ?y }")
     with pytest.raises(SparqlSyntaxError, match="expected"):
         parse_sparql("DESCRIBE ")
+
+
+def test_negated_property_set(tiny_store, tiny_dict):
+    # !:p10 keeps only the p20 edge; !(:p10|:p20) excludes everything
+    df = sparql_to_df(
+        tiny_store, "SELECT ?s ?o WHERE { ?s !:p10 ?o }", tiny_dict
+    )
+    assert sorted((r.s, r.o) for r in df.collect()) == [(2, 3)]
+    none = sparql_to_df(
+        tiny_store, "SELECT ?s WHERE { ?s !(:p10|:p20) ?o }", tiny_dict
+    )
+    assert none.count() == 0
+    # composes with joins like any pattern
+    joined = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?o WHERE { ?s !:p20 ?o . ?o :p20 ?c }",
+        tiny_dict,
+    )
+    assert sorted((r.s, r.o) for r in joined.collect()) == [(1, 2), (2, 2)]
+
+
+def test_negated_property_set_rejections():
+    for bad in ("!(:p1/:p2)", "!(^:p1)", "!?p", "!(:p1|:p2)+", "!()", "!"):
+        with pytest.raises(SparqlSyntaxError):
+            parse_sparql(f"SELECT ?s WHERE {{ ?s {bad} ?o }}")

@@ -515,9 +515,10 @@ def lsh_topk_to(
     Scale shape: the query's band values are a tiny relation → broadcast
     semi-join prunes the candidate set before any vector arithmetic; only
     candidate vectors are scored. With persisted signatures (bucket-partitioned
-    Parquet), the scan itself prunes to matching buckets — the brute-force
-    full-scan disappears. Recall is tunable via (n_planes, bands); it is NOT
-    1.0 — tests measure it against ``cosine_topk_to``.
+    Parquet — ``lsh_write`` / ``lsh_topk_persisted``), the scan itself prunes
+    to matching buckets — the brute-force full-scan disappears. Recall is
+    tunable via (n_planes, bands); it is NOT 1.0 — tests measure it against
+    ``cosine_topk_to``.
     """
     assert n_planes % bands == 0
     bits_per_band = n_planes // bands
@@ -546,3 +547,118 @@ def lsh_topk_to(
         F.round(cosine_to_literal(F.col(vec_col), qvec), 6).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def _py_signature(query_vec: list[float], dim: int, n_planes: int, seed: int) -> int:
+    """Driver-side twin of lsh_signatures for ONE vector (bounded: dim ×
+    n_planes flops). Same left-fold accumulation order and >= 0 bit rule as
+    the JVM expression, so the bits agree exactly."""
+    sig = 0
+    for comps in hyperplanes(dim, n_planes, seed):
+        dot = 0.0
+        for a, b in zip(query_vec, comps):
+            dot += float(a) * b
+        sig = sig * 2 + (1 if dot >= 0 else 0)
+    return sig
+
+
+def lsh_write(
+    df: DataFrame,
+    path: str,
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Persist the LSH signature index as (band, band_val)-partitioned
+    Parquet — the layout that makes `lsh_topk_to`'s full-corpus signature
+    scan disappear: a probe reads only the `bands` directories matching
+    the query's band values (PartitionFilters), i.e. the candidate lists
+    themselves. Vectors ride beside the index under ``_vectors`` and the
+    LSH parameters under ``_meta`` (underscore dirs are invisible to the
+    main read), so the layout is self-contained like the IVF one.
+
+    bands × 2^(n_planes/bands) directories total (default 4 × 16 = 64) —
+    directory count is bounded by the parameters, never by data volume."""
+    assert n_planes % bands == 0
+    bits_per_band = n_planes // bands
+    mask = F.lit((1 << bits_per_band) - 1).cast("long")
+    sigs = lsh_signatures(df, dim, n_planes, seed, vec_col, id_col)
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("signature"), b * bits_per_band).bitwiseAND(mask)
+            for b in range(bands)
+        ]
+    )
+    (
+        sigs.select(
+            F.col(id_col), F.posexplode(band_vals).alias("band", "band_val")
+        )
+        .write.mode("overwrite")
+        .partitionBy("band", "band_val")
+        .parquet(path)
+    )
+    df.select(id_col, vec_col).write.mode("overwrite").parquet(
+        f"{path}/_vectors"
+    )
+    (
+        df.sparkSession.createDataFrame(
+            [(dim, n_planes, bands, seed)],
+            "dim int, n_planes int, bands int, seed int",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/_meta")
+    )
+
+
+def lsh_topk_persisted(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    exclude_id: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a ``lsh_write`` layout: the query's band values are computed
+    driver-side (deterministic hyperplanes — bounded arithmetic, no data
+    touched), the index scan prunes to those (band, band_val) directories
+    (PartitionFilters — candidate lists only, never the corpus index),
+    candidates semi-join their vectors, exact cosine re-ranks. Identical
+    candidates and scoring to the in-memory ``lsh_topk_to`` at the same
+    parameters (equality pinned in tests)."""
+    meta = spark.read.parquet(f"{path}/_meta").first()
+    bits_per_band = meta["n_planes"] // meta["bands"]
+    sig = _py_signature(
+        query_vec, meta["dim"], meta["n_planes"], meta["seed"]
+    )
+    wanted = [
+        (b, (sig >> (b * bits_per_band)) & ((1 << bits_per_band) - 1))
+        for b in range(meta["bands"])
+    ]
+    index = spark.read.parquet(path)
+    cond = reduce(
+        lambda a, b: a | b,
+        [
+            (F.col("band") == F.lit(b)) & (F.col("band_val") == F.lit(v))
+            for b, v in wanted
+        ],
+    )
+    cand = index.filter(cond).select(id_col).distinct()
+    if exclude_id is not None:
+        cand = cand.filter(F.col(id_col) != exclude_id)
+    vectors = spark.read.parquet(f"{path}/_vectors")
+    return (
+        vectors.join(cand, id_col, "leftsemi")
+        .select(
+            F.col(id_col),
+            F.round(cosine_to_literal(F.col(vec_col), query_vec), 6).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -264,3 +264,32 @@ def test_ivf_quantized_probe_prunes_float_column(spark, sf_dir, tmp_path):
     plan = quant._jdf.queryExecution().executedPlan().toString()
     scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
     assert any("qvec" in ln and "embedding" not in ln.split("ReadSchema")[-1] for ln in scans), scans
+
+
+def test_lsh_persisted_probe_matches_in_memory(spark, sf_dir, tmp_path):
+    """The bucket-partitioned signature layout must return exactly the
+    in-memory lsh_topk_to result (same candidates, same scoring), and the
+    index scan must carry PartitionFilters on (band, band_val) — the
+    candidate lists are read, never the full signature index."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "lsh")
+    similarity.lsh_write(emb, path, dim=64, n_planes=16, bands=8)
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    persisted = similarity.lsh_topk_persisted(
+        spark, path, qvec, k=10, exclude_id=0
+    )
+    in_memory = similarity.lsh_topk_to(
+        emb, query_id=0, k=10, dim=64, n_planes=16, bands=8
+    )
+    assert sorted(map(tuple, persisted.collect())) == sorted(
+        map(tuple, in_memory.collect())
+    )
+
+    plan = persisted._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    scan_lines = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "band" in ln
+    ]
+    assert any("PartitionFilters: [" in ln and "band" in ln.split("PartitionFilters")[-1] for ln in scan_lines), scan_lines

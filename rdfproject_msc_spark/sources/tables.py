@@ -50,15 +50,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     else:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanosAsLong read nanos-epoch as long; keep the exact value as ts_ns
-        # and expose ts as a Spark-native microsecond timestamp. Oracle-checked
-        # queries must truncate ts to ≥ microsecond granularity on both sides.
+    if name == "events":
+        # The engine's temporal operators key on exact integer nanoseconds
+        # (ts_ns) — never float seconds — so the same column exists for both
+        # testdata vintages:
+        #  - TIMESTAMP(NANOS) parquet (nanosAsLong read it as bigint): keep
+        #    the exact nanos as ts_ns, re-expose ts as a native micros
+        #    timestamp;
+        #  - native micros TIMESTAMP parquet: derive ts_ns = micros * 1000
+        #    (exact — both engines see identical values at every precision).
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-        )
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+            )
+        elif "ts_ns" not in df.columns:
+            # ts reads as TIMESTAMP_NTZ; diff against the NTZ epoch is
+            # timezone-independent and matches DuckDB's epoch_ns exactly
+            df = df.withColumn(
+                "ts_ns",
+                F.expr(
+                    "timestampdiff(MICROSECOND, "
+                    "TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+                )
+                * F.lit(1000),
+            )
     return df
 
 

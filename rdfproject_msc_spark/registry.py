@@ -300,6 +300,10 @@ def rdf_split_join_pstore(spark, sf_dir):
 
 
 def rdf_split_join_count(spark, sf_dir):
+    """A1 COUNT cross-check of rdf_split_join. Demoted from the 50-entry
+    driver window in round 4 (slot → sparql_regex): the counted query's full
+    row set is already hash-checked by rdf_split_join; the COUNT twin stays
+    oracle-pinned in tests/test_demoted.py."""
     store = _store(spark, sf_dir, layout="sign_split")
     return Q.split_join_count(store, P_BY_USER, P_LINKED_EVENT, P_HAS_TYPE)
 
@@ -475,6 +479,42 @@ SPARQL_FILTER_SQL = f"""{TRIPLES_CTE}
 SELECT s AS e, o AS c FROM triples
 WHERE p IN ({P_BY_USER}, {P_LINKED_EVENT})
   AND ((s >= -2507 AND NOT o = {CUSTOMER_7}) OR o < 60)
+"""
+
+SPARQL_REGEX = (
+    "SELECT ?e ?t WHERE { ?e :hasType ?t . ?e :byUser ?c . "
+    'FILTER(REGEX(STR(?c), "customer_1[0-9]$") && !STRENDS(STR(?t), "view")) }'
+)
+
+
+def sparql_regex(spark, sf_dir):
+    """String-valued FILTER functions (SPARQL 1.1 §17.4.3) over the
+    dictionary-ENCODED store: REGEX/CONTAINS/STRSTARTS/STRENDS reference
+    terms, but the relation holds ids — the planner attaches each
+    string-filtered variable's term via one dictionary join and compiles
+    the match as a column predicate. Catalyst rewrites the left join +
+    null-intolerant predicate into an inner join and pushes the regex into
+    the DICTIONARY scan, so the match runs over |dict| distinct terms
+    instead of per solution row — the textbook evaluation strategy for
+    string predicates on dictionary-encoded data, and the scale story at
+    100 TB (the dictionary is orders of magnitude smaller than the triple
+    relation). Composable with the boolean connectives under 3VL (the
+    !STRENDS conjunct here). The reference's Jena front-end parsed these
+    forms (MyOpVisitorBase.java:49); its translator could not compile
+    them."""
+    store = _store(spark, sf_dir)
+    return sparql_to_df(store, SPARQL_REGEX, _dict(spark, sf_dir))
+
+
+SPARQL_REGEX_SQL = f"""{TRIPLES_CTE}, dict AS ({DICTIONARY_SQL})
+SELECT a.s AS e, a.o AS t
+FROM triples a
+JOIN triples b ON a.s = b.s
+JOIN dict dc ON b.o = dc.id
+JOIN dict dt ON a.o = dt.id
+WHERE a.p = {P_HAS_TYPE} AND b.p = {P_BY_USER}
+  AND regexp_matches(dc.term, 'customer_1[0-9]$')
+  AND NOT suffix(dt.term, 'view')
 """
 
 SPARQL_TOPK = (
@@ -1917,7 +1957,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "sparql_2hop_store": QuerySpec(sparql_2hop_store, SPARQL_2HOP_SQL),
     "rdf_encode_terms": QuerySpec(rdf_encode_terms, RDF_ENCODE_TERMS_SQL),
     "rdf_split_join": QuerySpec(rdf_split_join, RDF_SPLIT_JOIN_SQL, headline=True),
-    "rdf_split_join_count": QuerySpec(rdf_split_join_count, RDF_SPLIT_JOIN_COUNT_SQL),
+    "sparql_regex": QuerySpec(sparql_regex, SPARQL_REGEX_SQL),
     "rdf_text_lifecycle": QuerySpec(rdf_text_lifecycle, RDF_DECODE_2HOP_SQL),
     "rdf_sign_union": QuerySpec(rdf_sign_union, RDF_SIGN_UNION_SQL),
     "sparql_2hop": QuerySpec(sparql_2hop, SPARQL_2HOP_SQL, headline=True),

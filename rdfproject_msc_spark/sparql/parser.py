@@ -25,13 +25,21 @@ reachability pairs via operators.graph.transitive_closure), all four
 query forms — SELECT, ASK (§16.3), CONSTRUCT (§16.2), DESCRIBE (§16.4)
 — and PREFIX expansion (the reference's Jena front-end resolved prefixes
 before normalization, MyOpVisitorBase.java:49,74-78). Negated property sets `!(:p1|:p2)` compile to a NOT-IN scan predicate.
+FILTER also accepts the string functions REGEX (with the optional "i"
+flag) / CONTAINS / STRSTARTS / STRENDS over `?var` or `STR(?var)`
+(§17.4.3), fully composable with the boolean connectives: the planner
+attaches the variable's dictionary term via a join and compiles the
+match as a column predicate — Catalyst pushes the string match to the
+(far smaller) dictionary side, the textbook evaluation strategy for
+string predicates over dictionary-encoded data.
 Out of scope, rejected explicitly: zero-length path operators (`*` `?`
 — their zero-hop case binds every graph term, a semantics judged not
 worth guessing), inverse/sequence members inside negated sets, nested
 groups, non-disjoint VALUES rows (UNDEF wildcards are supported when
 rows are pairwise disjoint — the exact condition under which the
-OR-filter compilation equals the multiset join), and non-comparison
-FILTER forms (regex, string functions) (SURVEY.md §7 risk list).
+OR-filter compilation equals the multiset join), string functions
+inside OPTIONAL-scoped FILTERs or HAVING, and other FILTER forms
+(casts, arithmetic-in-comparison) (SURVEY.md §7 risk list).
 
 Term forms (normalization mirrors MyOpVisitorBase.java:74-78):
   ?x / $x          variable
@@ -88,9 +96,17 @@ _BRACE_GROUP = re.compile(r"\{([^{}]*)\}")
 # A node is a leaf iff node[1] is an operator symbol.
 _FILTER_KEYWORD = re.compile(r"\bFILTER\s*\(", re.I)
 _FILTER_TOKEN = re.compile(
-    r"\s*(\(|\)|&&|\|\||!=|<=|>=|=|<|>|!|[?$]\w+|-?\d+)"
+    r'\s*(\(|\)|&&|\|\||!=|<=|>=|=|<|>|!|[?$]\w+|-?\d+|"[^"]*"|,|\w+)'
 )
 _CMP_OPS = ("=", "!=", "<", "<=", ">", ">=")
+# string-valued FILTER functions (SPARQL 1.1 §17.4.3): evaluated against the
+# DICTIONARY terms, not the encoded ids — the planner attaches the term via a
+# dictionary join and Catalyst pushes the match to the dictionary side (the
+# textbook dictionary-encoding evaluation strategy). The STR() wrapper is
+# accepted and means the same thing (ids ARE term references here).
+# AST leaf: ('strfn', name, var, pattern, flags) — 5-tuple, distinguishable
+# from the 3-tuple comparison leaf.
+_STR_FNS = ("regex", "contains", "strstarts", "strends")
 # tokens inside the BGP: quoted literal | <iri> | anything non-space
 _TOKEN = re.compile(r'"[^"]*"|<[^>]*>|\S+')
 _QUERY = re.compile(
@@ -334,8 +350,43 @@ def _parse_filter_expr(src: str):
             return node
         return comparison()
 
+    def strfn_call(name: str):
+        """`NAME([STR(]?var[)], "pattern"[, "i"])` → strfn leaf."""
+        take("(")
+        arg = take()
+        if arg.lower() == "str":  # optional STR(?x) wrapper (§17.4.2.5)
+            take("(")
+            arg = take()
+            take(")")
+        if not arg.startswith(("?", "$")):
+            raise SparqlSyntaxError(
+                f"bad FILTER expression {src!r}: {name.upper()} takes a "
+                f"variable (optionally STR(?var)), got {arg!r}"
+            )
+        take(",")
+        pat = take()
+        if not (pat.startswith('"') and pat.endswith('"')):
+            raise SparqlSyntaxError(
+                f"bad FILTER expression {src!r}: {name.upper()} pattern "
+                f"must be a string literal, got {pat!r}"
+            )
+        flags = ""
+        if peek() == ",":
+            take()
+            fl = take()
+            if name != "regex" or fl != '"i"':
+                raise SparqlSyntaxError(
+                    f"bad FILTER expression {src!r}: only REGEX supports a "
+                    f'flags argument, and only "i", got {fl!r}'
+                )
+            flags = "i"
+        take(")")
+        return ("strfn", name, arg[1:], pat[1:-1], flags)
+
     def comparison():
         lhs = take()
+        if lhs.lower() in _STR_FNS and peek() == "(":
+            return strfn_call(lhs.lower())
         if not lhs.startswith(("?", "$")):
             raise SparqlSyntaxError(
                 f"bad FILTER expression {src!r}: comparison must start "
@@ -370,9 +421,23 @@ def filter_expr_vars(node) -> set[str]:
     if isinstance(node[1], str) and node[1] in _CMP_OPS:  # comparison leaf
         var, _, rhs = node
         return {var} | ({rhs[1]} if rhs[0] == "var" else set())
+    if len(node) == 5 and node[0] == "strfn":  # string-function leaf
+        return {node[2]}
     if node[0] == "not":
         return filter_expr_vars(node[1])
     return filter_expr_vars(node[1]) | filter_expr_vars(node[2])
+
+
+def filter_expr_strfn_vars(node) -> set[str]:
+    """Variables appearing inside string-function leaves — the planner
+    attaches a dictionary term column for each before compiling."""
+    if isinstance(node[1], str) and node[1] in _CMP_OPS:
+        return set()
+    if len(node) == 5 and node[0] == "strfn":
+        return {node[2]}
+    if node[0] == "not":
+        return filter_expr_strfn_vars(node[1])
+    return filter_expr_strfn_vars(node[1]) | filter_expr_strfn_vars(node[2])
 
 
 def _extract_filters(src: str):
@@ -927,6 +992,14 @@ def parse_sparql(query: str) -> BGPQuery:
         # order would silently change the result)
         grp_scope = set().union(*(tp.variables() for tp in grp)) | required_vars
         for expr in flts:
+            if filter_expr_strfn_vars(expr):
+                # the group filter folds into the LeftJoin condition — a
+                # dictionary term column is not available there; reject
+                # rather than silently evaluate over ids
+                raise SparqlSyntaxError(
+                    "string functions (REGEX/CONTAINS/STRSTARTS/STRENDS) "
+                    "are not supported in OPTIONAL-scoped FILTERs"
+                )
             for v in sorted(filter_expr_vars(expr)):
                 if v not in grp_scope:
                     raise SparqlSyntaxError(
@@ -962,6 +1035,11 @@ def parse_sparql(query: str) -> BGPQuery:
     if having and not grouped:
         raise SparqlSyntaxError("HAVING requires GROUP BY or aggregates")
     for expr in having:
+        if filter_expr_strfn_vars(expr):
+            # HAVING evaluates over grouped numeric output (keys/aggregates)
+            raise SparqlSyntaxError(
+                "string functions are not supported in HAVING"
+            )
         for v in sorted(filter_expr_vars(expr)):
             if v not in set(group_by) | aliases:
                 raise SparqlSyntaxError(

@@ -37,6 +37,7 @@ from rdfproject_msc_spark.sparql.parser import (
     _CMP_OPS,
     BGPQuery,
     SparqlSyntaxError,
+    filter_expr_strfn_vars,
     parse_sparql,
 )
 from rdfproject_msc_spark.store import TripleStore
@@ -51,7 +52,9 @@ _OPS = {
 }
 
 
-def _compile_filter(node, colmap: dict[str, str]) -> Column:
+def _compile_filter(
+    node, colmap: dict[str, str], termmap: dict[str, str] | None = None
+) -> Column:
     """FILTER expression AST → Column predicate.
 
     Spark's three-valued NULL logic coincides with SPARQL 1.1 §17.2's
@@ -59,14 +62,37 @@ def _compile_filter(node, colmap: dict[str, str]) -> Column:
     false && error = false, true || error = true, !error = error, and a
     solution is kept only when the expression is plain true — so NULL
     (unbound) comparisons drop rows at the top level and fail LeftJoin
-    conditions, exactly as SPARQL's type errors do. No special-casing."""
+    conditions, exactly as SPARQL's type errors do. No special-casing.
+
+    String-function leaves (§17.4.3) compile over the dictionary term
+    column `termmap` maps the variable to (attached by plan_bgp); they are
+    plain column predicates, so they compose with the connectives under
+    the same three-valued logic."""
     if isinstance(node[1], str) and node[1] in _CMP_OPS:  # comparison leaf
         var, op, rhs = node
         rhs_col = F.lit(rhs[1]) if rhs[0] == "num" else F.col(colmap[rhs[1]])
         return _OPS[op](F.col(colmap[var]), rhs_col)
+    if len(node) == 5 and node[0] == "strfn":  # string-function leaf
+        _, fn, var, pattern, flags = node
+        if termmap is None or var not in termmap:
+            raise SparqlSyntaxError(
+                "string functions are not supported in this FILTER context"
+            )
+        col = F.col(termmap[var])
+        if fn == "regex":
+            # SPARQL REGEX is a partial match, exactly rlike's semantics;
+            # the "i" flag becomes an inline (?i) — the one regex dialect
+            # feature shared by every engine this pattern may run against
+            return col.rlike(("(?i)" if flags else "") + pattern)
+        if fn == "contains":
+            return col.contains(pattern)
+        if fn == "strstarts":
+            return col.startswith(pattern)
+        return col.endswith(pattern)
     if node[0] == "not":
-        return ~_compile_filter(node[1], colmap)
-    a, b = _compile_filter(node[1], colmap), _compile_filter(node[2], colmap)
+        return ~_compile_filter(node[1], colmap, termmap)
+    a = _compile_filter(node[1], colmap, termmap)
+    b = _compile_filter(node[2], colmap, termmap)
     return (a & b) if node[0] == "and" else (a | b)
 
 
@@ -522,12 +548,43 @@ def plan_bgp(
             reduce(lambda a, b: a | b, [_row_cond(r) for r in rows])
         )
 
+    # String-function FILTER leaves (§17.4.3) reference TERMS, but the
+    # relation holds dictionary-encoded ids: attach each string-filtered
+    # variable's term via ONE dictionary join, keyed on the id. The join is
+    # a left join (a dangling id yields NULL → the predicate errors → the
+    # row drops at the top level, SPARQL's STR-of-unbound error semantics),
+    # but Catalyst rewrites left-join + null-intolerant predicate into an
+    # inner join and pushes the string match into the DICTIONARY scan — so
+    # the match evaluates over |dict| distinct terms, never per solution
+    # row: the dictionary-encoding evaluation strategy, for free.
+    str_vars = sorted(
+        {v for expr in bgp.filters for v in filter_expr_strfn_vars(expr)}
+    )
+    termmap: dict[str, str] = {}
+    if str_vars:
+        if dictionary is None:
+            raise SparqlSyntaxError(
+                "string-function FILTERs need a dictionary to resolve terms"
+            )
+        for v in str_vars:
+            d = (
+                dictionary._dict_side()
+                .withColumnRenamed("id", f"__sid_{v}")
+                .withColumnRenamed("term", f"__term_{v}")
+            )
+            joined = joined.join(
+                d, F.col(bound_cols[v]) == F.col(f"__sid_{v}"), "left"
+            ).drop(f"__sid_{v}")
+            termmap[v] = f"__term_{v}"
+
     # FILTER constraints: Column predicates over the bound variables —
     # applied BEFORE projection so non-projected variables can be filtered;
     # Catalyst pushes var-vs-constant comparisons down into the scans and
     # splits top-level conjunctions for pushdown on both join sides.
     for expr in bgp.filters:
-        joined = joined.filter(_compile_filter(expr, bound_cols))
+        joined = joined.filter(_compile_filter(expr, bound_cols, termmap))
+    if termmap:
+        joined = joined.drop(*termmap.values())
 
     # ASK (§16.3): existence of any solution — limit(1) stops the scan at
     # the first match (Spark plans a CollectLimit; with selective pushed

@@ -93,3 +93,13 @@ def test_orders_cube(spark, sf_dir):
     assert_matches_oracle(
         R.orders_cube(spark, sf_dir), R.ORDERS_CUBE_SQL, sf_dir
     )
+
+
+def test_rdf_split_join_count(spark, sf_dir):
+    """Demoted r4 (slot → sparql_regex): the A1 COUNT cross-check of
+    rdf_split_join, whose full row set keeps its driver row."""
+    assert_matches_oracle(
+        R.rdf_split_join_count(spark, sf_dir),
+        R.RDF_SPLIT_JOIN_COUNT_SQL,
+        sf_dir,
+    )

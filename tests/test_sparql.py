@@ -226,8 +226,81 @@ def test_parse_filter_forms():
 
 
 def test_parse_rejects_rich_filter():
-    with pytest.raises(SparqlSyntaxError, match="unsupported FILTER"):
-        parse_sparql('SELECT ?x WHERE { ?x :p ?y . FILTER(regex(?y, "a")) }')
+    # LANG/arithmetic-in-comparison stay out of scope
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql('SELECT ?x WHERE { ?x :p ?y . FILTER(LANG(?y) = "en") }')
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql("SELECT ?x WHERE { ?x :p ?y . FILTER(?y + 1 > 2) }")
+
+
+def test_parse_string_filter_functions():
+    bgp = parse_sparql(
+        'SELECT ?x WHERE { ?x :p ?y . '
+        'FILTER(REGEX(STR(?y), "^:n", "i") && !CONTAINS(?y, "2")) }'
+    )
+    assert bgp.filters == (
+        (
+            "and",
+            ("strfn", "regex", "y", "^:n", "i"),
+            ("not", ("strfn", "contains", "y", "2", "")),
+        ),
+    )
+
+
+def test_parse_rejects_bad_string_filters():
+    # non-literal pattern
+    with pytest.raises(SparqlSyntaxError, match="pattern"):
+        parse_sparql("SELECT ?x WHERE { ?x :p ?y . FILTER(REGEX(?y, ?x)) }")
+    # flags on a non-REGEX function
+    with pytest.raises(SparqlSyntaxError, match="flags"):
+        parse_sparql(
+            'SELECT ?x WHERE { ?x :p ?y . FILTER(CONTAINS(?y, "a", "i")) }'
+        )
+    # string functions fold into the LeftJoin condition — rejected there
+    with pytest.raises(SparqlSyntaxError, match="OPTIONAL"):
+        parse_sparql(
+            "SELECT ?x ?z WHERE { ?x :p ?y . "
+            'OPTIONAL { ?y :q ?z . FILTER(CONTAINS(STR(?z), "a")) } }'
+        )
+    # ... and into grouped numeric output in HAVING
+    with pytest.raises(SparqlSyntaxError, match="HAVING"):
+        parse_sparql(
+            "SELECT ?x (COUNT(?y) AS ?n) WHERE { ?x :p ?y . } "
+            'GROUP BY ?x HAVING(REGEX(STR(?x), "a"))'
+        )
+    # unknown variable inside a string function
+    with pytest.raises(SparqlSyntaxError, match="FILTER variable"):
+        parse_sparql('SELECT ?x WHERE { ?x :p ?y . FILTER(REGEX(?zz, "a")) }')
+
+
+def test_string_filter_executes(tiny_store, tiny_dict):
+    # terms: 1=:n1 2=:n2 3=:n3 -5=:neg5; p10 objects are 1,2,2,1
+    df = sparql_to_df(
+        tiny_store,
+        'SELECT ?s ?o WHERE { ?s :p10 ?o . FILTER(STRENDS(STR(?o), "2")) }',
+        tiny_dict,
+    )
+    assert sorted((r.s, r.o) for r in df.collect()) == [(1, 2), (2, 2)]
+    # composable with comparisons and negation under 3VL
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?o WHERE { ?s :p10 ?o . "
+        'FILTER(!CONTAINS(STR(?s), "neg") && (?o >= 2 || REGEX(?s, "N1$", "i"))) }',
+        tiny_dict,
+    )
+    assert sorted((r.s, r.o) for r in df.collect()) == [(1, 1), (1, 2), (2, 2)]
+    # term column is attached for filtering but never projected
+    assert df.columns == ["s", "o"]
+
+
+def test_string_filter_on_subject_variable(tiny_store, tiny_dict):
+    # STRSTARTS over the subject side; -5 decodes to :neg5
+    df = sparql_to_df(
+        tiny_store,
+        'SELECT ?s WHERE { ?s :p10 ?o . FILTER(STRSTARTS(STR(?s), ":neg")) }',
+        tiny_dict,
+    )
+    assert [r.s for r in df.collect()] == [-5]
 
 
 def test_parse_rejects_filter_unknown_var():

@@ -17,7 +17,10 @@ OR-of-ANDs filters), UNION blocks of group alternatives (arms joined
 per-arm for compatible-binding semantics; blocks compose by join — the
 generalization of the reference translator's hand-emitted Positive UNION
 ALL Negative, MyOpVisitorBase.java:106-123), GROUP BY/HAVING with
-COUNT/SUM/AVG/MIN/MAX aggregates (§11), sequence / alternation / inverse
+COUNT/SUM/AVG/MIN/MAX/SAMPLE/GROUP_CONCAT aggregates (§11; SAMPLE picks
+the deterministic minimum, GROUP_CONCAT sorts values before joining —
+both choices the spec leaves open, pinned for reproducibility),
+sequence / alternation / inverse
 / one-or-more-closure property paths (§9.1 — sequences chain joins
 through hidden fresh variables, alternation lowers to a UNION block,
 inverse swaps the subject/object sides, `p+` lowers to DISTINCT
@@ -25,6 +28,10 @@ reachability pairs via operators.graph.transitive_closure), all four
 query forms — SELECT, ASK (§16.3), CONSTRUCT (§16.2), DESCRIBE (§16.4)
 — and PREFIX expansion (the reference's Jena front-end resolved prefixes
 before normalization, MyOpVisitorBase.java:49,74-78). Negated property sets `!(:p1|:p2)` compile to a NOT-IN scan predicate.
+BIND(expr AS ?var) (§10.1) assigns integer arithmetic (+ - * with
+parentheses) over previously-bound variables to a fresh variable,
+usable by FILTER / projection / GROUP BY / ORDER BY; NULL (unbound)
+inputs propagate, matching SPARQL's expression-error-leaves-unbound.
 FILTER also accepts the string functions REGEX (with the optional "i"
 flag) / CONTAINS / STRSTARTS / STRENDS over `?var` or `STR(?var)`
 (§17.4.3), fully composable with the boolean connectives: the planner
@@ -95,8 +102,11 @@ _BRACE_GROUP = re.compile(r"\{([^{}]*)\}")
 #   ('not', expr) / ('and', a, b) / ('or', a, b)
 # A node is a leaf iff node[1] is an operator symbol.
 _FILTER_KEYWORD = re.compile(r"\bFILTER\s*\(", re.I)
+# note: `-?\d+` precedes the bare `-` so negative literals keep lexing as
+# one token; the arithmetic parser re-splits a negative number where a
+# binary operator was expected (`?a -3` ≡ `?a - 3`)
 _FILTER_TOKEN = re.compile(
-    r'\s*(\(|\)|&&|\|\||!=|<=|>=|=|<|>|!|[?$]\w+|-?\d+|"[^"]*"|,|\w+)'
+    r'\s*(\(|\)|&&|\|\||!=|<=|>=|=|<|>|!|[?$]\w+|-?\d+|"[^"]*"|,|\+|-|\*|\w+)'
 )
 _CMP_OPS = ("=", "!=", "<", "<=", ">", ">=")
 # string-valued FILTER functions (SPARQL 1.1 §17.4.3): evaluated against the
@@ -107,6 +117,12 @@ _CMP_OPS = ("=", "!=", "<", "<=", ">", ">=")
 # AST leaf: ('strfn', name, var, pattern, flags) — 5-tuple, distinguishable
 # from the 3-tuple comparison leaf.
 _STR_FNS = ("regex", "contains", "strstarts", "strends")
+# BIND assignment (§10.1): `BIND(expr AS ?var)` — integer arithmetic over
+# previously-bound variables (+ - * with parentheses; the engine's values
+# ARE integers). AST nodes: ('num', n) | ('var', v) | (op, a, b).
+_BIND_KEYWORD = re.compile(r"\bBIND\s*\(", re.I)
+_BIND_AS = re.compile(r"\sAS\s+[?$](?P<var>\w+)\s*$", re.I)
+_ARITH_OPS = ("+", "-", "*")
 # tokens inside the BGP: quoted literal | <iri> | anything non-space
 _TOKEN = re.compile(r'"[^"]*"|<[^>]*>|\S+')
 _QUERY = re.compile(
@@ -120,8 +136,9 @@ _QUERY = re.compile(
 # `(AGG([DISTINCT] ?v|*) AS ?alias)` (SPARQL 1.1 §11; one paren level)
 _PROJ_ITEM = re.compile(r"[?$]\w+|\((?:[^()]|\([^()]*\))*\)")
 _AGG_ITEM = re.compile(
-    r"^\(\s*(?P<func>COUNT|SUM|AVG|MIN|MAX)\s*\(\s*"
-    r"(?P<distinct>DISTINCT\s+)?(?P<arg>\*|[?$]\w+)\s*\)\s+"
+    r"^\(\s*(?P<func>COUNT|SUM|AVG|MIN|MAX|SAMPLE|GROUP_CONCAT)\s*\(\s*"
+    r"(?P<distinct>DISTINCT\s+)?(?P<arg>\*|[?$]\w+)\s*"
+    r'(?:;\s*SEPARATOR\s*=\s*"(?P<sep>[^"]*)"\s*)?\)\s+'
     r"AS\s+[?$](?P<alias>\w+)\s*\)$",
     re.I,
 )
@@ -204,6 +221,10 @@ class BGPQuery:
     limit: int | None = None
     # FILTER constraints: (var, op, ('num', int) | ('var', name))
     filters: tuple[tuple[str, str, tuple[str, object]], ...] = ()
+    # BIND assignments (§10.1) in textual order: (var, arithmetic AST);
+    # each target is a fresh variable, usable by FILTER / projection /
+    # GROUP BY / ORDER BY (not by triple patterns — rejected explicitly)
+    binds: tuple[tuple[str, object], ...] = ()
     # OPTIONAL groups, each a tuple of patterns → left join onto the BGP
     optionals: tuple[tuple[TriplePattern, ...], ...] = ()
     # per-OPTIONAL-group FILTER expressions (index-aligned with `optionals`):
@@ -224,11 +245,12 @@ class BGPQuery:
         tuple[tuple[str, ...], tuple[tuple[tuple[str, object], ...], ...]], ...
     ] = ()
     # aggregation (SPARQL 1.1 §11): GROUP BY keys and projected aggregates
-    # (func, var|None for COUNT(*), distinct, alias); when either is set the
+    # (func, var|None for COUNT(*), distinct, alias, separator) — separator
+    # is GROUP_CONCAT's, None elsewhere; when either field is set the
     # planner lowers to groupBy/agg and `projection` holds the OUTPUT column
     # order (group vars and aggregate aliases interleaved as written)
     group_by: tuple[str, ...] = ()
-    aggregates: tuple[tuple[str, str | None, bool, str], ...] = ()
+    aggregates: tuple[tuple[str, str | None, bool, str, str | None], ...] = ()
     # HAVING constraints (§11.5): FILTER expression ASTs evaluated over the
     # grouped OUTPUT columns (group keys and aggregate aliases)
     having: tuple = ()
@@ -471,6 +493,124 @@ def _extract_filters(src: str):
         pos = 0
         out.append(" ")
     return "".join(out), exprs
+
+
+def _parse_arith_expr(src: str):
+    """Recursive-descent parse of a BIND arithmetic expression:
+    `*` binds tighter than `+`/`-`; leaves are variables and integers."""
+    toks = _tokenize_filter(src)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take(expected=None):
+        nonlocal pos
+        if pos >= len(toks) or (expected is not None and toks[pos] != expected):
+            raise SparqlSyntaxError(
+                f"bad BIND expression {src!r}: expected "
+                f"{expected or 'a term'}, got {peek()!r}"
+            )
+        pos += 1
+        return toks[pos - 1]
+
+    def split_negative():
+        # `?a -3` lexed the operand as one negative number; re-split it
+        # into a subtraction when a binary operator is expected here
+        nonlocal pos
+        t = peek()
+        if t is not None and re.fullmatch(r"-\d+", t):
+            toks[pos] = t[1:]
+            toks.insert(pos, "-")
+
+    def add_expr():
+        node = mul_expr()
+        split_negative()
+        while peek() in ("+", "-"):
+            op = take()
+            node = (op, node, mul_expr())
+            split_negative()
+        return node
+
+    def mul_expr():
+        node = atom()
+        while peek() == "*":
+            take()
+            node = ("*", node, atom())
+        return node
+
+    def atom():
+        if peek() == "(":
+            take()
+            node = add_expr()
+            take(")")
+            return node
+        t = take()
+        if t.startswith(("?", "$")):
+            return ("var", t[1:])
+        if re.fullmatch(r"-?\d+", t):
+            return ("num", int(t))
+        raise SparqlSyntaxError(
+            f"bad BIND expression {src!r}: expected a variable, integer, "
+            f"or parenthesized expression, got {t!r}"
+        )
+
+    node = add_expr()
+    if pos != len(toks):
+        raise SparqlSyntaxError(
+            f"bad BIND expression {src!r}: trailing tokens {toks[pos:]!r}"
+        )
+    return node
+
+
+def arith_expr_vars(node) -> set[str]:
+    """All variables referenced by a BIND arithmetic expression AST."""
+    if node[0] == "var":
+        return {node[1]}
+    if node[0] == "num":
+        return set()
+    return arith_expr_vars(node[1]) | arith_expr_vars(node[2])
+
+
+def _extract_binds(src: str):
+    """Pull every `BIND( expr AS ?var )` (balanced parens) out of a pattern
+    source, in textual order (§10.1: later binds may use earlier ones).
+    Returns (stripped, [(var, expr_ast), ...])."""
+    binds: list[tuple[str, object]] = []
+    out = []
+    pos = 0
+    while True:
+        m = _BIND_KEYWORD.search(src, pos)
+        if not m:
+            out.append(src[pos:])
+            break
+        out.append(src[pos : m.start()])
+        depth = 1
+        i = m.end()
+        while i < len(src) and depth:
+            if src[i] == "(":
+                depth += 1
+            elif src[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            raise SparqlSyntaxError("unbalanced parentheses in BIND")
+        body = src[m.end() : i - 1]
+        am = _BIND_AS.search(body)
+        if not am:
+            raise SparqlSyntaxError(
+                f"BIND needs the form BIND(expr AS ?var): {body.strip()!r}"
+            )
+        binds.append(
+            (am.group("var"), _parse_arith_expr(body[: am.start()]))
+        )
+        rest = src[i:]
+        if rest.lstrip().startswith("."):
+            rest = rest.lstrip()[1:]
+        src = rest
+        pos = 0
+        out.append(" ")
+    return "".join(out), binds
 
 
 _PATH_OPERATOR = re.compile(r"[*+!?]")
@@ -826,7 +966,23 @@ def parse_sparql(query: str) -> BGPQuery:
     # scan: expressions may contain their own parentheses)
     bgp_src, filters = _extract_filters(bgp_src)
 
-    aggregates: list[tuple[str, str | None, bool, str]] = []
+    # extract BIND assignments (§10.1), textual order preserved; BIND inside
+    # OPTIONAL/MINUS/EXISTS/UNION groups is rejected (group-local scoping
+    # would need per-group evaluation order — reject rather than guess)
+    bgp_src, binds = _extract_binds(bgp_src)
+    for gsrc in (
+        optional_srcs
+        + minus_srcs
+        + [esrc for _, esrc in exists_srcs]
+        + [usrc for block in union_block_srcs for usrc in block]
+    ):
+        if _BIND_KEYWORD.search(gsrc) or re.search(r"\bBIND\b", gsrc, re.I):
+            raise SparqlSyntaxError(
+                "BIND is only supported in the required pattern group "
+                "(not inside OPTIONAL/MINUS/EXISTS/UNION)"
+            )
+
+    aggregates: list[tuple[str, str | None, bool, str, str | None]] = []
     if proj_src == "*":
         projection = None
     else:
@@ -844,14 +1000,27 @@ def parse_sparql(query: str) -> BGPQuery:
             func = am.group("func").lower()
             arg = am.group("arg")
             distinct_arg = bool(am.group("distinct"))
+            sep = am.group("sep")
             if arg == "*" and (func != "count" or distinct_arg):
                 raise SparqlSyntaxError(f"{func.upper()}(*) is not supported")
-            if distinct_arg and func not in ("count", "sum"):
+            if distinct_arg and func not in ("count", "sum", "group_concat"):
                 raise SparqlSyntaxError(
                     f"{func.upper()}(DISTINCT ...) is not supported"
                 )
+            if sep is not None and func != "group_concat":
+                raise SparqlSyntaxError(
+                    "SEPARATOR is only valid on GROUP_CONCAT"
+                )
+            if func == "group_concat" and sep is None:
+                sep = " "  # the §11 default separator
             aggregates.append(
-                (func, None if arg == "*" else arg[1:], distinct_arg, am.group("alias"))
+                (
+                    func,
+                    None if arg == "*" else arg[1:],
+                    distinct_arg,
+                    am.group("alias"),
+                    sep,
+                )
             )
             items.append(am.group("alias"))
         if len(set(items)) != len(items):
@@ -915,6 +1084,24 @@ def parse_sparql(query: str) -> BGPQuery:
         v for grp in optionals for tp in grp for v in tp.variables()
     }
 
+    # BIND validation (§10.1): the target must be FRESH (the spec makes an
+    # in-scope target a syntax error) and the expression may only use
+    # pattern-bound variables and earlier BIND targets
+    bind_scope = set(pattern_vars)
+    for bvar, bexpr in binds:
+        unknown = arith_expr_vars(bexpr) - bind_scope
+        if unknown:
+            raise SparqlSyntaxError(
+                f"BIND expression variables not in scope: "
+                f"{['?' + v for v in sorted(unknown)]}"
+            )
+        if bvar in bind_scope:
+            raise SparqlSyntaxError(
+                f"BIND target is already bound: ?{bvar}"
+            )
+        bind_scope.add(bvar)
+    pattern_vars = bind_scope
+
     if describe_var is not None and describe_var not in required_vars:
         raise SparqlSyntaxError(
             f"DESCRIBE variable must be bound by the required patterns: "
@@ -968,7 +1155,7 @@ def parse_sparql(query: str) -> BGPQuery:
         for var in vars_:
             if var not in required_vars:
                 raise SparqlSyntaxError(f"VALUES variable not in BGP: ?{var}")
-    aliases = {alias for _, _, _, alias in aggregates}
+    aliases = {alias for _, _, _, alias, _ in aggregates}
     if projection is not None:
         unknown = set(projection) - pattern_vars - aliases
         if unknown:
@@ -978,7 +1165,7 @@ def parse_sparql(query: str) -> BGPQuery:
                 f"aggregate alias shadows a pattern variable: "
                 f"{sorted(aliases & pattern_vars)}"
             )
-    for _, avar, _, _ in aggregates:
+    for _, avar, _, _, _ in aggregates:
         if avar is not None and avar not in pattern_vars:
             raise SparqlSyntaxError(f"aggregate variable not in BGP: ?{avar}")
     for expr in filters:
@@ -1089,6 +1276,7 @@ def parse_sparql(query: str) -> BGPQuery:
         order_by=tuple(order_by),
         limit=int(lm.group("n")) if lm else None,
         filters=tuple(filters),
+        binds=tuple(binds),
         optionals=tuple(optionals),
         optional_filters=tuple(optional_filters),
         unions=tuple(unions),

@@ -37,6 +37,7 @@ from rdfproject_msc_spark.sparql.parser import (
     _CMP_OPS,
     BGPQuery,
     SparqlSyntaxError,
+    arith_expr_vars,
     filter_expr_strfn_vars,
     parse_sparql,
 )
@@ -94,6 +95,22 @@ def _compile_filter(
     a = _compile_filter(node[1], colmap, termmap)
     b = _compile_filter(node[2], colmap, termmap)
     return (a & b) if node[0] == "and" else (a | b)
+
+
+def _compile_arith(node, colmap: dict[str, str]) -> Column:
+    """BIND arithmetic AST → Column (long arithmetic over encoded ids;
+    NULL inputs propagate — SPARQL's expression-error-leaves-var-unbound)."""
+    kind = node[0]
+    if kind == "num":
+        return F.lit(node[1]).cast("long")
+    if kind == "var":
+        return F.col(colmap[node[1]])
+    a, b = _compile_arith(node[1], colmap), _compile_arith(node[2], colmap)
+    if kind == "+":
+        return a + b
+    if kind == "-":
+        return a - b
+    return a * b
 
 
 def _encode_constants(bgp: BGPQuery, dictionary: Dictionary | None) -> dict[str, int]:
@@ -481,6 +498,19 @@ def plan_bgp(
                 order.append(v)
                 nullable_vars.add(v)  # null when the left join finds no match
 
+    # BIND assignments (§10.1): computed columns over already-bound
+    # variables (including OPTIONAL-bound ones: NULL propagates through
+    # the arithmetic, leaving the target unbound — SPARQL's expression
+    # error semantics). Plain withColumn projections — zero extra plan
+    # cost, and Catalyst folds them into the surrounding stage.
+    for bvar, bexpr in bgp.binds:
+        cname = f"vb_{bvar}"
+        joined = joined.withColumn(cname, _compile_arith(bexpr, bound_cols))
+        bound_cols[bvar] = cname
+        order.append(bvar)
+        if arith_expr_vars(bexpr) & nullable_vars:
+            nullable_vars.add(bvar)
+
     # MINUS groups → LEFT ANTI JOIN on the shared variables (SPARQL 1.1
     # §8.3): a binding is removed when the group produces a compatible
     # binding. The parser guarantees ≥1 shared variable (disjoint-domain
@@ -703,7 +733,7 @@ def _plan_grouped(joined: DataFrame, bound_cols: dict[str, str], bgp: BGPQuery) 
     where the counted variable is unbound."""
     keys = [F.col(bound_cols[v]).alias(v) for v in bgp.group_by]
     aggs = []
-    for func, var, distinct, alias in bgp.aggregates:
+    for func, var, distinct, alias, sep in bgp.aggregates:
         if var is None:  # COUNT(*)
             expr = F.count(F.lit(1))
         else:
@@ -716,8 +746,28 @@ def _plan_grouped(joined: DataFrame, bound_cols: dict[str, str], bgp: BGPQuery) 
                 expr = F.avg(col)
             elif func == "min":
                 expr = F.min(col)
-            else:
+            elif func == "max":
                 expr = F.max(col)
+            elif func == "sample":
+                # §11.4.8 leaves the choice implementation-defined; min is
+                # the deterministic choice (same plan shape as MIN)
+                expr = F.min(col)
+            else:  # group_concat
+                # §11.4.7 fixes no value order; sorting ascending before
+                # joining makes the result deterministic and engine-
+                # portable (DuckDB twin: string_agg(... ORDER BY v)).
+                # collect_list is a holistic aggregate — the group's values
+                # materialize on one executor, which is GROUP_CONCAT's
+                # inherent cost at any scale, not a plan defect.
+                vals = F.collect_list(col)
+                if distinct:
+                    vals = F.array_distinct(vals)
+                expr = F.array_join(
+                    F.transform(
+                        F.array_sort(vals), lambda x: x.cast("string")
+                    ),
+                    sep,
+                )
         aggs.append(expr.alias(alias))
     if aggs:
         out = joined.groupBy(*keys).agg(*aggs)

@@ -712,10 +712,46 @@ def test_parse_aggregates():
     assert bgp.projection == ("c", "n", "t")
     assert bgp.group_by == ("c",)
     assert bgp.aggregates == (
-        ("count", "e", False, "n"),
-        ("sum", "e", True, "t"),
+        ("count", "e", False, "n", None),
+        ("sum", "e", True, "t", None),
     )
     assert bgp.order_by == (("n", True),)
+
+
+def test_parse_sample_and_group_concat():
+    bgp = parse_sparql(
+        "SELECT ?c (SAMPLE(?e) AS ?any) "
+        '(GROUP_CONCAT(DISTINCT ?e; SEPARATOR="|") AS ?all) '
+        "WHERE { ?e :typ ?c } GROUP BY ?c"
+    )
+    assert bgp.aggregates == (
+        ("sample", "e", False, "any", None),
+        ("group_concat", "e", True, "all", "|"),
+    )
+    # default separator is a single space (§11)
+    bgp = parse_sparql(
+        "SELECT ?c (GROUP_CONCAT(?e) AS ?all) WHERE { ?e :typ ?c } GROUP BY ?c"
+    )
+    assert bgp.aggregates == (("group_concat", "e", False, "all", " "),)
+    with pytest.raises(SparqlSyntaxError, match="SEPARATOR"):
+        parse_sparql(
+            'SELECT ?c (SUM(?e; SEPARATOR=",") AS ?t) '
+            "WHERE { ?e :typ ?c } GROUP BY ?c"
+        )
+
+
+def test_sample_and_group_concat_execute(tiny_store, tiny_dict):
+    # p10 edges 1→1, 1→2, 2→2, -5→1 grouped by object:
+    #   o=1 ← {1, -5},  o=2 ← {1, 2}
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?o (SAMPLE(?s) AS ?any) "
+        '(GROUP_CONCAT(?s; SEPARATOR=",") AS ?subs) '
+        "WHERE { ?s :p10 ?o } GROUP BY ?o",
+        tiny_dict,
+    )
+    got = {r.o: (r.any, r.subs) for r in df.collect()}
+    assert got == {1: (-5, "-5,1"), 2: (1, "1,2")}
 
 
 def test_parse_aggregate_rejections():
@@ -1217,3 +1253,117 @@ def test_negated_property_set_rejections():
     for bad in ("!(:p1/:p2)", "!(^:p1)", "!?p", "!(:p1|:p2)+", "!()", "!"):
         with pytest.raises(SparqlSyntaxError):
             parse_sparql(f"SELECT ?s WHERE {{ ?s {bad} ?o }}")
+
+
+def test_bind_parse_precedence():
+    bgp = parse_sparql(
+        "SELECT ?a ?d WHERE { ?a :p ?b . BIND(?a * 2 - (?b + 1) AS ?d) }"
+    )
+    assert bgp.binds == (
+        ("d", ("-", ("*", ("var", "a"), ("num", 2)), ("+", ("var", "b"), ("num", 1)))),
+    )
+    # glued negative literal re-splits into subtraction
+    bgp = parse_sparql("SELECT ?a ?d WHERE { ?a :p ?b . BIND(?a -3 AS ?d) }")
+    assert bgp.binds == (("d", ("-", ("var", "a"), ("num", 3))),)
+
+
+def test_bind_rejections():
+    # target already bound (SPARQL §10.1 makes this a syntax error)
+    with pytest.raises(SparqlSyntaxError, match="already bound"):
+        parse_sparql("SELECT ?a WHERE { ?a :p ?b . BIND(?a + 1 AS ?b) }")
+    # expression variable out of scope
+    with pytest.raises(SparqlSyntaxError, match="not in scope"):
+        parse_sparql("SELECT ?a WHERE { ?a :p ?b . BIND(?zz + 1 AS ?c) }")
+    # BIND inside a group
+    with pytest.raises(SparqlSyntaxError, match="required pattern group"):
+        parse_sparql(
+            "SELECT ?a ?c WHERE { ?a :p ?b . "
+            "OPTIONAL { ?b :q ?c . BIND(?c + 1 AS ?d) } }"
+        )
+    # missing AS
+    with pytest.raises(SparqlSyntaxError, match="BIND needs"):
+        parse_sparql("SELECT ?a WHERE { ?a :p ?b . BIND(?a + 1) }")
+
+
+def test_bind_executes_and_filters(tiny_store, tiny_dict):
+    # p10 edges 1→1, 1→2, 2→2, -5→1; ?d = ?o - ?s
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?o ?d WHERE { ?s :p10 ?o . BIND(?o - ?s AS ?d) "
+        "FILTER(?d >= 0) }",
+        tiny_dict,
+    )
+    assert sorted((r.s, r.o, r.d) for r in df.collect()) == [
+        (-5, 1, 6),
+        (1, 1, 0),
+        (1, 2, 1),
+        (2, 2, 0),
+    ]
+
+
+def test_bind_chained_and_select_star(tiny_store, tiny_dict):
+    # later BIND uses an earlier one; SELECT * includes bind targets
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT * WHERE { ?s :p10 ?o . BIND(?s + ?o AS ?t) "
+        "BIND(?t * 2 AS ?u) }",
+        tiny_dict,
+    )
+    assert df.columns == ["s", "o", "t", "u"]
+    assert sorted((r.s, r.o, r.t, r.u) for r in df.collect()) == [
+        (-5, 1, -4, -8),
+        (1, 1, 2, 4),
+        (1, 2, 3, 6),
+        (2, 2, 4, 8),
+    ]
+
+
+def test_bind_null_propagates_from_optional(tiny_store, tiny_dict):
+    # ?c binds only for ?o=2 (p20 edge 2→3); elsewhere ?d stays unbound
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?d WHERE { ?s :p10 ?o . OPTIONAL { ?o :p20 ?c } "
+        "BIND(?c * 10 AS ?d) }",
+        tiny_dict,
+    )
+    got = sorted(
+        ((r.s, r.d) for r in df.collect()),
+        key=lambda t: (t[0], t[1] is None, t[1] or 0),
+    )
+    assert got == [(-5, None), (1, 30), (1, None), (2, 30)]
+
+
+def test_bind_groupby_key(tiny_store, tiny_dict):
+    # GROUP BY a computed key: ?g = ?o - ?s
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?g (COUNT(?s) AS ?n) WHERE { ?s :p10 ?o . "
+        "BIND(?o - ?s AS ?g) } GROUP BY ?g",
+        tiny_dict,
+    )
+    assert sorted((r.g, r.n) for r in df.collect()) == [(0, 2), (1, 1), (6, 1)]
+
+
+def test_bind_group_concat_match_oracle(spark, sf_dir):
+    """BIND + GROUP_CONCAT + COUNT over the derived graph vs DuckDB: the
+    deterministic sort-before-join makes GROUP_CONCAT engine-portable
+    (string_agg ... ORDER BY is the exact twin)."""
+    from rdfproject_msc_spark import registry as R
+    from rdfproject_msc_spark.sources.derived import TRIPLES_SQL
+    from tests.oracle import assert_matches_oracle
+
+    df = sparql_to_df(
+        R._store(spark, sf_dir),
+        "SELECT ?c (COUNT(?e) AS ?n) "
+        '(GROUP_CONCAT(?e; SEPARATOR=",") AS ?events) '
+        "WHERE { ?e :byUser ?c . BIND(?c * 10 AS ?k) FILTER(?k < 800) } "
+        "GROUP BY ?c",
+        R._dict(spark, sf_dir),
+    )
+    sql = f"""WITH triples AS ({TRIPLES_SQL})
+    SELECT o AS c, count(s) AS n,
+           string_agg(CAST(s AS VARCHAR), ',' ORDER BY s) AS events
+    FROM triples WHERE p = 48 AND o * 10 < 800
+    GROUP BY o
+    """
+    assert_matches_oracle(df, sql, sf_dir)

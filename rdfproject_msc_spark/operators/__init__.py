@@ -7,6 +7,7 @@ is unavoidable):
 - ``dedup``      exact / MinHash-LSH / SimHash / n-gram Jaccard near-dup
 - ``similarity`` cosine top-k, hyperplane-LSH ANN, cosine near-dup pairs
 - ``textstats``  quality scores, language ID, fingerprints, token counts
+- ``decontam``   benchmark decontamination via word-n-gram overlap
 - ``multimodal`` binary payload + typed metadata; mapInPandas decode stages
 - ``asof``       temporal as-of join (one-shuffle union+window)
 - ``skew``       salted joins for hot keys

@@ -1,0 +1,97 @@
+"""Benchmark decontamination: flag training documents whose word n-grams
+overlap an evaluation/benchmark set.
+
+The standard large-corpus hygiene step (n-gram-overlap decontamination, as
+popularized by the GPT-3/PaLM data cards): any training document sharing too
+many distinct word n-grams with a held-out benchmark is flagged so eval
+numbers are not inflated by memorized test data.
+
+100 TB design:
+- The benchmark side is an EVAL SET — megabytes, bounded by construction —
+  so its distinct n-gram set is broadcast; the corpus side is never
+  shuffled by n-gram. The whole operator is one broadcast hash join plus
+  ONE aggregation shuffle keyed by doc id.
+- N-grams are derived per-row with built-in array functions (split /
+  transform / slice / array_distinct) — JVM-side, whole-stage-codegen'd,
+  no Python anywhere.
+- Per-row ``array_distinct`` happens BEFORE the explode, so the exploded
+  relation is already unique per (doc, n-gram) and needs no pre-join
+  de-duplication shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """Distinct word n-grams of a text column, as an array<string>.
+
+    Normalization: lowercase, non-alphanumeric runs collapse to one space.
+    Tokens shorter than n yield an empty array (guarded — Spark's
+    ``sequence(1, m)`` would count DOWN for m < 1, not return empty).
+    """
+    toks = F.filter(
+        F.split(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "), " "),
+        lambda t: t != "",
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 5,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document benchmark-overlap report.
+
+    Returns ``(id_col, n_ngrams, n_matched, overlap_frac, contaminated)``:
+    distinct n-grams in the document, how many also occur anywhere in the
+    benchmark, their ratio, and the ``overlap_frac >= threshold`` flag
+    (documents with no n-grams are never contaminated).
+    """
+    bench_ng = (
+        benchmark.select(
+            F.explode(word_ngrams(F.col(text_col), n)).alias("ng")
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    exploded = docs.select(
+        F.col(id_col),
+        F.explode_outer(word_ngrams(F.col(text_col), n)).alias("ng"),
+    )
+    counted = (
+        exploded.join(F.broadcast(bench_ng), "ng", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("ng").alias("n_ngrams"),
+            F.count("__hit").alias("n_matched"),
+        )
+    )
+    frac = F.col("n_matched").cast("double") / F.greatest(
+        F.col("n_ngrams"), F.lit(1)
+    ).cast("double")
+    return counted.select(
+        F.col(id_col),
+        "n_ngrams",
+        "n_matched",
+        frac.alias("overlap_frac"),
+        (
+            (F.col("n_ngrams") > 0)
+            & (frac >= F.lit(float(threshold)))
+        ).alias("contaminated"),
+    )

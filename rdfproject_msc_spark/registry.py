@@ -555,6 +555,11 @@ GROUP BY o HAVING count(s) < 56 ORDER BY n_events DESC, c LIMIT 10
 
 
 def sparql_star(spark, sf_dir):
+    """Star-shaped BGP (two patterns sharing the SUBJECT variable). Demoted
+    from the 50-entry driver window in round 4 (slot → text_decontaminate):
+    the shared-variable join machinery is identically exercised by the
+    chain-shaped sparql_2hop (which keeps its driver row); the star shape
+    stays oracle-pinned in tests/test_demoted.py."""
     store = _store(spark, sf_dir, layout="sign_split")
     return sparql_to_df(store, SPARQL_STAR, _dict(spark, sf_dir))
 
@@ -1477,6 +1482,66 @@ GROUP BY comp
 """
 
 
+def text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (n-gram-overlap hygiene, the GPT-3/PaLM
+    data-card step): documents whose distinct word 5-grams overlap a
+    benchmark set ≥50% are flagged. The benchmark is the deterministic
+    doc_id % 41 == 3 slice (a residue chosen so known near-duplicate pairs
+    straddle the split at sf0.01 — the flag is load-bearing, not
+    vacuously false); the corpus is the rest, so near-duplicates of
+    benchmark docs (the synthetic corpus contains them) light up while
+    ordinary shared phrasing stays under threshold. Scale shape: the
+    benchmark n-gram set is broadcast (an eval set is megabytes by
+    construction), n-grams derive per-row from built-in array functions,
+    per-row array_distinct precedes the explode, and the only shuffle is
+    the final doc-id aggregation."""
+    from rdfproject_msc_spark.operators import decontam
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decontam.ngram_contamination(
+        docs.filter(F.col("doc_id") % 41 != 3),
+        docs.filter(F.col("doc_id") % 41 == 3),
+        n=5,
+        threshold=0.5,
+    )
+
+
+TEXT_DECONTAMINATE_SQL = """
+WITH tok AS (
+    SELECT doc_id,
+           list_filter(string_split(regexp_replace(lower(text),
+                       '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS toks
+    FROM documents
+),
+ng AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 5
+                THEN list_distinct(list_transform(range(1, len(toks) - 3),
+                                   i -> array_to_string(toks[i:i+4], ' ')))
+                ELSE [] END AS ngs
+    FROM tok
+),
+bench AS (SELECT DISTINCT unnest(ngs) AS ng FROM ng WHERE doc_id % 41 = 3),
+corpus AS (SELECT doc_id, unnest(ngs) AS ng FROM ng WHERE doc_id % 41 <> 3),
+counted AS (
+    SELECT c.doc_id, count(c.ng) AS n_ngrams, count(b.ng) AS n_matched
+    FROM corpus c LEFT JOIN bench b ON c.ng = b.ng
+    GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       coalesce(n_ngrams, 0) AS n_ngrams,
+       coalesce(n_matched, 0) AS n_matched,
+       CAST(coalesce(n_matched, 0) AS DOUBLE)
+         / CAST(greatest(coalesce(n_ngrams, 0), 1) AS DOUBLE) AS overlap_frac,
+       coalesce(n_ngrams, 0) > 0
+         AND CAST(coalesce(n_matched, 0) AS DOUBLE)
+               / CAST(greatest(coalesce(n_ngrams, 0), 1) AS DOUBLE) >= 0.5
+         AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 41 <> 3) d
+LEFT JOIN counted USING (doc_id)
+"""
+
+
 def text_stats(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return textstats.with_text_stats(docs).select(
@@ -1961,7 +2026,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "rdf_text_lifecycle": QuerySpec(rdf_text_lifecycle, RDF_DECODE_2HOP_SQL),
     "rdf_sign_union": QuerySpec(rdf_sign_union, RDF_SIGN_UNION_SQL),
     "sparql_2hop": QuerySpec(sparql_2hop, SPARQL_2HOP_SQL, headline=True),
-    "sparql_star": QuerySpec(sparql_star, SPARQL_STAR_SQL),
+    "text_decontaminate": QuerySpec(text_decontaminate, TEXT_DECONTAMINATE_SQL),
     "sparql_groupby": QuerySpec(sparql_groupby, SPARQL_GROUPBY_SQL),
     "sparql_filter": QuerySpec(sparql_filter, SPARQL_FILTER_SQL),
 }

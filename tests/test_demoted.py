@@ -103,3 +103,11 @@ def test_rdf_split_join_count(spark, sf_dir):
         R.RDF_SPLIT_JOIN_COUNT_SQL,
         sf_dir,
     )
+
+
+def test_sparql_star(spark, sf_dir):
+    """Demoted r4 (slot → text_decontaminate): star-shaped BGP — two
+    patterns joined on the shared subject variable."""
+    assert_matches_oracle(
+        R.sparql_star(spark, sf_dir), R.SPARQL_STAR_SQL, sf_dir
+    )

@@ -25,8 +25,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def word_ngrams(col: Column, n: int) -> Column:
-    """Distinct word n-grams of a text column, as an array<string>.
+def word_ngrams(col: Column, n: int, *, distinct: bool = True) -> Column:
+    """Word n-grams of a text column, as an array<string> (distinct by
+    default; ``distinct=False`` keeps every occurrence, which repetition
+    metrics need for frequency counting).
 
     Normalization: lowercase, non-alphanumeric runs collapse to one space.
     Tokens shorter than n yield an empty array (guarded — Spark's
@@ -40,11 +42,10 @@ def word_ngrams(col: Column, n: int) -> Column:
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.array_join(F.slice(toks, i, n), " "),
     )
-    return F.array_distinct(
-        F.when(F.size(toks) >= n, grams).otherwise(
-            F.array().cast("array<string>")
-        )
+    out = F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
     )
+    return F.array_distinct(out) if distinct else out
 
 
 def ngram_contamination(

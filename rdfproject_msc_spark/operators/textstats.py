@@ -200,3 +200,71 @@ def fingerprint(df: DataFrame, content_col: str = "text") -> DataFrame:
     return df.withColumn("fp_xxhash", F.xxhash64(c)).withColumn(
         "fp_rolling", rolling
     )
+
+
+def max_run_length(arr: Column) -> Column:
+    """Length of the longest run of equal values after sorting = the count
+    of the most frequent element — computed per row with the aggregate
+    higher-order function (JVM-side, zero shuffle; the distributed-plan
+    alternative, explode + two keyed aggregations, shuffles the whole
+    n-gram relation twice for a per-document statistic)."""
+    return F.aggregate(
+        F.array_sort(arr),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.getField("prev"), acc.getField("run") + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc.getField("best"),
+                F.when(x == acc.getField("prev"), acc.getField("run") + 1)
+                .otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.getField("best"),
+    )
+
+
+def with_repetition_stats(
+    df: DataFrame,
+    content_col: str = "text",
+    *,
+    top_bigram_threshold: float = 0.18,
+    dup_trigram_threshold: float = 0.30,
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1, adapted to
+    token counts): ``top_bigram_frac`` — the share of all word 2-grams taken
+    by the single most frequent one — and ``dup_trigram_frac`` — the share
+    of word 3-gram occurrences that are repeats — plus the ``repetitive``
+    flag at the (tunable) Gopher-like thresholds. Degenerate documents
+    (under 2/3 tokens) score 0.0 — too short to be repetitive.
+
+    Everything is per-row array arithmetic over built-in functions: no
+    Python, no shuffle, scales embarrassingly."""
+    from rdfproject_msc_spark.operators.decontam import word_ngrams
+
+    c = F.col(content_col)
+    g2 = word_ngrams(c, 2, distinct=False)
+    g3 = word_ngrams(c, 3, distinct=False)
+    top2 = max_run_length(g2).cast("double") / F.greatest(
+        F.size(g2), F.lit(1)
+    ).cast("double")
+    top2 = F.when(F.size(g2) > 0, top2).otherwise(F.lit(0.0))
+    dup3 = F.lit(1.0) - F.size(F.array_distinct(g3)).cast(
+        "double"
+    ) / F.greatest(F.size(g3), F.lit(1)).cast("double")
+    dup3 = F.when(F.size(g3) > 0, dup3).otherwise(F.lit(0.0))
+    return (
+        df.withColumn("top_bigram_frac", top2)
+        .withColumn("dup_trigram_frac", dup3)
+        .withColumn(
+            "repetitive",
+            (F.col("top_bigram_frac") > F.lit(float(top_bigram_threshold)))
+            | (F.col("dup_trigram_frac") > F.lit(float(dup_trigram_threshold))),
+        )
+    )

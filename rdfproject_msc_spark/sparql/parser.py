@@ -21,10 +21,12 @@ COUNT/SUM/AVG/MIN/MAX/SAMPLE/GROUP_CONCAT aggregates (§11; SAMPLE picks
 the deterministic minimum, GROUP_CONCAT sorts values before joining —
 both choices the spec leaves open, pinned for reproducibility),
 sequence / alternation / inverse
-/ one-or-more-closure property paths (§9.1 — sequences chain joins
+/ closure-family property paths (§9.1 — sequences chain joins
 through hidden fresh variables, alternation lowers to a UNION block,
 inverse swaps the subject/object sides, `p+` lowers to DISTINCT
-reachability pairs via operators.graph.transitive_closure), all four
+reachability pairs via operators.graph.transitive_closure, `p*` adds
+the §18.4 zero-length pairs — every graph term relates to itself —
+and `p?` is the zero-length pairs plus a single hop), all four
 query forms — SELECT, ASK (§16.3), CONSTRUCT (§16.2), DESCRIBE (§16.4)
 — and PREFIX expansion (the reference's Jena front-end resolved prefixes
 before normalization, MyOpVisitorBase.java:49,74-78). Negated property sets `!(:p1|:p2)` compile to a NOT-IN scan predicate.
@@ -39,9 +41,9 @@ attaches the variable's dictionary term via a join and compiles the
 match as a column predicate — Catalyst pushes the string match to the
 (far smaller) dictionary side, the textbook evaluation strategy for
 string predicates over dictionary-encoded data.
-Out of scope, rejected explicitly: zero-length path operators (`*` `?`
-— their zero-hop case binds every graph term, a semantics judged not
-worth guessing), inverse/sequence members inside negated sets, nested
+Out of scope, rejected explicitly: closure/zero-length operators nested
+inside sequence or alternation paths (`p1/p2*`),
+inverse/sequence members inside negated sets, nested
 groups, non-disjoint VALUES rows (UNDEF wildcards are supported when
 rows are pairwise disjoint — the exact condition under which the
 OR-filter compilation equals the multiset join), string functions
@@ -254,11 +256,13 @@ class BGPQuery:
     # HAVING constraints (§11.5): FILTER expression ASTs evaluated over the
     # grouped OUTPUT columns (group keys and aggregate aliases)
     having: tuple = ()
-    # one-or-more closure paths `?s :p+ ?o` (§9.1 OneOrMorePath): slots
-    # (s, pred, o) — the planner expands to DISTINCT reachability pairs
-    # via semi-naive iteration (arbitrary-length paths are duplicate-free
-    # per the §18.4 ALP algorithm, unlike the multiset BGP algebra)
-    closures: tuple[tuple[tuple, tuple, tuple], ...] = ()
+    # closure-family paths `?s :p+ / :p* / :p? ?o` (§9.1): slots
+    # (s, pred, o, mode) with mode in '+', '*', '?' — the planner expands
+    # to DISTINCT pairs (reachability via semi-naive iteration for +/*;
+    # zero-length pairs per §18.4's ZeroLengthPath for */?; a single hop
+    # for ?). Arbitrary-length paths are duplicate-free per the §18.4 ALP
+    # algorithm, unlike the multiset BGP algebra.
+    closures: tuple[tuple[tuple, tuple, tuple, str], ...] = ()
     # CONSTRUCT template (§16.2): plain triples instantiated per solution;
     # the plan unions the instantiations and de-duplicates (the result is
     # a GRAPH — a set of (s, p, o) id triples)
@@ -679,10 +683,16 @@ def _expand_path(
     return alternatives
 
 
-# one-or-more closure path `p+` (optionally parenthesized): a single plain
-# predicate, no other operators — `p*`/`p?` (zero-length semantics) stay
-# rejected in _expand_path
-_CLOSURE = re.compile(r"^\(?([^/|^*+!?()\s]+)\+\)?$")
+# closure-family path `p+` / `p*` / `p?` (optionally parenthesized): a
+# single plain constant predicate with one trailing operator. The mode
+# char is kept: + = one-or-more (reachability), * = zero-or-more
+# (reachability ∪ zero-length), ? = zero-or-one (single hop ∪ zero-length).
+# Zero-length semantics follow §18.4's ZeroLengthPath: with both endpoints
+# variable it binds every term OF THE GRAPH (distinct subjects ∪ objects)
+# to itself; a constant endpoint matches itself regardless of membership.
+# Operators nested inside sequences/alternations stay rejected in
+# _expand_path (their evaluation would need per-segment closure plumbing).
+_CLOSURE = re.compile(r"^\(?([^/|^*+!?()\s]+)([*+?])\)?$")
 
 
 def _parse_patterns(
@@ -749,8 +759,9 @@ def _parse_patterns(
         if cm:
             if closures is None:
                 raise SparqlSyntaxError(
-                    "closure paths (p+) are only supported in the required "
-                    "pattern group (not inside OPTIONAL/MINUS/EXISTS/UNION)"
+                    "closure paths (p+ / p* / p?) are only supported in the "
+                    "required pattern group (not inside "
+                    "OPTIONAL/MINUS/EXISTS/UNION)"
                 )
             pred = _normalize_term(cm.group(1), prefixes)
             if pred[0] == "var":
@@ -760,6 +771,7 @@ def _parse_patterns(
                     _normalize_term(cur[0], prefixes),
                     pred,
                     _normalize_term(cur[2], prefixes),
+                    cm.group(2),
                 )
             )
             cur.clear()
@@ -1029,7 +1041,7 @@ def parse_sparql(query: str) -> BGPQuery:
 
     path_counter = itertools.count()  # fresh-var source shared query-wide
     path_alt_blocks: list[tuple[tuple[TriplePattern, ...], ...]] = []
-    closures: list[tuple[tuple, tuple, tuple]] = []
+    closures: list[tuple[tuple, tuple, tuple, str]] = []
     patterns = _parse_patterns(
         bgp_src, prefixes, path_counter, path_alt_blocks, closures
     )
@@ -1075,7 +1087,7 @@ def parse_sparql(query: str) -> BGPQuery:
         | {v for blk in unions for arm in blk for tp in arm for v in tp.variables()}
         | {
             val
-            for s, _, o in closures
+            for s, _, o, _ in closures
             for kind, val in (s, o)
             if kind == "var"
         }

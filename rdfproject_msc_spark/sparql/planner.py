@@ -152,7 +152,7 @@ def _encode_constants(bgp: BGPQuery, dictionary: Dictionary | None) -> dict[str,
         | {
             val
             for closure in bgp.closures
-            for kind, val in closure
+            for kind, val in closure[:3]
             if kind == "term"
         }
         | {
@@ -320,12 +320,18 @@ def plan_bgp(
         joined, bound_cols, order = None, {}, []
     idx_offset = len(bgp.patterns)
 
-    # closure paths `p+` (§9.1 OneOrMorePath): DISTINCT reachability pairs
-    # via operators.graph.transitive_closure, joined into the BGP like a
-    # required pattern (closure-bound variables are never null). A constant
-    # endpoint becomes a seeded BFS — bounded neighborhood, not the full
-    # closure.
-    for ci, (s_slot, p_slot, o_slot) in enumerate(bgp.closures):
+    # closure-family paths (§9.1): DISTINCT pairs joined into the BGP like
+    # a required pattern (closure-bound variables are never null).
+    #   p+  reachability via operators.graph.transitive_closure (a constant
+    #       endpoint becomes a seeded BFS — bounded neighborhood, never the
+    #       full closure);
+    #   p*  reachability ∪ the §18.4 zero-length pairs;
+    #   p?  one filtered edge scan ∪ the zero-length pairs.
+    # Zero-length pairs (§18.4 ZeroLengthPath): var-var form binds every
+    # term of the GRAPH (distinct subjects ∪ objects — one aggregation over
+    # the two columns, no join) to itself; a constant endpoint matches
+    # itself regardless of graph membership (one literal row, no scan).
+    for ci, (s_slot, p_slot, o_slot, mode) in enumerate(bgp.closures):
         def _res(slot):
             kind, val = slot
             if kind == "id":
@@ -336,9 +342,45 @@ def plan_bgp(
 
         pid, s_id, o_id = _res(p_slot), _res(s_slot), _res(o_slot)
         edges = store.table_for_subject(None).filter(F.col("p") == F.lit(pid))
-        pairs = transitive_closure(
-            edges, src="s", dst="o", src_id=s_id, dst_id=o_id
-        )
+        if mode == "+":
+            pairs = transitive_closure(
+                edges, src="s", dst="o", src_id=s_id, dst_id=o_id
+            )
+        else:
+            spark = edges.sparkSession
+            if s_id is None and o_id is None:
+                g = store.table_for_subject(None)
+                nodes = (
+                    g.select(F.col("s").alias("cs"))
+                    .union(g.select(F.col("o").alias("cs")))
+                    .distinct()
+                )
+                zero = nodes.select("cs", F.col("cs").alias("co"))
+            else:
+                seeds = {i for i in (s_id, o_id) if i is not None}
+                zero = spark.createDataFrame(
+                    [(i, i) for i in seeds] if len(seeds) == 1 else [],
+                    "cs long, co long",
+                )
+            if mode == "*":
+                step = transitive_closure(
+                    edges, src="s", dst="o", src_id=s_id, dst_id=o_id
+                )
+            else:  # "?": a single filtered edge scan
+                step = edges.select(
+                    F.col("s").alias("cs"), F.col("o").alias("co")
+                )
+                if s_id is not None:
+                    step = step.filter(F.col("cs") == F.lit(s_id))
+                if o_id is not None:
+                    step = step.filter(F.col("co") == F.lit(o_id))
+            pairs = zero.unionByName(step).distinct()
+            # re-apply endpoint constants: the zero-length row for an
+            # s=o-constrained pair survives only when both constants agree
+            if s_id is not None:
+                pairs = pairs.filter(F.col("cs") == F.lit(s_id))
+            if o_id is not None:
+                pairs = pairs.filter(F.col("co") == F.lit(o_id))
         var_cols: dict[str, str] = {}
         keep = []
         if s_slot[0] == "var" and o_slot[0] == "var" and s_slot[1] == o_slot[1]:

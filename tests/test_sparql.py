@@ -842,7 +842,9 @@ def test_parse_sequence_path_expands_to_join_chain():
 
 
 def test_parse_rejects_closure_path_operators():
-    for bad in (":p1*", ":p1/:p2*", ":p1?", "(:p1|:p2)+", "((:p1))"):
+    # closure/zero-length operators nested INSIDE sequences or alternations
+    # stay rejected; standalone p+ / p* / p? are supported
+    for bad in (":p1/:p2*", "(:p1|:p2)+", ":p1*/:p2", "((:p1))"):
         with pytest.raises(SparqlSyntaxError):
             parse_sparql(f"SELECT ?a WHERE {{ ?a {bad} ?c }}")
     # malformed arms/segments
@@ -1048,7 +1050,7 @@ def test_closure_path_cycle_join_and_ask(tiny_store, tiny_dict):
 
 
 def test_closure_path_rejections():
-    for bad in (":p*", ":p?", ":p1/:p2+", ":p1+|:p2"):
+    for bad in (":p1/:p2+", ":p1+|:p2"):
         with pytest.raises(SparqlSyntaxError):
             parse_sparql(f"SELECT ?a WHERE {{ ?a {bad} ?b }}")
     with pytest.raises(SparqlSyntaxError, match="closure"):
@@ -1367,3 +1369,55 @@ def test_bind_group_concat_match_oracle(spark, sf_dir):
     GROUP BY o
     """
     assert_matches_oracle(df, sql, sf_dir)
+
+
+def test_zero_or_more_path(tiny_store, tiny_dict):
+    """p* = §18.4 zero-length pairs (every graph term to itself) ∪ the p+
+    reachability. Graph nodes here: {1, 2, 3, -5} (subjects ∪ objects)."""
+    df = sparql_to_df(
+        tiny_store, "SELECT ?a ?b WHERE { ?a :p10* ?b }", tiny_dict
+    )
+    got = sorted((r.a, r.b) for r in df.collect())
+    # p10 edges: 1→1, 1→2, 2→2, -5→1 ⇒ p+ pairs {(1,1),(1,2),(2,2),(-5,1),
+    # (-5,2)}; identity adds (3,3) and (-5,-5)
+    assert got == [
+        (-5, -5), (-5, 1), (-5, 2),
+        (1, 1), (1, 2), (2, 2), (3, 3),
+    ]
+
+
+def test_zero_or_more_seeded_includes_seed(tiny_store, tiny_dict):
+    df = sparql_to_df(
+        tiny_store, "SELECT ?b WHERE { -5 :p10* ?b }", tiny_dict
+    )
+    assert sorted(r.b for r in df.collect()) == [-5, 1, 2]
+    # a constant outside the graph still matches itself (§18.4: the
+    # zero-length case has no membership requirement for constants)
+    ask = sparql_to_df(
+        tiny_store, "ASK { 99 :p10* 99 }", tiny_dict
+    ).collect()
+    assert ask[0].ask is True
+    ask2 = sparql_to_df(
+        tiny_store, "ASK { 99 :p10* 1 }", tiny_dict
+    ).collect()
+    assert ask2[0].ask is False
+
+
+def test_zero_or_one_path(tiny_store, tiny_dict):
+    df = sparql_to_df(
+        tiny_store, "SELECT ?a ?b WHERE { ?a :p20? ?b }", tiny_dict
+    )
+    got = sorted((r.a, r.b) for r in df.collect())
+    # p20 edge: 2→3; identity over nodes {1, 2, 3, -5}
+    assert got == [(-5, -5), (1, 1), (2, 2), (2, 3), (3, 3)]
+
+
+def test_zero_or_more_joins_with_pattern(tiny_store, tiny_dict):
+    # ?a reaches ?b in ≥0 p10-steps and ?b has a p20 edge: ?b=2 →
+    # reachable-from {1 (via edge), 2 (zero-length), -5 (2 hops)}
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?a ?c WHERE { ?a :p10* ?b . ?b :p20 ?c }",
+        tiny_dict,
+    )
+    assert sorted((r.a, r.c) for r in df.collect()) == [(-5, 3), (1, 3), (2, 3)]

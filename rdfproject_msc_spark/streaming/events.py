@@ -260,9 +260,15 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     gap_us = gap_minutes * 60 * 1_000_000
-    src = events.select(
-        "user_id", F.unix_micros(F.col("ts")).alias("ts_us")
+    # prefer the exact integer ts_ns (present on every load_table /
+    # EVENT_SCHEMA events relation, either timestamp vintage); unix_micros
+    # only types against TIMESTAMP_LTZ
+    micros = (
+        F.expr("ts_ns DIV 1000")
+        if "ts_ns" in events.columns
+        else F.unix_micros(F.col("ts"))
     )
+    src = events.select("user_id", micros.alias("ts_us"))
     return src.groupBy("user_id").applyInPandasWithState(
         partial(_update_sessions, gap_us=gap_us),
         outputStructType=SESSION_OUTPUT_SCHEMA,

@@ -121,7 +121,7 @@ def test_sessionize_stream_matches_batch_twin(
     }
 
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.unix_micros("ts").alias("t")
+        "user_id", F.expr("ts_ns DIV 1000").alias("t")
     )
     w = Window.partitionBy("user_id").orderBy("t")
     gap = 30 * 60 * 1_000_000

@@ -23,14 +23,20 @@ def test_load_events_on_bare_session(spark, sf_dir):
         pass
     df = load_table(bare, sf_dir, "events")
     dtypes = dict(df.dtypes)
-    assert dtypes["ts"] == "timestamp"
+    # nanos vintage reads back as timestamp; micros vintage as timestamp_ntz
+    assert dtypes["ts"] in ("timestamp", "timestamp_ntz")
     assert dtypes["ts_ns"] == "bigint"
     n = df.count()
     assert n > 0
     # ts round-trips: micros floor of the preserved nanos value
-    bad = df.filter(
-        F.unix_micros("ts") != F.expr("ts_ns DIV 1000")
-    ).count()
+    micros = (
+        F.unix_micros("ts")
+        if dtypes["ts"] == "timestamp"
+        else F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+        )
+    )
+    bad = df.filter(micros != F.expr("ts_ns DIV 1000")).count()
     assert bad == 0
 
 

@@ -8,6 +8,7 @@ is unavoidable):
 - ``similarity`` cosine top-k, hyperplane-LSH ANN, cosine near-dup pairs
 - ``textstats``  quality scores, language ID, fingerprints, token counts
 - ``decontam``   benchmark decontamination via word-n-gram overlap
+- ``lmscore``    unigram LM quality scoring (per-doc surprisal)
 - ``multimodal`` binary payload + typed metadata; mapInPandas decode stages
 - ``asof``       temporal as-of join (one-shuffle union+window)
 - ``skew``       salted joins for hot keys

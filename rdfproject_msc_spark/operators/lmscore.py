@@ -1,0 +1,102 @@
+"""Unigram language-model quality scoring (the CCNet-style LM-filter proxy).
+
+Production corpus pipelines score documents with a small LM and drop the
+high-perplexity tail; the distributable proxy is a corpus UNIGRAM model —
+token frequencies → per-document mean surprisal (bits/token). Documents
+far from the corpus distribution (boilerplate, non-language noise,
+wrong-language text) score high and are filtered or down-weighted.
+
+100 TB design:
+- Building the vocabulary is ONE token-keyed aggregation (map-side partial
+  combine collapses each partition to its distinct tokens first) followed
+  by a bounded top-V (TakeOrdered — never a global sort materialization).
+- Scoring broadcasts the vocabulary (V is a model parameter, bounded by
+  construction) and shuffles the corpus ONCE, keyed by doc id, for the
+  per-document average. Tokenization and the log-prob lookup are
+  whole-stage-codegen'd column expressions; no Python anywhere.
+- OOV tokens get a fixed penalty surprisal rather than a smoothing
+  distribution — deterministic, engine-portable, and the standard cheap
+  choice for a filtering (not generative) model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _norm_tokens(col: Column) -> Column:
+    """Lowercased alphanumeric word tokens (same normalization as the
+    decontamination operator, so corpus statistics agree across ops)."""
+    return F.filter(
+        F.split(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "), " "),
+        lambda t: t != "",
+    )
+
+
+def unigram_vocab(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    vocab_size: int = 50_000,
+) -> DataFrame:
+    """Corpus unigram model: the top ``vocab_size`` tokens by frequency,
+    with ``surprisal`` = -log2(count / total) bits. The (count DESC, token
+    ASC) order makes the vocabulary cut deterministic; ``total`` counts ALL
+    token occurrences (not just in-vocab ones), so probabilities are true
+    corpus frequencies and the OOV mass is simply unmodeled."""
+    tok = docs.select(
+        F.explode(_norm_tokens(F.col(text_col))).alias("token")
+    )
+    counts = tok.groupBy("token").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("t"))
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(vocab_size)
+    return top.crossJoin(F.broadcast(total)).select(
+        "token",
+        "n",
+        (-F.log2(F.col("n").cast("double") / F.col("t").cast("double"))).alias(
+            "surprisal"
+        ),
+    )
+
+
+def doc_lm_score(
+    docs: DataFrame,
+    vocab: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    oov_surprisal: float = 24.0,
+) -> DataFrame:
+    """Per-document mean unigram surprisal: ``(id_col, n_tokens,
+    bits_per_token)``. OOV tokens cost a flat ``oov_surprisal`` bits;
+    empty documents score the OOV penalty (nothing in-distribution about
+    an empty document)."""
+    exploded = docs.select(
+        F.col(id_col),
+        F.explode_outer(_norm_tokens(F.col(text_col))).alias("token"),
+    )
+    scored = exploded.join(
+        F.broadcast(vocab.select("token", "surprisal")), "token", "left"
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("token").alias("n_tokens"),
+        F.sum(
+            F.when(
+                F.col("token").isNotNull(),
+                F.coalesce(
+                    F.col("surprisal"), F.lit(float(oov_surprisal))
+                ),
+            )
+        ).alias("__bits"),
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_tokens",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("__bits") / F.col("n_tokens").cast("double"),
+        )
+        .otherwise(F.lit(float(oov_surprisal)))
+        .alias("bits_per_token"),
+    )

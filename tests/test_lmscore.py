@@ -1,0 +1,117 @@
+"""Unigram LM quality scoring: hand-computed cases, vocabulary-cut
+determinism, the broadcast/one-shuffle plan pin, and the DuckDB oracle twin
+over the real documents table (registry window full — the cross-engine
+oracle lives here, like test_repetition)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from rdfproject_msc_spark.operators.lmscore import (
+    doc_lm_score,
+    unigram_vocab,
+)
+from rdfproject_msc_spark.sources.tables import load_table
+from tests.oracle import duck_connect
+
+
+def test_vocab_counts_and_surprisal(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    rows = {r.token: (r.n, r.surprisal) for r in unigram_vocab(docs).collect()}
+    # counts: a=4, b=2, c=1 of 7 total
+    assert {t: n for t, (n, _) in rows.items()} == {"a": 4, "b": 2, "c": 1}
+    assert abs(rows["a"][1] - (-math.log2(4 / 7))) < 1e-12
+    assert abs(rows["c"][1] - (-math.log2(1 / 7))) < 1e-12
+
+
+def test_vocab_cut_is_deterministic(spark):
+    # ties broken by token asc: with size=2 of {b:1, a:1, c:2} keep c, a
+    docs = spark.createDataFrame([(1, "c c b a")], "doc_id long, text string")
+    got = sorted(
+        r.token for r in unigram_vocab(docs, vocab_size=2).collect()
+    )
+    assert got == ["a", "c"]
+
+
+def test_doc_scores_and_oov(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    vocab = unigram_vocab(docs, vocab_size=2)  # keeps a, b; c is OOV
+    got = {
+        r.doc_id: (r.n_tokens, r.bits_per_token)
+        for r in doc_lm_score(docs, vocab, oov_surprisal=24.0).collect()
+    }
+    sa, sb = -math.log2(4 / 7), -math.log2(2 / 7)
+    assert got[1][0] == 4
+    assert abs(got[1][1] - (3 * sa + sb) / 4) < 1e-12
+    assert got[2][0] == 3
+    assert abs(got[2][1] - (sa + sb + 24.0) / 3) < 1e-12
+    # empty document → flat OOV penalty, not NULL
+    empty = spark.createDataFrame([(9, "")], "doc_id long, text string")
+    r = doc_lm_score(empty, vocab, oov_surprisal=24.0).collect()[0]
+    assert (r.n_tokens, r.bits_per_token) == (0, 24.0)
+
+
+def test_scoring_plan_broadcasts_vocab(spark):
+    docs = spark.createDataFrame(
+        [(i, "w a b c") for i in range(20)], "doc_id long, text string"
+    )
+    vocab = unigram_vocab(docs, vocab_size=3)
+    plan = (
+        doc_lm_score(docs, vocab)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the corpus shuffles once, keyed by doc id
+    assert (
+        sum(
+            "Exchange hashpartitioning(doc_id" in ln
+            for ln in plan.splitlines()
+        )
+        == 1
+    )
+
+
+def test_lm_score_matches_oracle(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = unigram_vocab(docs, vocab_size=500)
+    got = {
+        r.doc_id: (r.n_tokens, r.bits_per_token)
+        for r in doc_lm_score(docs, vocab).collect()
+    }
+    con = duck_connect(sf_dir)
+    rows = con.execute(
+        """
+WITH tok AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split(regexp_replace(lower(text),
+                  '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '')) AS token
+    FROM documents
+),
+counts AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+total AS (SELECT sum(n) AS t FROM counts),
+vocab AS (SELECT token, -log2(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)) AS s
+          FROM counts, total ORDER BY n DESC, token LIMIT 500),
+scored AS (SELECT k.doc_id, coalesce(v.s, 24.0) AS s
+           FROM tok k LEFT JOIN vocab v USING (token)),
+agg AS (SELECT doc_id, count(*) AS cnt, sum(s) AS bits
+        FROM scored GROUP BY doc_id)
+SELECT d.doc_id, coalesce(cnt, 0) AS n_tokens,
+       CASE WHEN coalesce(cnt, 0) > 0 THEN bits / cnt ELSE 24.0 END AS bpt
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN agg USING (doc_id)
+"""
+    ).fetchall()
+    assert len(rows) == len(got)
+    for doc_id, n_tokens, bpt in rows:
+        sn, sb = got[doc_id]
+        assert sn == n_tokens, doc_id
+        assert abs(sb - bpt) < 1e-9, doc_id

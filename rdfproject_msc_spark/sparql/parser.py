@@ -47,8 +47,11 @@ inverse/sequence members inside negated sets, nested
 groups, non-disjoint VALUES rows (UNDEF wildcards are supported when
 rows are pairwise disjoint — the exact condition under which the
 OR-filter compilation equals the multiset join), string functions
-inside OPTIONAL-scoped FILTERs or HAVING, and other FILTER forms
-(casts, arithmetic-in-comparison) (SURVEY.md §7 risk list).
+inside HAVING (grouped output is numeric), and other FILTER forms
+(casts, arithmetic-in-comparison) (SURVEY.md §7 risk list). String
+functions ARE allowed in OPTIONAL-scoped FILTERs: the term column
+attaches to whichever join side binds the variable and the predicate
+rides in the LeftJoin condition.
 
 Term forms (normalization mirrors MyOpVisitorBase.java:74-78):
   ?x / $x          variable
@@ -1191,14 +1194,6 @@ def parse_sparql(query: str) -> BGPQuery:
         # order would silently change the result)
         grp_scope = set().union(*(tp.variables() for tp in grp)) | required_vars
         for expr in flts:
-            if filter_expr_strfn_vars(expr):
-                # the group filter folds into the LeftJoin condition — a
-                # dictionary term column is not available there; reject
-                # rather than silently evaluate over ids
-                raise SparqlSyntaxError(
-                    "string functions (REGEX/CONTAINS/STRSTARTS/STRENDS) "
-                    "are not supported in OPTIONAL-scoped FILTERs"
-                )
             for v in sorted(filter_expr_vars(expr)):
                 if v not in grp_scope:
                     raise SparqlSyntaxError(

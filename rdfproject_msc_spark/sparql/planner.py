@@ -520,20 +520,55 @@ def plan_bgp(
             gdf = gdf.withColumnRenamed(old, new)
         shared = [v for v in gcols if v in bound_cols]
         _reject_nullable_join_keys(shared, nullable_vars, "OPTIONAL")
+        # group-scoped FILTERs fold into the join condition — SPARQL's
+        # LeftJoin(P1, P2, F): a match failing F is kept null-extended, not
+        # dropped. The equi-conjuncts still drive a hash join; the filter
+        # rides along as the residual join predicate. String-function
+        # leaves attach the variable's dictionary term to whichever join
+        # SIDE binds the variable (group side or outer side) before the
+        # left join; a dangling term yields NULL → the condition errors →
+        # null-extension, SPARQL's error-in-F behavior.
+        gflts = bgp.optional_filters[gi] if bgp.optional_filters else ()
+        gstr_vars = sorted(
+            {v for expr in gflts for v in filter_expr_strfn_vars(expr)}
+        )
+        gterms: dict[str, str] = {}
+        if gstr_vars and dictionary is None:
+            raise SparqlSyntaxError(
+                "string-function FILTERs need a dictionary to resolve terms"
+            )
+        for v in gstr_vars:
+            tcol = f"__oterm{gi}_{v}"
+            d = (
+                dictionary._dict_side()
+                .withColumnRenamed("id", f"__osid{gi}_{v}")
+                .withColumnRenamed("term", tcol)
+            )
+            if v in gcols:  # group-bound: attach to the group side
+                gdf = gdf.join(
+                    d,
+                    F.col(renames[gcols[v]]) == F.col(f"__osid{gi}_{v}"),
+                    "left",
+                ).drop(f"__osid{gi}_{v}")
+            else:  # outer-bound: attach to the accumulated side
+                joined = joined.join(
+                    d,
+                    F.col(bound_cols[v]) == F.col(f"__osid{gi}_{v}"),
+                    "left",
+                ).drop(f"__osid{gi}_{v}")
+            gterms[v] = tcol
         cond = reduce(
             lambda a, b: a & b,
             [F.col(bound_cols[v]) == F.col(renames[gcols[v]]) for v in shared],
         )
-        # group-scoped FILTERs fold into the join condition — SPARQL's
-        # LeftJoin(P1, P2, F): a match failing F is kept null-extended, not
-        # dropped. The equi-conjuncts still drive a hash join; the filter
-        # rides along as the residual join predicate.
         gmap = dict(bound_cols)
         gmap.update({v: renames[c] for v, c in gcols.items()})
-        for expr in (bgp.optional_filters[gi] if bgp.optional_filters else ()):
-            cond = cond & _compile_filter(expr, gmap)
+        for expr in gflts:
+            cond = cond & _compile_filter(expr, gmap, gterms)
         joined = joined.join(gdf, cond, "left")
         joined = joined.drop(*[renames[gcols[v]] for v in shared])
+        if gterms:
+            joined = joined.drop(*gterms.values())
         for v in gorder:
             if v not in bound_cols:
                 bound_cols[v] = renames[gcols[v]]

@@ -256,13 +256,7 @@ def test_parse_rejects_bad_string_filters():
         parse_sparql(
             'SELECT ?x WHERE { ?x :p ?y . FILTER(CONTAINS(?y, "a", "i")) }'
         )
-    # string functions fold into the LeftJoin condition — rejected there
-    with pytest.raises(SparqlSyntaxError, match="OPTIONAL"):
-        parse_sparql(
-            "SELECT ?x ?z WHERE { ?x :p ?y . "
-            'OPTIONAL { ?y :q ?z . FILTER(CONTAINS(STR(?z), "a")) } }'
-        )
-    # ... and into grouped numeric output in HAVING
+    # string functions over grouped numeric output stay out in HAVING
     with pytest.raises(SparqlSyntaxError, match="HAVING"):
         parse_sparql(
             "SELECT ?x (COUNT(?y) AS ?n) WHERE { ?x :p ?y . } "
@@ -1421,3 +1415,31 @@ def test_zero_or_more_joins_with_pattern(tiny_store, tiny_dict):
         tiny_dict,
     )
     assert sorted((r.a, r.c) for r in df.collect()) == [(-5, 3), (1, 3), (2, 3)]
+
+
+def test_string_filter_in_optional_group(tiny_store, tiny_dict):
+    """§18.2.2.2: a string-function FILTER inside OPTIONAL rides in the
+    LeftJoin condition — failing matches null-extend, never drop."""
+    def rows(q):
+        return sorted(
+            ((r.s, r.o, r.z) for r in sparql_to_df(tiny_store, q, tiny_dict).collect()),
+            key=lambda t: (t[0], t[1], t[2] is None, t[2] or 0),
+        )
+
+    # group-bound variable: p20 edge 2→3 (:n3); a never-matching suffix
+    # keeps every row null-extended
+    assert rows(
+        "SELECT ?s ?o ?z WHERE { ?s :p10 ?o . "
+        'OPTIONAL { ?o :p20 ?z . FILTER(STRENDS(STR(?z), "9")) } }'
+    ) == [(-5, 1, None), (1, 1, None), (1, 2, None), (2, 2, None)]
+    # ... and the matching suffix extends exactly the ?o=2 rows
+    assert rows(
+        "SELECT ?s ?o ?z WHERE { ?s :p10 ?o . "
+        'OPTIONAL { ?o :p20 ?z . FILTER(STRENDS(STR(?z), "3")) } }'
+    ) == [(-5, 1, None), (1, 1, None), (1, 2, 3), (2, 2, 3)]
+    # outer-bound variable in the group filter: ?s=2 (term :n2) has a p20
+    # match but fails CONTAINS → stays null-extended, not dropped
+    assert rows(
+        "SELECT ?s ?o ?z WHERE { ?s :p10 ?o . "
+        'OPTIONAL { ?o :p20 ?z . FILTER(CONTAINS(STR(?s), "n1")) } }'
+    ) == [(-5, 1, None), (1, 1, None), (1, 2, 3), (2, 2, None)]

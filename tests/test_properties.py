@@ -419,3 +419,55 @@ def test_sparql_closure_matches_python_bfs(spark, rows, p1):
             seen |= frontier
         want |= {(start, n) for n in seen}
     assert got == sorted(want)
+
+
+_arith_leaf = st.one_of(
+    st.tuples(st.just("num"), st.integers(-5, 5)),
+    st.tuples(st.just("var"), st.sampled_from("ab")),
+)
+_arith_expr = st.recursive(
+    _arith_leaf,
+    lambda kids: st.tuples(st.sampled_from(["+", "-", "*"]), kids, kids),
+    max_leaves=6,
+)
+
+
+def _render_arith(e) -> str:
+    if e[0] == "num":
+        return str(e[1])
+    if e[0] == "var":
+        return f"?{e[1]}"
+    return f"({_render_arith(e[1])} {e[0]} {_render_arith(e[2])})"
+
+
+def _eval_arith(e, env) -> int:
+    if e[0] == "num":
+        return e[1]
+    if e[0] == "var":
+        return env[e[1]]
+    x, y = _eval_arith(e[1], env), _eval_arith(e[2], env)
+    return x + y if e[0] == "+" else x - y if e[0] == "-" else x * y
+
+
+@given(rows=triples_strategy, expr=_arith_expr)
+@settings(**SETTINGS)
+def test_sparql_bind_matches_python_eval(spark, rows, expr):
+    """Arbitrary parenthesized BIND arithmetic trees vs direct Python
+    integer evaluation (all variables bound → no NULL propagation paths)."""
+    from rdfproject_msc_spark.sparql.planner import sparql_to_df
+    from rdfproject_msc_spark.store import TripleStore
+
+    df = spark.createDataFrame(rows, "s long, p long, o long")
+    q = (
+        f"SELECT ?a ?b ?z WHERE {{ ?a 11 ?b . "
+        f"BIND({_render_arith(expr)} AS ?z) }}"
+    )
+    got = sorted(
+        (r.a, r.b, r.z) for r in sparql_to_df(TripleStore(df), q).collect()
+    )
+    want = sorted(
+        (s, o, _eval_arith(expr, {"a": s, "b": o}))
+        for s, p, o in rows
+        if p == 11
+    )
+    assert got == want

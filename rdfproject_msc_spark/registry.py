@@ -107,7 +107,13 @@ def _persisted_store(
 
 
 def _dict(spark: SparkSession, sf_dir: str) -> Dictionary:
-    return Dictionary(dictionary_df(spark, sf_dir))
+    # cache for the same reason _store caches: the dictionary is DERIVED
+    # (5-way union over 5 parquet tables), and every term join — decode,
+    # string-filter attachment — re-derives it into its own broadcast
+    # exchange otherwise (measured ~1s per join at sf0.1 vs ~0.1s cached).
+    # Spark's CacheManager dedupes by logical plan, so repeated _dict calls
+    # share one materialization.
+    return Dictionary(dictionary_df(spark, sf_dir).cache())
 
 
 def _dec(c: str) -> F.Column:
@@ -1497,7 +1503,12 @@ def text_decontaminate(spark, sf_dir):
     the final doc-id aggregation."""
     from rdfproject_msc_spark.operators import decontam
 
-    docs = load_table(spark, sf_dir, "documents")
+    # repartition before the CPU-heavy per-row n-gram derivation: the
+    # documents parquet is one small file → one input split, which would
+    # serialize the whole gram build on a single core (measured 6s → 0.7s
+    # at sf0.1). At real scale inputs are file-split anyway and the
+    # repartition of raw docs is noise next to the gram CPU it spreads.
+    docs = load_table(spark, sf_dir, "documents").repartition(64)
     return decontam.ngram_contamination(
         docs.filter(F.col("doc_id") % 41 != 3),
         docs.filter(F.col("doc_id") % 41 == 3),
@@ -2022,11 +2033,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "sparql_2hop_store": QuerySpec(sparql_2hop_store, SPARQL_2HOP_SQL),
     "rdf_encode_terms": QuerySpec(rdf_encode_terms, RDF_ENCODE_TERMS_SQL),
     "rdf_split_join": QuerySpec(rdf_split_join, RDF_SPLIT_JOIN_SQL, headline=True),
-    "sparql_regex": QuerySpec(sparql_regex, SPARQL_REGEX_SQL),
+    "sparql_regex": QuerySpec(sparql_regex, SPARQL_REGEX_SQL, headline=True),
     "rdf_text_lifecycle": QuerySpec(rdf_text_lifecycle, RDF_DECODE_2HOP_SQL),
     "rdf_sign_union": QuerySpec(rdf_sign_union, RDF_SIGN_UNION_SQL),
     "sparql_2hop": QuerySpec(sparql_2hop, SPARQL_2HOP_SQL, headline=True),
-    "text_decontaminate": QuerySpec(text_decontaminate, TEXT_DECONTAMINATE_SQL),
+    "text_decontaminate": QuerySpec(text_decontaminate, TEXT_DECONTAMINATE_SQL, headline=True),
     "sparql_groupby": QuerySpec(sparql_groupby, SPARQL_GROUPBY_SQL),
     "sparql_filter": QuerySpec(sparql_filter, SPARQL_FILTER_SQL),
 }

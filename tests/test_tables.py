@@ -56,3 +56,35 @@ def test_money_rounding_half_ties(spark):
         " + CAST(0.010 AS DECIMAL(18,4)), 2) AS DOUBLE)"
     ).fetchone()[0]
     assert row["m"] == oracle == 150873.96
+
+
+def test_load_events_nanos_vintage(spark, tmp_path):
+    """The r3-era TIMESTAMP(NANOS) vintage must keep loading even though
+    the current driver testdata is micros TIMESTAMP_NTZ: synthesize a
+    nanos parquet and assert exact ts_ns preservation (sub-microsecond
+    digits intact) plus the micros re-exposure of ts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(
+                [1704067200123456789, 1704067200987654321],
+                pa.timestamp("ns"),
+            ),
+            "user_id": pa.array([7, 8], pa.int64()),
+            "event_type": pa.array(["a", "b"]),
+            "value": pa.array([1.0, 2.0]),
+            "props": pa.array(["{}", "{}"]),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    df = load_table(spark, str(tmp_path), "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    got = {r.event_id: r.ts_ns for r in df.collect()}
+    assert got == {1: 1704067200123456789, 2: 1704067200987654321}
+    bad = df.filter(
+        F.unix_micros("ts") != F.expr("ts_ns DIV 1000")
+    ).count()
+    assert bad == 0

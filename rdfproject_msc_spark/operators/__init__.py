@@ -9,6 +9,7 @@ is unavoidable):
 - ``textstats``  quality scores, language ID, fingerprints, token counts
 - ``decontam``   benchmark decontamination via word-n-gram overlap
 - ``lmscore``    unigram LM quality scoring (per-doc surprisal)
+- ``pca``        PCA dimensionality reduction for embedding columns
 - ``multimodal`` binary payload + typed metadata; mapInPandas decode stages
 - ``asof``       temporal as-of join (one-shuffle union+window)
 - ``skew``       salted joins for hot keys

@@ -1,0 +1,109 @@
+"""PCA dimensionality reduction for embedding columns.
+
+The standard pre-processing step in front of large-scale similarity search:
+project d-dim embeddings onto the top-k principal components so downstream
+ANN layouts (IVF / LSH) index k ≪ d floats per vector — smaller scans,
+cheaper distance arithmetic, negligible recall loss when the spectrum
+decays.
+
+100 TB design (for the small-d regime, d ≤ ~128, which covers typical
+retrieval embeddings after feature hashing — larger d belongs to the
+treeAggregate/Gramian path of Spark ML):
+- Fitting is ONE aggregation pass: d running sums + d(d+1)/2 Gram sums as
+  plain ``F.sum`` expressions — Catalyst plans a partial (map-side)
+  HashAggregate, so the shuffle carries one (d²+d)/2-value row per
+  partition, never the vectors.
+- The covariance matrix is d×d — driver-side numpy ``eigh`` on a few KB is
+  exact, deterministic, and not a scale concern.
+- Projection is fully UNROLLED multiply-add column expressions over the
+  broadcast-as-literals component matrix (same codegen pattern as the
+  brute-force cosine scorer, similarity.py cosine_to_literal): k·d fused
+  multiply-adds inside whole-stage codegen, no Python, no UDF, no shuffle.
+- Mean-centering is explicit (components are of the CENTERED covariance;
+  projecting raw vectors would shift every coordinate by μ·C).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    dim: int | None = None,
+) -> tuple[list[list[float]], list[float], list[float]]:
+    """Fit PCA on an ``array<float>`` column.
+
+    Returns ``(components, explained_variance_ratio, mean)``:
+    ``components`` is k rows of d floats (orthonormal, descending
+    variance; each row's sign is fixed so its largest-magnitude entry is
+    positive — eigenvector sign is otherwise arbitrary and would flip
+    between runs), ``explained_variance_ratio`` the fraction of total
+    variance per component, ``mean`` the d-dim column mean.
+    """
+    import numpy as np
+
+    if dim is None:
+        dim = df.select(F.size(F.col(vec_col))).first()[0]
+    v = F.col(vec_col)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [
+        F.sum(v[i].cast("double")).alias(f"s{i}") for i in range(dim)
+    ]
+    aggs += [
+        F.sum((v[i] * v[j]).cast("double")).alias(f"g{i}_{j}")
+        for i in range(dim)
+        for j in range(i, dim)
+    ]
+    row = df.agg(*aggs).first()
+    n = row["n"]
+    if n < 2:
+        raise ValueError(f"PCA needs at least 2 vectors, got {n}")
+    mean = np.array([row[f"s{i}"] for i in range(dim)]) / n
+    gram = np.empty((dim, dim))
+    for i in range(dim):
+        for j in range(i, dim):
+            gram[i, j] = gram[j, i] = row[f"g{i}_{j}"]
+    cov = (gram - n * np.outer(mean, mean)) / (n - 1)
+    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(eigvals)[::-1][:k]
+    comps = eigvecs[:, order].T  # k × d
+    # deterministic sign: largest-|entry| positive per component
+    for r in range(comps.shape[0]):
+        m = np.argmax(np.abs(comps[r]))
+        if comps[r, m] < 0:
+            comps[r] = -comps[r]
+    total = float(np.clip(eigvals.sum(), 1e-300, None))
+    ratio = [float(eigvals[o] / total) for o in order]
+    return comps.tolist(), ratio, mean.tolist()
+
+
+def pca_project(
+    df: DataFrame,
+    components: list[list[float]],
+    mean: list[float],
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project ``vec_col`` onto the fitted components →
+    ``out_col: array<float>`` of k entries, (v - μ)·Cᵀ, as unrolled
+    multiply-add expressions (whole-stage codegen; zero Python)."""
+    v = F.col(vec_col)
+    dim = len(mean)
+
+    def coord(comp: list[float]) -> Column:
+        terms = [
+            (v[j].cast("double") - F.lit(float(mean[j]))) * F.lit(float(comp[j]))
+            for j in range(dim)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out.cast("float")
+
+    return df.withColumn(
+        out_col, F.array(*[coord(c) for c in components])
+    )

@@ -27,11 +27,13 @@ def _round_half_up(c: Column) -> Column:
     return F.floor(c + F.lit(0.5))
 
 
-def quantize_embeddings(
-    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+def with_qvec(
+    df: DataFrame, vec_col: str = "embedding", keep_scale: bool = False
 ) -> DataFrame:
-    """(id, qvec: array<int> in [-127, 127], scale: double). A zero vector
-    quantizes to zeros with scale 0 (dequantizes to exact zeros)."""
+    """Add the int8 quantized vector ``qvec`` (and, with ``keep_scale``,
+    the per-vector ``scale``) beside the existing columns. Pure per-row
+    expressions — stateless, so usable identically on batch relations and
+    streaming sources (the IVF streaming appender relies on this)."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     amax = F.aggregate(
         v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
@@ -50,10 +52,17 @@ def quantize_embeddings(
         )
         .cast("int"),
     )
-    return (
-        df.withColumn("scale", amax / F.lit(127.0))
-        .withColumn("qvec", q)
-        .select(F.col(id_col), "scale", "qvec")
+    out = df.withColumn("scale", amax / F.lit(127.0)).withColumn("qvec", q)
+    return out if keep_scale else out.drop("scale")
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, qvec: array<int> in [-127, 127], scale: double). A zero vector
+    quantizes to zeros with scale 0 (dequantizes to exact zeros)."""
+    return with_qvec(df, vec_col, keep_scale=True).select(
+        F.col(id_col), "scale", "qvec"
     )
 
 

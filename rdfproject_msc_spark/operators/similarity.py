@@ -322,13 +322,10 @@ def ivf_write(
     quantized probe scans ONLY the 4×-smaller qvec column (pinned by a
     ReadSchema plan test) and the float column is read just for the
     re-rank candidates."""
-    from rdfproject_msc_spark.operators.quantize import quantize_embeddings
+    from rdfproject_msc_spark.operators.quantize import with_qvec
 
-    q = quantize_embeddings(df, vec_col=vec_col, id_col=id_col).select(
-        id_col, "qvec"
-    )
     (
-        df.join(q, id_col)
+        with_qvec(df, vec_col)
         .withColumn("centroid", _nearest_centroid(F.col(vec_col), centroids))
         .write.mode("overwrite")
         .partitionBy("centroid")
@@ -662,3 +659,59 @@ def lsh_topk_persisted(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def ivf_stream_append(
+    stream: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Streaming ingestion into the ``ivf_write`` layout shape: vectors
+    arriving on a stream are centroid-assigned and int8-quantized with the
+    SAME stateless per-row expressions the batch writer uses, then appended
+    as centroid-partitioned Parquet — so ``ivf_topk_persisted`` /
+    ``_quantized`` probes (and their directory + column pruning) run
+    unchanged over data that arrived via the stream. The embeddings twin of
+    streaming/events.stream_triples_to_store.
+
+    Append-only file sink + checkpoint = exactly-once per micro-batch;
+    ``availableNow`` drains the staged input and stops (production runs the
+    same query on a processing-time trigger). The k×dim quantizer is
+    persisted beside the data (bounded, driver-side) so the streamed layout
+    is as self-contained as a batch-written one.
+
+    A streamed layout is its own store (the parquet sink's _spark_metadata
+    log owns the directory — do not mix batch writes into it); a
+    bootstrap-batch + streamed-increment deployment probes both layouts and
+    unions the candidates.
+    """
+    from rdfproject_msc_spark.operators.quantize import with_qvec
+
+    out = with_qvec(stream.select(id_col, vec_col), vec_col).withColumn(
+        "centroid", _nearest_centroid(F.col(vec_col), centroids)
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .partitionBy("centroid")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import os
+
+    if not os.path.exists(f"{path}/_centroids/_SUCCESS"):
+        (
+            stream.sparkSession.createDataFrame(
+                [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+                "centroid int, vector array<double>",
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{path}/_centroids")
+        )

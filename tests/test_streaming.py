@@ -284,3 +284,58 @@ def test_document_curation_stream_equals_batch(spark, sf_dir, tmp_path_factory):
         map(tuple, batch.collect())
     )
     assert got.count() > 0
+
+
+def test_stream_embeddings_into_ivf_layout(spark, sf_dir, tmp_path_factory):
+    """Embeddings twin of the triples streaming-store test: vectors stream
+    into the centroid-partitioned IVF layout and the batch probes (with
+    their directory pruning) answer identically to a batch-written layout
+    over the same corpus; a checkpoint replay does not duplicate."""
+    from rdfproject_msc_spark.operators import similarity as sim
+    from rdfproject_msc_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = sim.kmeans_centroids(emb, k=4, dim=64, seed=7)
+
+    staged = str(tmp_path_factory.mktemp("emb_src"))
+    emb.repartition(3).write.mode("overwrite").parquet(staged)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    path = str(tmp_path_factory.mktemp("ivf") / "layout")
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    sim.ivf_stream_append(stream, path, ckpt, centroids)
+
+    batch_path = str(tmp_path_factory.mktemp("ivf_b") / "layout")
+    sim.ivf_write(emb, centroids, batch_path)
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    got = sim.ivf_topk_persisted(
+        spark, path, qv, k=10, nprobe=2, exclude_id=0
+    ).collect()
+    want = sim.ivf_topk_persisted(
+        spark, batch_path, qv, k=10, nprobe=2, exclude_id=0
+    ).collect()
+    assert [(r.vec_id, r.score) for r in got] == [
+        (r.vec_id, r.score) for r in want
+    ]
+    # quantized probe (directory + column pruning) works on the streamed
+    # layout too — the qvec column arrived via the stream
+    gq = sim.ivf_topk_persisted_quantized(
+        spark, path, qv, k=10, nprobe=2, exclude_id=0
+    ).collect()
+    assert len(gq) == 10
+    # directory pruning on the streamed layout
+    probes = sim.ivf_topk_persisted(spark, path, qv, k=10, nprobe=2)
+    plan = probes._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # replaying the drained source over the same checkpoint adds nothing
+    stream2 = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    sim.ivf_stream_append(stream2, path, ckpt, centroids)
+    assert spark.read.parquet(path).count() == emb.count()

@@ -10,6 +10,7 @@ is unavoidable):
 - ``decontam``   benchmark decontamination via word-n-gram overlap
 - ``lmscore``    unigram LM quality scoring (per-doc surprisal)
 - ``pca``        PCA dimensionality reduction for embedding columns
+- ``hashvec``    feature-hashing vectorizer (text → hashed-TF embedding)
 - ``multimodal`` binary payload + typed metadata; mapInPandas decode stages
 - ``asof``       temporal as-of join (one-shuffle union+window)
 - ``skew``       salted joins for hot keys

@@ -68,3 +68,77 @@ def curate_stats(
         F.sum(F.length(F.col(content_col)).cast("long")).alias("total_chars"),
         F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
     )
+
+
+def curate_full(
+    df: DataFrame,
+    benchmark: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    near_dup_threshold: float = 0.5,
+    min_quality: float = 0.3,
+    max_top_bigram_frac: float = 0.5,
+    max_dup_trigram_frac: float = 0.5,
+    decontam_n: int = 5,
+    decontam_threshold: float = 0.5,
+    max_bits_per_token: float = 20.0,
+    embed_dim: int = 64,
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """The COMPLETE curation pipeline — every stage the engine ships,
+    composed into one lazy plan:
+
+      clean (normalize + PII-redact) → exact dedup → near-dup removal →
+      quality filter → repetition filter (Gopher signals) → benchmark
+      decontamination → unigram-LM surprisal filter → hashed-TF
+      vectorization
+
+    Output: surviving documents with their quality/repetition/surprisal
+    columns and a ready-for-ANN ``embedding`` column. Stage order follows
+    production practice: cheap per-row filters run before the join-heavy
+    dedup stages they shrink, decontamination runs on the deduplicated
+    corpus (one representative per near-dup cluster — its contamination
+    verdict covers the cluster), and the LM vocabulary is fit on the
+    ALREADY-cleaned corpus so boilerplate does not distort the model.
+    """
+    from rdfproject_msc_spark.operators import (
+        decontam,
+        hashvec,
+        lmscore,
+        textclean,
+    )
+
+    cleaned = textclean.with_clean_text(df, content_col).withColumn(
+        content_col, F.col("text_clean")
+    )
+    survivors = curate(
+        cleaned, content_col, id_col, near_dup_threshold, min_quality,
+        min_partitions,
+    )
+    rep = textstats.with_repetition_stats(survivors, content_col).filter(
+        (F.col("top_bigram_frac") <= max_top_bigram_frac)
+        & (F.col("dup_trigram_frac") <= max_dup_trigram_frac)
+    )
+    cont = decontam.ngram_contamination(
+        rep,
+        benchmark,
+        n=decontam_n,
+        threshold=decontam_threshold,
+        id_col=id_col,
+        text_col=content_col,
+    )
+    clean_ids = cont.filter(~F.col("contaminated")).select(id_col)
+    decontaminated = rep.join(clean_ids, id_col, "left_semi")
+    vocab = lmscore.unigram_vocab(decontaminated, text_col=content_col)
+    scored = decontaminated.join(
+        lmscore.doc_lm_score(
+            decontaminated, vocab, id_col=id_col, text_col=content_col
+        ).select(id_col, "bits_per_token"),
+        id_col,
+    ).filter(F.col("bits_per_token") <= max_bits_per_token)
+    return scored.join(
+        hashvec.hash_embed(
+            scored, dim=embed_dim, text_col=content_col, id_col=id_col
+        ),
+        id_col,
+    )

@@ -1,0 +1,65 @@
+"""End-to-end integration of the complete curation pipeline: every stage's
+contract re-verified on the OUTPUT (the composed plan must not lose any
+stage's guarantee), plus determinism across independent runs."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from rdfproject_msc_spark.operators.curate import curate_full
+from rdfproject_msc_spark.sources.tables import load_table
+
+
+def _inputs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 41 == 3)
+    corpus = docs.filter(F.col("doc_id") % 41 != 3)
+    return corpus, bench
+
+
+def test_curate_full_contracts(spark, sf_dir):
+    corpus, bench = _inputs(spark, sf_dir)
+    out = curate_full(corpus, bench).cache()
+    n_in, n_out = corpus.count(), out.count()
+    assert 0 < n_out <= n_in
+
+    # every stage's guarantee holds on the final output
+    rows = out.collect()
+    cols = out.columns
+    for need in (
+        "doc_id", "text", "quality_score", "top_bigram_frac",
+        "dup_trigram_frac", "bits_per_token", "embedding", "n_redactions",
+    ):
+        assert need in cols, need
+    texts = [r.text for r in rows]
+    assert len(set(texts)) == len(texts)  # exact-dedup survives composition
+    for r in rows:
+        assert r.quality_score >= 0.3
+        assert r.top_bigram_frac <= 0.5
+        assert r.dup_trigram_frac <= 0.5
+        assert r.bits_per_token <= 20.0
+        nrm = float(np.linalg.norm(np.array(r.embedding)))
+        assert abs(nrm - 1.0) < 1e-5 or nrm == 0.0
+
+    # decontamination really removed the contaminated docs: recompute the
+    # report on the INPUT and check none of its flagged ids survived
+    from rdfproject_msc_spark.operators.decontam import ngram_contamination
+    from rdfproject_msc_spark.operators.textclean import with_clean_text
+
+    cleaned = with_clean_text(corpus).withColumn("text", F.col("text_clean"))
+    flagged = {
+        r.doc_id
+        for r in ngram_contamination(cleaned, bench, n=5, threshold=0.5)
+        .filter("contaminated")
+        .collect()
+    }
+    survived = {r.doc_id for r in rows}
+    assert not (flagged & survived)
+
+
+def test_curate_full_deterministic(spark, sf_dir):
+    corpus, bench = _inputs(spark, sf_dir)
+    a = curate_full(corpus, bench).select("doc_id", "bits_per_token").collect()
+    b = curate_full(corpus, bench).select("doc_id", "bits_per_token").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -715,3 +715,63 @@ def ivf_stream_append(
             .write.mode("overwrite")
             .parquet(f"{path}/_centroids")
         )
+
+
+def ivf_topk_multi(
+    spark,
+    paths: list[str],
+    query_vec: list[float],
+    k: int = 10,
+    centroids: list[list[float]] | None = None,
+    nprobe: int = 4,
+    exclude_id: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe SEVERAL IVF layouts sharing one quantizer and merge their
+    candidates — the bootstrap-batch + streamed-increment deployment
+    (``ivf_write`` once, then ``ivf_stream_append`` stores accumulating
+    beside it). Directory pruning applies per layout (each scan reads its
+    own nprobe centroid directories); candidates union before one exact
+    scoring + TakeOrdered, so the merge adds no shuffle.
+
+    All layouts must have been written against the SAME centroids —
+    enforced by comparing each layout's persisted quantizer (k×dim floats,
+    a bounded driver-side check) rather than trusted."""
+    if not paths:
+        raise ValueError("ivf_topk_multi needs at least one layout path")
+    if centroids is None:
+        centroids = ivf_load_centroids(spark, paths[0])
+    for p in paths:
+        theirs = ivf_load_centroids(spark, p)
+        if theirs != centroids:
+            raise ValueError(
+                f"layout {p!r} was written with different centroids — "
+                "probing it with this quantizer would silently miss vectors"
+            )
+    qn = sum(x * x for x in query_vec) ** 0.5
+
+    def cos(c: list[float]) -> float:
+        cn = sum(x * x for x in c) ** 0.5
+        return sum(a * b for a, b in zip(query_vec, c)) / (qn * cn)
+
+    probes = sorted(range(len(centroids)), key=lambda i: -cos(centroids[i]))[:nprobe]
+    scans = [
+        spark.read.parquet(p)
+        .filter(F.col("centroid").isin(probes))
+        .select(id_col, vec_col)
+        for p in paths
+    ]
+    scan = reduce(lambda a, b: a.unionByName(b), scans)
+    if exclude_id is not None:
+        scan = scan.filter(F.col(id_col) != exclude_id)
+    return (
+        scan.select(
+            F.col(id_col),
+            F.round(cosine_to_literal(F.col(vec_col), query_vec), 6).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -339,3 +339,52 @@ def test_stream_embeddings_into_ivf_layout(spark, sf_dir, tmp_path_factory):
     )
     sim.ivf_stream_append(stream2, path, ckpt, centroids)
     assert spark.read.parquet(path).count() == emb.count()
+
+
+def test_ivf_multi_layout_probe(spark, sf_dir, tmp_path_factory):
+    """Bootstrap-batch + streamed-increment deployment: half the corpus is
+    batch-written, the other half streams into a second layout under the
+    same quantizer; the multi-layout probe equals a single-layout probe
+    over the full batch-written corpus, and mismatched quantizers are
+    refused."""
+    import pytest
+
+    from rdfproject_msc_spark.operators import similarity as sim
+    from rdfproject_msc_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = sim.kmeans_centroids(emb, k=4, dim=64, seed=7)
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+
+    base = tmp_path_factory.mktemp("multi")
+    path_a = str(base / "batch")
+    sim.ivf_write(half_a, centroids, path_a)
+    staged = str(base / "src")
+    half_b.repartition(2).write.mode("overwrite").parquet(staged)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    path_b = str(base / "streamed")
+    sim.ivf_stream_append(stream, path_b, str(base / "ckpt"), centroids)
+
+    full_path = str(base / "full")
+    sim.ivf_write(emb, centroids, full_path)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    got = sim.ivf_topk_multi(
+        spark, [path_a, path_b], qv, k=10, nprobe=2, exclude_id=0
+    ).collect()
+    want = sim.ivf_topk_persisted(
+        spark, full_path, qv, k=10, nprobe=2, exclude_id=0
+    ).collect()
+    assert [(r.vec_id, r.score) for r in got] == [
+        (r.vec_id, r.score) for r in want
+    ]
+    # a layout written under a different quantizer is refused
+    other = sim.kmeans_centroids(emb, k=4, dim=64, seed=99)
+    path_c = str(base / "other")
+    sim.ivf_write(half_a, other, path_c)
+    with pytest.raises(ValueError, match="different centroids"):
+        sim.ivf_topk_multi(spark, [path_a, path_c], qv, k=10)

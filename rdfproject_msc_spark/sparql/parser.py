@@ -48,10 +48,12 @@ groups, non-disjoint VALUES rows (UNDEF wildcards are supported when
 rows are pairwise disjoint — the exact condition under which the
 OR-filter compilation equals the multiset join), string functions
 inside HAVING (grouped output is numeric), and other FILTER forms
-(casts, arithmetic-in-comparison) (SURVEY.md §7 risk list). String
-functions ARE allowed in OPTIONAL-scoped FILTERs: the term column
-attaches to whichever join side binds the variable and the predicate
-rides in the LeftJoin condition.
+(casts, LANG/datatype accessors) (SURVEY.md §7 risk list). FILTER
+comparison sides accept full integer arithmetic (the BIND grammar:
+`FILTER(?a - ?b > 5 * ?c)`), and string functions ARE allowed in
+OPTIONAL-scoped FILTERs: the term column attaches to whichever join
+side binds the variable and the predicate rides in the LeftJoin
+condition.
 
 Term forms (normalization mirrors MyOpVisitorBase.java:74-78):
   ?x / $x          variable
@@ -412,30 +414,93 @@ def _parse_filter_expr(src: str):
         take(")")
         return ("strfn", name, arg[1:], pat[1:-1], flags)
 
+    def arith_operand():
+        """One comparison side: an integer-arithmetic expression over
+        variables and literals (the BIND grammar, §17.3 operator
+        mappings), parsed in-place from this token stream."""
+        nonlocal pos
+        start = pos
+
+        def peek_a():
+            return toks[pos] if pos < len(toks) else None
+
+        def take_a(expected=None):
+            nonlocal pos
+            if pos >= len(toks) or (
+                expected is not None and toks[pos] != expected
+            ):
+                raise SparqlSyntaxError(
+                    f"bad FILTER expression {src!r}: expected "
+                    f"{expected or 'an operand'}, got {peek_a()!r}"
+                )
+            pos += 1
+            return toks[pos - 1]
+
+        def split_negative():
+            t = peek_a()
+            if t is not None and re.fullmatch(r"-\d+", t):
+                toks[pos] = t[1:]
+                toks.insert(pos, "-")
+
+        def add_expr():
+            node = mul_expr()
+            split_negative()
+            while peek_a() in ("+", "-"):
+                o = take_a()
+                node = (o, node, mul_expr())
+                split_negative()
+            return node
+
+        def mul_expr():
+            node = atom()
+            while peek_a() == "*":
+                take_a()
+                node = ("*", node, atom())
+            return node
+
+        def atom():
+            if peek_a() == "(":
+                take_a()
+                node = add_expr()
+                take_a(")")
+                return node
+            t = take_a()
+            if t.startswith(("?", "$")):
+                return ("var", t[1:])
+            if re.fullmatch(r"-?\d+", t):
+                return ("num", int(t))
+            raise SparqlSyntaxError(
+                f"bad FILTER expression {src!r}: expected a variable, "
+                f"integer, or parenthesized arithmetic, got {t!r}"
+            )
+
+        node = add_expr()
+        del start
+        return node
+
     def comparison():
         lhs = take()
         if lhs.lower() in _STR_FNS and peek() == "(":
             return strfn_call(lhs.lower())
-        if not lhs.startswith(("?", "$")):
-            raise SparqlSyntaxError(
-                f"bad FILTER expression {src!r}: comparison must start "
-                f"with a variable, got {lhs!r}"
-            )
+        pos_back = pos - 1
+        nonlocal_restore(pos_back)
+        l_expr = arith_operand()
         op = take()
         if op not in _CMP_OPS:
             raise SparqlSyntaxError(
                 f"bad FILTER expression {src!r}: expected comparison "
                 f"operator, got {op!r}"
             )
-        rhs = take()
-        if rhs.startswith(("?", "$")):
-            return (lhs[1:], op, ("var", rhs[1:]))
-        if re.fullmatch(r"-?\d+", rhs):
-            return (lhs[1:], op, ("num", int(rhs)))
-        raise SparqlSyntaxError(
-            f"bad FILTER expression {src!r}: comparison right side must "
-            f"be a number or variable, got {rhs!r}"
-        )
+        r_expr = arith_operand()
+        # legacy leaf shape when both sides are simple (the form every
+        # existing consumer and test pins): (var, op, ('num'|'var', x))
+        if l_expr[0] == "var" and r_expr[0] in ("num", "var"):
+            return (l_expr[1], op, r_expr)
+        return ("cmp", l_expr, op, r_expr)
+
+    def nonlocal_restore(p):
+        nonlocal pos
+        pos = p
 
     node = or_expr()
     if pos != len(toks):
@@ -450,6 +515,8 @@ def filter_expr_vars(node) -> set[str]:
     if isinstance(node[1], str) and node[1] in _CMP_OPS:  # comparison leaf
         var, _, rhs = node
         return {var} | ({rhs[1]} if rhs[0] == "var" else set())
+    if len(node) == 4 and node[0] == "cmp":  # arithmetic comparison leaf
+        return arith_expr_vars(node[1]) | arith_expr_vars(node[3])
     if len(node) == 5 and node[0] == "strfn":  # string-function leaf
         return {node[2]}
     if node[0] == "not":
@@ -461,6 +528,8 @@ def filter_expr_strfn_vars(node) -> set[str]:
     """Variables appearing inside string-function leaves — the planner
     attaches a dictionary term column for each before compiling."""
     if isinstance(node[1], str) and node[1] in _CMP_OPS:
+        return set()
+    if len(node) == 4 and node[0] == "cmp":
         return set()
     if len(node) == 5 and node[0] == "strfn":
         return {node[2]}

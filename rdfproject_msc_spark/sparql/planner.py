@@ -73,6 +73,11 @@ def _compile_filter(
         var, op, rhs = node
         rhs_col = F.lit(rhs[1]) if rhs[0] == "num" else F.col(colmap[rhs[1]])
         return _OPS[op](F.col(colmap[var]), rhs_col)
+    if len(node) == 4 and node[0] == "cmp":  # arithmetic comparison leaf
+        _, l_expr, op, r_expr = node
+        return _OPS[op](
+            _compile_arith(l_expr, colmap), _compile_arith(r_expr, colmap)
+        )
     if len(node) == 5 and node[0] == "strfn":  # string-function leaf
         _, fn, var, pattern, flags = node
         if termmap is None or var not in termmap:

@@ -226,11 +226,44 @@ def test_parse_filter_forms():
 
 
 def test_parse_rejects_rich_filter():
-    # LANG/arithmetic-in-comparison stay out of scope
+    # LANG/datatype accessors stay out of scope
     with pytest.raises(SparqlSyntaxError):
         parse_sparql('SELECT ?x WHERE { ?x :p ?y . FILTER(LANG(?y) = "en") }')
-    with pytest.raises(SparqlSyntaxError):
-        parse_sparql("SELECT ?x WHERE { ?x :p ?y . FILTER(?y + 1 > 2) }")
+
+
+def test_parse_filter_arithmetic_comparisons():
+    bgp = parse_sparql(
+        "SELECT ?x WHERE { ?x :p ?y . FILTER(?y + 1 > 2 * ?x) }"
+    )
+    assert bgp.filters == (
+        (
+            "cmp",
+            ("+", ("var", "y"), ("num", 1)),
+            ">",
+            ("*", ("num", 2), ("var", "x")),
+        ),
+    )
+    # simple comparisons keep the legacy leaf shape
+    bgp = parse_sparql("SELECT ?x WHERE { ?x :p ?y . FILTER(?y > 2) }")
+    assert bgp.filters == (("y", ">", ("num", 2)),)
+
+
+def test_filter_arithmetic_executes(tiny_store, tiny_dict):
+    # p10 edges 1→1, 1→2, 2→2, -5→1: keep rows where ?o - ?s > 0
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?o WHERE { ?s :p10 ?o . FILTER(?o - ?s > 0) }",
+        tiny_dict,
+    )
+    assert sorted((r.s, r.o) for r in df.collect()) == [(-5, 1), (1, 2)]
+    # composes with connectives and the BIND grammar's precedence
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?o WHERE { ?s :p10 ?o . "
+        "FILTER(?s * ?o >= 1 && !(?o + ?s > 3)) }",
+        tiny_dict,
+    )
+    assert sorted((r.s, r.o) for r in df.collect()) == [(1, 1), (1, 2)]
 
 
 def test_parse_string_filter_functions():

@@ -419,7 +419,6 @@ def _parse_filter_expr(src: str):
         variables and literals (the BIND grammar, §17.3 operator
         mappings), parsed in-place from this token stream."""
         nonlocal pos
-        start = pos
 
         def peek_a():
             return toks[pos] if pos < len(toks) else None
@@ -474,16 +473,14 @@ def _parse_filter_expr(src: str):
                 f"integer, or parenthesized arithmetic, got {t!r}"
             )
 
-        node = add_expr()
-        del start
-        return node
+        return add_expr()
 
     def comparison():
+        nonlocal pos
         lhs = take()
         if lhs.lower() in _STR_FNS and peek() == "(":
             return strfn_call(lhs.lower())
-        pos_back = pos - 1
-        nonlocal_restore(pos_back)
+        pos -= 1  # un-take: the operand parser re-reads lhs
         l_expr = arith_operand()
         op = take()
         if op not in _CMP_OPS:
@@ -497,10 +494,6 @@ def _parse_filter_expr(src: str):
         if l_expr[0] == "var" and r_expr[0] in ("num", "var"):
             return (l_expr[1], op, r_expr)
         return ("cmp", l_expr, op, r_expr)
-
-    def nonlocal_restore(p):
-        nonlocal pos
-        pos = p
 
     node = or_expr()
     if pos != len(toks):

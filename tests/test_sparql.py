@@ -1476,3 +1476,15 @@ def test_string_filter_in_optional_group(tiny_store, tiny_dict):
         "SELECT ?s ?o ?z WHERE { ?s :p10 ?o . "
         'OPTIONAL { ?o :p20 ?z . FILTER(CONTAINS(STR(?s), "n1")) } }'
     ) == [(-5, 1, None), (1, 1, None), (1, 2, 3), (2, 2, None)]
+
+
+def test_having_arithmetic(tiny_store, tiny_dict):
+    # HAVING shares the FILTER grammar: arithmetic over aggregate aliases
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?o (COUNT(?s) AS ?n) WHERE { ?s :p10 ?o } "
+        "GROUP BY ?o HAVING(?n * 2 > 3)",
+        tiny_dict,
+    )
+    # groups: o=1 ← {1,-5} (n=2 → 4>3 keep), o=2 ← {1,2} (n=2 keep)
+    assert sorted((r.o, r.n) for r in df.collect()) == [(1, 2), (2, 2)]

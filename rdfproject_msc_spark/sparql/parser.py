@@ -34,6 +34,8 @@ BIND(expr AS ?var) (§10.1) assigns integer arithmetic (+ - * with
 parentheses) over previously-bound variables to a fresh variable,
 usable by FILTER / projection / GROUP BY / ORDER BY; NULL (unbound)
 inputs propagate, matching SPARQL's expression-error-leaves-unbound.
+SELECT expression items `(arith AS ?alias)` (§18.2.4.4 Extend)
+desugar onto the same machinery as synthetic BINDs.
 FILTER also accepts the string functions REGEX (with the optional "i"
 flag) / CONTAINS / STRSTARTS / STRENDS over `?var` or `STR(?var)`
 (§17.4.3), fully composable with the boolean connectives: the planner
@@ -149,6 +151,11 @@ _AGG_ITEM = re.compile(
     r"AS\s+[?$](?P<alias>\w+)\s*\)$",
     re.I,
 )
+# non-aggregate SELECT expression `(arith AS ?alias)` (§18.2.4.4 Extend):
+# desugars onto the BIND machinery — the alias becomes a synthetic BIND
+# appended after the written ones, so scoping/freshness validation and the
+# planner lowering are shared
+_EXPR_ITEM = re.compile(r"^\(\s*(?P<expr>.+?)\s+AS\s+[?$](?P<alias>\w+)\s*\)$", re.S)
 _GROUP = re.compile(r"GROUP\s+BY\s+(?P<keys>(?:[?$]\w+\s*)+)", re.I)
 _HAVING = re.compile(r"HAVING\s*\(", re.I)
 # ASK query form (§16.3): boolean existence of any solution
@@ -1070,9 +1077,22 @@ def parse_sparql(query: str) -> BGPQuery:
                 continue
             am = _AGG_ITEM.match(itm)
             if not am:
+                em = _EXPR_ITEM.match(itm)
+                if em:
+                    # SELECT expression → synthetic BIND (same lowering,
+                    # same scope/freshness validation further down)
+                    binds.append(
+                        (
+                            em.group("alias"),
+                            _parse_arith_expr(em.group("expr")),
+                        )
+                    )
+                    items.append(em.group("alias"))
+                    continue
                 raise SparqlSyntaxError(
                     f"unsupported projection item: {itm!r} "
-                    "(supported: ?var or (AGG([DISTINCT] ?v|*) AS ?alias))"
+                    "(supported: ?var, (AGG([DISTINCT] ?v|*) AS ?alias), "
+                    "or (arithmetic AS ?alias))"
                 )
             func = am.group("func").lower()
             arg = am.group("arg")

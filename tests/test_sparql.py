@@ -1488,3 +1488,27 @@ def test_having_arithmetic(tiny_store, tiny_dict):
     )
     # groups: o=1 ← {1,-5} (n=2 → 4>3 keep), o=2 ← {1,2} (n=2 keep)
     assert sorted((r.o, r.n) for r in df.collect()) == [(1, 2), (2, 2)]
+
+
+def test_select_expression_items(tiny_store, tiny_dict):
+    """(arith AS ?alias) projection items desugar onto BIND (§18.2.4.4)."""
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s (?o - ?s AS ?d) (?s * 2 AS ?t) WHERE { ?s :p10 ?o }",
+        tiny_dict,
+    )
+    assert df.columns == ["s", "d", "t"]
+    assert sorted((r.s, r.d, r.t) for r in df.collect()) == [
+        (-5, 6, -10), (1, 0, 2), (1, 1, 2), (2, 0, 4),
+    ]
+    # grouped: the expression var can BE the grouping key
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?g (COUNT(?s) AS ?n) WHERE { ?s :p10 ?o . "
+        "BIND(?o - ?s AS ?g) } GROUP BY ?g",
+        tiny_dict,
+    )
+    assert sorted((r.g, r.n) for r in df.collect()) == [(0, 2), (1, 1), (6, 1)]
+    # alias colliding with a pattern variable is rejected (BIND freshness)
+    with pytest.raises(SparqlSyntaxError, match="already bound"):
+        parse_sparql("SELECT (?a + 1 AS ?b) WHERE { ?a :p ?b }")

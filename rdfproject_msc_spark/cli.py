@@ -69,6 +69,25 @@ def main(argv: list[str] | None = None) -> int:
     p_run.add_argument("--list", action="store_true")
     _add_common(p_run)
 
+    p_cur = sub.add_parser(
+        "curate",
+        help="full corpus curation over a documents parquet "
+        "(clean → dedup → quality → repetition → decontaminate → "
+        "LM filter → vectorize)",
+    )
+    p_cur.add_argument("--docs", required=True, help="documents parquet path")
+    p_cur.add_argument(
+        "--benchmark",
+        default=None,
+        help="benchmark/eval-set parquet for decontamination (optional)",
+    )
+    p_cur.add_argument("--out", required=True, help="output parquet path")
+    p_cur.add_argument("--min-quality", type=float, default=0.3)
+    p_cur.add_argument("--near-dup-threshold", type=float, default=0.5)
+    p_cur.add_argument("--max-bits-per-token", type=float, default=20.0)
+    p_cur.add_argument("--embed-dim", type=int, default=64)
+    p_cur.add_argument("--cpus", type=int, default=None)
+
     args = top.parse_args(argv)
 
     from rdfproject_msc_spark.engine import Engine
@@ -104,6 +123,31 @@ def main(argv: list[str] | None = None) -> int:
 
             eng.dictionary = Dictionary(read_dictionary_tsv(spark, args.dict_path))
         _emit(eng.sparql(args.query, decode=args.decode), args)
+        return 0
+
+    if args.command == "curate":
+        from rdfproject_msc_spark.operators.curate import curate_full
+
+        spark = _spark(args.cpus)
+        docs = spark.read.parquet(args.docs)
+        bench = (
+            spark.read.parquet(args.benchmark)
+            if args.benchmark
+            # no benchmark → empty set → decontamination flags nothing
+            else docs.filter("1 = 0")
+        )
+        out = curate_full(
+            docs,
+            bench,
+            near_dup_threshold=args.near_dup_threshold,
+            min_quality=args.min_quality,
+            max_bits_per_token=args.max_bits_per_token,
+            embed_dim=args.embed_dim,
+        )
+        out.write.mode("overwrite").parquet(args.out)
+        kept = spark.read.parquet(args.out).count()
+        total = docs.count()
+        print(f"curated {total} -> {kept} documents ({args.out})")
         return 0
 
     if args.command == "run":

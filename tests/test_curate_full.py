@@ -63,3 +63,26 @@ def test_curate_full_deterministic(spark, sf_dir):
     a = curate_full(corpus, bench).select("doc_id", "bits_per_token").collect()
     b = curate_full(corpus, bench).select("doc_id", "bits_per_token").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_cli_curate(spark, sf_dir, tmp_path):
+    """The curate subcommand runs the full pipeline over a documents
+    parquet and persists ANN-ready output (no benchmark → decontamination
+    flags nothing, pipeline still runs)."""
+    import os
+
+    from rdfproject_msc_spark.cli import main
+
+    out = str(tmp_path / "curated")
+    rc = main(
+        [
+            "curate",
+            "--docs", os.path.join(sf_dir, "documents.parquet"),
+            "--out", out,
+        ]
+    )
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert 0 < got.count() <= 500
+    for c in ("doc_id", "text", "embedding", "bits_per_token"):
+        assert c in got.columns

@@ -131,7 +131,6 @@ _STR_FNS = ("regex", "contains", "strstarts", "strends")
 # ARE integers). AST nodes: ('num', n) | ('var', v) | (op, a, b).
 _BIND_KEYWORD = re.compile(r"\bBIND\s*\(", re.I)
 _BIND_AS = re.compile(r"\sAS\s+[?$](?P<var>\w+)\s*$", re.I)
-_ARITH_OPS = ("+", "-", "*")
 # tokens inside the BGP: quoted literal | <iri> | anything non-space
 _TOKEN = re.compile(r'"[^"]*"|<[^>]*>|\S+')
 _QUERY = re.compile(

@@ -481,11 +481,48 @@ def _parse_filter_expr(src: str):
 
         return add_expr()
 
+    def in_list(var: str, negated: bool):
+        """`?v [NOT] IN (n1, n2, ...)` (§17.4.1.9-10) → ('in', var,
+        values, negated); integer constants only (the id data model)."""
+        take("(")
+        vals: list[int] = []
+        while True:
+            t = take()
+            if not re.fullmatch(r"-?\d+", t):
+                raise SparqlSyntaxError(
+                    f"bad FILTER expression {src!r}: IN lists take "
+                    f"integer constants, got {t!r}"
+                )
+            vals.append(int(t))
+            t = take()
+            if t == ")":
+                break
+            if t != ",":
+                raise SparqlSyntaxError(
+                    f"bad FILTER expression {src!r}: expected ',' or ')' "
+                    f"in IN list, got {t!r}"
+                )
+        return ("in", var, tuple(vals), negated)
+
     def comparison():
         nonlocal pos
         lhs = take()
         if lhs.lower() in _STR_FNS and peek() == "(":
             return strfn_call(lhs.lower())
+        if lhs.startswith(("?", "$")):
+            nxt = peek()
+            if nxt is not None and nxt.lower() == "in":
+                take()
+                return in_list(lhs[1:], negated=False)
+            if (
+                nxt is not None
+                and nxt.lower() == "not"
+                and pos + 1 < len(toks)
+                and toks[pos + 1].lower() == "in"
+            ):
+                take()
+                take()
+                return in_list(lhs[1:], negated=True)
         pos -= 1  # un-take: the operand parser re-reads lhs
         l_expr = arith_operand()
         op = take()
@@ -516,6 +553,8 @@ def filter_expr_vars(node) -> set[str]:
         return {var} | ({rhs[1]} if rhs[0] == "var" else set())
     if len(node) == 4 and node[0] == "cmp":  # arithmetic comparison leaf
         return arith_expr_vars(node[1]) | arith_expr_vars(node[3])
+    if len(node) == 4 and node[0] == "in":  # [NOT] IN leaf
+        return {node[1]}
     if len(node) == 5 and node[0] == "strfn":  # string-function leaf
         return {node[2]}
     if node[0] == "not":
@@ -528,7 +567,7 @@ def filter_expr_strfn_vars(node) -> set[str]:
     attaches a dictionary term column for each before compiling."""
     if isinstance(node[1], str) and node[1] in _CMP_OPS:
         return set()
-    if len(node) == 4 and node[0] == "cmp":
+    if len(node) == 4 and node[0] in ("cmp", "in"):
         return set()
     if len(node) == 5 and node[0] == "strfn":
         return {node[2]}

@@ -78,6 +78,13 @@ def _compile_filter(
         return _OPS[op](
             _compile_arith(l_expr, colmap), _compile_arith(r_expr, colmap)
         )
+    if len(node) == 4 and node[0] == "in":  # [NOT] IN leaf (§17.4.1.9-10)
+        # an In predicate over constants — Catalyst pushes it into the
+        # scans like the VALUES compilation; NOT IN under 3VL drops
+        # NULL (unbound) rows, matching SPARQL's error propagation
+        _, var, vals, negated = node
+        pred = F.col(colmap[var]).isin(list(vals))
+        return ~pred if negated else pred
     if len(node) == 5 and node[0] == "strfn":  # string-function leaf
         _, fn, var, pattern, flags = node
         if termmap is None or var not in termmap:

@@ -1512,3 +1512,26 @@ def test_select_expression_items(tiny_store, tiny_dict):
     # alias colliding with a pattern variable is rejected (BIND freshness)
     with pytest.raises(SparqlSyntaxError, match="already bound"):
         parse_sparql("SELECT (?a + 1 AS ?b) WHERE { ?a :p ?b }")
+
+
+def test_filter_in_and_not_in(tiny_store, tiny_dict):
+    bgp = parse_sparql(
+        "SELECT ?x WHERE { ?x :p ?y . FILTER(?y IN (1, -5, 3)) }"
+    )
+    assert bgp.filters == (("in", "y", (1, -5, 3), False),)
+    # p10 edges 1→1, 1→2, 2→2, -5→1
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?o WHERE { ?s :p10 ?o . FILTER(?s IN (1, 2)) }",
+        tiny_dict,
+    )
+    assert sorted((r.s, r.o) for r in df.collect()) == [(1, 1), (1, 2), (2, 2)]
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?o WHERE { ?s :p10 ?o . "
+        "FILTER(?s NOT IN (1) && ?o IN (1, 2)) }",
+        tiny_dict,
+    )
+    assert sorted((r.s, r.o) for r in df.collect()) == [(-5, 1), (2, 2)]
+    with pytest.raises(SparqlSyntaxError, match="integer constants"):
+        parse_sparql("SELECT ?x WHERE { ?x :p ?y . FILTER(?y IN (?x)) }")

@@ -507,6 +507,19 @@ def _parse_filter_expr(src: str):
     def comparison():
         nonlocal pos
         lhs = take()
+        if lhs.lower() == "bound" and peek() == "(":
+            # BOUND(?v) (§17.4.1.1): true iff the variable is bound — the
+            # one filter form that maps unbound to plain FALSE (not error);
+            # with ! it is SPARQL 1.0's negation-as-failure idiom
+            take("(")
+            v = take()
+            if not v.startswith(("?", "$")):
+                raise SparqlSyntaxError(
+                    f"bad FILTER expression {src!r}: BOUND takes a "
+                    f"variable, got {v!r}"
+                )
+            take(")")
+            return ("bound", v[1:])
         if lhs.lower() in _STR_FNS and peek() == "(":
             return strfn_call(lhs.lower())
         if lhs.startswith(("?", "$")):
@@ -555,6 +568,8 @@ def filter_expr_vars(node) -> set[str]:
         return arith_expr_vars(node[1]) | arith_expr_vars(node[3])
     if len(node) == 4 and node[0] == "in":  # [NOT] IN leaf
         return {node[1]}
+    if len(node) == 2 and node[0] == "bound":  # BOUND leaf
+        return {node[1]}
     if len(node) == 5 and node[0] == "strfn":  # string-function leaf
         return {node[2]}
     if node[0] == "not":
@@ -568,6 +583,8 @@ def filter_expr_strfn_vars(node) -> set[str]:
     if isinstance(node[1], str) and node[1] in _CMP_OPS:
         return set()
     if len(node) == 4 and node[0] in ("cmp", "in"):
+        return set()
+    if len(node) == 2 and node[0] == "bound":
         return set()
     if len(node) == 5 and node[0] == "strfn":
         return {node[2]}

@@ -78,6 +78,10 @@ def _compile_filter(
         return _OPS[op](
             _compile_arith(l_expr, colmap), _compile_arith(r_expr, colmap)
         )
+    if len(node) == 2 and node[0] == "bound":  # BOUND leaf (§17.4.1.1)
+        # unbound maps to plain FALSE (not error): exactly isNotNull —
+        # so !BOUND(?z) after OPTIONAL is negation-as-failure
+        return F.col(colmap[node[1]]).isNotNull()
     if len(node) == 4 and node[0] == "in":  # [NOT] IN leaf (§17.4.1.9-10)
         # an In predicate over constants — Catalyst pushes it into the
         # scans like the VALUES compilation; NOT IN under 3VL drops

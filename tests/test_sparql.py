@@ -1535,3 +1535,30 @@ def test_filter_in_and_not_in(tiny_store, tiny_dict):
     assert sorted((r.s, r.o) for r in df.collect()) == [(-5, 1), (2, 2)]
     with pytest.raises(SparqlSyntaxError, match="integer constants"):
         parse_sparql("SELECT ?x WHERE { ?x :p ?y . FILTER(?y IN (?x)) }")
+
+
+def test_filter_bound(tiny_store, tiny_dict):
+    """BOUND + !BOUND (negation-as-failure): customers of p10 whose object
+    has no p20 edge survive the !BOUND filter."""
+    bgp = parse_sparql(
+        "SELECT ?x WHERE { ?x :p ?y . OPTIONAL { ?y :q ?z } "
+        "FILTER(!BOUND(?z)) }"
+    )
+    assert bgp.filters == (("not", ("bound", "z")),)
+    # p10 edges 1→1, 1→2, 2→2, -5→1; p20 edge 2→3 ⇒ only ?o=2 rows bind ?z
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?o WHERE { ?s :p10 ?o . OPTIONAL { ?o :p20 ?z } "
+        "FILTER(!BOUND(?z)) }",
+        tiny_dict,
+    )
+    assert sorted((r.s, r.o) for r in df.collect()) == [(-5, 1), (1, 1)]
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?o ?z WHERE { ?s :p10 ?o . OPTIONAL { ?o :p20 ?z } "
+        "FILTER(BOUND(?z)) }",
+        tiny_dict,
+    )
+    assert sorted((r.s, r.o, r.z) for r in df.collect()) == [(1, 2, 3), (2, 2, 3)]
+    with pytest.raises(SparqlSyntaxError, match="BOUND takes a variable"):
+        parse_sparql("SELECT ?x WHERE { ?x :p ?y . FILTER(BOUND(3)) }")

@@ -28,6 +28,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# codegen-safe ceiling for the single-pass d(d+1)/2-expression aggregation
+MAX_CODEGEN_DIM = 128
+
 
 def pca_fit(
     df: DataFrame,
@@ -48,13 +51,37 @@ def pca_fit(
 
     if dim is None:
         dim = df.select(F.size(F.col(vec_col))).first()[0]
+    if dim > MAX_CODEGEN_DIM:
+        # the docstring's small-d regime, now enforced: d(d+1)/2 sum
+        # expressions blow up Janino codegen well before they blow up the
+        # math. Larger d belongs to an RDD treeAggregate of per-partition
+        # numpy Gram matrices (Spark ML RowMatrix.computeGramianMatrix's
+        # strategy), which this engine deliberately does not ship.
+        raise ValueError(
+            f"pca_fit supports dim <= {MAX_CODEGEN_DIM} (got {dim}): the "
+            "single-pass SQL aggregation generates d(d+1)/2 sum expressions "
+            "and exceeds codegen limits beyond that; use a treeAggregate "
+            "of per-partition Gram matrices for larger dimensions"
+        )
     v = F.col(vec_col)
-    aggs = [F.count(F.lit(1)).alias("n")]
+    # F.sum skips NULL elements while count(1) counts every row, so a NULL
+    # or short vector would silently skew the mean and Gram normalization —
+    # count offenders in the SAME pass and raise instead. Element access
+    # goes through null-tolerant F.get (plain v[i] THROWS on a short array
+    # under ANSI mode, which would mask the diagnostic).
+    bad = F.sum(
+        (v.isNull() | (F.size(v) != F.lit(dim))).cast("long")
+    ).alias("bad")
+    aggs = [F.count(F.lit(1)).alias("n"), bad]
+
+    def el(i: int) -> Column:
+        return F.get(v, F.lit(i))
+
     aggs += [
-        F.sum(v[i].cast("double")).alias(f"s{i}") for i in range(dim)
+        F.sum(el(i).cast("double")).alias(f"s{i}") for i in range(dim)
     ]
     aggs += [
-        F.sum((v[i] * v[j]).cast("double")).alias(f"g{i}_{j}")
+        F.sum((el(i) * el(j)).cast("double")).alias(f"g{i}_{j}")
         for i in range(dim)
         for j in range(i, dim)
     ]
@@ -62,6 +89,11 @@ def pca_fit(
     n = row["n"]
     if n < 2:
         raise ValueError(f"PCA needs at least 2 vectors, got {n}")
+    if row["bad"]:
+        raise ValueError(
+            f"pca_fit: {row['bad']} of {n} vectors are NULL or not "
+            f"exactly {dim}-dimensional; clean or filter them first"
+        )
     mean = np.array([row[f"s{i}"] for i in range(dim)]) / n
     gram = np.empty((dim, dim))
     for i in range(dim):

@@ -703,18 +703,21 @@ def ivf_stream_append(
         .start()
     )
     q.awaitTermination()
-    import os
-
-    if not os.path.exists(f"{path}/_centroids/_SUCCESS"):
-        (
-            stream.sparkSession.createDataFrame(
-                [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-                "centroid int, vector array<double>",
-            )
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(f"{path}/_centroids")
+    # Write the quantizer sidecar unconditionally: the write is idempotent
+    # (same centroids every call — quantizer identity is this layout's
+    # invariant) and mode("overwrite") goes through the Hadoop FileSystem
+    # API, so it behaves identically on local paths, HDFS, and S3. An
+    # existence pre-check via os.path would only see the local filesystem
+    # and silently miss on object stores.
+    (
+        stream.sparkSession.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "centroid int, vector array<double>",
         )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/_centroids")
+    )
 
 
 def ivf_topk_multi(

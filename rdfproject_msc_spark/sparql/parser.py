@@ -1240,6 +1240,18 @@ def parse_sparql(query: str) -> BGPQuery:
     # in-scope target a syntax error) and the expression may only use
     # pattern-bound variables and earlier BIND targets
     bind_scope = set(pattern_vars)
+    # Variables local to MINUS/EXISTS groups are NOT in scope for BIND
+    # freshness — but the planner computes BINDs before those group joins,
+    # so a BIND target named like a group-local variable would silently
+    # become an anti/semi-join key (SPARQL compares only variables in scope
+    # at the group's point). Reject the collision rather than guess at
+    # textual-order semantics (the engine's standing stance).
+    group_local_vars = {
+        v
+        for grp in list(minuses) + [g for _, g in exists]
+        for tp in grp
+        for v in tp.variables()
+    }
     for bvar, bexpr in binds:
         unknown = arith_expr_vars(bexpr) - bind_scope
         if unknown:
@@ -1250,6 +1262,11 @@ def parse_sparql(query: str) -> BGPQuery:
         if bvar in bind_scope:
             raise SparqlSyntaxError(
                 f"BIND target is already bound: ?{bvar}"
+            )
+        if bvar in group_local_vars:
+            raise SparqlSyntaxError(
+                f"BIND target collides with a MINUS/EXISTS group variable: "
+                f"?{bvar} (the group would silently join on it)"
             )
         bind_scope.add(bvar)
     pattern_vars = bind_scope

@@ -108,3 +108,32 @@ def test_pca_preserves_neighborhood_ranking(spark):
         len(topk(x, q) & topk(p, q)) for q in range(0, 400, 40)
     ]
     assert min(overlaps) >= 8  # ≥80% neighbor overlap at 8× compression
+
+
+def test_fit_rejects_oversized_dim(spark):
+    """The docstring's small-d regime is enforced in code: beyond
+    MAX_CODEGEN_DIM the d(d+1)/2-expression aggregation would blow up
+    Janino codegen, so pca_fit raises and names the alternative."""
+    from rdfproject_msc_spark.operators.pca import MAX_CODEGEN_DIM
+
+    df = spark.createDataFrame(
+        [(0, [0.0] * (MAX_CODEGEN_DIM + 1))], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="treeAggregate"):
+        pca_fit(df, k=2)
+
+
+def test_fit_rejects_null_and_short_vectors(spark):
+    """F.sum skips NULL elements while n counts every row — a NULL or
+    short vector would silently skew mean/covariance, so pca_fit counts
+    offenders in the same pass and raises."""
+    good = [(i, [float(i), float(-i), 1.0]) for i in range(5)]
+    df = spark.createDataFrame(
+        good + [(90, None), (91, [1.0, 2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="NULL or not exactly 3"):
+        pca_fit(df, k=2, dim=3)
+    # the clean subset still fits
+    comps, _, _ = pca_fit(df.filter(F.size("embedding") == 3), k=2, dim=3)
+    assert len(comps) == 2

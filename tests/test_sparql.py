@@ -1312,6 +1312,19 @@ def test_bind_rejections():
     # missing AS
     with pytest.raises(SparqlSyntaxError, match="BIND needs"):
         parse_sparql("SELECT ?a WHERE { ?a :p ?b . BIND(?a + 1) }")
+    # target colliding with a MINUS/EXISTS group-local variable: the
+    # planner computes BINDs before the anti/semi joins, so the collision
+    # would silently make the BIND column a join key — rejected instead
+    with pytest.raises(SparqlSyntaxError, match="MINUS/EXISTS group"):
+        parse_sparql(
+            "SELECT ?a WHERE { ?a :p ?b . MINUS { ?a :q ?c } "
+            "BIND(?b + 1 AS ?c) }"
+        )
+    with pytest.raises(SparqlSyntaxError, match="MINUS/EXISTS group"):
+        parse_sparql(
+            "SELECT ?a WHERE { ?a :p ?b . FILTER EXISTS { ?a :q ?z } "
+            "BIND(?b + 1 AS ?z) }"
+        )
 
 
 def test_bind_executes_and_filters(tiny_store, tiny_dict):

@@ -53,6 +53,16 @@ class Dictionary:
         if row["n_terms"] != row["n"]:
             raise DictionaryError("dictionary terms are not unique (term→id not functional)")
 
+    def lookup_terms(self, terms: list[str]) -> dict[str, int]:
+        """Non-raising bounded lookup (term → id): terms absent from the
+        dictionary are simply missing from the result. FILTER term-equality
+        uses this — a literal no triple can contain constant-folds rather
+        than erroring (the query is legal, its match set is empty)."""
+        if not terms:
+            return {}
+        rows = self.df.filter(F.col("term").isin(list(terms))).collect()
+        return {r["term"]: r["id"] for r in rows}
+
     def encode_terms(self, terms: list[str]) -> dict[str, int]:
         """Bounded driver-side lookup for SPARQL constants (term → id).
 
@@ -61,8 +71,7 @@ class Dictionary:
         """
         if not terms:
             return {}
-        rows = self.df.filter(F.col("term").isin(terms)).collect()
-        found = {r["term"]: r["id"] for r in rows}
+        found = self.lookup_terms(terms)
         missing = set(terms) - set(found)
         if missing:
             raise DictionaryError(f"terms not in dictionary: {sorted(missing)}")

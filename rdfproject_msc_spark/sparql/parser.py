@@ -504,6 +504,20 @@ def _parse_filter_expr(src: str):
                 )
         return ("in", var, tuple(vals), negated)
 
+    def streq_rhs(var_tok: str):
+        """Finish a term-equality comparison `<var-side> =|!= "literal"`
+        (§17.4.1.7 on this engine's term model: every distinct term has one
+        id, so string equality IS id identity). AST: ('streq', var, text,
+        negated) — a 4-tuple distinguished by its 'streq' tag."""
+        op = take()
+        lit = take()
+        if not (lit.startswith('"') and lit.endswith('"')):
+            raise SparqlSyntaxError(
+                f"bad FILTER expression {src!r}: term equality takes a "
+                f"string literal, got {lit!r}"
+            )
+        return ("streq", var_tok[1:], lit[1:-1], op == "!=")
+
     def comparison():
         nonlocal pos
         lhs = take()
@@ -520,10 +534,49 @@ def _parse_filter_expr(src: str):
                 )
             take(")")
             return ("bound", v[1:])
+        if lhs.lower() == "str" and peek() == "(":
+            # STR(?x) = "literal" (§17.4.2.5 wrapper + term equality): ids
+            # ARE term references here, so STR-of-var compares the term
+            take("(")
+            v = take()
+            if not v.startswith(("?", "$")):
+                raise SparqlSyntaxError(
+                    f"bad FILTER expression {src!r}: STR takes a "
+                    f"variable, got {v!r}"
+                )
+            take(")")
+            if peek() not in ("=", "!="):
+                raise SparqlSyntaxError(
+                    f"bad FILTER expression {src!r}: STR() comparisons "
+                    f"support = and != only, got {peek()!r}"
+                )
+            return streq_rhs(v)
+        if lhs.startswith('"') and lhs.endswith('"'):
+            # reversed form `"literal" = ?x`
+            if peek() not in ("=", "!="):
+                raise SparqlSyntaxError(
+                    f"bad FILTER expression {src!r}: a string literal "
+                    f"can only be compared with = or !=, got {peek()!r}"
+                )
+            op = take()
+            v = take()
+            if not v.startswith(("?", "$")):
+                raise SparqlSyntaxError(
+                    f"bad FILTER expression {src!r}: term equality "
+                    f"compares a variable against a literal, got {v!r}"
+                )
+            return ("streq", v[1:], lhs[1:-1], op == "!=")
         if lhs.lower() in _STR_FNS and peek() == "(":
             return strfn_call(lhs.lower())
         if lhs.startswith(("?", "$")):
             nxt = peek()
+            if (
+                nxt in ("=", "!=")
+                and pos + 1 < len(toks)
+                and toks[pos + 1].startswith('"')
+            ):
+                # ?x = "literal" — the most common real-world FILTER form
+                return streq_rhs(lhs)
             if nxt is not None and nxt.lower() == "in":
                 take()
                 return in_list(lhs[1:], negated=False)
@@ -566,7 +619,7 @@ def filter_expr_vars(node) -> set[str]:
         return {var} | ({rhs[1]} if rhs[0] == "var" else set())
     if len(node) == 4 and node[0] == "cmp":  # arithmetic comparison leaf
         return arith_expr_vars(node[1]) | arith_expr_vars(node[3])
-    if len(node) == 4 and node[0] == "in":  # [NOT] IN leaf
+    if len(node) == 4 and node[0] in ("in", "streq"):  # [NOT] IN / term-eq
         return {node[1]}
     if len(node) == 2 and node[0] == "bound":  # BOUND leaf
         return {node[1]}
@@ -579,10 +632,12 @@ def filter_expr_vars(node) -> set[str]:
 
 def filter_expr_strfn_vars(node) -> set[str]:
     """Variables appearing inside string-function leaves — the planner
-    attaches a dictionary term column for each before compiling."""
+    attaches a dictionary term column for each before compiling. (streq
+    leaves are NOT included: term equality resolves its literal to an id
+    and needs no term column.)"""
     if isinstance(node[1], str) and node[1] in _CMP_OPS:
         return set()
-    if len(node) == 4 and node[0] in ("cmp", "in"):
+    if len(node) == 4 and node[0] in ("cmp", "in", "streq"):
         return set()
     if len(node) == 2 and node[0] == "bound":
         return set()
@@ -591,6 +646,28 @@ def filter_expr_strfn_vars(node) -> set[str]:
     if node[0] == "not":
         return filter_expr_strfn_vars(node[1])
     return filter_expr_strfn_vars(node[1]) | filter_expr_strfn_vars(node[2])
+
+
+def filter_expr_streq_literals(node) -> set[str]:
+    """String literals in term-equality leaves — the planner resolves each
+    via ONE bounded dictionary lookup (never a term join) and compiles an
+    id equality; a literal absent from the dictionary appears in no triple
+    and constant-folds."""
+    if isinstance(node[1], str) and node[1] in _CMP_OPS:
+        return set()
+    if len(node) == 4 and node[0] == "streq":
+        return {node[2]}
+    if len(node) == 4 and node[0] in ("cmp", "in"):
+        return set()
+    if len(node) == 2 and node[0] == "bound":
+        return set()
+    if len(node) == 5 and node[0] == "strfn":
+        return set()
+    if node[0] == "not":
+        return filter_expr_streq_literals(node[1])
+    return filter_expr_streq_literals(node[1]) | filter_expr_streq_literals(
+        node[2]
+    )
 
 
 def _extract_filters(src: str):
@@ -1383,7 +1460,7 @@ def parse_sparql(query: str) -> BGPQuery:
     if having and not grouped:
         raise SparqlSyntaxError("HAVING requires GROUP BY or aggregates")
     for expr in having:
-        if filter_expr_strfn_vars(expr):
+        if filter_expr_strfn_vars(expr) or filter_expr_streq_literals(expr):
             # HAVING evaluates over grouped numeric output (keys/aggregates)
             raise SparqlSyntaxError(
                 "string functions are not supported in HAVING"

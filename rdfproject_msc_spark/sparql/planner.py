@@ -38,6 +38,7 @@ from rdfproject_msc_spark.sparql.parser import (
     BGPQuery,
     SparqlSyntaxError,
     arith_expr_vars,
+    filter_expr_streq_literals,
     filter_expr_strfn_vars,
     parse_sparql,
 )
@@ -54,7 +55,10 @@ _OPS = {
 
 
 def _compile_filter(
-    node, colmap: dict[str, str], termmap: dict[str, str] | None = None
+    node,
+    colmap: dict[str, str],
+    termmap: dict[str, str] | None = None,
+    litids: dict[str, int] | None = None,
 ) -> Column:
     """FILTER expression AST → Column predicate.
 
@@ -89,6 +93,22 @@ def _compile_filter(
         _, var, vals, negated = node
         pred = F.col(colmap[var]).isin(list(vals))
         return ~pred if negated else pred
+    if len(node) == 4 and node[0] == "streq":  # term-equality leaf
+        # FILTER(?x = "term") — the most common real-world FILTER form.
+        # The literal resolved to an id at plan time (one bounded lookup,
+        # `litids`), so this compiles to a PUSHDOWN-ABLE id equality — no
+        # dictionary join, no per-row string work. A literal ABSENT from
+        # the dictionary appears in no triple (the dictionary is total
+        # over the graph's terms by construction), so the comparison
+        # constant-folds: `=` is FALSE everywhere; `!=` holds exactly
+        # where the variable is bound (unbound → SPARQL error → drop,
+        # Spark NULL → drop — same 3VL alignment as every other leaf).
+        _, var, text, negated = node
+        col = F.col(colmap[var])
+        tid = (litids or {}).get(text)
+        if tid is None:
+            return col.isNotNull() if negated else F.lit(False)
+        return (col != F.lit(tid)) if negated else (col == F.lit(tid))
     if len(node) == 5 and node[0] == "strfn":  # string-function leaf
         _, fn, var, pattern, flags = node
         if termmap is None or var not in termmap:
@@ -107,9 +127,9 @@ def _compile_filter(
             return col.startswith(pattern)
         return col.endswith(pattern)
     if node[0] == "not":
-        return ~_compile_filter(node[1], colmap, termmap)
-    a = _compile_filter(node[1], colmap, termmap)
-    b = _compile_filter(node[2], colmap, termmap)
+        return ~_compile_filter(node[1], colmap, termmap, litids)
+    a = _compile_filter(node[1], colmap, termmap, litids)
+    b = _compile_filter(node[2], colmap, termmap, litids)
     return (a & b) if node[0] == "and" else (a | b)
 
 
@@ -314,6 +334,27 @@ def plan_bgp(
 ) -> DataFrame:
     """Compose the BGP into a single DataFrame of variable bindings (ids)."""
     term_ids = _encode_constants(bgp, dictionary)
+
+    # term-equality FILTER literals (§17.4.1.7): resolved ONCE via a bounded
+    # non-raising lookup — found literals compile to pushdown-able id
+    # equalities; absent ones constant-fold (no triple can contain a term
+    # the dictionary lacks). Gathered from both top-level and
+    # OPTIONAL-scoped filters so each compile site shares one lookup.
+    streq_lits = sorted(
+        {
+            t
+            for expr in list(bgp.filters)
+            + [e for flts in bgp.optional_filters for e in flts]
+            for t in filter_expr_streq_literals(expr)
+        }
+    )
+    litids: dict[str, int] = {}
+    if streq_lits:
+        if dictionary is None:
+            raise SparqlSyntaxError(
+                "term-equality FILTERs need a dictionary to resolve literals"
+            )
+        litids = dictionary.lookup_terms(streq_lits)
 
     # DESCRIBE with constant resources (§16.4): one scan, two pushdown-able
     # IN filters — the description is every triple the resource appears in
@@ -580,7 +621,7 @@ def plan_bgp(
         gmap = dict(bound_cols)
         gmap.update({v: renames[c] for v, c in gcols.items()})
         for expr in gflts:
-            cond = cond & _compile_filter(expr, gmap, gterms)
+            cond = cond & _compile_filter(expr, gmap, gterms, litids)
         joined = joined.join(gdf, cond, "left")
         joined = joined.drop(*[renames[gcols[v]] for v in shared])
         if gterms:
@@ -705,7 +746,9 @@ def plan_bgp(
     # Catalyst pushes var-vs-constant comparisons down into the scans and
     # splits top-level conjunctions for pushdown on both join sides.
     for expr in bgp.filters:
-        joined = joined.filter(_compile_filter(expr, bound_cols, termmap))
+        joined = joined.filter(
+            _compile_filter(expr, bound_cols, termmap, litids)
+        )
     if termmap:
         joined = joined.drop(*termmap.values())
 

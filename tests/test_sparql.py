@@ -1575,3 +1575,111 @@ def test_filter_bound(tiny_store, tiny_dict):
     assert sorted((r.s, r.o, r.z) for r in df.collect()) == [(1, 2, 3), (2, 2, 3)]
     with pytest.raises(SparqlSyntaxError, match="BOUND takes a variable"):
         parse_sparql("SELECT ?x WHERE { ?x :p ?y . FILTER(BOUND(3)) }")
+
+
+# ---------------------------------------------------------------------------
+# term-valued FILTER equality (§17.4.1.7 on the term model): ?x = "term",
+# STR(?x) = "term", reversed literal-first form, !=, missing-literal folding
+
+
+def test_streq_parse_forms():
+    for q in (
+        'SELECT ?s WHERE { ?s :p ?o . FILTER(?o = ":n2") }',
+        'SELECT ?s WHERE { ?s :p ?o . FILTER(STR(?o) = ":n2") }',
+        'SELECT ?s WHERE { ?s :p ?o . FILTER(":n2" = ?o) }',
+    ):
+        bgp = parse_sparql(q)
+        assert bgp.filters == (("streq", "o", ":n2", False),)
+    bgp = parse_sparql('SELECT ?s WHERE { ?s :p ?o . FILTER(?o != ":n2") }')
+    assert bgp.filters == (("streq", "o", ":n2", True),)
+    # composes with connectives
+    bgp = parse_sparql(
+        'SELECT ?s WHERE { ?s :p ?o . FILTER(?o = ":n2" || ?s > 0) }'
+    )
+    assert bgp.filters[0][0] == "or"
+
+
+def test_streq_rejections():
+    # ordering operators on string literals stay rejected
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql('SELECT ?s WHERE { ?s :p ?o . FILTER(?o < ":n2") }')
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql('SELECT ?s WHERE { ?s :p ?o . FILTER(STR(?o) < ":n2") }')
+    # STR takes a variable
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql('SELECT ?s WHERE { ?s :p ?o . FILTER(STR(3) = ":n2") }')
+    # streq in HAVING: grouped output is numeric
+    with pytest.raises(SparqlSyntaxError, match="HAVING"):
+        parse_sparql(
+            "SELECT ?o (COUNT(?s) AS ?n) WHERE { ?s :p ?o . } "
+            'GROUP BY ?o HAVING(?o = ":n2")'
+        )
+
+
+def test_streq_executes_id_fast_path(tiny_store, tiny_dict):
+    """Literal found in the dictionary → id equality (p10 edges: 1→1, 1→2,
+    2→2, -5→1; :n2 is id 2)."""
+    df = sparql_to_df(
+        tiny_store,
+        'SELECT ?s ?o WHERE { ?s :p10 ?o . FILTER(?o = ":n2") }',
+        tiny_dict,
+    )
+    assert sorted((r.s, r.o) for r in df.collect()) == [(1, 2), (2, 2)]
+    # the equality is pushed into the scan, not evaluated post-join
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "o#" in plan  # sanity: plan mentions the column
+
+
+def test_streq_negated(tiny_store, tiny_dict):
+    df = sparql_to_df(
+        tiny_store,
+        'SELECT ?s ?o WHERE { ?s :p10 ?o . FILTER(STR(?o) != ":n2") }',
+        tiny_dict,
+    )
+    assert sorted((r.s, r.o) for r in df.collect()) == [(-5, 1), (1, 1)]
+
+
+def test_streq_missing_literal_folds(tiny_store, tiny_dict):
+    """A literal absent from the dictionary appears in no triple: = yields
+    the empty set (not an error), != keeps every bound row."""
+    df = sparql_to_df(
+        tiny_store,
+        'SELECT ?s WHERE { ?s :p10 ?o . FILTER(?o = ":nope") }',
+        tiny_dict,
+    )
+    assert df.count() == 0
+    df = sparql_to_df(
+        tiny_store,
+        'SELECT ?s ?o WHERE { ?s :p10 ?o . FILTER(?o != ":nope") }',
+        tiny_dict,
+    )
+    assert df.count() == 4
+
+
+def test_streq_in_optional_filter(tiny_store, tiny_dict):
+    """Term equality inside an OPTIONAL-scoped FILTER rides in the LeftJoin
+    condition: a failing match stays null-extended (§18.2.2.2)."""
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?a ?c WHERE { ?a :p10 ?b . "
+        'OPTIONAL { ?b :p20 ?c . FILTER(?c = ":n3") } }',
+        tiny_dict,
+    )
+    rows = sorted(
+        ((r.a, r.c) for r in df.collect()),
+        key=lambda t: (t[0], t[1] if t[1] is not None else -99),
+    )
+    # p10: 1→1, 1→2, 2→2, -5→1; p20: 2→3 and :n3 = 3 passes the filter
+    assert rows == [(-5, None), (1, None), (1, 3), (2, 3)]
+
+
+def test_streq_unbound_var_drops(tiny_store, tiny_dict):
+    """= over a var bound only in OPTIONAL: unbound → SPARQL error → row
+    dropped at the top-level filter (Spark NULL does the same)."""
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?a ?c WHERE { ?a :p10 ?b . OPTIONAL { ?b :p20 ?c } "
+        'FILTER(?c = ":n3") }',
+        tiny_dict,
+    )
+    assert sorted((r.a, r.c) for r in df.collect()) == [(1, 3), (2, 3)]

@@ -559,6 +559,46 @@ SELECT o AS c, count(s) AS n_events FROM triples WHERE p = {P_BY_USER}
 GROUP BY o HAVING count(s) < 56 ORDER BY n_events DESC, c LIMIT 10
 """
 
+# nested group graph patterns (SPARQL 1.1 §5.2 / §18.2.2.2, recursive):
+# a plain `{}` subgroup joined onto the BGP, and a UNION whose second arm
+# carries an OPTIONAL — the structural surface the reference's Jena parse
+# accepted (MyOpVisitorBase.java:49) that needed the round-5 recursive
+# parser/planner. ?e is bound only by arm 2 (null-extended in arm-1 rows);
+# ?t is bound only when the customer's linked event exists in the events
+# table (c_custkey % 500 may exceed the event-id range), so BOTH
+# nullability paths — arm-missing and OPTIONAL-missing — appear in the
+# output.
+SPARQL_NESTED = """
+SELECT ?c ?n ?e ?t WHERE {
+  { ?c :inNation ?n } .
+  { ?o :placedBy ?c } UNION { ?c :linkedEvent ?e . OPTIONAL { ?e :hasType ?t } }
+}
+"""
+
+
+def sparql_nested(spark, sf_dir):
+    """Recursive group algebra through the planner: the subgroup plans
+    standalone and inner-joins on ?c; each UNION arm plans standalone
+    (arm 2 left-joins :hasType INSIDE the arm before the union) and joins
+    the prior bindings per-arm on the variables that arm binds — every
+    join stays a hash equi-join, null-extension happens only in the
+    unionByName. Oracle: the literal two-branch UNION ALL SQL."""
+    store = _store(spark, sf_dir, layout="sign_split")
+    return sparql_to_df(store, SPARQL_NESTED, _dict(spark, sf_dir))
+
+
+SPARQL_NESTED_SQL = f"""{TRIPLES_CTE}
+SELECT cn.s AS c, cn.o AS n, CAST(NULL AS BIGINT) AS e, CAST(NULL AS BIGINT) AS t
+FROM triples cn JOIN triples op ON op.p = {P_PLACED_BY} AND op.o = cn.s
+WHERE cn.p = {P_IN_NATION}
+UNION ALL
+SELECT cn.s AS c, cn.o AS n, le.o AS e, ht.o AS t
+FROM triples cn
+JOIN triples le ON le.p = {P_LINKED_EVENT} AND le.s = cn.s
+LEFT JOIN triples ht ON ht.p = {P_HAS_TYPE} AND ht.s = le.o
+WHERE cn.p = {P_IN_NATION}
+"""
+
 
 def sparql_star(spark, sf_dir):
     """Star-shaped BGP (two patterns sharing the SUBJECT variable). Demoted
@@ -1992,6 +2032,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "multimodal_filter": QuerySpec(multimodal_filter, MULTIMODAL_FILTER_SQL),
     "multimodal_decode": QuerySpec(multimodal_decode, MULTIMODAL_DECODE_SQL),
     # new / reworked this round
+    "sparql_nested": QuerySpec(sparql_nested, SPARQL_NESTED_SQL),
     "rdf_layout_matrix": QuerySpec(rdf_layout_matrix, RDF_PATH_2HOP_SQL),
     "sparql_optional": QuerySpec(sparql_optional, SPARQL_OPTIONAL_SQL),
     "dedup_components": QuerySpec(dedup_components, DEDUP_COMPONENTS_SQL),
@@ -2030,7 +2071,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "rdf_path_2hop": QuerySpec(rdf_path_2hop, RDF_PATH_2HOP_SQL, headline=True),
     "rdf_path_2hop_all": QuerySpec(rdf_path_2hop_all, RDF_PATH_2HOP_ALL_SQL, headline=True),
     "rdf_path_2hop_store": QuerySpec(rdf_path_2hop_store, RDF_PATH_2HOP_SQL, headline=True),
-    "sparql_2hop_store": QuerySpec(sparql_2hop_store, SPARQL_2HOP_SQL),
+    # sparql_2hop_store demoted r5 (slot → sparql_nested): the persisted-
+    # store + pruning variant of sparql_2hop, whose oracle twin keeps its
+    # row; pinned in tests/test_demoted.py
     "rdf_encode_terms": QuerySpec(rdf_encode_terms, RDF_ENCODE_TERMS_SQL),
     "rdf_split_join": QuerySpec(rdf_split_join, RDF_SPLIT_JOIN_SQL, headline=True),
     "sparql_regex": QuerySpec(sparql_regex, SPARQL_REGEX_SQL, headline=True),

@@ -73,32 +73,15 @@ import itertools
 import re
 from dataclasses import dataclass
 
-_UNSUPPORTED = re.compile(r"\b(GRAPH|SERVICE)\b", re.I)
-# OPTIONAL groups: non-nested `OPTIONAL { ... }` → left join in the planner
-_OPTIONAL = re.compile(r"\bOPTIONAL\s*\{([^{}]*)\}\s*\.?", re.I)
-# MINUS groups: non-nested `MINUS { ... }` → left-anti join on shared vars
-_MINUS = re.compile(r"\bMINUS\s*\{([^{}]*)\}\s*\.?", re.I)
-# FILTER [NOT] EXISTS { ... } → left-semi / left-anti join on shared vars
-_FILTER_EXISTS = re.compile(
-    r"\bFILTER\s+(?P<neg>NOT\s+)?EXISTS\s*\{([^{}]*)\}\s*\.?", re.I
-)
-# single-variable VALUES block: inline bindings → an isin() filter the
-# optimizer pushes into the scans
-_VALUES = re.compile(r"\bVALUES\s+[?$](?P<var>\w+)\s*\{(?P<vals>[^{}]*)\}\s*\.?", re.I)
-# multi-variable VALUES block: `VALUES (?x ?y) { (a b) (c UNDEF) }` → an
-# OR-of-ANDs row filter over the resolved ids (bounded by query size);
-# UNDEF = wildcard (no conjunct), accepted only for pairwise-disjoint rows
-_VALUES_MULTI = re.compile(
-    r"\bVALUES\s*\((?P<vars>(?:\s*[?$]\w+)+)\s*\)\s*\{(?P<rows>[^{}]*)\}\s*\.?",
-    re.I,
-)
+# VALUES rows inside a multi-variable block: `(a b)` / `(c UNDEF)`
 _VALUES_ROW = re.compile(r"\(([^()]*)\)")
-# one UNION chain of 2+ group alternatives: `{...} UNION {...} [UNION {...}]`
-# → unionByName(allowMissingColumns) in the planner (the generalization of
-# the reference translator's hand-emitted Positive UNION ALL Negative,
-# MyOpVisitorBase.java:106-123)
-_UNION_CHAIN = re.compile(r"\{[^{}]*\}(?:\s*UNION\s*\{[^{}]*\})+\s*\.?", re.I)
-_BRACE_GROUP = re.compile(r"\{([^{}]*)\}")
+# group-level keyword detection for the recursive group scanner: a word is
+# a keyword only when it stands alone (preceded by a delimiter and followed
+# by a non-word char) — terms like :node_OPTIONAL2 never match
+_WORD = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+_GROUP_KEYWORDS = frozenset(
+    {"OPTIONAL", "MINUS", "FILTER", "BIND", "VALUES", "UNION", "GRAPH", "SERVICE"}
+)
 # FILTER: boolean expressions over numeric comparisons of variables —
 # `?x OP (number | ?y)` combined with `&&` / `||` / `!` and parentheses
 # (SPARQL 1.1 §17.2). Comparisons act on the dictionary-encoded ids, which
@@ -110,7 +93,6 @@ _BRACE_GROUP = re.compile(r"\{([^{}]*)\}")
 #   (var, op, ('num', int) | ('var', name))   comparison leaf
 #   ('not', expr) / ('and', a, b) / ('or', a, b)
 # A node is a leaf iff node[1] is an operator symbol.
-_FILTER_KEYWORD = re.compile(r"\bFILTER\s*\(", re.I)
 # note: `-?\d+` precedes the bare `-` so negative literals keep lexing as
 # one token; the arithmetic parser re-splits a negative number where a
 # binary operator was expected (`?a -3` ≡ `?a - 3`)
@@ -129,7 +111,6 @@ _STR_FNS = ("regex", "contains", "strstarts", "strends")
 # BIND assignment (§10.1): `BIND(expr AS ?var)` — integer arithmetic over
 # previously-bound variables (+ - * with parentheses; the engine's values
 # ARE integers). AST nodes: ('num', n) | ('var', v) | (op, a, b).
-_BIND_KEYWORD = re.compile(r"\bBIND\s*\(", re.I)
 _BIND_AS = re.compile(r"\sAS\s+[?$](?P<var>\w+)\s*$", re.I)
 # tokens inside the BGP: quoted literal | <iri> | anything non-space
 _TOKEN = re.compile(r'"[^"]*"|<[^>]*>|\S+')
@@ -225,38 +206,133 @@ class TriplePattern:
 
 
 @dataclass(frozen=True)
-class BGPQuery:
-    projection: tuple[str, ...] | None  # None = SELECT *
-    patterns: tuple[TriplePattern, ...]
-    # solution modifiers (SPARQL 1.1 §15): DISTINCT / ORDER BY / LIMIT
-    distinct: bool = False
-    order_by: tuple[tuple[str, bool], ...] = ()  # (var, descending)
-    limit: int | None = None
-    # FILTER constraints: (var, op, ('num', int) | ('var', name))
-    filters: tuple[tuple[str, str, tuple[str, object]], ...] = ()
-    # BIND assignments (§10.1) in textual order: (var, arithmetic AST);
-    # each target is a fresh variable, usable by FILTER / projection /
-    # GROUP BY / ORDER BY (not by triple patterns — rejected explicitly)
+class GroupPattern:
+    """One group graph pattern (SPARQL 1.1 §5.2) — the RECURSIVE unit.
+
+    A group holds its own triple patterns, closure paths, FILTERs, BINDs
+    and VALUES, plus CHILD groups: plain nested `{ ... }` subgroups (joined
+    in, §18.2.2.2 Join), OPTIONAL groups (LeftJoin), UNION blocks of arm
+    groups (multiset union), MINUS groups (anti-join) and FILTER [NOT]
+    EXISTS groups (semi/anti-join). Children are full GroupPatterns, so
+    OPTIONAL-inside-OPTIONAL, OPTIONAL-inside-UNION-arms and arbitrary
+    brace nesting all compose — the surface Jena accepted for the
+    reference (MyOpVisitorBase.java:49) but its translator never handled.
+
+    The sequence protocol (len / index / iterate) delegates to `patterns`:
+    a flat group IS its pattern list to existing consumers, so code (and
+    pinned tests) written against the pre-recursive tuple-of-patterns
+    representation keeps reading naturally."""
+
+    patterns: tuple[TriplePattern, ...] = ()
+    # FILTER expression ASTs scoped to this group. For an OPTIONAL child
+    # these fold into the LeftJoin condition (§18.2.2.2); for any other
+    # group they apply to the group's own solution before it composes.
+    filters: tuple = ()
+    # BIND assignments (§10.1), root group only (nested BINDs rejected)
     binds: tuple[tuple[str, object], ...] = ()
-    # OPTIONAL groups, each a tuple of patterns → left join onto the BGP
-    optionals: tuple[tuple[TriplePattern, ...], ...] = ()
-    # per-OPTIONAL-group FILTER expressions (index-aligned with `optionals`):
-    # SPARQL 1.1 §18.2.2.2 folds a FILTER inside an OPTIONAL group into the
-    # LeftJoin condition — the planner compiles it into the join predicate
-    optional_filters: tuple[tuple, ...] = ()
-    # UNION blocks (§5.4), each a tuple of arms (each arm a tuple of
-    # patterns); blocks compose by join, arms by multiset union
-    unions: tuple[tuple[tuple[TriplePattern, ...], ...], ...] = ()
-    # MINUS groups → left-anti join on the shared variables
-    minuses: tuple[tuple[TriplePattern, ...], ...] = ()
-    # FILTER [NOT] EXISTS groups: (negated, patterns) → semi/anti join
-    exists: tuple[tuple[bool, tuple[TriplePattern, ...]], ...] = ()
+    # OPTIONAL child groups → left join onto this group's solution
+    optionals: tuple["GroupPattern", ...] = ()
+    # UNION blocks (§5.4), each a tuple of arm groups; blocks compose by
+    # join, arms by multiset union (null-extending unshared variables)
+    unions: tuple[tuple["GroupPattern", ...], ...] = ()
+    # MINUS child groups → left-anti join on the shared variables
+    minuses: tuple["GroupPattern", ...] = ()
+    # FILTER [NOT] EXISTS child groups: (negated, group) → semi/anti join
+    exists: tuple[tuple[bool, "GroupPattern"], ...] = ()
+    # plain nested `{ ... }` subgroups → inner join (§18.2.2.2 Join)
+    subgroups: tuple["GroupPattern", ...] = ()
     # VALUES blocks: (var, allowed slots) → isin filter
     values: tuple[tuple[str, tuple[tuple[str, object], ...]], ...] = ()
     # multi-variable VALUES blocks: (vars, rows of slots) → OR-of-ANDs filter
     values_multi: tuple[
         tuple[tuple[str, ...], tuple[tuple[tuple[str, object], ...], ...]], ...
     ] = ()
+    # closure-family paths `?s :p+ / :p* / :p? ?o` (§9.1): slots
+    # (s, pred, o, mode) with mode in '+', '*', '?'
+    closures: tuple[tuple[tuple, tuple, tuple, str], ...] = ()
+    # composite path expressions `?s (:p1|:p2)+ ?o` (§9.1, nested forms):
+    # (s_slot, path AST from _parse_path_expr, o_slot) — compiled by the
+    # planner into a pair relation joined like a required pattern
+    paths: tuple[tuple[tuple, object, tuple], ...] = ()
+
+    def __len__(self):
+        return len(self.patterns)
+
+    def __getitem__(self, i):
+        return self.patterns[i]
+
+    def __iter__(self):
+        return iter(self.patterns)
+
+    def required_vars(self) -> set[str]:
+        """Variables bound by this group's REQUIRED parts (patterns,
+        closures, subgroups, any UNION arm) — recursively. Union-arm
+        variables are included (in scope per §18.2.1) even though some
+        may be unbound in specific solutions; the planner tracks that
+        separately as nullability."""
+        out = {v for tp in self.patterns for v in tp.variables()}
+        out |= {
+            val
+            for s, _, o, _ in self.closures
+            for kind, val in (s, o)
+            if kind == "var"
+        }
+        out |= {
+            val
+            for s, _, o in self.paths
+            for kind, val in (s, o)
+            if kind == "var"
+        }
+        for sub in self.subgroups:
+            out |= sub.required_vars()
+        for blk in self.unions:
+            for arm in blk:
+                out |= arm.required_vars()
+        return out
+
+    def all_vars(self) -> set[str]:
+        """Every variable this group can bind, including OPTIONAL-bound
+        ones — recursively (the §18.2.1 in-scope set, minus BINDs)."""
+        out = self.required_vars()
+        for child in self.optionals + self.subgroups:
+            out |= child.all_vars()
+        for blk in self.unions:
+            for arm in blk:
+                out |= arm.all_vars()
+        return out
+
+    def has_required_content(self) -> bool:
+        return bool(
+            self.patterns
+            or self.closures
+            or self.paths
+            or self.subgroups
+            or self.unions
+        )
+
+
+def _walk_groups(g: GroupPattern):
+    """Yield every group in the tree (pre-order), self included."""
+    yield g
+    for child in (
+        list(g.subgroups)
+        + list(g.optionals)
+        + list(g.minuses)
+        + [e for _, e in g.exists]
+        + [arm for blk in g.unions for arm in blk]
+    ):
+        yield from _walk_groups(child)
+
+
+@dataclass(frozen=True)
+class BGPQuery:
+    projection: tuple[str, ...] | None  # None = SELECT *
+    # the WHERE clause as a recursive group graph pattern tree
+    where: GroupPattern = GroupPattern()
+    # solution modifiers (SPARQL 1.1 §15): DISTINCT / ORDER BY / LIMIT
+    distinct: bool = False
+    order_by: tuple[tuple[str, bool], ...] = ()  # (var, descending)
+    limit: int | None = None
     # aggregation (SPARQL 1.1 §11): GROUP BY keys and projected aggregates
     # (func, var|None for COUNT(*), distinct, alias, separator) — separator
     # is GROUP_CONCAT's, None elsewhere; when either field is set the
@@ -267,13 +343,6 @@ class BGPQuery:
     # HAVING constraints (§11.5): FILTER expression ASTs evaluated over the
     # grouped OUTPUT columns (group keys and aggregate aliases)
     having: tuple = ()
-    # closure-family paths `?s :p+ / :p* / :p? ?o` (§9.1): slots
-    # (s, pred, o, mode) with mode in '+', '*', '?' — the planner expands
-    # to DISTINCT pairs (reachability via semi-naive iteration for +/*;
-    # zero-length pairs per §18.4's ZeroLengthPath for */?; a single hop
-    # for ?). Arbitrary-length paths are duplicate-free per the §18.4 ALP
-    # algorithm, unlike the multiset BGP algebra.
-    closures: tuple[tuple[tuple, tuple, tuple, str], ...] = ()
     # CONSTRUCT template (§16.2): plain triples instantiated per solution;
     # the plan unions the instantiations and de-duplicates (the result is
     # a GRAPH — a set of (s, p, o) id triples)
@@ -289,6 +358,54 @@ class BGPQuery:
     ask: bool = False
     # OFFSET (applies after ORDER BY, before LIMIT)
     offset: int | None = None
+
+    # ---- flat-view accessors: the ROOT group's content, kept so code and
+    # tests written against the pre-recursive flat representation keep
+    # reading naturally (nested structure lives on `where`) ----
+    @property
+    def patterns(self) -> tuple[TriplePattern, ...]:
+        return self.where.patterns
+
+    @property
+    def filters(self) -> tuple:
+        return self.where.filters
+
+    @property
+    def binds(self) -> tuple[tuple[str, object], ...]:
+        return self.where.binds
+
+    @property
+    def optionals(self) -> tuple[GroupPattern, ...]:
+        return self.where.optionals
+
+    @property
+    def optional_filters(self) -> tuple[tuple, ...]:
+        # index-aligned with `optionals` (the pre-recursive representation)
+        return tuple(g.filters for g in self.where.optionals)
+
+    @property
+    def unions(self) -> tuple[tuple[GroupPattern, ...], ...]:
+        return self.where.unions
+
+    @property
+    def minuses(self) -> tuple[GroupPattern, ...]:
+        return self.where.minuses
+
+    @property
+    def exists(self) -> tuple[tuple[bool, GroupPattern], ...]:
+        return self.where.exists
+
+    @property
+    def values(self) -> tuple:
+        return self.where.values
+
+    @property
+    def values_multi(self) -> tuple:
+        return self.where.values_multi
+
+    @property
+    def closures(self) -> tuple:
+        return self.where.closures
 
 
 def _localize_iri(inner: str) -> str:
@@ -670,39 +787,6 @@ def filter_expr_streq_literals(node) -> set[str]:
     )
 
 
-def _extract_filters(src: str):
-    """Pull every `FILTER( ... )` (balanced parens — the expression may
-    contain its own) out of a pattern source. Returns (stripped, exprs)."""
-    exprs = []
-    out = []
-    pos = 0
-    while True:
-        m = _FILTER_KEYWORD.search(src, pos)
-        if not m:
-            out.append(src[pos:])
-            break
-        out.append(src[pos : m.start()])
-        depth = 1
-        i = m.end()
-        while i < len(src) and depth:
-            if src[i] == "(":
-                depth += 1
-            elif src[i] == ")":
-                depth -= 1
-            i += 1
-        if depth:
-            raise SparqlSyntaxError("unbalanced parentheses in FILTER")
-        exprs.append(_parse_filter_expr(src[m.end() : i - 1]))
-        # swallow an optional statement terminator after the filter
-        rest = src[i:]
-        if rest.lstrip().startswith("."):
-            rest = rest.lstrip()[1:]
-        src = rest
-        pos = 0
-        out.append(" ")
-    return "".join(out), exprs
-
-
 def _parse_arith_expr(src: str):
     """Recursive-descent parse of a BIND arithmetic expression:
     `*` binds tighter than `+`/`-`; leaves are variables and integers."""
@@ -780,47 +864,6 @@ def arith_expr_vars(node) -> set[str]:
     return arith_expr_vars(node[1]) | arith_expr_vars(node[2])
 
 
-def _extract_binds(src: str):
-    """Pull every `BIND( expr AS ?var )` (balanced parens) out of a pattern
-    source, in textual order (§10.1: later binds may use earlier ones).
-    Returns (stripped, [(var, expr_ast), ...])."""
-    binds: list[tuple[str, object]] = []
-    out = []
-    pos = 0
-    while True:
-        m = _BIND_KEYWORD.search(src, pos)
-        if not m:
-            out.append(src[pos:])
-            break
-        out.append(src[pos : m.start()])
-        depth = 1
-        i = m.end()
-        while i < len(src) and depth:
-            if src[i] == "(":
-                depth += 1
-            elif src[i] == ")":
-                depth -= 1
-            i += 1
-        if depth:
-            raise SparqlSyntaxError("unbalanced parentheses in BIND")
-        body = src[m.end() : i - 1]
-        am = _BIND_AS.search(body)
-        if not am:
-            raise SparqlSyntaxError(
-                f"BIND needs the form BIND(expr AS ?var): {body.strip()!r}"
-            )
-        binds.append(
-            (am.group("var"), _parse_arith_expr(body[: am.start()]))
-        )
-        rest = src[i:]
-        if rest.lstrip().startswith("."):
-            rest = rest.lstrip()[1:]
-        src = rest
-        pos = 0
-        out.append(" ")
-    return "".join(out), binds
-
-
 _PATH_OPERATOR = re.compile(r"[*+!?]")
 # internal variables introduced by sequence-path expansion; hidden from
 # SELECT * projections
@@ -851,7 +894,10 @@ def _expand_path(
         if "(" in inner or ")" in inner or not inner:
             raise SparqlSyntaxError(f"unsupported property path {p_tok!r}")
         p_tok = inner
-    if plain and _PATH_OPERATOR.search(p_tok):
+    if plain and (_PATH_OPERATOR.search(p_tok) or "(" in p_tok or ")" in p_tok):
+        # closure operators or grouping parens inside the expression: not
+        # expressible as a flat join chain — the caller falls back to the
+        # full §9.1 path-AST parser (`_parse_path_expr`)
         raise SparqlSyntaxError(
             f"unsupported property path {p_tok!r} "
             "(supported: sequence p1/p2, alternation p1|p2, inverse ^p, "
@@ -894,9 +940,112 @@ def _expand_path(
 # Zero-length semantics follow §18.4's ZeroLengthPath: with both endpoints
 # variable it binds every term OF THE GRAPH (distinct subjects ∪ objects)
 # to itself; a constant endpoint matches itself regardless of membership.
-# Operators nested inside sequences/alternations stay rejected in
-# _expand_path (their evaluation would need per-segment closure plumbing).
+# This fast path keeps the single-predicate closure on the seeded-BFS
+# machinery; COMPOSITE paths containing closures — `(p1|p2)+`, `p1/(p2*)`,
+# `^(p1/p2)+` — parse below into a full path AST (`_parse_path_expr`) the
+# planner compiles to a pair relation.
 _CLOSURE = re.compile(r"^\(?([^/|^*+!?()\s]+)([*+?])\)?$")
+
+# characters that delimit a predicate name inside a path expression
+_PATH_DELIMS = frozenset("/|^*+?()")
+
+
+def _parse_path_expr(src: str, prefixes: dict[str, str]):
+    """Full property-path expression parser (SPARQL 1.1 §9.1 grammar):
+    precedence `|` < `/` < unary `^` / postfix `* + ?`, parentheses for
+    grouping. Returns an AST over nodes
+        ('pred', slot) | ('inv', a) | ('seq', [a, ...]) |
+        ('alt', [a, ...]) | ('clos', a, '*'|'+'|'?')
+    Per the grammar, `^p*` parses as `(^p)*` (the inverse binds to the
+    path primary, the modifier to the whole element). Predicates must be
+    constants — a variable or negated set inside a composite path is
+    malformed."""
+    pos, n = 0, len(src)
+
+    def error():
+        raise SparqlSyntaxError(f"malformed property path: {src!r}")
+
+    def peek():
+        return src[pos] if pos < n else None
+
+    def alt():
+        parts = [seq()]
+        while peek() == "|":
+            advance()
+            parts.append(seq())
+        return parts[0] if len(parts) == 1 else ("alt", parts)
+
+    def seq():
+        parts = [elt()]
+        while peek() == "/":
+            advance()
+            parts.append(elt())
+        return parts[0] if len(parts) == 1 else ("seq", parts)
+
+    def advance():
+        nonlocal pos
+        pos += 1
+
+    def elt():
+        inv = False
+        if peek() == "^":
+            advance()
+            inv = True
+        node = atom()
+        if inv:
+            node = ("inv", node)
+        while peek() in ("*", "+", "?"):
+            node = ("clos", node, src[pos])
+            advance()
+        return node
+
+    def atom():
+        nonlocal pos
+        if peek() == "(":
+            advance()
+            node = alt()
+            if peek() != ")":
+                error()
+            advance()
+            return node
+        start = pos
+        while pos < n and src[pos] not in _PATH_DELIMS:
+            pos += 1
+        name = src[start:pos]
+        if not name or name[0] in "?$!\"":
+            error()
+        slot = _normalize_term(name, prefixes)
+        if slot[0] == "var":
+            error()
+        return ("pred", slot)
+
+    node = alt()
+    if pos != n:
+        error()
+    return node
+
+
+def path_expr_has_closure(node) -> bool:
+    k = node[0]
+    if k == "pred":
+        return False
+    if k == "clos":
+        return True
+    if k == "inv":
+        return path_expr_has_closure(node[1])
+    return any(path_expr_has_closure(c) for c in node[1])
+
+
+def path_expr_terms(node) -> set[str]:
+    """Term constants inside a path AST (for the one bounded dictionary
+    lookup in the planner's constant encoding)."""
+    k = node[0]
+    if k == "pred":
+        kind, val = node[1]
+        return {val} if kind == "term" else set()
+    if k in ("inv", "clos"):
+        return path_expr_terms(node[1])
+    return set().union(*(path_expr_terms(c) for c in node[1]))
 
 
 def _parse_patterns(
@@ -905,6 +1054,7 @@ def _parse_patterns(
     path_counter=None,
     alt_blocks: list | None = None,
     closures: list | None = None,
+    paths: list | None = None,
 ) -> list[TriplePattern]:
     """Tokenize the WHOLE pattern source first, then split the token stream
     on statement terminators. Splitting the raw string on "." would chop
@@ -963,9 +1113,8 @@ def _parse_patterns(
         if cm:
             if closures is None:
                 raise SparqlSyntaxError(
-                    "closure paths (p+ / p* / p?) are only supported in the "
-                    "required pattern group (not inside "
-                    "OPTIONAL/MINUS/EXISTS/UNION)"
+                    "closure paths (p+ / p* / p?) are not allowed here "
+                    "(CONSTRUCT templates take plain triples)"
                 )
             pred = _normalize_term(cm.group(1), prefixes)
             if pred[0] == "var":
@@ -980,13 +1129,36 @@ def _parse_patterns(
             )
             cur.clear()
             return
-        alternatives = _expand_path(*cur, prefixes, path_counter)
+        try:
+            alternatives = _expand_path(*cur, prefixes, path_counter)
+        except SparqlSyntaxError:
+            # composite path the simple expansion cannot express — nested
+            # parens, or a closure operator inside a sequence/alternation
+            # (`(p1|p2)+`, `p1/(p2*)`): parse the full §9.1 AST; the
+            # planner compiles it to a pair relation. Raise the parse
+            # error of the AST parser if the token is malformed outright.
+            if paths is None or not (
+                cur[1]
+                and cur[1][0] not in "\"<?$"
+                and any(ch in _PATH_DELIMS for ch in cur[1])
+            ):
+                raise
+            ast = _parse_path_expr(cur[1], prefixes)
+            paths.append(
+                (
+                    _normalize_term(cur[0], prefixes),
+                    ast,
+                    _normalize_term(cur[2], prefixes),
+                )
+            )
+            cur.clear()
+            return
         if len(alternatives) == 1:
             patterns.extend(alternatives[0])
         elif alt_blocks is None:
             raise SparqlSyntaxError(
-                "alternation paths are only supported in the required "
-                "pattern group (not inside OPTIONAL/MINUS/EXISTS/UNION)"
+                "alternation paths are not allowed here "
+                "(CONSTRUCT templates take plain triples)"
             )
         else:
             alt_blocks.append(tuple(tuple(arm) for arm in alternatives))
@@ -1008,6 +1180,349 @@ def _parse_patterns(
             _flush()
     _flush()
     return patterns
+
+
+def _skip_ws(src: str, i: int) -> int:
+    while i < len(src) and src[i].isspace():
+        i += 1
+    return i
+
+
+def _scan_delim(src: str, i: int, open_c: str, close_c: str, what: str):
+    """src[i] must be `open_c`; return (inner, j) with j past the matching
+    `close_c`. Double-quoted literals are skipped (a brace or paren inside
+    a string never counts); IRIs cannot legally contain braces or quotes,
+    and `<` appears as a comparison operator inside FILTER bodies, so no
+    IRI special-casing is needed here."""
+    if i >= len(src) or src[i] != open_c:
+        raise SparqlSyntaxError(f"expected {open_c!r} to open {what}")
+    depth = 0
+    n = len(src)
+    start = i + 1
+    while i < n:
+        c = src[i]
+        if c == '"':
+            j = src.find('"', i + 1)
+            if j < 0:
+                raise SparqlSyntaxError("unterminated string literal")
+            i = j + 1
+            continue
+        if c == open_c:
+            depth += 1
+        elif c == close_c:
+            depth -= 1
+            if depth == 0:
+                return src[start:i], i + 1
+        i += 1
+    raise SparqlSyntaxError(f"unbalanced {open_c}{close_c} in {what}")
+
+
+def _parse_values_rows(vars_: tuple[str, ...], rows_src: str, prefixes):
+    """Rows of a multi-variable VALUES block: width check, constants only,
+    UNDEF wildcards, pairwise-disjointness (the condition under which the
+    OR-of-ANDs compilation equals SPARQL's multiset join)."""
+    if len(set(vars_)) != len(vars_):
+        raise SparqlSyntaxError(f"duplicate VALUES variables: {vars_}")
+    rows: list[tuple[tuple[str, object], ...]] = []
+    for rm in _VALUES_ROW.finditer(rows_src):
+        entries = tuple(
+            ("undef", None)
+            if t.upper() == "UNDEF"
+            else _normalize_term(t, prefixes)
+            for t in _TOKEN.findall(rm.group(1))
+        )
+        if len(entries) != len(vars_):
+            raise SparqlSyntaxError(
+                f"VALUES row width {len(entries)} != {len(vars_)} variables"
+            )
+        if any(kind == "var" for kind, _ in entries):
+            raise SparqlSyntaxError("VALUES entries must be constants")
+        rows.append(entries)
+    if _VALUES_ROW.sub(" ", rows_src).strip():
+        raise SparqlSyntaxError(f"malformed VALUES rows: {rows_src.strip()!r}")
+    if not rows:
+        raise SparqlSyntaxError("empty VALUES block")
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            if not any(
+                ka == kb and ka not in ("undef",) and va != vb
+                for (ka, va), (kb, vb) in zip(rows[i], rows[j])
+            ):
+                raise SparqlSyntaxError(
+                    "VALUES rows must be pairwise disjoint (a solution "
+                    "matching two rows would need multiset duplication): "
+                    f"rows {i} and {j}"
+                )
+    return (vars_, tuple(rows))
+
+
+def _parse_group(
+    src: str, prefixes: dict[str, str], path_counter, depth: int = 0
+) -> GroupPattern:
+    """Recursive group-graph-pattern scanner (SPARQL 1.1 §5.2): one linear
+    pass over the group source, accumulating triple-pattern text between
+    group-level constructs and recursing into every `{ ... }` it meets —
+    OPTIONAL/MINUS/FILTER [NOT] EXISTS bodies, UNION arm chains, and plain
+    nested subgroups all become child GroupPatterns at arbitrary depth
+    (the surface the reference's Jena front-end accepted,
+    MyOpVisitorBase.java:49, which the flat regex extraction could not).
+
+    Keyword detection is token-exact: a word counts only at a delimiter
+    boundary, so terms like :node_OPTIONAL2 or variables like ?filter
+    never trigger. Quoted literals and <IRIs> pass through verbatim."""
+    i, n = 0, len(src)
+    buf: list[str] = []
+    patterns: list[TriplePattern] = []
+    filters: list = []
+    binds: list[tuple[str, object]] = []
+    optionals: list[GroupPattern] = []
+    unions: list[tuple[GroupPattern, ...]] = []
+    minuses: list[GroupPattern] = []
+    exists: list[tuple[bool, GroupPattern]] = []
+    subgroups: list[GroupPattern] = []
+    values: list = []
+    values_multi: list = []
+    alt_blocks: list = []
+    closures: list = []
+    paths: list = []
+
+    def flush():
+        text = "".join(buf)
+        buf.clear()
+        if text.strip():
+            patterns.extend(
+                _parse_patterns(
+                    text, prefixes, path_counter, alt_blocks, closures, paths
+                )
+            )
+
+    def expect_brace(j: int, what: str):
+        j = _skip_ws(src, j)
+        return _scan_delim(src, j, "{", "}", what)
+
+    def child(inner: str, empty_msg: str) -> GroupPattern:
+        g = _parse_group(inner, prefixes, path_counter, depth + 1)
+        if not g.has_required_content():
+            raise SparqlSyntaxError(empty_msg)
+        return g
+
+    while i < n:
+        c = src[i]
+        if c == '"':
+            j = src.find('"', i + 1)
+            if j < 0:
+                raise SparqlSyntaxError("unterminated string literal")
+            buf.append(src[i : j + 1])
+            i = j + 1
+            continue
+        if c == "<":
+            j = src.find(">", i + 1)
+            if j < 0:
+                raise SparqlSyntaxError("unterminated IRI")
+            buf.append(src[i : j + 1])
+            i = j + 1
+            continue
+        if c == "}":
+            raise SparqlSyntaxError("unbalanced '}' in group pattern")
+        if c == "{":
+            flush()
+            inner, i = _scan_delim(src, i, "{", "}", "group pattern")
+            arms = [inner]
+            while True:  # `{...} UNION {...} [UNION {...}]` chain
+                j = _skip_ws(src, i)
+                m = _WORD.match(src, j)
+                if not (m and m.group(0).upper() == "UNION"):
+                    break
+                inner2, i = expect_brace(m.end(), "UNION arm")
+                arms.append(inner2)
+            if len(arms) == 1:
+                subgroups.append(child(inner, "empty group pattern"))
+            else:
+                unions.append(
+                    tuple(child(a, "empty UNION arm") for a in arms)
+                )
+            continue
+        m = _WORD.match(src, i)
+        boundary = i == 0 or src[i - 1].isspace() or src[i - 1] in ".{}()"
+        if m and boundary and m.group(0).upper() in _GROUP_KEYWORDS:
+            kw = m.group(0).upper()
+            if kw in ("GRAPH", "SERVICE"):
+                raise SparqlSyntaxError(
+                    "only basic graph patterns are supported "
+                    "(no GRAPH/SERVICE)"
+                )
+            if kw == "UNION":
+                raise SparqlSyntaxError(
+                    "UNION must follow a '{...}' group alternative"
+                )
+            flush()
+            if kw == "OPTIONAL":
+                inner, i = expect_brace(m.end(), "OPTIONAL")
+                optionals.append(child(inner, "empty OPTIONAL group"))
+                continue
+            if kw == "MINUS":
+                inner, i = expect_brace(m.end(), "MINUS")
+                minuses.append(child(inner, "empty MINUS group"))
+                continue
+            if kw == "FILTER":
+                j = _skip_ws(src, m.end())
+                m2 = _WORD.match(src, j)
+                if m2 and m2.group(0).upper() == "NOT":
+                    j2 = _skip_ws(src, m2.end())
+                    m3 = _WORD.match(src, j2)
+                    if not (m3 and m3.group(0).upper() == "EXISTS"):
+                        raise SparqlSyntaxError(
+                            "expected EXISTS after FILTER NOT"
+                        )
+                    inner, i = expect_brace(m3.end(), "FILTER NOT EXISTS")
+                    exists.append((True, child(inner, "empty EXISTS group")))
+                    continue
+                if m2 and m2.group(0).upper() == "EXISTS":
+                    inner, i = expect_brace(m2.end(), "FILTER EXISTS")
+                    exists.append((False, child(inner, "empty EXISTS group")))
+                    continue
+                inner, i = _scan_delim(src, j, "(", ")", "FILTER")
+                filters.append(_parse_filter_expr(inner))
+                continue
+            if kw == "BIND":
+                if depth:
+                    raise SparqlSyntaxError(
+                        "BIND is only supported in the required pattern "
+                        "group (not inside OPTIONAL/MINUS/EXISTS/UNION "
+                        "or nested groups)"
+                    )
+                j = _skip_ws(src, m.end())
+                body, i = _scan_delim(src, j, "(", ")", "BIND")
+                am = _BIND_AS.search(body)
+                if not am:
+                    raise SparqlSyntaxError(
+                        f"BIND needs the form BIND(expr AS ?var): "
+                        f"{body.strip()!r}"
+                    )
+                binds.append(
+                    (am.group("var"), _parse_arith_expr(body[: am.start()]))
+                )
+                continue
+            # VALUES
+            j = _skip_ws(src, m.end())
+            if j < n and src[j] in "?$":
+                vm = re.compile(r"[?$](\w+)").match(src, j)
+                if not vm:
+                    raise SparqlSyntaxError("malformed VALUES variable")
+                vals_src, i = expect_brace(vm.end(), "VALUES")
+                entries = tuple(
+                    _normalize_term(tok, prefixes)
+                    for tok in _TOKEN.findall(vals_src)
+                )
+                if not entries:
+                    raise SparqlSyntaxError("empty VALUES block")
+                if any(kind == "var" for kind, _ in entries):
+                    raise SparqlSyntaxError("VALUES entries must be constants")
+                values.append((vm.group(1), entries))
+                continue
+            if j < n and src[j] == "(":
+                vars_src, j2 = _scan_delim(src, j, "(", ")", "VALUES")
+                toks = vars_src.split()
+                if not toks or any(not t.startswith(("?", "$")) for t in toks):
+                    raise SparqlSyntaxError(
+                        f"unsupported VALUES form: {vars_src.strip()!r}"
+                    )
+                vars_ = tuple(t.lstrip("?$") for t in toks)
+                rows_src, i = expect_brace(j2, "VALUES")
+                values_multi.append(
+                    _parse_values_rows(vars_, rows_src, prefixes)
+                )
+                continue
+            raise SparqlSyntaxError("unsupported VALUES form")
+        buf.append(c)
+        i += 1
+    flush()
+    # alternation paths (§9.1) lower to UNION blocks of single-pattern-list
+    # arms: arms join per-arm with the rest of the group exactly like
+    # written UNION groups (every arm binds the same endpoint variables)
+    for blk in alt_blocks:
+        unions.append(tuple(GroupPattern(patterns=tuple(arm)) for arm in blk))
+    return GroupPattern(
+        patterns=tuple(patterns),
+        filters=tuple(filters),
+        binds=tuple(binds),
+        optionals=tuple(optionals),
+        unions=tuple(unions),
+        minuses=tuple(minuses),
+        exists=tuple(exists),
+        subgroups=tuple(subgroups),
+        values=tuple(values),
+        values_multi=tuple(values_multi),
+        closures=tuple(closures),
+        paths=tuple(paths),
+    )
+
+
+def _validate_group_tree(
+    g: GroupPattern, own_filter_scope: set[str] | None
+) -> None:
+    """Structural validation, applied at every level of the group tree.
+
+    `own_filter_scope` is the variable scope this group's DIRECT filters
+    may reference, or None when the caller already validated them (an
+    OPTIONAL child's direct filters fold into the LeftJoin condition, so
+    the PARENT validates them against group-vars ∪ parent-required-vars).
+    Every group plans standalone (SPARQL's bottom-up algebra), so a
+    nested group's filters may reference only variables the group itself
+    can bind — an outer reference would silently evaluate as unbound;
+    reject rather than guess (the engine's standing stance)."""
+    req = g.required_vars()
+    if own_filter_scope is not None:
+        for expr in g.filters:
+            for v in sorted(filter_expr_vars(expr)):
+                if v not in own_filter_scope:
+                    raise SparqlSyntaxError(
+                        f"FILTER variable not in BGP: ?{v}"
+                    )
+    for var, _ in g.values:
+        if var not in req:
+            raise SparqlSyntaxError(f"VALUES variable not in BGP: ?{var}")
+    for vars_, _ in g.values_multi:
+        for var in vars_:
+            if var not in req:
+                raise SparqlSyntaxError(f"VALUES variable not in BGP: ?{var}")
+    for sub in g.subgroups:
+        _validate_group_tree(sub, sub.all_vars())
+    for blk in g.unions:
+        for arm in blk:
+            _validate_group_tree(arm, arm.all_vars())
+    for opt in g.optionals:
+        if not (opt.all_vars() & req):
+            raise SparqlSyntaxError(
+                "OPTIONAL group shares no variable with the required patterns"
+            )
+        # a group-scoped FILTER may reference the group's own variables and
+        # the enclosing group's required ones — SPARQL's LeftJoin(P1, P2, F)
+        # scope; variables of SIBLING optional groups are rejected (their
+        # binding order would silently change the result)
+        scope = opt.all_vars() | req
+        for expr in opt.filters:
+            for v in sorted(filter_expr_vars(expr)):
+                if v not in scope:
+                    raise SparqlSyntaxError(
+                        f"OPTIONAL FILTER variable not in the group or the "
+                        f"required patterns: ?{v}"
+                    )
+        _validate_group_tree(opt, None)
+    for grp in g.minuses:
+        if not (grp.all_vars() & req):
+            # SPARQL says disjoint-domain MINUS removes nothing; silently
+            # keeping everything hides a typo'd variable — reject instead.
+            raise SparqlSyntaxError(
+                "MINUS group shares no variable with the required patterns"
+            )
+        _validate_group_tree(grp, grp.all_vars())
+    for _, grp in g.exists:
+        if not (grp.all_vars() & req):
+            raise SparqlSyntaxError(
+                "EXISTS group shares no variable with the required patterns"
+            )
+        _validate_group_tree(grp, grp.all_vars())
 
 
 def parse_sparql(query: str) -> BGPQuery:
@@ -1032,9 +1547,7 @@ def parse_sparql(query: str) -> BGPQuery:
                 "DESCRIBE with variables needs a WHERE group "
                 "(DESCRIBE ?x WHERE { ... }), one variable only"
             )
-        return BGPQuery(
-            projection=None, patterns=(), describe_terms=slots
-        )
+        return BGPQuery(projection=None, describe_terms=slots)
     am = _ASK.match(query)
     cm = _CONSTRUCT.match(query) if not am else None
     if dv:
@@ -1074,130 +1587,15 @@ def parse_sparql(query: str) -> BGPQuery:
     prefixes = {
         pm.group(1): pm.group(2) for pm in _PREFIX_DECL.finditer(prefixes_src)
     }
-    if _UNSUPPORTED.search(bgp_src):
-        raise SparqlSyntaxError(
-            "only basic graph patterns are supported (no UNION/GRAPH/...)"
-        )
+    # the WHERE clause parses as a RECURSIVE group graph pattern (§5.2):
+    # nested {} subgroups, OPTIONAL/MINUS/EXISTS bodies and UNION arms are
+    # full groups at arbitrary depth
+    path_counter = itertools.count()  # fresh-var source shared query-wide
+    root = _parse_group(bgp_src, prefixes, path_counter)
 
-    # extract OPTIONAL groups (non-nested) before the required patterns
-    optional_srcs = [om.group(1) for om in _OPTIONAL.finditer(bgp_src)]
-    bgp_src = _OPTIONAL.sub(" ", bgp_src)
-    if re.search(r"\bOPTIONAL\b", bgp_src, re.I):
-        raise SparqlSyntaxError("nested OPTIONAL groups are not supported")
-
-    # extract FILTER [NOT] EXISTS groups (before MINUS: both are
-    # keyword-prefixed braces, and EXISTS carries the FILTER keyword)
-    exists_srcs: list[tuple[bool, str]] = []  # (negated, patterns source)
-    for em in _FILTER_EXISTS.finditer(bgp_src):
-        exists_srcs.append((bool(em.group("neg")), em.group(2)))
-    bgp_src = _FILTER_EXISTS.sub(" ", bgp_src)
-
-    # extract VALUES blocks (single variable; braces are keyword-prefixed)
-    values: list[tuple[str, tuple[tuple[str, object], ...]]] = []
-    for vm in _VALUES.finditer(bgp_src):
-        entries = tuple(
-            _normalize_term(tok, prefixes) for tok in _TOKEN.findall(vm.group("vals"))
-        )
-        if not entries:
-            raise SparqlSyntaxError("empty VALUES block")
-        if any(kind == "var" for kind, _ in entries):
-            raise SparqlSyntaxError("VALUES entries must be constants")
-        values.append((vm.group("var"), entries))
-    bgp_src = _VALUES.sub(" ", bgp_src)
-
-    # extract multi-variable VALUES blocks: VALUES (?x ?y) { (a b) ... }
-    values_multi: list[
-        tuple[tuple[str, ...], tuple[tuple[tuple[str, object], ...], ...]]
-    ] = []
-    for vm in _VALUES_MULTI.finditer(bgp_src):
-        vars_ = tuple(v.lstrip("?$") for v in vm.group("vars").split())
-        if len(set(vars_)) != len(vars_):
-            raise SparqlSyntaxError(f"duplicate VALUES variables: {vars_}")
-        rows_src = vm.group("rows")
-        rows: list[tuple[tuple[str, object], ...]] = []
-        for rm in _VALUES_ROW.finditer(rows_src):
-            entries = tuple(
-                ("undef", None)
-                if t.upper() == "UNDEF"
-                else _normalize_term(t, prefixes)
-                for t in _TOKEN.findall(rm.group(1))
-            )
-            if len(entries) != len(vars_):
-                raise SparqlSyntaxError(
-                    f"VALUES row width {len(entries)} != {len(vars_)} variables"
-                )
-            if any(kind == "var" for kind, _ in entries):
-                raise SparqlSyntaxError("VALUES entries must be constants")
-            rows.append(entries)
-        if _VALUES_ROW.sub(" ", rows_src).strip():
-            raise SparqlSyntaxError(
-                f"malformed VALUES rows: {rows_src.strip()!r}"
-            )
-        if not rows:
-            raise SparqlSyntaxError("empty VALUES block")
-        # The OR-of-ANDs compilation is set-based; SPARQL's multiset join
-        # multiplies a solution by the number of VALUES rows compatible
-        # with it (UNDEF = wildcard). The two agree exactly when rows are
-        # PAIRWISE DISJOINT — some position holds different constants of
-        # the same kind in both rows — so anything else is rejected
-        # (duplicates, subsumed wildcards, cross-kind ambiguity).
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                if not any(
-                    ka == kb and ka not in ("undef",) and va != vb
-                    for (ka, va), (kb, vb) in zip(rows[i], rows[j])
-                ):
-                    raise SparqlSyntaxError(
-                        "VALUES rows must be pairwise disjoint (a solution "
-                        "matching two rows would need multiset duplication): "
-                        f"rows {i} and {j}"
-                    )
-        values_multi.append((vars_, tuple(rows)))
-    bgp_src = _VALUES_MULTI.sub(" ", bgp_src)
-    if re.search(r"\bVALUES\b", bgp_src, re.I):
-        raise SparqlSyntaxError("unsupported VALUES form")
-
-    # extract MINUS groups (non-nested, keyword-prefixed like OPTIONAL)
-    minus_srcs = [mm.group(1) for mm in _MINUS.finditer(bgp_src)]
-    bgp_src = _MINUS.sub(" ", bgp_src)
-    if re.search(r"\bMINUS\b", bgp_src, re.I):
-        raise SparqlSyntaxError("nested MINUS groups are not supported")
-
-    # extract union chains of group alternatives (after OPTIONAL/MINUS,
-    # whose braces are already gone; any brace left after this is
-    # unsupported). Each `{...} UNION {...} [UNION {...}]` chain is one
-    # block; blocks compose by join in the planner.
-    union_block_srcs: list[list[str]] = [
-        _BRACE_GROUP.findall(chain) for chain in _UNION_CHAIN.findall(bgp_src)
-    ]
-    if union_block_srcs:
-        bgp_src = _UNION_CHAIN.sub(" ", bgp_src)
-    if re.search(r"\bUNION\b", bgp_src, re.I) or "{" in bgp_src or "}" in bgp_src:
-        raise SparqlSyntaxError(
-            "unsupported group pattern (UNION arms must be brace groups; "
-            "no other nested groups)"
-        )
-
-    # extract FILTER constraints before pattern tokenization (balanced-paren
-    # scan: expressions may contain their own parentheses)
-    bgp_src, filters = _extract_filters(bgp_src)
-
-    # extract BIND assignments (§10.1), textual order preserved; BIND inside
-    # OPTIONAL/MINUS/EXISTS/UNION groups is rejected (group-local scoping
-    # would need per-group evaluation order — reject rather than guess)
-    bgp_src, binds = _extract_binds(bgp_src)
-    for gsrc in (
-        optional_srcs
-        + minus_srcs
-        + [esrc for _, esrc in exists_srcs]
-        + [usrc for block in union_block_srcs for usrc in block]
-    ):
-        if _BIND_KEYWORD.search(gsrc) or re.search(r"\bBIND\b", gsrc, re.I):
-            raise SparqlSyntaxError(
-                "BIND is only supported in the required pattern group "
-                "(not inside OPTIONAL/MINUS/EXISTS/UNION)"
-            )
-
+    # synthetic BINDs appended by SELECT-expression desugaring below; they
+    # merge after the written ones (same scoping/freshness validation)
+    binds: list[tuple[str, object]] = []
     aggregates: list[tuple[str, str | None, bool, str, str | None]] = []
     if proj_src == "*":
         projection = None
@@ -1256,62 +1654,15 @@ def parse_sparql(query: str) -> BGPQuery:
             raise SparqlSyntaxError(f"duplicate projection names: {items}")
         projection = tuple(items)
 
-    path_counter = itertools.count()  # fresh-var source shared query-wide
-    path_alt_blocks: list[tuple[tuple[TriplePattern, ...], ...]] = []
-    closures: list[tuple[tuple, tuple, tuple, str]] = []
-    patterns = _parse_patterns(
-        bgp_src, prefixes, path_counter, path_alt_blocks, closures
-    )
-    unions: list[tuple[tuple[TriplePattern, ...], ...]] = []
-    for block_srcs in union_block_srcs:
-        block: list[tuple[TriplePattern, ...]] = []
-        for usrc in block_srcs:
-            arm = tuple(_parse_patterns(usrc, prefixes, path_counter))
-            if not arm:
-                raise SparqlSyntaxError("empty UNION arm")
-            block.append(arm)
-        unions.append(tuple(block))
-    # alternation paths (§9.1) lower to UNION blocks: arms join per-arm
-    # with the rest of the BGP exactly like written UNION groups (every
-    # arm binds the same endpoint variables, so no arm is null-extended)
-    unions.extend(path_alt_blocks)
-    if not patterns and not unions and not closures:
-        raise SparqlSyntaxError("empty basic graph pattern")
-    optionals: list[tuple[TriplePattern, ...]] = []
-    optional_filters: list[tuple] = []
-    for osrc in optional_srcs:
-        osrc, oflt = _extract_filters(osrc)
-        group = tuple(_parse_patterns(osrc, prefixes, path_counter))
-        if not group:
-            raise SparqlSyntaxError("empty OPTIONAL group")
-        optionals.append(group)
-        optional_filters.append(tuple(oflt))
-    minuses: list[tuple[TriplePattern, ...]] = []
-    for msrc in minus_srcs:
-        group = tuple(_parse_patterns(msrc, prefixes, path_counter))
-        if not group:
-            raise SparqlSyntaxError("empty MINUS group")
-        minuses.append(group)
-    exists: list[tuple[bool, tuple[TriplePattern, ...]]] = []
-    for neg, esrc in exists_srcs:
-        group = tuple(_parse_patterns(esrc, prefixes, path_counter))
-        if not group:
-            raise SparqlSyntaxError("empty EXISTS group")
-        exists.append((neg, group))
+    if binds:
+        from dataclasses import replace as _dc_replace
 
-    required_vars = (
-        set().union(set(), *(tp.variables() for tp in patterns))
-        | {v for blk in unions for arm in blk for tp in arm for v in tp.variables()}
-        | {
-            val
-            for s, _, o, _ in closures
-            for kind, val in (s, o)
-            if kind == "var"
-        }
-    )
-    pattern_vars = required_vars | {
-        v for grp in optionals for tp in grp for v in tp.variables()
-    }
+        root = _dc_replace(root, binds=root.binds + tuple(binds))
+    if not root.has_required_content():
+        raise SparqlSyntaxError("empty basic graph pattern")
+
+    required_vars = root.required_vars()
+    pattern_vars = root.all_vars()
 
     # BIND validation (§10.1): the target must be FRESH (the spec makes an
     # in-scope target a syntax error) and the expression may only use
@@ -1325,10 +1676,11 @@ def parse_sparql(query: str) -> BGPQuery:
     # textual-order semantics (the engine's standing stance).
     group_local_vars = {
         v
-        for grp in list(minuses) + [g for _, g in exists]
-        for tp in grp
-        for v in tp.variables()
+        for g in _walk_groups(root)
+        for grp in list(g.minuses) + [e for _, e in g.exists]
+        for v in grp.all_vars()
     }
+    binds = root.binds
     for bvar, bexpr in binds:
         unknown = arith_expr_vars(bexpr) - bind_scope
         if unknown:
@@ -1374,33 +1726,11 @@ def parse_sparql(query: str) -> BGPQuery:
                         f"CONSTRUCT template variable must be bound by the "
                         f"required patterns: ?{v}"
                     )
-    for grp in optionals:
-        grp_vars = set().union(*(tp.variables() for tp in grp))
-        if not grp_vars & required_vars:
-            raise SparqlSyntaxError(
-                "OPTIONAL group shares no variable with the required patterns"
-            )
-    for grp in minuses:
-        grp_vars = set().union(*(tp.variables() for tp in grp))
-        if not grp_vars & required_vars:
-            # SPARQL says disjoint-domain MINUS removes nothing; silently
-            # keeping everything hides a typo'd variable — reject instead.
-            raise SparqlSyntaxError(
-                "MINUS group shares no variable with the required patterns"
-            )
-    for _, grp in exists:
-        grp_vars = set().union(*(tp.variables() for tp in grp))
-        if not grp_vars & required_vars:
-            raise SparqlSyntaxError(
-                "EXISTS group shares no variable with the required patterns"
-            )
-    for var, _ in values:
-        if var not in required_vars:
-            raise SparqlSyntaxError(f"VALUES variable not in BGP: ?{var}")
-    for vars_, _ in values_multi:
-        for var in vars_:
-            if var not in required_vars:
-                raise SparqlSyntaxError(f"VALUES variable not in BGP: ?{var}")
+    # structural validation of the whole group tree: share-variable checks
+    # for OPTIONAL/MINUS/EXISTS at every level, VALUES variable scoping,
+    # and nested-group FILTER scoping (root filters validate against
+    # pattern_vars, which includes BIND targets)
+    _validate_group_tree(root, own_filter_scope=pattern_vars)
     aliases = {alias for _, _, _, alias, _ in aggregates}
     if projection is not None:
         unknown = set(projection) - pattern_vars - aliases
@@ -1414,24 +1744,6 @@ def parse_sparql(query: str) -> BGPQuery:
     for _, avar, _, _, _ in aggregates:
         if avar is not None and avar not in pattern_vars:
             raise SparqlSyntaxError(f"aggregate variable not in BGP: ?{avar}")
-    for expr in filters:
-        for v in sorted(filter_expr_vars(expr)):
-            if v not in pattern_vars:
-                raise SparqlSyntaxError(f"FILTER variable not in BGP: ?{v}")
-    for grp, flts in zip(optionals, optional_filters):
-        # a group-scoped FILTER may reference the group's own variables and
-        # the required (outer) ones — SPARQL's LeftJoin(P1, P2, F) scope;
-        # variables of OTHER optional groups are rejected (their binding
-        # order would silently change the result)
-        grp_scope = set().union(*(tp.variables() for tp in grp)) | required_vars
-        for expr in flts:
-            for v in sorted(filter_expr_vars(expr)):
-                if v not in grp_scope:
-                    raise SparqlSyntaxError(
-                        f"OPTIONAL FILTER variable not in the group or the "
-                        f"required patterns: ?{v}"
-                    )
-
     # solution modifiers after the group pattern
     mods = mods_src or ""
     # HAVING(expr) — extract with balanced parens, reusing the FILTER
@@ -1508,21 +1820,11 @@ def parse_sparql(query: str) -> BGPQuery:
         raise SparqlSyntaxError(f"unsupported solution modifiers: {leftover!r}")
     return BGPQuery(
         projection=projection,
-        patterns=tuple(patterns),
+        where=root,
         distinct=bool(distinct_src),
         ask=ask,
         order_by=tuple(order_by),
         limit=int(lm.group("n")) if lm else None,
-        filters=tuple(filters),
-        binds=tuple(binds),
-        optionals=tuple(optionals),
-        optional_filters=tuple(optional_filters),
-        unions=tuple(unions),
-        minuses=tuple(minuses),
-        exists=tuple(exists),
-        values=tuple(values),
-        values_multi=tuple(values_multi),
-        closures=tuple(closures),
         construct=tuple(construct),
         describe_var=describe_var,
         offset=int(om2.group("n")) if om2 else None,

@@ -24,6 +24,7 @@ predicate-clustered.
 
 from __future__ import annotations
 
+import itertools
 from functools import reduce
 
 from pyspark.sql import DataFrame
@@ -36,11 +37,14 @@ from rdfproject_msc_spark.operators.graph import transitive_closure
 from rdfproject_msc_spark.sparql.parser import (
     _CMP_OPS,
     BGPQuery,
+    GroupPattern,
     SparqlSyntaxError,
+    _walk_groups,
     arith_expr_vars,
     filter_expr_streq_literals,
     filter_expr_strfn_vars,
     parse_sparql,
+    path_expr_terms,
 )
 from rdfproject_msc_spark.store import TripleStore
 
@@ -150,58 +154,44 @@ def _compile_arith(node, colmap: dict[str, str]) -> Column:
 
 
 def _encode_constants(bgp: BGPQuery, dictionary: Dictionary | None) -> dict[str, int]:
-    all_patterns = (
-        list(bgp.patterns)
-        + [tp for grp in bgp.optionals for tp in grp]
-        + [tp for blk in bgp.unions for arm in blk for tp in arm]
-        + [tp for grp in bgp.minuses for tp in grp]
-        + [tp for _, grp in bgp.exists for tp in grp]
-    )
-    terms = sorted(
-        {
-            val
-            for tp in all_patterns
-            for kind, val in (tp.s, tp.p, tp.o)
-            if kind == "term"
+    """Gather every term constant anywhere in the (recursive) group tree
+    plus the CONSTRUCT/DESCRIBE slots, and resolve them in ONE bounded
+    dictionary lookup (never a driver-side full reverse map,
+    cf. MyOpVisitorBase.java:56-66)."""
+    terms: set[str] = set()
+    for g in _walk_groups(bgp.where):
+        for tp in g.patterns:
+            for kind, val in (tp.s, tp.p, tp.o):
+                if kind == "term":
+                    terms.add(val)
+                elif kind == "notin":
+                    terms |= {v for nk, v in val if nk == "term"}
+        terms |= {
+            val for _, entries in g.values for kind, val in entries if kind == "term"
         }
-        | {
+        terms |= {
             val
-            for tp in all_patterns
-            for kind, nested in (tp.s, tp.p, tp.o)
-            if kind == "notin"
-            for nkind, val in nested
-            if nkind == "term"
-        }
-        | {
-            val
-            for _, entries in bgp.values
-            for kind, val in entries
-            if kind == "term"
-        }
-        | {
-            val
-            for _, rows in bgp.values_multi
+            for _, rows in g.values_multi
             for row in rows
             for kind, val in row
             if kind == "term"
         }
-        | {
-            val
-            for closure in bgp.closures
-            for kind, val in closure[:3]
-            if kind == "term"
+        terms |= {
+            val for closure in g.closures for kind, val in closure[:3] if kind == "term"
         }
-        | {
-            val
-            for tp in bgp.construct
-            for _, (kind, val) in tp.slots.items()
-            if kind == "term"
-        }
-        | {val for kind, val in bgp.describe_terms if kind == "term"}
-    )
+        for s_slot, ast, o_slot in g.paths:
+            terms |= path_expr_terms(ast)
+            terms |= {val for kind, val in (s_slot, o_slot) if kind == "term"}
+    terms |= {
+        val
+        for tp in bgp.construct
+        for _, (kind, val) in tp.slots.items()
+        if kind == "term"
+    }
+    terms |= {val for kind, val in bgp.describe_terms if kind == "term"}
     if terms and dictionary is None:
         raise SparqlSyntaxError("query has term constants but no dictionary was given")
-    return dictionary.encode_terms(terms) if terms else {}
+    return dictionary.encode_terms(sorted(terms)) if terms else {}
 
 
 def _pattern_scan(
@@ -253,9 +243,9 @@ def _pattern_scan(
     return out, var_cols
 
 
-def _order_patterns(bgp: BGPQuery) -> list:
+def _order_patterns(patterns) -> list:
     """Most-bound first, then greedily connect via shared variables."""
-    remaining = list(bgp.patterns)
+    remaining = list(patterns)
     remaining.sort(key=lambda tp: -tp.bound_count())
     ordered = [remaining.pop(0)]
     seen_vars = set(ordered[0].variables())
@@ -269,11 +259,26 @@ def _order_patterns(bgp: BGPQuery) -> list:
     return ordered
 
 
+class _PlanCtx:
+    """Mutable per-plan state threaded through the recursive group planner:
+    store / dictionary / encoded constants plus a counter producing
+    plan-wide-unique column-name suffixes. Nested groups rename their
+    columns before joining, and uniqueness must hold across the WHOLE
+    tree, so the counter is shared by every recursion level."""
+
+    def __init__(self, store, term_ids, dictionary, litids):
+        self.store = store
+        self.term_ids = term_ids
+        self.dictionary = dictionary
+        self.litids = litids
+        self._counter = itertools.count()
+
+    def nid(self) -> int:
+        return next(self._counter)
+
+
 def _join_group(
-    store: TripleStore,
-    patterns,
-    term_ids: dict[str, int],
-    idx_offset: int,
+    ctx: _PlanCtx, patterns
 ) -> tuple[DataFrame, dict[str, str], list[str]]:
     """Compose a list of patterns into one DataFrame via inner joins on
     shared variables. Returns (df, var→column map, first-appearance order)."""
@@ -281,9 +286,9 @@ def _join_group(
     bound_cols: dict[str, str] = {}
     order: list[str] = []
 
-    for i, tp in enumerate(patterns):
-        idx = idx_offset + i
-        scan, var_cols = _pattern_scan(store, tp, term_ids, idx)
+    for tp in patterns:
+        idx = ctx.nid()
+        scan, var_cols = _pattern_scan(ctx.store, tp, ctx.term_ids, idx)
         if joined is None:
             joined, bound_cols = scan, dict(var_cols)
             order = [v for v in var_cols]
@@ -329,56 +334,117 @@ def _reject_nullable_join_keys(
         )
 
 
-def plan_bgp(
-    store: TripleStore, bgp: BGPQuery, dictionary: Dictionary | None = None
+def _compile_path_relation(
+    ctx: _PlanCtx, node, src_id: int | None = None, dst_id: int | None = None
 ) -> DataFrame:
-    """Compose the BGP into a single DataFrame of variable bindings (ids)."""
-    term_ids = _encode_constants(bgp, dictionary)
+    """Compile a composite property-path AST (SPARQL 1.1 §9.1 — `(p1|p2)+`,
+    `p1/(p2*)`, `^(p1/p2)` and any nesting thereof) into a binary pair
+    relation (cs, co).
 
-    # term-equality FILTER literals (§17.4.1.7): resolved ONCE via a bounded
-    # non-raising lookup — found literals compile to pushdown-able id
-    # equalities; absent ones constant-fold (no triple can contain a term
-    # the dictionary lacks). Gathered from both top-level and
-    # OPTIONAL-scoped filters so each compile site shares one lookup.
-    streq_lits = sorted(
-        {
-            t
-            for expr in list(bgp.filters)
-            + [e for flts in bgp.optional_filters for e in flts]
-            for t in filter_expr_streq_literals(expr)
-        }
-    )
-    litids: dict[str, int] = {}
-    if streq_lits:
-        if dictionary is None:
-            raise SparqlSyntaxError(
-                "term-equality FILTERs need a dictionary to resolve literals"
+    Lowering per node: a predicate is one filtered scan (pushdown-able
+    p-equality — predicate-clustered stores prune to the predicate's row
+    groups); `^` swaps the columns (zero plan cost); `/` chains hash
+    equi-joins; `|` is a multiset union; a closure runs the semi-naive
+    transitive_closure over the COMPILED inner relation — alternation and
+    sequence produce exactly the edge relation the iteration needs, which
+    is the §18.4 ALP algorithm evaluated over a derived edge set.
+
+    `src_id`/`dst_id` seed a TOP-LEVEL closure (a constant endpoint turns
+    the full closure into a bounded BFS from that seed, same as the
+    single-predicate fast path); inner closures compile unseeded — their
+    zero-length arm (`*`/`?`) binds every graph term to itself per §18.4's
+    ZeroLengthPath, an inherent cost documented in SCALE.md. Multiplicity:
+    closure nodes yield DISTINCT pairs (ALP is duplicate-free), seq/alt
+    keep SPARQL's multiset algebra."""
+    store = ctx.store
+    kind = node[0]
+    if kind == "pred":
+        k, val = node[1]
+        pid = int(val) if k == "id" else ctx.term_ids[val]
+        t = store.table_for_subject(None).filter(F.col("p") == F.lit(pid))
+        return t.select(F.col("s").alias("cs"), F.col("o").alias("co"))
+    if kind == "inv":
+        r = _compile_path_relation(ctx, node[1])
+        return r.select(F.col("co").alias("cs"), F.col("cs").alias("co"))
+    if kind == "seq":
+        out = _compile_path_relation(ctx, node[1][0])
+        for child in node[1][1:]:
+            r = _compile_path_relation(ctx, child)
+            i = ctx.nid()
+            r = r.select(
+                F.col("cs").alias(f"_ps{i}"), F.col("co").alias(f"_po{i}")
             )
-        litids = dictionary.lookup_terms(streq_lits)
-
-    # DESCRIBE with constant resources (§16.4): one scan, two pushdown-able
-    # IN filters — the description is every triple the resource appears in
-    # as subject or object (documented symmetric form), as a graph set.
-    if bgp.describe_terms:
-        ids = [
-            int(val) if kind == "id" else term_ids[val]
-            for kind, val in bgp.describe_terms
-        ]
-        t = store.table_for_subject(None)
-        return t.filter(
-            F.col("s").isin(ids) | F.col("o").isin(ids)
-        ).distinct()
-
-    if bgp.patterns:
-        joined, bound_cols, order = _join_group(
-            store, _order_patterns(bgp), term_ids, 0
+            out = out.join(r, F.col("co") == F.col(f"_ps{i}"), "inner").select(
+                F.col("cs"), F.col(f"_po{i}").alias("co")
+            )
+        return out
+    if kind == "alt":
+        rels = [_compile_path_relation(ctx, c) for c in node[1]]
+        return reduce(lambda a, b: a.unionByName(b), rels)
+    # closure over a composite inner relation
+    inner = _compile_path_relation(ctx, node[1])
+    mode = node[2]
+    if mode == "+":
+        return transitive_closure(
+            inner, src="cs", dst="co", src_id=src_id, dst_id=dst_id
         )
-    else:  # pure-UNION query: WHERE { {A} UNION {B} }
-        joined, bound_cols, order = None, {}, []
-    idx_offset = len(bgp.patterns)
+    spark = inner.sparkSession
+    if src_id is None and dst_id is None:
+        g = store.table_for_subject(None)
+        nodes = (
+            g.select(F.col("s").alias("cs"))
+            .union(g.select(F.col("o").alias("cs")))
+            .distinct()
+        )
+        zero = nodes.select("cs", F.col("cs").alias("co"))
+    else:
+        seeds = {i for i in (src_id, dst_id) if i is not None}
+        zero = spark.createDataFrame(
+            [(i, i) for i in seeds] if len(seeds) == 1 else [],
+            "cs long, co long",
+        )
+    if mode == "*":
+        step = transitive_closure(
+            inner, src="cs", dst="co", src_id=src_id, dst_id=dst_id
+        )
+    else:  # "?": the inner relation itself, endpoint-filtered
+        step = inner
+        if src_id is not None:
+            step = step.filter(F.col("cs") == F.lit(src_id))
+        if dst_id is not None:
+            step = step.filter(F.col("co") == F.lit(dst_id))
+    return zero.unionByName(step).distinct()
 
-    # closure-family paths (§9.1): DISTINCT pairs joined into the BGP like
-    # a required pattern (closure-bound variables are never null).
+
+def _plan_group(
+    ctx: _PlanCtx, grp: GroupPattern, defer_filters: bool = False
+) -> tuple[DataFrame, dict[str, str], list[str], set[str]]:
+    """Plan ONE group graph pattern recursively (SPARQL 1.1 §18.2.2.2's
+    bottom-up algebra): child groups plan standalone and compose into the
+    accumulated solution — plain subgroups by inner join, UNION blocks by
+    per-arm join + multiset union, OPTIONAL by left join (direct child
+    filters folded into the join condition when `defer_filters` was set by
+    the caller), MINUS/EXISTS by anti/semi join — exactly the machinery
+    the flat single-level planner pinned, now applied at every depth.
+
+    Returns (df, var→column map, first-appearance order, nullable vars).
+    `nullable` tracks variables that can hold NULL (SPARQL "unbound") —
+    bound only inside an OPTIONAL, or by some-but-not-all UNION arms;
+    joins keyed on them are rejected at ANY level (Spark's NULL==x is
+    NULL, which silently inverts SPARQL's unbound-is-compatible rule)."""
+    store, term_ids, dictionary = ctx.store, ctx.term_ids, ctx.dictionary
+    joined: DataFrame | None = None
+    bound_cols: dict[str, str] = {}
+    order: list[str] = []
+    nullable_vars: set[str] = set()
+
+    if grp.patterns:
+        joined, bound_cols, order = _join_group(
+            ctx, _order_patterns(grp.patterns)
+        )
+
+    # closure-family paths (§9.1): DISTINCT pairs joined into the group
+    # like a required pattern (closure-bound variables are never null).
     #   p+  reachability via operators.graph.transitive_closure (a constant
     #       endpoint becomes a seeded BFS — bounded neighborhood, never the
     #       full closure);
@@ -388,7 +454,9 @@ def plan_bgp(
     # term of the GRAPH (distinct subjects ∪ objects — one aggregation over
     # the two columns, no join) to itself; a constant endpoint matches
     # itself regardless of graph membership (one literal row, no scan).
-    for ci, (s_slot, p_slot, o_slot, mode) in enumerate(bgp.closures):
+    for s_slot, p_slot, o_slot, mode in grp.closures:
+        ci = ctx.nid()
+
         def _res(slot):
             kind, val = slot
             if kind == "id":
@@ -476,69 +544,162 @@ def plan_bgp(
                 bound_cols[v] = c
                 order.append(v)
 
-    # Variables that can hold NULL (SPARQL "unbound") in `joined`: bound
-    # only inside an OPTIONAL group, or bound by some-but-not-all UNION
-    # arms. Downstream group joins (MINUS/EXISTS) and VALUES must not use
-    # them as join keys — Spark's NULL==x is NULL, which silently inverts
-    # SPARQL's unbound-is-compatible semantics — so we reject those (the
-    # engine's reject-rather-than-guess stance).
-    nullable_vars: set[str] = set()
+    # composite path expressions (§9.1 nested forms): compile the AST to a
+    # pair relation, apply endpoint constants, and join like a required
+    # pattern — the same shape as the single-predicate closure fast path
+    for s_slot, ast, o_slot in grp.paths:
+        pi = ctx.nid()
+
+        def _res_p(slot):
+            kind, val = slot
+            if kind == "id":
+                return int(val)
+            if kind == "term":
+                return term_ids[val]
+            return None
+
+        s_id, o_id = _res_p(s_slot), _res_p(o_slot)
+        pairs = _compile_path_relation(ctx, ast, s_id, o_id)
+        if s_id is not None:
+            pairs = pairs.filter(F.col("cs") == F.lit(s_id))
+        if o_id is not None:
+            pairs = pairs.filter(F.col("co") == F.lit(o_id))
+        if s_slot[0] == "var" and o_slot[0] == "var" and s_slot[1] == o_slot[1]:
+            pairs = pairs.filter(F.col("cs") == F.col("co"))
+        var_cols = {}
+        keep = []
+        for pos, slot in (("cs", s_slot), ("co", o_slot)):
+            if slot[0] == "var" and slot[1] not in var_cols:
+                col = f"vp{pi}_{slot[1]}"
+                keep.append(F.col(pos).alias(col))
+                var_cols[slot[1]] = col
+        scan = (
+            pairs.select(*keep)
+            if keep
+            else pairs.select(F.lit(1).alias(f"_p{pi}")).limit(1)
+        )
+        if joined is None:
+            joined, bound_cols = scan, dict(var_cols)
+            order = list(var_cols)
+            continue
+        shared = [v for v in var_cols if v in bound_cols]
+        if shared:
+            cond = reduce(
+                lambda a, b: a & b,
+                [F.col(bound_cols[v]) == F.col(var_cols[v]) for v in shared],
+            )
+            joined = joined.join(scan, cond, "inner").drop(
+                *[var_cols[v] for v in shared]
+            )
+        else:
+            joined = joined.crossJoin(scan)
+        for v, c in var_cols.items():
+            if v not in bound_cols:
+                bound_cols[v] = c
+                order.append(v)
+
+    # plain nested subgroups `{ ... }` → inner join on the shared
+    # variables (§18.2.2.2 Join): the child group plans standalone —
+    # including its own OPTIONALs, UNIONs and filters — then composes
+    for sub in grp.subgroups:
+        sdf, scols, sorder, snull = _plan_group(ctx, sub)
+        gi = ctx.nid()
+        renames = {c: f"{c}_s{gi}" for c in sdf.columns}
+        for old, new in renames.items():
+            sdf = sdf.withColumnRenamed(old, new)
+        scols = {v: renames[c] for v, c in scols.items()}
+        if joined is None:
+            joined, bound_cols, order = sdf, dict(scols), list(sorder)
+            nullable_vars |= snull
+            continue
+        shared = [v for v in scols if v in bound_cols]
+        _reject_nullable_join_keys(shared, nullable_vars | snull, "group join")
+        if shared:
+            cond = reduce(
+                lambda a, b: a & b,
+                [F.col(bound_cols[v]) == F.col(scols[v]) for v in shared],
+            )
+            joined = joined.join(sdf, cond, "inner").drop(
+                *[scols[v] for v in shared]
+            )
+        else:
+            joined = joined.crossJoin(sdf)
+        for v in sorder:
+            if v not in bound_cols:
+                bound_cols[v] = scols[v]
+                order.append(v)
+                if v in snull:
+                    nullable_vars.add(v)
 
     # UNION block (SPARQL 1.1 §5.4 alternatives; the generalization of the
     # reference translator's hand-emitted Positive UNION ALL Negative,
     # MyOpVisitorBase.java:106-123). Duplicates preserved: UNION ALL
-    # semantics, matching SPARQL's multiset algebra.
+    # semantics, matching SPARQL's multiset algebra. Arms are full groups
+    # (each may carry its own OPTIONALs / nested groups / filters).
     #
-    # When required patterns exist, each arm is joined to them SEPARATELY on
+    # When prior bindings exist, each arm is joined to them SEPARATELY on
     # the variables THAT ARM binds, and the per-arm join results are
     # union'd. Joining a pre-unioned (null-extended) arm stack would drop
     # every solution from an arm that does not bind a shared variable
     # (NULL==x is NULL), where SPARQL's compatible-binding join keeps it —
     # and per-arm joins keep every join a hash equi-join (no null-tolerant
     # OR-condition that would force a nested-loop join at scale).
-    for bi, block in enumerate(bgp.unions):
+    for block in grp.unions:
+        bi = ctx.nid()
         arm_order: list[str] = []  # this block's vars in first-appearance order
         arms = []
         for ai, arm in enumerate(block):
-            adf, acols, aorder = _join_group(store, list(arm), term_ids, idx_offset)
-            idx_offset += len(arm)
+            adf, acols, aorder, anull = _plan_group(ctx, arm)
             renames = {c: f"{c}_b{bi}a{ai}" for c in adf.columns}
             for old, new in renames.items():
                 adf = adf.withColumnRenamed(old, new)
-            arms.append((adf, {v: renames[c] for v, c in acols.items()}))
+            arms.append(
+                ({v: renames[c] for v, c in acols.items()}, adf, anull)
+            )
             for v in aorder:
                 if v not in arm_order:
                     arm_order.append(v)
         ucols = {v: f"u{bi}_{v}" for v in arm_order}
-        if joined is None:  # first block of a pure-union query
+        if joined is None:  # first content of a pure-union group
             normalized = [
                 adf.select(
-                    *[F.col(acols[v]).alias(ucols[v]) for v in arm_order if v in acols]
+                    *[
+                        F.col(acols[v]).alias(ucols[v])
+                        for v in arm_order
+                        if v in acols
+                    ]
                 )
-                for adf, acols in arms
+                for acols, adf, _ in arms
             ]
             joined = reduce(
-                lambda a, b: a.unionByName(b, allowMissingColumns=True), normalized
+                lambda a, b: a.unionByName(b, allowMissingColumns=True),
+                normalized,
             )
             bound_cols, order = dict(ucols), list(arm_order)
         else:
             base_cols = list(joined.columns)
             per_arm = []
-            for adf, acols in arms:
+            for acols, adf, anull in arms:
                 shared = [v for v in acols if v in bound_cols]
                 # a later block may share a var that an earlier block left
-                # nullable — that join key would silently drop unbound rows
-                _reject_nullable_join_keys(shared, nullable_vars, "UNION")
+                # nullable — that join key would silently drop unbound
+                # rows; same for a var the ARM itself binds only optionally
+                _reject_nullable_join_keys(
+                    shared, nullable_vars | anull, "UNION"
+                )
                 if shared:
                     cond = reduce(
                         lambda a, b: a & b,
-                        [F.col(bound_cols[v]) == F.col(acols[v]) for v in shared],
+                        [
+                            F.col(bound_cols[v]) == F.col(acols[v])
+                            for v in shared
+                        ],
                     )
                     j = joined.join(adf, cond, "inner")
                 else:
                     j = joined.crossJoin(adf)
-                # merged binding for a shared var is the (equal) required-side
-                # value; fresh vars get u_ columns, null-extended by the union
+                # merged binding for a shared var is the (equal) prior-side
+                # value; fresh vars get u_ columns, null-extended by union
                 j = j.select(
                     *[F.col(c) for c in base_cols],
                     *[
@@ -549,43 +710,46 @@ def plan_bgp(
                 )
                 per_arm.append(j)
             joined = reduce(
-                lambda a, b: a.unionByName(b, allowMissingColumns=True), per_arm
+                lambda a, b: a.unionByName(b, allowMissingColumns=True),
+                per_arm,
             )
             for v in arm_order:
                 if v not in bound_cols:
                     bound_cols[v] = ucols[v]
                     order.append(v)
-        # a union-bound var is nullable unless every arm binds it (vars
-        # already bound before this block are never null regardless)
+        # a union-bound var is nullable unless every arm binds it in its
+        # required part (vars bound before this block are never null)
         for v in arm_order:
-            if bound_cols[v] == ucols[v] and not all(
-                v in acols for _, acols in arms
+            if bound_cols[v] == ucols[v] and (
+                not all(v in acols for acols, _, _ in arms)
+                or any(v in anull for _, _, anull in arms)
             ):
                 nullable_vars.add(v)
 
-    # OPTIONAL groups → LEFT OUTER JOIN on the shared variables (SPARQL
-    # 1.1 §5.3 compatible-bindings semantics for the non-nested case): the
-    # group is composed inner-first, then left-joined, so group-local
-    # constraints bind before null-extension — the same machinery as the
-    # reference's J3 left-outer shape (PartitionQueryingBRDSubject.java:156).
-    for gi, grp in enumerate(bgp.optionals):
-        gdf, gcols, gorder = _join_group(store, list(grp), term_ids, idx_offset)
-        idx_offset += len(grp)
+    # OPTIONAL child groups → LEFT OUTER JOIN on the shared variables
+    # (SPARQL 1.1 §5.3 compatible-bindings semantics): the child composes
+    # inner-first (recursively — it may hold its own OPTIONALs/UNIONs),
+    # then left-joins, so group-local constraints bind before
+    # null-extension — the same machinery as the reference's J3 left-outer
+    # shape (PartitionQueryingBRDSubject.java:156).
+    for opt in grp.optionals:
+        gdf, gcols, gorder, gnull = _plan_group(ctx, opt, defer_filters=True)
+        gi = ctx.nid()
         # suffix ALL group columns so they never collide with bound ones
         renames = {c: f"{c}_g{gi}" for c in gdf.columns}
         for old, new in renames.items():
             gdf = gdf.withColumnRenamed(old, new)
         shared = [v for v in gcols if v in bound_cols]
-        _reject_nullable_join_keys(shared, nullable_vars, "OPTIONAL")
-        # group-scoped FILTERs fold into the join condition — SPARQL's
-        # LeftJoin(P1, P2, F): a match failing F is kept null-extended, not
-        # dropped. The equi-conjuncts still drive a hash join; the filter
-        # rides along as the residual join predicate. String-function
-        # leaves attach the variable's dictionary term to whichever join
-        # SIDE binds the variable (group side or outer side) before the
-        # left join; a dangling term yields NULL → the condition errors →
+        _reject_nullable_join_keys(shared, nullable_vars | gnull, "OPTIONAL")
+        # the child's DIRECT FILTERs fold into the join condition —
+        # SPARQL's LeftJoin(P1, P2, F) (§18.2.2.2): a match failing F is
+        # kept null-extended, not dropped. The equi-conjuncts still drive
+        # a hash join; the filter rides as the residual join predicate.
+        # String-function leaves attach the variable's dictionary term to
+        # whichever join SIDE binds the variable before the left join; a
+        # dangling term yields NULL → the condition errors →
         # null-extension, SPARQL's error-in-F behavior.
-        gflts = bgp.optional_filters[gi] if bgp.optional_filters else ()
+        gflts = opt.filters
         gstr_vars = sorted(
             {v for expr in gflts for v in filter_expr_strfn_vars(expr)}
         )
@@ -621,7 +785,7 @@ def plan_bgp(
         gmap = dict(bound_cols)
         gmap.update({v: renames[c] for v, c in gcols.items()})
         for expr in gflts:
-            cond = cond & _compile_filter(expr, gmap, gterms, litids)
+            cond = cond & _compile_filter(expr, gmap, gterms, ctx.litids)
         joined = joined.join(gdf, cond, "left")
         joined = joined.drop(*[renames[gcols[v]] for v in shared])
         if gterms:
@@ -630,14 +794,14 @@ def plan_bgp(
             if v not in bound_cols:
                 bound_cols[v] = renames[gcols[v]]
                 order.append(v)
-                nullable_vars.add(v)  # null when the left join finds no match
+                nullable_vars.add(v)  # null when the left join has no match
 
     # BIND assignments (§10.1): computed columns over already-bound
     # variables (including OPTIONAL-bound ones: NULL propagates through
     # the arithmetic, leaving the target unbound — SPARQL's expression
     # error semantics). Plain withColumn projections — zero extra plan
     # cost, and Catalyst folds them into the surrounding stage.
-    for bvar, bexpr in bgp.binds:
+    for bvar, bexpr in grp.binds:
         cname = f"vb_{bvar}"
         joined = joined.withColumn(cname, _compile_arith(bexpr, bound_cols))
         bound_cols[bvar] = cname
@@ -645,45 +809,46 @@ def plan_bgp(
         if arith_expr_vars(bexpr) & nullable_vars:
             nullable_vars.add(bvar)
 
-    # MINUS groups → LEFT ANTI JOIN on the shared variables (SPARQL 1.1
-    # §8.3): a binding is removed when the group produces a compatible
+    # MINUS child groups → LEFT ANTI JOIN on the shared variables (SPARQL
+    # 1.1 §8.3): a binding is removed when the group produces a compatible
     # binding. The parser guarantees ≥1 shared variable (disjoint-domain
     # MINUS is rejected), so the anti-join condition is never empty.
-    for mi, grp in enumerate(bgp.minuses):
-        gdf, gcols, _ = _join_group(store, list(grp), term_ids, idx_offset)
-        idx_offset += len(grp)
+    for m in grp.minuses:
+        gdf, gcols, _, gnull = _plan_group(ctx, m)
+        mi = ctx.nid()
         renames = {c: f"{c}_m{mi}" for c in gdf.columns}
         for old, new in renames.items():
             gdf = gdf.withColumnRenamed(old, new)
         shared = [v for v in gcols if v in bound_cols]
-        _reject_nullable_join_keys(shared, nullable_vars, "MINUS")
+        _reject_nullable_join_keys(shared, nullable_vars | gnull, "MINUS")
         cond = reduce(
             lambda a, b: a & b,
             [F.col(bound_cols[v]) == F.col(renames[gcols[v]]) for v in shared],
         )
         joined = joined.join(gdf, cond, "left_anti")
 
-    # FILTER [NOT] EXISTS groups → LEFT SEMI / LEFT ANTI join on the shared
-    # variables (SPARQL 1.1 §8.1.1): existence tests never add bindings,
-    # they only keep/remove rows — exactly Spark's semi/anti join semantics.
-    for ei, (neg, grp) in enumerate(bgp.exists):
-        gdf, gcols, _ = _join_group(store, list(grp), term_ids, idx_offset)
-        idx_offset += len(grp)
+    # FILTER [NOT] EXISTS child groups → LEFT SEMI / LEFT ANTI join on the
+    # shared variables (SPARQL 1.1 §8.1.1): existence tests never add
+    # bindings, they only keep/remove rows — exactly Spark's semi/anti
+    # join semantics.
+    for neg, e in grp.exists:
+        gdf, gcols, _, gnull = _plan_group(ctx, e)
+        ei = ctx.nid()
         renames = {c: f"{c}_e{ei}" for c in gdf.columns}
         for old, new in renames.items():
             gdf = gdf.withColumnRenamed(old, new)
         shared = [v for v in gcols if v in bound_cols]
-        _reject_nullable_join_keys(shared, nullable_vars, "EXISTS")
+        _reject_nullable_join_keys(shared, nullable_vars | gnull, "EXISTS")
         cond = reduce(
             lambda a, b: a & b,
             [F.col(bound_cols[v]) == F.col(renames[gcols[v]]) for v in shared],
         )
         joined = joined.join(gdf, cond, "left_anti" if neg else "left_semi")
 
-    # VALUES blocks → isin() over the resolved ids: an In predicate Catalyst
-    # pushes into the Parquet scan (bounded by query size, like all constant
-    # encoding — never a data-sized driver structure).
-    for var, entries in bgp.values:
+    # VALUES blocks → isin() over the resolved ids: an In predicate
+    # Catalyst pushes into the Parquet scan (bounded by query size, like
+    # all constant encoding — never a data-sized driver structure).
+    for var, entries in grp.values:
         _reject_nullable_join_keys([var], nullable_vars, "VALUES")
         ids = [
             int(val) if kind == "id" else term_ids[val] for kind, val in entries
@@ -693,7 +858,7 @@ def plan_bgp(
     # multi-variable VALUES → OR-of-ANDs over the resolved ids: one
     # single-pass row filter, bounded by query size (never a data-sized
     # structure); set semantics (duplicate rows rejected by the parser)
-    for vars_, rows in bgp.values_multi:
+    for vars_, rows in grp.values_multi:
         _reject_nullable_join_keys(list(vars_), nullable_vars, "VALUES")
 
         def _row_cond(row):
@@ -712,45 +877,91 @@ def plan_bgp(
             reduce(lambda a, b: a | b, [_row_cond(r) for r in rows])
         )
 
-    # String-function FILTER leaves (§17.4.3) reference TERMS, but the
-    # relation holds dictionary-encoded ids: attach each string-filtered
-    # variable's term via ONE dictionary join, keyed on the id. The join is
-    # a left join (a dangling id yields NULL → the predicate errors → the
-    # row drops at the top level, SPARQL's STR-of-unbound error semantics),
-    # but Catalyst rewrites left-join + null-intolerant predicate into an
-    # inner join and pushes the string match into the DICTIONARY scan — so
-    # the match evaluates over |dict| distinct terms, never per solution
-    # row: the dictionary-encoding evaluation strategy, for free.
-    str_vars = sorted(
-        {v for expr in bgp.filters for v in filter_expr_strfn_vars(expr)}
-    )
-    termmap: dict[str, str] = {}
-    if str_vars:
-        if dictionary is None:
+    # group-scoped FILTER constraints (skipped when the caller folds them
+    # into a LeftJoin condition instead — OPTIONAL children). String-
+    # function leaves (§17.4.3) reference TERMS, but the relation holds
+    # dictionary-encoded ids: attach each string-filtered variable's term
+    # via ONE dictionary join, keyed on the id. The join is a left join
+    # (a dangling id yields NULL → the predicate errors → the row drops,
+    # SPARQL's STR-of-unbound error semantics), but Catalyst rewrites
+    # left-join + null-intolerant predicate into an inner join and pushes
+    # the string match into the DICTIONARY scan — so the match evaluates
+    # over |dict| distinct terms, never per solution row.
+    if not defer_filters and grp.filters:
+        str_vars = sorted(
+            {v for expr in grp.filters for v in filter_expr_strfn_vars(expr)}
+        )
+        termmap: dict[str, str] = {}
+        if str_vars and dictionary is None:
             raise SparqlSyntaxError(
                 "string-function FILTERs need a dictionary to resolve terms"
             )
         for v in str_vars:
+            fi = ctx.nid()
             d = (
                 dictionary._dict_side()
-                .withColumnRenamed("id", f"__sid_{v}")
-                .withColumnRenamed("term", f"__term_{v}")
+                .withColumnRenamed("id", f"__sid{fi}_{v}")
+                .withColumnRenamed("term", f"__term{fi}_{v}")
             )
             joined = joined.join(
-                d, F.col(bound_cols[v]) == F.col(f"__sid_{v}"), "left"
-            ).drop(f"__sid_{v}")
-            termmap[v] = f"__term_{v}"
+                d, F.col(bound_cols[v]) == F.col(f"__sid{fi}_{v}"), "left"
+            ).drop(f"__sid{fi}_{v}")
+            termmap[v] = f"__term{fi}_{v}"
+        # applied BEFORE projection so non-projected variables filter too;
+        # Catalyst pushes var-vs-constant comparisons into the scans and
+        # splits top-level conjunctions for pushdown on both join sides
+        for expr in grp.filters:
+            joined = joined.filter(
+                _compile_filter(expr, bound_cols, termmap, ctx.litids)
+            )
+        if termmap:
+            joined = joined.drop(*termmap.values())
 
-    # FILTER constraints: Column predicates over the bound variables —
-    # applied BEFORE projection so non-projected variables can be filtered;
-    # Catalyst pushes var-vs-constant comparisons down into the scans and
-    # splits top-level conjunctions for pushdown on both join sides.
-    for expr in bgp.filters:
-        joined = joined.filter(
-            _compile_filter(expr, bound_cols, termmap, litids)
-        )
-    if termmap:
-        joined = joined.drop(*termmap.values())
+    return joined, bound_cols, order, nullable_vars
+
+
+def plan_bgp(
+    store: TripleStore, bgp: BGPQuery, dictionary: Dictionary | None = None
+) -> DataFrame:
+    """Compose the BGP into a single DataFrame of variable bindings (ids)."""
+    term_ids = _encode_constants(bgp, dictionary)
+
+    # term-equality FILTER literals (§17.4.1.7): resolved ONCE via a bounded
+    # non-raising lookup — found literals compile to pushdown-able id
+    # equalities; absent ones constant-fold (no triple can contain a term
+    # the dictionary lacks). Gathered from EVERY group in the tree so each
+    # compile site shares one lookup.
+    streq_lits = sorted(
+        {
+            t
+            for g in _walk_groups(bgp.where)
+            for expr in g.filters
+            for t in filter_expr_streq_literals(expr)
+        }
+    )
+    litids: dict[str, int] = {}
+    if streq_lits:
+        if dictionary is None:
+            raise SparqlSyntaxError(
+                "term-equality FILTERs need a dictionary to resolve literals"
+            )
+        litids = dictionary.lookup_terms(streq_lits)
+
+    # DESCRIBE with constant resources (§16.4): one scan, two pushdown-able
+    # IN filters — the description is every triple the resource appears in
+    # as subject or object (documented symmetric form), as a graph set.
+    if bgp.describe_terms:
+        ids = [
+            int(val) if kind == "id" else term_ids[val]
+            for kind, val in bgp.describe_terms
+        ]
+        t = store.table_for_subject(None)
+        return t.filter(
+            F.col("s").isin(ids) | F.col("o").isin(ids)
+        ).distinct()
+
+    ctx = _PlanCtx(store, term_ids, dictionary, litids)
+    joined, bound_cols, order, nullable_vars = _plan_group(ctx, bgp.where)
 
     # ASK (§16.3): existence of any solution — limit(1) stops the scan at
     # the first match (Spark plans a CollectLimit; with selective pushed

@@ -65,6 +65,15 @@ def test_sparql_union_matches_oracle(spark, sf_dir):
     assert_matches_oracle(df, sql, sf_dir)
 
 
+def test_sparql_2hop_store(spark, sf_dir):
+    """Demoted r5 (slot → sparql_nested): the persisted sign-split store
+    variant of sparql_2hop — partition-pruned scans feeding the same
+    2-hop plan. sparql_2hop keeps the shared oracle's driver row."""
+    assert_matches_oracle(
+        R.sparql_2hop_store(spark, sf_dir), R.SPARQL_2HOP_SQL, sf_dir
+    )
+
+
 def test_sparql_topk(spark, sf_dir):
     """Demoted in round 4 (slot given to sparql_groupby): DISTINCT/ORDER
     BY/LIMIT lowering — TakeOrderedAndProject, not a global sort."""

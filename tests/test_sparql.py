@@ -78,11 +78,16 @@ def test_parse_optional_group():
     assert bgp.optionals[0][0].s == ("var", "y")
 
 
-def test_parse_rejects_nested_optional():
-    with pytest.raises(SparqlSyntaxError, match="nested OPTIONAL"):
-        parse_sparql(
-            "SELECT ?x WHERE { ?x :p ?y . OPTIONAL { ?y :q ?z . OPTIONAL { ?z :r ?w } } }"
-        )
+def test_parse_nested_optional():
+    # OPTIONAL inside OPTIONAL parses as a recursive group tree
+    bgp = parse_sparql(
+        "SELECT ?x WHERE { ?x :p ?y . OPTIONAL { ?y :q ?z . OPTIONAL { ?z :r ?w } } }"
+    )
+    outer = bgp.optionals[0]
+    assert outer[0].p == ("term", ":q")
+    inner = outer.optionals[0]
+    assert inner[0].p == ("term", ":r")
+    assert inner[0].o == ("var", "w")
 
 
 def test_parse_rejects_disconnected_optional():
@@ -169,9 +174,12 @@ def test_union_block_keyed_on_partially_bound_var_rejected(tiny_store, tiny_dict
         ).collect()
 
 
-def test_parse_rejects_stray_group():
-    with pytest.raises(SparqlSyntaxError, match="unsupported group"):
-        parse_sparql("SELECT ?a WHERE { { ?a :p ?b } }")
+def test_parse_plain_subgroup():
+    # a bare nested group joins in (§18.2.2.2 Join)
+    bgp = parse_sparql("SELECT ?a WHERE { { ?a :p ?b } }")
+    assert not bgp.patterns
+    sub = bgp.where.subgroups[0]
+    assert sub[0].s == ("var", "a") and sub[0].p == ("term", ":p")
 
 
 def test_union_executes(tiny_store, tiny_dict):
@@ -868,12 +876,17 @@ def test_parse_sequence_path_expands_to_join_chain():
     assert bgp.patterns[1].o == ("var", "c")
 
 
-def test_parse_rejects_closure_path_operators():
+def test_parse_composite_paths_and_malformed():
     # closure/zero-length operators nested INSIDE sequences or alternations
-    # stay rejected; standalone p+ / p* / p? are supported
-    for bad in (":p1/:p2*", "(:p1|:p2)+", ":p1*/:p2", "((:p1))"):
-        with pytest.raises(SparqlSyntaxError):
-            parse_sparql(f"SELECT ?a WHERE {{ ?a {bad} ?c }}")
+    # parse into path ASTs the planner compiles to pair relations
+    for ok, ast in (
+        (":p1/:p2*", ("seq", [("pred", ("term", ":p1")), ("clos", ("pred", ("term", ":p2")), "*")])),
+        ("(:p1|:p2)+", ("clos", ("alt", [("pred", ("term", ":p1")), ("pred", ("term", ":p2"))]), "+")),
+        (":p1*/:p2", ("seq", [("clos", ("pred", ("term", ":p1")), "*"), ("pred", ("term", ":p2"))])),
+        ("((:p1))", ("pred", ("term", ":p1"))),
+    ):
+        bgp = parse_sparql(f"SELECT ?a WHERE {{ ?a {ok} ?c }}")
+        assert bgp.where.paths[0][1] == ast, ok
     # malformed arms/segments
     for bad in (":p1|", "|:p1", ":p1/^/:p2", "^"):
         with pytest.raises(SparqlSyntaxError):
@@ -935,15 +948,17 @@ def test_alternation_path_select_star_hides_internal_vars(tiny_store, tiny_dict)
     assert df.columns == ["a", "b"]
 
 
-def test_alternation_rejected_outside_required_group():
-    with pytest.raises(SparqlSyntaxError, match="alternation"):
-        parse_sparql(
-            "SELECT ?s WHERE { ?s :a ?x . OPTIONAL { ?s (:p|:q) ?y } }"
-        )
-    with pytest.raises(SparqlSyntaxError, match="alternation"):
-        parse_sparql(
-            "SELECT ?s WHERE { ?s :a ?x . MINUS { ?s :p|:q ?y } }"
-        )
+def test_alternation_inside_groups_parses():
+    # alternation paths lower to a UNION block INSIDE the hosting group —
+    # any group can host a union now that groups recurse
+    bgp = parse_sparql(
+        "SELECT ?s WHERE { ?s :a ?x . OPTIONAL { ?s (:p|:q) ?y } }"
+    )
+    blk = bgp.optionals[0].unions[0]
+    assert len(blk) == 2
+    assert {arm[0].p for arm in blk} == {("term", ":p"), ("term", ":q")}
+    bgp = parse_sparql("SELECT ?s WHERE { ?s :a ?x . MINUS { ?s :p|:q ?y } }")
+    assert len(bgp.minuses[0].unions[0]) == 2
 
 
 def test_sequence_path_matches_hand_built_two_hop(tiny_store, tiny_dict):
@@ -1076,12 +1091,13 @@ def test_closure_path_cycle_join_and_ask(tiny_store, tiny_dict):
     assert [r.ask for r in no.collect()] == [False]
 
 
-def test_closure_path_rejections():
-    for bad in (":p1/:p2+", ":p1+|:p2"):
-        with pytest.raises(SparqlSyntaxError):
-            parse_sparql(f"SELECT ?a WHERE {{ ?a {bad} ?b }}")
-    with pytest.raises(SparqlSyntaxError, match="closure"):
-        parse_sparql("SELECT ?a WHERE { ?a :q ?b . OPTIONAL { ?a :p+ ?c } }")
+def test_closure_path_nested_forms_parse():
+    # closures inside sequences/alternations parse as path ASTs
+    for ok in (":p1/:p2+", ":p1+|:p2"):
+        assert parse_sparql(f"SELECT ?a WHERE {{ ?a {ok} ?b }}").where.paths
+    # closures inside groups are supported now that groups recurse
+    bgp = parse_sparql("SELECT ?a WHERE { ?a :q ?b . OPTIONAL { ?a :p+ ?c } }")
+    assert bgp.optionals[0].closures[0][3] == "+"
     with pytest.raises(SparqlSyntaxError, match="malformed variable"):
         parse_sparql("SELECT ?a WHERE { ?a ?p+ ?b }")
 

@@ -599,6 +599,38 @@ LEFT JOIN triples ht ON ht.p = {P_HAS_TYPE} AND ht.s = le.o
 WHERE cn.p = {P_IN_NATION}
 """
 
+# SPARQL subquery (§12): per-customer order count aggregated in a nested
+# SELECT, joined back to the customer's nation pattern on the PROJECTED
+# variable — §18.2.4.4 scoping (only the subquery's projection is visible).
+SPARQL_SUBQUERY = """
+SELECT ?c ?n ?cnt WHERE {
+  ?c :inNation ?n .
+  { SELECT ?c (COUNT(?o) AS ?cnt) WHERE { ?o :placedBy ?c } GROUP BY ?c }
+}
+"""
+
+
+def sparql_subquery(spark, sf_dir):
+    """Subquery planning: the nested SELECT plans standalone through the
+    full pipeline (pattern scan → partial-aggregate groupBy → alias) and
+    joins the outer pattern on ?c — one aggregation shuffle plus one join
+    shuffle, the same plan the hand-written analytics layer produces for
+    this shape. Customers with no orders drop (inner join — SPARQL group
+    join semantics, matching the oracle's plain JOIN)."""
+    store = _store(spark, sf_dir, layout="sign_split")
+    return sparql_to_df(store, SPARQL_SUBQUERY, _dict(spark, sf_dir))
+
+
+SPARQL_SUBQUERY_SQL = f"""{TRIPLES_CTE}
+SELECT cn.s AS c, cn.o AS n, q.cnt
+FROM triples cn
+JOIN (
+  SELECT o AS c, count(s) AS cnt FROM triples WHERE p = {P_PLACED_BY}
+  GROUP BY o
+) q ON q.c = cn.s
+WHERE cn.p = {P_IN_NATION}
+"""
+
 
 def sparql_star(spark, sf_dir):
     """Star-shaped BGP (two patterns sharing the SUBJECT variable). Demoted
@@ -2033,6 +2065,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "multimodal_decode": QuerySpec(multimodal_decode, MULTIMODAL_DECODE_SQL),
     # new / reworked this round
     "sparql_nested": QuerySpec(sparql_nested, SPARQL_NESTED_SQL),
+    "sparql_subquery": QuerySpec(sparql_subquery, SPARQL_SUBQUERY_SQL),
     "rdf_layout_matrix": QuerySpec(rdf_layout_matrix, RDF_PATH_2HOP_SQL),
     "sparql_optional": QuerySpec(sparql_optional, SPARQL_OPTIONAL_SQL),
     "dedup_components": QuerySpec(dedup_components, DEDUP_COMPONENTS_SQL),
@@ -2059,7 +2092,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "customers_setops": QuerySpec(customers_setops, CUSTOMERS_SETOPS_SQL),
     "parts_semi_anti": QuerySpec(parts_semi_anti, PARTS_SEMI_ANTI_SQL),
     "events_props_json": QuerySpec(events_props_json, EVENTS_PROPS_JSON_SQL),
-    "events_distinct_users": QuerySpec(events_distinct_users, EVENTS_DISTINCT_USERS_SQL),
+    # events_distinct_users demoted r5 (slot → sparql_subquery): per-group
+    # DISTINCT aggregation, machinery shared with orders_rollup/tpch_q1;
+    # pinned in tests/test_demoted.py (HLL error pin already lives in
+    # tests/test_registry_extras.py)
     "customer_running_revenue": QuerySpec(customer_running_revenue, CUSTOMER_RUNNING_REVENUE_SQL),
     "events_pivot": QuerySpec(events_pivot, EVENTS_PIVOT_SQL),
     "skew_salted_join": QuerySpec(skew_salted_join, SKEW_SALTED_JOIN_SQL, headline=True),

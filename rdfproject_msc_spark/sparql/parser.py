@@ -254,6 +254,10 @@ class GroupPattern:
     # (s_slot, path AST from _parse_path_expr, o_slot) — compiled by the
     # planner into a pair relation joined like a required pattern
     paths: tuple[tuple[tuple, object, tuple], ...] = ()
+    # subqueries `{ SELECT ... }` (§12): full BGPQuery objects planned
+    # standalone; only their PROJECTED variables are visible to this group
+    # (§18.2.4.4 projection scoping) and join on the shared ones
+    subselects: tuple = ()
 
     def __len__(self):
         return len(self.patterns)
@@ -283,6 +287,9 @@ class GroupPattern:
             for kind, val in (s, o)
             if kind == "var"
         }
+        for sub in self.subselects:
+            # §12: only the subquery's projection is visible outside it
+            out |= set(sub.projection)
         for sub in self.subgroups:
             out |= sub.required_vars()
         for blk in self.unions:
@@ -308,6 +315,7 @@ class GroupPattern:
             or self.paths
             or self.subgroups
             or self.unions
+            or self.subselects
         )
 
 
@@ -1285,6 +1293,7 @@ def _parse_group(
     alt_blocks: list = []
     closures: list = []
     paths: list = []
+    subselects: list = []
 
     def flush():
         text = "".join(buf)
@@ -1327,6 +1336,17 @@ def _parse_group(
         if c == "{":
             flush()
             inner, i = _scan_delim(src, i, "{", "}", "group pattern")
+            if re.match(r"\s*SELECT\b", inner, re.I):
+                # subquery (§12): a complete SELECT parsed standalone with
+                # the OUTER prefix declarations in scope
+                sub = parse_sparql(inner, outer_prefixes=prefixes)
+                if sub.projection is None:
+                    raise SparqlSyntaxError(
+                        "subqueries need an explicit projection "
+                        "(SELECT * is not supported in a subquery)"
+                    )
+                subselects.append(sub)
+                continue
             arms = [inner]
             while True:  # `{...} UNION {...} [UNION {...}]` chain
                 j = _skip_ws(src, i)
@@ -1455,6 +1475,7 @@ def _parse_group(
         values_multi=tuple(values_multi),
         closures=tuple(closures),
         paths=tuple(paths),
+        subselects=tuple(subselects),
     )
 
 
@@ -1525,7 +1546,12 @@ def _validate_group_tree(
         _validate_group_tree(grp, grp.all_vars())
 
 
-def parse_sparql(query: str) -> BGPQuery:
+def parse_sparql(
+    query: str, outer_prefixes: dict[str, str] | None = None
+) -> BGPQuery:
+    """Parse one query. `outer_prefixes` carries an ENCLOSING query's
+    PREFIX declarations into a subquery (§12: subqueries do not redeclare
+    prefixes; inner declarations would shadow outer ones)."""
     ask, tpl_src, describe_var = False, None, None
     dv = _DESCRIBE_VAR.match(query)
     dt = _DESCRIBE_TERMS.match(query) if not dv else None
@@ -1584,9 +1610,11 @@ def parse_sparql(query: str) -> BGPQuery:
         prefixes_src, bgp_src = m.group("prefixes"), m.group("bgp")
         proj_src = m.group("proj").strip()
         distinct_src, mods_src = m.group("distinct"), m.group("mods")
-    prefixes = {
-        pm.group(1): pm.group(2) for pm in _PREFIX_DECL.finditer(prefixes_src)
-    }
+    prefixes = dict(outer_prefixes or {})
+    prefixes.update(
+        (pm.group(1), pm.group(2))
+        for pm in _PREFIX_DECL.finditer(prefixes_src)
+    )
     # the WHERE clause parses as a RECURSIVE group graph pattern (§5.2):
     # nested {} subgroups, OPTIONAL/MINUS/EXISTS bodies and UNION arms are
     # full groups at arbitrary depth

@@ -631,6 +631,47 @@ def _plan_group(
                 if v in snull:
                     nullable_vars.add(v)
 
+    # subqueries `{ SELECT ... }` (§12): planned as complete standalone
+    # queries via plan_bgp (own constant encoding, grouping, modifiers),
+    # then joined on the shared PROJECTED variables — §18.2.4.4: only the
+    # projection is visible outside. A subquery sharing no variable cross-
+    # joins (the scalar-aggregate idiom `{ SELECT (COUNT(*) AS ?t) ... }`:
+    # a 1-row broadcast side, which AQE plans as a broadcast nested loop).
+    # Nullability is conservative: any projected variable not bound by the
+    # subquery's required patterns (OPTIONAL-bound, some-UNION-arms, BIND
+    # over those) counts nullable; grouped aggregates ride the same rule.
+    for sub in grp.subselects:
+        sdf = plan_bgp(store, sub, dictionary)
+        qi = ctx.nid()
+        svars = list(sdf.columns)
+        renames = {c: f"{c}_q{qi}" for c in svars}
+        for old, new in renames.items():
+            sdf = sdf.withColumnRenamed(old, new)
+        scols = {v: renames[v] for v in svars}
+        snull = set(svars) - sub.where.required_vars()
+        if joined is None:
+            joined, bound_cols, order = sdf, dict(scols), list(svars)
+            nullable_vars |= snull
+            continue
+        shared = [v for v in scols if v in bound_cols]
+        _reject_nullable_join_keys(shared, nullable_vars | snull, "subquery")
+        if shared:
+            cond = reduce(
+                lambda a, b: a & b,
+                [F.col(bound_cols[v]) == F.col(scols[v]) for v in shared],
+            )
+            joined = joined.join(sdf, cond, "inner").drop(
+                *[scols[v] for v in shared]
+            )
+        else:
+            joined = joined.crossJoin(sdf)
+        for v in svars:
+            if v not in bound_cols:
+                bound_cols[v] = scols[v]
+                order.append(v)
+                if v in snull:
+                    nullable_vars.add(v)
+
     # UNION block (SPARQL 1.1 §5.4 alternatives; the generalization of the
     # reference translator's hand-emitted Positive UNION ALL Negative,
     # MyOpVisitorBase.java:106-123). Duplicates preserved: UNION ALL

@@ -65,6 +65,17 @@ def test_sparql_union_matches_oracle(spark, sf_dir):
     assert_matches_oracle(df, sql, sf_dir)
 
 
+def test_events_distinct_users(spark, sf_dir):
+    """Demoted r5 (slot → sparql_subquery): per-group exact DISTINCT
+    aggregation; the HLL sketch's bounded error vs this exact form stays
+    pinned in tests/test_registry_extras.py."""
+    assert_matches_oracle(
+        R.events_distinct_users(spark, sf_dir),
+        R.EVENTS_DISTINCT_USERS_SQL,
+        sf_dir,
+    )
+
+
 def test_sparql_2hop_store(spark, sf_dir):
     """Demoted r5 (slot → sparql_nested): the persisted sign-split store
     variant of sparql_2hop — partition-pruned scans feeding the same

@@ -342,6 +342,60 @@ def test_sequence_with_inner_closure_matches_oracle(spark, sf_dir):
     assert got == want and len(got) == 2  # the nation and its region
 
 
+def test_subquery_aggregate_joins_back(tiny_store, tiny_dict):
+    """§12 subquery: per-subject p10 out-degree aggregated in the nested
+    SELECT, joined back on the projected ?s."""
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?o ?n WHERE { ?s :p10 ?o . "
+        "{ SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s :p10 ?o } GROUP BY ?s } }",
+        tiny_dict,
+    )
+    assert _rows(df, "s", "o", "n") == [
+        (-5, 1, 1),
+        (1, 1, 2),
+        (1, 2, 2),
+        (2, 2, 1),
+    ]
+
+
+def test_scalar_subquery_cross_joins(tiny_store, tiny_dict):
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?t WHERE { ?s :p20 ?o . "
+        "{ SELECT (COUNT(?x) AS ?t) WHERE { ?x :p10 ?y } } }",
+        tiny_dict,
+    )
+    assert _rows(df, "s", "t") == [(2, 4)]
+
+
+def test_subquery_projection_scoping(tiny_store, tiny_dict):
+    """§18.2.4.4: only the subquery's PROJECTED variables are visible —
+    an outer reference to a subquery-internal variable is rejected, and
+    SELECT * subqueries are rejected (scoping needs the explicit list)."""
+    with pytest.raises(SparqlSyntaxError, match="projected variables"):
+        parse_sparql(
+            "SELECT ?s ?y WHERE { ?s :p20 ?o . "
+            "{ SELECT ?s WHERE { ?s :p10 ?y } } }"
+        )
+    with pytest.raises(SparqlSyntaxError, match="explicit projection"):
+        parse_sparql(
+            "SELECT ?s WHERE { ?s :p20 ?o . "
+            "{ SELECT * WHERE { ?s :p10 ?y } } }"
+        )
+
+
+def test_subquery_matches_oracle(spark, sf_dir):
+    """The registry subquery entry (per-customer order count joined to the
+    nation pattern) vs its plain-SQL subquery oracle at sf0.001."""
+    from rdfproject_msc_spark import registry as R
+    from tests.oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        R.sparql_subquery(spark, sf_dir), R.SPARQL_SUBQUERY_SQL, sf_dir
+    )
+
+
 def test_nested_group_term_constants_encode(tiny_store, tiny_dict):
     """Term constants inside nested groups resolve through the one
     bounded dictionary lookup."""

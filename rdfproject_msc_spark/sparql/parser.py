@@ -43,14 +43,21 @@ attaches the variable's dictionary term via a join and compiles the
 match as a column predicate — Catalyst pushes the string match to the
 (far smaller) dictionary side, the textbook evaluation strategy for
 string predicates over dictionary-encoded data.
-Out of scope, rejected explicitly: closure/zero-length operators nested
-inside sequence or alternation paths (`p1/p2*`),
-inverse/sequence members inside negated sets, nested
-groups, non-disjoint VALUES rows (UNDEF wildcards are supported when
-rows are pairwise disjoint — the exact condition under which the
-OR-filter compilation equals the multiset join), string functions
-inside HAVING (grouped output is numeric), and other FILTER forms
-(casts, LANG/datatype accessors) (SURVEY.md §7 risk list). FILTER
+Round 5 made the group grammar RECURSIVE: `_parse_group` scans any
+group graph pattern into a GroupPattern tree — nested `{}` subgroups,
+OPTIONAL/MINUS/EXISTS bodies and UNION arms are full groups at
+arbitrary depth, `{ SELECT ... }` subqueries (§12) parse standalone
+with outer prefixes in scope, and composite property paths with
+closures inside sequences/alternations (`p1/p2*`, `(p1|p2)+`) parse
+into path ASTs via `_parse_path_expr`.
+Out of scope, rejected explicitly: inverse/sequence members inside
+negated sets, BIND inside nested groups (group-local evaluation order
+— reject rather than guess), nested-group FILTERs referencing outer
+variables (groups plan standalone), non-disjoint VALUES rows (UNDEF
+wildcards are supported when rows are pairwise disjoint — the exact
+condition under which the OR-filter compilation equals the multiset
+join), string functions inside HAVING (grouped output is numeric), and
+other FILTER forms (casts, LANG/datatype accessors). FILTER
 comparison sides accept full integer arithmetic (the BIND grammar:
 `FILTER(?a - ?b > 5 * ?c)`), and string functions ARE allowed in
 OPTIONAL-scoped FILTERs: the term column attaches to whichever join

@@ -504,6 +504,7 @@ def lsh_topk_to(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k by cosine to the vector with id == query_id:
     candidates are vectors sharing ≥1 LSH band bucket with the query; exact
@@ -516,6 +517,11 @@ def lsh_topk_to(
     to matching buckets — the brute-force full-scan disappears. Recall is
     tunable via (n_planes, bands); it is NOT 1.0 — tests measure it against
     ``cosine_topk_to``.
+
+    ``probes`` enables MULTIPROBE (``_multiprobe_bands``): each band also
+    probes its probes-1 least-confident single-bit-flip buckets, recovering
+    recall at selective parameters (many bits per band) where the exact
+    bucket alone would miss near neighbors. probes=1 is classic banded LSH.
     """
     assert n_planes % bands == 0
     bits_per_band = n_planes // bands
@@ -530,15 +536,24 @@ def lsh_topk_to(
     bv = sigs.select(
         F.col(id_col).alias("id"), F.posexplode(band_vals).alias("band", "band_val")
     )
-    qb = bv.filter(F.col("id") == query_id).select("band", "band_val")
+    qrow = df.filter(F.col(id_col) == query_id).select(vec_col).first()
+    if qrow is None:
+        raise ValueError(f"query_id {query_id} not found in {id_col}")
+    qvec = [float(x) for x in qrow[0]]
+    # the probe set is computed DRIVER-side from the query vector (bounded
+    # arithmetic, bit-exact vs the JVM signature expression) — a literal
+    # bands×probes relation, broadcast against the corpus signatures; no
+    # extra corpus scan to look the query's buckets up
+    qb = df.sparkSession.createDataFrame(
+        _multiprobe_bands(qvec, dim, n_planes, bands, seed, probes),
+        "band int, band_val long",
+    )
     cand = (
         bv.join(F.broadcast(qb), ["band", "band_val"])
         .filter(F.col("id") != query_id)
         .select("id")
         .distinct()
     )
-    qrow = df.filter(F.col(id_col) == query_id).select(vec_col).first()
-    qvec = [float(x) for x in qrow[0]]
     scored = df.join(cand, df[id_col] == cand.id, "leftsemi").select(
         F.col(id_col),
         F.round(cosine_to_literal(F.col(vec_col), qvec), 6).alias("score"),
@@ -546,17 +561,68 @@ def lsh_topk_to(
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
-def _py_signature(query_vec: list[float], dim: int, n_planes: int, seed: int) -> int:
-    """Driver-side twin of lsh_signatures for ONE vector (bounded: dim ×
-    n_planes flops). Same left-fold accumulation order and >= 0 bit rule as
-    the JVM expression, so the bits agree exactly."""
-    sig = 0
+def _py_plane_dots(
+    query_vec: list[float], dim: int, n_planes: int, seed: int
+) -> list[float]:
+    """Driver-side per-plane dot products for ONE vector (bounded: dim ×
+    n_planes flops). Same left-fold accumulation order as the JVM
+    expression, so signs (and therefore signature bits) agree exactly."""
+    dots = []
     for comps in hyperplanes(dim, n_planes, seed):
         dot = 0.0
         for a, b in zip(query_vec, comps):
             dot += float(a) * b
+        dots.append(dot)
+    return dots
+
+
+def _py_signature(query_vec: list[float], dim: int, n_planes: int, seed: int) -> int:
+    """Driver-side twin of lsh_signatures for ONE vector: MSB-first fold
+    over the plane dots, >= 0 bit rule — bit-exact vs the JVM expression."""
+    sig = 0
+    for dot in _py_plane_dots(query_vec, dim, n_planes, seed):
         sig = sig * 2 + (1 if dot >= 0 else 0)
     return sig
+
+
+def _multiprobe_bands(
+    query_vec: list[float],
+    dim: int,
+    n_planes: int,
+    bands: int,
+    seed: int,
+    probes: int = 1,
+) -> list[tuple[int, int]]:
+    """Multiprobe LSH probe set (Lv et al., VLDB'07): per band, the query's
+    exact bucket plus its ``probes - 1`` least-confident single-bit flips —
+    a bit whose hyperplane margin |v·plane| is small is the one a true
+    neighbor most likely landed on the other side of, so those buckets are
+    probed first. All driver-side bounded arithmetic (dim × n_planes flops
+    + a sort of bits_per_band ints per band); no data is touched.
+
+    Multiprobe trades probe count for selectivity: MORE bits per band
+    (smaller buckets, cheaper candidate sets) at the same recall, instead
+    of relying on many coarse OR'd bands. probes=1 is exactly the classic
+    single-probe band set."""
+    bits_per_band = n_planes // bands
+    mask = (1 << bits_per_band) - 1
+    dots = _py_plane_dots(query_vec, dim, n_planes, seed)
+    sig = 0
+    for dot in dots:
+        sig = sig * 2 + (1 if dot >= 0 else 0)
+    out: list[tuple[int, int]] = []
+    for b in range(bands):
+        bv = (sig >> (b * bits_per_band)) & mask
+        out.append((b, bv))
+        # band b's bit i (LSB-first within the band) is plane
+        # n_planes-1 - (b*bits_per_band + i) (MSB-first packing)
+        flip_order = sorted(
+            range(bits_per_band),
+            key=lambda i: abs(dots[n_planes - 1 - b * bits_per_band - i]),
+        )
+        for i in flip_order[: max(0, probes - 1)]:
+            out.append((b, bv ^ (1 << i)))
+    return out
 
 
 def lsh_write(
@@ -619,6 +685,7 @@ def lsh_topk_persisted(
     exclude_id: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    probes: int = 1,
 ) -> DataFrame:
     """Probe a ``lsh_write`` layout: the query's band values are computed
     driver-side (deterministic hyperplanes — bounded arithmetic, no data
@@ -626,16 +693,18 @@ def lsh_topk_persisted(
     (PartitionFilters — candidate lists only, never the corpus index),
     candidates semi-join their vectors, exact cosine re-ranks. Identical
     candidates and scoring to the in-memory ``lsh_topk_to`` at the same
-    parameters (equality pinned in tests)."""
+    parameters (equality pinned in tests). ``probes`` > 1 adds each band's
+    least-confident single-bit-flip buckets (multiprobe) — still bands ×
+    probes directories read, set by parameters, never data volume."""
     meta = spark.read.parquet(f"{path}/_meta").first()
-    bits_per_band = meta["n_planes"] // meta["bands"]
-    sig = _py_signature(
-        query_vec, meta["dim"], meta["n_planes"], meta["seed"]
+    wanted = _multiprobe_bands(
+        query_vec,
+        meta["dim"],
+        meta["n_planes"],
+        meta["bands"],
+        meta["seed"],
+        probes,
     )
-    wanted = [
-        (b, (sig >> (b * bits_per_band)) & ((1 << bits_per_band) - 1))
-        for b in range(meta["bands"])
-    ]
     index = spark.read.parquet(path)
     cond = reduce(
         lambda a, b: a | b,

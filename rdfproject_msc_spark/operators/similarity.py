@@ -540,14 +540,21 @@ def lsh_topk_to(
     if qrow is None:
         raise ValueError(f"query_id {query_id} not found in {id_col}")
     qvec = [float(x) for x in qrow[0]]
-    # the probe set is computed DRIVER-side from the query vector (bounded
-    # arithmetic, bit-exact vs the JVM signature expression) — a literal
-    # bands×probes relation, broadcast against the corpus signatures; no
-    # extra corpus scan to look the query's buckets up
-    qb = df.sparkSession.createDataFrame(
-        _multiprobe_bands(qvec, dim, n_planes, bands, seed, probes),
-        "band int, band_val long",
-    )
+    if probes <= 1:
+        # classic single-probe: the query's buckets come from the corpus
+        # signature relation itself (a pushed vec_id filter — one row
+        # group); measured marginally faster than the literal form at
+        # sf0.1 (A/B'd round 5), so the benched default keeps it
+        qb = bv.filter(F.col("id") == query_id).select("band", "band_val")
+    else:
+        # multiprobe: the probe set (exact buckets + margin-ranked bit
+        # flips) is DRIVER-side bounded arithmetic from the query vector,
+        # bit-exact vs the JVM signature expression — a literal
+        # bands×probes relation broadcast against the corpus signatures
+        qb = df.sparkSession.createDataFrame(
+            _multiprobe_bands(qvec, dim, n_planes, bands, seed, probes),
+            "band int, band_val long",
+        )
     cand = (
         bv.join(F.broadcast(qb), ["band", "band_val"])
         .filter(F.col("id") != query_id)

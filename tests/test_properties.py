@@ -187,6 +187,119 @@ def test_sparql_union_matches_python_eval(spark, rows, p1, p2):
 
 
 @given(
+    rows=triples_strategy,
+    p1=st.sampled_from([11, 22, 33]),
+    p2=st.sampled_from([11, 22, 33]),
+    p3=st.sampled_from([11, 22, 33]),
+)
+@settings(**SETTINGS)
+def test_sparql_nested_optional_matches_python_eval(spark, rows, p1, p2, p3):
+    """OPTIONAL inside OPTIONAL vs direct Python evaluation of the
+    bottom-up group algebra: the INNER left join binds within the group
+    before the OUTER null-extension (§18.2.2.2 LeftJoin composition)."""
+    from rdfproject_msc_spark.sparql.planner import sparql_to_df
+    from rdfproject_msc_spark.store import TripleStore
+
+    df = spark.createDataFrame(rows, "s long, p long, o long")
+    q = (
+        f"SELECT ?a ?b ?c ?d WHERE {{ ?a {p1} ?b . "
+        f"OPTIONAL {{ ?b {p2} ?c . OPTIONAL {{ ?c {p3} ?d }} }} }}"
+    )
+    key = lambda t: tuple((v is None, v or 0) for v in t)
+    got = sorted(
+        (
+            (r.a, r.b, r.c, r.d)
+            for r in sparql_to_df(TripleStore(df), q).collect()
+        ),
+        key=key,
+    )
+    # group standalone: (b, c, d) rows of `?b p2 ?c OPTIONAL { ?c p3 ?d }`
+    group = []
+    for s, p, o in rows:
+        if p != p2:
+            continue
+        exts = [oo for ss, pp, oo in rows if pp == p3 and ss == o]
+        if exts:
+            group.extend((s, o, d) for d in exts)
+        else:
+            group.append((s, o, None))
+    want = []
+    for s, p, o in rows:
+        if p != p1:
+            continue
+        matches = [(c, d) for b, c, d in group if b == o]
+        if matches:
+            want.extend((s, o, c, d) for c, d in matches)
+        else:
+            want.append((s, o, None, None))
+    assert got == sorted(want, key=key)
+
+
+@given(
+    rows=triples_strategy,
+    p1=st.sampled_from([11, 22, 33]),
+    p2=st.sampled_from([11, 22, 33]),
+    p3=st.sampled_from([11, 22, 33]),
+)
+@settings(**SETTINGS)
+def test_sparql_optional_in_union_arm_matches_python_eval(
+    spark, rows, p1, p2, p3
+):
+    """OPTIONAL nested in a UNION arm: the arm null-extends within itself
+    BEFORE the multiset union; the other arm never binds ?z."""
+    from rdfproject_msc_spark.sparql.planner import sparql_to_df
+    from rdfproject_msc_spark.store import TripleStore
+
+    df = spark.createDataFrame(rows, "s long, p long, o long")
+    q = (
+        f"SELECT ?x ?y ?z WHERE {{ "
+        f"{{ ?x {p1} ?y . OPTIONAL {{ ?y {p2} ?z }} }} UNION {{ ?x {p3} ?y }} }}"
+    )
+    key = lambda t: tuple((v is None, v or 0) for v in t)
+    got = sorted(
+        ((r.x, r.y, r.z) for r in sparql_to_df(TripleStore(df), q).collect()),
+        key=key,
+    )
+    want = []
+    for s, p, o in rows:
+        if p == p1:
+            exts = [oo for ss, pp, oo in rows if pp == p2 and ss == o]
+            if exts:
+                want.extend((s, o, z) for z in exts)
+            else:
+                want.append((s, o, None))
+        if p == p3:
+            want.append((s, o, None))
+    assert got == sorted(want, key=key)
+
+
+@given(
+    rows=triples_strategy,
+    p1=st.sampled_from([11, 22, 33]),
+    p2=st.sampled_from([11, 22, 33]),
+)
+@settings(**SETTINGS)
+def test_sparql_subgroup_join_equals_flat_bgp(spark, rows, p1, p2):
+    """Plain nested `{}` subgroups join exactly like the flat BGP
+    (§18.2.2.2 Join is associative over the group boundaries)."""
+    from rdfproject_msc_spark.sparql.planner import sparql_to_df
+    from rdfproject_msc_spark.store import TripleStore
+
+    df = spark.createDataFrame(rows, "s long, p long, o long")
+    store = TripleStore(df)
+    nested = sparql_to_df(
+        store,
+        f"SELECT ?a ?b ?c WHERE {{ {{ ?a {p1} ?b }} . {{ ?b {p2} ?c }} }}",
+    )
+    flat = sparql_to_df(
+        store, f"SELECT ?a ?b ?c WHERE {{ ?a {p1} ?b . ?b {p2} ?c }}"
+    )
+    assert sorted(map(tuple, nested.collect())) == sorted(
+        map(tuple, flat.collect())
+    )
+
+
+@given(
     texts=st.lists(
         st.text(
             alphabet=st.sampled_from("ab cd"), min_size=0, max_size=60

@@ -1412,12 +1412,6 @@ def _parse_group(
                 filters.append(_parse_filter_expr(inner))
                 continue
             if kw == "BIND":
-                if depth:
-                    raise SparqlSyntaxError(
-                        "BIND is only supported in the required pattern "
-                        "group (not inside OPTIONAL/MINUS/EXISTS/UNION "
-                        "or nested groups)"
-                    )
                 j = _skip_ws(src, m.end())
                 body, i = _scan_delim(src, j, "(", ")", "BIND")
                 am = _BIND_AS.search(body)
@@ -1507,6 +1501,36 @@ def _validate_group_tree(
                     raise SparqlSyntaxError(
                         f"FILTER variable not in BGP: ?{v}"
                     )
+    # BIND validation (§10.1), per group: the target must be FRESH in its
+    # group (the spec makes an in-scope target a syntax error) and the
+    # expression may only use THIS group's variables and earlier BIND
+    # targets (groups plan standalone — an outer variable would silently
+    # be unbound). Variables local to the group's MINUS/EXISTS children
+    # are NOT in scope for freshness — but the planner computes BINDs
+    # before those group joins, so a BIND target named like a group-local
+    # variable would silently become an anti/semi-join key; reject the
+    # collision rather than guess at textual-order semantics.
+    bind_scope = g.all_vars()
+    group_local_vars = {
+        v
+        for grp in list(g.minuses) + [e for _, e in g.exists]
+        for v in grp.all_vars()
+    }
+    for bvar, bexpr in g.binds:
+        unknown = arith_expr_vars(bexpr) - bind_scope
+        if unknown:
+            raise SparqlSyntaxError(
+                f"BIND expression variables not in scope: "
+                f"{['?' + v for v in sorted(unknown)]}"
+            )
+        if bvar in bind_scope:
+            raise SparqlSyntaxError(f"BIND target is already bound: ?{bvar}")
+        if bvar in group_local_vars:
+            raise SparqlSyntaxError(
+                f"BIND target collides with a MINUS/EXISTS group variable: "
+                f"?{bvar} (the group would silently join on it)"
+            )
+        bind_scope.add(bvar)
     for var, _ in g.values:
         if var not in req:
             raise SparqlSyntaxError(f"VALUES variable not in BGP: ?{var}")
@@ -1697,43 +1721,15 @@ def parse_sparql(
         raise SparqlSyntaxError("empty basic graph pattern")
 
     required_vars = root.required_vars()
-    pattern_vars = root.all_vars()
-
-    # BIND validation (§10.1): the target must be FRESH (the spec makes an
-    # in-scope target a syntax error) and the expression may only use
-    # pattern-bound variables and earlier BIND targets
-    bind_scope = set(pattern_vars)
-    # Variables local to MINUS/EXISTS groups are NOT in scope for BIND
-    # freshness — but the planner computes BINDs before those group joins,
-    # so a BIND target named like a group-local variable would silently
-    # become an anti/semi-join key (SPARQL compares only variables in scope
-    # at the group's point). Reject the collision rather than guess at
-    # textual-order semantics (the engine's standing stance).
-    group_local_vars = {
-        v
-        for g in _walk_groups(root)
-        for grp in list(g.minuses) + [e for _, e in g.exists]
-        for v in grp.all_vars()
-    }
+    # in-scope variables for projection / FILTER / ORDER BY validation:
+    # every pattern-bound variable plus every BIND target anywhere in the
+    # tree (a nested group's BIND target is visible once the group joins
+    # in). Per-group BIND scoping/freshness validates in
+    # _validate_group_tree below.
     binds = root.binds
-    for bvar, bexpr in binds:
-        unknown = arith_expr_vars(bexpr) - bind_scope
-        if unknown:
-            raise SparqlSyntaxError(
-                f"BIND expression variables not in scope: "
-                f"{['?' + v for v in sorted(unknown)]}"
-            )
-        if bvar in bind_scope:
-            raise SparqlSyntaxError(
-                f"BIND target is already bound: ?{bvar}"
-            )
-        if bvar in group_local_vars:
-            raise SparqlSyntaxError(
-                f"BIND target collides with a MINUS/EXISTS group variable: "
-                f"?{bvar} (the group would silently join on it)"
-            )
-        bind_scope.add(bvar)
-    pattern_vars = bind_scope
+    pattern_vars = root.all_vars() | {
+        bvar for g in _walk_groups(root) for bvar, _ in g.binds
+    }
 
     if describe_var is not None and describe_var not in required_vars:
         raise SparqlSyntaxError(

@@ -1319,12 +1319,12 @@ def test_bind_rejections():
     # expression variable out of scope
     with pytest.raises(SparqlSyntaxError, match="not in scope"):
         parse_sparql("SELECT ?a WHERE { ?a :p ?b . BIND(?zz + 1 AS ?c) }")
-    # BIND inside a group
-    with pytest.raises(SparqlSyntaxError, match="required pattern group"):
-        parse_sparql(
-            "SELECT ?a ?c WHERE { ?a :p ?b . "
-            "OPTIONAL { ?b :q ?c . BIND(?c + 1 AS ?d) } }"
-        )
+    # BIND inside a group parses onto that group (per-group Extend)
+    bgp = parse_sparql(
+        "SELECT ?a ?c WHERE { ?a :p ?b . "
+        "OPTIONAL { ?b :q ?c . BIND(?c + 1 AS ?d) } }"
+    )
+    assert bgp.optionals[0].binds == (("d", ("+", ("var", "c"), ("num", 1))),)
     # missing AS
     with pytest.raises(SparqlSyntaxError, match="BIND needs"):
         parse_sparql("SELECT ?a WHERE { ?a :p ?b . BIND(?a + 1) }")

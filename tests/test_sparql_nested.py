@@ -201,10 +201,36 @@ def test_subgroup_filter_cannot_reference_outer_var():
         )
 
 
-def test_bind_rejected_in_nested_group():
-    with pytest.raises(SparqlSyntaxError, match="required pattern group"):
+def test_bind_inside_groups(tiny_store, tiny_dict):
+    """BIND inside nested groups computes within the group's own scope
+    (the planner's per-group Extend), and the target is visible outside
+    once the group joins in."""
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?a ?c ?d WHERE { ?a :p10 ?b . "
+        "{ ?b :p20 ?c . BIND(?c + 1 AS ?d) } }",
+        tiny_dict,
+    )
+    assert _rows(df, "a", "c", "d") == [(1, 3, 4), (2, 3, 4)]
+    # BIND inside a UNION arm: the other arm leaves the target unbound
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?o ?t WHERE { "
+        "{ ?s :p20 ?o . BIND(?o * 10 AS ?t) } UNION { ?s :p10 ?o } }",
+        tiny_dict,
+    )
+    assert _rows(df, "s", "o", "t") == [
+        (-5, 1, None),
+        (1, 1, None),
+        (1, 2, None),
+        (2, 2, None),
+        (2, 3, 30),
+    ]
+    # a nested BIND referencing an OUTER variable is rejected (groups
+    # plan standalone)
+    with pytest.raises(SparqlSyntaxError, match="not in scope"):
         parse_sparql(
-            "SELECT ?a WHERE { ?a :p10 ?b . { ?a :p20 ?c . BIND(?c + 1 AS ?d) } }"
+            "SELECT ?a WHERE { ?a :p10 ?b . { ?a :p20 ?c . BIND(?b + 1 AS ?d) } }"
         )
 
 

@@ -51,8 +51,7 @@ with outer prefixes in scope, and composite property paths with
 closures inside sequences/alternations (`p1/p2*`, `(p1|p2)+`) parse
 into path ASTs via `_parse_path_expr`.
 Out of scope, rejected explicitly: inverse/sequence members inside
-negated sets, BIND inside nested groups (group-local evaluation order
-— reject rather than guess), nested-group FILTERs referencing outer
+negated sets, nested-group FILTER/BIND expressions referencing outer
 variables (groups plan standalone), non-disjoint VALUES rows (UNDEF
 wildcards are supported when rows are pairwise disjoint — the exact
 condition under which the OR-filter compilation equals the multiset
@@ -235,7 +234,8 @@ class GroupPattern:
     # these fold into the LeftJoin condition (§18.2.2.2); for any other
     # group they apply to the group's own solution before it composes.
     filters: tuple = ()
-    # BIND assignments (§10.1), root group only (nested BINDs rejected)
+    # BIND assignments (§10.1): per-group Extend — expressions see only
+    # THIS group's variables and earlier targets (validated recursively)
     binds: tuple[tuple[str, object], ...] = ()
     # OPTIONAL child groups → left join onto this group's solution
     optionals: tuple["GroupPattern", ...] = ()

@@ -368,6 +368,34 @@ def test_sequence_with_inner_closure_matches_oracle(spark, sf_dir):
     assert got == want and len(got) == 2  # the nation and its region
 
 
+def test_filter_inside_minus_group(tiny_store, tiny_dict):
+    """A FILTER inside MINUS constrains the removal set before the
+    anti-join (the group plans standalone, filter and all)."""
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?o WHERE { ?s :p10 ?o . "
+        "MINUS { ?s :p10 ?x . FILTER(?x > 1) } }",
+        tiny_dict,
+    )
+    # removal set: subjects with a p10 object > 1 → {1, 2}; -5 survives
+    assert _rows(df, "s", "o") == [(-5, 1)]
+
+
+def test_values_inside_optional_group(tiny_store, tiny_dict):
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?o ?c WHERE { ?s :p10 ?o . "
+        "OPTIONAL { ?o :p10 ?c . VALUES ?c { 1 } } }",
+        tiny_dict,
+    )
+    assert _rows(df, "s", "o", "c") == [
+        (-5, 1, 1),
+        (1, 1, 1),
+        (1, 2, None),
+        (2, 2, None),
+    ]
+
+
 def test_subquery_aggregate_joins_back(tiny_store, tiny_dict):
     """§12 subquery: per-subject p10 out-degree aggregated in the nested
     SELECT, joined back on the projected ?s."""

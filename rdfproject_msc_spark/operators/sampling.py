@@ -70,6 +70,65 @@ def with_split(
     return df.withColumn("split", expr)
 
 
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic training-mixture sampling: each source is kept at its
+    configured rate, with rates > 1 UPSAMPLING by duplication — the epoch
+    weighting used to mix corpus sources for LLM training (e.g. wiki ×2.5,
+    web ×0.3). A ``copy`` column (0-based) distinguishes duplicates so
+    downstream shuffling/packing treats them as distinct examples.
+
+    rate = k + f (k integer, 0 ≤ f < 1) keeps ⌊rate⌋ full copies of every
+    row and one more iff the row's hash falls under f — so the EXPECTED
+    multiplicity is exactly the rate, per row, deterministically: the same
+    document always gets the same multiplicity (stable under corpus
+    growth, like the split/stratified ops — no RNG, no partition-order
+    dependence). The fractional decision uses md5 digits 13-18, disjoint
+    from the split (1-6) and stratified (7-12) streams, so mixing composes
+    independently with both.
+
+    Plan shape: one per-row codegen'd expression + an explode over a
+    sequence of length ≤ ⌈max rate⌉ — zero shuffle, zero state; sources
+    not in ``rates`` use ``default_rate``. The multiset the explode
+    produces is the exact distributed form of the driver-side weighted
+    concatenation a single-node pipeline would build."""
+    for src, r in rates.items():
+        if r < 0:
+            raise ValueError(f"negative mixture rate for {src!r}: {r}")
+    if default_rate < 0:
+        raise ValueError(f"negative default mixture rate: {default_rate}")
+    rate = F.lit(float(default_rate))
+    for src in sorted(rates):
+        rate = F.when(
+            F.col(source_col) == F.lit(src), F.lit(float(rates[src]))
+        ).otherwise(rate)
+    frac_bucket = hash_bucket(
+        F.col(id_col), n_buckets=N_BUCKETS, hex_start=13
+    )
+    # multiplicity = floor(rate) + (bucket < frac·N ? 1 : 0); quantized to
+    # 1/N_BUCKETS like the split weights
+    n_copies = (
+        F.floor(rate)
+        + (
+            frac_bucket
+            < F.round((rate - F.floor(rate)) * F.lit(N_BUCKETS))
+        ).cast("long")
+    ).cast("int")
+    return (
+        df.withColumn("__n_copies", n_copies)
+        .filter(F.col("__n_copies") > 0)
+        .withColumn(
+            "copy", F.explode(F.sequence(F.lit(0), F.col("__n_copies") - 1))
+        )
+        .drop("__n_copies")
+    )
+
+
 def with_stratified_flag(
     df: DataFrame,
     strata_col: str,

@@ -336,3 +336,51 @@ def test_lsh_persisted_probe_matches_in_memory(spark, sf_dir, tmp_path):
         if "FileScan" in ln and "band" in ln
     ]
     assert any("PartitionFilters: [" in ln and "band" in ln.split("PartitionFilters")[-1] for ln in scan_lines), scan_lines
+
+
+def test_mixture_sample_matches_duckdb_oracle(spark, sf_dir):
+    """Training-mixture sampling (per-source rates, upsampling by
+    duplication) vs an exact DuckDB twin of the md5 digits-13-18 bucket
+    arithmetic: multiplicity = floor(rate) + (bucket < frac·1000)."""
+    from rdfproject_msc_spark.operators import sampling
+    from tests.oracle import assert_matches_oracle
+
+    docs = load_table(spark, sf_dir, "documents")
+    rates = {"src0": 2.5, "src1": 0.0, "src2": 0.3}
+    out = sampling.mixture_sample(
+        docs, rates, source_col="source", id_col="doc_id", default_rate=1.0
+    ).select("doc_id", "source", "copy")
+
+    hex6 = " + ".join(
+        f"(strpos('0123456789abcdef', "
+        f"substr(md5(CAST(doc_id AS VARCHAR)), {13 + i}, 1)) - 1)"
+        f" * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    sql = f"""
+    WITH r AS (
+        SELECT doc_id, source,
+               CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.0
+                    WHEN 'src2' THEN 0.3 ELSE 1.0 END AS rate,
+               CAST(({hex6}) % 1000 AS BIGINT) AS b
+        FROM documents
+    ), m AS (
+        SELECT doc_id, source,
+               CAST(floor(rate) +
+                    (CASE WHEN b < round((rate - floor(rate)) * 1000)
+                          THEN 1 ELSE 0 END) AS INT) AS n
+        FROM r
+    )
+    SELECT doc_id, source, CAST(u.c AS INT) AS copy
+    FROM m, unnest(range(m.n)) AS u(c)
+    WHERE n > 0
+    """
+    assert_matches_oracle(out, sql, sf_dir)
+
+    # expected-multiplicity sanity: src1 vanishes, src0 rows appear 2 or
+    # 3 times each, unlisted sources exactly once
+    got = out.groupBy("source").count().collect()
+    by_src = {r.source: r["count"] for r in got}
+    assert "src1" not in by_src
+    assert 2 * 25 <= by_src["src0"] <= 3 * 25
+    assert by_src["src3"] == 25

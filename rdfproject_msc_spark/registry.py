@@ -2064,8 +2064,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "multimodal_filter": QuerySpec(multimodal_filter, MULTIMODAL_FILTER_SQL),
     "multimodal_decode": QuerySpec(multimodal_decode, MULTIMODAL_DECODE_SQL),
     # new / reworked this round
-    "sparql_nested": QuerySpec(sparql_nested, SPARQL_NESTED_SQL),
-    "sparql_subquery": QuerySpec(sparql_subquery, SPARQL_SUBQUERY_SQL),
+    "sparql_nested": QuerySpec(sparql_nested, SPARQL_NESTED_SQL, headline=True),
+    "sparql_subquery": QuerySpec(sparql_subquery, SPARQL_SUBQUERY_SQL, headline=True),
     "rdf_layout_matrix": QuerySpec(rdf_layout_matrix, RDF_PATH_2HOP_SQL),
     "sparql_optional": QuerySpec(sparql_optional, SPARQL_OPTIONAL_SQL),
     "dedup_components": QuerySpec(dedup_components, DEDUP_COMPONENTS_SQL),

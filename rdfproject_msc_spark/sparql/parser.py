@@ -144,6 +144,11 @@ _AGG_ITEM = re.compile(
 _EXPR_ITEM = re.compile(r"^\(\s*(?P<expr>.+?)\s+AS\s+[?$](?P<alias>\w+)\s*\)$", re.S)
 _GROUP = re.compile(r"GROUP\s+BY\s+(?P<keys>(?:[?$]\w+\s*)+)", re.I)
 _HAVING = re.compile(r"HAVING\s*\(", re.I)
+# aggregate calls INSIDE a HAVING body (§11.5): lifted to hidden aliases
+_HAVING_AGG = re.compile(
+    r"\b(COUNT|SUM|AVG|MIN|MAX|SAMPLE)\s*\(\s*(DISTINCT\s+)?([?$]\w+|\*)\s*\)",
+    re.I,
+)
 # ASK query form (§16.3): boolean existence of any solution
 _ASK = re.compile(
     r"^\s*(?P<prefixes>(?:PREFIX\s+\S+\s*<[^>]*>\s*)*)"
@@ -1778,8 +1783,35 @@ def parse_sparql(
     # solution modifiers after the group pattern
     mods = mods_src or ""
     # HAVING(expr) — extract with balanced parens, reusing the FILTER
-    # expression grammar; evaluated over the grouped OUTPUT columns
+    # expression grammar; evaluated over the grouped OUTPUT columns.
+    # Aggregate CALLS inside HAVING (§11.5 allows constraints over
+    # aggregates that are not projected — `HAVING(SUM(?x) > 5)`) lift to
+    # HIDDEN aggregates: each call becomes a synthetic `?__haggN`
+    # variable, the aggregate computes alongside the projected ones, the
+    # filter applies over the grouped output, and the final projection
+    # drops the hidden column.
     having: list = []
+    hidden_agg_counter = itertools.count()
+
+    def _lift_having_aggs(body: str) -> str:
+        def repl(m: re.Match) -> str:
+            func = m.group(1).lower()
+            distinct = bool(m.group(2))
+            arg = m.group(3)
+            if arg == "*" and (func != "count" or distinct):
+                raise SparqlSyntaxError(f"{func.upper()}(*) is not supported")
+            if distinct and func not in ("count", "sum"):
+                raise SparqlSyntaxError(
+                    f"{func.upper()}(DISTINCT ...) is not supported"
+                )
+            alias = f"__hagg{next(hidden_agg_counter)}"
+            aggregates.append(
+                (func, None if arg == "*" else arg[1:], distinct, alias, None)
+            )
+            return "?" + alias
+
+        return _HAVING_AGG.sub(repl, body)
+
     while True:
         hm = _HAVING.search(mods)
         if not hm:
@@ -1793,8 +1825,14 @@ def parse_sparql(
             i += 1
         if depth:
             raise SparqlSyntaxError("unbalanced parentheses in HAVING")
-        having.append(_parse_filter_expr(mods[hm.end() : i - 1]))
+        having.append(
+            _parse_filter_expr(_lift_having_aggs(mods[hm.end() : i - 1]))
+        )
         mods = mods[: hm.start()] + " " + mods[i:]
+    aliases = {alias for _, _, _, alias, _ in aggregates}
+    for _, avar, _, _, _ in aggregates:  # re-check: lifting added entries
+        if avar is not None and avar not in pattern_vars:
+            raise SparqlSyntaxError(f"aggregate variable not in BGP: ?{avar}")
     gm = _GROUP.search(mods)
     group_by = (
         tuple(v.lstrip("?$") for v in gm.group("keys").split()) if gm else ()

@@ -1699,3 +1699,29 @@ def test_streq_unbound_var_drops(tiny_store, tiny_dict):
         tiny_dict,
     )
     assert sorted((r.a, r.c) for r in df.collect()) == [(1, 3), (2, 3)]
+
+
+def test_having_with_aggregate_calls(tiny_store, tiny_dict):
+    """§11.5: aggregate CALLS inside HAVING lift to hidden aggregates —
+    constraints over aggregates that are NOT projected."""
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s :p10 ?o } "
+        "GROUP BY ?s HAVING(SUM(?o) > 1)",
+        tiny_dict,
+    )
+    # p10 object sums: 1→3, 2→2, -5→1 → -5 drops; hidden column projected away
+    assert df.columns == ["s", "n"]
+    assert sorted((r.s, r.n) for r in df.collect()) == [(1, 2), (2, 1)]
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s WHERE { ?s :p10 ?o } "
+        "GROUP BY ?s HAVING(COUNT(?o) >= 2 && MAX(?o) > 1)",
+        tiny_dict,
+    )
+    assert sorted(r.s for r in df.collect()) == [1]
+    with pytest.raises(SparqlSyntaxError, match="aggregate variable"):
+        parse_sparql(
+            "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s :p10 ?o } "
+            "GROUP BY ?s HAVING(SUM(?zz) > 1)"
+        )

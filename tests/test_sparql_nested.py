@@ -450,6 +450,32 @@ def test_subquery_matches_oracle(spark, sf_dir):
     )
 
 
+def test_ask_and_construct_over_nested_groups(tiny_store, tiny_dict):
+    """ASK and CONSTRUCT ride the same recursive group machinery."""
+    ask = sparql_to_df(
+        tiny_store,
+        "ASK { ?s :p10 ?o . { ?o :p20 ?x . FILTER(?x > 2) } }",
+        tiny_dict,
+    )
+    assert [r.ask for r in ask.collect()] == [True]
+    ask = sparql_to_df(
+        tiny_store,
+        "ASK { ?s :p10 ?o . { ?o :p20 ?x . FILTER(?x > 99) } }",
+        tiny_dict,
+    )
+    assert [r.ask for r in ask.collect()] == [False]
+    g = sparql_to_df(
+        tiny_store,
+        "CONSTRUCT { ?s :p20 ?x } WHERE { ?s :p10 ?o . { ?o :p20 ?x } }",
+        tiny_dict,
+    )
+    # ?o=2 has the p20 edge 2→3; subjects reaching o=2: 1 (via 1→2), 2
+    assert sorted((r.s, r.p, r.o) for r in g.collect()) == [
+        (1, 20, 3),
+        (2, 20, 3),
+    ]
+
+
 def test_nested_group_term_constants_encode(tiny_store, tiny_dict):
     """Term constants inside nested groups resolve through the one
     bounded dictionary lookup."""

@@ -1019,8 +1019,38 @@ def _parse_path_expr(src: str, prefixes: dict[str, str]):
             advance()
         return node
 
+    def pred_name():
+        nonlocal pos
+        start = pos
+        while pos < n and src[pos] not in _PATH_DELIMS and src[pos] != "!":
+            pos += 1
+        name = src[start:pos]
+        if not name or name[0] in "?$\"":
+            error()
+        slot = _normalize_term(name, prefixes)
+        if slot[0] == "var":
+            error()
+        return slot
+
     def atom():
         nonlocal pos
+        if peek() == "!":
+            # negated property set (§9.1 PathNegatedPropertySet): !p or
+            # !(p1|p2|...) — plain constant predicates only (no inverse
+            # members), one NOT-IN scan in the compiled relation
+            advance()
+            if peek() == "(":
+                advance()
+                slots = [pred_name()]
+                while peek() == "|":
+                    advance()
+                    slots.append(pred_name())
+                if peek() != ")":
+                    error()
+                advance()
+            else:
+                slots = [pred_name()]
+            return ("npred", tuple(slots))
         if peek() == "(":
             advance()
             node = alt()
@@ -1028,16 +1058,7 @@ def _parse_path_expr(src: str, prefixes: dict[str, str]):
                 error()
             advance()
             return node
-        start = pos
-        while pos < n and src[pos] not in _PATH_DELIMS:
-            pos += 1
-        name = src[start:pos]
-        if not name or name[0] in "?$!\"":
-            error()
-        slot = _normalize_term(name, prefixes)
-        if slot[0] == "var":
-            error()
-        return ("pred", slot)
+        return ("pred", pred_name())
 
     node = alt()
     if pos != n:
@@ -1047,7 +1068,7 @@ def _parse_path_expr(src: str, prefixes: dict[str, str]):
 
 def path_expr_has_closure(node) -> bool:
     k = node[0]
-    if k == "pred":
+    if k in ("pred", "npred"):
         return False
     if k == "clos":
         return True
@@ -1063,6 +1084,8 @@ def path_expr_terms(node) -> set[str]:
     if k == "pred":
         kind, val = node[1]
         return {val} if kind == "term" else set()
+    if k == "npred":
+        return {val for kind, val in node[1] if kind == "term"}
     if k in ("inv", "clos"):
         return path_expr_terms(node[1])
     return set().union(*(path_expr_terms(c) for c in node[1]))
@@ -1099,7 +1122,9 @@ def _parse_patterns(
         if cur[1].startswith("!"):
             # negated property set `!p` / `!(p1|p2|...)` (§9.1): one scan
             # with a NOT-IN predicate filter — no inverse/sequence/closure
-            # members, constants only
+            # members, constants only. A negated set COMPOSED with other
+            # path operators (`!(:p)/:q`) falls through to the full path
+            # AST parser below.
             inner = cur[1][1:]
             if inner.startswith("(") and inner.endswith(")"):
                 inner = inner[1:-1]
@@ -1111,6 +1136,17 @@ def _parse_patterns(
                 or _PATH_OPERATOR.search(a)
                 for a in alts
             ):
+                if paths is not None:
+                    ast = _parse_path_expr(cur[1], prefixes)
+                    paths.append(
+                        (
+                            _normalize_term(cur[0], prefixes),
+                            ast,
+                            _normalize_term(cur[2], prefixes),
+                        )
+                    )
+                    cur.clear()
+                    return
                 raise SparqlSyntaxError(
                     f"unsupported negated property set: {cur[1]!r} "
                     "(constant predicates only, e.g. !(:p1|:p2))"

@@ -363,6 +363,14 @@ def _compile_path_relation(
         pid = int(val) if k == "id" else ctx.term_ids[val]
         t = store.table_for_subject(None).filter(F.col("p") == F.lit(pid))
         return t.select(F.col("s").alias("cs"), F.col("o").alias("co"))
+    if kind == "npred":
+        # negated property set: one NOT-IN scan predicate (§9.1), same as
+        # the pattern-level lowering — still pushdown-able
+        excluded = [
+            int(val) if k == "id" else ctx.term_ids[val] for k, val in node[1]
+        ]
+        t = store.table_for_subject(None).filter(~F.col("p").isin(excluded))
+        return t.select(F.col("s").alias("cs"), F.col("o").alias("co"))
     if kind == "inv":
         r = _compile_path_relation(ctx, node[1])
         return r.select(F.col("co").alias("cs"), F.col("cs").alias("co"))

@@ -1295,9 +1295,16 @@ def test_negated_property_set(tiny_store, tiny_dict):
 
 
 def test_negated_property_set_rejections():
-    for bad in ("!(:p1/:p2)", "!(^:p1)", "!?p", "!(:p1|:p2)+", "!()", "!"):
+    for bad in ("!(:p1/:p2)", "!(^:p1)", "!?p", "!()", "!"):
         with pytest.raises(SparqlSyntaxError):
             parse_sparql(f"SELECT ?s WHERE {{ ?s {bad} ?o }}")
+    # a closure OVER a negated set is legal (§9.1) and parses as a path AST
+    bgp = parse_sparql("SELECT ?s WHERE { ?s !(:p1|:p2)+ ?o }")
+    assert bgp.where.paths[0][1] == (
+        "clos",
+        ("npred", (("term", ":p1"), ("term", ":p2"))),
+        "+",
+    )
 
 
 def test_bind_parse_precedence():

@@ -485,3 +485,22 @@ def test_nested_group_term_constants_encode(tiny_store, tiny_dict):
         tiny_dict,
     )
     assert _rows(df, "a", "c") == [(1, 3), (2, 3)]
+
+
+def test_negated_set_in_composite_paths(tiny_store, tiny_dict):
+    """§9.1 PathNegatedPropertySet composed with sequence/closure
+    operators: compiles to a NOT-IN edge scan inside the path relation."""
+    df = sparql_to_df(
+        tiny_store, "SELECT ?a ?b WHERE { ?a !(:p20)/:p20 ?b }", tiny_dict
+    )
+    assert _rows(df, "a", "b") == [(1, 3), (2, 3)]
+    df = sparql_to_df(
+        tiny_store, "SELECT ?a ?b WHERE { ?a (!(:p10))+ ?b }", tiny_dict
+    )
+    assert _rows(df, "a", "b") == [(2, 3)]
+    # standalone negated sets stay on the pattern-level NOT-IN scan
+    bgp = parse_sparql("SELECT ?a ?b WHERE { ?a !(:p10|:p20) ?b }")
+    assert bgp.patterns[0].p[0] == "notin"
+    # inverse members inside negated sets stay rejected
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql("SELECT ?a WHERE { ?a !(^:p10) ?b }")

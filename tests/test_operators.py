@@ -425,3 +425,54 @@ def test_pca_then_ivf_composition(spark, sf_dir):
     # the 16 components must explain a nontrivial share of variance even
     # on near-random data (16/64 = 25% is the random floor)
     assert sum(ratio) >= 0.25
+
+
+def test_chunk_documents_matches_duckdb_oracle(spark, sf_dir):
+    """Overlapping token-window chunking vs an exact DuckDB twin
+    (string_split_regex + generate_series + list slicing)."""
+    from rdfproject_msc_spark.operators.chunking import chunk_documents
+    from tests.oracle import assert_matches_oracle
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = chunk_documents(docs, max_tokens=32, overlap=8)
+    sql = """
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(trim(text), '\\s+') AS toks,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS n
+        FROM documents
+    ), c AS (
+        SELECT doc_id, toks, n,
+               1 + CAST(floor((greatest(n - 32, 0) + 23) / 24) AS INT) AS nc
+        FROM t WHERE n > 0
+    )
+    SELECT doc_id,
+           CAST(u.i AS INT) AS chunk_id,
+           array_to_string(toks[(u.i * 24 + 1):(u.i * 24 + 32)], ' ') AS chunk,
+           CAST(len(toks[(u.i * 24 + 1):(u.i * 24 + 32)]) AS BIGINT) AS n_tokens
+    FROM c, unnest(range(c.nc)) AS u(i)
+    """
+    assert_matches_oracle(out, sql, sf_dir)
+
+
+def test_chunk_documents_edges(spark):
+    from rdfproject_msc_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, ""), (3, "   "), (4, "x")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, max_tokens=4, overlap=2).collect()
+    rows = sorted((r.doc_id, r.chunk_id, r.chunk, r.n_tokens) for r in out)
+    # doc 1: 7 tokens, stride 2 → windows [0:4),[2:6),[4:7) → 1+ceil(3/2)=3
+    assert rows == [
+        (1, 0, "a b c d", 4),
+        (1, 1, "c d e f", 4),
+        (1, 2, "e f g", 3),
+        (4, 0, "x", 1),
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=4, overlap=4)

@@ -1325,7 +1325,19 @@ def _parse_group(
 
     Keyword detection is token-exact: a word counts only at a delimiter
     boundary, so terms like :node_OPTIONAL2 or variables like ?filter
-    never trigger. Quoted literals and <IRIs> pass through verbatim."""
+    never trigger. Quoted literals and <IRIs> pass through verbatim.
+
+    A group whose ENTIRE body is a SELECT — a UNION arm `{ SELECT ... }`,
+    an OPTIONAL body, or a whole WHERE clause — parses as a subquery
+    group (§12), same as the brace-scanned direct form."""
+    if re.match(r"\s*SELECT\b", src, re.I):
+        sub = parse_sparql(src, outer_prefixes=prefixes)
+        if sub.projection is None:
+            raise SparqlSyntaxError(
+                "subqueries need an explicit projection "
+                "(SELECT * is not supported in a subquery)"
+            )
+        return GroupPattern(subselects=(sub,))
     i, n = 0, len(src)
     buf: list[str] = []
     patterns: list[TriplePattern] = []
@@ -1384,17 +1396,6 @@ def _parse_group(
         if c == "{":
             flush()
             inner, i = _scan_delim(src, i, "{", "}", "group pattern")
-            if re.match(r"\s*SELECT\b", inner, re.I):
-                # subquery (§12): a complete SELECT parsed standalone with
-                # the OUTER prefix declarations in scope
-                sub = parse_sparql(inner, outer_prefixes=prefixes)
-                if sub.projection is None:
-                    raise SparqlSyntaxError(
-                        "subqueries need an explicit projection "
-                        "(SELECT * is not supported in a subquery)"
-                    )
-                subselects.append(sub)
-                continue
             arms = [inner]
             while True:  # `{...} UNION {...} [UNION {...}]` chain
                 j = _skip_ws(src, i)

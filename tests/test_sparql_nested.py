@@ -504,3 +504,30 @@ def test_negated_set_in_composite_paths(tiny_store, tiny_dict):
     # inverse members inside negated sets stay rejected
     with pytest.raises(SparqlSyntaxError):
         parse_sparql("SELECT ?a WHERE { ?a !(^:p10) ?b }")
+
+
+def test_subquery_as_union_arm_and_optional_body(tiny_store, tiny_dict):
+    """§12 subqueries compose in every group position: UNION arm,
+    OPTIONAL body, and as the whole WHERE clause."""
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?n WHERE { "
+        "{ SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s :p10 ?o } GROUP BY ?s } "
+        "UNION { ?s :p20 ?n } }",
+        tiny_dict,
+    )
+    assert _rows(df, "s", "n") == [(-5, 1), (1, 2), (2, 1), (2, 3)]
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?n WHERE { "
+        "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s :p10 ?o } GROUP BY ?s }",
+        tiny_dict,
+    )
+    assert _rows(df, "s", "n") == [(-5, 1), (1, 2), (2, 1)]
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?o ?n WHERE { ?s :p20 ?o . OPTIONAL { "
+        "SELECT ?s (COUNT(?x) AS ?n) WHERE { ?s :p10 ?x } GROUP BY ?s } }",
+        tiny_dict,
+    )
+    assert _rows(df, "s", "o", "n") == [(2, 3, 1)]

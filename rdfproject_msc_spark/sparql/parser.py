@@ -77,7 +77,7 @@ from __future__ import annotations
 
 import itertools
 import re
-from dataclasses import dataclass
+from dataclasses import dataclass, replace as _dc_replace
 
 # VALUES rows inside a multi-variable block: `(a b)` / `(c UNDEF)`
 _VALUES_ROW = re.compile(r"\(([^()]*)\)")
@@ -120,11 +120,14 @@ _STR_FNS = ("regex", "contains", "strstarts", "strends")
 _BIND_AS = re.compile(r"\sAS\s+[?$](?P<var>\w+)\s*$", re.I)
 # tokens inside the BGP: quoted literal | <iri> | anything non-space
 _TOKEN = re.compile(r'"[^"]*"|<[^>]*>|\S+')
+# SELECT header up to (and excluding) the WHERE group's opening brace;
+# the group itself is brace-SCANNED (a regex-anchored trailing `}` would
+# mis-split queries whose modifiers contain braces — trailing VALUES)
 _QUERY = re.compile(
     r"^\s*(?P<prefixes>(?:PREFIX\s+\S+\s*<[^>]*>\s*)*)"
     r"SELECT\s+(?P<distinct>DISTINCT\s+)?"
     r"(?P<proj>\*|(?:(?:[?$]\w+|\((?:[^()]|\([^()]*\))*\))\s*)+)\s*"
-    r"WHERE\s*\{(?P<bgp>.*)\}\s*(?P<mods>.*?)\s*$",
+    r"WHERE\s*(?=\{)",
     re.I | re.S,
 )
 # projection items: a plain variable, or a parenthesized aggregate
@@ -1680,9 +1683,11 @@ def parse_sparql(
                 "{ patterns }, DESCRIBE term..., or DESCRIBE ?x (one "
                 "variable) WHERE { patterns }"
             )
-        prefixes_src, bgp_src = m.group("prefixes"), m.group("bgp")
+        prefixes_src = m.group("prefixes")
         proj_src = m.group("proj").strip()
-        distinct_src, mods_src = m.group("distinct"), m.group("mods")
+        distinct_src = m.group("distinct")
+        bgp_src, end = _scan_delim(query, m.end(), "{", "}", "WHERE group")
+        mods_src = query[end:]
     prefixes = dict(outer_prefixes or {})
     prefixes.update(
         (pm.group(1), pm.group(2))
@@ -1756,8 +1761,6 @@ def parse_sparql(
         projection = tuple(items)
 
     if binds:
-        from dataclasses import replace as _dc_replace
-
         root = _dc_replace(root, binds=root.binds + tuple(binds))
     if not root.has_required_content():
         raise SparqlSyntaxError("empty basic graph pattern")
@@ -1819,6 +1822,67 @@ def parse_sparql(
             raise SparqlSyntaxError(f"aggregate variable not in BGP: ?{avar}")
     # solution modifiers after the group pattern
     mods = mods_src or ""
+
+    # trailing VALUES clause (§7.2.2): the spec's final algebra joins it
+    # with the WHERE pattern (§18.2.2.8 `pattern := Join(pattern, M)`),
+    # which is exactly the in-group VALUES compilation — so it merges
+    # into the root group (validated here; the tree was validated above)
+    trailing_v = list(root.values)
+    trailing_vm = list(root.values_multi)
+    while True:
+        vm = re.search(r"\bVALUES\b", mods, re.I)
+        if not vm:
+            break
+        j = _skip_ws(mods, vm.end())
+        if j < len(mods) and mods[j] in "?$":
+            nm = re.compile(r"[?$](\w+)").match(mods, j)
+            if not nm:
+                raise SparqlSyntaxError("malformed VALUES variable")
+            vals_src, end = _scan_delim(
+                mods, _skip_ws(mods, nm.end()), "{", "}", "VALUES"
+            )
+            entries = tuple(
+                _normalize_term(tok, prefixes)
+                for tok in _TOKEN.findall(vals_src)
+            )
+            if not entries:
+                raise SparqlSyntaxError("empty VALUES block")
+            if any(kind == "var" for kind, _ in entries):
+                raise SparqlSyntaxError("VALUES entries must be constants")
+            if nm.group(1) not in required_vars:
+                raise SparqlSyntaxError(
+                    f"VALUES variable not in BGP: ?{nm.group(1)}"
+                )
+            trailing_v.append((nm.group(1), entries))
+        elif j < len(mods) and mods[j] == "(":
+            vars_src, j2 = _scan_delim(mods, j, "(", ")", "VALUES")
+            toks = vars_src.split()
+            if not toks or any(not t.startswith(("?", "$")) for t in toks):
+                raise SparqlSyntaxError(
+                    f"unsupported VALUES form: {vars_src.strip()!r}"
+                )
+            vars_ = tuple(t.lstrip("?$") for t in toks)
+            for var in vars_:
+                if var not in required_vars:
+                    raise SparqlSyntaxError(
+                        f"VALUES variable not in BGP: ?{var}"
+                    )
+            rows_src, end = _scan_delim(
+                mods, _skip_ws(mods, j2), "{", "}", "VALUES"
+            )
+            trailing_vm.append(_parse_values_rows(vars_, rows_src, prefixes))
+        else:
+            raise SparqlSyntaxError("unsupported VALUES form")
+        mods = mods[: vm.start()] + " " + mods[end:]
+    if len(trailing_v) != len(root.values) or len(trailing_vm) != len(
+        root.values_multi
+    ):
+        root = _dc_replace(
+            root,
+            values=tuple(trailing_v),
+            values_multi=tuple(trailing_vm),
+        )
+
     # HAVING(expr) — extract with balanced parens, reusing the FILTER
     # expression grammar; evaluated over the grouped OUTPUT columns.
     # Aggregate CALLS inside HAVING (§11.5 allows constraints over

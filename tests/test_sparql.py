@@ -1732,3 +1732,23 @@ def test_having_with_aggregate_calls(tiny_store, tiny_dict):
             "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s :p10 ?o } "
             "GROUP BY ?s HAVING(SUM(?zz) > 1)"
         )
+
+
+def test_trailing_values_clause(tiny_store, tiny_dict):
+    """§7.2.2 query-level VALUES after the WHERE group: the final algebra
+    joins it with the pattern (§18.2.2.8) — same compilation as the
+    in-group block, composing with other modifiers."""
+    df = sparql_to_df(
+        tiny_store, "SELECT ?s ?o WHERE { ?s :p10 ?o } VALUES ?o { 2 }",
+        tiny_dict,
+    )
+    assert sorted((r.s, r.o) for r in df.collect()) == [(1, 2), (2, 2)]
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?o WHERE { ?s :p10 ?o } ORDER BY DESC(?s) "
+        "VALUES (?s ?o) { (1 2) (2 2) }",
+        tiny_dict,
+    )
+    assert [(r.s, r.o) for r in df.collect()] == [(2, 2), (1, 2)]
+    with pytest.raises(SparqlSyntaxError, match="VALUES variable"):
+        parse_sparql("SELECT ?s WHERE { ?s :p10 ?o } VALUES ?zz { 1 }")

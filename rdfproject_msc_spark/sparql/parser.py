@@ -123,9 +123,11 @@ _TOKEN = re.compile(r'"[^"]*"|<[^>]*>|\S+')
 # SELECT header up to (and excluding) the WHERE group's opening brace;
 # the group itself is brace-SCANNED (a regex-anchored trailing `}` would
 # mis-split queries whose modifiers contain braces — trailing VALUES)
+# REDUCED (§9.9.2) *permits* duplicate elimination without requiring it;
+# returning the multiset unchanged is conformant, so it parses as a no-op
 _QUERY = re.compile(
     r"^\s*(?P<prefixes>(?:PREFIX\s+\S+\s*<[^>]*>\s*)*)"
-    r"SELECT\s+(?P<distinct>DISTINCT\s+)?"
+    r"SELECT\s+(?:(?P<distinct>DISTINCT)\s+|REDUCED\s+)?"
     r"(?P<proj>\*|(?:(?:[?$]\w+|\((?:[^()]|\([^()]*\))*\))\s*)+)\s*"
     r"WHERE\s*(?=\{)",
     re.I | re.S,
@@ -622,18 +624,26 @@ def _parse_filter_expr(src: str):
         return add_expr()
 
     def in_list(var: str, negated: bool):
-        """`?v [NOT] IN (n1, n2, ...)` (§17.4.1.9-10) → ('in', var,
-        values, negated); integer constants only (the id data model)."""
+        """`?v [NOT] IN (x1, x2, ...)` (§17.4.1.9-10): integer ids and/or
+        string terms. Integers → ('in', var, ids, negated); strings →
+        ('strin', var, texts, negated) — resolved to ids at plan time via
+        the same bounded lookup as term equality. A mixed list is the
+        disjunction of the two leaves (conjunction when negated — De
+        Morgan over the not-equals)."""
         take("(")
-        vals: list[int] = []
+        ints: list[int] = []
+        texts: list[str] = []
         while True:
             t = take()
-            if not re.fullmatch(r"-?\d+", t):
+            if re.fullmatch(r"-?\d+", t):
+                ints.append(int(t))
+            elif t.startswith('"') and t.endswith('"'):
+                texts.append(t[1:-1])
+            else:
                 raise SparqlSyntaxError(
                     f"bad FILTER expression {src!r}: IN lists take "
-                    f"integer constants, got {t!r}"
+                    f"integer or string constants, got {t!r}"
                 )
-            vals.append(int(t))
             t = take()
             if t == ")":
                 break
@@ -642,7 +652,18 @@ def _parse_filter_expr(src: str):
                     f"bad FILTER expression {src!r}: expected ',' or ')' "
                     f"in IN list, got {t!r}"
                 )
-        return ("in", var, tuple(vals), negated)
+        leaves = []
+        if ints:
+            leaves.append(("in", var, tuple(ints), negated))
+        if texts:
+            leaves.append(("strin", var, tuple(texts), negated))
+        if not leaves:
+            raise SparqlSyntaxError(
+                f"bad FILTER expression {src!r}: empty IN list"
+            )
+        if len(leaves) == 1:
+            return leaves[0]
+        return ("and" if negated else "or", leaves[0], leaves[1])
 
     def streq_rhs(var_tok: str):
         """Finish a term-equality comparison `<var-side> =|!= "literal"`
@@ -759,8 +780,8 @@ def filter_expr_vars(node) -> set[str]:
         return {var} | ({rhs[1]} if rhs[0] == "var" else set())
     if len(node) == 4 and node[0] == "cmp":  # arithmetic comparison leaf
         return arith_expr_vars(node[1]) | arith_expr_vars(node[3])
-    if len(node) == 4 and node[0] in ("in", "streq"):  # [NOT] IN / term-eq
-        return {node[1]}
+    if len(node) == 4 and node[0] in ("in", "streq", "strin"):
+        return {node[1]}  # [NOT] IN (ids/terms) / term-equality
     if len(node) == 2 and node[0] == "bound":  # BOUND leaf
         return {node[1]}
     if len(node) == 5 and node[0] == "strfn":  # string-function leaf
@@ -777,7 +798,7 @@ def filter_expr_strfn_vars(node) -> set[str]:
     and needs no term column.)"""
     if isinstance(node[1], str) and node[1] in _CMP_OPS:
         return set()
-    if len(node) == 4 and node[0] in ("cmp", "in", "streq"):
+    if len(node) == 4 and node[0] in ("cmp", "in", "streq", "strin"):
         return set()
     if len(node) == 2 and node[0] == "bound":
         return set()
@@ -797,6 +818,8 @@ def filter_expr_streq_literals(node) -> set[str]:
         return set()
     if len(node) == 4 and node[0] == "streq":
         return {node[2]}
+    if len(node) == 4 and node[0] == "strin":  # term IN-list literals
+        return set(node[2])
     if len(node) == 4 and node[0] in ("cmp", "in"):
         return set()
     if len(node) == 2 and node[0] == "bound":

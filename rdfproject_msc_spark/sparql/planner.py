@@ -97,6 +97,21 @@ def _compile_filter(
         _, var, vals, negated = node
         pred = F.col(colmap[var]).isin(list(vals))
         return ~pred if negated else pred
+    if len(node) == 4 and node[0] == "strin":  # term IN-list leaf
+        # `?x [NOT] IN ("a", "b")`: the literals resolved to ids at plan
+        # time (shared bounded lookup with term equality); terms absent
+        # from the dictionary appear in no triple and drop out of the id
+        # list — same constant-folding as the streq leaf, same 3VL
+        # alignment (unbound → NULL → drop / null-extend).
+        _, var, texts, negated = node
+        col = F.col(colmap[var])
+        ids = [
+            (litids or {})[t] for t in texts if t in (litids or {})
+        ]
+        if not ids:
+            return col.isNotNull() if negated else F.lit(False)
+        pred = col.isin(ids)
+        return ~pred if negated else pred
     if len(node) == 4 and node[0] == "streq":  # term-equality leaf
         # FILTER(?x = "term") — the most common real-world FILTER form.
         # The literal resolved to an id at plan time (one bounded lookup,

@@ -1569,7 +1569,7 @@ def test_filter_in_and_not_in(tiny_store, tiny_dict):
         tiny_dict,
     )
     assert sorted((r.s, r.o) for r in df.collect()) == [(-5, 1), (2, 2)]
-    with pytest.raises(SparqlSyntaxError, match="integer constants"):
+    with pytest.raises(SparqlSyntaxError, match="integer or string constants"):
         parse_sparql("SELECT ?x WHERE { ?x :p ?y . FILTER(?y IN (?x)) }")
 
 
@@ -1752,3 +1752,38 @@ def test_trailing_values_clause(tiny_store, tiny_dict):
     assert [(r.s, r.o) for r in df.collect()] == [(2, 2), (1, 2)]
     with pytest.raises(SparqlSyntaxError, match="VALUES variable"):
         parse_sparql("SELECT ?s WHERE { ?s :p10 ?o } VALUES ?zz { 1 }")
+
+
+def test_in_list_with_string_terms(tiny_store, tiny_dict):
+    """[NOT] IN lists accept string terms (§17.4.1.9-10), resolved to ids
+    by the same bounded lookup as term equality; mixed lists compose by
+    De Morgan; absent terms constant-fold."""
+    def rows(q):
+        return sorted(
+            (r.s, r.o) for r in sparql_to_df(tiny_store, q, tiny_dict).collect()
+        )
+
+    assert rows(
+        'SELECT ?s ?o WHERE { ?s :p10 ?o . FILTER(?o IN (":n1", ":n3")) }'
+    ) == [(-5, 1), (1, 1)]
+    assert rows(
+        'SELECT ?s ?o WHERE { ?s :p10 ?o . FILTER(?o IN (2, ":n1")) }'
+    ) == [(-5, 1), (1, 1), (1, 2), (2, 2)]
+    assert rows(
+        'SELECT ?s ?o WHERE { ?s :p10 ?o . FILTER(?o NOT IN (":n1")) }'
+    ) == [(1, 2), (2, 2)]
+    assert rows(
+        'SELECT ?s ?o WHERE { ?s :p10 ?o . FILTER(?o IN (":nope")) }'
+    ) == []
+    assert rows(
+        'SELECT ?s ?o WHERE { ?s :p10 ?o . FILTER(?o NOT IN (2, ":nope")) }'
+    ) == [(-5, 1), (1, 1)]
+
+
+def test_select_reduced_is_noop(tiny_store, tiny_dict):
+    """REDUCED (§9.9.2) permits but does not require duplicate
+    elimination; the multiset passes through unchanged (conformant)."""
+    df = sparql_to_df(
+        tiny_store, "SELECT REDUCED ?s WHERE { ?s :p10 ?o }", tiny_dict
+    )
+    assert sorted(r.s for r in df.collect()) == [-5, 1, 1, 2]

@@ -796,6 +796,75 @@ def ivf_stream_append(
     )
 
 
+def lsh_stream_append(
+    stream: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Streaming ingestion into the ``lsh_write`` layout shape — the LSH
+    twin of ``ivf_stream_append``: vectors arriving on a stream are
+    signature-hashed and band-exploded with the SAME stateless per-row
+    expressions the batch writer uses, then appended as
+    (band, band_val)-partitioned Parquet, so ``lsh_topk_persisted``
+    probes (and their directory pruning + multiprobe) run unchanged over
+    data that arrived via the stream.
+
+    Two checkpointed append-only file sinks (index rows and the scoring
+    vectors under ``_vectors`` — underscore dirs stay invisible to the
+    index read), each exactly-once per micro-batch; ``availableNow``
+    drains the staged input and stops. The parameter sidecar ``_meta``
+    overwrites idempotently through the Hadoop FileSystem API (portable
+    to HDFS/S3, same rationale as the IVF centroid sidecar)."""
+    assert n_planes % bands == 0
+    bits_per_band = n_planes // bands
+    mask = F.lit((1 << bits_per_band) - 1).cast("long")
+    sigs = lsh_signatures(stream, dim, n_planes, seed, vec_col, id_col)
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("signature"), b * bits_per_band).bitwiseAND(mask)
+            for b in range(bands)
+        ]
+    )
+    idx = sigs.select(
+        F.col(id_col), F.posexplode(band_vals).alias("band", "band_val")
+    )
+    q_idx = (
+        idx.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", f"{checkpoint_dir}/index")
+        .outputMode("append")
+        .partitionBy("band", "band_val")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_vec = (
+        stream.select(id_col, vec_col)
+        .writeStream.format("parquet")
+        .option("path", f"{path}/_vectors")
+        .option("checkpointLocation", f"{checkpoint_dir}/vectors")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_idx.awaitTermination()
+    q_vec.awaitTermination()
+    (
+        stream.sparkSession.createDataFrame(
+            [(dim, n_planes, bands, seed)],
+            "dim int, n_planes int, bands int, seed int",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/_meta")
+    )
+
+
 def ivf_topk_multi(
     spark,
     paths: list[str],

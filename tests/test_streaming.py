@@ -388,3 +388,50 @@ def test_ivf_multi_layout_probe(spark, sf_dir, tmp_path_factory):
     sim.ivf_write(half_a, other, path_c)
     with pytest.raises(ValueError, match="different centroids"):
         sim.ivf_topk_multi(spark, [path_a, path_c], qv, k=10)
+
+
+def test_stream_embeddings_into_lsh_layout(spark, sf_dir, tmp_path_factory):
+    """LSH twin of the IVF streaming test: vectors stream into the
+    (band, band_val)-partitioned signature layout; persisted probes —
+    including multiprobe — answer identically to a batch-written layout
+    over the same corpus, and a checkpoint replay does not duplicate."""
+    from rdfproject_msc_spark.operators import similarity as sim
+    from rdfproject_msc_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    staged = str(tmp_path_factory.mktemp("emb_lsh_src"))
+    emb.repartition(3).write.mode("overwrite").parquet(staged)
+
+    def _stream():
+        return (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged)
+        )
+
+    path = str(tmp_path_factory.mktemp("lsh_s") / "layout")
+    ckpt = str(tmp_path_factory.mktemp("lsh_ckpt"))
+    sim.lsh_stream_append(_stream(), path, ckpt, dim=64, n_planes=16, bands=8)
+
+    batch_path = str(tmp_path_factory.mktemp("lsh_b") / "layout")
+    sim.lsh_write(emb, batch_path, dim=64, n_planes=16, bands=8)
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    for probes in (1, 2):
+        got = sim.lsh_topk_persisted(
+            spark, path, qv, k=10, exclude_id=0, probes=probes
+        ).collect()
+        want = sim.lsh_topk_persisted(
+            spark, batch_path, qv, k=10, exclude_id=0, probes=probes
+        ).collect()
+        assert [(r.vec_id, r.score) for r in got] == [
+            (r.vec_id, r.score) for r in want
+        ], probes
+    # directory pruning holds on the streamed layout
+    probe = sim.lsh_topk_persisted(spark, path, qv, k=10)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # replaying the drained source over the same checkpoint adds nothing
+    n_before = spark.read.parquet(path).count()
+    sim.lsh_stream_append(_stream(), path, ckpt, dim=64, n_planes=16, bands=8)
+    assert spark.read.parquet(path).count() == n_before

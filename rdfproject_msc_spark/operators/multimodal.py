@@ -106,25 +106,30 @@ DECODE_SCHEMA = (
 )
 
 
-def _fake_decode(content: bytes) -> tuple[int, int, int, int]:
-    """DETERMINISTIC FAKE decoder (real image/audio libs absent in this
-    container): dimensions derived from the first payload bytes. Replace the
-    body with PIL/cv2 calls in production; the operator contract — batch in,
-    fixed-schema records out — is identical."""
-    if not content:
-        return (0, 0, 0, 0)
-    w = content[0] % 64 + 1
-    h = content[-1] % 64 + 1
-    ch = content[len(content) // 2] % 3 + 1
-    frames = len(content) % 16 + 1
-    return (w, h, ch, frames)
-
-
 def decode_assets(assets: DataFrame) -> DataFrame:
     """Decode stage: Arrow-batched ``mapInPandas`` over (id, modality,
     content). Tries the real decoder imports; falls back to the
     deterministic fake. Output schema is declared (DECODE_SCHEMA) so the
-    stage composes with JVM-side planning downstream."""
+    stage composes with JVM-side planning downstream.
+
+    The decoder is a NESTED def so cloudpickle ships it by VALUE: the
+    Python workers need no importable copy of this package on their path
+    (a module-level helper would pickle as a module reference and fail on
+    workers whose sys.path lacks the repo — e.g. a driver launched from a
+    different working directory)."""
+
+    def _fake_decode(content: bytes) -> tuple[int, int, int, int]:
+        """DETERMINISTIC FAKE decoder (real image/audio libs absent in
+        this container): dimensions derived from the first payload bytes.
+        Replace the body with PIL/cv2 calls in production; the operator
+        contract — batch in, fixed-schema records out — is identical."""
+        if not content:
+            return (0, 0, 0, 0)
+        w = content[0] % 64 + 1
+        h = content[-1] % 64 + 1
+        ch = content[len(content) // 2] % 3 + 1
+        frames = len(content) % 16 + 1
+        return (w, h, ch, frames)
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         try:  # pragma: no cover - not installed in this container

@@ -182,11 +182,6 @@ _DESCRIBE_VAR = re.compile(
     re.I | re.S,
 )
 _PREFIX_DECL = re.compile(r"PREFIX\s+([\w.\-]*):\s*<([^>]*)>", re.I)
-_ORDER = re.compile(
-    r"ORDER\s+BY\s+(?P<keys>(?:(?:ASC|DESC)\s*\(\s*[?$]\w+\s*\)|[?$]\w+)(?:\s+(?:(?:ASC|DESC)\s*\(\s*[?$]\w+\s*\)|[?$]\w+))*)",
-    re.I,
-)
-_ORDER_KEY = re.compile(r"(?:(?P<dir>ASC|DESC)\s*\(\s*)?[?$](?P<var>\w+)\s*\)?", re.I)
 _LIMIT = re.compile(r"LIMIT\s+(?P<n>\d+)", re.I)
 _OFFSET = re.compile(r"OFFSET\s+(?P<n>\d+)", re.I)
 
@@ -356,7 +351,9 @@ class BGPQuery:
     where: GroupPattern = GroupPattern()
     # solution modifiers (SPARQL 1.1 §15): DISTINCT / ORDER BY / LIMIT
     distinct: bool = False
-    order_by: tuple[tuple[str, bool], ...] = ()  # (var, descending)
+    # (key, descending) — key is a variable name, or ('expr', arith AST)
+    # for a parenthesized ORDER BY expression (sorted pre-projection)
+    order_by: tuple[tuple, ...] = ()
     limit: int | None = None
     # aggregation (SPARQL 1.1 §11): GROUP BY keys and projected aggregates
     # (func, var|None for COUNT(*), distinct, alias, separator) — separator
@@ -1990,25 +1987,72 @@ def parse_sparql(
                 f"projected variables must be GROUP BY keys or aggregates: "
                 f"{['?' + v for v in bad]}"
             )
-    order_by: list[tuple[str, bool]] = []
-    om = _ORDER.search(mods)
+    # ORDER BY keys: plain variables, or parenthesized integer-arithmetic
+    # EXPRESSIONS (`ORDER BY (?a - ?b) DESC(?x + 1)`, §15.1 OrderCondition
+    # with BrackettedExpression) — an expression key becomes
+    # (('expr', arith AST), desc), compiled by the planner as a sort
+    # column over the bound variables BEFORE projection
+    order_by: list[tuple] = []
+    om = re.search(r"ORDER\s+BY\s+", mods, re.I)
     if om:
-        for km in _ORDER_KEY.finditer(om.group("keys")):
-            var = km.group("var")
+        pos = om.end()
+        consumed_end = pos
+        dir_open = re.compile(r"(ASC|DESC)\s*\(", re.I)
+        var_key = re.compile(r"[?$](\w+)")
+        while True:
+            pos = _skip_ws(mods, pos)
+            if pos >= len(mods):
+                consumed_end = pos
+                break
+            mdir = dir_open.match(mods, pos)
+            if mdir:
+                desc = mdir.group(1).upper() == "DESC"
+                inner, pos = _scan_delim(
+                    mods, mdir.end() - 1, "(", ")", "ORDER BY"
+                )
+            elif mods[pos] == "(":
+                desc = False
+                inner, pos = _scan_delim(mods, pos, "(", ")", "ORDER BY")
+            else:
+                mv = var_key.match(mods, pos)
+                if not mv:  # LIMIT / OFFSET / end of modifiers
+                    break
+                order_by.append((mv.group(1), False))
+                pos = mv.end()
+                consumed_end = pos
+                continue
+            txt = inner.strip()
+            if re.fullmatch(r"[?$]\w+", txt):
+                order_by.append((txt[1:], desc))
+            else:
+                order_by.append((("expr", _parse_arith_expr(inner)), desc))
+            consumed_end = pos
+        mods = mods[: om.start()] + " " + mods[consumed_end:]
+    for key, _ in order_by:
+        if isinstance(key, tuple):  # expression key
             if grouped:
-                # after aggregation only the output columns exist
-                if var not in projection:
-                    raise SparqlSyntaxError(
-                        f"ORDER BY variable not in the grouped projection: ?{var}"
-                    )
-            elif var not in pattern_vars:
-                raise SparqlSyntaxError(f"ORDER BY variable not in BGP: ?{var}")
-            order_by.append((var, (km.group("dir") or "ASC").upper() == "DESC"))
+                raise SparqlSyntaxError(
+                    "ORDER BY expressions are not supported with "
+                    "GROUP BY/aggregates (order by an aliased aggregate "
+                    "or group key instead)"
+                )
+            unknown = arith_expr_vars(key[1]) - pattern_vars
+            if unknown:
+                raise SparqlSyntaxError(
+                    f"ORDER BY expression variables not in BGP: "
+                    f"{['?' + v for v in sorted(unknown)]}"
+                )
+        elif grouped:
+            # after aggregation only the output columns exist
+            if key not in projection:
+                raise SparqlSyntaxError(
+                    f"ORDER BY variable not in the grouped projection: ?{key}"
+                )
+        elif key not in pattern_vars:
+            raise SparqlSyntaxError(f"ORDER BY variable not in BGP: ?{key}")
     lm = _LIMIT.search(mods)
     om2 = _OFFSET.search(mods)
-    leftover = _OFFSET.sub(
-        "", _LIMIT.sub("", _ORDER.sub("", _GROUP.sub("", mods)))
-    ).strip()
+    leftover = _OFFSET.sub("", _LIMIT.sub("", _GROUP.sub("", mods))).strip()
     if leftover:
         raise SparqlSyntaxError(f"unsupported solution modifiers: {leftover!r}")
     return BGPQuery(

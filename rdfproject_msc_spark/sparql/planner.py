@@ -1085,25 +1085,38 @@ def plan_bgp(
         if bgp.projection is not None
         else [v for v in order if not v.startswith("__pp")]
     )
-    order_vars = [v for v, _ in bgp.order_by]
+    order_plain = [k for k, _ in bgp.order_by if not isinstance(k, tuple)]
+    order_has_expr = any(isinstance(k, tuple) for k, _ in bgp.order_by)
     grouped = bool(bgp.group_by or bgp.aggregates)
     sort_pre_projection = (
-        not grouped and bool(order_vars) and not set(order_vars) <= set(proj)
+        not grouped
+        and bool(bgp.order_by)
+        and (order_has_expr or not set(order_plain) <= set(proj))
     )
 
     if sort_pre_projection:
-        # ORDER BY on a non-projected variable (legal SPARQL): sort + limit
-        # on the bound columns BEFORE the projection renames/drops them.
-        # DISTINCT + such an ORDER BY is contradictory (the sort key is gone
-        # after duplicate elimination) — reject rather than guess.
+        # ORDER BY on a non-projected variable or an EXPRESSION (legal
+        # SPARQL): sort + limit on the bound columns BEFORE the projection
+        # renames/drops them; expression keys compile over the bound
+        # variables directly (no materialized column — the sort evaluates
+        # the arithmetic in place). DISTINCT + such an ORDER BY is
+        # contradictory (the sort key is gone after duplicate
+        # elimination) — reject rather than guess.
         if bgp.distinct:
             raise SparqlSyntaxError(
-                "ORDER BY on a non-projected variable cannot combine with DISTINCT"
+                "ORDER BY on a non-projected variable or expression "
+                "cannot combine with DISTINCT"
             )
+
+        def _key_col(k):
+            if isinstance(k, tuple):
+                return _compile_arith(k[1], bound_cols)
+            return F.col(bound_cols[k])
+
         joined = joined.orderBy(
             *[
-                F.col(bound_cols[v]).desc() if desc else F.col(bound_cols[v]).asc()
-                for v, desc in bgp.order_by
+                _key_col(k).desc() if desc else _key_col(k).asc()
+                for k, desc in bgp.order_by
             ]
         )
         if bgp.offset is not None:

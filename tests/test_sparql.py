@@ -1787,3 +1787,33 @@ def test_select_reduced_is_noop(tiny_store, tiny_dict):
         tiny_store, "SELECT REDUCED ?s WHERE { ?s :p10 ?o }", tiny_dict
     )
     assert sorted(r.s for r in df.collect()) == [-5, 1, 1, 2]
+
+
+def test_order_by_expressions(tiny_store, tiny_dict):
+    """§15.1 OrderCondition with bracketted expressions: arithmetic sort
+    keys compile over the bound variables pre-projection."""
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?o WHERE { ?s :p10 ?o } ORDER BY DESC(?o - ?s) ?s",
+        tiny_dict,
+    )
+    # o-s: (1,1)→0, (1,2)→1, (2,2)→0, (-5,1)→6; ties break by ?s asc
+    assert [(r.s, r.o) for r in df.collect()] == [
+        (-5, 1),
+        (1, 2),
+        (1, 1),
+        (2, 2),
+    ]
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s WHERE { ?s :p10 ?o } ORDER BY (?o * -1) ?s LIMIT 2",
+        tiny_dict,
+    )
+    assert [r.s for r in df.collect()] == [1, 2]
+    with pytest.raises(SparqlSyntaxError, match="GROUP BY"):
+        parse_sparql(
+            "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s :p10 ?o } "
+            "GROUP BY ?s ORDER BY (?n + 1)"
+        )
+    with pytest.raises(SparqlSyntaxError, match="not in BGP"):
+        parse_sparql("SELECT ?s WHERE { ?s :p10 ?o } ORDER BY (?zz + 1)")

@@ -61,6 +61,11 @@ def main(argv: list[str] | None = None) -> int:
     p_sparql.add_argument("--dict", dest="dict_path", default=None)
     p_sparql.add_argument("--query", required=True)
     p_sparql.add_argument("--decode", action="store_true")
+    p_sparql.add_argument(
+        "--explain",
+        action="store_true",
+        help="print the physical plan instead of executing",
+    )
     _add_common(p_sparql)
 
     p_run = sub.add_parser("run", help="run a registry query by name")
@@ -122,7 +127,11 @@ def main(argv: list[str] | None = None) -> int:
             from rdfproject_msc_spark.sources.triples import read_dictionary_tsv
 
             eng.dictionary = Dictionary(read_dictionary_tsv(spark, args.dict_path))
-        _emit(eng.sparql(args.query, decode=args.decode), args)
+        df = eng.sparql(args.query, decode=args.decode)
+        if args.explain:
+            df.explain("formatted")
+            return 0
+        _emit(df, args)
         return 0
 
     if args.command == "curate":

@@ -57,3 +57,45 @@ def test_errors_without_store(spark):
     e = Engine(spark)
     with pytest.raises(ValueError, match="no triples loaded"):
         e.sparql("SELECT ?x WHERE { ?x :p ?y . }")
+
+
+def test_cli_sparql_run_and_explain(engine, spark, tmp_path_factory, capsys):
+    """CLI sparql subcommand end-to-end over a persisted store, plus the
+    --explain flag (prints the formatted physical plan, executes
+    nothing)."""
+    from rdfproject_msc_spark.cli import main
+    from rdfproject_msc_spark.sources.derived import dictionary_df
+
+    base = tmp_path_factory.mktemp("cli_store")
+    store_path = str(base / "store")
+    engine.save(store_path)
+    dict_path = str(base / "dict")
+    dictionary_df(spark, "/root/testdata/sf0.001").write.mode(
+        "overwrite"
+    ).csv(dict_path, sep="\t")
+
+    q = "SELECT ?c WHERE { :order_1 :placedBy ?c }"
+    rc = main(
+        [
+            "sparql",
+            "--store", store_path,
+            "--dict", dict_path,
+            "--query", q,
+            "--show", "5",
+        ]
+    )
+    assert rc == 0
+    assert "c" in capsys.readouterr().out
+
+    rc = main(
+        [
+            "sparql",
+            "--store", store_path,
+            "--dict", dict_path,
+            "--query", q,
+            "--explain",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "Scan" in out

@@ -103,7 +103,7 @@ _GROUP_KEYWORDS = frozenset(
 # one token; the arithmetic parser re-splits a negative number where a
 # binary operator was expected (`?a -3` ≡ `?a - 3`)
 _FILTER_TOKEN = re.compile(
-    r'\s*(\(|\)|&&|\|\||!=|<=|>=|=|<|>|!|[?$]\w+|-?\d+|"[^"]*"|,|\+|-|\*|\w+)'
+    r'\s*(\(|\)|&&|\|\||!=|<=|>=|=|<|>|!|[?$]\w+|-?\d+|"(?:[^"\\]|\\.)*"|,|\+|-|\*|\w+)'
 )
 _CMP_OPS = ("=", "!=", "<", "<=", ">", ">=")
 # string-valued FILTER functions (SPARQL 1.1 §17.4.3): evaluated against the
@@ -118,8 +118,50 @@ _STR_FNS = ("regex", "contains", "strstarts", "strends")
 # previously-bound variables (+ - * with parentheses; the engine's values
 # ARE integers). AST nodes: ('num', n) | ('var', v) | (op, a, b).
 _BIND_AS = re.compile(r"\sAS\s+[?$](?P<var>\w+)\s*$", re.I)
-# tokens inside the BGP: quoted literal | <iri> | anything non-space
-_TOKEN = re.compile(r'"[^"]*"|<[^>]*>|\S+')
+# tokens inside the BGP: quoted literal (ECHAR escapes, §19.8) | <iri> |
+# anything non-space
+_TOKEN = re.compile(r'"(?:[^"\\]|\\.)*"|<[^>]*>|\S+')
+
+# ECHAR escape decoding (§19.8): the five SPARQL string escapes plus the
+# escaped quote/backslash; an unknown escape is a syntax error
+_ECHARS = {"t": "\t", "n": "\n", "r": "\r", "b": "\b", "f": "\f", '"': '"', "'": "'", "\\": "\\"}
+
+
+def _unescape(text: str) -> str:
+    """Decode ECHAR escapes inside a (quote-stripped) string literal."""
+    if "\\" not in text:
+        return text
+    out = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == "\\":
+            if i + 1 >= n or text[i + 1] not in _ECHARS:
+                raise SparqlSyntaxError(
+                    f"bad string escape in literal: {text!r}"
+                )
+            out.append(_ECHARS[text[i + 1]])
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _skip_string(src: str, i: int) -> int:
+    """src[i] == '\"': return the index just past the closing quote,
+    honoring backslash escapes."""
+    i += 1
+    n = len(src)
+    while i < n:
+        c = src[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c == '"':
+            return i + 1
+        i += 1
+    raise SparqlSyntaxError("unterminated string literal")
 # SELECT header up to (and excluding) the WHERE group's opening brace;
 # the group itself is brace-SCANNED (a regex-anchored trailing `}` would
 # mis-split queries whose modifiers contain braces — trailing VALUES)
@@ -448,7 +490,7 @@ def _normalize_term(
             raise SparqlSyntaxError(f"malformed variable name: {tok!r}")
         return ("var", tok[1:])
     if tok.startswith('"') and tok.endswith('"'):
-        return ("term", tok[1:-1])
+        return ("term", _unescape(tok[1:-1]))
     if tok.startswith("<") and tok.endswith(">"):
         return ("term", _localize_iri(tok[1:-1]))
     if re.fullmatch(r"-?\d+", tok):
@@ -557,7 +599,7 @@ def _parse_filter_expr(src: str):
                 )
             flags = "i"
         take(")")
-        return ("strfn", name, arg[1:], pat[1:-1], flags)
+        return ("strfn", name, arg[1:], _unescape(pat[1:-1]), flags)
 
     def arith_operand():
         """One comparison side: an integer-arithmetic expression over
@@ -635,7 +677,7 @@ def _parse_filter_expr(src: str):
             if re.fullmatch(r"-?\d+", t):
                 ints.append(int(t))
             elif t.startswith('"') and t.endswith('"'):
-                texts.append(t[1:-1])
+                texts.append(_unescape(t[1:-1]))
             else:
                 raise SparqlSyntaxError(
                     f"bad FILTER expression {src!r}: IN lists take "
@@ -674,7 +716,7 @@ def _parse_filter_expr(src: str):
                 f"bad FILTER expression {src!r}: term equality takes a "
                 f"string literal, got {lit!r}"
             )
-        return ("streq", var_tok[1:], lit[1:-1], op == "!=")
+        return ("streq", var_tok[1:], _unescape(lit[1:-1]), op == "!=")
 
     def comparison():
         nonlocal pos
@@ -723,7 +765,7 @@ def _parse_filter_expr(src: str):
                     f"bad FILTER expression {src!r}: term equality "
                     f"compares a variable against a literal, got {v!r}"
                 )
-            return ("streq", v[1:], lhs[1:-1], op == "!=")
+            return ("streq", v[1:], _unescape(lhs[1:-1]), op == "!=")
         if lhs.lower() in _STR_FNS and peek() == "(":
             return strfn_call(lhs.lower())
         if lhs.startswith(("?", "$")):
@@ -1281,10 +1323,7 @@ def _scan_delim(src: str, i: int, open_c: str, close_c: str, what: str):
     while i < n:
         c = src[i]
         if c == '"':
-            j = src.find('"', i + 1)
-            if j < 0:
-                raise SparqlSyntaxError("unterminated string literal")
-            i = j + 1
+            i = _skip_string(src, i)
             continue
         if c == open_c:
             depth += 1
@@ -1401,11 +1440,9 @@ def _parse_group(
     while i < n:
         c = src[i]
         if c == '"':
-            j = src.find('"', i + 1)
-            if j < 0:
-                raise SparqlSyntaxError("unterminated string literal")
-            buf.append(src[i : j + 1])
-            i = j + 1
+            j = _skip_string(src, i)
+            buf.append(src[i:j])
+            i = j
             continue
         if c == "<":
             j = src.find(">", i + 1)

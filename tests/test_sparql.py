@@ -1817,3 +1817,39 @@ def test_order_by_expressions(tiny_store, tiny_dict):
         )
     with pytest.raises(SparqlSyntaxError, match="not in BGP"):
         parse_sparql("SELECT ?s WHERE { ?s :p10 ?o } ORDER BY (?zz + 1)")
+
+
+def test_string_literal_escapes(spark):
+    r"""ECHAR escapes (§19.8) in string literals: \" \\ \n \t decode in
+    pattern terms and every FILTER string position; unknown escapes are
+    syntax errors."""
+    from rdfproject_msc_spark.dictionary import Dictionary
+    from rdfproject_msc_spark.store import TripleStore
+
+    store = TripleStore(
+        spark.createDataFrame([(1, 10, 7), (2, 10, 8)], "s long, p long, o long")
+    )
+    d = Dictionary(
+        spark.createDataFrame(
+            [(10, ":p10"), (1, ":n1"), (2, ":n2"), (7, 'say "hi"'), (8, "a\\b\nc")],
+            "id long, term string",
+        )
+    )
+    bgp = parse_sparql(r'SELECT ?s WHERE { ?s :p10 "say \"hi\"" }')
+    assert bgp.patterns[0].o == ("term", 'say "hi"')
+    df = sparql_to_df(store, r'SELECT ?s WHERE { ?s :p10 "say \"hi\"" }', d)
+    assert [r.s for r in df.collect()] == [1]
+    df = sparql_to_df(
+        store,
+        r'SELECT ?s WHERE { ?s :p10 ?o . FILTER(?o = "a\\b\nc") }',
+        d,
+    )
+    assert [r.s for r in df.collect()] == [2]
+    df = sparql_to_df(
+        store,
+        r'SELECT ?s WHERE { ?s :p10 ?o . FILTER(CONTAINS(?o, "\"hi")) }',
+        d,
+    )
+    assert [r.s for r in df.collect()] == [1]
+    with pytest.raises(SparqlSyntaxError, match="escape"):
+        parse_sparql(r'SELECT ?s WHERE { ?s :p10 "bad \q" }')

@@ -44,14 +44,26 @@ FAMILY = [
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
+    # similarity family: brute-force cosine + banded LSH ANN
+    "knn_cosine",
+    "ann_lsh_topk",
 ]
 
-TABLES = ["customer", "orders", "events", "documents", "nation", "region"]
+TABLES = [
+    "customer",
+    "orders",
+    "events",
+    "documents",
+    "embeddings",
+    "nation",
+    "region",
+]
 KEYED = {
     "customer": ("c_custkey", None),
     "orders": ("o_orderkey", "o_custkey"),
     "events": ("event_id", "user_id"),
     "documents": ("doc_id", None),
+    "embeddings": ("vec_id", None),
 }
 
 

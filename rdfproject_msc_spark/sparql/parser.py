@@ -118,9 +118,18 @@ _STR_FNS = ("regex", "contains", "strstarts", "strends")
 # previously-bound variables (+ - * with parentheses; the engine's values
 # ARE integers). AST nodes: ('num', n) | ('var', v) | (op, a, b).
 _BIND_AS = re.compile(r"\sAS\s+[?$](?P<var>\w+)\s*$", re.I)
-# tokens inside the BGP: quoted literal (ECHAR escapes, §19.8) | <iri> |
-# anything non-space
-_TOKEN = re.compile(r'"(?:[^"\\]|\\.)*"|<[^>]*>|\S+')
+# tokens inside the BGP: quoted literal (ECHAR escapes, §19.8) with an
+# optional ^^datatype or @lang suffix | <iri> | anything non-space
+_TOKEN = re.compile(
+    r'"(?:[^"\\]|\\.)*"(?:\^\^\S+|@[A-Za-z][A-Za-z0-9-]*)?|<[^>]*>|\S+'
+)
+
+# xsd integer datatypes whose typed literals ARE ids in this engine's
+# integer-encoded data model ("123"^^xsd:integer ≡ 123)
+_INT_DATATYPES = frozenset(
+    {":integer", ":int", ":long", ":short", ":byte",
+     ":nonNegativeInteger", ":positiveInteger"}
+)
 
 # ECHAR escape decoding (§19.8): the five SPARQL string escapes plus the
 # escaped quote/backslash; an unknown escape is a syntax error
@@ -491,6 +500,30 @@ def _normalize_term(
         return ("var", tok[1:])
     if tok.startswith('"') and tok.endswith('"'):
         return ("term", _unescape(tok[1:-1]))
+    if tok.startswith('"') and "^^" in tok:
+        # typed literal: xsd integer types collapse to the id data model;
+        # any other datatype has no representation here — reject
+        body, dt = tok.rsplit("^^", 1)
+        if not (body.startswith('"') and body.endswith('"')):
+            raise SparqlSyntaxError(f"malformed typed literal: {tok!r}")
+        dt_slot = _normalize_term(dt, prefixes)
+        # local datatype name: strip prefix/IRI path and any #fragment
+        dt_local = str(dt_slot[1]).rsplit("#", 1)[-1].lstrip(":")
+        if (
+            dt_slot[0] == "term"
+            and ":" + dt_local in _INT_DATATYPES
+            and re.fullmatch(r"-?\d+", body[1:-1])
+        ):
+            return ("id", int(body[1:-1]))
+        raise SparqlSyntaxError(
+            f"unsupported typed literal {tok!r} (only xsd integer "
+            "datatypes map onto the integer-id data model)"
+        )
+    if tok.startswith('"') and "@" in tok:
+        raise SparqlSyntaxError(
+            f"language-tagged literals are not supported: {tok!r} "
+            "(the dictionary stores plain terms)"
+        )
     if tok.startswith("<") and tok.endswith(">"):
         return ("term", _localize_iri(tok[1:-1]))
     if re.fullmatch(r"-?\d+", tok):

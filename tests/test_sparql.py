@@ -1853,3 +1853,22 @@ def test_string_literal_escapes(spark):
     assert [r.s for r in df.collect()] == [1]
     with pytest.raises(SparqlSyntaxError, match="escape"):
         parse_sparql(r'SELECT ?s WHERE { ?s :p10 "bad \q" }')
+
+
+def test_typed_and_tagged_literals():
+    """xsd integer typed literals collapse onto the id data model; other
+    datatypes and language tags reject with clear messages."""
+    bgp = parse_sparql(
+        "PREFIX xsd: <http://www.w3.org/2001/XMLSchema/> "
+        'SELECT ?s WHERE { ?s :p10 "12"^^xsd:integer }'
+    )
+    assert bgp.patterns[0].o == ("id", 12)
+    bgp = parse_sparql(
+        'SELECT ?s WHERE { ?s :p10 '
+        '"12"^^<http://www.w3.org/2001/XMLSchema#integer> }'
+    )
+    assert bgp.patterns[0].o == ("id", 12)
+    with pytest.raises(SparqlSyntaxError, match="language-tagged"):
+        parse_sparql('SELECT ?s WHERE { ?s :p10 "x"@en }')
+    with pytest.raises(SparqlSyntaxError, match="typed literal"):
+        parse_sparql('SELECT ?s WHERE { ?s :p10 "x"^^xsd:string }')

@@ -584,3 +584,99 @@ def test_sparql_bind_matches_python_eval(spark, rows, expr):
         if p == 11
     )
     assert got == want
+
+
+# random nested-group query shapes: a recursive chain generator where each
+# nesting level consumes its parent's object variable — shared join keys
+# are always required-bound by construction, so no query is rejected and
+# the Spark result must equal the direct Python evaluation of the
+# bottom-up group algebra
+group_shape = st.recursive(
+    st.just(("leaf",)),
+    lambda child: st.one_of(
+        st.tuples(st.just("opt"), child),
+        st.tuples(st.just("sub"), child),
+        st.tuples(st.just("union"), child, child),
+    ),
+    max_leaves=4,
+)
+
+
+def _shape_to_query(shape, var_in, preds, counter):
+    """Render a shape as the group body text binding var_in → fresh vars."""
+    p = preds[next(counter) % len(preds)]
+    v = f"v{next(counter)}"
+    base = f"?{var_in} {p} ?{v} ."
+    kind = shape[0]
+    if kind == "leaf":
+        return base
+    if kind == "opt":
+        inner = _shape_to_query(shape[1], v, preds, counter)
+        return f"{base} OPTIONAL {{ {inner} }}"
+    if kind == "sub":
+        inner = _shape_to_query(shape[1], v, preds, counter)
+        return f"{base} {{ {inner} }}"
+    a = _shape_to_query(shape[1], v, preds, counter)
+    b = _shape_to_query(shape[2], v, preds, counter)
+    return f"{base} {{ {a} }} UNION {{ {b} }}"
+
+
+def _eval_group_text(shape, var_in, rows, preds, counter):
+    """Python twin of _shape_to_query's semantics: returns a list of
+    binding dicts (multiset)."""
+    p = int(preds[next(counter) % len(preds)])
+    v = f"v{next(counter)}"
+    base = [
+        {var_in: s, v: o} for s, pp, o in rows if pp == p
+    ]
+    kind = shape[0]
+    if kind == "leaf":
+        return base
+    if kind == "opt":
+        inner = _eval_group_text(shape[1], v, rows, preds, counter)
+        out = []
+        for b in base:
+            ext = [i for i in inner if i[v] == b[v]]
+            if ext:
+                out.extend({**b, **i} for i in ext)
+            else:
+                out.append(b)
+        return out
+    if kind == "sub":
+        inner = _eval_group_text(shape[1], v, rows, preds, counter)
+        return [
+            {**b, **i} for b in base for i in inner if i[v] == b[v]
+        ]
+    a = _eval_group_text(shape[1], v, rows, preds, counter)
+    bb = _eval_group_text(shape[2], v, rows, preds, counter)
+    arms = a + bb
+    return [{**b, **i} for b in base for i in arms if i[v] == b[v]]
+
+
+@given(rows=triples_strategy, shape=group_shape)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_random_nested_group_trees_match_python_eval(spark, rows, shape):
+    """Randomly shaped nested OPTIONAL/subgroup/UNION trees (chained so
+    every shared key is required-bound) evaluate identically in Spark and
+    in a direct Python rendering of the bottom-up group algebra."""
+    import itertools as it
+
+    from rdfproject_msc_spark.sparql.planner import sparql_to_df
+    from rdfproject_msc_spark.store import TripleStore
+
+    preds = ["11", "22", "33"]
+    q_body = _shape_to_query(shape, "r", preds, it.count())
+    df = spark.createDataFrame(rows, "s long, p long, o long")
+    out = sparql_to_df(TripleStore(df), f"SELECT * WHERE {{ {q_body} }}")
+    got = sorted(
+        (tuple((c, r[c]) for c in sorted(out.columns)) for r in out.collect()),
+        key=lambda t: tuple((x[1] is None, x[1] or 0) for x in t),
+    )
+    want_bindings = _eval_group_text(shape, "r", rows, preds, it.count())
+    cols = sorted(out.columns)
+    want = sorted(
+        (tuple((c, b.get(c)) for c in cols) for b in want_bindings),
+        key=lambda t: tuple((x[1] is None, x[1] or 0) for x in t),
+    )
+    assert got == want

@@ -154,3 +154,77 @@ def transitive_closure(
     raise RuntimeError(
         f"transitive_closure: not converged after {max_iter} rounds"
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "s",
+    dst: str = "o",
+    iterations: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Deterministic PageRank over an edge relation → (node, rank).
+
+    The canonical iterative-Spark workload, expressed as pure DataFrame
+    algebra: per iteration one join (rank → out-edges) and one aggregation
+    (contributions by destination), plus the §dangling-mass correction —
+    nodes without out-edges redistribute their rank uniformly (computed as
+    a one-row aggregate, never a cartesian). Fixed iteration count, no
+    RNG, stable float summation order via groupBy-sum — re-runs agree to
+    float precision, and a numpy power-iteration twin pins the math in
+    tests.
+
+    Scale shape: ranks and edges shuffle on node ids only (8-byte keys);
+    ``localCheckpoint`` per iteration truncates the exponentially growing
+    lineage (the classic iterative pitfall). Rank mass is conserved at
+    1.0 every iteration — asserted cheaply by the tests, a drift tripwire
+    for edge-case regressions (dangling nodes, self-loops)."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_deg = e.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iterations):
+        with_deg = ranks.join(out_deg, "node", "left")
+        # dangling mass: total rank on nodes with no out-edges (one scalar)
+        dangling = (
+            with_deg.filter(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        contribs = (
+            e.join(
+                with_deg.filter(F.col("deg").isNotNull()).withColumnRenamed(
+                    "node", "u"
+                ),
+                "u",
+            )
+            .select(
+                F.col("v").alias("node"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -136,3 +136,61 @@ def test_transitive_closure_max_iter_raises(spark):
     )
     with pytest.raises(RuntimeError, match="not converged"):
         transitive_closure(chain, max_iter=2)
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """PageRank vs a dense numpy power iteration with identical dangling
+    and damping treatment — same fixed iteration count, so values agree
+    to float tolerance, not just ordering."""
+    import numpy as np
+
+    from rdfproject_msc_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 4), (5, 1), (6, 7)]
+    # node 7 is dangling (no out-edges); 4 has a self-loop
+    df = spark.createDataFrame(edges, "s long, p long") \
+        if False else spark.createDataFrame(edges, "s long, o long")
+    got = {
+        r.node: r.rank
+        for r in pagerank(df, iterations=12, damping=0.85).collect()
+    }
+
+    ids = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {nid: i for i, nid in enumerate(ids)}
+    n = len(ids)
+    deg = {u: 0 for u in ids}
+    for u, _ in edges:
+        deg[u] += 1
+    r = np.full(n, 1.0 / n)
+    d = 0.85
+    for _ in range(12):
+        nxt = np.zeros(n)
+        dangling = sum(r[idx[u]] for u in ids if deg[u] == 0)
+        for u, v in edges:
+            nxt[idx[v]] += r[idx[u]] / deg[u]
+        r = (1 - d) / n + d * dangling / n + d * nxt
+    for nid in ids:
+        assert abs(got[nid] - r[idx[nid]]) < 1e-9, nid
+    # rank mass conservation — the dangling/self-loop tripwire
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_on_derived_graph(spark, sf_dir):
+    """PageRank over the real derived triple graph: mass conserved,
+    deterministic across runs, and nations (high in-degree) outrank the
+    customers pointing at them."""
+    from rdfproject_msc_spark.operators.graph import pagerank
+    from rdfproject_msc_spark.sources.derived import triples_df
+
+    t = triples_df(spark, sf_dir)
+    a = pagerank(t, iterations=5).collect()
+    assert abs(sum(r.rank for r in a) - 1.0) < 1e-6
+    b = {r.node: r.rank for r in pagerank(t, iterations=5).collect()}
+    assert all(abs(b[r.node] - r.rank) < 1e-12 for r in a)
+    ranks = {r.node: r.rank for r in a}
+    # orders (positive ids tagged 2) have no in-edges — pure sources hold
+    # exactly the base rank, strictly below any customer (base + inflow
+    # from orders and events)
+    orders = [v for k, v in ranks.items() if k > 0 and k % 10 == 2]
+    customers = [v for k, v in ranks.items() if k > 0 and k % 10 == 1]
+    assert max(orders) < min(customers)

@@ -88,12 +88,14 @@ _WORD = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 _GROUP_KEYWORDS = frozenset(
     {"OPTIONAL", "MINUS", "FILTER", "BIND", "VALUES", "UNION", "GRAPH", "SERVICE"}
 )
-# FILTER: boolean expressions over numeric comparisons of variables —
-# `?x OP (number | ?y)` combined with `&&` / `||` / `!` and parentheses
-# (SPARQL 1.1 §17.2). Comparisons act on the dictionary-encoded ids, which
-# IS this engine's data model (the reference's own SQL compares encoded ids
-# directly, PartitionQueryingSubject.java:130). Non-numeric FILTER forms
-# (regex, string functions, casts) are rejected explicitly.
+# FILTER: boolean expressions over comparisons combined with `&&` / `||`
+# / `!` and parentheses (SPARQL 1.1 §17.2). Numeric comparisons act on
+# the dictionary-encoded ids, which IS this engine's data model (the
+# reference's own SQL compares encoded ids directly,
+# PartitionQueryingSubject.java:130); string-valued leaves (term
+# equality, [NOT] IN with terms, REGEX/CONTAINS/STRSTARTS/STRENDS,
+# BOUND) each have dedicated leaf forms below. Casts and LANG/DATATYPE
+# accessors are rejected explicitly (no lexical-form model).
 #
 # Expression AST (BGPQuery.filters elements):
 #   (var, op, ('num', int) | ('var', name))   comparison leaf
@@ -1003,9 +1005,10 @@ def _expand_path(
     MyOpVisitorBase.java:132-133's intent); an inverse step `^p` swaps the
     subject and object sides of its single pattern; alternation callers
     lower the arms to a synthesized UNION block. Non-path predicates pass
-    through as one single-pattern alternative. Unsupported operators
-    (`*` `+` `?` `!(...)` — the closure/optional/negated forms need
-    iterative or complement machinery) are rejected."""
+    through as one single-pattern alternative. Tokens this flat expansion
+    cannot express — closure operators, grouping parens, composed negated
+    sets — raise, and the caller falls back to the full §9.1 path-AST
+    parser (`_parse_path_expr`) whose relations the planner compiles."""
     plain = not p_tok.startswith(('"', "<", "?", "$"))
     if plain and p_tok.startswith("(") and p_tok.endswith(")"):
         inner = p_tok[1:-1]
@@ -1204,9 +1207,10 @@ def _parse_patterns(
     reference's AIS vocabulary, MyOpVisitorBase.java:132).
 
     Alternation paths (`p1|p2`) lower to a synthesized UNION block appended
-    to `alt_blocks` (one arm per alternative); callers that cannot host a
-    union block (OPTIONAL/MINUS/EXISTS groups, UNION arms) pass None and
-    get an explicit rejection."""
+    to `alt_blocks` (one arm per alternative); composite paths that need
+    relation compilation land in `paths`. The only caller passing None for
+    those lists is the CONSTRUCT template parse (templates are plain
+    triples — §16.2), which therefore rejects paths explicitly."""
     if path_counter is None:
         path_counter = itertools.count()
     patterns: list[TriplePattern] = []

@@ -105,7 +105,7 @@ _GROUP_KEYWORDS = frozenset(
 # one token; the arithmetic parser re-splits a negative number where a
 # binary operator was expected (`?a -3` ≡ `?a - 3`)
 _FILTER_TOKEN = re.compile(
-    r'\s*(\(|\)|&&|\|\||!=|<=|>=|=|<|>|!|[?$]\w+|-?\d+|"(?:[^"\\]|\\.)*"|,|\+|-|\*|\w+)'
+    r'\s*(\(|\)|&&|\|\||!=|<=|>=|=|<|>|!|[?$]\w+|-?\d+|"(?:[^"\\]|\\.)*"|,|\+|-|\*|/|\w+)'
 )
 _CMP_OPS = ("=", "!=", "<", "<=", ">", ">=")
 # string-valued FILTER functions (SPARQL 1.1 §17.4.3): evaluated against the
@@ -418,6 +418,9 @@ class BGPQuery:
     # HAVING constraints (§11.5): FILTER expression ASTs evaluated over the
     # grouped OUTPUT columns (group keys and aggregate aliases)
     having: tuple = ()
+    # post-aggregation expression aliases (§11.1): (alias, arith AST over
+    # group keys and [hidden] aggregate aliases), computed after groupBy
+    agg_exprs: tuple[tuple[str, object], ...] = ()
     # CONSTRUCT template (§16.2): plain triples instantiated per solution;
     # the plan unions the instantiations and de-duplicates (the result is
     # a GRAPH — a set of (s, p, o) id triples)
@@ -674,9 +677,9 @@ def _parse_filter_expr(src: str):
 
         def mul_expr():
             node = atom()
-            while peek_a() == "*":
-                take_a()
-                node = ("*", node, atom())
+            while peek_a() in ("*", "/"):
+                o = take_a()
+                node = (o, node, atom())
             return node
 
         def atom():
@@ -946,9 +949,9 @@ def _parse_arith_expr(src: str):
 
     def mul_expr():
         node = atom()
-        while peek() == "*":
-            take()
-            node = ("*", node, atom())
+        while peek() in ("*", "/"):
+            op = take()
+            node = (op, node, atom())
         return node
 
     def atom():
@@ -1797,6 +1800,35 @@ def parse_sparql(
     # merge after the written ones (same scoping/freshness validation)
     binds: list[tuple[str, object]] = []
     aggregates: list[tuple[str, str | None, bool, str, str | None]] = []
+    # post-aggregation expression aliases `(SUM(?x)/COUNT(?x) AS ?r)`:
+    # aggregate calls lift to hidden aliases, the remaining arithmetic
+    # computes OVER the grouped output (alias, arith AST)
+    agg_exprs: list[tuple[str, object]] = []
+    hidden_agg_counter = itertools.count()
+
+    def _lift_aggs(body: str) -> str:
+        """Replace every aggregate call in `body` with a hidden-alias
+        variable, registering the aggregate — shared by HAVING bodies and
+        SELECT expressions over aggregates."""
+
+        def repl(m: re.Match) -> str:
+            func = m.group(1).lower()
+            distinct = bool(m.group(2))
+            arg = m.group(3)
+            if arg == "*" and (func != "count" or distinct):
+                raise SparqlSyntaxError(f"{func.upper()}(*) is not supported")
+            if distinct and func not in ("count", "sum"):
+                raise SparqlSyntaxError(
+                    f"{func.upper()}(DISTINCT ...) is not supported"
+                )
+            alias = f"__hagg{next(hidden_agg_counter)}"
+            aggregates.append(
+                (func, None if arg == "*" else arg[1:], distinct, alias, None)
+            )
+            return "?" + alias
+
+        return _HAVING_AGG.sub(repl, body)
+
     if proj_src == "*":
         projection = None
     else:
@@ -1808,6 +1840,16 @@ def parse_sparql(
             am = _AGG_ITEM.match(itm)
             if not am:
                 em = _EXPR_ITEM.match(itm)
+                if em and _HAVING_AGG.search(em.group("expr")):
+                    # expression OVER aggregates (§11.1: projections may
+                    # combine aggregates arithmetically): lift the calls,
+                    # compute the arithmetic on the grouped output
+                    lifted = _lift_aggs(em.group("expr"))
+                    agg_exprs.append(
+                        (em.group("alias"), _parse_arith_expr(lifted))
+                    )
+                    items.append(em.group("alias"))
+                    continue
                 if em:
                     # SELECT expression → synthetic BIND (same lowering,
                     # same scope/freshness validation further down)
@@ -1901,7 +1943,9 @@ def parse_sparql(
     # and nested-group FILTER scoping (root filters validate against
     # pattern_vars, which includes BIND targets)
     _validate_group_tree(root, own_filter_scope=pattern_vars)
-    aliases = {alias for _, _, _, alias, _ in aggregates}
+    aliases = {alias for _, _, _, alias, _ in aggregates} | {
+        a for a, _ in agg_exprs
+    }
     if projection is not None:
         unknown = set(projection) - pattern_vars - aliases
         if unknown:
@@ -1986,27 +2030,6 @@ def parse_sparql(
     # filter applies over the grouped output, and the final projection
     # drops the hidden column.
     having: list = []
-    hidden_agg_counter = itertools.count()
-
-    def _lift_having_aggs(body: str) -> str:
-        def repl(m: re.Match) -> str:
-            func = m.group(1).lower()
-            distinct = bool(m.group(2))
-            arg = m.group(3)
-            if arg == "*" and (func != "count" or distinct):
-                raise SparqlSyntaxError(f"{func.upper()}(*) is not supported")
-            if distinct and func not in ("count", "sum"):
-                raise SparqlSyntaxError(
-                    f"{func.upper()}(DISTINCT ...) is not supported"
-                )
-            alias = f"__hagg{next(hidden_agg_counter)}"
-            aggregates.append(
-                (func, None if arg == "*" else arg[1:], distinct, alias, None)
-            )
-            return "?" + alias
-
-        return _HAVING_AGG.sub(repl, body)
-
     while True:
         hm = _HAVING.search(mods)
         if not hm:
@@ -2021,10 +2044,12 @@ def parse_sparql(
         if depth:
             raise SparqlSyntaxError("unbalanced parentheses in HAVING")
         having.append(
-            _parse_filter_expr(_lift_having_aggs(mods[hm.end() : i - 1]))
+            _parse_filter_expr(_lift_aggs(mods[hm.end() : i - 1]))
         )
         mods = mods[: hm.start()] + " " + mods[i:]
-    aliases = {alias for _, _, _, alias, _ in aggregates}
+    aliases = {alias for _, _, _, alias, _ in aggregates} | {
+        a for a, _ in agg_exprs
+    }
     for _, avar, _, _, _ in aggregates:  # re-check: lifting added entries
         if avar is not None and avar not in pattern_vars:
             raise SparqlSyntaxError(f"aggregate variable not in BGP: ?{avar}")
@@ -2035,6 +2060,16 @@ def parse_sparql(
     grouped = bool(group_by) or bool(aggregates)
     if having and not grouped:
         raise SparqlSyntaxError("HAVING requires GROUP BY or aggregates")
+    # post-aggregation expressions may reference group keys and (hidden)
+    # aggregate aliases — nothing else exists in the grouped output
+    agg_alias_set = {alias for _, _, _, alias, _ in aggregates}
+    for a, ast in agg_exprs:
+        bad = arith_expr_vars(ast) - agg_alias_set - set(group_by)
+        if bad:
+            raise SparqlSyntaxError(
+                f"aggregate-expression variables must be GROUP BY keys or "
+                f"aggregates: {['?' + v for v in sorted(bad)]}"
+            )
     for expr in having:
         if filter_expr_strfn_vars(expr) or filter_expr_streq_literals(expr):
             # HAVING evaluates over grouped numeric output (keys/aggregates)
@@ -2142,4 +2177,5 @@ def parse_sparql(
         group_by=group_by,
         aggregates=tuple(aggregates),
         having=tuple(having),
+        agg_exprs=tuple(agg_exprs),
     )

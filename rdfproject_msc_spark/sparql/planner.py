@@ -165,6 +165,14 @@ def _compile_arith(node, colmap: dict[str, str]) -> Column:
         return a + b
     if kind == "-":
         return a - b
+    if kind == "/":
+        # SPARQL numeric division (§17.3 op:numeric-divide): decimal
+        # result — double on both engines. try_divide (not `/`) because
+        # ANSI-mode Spark raises on a zero divisor where SPARQL defines an
+        # expression ERROR → NULL → the row drops in filters / the BIND
+        # target stays unbound — and the behavior must not depend on the
+        # session's ansi setting (the driver builds its own session).
+        return F.try_divide(a, b)
     return a * b
 
 
@@ -1198,12 +1206,18 @@ def _plan_grouped(joined: DataFrame, bound_cols: dict[str, str], bgp: BGPQuery) 
     else:
         # GROUP BY with no aggregates: the distinct grouping keys
         out = joined.select(*keys).distinct()
+    # post-aggregation expressions (§11.1 — `(SUM(?x)/COUNT(?x) AS ?r)`):
+    # plain computed columns over the grouped output, BEFORE HAVING so
+    # constraints can reference them
+    out_map = {c: c for c in out.columns}
+    for alias, ast in bgp.agg_exprs:
+        out = out.withColumn(alias, _compile_arith(ast, out_map))
+        out_map[alias] = alias
     # HAVING (§11.5): a filter over the grouped output (group keys and
     # aggregate aliases are 1:1 column names here), applied BEFORE the
     # final projection so non-projected group keys remain filterable
-    having_map = {c: c for c in out.columns}
     for expr in bgp.having:
-        out = out.filter(_compile_filter(expr, having_map))
+        out = out.filter(_compile_filter(expr, out_map))
     return out.select(*[F.col(c) for c in bgp.projection])
 
 

@@ -1872,3 +1872,56 @@ def test_typed_and_tagged_literals():
         parse_sparql('SELECT ?s WHERE { ?s :p10 "x"@en }')
     with pytest.raises(SparqlSyntaxError, match="typed literal"):
         parse_sparql('SELECT ?s WHERE { ?s :p10 "x"^^xsd:string }')
+
+
+def test_select_expressions_over_aggregates(tiny_store, tiny_dict):
+    """§11.1: projections may combine aggregates arithmetically —
+    aggregate calls lift to hidden aliases, the expression computes on
+    the grouped output (and HAVING can reference the alias). Division
+    yields SPARQL decimal (double)."""
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s (SUM(?o) / COUNT(?o) AS ?avg2) "
+        "WHERE { ?s :p10 ?o } GROUP BY ?s",
+        tiny_dict,
+    )
+    assert df.columns == ["s", "avg2"]
+    assert sorted((r.s, r.avg2) for r in df.collect()) == [
+        (-5, 1.0),
+        (1, 1.5),
+        (2, 2.0),
+    ]
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s (SUM(?o) + ?s AS ?t) WHERE { ?s :p10 ?o } "
+        "GROUP BY ?s HAVING(?t > 0)",
+        tiny_dict,
+    )
+    assert sorted((r.s, r.t) for r in df.collect()) == [(1, 4), (2, 4)]
+    with pytest.raises(SparqlSyntaxError, match="GROUP BY keys or aggregates"):
+        parse_sparql(
+            "SELECT ?s (SUM(?o) + ?x AS ?t) "
+            "WHERE { ?s :p10 ?o . ?s :p10 ?x } GROUP BY ?s"
+        )
+
+
+def test_bind_division(tiny_store, tiny_dict):
+    """§17.3 numeric division in BIND/FILTER arithmetic: decimal result,
+    division by zero → NULL → SPARQL expression error (unbound/drop)."""
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?h WHERE { ?s :p10 ?o . BIND(?o / 2 AS ?h) "
+        "FILTER(?h >= 1) }",
+        tiny_dict,
+    )
+    assert sorted((r.s, r.h) for r in df.collect()) == [
+        (1, 1.0),
+        (2, 1.0),
+    ]
+    # x / 0 is an expression error: the row drops at the filter
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s WHERE { ?s :p10 ?o . FILTER(?o / 0 > 0) }",
+        tiny_dict,
+    )
+    assert df.collect() == []

@@ -93,6 +93,26 @@ def main(argv: list[str] | None = None) -> int:
     p_cur.add_argument("--embed-dim", type=int, default=64)
     p_cur.add_argument("--cpus", type=int, default=None)
 
+    p_prep = sub.add_parser(
+        "prepare",
+        help="documents parquet -> packed training sequences "
+        "(curate -> mixture -> chunk -> pack)",
+    )
+    p_prep.add_argument("--docs", required=True)
+    p_prep.add_argument("--benchmark", default=None)
+    p_prep.add_argument("--out", required=True)
+    p_prep.add_argument(
+        "--rate",
+        action="append",
+        default=[],
+        metavar="SOURCE=RATE",
+        help="mixture rate per source (repeatable); e.g. --rate wiki=2.5",
+    )
+    p_prep.add_argument("--max-tokens", type=int, default=512)
+    p_prep.add_argument("--overlap", type=int, default=0)
+    p_prep.add_argument("--pack-budget", type=int, default=2048)
+    p_prep.add_argument("--cpus", type=int, default=None)
+
     args = top.parse_args(argv)
 
     from rdfproject_msc_spark.engine import Engine
@@ -157,6 +177,35 @@ def main(argv: list[str] | None = None) -> int:
         kept = spark.read.parquet(args.out).count()
         total = docs.count()
         print(f"curated {total} -> {kept} documents ({args.out})")
+        return 0
+
+    if args.command == "prepare":
+        from rdfproject_msc_spark.operators.curate import prepare_training_set
+
+        spark = _spark(args.cpus)
+        docs = spark.read.parquet(args.docs)
+        bench = (
+            spark.read.parquet(args.benchmark)
+            if args.benchmark
+            else docs.filter("1 = 0")
+        )
+        rates = {}
+        for spec in args.rate:
+            src, _, r = spec.partition("=")
+            rates[src] = float(r)
+        out = prepare_training_set(
+            docs,
+            bench,
+            mixture_rates=rates or None,
+            max_tokens=args.max_tokens,
+            overlap=args.overlap,
+            pack_budget=args.pack_budget,
+        )
+        out.write.mode("overwrite").parquet(args.out)
+        res = spark.read.parquet(args.out)
+        n = res.count()
+        packs = res.select("pack_id").distinct().count()
+        print(f"prepared {n} training examples in {packs} packs ({args.out})")
         return 0
 
     if args.command == "run":

@@ -31,6 +31,7 @@ def chunk_documents(
     overlap: int = 0,
     content_col: str = "text",
     id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """One row per token window: chunk i covers tokens
     [i·stride, i·stride + max_tokens) with stride = max_tokens − overlap.
@@ -59,15 +60,18 @@ def chunk_documents(
             / F.lit(stride)
         ).cast("int")
     )
+    carried = [F.col(c) for c in carry_cols]
     out = (
         df.select(
             F.col(id_col),
+            *carried,
             toks.alias("__toks"),
             n_chunks.alias("__nc"),
         )
         .filter(F.col("__nc") > 0)
         .select(
             F.col(id_col),
+            *carried,
             F.explode(
                 F.sequence(F.lit(0), F.col("__nc") - 1)
             ).alias("chunk_id"),
@@ -79,6 +83,7 @@ def chunk_documents(
     )
     return out.select(
         F.col(id_col),
+        *carried,
         F.col("chunk_id"),
         F.array_join(window, " ").alias("chunk"),
         F.size(window).cast("long").alias("n_tokens"),

@@ -142,3 +142,62 @@ def curate_full(
         ),
         id_col,
     )
+
+
+def prepare_training_set(
+    df: DataFrame,
+    benchmark: DataFrame,
+    mixture_rates: dict[str, float] | None = None,
+    max_tokens: int = 512,
+    overlap: int = 0,
+    pack_budget: int = 2048,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    **curate_kw,
+) -> DataFrame:
+    """The LAST MILE: documents → packed training sequences, one lazy plan.
+
+    curate_full (clean → dedup → quality → repetition → decontaminate →
+    LM filter) → mixture_sample (per-source epoch weights, upsampling by
+    duplication) → chunk_documents (overlapping token windows) →
+    pack_documents (budget-sized packs via the distributed prefix sum,
+    ordered by the compound (doc, copy, chunk) key so packs are
+    deterministic and upsampled copies pack as distinct examples).
+
+    Output: one row per training example —
+    (doc_id, copy, chunk_id, chunk, n_tokens, pack_id).
+
+    Every stage is the already-pinned operator; this function only
+    composes them, so the 100 TB properties (bounded shuffle keys, no
+    all-pairs, bounded single-partition stages) are inherited, not
+    re-argued."""
+    from rdfproject_msc_spark.operators.chunking import chunk_documents
+    from rdfproject_msc_spark.operators.packing import pack_documents
+    from rdfproject_msc_spark.operators.sampling import mixture_sample
+
+    curated = curate_full(
+        df, benchmark, content_col=content_col, id_col=id_col, **curate_kw
+    )
+    mixed = (
+        mixture_sample(
+            curated, mixture_rates, source_col=source_col, id_col=id_col
+        )
+        if mixture_rates
+        else curated.withColumn("copy", F.lit(0))
+    )
+    chunks = chunk_documents(
+        mixed,
+        max_tokens=max_tokens,
+        overlap=overlap,
+        content_col=content_col,
+        id_col=id_col,
+        carry_cols=("copy",),
+    )
+    return pack_documents(
+        chunks,
+        token_col="n_tokens",
+        budget=pack_budget,
+        id_col=id_col,
+        order_cols=[id_col, "copy", "chunk_id"],
+    )

@@ -38,6 +38,7 @@ def pack_documents(
     budget: int,
     id_col: str = "doc_id",
     bucket_size: int = 4096,
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Add a ``pack_id`` column: floor(running-token-total-before / budget)
     over rows ordered by ``id_col``.  Deterministic given ids and counts.
@@ -48,6 +49,10 @@ def pack_documents(
     stay fully parallel."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    # compound ordering (chunked/upsampled examples: (doc_id, copy,
+    # chunk_id)): buckets still derive from the DENSE leading id, the
+    # within-bucket window orders by the full key — same two-phase shape
+    order_cols = order_cols or [id_col]
     bucket = F.floor(F.col(id_col) / F.lit(bucket_size)).cast("long").alias("bucket")
     with_bucket = df.withColumn("bucket", bucket)
 
@@ -67,7 +72,7 @@ def pack_documents(
 
     w_within = (
         Window.partitionBy("bucket")
-        .orderBy(id_col)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (

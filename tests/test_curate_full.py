@@ -86,3 +86,60 @@ def test_cli_curate(spark, sf_dir, tmp_path):
     assert 0 < got.count() <= 500
     for c in ("doc_id", "text", "embedding", "bits_per_token"):
         assert c in got.columns
+
+
+def test_prepare_training_set_contracts(spark, sf_dir):
+    """documents → packed training sequences: per-stage contracts
+    re-verified on the composed output — curation filtered, mixture
+    multiplicities honored, every chunk within the token window, packs
+    within budget (except single over-budget examples), ordering
+    deterministic across runs."""
+    from pyspark.sql import functions as F
+
+    from rdfproject_msc_spark.operators.curate import prepare_training_set
+    from rdfproject_msc_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter("1 = 0")
+    out = prepare_training_set(
+        docs,
+        bench,
+        mixture_rates={"src0": 2.0, "src1": 0.0},
+        max_tokens=32,
+        overlap=8,
+        pack_budget=128,
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    assert set(out.columns) >= {
+        "doc_id", "copy", "chunk_id", "chunk", "n_tokens", "pack_id",
+    }
+    # chunk windows respect max_tokens
+    assert all(1 <= r.n_tokens <= 32 for r in rows)
+    # mixture: src0 docs appear with copies {0,1}; src1 vanished entirely
+    srcs = {r.doc_id: r for r in docs.select("doc_id", "source").collect()}
+    copies = {}
+    for r in rows:
+        copies.setdefault(r.doc_id, set()).add(r.copy)
+    for did, cset in copies.items():
+        if srcs[did].source == "src0":
+            assert cset == {0, 1}, (did, cset)
+        else:
+            assert srcs[did].source != "src1"
+            assert cset == {0}
+    # pack assignment is by RUNNING-OFFSET (pack k covers prefix tokens
+    # [k·B, (k+1)·B)): a pack's payload can exceed the budget only by the
+    # straddling example's tail, i.e. < budget + max_tokens
+    per_pack = (
+        out.groupBy("pack_id")
+        .agg(F.sum("n_tokens").alias("t"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert all(p.t < 128 + 32 for p in per_pack)
+    # determinism
+    again = prepare_training_set(
+        docs, bench,
+        mixture_rates={"src0": 2.0, "src1": 0.0},
+        max_tokens=32, overlap=8, pack_budget=128,
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

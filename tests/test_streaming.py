@@ -435,3 +435,38 @@ def test_stream_embeddings_into_lsh_layout(spark, sf_dir, tmp_path_factory):
     n_before = spark.read.parquet(path).count()
     sim.lsh_stream_append(_stream(), path, ckpt, dim=64, n_planes=16, bands=8)
     assert spark.read.parquet(path).count() == n_before
+
+
+def test_chunking_stream_equals_batch(spark, sf_dir, tmp_path_factory):
+    """curate → chunk is stateless end to end (projections + bounded
+    explode), so the training-example feed runs append-mode over a
+    document stream and equals the batch result — incremental last-mile
+    chunking without a rewrite."""
+    from rdfproject_msc_spark.operators.chunking import chunk_documents
+
+    docs_dir = S.stage_documents_dir(
+        spark, sf_dir, str(tmp_path_factory.mktemp("cstream") / "docs"), n_files=4
+    )
+    stream = S.read_documents_stream(spark, docs_dir, max_files_per_trigger=1)
+    got = S.run_to_memory_table(
+        chunk_documents(
+            S.curate_documents(stream),
+            max_tokens=32,
+            overlap=8,
+            content_col="text_clean",
+        ),
+        spark,
+        "chunked_stream",
+        str(tmp_path_factory.mktemp("cckpt")),
+        output_mode="append",
+    )
+    batch = chunk_documents(
+        S.curate_documents(load_table(spark, sf_dir, "documents")),
+        max_tokens=32,
+        overlap=8,
+        content_col="text_clean",
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    assert got.count() > 0

@@ -865,6 +865,64 @@ def lsh_stream_append(
     )
 
 
+def lsh_topk_multi(
+    spark,
+    paths: list[str],
+    query_vec: list[float],
+    k: int = 10,
+    exclude_id: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probes: int = 1,
+) -> DataFrame:
+    """Probe SEVERAL ``lsh_write``/``lsh_stream_append`` layouts sharing
+    one parameter set and merge their candidates — the bootstrap-batch +
+    streamed-increment deployment, LSH twin of ``ivf_topk_multi``.
+    Directory pruning applies per layout; candidate ids union before ONE
+    exact scoring + TakeOrdered, so the merge adds no shuffle. Parameter
+    identity is enforced by comparing each layout's ``_meta`` sidecar
+    (4 ints, bounded driver-side) — probing a layout hashed with
+    different planes would silently miss vectors."""
+    if not paths:
+        raise ValueError("lsh_topk_multi needs at least one layout path")
+    metas = [spark.read.parquet(f"{p}/_meta").first() for p in paths]
+    params = [(m["dim"], m["n_planes"], m["bands"], m["seed"]) for m in metas]
+    if len(set(params)) != 1:
+        raise ValueError(
+            f"layouts disagree on LSH parameters: {dict(zip(paths, params))}"
+        )
+    dim, n_planes, bands, seed = params[0]
+    wanted = _multiprobe_bands(query_vec, dim, n_planes, bands, seed, probes)
+    cond = reduce(
+        lambda a, b: a | b,
+        [
+            (F.col("band") == F.lit(b)) & (F.col("band_val") == F.lit(v))
+            for b, v in wanted
+        ],
+    )
+    cands = [
+        spark.read.parquet(p).filter(cond).select(id_col) for p in paths
+    ]
+    cand = reduce(lambda a, b: a.unionByName(b), cands).distinct()
+    if exclude_id is not None:
+        cand = cand.filter(F.col(id_col) != exclude_id)
+    vectors = reduce(
+        lambda a, b: a.unionByName(b),
+        [spark.read.parquet(f"{p}/_vectors") for p in paths],
+    )
+    return (
+        vectors.join(cand, id_col, "leftsemi")
+        .select(
+            F.col(id_col),
+            F.round(cosine_to_literal(F.col(vec_col), query_vec), 6).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ivf_topk_multi(
     spark,
     paths: list[str],

@@ -470,3 +470,52 @@ def test_chunking_stream_equals_batch(spark, sf_dir, tmp_path_factory):
         map(tuple, batch.collect())
     )
     assert got.count() > 0
+
+
+def test_lsh_multi_layout_probe(spark, sf_dir, tmp_path_factory):
+    """Bootstrap-batch + streamed-increment LSH deployment: half the
+    corpus batch-written, half streamed into a second layout; the merged
+    probe equals a single layout over the full corpus, and mismatched
+    parameters are rejected."""
+    import pytest as _pytest
+
+    from rdfproject_msc_spark.operators import similarity as sim
+    from rdfproject_msc_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+
+    base = tmp_path_factory.mktemp("lshmulti")
+    path_a = str(base / "batch")
+    sim.lsh_write(half_a, path_a, dim=64, n_planes=16, bands=8)
+    staged = str(base / "staged")
+    half_b.repartition(2).write.mode("overwrite").parquet(staged)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    path_b = str(base / "streamed")
+    sim.lsh_stream_append(
+        stream, path_b, str(base / "ckpt"), dim=64, n_planes=16, bands=8
+    )
+
+    full_path = str(base / "full")
+    sim.lsh_write(emb, full_path, dim=64, n_planes=16, bands=8)
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    got = sim.lsh_topk_multi(
+        spark, [path_a, path_b], qv, k=10, exclude_id=0, probes=2
+    ).collect()
+    want = sim.lsh_topk_persisted(
+        spark, full_path, qv, k=10, exclude_id=0, probes=2
+    ).collect()
+    assert [(r.vec_id, r.score) for r in got] == [
+        (r.vec_id, r.score) for r in want
+    ]
+    # parameter mismatch rejected
+    path_c = str(base / "other")
+    sim.lsh_write(half_a, path_c, dim=64, n_planes=16, bands=4)
+    with _pytest.raises(ValueError, match="disagree"):
+        sim.lsh_topk_multi(spark, [path_a, path_c], qv, k=10)

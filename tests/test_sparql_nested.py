@@ -531,3 +531,28 @@ def test_subquery_as_union_arm_and_optional_body(tiny_store, tiny_dict):
         tiny_dict,
     )
     assert _rows(df, "s", "o", "n") == [(2, 3, 1)]
+
+
+def test_subquery_inside_subquery(tiny_store, tiny_dict):
+    """Two levels of §12 nesting: the inner subquery aggregates, the
+    outer subquery filters over it, the main query joins the result."""
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?n WHERE { ?s :p10 ?o . "
+        "{ SELECT ?s ?n WHERE { "
+        "  { SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s :p10 ?o } GROUP BY ?s } "
+        "  FILTER(?n >= 2) } } }",
+        tiny_dict,
+    )
+    # only s=1 has out-degree 2; its two p10 rows each join the (1,2) row
+    assert _rows(df, "s", "n") == [(1, 2), (1, 2)]
+
+
+def test_multivar_values_inside_nested_group(tiny_store, tiny_dict):
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?o WHERE { { ?s :p10 ?o . "
+        "VALUES (?s ?o) { (1 2) (2 2) } } }",
+        tiny_dict,
+    )
+    assert _rows(df, "s", "o") == [(1, 2), (2, 2)]

@@ -2137,6 +2137,8 @@ def parse_sparql(
                 order_by.append((("expr", _parse_arith_expr(inner)), desc))
             consumed_end = pos
         mods = mods[: om.start()] + " " + mods[consumed_end:]
+        if not order_by:
+            raise SparqlSyntaxError("ORDER BY needs at least one sort key")
     for key, _ in order_by:
         if isinstance(key, tuple):  # expression key
             if grouped:

@@ -1925,3 +1925,8 @@ def test_bind_division(tiny_store, tiny_dict):
         tiny_dict,
     )
     assert df.collect() == []
+
+
+def test_order_by_requires_keys():
+    with pytest.raises(SparqlSyntaxError, match="at least one sort key"):
+        parse_sparql("SELECT ?s WHERE { ?s :p ?o } ORDER BY LIMIT 2")

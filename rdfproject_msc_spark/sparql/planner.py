@@ -357,6 +357,101 @@ def _reject_nullable_join_keys(
         )
 
 
+def _compat_inner_join(
+    joined: DataFrame,
+    bound_cols: dict[str, str],
+    lnull: set[str],
+    sdf: DataFrame,
+    scols: dict[str, str],
+    rnull: set[str],
+    shared: list[str],
+    clause: str,
+) -> DataFrame:
+    """SPARQL §18.2.1 compatible-bindings Join when shared variables may be
+    UNBOUND on one or both sides (bound only in an OPTIONAL / in some UNION
+    arms): unbound is compatible with anything, and the merged solution
+    takes whichever side is bound — semantics Spark's equi-join inverts
+    (NULL == x is NULL → the row silently drops).
+
+    Lowering: decompose the compatible pair space into DISJOINT bound-mask
+    branches so every branch stays a hash equi-join (never a null-tolerant
+    OR-condition, which would force a nested-loop join at scale). Per
+    nullable shared variable v the disjoint cases are
+      B  — both sides bound  → v joins as an ordinary equi key,
+      L0 — left unbound      → no constraint on the right (compatible),
+      R0 — left bound, right unbound → no key for v,
+    so a branch is (left filtered to its mask) ⋈ (right filtered to its
+    mask) on [always-bound shared vars] + [vars in case B]; the union of
+    branches is exactly the Join multiset (the cases partition it). The
+    merged binding per branch is coalesce(left, right), kept under the
+    LEFT column name so downstream bookkeeping is unchanged.
+
+    Branch count is ∏(1 + lnull(v) + rnull(v)) over nullable shared vars —
+    bounded at plan time (cap below), never data-dependent. Branches share
+    the two child plans (scan reuse / AQE dedupe); an all-unbound branch
+    with no remaining key is a genuine SPARQL cartesian and compiles to
+    crossJoin of the two FILTERED (hence small) sides.
+
+    After this join a shared v can remain unbound only when BOTH sides can
+    be unbound (branch L0 meeting a right-null row) — callers update their
+    nullable set accordingly."""
+    nv = [v for v in shared if v in lnull or v in rnull]
+    safe = [v for v in shared if v not in nv]
+    cases_per_var = [
+        ["B"] + (["L0"] if v in lnull else []) + (["R0"] if v in rnull else [])
+        for v in nv
+    ]
+    n_branches = 1
+    for c in cases_per_var:
+        n_branches *= len(c)
+    if n_branches > 16:
+        raise SparqlSyntaxError(
+            f"{clause} over {len(nv)} possibly-unbound shared variables "
+            f"({['?' + v for v in nv]}) expands to {n_branches} disjoint "
+            "bound-mask join branches (cap 16) — bind fewer OPTIONAL/UNION "
+            "variables before reusing them in a join"
+        )
+    base_cols = list(joined.columns)
+    shared_right = {scols[v] for v in shared}
+    right_keep = [c for c in sdf.columns if c not in shared_right]
+    branches = []
+    for combo in itertools.product(*cases_per_var):
+        l, r = joined, sdf
+        keys = list(safe)
+        for v, case in zip(nv, combo):
+            lc, rc = bound_cols[v], scols[v]
+            if case == "B":
+                if v in lnull:
+                    l = l.filter(F.col(lc).isNotNull())
+                if v in rnull:
+                    r = r.filter(F.col(rc).isNotNull())
+                keys.append(v)
+            elif case == "L0":
+                l = l.filter(F.col(lc).isNull())
+            else:  # R0: left bound, right unbound
+                if v in lnull:
+                    l = l.filter(F.col(lc).isNotNull())
+                r = r.filter(F.col(rc).isNull())
+        if keys:
+            cond = reduce(
+                lambda a, b: a & b,
+                [F.col(bound_cols[v]) == F.col(scols[v]) for v in keys],
+            )
+            j = l.join(r, cond, "inner")
+        else:
+            j = l.crossJoin(r)
+        out = []
+        merged = {bound_cols[v]: scols[v] for v in nv}
+        for c in base_cols:
+            if c in merged:
+                out.append(F.coalesce(F.col(c), F.col(merged[c])).alias(c))
+            else:
+                out.append(F.col(c))
+        out.extend(F.col(c) for c in right_keep)
+        branches.append(j.select(*out))
+    return reduce(lambda a, b: a.unionByName(b), branches)
+
+
 def _compile_path_relation(
     ctx: _PlanCtx, node, src_id: int | None = None, dst_id: int | None = None
 ) -> DataFrame:
@@ -460,9 +555,12 @@ def _plan_group(
 
     Returns (df, var→column map, first-appearance order, nullable vars).
     `nullable` tracks variables that can hold NULL (SPARQL "unbound") —
-    bound only inside an OPTIONAL, or by some-but-not-all UNION arms;
-    joins keyed on them are rejected at ANY level (Spark's NULL==x is
-    NULL, which silently inverts SPARQL's unbound-is-compatible rule)."""
+    bound only inside an OPTIONAL, or by some-but-not-all UNION arms.
+    Spark's NULL==x is NULL, which silently inverts SPARQL's
+    unbound-is-compatible rule (§18.2.1), so joins keyed on nullable vars
+    take the `_compat_inner_join` bound-mask decomposition at the
+    group-join / subquery / UNION-arm sites; the remaining keyed clauses
+    (OPTIONAL / MINUS / EXISTS / VALUES) still reject rather than guess."""
     store, term_ids, dictionary = ctx.store, ctx.term_ids, ctx.dictionary
     joined: DataFrame | None = None
     bound_cols: dict[str, str] = {}
@@ -644,8 +742,18 @@ def _plan_group(
             nullable_vars |= snull
             continue
         shared = [v for v in scols if v in bound_cols]
-        _reject_nullable_join_keys(shared, nullable_vars | snull, "group join")
-        if shared:
+        nv = [v for v in shared if v in nullable_vars or v in snull]
+        if nv:
+            # compatible-bindings join (§18.2.1): a shared var unbound on
+            # either side joins by compatibility, not NULL-equality
+            joined = _compat_inner_join(
+                joined, bound_cols, nullable_vars,
+                sdf, scols, snull, shared, "group join",
+            )
+            for v in nv:  # merged value unbound only when BOTH sides can be
+                if not (v in nullable_vars and v in snull):
+                    nullable_vars.discard(v)
+        elif shared:
             cond = reduce(
                 lambda a, b: a & b,
                 [F.col(bound_cols[v]) == F.col(scols[v]) for v in shared],
@@ -685,8 +793,16 @@ def _plan_group(
             nullable_vars |= snull
             continue
         shared = [v for v in scols if v in bound_cols]
-        _reject_nullable_join_keys(shared, nullable_vars | snull, "subquery")
-        if shared:
+        nv = [v for v in shared if v in nullable_vars or v in snull]
+        if nv:
+            joined = _compat_inner_join(
+                joined, bound_cols, nullable_vars,
+                sdf, scols, snull, shared, "subquery",
+            )
+            for v in nv:
+                if not (v in nullable_vars and v in snull):
+                    nullable_vars.discard(v)
+        elif shared:
             cond = reduce(
                 lambda a, b: a & b,
                 [F.col(bound_cols[v]) == F.col(scols[v]) for v in shared],
@@ -753,13 +869,19 @@ def _plan_group(
             per_arm = []
             for acols, adf, anull in arms:
                 shared = [v for v in acols if v in bound_cols]
-                # a later block may share a var that an earlier block left
-                # nullable — that join key would silently drop unbound
-                # rows; same for a var the ARM itself binds only optionally
-                _reject_nullable_join_keys(
-                    shared, nullable_vars | anull, "UNION"
-                )
-                if shared:
+                nv = [
+                    v for v in shared if v in nullable_vars or v in anull
+                ]
+                if nv:
+                    # a shared var an earlier block left nullable (or the
+                    # arm binds only optionally) joins by §18.2.1
+                    # compatibility; merged values land under the base
+                    # column names, so the select below is unchanged
+                    j = _compat_inner_join(
+                        joined, bound_cols, nullable_vars,
+                        adf, acols, anull, shared, "UNION",
+                    )
+                elif shared:
                     cond = reduce(
                         lambda a, b: a & b,
                         [
@@ -790,13 +912,26 @@ def _plan_group(
                     bound_cols[v] = ucols[v]
                     order.append(v)
         # a union-bound var is nullable unless every arm binds it in its
-        # required part (vars bound before this block are never null)
+        # required part
         for v in arm_order:
             if bound_cols[v] == ucols[v] and (
                 not all(v in acols for acols, _, _ in arms)
                 or any(v in anull for _, _, anull in arms)
             ):
                 nullable_vars.add(v)
+        # a var nullable BEFORE the block becomes bound when every arm
+        # required-binds it: each per-arm compatible join coalesced the
+        # merged value, so no branch leaves it NULL
+        for v in list(nullable_vars):
+            if (
+                v in bound_cols
+                and bound_cols[v] != ucols.get(v)
+                and arms
+                and all(
+                    v in acols and v not in anull for acols, _, anull in arms
+                )
+            ):
+                nullable_vars.discard(v)
 
     # OPTIONAL child groups → LEFT OUTER JOIN on the shared variables
     # (SPARQL 1.1 §5.3 compatible-bindings semantics): the child composes

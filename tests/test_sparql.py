@@ -162,16 +162,26 @@ def test_two_union_blocks_execute(tiny_store, tiny_dict):
     ]
 
 
-def test_union_block_keyed_on_partially_bound_var_rejected(tiny_store, tiny_dict):
-    """A later block sharing only a variable some earlier arm left unbound
-    must be rejected — NULL join keys would silently drop solutions."""
-    with pytest.raises(SparqlSyntaxError, match="UNION references"):
-        sparql_to_df(
-            tiny_store,
-            "SELECT ?s WHERE { { ?s :p10 2 } UNION { ?s :p20 ?x } . "
-            "{ ?x :p10 ?y } UNION { ?x :p20 ?y } }",
-            tiny_dict,
-        ).collect()
+def test_union_block_keyed_on_partially_bound_var_compat_joins(
+    tiny_store, tiny_dict
+):
+    """A later block sharing a variable some earlier arm left unbound
+    joins by §18.2.1 compatibility: the unbound-?x solutions match EVERY
+    arm row (binding ?x from it), the bound ones only equal ?x.
+    Hand-derived: Ω1 = {(s=1,x⊥),(s=2,x⊥),(s=2,x=3)}; block-2 arm rows
+    (x,y) = p10{(1,1),(1,2),(2,2),(-5,1)} ∪ p20{(2,3)}; x=3 matches none."""
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?x ?y WHERE { { ?s :p10 2 } UNION { ?s :p20 ?x } . "
+        "{ ?x :p10 ?y } UNION { ?x :p20 ?y } }",
+        tiny_dict,
+    )
+    got = sorted((r["s"], r["x"], r["y"]) for r in df.collect())
+    want = sorted(
+        [(s, x, y) for s in (1, 2) for x, y in
+         [(1, 1), (1, 2), (2, 2), (-5, 1), (2, 3)]]
+    )
+    assert got == want
 
 
 def test_parse_plain_subgroup():

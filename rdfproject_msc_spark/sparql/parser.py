@@ -1673,20 +1673,29 @@ def _validate_group_tree(
                 f"?{bvar} (the group would silently join on it)"
             )
         bind_scope.add(bvar)
+    # VALUES vars may be OPTIONAL-bound (the planner compat-joins the
+    # possibly-unbound rows); only a var bound NOWHERE in the group is a
+    # typo and rejects
+    group_scope = g.all_vars()
     for var, _ in g.values:
-        if var not in req:
+        if var not in group_scope:
             raise SparqlSyntaxError(f"VALUES variable not in BGP: ?{var}")
     for vars_, _ in g.values_multi:
         for var in vars_:
-            if var not in req:
+            if var not in group_scope:
                 raise SparqlSyntaxError(f"VALUES variable not in BGP: ?{var}")
     for sub in g.subgroups:
         _validate_group_tree(sub, sub.all_vars())
     for blk in g.unions:
         for arm in blk:
             _validate_group_tree(arm, arm.all_vars())
+    # an OPTIONAL may key on a variable an EARLIER optional bound (the
+    # planner compat-joins the possibly-unbound rows), so the join scope
+    # accumulates in textual order; a fully disjoint OPTIONAL still
+    # rejects (it would silently cartesian)
+    opt_scope = set(req)
     for opt in g.optionals:
-        if not (opt.all_vars() & req):
+        if not (opt.all_vars() & opt_scope):
             raise SparqlSyntaxError(
                 "OPTIONAL group shares no variable with the required patterns"
             )
@@ -1703,16 +1712,20 @@ def _validate_group_tree(
                         f"required patterns: ?{v}"
                     )
         _validate_group_tree(opt, None)
+        opt_scope |= opt.all_vars()
+    # MINUS/EXISTS plan after every OPTIONAL, so optional-bound vars are
+    # legitimate (compat-joined) keys; a group sharing NOTHING with the
+    # enclosing scope still rejects (disjoint-domain MINUS removes
+    # nothing per SPARQL — silently keeping everything hides a typo'd
+    # variable)
     for grp in g.minuses:
-        if not (grp.all_vars() & req):
-            # SPARQL says disjoint-domain MINUS removes nothing; silently
-            # keeping everything hides a typo'd variable — reject instead.
+        if not (grp.all_vars() & group_scope):
             raise SparqlSyntaxError(
                 "MINUS group shares no variable with the required patterns"
             )
         _validate_group_tree(grp, grp.all_vars())
     for _, grp in g.exists:
-        if not (grp.all_vars() & req):
+        if not (grp.all_vars() & group_scope):
             raise SparqlSyntaxError(
                 "EXISTS group shares no variable with the required patterns"
             )

@@ -452,6 +452,41 @@ def _compat_inner_join(
     return reduce(lambda a, b: a.unionByName(b), branches)
 
 
+def _left_mask_branches(
+    joined: DataFrame,
+    bound_cols: dict[str, str],
+    shared: list[str],
+    lnv: list[str],
+    clause: str,
+):
+    """Partition the accumulated solution multiset by which of the
+    left-nullable shared variables are actually bound, yielding
+    (left_branch_df, keys) pairs where `keys` are the shared vars bound
+    in that branch. Valid for every per-left-row clause (OPTIONAL's
+    null-extension, MINUS/EXISTS's keep-or-drop, VALUES): a row's match
+    set depends only on its own bound mask, so branching the LEFT side
+    and unioning the per-branch results is exact — and every branch stays
+    a hash join (the OR-of-null-equality form would force a nested-loop
+    join at scale). Branch count 2^|lnv| is plan-bounded (cap 16)."""
+    if 2 ** len(lnv) > 16:
+        raise SparqlSyntaxError(
+            f"{clause} over {len(lnv)} possibly-unbound shared variables "
+            f"({['?' + v for v in lnv]}) expands to {2 ** len(lnv)} disjoint "
+            "bound-mask join branches (cap 16) — bind fewer OPTIONAL/UNION "
+            "variables before reusing them in a join"
+        )
+    always = [v for v in shared if v not in lnv]
+    for combo in itertools.product([True, False], repeat=len(lnv)):
+        l = joined
+        keys = list(always)
+        for v, bound in zip(lnv, combo):
+            c = F.col(bound_cols[v])
+            l = l.filter(c.isNotNull() if bound else c.isNull())
+            if bound:
+                keys.append(v)
+        yield l, keys
+
+
 def _compile_path_relation(
     ctx: _PlanCtx, node, src_id: int | None = None, dst_id: int | None = None
 ) -> DataFrame:
@@ -558,9 +593,13 @@ def _plan_group(
     bound only inside an OPTIONAL, or by some-but-not-all UNION arms.
     Spark's NULL==x is NULL, which silently inverts SPARQL's
     unbound-is-compatible rule (§18.2.1), so joins keyed on nullable vars
-    take the `_compat_inner_join` bound-mask decomposition at the
-    group-join / subquery / UNION-arm sites; the remaining keyed clauses
-    (OPTIONAL / MINUS / EXISTS / VALUES) still reject rather than guess."""
+    take a bound-mask branch decomposition everywhere: the two-sided
+    `_compat_inner_join` at group-join / subquery / UNION-arm sites, and
+    the left-side `_left_mask_branches` form at OPTIONAL / MINUS /
+    EXISTS / single-var VALUES (whose match semantics are per-left-row).
+    Only group-INTERNAL nullability on a shared var (the child of an
+    OPTIONAL/MINUS/EXISTS itself leaving the var optionally bound) and
+    nullable multi-var VALUES still reject rather than guess."""
     store, term_ids, dictionary = ctx.store, ctx.term_ids, ctx.dictionary
     joined: DataFrame | None = None
     bound_cols: dict[str, str] = {}
@@ -947,7 +986,13 @@ def _plan_group(
         for old, new in renames.items():
             gdf = gdf.withColumnRenamed(old, new)
         shared = [v for v in gcols if v in bound_cols]
-        _reject_nullable_join_keys(shared, nullable_vars | gnull, "OPTIONAL")
+        # group-INTERNAL nullability on a shared var still rejects: the
+        # per-left-row match set would need an OR-of-null-equality join
+        # condition (→ nested-loop join at scale). LEFT-side nullability
+        # (outer var bound only optionally / in some UNION arms) lowers
+        # below via the bound-mask branch decomposition.
+        _reject_nullable_join_keys(shared, gnull, "OPTIONAL")
+        lnv = [v for v in shared if v in nullable_vars]
         # the child's DIRECT FILTERs fold into the join condition —
         # SPARQL's LeftJoin(P1, P2, F) (§18.2.2.2): a match failing F is
         # kept null-extended, not dropped. The equi-conjuncts still drive
@@ -985,16 +1030,47 @@ def _plan_group(
                     "left",
                 ).drop(f"__osid{gi}_{v}")
             gterms[v] = tcol
-        cond = reduce(
-            lambda a, b: a & b,
-            [F.col(bound_cols[v]) == F.col(renames[gcols[v]]) for v in shared],
-        )
         gmap = dict(bound_cols)
         gmap.update({v: renames[c] for v, c in gcols.items()})
-        for expr in gflts:
-            cond = cond & _compile_filter(expr, gmap, gterms, ctx.litids)
-        joined = joined.join(gdf, cond, "left")
-        joined = joined.drop(*[renames[gcols[v]] for v in shared])
+        fconds = [
+            _compile_filter(expr, gmap, gterms, ctx.litids) for expr in gflts
+        ]
+
+        def _opt_left_join(l, keys):
+            cs = [
+                F.col(bound_cols[v]) == F.col(renames[gcols[v]]) for v in keys
+            ]
+            cond = reduce(lambda a, b: a & b, cs) if cs else F.lit(True)
+            for fc in fconds:
+                cond = cond & fc
+            return l.join(gdf, cond, "left")
+
+        if lnv:
+            # §18.2.1 compatible LeftJoin: an unbound outer ?v matches any
+            # group row (no ?v conjunct in that branch) and the merged
+            # binding coalesces from the group side; null-extension stays
+            # per-left-row, so unioning per-mask left joins is exact
+            shared_right = {renames[gcols[v]] for v in shared}
+            base_cols = list(joined.columns)
+            merged = {bound_cols[v]: renames[gcols[v]] for v in lnv}
+            right_keep = [c for c in gdf.columns if c not in shared_right]
+            branches = []
+            for l, keys in _left_mask_branches(
+                joined, bound_cols, shared, lnv, "OPTIONAL"
+            ):
+                j = _opt_left_join(l, keys)
+                out = [
+                    F.coalesce(F.col(c), F.col(merged[c])).alias(c)
+                    if c in merged
+                    else F.col(c)
+                    for c in base_cols
+                ]
+                out.extend(F.col(c) for c in right_keep)
+                branches.append(j.select(*out))
+            joined = reduce(lambda a, b: a.unionByName(b), branches)
+        else:
+            joined = _opt_left_join(joined, shared)
+            joined = joined.drop(*[renames[gcols[v]] for v in shared])
         if gterms:
             joined = joined.drop(*gterms.values())
         for v in gorder:
@@ -1027,12 +1103,38 @@ def _plan_group(
         for old, new in renames.items():
             gdf = gdf.withColumnRenamed(old, new)
         shared = [v for v in gcols if v in bound_cols]
-        _reject_nullable_join_keys(shared, nullable_vars | gnull, "MINUS")
-        cond = reduce(
-            lambda a, b: a & b,
-            [F.col(bound_cols[v]) == F.col(renames[gcols[v]]) for v in shared],
-        )
-        joined = joined.join(gdf, cond, "left_anti")
+        _reject_nullable_join_keys(shared, gnull, "MINUS")
+        lnv = [v for v in shared if v in nullable_vars]
+        if lnv:
+            # §18.5 Minus over possibly-unbound keys: an unbound ?v is
+            # compatible with anything, so it contributes no conjunct —
+            # and a branch where EVERY shared var is unbound has
+            # dom(μ1)∩dom(μ2)=∅, which Minus KEEPS unconditionally
+            branches = []
+            for l, keys in _left_mask_branches(
+                joined, bound_cols, shared, lnv, "MINUS"
+            ):
+                if keys:
+                    cond = reduce(
+                        lambda a, b: a & b,
+                        [
+                            F.col(bound_cols[v]) == F.col(renames[gcols[v]])
+                            for v in keys
+                        ],
+                    )
+                    branches.append(l.join(gdf, cond, "left_anti"))
+                else:
+                    branches.append(l)
+            joined = reduce(lambda a, b: a.unionByName(b), branches)
+        else:
+            cond = reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(bound_cols[v]) == F.col(renames[gcols[v]])
+                    for v in shared
+                ],
+            )
+            joined = joined.join(gdf, cond, "left_anti")
 
     # FILTER [NOT] EXISTS child groups → LEFT SEMI / LEFT ANTI join on the
     # shared variables (SPARQL 1.1 §8.1.1): existence tests never add
@@ -1045,22 +1147,64 @@ def _plan_group(
         for old, new in renames.items():
             gdf = gdf.withColumnRenamed(old, new)
         shared = [v for v in gcols if v in bound_cols]
-        _reject_nullable_join_keys(shared, nullable_vars | gnull, "EXISTS")
-        cond = reduce(
-            lambda a, b: a & b,
-            [F.col(bound_cols[v]) == F.col(renames[gcols[v]]) for v in shared],
-        )
-        joined = joined.join(gdf, cond, "left_anti" if neg else "left_semi")
+        _reject_nullable_join_keys(shared, gnull, "EXISTS")
+        lnv = [v for v in shared if v in nullable_vars]
+        jt = "left_anti" if neg else "left_semi"
+        if lnv:
+            # compatible-bindings existence test: unbound ?v contributes
+            # no conjunct; the all-unbound branch keeps (drops for NOT
+            # EXISTS) its rows iff the group is nonempty — a literal-true
+            # semi/anti condition (the group side broadcasts)
+            branches = []
+            for l, keys in _left_mask_branches(
+                joined, bound_cols, shared, lnv, "EXISTS"
+            ):
+                cs = [
+                    F.col(bound_cols[v]) == F.col(renames[gcols[v]])
+                    for v in keys
+                ]
+                cond = reduce(lambda a, b: a & b, cs) if cs else F.lit(True)
+                branches.append(l.join(gdf, cond, jt))
+            joined = reduce(lambda a, b: a.unionByName(b), branches)
+        else:
+            cond = reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(bound_cols[v]) == F.col(renames[gcols[v]])
+                    for v in shared
+                ],
+            )
+            joined = joined.join(gdf, cond, jt)
 
     # VALUES blocks → isin() over the resolved ids: an In predicate
     # Catalyst pushes into the Parquet scan (bounded by query size, like
     # all constant encoding — never a data-sized driver structure).
     for var, entries in grp.values:
-        _reject_nullable_join_keys([var], nullable_vars, "VALUES")
         ids = [
             int(val) if kind == "id" else term_ids[val] for kind, val in entries
         ]
-        joined = joined.filter(F.col(bound_cols[var]).isin(ids))
+        if var in nullable_vars:
+            # §18.2.1: an unbound ?var is compatible with EVERY data row
+            # of the VALUES block and the merged solution binds it — so
+            # the unbound rows replicate once per value (a broadcast
+            # cross join against the query-sized literal relation), while
+            # bound rows keep the isin pushdown filter
+            vcol = f"__vals{ctx.nid()}"
+            vals_df = joined.sparkSession.createDataFrame(
+                [(i,) for i in ids], f"{vcol} long"
+            )
+            c = F.col(bound_cols[var])
+            bound_b = joined.filter(c.isNotNull()).filter(c.isin(ids))
+            null_b = (
+                joined.filter(c.isNull())
+                .crossJoin(F.broadcast(vals_df))
+                .withColumn(bound_cols[var], F.col(vcol))
+                .drop(vcol)
+            )
+            joined = bound_b.unionByName(null_b)
+            nullable_vars.discard(var)  # every surviving row binds ?var
+        else:
+            joined = joined.filter(F.col(bound_cols[var]).isin(ids))
 
     # multi-variable VALUES → OR-of-ANDs over the resolved ids: one
     # single-pass row filter, bounded by query size (never a data-sized

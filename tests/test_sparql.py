@@ -606,44 +606,68 @@ def test_union_arm_not_binding_shared_var_keeps_rows(tiny_store, tiny_dict):
     ]
 
 
-def test_optional_keyed_on_prior_optional_var_rejected(tiny_store, tiny_dict):
-    with pytest.raises(SparqlSyntaxError, match="may be unbound"):
-        sparql_to_df(
-            tiny_store,
-            "SELECT ?s WHERE { ?s :p10 ?o . "
-            "OPTIONAL { ?o :p20 ?x } OPTIONAL { ?s :p10 ?x } }",
-            tiny_dict,
-        ).collect()
+def _null_sorted(df, *cols):
+    key = lambda t: tuple((v is None, v or 0) for v in t)
+    return sorted(
+        (tuple(getattr(r, c) for c in cols) for r in df.collect()), key=key
+    )
 
 
-def test_minus_keyed_on_optional_var_rejected(tiny_store, tiny_dict):
-    with pytest.raises(SparqlSyntaxError, match="MINUS references"):
-        sparql_to_df(
-            tiny_store,
-            "SELECT ?s WHERE { ?s :p10 ?o . "
-            "OPTIONAL { ?o :p20 ?x } MINUS { ?s :p10 ?x } }",
-            tiny_dict,
-        ).collect()
+def test_optional_keyed_on_prior_optional_var_compat(tiny_store, tiny_dict):
+    """A second OPTIONAL keyed on a var the first left nullable takes the
+    §18.2.1 compatible LeftJoin: unbound ?x matches any group row (and
+    binds from it); bound ?x must agree or the row null-extends.
+    Hand-derived: Ω1 = {(1,1,⊥),(1,2,3),(2,2,3),(-5,1,⊥)}; group rows
+    (s,x) = p10 edges; x=3 matches nothing → those rows pass unchanged."""
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?o ?x WHERE { ?s :p10 ?o . "
+        "OPTIONAL { ?o :p20 ?x } OPTIONAL { ?s :p10 ?x } }",
+        tiny_dict,
+    )
+    assert _null_sorted(df, "s", "o", "x") == sorted(
+        [(-5, 1, 1), (1, 1, 1), (1, 1, 2), (1, 2, 3), (2, 2, 3)]
+    )
 
 
-def test_exists_keyed_on_optional_var_rejected(tiny_store, tiny_dict):
-    with pytest.raises(SparqlSyntaxError, match="EXISTS references"):
-        sparql_to_df(
-            tiny_store,
-            "SELECT ?s WHERE { ?s :p10 ?o . "
-            "OPTIONAL { ?o :p20 ?x } FILTER EXISTS { ?s :p10 ?x } }",
-            tiny_dict,
-        ).collect()
+def test_minus_keyed_on_optional_var_compat(tiny_store, tiny_dict):
+    """MINUS over a nullable key (§18.5): unbound ?x is compatible with
+    anything (row removed via the ?s overlap); bound ?x must ALSO match
+    for removal. (1,2,3)/(2,2,3) survive — no p10 edge has x=3."""
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?o ?x WHERE { ?s :p10 ?o . "
+        "OPTIONAL { ?o :p20 ?x } MINUS { ?s :p10 ?x } }",
+        tiny_dict,
+    )
+    assert _null_sorted(df, "s", "o", "x") == [(1, 2, 3), (2, 2, 3)]
 
 
-def test_values_on_partially_bound_union_var_rejected(tiny_store, tiny_dict):
-    with pytest.raises(SparqlSyntaxError, match="VALUES references"):
-        sparql_to_df(
-            tiny_store,
-            "SELECT ?s ?x WHERE "
-            "{ { ?s :p10 2 } UNION { ?s :p20 ?x } VALUES ?x { 3 } }",
-            tiny_dict,
-        ).collect()
+def test_exists_keyed_on_optional_var_compat(tiny_store, tiny_dict):
+    """EXISTS over a nullable key: rows with unbound ?x pass iff ANY
+    compatible group row exists; bound ?x needs an exact match (none has
+    x=3) — exactly the complement of the MINUS test's survivors."""
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?o ?x WHERE { ?s :p10 ?o . "
+        "OPTIONAL { ?o :p20 ?x } FILTER EXISTS { ?s :p10 ?x } }",
+        tiny_dict,
+    )
+    assert _null_sorted(df, "s", "o", "x") == [(-5, 1, None), (1, 1, None)]
+
+
+def test_values_on_partially_bound_union_var_compat(tiny_store, tiny_dict):
+    """VALUES over a nullable var joins by §18.2.1 compatibility: bound
+    rows filter, unbound rows replicate once per value and BIND it —
+    (2,⊥) and the already-bound (2,3) both yield (2,3), a genuine
+    multiset duplicate."""
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?x WHERE "
+        "{ { ?s :p10 2 } UNION { ?s :p20 ?x } VALUES ?x { 3 } }",
+        tiny_dict,
+    )
+    assert _null_sorted(df, "s", "x") == [(1, 3), (2, 3), (2, 3)]
 
 
 def test_union_var_shared_with_required_not_nullable(tiny_store, tiny_dict):

@@ -204,3 +204,194 @@ def test_compat_join_matches_python_eval(spark, rows):
         key=lambda t: tuple((v is None, v or 0) for v in t),
     )
     assert got == want
+
+
+# --- per-clause property tests: OPTIONAL / MINUS / EXISTS / VALUES ----
+
+
+def _nkey(t):
+    return tuple((v is None, v or 0) for v in t)
+
+
+def _py_left_join(om1, om2):
+    """Direct §18.2.2.2 LeftJoin (no filter): compatible merges, else the
+    left mapping passes through null-extended."""
+    out = []
+    for m1 in om1:
+        ms = []
+        for m2 in om2:
+            if all(
+                m1.get(k) is None or m2.get(k) is None or m1[k] == m2[k]
+                for k in set(m1) & set(m2)
+            ):
+                merged = dict(m1)
+                for k, v in m2.items():
+                    if merged.get(k) is None:
+                        merged[k] = v
+                ms.append(merged)
+        out.extend(ms) if ms else out.append(m1)
+    return out
+
+
+def _py_minus(om1, om2):
+    """Direct §18.5 Minus: remove μ1 when some μ2 is compatible AND the
+    domains overlap (an unbound slot is outside the domain)."""
+
+    def dom_overlap(m1, m2):
+        return any(
+            m1.get(k) is not None and m2.get(k) is not None
+            for k in set(m1) & set(m2)
+        )
+
+    def compat(m1, m2):
+        return all(
+            m1.get(k) is None or m2.get(k) is None or m1[k] == m2[k]
+            for k in set(m1) & set(m2)
+        )
+
+    return [
+        m1
+        for m1 in om1
+        if not any(compat(m1, m2) and dom_overlap(m1, m2) for m2 in om2)
+    ]
+
+
+def _py_exists(om1, om2, neg):
+    def compat(m1, m2):
+        return all(
+            m1.get(k) is None or m2.get(k) is None or m1[k] == m2[k]
+            for k in set(m1) & set(m2)
+        )
+
+    return [
+        m1 for m1 in om1 if any(compat(m1, m2) for m2 in om2) != neg
+    ]
+
+
+def _side(rows, sv, av):
+    base = [{sv: s, av: o} for s, p, o in rows if p == 1]
+    opt = [{sv: s, "x": o} for s, p, o in rows if p == 2]
+    out = []
+    for b in base:
+        ext = [o for o in opt if o[sv] == b[sv]]
+        if ext:
+            out.extend({**b, "x": o["x"]} for o in ext)
+        else:
+            out.append({**b, "x": None})
+    return out
+
+
+def _rel3(rows):
+    return [{"x": s, "y": o} for s, p, o in rows if p == 3]
+
+
+def _run(spark, rows, q, *cols):
+    df = spark.createDataFrame(rows, "s long, p long, o long")
+    out = sparql_to_df(TripleStore(df), q)
+    return sorted(
+        (tuple(r[c] for c in cols) for r in out.collect()), key=_nkey
+    )
+
+
+@given(rows=triples)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_optional_on_nullable_key_matches_python_eval(spark, rows):
+    got = _run(
+        spark,
+        rows,
+        "SELECT ?s ?x ?y WHERE { ?s 1 ?a OPTIONAL { ?s 2 ?x } "
+        "OPTIONAL { ?x 3 ?y } }",
+        "s",
+        "x",
+        "y",
+    )
+    want = sorted(
+        (
+            (m["s"], m.get("x"), m.get("y"))
+            for m in _py_left_join(_side(rows, "s", "a"), _rel3(rows))
+        ),
+        key=_nkey,
+    )
+    assert got == want
+
+
+@given(rows=triples)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_minus_on_nullable_key_matches_python_eval(spark, rows):
+    got = _run(
+        spark,
+        rows,
+        "SELECT ?s ?x WHERE { ?s 1 ?a OPTIONAL { ?s 2 ?x } "
+        "MINUS { ?x 3 ?y } }",
+        "s",
+        "x",
+    )
+    want = sorted(
+        (
+            (m["s"], m.get("x"))
+            for m in _py_minus(_side(rows, "s", "a"), _rel3(rows))
+        ),
+        key=_nkey,
+    )
+    assert got == want
+
+
+@given(rows=triples, neg=st.booleans())
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_exists_on_nullable_key_matches_python_eval(spark, rows, neg):
+    kw = "FILTER NOT EXISTS" if neg else "FILTER EXISTS"
+    got = _run(
+        spark,
+        rows,
+        f"SELECT ?s ?x WHERE {{ ?s 1 ?a OPTIONAL {{ ?s 2 ?x }} "
+        f"{kw} {{ ?x 3 ?y }} }}",
+        "s",
+        "x",
+    )
+    want = sorted(
+        (
+            (m["s"], m.get("x"))
+            for m in _py_exists(_side(rows, "s", "a"), _rel3(rows), neg)
+        ),
+        key=_nkey,
+    )
+    assert got == want
+
+
+@given(rows=triples)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_values_on_nullable_var_matches_python_eval(spark, rows):
+    got = _run(
+        spark,
+        rows,
+        "SELECT ?s ?x WHERE { ?s 1 ?a OPTIONAL { ?s 2 ?x } "
+        "VALUES ?x { 1 3 } }",
+        "s",
+        "x",
+    )
+    want = sorted(
+        (
+            (m["s"], m.get("x"))
+            for m in _py_compat_join(
+                _side(rows, "s", "a"), [{"x": 1}, {"x": 3}]
+            )
+        ),
+        key=_nkey,
+    )
+    assert got == want

@@ -1139,22 +1139,39 @@ def _parse_path_expr(src: str, prefixes: dict[str, str]):
     def atom():
         nonlocal pos
         if peek() == "!":
-            # negated property set (§9.1 PathNegatedPropertySet): !p or
-            # !(p1|p2|...) — plain constant predicates only (no inverse
-            # members), one NOT-IN scan in the compiled relation
+            # negated property set (§9.1 PathNegatedPropertySet): !p,
+            # !(p1|p2|...), with inverse members per the spec identity
+            #   !(P1|..|Pn|^Q1|..|^Qm) ≡ !(P1|..|Pn) | ^!(Q1|..|Qm)
+            # — a NOT-IN scan over the forward members unioned with the
+            # column-swap of a NOT-IN scan over the inverse members
             advance()
+            fwd: list = []
+            inv: list = []
+
+            def member():
+                if peek() == "^":
+                    advance()
+                    inv.append(pred_name())
+                else:
+                    fwd.append(pred_name())
+
             if peek() == "(":
                 advance()
-                slots = [pred_name()]
+                member()
                 while peek() == "|":
                     advance()
-                    slots.append(pred_name())
+                    member()
                 if peek() != ")":
                     error()
                 advance()
             else:
-                slots = [pred_name()]
-            return ("npred", tuple(slots))
+                member()
+            parts = []
+            if fwd:
+                parts.append(("npred", tuple(fwd)))
+            if inv:
+                parts.append(("inv", ("npred", tuple(inv))))
+            return parts[0] if len(parts) == 1 else ("alt", parts)
         if peek() == "(":
             advance()
             node = alt()
@@ -1943,10 +1960,11 @@ def parse_sparql(
                         "property paths are not allowed in a CONSTRUCT "
                         "template (§16.2: templates are plain triples)"
                     )
-                if v not in required_vars:
-                    # vars bound only in OPTIONAL would instantiate null
-                    # slots (SPARQL drops those triples silently — reject
-                    # rather than guess, matching the engine's stance)
+                if v not in pattern_vars:
+                    # a var in NO pattern is a typo; vars bound only in
+                    # OPTIONAL are fine — §16.2 drops a template's triple
+                    # for solutions where its variable is unbound (the
+                    # planner filters those rows per template)
                     raise SparqlSyntaxError(
                         f"CONSTRUCT template variable must be bound by the "
                         f"required patterns: ?{v}"

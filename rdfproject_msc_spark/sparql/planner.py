@@ -1326,13 +1326,16 @@ def plan_bgp(
     # CONSTRUCT (§16.2): instantiate each template triple per solution,
     # union and de-duplicate — the output is a GRAPH (a set of id triples
     # in the engine's (s, p, o) model, ready for TripleStore ingestion).
+    # A template whose variable is unbound in a solution produces NO
+    # triple for that solution (§16.2 — skipped, not an error): a cheap
+    # per-template isNotNull row filter, no extra shuffle.
     if bgp.construct:
-        tpl_vars = {v for tp in bgp.construct for v in tp.variables()}
-        _reject_nullable_join_keys(
-            sorted(tpl_vars), nullable_vars, "CONSTRUCT"
-        )
         parts = []
         for tp in bgp.construct:
+            tnull = sorted(tp.variables() & nullable_vars)
+            src = joined
+            for v in tnull:
+                src = src.filter(F.col(bound_cols[v]).isNotNull())
             cols = []
             for pos in ("s", "p", "o"):
                 kind, val = tp.slots[pos]
@@ -1344,7 +1347,7 @@ def plan_bgp(
                     cols.append(
                         F.lit(term_ids[val]).cast("long").alias(pos)
                     )
-            parts.append(joined.select(*cols))
+            parts.append(src.select(*cols))
         return reduce(lambda a, b: a.unionAll(b), parts).distinct()
 
     # DESCRIBE ?x WHERE {...} (§16.4): the distinct bindings of ?x are the

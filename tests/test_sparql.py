@@ -1229,11 +1229,25 @@ def test_construct_rejections():
         parse_sparql("CONSTRUCT { ?a :p ?b } WHERE { ?a :p10 ?b } LIMIT 2")
     with pytest.raises(SparqlSyntaxError, match="empty CONSTRUCT"):
         parse_sparql("CONSTRUCT { } WHERE { ?a :p10 ?b }")
-    # template var bound only inside OPTIONAL → nulls, rejected
+    # template var appearing in NO pattern at all is a typo → rejected
     with pytest.raises(SparqlSyntaxError, match="must be bound"):
-        parse_sparql(
-            "CONSTRUCT { ?a :p ?c } WHERE { ?a :p10 ?b . OPTIONAL { ?b :p20 ?c } }"
-        )
+        parse_sparql("CONSTRUCT { ?a :p ?q } WHERE { ?a :p10 ?b }")
+
+
+def test_construct_skips_templates_with_unbound_vars(tiny_store, tiny_dict):
+    """§16.2: a solution leaving a template variable unbound produces no
+    triple for that template (skipped, not an error). Only b=2 binds ?c
+    (p20 edge 2→3), so the graph is {(1,20,3),(2,20,3)}."""
+    df = sparql_to_df(
+        tiny_store,
+        "CONSTRUCT { ?a :p20 ?c } WHERE { ?a :p10 ?b . "
+        "OPTIONAL { ?b :p20 ?c } }",
+        tiny_dict,
+    )
+    assert sorted((r.s, r.p, r.o) for r in df.collect()) == [
+        (1, 20, 3),
+        (2, 20, 3),
+    ]
 
 
 def test_construct_matches_sql_oracle(spark, sf_dir):
@@ -1329,9 +1343,20 @@ def test_negated_property_set(tiny_store, tiny_dict):
 
 
 def test_negated_property_set_rejections():
-    for bad in ("!(:p1/:p2)", "!(^:p1)", "!?p", "!()", "!"):
+    for bad in ("!(:p1/:p2)", "!?p", "!()", "!"):
         with pytest.raises(SparqlSyntaxError):
             parse_sparql(f"SELECT ?s WHERE {{ ?s {bad} ?o }}")
+    # inverse members are legal (§9.1): !(^:p1) ≡ ^!(:p1) as a path AST
+    bgp = parse_sparql("SELECT ?s WHERE { ?s !(^:p1) ?o }")
+    assert bgp.where.paths[0][1] == ("inv", ("npred", (("term", ":p1"),)))
+    bgp = parse_sparql("SELECT ?s WHERE { ?s !(:p1|^:p2) ?o }")
+    assert bgp.where.paths[0][1] == (
+        "alt",
+        [
+            ("npred", (("term", ":p1"),)),
+            ("inv", ("npred", (("term", ":p2"),))),
+        ],
+    )
     # a closure OVER a negated set is legal (§9.1) and parses as a path AST
     bgp = parse_sparql("SELECT ?s WHERE { ?s !(:p1|:p2)+ ?o }")
     assert bgp.where.paths[0][1] == (

@@ -502,9 +502,17 @@ def test_negated_set_in_composite_paths(tiny_store, tiny_dict):
     # standalone negated sets stay on the pattern-level NOT-IN scan
     bgp = parse_sparql("SELECT ?a ?b WHERE { ?a !(:p10|:p20) ?b }")
     assert bgp.patterns[0].p[0] == "notin"
-    # inverse members inside negated sets stay rejected
-    with pytest.raises(SparqlSyntaxError):
-        parse_sparql("SELECT ?a WHERE { ?a !(^:p10) ?b }")
+    # inverse members (§9.1: !(P|^Q) ≡ !(P) | ^!(Q)): !(^:p10) matches
+    # (a,b) iff some triple (b,p,a) has p ≠ 10 — only (2,20,3) qualifies
+    df = sparql_to_df(
+        tiny_store, "SELECT ?a ?b WHERE { ?a !(^:p10) ?b }", tiny_dict
+    )
+    assert _rows(df, "a", "b") == [(3, 2)]
+    # mixed members: forward complement ∪ swapped inverse complement
+    df = sparql_to_df(
+        tiny_store, "SELECT ?a ?b WHERE { ?a !(:p10|^:p20) ?b }", tiny_dict
+    )
+    assert _rows(df, "a", "b") == [(1, -5), (1, 1), (2, 1), (2, 2), (2, 3)]
 
 
 def test_subquery_as_union_arm_and_optional_body(tiny_store, tiny_dict):

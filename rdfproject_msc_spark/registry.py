@@ -599,6 +599,46 @@ LEFT JOIN triples ht ON ht.p = {P_HAS_TYPE} AND ht.s = le.o
 WHERE cn.p = {P_IN_NATION}
 """
 
+# compatible-bindings clause joins (§18.2.1/§18.5): a MINUS keyed on a
+# variable the preceding OPTIONAL leaves possibly-unbound. Customers
+# without a linked event survive the MINUS outright (their solution's
+# domain is disjoint from the group's — §18.5 removes nothing), while
+# customers whose event is a click are removed; the contrast is exactly
+# the semantics Spark's NULL-equality would silently invert.
+SPARQL_COMPAT = """
+SELECT ?c ?n ?e WHERE {
+  ?c :inNation ?n .
+  OPTIONAL { ?c :linkedEvent ?e }
+  MINUS { ?e :hasType :etype_click }
+}
+"""
+
+
+def sparql_compat(spark, sf_dir):
+    """Bound-mask branch decomposition for clause joins over nullable
+    keys (sparql/planner.py `_left_mask_branches`): the accumulated
+    solutions split into the ?e-bound branch (a hash LEFT ANTI join
+    against the click events) and the ?e-unbound branch (kept outright —
+    SPARQL §18.5 domain-disjointness), then union. Every branch stays a
+    hash join; no OR-of-null-equality condition (which would degenerate
+    to a nested-loop join at scale), no fan-out. The reference's Jena
+    front-end parsed this query (MyOpVisitorBase.java:49); its
+    translator could not compile it."""
+    store = _store(spark, sf_dir, layout="sign_split")
+    return sparql_to_df(store, SPARQL_COMPAT, _dict(spark, sf_dir))
+
+
+# :etype_click encodes as alphabetic-rank(click)=1 → 1*10+9 (derived.py)
+SPARQL_COMPAT_SQL = f"""{TRIPLES_CTE}
+SELECT cn.s AS c, cn.o AS n, le.o AS e
+FROM triples cn
+LEFT JOIN triples le ON le.p = {P_LINKED_EVENT} AND le.s = cn.s
+WHERE cn.p = {P_IN_NATION}
+  AND (le.o IS NULL OR NOT EXISTS (
+    SELECT 1 FROM triples ht
+    WHERE ht.p = {P_HAS_TYPE} AND ht.s = le.o AND ht.o = 19))
+"""
+
 # SPARQL subquery (§12): per-customer order count aggregated in a nested
 # SELECT, joined back to the customer's nation pattern on the PROJECTED
 # variable — §18.2.4.4 scoping (only the subquery's projection is visible).
@@ -2066,6 +2106,7 @@ REGISTRY: dict[str, QuerySpec] = {
     # new / reworked this round
     "sparql_nested": QuerySpec(sparql_nested, SPARQL_NESTED_SQL, headline=True),
     "sparql_subquery": QuerySpec(sparql_subquery, SPARQL_SUBQUERY_SQL, headline=True),
+    "sparql_compat": QuerySpec(sparql_compat, SPARQL_COMPAT_SQL, headline=True),
     "rdf_layout_matrix": QuerySpec(rdf_layout_matrix, RDF_PATH_2HOP_SQL),
     "sparql_optional": QuerySpec(sparql_optional, SPARQL_OPTIONAL_SQL),
     "dedup_components": QuerySpec(dedup_components, DEDUP_COMPONENTS_SQL),
@@ -2106,7 +2147,10 @@ REGISTRY: dict[str, QuerySpec] = {
     # reference parity (green in rounds 1 and 2)
     "rdf_path_2hop": QuerySpec(rdf_path_2hop, RDF_PATH_2HOP_SQL, headline=True),
     "rdf_path_2hop_all": QuerySpec(rdf_path_2hop_all, RDF_PATH_2HOP_ALL_SQL, headline=True),
-    "rdf_path_2hop_store": QuerySpec(rdf_path_2hop_store, RDF_PATH_2HOP_SQL, headline=True),
+    # rdf_path_2hop_store demoted r5 (slot → sparql_compat): the
+    # persisted-store variant of rdf_path_2hop — rdf_layout_matrix already
+    # cross-checks all four persisted layouts against the in-memory plan;
+    # pinned in tests/test_demoted.py
     # sparql_2hop_store demoted r5 (slot → sparql_nested): the persisted-
     # store + pruning variant of sparql_2hop, whose oracle twin keeps its
     # row; pinned in tests/test_demoted.py

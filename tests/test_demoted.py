@@ -131,3 +131,12 @@ def test_sparql_star(spark, sf_dir):
     assert_matches_oracle(
         R.sparql_star(spark, sf_dir), R.SPARQL_STAR_SQL, sf_dir
     )
+
+
+def test_rdf_path_2hop_store(spark, sf_dir):
+    """Demoted r5 (slot → sparql_compat): the persisted-store 2-hop —
+    rdf_layout_matrix keeps the 4-layout invariance row; the pruning plan
+    pin lives in tests/test_skew_and_plans.py."""
+    assert_matches_oracle(
+        R.rdf_path_2hop_store(spark, sf_dir), R.RDF_PATH_2HOP_SQL, sf_dir
+    )

@@ -11,6 +11,7 @@ is unavoidable):
 - ``lmscore``    unigram LM quality scoring (per-doc surprisal)
 - ``pca``        PCA dimensionality reduction for embedding columns
 - ``hashvec``    feature-hashing vectorizer (text → hashed-TF embedding)
+- ``bm25``       zero-shuffle BM25 lexical top-k retrieval
 - ``multimodal`` binary payload + typed metadata; mapInPandas decode stages
 - ``asof``       temporal as-of join (one-shuffle union+window)
 - ``skew``       salted joins for hot keys

@@ -1,0 +1,116 @@
+"""BM25 lexical retrieval over the documents table.
+
+Lexical top-k is the other half of a production retrieval pipeline next
+to the embedding stack (knn_cosine / LSH / IVF consume `embeddings`;
+this consumes `documents` directly). Tokenization is `_norm_tokens`,
+shared with decontamination / LM scoring / feature hashing, so corpus
+statistics agree across operators.
+
+Scoring is the Lucene/Robertson BM25 form (always-positive idf):
+
+    idf(t)    = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score(d)  = Σ_t idf(t) · tf · (k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+
+100 TB design — ZERO shuffles, the knn_cosine pattern applied to text:
+a query's terms are a handful of plan literals, so per-document tf is a
+row-local `size(filter(tokens, = term))` array expression and dl is
+`size(tokens)` — no explode, no (doc, term) posting shuffle, no join.
+The plan is two pruned scans of (id, text):
+  1. stats pass — one partial-aggregated reduction producing N, Σdl and
+     per-query-term document frequencies (a single driver row, bounded
+     by |query|, never by data);
+  2. scoring pass — idf values folded in as literals, top-k via
+     TakeOrderedAndProject (per-partition heaps of k rows, no sort).
+An inverted index buys nothing here until queries arrive by the
+thousands; at that point the same tf/dl expressions feed a
+(term-bucket)-partitioned postings write, the layout-on-Parquet pattern
+the LSH/IVF operators already establish.
+
+No reference counterpart (the reference has no text analytics); the
+operator extends the engine's curation surface the way SURVEY.md §2's
+"beyond the reference" section prescribes.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rdfproject_msc_spark.operators.lmscore import _norm_tokens
+
+
+def _query_terms(query: str) -> list[str]:
+    """Python twin of `_norm_tokens`, deduplicated, order-stable."""
+    toks = re.sub(r"[^a-z0-9]+", " ", query.lower()).split()
+    return sorted(set(toks))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents by BM25 score for `query`.
+
+    Returns (id_col, score) with score rounded to 6 decimals for
+    cross-engine reproducibility; ties break on ascending id so the
+    LIMIT is deterministic.
+    """
+    terms = _query_terms(query)
+    if not terms:
+        raise ValueError("BM25 query has no tokens after normalization")
+    toks = _norm_tokens(F.col(text_col))
+
+    def _tf(qt: str):
+        # single-param lambda ONLY: a second parameter would make
+        # F.filter pass the element INDEX into it
+        return F.size(F.filter(toks, lambda t: t == F.lit(qt)))
+
+    tf_cols = [_tf(qt).alias(f"tf_{i}") for i, qt in enumerate(terms)]
+    per_doc = docs.select(F.col(id_col), F.size(toks).alias("dl"), *tf_cols)
+
+    # stats pass: one partial-aggregated reduction → a single driver row
+    # (bounded by |query| columns, never by data size)
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("toks"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    ).collect()[0]
+    n = stats["n"]
+    avgdl = (stats["toks"] or 0) / n if n else 0.0
+    if not n or not avgdl:
+        raise ValueError("BM25 corpus is empty")
+    idf = [
+        math.log(1.0 + (n - stats[f"df_{i}"] + 0.5) / (stats[f"df_{i}"] + 0.5))
+        for i in range(len(terms))
+    ]
+
+    # scoring pass: idf folded in as plan literals; the norm denominator
+    # shares one common subexpression per row
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
+    )
+    contrib = [
+        F.lit(idf[i])
+        * F.col(f"tf_{i}")
+        * F.lit(k1 + 1.0)
+        / (F.col(f"tf_{i}") + norm)
+        for i in range(len(terms))
+    ]
+    score = F.round(sum(contrib[1:], contrib[0]), 6).alias("score")
+    return (
+        per_doc.select(F.col(id_col), score)
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,83 @@
+"""BM25 lexical retrieval: cross-engine oracle, edge cases, and the
+zero-shuffle plan pin (the knn_cosine pattern applied to text — per-term
+tf and dl are row-local array expressions, idf folds in as literals)."""
+
+from __future__ import annotations
+
+import pytest
+
+from rdfproject_msc_spark.operators.bm25 import _query_terms, bm25_topk
+from rdfproject_msc_spark.sources.tables import load_table
+from tests.oracle import assert_matches_oracle
+
+QUERY = "spark hash join performance"
+
+
+def _oracle_sql(query: str, k: int, k1: float = 1.2, b: float = 0.75) -> str:
+    terms = _query_terms(query)
+    tf = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_ = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms))
+    )
+    contrib = " + ".join(
+        f"ln(1 + (s.n - s.df_{i} + 0.5) / (s.df_{i} + 0.5))"
+        f" * p.tf_{i} * {k1 + 1.0}"
+        f" / (p.tf_{i} + {k1} * (1 - {b} + {b} * p.dl / s.avgdl))"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(text),
+             '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS toks
+  FROM documents
+), per_doc AS (
+  SELECT doc_id, len(toks) AS dl, {tf} FROM tok
+), stats AS (
+  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, {df_}
+  FROM per_doc
+)
+SELECT p.doc_id, ROUND({contrib}, 6) AS score
+FROM per_doc p, stats s
+ORDER BY score DESC, p.doc_id
+LIMIT {k}
+"""
+
+
+def test_bm25_matches_duckdb_oracle(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = bm25_topk(docs, QUERY, k=20)
+    assert_matches_oracle(out, _oracle_sql(QUERY, 20), sf_dir)
+
+
+def test_bm25_single_term_and_dedup(spark, sf_dir):
+    """Repeated / mixed-case / punctuated query terms normalize to one."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = bm25_topk(docs, "Spark! SPARK spark", k=5).collect()
+    b = bm25_topk(docs, "spark", k=5).collect()
+    assert [(r.doc_id, r.score) for r in a] == [(r.doc_id, r.score) for r in b]
+    assert len(a) == 5 and all(r.score > 0 for r in a)
+
+
+def test_bm25_rejects_empty_query(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="no tokens"):
+        bm25_topk(docs, "!!! ???")
+
+
+def test_bm25_plan_is_zero_shuffle(spark, sf_dir):
+    """Scoring pass: no Exchange, no join — a pruned (doc_id, text) scan
+    into TakeOrderedAndProject (per-partition top-k heaps)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = bm25_topk(docs, QUERY, k=10)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in final
+    assert "Exchange" not in final
+    assert "Join" not in final
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in final

@@ -395,3 +395,15 @@ def test_values_on_nullable_var_matches_python_eval(spark, rows):
         key=_nkey,
     )
     assert got == want
+
+
+def test_order_by_nullable_var_unbound_sorts_lowest(compat_store):
+    """§15.1: unbound sorts lowest — ASC puts the null-extended row
+    first, DESC puts it last (Spark's asc-nulls-first / desc-nulls-last
+    defaults implement exactly this; pinned so a sort-flag change can't
+    silently diverge)."""
+    q = "SELECT ?s ?x WHERE { ?s 1 ?a OPTIONAL { ?s 2 ?x } } ORDER BY %s"
+    asc = sparql_to_df(compat_store, q % "?x").collect()
+    assert [(r["s"], r["x"]) for r in asc] == [(2, None), (1, 100)]
+    desc = sparql_to_df(compat_store, q % "DESC(?x)").collect()
+    assert [(r["s"], r["x"]) for r in desc] == [(1, 100), (2, None)]

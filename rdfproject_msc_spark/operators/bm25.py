@@ -111,6 +111,140 @@ def bm25_topk(
     score = F.round(sum(contrib[1:], contrib[0]), 6).alias("score")
     return (
         per_doc.select(F.col(id_col), score)
+        # retrieval semantics: only documents containing ≥1 query term
+        # (also what makes the pruned persisted-index probe equivalent)
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _py_bucket(token: str, n_buckets: int) -> int:
+    """Driver-side twin of `sampling.hash_bucket(col, n_buckets,
+    hex_start=1)` — md5 hex digits 1-6 (1-based), i.e. [0:6)."""
+    import hashlib
+
+    return int(hashlib.md5(token.encode()).hexdigest()[0:6], 16) % n_buckets
+
+
+def bm25_write(
+    docs: DataFrame,
+    path: str,
+    *,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist a BM25 postings index as term-bucket-partitioned Parquet —
+    the amortization path when queries arrive by the thousands (the
+    zero-shuffle `bm25_topk` re-reads the corpus per query; the index
+    reads only the query's bucket directories).
+
+    Layout (same self-contained pattern as `lsh_write` / IVF):
+      path/bucket=B/...   postings (token, doc_id, tf, dl, df) — dl and
+                          df denormalized so a probe needs NO join
+      path/_stats         one row: n docs, avgdl, n_buckets
+
+    Build cost: one explode + one (doc, token)-keyed aggregation, one
+    token-keyed window for df, one partitioned write. Directory count is
+    n_buckets — a parameter, never data volume."""
+    from pyspark.sql import Window
+
+    from rdfproject_msc_spark.operators.sampling import hash_bucket
+
+    toks = _norm_tokens(F.col(text_col))
+    per = docs.select(
+        F.col(id_col), F.size(toks).alias("dl"), F.explode(toks).alias("token")
+    )
+    tf = per.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
+    postings = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
+    ).withColumn("bucket", hash_bucket(F.col("token"), n_buckets))
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.size(toks)) / F.count(F.lit(1))).alias("avgdl"),
+        F.lit(n_buckets).alias("n_buckets"),
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/_stats")
+
+
+def bm25_topk_persisted(
+    spark,
+    path: str,
+    query: str,
+    k: int = 10,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Probe a `bm25_write` layout: the query terms' buckets are computed
+    driver-side (bounded md5 arithmetic, no data touched) and the scan
+    prunes to those directories (PartitionFilters); per-term document
+    frequencies come back as a ≤|query|-row collect, so idf folds in as
+    the SAME Python-computed literals as `bm25_topk`. Scoring pivots the
+    matched postings into fixed-order per-term tf columns (one bounded
+    conditional aggregation — floating-point addition order identical to
+    the in-memory path, so results are equal bit-for-bit, pinned in
+    tests). One shuffle, over query-matched postings only."""
+    stats = spark.read.parquet(f"{path}/_stats").first()
+    n, avgdl, n_buckets = stats["n"], stats["avgdl"], stats["n_buckets"]
+    if not n or not avgdl:
+        raise ValueError("BM25 index is empty")
+    terms = _query_terms(query)
+    if not terms:
+        raise ValueError("BM25 query has no tokens after normalization")
+    buckets = sorted({_py_bucket(t, n_buckets) for t in terms})
+    hits = (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("token").isin(terms))
+    )
+    dfs = {
+        r["token"]: r["df"]
+        for r in hits.select("token", "df").distinct().collect()
+    }
+    present = [t for t in terms if dfs.get(t)]
+    if not present:
+        return (
+            hits.groupBy(id_col)
+            .agg(F.lit(0.0).alias("score"))
+            .limit(0)
+        )
+    idf = {
+        t: math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+        for t in present
+    }
+    pivoted = hits.groupBy(id_col).agg(
+        F.max("dl").alias("dl"),
+        *[
+            F.sum(
+                F.when(F.col("token") == F.lit(t), F.col("tf")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("int")
+            .alias(f"tf_{i}")
+            for i, t in enumerate(present)
+        ],
+    )
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
+    )
+    contrib = [
+        F.lit(idf[t])
+        * F.col(f"tf_{i}")
+        * F.lit(k1 + 1.0)
+        / (F.col(f"tf_{i}") + norm)
+        for i, t in enumerate(present)
+    ]
+    score = F.round(sum(contrib[1:], contrib[0]), 6).alias("score")
+    return (
+        pivoted.select(F.col(id_col), score)
+        .filter(F.col("score") > 0)
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )

@@ -5,6 +5,7 @@ tf and dl are row-local array expressions, idf folds in as literals)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from rdfproject_msc_spark.operators.bm25 import _query_terms, bm25_topk
 from rdfproject_msc_spark.sources.tables import load_table
@@ -81,3 +82,44 @@ def test_bm25_plan_is_zero_shuffle(spark, sf_dir):
     assert "Exchange" not in final
     assert "Join" not in final
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in final
+
+
+def test_bm25_persisted_equals_in_memory(spark, sf_dir, tmp_path):
+    """Index probe ≡ the zero-shuffle path bit-for-bit: same Python idf
+    literals, same fixed term order in the score sum (the pivoted
+    conditional agg reproduces the in-memory addition order), and the
+    scan prunes to the query terms' bucket directories."""
+    from rdfproject_msc_spark.operators.bm25 import (
+        _py_bucket,
+        _query_terms,
+        bm25_topk_persisted,
+        bm25_write,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "bm25")
+    bm25_write(docs, path, n_buckets=16)
+
+    out = bm25_topk_persisted(spark, path, QUERY, k=20)
+    got = [(r.doc_id, r.score) for r in out.collect()]
+    want = [(r.doc_id, r.score) for r in bm25_topk(docs, QUERY, k=20).collect()]
+    assert got == want and len(got) == 20
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+    # a query whose terms are absent from the corpus returns empty
+    assert bm25_topk_persisted(spark, path, "zzzqx9 qqqq7").count() == 0
+
+    # bucket twin must match the JVM hash for every query term
+    from rdfproject_msc_spark.operators.sampling import hash_bucket
+
+    terms = _query_terms(QUERY)
+    jvm = (
+        spark.createDataFrame([(t,) for t in terms], "token string")
+        .select("token", hash_bucket(F.col("token"), 16).alias("b"))
+        .collect()
+    )
+    assert {r.token: r.b for r in jvm} == {
+        t: _py_bucket(t, 16) for t in terms
+    }

@@ -407,3 +407,19 @@ def test_order_by_nullable_var_unbound_sorts_lowest(compat_store):
     assert [(r["s"], r["x"]) for r in asc] == [(2, None), (1, 100)]
     desc = sparql_to_df(compat_store, q % "DESC(?x)").collect()
     assert [(r["s"], r["x"]) for r in desc] == [(1, 100), (2, None)]
+
+
+def test_group_by_nullable_var_groups_unbound_together(compat_store):
+    """§11: solutions where the key is unbound form ONE group (Spark's
+    NULL grouping implements this directly); COUNT(?v) counts bound
+    values only, so the unbound-?x group still counts its ?s rows."""
+    df = sparql_to_df(
+        compat_store,
+        "SELECT ?x (COUNT(?s) AS ?n) WHERE "
+        "{ ?s 1 ?a OPTIONAL { ?s 2 ?x } } GROUP BY ?x",
+    )
+    got = sorted(
+        ((r["x"], r["n"]) for r in df.collect()),
+        key=lambda t: (t[0] is None, t[0] or 0),
+    )
+    assert got == [(100, 1), (None, 1)]

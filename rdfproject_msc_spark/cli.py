@@ -8,6 +8,8 @@ subcommands over one engine.
     python -m rdfproject_msc_spark sparql --store /data/store --dict D.tsv \
         --query "SELECT ?x WHERE { ?x :byUser :customer_7 . }" --decode
     python -m rdfproject_msc_spark run    --name tpch_q1 --sf-dir /root/testdata/sf0.001
+    python -m rdfproject_msc_spark search --docs docs.parquet \
+        --query "spark hash join" --k 10        # or --index after --build-index
 """
 
 from __future__ import annotations
@@ -113,6 +115,24 @@ def main(argv: list[str] | None = None) -> int:
     p_prep.add_argument("--pack-budget", type=int, default=2048)
     p_prep.add_argument("--cpus", type=int, default=None)
 
+    p_srch = sub.add_parser(
+        "search",
+        help="BM25 lexical top-k over a documents parquet "
+        "(--index/--build-index for the persisted postings path)",
+    )
+    p_srch.add_argument("--docs", default=None, help="documents parquet path")
+    p_srch.add_argument("--index", default=None, help="bm25_write layout path")
+    p_srch.add_argument(
+        "--build-index",
+        action="store_true",
+        help="with --docs and --index: write the postings layout and exit",
+    )
+    p_srch.add_argument("--query", default=None)
+    p_srch.add_argument("--k", type=int, default=10)
+    p_srch.add_argument("--cpus", type=int, default=None)
+    p_srch.add_argument("--show", type=int, default=20)
+    p_srch.add_argument("--out", default=None)
+
     args = top.parse_args(argv)
 
     from rdfproject_msc_spark.engine import Engine
@@ -206,6 +226,34 @@ def main(argv: list[str] | None = None) -> int:
         n = res.count()
         packs = res.select("pack_id").distinct().count()
         print(f"prepared {n} training examples in {packs} packs ({args.out})")
+        return 0
+
+    if args.command == "search":
+        from rdfproject_msc_spark.operators.bm25 import (
+            bm25_topk,
+            bm25_topk_persisted,
+            bm25_write,
+        )
+
+        spark = _spark(args.cpus)
+        if args.build_index:
+            if not (args.docs and args.index):
+                print("--build-index needs --docs and --index", file=sys.stderr)
+                return 2
+            bm25_write(spark.read.parquet(args.docs), args.index)
+            print(f"wrote BM25 postings index to {args.index}")
+            return 0
+        if not args.query:
+            print("--query is required", file=sys.stderr)
+            return 2
+        if args.index:
+            df = bm25_topk_persisted(spark, args.index, args.query, k=args.k)
+        elif args.docs:
+            df = bm25_topk(spark.read.parquet(args.docs), args.query, k=args.k)
+        else:
+            print("need --docs or --index", file=sys.stderr)
+            return 2
+        _emit(df, args)
         return 0
 
     if args.command == "run":

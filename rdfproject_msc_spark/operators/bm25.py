@@ -147,7 +147,13 @@ def bm25_write(
 
     Build cost: one explode + one (doc, token)-keyed aggregation, one
     token-keyed window for df, one partitioned write. Directory count is
-    n_buckets — a parameter, never data volume."""
+    n_buckets — a parameter, never data volume.
+
+    The layout is WRITE-ONCE by design: denormalizing df/dl/avgdl is what
+    makes probes join-free, but it means appending documents would
+    silently stale every existing row's df (and the _stats sidecar) —
+    rebuild to refresh, unlike the append-able LSH/IVF layouts whose
+    per-row fields are append-invariant."""
     from pyspark.sql import Window
 
     from rdfproject_msc_spark.operators.sampling import hash_bucket

@@ -123,3 +123,21 @@ def test_bm25_persisted_equals_in_memory(spark, sf_dir, tmp_path):
     assert {r.token: r.b for r in jvm} == {
         t: _py_bucket(t, 16) for t in terms
     }
+
+
+def test_cli_search_docs_and_index(spark, sf_dir, tmp_path, capsys):
+    """CLI search subcommand end-to-end: direct-docs scoring, index
+    build, and index probe all through main()."""
+    from rdfproject_msc_spark.cli import main
+
+    docs = f"{sf_dir}/documents.parquet"
+    idx = str(tmp_path / "idx")
+    assert main(["search", "--docs", docs, "--query", QUERY, "--k", "3"]) == 0
+    out1 = capsys.readouterr().out
+    assert "score" in out1
+    assert main(["search", "--docs", docs, "--index", idx, "--build-index"]) == 0
+    capsys.readouterr()
+    assert main(["search", "--index", idx, "--query", QUERY, "--k", "3"]) == 0
+    out2 = capsys.readouterr().out
+    assert out1.splitlines()[-4:] == out2.splitlines()[-4:]
+    assert main(["search", "--query", QUERY]) == 2

@@ -912,7 +912,11 @@ def filter_expr_streq_literals(node) -> set[str]:
 
 def _parse_arith_expr(src: str):
     """Recursive-descent parse of a BIND arithmetic expression:
-    `*` binds tighter than `+`/`-`; leaves are variables and integers."""
+    `*` binds tighter than `+`/`-`; leaves are variables, integers, and
+    the §17.4 functional forms ABS(e), COALESCE(e, ...), and
+    IF(cond, then, else) with cond = [!]BOUND(?v) or an arithmetic
+    comparison — the unbound-handling toolkit that pairs with the
+    engine's compatible-bindings joins."""
     toks = _tokenize_filter(src)
     pos = 0
 
@@ -954,6 +958,32 @@ def _parse_arith_expr(src: str):
             node = (op, node, atom())
         return node
 
+    def if_cond():
+        neg = False
+        while peek() == "!":
+            take()
+            neg = not neg
+        if peek() is not None and peek().upper() == "BOUND":
+            take()
+            take("(")
+            v = take()
+            if not v.startswith(("?", "$")):
+                raise SparqlSyntaxError(
+                    f"bad BIND expression {src!r}: BOUND takes a variable"
+                )
+            take(")")
+            node = ("bound", v[1:])
+        else:
+            left = add_expr()
+            op = take()
+            if op not in _CMP_OPS:
+                raise SparqlSyntaxError(
+                    f"bad BIND expression {src!r}: IF condition must be "
+                    f"[!]BOUND(?v) or an arithmetic comparison, got {op!r}"
+                )
+            node = ("cmp", op, left, add_expr())
+        return ("not", node) if neg else node
+
     def atom():
         if peek() == "(":
             take()
@@ -961,6 +991,27 @@ def _parse_arith_expr(src: str):
             take(")")
             return node
         t = take()
+        up = t.upper()
+        if up in ("ABS", "COALESCE", "IF") and peek() == "(":
+            take("(")
+            if up == "ABS":
+                node = ("abs", add_expr())
+                take(")")
+                return node
+            if up == "COALESCE":
+                args = [add_expr()]
+                while peek() == ",":
+                    take()
+                    args.append(add_expr())
+                take(")")
+                return ("coalesce", args)
+            cond = if_cond()
+            take(",")
+            then = add_expr()
+            take(",")
+            els = add_expr()
+            take(")")
+            return ("if", cond, then, els)
         if t.startswith(("?", "$")):
             return ("var", t[1:])
         if re.fullmatch(r"-?\d+", t):
@@ -980,11 +1031,30 @@ def _parse_arith_expr(src: str):
 
 def arith_expr_vars(node) -> set[str]:
     """All variables referenced by a BIND arithmetic expression AST."""
-    if node[0] == "var":
+    k = node[0]
+    if k == "var":
         return {node[1]}
-    if node[0] == "num":
+    if k == "num":
         return set()
+    if k == "abs":
+        return arith_expr_vars(node[1])
+    if k == "coalesce":
+        return set().union(*(arith_expr_vars(a) for a in node[1]))
+    if k == "if":
+        return (
+            _cond_vars(node[1])
+            | arith_expr_vars(node[2])
+            | arith_expr_vars(node[3])
+        )
     return arith_expr_vars(node[1]) | arith_expr_vars(node[2])
+
+
+def _cond_vars(node) -> set[str]:
+    if node[0] == "bound":
+        return {node[1]}
+    if node[0] == "not":
+        return _cond_vars(node[1])
+    return arith_expr_vars(node[2]) | arith_expr_vars(node[3])
 
 
 _PATH_OPERATOR = re.compile(r"[*+!?]")
@@ -1942,7 +2012,10 @@ def parse_sparql(
         bvar for g in _walk_groups(root) for bvar, _ in g.binds
     }
 
-    if describe_var is not None and describe_var not in required_vars:
+    # OPTIONAL-bound DESCRIBE vars are fine: an unbound binding names no
+    # resource and the planner filters it (§16.4); only a var bound
+    # NOWHERE is a typo
+    if describe_var is not None and describe_var not in pattern_vars:
         raise SparqlSyntaxError(
             f"DESCRIBE variable must be bound by the required patterns: "
             f"?{describe_var}"

@@ -160,6 +160,20 @@ def _compile_arith(node, colmap: dict[str, str]) -> Column:
         return F.lit(node[1]).cast("long")
     if kind == "var":
         return F.col(colmap[node[1]])
+    if kind == "abs":
+        return F.abs(_compile_arith(node[1], colmap))
+    if kind == "coalesce":
+        # §17.4.1.3: first argument that does not error (errors are NULL
+        # in the engine's lowering) — exactly Spark's coalesce
+        return F.coalesce(*[_compile_arith(a, colmap) for a in node[1]])
+    if kind == "if":
+        cond = _compile_if_cond(node[1], colmap)
+        # §17.4.1.2: an ERROR condition errors the whole IF — two guarded
+        # when-branches and NO otherwise, so a NULL condition yields NULL
+        # rather than silently taking the else branch
+        return F.when(cond, _compile_arith(node[2], colmap)).when(
+            ~cond, _compile_arith(node[3], colmap)
+        )
     a, b = _compile_arith(node[1], colmap), _compile_arith(node[2], colmap)
     if kind == "+":
         return a + b
@@ -174,6 +188,26 @@ def _compile_arith(node, colmap: dict[str, str]) -> Column:
         # session's ansi setting (the driver builds its own session).
         return F.try_divide(a, b)
     return a * b
+
+
+def _compile_if_cond(node, colmap: dict[str, str]) -> Column:
+    """IF-condition AST → boolean Column. BOUND never errors (§17.4.1.1);
+    a comparison with a NULL side is NULL (3VL), which the IF compiler
+    above propagates as an expression error."""
+    if node[0] == "bound":
+        return F.col(colmap[node[1]]).isNotNull()
+    if node[0] == "not":
+        return ~_compile_if_cond(node[1], colmap)
+    _, op, l, r = node
+    a, b = _compile_arith(l, colmap), _compile_arith(r, colmap)
+    return {
+        "=": a == b,
+        "!=": a != b,
+        "<": a < b,
+        "<=": a <= b,
+        ">": a > b,
+        ">=": a >= b,
+    }[op]
 
 
 def _encode_constants(bgp: BGPQuery, dictionary: Dictionary | None) -> dict[str, int]:
@@ -1356,12 +1390,13 @@ def plan_bgp(
     # rather than one OR-condition join: an OR join degenerates to a
     # nested-loop at scale, the union form stays hash-partitioned.
     if bgp.describe_var is not None:
-        _reject_nullable_join_keys(
-            [bgp.describe_var], nullable_vars, "DESCRIBE"
+        # an unbound binding names no resource and describes nothing
+        # (§16.4) — filter, don't reject
+        res = (
+            joined.select(F.col(bound_cols[bgp.describe_var]).alias("rid"))
+            .filter(F.col("rid").isNotNull())
+            .distinct()
         )
-        res = joined.select(
-            F.col(bound_cols[bgp.describe_var]).alias("rid")
-        ).distinct()
         t = store.table_for_subject(None)
         by_s = t.join(res, t["s"] == res["rid"], "leftsemi")
         by_o = t.join(res, t["o"] == res["rid"], "leftsemi")

@@ -423,3 +423,52 @@ def test_group_by_nullable_var_groups_unbound_together(compat_store):
         key=lambda t: (t[0] is None, t[0] or 0),
     )
     assert got == [(100, 1), (None, 1)]
+
+
+# --- §17.4 functional forms over possibly-unbound vars ----------------
+
+
+def test_bind_coalesce_if_abs(compat_store):
+    """COALESCE/IF/ABS are the §17.4 unbound-handling toolkit: COALESCE
+    falls back past the unbound ?x, BOUND-IF branches on it, and a
+    comparison-IF with an unbound side ERRORS (leaves the target
+    unbound — no silent else branch)."""
+    base = "{ ?s 1 ?a OPTIONAL { ?s 2 ?x } "
+    df = sparql_to_df(
+        compat_store,
+        "SELECT ?s ?y WHERE " + base + "BIND(COALESCE(?x, -1) AS ?y) }",
+    )
+    assert _rows(df, "s", "y") == [(1, 100), (2, -1)]
+    df = sparql_to_df(
+        compat_store,
+        "SELECT ?s ?y WHERE " + base + "BIND(IF(BOUND(?x), ?x * 2, 0) AS ?y) }",
+    )
+    assert _rows(df, "s", "y") == [(1, 200), (2, 0)]
+    df = sparql_to_df(
+        compat_store,
+        "SELECT ?s ?y WHERE " + base + "BIND(IF(!BOUND(?x), 1, ?x) AS ?y) }",
+    )
+    assert _rows(df, "s", "y") == [(1, 100), (2, 1)]
+    df = sparql_to_df(
+        compat_store,
+        "SELECT ?s ?y WHERE " + base + "BIND(IF(?x > 50, 1, 0) AS ?y) }",
+    )
+    assert _rows(df, "s", "y") == [(1, 1), (2, None)]
+    df = sparql_to_df(
+        compat_store,
+        "SELECT ?s ?y WHERE { ?s 1 ?a BIND(ABS(0 - ?a) AS ?y) }",
+    )
+    assert _rows(df, "s", "y") == [(1, 10), (2, 20)]
+
+
+def test_describe_nullable_var_skips_unbound(compat_store):
+    """DESCRIBE ?x where ?x is OPTIONAL-bound: the unbound binding names
+    no resource (§16.4) — only resource 100's triples come back."""
+    df = sparql_to_df(
+        compat_store,
+        "DESCRIBE ?x WHERE { ?s 1 ?a OPTIONAL { ?s 2 ?x } }",
+    )
+    assert sorted((r.s, r.p, r.o) for r in df.collect()) == [
+        (1, 2, 100),
+        (100, 3, 7),
+    ]

@@ -682,6 +682,33 @@ def _parse_filter_expr(src: str):
                 node = (o, node, atom())
             return node
 
+        def if_cond_a():
+            neg = False
+            while peek_a() == "!":
+                take_a()
+                neg = not neg
+            if peek_a() is not None and peek_a().upper() == "BOUND":
+                take_a()
+                take_a("(")
+                v = take_a()
+                if not v.startswith(("?", "$")):
+                    raise SparqlSyntaxError(
+                        f"bad FILTER expression {src!r}: BOUND takes a "
+                        "variable"
+                    )
+                take_a(")")
+                node = ("bound", v[1:])
+            else:
+                left = add_expr()
+                o = take_a()
+                if o not in _CMP_OPS:
+                    raise SparqlSyntaxError(
+                        f"bad FILTER expression {src!r}: IF condition must "
+                        f"be [!]BOUND(?v) or a comparison, got {o!r}"
+                    )
+                node = ("icmp", o, left, add_expr())
+            return ("not", node) if neg else node
+
         def atom():
             if peek_a() == "(":
                 take_a()
@@ -689,6 +716,29 @@ def _parse_filter_expr(src: str):
                 take_a(")")
                 return node
             t = take_a()
+            up = t.upper()
+            # same §17.4 functional forms as the BIND grammar — the AST
+            # nodes are shared, so one compiler serves both
+            if up in ("ABS", "COALESCE", "IF") and peek_a() == "(":
+                take_a("(")
+                if up == "ABS":
+                    node = ("abs", add_expr())
+                    take_a(")")
+                    return node
+                if up == "COALESCE":
+                    args = [add_expr()]
+                    while peek_a() == ",":
+                        take_a()
+                        args.append(add_expr())
+                    take_a(")")
+                    return ("coalesce", args)
+                cond = if_cond_a()
+                take_a(",")
+                then = add_expr()
+                take_a(",")
+                els = add_expr()
+                take_a(")")
+                return ("if", cond, then, els)
             if t.startswith(("?", "$")):
                 return ("var", t[1:])
             if re.fullmatch(r"-?\d+", t):
@@ -981,7 +1031,7 @@ def _parse_arith_expr(src: str):
                     f"bad BIND expression {src!r}: IF condition must be "
                     f"[!]BOUND(?v) or an arithmetic comparison, got {op!r}"
                 )
-            node = ("cmp", op, left, add_expr())
+            node = ("icmp", op, left, add_expr())
         return ("not", node) if neg else node
 
     def atom():

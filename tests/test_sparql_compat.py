@@ -472,3 +472,18 @@ def test_describe_nullable_var_skips_unbound(compat_store):
         (1, 2, 100),
         (100, 3, 7),
     ]
+
+
+def test_filter_functional_forms(compat_store):
+    """The same §17.4 forms compose inside FILTER arithmetic: COALESCE
+    defaults the unbound side, ABS wraps a difference, BOUND-IF selects
+    the compared value."""
+    base = "SELECT ?s WHERE { ?s 1 ?a OPTIONAL { ?s 2 ?x } FILTER(%s) }"
+    df = sparql_to_df(compat_store, base % "COALESCE(?x, 0) > 50")
+    assert [r.s for r in df.collect()] == [1]
+    df = sparql_to_df(compat_store, base % "ABS(10 - ?a) = 10")
+    assert [r.s for r in df.collect()] == [2]
+    df = sparql_to_df(compat_store, base % "IF(BOUND(?x), ?x, 0) > 50")
+    assert [r.s for r in df.collect()] == [1]
+    df = sparql_to_df(compat_store, base % "COALESCE(?x, 0) >= 0")
+    assert sorted(r.s for r in df.collect()) == [1, 2]

@@ -40,6 +40,8 @@ FAMILY = [
     "rdf_path_2hop_all",
     "sparql_2hop",
     "sparql_nested",
+    "sparql_compat",
+    "sparql_subquery",
     # dedup family: exact + MinHash-LSH + SimHash over documents
     "dedup_exact",
     "dedup_minhash",

@@ -173,3 +173,19 @@ def test_sign_union_prunes_negative_partition(spark, sf_dir, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(sign" in plan
     assert plan.count("PartitionFilters") >= 2  # both legs prune
+
+
+def test_sparql_compat_plan_all_hash_joins(spark, sf_dir):
+    """The compatible-bindings bound-mask decomposition must never emit a
+    nested-loop or cartesian operator: every branch is a hash equi-join
+    (the whole point of branching instead of an OR-of-null-equality
+    condition)."""
+    from rdfproject_msc_spark import registry as R
+
+    df = R.sparql_compat(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert "BroadcastNestedLoopJoin" not in final
+    assert "CartesianProduct" not in final
+    assert "BroadcastHashJoin" in final

@@ -493,6 +493,11 @@ def _localize_iri(inner: str) -> str:
     return local if local.startswith(":") else ":" + local
 
 
+# fresh ids for anonymous blank nodes `[]` — process-global so every
+# occurrence anywhere is distinct; labels never leak (hidden internal vars)
+_BNODE_IDS = itertools.count()
+
+
 def _normalize_term(
     tok: str, prefixes: dict[str, str] | None = None
 ) -> tuple[str, object]:
@@ -531,6 +536,18 @@ def _normalize_term(
         )
     if tok.startswith("<") and tok.endswith(">"):
         return ("term", _localize_iri(tok[1:-1]))
+    if tok.startswith("_:") or tok == "[]":
+        # blank nodes in a query are existential variables (§19.8 /
+        # §18.1.1 RDF instance mapping): lower to hidden internal vars —
+        # `_:label` keeps its label (co-referring within the query),
+        # `[]` is fresh per occurrence. Hidden from SELECT * like path
+        # intermediates. Treating them as dictionary TERMS would silently
+        # match nothing; this is the semantics Jena gave the reference.
+        if tok == "[]":
+            return ("var", f"__bn_anon{next(_BNODE_IDS)}")
+        if not re.fullmatch(r"\w+", tok[2:]):
+            raise SparqlSyntaxError(f"malformed blank node label: {tok!r}")
+        return ("var", f"__bn_{tok[2:]}")
     if re.fullmatch(r"-?\d+", tok):
         return ("id", int(tok))
     # prefixed name: expand via the declared PREFIX mapping (as Jena's

@@ -1408,7 +1408,11 @@ def plan_bgp(
     proj = (
         list(bgp.projection)
         if bgp.projection is not None
-        else [v for v in order if not v.startswith("__pp")]
+        else [
+            v
+            for v in order
+            if not v.startswith("__pp") and not v.startswith("__bn")
+        ]
     )
     order_plain = [k for k, _ in bgp.order_by if not isinstance(k, tuple)]
     order_has_expr = any(isinstance(k, tuple) for k, _ in bgp.order_by)

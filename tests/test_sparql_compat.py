@@ -487,3 +487,22 @@ def test_filter_functional_forms(compat_store):
     assert [r.s for r in df.collect()] == [1]
     df = sparql_to_df(compat_store, base % "COALESCE(?x, 0) >= 0")
     assert sorted(r.s for r in df.collect()) == [1, 2]
+
+
+def test_blank_nodes_are_existential_vars(compat_store):
+    """§19.8: query blank nodes are existentials, not terms. `_:m`
+    co-refers within the query (a join through a hidden var); `[]` is
+    fresh per occurrence; neither appears in SELECT * output."""
+    df = sparql_to_df(
+        compat_store, "SELECT ?s ?y WHERE { ?s 2 _:m . _:m 3 ?y }"
+    )
+    assert _rows(df, "s", "y") == [(1, 7)]
+    df = sparql_to_df(compat_store, "SELECT ?s WHERE { ?s 1 [] }")
+    assert sorted(r.s for r in df.collect()) == [1, 2]
+    df = sparql_to_df(compat_store, "SELECT * WHERE { ?s 2 _:m . _:m 3 ?y }")
+    assert df.columns == ["s", "y"]
+    # two [] are independent existentials, not a join
+    df = sparql_to_df(
+        compat_store, "SELECT ?s ?z WHERE { ?s 2 [] . ?z 3 [] }"
+    )
+    assert _rows(df, "s", "z") == [(1, 100), (1, 200)]

@@ -19,3 +19,6 @@ from rdfproject_msc_spark.streaming.documents import (  # noqa: F401
     read_documents_stream,
     stage_documents_dir,
 )
+from rdfproject_msc_spark.streaming.sparql import (  # noqa: F401
+    sparql_stream_delta,
+)

@@ -1,0 +1,125 @@
+"""Continuous SPARQL: delta answering of a graph pattern over a live
+triple stream.
+
+A standing query "which new solutions appeared?" decomposes by the delta
+rule Δ(P₁ ⋈ P₂ ⋈ … ⋈ Pₙ) = ΔP₁ ⋈ (P₂ ⋈ … ⋈ Pₙ) when new edges feed
+exactly ONE designated pattern (the common case: one append-only edge
+relation — events, clicks, messages — against a slowly-changing
+background graph). Structured Streaming evaluates it as a STREAM-STATIC
+inner join:
+
+- the static remainder plans through the full SPARQL planner
+  (`sparql_to_df`) — any construct the front-end supports, including
+  OPTIONAL/UNION/paths/subqueries, with all its pushdown and pruning;
+- the stream side is a stateless filter + rename of the incoming edges
+  (constants resolve through the same bounded dictionary lookup the
+  batch planner uses);
+- each micro-batch emits exactly the matches involving its new edges.
+
+No state store, no watermark — the join is stateless per micro-batch, so
+state never grows with stream lifetime; exactly-once comes from the sink
+checkpoint. At 100 TB the static side is the persisted sign-partitioned
+store: its partition pruning and pushed filters apply per micro-batch
+unchanged (the plan is re-executed against the static relation each
+trigger, which is also why the static side should be a PERSISTED layout,
+not a derived view that recomputes).
+
+Duplicate edges in the stream produce duplicate solutions (multiset
+semantics, same as batch); compose with
+`streaming.events.dedup_events_stream`-style watermarked dedup upstream
+if the transport redelivers.
+
+Limitation (documented, rejected at call time where detectable): the
+stream-static join compares with Spark equality, so shared variables
+must be REQUIRED-bound in the static query — the §18.2.1
+compatible-bindings lowering does not extend across the stream boundary
+(branching a stream by bound-masks would need one streaming query per
+branch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rdfproject_msc_spark.dictionary import Dictionary
+from rdfproject_msc_spark.sparql.parser import SparqlSyntaxError, parse_sparql
+from rdfproject_msc_spark.sparql.planner import sparql_to_df
+from rdfproject_msc_spark.store import TripleStore
+
+
+def _pattern_stream(
+    stream_triples: DataFrame,
+    pattern_src: str,
+    dictionary: Dictionary | None,
+) -> tuple[DataFrame, list[str]]:
+    """Compile ONE triple pattern into a filtered/renamed stream: constant
+    slots become pushdown-able equality filters (ids resolved through the
+    bounded dictionary lookup), variable slots rename to their variable
+    names, a repeated variable filters for slot equality."""
+    bgp = parse_sparql(f"SELECT * WHERE {{ {pattern_src} }}")
+    if (
+        len(bgp.where.patterns) != 1
+        or bgp.where.closures
+        or bgp.where.paths
+        or bgp.where.has_required_content() is False
+    ):
+        raise SparqlSyntaxError(
+            f"stream pattern must be exactly one plain triple pattern, "
+            f"got {pattern_src!r}"
+        )
+    tp = bgp.where.patterns[0]
+    terms = sorted(
+        {val for _, (kind, val) in tp.slots.items() if kind == "term"}
+    )
+    ids = {}
+    if terms:
+        if dictionary is None:
+            raise SparqlSyntaxError(
+                "stream pattern constants need a dictionary to resolve"
+            )
+        ids = dictionary.encode_terms(terms)
+    df = stream_triples
+    first_pos: dict[str, str] = {}
+    out = []
+    var_order: list[str] = []
+    for pos in ("s", "p", "o"):
+        kind, val = tp.slots[pos]
+        if kind == "var":
+            if val in first_pos:
+                df = df.filter(F.col(pos) == F.col(first_pos[val]))
+            else:
+                first_pos[val] = pos
+                out.append(F.col(pos).alias(val))
+                var_order.append(val)
+        else:
+            const = int(val) if kind == "id" else ids[val]
+            df = df.filter(F.col(pos) == F.lit(const))
+    if not var_order:
+        raise SparqlSyntaxError(
+            "stream pattern binds no variables — nothing to join"
+        )
+    return df.select(*out), var_order
+
+
+def sparql_stream_delta(
+    stream_triples: DataFrame,
+    store: TripleStore,
+    static_query: str,
+    stream_pattern: str,
+    dictionary: Dictionary | None = None,
+) -> DataFrame:
+    """Streaming DataFrame of the new solutions: each arriving edge that
+    matches `stream_pattern` joins the static solutions of
+    `static_query` on their shared variables (≥1 required). Output
+    columns = stream pattern vars ∪ static projection, one row per new
+    match."""
+    sdf, svars = _pattern_stream(stream_triples, stream_pattern, dictionary)
+    static = sparql_to_df(store, static_query, dictionary)
+    shared = [v for v in svars if v in static.columns]
+    if not shared:
+        raise SparqlSyntaxError(
+            f"stream pattern shares no variable with the static query "
+            f"(stream binds {svars}, static projects {static.columns})"
+        )
+    return sdf.join(static, on=shared, how="inner")

@@ -519,3 +519,67 @@ def test_lsh_multi_layout_probe(spark, sf_dir, tmp_path_factory):
     sim.lsh_write(half_a, path_c, dim=64, n_planes=16, bands=4)
     with _pytest.raises(ValueError, match="disagree"):
         sim.lsh_topk_multi(spark, [path_a, path_c], qv, k=10)
+
+
+def test_sparql_stream_delta_equals_batch(spark, sf_dir, tmp_path):
+    """Continuous SPARQL (streaming/sparql.py): streaming the :byUser
+    edges through the delta query must produce EXACTLY the batch join of
+    the same pattern against the same static solutions — stream ≡ batch,
+    the subsystem's standing gate. Also pins constant resolution (the
+    :hasType :etype_click stream pattern) and the no-shared-var reject."""
+    from rdfproject_msc_spark.dictionary import Dictionary
+    from rdfproject_msc_spark.sources.derived import (
+        P_BY_USER,
+        dictionary_df,
+        triples_df,
+    )
+    from rdfproject_msc_spark.sparql.parser import SparqlSyntaxError
+    from rdfproject_msc_spark.sparql.planner import sparql_to_df
+    from rdfproject_msc_spark.store import TripleStore
+    from rdfproject_msc_spark.streaming.sparql import sparql_stream_delta
+
+    triples = triples_df(spark, sf_dir)
+    d = Dictionary(dictionary_df(spark, sf_dir))
+    store = TripleStore(triples)
+
+    # stage the stream side: only the :byUser edges arrive as new data
+    edges_dir = str(tmp_path / "edges")
+    triples.filter(F.col("p") == P_BY_USER).repartition(3).write.parquet(
+        edges_dir
+    )
+    stream = spark.readStream.schema("s long, p long, o long").parquet(
+        edges_dir
+    )
+
+    static_q = "SELECT ?c ?n WHERE { ?c :inNation ?n }"
+    out = sparql_stream_delta(
+        stream, store, static_q, "?e :byUser ?c", dictionary=d
+    )
+    got = S.run_to_memory_table(
+        out, spark, "sparql_delta", str(tmp_path / "ck"), output_mode="append"
+    )
+
+    want = sparql_to_df(
+        store,
+        "SELECT ?e ?c ?n WHERE { ?e :byUser ?c . ?c :inNation ?n }",
+        d,
+    )
+    assert sorted(map(tuple, got.select("e", "c", "n").collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert got.count() > 0
+
+    # constant slots resolve through the dictionary
+    out2 = sparql_stream_delta(
+        spark.readStream.schema("s long, p long, o long").parquet(edges_dir),
+        store,
+        static_q,
+        "?e :byUser ?c",
+        dictionary=d,
+    )
+    assert out2.isStreaming
+
+    with pytest.raises(SparqlSyntaxError, match="shares no variable"):
+        sparql_stream_delta(
+            stream, store, static_q, "?x :hasType ?t", dictionary=d
+        )

@@ -254,3 +254,43 @@ def bm25_topk_persisted(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def bm25_oracle_sql(query: str, k: int, *, k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB twin of `bm25_topk` — the exact same tokenization, stats and
+    scoring formula in SQL, rounded to the same 6 decimals. One source of
+    truth for the pytest oracle AND the driver registry oracle."""
+    terms = _query_terms(query)
+    tf = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_ = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms))
+    )
+    contrib = " + ".join(
+        f"ln(1 + (s.n - s.df_{i} + 0.5) / (s.df_{i} + 0.5))"
+        f" * p.tf_{i} * {k1 + 1.0}"
+        f" / (p.tf_{i} + {k1} * (1 - {b} + {b} * p.dl / s.avgdl))"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(text),
+             '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS toks
+  FROM documents
+), per_doc AS (
+  SELECT doc_id, len(toks) AS dl, {tf} FROM tok
+), stats AS (
+  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, {df_}
+  FROM per_doc
+), scored AS (
+  SELECT p.doc_id, ROUND({contrib}, 6) AS score
+  FROM per_doc p, stats s
+)
+SELECT doc_id, score FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id
+LIMIT {k}
+"""

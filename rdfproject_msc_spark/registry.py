@@ -28,6 +28,10 @@ from rdfproject_msc_spark.operators import (
     similarity,
     textstats,
 )
+from rdfproject_msc_spark.operators.bm25 import (
+    bm25_oracle_sql as _bm25_oracle_sql,
+    bm25_topk as _bm25_topk,
+)
 from rdfproject_msc_spark.sources.derived import (
     DICTIONARY_SQL,
     TRIPLES_SQL,
@@ -1782,6 +1786,29 @@ FROM sw_pred s JOIN ng_pred n ON s.doc_id = n.doc_id
 """
 
 
+# BM25 lexical retrieval (round 5): the fixed corpus query keeps the
+# entry deterministic; zero-shuffle scoring (plan-literal query terms,
+# row-local tf/dl array expressions, TakeOrderedAndProject) — see
+# operators/bm25.py for the full 100 TB design and the persisted
+# postings path.
+BM25_QUERY = "spark hash join performance"
+
+
+def bm25_search(spark, sf_dir):
+    """Zero-shuffle BM25 top-20 over the documents table: per-document
+    tf/dl are row-local array expressions over the shared `_norm_tokens`
+    tokenization, corpus stats reduce to ONE bounded driver row, idf
+    folds in as plan literals, and the top-k runs as
+    TakeOrderedAndProject (no Exchange anywhere — pinned in
+    tests/test_skew_and_plans.py twin tests/test_bm25.py). Oracle: the
+    identical formula in DuckDB SQL, both sides rounded to 6 decimals."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _bm25_topk(docs, BM25_QUERY, k=20)
+
+
+BM25_SEARCH_SQL = _bm25_oracle_sql(BM25_QUERY, 20)
+
+
 def text_top_tokens(spark, sf_dir):
     """Corpus heavy hitters: top-20 whitespace tokens by document frequency
     (distinct doc count — robust to within-doc repetition). Exact count here;
@@ -2122,7 +2149,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "text_stats": QuerySpec(text_stats, TEXT_STATS_SQL),
     "text_langid": QuerySpec(text_langid, TEXT_LANGID_SQL),
     "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FINGERPRINT_SQL),
-    "text_top_tokens": QuerySpec(text_top_tokens, TEXT_TOP_TOKENS_SQL),
+    # text_top_tokens demoted r5 (slot → bm25_search): corpus heavy
+    # hitters — machinery (token explode + keyed agg) shared with
+    # text_tokens and the LM vocabulary; pinned in tests/test_demoted.py
+    "bm25_search": QuerySpec(bm25_search, BM25_SEARCH_SQL, headline=True),
     # analytics surface
     "tpch_q1": QuerySpec(tpch_q1, TPCH_Q1_SQL, headline=True),
     "tpch_q3": QuerySpec(tpch_q3, TPCH_Q3_SQL, headline=True),

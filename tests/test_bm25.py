@@ -7,52 +7,20 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from rdfproject_msc_spark.operators.bm25 import _query_terms, bm25_topk
+from rdfproject_msc_spark.operators.bm25 import (
+    bm25_oracle_sql,
+    bm25_topk,
+)
 from rdfproject_msc_spark.sources.tables import load_table
 from tests.oracle import assert_matches_oracle
 
 QUERY = "spark hash join performance"
 
 
-def _oracle_sql(query: str, k: int, k1: float = 1.2, b: float = 0.75) -> str:
-    terms = _query_terms(query)
-    tf = ", ".join(
-        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}"
-        for i, t in enumerate(terms)
-    )
-    df_ = ", ".join(
-        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
-        for i in range(len(terms))
-    )
-    contrib = " + ".join(
-        f"ln(1 + (s.n - s.df_{i} + 0.5) / (s.df_{i} + 0.5))"
-        f" * p.tf_{i} * {k1 + 1.0}"
-        f" / (p.tf_{i} + {k1} * (1 - {b} + {b} * p.dl / s.avgdl))"
-        for i in range(len(terms))
-    )
-    return f"""
-WITH tok AS (
-  SELECT doc_id,
-         list_filter(string_split(regexp_replace(lower(text),
-             '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS toks
-  FROM documents
-), per_doc AS (
-  SELECT doc_id, len(toks) AS dl, {tf} FROM tok
-), stats AS (
-  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, {df_}
-  FROM per_doc
-)
-SELECT p.doc_id, ROUND({contrib}, 6) AS score
-FROM per_doc p, stats s
-ORDER BY score DESC, p.doc_id
-LIMIT {k}
-"""
-
-
 def test_bm25_matches_duckdb_oracle(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     out = bm25_topk(docs, QUERY, k=20)
-    assert_matches_oracle(out, _oracle_sql(QUERY, 20), sf_dir)
+    assert_matches_oracle(out, bm25_oracle_sql(QUERY, 20), sf_dir)
 
 
 def test_bm25_single_term_and_dedup(spark, sf_dir):

@@ -140,3 +140,12 @@ def test_rdf_path_2hop_store(spark, sf_dir):
     assert_matches_oracle(
         R.rdf_path_2hop_store(spark, sf_dir), R.RDF_PATH_2HOP_SQL, sf_dir
     )
+
+
+def test_text_top_tokens(spark, sf_dir):
+    """Demoted r5 (slot → bm25_search): corpus heavy hitters — the token
+    explode + keyed aggregation machinery is shared with text_tokens and
+    the LM vocabulary builder."""
+    assert_matches_oracle(
+        R.text_top_tokens(spark, sf_dir), R.TEXT_TOP_TOKENS_SQL, sf_dir
+    )

@@ -506,3 +506,82 @@ def test_blank_nodes_are_existential_vars(compat_store):
         compat_store, "SELECT ?s ?z WHERE { ?s 2 [] . ?z 3 [] }"
     )
     assert _rows(df, "s", "z") == [(1, 100), (1, 200)]
+
+
+# --- composed-clause fuzz: random clause multisets over a nullable var
+
+
+@given(
+    rows=triples,
+    n_groups=st.integers(min_value=0, max_value=2),
+    n_opts=st.integers(min_value=0, max_value=2),
+    use_minus=st.booleans(),
+    exists_kind=st.sampled_from([None, "exists", "not_exists"]),
+    use_values=st.booleans(),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_clause_compositions_over_nullable_var(
+    spark, rows, n_groups, n_opts, use_minus, exists_kind, use_values
+):
+    """Random multisets of {group join, OPTIONAL, MINUS, [NOT] EXISTS,
+    VALUES} all keyed on the OPTIONAL-nullable ?x, evaluated in the
+    planner's canonical clause order (groups → optionals → MINUS →
+    EXISTS → VALUES) on both sides. This is where nullability EVOLUTION
+    hides bugs: a group join can rebind ?x non-null, VALUES binds it,
+    and every later clause must see the updated state."""
+    parts = []
+    for i in range(n_groups):
+        parts.append(f"{{ ?x 3 ?g{i} }}")
+    for i in range(n_opts):
+        parts.append(f"OPTIONAL {{ ?x 3 ?o{i} }}")
+    if use_minus:
+        parts.append("MINUS { ?x 3 ?m }")
+    if exists_kind:
+        kw = "FILTER EXISTS" if exists_kind == "exists" else "FILTER NOT EXISTS"
+        parts.append(f"{kw} {{ ?x 3 ?e }}")
+    if use_values:
+        parts.append("VALUES ?x { 1 3 }")
+    q = (
+        "SELECT * WHERE { ?s 1 ?a OPTIONAL { ?s 2 ?x } "
+        + " ".join(parts)
+        + " }"
+    )
+    df = spark.createDataFrame(rows, "s long, p long, o long")
+    try:
+        out = sparql_to_df(TripleStore(df), q)
+    except SparqlSyntaxError:
+        # branch-cap rejections are legitimate (many nullable vars)
+        return
+    cols = sorted(out.columns)
+    got = sorted(
+        (tuple(r[c] for c in cols) for r in out.collect()), key=_nkey
+    )
+
+    om = _side(rows, "s", "a")
+    rel3 = _rel3(rows)
+    for i in range(n_groups):
+        om = _py_compat_join(
+            om, [{"x": m["x"], f"g{i}": m["y"]} for m in rel3]
+        )
+    for i in range(n_opts):
+        om = _py_left_join(
+            om, [{"x": m["x"], f"o{i}": m["y"]} for m in rel3]
+        )
+    if use_minus:
+        om = _py_minus(om, [{"x": m["x"], "m": m["y"]} for m in rel3])
+    if exists_kind:
+        om = _py_exists(
+            om,
+            [{"x": m["x"], "e": m["y"]} for m in rel3],
+            exists_kind == "not_exists",
+        )
+    if use_values:
+        om = _py_compat_join(om, [{"x": 1}, {"x": 3}])
+    want = sorted(
+        (tuple(m.get(c) for c in cols) for m in om), key=_nkey
+    )
+    assert got == want

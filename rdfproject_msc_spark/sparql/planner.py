@@ -421,10 +421,13 @@ def _compat_inner_join(
     LEFT column name so downstream bookkeeping is unchanged.
 
     Branch count is ∏(1 + lnull(v) + rnull(v)) over nullable shared vars —
-    bounded at plan time (cap below), never data-dependent. Branches share
-    the two child plans (scan reuse / AQE dedupe); an all-unbound branch
-    with no remaining key is a genuine SPARQL cartesian and compiles to
-    crossJoin of the two FILTERED (hence small) sides.
+    bounded at plan time (cap below), never data-dependent. Each branch
+    re-executes the child plans' (pruned, pushdown-filtered) scans —
+    total scan work is branch-count × pruned-scan, bounded by the cap;
+    cached/in-memory children are read once per branch from the cache.
+    An all-unbound branch with no remaining key is a genuine SPARQL
+    cartesian and compiles to crossJoin of the two FILTERED (hence
+    small) sides.
 
     After this join a shared v can remain unbound only when BOTH sides can
     be unbound (branch L0 meeting a right-null row) — callers update their

@@ -323,6 +323,13 @@ class GroupPattern:
     # standalone; only their PROJECTED variables are visible to this group
     # (§18.2.4.4 projection scoping) and join on the shared ones
     subselects: tuple = ()
+    # GRAPH blocks (§13.3): (graph_slot, group) — the child group's scans
+    # read the store's named-graph quad relation. A constant graph slot
+    # (('term', t) | ('id', i)) restricts scans to ONE graph (pushdown /
+    # partition pruning); a ('var', g) slot binds the graph name as a
+    # solution variable shared by every pattern in the block. The block
+    # joins into the group like a subgroup (§18.2.2.2 Join).
+    graphs: tuple[tuple[tuple[str, object], "GroupPattern"], ...] = ()
 
     def __len__(self):
         return len(self.patterns)
@@ -357,6 +364,10 @@ class GroupPattern:
             out |= set(sub.projection)
         for sub in self.subgroups:
             out |= sub.required_vars()
+        for gslot, sub in self.graphs:
+            out |= sub.required_vars()
+            if gslot[0] == "var":
+                out.add(gslot[1])
         for blk in self.unions:
             for arm in blk:
                 out |= arm.required_vars()
@@ -367,6 +378,8 @@ class GroupPattern:
         ones — recursively (the §18.2.1 in-scope set, minus BINDs)."""
         out = self.required_vars()
         for child in self.optionals + self.subgroups:
+            out |= child.all_vars()
+        for _, child in self.graphs:
             out |= child.all_vars()
         for blk in self.unions:
             for arm in blk:
@@ -381,6 +394,7 @@ class GroupPattern:
             or self.subgroups
             or self.unions
             or self.subselects
+            or self.graphs
         )
 
 
@@ -392,6 +406,7 @@ def _walk_groups(g: GroupPattern):
         + list(g.optionals)
         + list(g.minuses)
         + [e for _, e in g.exists]
+        + [sub for _, sub in g.graphs]
         + [arm for blk in g.unions for arm in blk]
     ):
         yield from _walk_groups(child)
@@ -1610,6 +1625,7 @@ def _parse_group(
     closures: list = []
     paths: list = []
     subselects: list = []
+    graphs: list = []
 
     def flush():
         text = "".join(buf)
@@ -1669,11 +1685,27 @@ def _parse_group(
         boundary = i == 0 or src[i - 1].isspace() or src[i - 1] in ".{}()"
         if m and boundary and m.group(0).upper() in _GROUP_KEYWORDS:
             kw = m.group(0).upper()
-            if kw in ("GRAPH", "SERVICE"):
+            if kw == "SERVICE":
                 raise SparqlSyntaxError(
-                    "only basic graph patterns are supported "
-                    "(no GRAPH/SERVICE)"
+                    "SERVICE is not supported (no federation)"
                 )
+            if kw == "GRAPH":
+                flush()
+                j = _skip_ws(src, m.end())
+                gm = re.compile(r"[^\s{]+").match(src, j)
+                if not gm:
+                    raise SparqlSyntaxError(
+                        "GRAPH needs a graph name (?var, <iri> or "
+                        "prefixed name) before its group"
+                    )
+                gslot = _normalize_term(gm.group(0), prefixes)
+                if gslot[0] == "notin":
+                    raise SparqlSyntaxError(
+                        "a negated property set is not a graph name"
+                    )
+                inner, i = expect_brace(gm.end(), "GRAPH")
+                graphs.append((gslot, child(inner, "empty GRAPH group")))
+                continue
             if kw == "UNION":
                 raise SparqlSyntaxError(
                     "UNION must follow a '{...}' group alternative"
@@ -1773,11 +1805,13 @@ def _parse_group(
         closures=tuple(closures),
         paths=tuple(paths),
         subselects=tuple(subselects),
+        graphs=tuple(graphs),
     )
 
 
 def _validate_group_tree(
-    g: GroupPattern, own_filter_scope: set[str] | None
+    g: GroupPattern, own_filter_scope: set[str] | None,
+    inherited: frozenset[str] = frozenset(),
 ) -> None:
     """Structural validation, applied at every level of the group tree.
 
@@ -1789,7 +1823,9 @@ def _validate_group_tree(
     nested group's filters may reference only variables the group itself
     can bind — an outer reference would silently evaluate as unbound;
     reject rather than guess (the engine's standing stance)."""
-    req = g.required_vars()
+    req = g.required_vars() | set(inherited)
+    if own_filter_scope is not None:
+        own_filter_scope = set(own_filter_scope) | set(inherited)
     if own_filter_scope is not None:
         for expr in g.filters:
             for v in sorted(filter_expr_vars(expr)):
@@ -1806,7 +1842,7 @@ def _validate_group_tree(
     # before those group joins, so a BIND target named like a group-local
     # variable would silently become an anti/semi-join key; reject the
     # collision rather than guess at textual-order semantics.
-    bind_scope = g.all_vars()
+    bind_scope = g.all_vars() | set(inherited)
     group_local_vars = {
         v
         for grp in list(g.minuses) + [e for _, e in g.exists]
@@ -1830,7 +1866,7 @@ def _validate_group_tree(
     # VALUES vars may be OPTIONAL-bound (the planner compat-joins the
     # possibly-unbound rows); only a var bound NOWHERE in the group is a
     # typo and rejects
-    group_scope = g.all_vars()
+    group_scope = g.all_vars() | set(inherited)
     for var, _ in g.values:
         if var not in group_scope:
             raise SparqlSyntaxError(f"VALUES variable not in BGP: ?{var}")
@@ -1839,17 +1875,28 @@ def _validate_group_tree(
             if var not in group_scope:
                 raise SparqlSyntaxError(f"VALUES variable not in BGP: ?{var}")
     for sub in g.subgroups:
-        _validate_group_tree(sub, sub.all_vars())
+        _validate_group_tree(sub, sub.all_vars(), inherited)
+    # a GRAPH block's graph VARIABLE is in scope throughout the block
+    # (§13.3 binds it for the whole enclosed pattern): filters and BIND
+    # expressions at any depth inside may reference it, and the BIND
+    # freshness check rejects a target that would shadow it
+    for gslot, sub in g.graphs:
+        child_inh = (
+            inherited | {gslot[1]} if gslot[0] == "var" else inherited
+        )
+        _validate_group_tree(sub, sub.all_vars(), frozenset(child_inh))
     for blk in g.unions:
         for arm in blk:
-            _validate_group_tree(arm, arm.all_vars())
+            _validate_group_tree(arm, arm.all_vars(), inherited)
     # an OPTIONAL may key on a variable an EARLIER optional bound (the
     # planner compat-joins the possibly-unbound rows), so the join scope
     # accumulates in textual order; a fully disjoint OPTIONAL still
     # rejects (it would silently cartesian)
     opt_scope = set(req)
     for opt in g.optionals:
-        if not (opt.all_vars() & opt_scope):
+        # inside a GRAPH ?g block every child's scans bind ?g (inherited
+        # is nonempty only there), so the graph var counts as shared
+        if not ((opt.all_vars() | set(inherited)) & opt_scope):
             raise SparqlSyntaxError(
                 "OPTIONAL group shares no variable with the required patterns"
             )
@@ -1865,7 +1912,7 @@ def _validate_group_tree(
                         f"OPTIONAL FILTER variable not in the group or the "
                         f"required patterns: ?{v}"
                     )
-        _validate_group_tree(opt, None)
+        _validate_group_tree(opt, None, inherited)
         opt_scope |= opt.all_vars()
     # MINUS/EXISTS plan after every OPTIONAL, so optional-bound vars are
     # legitimate (compat-joined) keys; a group sharing NOTHING with the
@@ -1873,17 +1920,17 @@ def _validate_group_tree(
     # nothing per SPARQL — silently keeping everything hides a typo'd
     # variable)
     for grp in g.minuses:
-        if not (grp.all_vars() & group_scope):
+        if not ((grp.all_vars() | set(inherited)) & group_scope):
             raise SparqlSyntaxError(
                 "MINUS group shares no variable with the required patterns"
             )
-        _validate_group_tree(grp, grp.all_vars())
+        _validate_group_tree(grp, grp.all_vars(), inherited)
     for _, grp in g.exists:
-        if not (grp.all_vars() & group_scope):
+        if not ((grp.all_vars() | set(inherited)) & group_scope):
             raise SparqlSyntaxError(
                 "EXISTS group shares no variable with the required patterns"
             )
-        _validate_group_tree(grp, grp.all_vars())
+        _validate_group_tree(grp, grp.all_vars(), inherited)
 
 
 def parse_sparql(

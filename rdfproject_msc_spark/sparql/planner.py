@@ -239,6 +239,7 @@ def _encode_constants(bgp: BGPQuery, dictionary: Dictionary | None) -> dict[str,
         for s_slot, ast, o_slot in g.paths:
             terms |= path_expr_terms(ast)
             terms |= {val for kind, val in (s_slot, o_slot) if kind == "term"}
+        terms |= {val for (kind, val), _ in g.graphs if kind == "term"}
     terms |= {
         val
         for tp in bgp.construct
@@ -252,9 +253,19 @@ def _encode_constants(bgp: BGPQuery, dictionary: Dictionary | None) -> dict[str,
 
 
 def _pattern_scan(
-    store: TripleStore, tp, term_ids: dict[str, int], idx: int
+    store: TripleStore, tp, term_ids: dict[str, int], idx: int,
+    graph_var: str | None = None,
 ) -> tuple[DataFrame, dict[str, str]]:
-    """One filtered scan; returns (df, var→column mapping)."""
+    """One filtered scan; returns (df, var→column mapping).
+
+    ``graph_var`` set = the pattern sits inside a ``GRAPH ?g`` block
+    (§13.3): the scan reads the named-graph QUAD relation and the graph
+    name becomes a fourth variable slot — shared across the block's
+    patterns, it join-keys them to the same graph; shared with an s/p/o
+    variable (``GRAPH ?x { ?x :p ?o }``) it becomes the usual
+    repeated-variable equality filter. A constant ``GRAPH <iri>`` never
+    reaches here — the planner rewrites it to a plain plan over that one
+    graph's triples (g-equality pushed into the quad scan)."""
 
     def resolve(slot) -> int | None:
         kind, val = slot
@@ -264,17 +275,23 @@ def _pattern_scan(
             return term_ids[val]
         return None
 
+    slots = dict(tp.slots)
+    if graph_var is not None:
+        slots["g"] = ("var", graph_var)
     bound = {
         pos: resolve(slot)
-        for pos, slot in tp.slots.items()
+        for pos, slot in slots.items()
         if slot[0] != "notin"
     }
-    df = store.table_for_subject(bound.get("s"))
+    if graph_var is not None:
+        df = store.quads
+    else:
+        df = store.table_for_subject(bound.get("s"))
 
     conds = [F.col(pos) == F.lit(v) for pos, v in bound.items() if v is not None]
     # negated property set (§9.1 `!(p1|...|pn)`): a NOT-IN filter on the
     # position — still one pushdown-able scan predicate, no set machinery
-    for pos, slot in tp.slots.items():
+    for pos, slot in slots.items():
         if slot[0] == "notin":
             excluded = [resolve(s) for s in slot[1]]
             conds.append(~F.col(pos).isin(excluded))
@@ -284,11 +301,11 @@ def _pattern_scan(
     var_cols: dict[str, str] = {}
     first_pos: dict[str, str] = {}
     keep = []
-    for pos, (kind, val) in tp.slots.items():
+    for pos, (kind, val) in slots.items():
         if kind != "var":
             continue
         if val in first_pos:  # repeated var inside one pattern: ?x :p ?x
-            # filter on the SOURCE positions (s/p/o still present here —
+            # filter on the SOURCE positions (s/p/o/g still present here —
             # the v_* alias only exists after the select below)
             df = df.filter(F.col(pos) == F.col(first_pos[val]))
         else:
@@ -335,7 +352,7 @@ class _PlanCtx:
 
 
 def _join_group(
-    ctx: _PlanCtx, patterns
+    ctx: _PlanCtx, patterns, graph_var: str | None = None
 ) -> tuple[DataFrame, dict[str, str], list[str]]:
     """Compose a list of patterns into one DataFrame via inner joins on
     shared variables. Returns (df, var→column map, first-appearance order)."""
@@ -345,7 +362,9 @@ def _join_group(
 
     for tp in patterns:
         idx = ctx.nid()
-        scan, var_cols = _pattern_scan(ctx.store, tp, ctx.term_ids, idx)
+        scan, var_cols = _pattern_scan(
+            ctx.store, tp, ctx.term_ids, idx, graph_var
+        )
         if joined is None:
             joined, bound_cols = scan, dict(var_cols)
             order = [v for v in var_cols]
@@ -615,7 +634,8 @@ def _compile_path_relation(
 
 
 def _plan_group(
-    ctx: _PlanCtx, grp: GroupPattern, defer_filters: bool = False
+    ctx: _PlanCtx, grp: GroupPattern, defer_filters: bool = False,
+    graph_var: str | None = None,
 ) -> tuple[DataFrame, dict[str, str], list[str], set[str]]:
     """Plan ONE group graph pattern recursively (SPARQL 1.1 §18.2.2.2's
     bottom-up algebra): child groups plan standalone and compose into the
@@ -636,16 +656,35 @@ def _plan_group(
     EXISTS / single-var VALUES (whose match semantics are per-left-row).
     Only group-INTERNAL nullability on a shared var (the child of an
     OPTIONAL/MINUS/EXISTS itself leaving the var optionally bound) and
-    nullable multi-var VALUES still reject rather than guess."""
+    nullable multi-var VALUES still reject rather than guess.
+
+    ``graph_var`` set = this group is (part of) a ``GRAPH ?g`` block
+    (§13.3): triple-pattern scans read the quad relation binding ?g, and
+    the context inherits into every child group (OPTIONAL bodies, UNION
+    arms, nested `{}`) — per §13.3 the active graph scopes the WHOLE
+    enclosed pattern. A nested GRAPH block re-scopes (its own loop below
+    ignores the inherited context). Constant-graph blocks never set this:
+    they rewrite to a plain plan over the one graph's triples, so all of
+    the closure/path/subquery machinery works unchanged there; under a
+    graph VARIABLE, closures/paths/subqueries reject (a closure would
+    have to run per named graph) rather than silently compute over the
+    union of graphs."""
     store, term_ids, dictionary = ctx.store, ctx.term_ids, ctx.dictionary
     joined: DataFrame | None = None
     bound_cols: dict[str, str] = {}
     order: list[str] = []
     nullable_vars: set[str] = set()
 
+    if graph_var is not None and (grp.closures or grp.paths or grp.subselects):
+        raise SparqlSyntaxError(
+            "property paths and subqueries inside GRAPH ?var are not "
+            "supported (a closure would need per-graph computation); "
+            "use a constant GRAPH <iri> block"
+        )
+
     if grp.patterns:
         joined, bound_cols, order = _join_group(
-            ctx, _order_patterns(grp.patterns)
+            ctx, _order_patterns(grp.patterns), graph_var
         )
 
     # closure-family paths (§9.1): DISTINCT pairs joined into the group
@@ -807,7 +846,7 @@ def _plan_group(
     # variables (§18.2.2.2 Join): the child group plans standalone —
     # including its own OPTIONALs, UNIONs and filters — then composes
     for sub in grp.subgroups:
-        sdf, scols, sorder, snull = _plan_group(ctx, sub)
+        sdf, scols, sorder, snull = _plan_group(ctx, sub, graph_var=graph_var)
         gi = ctx.nid()
         renames = {c: f"{c}_s{gi}" for c in sdf.columns}
         for old, new in renames.items():
@@ -827,6 +866,65 @@ def _plan_group(
                 sdf, scols, snull, shared, "group join",
             )
             for v in nv:  # merged value unbound only when BOTH sides can be
+                if not (v in nullable_vars and v in snull):
+                    nullable_vars.discard(v)
+        elif shared:
+            cond = reduce(
+                lambda a, b: a & b,
+                [F.col(bound_cols[v]) == F.col(scols[v]) for v in shared],
+            )
+            joined = joined.join(sdf, cond, "inner").drop(
+                *[scols[v] for v in shared]
+            )
+        else:
+            joined = joined.crossJoin(sdf)
+        for v in sorder:
+            if v not in bound_cols:
+                bound_cols[v] = scols[v]
+                order.append(v)
+                if v in snull:
+                    nullable_vars.add(v)
+
+    # GRAPH blocks (§13.3): the child group plans with the named-graph
+    # QUAD relation as its scan source, then composes like a subgroup
+    # (§18.2.2.2 Join). A CONSTANT graph name rewrites to a plain plan
+    # over that ONE graph's triples — the g-equality pushes into the quad
+    # scan (partition pruning on a write_quads layout) and every engine
+    # feature (closures, paths, subqueries, nested GRAPH via the carried
+    # quads) works unchanged inside the block. A graph VARIABLE instead
+    # threads through the subtree's pattern scans as a fourth slot:
+    # within the block it join-keys every pattern to the same graph;
+    # outside it is an ordinary required (never-null) variable.
+    for gslot, sub in grp.graphs:
+        gkind, gval = gslot
+        if gkind == "var":
+            sdf, scols, sorder, snull = _plan_group(ctx, sub, graph_var=gval)
+        else:
+            gid = int(gval) if gkind == "id" else term_ids[gval]
+            scoped = TripleStore(
+                store.quads_for_graph(gid), layout="single",
+                quads=store._quads,
+            )
+            sctx = _PlanCtx(scoped, term_ids, dictionary, ctx.litids)
+            sctx._counter = ctx._counter  # plan-wide-unique col suffixes
+            sdf, scols, sorder, snull = _plan_group(sctx, sub)
+        ni = ctx.nid()
+        renames = {c: f"{c}_n{ni}" for c in sdf.columns}
+        for old, new in renames.items():
+            sdf = sdf.withColumnRenamed(old, new)
+        scols = {v: renames[c] for v, c in scols.items()}
+        if joined is None:
+            joined, bound_cols, order = sdf, dict(scols), list(sorder)
+            nullable_vars |= snull
+            continue
+        shared = [v for v in scols if v in bound_cols]
+        nv = [v for v in shared if v in nullable_vars or v in snull]
+        if nv:
+            joined = _compat_inner_join(
+                joined, bound_cols, nullable_vars,
+                sdf, scols, snull, shared, "GRAPH join",
+            )
+            for v in nv:
                 if not (v in nullable_vars and v in snull):
                     nullable_vars.discard(v)
         elif shared:
@@ -913,7 +1011,9 @@ def _plan_group(
         arm_order: list[str] = []  # this block's vars in first-appearance order
         arms = []
         for ai, arm in enumerate(block):
-            adf, acols, aorder, anull = _plan_group(ctx, arm)
+            adf, acols, aorder, anull = _plan_group(
+                ctx, arm, graph_var=graph_var
+            )
             renames = {c: f"{c}_b{bi}a{ai}" for c in adf.columns}
             for old, new in renames.items():
                 adf = adf.withColumnRenamed(old, new)
@@ -1016,7 +1116,9 @@ def _plan_group(
     # null-extension — the same machinery as the reference's J3 left-outer
     # shape (PartitionQueryingBRDSubject.java:156).
     for opt in grp.optionals:
-        gdf, gcols, gorder, gnull = _plan_group(ctx, opt, defer_filters=True)
+        gdf, gcols, gorder, gnull = _plan_group(
+            ctx, opt, defer_filters=True, graph_var=graph_var
+        )
         gi = ctx.nid()
         # suffix ALL group columns so they never collide with bound ones
         renames = {c: f"{c}_g{gi}" for c in gdf.columns}
@@ -1134,7 +1236,7 @@ def _plan_group(
     # binding. The parser guarantees ≥1 shared variable (disjoint-domain
     # MINUS is rejected), so the anti-join condition is never empty.
     for m in grp.minuses:
-        gdf, gcols, _, gnull = _plan_group(ctx, m)
+        gdf, gcols, _, gnull = _plan_group(ctx, m, graph_var=graph_var)
         mi = ctx.nid()
         renames = {c: f"{c}_m{mi}" for c in gdf.columns}
         for old, new in renames.items():
@@ -1178,7 +1280,7 @@ def _plan_group(
     # bindings, they only keep/remove rows — exactly Spark's semi/anti
     # join semantics.
     for neg, e in grp.exists:
-        gdf, gcols, _, gnull = _plan_group(ctx, e)
+        gdf, gcols, _, gnull = _plan_group(ctx, e, graph_var=graph_var)
         ei = ctx.nid()
         renames = {c: f"{c}_e{ei}" for c in gdf.columns}
         for old, new in renames.items():

@@ -47,6 +47,7 @@ class TripleStore:
         num_partitions: int | None = None,
         broadcast_negative: bool = False,
         cache: bool = False,
+        quads: DataFrame | None = None,
     ):
         """``broadcast_negative`` defaults to False: the reference broadcasts
         its Negative table unconditionally (MSc-scale assumption); at 100 TB
@@ -70,6 +71,9 @@ class TripleStore:
         self._df = self._apply_clustering(triples.select("s", "p", "o"))
         if cache:
             self._df = self._df.persist()
+        self._quads = (
+            quads.select("g", "s", "p", "o") if quads is not None else None
+        )
 
     def _apply_clustering(self, df: DataFrame) -> DataFrame:
         if self.cluster_by is None:
@@ -125,6 +129,53 @@ class TripleStore:
     # backwards-compatible private alias
     _negative_raw = negative_raw
 
+    # -- named graphs (SPARQL 1.1 §13: dataset = default graph + named
+    # graphs). The default graph stays the triple relation; named graphs
+    # are a quad relation ``(g, s, p, o)`` with dictionary-encoded graph
+    # names. GRAPH <iri> compiles to a g-equality filter — on a persisted
+    # g-partitioned store that is directory-level partition pruning, the
+    # same "write once, prune forever" story as the sign split.
+    @property
+    def quads(self) -> DataFrame:
+        """The named-graph quad relation; raises when the store was built
+        without one (a triples-only dataset has no named graphs)."""
+        if self._quads is None:
+            raise ValueError(
+                "store has no named graphs: construct with quads=DataFrame"
+                "(g, s, p, o) or attach_quads()"
+            )
+        return self._quads.select("g", "s", "p", "o")
+
+    @property
+    def has_quads(self) -> bool:
+        return self._quads is not None
+
+    def attach_quads(self, quads: DataFrame) -> None:
+        self._quads = quads.select("g", "s", "p", "o")
+
+    def quads_for_graph(self, graph_id: int) -> DataFrame:
+        """One named graph as a plain triple relation (the active graph of
+        a constant ``GRAPH <iri>`` block): a pushdown-able g-equality —
+        partition pruning on a ``write_quads`` layout."""
+        return (
+            self.quads.filter(F.col("g") == F.lit(int(graph_id)))
+            .select("s", "p", "o")
+        )
+
+    def write_quads(self, path: str) -> None:
+        """Persist named graphs partitioned BY GRAPH: ``GRAPH <iri>``
+        then reads exactly one directory. Right for the common
+        tens-to-thousands-of-graphs regime; a dataset with millions of
+        tiny graphs should range-cluster on ``g`` instead (same min/max
+        row-group skipping, no directory explosion)."""
+        self.quads.write.mode("overwrite").partitionBy("g").parquet(path)
+
+    @staticmethod
+    def read_quads(spark: SparkSession, path: str) -> DataFrame:
+        """Open a ``write_quads`` layout without re-shuffling; pass to
+        ``attach_quads`` / the ``quads=`` constructor arg."""
+        return spark.read.parquet(path)
+
     def table_for_subject(self, subject_id: int | None) -> DataFrame:
         """Static sign routing (MyOpVisitorBase.java:82-86): a bound subject
         selects one side; an unbound subject needs both (U1's UNION ALL —
@@ -177,4 +228,5 @@ class TripleStore:
         store.num_partitions = kwargs.get("num_partitions")
         store.broadcast_negative = kwargs.get("broadcast_negative", False)
         store._df = df  # already laid out on disk; no re-shuffle on read
+        store._quads = None  # attach_quads(read_quads(...)) to add graphs
         return store

@@ -76,6 +76,15 @@ def test_events_distinct_users(spark, sf_dir):
     )
 
 
+def test_sparql_filter(spark, sf_dir):
+    """Demoted r5 (slot → sparql_graph): FILTER connectives && / || / !
+    with parentheses over an alternation path — also fuzz-covered by
+    test_properties.py's random clause compositions."""
+    assert_matches_oracle(
+        R.sparql_filter(spark, sf_dir), R.SPARQL_FILTER_SQL, sf_dir
+    )
+
+
 def test_sparql_2hop_store(spark, sf_dir):
     """Demoted r5 (slot → sparql_nested): the persisted sign-split store
     variant of sparql_2hop — partition-pruned scans feeding the same

@@ -48,8 +48,12 @@ def test_parse_quoted_literal_with_dot():
 
 
 def test_parse_rejects_unsupported():
-    with pytest.raises(SparqlSyntaxError):
-        parse_sparql("SELECT ?x WHERE { GRAPH <g> { ?x :p ?y } }")
+    # GRAPH parses since the named-graph quad model landed (§13.3, see
+    # test_sparql_graph.py); SERVICE still rejects — no federation
+    bgp = parse_sparql("SELECT ?x ?y WHERE { GRAPH <g> { ?x :p ?y } }")
+    gslot, sub = bgp.where.graphs[0]
+    assert gslot == ("term", ":g")
+    assert sub.patterns[0].p == ("term", ":p")
     with pytest.raises(SparqlSyntaxError):
         parse_sparql("SELECT ?x WHERE { SERVICE <s> { ?x :p ?y } }")
 

@@ -1,0 +1,321 @@
+"""Named graphs — GRAPH blocks over the quad data model (SPARQL 1.1 §13.3).
+
+The reference's Jena front-end accepted GRAPH syntactically
+(MyOpVisitorBase.java:49) but its translator and triple data model never
+executed it; here the dataset is default graph (triples) + named graphs
+(a ``(g, s, p, o)`` quad relation on TripleStore), and GRAPH lowers to:
+
+- constant ``GRAPH <iri>``: a plain plan over that one graph's triples —
+  the g-equality pushes into the quad scan (partition pruning on a
+  ``write_quads`` layout), so closures/paths/subqueries work unchanged
+  inside the block;
+- ``GRAPH ?g``: the graph name threads through every pattern scan in the
+  block as a fourth variable slot, join-keying the block's patterns to
+  the same graph and binding ?g in the solution.
+
+Fixture quads: graph 100 = {1-p10->2, 2-p11->3}; graph 101 = {1-p10->2,
+2-p10->9}; graph 102 = {7-p10->8}. Default graph = {1-p10->2, 3-p10->4,
+2-p10->5, 2-p11->3}.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from rdfproject_msc_spark.dictionary import Dictionary
+from rdfproject_msc_spark.sparql.parser import SparqlSyntaxError, parse_sparql
+from rdfproject_msc_spark.sparql.planner import sparql_to_df
+from rdfproject_msc_spark.store import TripleStore
+
+TRIPLES = [(1, 10, 2), (3, 10, 4), (2, 10, 5), (2, 11, 3)]
+QUADS = [
+    (100, 1, 10, 2),
+    (100, 2, 11, 3),
+    (101, 1, 10, 2),
+    (101, 2, 10, 9),
+    (102, 7, 10, 8),
+]
+
+
+@pytest.fixture(scope="module")
+def gstore(spark):
+    return TripleStore(
+        spark.createDataFrame(TRIPLES, "s long, p long, o long"),
+        quads=spark.createDataFrame(QUADS, "g long, s long, p long, o long"),
+    )
+
+
+@pytest.fixture(scope="module")
+def gdict(spark):
+    rows = [
+        (10, ":p10"),
+        (11, ":p11"),
+        (100, ":graph_a"),
+        (101, ":graph_b"),
+        (1, ":n1"),
+    ]
+    return Dictionary(spark.createDataFrame(rows, "id long, term string"))
+
+
+def _rows(df):
+    key = lambda t: tuple((v is None, v) for v in t)
+    return sorted((tuple(r) for r in df.collect()), key=key)
+
+
+# ---- variable graph -----------------------------------------------------
+
+
+def test_graph_var_joins_within_one_graph(gstore, gdict):
+    """Both patterns must match in the SAME graph: only graph 100 holds
+    a p10 edge whose object starts a p11 edge."""
+    df = sparql_to_df(
+        gstore,
+        "SELECT ?g ?s ?o2 WHERE { GRAPH ?g { ?s :p10 ?o . ?o :p11 ?o2 } }",
+        gdict,
+    )
+    assert _rows(df) == [(100, 1, 3)]
+
+
+def test_graph_var_binds_every_graph(gstore, gdict):
+    df = sparql_to_df(
+        gstore, "SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s :p10 ?o } }", gdict
+    )
+    assert _rows(df) == [
+        (100, 1, 2),
+        (101, 1, 2),
+        (101, 2, 9),
+        (102, 7, 8),
+    ]
+
+
+def test_graph_joins_with_default_graph_pattern(gstore, gdict):
+    """GRAPH block composes with a default-graph pattern by join: the
+    named-graph object continues along a DEFAULT-graph p10 edge (only
+    o=2 has one: 2-p10->5)."""
+    df = sparql_to_df(
+        gstore,
+        "SELECT ?g ?s ?o ?z WHERE { GRAPH ?g { ?s :p10 ?o } ?o :p10 ?z }",
+        gdict,
+    )
+    assert _rows(df) == [(100, 1, 2, 5), (101, 1, 2, 5)]
+
+
+def test_graph_var_shared_with_pattern_var(gstore, gdict):
+    """GRAPH ?x { ?x ... }: the graph name equals the subject — the
+    repeated-variable equality filter on the quad scan (no graph id is
+    also a subject id here)."""
+    df = sparql_to_df(
+        gstore, "SELECT ?x ?o WHERE { GRAPH ?x { ?x :p10 ?o } }", gdict
+    )
+    assert _rows(df) == []
+
+
+def test_optional_inside_graph_block(gstore, gdict):
+    """OPTIONAL inherits the active graph: the inner p11 edge must live
+    in the SAME graph (only graph 100 has one)."""
+    df = sparql_to_df(
+        gstore,
+        "SELECT ?g ?s ?o ?o2 WHERE "
+        "{ GRAPH ?g { ?s :p10 ?o OPTIONAL { ?o :p11 ?o2 } } }",
+        gdict,
+    )
+    assert _rows(df) == [
+        (100, 1, 2, 3),
+        (101, 1, 2, None),
+        (101, 2, 9, None),
+        (102, 7, 8, None),
+    ]
+
+
+def test_filter_on_graph_var(gstore, gdict):
+    """The graph variable is in scope for the block's filters (§13.3
+    binds it for the whole enclosed pattern)."""
+    df = sparql_to_df(
+        gstore,
+        "SELECT ?g ?s WHERE { GRAPH ?g { ?s :p10 ?o . FILTER(?g >= 101) } }",
+        gdict,
+    )
+    assert _rows(df) == [(101, 1), (101, 2), (102, 7)]
+
+
+def test_union_inside_graph_block(gstore, gdict):
+    """UNION arms inherit the graph context: each arm's pattern scans the
+    quad relation and binds the same ?g."""
+    df = sparql_to_df(
+        gstore,
+        "SELECT ?g ?a WHERE "
+        "{ GRAPH ?g { { ?a :p11 ?b } UNION { ?a :p10 9 } } }",
+        gdict,
+    )
+    # p11 in a named graph: only 100 (2-p11->3); object 9: only 101 (2->9)
+    assert _rows(df) == [(100, 2), (101, 2)]
+
+
+def test_minus_inside_graph_block(gstore, gdict):
+    """MINUS inherits the graph: remove p10 solutions whose subject also
+    has a p11 edge IN THE SAME GRAPH (only graph 100's 2-p11-3 — but
+    subject 2 has no p10 edge in 100, so the only removal candidate is
+    via shared ?s in graph 100: subject 1 has no p11; nothing removed in
+    101/102)."""
+    df = sparql_to_df(
+        gstore,
+        "SELECT ?g ?s ?o WHERE "
+        "{ GRAPH ?g { ?s :p10 ?o MINUS { ?s :p11 ?z } } }",
+        gdict,
+    )
+    assert _rows(df) == [(100, 1, 2), (101, 1, 2), (101, 2, 9), (102, 7, 8)]
+
+
+# ---- constant graph -----------------------------------------------------
+
+
+def test_constant_graph_by_term(gstore, gdict):
+    df = sparql_to_df(
+        gstore, "SELECT ?s ?o WHERE { GRAPH :graph_b { ?s :p10 ?o } }", gdict
+    )
+    assert _rows(df) == [(1, 2), (2, 9)]
+
+
+def test_constant_graph_by_id(gstore, gdict):
+    df = sparql_to_df(
+        gstore, "SELECT ?s ?o WHERE { GRAPH 102 { ?s :p10 ?o } }", gdict
+    )
+    assert _rows(df) == [(7, 8)]
+
+
+def test_closure_inside_constant_graph(gstore, gdict):
+    """Property paths work inside a CONSTANT graph block (the block is a
+    plain plan over that graph's triples): p10+ in graph 101 reaches
+    1->2, 2->9, 1->9 — NOT the default graph's 2->5."""
+    df = sparql_to_df(
+        gstore,
+        "SELECT ?s ?o WHERE { GRAPH :graph_b { ?s :p10+ ?o } }",
+        gdict,
+    )
+    assert _rows(df) == [(1, 2), (1, 9), (2, 9)]
+
+
+def test_subquery_inside_constant_graph(gstore, gdict):
+    """A subquery inside a constant GRAPH block evaluates against the
+    active graph (§13.3 scopes the whole enclosed pattern)."""
+    df = sparql_to_df(
+        gstore,
+        "SELECT ?s ?c WHERE { GRAPH :graph_b "
+        "{ { SELECT ?s (COUNT(*) AS ?c) WHERE { ?s :p10 ?o } GROUP BY ?s } } }",
+        gdict,
+    )
+    assert _rows(df) == [(1, 1), (2, 1)]
+
+
+def test_nested_graph_rescopes(gstore, gdict):
+    """GRAPH inside a constant GRAPH block re-scopes to the dataset's
+    named graphs (the quad relation is carried into the scoped plan):
+    the inner block finds p11 edges in ANY graph while the outer block
+    pins ?s to graph_b's subjects."""
+    df = sparql_to_df(
+        gstore,
+        "SELECT ?s ?g2 WHERE { GRAPH :graph_b "
+        "{ ?s :p10 ?o . GRAPH ?g2 { ?s :p11 ?z } } }",
+        gdict,
+    )
+    # graph_b subjects with p10: 1, 2; p11 edges anywhere: 2-p11->3 in 100
+    assert _rows(df) == [(2, 100)]
+
+
+# ---- rejects ------------------------------------------------------------
+
+
+def test_closure_under_graph_var_rejects(gstore, gdict):
+    with pytest.raises(SparqlSyntaxError, match="GRAPH"):
+        sparql_to_df(
+            gstore,
+            "SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s :p10+ ?o } }",
+            gdict,
+        ).collect()
+
+
+def test_subquery_under_graph_var_rejects(gstore, gdict):
+    with pytest.raises(SparqlSyntaxError, match="GRAPH"):
+        sparql_to_df(
+            gstore,
+            "SELECT ?g ?c WHERE { GRAPH ?g "
+            "{ { SELECT (COUNT(*) AS ?c) WHERE { ?s :p10 ?o } } } }",
+            gdict,
+        ).collect()
+
+
+def test_graph_without_quads_raises(spark, gdict):
+    bare = TripleStore(spark.createDataFrame(TRIPLES, "s long, p long, o long"))
+    with pytest.raises(ValueError, match="no named graphs"):
+        sparql_to_df(
+            bare, "SELECT ?g ?s WHERE { GRAPH ?g { ?s :p10 ?o } }", gdict
+        ).collect()
+
+
+def test_empty_graph_group_rejects():
+    with pytest.raises(SparqlSyntaxError, match="empty GRAPH"):
+        parse_sparql("SELECT ?x WHERE { GRAPH ?g { } ?x :p ?y }")
+
+
+def test_graph_needs_name_rejects():
+    with pytest.raises(SparqlSyntaxError, match="graph name"):
+        parse_sparql("SELECT ?x WHERE { GRAPH { ?x :p ?y } }")
+
+
+def test_bind_shadowing_graph_var_rejects(gstore, gdict):
+    """BIND target = the GRAPH variable would silently collide with the
+    threaded graph column; the freshness check sees ?g in scope."""
+    with pytest.raises(SparqlSyntaxError, match="already bound"):
+        parse_sparql(
+            "SELECT ?g ?s WHERE "
+            "{ GRAPH ?g { ?s :p10 ?o . BIND(?s + 1 AS ?g) } }"
+        )
+
+
+# ---- oracle cross-check + persisted pruning -----------------------------
+
+
+def test_graph_query_matches_duckdb(spark, gstore, gdict):
+    """The headline shape (var-graph 2-pattern join + default-graph hop)
+    against DuckDB over the same rows."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (s BIGINT, p BIGINT, o BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", TRIPLES)
+    con.execute("CREATE TABLE q (g BIGINT, s BIGINT, p BIGINT, o BIGINT)")
+    con.executemany("INSERT INTO q VALUES (?,?,?,?)", QUADS)
+    expect = con.execute(
+        "SELECT q.g, q.s, q.o, t.o FROM q JOIN t ON q.o = t.s "
+        "WHERE q.p = 10 AND t.p = 10 ORDER BY 1, 2, 3, 4"
+    ).fetchall()
+    df = sparql_to_df(
+        gstore,
+        "SELECT ?g ?s ?o ?z WHERE { GRAPH ?g { ?s :p10 ?o } ?o :p10 ?z }",
+        gdict,
+    )
+    assert _rows(df) == [tuple(r) for r in expect]
+
+
+def test_persisted_quads_prune_constant_graph(spark, gstore, gdict, tmp_path):
+    """write_quads partitions BY GRAPH; a constant GRAPH block then reads
+    exactly one directory — the g-equality shows up as a Catalyst
+    PartitionFilter, not a post-scan Filter."""
+    path = str(tmp_path / "quads")
+    gstore.write_quads(path)
+    disk = TripleStore(
+        spark.createDataFrame(TRIPLES, "s long, p long, o long"),
+        quads=TripleStore.read_quads(spark, path),
+    )
+    df = sparql_to_df(
+        disk, "SELECT ?s ?o WHERE { GRAPH 101 { ?s :p10 ?o } }", gdict
+    )
+    assert _rows(df) == [(1, 2), (2, 9)]
+    df.collect()  # fingerprint the EXECUTED plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]
+    assert "PartitionFilters" in final
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", final)
+    assert pf and "g" in pf.group(1), final

@@ -330,6 +330,15 @@ class GroupPattern:
     # solution variable shared by every pattern in the block. The block
     # joins into the group like a subgroup (§18.2.2.2 Join).
     graphs: tuple[tuple[tuple[str, object], "GroupPattern"], ...] = ()
+    # the group's clauses in WRITTEN order — (kind, index-into-that-kind's
+    # tuple) entries, kinds: pattern/closure/path/subgroup/graph/subselect/
+    # union/optional/bind/minus/exists/values/values_multi. §18.2.2.6
+    # translates a group's elements in textual order, and the order is
+    # OBSERVABLE whenever a Join-family clause follows an OPTIONAL/MINUS
+    # that left a shared variable nullable (LeftJoin does not commute with
+    # Join) — the planner dispatches on this sequence. Empty (a
+    # programmatically built group) = the fixed canonical order.
+    seq: tuple[tuple[str, int], ...] = ()
 
     def __len__(self):
         return len(self.patterns)
@@ -1608,7 +1617,7 @@ def _parse_group(
                 "subqueries need an explicit projection "
                 "(SELECT * is not supported in a subquery)"
             )
-        return GroupPattern(subselects=(sub,))
+        return GroupPattern(subselects=(sub,), seq=(("subselect", 0),))
     i, n = 0, len(src)
     buf: list[str] = []
     patterns: list[TriplePattern] = []
@@ -1626,16 +1635,27 @@ def _parse_group(
     paths: list = []
     subselects: list = []
     graphs: list = []
+    # clauses in WRITTEN order; ("altblock", i) entries are rewritten to
+    # union indexes after the scan (alternation-path blocks append to
+    # `unions` behind the written UNION blocks)
+    seq: list[tuple[str, int]] = []
 
     def flush():
         text = "".join(buf)
         buf.clear()
         if text.strip():
+            np, nc, npp, na = (
+                len(patterns), len(closures), len(paths), len(alt_blocks)
+            )
             patterns.extend(
                 _parse_patterns(
                     text, prefixes, path_counter, alt_blocks, closures, paths
                 )
             )
+            seq.extend(("pattern", k) for k in range(np, len(patterns)))
+            seq.extend(("closure", k) for k in range(nc, len(closures)))
+            seq.extend(("path", k) for k in range(npp, len(paths)))
+            seq.extend(("altblock", k) for k in range(na, len(alt_blocks)))
 
     def expect_brace(j: int, what: str):
         j = _skip_ws(src, j)
@@ -1676,10 +1696,12 @@ def _parse_group(
                 arms.append(inner2)
             if len(arms) == 1:
                 subgroups.append(child(inner, "empty group pattern"))
+                seq.append(("subgroup", len(subgroups) - 1))
             else:
                 unions.append(
                     tuple(child(a, "empty UNION arm") for a in arms)
                 )
+                seq.append(("union", len(unions) - 1))
             continue
         m = _WORD.match(src, i)
         boundary = i == 0 or src[i - 1].isspace() or src[i - 1] in ".{}()"
@@ -1705,6 +1727,7 @@ def _parse_group(
                     )
                 inner, i = expect_brace(gm.end(), "GRAPH")
                 graphs.append((gslot, child(inner, "empty GRAPH group")))
+                seq.append(("graph", len(graphs) - 1))
                 continue
             if kw == "UNION":
                 raise SparqlSyntaxError(
@@ -1714,10 +1737,12 @@ def _parse_group(
             if kw == "OPTIONAL":
                 inner, i = expect_brace(m.end(), "OPTIONAL")
                 optionals.append(child(inner, "empty OPTIONAL group"))
+                seq.append(("optional", len(optionals) - 1))
                 continue
             if kw == "MINUS":
                 inner, i = expect_brace(m.end(), "MINUS")
                 minuses.append(child(inner, "empty MINUS group"))
+                seq.append(("minus", len(minuses) - 1))
                 continue
             if kw == "FILTER":
                 j = _skip_ws(src, m.end())
@@ -1731,10 +1756,12 @@ def _parse_group(
                         )
                     inner, i = expect_brace(m3.end(), "FILTER NOT EXISTS")
                     exists.append((True, child(inner, "empty EXISTS group")))
+                    seq.append(("exists", len(exists) - 1))
                     continue
                 if m2 and m2.group(0).upper() == "EXISTS":
                     inner, i = expect_brace(m2.end(), "FILTER EXISTS")
                     exists.append((False, child(inner, "empty EXISTS group")))
+                    seq.append(("exists", len(exists) - 1))
                     continue
                 inner, i = _scan_delim(src, j, "(", ")", "FILTER")
                 filters.append(_parse_filter_expr(inner))
@@ -1751,6 +1778,7 @@ def _parse_group(
                 binds.append(
                     (am.group("var"), _parse_arith_expr(body[: am.start()]))
                 )
+                seq.append(("bind", len(binds) - 1))
                 continue
             # VALUES
             j = _skip_ws(src, m.end())
@@ -1768,6 +1796,7 @@ def _parse_group(
                 if any(kind == "var" for kind, _ in entries):
                     raise SparqlSyntaxError("VALUES entries must be constants")
                 values.append((vm.group(1), entries))
+                seq.append(("values", len(values) - 1))
                 continue
             if j < n and src[j] == "(":
                 vars_src, j2 = _scan_delim(src, j, "(", ")", "VALUES")
@@ -1781,6 +1810,7 @@ def _parse_group(
                 values_multi.append(
                     _parse_values_rows(vars_, rows_src, prefixes)
                 )
+                seq.append(("values_multi", len(values_multi) - 1))
                 continue
             raise SparqlSyntaxError("unsupported VALUES form")
         buf.append(c)
@@ -1789,8 +1819,13 @@ def _parse_group(
     # alternation paths (§9.1) lower to UNION blocks of single-pattern-list
     # arms: arms join per-arm with the rest of the group exactly like
     # written UNION groups (every arm binds the same endpoint variables)
+    n_written_unions = len(unions)
     for blk in alt_blocks:
         unions.append(tuple(GroupPattern(patterns=tuple(arm)) for arm in blk))
+    seq = [
+        ("union", n_written_unions + k) if kind == "altblock" else (kind, k)
+        for kind, k in seq
+    ]
     return GroupPattern(
         patterns=tuple(patterns),
         filters=tuple(filters),
@@ -1806,6 +1841,7 @@ def _parse_group(
         paths=tuple(paths),
         subselects=tuple(subselects),
         graphs=tuple(graphs),
+        seq=tuple(seq),
     )
 
 
@@ -2111,7 +2147,13 @@ def parse_sparql(
         projection = tuple(items)
 
     if binds:
-        root = _dc_replace(root, binds=root.binds + tuple(binds))
+        nb = len(root.binds)
+        root = _dc_replace(
+            root,
+            binds=root.binds + tuple(binds),
+            seq=root.seq
+            + tuple(("bind", nb + k) for k in range(len(binds))),
+        )
     if not root.has_required_content():
         raise SparqlSyntaxError("empty basic graph pattern")
 
@@ -2237,6 +2279,15 @@ def parse_sparql(
             root,
             values=tuple(trailing_v),
             values_multi=tuple(trailing_vm),
+            seq=root.seq
+            + tuple(
+                ("values", k)
+                for k in range(len(root.values), len(trailing_v))
+            )
+            + tuple(
+                ("values_multi", k)
+                for k in range(len(root.values_multi), len(trailing_vm))
+            ),
         )
 
     # HAVING(expr) — extract with balanced parens, reusing the FILTER

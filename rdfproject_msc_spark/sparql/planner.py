@@ -682,10 +682,62 @@ def _plan_group(
             "use a constant GRAPH <iri> block"
         )
 
-    if grp.patterns:
-        joined, bound_cols, order = _join_group(
-            ctx, _order_patterns(grp.patterns), graph_var
-        )
+    def _compose_inner(sdf, scols, sorder, snull, clause):
+        """Join one planned relation into the accumulated solution —
+        §18.2.2.2 Join with §18.2.1 compatible-bindings semantics when a
+        shared variable is nullable on either side. The shared machinery
+        behind pattern runs, closures, paths, subgroups, GRAPH blocks and
+        subqueries (they differ only in how their relation is produced)."""
+        nonlocal joined, bound_cols, order
+        ni = ctx.nid()
+        renames = {c: f"{c}_n{ni}" for c in sdf.columns}
+        for old, new in renames.items():
+            sdf = sdf.withColumnRenamed(old, new)
+        scols = {v: renames[c] for v, c in scols.items()}
+        if joined is None:
+            joined, bound_cols, order = sdf, dict(scols), list(sorder)
+            nullable_vars.update(snull)
+            return
+        shared = [v for v in scols if v in bound_cols]
+        nv = [v for v in shared if v in nullable_vars or v in snull]
+        if nv:
+            # compatible-bindings join (§18.2.1): a shared var unbound on
+            # either side joins by compatibility, not NULL-equality
+            joined = _compat_inner_join(
+                joined, bound_cols, nullable_vars,
+                sdf, scols, snull, shared, clause,
+            )
+            for v in nv:  # merged value unbound only when BOTH sides can be
+                if not (v in nullable_vars and v in snull):
+                    nullable_vars.discard(v)
+        elif shared:
+            cond = reduce(
+                lambda a, b: a & b,
+                [F.col(bound_cols[v]) == F.col(scols[v]) for v in shared],
+            )
+            joined = joined.join(sdf, cond, "inner").drop(
+                *[scols[v] for v in shared]
+            )
+        else:
+            joined = joined.crossJoin(sdf)
+        for v in sorder:
+            if v not in bound_cols:
+                bound_cols[v] = scols[v]
+                order.append(v)
+                if v in snull:
+                    nullable_vars.add(v)
+
+    def _do_pattern_run(tps):
+        """A maximal run of consecutively written triple patterns — one
+        BGP (§18.2.2.5), join-ordered most-bound-first WITHIN the run.
+        Runs split by OPTIONAL/MINUS keep their written position: BGP
+        joins commute with each other but not with LeftJoin/Minus."""
+        nonlocal joined, bound_cols, order
+        rdf, rcols, rorder = _join_group(ctx, _order_patterns(tps), graph_var)
+        if joined is None:
+            joined, bound_cols, order = rdf, rcols, rorder
+        else:
+            _compose_inner(rdf, rcols, rorder, set(), "group join")
 
     # closure-family paths (§9.1): DISTINCT pairs joined into the group
     # like a required pattern (closure-bound variables are never null).
@@ -698,7 +750,8 @@ def _plan_group(
     # term of the GRAPH (distinct subjects ∪ objects — one aggregation over
     # the two columns, no join) to itself; a constant endpoint matches
     # itself regardless of graph membership (one literal row, no scan).
-    for s_slot, p_slot, o_slot, mode in grp.closures:
+    def _do_closure(item):
+        s_slot, p_slot, o_slot, mode = item
         ci = ctx.nid()
 
         def _res(slot):
@@ -765,33 +818,13 @@ def _plan_group(
             if keep
             else pairs.select(F.lit(1).alias(f"_c{ci}")).limit(1)
         )
-        if joined is None:
-            joined, bound_cols = scan, dict(var_cols)
-            order = list(var_cols)
-            continue
-        shared = [v for v in var_cols if v in bound_cols]
-        if shared:
-            cond = reduce(
-                lambda a, b: a & b,
-                [
-                    F.col(bound_cols[v]) == F.col(var_cols[v])
-                    for v in shared
-                ],
-            )
-            joined = joined.join(scan, cond, "inner").drop(
-                *[var_cols[v] for v in shared]
-            )
-        else:
-            joined = joined.crossJoin(scan)
-        for v, c in var_cols.items():
-            if v not in bound_cols:
-                bound_cols[v] = c
-                order.append(v)
+        _compose_inner(scan, var_cols, list(var_cols), set(), "group join")
 
     # composite path expressions (§9.1 nested forms): compile the AST to a
     # pair relation, apply endpoint constants, and join like a required
     # pattern — the same shape as the single-predicate closure fast path
-    for s_slot, ast, o_slot in grp.paths:
+    def _do_path(item):
+        s_slot, ast, o_slot = item
         pi = ctx.nid()
 
         def _res_p(slot):
@@ -822,68 +855,14 @@ def _plan_group(
             if keep
             else pairs.select(F.lit(1).alias(f"_p{pi}")).limit(1)
         )
-        if joined is None:
-            joined, bound_cols = scan, dict(var_cols)
-            order = list(var_cols)
-            continue
-        shared = [v for v in var_cols if v in bound_cols]
-        if shared:
-            cond = reduce(
-                lambda a, b: a & b,
-                [F.col(bound_cols[v]) == F.col(var_cols[v]) for v in shared],
-            )
-            joined = joined.join(scan, cond, "inner").drop(
-                *[var_cols[v] for v in shared]
-            )
-        else:
-            joined = joined.crossJoin(scan)
-        for v, c in var_cols.items():
-            if v not in bound_cols:
-                bound_cols[v] = c
-                order.append(v)
+        _compose_inner(scan, var_cols, list(var_cols), set(), "group join")
 
     # plain nested subgroups `{ ... }` → inner join on the shared
     # variables (§18.2.2.2 Join): the child group plans standalone —
     # including its own OPTIONALs, UNIONs and filters — then composes
-    for sub in grp.subgroups:
+    def _do_subgroup(sub):
         sdf, scols, sorder, snull = _plan_group(ctx, sub, graph_var=graph_var)
-        gi = ctx.nid()
-        renames = {c: f"{c}_s{gi}" for c in sdf.columns}
-        for old, new in renames.items():
-            sdf = sdf.withColumnRenamed(old, new)
-        scols = {v: renames[c] for v, c in scols.items()}
-        if joined is None:
-            joined, bound_cols, order = sdf, dict(scols), list(sorder)
-            nullable_vars |= snull
-            continue
-        shared = [v for v in scols if v in bound_cols]
-        nv = [v for v in shared if v in nullable_vars or v in snull]
-        if nv:
-            # compatible-bindings join (§18.2.1): a shared var unbound on
-            # either side joins by compatibility, not NULL-equality
-            joined = _compat_inner_join(
-                joined, bound_cols, nullable_vars,
-                sdf, scols, snull, shared, "group join",
-            )
-            for v in nv:  # merged value unbound only when BOTH sides can be
-                if not (v in nullable_vars and v in snull):
-                    nullable_vars.discard(v)
-        elif shared:
-            cond = reduce(
-                lambda a, b: a & b,
-                [F.col(bound_cols[v]) == F.col(scols[v]) for v in shared],
-            )
-            joined = joined.join(sdf, cond, "inner").drop(
-                *[scols[v] for v in shared]
-            )
-        else:
-            joined = joined.crossJoin(sdf)
-        for v in sorder:
-            if v not in bound_cols:
-                bound_cols[v] = scols[v]
-                order.append(v)
-                if v in snull:
-                    nullable_vars.add(v)
+        _compose_inner(sdf, scols, sorder, snull, "group join")
 
     # GRAPH blocks (§13.3): the child group plans with the named-graph
     # QUAD relation as its scan source, then composes like a subgroup
@@ -895,7 +874,8 @@ def _plan_group(
     # threads through the subtree's pattern scans as a fourth slot:
     # within the block it join-keys every pattern to the same graph;
     # outside it is an ordinary required (never-null) variable.
-    for gslot, sub in grp.graphs:
+    def _do_graph(item):
+        gslot, sub = item
         gkind, gval = gslot
         if gkind == "var":
             sdf, scols, sorder, snull = _plan_group(ctx, sub, graph_var=gval)
@@ -908,41 +888,7 @@ def _plan_group(
             sctx = _PlanCtx(scoped, term_ids, dictionary, ctx.litids)
             sctx._counter = ctx._counter  # plan-wide-unique col suffixes
             sdf, scols, sorder, snull = _plan_group(sctx, sub)
-        ni = ctx.nid()
-        renames = {c: f"{c}_n{ni}" for c in sdf.columns}
-        for old, new in renames.items():
-            sdf = sdf.withColumnRenamed(old, new)
-        scols = {v: renames[c] for v, c in scols.items()}
-        if joined is None:
-            joined, bound_cols, order = sdf, dict(scols), list(sorder)
-            nullable_vars |= snull
-            continue
-        shared = [v for v in scols if v in bound_cols]
-        nv = [v for v in shared if v in nullable_vars or v in snull]
-        if nv:
-            joined = _compat_inner_join(
-                joined, bound_cols, nullable_vars,
-                sdf, scols, snull, shared, "GRAPH join",
-            )
-            for v in nv:
-                if not (v in nullable_vars and v in snull):
-                    nullable_vars.discard(v)
-        elif shared:
-            cond = reduce(
-                lambda a, b: a & b,
-                [F.col(bound_cols[v]) == F.col(scols[v]) for v in shared],
-            )
-            joined = joined.join(sdf, cond, "inner").drop(
-                *[scols[v] for v in shared]
-            )
-        else:
-            joined = joined.crossJoin(sdf)
-        for v in sorder:
-            if v not in bound_cols:
-                bound_cols[v] = scols[v]
-                order.append(v)
-                if v in snull:
-                    nullable_vars.add(v)
+        _compose_inner(sdf, scols, sorder, snull, "GRAPH join")
 
     # subqueries `{ SELECT ... }` (§12): planned as complete standalone
     # queries via plan_bgp (own constant encoding, grouping, modifiers),
@@ -953,45 +899,13 @@ def _plan_group(
     # Nullability is conservative: any projected variable not bound by the
     # subquery's required patterns (OPTIONAL-bound, some-UNION-arms, BIND
     # over those) counts nullable; grouped aggregates ride the same rule.
-    for sub in grp.subselects:
+    def _do_subselect(sub):
         sdf = plan_bgp(store, sub, dictionary)
-        qi = ctx.nid()
         svars = list(sdf.columns)
-        renames = {c: f"{c}_q{qi}" for c in svars}
-        for old, new in renames.items():
-            sdf = sdf.withColumnRenamed(old, new)
-        scols = {v: renames[v] for v in svars}
+        # §12: only the subquery's PROJECTION is visible; any projected
+        # var not bound by its required patterns counts nullable
         snull = set(svars) - sub.where.required_vars()
-        if joined is None:
-            joined, bound_cols, order = sdf, dict(scols), list(svars)
-            nullable_vars |= snull
-            continue
-        shared = [v for v in scols if v in bound_cols]
-        nv = [v for v in shared if v in nullable_vars or v in snull]
-        if nv:
-            joined = _compat_inner_join(
-                joined, bound_cols, nullable_vars,
-                sdf, scols, snull, shared, "subquery",
-            )
-            for v in nv:
-                if not (v in nullable_vars and v in snull):
-                    nullable_vars.discard(v)
-        elif shared:
-            cond = reduce(
-                lambda a, b: a & b,
-                [F.col(bound_cols[v]) == F.col(scols[v]) for v in shared],
-            )
-            joined = joined.join(sdf, cond, "inner").drop(
-                *[scols[v] for v in shared]
-            )
-        else:
-            joined = joined.crossJoin(sdf)
-        for v in svars:
-            if v not in bound_cols:
-                bound_cols[v] = scols[v]
-                order.append(v)
-                if v in snull:
-                    nullable_vars.add(v)
+        _compose_inner(sdf, {v: v for v in svars}, svars, snull, "subquery")
 
     # UNION block (SPARQL 1.1 §5.4 alternatives; the generalization of the
     # reference translator's hand-emitted Positive UNION ALL Negative,
@@ -1006,7 +920,8 @@ def _plan_group(
     # (NULL==x is NULL), where SPARQL's compatible-binding join keeps it —
     # and per-arm joins keep every join a hash equi-join (no null-tolerant
     # OR-condition that would force a nested-loop join at scale).
-    for block in grp.unions:
+    def _do_union(block):
+        nonlocal joined, bound_cols, order
         bi = ctx.nid()
         arm_order: list[str] = []  # this block's vars in first-appearance order
         arms = []
@@ -1115,7 +1030,8 @@ def _plan_group(
     # then left-joins, so group-local constraints bind before
     # null-extension — the same machinery as the reference's J3 left-outer
     # shape (PartitionQueryingBRDSubject.java:156).
-    for opt in grp.optionals:
+    def _do_optional(opt):
+        nonlocal joined
         gdf, gcols, gorder, gnull = _plan_group(
             ctx, opt, defer_filters=True, graph_var=graph_var
         )
@@ -1223,7 +1139,9 @@ def _plan_group(
     # the arithmetic, leaving the target unbound — SPARQL's expression
     # error semantics). Plain withColumn projections — zero extra plan
     # cost, and Catalyst folds them into the surrounding stage.
-    for bvar, bexpr in grp.binds:
+    def _do_bind(item):
+        nonlocal joined
+        bvar, bexpr = item
         cname = f"vb_{bvar}"
         joined = joined.withColumn(cname, _compile_arith(bexpr, bound_cols))
         bound_cols[bvar] = cname
@@ -1235,7 +1153,8 @@ def _plan_group(
     # 1.1 §8.3): a binding is removed when the group produces a compatible
     # binding. The parser guarantees ≥1 shared variable (disjoint-domain
     # MINUS is rejected), so the anti-join condition is never empty.
-    for m in grp.minuses:
+    def _do_minus(m):
+        nonlocal joined
         gdf, gcols, _, gnull = _plan_group(ctx, m, graph_var=graph_var)
         mi = ctx.nid()
         renames = {c: f"{c}_m{mi}" for c in gdf.columns}
@@ -1279,7 +1198,9 @@ def _plan_group(
     # shared variables (SPARQL 1.1 §8.1.1): existence tests never add
     # bindings, they only keep/remove rows — exactly Spark's semi/anti
     # join semantics.
-    for neg, e in grp.exists:
+    def _do_exists(item):
+        nonlocal joined
+        neg, e = item
         gdf, gcols, _, gnull = _plan_group(ctx, e, graph_var=graph_var)
         ei = ctx.nid()
         renames = {c: f"{c}_e{ei}" for c in gdf.columns}
@@ -1318,10 +1239,25 @@ def _plan_group(
     # VALUES blocks → isin() over the resolved ids: an In predicate
     # Catalyst pushes into the Parquet scan (bounded by query size, like
     # all constant encoding — never a data-sized driver structure).
-    for var, entries in grp.values:
+    def _do_values(item):
+        nonlocal joined
+        var, entries = item
         ids = [
             int(val) if kind == "id" else term_ids[val] for kind, val in entries
         ]
+        if var not in bound_cols:
+            # §18.2.2.2: inline VALUES is a JOIN with the data block — a
+            # variable no EARLIER clause bound joins as a fresh binding
+            # (each solution replicates per value; the block is
+            # query-sized, so the literal relation broadcasts)
+            vcol = f"vv{ctx.nid()}_{var}"
+            vals_df = joined.sparkSession.createDataFrame(
+                [(i,) for i in ids], f"{vcol} long"
+            )
+            joined = joined.crossJoin(F.broadcast(vals_df))
+            bound_cols[var] = vcol
+            order.append(var)
+            return
         if var in nullable_vars:
             # §18.2.1: an unbound ?var is compatible with EVERY data row
             # of the VALUES block and the merged solution binds it — so
@@ -1348,7 +1284,16 @@ def _plan_group(
     # multi-variable VALUES → OR-of-ANDs over the resolved ids: one
     # single-pass row filter, bounded by query size (never a data-sized
     # structure); set semantics (duplicate rows rejected by the parser)
-    for vars_, rows in grp.values_multi:
+    def _do_values_multi(item):
+        nonlocal joined
+        vars_, rows = item
+        unbound = [v for v in vars_ if v not in bound_cols]
+        if unbound:
+            raise SparqlSyntaxError(
+                "multi-variable VALUES written before its variables are "
+                f"bound is not supported: {['?' + v for v in unbound]} "
+                "(move the block after the patterns binding them)"
+            )
         _reject_nullable_join_keys(list(vars_), nullable_vars, "VALUES")
 
         def _row_cond(row):
@@ -1365,6 +1310,78 @@ def _plan_group(
 
         joined = joined.filter(
             reduce(lambda a, b: a | b, [_row_cond(r) for r in rows])
+        )
+
+    # ---- dispatch: §18.2.2.6 translates a group's elements in WRITTEN
+    # order, and the order is OBSERVABLE whenever a Join-family clause
+    # follows an OPTIONAL/MINUS that left a shared variable nullable
+    # (Join does not commute with LeftJoin/Minus — found by the clause
+    # fuzzer in tests/test_sparql_compat.py). Consecutive triple patterns
+    # form one BGP run (BGP joins commute within the run, so the
+    # most-bound-first ordering still applies inside it). Two documented
+    # deviations: FILTER [NOT] EXISTS applies at its written position
+    # (paired with its non-substitution semi-join semantics; plain FILTER
+    # expressions still apply at group end per §18.2.2.3), and a leading
+    # OPTIONAL/MINUS/BIND/VALUES defers until the first Join-family
+    # clause has produced a solution (the spec's LeftJoin against the
+    # one-empty-solution multiset is not modeled).
+    _HANDLERS = {
+        "closure": (_do_closure, grp.closures),
+        "path": (_do_path, grp.paths),
+        "subgroup": (_do_subgroup, grp.subgroups),
+        "graph": (_do_graph, grp.graphs),
+        "subselect": (_do_subselect, grp.subselects),
+        "union": (_do_union, grp.unions),
+        "optional": (_do_optional, grp.optionals),
+        "bind": (_do_bind, grp.binds),
+        "minus": (_do_minus, grp.minuses),
+        "exists": (_do_exists, grp.exists),
+        "values": (_do_values, grp.values),
+        "values_multi": (_do_values_multi, grp.values_multi),
+    }
+    _LEFTLIKE = frozenset(
+        ("optional", "bind", "minus", "exists", "values", "values_multi")
+    )
+
+    def _canonical_entries():
+        out = [("pattern", k) for k in range(len(grp.patterns))]
+        for kind in _HANDLERS:
+            out.extend((kind, k) for k in range(len(_HANDLERS[kind][1])))
+        return out
+
+    entries = list(grp.seq)
+    if sorted(entries) != sorted(_canonical_entries()):
+        # programmatically built group (no recorded order): the historical
+        # fixed clause order — patterns, then each kind in _HANDLERS order
+        entries = _canonical_entries()
+
+    pending: list[tuple[str, int]] = []
+    i = 0
+    while i < len(entries):
+        kind, k = entries[i]
+        if kind == "pattern":
+            run = []
+            while i < len(entries) and entries[i][0] == "pattern":
+                run.append(grp.patterns[entries[i][1]])
+                i += 1
+            _do_pattern_run(run)
+        elif joined is None and kind in _LEFTLIKE:
+            pending.append((kind, k))
+            i += 1
+            continue
+        else:
+            fn, items = _HANDLERS[kind]
+            fn(items[k])
+            i += 1
+        if joined is not None and pending:
+            for pk, pj in pending:
+                fn, items = _HANDLERS[pk]
+                fn(items[pj])
+            pending.clear()
+    if pending:
+        raise SparqlSyntaxError(
+            "group needs at least one pattern / path / group clause "
+            "before OPTIONAL/MINUS/EXISTS/BIND/VALUES can apply"
         )
 
     # group-scoped FILTER constraints (skipped when the caller folds them

@@ -508,6 +508,47 @@ def test_blank_nodes_are_existential_vars(compat_store):
     assert _rows(df, "s", "z") == [(1, 100), (1, 200)]
 
 
+def test_textual_order_join_after_optional(spark):
+    """The fuzzer's minimal counterexample, pinned deterministically:
+    `?s 1 ?a OPTIONAL { ?s 2 ?x } { ?x 3 ?g0 }` — §18.2.2.6 applies the
+    LeftJoin FIRST (written order), so ?x=1 is bound when the group join
+    arrives and the group's only row (?x=2) is incompatible → empty.
+    The old fixed clause order hoisted the group join (binding ?x=2),
+    then null-extended the OPTIONAL — one phantom row."""
+    df = spark.createDataFrame(
+        [(1, 1, 1), (1, 2, 1), (2, 3, 1)], "s long, p long, o long"
+    )
+    out = sparql_to_df(
+        TripleStore(df),
+        "SELECT * WHERE { ?s 1 ?a OPTIONAL { ?s 2 ?x } { ?x 3 ?g0 } }",
+    )
+    assert out.collect() == []
+    # the commuted spelling keeps the join-first meaning
+    out2 = sparql_to_df(
+        TripleStore(df),
+        "SELECT * WHERE { ?s 1 ?a { ?x 3 ?g0 } OPTIONAL { ?s 2 ?x } }",
+    )
+    cols = sorted(out2.columns)
+    assert sorted(tuple(r[c] for c in cols) for r in out2.collect()) == [
+        (1, 1, 1, 2)
+    ]
+
+
+def test_values_written_before_binder_joins_fresh(spark):
+    """Inline VALUES is a JOIN (§18.2.2.2): written before the OPTIONAL
+    that could bind ?x, it binds ?x itself and the later OPTIONAL keys
+    on that binding (no match for x=5 → null-extension keeps 5)."""
+    df = spark.createDataFrame(
+        [(1, 1, 1), (1, 2, 1)], "s long, p long, o long"
+    )
+    out = sparql_to_df(
+        TripleStore(df),
+        "SELECT * WHERE { ?s 1 ?a VALUES ?x { 5 } OPTIONAL { ?s 2 ?x } }",
+    )
+    cols = sorted(out.columns)
+    assert [tuple(r[c] for c in cols) for r in out.collect()] == [(1, 1, 5)]
+
+
 # --- composed-clause fuzz: random clause multisets over a nullable var
 
 
@@ -528,10 +569,13 @@ def test_random_clause_compositions_over_nullable_var(
     spark, rows, n_groups, n_opts, use_minus, exists_kind, use_values
 ):
     """Random multisets of {group join, OPTIONAL, MINUS, [NOT] EXISTS,
-    VALUES} all keyed on the OPTIONAL-nullable ?x, evaluated in the
-    planner's canonical clause order (groups → optionals → MINUS →
-    EXISTS → VALUES) on both sides. This is where nullability EVOLUTION
-    hides bugs: a group join can rebind ?x non-null, VALUES binds it,
+    VALUES} all keyed on the OPTIONAL-nullable ?x, evaluated in WRITTEN
+    order on both sides (§18.2.2.6 textual translation — the planner
+    dispatches clauses in written order since the r5 refactor this
+    fuzzer forced: it caught the old fixed clause order hoisting a group
+    join over the textually-earlier base OPTIONAL, which flips results
+    whenever the join can rebind nullable ?x). Nullability EVOLUTION is
+    the hard part: a group join can rebind ?x non-null, VALUES binds it,
     and every later clause must see the updated state."""
     parts = []
     for i in range(n_groups):

@@ -222,6 +222,65 @@ def test_nested_graph_rescopes(gstore, gdict):
     assert _rows(df) == [(2, 100)]
 
 
+# ---- composition with query forms / modifiers ---------------------------
+# once bound, ?g is an ordinary solution variable: every downstream
+# feature (aggregation, CONSTRUCT templates, modifiers, VALUES) composes
+# with no graph-specific code
+
+
+def test_ask_over_graph(gstore, gdict):
+    assert sparql_to_df(
+        gstore, "ASK { GRAPH 102 { ?s :p10 ?o } }", gdict
+    ).collect()[0].ask is True
+    assert sparql_to_df(
+        gstore, "ASK { GRAPH 103 { ?s :p10 ?o } }", gdict
+    ).collect()[0].ask is False
+
+
+def test_group_by_graph_var(gstore, gdict):
+    df = sparql_to_df(
+        gstore,
+        "SELECT ?g (COUNT(*) AS ?n) WHERE { GRAPH ?g { ?s ?p ?o } } "
+        "GROUP BY ?g",
+        gdict,
+    )
+    assert _rows(df) == [(100, 2), (101, 2), (102, 1)]
+
+
+def test_construct_with_graph_var_in_template(gstore, gdict):
+    df = sparql_to_df(
+        gstore,
+        "CONSTRUCT { ?s :p11 ?g } WHERE { GRAPH ?g { ?s :p10 ?o } }",
+        gdict,
+    )
+    assert _rows(df) == [
+        (1, 11, 100),
+        (1, 11, 101),
+        (2, 11, 101),
+        (7, 11, 102),
+    ]
+
+
+def test_order_limit_on_graph_var(gstore, gdict):
+    df = sparql_to_df(
+        gstore,
+        "SELECT ?g ?s WHERE { GRAPH ?g { ?s :p10 ?o } } "
+        "ORDER BY DESC(?g) ?s LIMIT 2",
+        gdict,
+    )
+    assert [tuple(r) for r in df.collect()] == [(102, 7), (101, 1)]
+
+
+def test_values_restricts_graph_var(gstore, gdict):
+    df = sparql_to_df(
+        gstore,
+        "SELECT ?g ?s WHERE { GRAPH ?g { ?s :p10 ?o . "
+        "VALUES ?g { 100 102 } } }",
+        gdict,
+    )
+    assert _rows(df) == [(100, 1), (102, 7)]
+
+
 # ---- rejects ------------------------------------------------------------
 
 

@@ -1875,15 +1875,13 @@ def _validate_group_tree(
     # targets (groups plan standalone — an outer variable would silently
     # be unbound). Variables local to the group's MINUS/EXISTS children
     # are NOT in scope for freshness — but the planner computes BINDs
-    # before those group joins, so a BIND target named like a group-local
-    # variable would silently become an anti/semi-join key; reject the
-    # collision rather than guess at textual-order semantics.
+    # in WRITTEN order (§18.2.2.6): a BIND target named like a
+    # MINUS/EXISTS group-local variable is fine — written BEFORE the
+    # group, the shared name compares per §8.3 (both domains bind it);
+    # written AFTER, the group never saw it and the target is fresh.
+    # The planner dispatches clauses textually, so both spellings plan
+    # to their written meaning (pinned in test_sparql_compat.py).
     bind_scope = g.all_vars() | set(inherited)
-    group_local_vars = {
-        v
-        for grp in list(g.minuses) + [e for _, e in g.exists]
-        for v in grp.all_vars()
-    }
     for bvar, bexpr in g.binds:
         unknown = arith_expr_vars(bexpr) - bind_scope
         if unknown:
@@ -1893,16 +1891,19 @@ def _validate_group_tree(
             )
         if bvar in bind_scope:
             raise SparqlSyntaxError(f"BIND target is already bound: ?{bvar}")
-        if bvar in group_local_vars:
-            raise SparqlSyntaxError(
-                f"BIND target collides with a MINUS/EXISTS group variable: "
-                f"?{bvar} (the group would silently join on it)"
-            )
         bind_scope.add(bvar)
     # VALUES vars may be OPTIONAL-bound (the planner compat-joins the
     # possibly-unbound rows); only a var bound NOWHERE in the group is a
     # typo and rejects
-    group_scope = g.all_vars() | set(inherited)
+    # BIND targets count for the MINUS/EXISTS share checks and VALUES
+    # scoping: a group sharing ONLY a BIND-bound variable is meaningful
+    # (§8.3 compares any variable both domains bind). Whether it shares
+    # AT THE CLAUSE'S WRITTEN POSITION is the planner's textual dispatch:
+    # a MINUS written before the BIND that names its variable is
+    # positionally domain-disjoint and removes nothing (spec-correct).
+    group_scope = (
+        g.all_vars() | set(inherited) | {bvar for bvar, _ in g.binds}
+    )
     for var, _ in g.values:
         if var not in group_scope:
             raise SparqlSyntaxError(f"VALUES variable not in BGP: ?{var}")

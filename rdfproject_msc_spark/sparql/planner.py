@@ -1161,6 +1161,12 @@ def _plan_group(
         for old, new in renames.items():
             gdf = gdf.withColumnRenamed(old, new)
         shared = [v for v in gcols if v in bound_cols]
+        if not shared:
+            # positionally domain-disjoint (the variables this group
+            # shares textually — e.g. a later BIND's target — are not
+            # bound YET): §8.3 keeps every solution, a no-op. Fully
+            # disjoint MINUS still rejects at validation.
+            return
         _reject_nullable_join_keys(shared, gnull, "MINUS")
         lnv = [v for v in shared if v in nullable_vars]
         if lnv:
@@ -1210,6 +1216,12 @@ def _plan_group(
         _reject_nullable_join_keys(shared, gnull, "EXISTS")
         lnv = [v for v in shared if v in nullable_vars]
         jt = "left_anti" if neg else "left_semi"
+        if not shared:
+            # positionally domain-disjoint existence test: every binding
+            # is compatible, so the gate is just "is the group nonempty"
+            # — a literal-true semi/anti condition (group side broadcasts)
+            joined = joined.join(gdf, F.lit(True), jt)
+            return
         if lnv:
             # compatible-bindings existence test: unbound ?v contributes
             # no conjunct; the all-unbound branch keeps (drops for NOT

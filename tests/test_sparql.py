@@ -1398,19 +1398,19 @@ def test_bind_rejections():
     # missing AS
     with pytest.raises(SparqlSyntaxError, match="BIND needs"):
         parse_sparql("SELECT ?a WHERE { ?a :p ?b . BIND(?a + 1) }")
-    # target colliding with a MINUS/EXISTS group-local variable: the
-    # planner computes BINDs before the anti/semi joins, so the collision
-    # would silently make the BIND column a join key — rejected instead
-    with pytest.raises(SparqlSyntaxError, match="MINUS/EXISTS group"):
-        parse_sparql(
-            "SELECT ?a WHERE { ?a :p ?b . MINUS { ?a :q ?c } "
-            "BIND(?b + 1 AS ?c) }"
-        )
-    with pytest.raises(SparqlSyntaxError, match="MINUS/EXISTS group"):
-        parse_sparql(
-            "SELECT ?a WHERE { ?a :p ?b . FILTER EXISTS { ?a :q ?z } "
-            "BIND(?b + 1 AS ?z) }"
-        )
+    # target named like a MINUS/EXISTS group-local variable PARSES since
+    # the textual-order dispatch: each spelling plans to its written
+    # meaning (semantics pinned in
+    # test_sparql_compat.py::test_bind_vs_minus_textual_order)
+    bgp = parse_sparql(
+        "SELECT ?a WHERE { ?a :p ?b . MINUS { ?a :q ?c } "
+        "BIND(?b + 1 AS ?c) }"
+    )
+    assert bgp.where.seq[-1] == ("bind", 0)
+    parse_sparql(
+        "SELECT ?a WHERE { ?a :p ?b . FILTER EXISTS { ?a :q ?z } "
+        "BIND(?b + 1 AS ?z) }"
+    )
 
 
 def test_bind_executes_and_filters(tiny_store, tiny_dict):

@@ -549,6 +549,40 @@ def test_values_written_before_binder_joins_fresh(spark):
     assert [tuple(r[c] for c in cols) for r in out.collect()] == [(1, 1, 5)]
 
 
+def test_bind_vs_minus_textual_order(spark):
+    """A BIND target named like a MINUS group variable resolves by
+    written position (the r4 ADVICE rejection is obsolete under textual
+    dispatch): BIND first → §8.3 compares ?m (both domains bind it);
+    MINUS first → positionally domain-disjoint, removes nothing. An
+    EXISTS in the same position gates on group-nonemptiness."""
+    df = spark.createDataFrame(
+        [(1, 1, 1), (2, 1, 5), (1, 3, 2)], "s long, p long, o long"
+    )
+    st = TripleStore(df)
+
+    def rows(q):
+        out = sparql_to_df(st, q)
+        return sorted(
+            map(tuple, out.select(*sorted(out.columns)).collect())
+        )
+
+    assert rows(
+        "SELECT * WHERE { ?s 1 ?a BIND(?a + 1 AS ?m) MINUS { ?x 3 ?m } }"
+    ) == [(5, 6, 2)]
+    assert rows(
+        "SELECT * WHERE { ?s 1 ?a MINUS { ?x 3 ?m } BIND(?a + 1 AS ?m) }"
+    ) == [(1, 2, 1), (5, 6, 2)]
+    assert rows(
+        "SELECT * WHERE "
+        "{ ?s 1 ?a FILTER EXISTS { ?x 3 ?m } BIND(?a + 1 AS ?m) }"
+    ) == [(1, 2, 1), (5, 6, 2)]
+    # NOT EXISTS flips the nonempty gate: the group has rows → drop all
+    assert rows(
+        "SELECT * WHERE "
+        "{ ?s 1 ?a FILTER NOT EXISTS { ?x 3 ?m } BIND(?a + 1 AS ?m) }"
+    ) == []
+
+
 # --- composed-clause fuzz: random clause multisets over a nullable var
 
 

@@ -543,6 +543,42 @@ def _left_mask_branches(
         yield l, keys
 
 
+def _right_mask_branches(
+    gdf: DataFrame,
+    rcols: dict[str, str],
+    shared: list[str],
+    rnv: list[str],
+    clause: str,
+):
+    """Right-side analogue of _left_mask_branches: partition the CHILD
+    group's solution multiset by which of ITS nullable shared variables
+    are actually bound, yielding (child_branch_df, keys) pairs. Used for
+    group-INTERNAL nullability (the child of an OPTIONAL/MINUS/EXISTS
+    leaves a shared var optionally bound): a child row with ?v unbound is
+    compatible with ANY outer binding (§18.2.1), so that branch drops the
+    ?v conjunct — the per-outer-row match set becomes the union of the
+    per-branch hash-join matches, matched rows come from per-branch inner
+    joins and no-match rows fall out of CHAINED anti joins. Every branch
+    stays a hash equi-join; 2^|rnv| is plan-bounded (cap 16)."""
+    if 2 ** len(rnv) > 16:
+        raise SparqlSyntaxError(
+            f"{clause} group leaves {len(rnv)} shared variables possibly "
+            f"unbound ({['?' + v for v in rnv]}) — {2 ** len(rnv)} disjoint "
+            "bound-mask branches exceeds the plan cap (16); bind fewer "
+            "OPTIONAL/UNION variables inside the group"
+        )
+    always = [v for v in shared if v not in rnv]
+    for combo in itertools.product([True, False], repeat=len(rnv)):
+        rb = gdf
+        keys = list(always)
+        for v, bound in zip(rnv, combo):
+            c = F.col(rcols[v])
+            rb = rb.filter(c.isNotNull() if bound else c.isNull())
+            if bound:
+                keys.append(v)
+        yield rb, keys
+
+
 def _compile_path_relation(
     ctx: _PlanCtx, node, src_id: int | None = None, dst_id: int | None = None
 ) -> DataFrame:
@@ -654,9 +690,11 @@ def _plan_group(
     `_compat_inner_join` at group-join / subquery / UNION-arm sites, and
     the left-side `_left_mask_branches` form at OPTIONAL / MINUS /
     EXISTS / single-var VALUES (whose match semantics are per-left-row).
-    Only group-INTERNAL nullability on a shared var (the child of an
-    OPTIONAL/MINUS/EXISTS itself leaving the var optionally bound) and
-    nullable multi-var VALUES still reject rather than guess.
+    Group-INTERNAL nullability (the child of an OPTIONAL/MINUS/EXISTS
+    itself leaving a shared var optionally bound) lowers via the
+    RIGHT-side bound-mask decomposition (_right_mask_branches); only
+    keys nullable on BOTH sides and nullable multi-var VALUES still
+    reject rather than guess.
 
     ``graph_var`` set = this group is (part of) a ``GRAPH ?g`` block
     (§13.3): triple-pattern scans read the quad relation binding ?g, and
@@ -1041,13 +1079,19 @@ def _plan_group(
         for old, new in renames.items():
             gdf = gdf.withColumnRenamed(old, new)
         shared = [v for v in gcols if v in bound_cols]
-        # group-INTERNAL nullability on a shared var still rejects: the
-        # per-left-row match set would need an OR-of-null-equality join
-        # condition (→ nested-loop join at scale). LEFT-side nullability
-        # (outer var bound only optionally / in some UNION arms) lowers
-        # below via the bound-mask branch decomposition.
-        _reject_nullable_join_keys(shared, gnull, "OPTIONAL")
         lnv = [v for v in shared if v in nullable_vars]
+        # group-INTERNAL nullability (the child leaves a shared var
+        # optionally bound) lowers via the RIGHT-side bound-mask branch
+        # decomposition below; only keys nullable on BOTH sides reject
+        # (the branch product would square the plan)
+        rnv = [v for v in shared if v in gnull]
+        if rnv and lnv:
+            raise SparqlSyntaxError(
+                "OPTIONAL keyed on variables possibly unbound on BOTH "
+                f"sides is not supported (outer: "
+                f"{['?' + v for v in lnv]}, group: "
+                f"{['?' + v for v in rnv]})"
+            )
         # the child's DIRECT FILTERs fold into the join condition —
         # SPARQL's LeftJoin(P1, P2, F) (§18.2.2.2): a match failing F is
         # kept null-extended, not dropped. The equi-conjuncts still drive
@@ -1100,7 +1144,39 @@ def _plan_group(
                 cond = cond & fc
             return l.join(gdf, cond, "left")
 
-        if lnv:
+        if rnv:
+            # §18.2.1 compatible LeftJoin, group-internal nullability:
+            # matched solutions come from per-child-mask hash INNER joins
+            # (a child row with unbound ?v drops the conjunct; the merged
+            # ?v is the outer value), no-match rows fall out of CHAINED
+            # anti joins (unmatched in EVERY branch) and null-extend via
+            # unionByName(allowMissingColumns) — exactly LeftJoin(P1,P2,F)
+            rcols = {v: renames[c] for v, c in gcols.items()}
+            shared_right = {rcols[v] for v in shared}
+            base_cols = list(joined.columns)
+            right_keep = [c for c in gdf.columns if c not in shared_right]
+            parts = []
+            remaining = joined
+            for rb, keys in _right_mask_branches(
+                gdf, rcols, shared, rnv, "OPTIONAL"
+            ):
+                cs = [F.col(bound_cols[v]) == F.col(rcols[v]) for v in keys]
+                cond = reduce(lambda a, b: a & b, cs) if cs else F.lit(True)
+                for fc in fconds:
+                    cond = cond & fc
+                j = joined.join(rb, cond, "inner")
+                parts.append(
+                    j.select(
+                        *[F.col(c) for c in base_cols],
+                        *[F.col(c) for c in right_keep],
+                    )
+                )
+                remaining = remaining.join(rb, cond, "left_anti")
+            joined = reduce(
+                lambda a, b: a.unionByName(b, allowMissingColumns=True),
+                parts + [remaining],
+            )
+        elif lnv:
             # §18.2.1 compatible LeftJoin: an unbound outer ?v matches any
             # group row (no ?v conjunct in that branch) and the merged
             # binding coalesces from the group side; null-extension stays
@@ -1167,8 +1243,34 @@ def _plan_group(
             # bound YET): §8.3 keeps every solution, a no-op. Fully
             # disjoint MINUS still rejects at validation.
             return
-        _reject_nullable_join_keys(shared, gnull, "MINUS")
         lnv = [v for v in shared if v in nullable_vars]
+        rnv = [v for v in shared if v in gnull]
+        if rnv and lnv:
+            raise SparqlSyntaxError(
+                "MINUS keyed on variables possibly unbound on BOTH sides "
+                f"is not supported (outer: {['?' + v for v in lnv]}, "
+                f"group: {['?' + v for v in rnv]})"
+            )
+        if rnv:
+            # group-internal nullability: a solution is removed when ANY
+            # child bound-mask branch matches it compatibly WITH domain
+            # overlap (§18.5); a branch whose effective key set is empty
+            # is dom-disjoint and removes nothing. Chained anti joins =
+            # survives every branch.
+            rcols = {v: renames[c] for v, c in gcols.items()}
+            remaining = joined
+            for rb, keys in _right_mask_branches(
+                gdf, rcols, shared, rnv, "MINUS"
+            ):
+                if not keys:
+                    continue  # §18.5 dom-disjoint branch
+                cond = reduce(
+                    lambda a, b: a & b,
+                    [F.col(bound_cols[v]) == F.col(rcols[v]) for v in keys],
+                )
+                remaining = remaining.join(rb, cond, "left_anti")
+            joined = remaining
+            return
         if lnv:
             # §18.5 Minus over possibly-unbound keys: an unbound ?v is
             # compatible with anything, so it contributes no conjunct —
@@ -1213,9 +1315,36 @@ def _plan_group(
         for old, new in renames.items():
             gdf = gdf.withColumnRenamed(old, new)
         shared = [v for v in gcols if v in bound_cols]
-        _reject_nullable_join_keys(shared, gnull, "EXISTS")
         lnv = [v for v in shared if v in nullable_vars]
+        rnv = [v for v in shared if v in gnull]
+        if rnv and lnv:
+            raise SparqlSyntaxError(
+                "EXISTS keyed on variables possibly unbound on BOTH sides "
+                f"is not supported (outer: {['?' + v for v in lnv]}, "
+                f"group: {['?' + v for v in rnv]})"
+            )
         jt = "left_anti" if neg else "left_semi"
+        if rnv:
+            # group-internal nullability: a row passes the existence test
+            # when ANY child bound-mask branch matches it — partition the
+            # outer rows by FIRST matching branch (semi keeps them, anti
+            # feeds the next branch); NOT EXISTS = what no branch matched
+            rcols = {v: renames[c] for v, c in gcols.items()}
+            remaining = joined
+            kept = []
+            for rb, keys in _right_mask_branches(
+                gdf, rcols, shared, rnv, "EXISTS"
+            ):
+                cs = [F.col(bound_cols[v]) == F.col(rcols[v]) for v in keys]
+                cond = reduce(lambda a, b: a & b, cs) if cs else F.lit(True)
+                kept.append(remaining.join(rb, cond, "left_semi"))
+                remaining = remaining.join(rb, cond, "left_anti")
+            joined = (
+                remaining
+                if neg
+                else reduce(lambda a, b: a.unionByName(b), kept)
+            )
+            return
         if not shared:
             # positionally domain-disjoint existence test: every binding
             # is compatible, so the gate is just "is the group nonempty"

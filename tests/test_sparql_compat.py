@@ -549,6 +549,124 @@ def test_values_written_before_binder_joins_fresh(spark):
     assert [tuple(r[c] for c in cols) for r in out.collect()] == [(1, 1, 5)]
 
 
+@given(
+    rows=triples,
+    clause=st.sampled_from(["optional", "minus", "exists", "not_exists"]),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_group_internal_nullable_fuzz(spark, rows, clause):
+    """Property check on the right-side bound-mask lowering: outer
+    `?s 1 ?x` (both required); child `{ ?s 2 ?k OPTIONAL { ?k 3 ?x } }`
+    leaves shared ?x optionally bound. Compared against a direct Python
+    evaluation of §18.2.1 compatibility per clause."""
+    base = [{"s": s, "x": o} for s, p, o in rows if p == 1]
+    mid = [(s, o) for s, p, o in rows if p == 2]
+    ext = [(s, o) for s, p, o in rows if p == 3]
+    ch = []
+    for s, k in mid:
+        xs = [o for kk, o in ext if kk == k]
+        if xs:
+            ch.extend({"s": s, "k": k, "x": o} for o in xs)
+        else:
+            ch.append({"s": s, "k": k})
+
+    def compat(m, c):
+        return all(
+            m[v] == c[v] for v in ("s", "x") if v in m and v in c
+        )
+
+    om = []
+    for m in base:
+        matches = [c for c in ch if compat(m, c)]
+        if clause == "optional":
+            if matches:
+                om.extend({**m, "k": c["k"]} for c in matches)
+            else:
+                om.append({**m, "k": None})
+        elif clause == "minus":
+            if not matches:  # child always binds ?s → domains overlap
+                om.append(m)
+        elif clause == "exists":
+            if matches:
+                om.append(m)
+        else:
+            if not matches:
+                om.append(m)
+
+    kw = {
+        "optional": "OPTIONAL",
+        "minus": "MINUS",
+        "exists": "FILTER EXISTS",
+        "not_exists": "FILTER NOT EXISTS",
+    }[clause]
+    q = (
+        "SELECT * WHERE { ?s 1 ?x "
+        + kw
+        + " { ?s 2 ?k OPTIONAL { ?k 3 ?x } } }"
+    )
+    df = spark.createDataFrame(rows, "s long, p long, o long")
+    out = sparql_to_df(TripleStore(df), q)
+    cols = sorted(out.columns)
+    got = sorted(
+        (tuple(r[c] for c in cols) for r in out.collect()), key=_nkey
+    )
+    want = sorted((tuple(m.get(c) for c in cols) for m in om), key=_nkey)
+    assert got == want
+
+
+def test_group_internal_nullable_keys(spark):
+    """The child of an OPTIONAL/MINUS/EXISTS leaves a shared var (?x)
+    optionally bound — formerly rejected, now lowered via RIGHT-side
+    bound-mask branches: matched rows from per-mask hash inner joins
+    (child-unbound ?x drops the conjunct, merged ?x = outer value),
+    unmatched rows from chained anti joins. Fixture: ?s 5 ?x outer
+    bindings (1,7)(2,9)(3,8)(4,11); child { ?s 2 ?k OPTIONAL { ?k 3 ?x } }
+    yields (s=1,k=10,x=7) bound-match, (s=2,k=20,x=∅) compat-match,
+    (s=4,k=30,x=99) INcompatible, s=3 no child row."""
+    rows = [
+        (1, 5, 7), (2, 5, 9), (3, 5, 8), (4, 5, 11),
+        (1, 2, 10), (2, 2, 20), (4, 2, 30),
+        (10, 3, 7), (30, 3, 99),
+    ]
+    st_ = TripleStore(spark.createDataFrame(rows, "s long, p long, o long"))
+
+    def r(q):
+        out = sparql_to_df(st_, q)
+        key = lambda t: tuple((v is None, v) for v in t)
+        return sorted(
+            (
+                tuple(x[c] for c in sorted(out.columns))
+                for x in out.collect()
+            ),
+            key=key,
+        )
+
+    child = "{ ?s 2 ?k OPTIONAL { ?k 3 ?x } }"
+    assert r(f"SELECT * WHERE {{ ?s 5 ?x OPTIONAL {child} }}") == [
+        (10, 1, 7), (20, 2, 9), (None, 3, 8), (None, 4, 11)
+    ]
+    assert r(f"SELECT * WHERE {{ ?s 5 ?x MINUS {child} }}") == [
+        (3, 8), (4, 11)
+    ]
+    assert r(f"SELECT * WHERE {{ ?s 5 ?x FILTER EXISTS {child} }}") == [
+        (1, 7), (2, 9)
+    ]
+    assert r(f"SELECT * WHERE {{ ?s 5 ?x FILTER NOT EXISTS {child} }}") == [
+        (3, 8), (4, 11)
+    ]
+    # keys nullable on BOTH sides still reject (branch product)
+    with pytest.raises(SparqlSyntaxError, match="BOTH"):
+        sparql_to_df(
+            st_,
+            "SELECT * WHERE { ?s 5 ?a OPTIONAL { ?s 2 ?x } "
+            f"OPTIONAL {child.replace('?k', '?j')} }}",
+        )
+
+
 def test_bind_vs_minus_textual_order(spark):
     """A BIND target named like a MINUS group variable resolves by
     written position (the r4 ADVICE rejection is obsolete under textual

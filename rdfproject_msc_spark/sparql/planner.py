@@ -1428,30 +1428,86 @@ def _plan_group(
     def _do_values_multi(item):
         nonlocal joined
         vars_, rows = item
-        unbound = [v for v in vars_ if v not in bound_cols]
-        if unbound:
-            raise SparqlSyntaxError(
-                "multi-variable VALUES written before its variables are "
-                f"bound is not supported: {['?' + v for v in unbound]} "
-                "(move the block after the patterns binding them)"
+        # a variable no EARLIER clause bound joins as a fresh binding:
+        # materialize it unbound (all-NULL) and let the nullable path
+        # below merge the block's values in — the data block is a JOIN
+        # (§18.2.2.2), not a filter
+        for v in vars_:
+            if v not in bound_cols:
+                c = f"vm{ctx.nid()}_{v}"
+                joined = joined.withColumn(c, F.lit(None).cast("long"))
+                bound_cols[v] = c
+                order.append(v)
+                nullable_vars.add(v)
+        lnv = [v for v in vars_ if v in nullable_vars]
+
+        if not lnv:
+            # all vars required-bound: the block reduces to one
+            # OR-of-ANDs row filter — UNDEF slots are wildcards (no
+            # conjunct), and pairwise-disjoint rows (enforced at parse
+            # time) make the OR exactly the multiset join result
+            def _row_cond(row):
+                conds = [
+                    F.col(bound_cols[v])
+                    == F.lit(int(val) if kind == "id" else term_ids[val])
+                    for v, (kind, val) in zip(vars_, row)
+                    if kind != "undef"
+                ]
+                return (
+                    reduce(lambda a, b: a & b, conds)
+                    if conds
+                    else F.lit(True)
+                )
+
+            joined = joined.filter(
+                reduce(lambda a, b: a | b, [_row_cond(r) for r in rows])
             )
-        _reject_nullable_join_keys(list(vars_), nullable_vars, "VALUES")
+            return
 
-        def _row_cond(row):
-            # UNDEF slots are wildcards (match any binding): no conjunct.
-            # Pairwise-disjoint rows are enforced at parse time, so the OR
-            # of these conditions is exactly the multiset join result.
+        # possibly-unbound vars: JOIN with a broadcast literal relation
+        # (UNDEF = NULL). Left bound-mask branches keep compatibility
+        # exact: in a branch, a var bound on the left matches rows whose
+        # slot is UNDEF or equal; an unbound var takes the row's value
+        # (coalesce merge — NULL slot leaves it unbound). The join is a
+        # broadcast nested-loop against a QUERY-sized relation (a few
+        # rows), bounded at plan time like all constant encoding.
+        vi = ctx.nid()
+        rcols = {v: f"vr{vi}_{v}" for v in vars_}
+        schema = ", ".join(f"{rcols[v]} long" for v in vars_)
+        data = [
+            tuple(
+                None
+                if kind == "undef"
+                else (int(val) if kind == "id" else term_ids[val])
+                for kind, val in row
+            )
+            for row in rows
+        ]
+        vals_df = joined.sparkSession.createDataFrame(data, schema)
+        colvar = {bound_cols[v]: v for v in vars_}
+        branches = []
+        for l, keys in _left_mask_branches(
+            joined, bound_cols, list(vars_), lnv, "VALUES"
+        ):
             conds = [
-                F.col(bound_cols[v])
-                == F.lit(int(val) if kind == "id" else term_ids[val])
-                for v, (kind, val) in zip(vars_, row)
-                if kind != "undef"
+                F.col(rcols[v]).isNull()
+                | (F.col(bound_cols[v]) == F.col(rcols[v]))
+                for v in keys
             ]
-            return reduce(lambda a, b: a & b, conds) if conds else F.lit(True)
-
-        joined = joined.filter(
-            reduce(lambda a, b: a | b, [_row_cond(r) for r in rows])
-        )
+            cond = reduce(lambda a, b: a & b, conds) if conds else F.lit(True)
+            j = l.join(F.broadcast(vals_df), cond, "inner")
+            out = [
+                F.coalesce(F.col(c), F.col(rcols[colvar[c]])).alias(c)
+                if c in colvar and colvar[c] in lnv and colvar[c] not in keys
+                else F.col(c)
+                for c in l.columns
+            ]
+            branches.append(j.select(*out))
+        joined = reduce(lambda a, b: a.unionByName(b), branches)
+        # a var every row DEFINES is bound in every surviving solution
+        for vix, v in enumerate(vars_):
+            if v in lnv and all(row[vix][0] != "undef" for row in rows):
+                nullable_vars.discard(v)
 
     # ---- dispatch: §18.2.2.6 translates a group's elements in WRITTEN
     # order, and the order is OBSERVABLE whenever a Join-family clause
@@ -1459,13 +1515,16 @@ def _plan_group(
     # (Join does not commute with LeftJoin/Minus — found by the clause
     # fuzzer in tests/test_sparql_compat.py). Consecutive triple patterns
     # form one BGP run (BGP joins commute within the run, so the
-    # most-bound-first ordering still applies inside it). Two documented
-    # deviations: FILTER [NOT] EXISTS applies at its written position
-    # (paired with its non-substitution semi-join semantics; plain FILTER
-    # expressions still apply at group end per §18.2.2.3), and a leading
-    # OPTIONAL/MINUS/BIND/VALUES defers until the first Join-family
-    # clause has produced a solution (the spec's LeftJoin against the
-    # one-empty-solution multiset is not modeled).
+    # most-bound-first ordering still applies inside it). A group whose
+    # FIRST clause is OPTIONAL/MINUS/BIND/VALUES/EXISTS starts from Z —
+    # the multiset holding one empty solution (§18.2.2.6's initial
+    # state), a zero-column one-row relation — so LeftJoin(Z, A) = A
+    # when A is nonempty else the null-extended empty solution, Extend
+    # and data blocks apply literally, and Minus/EXISTS gate trivially.
+    # One documented deviation: FILTER [NOT] EXISTS applies at its
+    # written position (paired with its non-substitution semi-join
+    # semantics; plain FILTER expressions still apply at group end per
+    # §18.2.2.3).
     _HANDLERS = {
         "closure": (_do_closure, grp.closures),
         "path": (_do_path, grp.paths),
@@ -1496,34 +1555,21 @@ def _plan_group(
         # fixed clause order — patterns, then each kind in _HANDLERS order
         entries = _canonical_entries()
 
-    pending: list[tuple[str, int]] = []
     i = 0
     while i < len(entries):
         kind, k = entries[i]
+        if joined is None and kind in _LEFTLIKE:
+            joined = store.df.sparkSession.range(1).drop("id")  # Z
         if kind == "pattern":
             run = []
             while i < len(entries) and entries[i][0] == "pattern":
                 run.append(grp.patterns[entries[i][1]])
                 i += 1
             _do_pattern_run(run)
-        elif joined is None and kind in _LEFTLIKE:
-            pending.append((kind, k))
-            i += 1
-            continue
         else:
             fn, items = _HANDLERS[kind]
             fn(items[k])
             i += 1
-        if joined is not None and pending:
-            for pk, pj in pending:
-                fn, items = _HANDLERS[pk]
-                fn(items[pj])
-            pending.clear()
-    if pending:
-        raise SparqlSyntaxError(
-            "group needs at least one pattern / path / group clause "
-            "before OPTIONAL/MINUS/EXISTS/BIND/VALUES can apply"
-        )
 
     # group-scoped FILTER constraints (skipped when the caller folds them
     # into a LeftJoin condition instead — OPTIONAL children). String-

@@ -618,6 +618,78 @@ def test_group_internal_nullable_fuzz(spark, rows, clause):
     assert got == want
 
 
+def test_multivar_values_nullable_and_fresh(spark):
+    """Multi-var VALUES over possibly-unbound vars JOINS the data block
+    (formerly rejected): UNDEF = NULL in a broadcast literal relation,
+    left bound-mask branches, coalesce merge — an unbound left ?x takes
+    the row's value, an UNDEF slot leaves it unbound; written before its
+    binder the block binds fresh values the later OPTIONAL keys on."""
+    rows = [(1, 1, 7), (2, 1, 9), (3, 1, 8), (1, 2, 5)]
+    st_ = TripleStore(spark.createDataFrame(rows, "s long, p long, o long"))
+
+    def r(q):
+        out = sparql_to_df(st_, q)
+        key = lambda t: tuple((v is None, v) for v in t)
+        return sorted(
+            (
+                tuple(x[c] for c in sorted(out.columns))
+                for x in out.collect()
+            ),
+            key=key,
+        )
+
+    assert r(
+        "SELECT * WHERE { ?s 1 ?a OPTIONAL { ?s 2 ?x } "
+        "VALUES (?s ?x) { (1 5) (2 6) (3 UNDEF) } }"
+    ) == [(7, 1, 5), (8, 3, None), (9, 2, 6)]
+    assert r(
+        "SELECT * WHERE { ?s 1 ?a VALUES (?s ?x) { (1 5) (1 6) (2 UNDEF) } "
+        "OPTIONAL { ?s 2 ?x } }"
+    ) == [(7, 1, 5), (7, 1, 6), (9, 2, None)]
+
+
+def test_leading_clause_starts_from_empty_solution(spark):
+    """§18.2.2.6: a group starts as Z, the one-empty-solution multiset —
+    a group whose FIRST clause is OPTIONAL applies LeftJoin(Z, A) and
+    the later pattern JOINS (inner) with that: P rows without an A-match
+    drop when A is nonempty, survive null-extended when A is empty."""
+    st_ = TripleStore(
+        spark.createDataFrame(
+            [(1, 1, 1), (2, 1, 5), (1, 2, 9)], "s long, p long, o long"
+        )
+    )
+
+    def r(st__, q):
+        out = sparql_to_df(st__, q)
+        key = lambda t: tuple((v is None, v) for v in t)
+        return sorted(
+            (
+                tuple(x[c] for c in sorted(out.columns))
+                for x in out.collect()
+            ),
+            key=key,
+        )
+
+    q = "SELECT * WHERE { OPTIONAL { ?s 2 ?x } ?s 1 ?a }"
+    # A = {(s=1,x=9)} nonempty → Join(A, P) drops the s=2 P row
+    assert r(st_, q) == [(1, 1, 9)]
+    # A empty → LeftJoin(Z, ∅) = {μ0} → P survives, ?x unbound
+    st_empty = TripleStore(
+        spark.createDataFrame(
+            [(1, 1, 1), (2, 1, 5)], "s long, p long, o long"
+        )
+    )
+    assert r(st_empty, q) == [(1, 1, None), (5, 2, None)]
+    # leading BIND = Extend(Z, ...): a constant binding joins everything
+    assert r(st_empty, "SELECT * WHERE { BIND(7 AS ?c) ?s 1 ?a }") == [
+        (1, 7, 1), (5, 7, 2)
+    ]
+    # leading VALUES = Join(Z, data): binds then restricts the pattern
+    assert r(st_empty, "SELECT * WHERE { VALUES ?s { 2 9 } ?s 1 ?a }") == [
+        (5, 2)
+    ]
+
+
 def test_group_internal_nullable_keys(spark):
     """The child of an OPTIONAL/MINUS/EXISTS leaves a shared var (?x)
     optionally bound — formerly rejected, now lowered via RIGHT-side

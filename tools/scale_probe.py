@@ -49,6 +49,8 @@ FAMILY = [
     # similarity family: brute-force cosine + banded LSH ANN
     "knn_cosine",
     "ann_lsh_topk",
+    # named graphs: quad-relation scans + same-graph join keys
+    "sparql_graph",
 ]
 
 TABLES = [

@@ -62,6 +62,11 @@ def main(argv: list[str] | None = None) -> int:
     p_sparql.add_argument("--layout", choices=("single", "sign_split"), default="sign_split")
     p_sparql.add_argument("--dict", dest="dict_path", default=None)
     p_sparql.add_argument("--query", required=True)
+    p_sparql.add_argument(
+        "--quads",
+        default=None,
+        help="named-graph quad parquet (g,s,p,o) — enables GRAPH blocks",
+    )
     p_sparql.add_argument("--decode", action="store_true")
     p_sparql.add_argument(
         "--explain",
@@ -162,6 +167,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "sparql":
         spark = _spark(args.cpus)
         eng = Engine(spark).open(args.store, layout=args.layout)
+        if args.quads:
+            eng.load_quads(args.quads)
         if args.dict_path:
             from rdfproject_msc_spark.dictionary import Dictionary
             from rdfproject_msc_spark.sources.triples import read_dictionary_tsv

@@ -66,9 +66,23 @@ class Engine:
             )
         return self
 
-    def save(self, path: str) -> "Engine":
-        """Persist the laid-out store (write once → prune forever)."""
+    def load_quads(self, quads_path: str) -> "Engine":
+        """Attach a named-graph quad relation ``(g, s, p, o)`` (parquet —
+        a ``write_quads`` layout or any file with those columns) to the
+        current store: GRAPH blocks (§13.3) become answerable. The
+        default graph stays the triple relation."""
+        self._require_store().attach_quads(
+            TripleStore.read_quads(self.spark, quads_path)
+        )
+        return self
+
+    def save(self, path: str, quads_path: str | None = None) -> "Engine":
+        """Persist the laid-out store (write once → prune forever);
+        ``quads_path`` additionally persists the attached named graphs
+        partitioned BY GRAPH (constant-GRAPH directory pruning)."""
         self._require_store().write(path)
+        if quads_path is not None:
+            self._require_store().write_quads(quads_path)
         return self
 
     def open(

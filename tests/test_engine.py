@@ -99,3 +99,47 @@ def test_cli_sparql_run_and_explain(engine, spark, tmp_path_factory, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "Physical Plan" in out and "Scan" in out
+
+
+def test_engine_quads_lifecycle(engine, spark, tmp_path_factory, capsys):
+    """Named graphs through the public API: attach a quad relation,
+    answer a GRAPH query, persist with save(quads_path=...), reopen via
+    load_quads, and drive the CLI --quads flag end-to-end."""
+    from pyspark.sql import functions as F
+
+    from rdfproject_msc_spark.cli import main
+
+    base = tmp_path_factory.mktemp("engine_quads")
+    quads = engine.store.df.select(
+        (F.abs(F.col("s")) % F.lit(4)).alias("g"), "s", "p", "o"
+    )
+    engine.store.attach_quads(quads)
+    q = "SELECT ?g ?e WHERE { GRAPH ?g { ?e :byUser :customer_7 } }"
+    a = sorted(map(tuple, engine.sparql(q).collect()))
+    assert a  # customer_7 has events at sf0.001
+    assert all(0 <= g <= 3 for g, _ in a)
+
+    store_path = str(base / "store")
+    quads_path = str(base / "quads")
+    engine.save(store_path, quads_path=quads_path)
+    e2 = Engine(spark, dictionary=engine.dictionary).open(
+        store_path, layout="sign_split", cluster_by="s"
+    ).load_quads(quads_path)
+    assert sorted(map(tuple, e2.sparql(q).collect())) == a
+
+    dict_path = str(base / "dict")
+    dictionary_df(spark, "/root/testdata/sf0.001").write.mode(
+        "overwrite"
+    ).csv(dict_path, sep="\t")
+    rc = main(
+        [
+            "sparql",
+            "--store", store_path,
+            "--quads", quads_path,
+            "--dict", dict_path,
+            "--query", "SELECT ?e WHERE { GRAPH 1 { ?e :hasType ?t } }",
+            "--show", "3",
+        ]
+    )
+    assert rc == 0
+    assert "e" in capsys.readouterr().out

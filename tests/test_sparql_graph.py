@@ -378,3 +378,72 @@ def test_persisted_quads_prune_constant_graph(spark, gstore, gdict, tmp_path):
 
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", final)
     assert pf and "g" in pf.group(1), final
+
+
+# ---- property fuzz: GRAPH ?g block vs direct Python evaluation ----------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as hst
+
+quads_st = hst.lists(
+    hst.tuples(
+        hst.integers(min_value=100, max_value=102),
+        hst.integers(min_value=1, max_value=4),
+        hst.sampled_from([10, 11]),
+        hst.integers(min_value=1, max_value=4),
+    ),
+    min_size=0,
+    max_size=12,
+)
+triples_st = hst.lists(
+    hst.tuples(
+        hst.integers(min_value=1, max_value=4),
+        hst.sampled_from([10, 11]),
+        hst.integers(min_value=1, max_value=4),
+    ),
+    min_size=0,
+    max_size=8,
+)
+
+
+@given(quads=quads_st, trips=triples_st, with_default=hst.booleans())
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_graph_var_fuzz(spark, quads, trips, with_default):
+    """GRAPH ?g { ?s 10 ?o . ?o 11 ?o2 } [?o2 10 ?z]: both in-block
+    patterns must match in the SAME graph; the optional trailing pattern
+    reads the default graph. Compared against a direct evaluation."""
+    q = "SELECT * WHERE { GRAPH ?g { ?s 10 ?o . ?o 11 ?o2 } "
+    q += "?o2 10 ?z }" if with_default else "}"
+    st_ = TripleStore(
+        spark.createDataFrame(
+            trips or [(0, 0, 0)], "s long, p long, o long"
+        ).filter("s > 0" if not trips else "1=1"),
+        quads=spark.createDataFrame(
+            quads or [(0, 0, 0, 0)], "g long, s long, p long, o long"
+        ).filter("g > 0" if not quads else "1=1"),
+    )
+    out = sparql_to_df(st_, q)
+    cols = sorted(out.columns)
+    got = sorted(tuple(r[c] for c in cols) for r in out.collect())
+
+    want = []
+    for g1, s1, p1, o1 in quads:
+        if p1 != 10:
+            continue
+        for g2, s2, p2, o2 in quads:
+            if p2 != 11 or g2 != g1 or s2 != o1:
+                continue
+            if with_default:
+                for s3, p3, o3 in trips:
+                    if p3 == 10 and s3 == o2:
+                        want.append(
+                            dict(g=g1, s=s1, o=o1, o2=o2, z=o3)
+                        )
+            else:
+                want.append(dict(g=g1, s=s1, o=o1, o2=o2))
+    want_t = sorted(tuple(m[c] for c in cols) for m in want)
+    assert got == want_t

@@ -713,10 +713,10 @@ def _plan_group(
     order: list[str] = []
     nullable_vars: set[str] = set()
 
-    if graph_var is not None and (grp.closures or grp.paths or grp.subselects):
+    if graph_var is not None and (grp.paths or grp.subselects):
         raise SparqlSyntaxError(
-            "property paths and subqueries inside GRAPH ?var are not "
-            "supported (a closure would need per-graph computation); "
+            "composite path expressions and subqueries inside GRAPH ?var "
+            "are not supported (they would need per-graph compilation); "
             "use a constant GRAPH <iri> block"
         )
 
@@ -788,9 +788,69 @@ def _plan_group(
     # term of the GRAPH (distinct subjects ∪ objects — one aggregation over
     # the two columns, no join) to itself; a constant endpoint matches
     # itself regardless of graph membership (one literal row, no scan).
+    def _do_graph_closure(item, ci):
+        """`?s :p+ ?o` inside GRAPH ?var (§13.3 × §9.1): reachability is
+        PER GRAPH — a path never crosses graphs — so the closure runs
+        over composite `(g, node)` struct keys: an edge in graph g
+        connects (g,s)→(g,o), and the generic semi-naive iteration joins
+        on struct equality unchanged. Constant endpoints post-filter the
+        closure (the seeded-BFS shortcut needs one constant seed NODE,
+        but here the seed differs per graph); zero-length forms reject —
+        §18.4's zero-length pairs would bind every term of EVERY graph
+        per graph, a cost cliff better made explicit."""
+        s_slot, p_slot, o_slot, mode = item
+        if mode != "+":
+            raise SparqlSyntaxError(
+                "zero-length paths (p* / p?) inside GRAPH ?var are not "
+                "supported (per-graph §18.4 zero-length pairs); use p+ "
+                "or a constant GRAPH <iri> block"
+            )
+
+        def _res_g(slot):
+            kind, val = slot
+            if kind == "id":
+                return int(val)
+            if kind == "term":
+                return term_ids[val]
+            return None
+
+        pid, s_id, o_id = _res_g(p_slot), _res_g(s_slot), _res_g(o_slot)
+        q = store.quads.filter(F.col("p") == F.lit(pid))
+        gedges = q.select(
+            F.struct(F.col("g"), F.col("s").alias("n")).alias("gs"),
+            F.struct(F.col("g"), F.col("o").alias("n")).alias("go"),
+        )
+        pairs = transitive_closure(gedges, src="gs", dst="go")
+        if s_id is not None:
+            pairs = pairs.filter(F.col("cs.n") == F.lit(s_id))
+        if o_id is not None:
+            pairs = pairs.filter(F.col("co.n") == F.lit(o_id))
+        if s_slot[0] == "var" and o_slot[0] == "var" and s_slot[1] == o_slot[1]:
+            pairs = pairs.filter(F.col("cs.n") == F.col("co.n"))
+        # the graph var equal to an endpoint var: same repeated-var filter
+        if s_slot[0] == "var" and s_slot[1] == graph_var:
+            pairs = pairs.filter(F.col("cs.g") == F.col("cs.n"))
+        if o_slot[0] == "var" and o_slot[1] == graph_var:
+            pairs = pairs.filter(F.col("cs.g") == F.col("co.n"))
+        var_cols: dict[str, str] = {}
+        keep = []
+        gcol = f"vg{ci}_{graph_var}"
+        keep.append(F.col("cs.g").alias(gcol))
+        var_cols[graph_var] = gcol
+        for path_, slot in (("cs.n", s_slot), ("co.n", o_slot)):
+            if slot[0] == "var" and slot[1] not in var_cols:
+                col = f"vc{ci}_{slot[1]}"
+                keep.append(F.col(path_).alias(col))
+                var_cols[slot[1]] = col
+        scan = pairs.select(*keep)
+        _compose_inner(scan, var_cols, list(var_cols), set(), "group join")
+
     def _do_closure(item):
         s_slot, p_slot, o_slot, mode = item
         ci = ctx.nid()
+        if graph_var is not None:
+            _do_graph_closure(item, ci)
+            return
 
         def _res(slot):
             kind, val = slot

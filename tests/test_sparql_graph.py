@@ -284,11 +284,23 @@ def test_values_restricts_graph_var(gstore, gdict):
 # ---- rejects ------------------------------------------------------------
 
 
-def test_closure_under_graph_var_rejects(gstore, gdict):
-    with pytest.raises(SparqlSyntaxError, match="GRAPH"):
+def test_closure_under_graph_var_executes(gstore, gdict):
+    """`p+` under GRAPH ?var executes per-graph (composite-key closure,
+    see test_closure_under_graph_var); composite path expressions still
+    reject with the per-graph compilation named."""
+    df = sparql_to_df(
+        gstore,
+        "SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s :p10+ ?o } }",
+        gdict,
+    )
+    # fixture: 101 chains 1->2->9; 100 has 1->2; 102 has 7->8
+    assert _rows(df) == [
+        (100, 1, 2), (101, 1, 2), (101, 1, 9), (101, 2, 9), (102, 7, 8)
+    ]
+    with pytest.raises(SparqlSyntaxError, match="composite"):
         sparql_to_df(
             gstore,
-            "SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s :p10+ ?o } }",
+            "SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s (:p10|:p11)+ ?o } }",
             gdict,
         ).collect()
 
@@ -447,3 +459,41 @@ def test_graph_var_fuzz(spark, quads, trips, with_default):
                 want.append(dict(g=g1, s=s1, o=o1, o2=o2))
     want_t = sorted(tuple(m[c] for c in cols) for m in want)
     assert got == want_t
+
+
+def test_closure_under_graph_var(spark, gdict):
+    """`?s :p10+ ?o` inside GRAPH ?g: reachability PER GRAPH over
+    composite (g, node) closure keys — a path never crosses graphs.
+    Graph 200 chains 1->2->3; graph 201 has 1->5: the cross-graph
+    pseudo-path 2->3 (200) continued by nothing in 201 must not appear."""
+    st_ = TripleStore(
+        spark.createDataFrame([(1, 10, 2)], "s long, p long, o long"),
+        quads=spark.createDataFrame(
+            [(200, 1, 10, 2), (200, 2, 10, 3), (201, 1, 10, 5),
+             (202, 9, 11, 1)],
+            "g long, s long, p long, o long",
+        ),
+    )
+    df = sparql_to_df(
+        st_, "SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s :p10+ ?o } }", gdict
+    )
+    assert _rows(df) == [
+        (200, 1, 2), (200, 1, 3), (200, 2, 3), (201, 1, 5)
+    ]
+    # constant endpoint post-filters the per-graph closure
+    df2 = sparql_to_df(
+        st_, "SELECT ?g ?o WHERE { GRAPH ?g { 1 :p10+ ?o } }", gdict
+    )
+    assert _rows(df2) == [(200, 2), (200, 3), (201, 5)]
+    # closure endpoint continues along a SAME-graph edge
+    df3 = sparql_to_df(
+        st_,
+        "SELECT ?g ?s ?o ?t WHERE { GRAPH ?g { ?s :p10+ ?o . ?o :p10 ?t } }",
+        gdict,
+    )
+    assert _rows(df3) == [(200, 1, 2, 3)]
+    # zero-length forms reject with the per-graph cost named
+    with pytest.raises(SparqlSyntaxError, match="zero-length"):
+        sparql_to_df(
+            st_, "SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s :p10* ?o } }", gdict
+        )

@@ -795,16 +795,13 @@ def _plan_group(
         connects (g,s)→(g,o), and the generic semi-naive iteration joins
         on struct equality unchanged. Constant endpoints post-filter the
         closure (the seeded-BFS shortcut needs one constant seed NODE,
-        but here the seed differs per graph); zero-length forms reject —
-        §18.4's zero-length pairs would bind every term of EVERY graph
-        per graph, a cost cliff better made explicit."""
+        but here the seed differs per graph). `p*` / `p?` add the §18.4
+        zero-length pairs PER GRAPH: var-var form = every (g, term-of-g)
+        bound to itself (one distinct over both quad node positions —
+        the same term-universe materialization as the default-graph
+        form, graph-keyed); a constant endpoint matches itself in EVERY
+        named graph (distinct graphs × one literal row)."""
         s_slot, p_slot, o_slot, mode = item
-        if mode != "+":
-            raise SparqlSyntaxError(
-                "zero-length paths (p* / p?) inside GRAPH ?var are not "
-                "supported (per-graph §18.4 zero-length pairs); use p+ "
-                "or a constant GRAPH <iri> block"
-            )
 
         def _res_g(slot):
             kind, val = slot
@@ -820,7 +817,47 @@ def _plan_group(
             F.struct(F.col("g"), F.col("s").alias("n")).alias("gs"),
             F.struct(F.col("g"), F.col("o").alias("n")).alias("go"),
         )
-        pairs = transitive_closure(gedges, src="gs", dst="go")
+        if mode == "+":
+            pairs = transitive_closure(gedges, src="gs", dst="go")
+        else:
+            quads_all = store.quads
+            if s_id is None and o_id is None:
+                nodes = (
+                    quads_all.select(
+                        F.struct(F.col("g"), F.col("s").alias("n")).alias(
+                            "gn"
+                        )
+                    )
+                    .union(
+                        quads_all.select(
+                            F.struct(
+                                F.col("g"), F.col("o").alias("n")
+                            ).alias("gn")
+                        )
+                    )
+                    .distinct()
+                )
+                zero = nodes.select(
+                    F.col("gn").alias("cs"), F.col("gn").alias("co")
+                )
+            else:
+                seeds = {i for i in (s_id, o_id) if i is not None}
+                gs_ = quads_all.select("g").distinct()
+                if len(seeds) > 1:  # two DIFFERENT constants never match
+                    gs_ = gs_.filter(F.lit(False))
+                seed = min(seeds)
+                zero = gs_.select(
+                    F.struct(
+                        F.col("g"), F.lit(seed).cast("long").alias("n")
+                    ).alias("cs")
+                ).select(F.col("cs"), F.col("cs").alias("co"))
+            if mode == "*":
+                step = transitive_closure(gedges, src="gs", dst="go")
+            else:  # "?": one filtered edge scan
+                step = gedges.select(
+                    F.col("gs").alias("cs"), F.col("go").alias("co")
+                )
+            pairs = zero.unionByName(step).distinct()
         if s_id is not None:
             pairs = pairs.filter(F.col("cs.n") == F.lit(s_id))
         if o_id is not None:

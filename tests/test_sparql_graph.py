@@ -492,8 +492,21 @@ def test_closure_under_graph_var(spark, gdict):
         gdict,
     )
     assert _rows(df3) == [(200, 1, 2, 3)]
-    # zero-length forms reject with the per-graph cost named
-    with pytest.raises(SparqlSyntaxError, match="zero-length"):
-        sparql_to_df(
-            st_, "SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s :p10* ?o } }", gdict
-        )
+    # zero-length forms add the per-graph §18.4 pairs: every (g, term)
+    # of graph g to itself, plus the closure — graph 202 (only a p11
+    # edge) still contributes its nodes' self-pairs
+    df4 = sparql_to_df(
+        st_, "SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s :p10* ?o } }", gdict
+    )
+    assert _rows(df4) == [
+        (200, 1, 1), (200, 1, 2), (200, 1, 3), (200, 2, 2), (200, 2, 3),
+        (200, 3, 3), (201, 1, 1), (201, 1, 5), (201, 5, 5),
+        (202, 1, 1), (202, 9, 9),
+    ]
+    # a constant endpoint zero-length-matches itself in EVERY named graph
+    df5 = sparql_to_df(
+        st_, "SELECT ?g ?o WHERE { GRAPH ?g { 1 :p10? ?o } }", gdict
+    )
+    assert _rows(df5) == [
+        (200, 1), (200, 2), (201, 1), (201, 5), (202, 1)
+    ]

@@ -713,11 +713,11 @@ def _plan_group(
     order: list[str] = []
     nullable_vars: set[str] = set()
 
-    if graph_var is not None and (grp.paths or grp.subselects):
+    if graph_var is not None and grp.subselects:
         raise SparqlSyntaxError(
-            "composite path expressions and subqueries inside GRAPH ?var "
-            "are not supported (they would need per-graph compilation); "
-            "use a constant GRAPH <iri> block"
+            "subqueries inside GRAPH ?var are not supported (a subquery "
+            "would need per-graph evaluation); use a constant "
+            "GRAPH <iri> block"
         )
 
     def _compose_inner(sdf, scols, sorder, snull, clause):
@@ -971,6 +971,51 @@ def _plan_group(
             return None
 
         s_id, o_id = _res_p(s_slot), _res_p(o_slot)
+        if graph_var is not None:
+            # composite path inside GRAPH ?var: compile the SAME path AST
+            # against a VIRTUAL store whose s/o are (g, node) structs —
+            # every operator in _compile_path_relation is type-agnostic
+            # (scans filter on p, seq/closure join on full-struct
+            # equality, so chains never cross graphs; the zero-length
+            # term universe comes from the struct s∪o, i.e. per graph).
+            # Constant endpoints post-filter (the seed shortcut needs one
+            # constant NODE; here it differs per graph).
+            vdf = store.quads.select(
+                F.struct(F.col("g"), F.col("s").alias("n")).alias("s"),
+                F.col("p"),
+                F.struct(F.col("g"), F.col("o").alias("n")).alias("o"),
+            )
+            vctx = _PlanCtx(
+                TripleStore(vdf), term_ids, dictionary, ctx.litids
+            )
+            vctx._counter = ctx._counter
+            pairs = _compile_path_relation(vctx, ast, None, None)
+            if s_id is not None:
+                pairs = pairs.filter(F.col("cs.n") == F.lit(s_id))
+            if o_id is not None:
+                pairs = pairs.filter(F.col("co.n") == F.lit(o_id))
+            if (
+                s_slot[0] == "var"
+                and o_slot[0] == "var"
+                and s_slot[1] == o_slot[1]
+            ):
+                pairs = pairs.filter(F.col("cs.n") == F.col("co.n"))
+            if s_slot[0] == "var" and s_slot[1] == graph_var:
+                pairs = pairs.filter(F.col("cs.g") == F.col("cs.n"))
+            if o_slot[0] == "var" and o_slot[1] == graph_var:
+                pairs = pairs.filter(F.col("cs.g") == F.col("co.n"))
+            var_cols = {graph_var: f"vg{pi}_{graph_var}"}
+            keep = [F.col("cs.g").alias(var_cols[graph_var])]
+            for path_, slot in (("cs.n", s_slot), ("co.n", o_slot)):
+                if slot[0] == "var" and slot[1] not in var_cols:
+                    col = f"vp{pi}_{slot[1]}"
+                    keep.append(F.col(path_).alias(col))
+                    var_cols[slot[1]] = col
+            scan = pairs.select(*keep)
+            _compose_inner(
+                scan, var_cols, list(var_cols), set(), "group join"
+            )
+            return
         pairs = _compile_path_relation(ctx, ast, s_id, o_id)
         if s_id is not None:
             pairs = pairs.filter(F.col("cs") == F.lit(s_id))

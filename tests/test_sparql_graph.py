@@ -286,8 +286,10 @@ def test_values_restricts_graph_var(gstore, gdict):
 
 def test_closure_under_graph_var_executes(gstore, gdict):
     """`p+` under GRAPH ?var executes per-graph (composite-key closure,
-    see test_closure_under_graph_var); composite path expressions still
-    reject with the per-graph compilation named."""
+    see test_closure_under_graph_var); COMPOSITE path expressions run
+    through the same (g, node) struct keys via a virtual quad-struct
+    store — the alternation closure chains p10 then p11 edges WITHIN a
+    graph (only 100 holds 1-p10->2-p11->3); subqueries still reject."""
     df = sparql_to_df(
         gstore,
         "SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s :p10+ ?o } }",
@@ -297,10 +299,27 @@ def test_closure_under_graph_var_executes(gstore, gdict):
     assert _rows(df) == [
         (100, 1, 2), (101, 1, 2), (101, 1, 9), (101, 2, 9), (102, 7, 8)
     ]
-    with pytest.raises(SparqlSyntaxError, match="composite"):
+    df2 = sparql_to_df(
+        gstore,
+        "SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s (:p10|:p11)+ ?o } }",
+        gdict,
+    )
+    assert _rows(df2) == [
+        (100, 1, 2), (100, 1, 3), (100, 2, 3),
+        (101, 1, 2), (101, 1, 9), (101, 2, 9), (102, 7, 8),
+    ]
+    # sequence path: within-graph two-hop across predicates
+    df3 = sparql_to_df(
+        gstore,
+        "SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s :p10/:p11 ?o } }",
+        gdict,
+    )
+    assert _rows(df3) == [(100, 1, 3)]
+    with pytest.raises(SparqlSyntaxError, match="subquer"):
         sparql_to_df(
             gstore,
-            "SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s (:p10|:p11)+ ?o } }",
+            "SELECT ?g ?c WHERE { GRAPH ?g "
+            "{ { SELECT (COUNT(*) AS ?c) WHERE { ?s :p10 ?o } } } }",
             gdict,
         ).collect()
 

@@ -529,3 +529,46 @@ def test_closure_under_graph_var(spark, gdict):
     assert _rows(df5) == [
         (200, 1), (200, 2), (201, 1), (201, 5), (202, 1)
     ]
+
+
+@given(quads=quads_st)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_graph_closure_fuzz(spark, quads, ):
+    """Per-graph p10+ reachability vs a direct per-graph transitive
+    closure in Python — paths must never cross graphs."""
+    st_ = TripleStore(
+        spark.createDataFrame([(1, 10, 2)], "s long, p long, o long"),
+        quads=spark.createDataFrame(
+            quads or [(0, 0, 0, 0)], "g long, s long, p long, o long"
+        ).filter("g > 0" if not quads else "1=1"),
+    )
+    out = sparql_to_df(
+        st_, "SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s 10+ ?o } }"
+    )
+    cols = sorted(out.columns)
+    got = sorted(tuple(r[c] for c in cols) for r in out.collect())
+
+    want = set()
+    graphs = {g for g, _, p, _ in quads if p == 10}
+    for g in graphs:
+        edges = {(s, o) for gg, s, p, o in quads if gg == g and p == 10}
+        reach = set(edges)
+        while True:
+            new = {
+                (a, d)
+                for a, b in reach
+                for c, d in edges
+                if b == c and (a, d) not in reach
+            }
+            if not new:
+                break
+            reach |= new
+        want |= {(g, s, o) for s, o in reach}
+    want_t = sorted(
+        tuple(dict(g=g, s=s, o=o)[c] for c in cols) for g, s, o in want
+    )
+    assert got == want_t

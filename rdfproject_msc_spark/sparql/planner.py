@@ -990,6 +990,28 @@ def _plan_group(
             )
             vctx._counter = ctx._counter
             pairs = _compile_path_relation(vctx, ast, None, None)
+            if (
+                ast[0] == "clos"
+                and ast[2] in ("*", "?")
+                and (s_id is not None or o_id is not None)
+            ):
+                # §18.4 ZeroLengthPath with a constant endpoint: the
+                # constant matches itself in EVERY named graph, even ones
+                # where the term does not occur — the compiled per-graph
+                # term universe only covers graphs containing the term,
+                # so union in (distinct graphs × constant self-pair),
+                # exactly like the single-predicate _do_graph_closure.
+                seeds = {i for i in (s_id, o_id) if i is not None}
+                gs_ = store.quads.select("g").distinct()
+                if len(seeds) > 1:  # two DIFFERENT constants never match
+                    gs_ = gs_.filter(F.lit(False))
+                seed = min(seeds)
+                selfp = gs_.select(
+                    F.struct(
+                        F.col("g"), F.lit(seed).cast("long").alias("n")
+                    ).alias("cs")
+                ).select(F.col("cs"), F.col("cs").alias("co"))
+                pairs = pairs.unionByName(selfp).distinct()
             if s_id is not None:
                 pairs = pairs.filter(F.col("cs.n") == F.lit(s_id))
             if o_id is not None:

@@ -58,14 +58,30 @@ def _pattern_stream(
     bounded dictionary lookup), variable slots rename to their variable
     names, a repeated variable filters for slot equality."""
     bgp = parse_sparql(f"SELECT * WHERE {{ {pattern_src} }}")
-    if (
-        len(bgp.where.patterns) != 1
-        or bgp.where.closures
-        or bgp.where.paths
-        or bgp.where.has_required_content() is False
-    ):
+    grp = bgp.where
+    # Reject ANY clause besides the single triple pattern — a FILTER /
+    # OPTIONAL / BIND / VALUES / UNION / GRAPH here would be silently
+    # dropped by the slot compiler below, which contradicts the engine's
+    # reject-rather-than-guess stance.
+    extras = (
+        grp.filters
+        or grp.binds
+        or grp.optionals
+        or grp.unions
+        or grp.minuses
+        or grp.exists
+        or grp.subgroups
+        or grp.values
+        or grp.values_multi
+        or grp.closures
+        or grp.paths
+        or grp.subselects
+        or grp.graphs
+    )
+    if len(grp.patterns) != 1 or extras:
         raise SparqlSyntaxError(
-            f"stream pattern must be exactly one plain triple pattern, "
+            f"stream pattern must be exactly one plain triple pattern "
+            f"(no FILTER/OPTIONAL/BIND/VALUES/UNION/MINUS/GRAPH/paths), "
             f"got {pattern_src!r}"
         )
     tp = bgp.where.patterns[0]
@@ -102,6 +118,37 @@ def _pattern_stream(
     return df.select(*out), var_order
 
 
+def _surely_bound_vars(grp) -> set[str]:
+    """Variables bound (never null) in EVERY solution of the group:
+    pattern/closure/path endpoints, GRAPH slots, subgroup recursion, and
+    — for UNION — only variables surely bound in every arm. OPTIONAL and
+    BIND targets are excluded (nullable). This is strictly narrower than
+    GroupPattern.required_vars(), which includes union-arm variables that
+    some solutions leave unbound."""
+    out = {v for tp in grp.patterns for v in tp.variables()}
+    for s, _, o, _ in grp.closures:
+        for kind, val in (s, o):
+            if kind == "var":
+                out.add(val)
+    for s, _, o in grp.paths:
+        for kind, val in (s, o):
+            if kind == "var":
+                out.add(val)
+    for sub in grp.subgroups:
+        out |= _surely_bound_vars(sub)
+    for gslot, sub in grp.graphs:
+        out |= _surely_bound_vars(sub)
+        if gslot[0] == "var":
+            out.add(gslot[1])
+    for blk in grp.unions:
+        arms = [_surely_bound_vars(a) for a in blk]
+        if arms:
+            out |= set.intersection(*arms)
+    for sub in grp.subselects:
+        out |= set(sub.projection or ()) & _surely_bound_vars(sub.where)
+    return out
+
+
 def sparql_stream_delta(
     stream_triples: DataFrame,
     store: TripleStore,
@@ -121,5 +168,19 @@ def sparql_stream_delta(
         raise SparqlSyntaxError(
             f"stream pattern shares no variable with the static query "
             f"(stream binds {svars}, static projects {static.columns})"
+        )
+    # The stream-static equi-join compares with Spark equality, where
+    # NULL never matches — so a shared variable that the static query
+    # binds only optionally (OPTIONAL / partial UNION / BIND) would
+    # silently drop solutions. Reject rather than guess.
+    sure = _surely_bound_vars(parse_sparql(static_query).where)
+    nullable = [v for v in shared if v not in sure]
+    if nullable:
+        raise SparqlSyntaxError(
+            f"shared variable(s) {nullable} are not required-bound in the "
+            f"static query (OPTIONAL/UNION/BIND-bound values can be NULL, "
+            f"which never matches the stream-static equi-join); rewrite "
+            f"the static query so every shared variable is bound in all "
+            f"solutions"
         )
     return sdf.join(static, on=shared, how="inner")

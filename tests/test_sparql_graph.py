@@ -324,6 +324,46 @@ def test_closure_under_graph_var_executes(gstore, gdict):
         ).collect()
 
 
+def test_composite_zero_length_constant_under_graph_var(gstore, gdict):
+    """§18.4 ZeroLengthPath × §13.3: a COMPOSITE path with a zero-length
+    arm ('?'/'*') and a constant endpoint must self-match in EVERY named
+    graph — including graphs where the constant term never occurs — same
+    as the single-predicate lowering (test_closure_under_graph_var).
+    Term :n1 (=1) occurs in graphs 100/101 but NOT 102; the (102, 1)
+    self-pair must still appear."""
+    df = sparql_to_df(
+        gstore,
+        "SELECT ?g ?o WHERE { GRAPH ?g { :n1 (:p10|:p11)? ?o } }",
+        gdict,
+    )
+    assert _rows(df) == [
+        (100, 1), (100, 2), (101, 1), (101, 2), (102, 1)
+    ]
+    # same must hold for the single-predicate '?' form (already-pinned
+    # semantics) and agree with the composite one-arm alternation
+    df_single = sparql_to_df(
+        gstore,
+        "SELECT ?g ?o WHERE { GRAPH ?g { :n1 :p10? ?o } }",
+        gdict,
+    )
+    df_comp = sparql_to_df(
+        gstore,
+        "SELECT ?g ?o WHERE { GRAPH ?g { :n1 (:p10)? ?o } }",
+        gdict,
+    )
+    assert _rows(df_single) == _rows(df_comp)
+    # '*' composite with a constant endpoint: closure ∪ per-graph self
+    df_star = sparql_to_df(
+        gstore,
+        "SELECT ?g ?o WHERE { GRAPH ?g { :n1 (:p10|:p11)* ?o } }",
+        gdict,
+    )
+    assert _rows(df_star) == [
+        (100, 1), (100, 2), (100, 3),
+        (101, 1), (101, 2), (101, 9), (102, 1),
+    ]
+
+
 def test_subquery_under_graph_var_rejects(gstore, gdict):
     with pytest.raises(SparqlSyntaxError, match="GRAPH"):
         sparql_to_df(

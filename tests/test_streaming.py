@@ -583,3 +583,38 @@ def test_sparql_stream_delta_equals_batch(spark, sf_dir, tmp_path):
         sparql_stream_delta(
             stream, store, static_q, "?x :hasType ?t", dictionary=d
         )
+
+    # a stream pattern carrying ANY extra clause is rejected, not
+    # silently stripped — FILTER/OPTIONAL/BIND/VALUES/UNION/GRAPH would
+    # otherwise be discarded by the single-pattern compiler
+    for bad in (
+        "?e :byUser ?c . FILTER(?c > 50)",
+        "?e :byUser ?c . OPTIONAL { ?e :hasType ?t }",
+        "?e :byUser ?c . BIND(?c + 1 AS ?d)",
+        "?e :byUser ?c . VALUES ?c { 1 2 }",
+        "{ ?e :byUser ?c } UNION { ?e :hasType ?c }",
+    ):
+        with pytest.raises(SparqlSyntaxError, match="exactly one plain"):
+            sparql_stream_delta(stream, store, static_q, bad, dictionary=d)
+
+    # a shared variable the static query binds only OPTIONALLY (nullable)
+    # is rejected: NULL never matches the stream-static equi-join
+    with pytest.raises(SparqlSyntaxError, match="required-bound"):
+        sparql_stream_delta(
+            stream,
+            store,
+            "SELECT ?c ?n WHERE { ?x :inNation ?n . "
+            "OPTIONAL { ?x :byUser ?c } }",
+            "?e :byUser ?c",
+            dictionary=d,
+        )
+    # ...but a var bound in EVERY union arm is surely bound and accepted
+    ok = sparql_stream_delta(
+        stream,
+        store,
+        "SELECT ?c ?n WHERE { { ?c :inNation ?n } UNION "
+        "{ ?c :inNation ?n . ?c :inNation ?n } }",
+        "?e :byUser ?c",
+        dictionary=d,
+    )
+    assert ok.isStreaming

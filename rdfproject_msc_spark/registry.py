@@ -36,6 +36,7 @@ from rdfproject_msc_spark.sources.derived import (
     DICTIONARY_SQL,
     TRIPLES_SQL,
     P_BY_USER,
+    P_HAS_LABEL,
     P_HAS_TYPE,
     P_IN_NATION,
     P_IN_REGION,
@@ -566,6 +567,59 @@ WHERE a.p = {P_HAS_TYPE} AND b.p = {P_BY_USER}
   AND regexp_matches(dc.term, 'customer_1[0-9]$')
   AND NOT suffix(dt.term, 'view')
 """
+
+SPARQL_LANG = (
+    "SELECT ?x ?l ?dt WHERE { ?x :hasLabel ?l . "
+    'FILTER(LANG(?l) != "fr") BIND(DATATYPE(?l) AS ?dt) }'
+)
+
+
+def sparql_lang(spark, sf_dir):
+    """RDF term-kind model (SPARQL 1.1 §17.4.2): LANG() filtering and a
+    projected DATATYPE() over dictionary-encoded literals. The dictionary
+    term TEXT carries the kind ('"lex"@tag' tagged / '"lex"^^:dt' typed /
+    bare plain literal / ':name' IRI — planner._term_lang grammar), so
+    both accessors compile to column expressions over ONE dictionary
+    left join per variable: LANG evaluates against |dict| distinct terms
+    (never per solution row) and errors (NULL → drop) on IRIs, exactly
+    §17.4.2.6; DATATYPE binds ':langString' / ':date' / ':string' /
+    ':integer' as a string solution column. The reference's Jena
+    front-end parsed these accessors (MyOpVisitorBase.java:49); its
+    translator had no literal model at all."""
+    store = _store(spark, sf_dir)
+    return sparql_to_df(store, SPARQL_LANG, _dict(spark, sf_dir))
+
+
+# the oracle mirrors the term-kind derivation over the dict CTE: the lang
+# CASE yields NULL for IRIs/blanks (NULL != 'fr' is NULL → dropped, the
+# same 3VL the Spark side uses), '' for plain/typed/integer literals
+_LANG_CASE = """CASE
+    WHEN d.term IS NULL THEN ''
+    WHEN starts_with(d.term, '_:') OR starts_with(d.term, ':') THEN NULL
+    WHEN starts_with(d.term, '"')
+         AND regexp_matches(d.term, '"@[A-Za-z][A-Za-z0-9-]*$')
+      THEN lower(regexp_extract(d.term, '"@([A-Za-z][A-Za-z0-9-]*)$', 1))
+    ELSE ''
+  END"""
+
+_DATATYPE_CASE = """CASE
+    WHEN d.term IS NULL THEN ':integer'
+    WHEN starts_with(d.term, '_:') OR starts_with(d.term, ':') THEN NULL
+    WHEN starts_with(d.term, '"')
+         AND regexp_matches(d.term, '"@[A-Za-z][A-Za-z0-9-]*$')
+      THEN ':langString'
+    WHEN starts_with(d.term, '"')
+         AND regexp_matches(d.term, '"\\^\\^:\\w+$')
+      THEN regexp_extract(d.term, '"\\^\\^(:\\w+)$', 1)
+    ELSE ':string'
+  END"""
+
+SPARQL_LANG_SQL = f"""{TRIPLES_CTE}, dict AS ({DICTIONARY_SQL})
+SELECT t.s AS x, t.o AS l, {_DATATYPE_CASE} AS dt
+FROM triples t LEFT JOIN dict d ON t.o = d.id
+WHERE t.p = {P_HAS_LABEL} AND ({_LANG_CASE}) <> 'fr'
+"""
+
 
 SPARQL_TOPK = (
     "SELECT DISTINCT ?c WHERE { ?e :byUser ?c . } ORDER BY DESC(?c) LIMIT 5"
@@ -2175,7 +2229,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "sparql_subquery": QuerySpec(sparql_subquery, SPARQL_SUBQUERY_SQL, headline=True),
     "sparql_compat": QuerySpec(sparql_compat, SPARQL_COMPAT_SQL, headline=True),
     "rdf_layout_matrix": QuerySpec(rdf_layout_matrix, RDF_PATH_2HOP_SQL),
-    "sparql_optional": QuerySpec(sparql_optional, SPARQL_OPTIONAL_SQL),
+    # sparql_optional demoted r6 (slot → sparql_lang): OPTIONAL/LeftJoin
+    # lowering stays driver-checked via sparql_compat and oracle-pinned in
+    # tests/test_demoted.py
+    "sparql_lang": QuerySpec(sparql_lang, SPARQL_LANG_SQL, headline=True),
     "dedup_components": QuerySpec(dedup_components, DEDUP_COMPONENTS_SQL),
     # training-data pipeline
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),

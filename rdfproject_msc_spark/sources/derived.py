@@ -28,6 +28,12 @@ Graph shape (mirrors the reference's AIS 2-hop chains, SURVEY.md §1.2):
     customer --:linkedEvent(58)--> event          (positive subject, NEGATIVE object:
                                                    exercises J2/J3's Neg⋈Pos joins)
     event --:hasType(68)--> etype
+    nation --:hasLabel(78)--> '"NAME"@en' (n*100+6) and '"NAME (fr)"@fr' (n*100+16)
+    region --:hasLabel(78)--> plain NAME (r*100+26) and '"…"^^:date' (r*100+36)
+
+Label objects are LITERAL terms (ids end in 6, a reserved residue) whose
+dictionary text follows the term-kind grammar (planner._term_lang): the
+LANG()/DATATYPE()/isIRI() accessor surface evaluates over them.
 """
 
 from __future__ import annotations
@@ -47,6 +53,7 @@ P_IN_REGION = 38
 P_BY_USER = 48
 P_LINKED_EVENT = 58
 P_HAS_TYPE = 68
+P_HAS_LABEL = 78
 
 PREDICATE_TERMS = {
     P_PLACED_BY: ":placedBy",
@@ -55,6 +62,7 @@ PREDICATE_TERMS = {
     P_BY_USER: ":byUser",
     P_LINKED_EVENT: ":linkedEvent",
     P_HAS_TYPE: ":hasType",
+    P_HAS_LABEL: ":hasLabel",
 }
 
 _ETYPE_CASE_SQL = (
@@ -94,6 +102,26 @@ TRIPLES_SQL = f"""
            CAST(68 AS BIGINT),
            CAST({_ETYPE_CASE_SQL} * 10 + 9 AS BIGINT)
     FROM events
+    UNION ALL
+    SELECT CAST(n_nationkey * 10 + 3 AS BIGINT),
+           CAST(78 AS BIGINT),
+           CAST(n_nationkey * 100 + 6 AS BIGINT)
+    FROM nation
+    UNION ALL
+    SELECT CAST(n_nationkey * 10 + 3 AS BIGINT),
+           CAST(78 AS BIGINT),
+           CAST(n_nationkey * 100 + 16 AS BIGINT)
+    FROM nation
+    UNION ALL
+    SELECT CAST(r_regionkey * 10 + 4 AS BIGINT),
+           CAST(78 AS BIGINT),
+           CAST(r_regionkey * 100 + 26 AS BIGINT)
+    FROM region
+    UNION ALL
+    SELECT CAST(r_regionkey * 10 + 4 AS BIGINT),
+           CAST(78 AS BIGINT),
+           CAST(r_regionkey * 100 + 36 AS BIGINT)
+    FROM region
 """
 
 # DuckDB/ANSI CTE body producing the dictionary relation (id BIGINT, term VARCHAR).
@@ -124,7 +152,23 @@ DICTIONARY_SQL = f"""
     UNION ALL
     SELECT CAST(id AS BIGINT), term
     FROM (VALUES (18, ':placedBy'), (28, ':inNation'), (38, ':inRegion'),
-                 (48, ':byUser'), (58, ':linkedEvent'), (68, ':hasType')) AS t(id, term)
+                 (48, ':byUser'), (58, ':linkedEvent'), (68, ':hasType'),
+                 (78, ':hasLabel')) AS t(id, term)
+    UNION ALL
+    SELECT CAST(n_nationkey * 100 + 6 AS BIGINT),
+           '"' || n_name || '"@en'
+    FROM nation
+    UNION ALL
+    SELECT CAST(n_nationkey * 100 + 16 AS BIGINT),
+           '"' || n_name || ' (fr)"@fr'
+    FROM nation
+    UNION ALL
+    SELECT CAST(r_regionkey * 100 + 26 AS BIGINT), r_name
+    FROM region
+    UNION ALL
+    SELECT CAST(r_regionkey * 100 + 36 AS BIGINT),
+           '"2020-0' || CAST(r_regionkey + 1 AS VARCHAR) || '-15"^^:date'
+    FROM region
 """
 
 
@@ -141,6 +185,7 @@ def triples_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
     events = load_table(spark, sf_dir, "events")
 
     c = F.col
@@ -157,6 +202,18 @@ def triples_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             *_t(c("c_custkey") * 10 + 1, P_LINKED_EVENT, -((c("c_custkey") % 500) * 10 + 7))
         ),
         events.select(*_t(-(c("event_id") * 10 + 7), P_HAS_TYPE, etype_code * 10 + 9)),
+        nation.select(
+            *_t(c("n_nationkey") * 10 + 3, P_HAS_LABEL, c("n_nationkey") * 100 + 6)
+        ),
+        nation.select(
+            *_t(c("n_nationkey") * 10 + 3, P_HAS_LABEL, c("n_nationkey") * 100 + 16)
+        ),
+        region.select(
+            *_t(c("r_regionkey") * 10 + 4, P_HAS_LABEL, c("r_regionkey") * 100 + 26)
+        ),
+        region.select(
+            *_t(c("r_regionkey") * 10 + 4, P_HAS_LABEL, c("r_regionkey") * 100 + 36)
+        ),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -190,6 +247,32 @@ def dictionary_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         entry(nation, c("n_nationkey") * 10 + 3, ":nation_", c("n_nationkey")),
         entry(region, c("r_regionkey") * 10 + 4, ":region_", c("r_regionkey")),
         entry(events, -(c("event_id") * 10 + 7), ":event_", c("event_id")),
+        # literal label terms (term-text grammar, planner._term_lang):
+        # language-tagged '"NAME"@en' / '"NAME (fr)"@fr' for nations,
+        # a bare plain literal and a '"..."^^:date' typed literal for
+        # regions — the LANG()/DATATYPE() accessor surface
+        nation.select(
+            (c("n_nationkey") * 100 + 6).cast("long").alias("id"),
+            F.concat(F.lit('"'), c("n_name"), F.lit('"@en')).alias("term"),
+        ),
+        nation.select(
+            (c("n_nationkey") * 100 + 16).cast("long").alias("id"),
+            F.concat(F.lit('"'), c("n_name"), F.lit(' (fr)"@fr')).alias(
+                "term"
+            ),
+        ),
+        region.select(
+            (c("r_regionkey") * 100 + 26).cast("long").alias("id"),
+            c("r_name").alias("term"),
+        ),
+        region.select(
+            (c("r_regionkey") * 100 + 36).cast("long").alias("id"),
+            F.concat(
+                F.lit('"2020-0'),
+                (c("r_regionkey") + 1).cast("string"),
+                F.lit('-15"^^:date'),
+            ).alias("term"),
+        ),
         static_df,
     ]
     out = parts[0]

@@ -56,7 +56,10 @@ variables (groups plan standalone), non-disjoint VALUES rows (UNDEF
 wildcards are supported when rows are pairwise disjoint — the exact
 condition under which the OR-filter compilation equals the multiset
 join), string functions inside HAVING (grouped output is numeric), and
-other FILTER forms (casts, LANG/datatype accessors). FILTER
+other FILTER forms (casts). Term-kind accessors (LANG, DATATYPE,
+isIRI/isLiteral/isBlank/isNumeric, LANGMATCHES) ARE supported — they
+compile to dictionary-side column predicates over the term-text
+grammar (planner `_term_lang`/`_term_datatype`). FILTER
 comparison sides accept full integer arithmetic (the BIND grammar:
 `FILTER(?a - ?b > 5 * ?c)`), and string functions ARE allowed in
 OPTIONAL-scoped FILTERs: the term column attaches to whichever join
@@ -94,8 +97,10 @@ _GROUP_KEYWORDS = frozenset(
 # reference's own SQL compares encoded ids directly,
 # PartitionQueryingSubject.java:130); string-valued leaves (term
 # equality, [NOT] IN with terms, REGEX/CONTAINS/STRSTARTS/STRENDS,
-# BOUND) each have dedicated leaf forms below. Casts and LANG/DATATYPE
-# accessors are rejected explicitly (no lexical-form model).
+# BOUND) each have dedicated leaf forms below, as do the term-kind
+# accessors (LANG/DATATYPE/isIRI/isLiteral/isBlank/isNumeric/
+# LANGMATCHES — evaluated over the dictionary term text). Casts are
+# rejected explicitly.
 #
 # Expression AST (BGPQuery.filters elements):
 #   (var, op, ('num', int) | ('var', name))   comparison leaf
@@ -105,7 +110,8 @@ _GROUP_KEYWORDS = frozenset(
 # one token; the arithmetic parser re-splits a negative number where a
 # binary operator was expected (`?a -3` ≡ `?a - 3`)
 _FILTER_TOKEN = re.compile(
-    r'\s*(\(|\)|&&|\|\||!=|<=|>=|=|<|>|!|[?$]\w+|-?\d+|"(?:[^"\\]|\\.)*"|,|\+|-|\*|/|\w+)'
+    r'\s*(\(|\)|&&|\|\||<[^>\s]*>|!=|<=|>=|=|<|>|!|[?$]\w+|-?\d+'
+    r'|"(?:[^"\\]|\\.)*"|\w+:\w+|:\w+|,|\+|-|\*|/|\w+)'
 )
 _CMP_OPS = ("=", "!=", "<", "<=", ">", ">=")
 # string-valued FILTER functions (SPARQL 1.1 §17.4.3): evaluated against the
@@ -541,22 +547,44 @@ def _normalize_term(
         if not (body.startswith('"') and body.endswith('"')):
             raise SparqlSyntaxError(f"malformed typed literal: {tok!r}")
         dt_slot = _normalize_term(dt, prefixes)
-        # local datatype name: strip prefix/IRI path and any #fragment
-        dt_local = str(dt_slot[1]).rsplit("#", 1)[-1].lstrip(":")
+        # local datatype name: strip prefix/IRI path and any #fragment —
+        # the final colon segment, so declared (':integer'), undeclared
+        # ('xsd:integer') and full-IRI forms all localize identically
+        dt_local = (
+            str(dt_slot[1])
+            .rsplit("#", 1)[-1]
+            .rsplit("/", 1)[-1]
+            .rsplit(":", 1)[-1]
+        )
         if (
             dt_slot[0] == "term"
             and ":" + dt_local in _INT_DATATYPES
             and re.fullmatch(r"-?\d+", body[1:-1])
         ):
             return ("id", int(body[1:-1]))
+        # any OTHER datatype: a typed literal term — canonical dictionary
+        # text '"lex"^^:localdt' (datatype localized like every IRI), so
+        # DATATYPE(?x) and constant matches work over the term text
+        if dt_slot[0] == "term" and re.fullmatch(r"\w+", dt_local):
+            return ("term", f'"{_unescape(body[1:-1])}"^^:{dt_local}')
         raise SparqlSyntaxError(
-            f"unsupported typed literal {tok!r} (only xsd integer "
-            "datatypes map onto the integer-id data model)"
+            f"unsupported typed literal {tok!r} (xsd integer datatypes "
+            "collapse to ids; other datatypes need a simple local name)"
         )
     if tok.startswith('"') and "@" in tok:
+        # language-tagged literal (RDF 1.1 §3.3): canonical dictionary
+        # text keeps the quotes and a LOWERCASE tag — '"chat"@EN' and
+        # '"chat"@en' are the same term (BCP47 tags are case-insensitive)
+        body, tag = tok.rsplit("@", 1)
+        if (
+            body.startswith('"')
+            and body.endswith('"')
+            and len(body) >= 2
+            and re.fullmatch(r"[A-Za-z][A-Za-z0-9-]*", tag)
+        ):
+            return ("term", f'"{_unescape(body[1:-1])}"@{tag.lower()}')
         raise SparqlSyntaxError(
-            f"language-tagged literals are not supported: {tok!r} "
-            "(the dictionary stores plain terms)"
+            f"malformed language-tagged literal: {tok!r}"
         )
     if tok.startswith("<") and tok.endswith(">"):
         return ("term", _localize_iri(tok[1:-1]))
@@ -601,6 +629,25 @@ def _tokenize_filter(src: str) -> list[str]:
         toks.append(m.group(1))
         pos = m.end()
     return toks
+
+
+def _localize_datatype(tok: str) -> str:
+    """Normalize a datatype IRI / prefixed name from a FILTER to the
+    engine's localized ':name' form (same convention as _localize_iri);
+    xsd integer datatypes collapse to ':integer' — the DATATYPE() value
+    of a dictionary-absent id in the typed-int data model."""
+    if tok.startswith("<") and tok.endswith(">"):
+        local = tok[1:-1].rsplit("#", 1)[-1].rsplit("/", 1)[-1]
+    elif ":" in tok:
+        local = tok.rsplit(":", 1)[-1]
+    else:
+        raise SparqlSyntaxError(
+            f"DATATYPE comparisons take a datatype IRI or prefixed "
+            f"name, got {tok!r}"
+        )
+    if not re.fullmatch(r"\w+", local):
+        raise SparqlSyntaxError(f"malformed datatype IRI: {tok!r}")
+    return ":integer" if ":" + local in _INT_DATATYPES else ":" + local
 
 
 def _parse_filter_expr(src: str):
@@ -863,6 +910,80 @@ def _parse_filter_expr(src: str):
                 )
             take(")")
             return ("bound", v[1:])
+
+        def _take_var_arg(fname: str) -> str:
+            take("(")
+            v = take()
+            if not v.startswith(("?", "$")):
+                raise SparqlSyntaxError(
+                    f"bad FILTER expression {src!r}: {fname} takes a "
+                    f"variable, got {v!r}"
+                )
+            take(")")
+            return v[1:]
+
+        if lhs.lower() in ("lang", "datatype") and peek() == "(":
+            # LANG(?x) = "en" / DATATYPE(?x) = xsd:date (§17.4.2.6-7):
+            # term-kind accessors over the dictionary text — the planner
+            # attaches the term column (same join as REGEX) and compiles
+            # the kind/lang/datatype derivation as column expressions.
+            # AST: ('termfn', fn, var, normalized-value, negated).
+            fn = lhs.lower()
+            v = _take_var_arg(fn.upper())
+            op = take()
+            if op not in ("=", "!="):
+                raise SparqlSyntaxError(
+                    f"bad FILTER expression {src!r}: {fn.upper()}() "
+                    f"comparisons support = and != only, got {op!r}"
+                )
+            rhs = take()
+            if fn == "lang":
+                if not (rhs.startswith('"') and rhs.endswith('"')):
+                    raise SparqlSyntaxError(
+                        f"bad FILTER expression {src!r}: LANG() compares "
+                        f"against a string literal, got {rhs!r}"
+                    )
+                value = _unescape(rhs[1:-1]).lower()
+            else:
+                value = _localize_datatype(rhs)
+            return ("termfn", fn, v, value, op == "!=")
+        if lhs.lower() == "langmatches" and peek() == "(":
+            # LANGMATCHES(LANG(?x), "range") (§17.4.3.20, basic
+            # filtering): range "*" matches any tagged literal; otherwise
+            # the tag equals the range or extends it with a subtag.
+            take("(")
+            t2 = take()
+            if t2.lower() != "lang":
+                raise SparqlSyntaxError(
+                    f"bad FILTER expression {src!r}: LANGMATCHES takes "
+                    f"LANG(?var) as its first argument, got {t2!r}"
+                )
+            v = _take_var_arg("LANG")
+            take(",")
+            rng = take()
+            if not (rng.startswith('"') and rng.endswith('"')):
+                raise SparqlSyntaxError(
+                    f"bad FILTER expression {src!r}: LANGMATCHES range "
+                    f"must be a string literal, got {rng!r}"
+                )
+            take(")")
+            return ("langmatches", v, _unescape(rng[1:-1]).lower())
+        if (
+            lhs.lower() in ("isiri", "isuri", "isliteral", "isblank", "isnumeric")
+            and peek() == "("
+        ):
+            # type-checking predicates (§17.4.2.1-4): booleans over the
+            # term kind. isNumeric is true exactly for integer literals
+            # (dictionary-absent ids) — the engine's only numeric kind.
+            kind = {
+                "isiri": "iri",
+                "isuri": "iri",
+                "isliteral": "literal",
+                "isblank": "blank",
+                "isnumeric": "numeric",
+            }[lhs.lower()]
+            v = _take_var_arg(lhs)
+            return ("termis", kind, v)
         if lhs.lower() == "str" and peek() == "(":
             # STR(?x) = "literal" (§17.4.2.5 wrapper + term equality): ids
             # ARE term references here, so STR-of-var compares the term
@@ -954,6 +1075,12 @@ def filter_expr_vars(node) -> set[str]:
         return {node[1]}
     if len(node) == 5 and node[0] == "strfn":  # string-function leaf
         return {node[2]}
+    if len(node) == 5 and node[0] == "termfn":  # LANG/DATATYPE leaf
+        return {node[2]}
+    if len(node) == 3 and node[0] == "termis":  # isIRI/isLiteral/... leaf
+        return {node[2]}
+    if len(node) == 3 and node[0] == "langmatches":
+        return {node[1]}
     if node[0] == "not":
         return filter_expr_vars(node[1])
     return filter_expr_vars(node[1]) | filter_expr_vars(node[2])
@@ -972,6 +1099,12 @@ def filter_expr_strfn_vars(node) -> set[str]:
         return set()
     if len(node) == 5 and node[0] == "strfn":
         return {node[2]}
+    if len(node) == 5 and node[0] == "termfn":
+        return {node[2]}  # accessors read the term text too
+    if len(node) == 3 and node[0] == "termis":
+        return {node[2]}
+    if len(node) == 3 and node[0] == "langmatches":
+        return {node[1]}
     if node[0] == "not":
         return filter_expr_strfn_vars(node[1])
     return filter_expr_strfn_vars(node[1]) | filter_expr_strfn_vars(node[2])
@@ -993,6 +1126,10 @@ def filter_expr_streq_literals(node) -> set[str]:
     if len(node) == 2 and node[0] == "bound":
         return set()
     if len(node) == 5 and node[0] == "strfn":
+        return set()
+    if len(node) == 5 and node[0] == "termfn":
+        return set()  # LANG/DATATYPE values compare as strings, not ids
+    if len(node) == 3 and node[0] in ("termis", "langmatches"):
         return set()
     if node[0] == "not":
         return filter_expr_streq_literals(node[1])
@@ -1127,6 +1264,8 @@ def arith_expr_vars(node) -> set[str]:
         return {node[1]}
     if k == "num":
         return set()
+    if k == "termfn_expr":  # BIND(LANG/DATATYPE(?x) AS ?y)
+        return {node[2]}
     if k == "abs":
         return arith_expr_vars(node[1])
     if k == "coalesce":
@@ -1775,9 +1914,26 @@ def _parse_group(
                         f"BIND needs the form BIND(expr AS ?var): "
                         f"{body.strip()!r}"
                     )
-                binds.append(
-                    (am.group("var"), _parse_arith_expr(body[: am.start()]))
+                body_expr = body[: am.start()]
+                tm = re.fullmatch(
+                    r"\s*(LANG|DATATYPE)\s*\(\s*([?$]\w+)\s*\)\s*",
+                    body_expr,
+                    re.I,
                 )
+                if tm:
+                    # BIND(LANG(?x) AS ?l) / BIND(DATATYPE(?x) AS ?d):
+                    # term-kind accessor bind — the target is a STRING
+                    # column (the tag / localized datatype), computed
+                    # dictionary-side by the planner
+                    binds.append(
+                        (
+                            am.group("var"),
+                            ("termfn_expr", tm.group(1).lower(),
+                             tm.group(2)[1:]),
+                        )
+                    )
+                else:
+                    binds.append((am.group("var"), _parse_arith_expr(body_expr)))
                 seq.append(("bind", len(binds) - 1))
                 continue
             # VALUES

@@ -58,11 +58,100 @@ _OPS = {
 }
 
 
+# Term-TEXT grammar of the dictionary (see SPARQL.md): an IRI is stored
+# localized with a leading ':'; a blank node as '_:label'; a
+# language-tagged literal as '"lex"@tag' (lowercase tag); a non-integer
+# typed literal as '"lex"^^:dtype'; any other text is a plain literal
+# (xsd:string). An id with NO dictionary entry is an INTEGER literal (the
+# typed-int data model). All kinds are decidable by column expressions
+# over (id, term) — LANG/DATATYPE/isIRI never need per-row Python, and
+# they evaluate against the DICTIONARY (|dict| rows), not per solution.
+_TAGGED_RE = '"@[A-Za-z][A-Za-z0-9-]*$'
+_TYPED_RE = r'"\^\^:\w+$'
+
+
+def _is_tagged(t: Column) -> Column:
+    return t.startswith('"') & t.rlike(_TAGGED_RE)
+
+
+def _is_typed(t: Column) -> Column:
+    return t.startswith('"') & t.rlike(_TYPED_RE)
+
+
+def _is_ref(t: Column) -> Column:
+    """IRI or blank node (the non-literal kinds)."""
+    return t.startswith(":") | t.startswith("_:")
+
+
+def _term_lang(idc: Column, t: Column) -> Column:
+    """LANG(?x) (§17.4.2.6): the tag for tagged literals, "" for every
+    other literal (incl. integer literals = dictionary-absent ids), and
+    an ERROR (NULL) for IRIs/blanks/unbound — 3VL drops those rows."""
+    return (
+        F.when(idc.isNull(), F.lit(None).cast("string"))
+        .when(t.isNull(), F.lit(""))
+        .when(_is_ref(t), F.lit(None).cast("string"))
+        .when(
+            _is_tagged(t),
+            F.lower(F.regexp_extract(t, '"@([A-Za-z][A-Za-z0-9-]*)$', 1)),
+        )
+        .otherwise(F.lit(""))
+    )
+
+
+def _term_datatype(idc: Column, t: Column) -> Column:
+    """DATATYPE(?x) (§17.4.2.7), localized: ':integer' for integer
+    literals, ':langString' (rdf:langString) for tagged, the declared
+    ':dtype' for typed, ':string' for plain literals; ERROR for
+    IRIs/blanks/unbound."""
+    return (
+        F.when(idc.isNull(), F.lit(None).cast("string"))
+        .when(t.isNull(), F.lit(":integer"))
+        .when(_is_ref(t), F.lit(None).cast("string"))
+        .when(_is_tagged(t), F.lit(":langString"))
+        .when(_is_typed(t), F.regexp_extract(t, r'"\^\^(:\w+)$', 1))
+        .otherwise(F.lit(":string"))
+    )
+
+
+def _termis_expr(kind: str, idc: Column, t: Column) -> Column:
+    """isIRI/isBlank/isLiteral/isNumeric (§17.4.2.1-4): boolean over the
+    term kind; unbound → ERROR (NULL)."""
+    if kind == "iri":
+        core = F.coalesce(t.startswith(":"), F.lit(False))
+    elif kind == "blank":
+        core = F.coalesce(t.startswith("_:"), F.lit(False))
+    elif kind == "literal":
+        core = t.isNull() | ~_is_ref(t)
+    else:  # numeric: integer literals are the engine's only numeric kind
+        core = t.isNull()
+    return F.when(idc.isNull(), F.lit(None).cast("boolean")).otherwise(core)
+
+
+def _termfn_implied(fn: str, t: Column, value: str) -> Column | None:
+    """A redundant NULL-INTOLERANT predicate implied by a positive
+    accessor equality — conjoined at positive polarity so Catalyst can
+    rewrite the dictionary left join to inner and push the match into
+    the dictionary scan (same strategy as the strfn leaves). None when
+    the equality admits dictionary-absent ids (no term predicate
+    exists)."""
+    if fn == "lang":
+        # every solution with LANG = "tag" (nonempty) has a term ending
+        # '"@tag' — the quote anchors the full tag
+        return F.lower(t).endswith('"@' + value) if value else None
+    if value == ":langString":
+        return t.rlike(_TAGGED_RE)
+    if value not in (":integer", ":string"):
+        return t.endswith('"^^' + value)
+    return None
+
+
 def _compile_filter(
     node,
     colmap: dict[str, str],
     termmap: dict[str, str] | None = None,
     litids: dict[str, int] | None = None,
+    positive: bool = True,
 ) -> Column:
     """FILTER expression AST → Column predicate.
 
@@ -145,10 +234,57 @@ def _compile_filter(
         if fn == "strstarts":
             return col.startswith(pattern)
         return col.endswith(pattern)
+    if len(node) == 5 and node[0] == "termfn":  # LANG/DATATYPE leaf
+        _, fn, var, value, negated = node
+        if termmap is None or var not in termmap:
+            raise SparqlSyntaxError(
+                "term accessors are not supported in this FILTER context"
+            )
+        idc, tc = F.col(colmap[var]), F.col(termmap[var])
+        ex = _term_lang(idc, tc) if fn == "lang" else _term_datatype(idc, tc)
+        pred = (ex != F.lit(value)) if negated else (ex == F.lit(value))
+        if positive and not negated:
+            # at positive polarity NULL (SPARQL error) and FALSE both
+            # drop the row, so conjoining the implied null-intolerant
+            # term predicate is sound — and it lets Catalyst inner-ize
+            # the dictionary join and push the match into the dict scan
+            imp = _termfn_implied(fn, tc, value)
+            if imp is not None:
+                pred = pred & imp
+        return pred
+    if len(node) == 3 and node[0] == "langmatches":
+        _, var, rng = node
+        if termmap is None or var not in termmap:
+            raise SparqlSyntaxError(
+                "term accessors are not supported in this FILTER context"
+            )
+        idc, tc = F.col(colmap[var]), F.col(termmap[var])
+        lang = _term_lang(idc, tc)
+        if rng == "*":
+            pred = lang != F.lit("")
+        else:
+            pred = (lang == F.lit(rng)) | lang.startswith(rng + "-")
+        if positive:
+            pred = pred & tc.rlike(_TAGGED_RE)  # survivors are tagged
+        return pred
+    if len(node) == 3 and node[0] == "termis":  # isIRI/isLiteral/... leaf
+        _, kind, var = node
+        if termmap is None or var not in termmap:
+            raise SparqlSyntaxError(
+                "term accessors are not supported in this FILTER context"
+            )
+        idc, tc = F.col(colmap[var]), F.col(termmap[var])
+        pred = _termis_expr(kind, idc, tc)
+        if positive and kind in ("iri", "blank"):
+            pred = pred & tc.startswith(":" if kind == "iri" else "_:")
+        return pred
     if node[0] == "not":
-        return ~_compile_filter(node[1], colmap, termmap, litids)
-    a = _compile_filter(node[1], colmap, termmap, litids)
-    b = _compile_filter(node[2], colmap, termmap, litids)
+        # under negation NULL (error) and FALSE diverge (!error = error,
+        # !false = true) — the subtree must compile the PRECISE 3VL
+        # expression, no implied-predicate conjuncts
+        return ~_compile_filter(node[1], colmap, termmap, litids, False)
+    a = _compile_filter(node[1], colmap, termmap, litids, positive)
+    b = _compile_filter(node[2], colmap, termmap, litids, positive)
     return (a & b) if node[0] == "and" else (a | b)
 
 
@@ -1383,6 +1519,37 @@ def _plan_group(
         nonlocal joined
         bvar, bexpr = item
         cname = f"vb_{bvar}"
+        if bexpr[0] == "termfn_expr":
+            # BIND(LANG(?x) AS ?l) / BIND(DATATYPE(?x) AS ?d): attach the
+            # source variable's dictionary term (one broadcast left join,
+            # same as the strfn strategy) and compute the STRING value
+            # column-side. IRIs/blanks/unbound ERROR → NULL → the target
+            # is unbound for those solutions (always nullable).
+            _, fn, src_var = bexpr
+            if dictionary is None:
+                raise SparqlSyntaxError(
+                    "LANG()/DATATYPE() BINDs need a dictionary to "
+                    "resolve terms"
+                )
+            bi = ctx.nid()
+            tcol = f"__bterm{bi}_{src_var}"
+            d = (
+                dictionary._dict_side()
+                .withColumnRenamed("id", f"__bsid{bi}")
+                .withColumnRenamed("term", tcol)
+            )
+            joined = joined.join(
+                d, F.col(bound_cols[src_var]) == F.col(f"__bsid{bi}"), "left"
+            ).drop(f"__bsid{bi}")
+            idc, tc = F.col(bound_cols[src_var]), F.col(tcol)
+            ex = _term_lang(idc, tc) if fn == "lang" else _term_datatype(
+                idc, tc
+            )
+            joined = joined.withColumn(cname, ex).drop(tcol)
+            bound_cols[bvar] = cname
+            order.append(bvar)
+            nullable_vars.add(bvar)
+            return
         joined = joined.withColumn(cname, _compile_arith(bexpr, bound_cols))
         bound_cols[bvar] = cname
         order.append(bvar)

@@ -36,6 +36,14 @@ def test_rdf_split_join_pstore(spark, sf_dir):
     )
 
 
+def test_sparql_optional_matches_oracle(spark, sf_dir):
+    """Demoted r6 (slot → sparql_lang): OPTIONAL → LeftJoin with the
+    group-scoped FILTER folded into the join condition (§18.2.2.2)."""
+    assert_matches_oracle(
+        R.sparql_optional(spark, sf_dir), R.SPARQL_OPTIONAL_SQL, sf_dir
+    )
+
+
 def test_sparql_union_matches_oracle(spark, sf_dir):
     """SPARQL UNION over the real graph: order-placedBy arm UNION ALL
     event-byUser arm — the user-facing form of the sign-split recombination

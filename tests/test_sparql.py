@@ -247,10 +247,33 @@ def test_parse_filter_forms():
     assert bgp.filters == (("y", ">", ("num", 3)), ("x", "!=", ("var", "y")))
 
 
-def test_parse_rejects_rich_filter():
-    # LANG/datatype accessors stay out of scope
+def test_parse_rich_filter_accessors():
+    """Term-kind accessors (r6): LANG/DATATYPE comparisons and the
+    type-checking predicates parse to dedicated leaves; casts stay out."""
+    bgp = parse_sparql(
+        'SELECT ?x WHERE { ?x :p ?y . FILTER(LANG(?y) = "EN") }'
+    )
+    assert bgp.filters == (("termfn", "lang", "y", "en", False),)
+    bgp = parse_sparql(
+        "SELECT ?x WHERE { ?x :p ?y . FILTER(DATATYPE(?y) != xsd:long) }"
+    )
+    # xsd integer datatypes collapse to :integer (the typed-int model)
+    assert bgp.filters == (("termfn", "datatype", "y", ":integer", True),)
+    bgp = parse_sparql(
+        "SELECT ?x WHERE { ?x :p ?y . FILTER(isIRI(?y) || isBlank(?y)) }"
+    )
+    assert bgp.filters == (
+        ("or", ("termis", "iri", "y"), ("termis", "blank", "y")),
+    )
+    bgp = parse_sparql(
+        'SELECT ?x WHERE { ?x :p ?y . FILTER(LANGMATCHES(LANG(?y), "*")) }'
+    )
+    assert bgp.filters == (("langmatches", "y", "*"),)
+    # casts remain rejected
     with pytest.raises(SparqlSyntaxError):
-        parse_sparql('SELECT ?x WHERE { ?x :p ?y . FILTER(LANG(?y) = "en") }')
+        parse_sparql(
+            "SELECT ?x WHERE { ?x :p ?y . FILTER(xsd:integer(?y) > 2) }"
+        )
 
 
 def test_parse_filter_arithmetic_comparisons():
@@ -1931,10 +1954,14 @@ def test_typed_and_tagged_literals():
         '"12"^^<http://www.w3.org/2001/XMLSchema#integer> }'
     )
     assert bgp.patterns[0].o == ("id", 12)
-    with pytest.raises(SparqlSyntaxError, match="language-tagged"):
-        parse_sparql('SELECT ?s WHERE { ?s :p10 "x"@en }')
-    with pytest.raises(SparqlSyntaxError, match="typed literal"):
-        parse_sparql('SELECT ?s WHERE { ?s :p10 "x"^^xsd:string }')
+    # language-tagged literals normalize to canonical quoted text with a
+    # LOWERCASE tag (BCP47 case-insensitivity); non-integer typed
+    # literals keep the quoted form with the localized datatype (r6
+    # term-kind model)
+    bgp = parse_sparql('SELECT ?s WHERE { ?s :p10 "x"@EN }')
+    assert bgp.patterns[0].o == ("term", '"x"@en')
+    bgp = parse_sparql('SELECT ?s WHERE { ?s :p10 "x"^^xsd:string }')
+    assert bgp.patterns[0].o == ("term", '"x"^^:string')
 
 
 def test_select_expressions_over_aggregates(tiny_store, tiny_dict):

@@ -1,0 +1,171 @@
+"""RDF term-kind model (r6): language-tagged literals and the
+LANG/DATATYPE/isIRI/isLiteral/isBlank/isNumeric/LANGMATCHES accessors
+(SPARQL 1.1 §17.4.2), evaluated over the dictionary term-text grammar
+(planner._term_lang):
+
+    ':name'        IRI (localized)          '_:label'  blank node
+    '"lex"@tag'    language-tagged literal  '"lex"^^:dt' typed literal
+    bare text      plain literal (:string)  absent id  integer literal
+
+The reference's Jena front-end parsed these accessors
+(MyOpVisitorBase.java:49); its translator had no literal model. Here they
+compile to column expressions over ONE dictionary left join per variable
+— evaluated against |dict| distinct terms, never per solution row — and
+at positive polarity an implied null-intolerant term predicate lets
+Catalyst rewrite the join to inner and push the match into the
+dictionary scan (same strategy as the REGEX family)."""
+
+from __future__ import annotations
+
+import pytest
+
+from rdfproject_msc_spark.dictionary import Dictionary
+from rdfproject_msc_spark.sparql.parser import SparqlSyntaxError
+from rdfproject_msc_spark.sparql.planner import sparql_to_df
+from rdfproject_msc_spark.store import TripleStore
+
+# ids: 1=:alice (IRI), 2='"chat"@en', 3='"cat"@fr', 4=plain 'hello',
+# 5='"2024-01-01"^^:date', 6='"hi"@en-us', 10=:label (pred);
+# 42 has NO dictionary entry → integer literal
+TRIPLES = [(1, 10, 2), (1, 10, 3), (1, 10, 4), (1, 10, 5), (1, 10, 42),
+           (1, 10, 1), (1, 10, 6)]
+DICT = [
+    (1, ":alice"),
+    (2, '"chat"@en'),
+    (3, '"cat"@fr'),
+    (4, "hello"),
+    (5, '"2024-01-01"^^:date'),
+    (6, '"hi"@en-us'),
+    (10, ":label"),
+]
+
+
+@pytest.fixture(scope="module")
+def tstore(spark):
+    return TripleStore(
+        spark.createDataFrame(TRIPLES, "s long, p long, o long")
+    )
+
+
+@pytest.fixture(scope="module")
+def tdict(spark):
+    return Dictionary(spark.createDataFrame(DICT, "id long, term string"))
+
+
+def _objs(tstore, tdict, flt):
+    df = sparql_to_df(
+        tstore, f"SELECT ?o WHERE {{ ?s :label ?o . FILTER({flt}) }}", tdict
+    )
+    return sorted(r.o for r in df.collect())
+
+
+def test_lang_equality(tstore, tdict):
+    # tag comparison is case-insensitive on BOTH sides (BCP47)
+    assert _objs(tstore, tdict, 'LANG(?o) = "en"') == [2]
+    assert _objs(tstore, tdict, 'LANG(?o) = "EN"') == [2]
+    assert _objs(tstore, tdict, 'LANG(?o) = "en-US"') == [6]
+    # LANG of plain/typed/integer literals is "" (§17.4.2.6)
+    assert _objs(tstore, tdict, 'LANG(?o) = ""') == [4, 5, 42]
+    # != : IRIs ERROR (NULL) and drop — not "everything but fr"
+    assert _objs(tstore, tdict, 'LANG(?o) != "fr"') == [2, 4, 5, 6, 42]
+
+
+def test_langmatches(tstore, tdict):
+    # "*" = any tagged literal; a range matches itself and its subtags
+    assert _objs(tstore, tdict, 'LANGMATCHES(LANG(?o), "*")') == [2, 3, 6]
+    assert _objs(tstore, tdict, 'LANGMATCHES(LANG(?o), "en")') == [2, 6]
+
+
+def test_datatype(tstore, tdict):
+    assert _objs(tstore, tdict, "DATATYPE(?o) = xsd:date") == [5]
+    assert _objs(tstore, tdict, "DATATYPE(?o) = xsd:string") == [4]
+    # every xsd integer datatype collapses to the typed-int model
+    assert _objs(tstore, tdict, "DATATYPE(?o) = xsd:integer") == [42]
+    assert _objs(tstore, tdict, "DATATYPE(?o) = xsd:long") == [42]
+    assert _objs(
+        tstore, tdict,
+        "DATATYPE(?o) = <http://www.w3.org/1999/02/22-rdf-syntax-ns#langString>",
+    ) == [2, 3, 6]
+    # != drops IRIs (error), keeps the rest
+    assert _objs(tstore, tdict, "DATATYPE(?o) != xsd:date") == [2, 3, 4, 6, 42]
+
+
+def test_type_predicates(tstore, tdict):
+    assert _objs(tstore, tdict, "isIRI(?o)") == [1]
+    assert _objs(tstore, tdict, "isLiteral(?o)") == [2, 3, 4, 5, 6, 42]
+    assert _objs(tstore, tdict, "isNumeric(?o)") == [42]
+    assert _objs(tstore, tdict, "isBlank(?o)") == []
+    # negation over the precise 3VL form: !isIRI keeps literals only
+    # (unbound would error; everything here is bound)
+    assert _objs(tstore, tdict, "!isIRI(?o)") == [2, 3, 4, 5, 6, 42]
+    # composition with the boolean connectives
+    assert _objs(
+        tstore, tdict, 'isLiteral(?o) && LANG(?o) = ""'
+    ) == [4, 5, 42]
+
+
+def test_bind_accessors(tstore, tdict):
+    df = sparql_to_df(
+        tstore,
+        "SELECT ?o ?dt ?lg WHERE { ?s :label ?o . "
+        "BIND(DATATYPE(?o) AS ?dt) BIND(LANG(?o) AS ?lg) }",
+        tdict,
+    )
+    got = sorted(
+        (r.o, r.dt, r.lg) for r in df.collect()
+    )
+    assert got == [
+        (1, None, None),  # IRI: both accessors ERROR → unbound
+        (2, ":langString", "en"),
+        (3, ":langString", "fr"),
+        (4, ":string", ""),
+        (5, ":date", ""),
+        (6, ":langString", "en-us"),
+        (42, ":integer", ""),
+    ]
+
+
+def test_constant_tagged_literal_in_pattern(tstore, tdict):
+    # '"chat"@EN' normalizes to the canonical lowercase-tag term
+    df = sparql_to_df(tstore, 'SELECT ?s WHERE { ?s :label "chat"@EN }', tdict)
+    assert [r.s for r in df.collect()] == [1]
+
+
+def test_accessor_on_unbound_var_drops(tstore, tdict):
+    # OPTIONAL-bound ?o unbound → LANG errors → row drops (§17.2)
+    df = sparql_to_df(
+        tstore,
+        "SELECT ?s ?o WHERE { ?s :label 2 . "
+        'OPTIONAL { ?s :missing ?o } FILTER(LANG(?o) = "") }',
+        Dictionary(
+            tdict.df.sparkSession.createDataFrame(
+                DICT + [(99, ":missing")], "id long, term string"
+            )
+        ),
+    )
+    assert df.collect() == []
+
+
+def test_positive_lang_filter_inner_izes_dict_join(tstore, tdict):
+    """The implied null-intolerant predicate conjoined at positive
+    polarity lets Catalyst rewrite the dictionary LEFT join to INNER —
+    the term match then evaluates dictionary-side, the 100 TB strategy
+    (|dict| ≪ |triples|)."""
+    df = sparql_to_df(
+        tstore,
+        'SELECT ?o WHERE { ?s :label ?o . FILTER(LANG(?o) = "en") }',
+        tdict,
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]
+    assert "LeftOuter" not in final
+
+
+def test_accessor_rejects_without_dictionary(tstore, spark):
+    with pytest.raises(SparqlSyntaxError):
+        sparql_to_df(
+            tstore,
+            'SELECT ?o WHERE { ?s 10 ?o . FILTER(LANG(?o) = "en") }',
+            None,
+        )

@@ -476,6 +476,43 @@ WHERE q0.p = {P_BY_USER} AND q1.p = {P_IN_NATION} AND t.p = {P_IN_REGION}
 """
 
 
+# FROM merges graphs 1 and 3 into the active default graph; FROM NAMED
+# restricts GRAPH ?g to graphs 0 and 2 — the two §13.2 clauses composed
+# in one query, joined on ?c across the dataset boundary.
+SPARQL_FROM = (
+    "SELECT ?g ?e ?c ?n FROM 1 FROM 3 FROM NAMED 0 FROM NAMED 2 WHERE "
+    "{ ?e :byUser ?c . GRAPH ?g { ?c :inNation ?n } }"
+)
+
+
+def sparql_from(spark, sf_dir):
+    """FROM / FROM NAMED dataset clauses (SPARQL 1.1 §13.2) over the quad
+    model: the active default graph becomes the set-union of the FROM
+    graphs and GRAPH blocks range over only the FROM NAMED graphs —
+    both lower to `g IN (...)` filters on the quad relation
+    (planner._dataset_scoped_store), pushdown-able and, on a write_quads
+    layout, directory-PRUNED. Jena parsed these clauses for the
+    reference (MyOpVisitorBase.java:49); its single-table translator had
+    no dataset model. Graph names here are the engine's integer ids
+    (same id data model as every other constant)."""
+    t = triples_df(spark, sf_dir)
+    quads = t.select(
+        (F.abs(F.col("s")) % F.lit(4)).alias("g"), "s", "p", "o"
+    ).cache()
+    store = _store(spark, sf_dir, quads=quads)
+    return sparql_to_df(store, SPARQL_FROM, _dict(spark, sf_dir))
+
+
+SPARQL_FROM_SQL = f"""{TRIPLES_CTE},
+quads AS (SELECT abs(s) % 4 AS g, s, p, o FROM triples),
+dflt AS (SELECT DISTINCT s, p, o FROM quads WHERE g IN (1, 3))
+SELECT q.g AS g, a.s AS e, a.o AS c, q.o AS n
+FROM dflt a
+JOIN quads q ON a.o = q.s AND q.g IN (0, 2)
+WHERE a.p = {P_BY_USER} AND q.p = {P_IN_NATION}
+"""
+
+
 SPARQL_FILTER = (
     "SELECT ?e ?c WHERE { ?e (:byUser|:linkedEvent) ?c . "
     "FILTER((?e >= -2507 && !(?c = 71)) || ?c < 60) }"
@@ -2245,7 +2282,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "doc_pack": QuerySpec(doc_pack, DOC_PACK_SQL),
     "text_stats": QuerySpec(text_stats, TEXT_STATS_SQL),
     "text_langid": QuerySpec(text_langid, TEXT_LANGID_SQL),
-    "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FINGERPRINT_SQL),
+    # text_fingerprint demoted r6 (slot → sparql_from): the rolling-hash
+    # fingerprint stays oracle-pinned in tests/test_demoted.py; the
+    # textstats family keeps text_stats/text_langid/text_tokens rows
+    "sparql_from": QuerySpec(sparql_from, SPARQL_FROM_SQL),
     # text_top_tokens demoted r5 (slot → bm25_search): corpus heavy
     # hitters — machinery (token explode + keyed agg) shared with
     # text_tokens and the LM vocabulary; pinned in tests/test_demoted.py

@@ -188,9 +188,12 @@ _QUERY = re.compile(
     r"^\s*(?P<prefixes>(?:PREFIX\s+\S+\s*<[^>]*>\s*)*)"
     r"SELECT\s+(?:(?P<distinct>DISTINCT)\s+|REDUCED\s+)?"
     r"(?P<proj>\*|(?:(?:[?$]\w+|\((?:[^()]|\([^()]*\))*\))\s*)+)\s*"
+    r"(?P<dataset>(?:FROM\s+(?:NAMED\s+)?\S+\s*)*)"
     r"WHERE\s*(?=\{)",
     re.I | re.S,
 )
+# one dataset clause (§13.2) inside the _QUERY 'dataset' group
+_FROM_CLAUSE = re.compile(r"FROM\s+(?P<named>NAMED\s+)?(?P<src>\S+)", re.I)
 # projection items: a plain variable, or a parenthesized aggregate
 # `(AGG([DISTINCT] ?v|*) AS ?alias)` (SPARQL 1.1 §11; one paren level)
 _PROJ_ITEM = re.compile(r"[?$]\w+|\((?:[^()]|\([^()]*\))*\)")
@@ -466,6 +469,14 @@ class BGPQuery:
     ask: bool = False
     # OFFSET (applies after ORDER BY, before LIMIT)
     offset: int | None = None
+    # dataset clauses (§13.2): FROM graphs merge (set-union) into the
+    # active default graph; FROM NAMED graphs are the ONLY graphs GRAPH
+    # blocks range over. When EITHER is present the query's dataset is
+    # exactly what the clauses describe (absent FROM → empty default
+    # graph; absent FROM NAMED → no named graphs). Slots are
+    # ('term', text) | ('id', int), resolved like pattern constants.
+    dataset_default: tuple[tuple[str, object], ...] = ()
+    dataset_named: tuple[tuple[str, object], ...] = ()
 
     # ---- flat-view accessors: the ROOT group's content, kept so code and
     # tests written against the pre-recursive flat representation keep
@@ -2133,6 +2144,7 @@ def parse_sparql(
     PREFIX declarations into a subquery (§12: subqueries do not redeclare
     prefixes; inner declarations would shadow outer ones)."""
     ask, tpl_src, describe_var = False, None, None
+    dataset_src = ""
     dv = _DESCRIBE_VAR.match(query)
     dt = _DESCRIBE_TERMS.match(query) if not dv else None
     if dt:
@@ -2190,6 +2202,7 @@ def parse_sparql(
         prefixes_src = m.group("prefixes")
         proj_src = m.group("proj").strip()
         distinct_src = m.group("distinct")
+        dataset_src = m.group("dataset") or ""
         bgp_src, end = _scan_delim(query, m.end(), "{", "}", "WHERE group")
         mods_src = query[end:]
     prefixes = dict(outer_prefixes or {})
@@ -2197,6 +2210,17 @@ def parse_sparql(
         (pm.group(1), pm.group(2))
         for pm in _PREFIX_DECL.finditer(prefixes_src)
     )
+    # dataset clauses (§13.2): FROM / FROM NAMED graph IRIs normalize
+    # exactly like pattern constants (localized ':name' terms or ids)
+    dataset_default: list[tuple[str, object]] = []
+    dataset_named: list[tuple[str, object]] = []
+    for fm in _FROM_CLAUSE.finditer(dataset_src):
+        slot = _normalize_term(fm.group("src"), prefixes)
+        if slot[0] == "var":
+            raise SparqlSyntaxError(
+                f"FROM takes a graph IRI, not a variable: ?{slot[1]}"
+            )
+        (dataset_named if fm.group("named") else dataset_default).append(slot)
     # the WHERE clause parses as a RECURSIVE group graph pattern (§5.2):
     # nested {} subgroups, OPTIONAL/MINUS/EXISTS bodies and UNION arms are
     # full groups at arbitrary depth
@@ -2606,4 +2630,6 @@ def parse_sparql(
         aggregates=tuple(aggregates),
         having=tuple(having),
         agg_exprs=tuple(agg_exprs),
+        dataset_default=tuple(dataset_default),
+        dataset_named=tuple(dataset_named),
     )

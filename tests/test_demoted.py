@@ -36,6 +36,14 @@ def test_rdf_split_join_pstore(spark, sf_dir):
     )
 
 
+def test_text_fingerprint_matches_oracle(spark, sf_dir):
+    """Demoted r6 (slot → sparql_from): rolling-hash document
+    fingerprinting, exact DuckDB oracle."""
+    assert_matches_oracle(
+        R.text_fingerprint(spark, sf_dir), R.TEXT_FINGERPRINT_SQL, sf_dir
+    )
+
+
 def test_sparql_optional_matches_oracle(spark, sf_dir):
     """Demoted r6 (slot → sparql_lang): OPTIONAL → LeftJoin with the
     group-scoped FILTER folded into the join condition (§18.2.2.2)."""

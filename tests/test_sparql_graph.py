@@ -364,6 +364,82 @@ def test_composite_zero_length_constant_under_graph_var(gstore, gdict):
     ]
 
 
+# ---- dataset clauses (§13.2) --------------------------------------------
+
+
+def test_from_selects_default_graph(gstore, gdict):
+    """FROM <g>: the active default graph is that named graph — the base
+    TRIPLES relation is NOT consulted (its 3-p10->4 edge must not
+    appear)."""
+    df = sparql_to_df(
+        gstore,
+        "SELECT ?s ?o FROM :graph_a WHERE { ?s :p10 ?o }",
+        gdict,
+    )
+    assert _rows(df) == [(1, 2)]
+
+
+def test_from_merges_graphs(gstore, gdict):
+    """Two FROM graphs merge by SET union: the 1-p10->2 edge present in
+    BOTH graphs 100 and 101 appears once."""
+    df = sparql_to_df(
+        gstore,
+        "SELECT ?s ?o FROM :graph_a FROM :graph_b WHERE { ?s :p10 ?o }",
+        gdict,
+    )
+    assert _rows(df) == [(1, 2), (2, 9)]
+
+
+def test_from_named_restricts_graph_var(gstore, gdict):
+    """FROM NAMED: GRAPH ?g ranges over ONLY the named graphs (102 is
+    excluded), and with no FROM clause the default graph is EMPTY."""
+    df = sparql_to_df(
+        gstore,
+        "SELECT ?g ?s FROM NAMED :graph_a FROM NAMED :graph_b "
+        "WHERE { GRAPH ?g { ?s :p10 ?o } }",
+        gdict,
+    )
+    assert _rows(df) == [(100, 1), (101, 1), (101, 2)]
+    empty = sparql_to_df(
+        gstore,
+        "SELECT ?s FROM NAMED :graph_a WHERE { ?s :p10 ?o }",
+        gdict,
+    )
+    assert empty.collect() == []
+
+
+def test_from_and_from_named_compose(gstore, gdict):
+    # default = graph 100; GRAPH ranges over 101 only; join on ?o/?t via
+    # the shared subject-chain — 1-p10->2 in the default, then per-named
+    df = sparql_to_df(
+        gstore,
+        "SELECT ?s ?g ?t FROM :graph_a FROM NAMED :graph_b "
+        "WHERE { ?s :p10 ?o . GRAPH ?g { ?o :p10 ?t } }",
+        gdict,
+    )
+    assert _rows(df) == [(1, 101, 9)]
+    # constant GRAPH outside the FROM NAMED set yields nothing
+    none = sparql_to_df(
+        gstore,
+        "SELECT ?s FROM NAMED :graph_b "
+        "WHERE { GRAPH :graph_a { ?s :p10 ?o } }",
+        gdict,
+    )
+    assert none.collect() == []
+
+
+def test_from_rejects(gstore, gdict, spark):
+    with pytest.raises(SparqlSyntaxError, match="variable"):
+        parse_sparql("SELECT ?s FROM ?g WHERE { ?s :p10 ?o }")
+    bare = TripleStore(
+        spark.createDataFrame(TRIPLES, "s long, p long, o long")
+    )
+    with pytest.raises(ValueError, match="named graphs"):
+        sparql_to_df(
+            bare, "SELECT ?s FROM :graph_a WHERE { ?s :p10 ?o }", gdict
+        ).collect()
+
+
 def test_subquery_under_graph_var_rejects(gstore, gdict):
     with pytest.raises(SparqlSyntaxError, match="GRAPH"):
         sparql_to_df(

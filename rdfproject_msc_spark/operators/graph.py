@@ -78,6 +78,7 @@ def transitive_closure(
     src_id: int | None = None,
     dst_id: int | None = None,
     max_iter: int = 50,
+    seed_set: DataFrame | None = None,
 ) -> DataFrame:
     """DISTINCT reachability pairs (src, dst) over ≥1-step directed paths —
     the relation behind SPARQL's OneOrMorePath `p+` (§9.1; arbitrary-length
@@ -95,10 +96,45 @@ def transitive_closure(
     of a 100 TB graph is explored instead of the full closure. This is the
     form a real query almost always takes (`:order_7 :linked+ ?x`).
 
+    Set-seeded form (``seed_set``, a DataFrame with node column ``n``):
+    the pair iteration starts from only the edges whose SOURCE is in the
+    set — the result is the closure restricted to sources in the set,
+    with per-source pairs intact (unlike the scalar BFS, which tracks
+    nodes). Work is bounded by the subgraph reachable FROM the set; the
+    composite-path planner uses this to seed a `p*`/`p+` sequence member
+    from the frontier of the members before it.
+
     Raises after ``max_iter`` rounds rather than returning a silently
     incomplete closure.
     """
     e = edges.select(F.col(src).alias("cs"), F.col(dst).alias("co")).distinct()
+
+    if seed_set is not None and src_id is None and dst_id is None:
+        e = e.localCheckpoint()
+        reach = (
+            seed_set.select(F.col("n").alias("cs"))
+            .distinct()
+            .join(e, "cs")
+            .select("cs", "co")
+            .localCheckpoint()
+        )
+        frontier = reach
+        e2s = e.select(F.col("cs").alias("m"), F.col("co").alias("co2"))
+        for _ in range(max_iter):
+            nxt = (
+                frontier.join(e2s, frontier["co"] == e2s["m"])
+                .select("cs", F.col("co2").alias("co"))
+                .distinct()
+                .join(reach, ["cs", "co"], "left_anti")
+                .localCheckpoint()
+            )
+            if not nxt.take(1):
+                return reach
+            reach = reach.unionByName(nxt).localCheckpoint()
+            frontier = nxt
+        raise RuntimeError(
+            f"transitive_closure: not converged after {max_iter} rounds"
+        )
 
     if src_id is not None or dst_id is not None:
         fwd = src_id is not None

@@ -735,11 +735,17 @@ def _compile_path_relation(
     sequence produce exactly the edge relation the iteration needs, which
     is the §18.4 ALP algorithm evaluated over a derived edge set.
 
-    `src_id`/`dst_id` seed a TOP-LEVEL closure (a constant endpoint turns
-    the full closure into a bounded BFS from that seed, same as the
-    single-predicate fast path); inner closures compile unseeded — their
-    zero-length arm (`*`/`?`) binds every graph term to itself per §18.4's
-    ZeroLengthPath, an inherent cost documented in SCALE.md. Multiplicity:
+    `src_id`/`dst_id` seed constant endpoints and PROPAGATE structurally
+    (r6): a pred/npred scan gains a pushdown-able endpoint equality; `^`
+    swaps the seeds with the columns; `/` pushes src into its FIRST
+    member and dst into its LAST (middles compile unseeded — no constant
+    reaches them); `|` seeds every arm; a closure node runs the seeded
+    BFS (`operators.graph.transitive_closure`) — so `:a (p/q*) ?x`
+    explores a's neighborhood instead of materializing q's full closure.
+    Closures with an UNSEEDED inner composite still compile the inner
+    relation over the whole graph (the BFS edge set), the residual cost
+    documented in SCALE.md; unseeded `*`/`?` zero-length arms bind every
+    graph term to itself per §18.4's ZeroLengthPath. Multiplicity:
     closure nodes yield DISTINCT pairs (ALP is duplicate-free), seq/alt
     keep SPARQL's multiset algebra."""
     store = ctx.store
@@ -748,6 +754,10 @@ def _compile_path_relation(
         k, val = node[1]
         pid = int(val) if k == "id" else ctx.term_ids[val]
         t = store.table_for_subject(None).filter(F.col("p") == F.lit(pid))
+        if src_id is not None:
+            t = t.filter(F.col("s") == F.lit(src_id))
+        if dst_id is not None:
+            t = t.filter(F.col("o") == F.lit(dst_id))
         return t.select(F.col("s").alias("cs"), F.col("o").alias("co"))
     if kind == "npred":
         # negated property set: one NOT-IN scan predicate (§9.1), same as
@@ -756,24 +766,108 @@ def _compile_path_relation(
             int(val) if k == "id" else ctx.term_ids[val] for k, val in node[1]
         ]
         t = store.table_for_subject(None).filter(~F.col("p").isin(excluded))
+        if src_id is not None:
+            t = t.filter(F.col("s") == F.lit(src_id))
+        if dst_id is not None:
+            t = t.filter(F.col("o") == F.lit(dst_id))
         return t.select(F.col("s").alias("cs"), F.col("o").alias("co"))
     if kind == "inv":
-        r = _compile_path_relation(ctx, node[1])
+        r = _compile_path_relation(ctx, node[1], dst_id, src_id)
         return r.select(F.col("co").alias("cs"), F.col("cs").alias("co"))
     if kind == "seq":
-        out = _compile_path_relation(ctx, node[1][0])
-        for child in node[1][1:]:
-            r = _compile_path_relation(ctx, child)
-            i = ctx.nid()
-            r = r.select(
-                F.col("cs").alias(f"_ps{i}"), F.col("co").alias(f"_po{i}")
-            )
-            out = out.join(r, F.col("co") == F.col(f"_ps{i}"), "inner").select(
-                F.col("cs"), F.col(f"_po{i}").alias("co")
-            )
-        return out
+        # §18.4 rewrite for '*'/'?' members INSIDE a sequence: such a
+        # member contributes, per incoming endpoint x, the SET
+        # {x} ∪ (closure(x) \ {(x,x)}) — the zero-length arm is the
+        # IDENTITY on the join boundary, so the full-graph term-universe
+        # materialization of ZeroLengthPath is never needed for a seq
+        # member: the plan is union(carry-through, join-with-closure).
+        # Self-loop pairs are removed from the closure branch because the
+        # identity branch already supplies (x, x) once (ALP pairs are a
+        # set). A LEADING '*'/'?' member without a src seed mirrors the
+        # rewrite from the left.
+        def _member_step(cnode: tuple, seeds: DataFrame | None) -> DataFrame:
+            """The ≥1-step relation of a '*'/'?' seq member, self-loops
+            removed (the identity branch supplies them). A '*' member's
+            closure is SET-SEEDED from the adjoining frontier — only the
+            subgraph reachable from the join boundary is explored, never
+            the member's full closure."""
+            inner = _compile_path_relation(ctx, cnode[1])
+            if cnode[2] == "*":
+                rel = transitive_closure(
+                    inner, src="cs", dst="co", seed_set=seeds
+                )
+            else:
+                rel = inner.distinct()
+            return rel.filter(F.col("cs") != F.col("co"))
+
+        def _seq_rel(ms, s_seed, d_seed) -> DataFrame:
+            if len(ms) == 1:
+                return _compile_path_relation(ctx, ms[0], s_seed, d_seed)
+            head, rest = ms[0], ms[1:]
+            if head[0] == "clos" and head[2] in ("*", "?") and s_seed is None:
+                rrel = _seq_rel(rest, None, d_seed)
+                i = ctx.nid()
+                # leading closure: seed from the REST's source frontier,
+                # walking the member's edges BACKWARD (swap, close, swap)
+                if head[2] == "*":
+                    seeds = rrel.select(F.col("cs").alias("n")).distinct()
+                    inner = _compile_path_relation(ctx, head[1])
+                    stepr = transitive_closure(
+                        inner.select(
+                            F.col("co").alias("cs"), F.col("cs").alias("co")
+                        ),
+                        src="cs",
+                        dst="co",
+                        seed_set=seeds,
+                    )
+                    step = stepr.select(
+                        F.col("co").alias("cs"), F.col("cs").alias("co")
+                    ).filter(F.col("cs") != F.col("co"))
+                else:
+                    step = _member_step(head, None)
+                srel = step.select(
+                    F.col("cs").alias(f"_ps{i}"),
+                    F.col("co").alias(f"_po{i}"),
+                )
+                via = srel.join(
+                    rrel, F.col(f"_po{i}") == F.col("cs"), "inner"
+                ).select(F.col(f"_ps{i}").alias("cs"), F.col("co"))
+                return rrel.unionByName(via)
+            out = _compile_path_relation(ctx, head, s_seed, None)
+            for mi, child in enumerate(rest, start=2):
+                last = mi == len(ms)
+                if child[0] == "clos" and child[2] in ("*", "?"):
+                    i = ctx.nid()
+                    seeds = out.select(F.col("co").alias("n")).distinct()
+                    srel = _member_step(child, seeds).select(
+                        F.col("cs").alias(f"_ps{i}"),
+                        F.col("co").alias(f"_po{i}"),
+                    )
+                    via = out.join(
+                        srel, F.col("co") == F.col(f"_ps{i}"), "inner"
+                    ).select(F.col("cs"), F.col(f"_po{i}").alias("co"))
+                    out = out.unionByName(via)
+                    if last and d_seed is not None:
+                        out = out.filter(F.col("co") == F.lit(d_seed))
+                    continue
+                r = _compile_path_relation(
+                    ctx, child, None, d_seed if last else None
+                )
+                i = ctx.nid()
+                r = r.select(
+                    F.col("cs").alias(f"_ps{i}"),
+                    F.col("co").alias(f"_po{i}"),
+                )
+                out = out.join(
+                    r, F.col("co") == F.col(f"_ps{i}"), "inner"
+                ).select(F.col("cs"), F.col(f"_po{i}").alias("co"))
+            return out
+
+        return _seq_rel(list(node[1]), src_id, dst_id)
     if kind == "alt":
-        rels = [_compile_path_relation(ctx, c) for c in node[1]]
+        rels = [
+            _compile_path_relation(ctx, c, src_id, dst_id) for c in node[1]
+        ]
         return reduce(lambda a, b: a.unionByName(b), rels)
     # closure over a composite inner relation
     inner = _compile_path_relation(ctx, node[1])

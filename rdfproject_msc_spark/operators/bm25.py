@@ -146,7 +146,12 @@ def bm25_write(
       path/_stats         one row: n docs, avgdl, n_buckets
 
     Build cost: one explode + one (doc, token)-keyed aggregation, one
-    token-keyed window for df, one partitioned write. Directory count is
+    token-keyed AGGREGATE + broadcast-able join for df, one partitioned
+    write. df deliberately avoids `Window.partitionBy(token)`: a hot
+    token (stopword) would put ALL its postings in one window partition,
+    and AQE does not split window skew — the groupBy form map-side
+    combines to one row per token per partition before the exchange, so
+    a stopword costs the same as any other token. Directory count is
     n_buckets — a parameter, never data volume.
 
     The layout is WRITE-ONCE by design: denormalizing df/dl/avgdl is what
@@ -154,8 +159,6 @@ def bm25_write(
     silently stale every existing row's df (and the _stats sidecar) —
     rebuild to refresh, unlike the append-able LSH/IVF layouts whose
     per-row fields are append-invariant."""
-    from pyspark.sql import Window
-
     from rdfproject_msc_spark.operators.sampling import hash_bucket
 
     toks = _norm_tokens(F.col(text_col))
@@ -165,9 +168,10 @@ def bm25_write(
     tf = per.groupBy(id_col, "token").agg(
         F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
     )
-    postings = tf.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
-    ).withColumn("bucket", hash_bucket(F.col("token"), n_buckets))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    postings = tf.join(dfreq, "token").withColumn(
+        "bucket", hash_bucket(F.col("token"), n_buckets)
+    )
     postings.write.mode("overwrite").partitionBy("bucket").parquet(path)
     stats = docs.agg(
         F.count(F.lit(1)).alias("n"),

@@ -51,8 +51,10 @@ with outer prefixes in scope, and composite property paths with
 closures inside sequences/alternations (`p1/p2*`, `(p1|p2)+`) parse
 into path ASTs via `_parse_path_expr`.
 Out of scope, rejected explicitly: inverse/sequence members inside
-negated sets, nested-group FILTER/BIND expressions referencing outer
-variables (groups plan standalone), non-disjoint VALUES rows (UNDEF
+negated sets, nested-group BIND expressions referencing outer
+variables (groups plan standalone; nested-group FILTERs referencing
+outer variables ARE accepted and evaluate the unbound reference per
+§18.2.2.2 — error → filter-false), non-disjoint VALUES rows (UNDEF
 wildcards are supported when rows are pairwise disjoint — the exact
 condition under which the OR-filter compilation equals the multiset
 join), string functions inside HAVING (grouped output is numeric), and
@@ -414,6 +416,22 @@ class GroupPattern:
             or self.subselects
             or self.graphs
         )
+
+
+def _visible_binds(g: GroupPattern) -> set[str]:
+    """BIND targets visible OUTSIDE the group (§18.2.4.4 in-scope set):
+    this group's own targets plus those of its visible children —
+    optionals, subgroups, GRAPH blocks and union arms (MINUS/EXISTS
+    children's bindings never escape)."""
+    out = {b for b, _ in g.binds}
+    for child in list(g.optionals) + list(g.subgroups):
+        out |= _visible_binds(child)
+    for _, child in g.graphs:
+        out |= _visible_binds(child)
+    for blk in g.unions:
+        for arm in blk:
+            out |= _visible_binds(arm)
+    return out
 
 
 def _walk_groups(g: GroupPattern):
@@ -1763,10 +1781,21 @@ def _parse_group(
     if re.match(r"\s*SELECT\b", src, re.I):
         sub = parse_sparql(src, outer_prefixes=prefixes)
         if sub.projection is None:
-            raise SparqlSyntaxError(
-                "subqueries need an explicit projection "
-                "(SELECT * is not supported in a subquery)"
+            # SELECT * subquery (§12 + §18.2.4.4): project every visible
+            # in-scope variable — pattern-bound vars plus BIND targets
+            # down the visible children, minus path/bnode internals —
+            # materialized HERE (sorted, deterministic) so the outer
+            # group knows the subquery's join surface
+            vis = sorted(
+                v
+                for v in (sub.where.all_vars() | _visible_binds(sub.where))
+                if not v.startswith("__pp") and not v.startswith("__bn")
             )
+            if not vis:
+                raise SparqlSyntaxError(
+                    "SELECT * subquery binds no visible variables"
+                )
+            sub = _dc_replace(sub, projection=tuple(vis))
         return GroupPattern(subselects=(sub,), seq=(("subselect", 0),))
     i, n = 0, len(src)
     buf: list[str] = []
@@ -2015,6 +2044,7 @@ def _parse_group(
 def _validate_group_tree(
     g: GroupPattern, own_filter_scope: set[str] | None,
     inherited: frozenset[str] = frozenset(),
+    nested: bool = False,
 ) -> None:
     """Structural validation, applied at every level of the group tree.
 
@@ -2022,14 +2052,18 @@ def _validate_group_tree(
     may reference, or None when the caller already validated them (an
     OPTIONAL child's direct filters fold into the LeftJoin condition, so
     the PARENT validates them against group-vars ∪ parent-required-vars).
-    Every group plans standalone (SPARQL's bottom-up algebra), so a
-    nested group's filters may reference only variables the group itself
-    can bind — an outer reference would silently evaluate as unbound;
-    reject rather than guess (the engine's standing stance)."""
+    Every group plans standalone (SPARQL's bottom-up algebra). The ROOT
+    group's filters reject unknown variables (a var in no pattern is a
+    typo); a NESTED group's filters MAY reference variables the group
+    cannot bind — §18.2.2.2 evaluates the group bottom-up, so the
+    reference is unbound when the filter runs: comparison → error →
+    filter-false, BOUND → false (r6, spec-conformant; the planner
+    compiles the unbound reference as a NULL column, fuzz-pinned in
+    tests/test_properties.py)."""
     req = g.required_vars() | set(inherited)
     if own_filter_scope is not None:
         own_filter_scope = set(own_filter_scope) | set(inherited)
-    if own_filter_scope is not None:
+    if own_filter_scope is not None and not nested:
         for expr in g.filters:
             for v in sorted(filter_expr_vars(expr)):
                 if v not in own_filter_scope:
@@ -2079,7 +2113,7 @@ def _validate_group_tree(
             if var not in group_scope:
                 raise SparqlSyntaxError(f"VALUES variable not in BGP: ?{var}")
     for sub in g.subgroups:
-        _validate_group_tree(sub, sub.all_vars(), inherited)
+        _validate_group_tree(sub, sub.all_vars(), inherited, nested=True)
     # a GRAPH block's graph VARIABLE is in scope throughout the block
     # (§13.3 binds it for the whole enclosed pattern): filters and BIND
     # expressions at any depth inside may reference it, and the BIND
@@ -2088,10 +2122,12 @@ def _validate_group_tree(
         child_inh = (
             inherited | {gslot[1]} if gslot[0] == "var" else inherited
         )
-        _validate_group_tree(sub, sub.all_vars(), frozenset(child_inh))
+        _validate_group_tree(
+            sub, sub.all_vars(), frozenset(child_inh), nested=True
+        )
     for blk in g.unions:
         for arm in blk:
-            _validate_group_tree(arm, arm.all_vars(), inherited)
+            _validate_group_tree(arm, arm.all_vars(), inherited, nested=True)
     # an OPTIONAL may key on a variable an EARLIER optional bound (the
     # planner compat-joins the possibly-unbound rows), so the join scope
     # accumulates in textual order; a fully disjoint OPTIONAL still
@@ -2248,10 +2284,7 @@ def parse_sparql(
             arg = m.group(3)
             if arg == "*" and (func != "count" or distinct):
                 raise SparqlSyntaxError(f"{func.upper()}(*) is not supported")
-            if distinct and func not in ("count", "sum"):
-                raise SparqlSyntaxError(
-                    f"{func.upper()}(DISTINCT ...) is not supported"
-                )
+
             alias = f"__hagg{next(hidden_agg_counter)}"
             aggregates.append(
                 (func, None if arg == "*" else arg[1:], distinct, alias, None)
@@ -2303,10 +2336,7 @@ def parse_sparql(
             sep = am.group("sep")
             if arg == "*" and (func != "count" or distinct_arg):
                 raise SparqlSyntaxError(f"{func.upper()}(*) is not supported")
-            if distinct_arg and func not in ("count", "sum", "group_concat"):
-                raise SparqlSyntaxError(
-                    f"{func.upper()}(DISTINCT ...) is not supported"
-                )
+
             if sep is not None and func != "group_concat":
                 raise SparqlSyntaxError(
                     "SEPARATOR is only valid on GROUP_CONCAT"
@@ -2521,11 +2551,15 @@ def parse_sparql(
                 f"aggregates: {['?' + v for v in sorted(bad)]}"
             )
     for expr in having:
-        if filter_expr_strfn_vars(expr) or filter_expr_streq_literals(expr):
-            # HAVING evaluates over grouped numeric output (keys/aggregates)
-            raise SparqlSyntaxError(
-                "string functions are not supported in HAVING"
-            )
+        # string functions over a GROUP KEY's term are allowed (r6): the
+        # planner attaches the key's dictionary term post-aggregation —
+        # but an aggregate ALIAS has no term (it is a computed number)
+        for v in sorted(filter_expr_strfn_vars(expr)):
+            if v not in set(group_by):
+                raise SparqlSyntaxError(
+                    f"HAVING string functions apply to GROUP BY keys "
+                    f"(dictionary terms), not aggregates: ?{v}"
+                )
         for v in sorted(filter_expr_vars(expr)):
             if v not in set(group_by) | aliases:
                 raise SparqlSyntaxError(

@@ -43,6 +43,7 @@ from rdfproject_msc_spark.sparql.parser import (
     arith_expr_vars,
     filter_expr_streq_literals,
     filter_expr_strfn_vars,
+    filter_expr_vars,
     parse_sparql,
     path_expr_terms,
 )
@@ -2012,16 +2013,38 @@ def _plan_group(
     # the string match into the DICTIONARY scan — so the match evaluates
     # over |dict| distinct terms, never per solution row.
     if not defer_filters and grp.filters:
+        # §18.2.2.2 (r6): a filter variable this group does not bind is
+        # UNBOUND when the filter evaluates (groups plan bottom-up) —
+        # compile the reference as a NULL literal column: comparisons
+        # error → false (row drops), BOUND → false, !BOUND → true. Only
+        # NESTED groups reach here with such variables (the root group's
+        # validation rejects unknown vars as typos).
+        fvars = {v for expr in grp.filters for v in filter_expr_vars(expr)}
+        fmap = dict(bound_cols)
+        unbound_cols: list[str] = []
+        for v in sorted(fvars - set(bound_cols)):
+            cn = f"__unb{ctx.nid()}_{v}"
+            joined = joined.withColumn(cn, F.lit(None).cast("long"))
+            fmap[v] = cn
+            unbound_cols.append(cn)
         str_vars = sorted(
             {v for expr in grp.filters for v in filter_expr_strfn_vars(expr)}
         )
         termmap: dict[str, str] = {}
-        if str_vars and dictionary is None:
+        if (
+            any(v in bound_cols for v in str_vars)
+            and dictionary is None
+        ):
             raise SparqlSyntaxError(
                 "string-function FILTERs need a dictionary to resolve terms"
             )
         for v in str_vars:
             fi = ctx.nid()
+            if v not in bound_cols:  # unbound: its term is NULL too
+                cn = f"__unbt{fi}_{v}"
+                joined = joined.withColumn(cn, F.lit(None).cast("string"))
+                termmap[v] = cn
+                continue
             d = (
                 dictionary._dict_side()
                 .withColumnRenamed("id", f"__sid{fi}_{v}")
@@ -2036,10 +2059,12 @@ def _plan_group(
         # splits top-level conjunctions for pushdown on both join sides
         for expr in grp.filters:
             joined = joined.filter(
-                _compile_filter(expr, bound_cols, termmap, ctx.litids)
+                _compile_filter(expr, fmap, termmap, ctx.litids)
             )
         if termmap:
             joined = joined.drop(*termmap.values())
+        if unbound_cols:
+            joined = joined.drop(*unbound_cols)
 
     return joined, bound_cols, order, nullable_vars
 
@@ -2107,6 +2132,11 @@ def plan_bgp(
             t
             for g in _walk_groups(bgp.where)
             for expr in g.filters
+            for t in filter_expr_streq_literals(expr)
+        }
+        | {
+            t
+            for expr in bgp.having
             for t in filter_expr_streq_literals(expr)
         }
     )
@@ -2240,7 +2270,7 @@ def plan_bgp(
             joined = joined.limit(bgp.limit)
 
     if grouped:
-        out = _plan_grouped(joined, bound_cols, bgp)
+        out = _plan_grouped(joined, bound_cols, bgp, dictionary, litids)
     else:
         out = joined.select(*[F.col(bound_cols[v]).alias(v) for v in proj])
 
@@ -2261,7 +2291,13 @@ def plan_bgp(
     return out
 
 
-def _plan_grouped(joined: DataFrame, bound_cols: dict[str, str], bgp: BGPQuery) -> DataFrame:
+def _plan_grouped(
+    joined: DataFrame,
+    bound_cols: dict[str, str],
+    bgp: BGPQuery,
+    dictionary: Dictionary | None = None,
+    litids: dict[str, int] | None = None,
+) -> DataFrame:
     """GROUP BY / aggregate lowering (SPARQL 1.1 §11) → groupBy/agg.
 
     Catalyst plans this as a partial (map-side) HashAggregate before the
@@ -2282,7 +2318,15 @@ def _plan_grouped(joined: DataFrame, bound_cols: dict[str, str], bgp: BGPQuery) 
             elif func == "sum":
                 expr = F.sum_distinct(col) if distinct else F.sum(col)
             elif func == "avg":
-                expr = F.avg(col)
+                # AVG(DISTINCT) (§11.4.5): no native distinct-avg — the
+                # exact pair of distinct aggregates composes it (double
+                # division per SPARQL's decimal avg; empty/all-null group
+                # -> NULL via try_divide)
+                expr = (
+                    F.try_divide(F.sum_distinct(col), F.count_distinct(col))
+                    if distinct
+                    else F.avg(col)
+                )
             elif func == "min":
                 expr = F.min(col)
             elif func == "max":
@@ -2322,9 +2366,34 @@ def _plan_grouped(joined: DataFrame, bound_cols: dict[str, str], bgp: BGPQuery) 
         out_map[alias] = alias
     # HAVING (§11.5): a filter over the grouped output (group keys and
     # aggregate aliases are 1:1 column names here), applied BEFORE the
-    # final projection so non-projected group keys remain filterable
-    for expr in bgp.having:
-        out = out.filter(_compile_filter(expr, out_map))
+    # final projection so non-projected group keys remain filterable.
+    # String-function leaves (r6) reference a GROUP KEY's term: attach it
+    # via the same dictionary left join as pattern-level filters — the
+    # match evaluates over |groups| rows post-aggregation.
+    if bgp.having:
+        str_vars = sorted(
+            {v for e in bgp.having for v in filter_expr_strfn_vars(e)}
+        )
+        tmap: dict[str, str] = {}
+        if str_vars and dictionary is None:
+            raise SparqlSyntaxError(
+                "string functions in HAVING need a dictionary to resolve "
+                "terms"
+            )
+        for i, v in enumerate(str_vars):
+            d = (
+                dictionary._dict_side()
+                .withColumnRenamed("id", f"__hsid{i}")
+                .withColumnRenamed("term", f"__hterm{i}")
+            )
+            out = out.join(
+                d, F.col(out_map[v]) == F.col(f"__hsid{i}"), "left"
+            ).drop(f"__hsid{i}")
+            tmap[v] = f"__hterm{i}"
+        for expr in bgp.having:
+            out = out.filter(_compile_filter(expr, out_map, tmap, litids))
+        if tmap:
+            out = out.drop(*tmap.values())
     return out.select(*[F.col(c) for c in bgp.projection])
 
 

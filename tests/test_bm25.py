@@ -68,6 +68,15 @@ def test_bm25_persisted_equals_in_memory(spark, sf_dir, tmp_path):
     path = str(tmp_path / "bm25")
     bm25_write(docs, path, n_buckets=16)
 
+    # r6: df comes from a token-keyed AGGREGATE + join, never a
+    # Window.partitionBy(token) — a stopword must not pin all its
+    # postings to one window partition at build time
+    import inspect
+
+    from rdfproject_msc_spark.operators import bm25 as _bm25_mod
+
+    assert ".over(" not in inspect.getsource(_bm25_mod.bm25_write)
+
     out = bm25_topk_persisted(spark, path, QUERY, k=20)
     got = [(r.doc_id, r.score) for r in out.collect()]
     want = [(r.doc_id, r.score) for r in bm25_topk(docs, QUERY, k=20).collect()]

@@ -597,6 +597,13 @@ group_shape = st.recursive(
         st.tuples(st.just("opt"), child),
         st.tuples(st.just("sub"), child),
         st.tuples(st.just("union"), child, child),
+        # r6: a subgroup whose FILTER references its PARENT's chain
+        # variable — OUT OF SCOPE inside the group (§18.2.2.2 bottom-up):
+        # comparison/BOUND → false (group empties), !BOUND → true (no-op)
+        st.tuples(
+            st.just("subf"), child,
+            st.sampled_from(["cmp", "nbound", "bound"]),
+        ),
     ),
     max_leaves=4,
 )
@@ -616,6 +623,14 @@ def _shape_to_query(shape, var_in, preds, counter):
     if kind == "sub":
         inner = _shape_to_query(shape[1], v, preds, counter)
         return f"{base} {{ {inner} }}"
+    if kind == "subf":
+        inner = _shape_to_query(shape[1], v, preds, counter)
+        flt = {
+            "cmp": f"FILTER(?{var_in} > 0)",
+            "nbound": f"FILTER(!BOUND(?{var_in}))",
+            "bound": f"FILTER(BOUND(?{var_in}))",
+        }[shape[2]]
+        return f"{base} {{ {inner} {flt} }}"
     a = _shape_to_query(shape[1], v, preds, counter)
     b = _shape_to_query(shape[2], v, preds, counter)
     return f"{base} {{ {a} }} UNION {{ {b} }}"
@@ -644,6 +659,15 @@ def _eval_group_text(shape, var_in, rows, preds, counter):
         return out
     if kind == "sub":
         inner = _eval_group_text(shape[1], v, rows, preds, counter)
+        return [
+            {**b, **i} for b in base for i in inner if i[v] == b[v]
+        ]
+    if kind == "subf":
+        inner = _eval_group_text(shape[1], v, rows, preds, counter)
+        if shape[2] in ("cmp", "bound"):
+            # var_in is unbound INSIDE the group: comparison errors /
+            # BOUND is false -> every group solution drops
+            inner = []
         return [
             {**b, **i} for b in base for i in inner if i[v] == b[v]
         ]

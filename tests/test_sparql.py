@@ -334,11 +334,16 @@ def test_parse_rejects_bad_string_filters():
         parse_sparql(
             'SELECT ?x WHERE { ?x :p ?y . FILTER(CONTAINS(?y, "a", "i")) }'
         )
-    # string functions over grouped numeric output stay out in HAVING
-    with pytest.raises(SparqlSyntaxError, match="HAVING"):
+    # string functions in HAVING apply to GROUP KEYS (r6); an aggregate
+    # alias has no dictionary term and still rejects
+    parse_sparql(
+        "SELECT ?x (COUNT(?y) AS ?n) WHERE { ?x :p ?y . } "
+        'GROUP BY ?x HAVING(REGEX(STR(?x), "a"))'
+    )
+    with pytest.raises(SparqlSyntaxError, match="GROUP BY keys"):
         parse_sparql(
             "SELECT ?x (COUNT(?y) AS ?n) WHERE { ?x :p ?y . } "
-            'GROUP BY ?x HAVING(REGEX(STR(?x), "a"))'
+            'GROUP BY ?x HAVING(REGEX(STR(?n), "a"))'
         )
     # unknown variable inside a string function
     with pytest.raises(SparqlSyntaxError, match="FILTER variable"):
@@ -1213,6 +1218,102 @@ def test_closure_matches_recursive_oracle(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+def test_expression_residue_matches_duckdb(spark):
+    """r6 expression-grammar residue vs DuckDB oracles: AVG(DISTINCT),
+    SELECT * subqueries (§12 visible-variable projection), and string
+    functions in HAVING over a group key's dictionary term."""
+    import duckdb
+
+    from rdfproject_msc_spark.store import TripleStore
+
+    edges = [(1, 10, 2), (1, 10, 4), (1, 10, 6), (2, 10, 4), (2, 10, 2),
+             (7, 11, 1), (7, 11, 2)]
+    store = TripleStore(
+        spark.createDataFrame(edges, "s long, p long, o long")
+    )
+    d = Dictionary(
+        spark.createDataFrame(
+            [(1, ":alpha"), (2, ":beta"), (7, ":gamma"),
+             (10, ":p10"), (11, ":p11")],
+            "id long, term string",
+        )
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (s BIGINT, p BIGINT, o BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", edges)
+    con.execute(
+        "CREATE TABLE dict (id BIGINT, term VARCHAR)"
+    )
+    con.executemany(
+        "INSERT INTO dict VALUES (?, ?)",
+        [(1, ":alpha"), (2, ":beta"), (7, ":gamma"),
+         (10, ":p10"), (11, ":p11")],
+    )
+
+    got = sorted(
+        (r.s, r.a)
+        for r in sparql_to_df(
+            store,
+            "SELECT ?s (AVG(DISTINCT ?o) AS ?a) WHERE { ?s :p10 ?o } "
+            "GROUP BY ?s",
+            d,
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            "SELECT s, AVG(DISTINCT o) FROM t WHERE p = 10 GROUP BY s"
+        ).fetchall()
+    )
+    assert got == want and len(got) == 2
+
+    got = sorted(
+        map(
+            tuple,
+            sparql_to_df(
+                store,
+                "SELECT ?s ?o WHERE { { SELECT * WHERE { ?s :p10 ?o } } "
+                "?x :p11 ?s }",
+                d,
+            ).collect(),
+        )
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            "SELECT a.s, a.o FROM (SELECT * FROM t WHERE p = 10) a "
+            "JOIN t b ON b.p = 11 AND b.o = a.s"
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+    got = sorted(
+        (r.s, r.n)
+        for r in sparql_to_df(
+            store,
+            "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s :p10 ?o } GROUP BY ?s "
+            'HAVING(STRSTARTS(STR(?s), ":al"))',
+            d,
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            "SELECT t.s, COUNT(o) FROM t JOIN dict ON dict.id = t.s "
+            "WHERE p = 10 GROUP BY t.s, dict.term "
+            "HAVING starts_with(dict.term, ':al')"
+        ).fetchall()
+    )
+    assert got == want == [(1, 3)]
+
+    # aggregate aliases have no term: string functions over them reject
+    with pytest.raises(SparqlSyntaxError, match="GROUP BY keys"):
+        parse_sparql(
+            "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s :p10 ?o } GROUP BY ?s "
+            'HAVING(CONTAINS(STR(?n), "1"))'
+        )
+
+
 def test_seeded_composite_path_explores_neighborhood(spark):
     """r6 composite-path seeding, the two judge-requested pins:
 
@@ -1775,12 +1876,13 @@ def test_streq_rejections():
     # STR takes a variable
     with pytest.raises(SparqlSyntaxError):
         parse_sparql('SELECT ?s WHERE { ?s :p ?o . FILTER(STR(3) = ":n2") }')
-    # streq in HAVING: grouped output is numeric
-    with pytest.raises(SparqlSyntaxError, match="HAVING"):
-        parse_sparql(
-            "SELECT ?o (COUNT(?s) AS ?n) WHERE { ?s :p ?o . } "
-            'GROUP BY ?o HAVING(?o = ":n2")'
-        )
+    # streq in HAVING (r6): term equality on a group key resolves to a
+    # pushdown-able id equality, same as pattern-level filters
+    bgp = parse_sparql(
+        "SELECT ?o (COUNT(?s) AS ?n) WHERE { ?s :p ?o . } "
+        'GROUP BY ?o HAVING(?o = ":n2")'
+    )
+    assert bgp.having == (("streq", "o", ":n2", False),)
 
 
 def test_streq_executes_id_fast_path(tiny_store, tiny_dict):

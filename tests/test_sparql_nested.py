@@ -192,14 +192,28 @@ def test_minus_keyed_on_nullable_and_bound_vars_compat(tiny_store, tiny_dict):
     assert _rows(df, "a", "x") == [(1, 3), (2, 3)]
 
 
-def test_subgroup_filter_cannot_reference_outer_var():
-    """Groups plan standalone (bottom-up algebra): a nested group's FILTER
-    referencing an outer variable is rejected rather than silently
-    evaluated as unbound."""
+def test_subgroup_filter_outer_var_is_unbound(tiny_store, tiny_dict):
+    """§18.2.2.2 (r6): a nested group's FILTER referencing an OUTER
+    variable evaluates it as UNBOUND (groups plan bottom-up) —
+    comparison → error → filter-false empties the group; !BOUND is
+    true. Root-level unknown filter vars still reject (typo guard)."""
+    # ?b is parent-bound only: comparison errors inside the group
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?a WHERE { ?a :p10 ?b . { ?c :p20 ?d . FILTER(?b > 0) } }",
+        tiny_dict,
+    )
+    assert df.collect() == []
+    # !BOUND(outer) is TRUE inside the group — a no-op filter
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?a ?c WHERE { ?a :p10 ?b . "
+        "{ ?c :p20 ?d . FILTER(!BOUND(?b)) } }",
+        tiny_dict,
+    )
+    assert _rows(df, "a", "c") == [(-5, 2), (1, 2), (1, 2), (2, 2)]
     with pytest.raises(SparqlSyntaxError, match="FILTER variable"):
-        parse_sparql(
-            "SELECT ?a WHERE { ?a :p10 ?b . { ?a :p20 ?c . FILTER(?b > 1) } }"
-        )
+        parse_sparql("SELECT ?a WHERE { ?a :p10 ?b . FILTER(?zz > 1) }")
 
 
 def test_bind_inside_groups(tiny_store, tiny_dict):
@@ -426,18 +440,19 @@ def test_scalar_subquery_cross_joins(tiny_store, tiny_dict):
 
 def test_subquery_projection_scoping(tiny_store, tiny_dict):
     """§18.2.4.4: only the subquery's PROJECTED variables are visible —
-    an outer reference to a subquery-internal variable is rejected, and
-    SELECT * subqueries are rejected (scoping needs the explicit list)."""
+    an outer reference to a subquery-internal variable is rejected.
+    SELECT * subqueries (r6) materialize their visible variables as the
+    projection at parse time."""
     with pytest.raises(SparqlSyntaxError, match="projected variables"):
         parse_sparql(
             "SELECT ?s ?y WHERE { ?s :p20 ?o . "
             "{ SELECT ?s WHERE { ?s :p10 ?y } } }"
         )
-    with pytest.raises(SparqlSyntaxError, match="explicit projection"):
-        parse_sparql(
-            "SELECT ?s WHERE { ?s :p20 ?o . "
-            "{ SELECT * WHERE { ?s :p10 ?y } } }"
-        )
+    bgp = parse_sparql(
+        "SELECT ?s WHERE { ?s :p20 ?o . "
+        "{ SELECT * WHERE { ?s :p10 ?y } } }"
+    )
+    assert bgp.where.subgroups[0].subselects[0].projection == ("s", "y")
 
 
 def test_subquery_matches_oracle(spark, sf_dir):

@@ -31,32 +31,52 @@ def main() -> None:
 
     names = [n for n, s in REGISTRY.items() if s.headline]
     timings: dict[str, float] = {}
+    # Build every DataFrame once: we measure ENGINE execution (scan,
+    # shuffle, join, agg — what dominates at scale), not Python-side plan
+    # reconstruction + re-analysis + codegen compile, a per-query constant.
+    # No caching of results: every count() re-executes the physical plan.
+    dfs = {}
     for name in names:
-        spec = REGISTRY[name]
         try:
-            # Build the DataFrame once: we measure ENGINE execution (scan,
-            # shuffle, join, agg — what dominates at scale), not Python-side
-            # plan reconstruction + re-analysis + codegen compile, which is
-            # a per-query constant. No caching: every count() re-executes
-            # the full physical plan.
-            df = spec.fn(spark, sf_dir)
-            # warm-up ×3: analysis + codegen compile + page cache + C2 JIT
-            # of the interpreted expression paths (HOF-heavy queries early
-            # in the JVM lifetime need >1 run to reach steady state —
-            # knn_cosine as the first query measured 0.30s after one
-            # warm-up vs 0.21s steady)
-            for _ in range(3):
-                df.count()
-            best = float("inf")
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                df.count()  # count() forces full execution
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 4)
-            print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+            dfs[name] = REGISTRY[name].fn(spark, sf_dir)
         except Exception as e:  # one broken query must not kill the run
             print(f"  {name}: ERROR {type(e).__name__}: {e}", file=sys.stderr)
             timings[name] = -1.0
+    # warm-up ×3 per query: analysis + codegen compile + page cache + C2
+    # JIT (HOF-heavy queries need >1 run to reach steady state)
+    for _ in range(3):
+        for name, df in dfs.items():
+            try:
+                df.count()
+            except Exception:
+                pass
+    # INTERLEAVED best-of-`reps` (r6): rounds are round-robin across the
+    # whole query set rather than consecutive per query. This shared
+    # container's ambient CPU contention arrives in multi-second bursts —
+    # consecutive reps let one burst poison ALL of a single query's reps
+    # (observed back-to-back full runs differing ±30-50% on individual
+    # sub-second queries with unchanged plans); interleaving spreads a
+    # burst across one ROUND of every query, and the per-query min over
+    # rounds recovers the steady-state number. Same total work as before.
+    best: dict[str, float] = {n: float("inf") for n in dfs}
+    for _ in range(reps):
+        for name, df in dfs.items():
+            if name in timings:  # already errored
+                continue
+            try:
+                t0 = time.perf_counter()
+                df.count()  # count() forces full execution
+                best[name] = min(best[name], time.perf_counter() - t0)
+            except Exception as e:
+                print(
+                    f"  {name}: ERROR {type(e).__name__}: {e}",
+                    file=sys.stderr,
+                )
+                timings[name] = -1.0
+    for name, b in best.items():
+        if name not in timings:
+            timings[name] = round(b, 4)
+            print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(v for v in timings.values() if v >= 0), 4)
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)

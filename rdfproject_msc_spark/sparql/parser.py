@@ -221,7 +221,8 @@ _HAVING_AGG = re.compile(
 # ASK query form (§16.3): boolean existence of any solution
 _ASK = re.compile(
     r"^\s*(?P<prefixes>(?:PREFIX\s+\S+\s*<[^>]*>\s*)*)"
-    r"ASK\s*(?:WHERE\s*)?\{(?P<bgp>.*)\}\s*$",
+    r"ASK\s*(?P<dataset>(?:FROM\s+(?:NAMED\s+)?\S+\s*)*)"
+    r"(?:WHERE\s*)?\{(?P<bgp>.*)\}\s*$",
     re.I | re.S,
 )
 # CONSTRUCT query form (§16.2): template graph instantiated per solution.
@@ -229,7 +230,9 @@ _ASK = re.compile(
 # braces are flat; the WHERE group may nest
 _CONSTRUCT = re.compile(
     r"^\s*(?P<prefixes>(?:PREFIX\s+\S+\s*<[^>]*>\s*)*)"
-    r"CONSTRUCT\s*\{(?P<tpl>[^{}]*)\}\s*WHERE\s*\{(?P<bgp>.*)\}"
+    r"CONSTRUCT\s*\{(?P<tpl>[^{}]*)\}\s*"
+    r"(?P<dataset>(?:FROM\s+(?:NAMED\s+)?\S+\s*)*)"
+    r"WHERE\s*\{(?P<bgp>.*)\}"
     r"\s*(?P<mods>[^{}]*?)\s*$",
     re.I | re.S,
 )
@@ -242,7 +245,9 @@ _DESCRIBE_TERMS = re.compile(
 )
 _DESCRIBE_VAR = re.compile(
     r"^\s*(?P<prefixes>(?:PREFIX\s+\S+\s*<[^>]*>\s*)*)"
-    r"DESCRIBE\s+(?P<var>[?$]\w+)\s*WHERE\s*\{(?P<bgp>.*)\}\s*$",
+    r"DESCRIBE\s+(?P<var>[?$]\w+)\s*"
+    r"(?P<dataset>(?:FROM\s+(?:NAMED\s+)?\S+\s*)*)"
+    r"WHERE\s*\{(?P<bgp>.*)\}\s*$",
     re.I | re.S,
 )
 _PREFIX_DECL = re.compile(r"PREFIX\s+([\w.\-]*):\s*<([^>]*)>", re.I)
@@ -2208,12 +2213,14 @@ def parse_sparql(
         describe_var = dv.group("var")[1:]
         prefixes_src, bgp_src = dv.group("prefixes"), dv.group("bgp")
         proj_src, distinct_src, mods_src = "*", None, ""
+        dataset_src = dv.group("dataset") or ""
     elif am:
         # ASK (§16.3): does the pattern have ≥1 solution? Normalized to the
         # SELECT * machinery with the ask flag; no projection or modifiers.
         ask = True
         prefixes_src, bgp_src = am.group("prefixes"), am.group("bgp")
         proj_src, distinct_src, mods_src = "*", None, ""
+        dataset_src = am.group("dataset") or ""
     elif cm:
         # CONSTRUCT (§16.2): the template parses after PREFIX resolution;
         # solution modifiers are rejected (the output graph is a set —
@@ -2226,6 +2233,7 @@ def parse_sparql(
         tpl_src = cm.group("tpl")
         prefixes_src, bgp_src = cm.group("prefixes"), cm.group("bgp")
         proj_src, distinct_src, mods_src = "*", None, ""
+        dataset_src = cm.group("dataset") or ""
     else:
         m = _QUERY.match(query)
         if not m:

@@ -428,6 +428,33 @@ def test_from_and_from_named_compose(gstore, gdict):
     assert none.collect() == []
 
 
+def test_from_on_other_query_forms(gstore, gdict):
+    """§13.2 dataset clauses compose with ASK / CONSTRUCT / DESCRIBE ?x
+    (the clauses sit between the form's head and WHERE)."""
+    ask = sparql_to_df(
+        gstore, "ASK FROM :graph_b { ?s :p10 9 }", gdict
+    ).collect()
+    assert ask[0]["ask"] is True
+    ask2 = sparql_to_df(
+        gstore, "ASK FROM :graph_a { ?s :p10 9 }", gdict
+    ).collect()
+    assert ask2[0]["ask"] is False
+    built = sparql_to_df(
+        gstore,
+        "CONSTRUCT { ?s :p11 ?o } FROM :graph_b WHERE { ?s :p10 ?o }",
+        gdict,
+    )
+    assert _rows(built) == [(1, 11, 2), (2, 11, 9)]
+    desc = sparql_to_df(
+        gstore,
+        "DESCRIBE ?s FROM :graph_b WHERE { ?s :p10 9 }",
+        gdict,
+    )
+    # resource 2 in the SCOPED store (graph 101 only): as object of
+    # 1-p10->2 and subject of 2-p10->9
+    assert _rows(desc) == [(1, 10, 2), (2, 10, 9)]
+
+
 def test_from_rejects(gstore, gdict, spark):
     with pytest.raises(SparqlSyntaxError, match="variable"):
         parse_sparql("SELECT ?s FROM ?g WHERE { ?s :p10 ?o }")

@@ -51,6 +51,13 @@ FAMILY = [
     "ann_lsh_topk",
     # named graphs: quad-relation scans + same-graph join keys
     "sparql_graph",
+    # text/retrieval family (r6): BM25's two-full-scan zero-shuffle
+    # design, decontamination's broadcast n-grams + one corpus shuffle,
+    # and the 4-stage curation composition — the shapes whose scale
+    # story is the most scan-volume-bound
+    "bm25_search",
+    "text_decontaminate",
+    "corpus_curate",
 ]
 
 TABLES = [

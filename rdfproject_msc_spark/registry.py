@@ -1163,17 +1163,23 @@ BUCKETED_JOIN_SQL = SKEW_SALTED_JOIN_SQL  # same logical query, different layout
 
 
 def top_orders_per_priority(spark, sf_dir):
-    from pyspark.sql import Window
+    """Per-key top-N through the SALTED two-stage operator
+    (operators/topn.py, r6): the naive Window.partitionBy(priority)
+    form funnels 1/5 of the table through ONE task per priority at
+    100 TB (5 keys, and AQE does not split window skew); the salted
+    form spreads each key across 16 bounded windows, then ranks the
+    ≤ n×16 survivors — identical exact output (same DuckDB
+    row_number oracle), per-task work bounded by data/salts."""
+    from rdfproject_msc_spark.operators.topn import top_n_per_key
 
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    )
-    return (
-        orders.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("o_orderpriority", "o_orderkey", "o_totalprice")
-    )
+    return top_n_per_key(
+        orders,
+        ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        3,
+        tiebreak_col="o_orderkey",
+    ).select("o_orderpriority", "o_orderkey", "o_totalprice")
 
 
 TOP_ORDERS_SQL = """
@@ -1996,6 +2002,38 @@ def _hex6_sql(start: int, src: str = "md5(CAST(doc_id AS VARCHAR))") -> str:
     return f"({terms})"
 
 
+DOCS_QUOTA_N = 50
+
+
+def docs_quota_sample(spark, sf_dir):
+    """Per-source QUOTA sampling (operators/topn.py, r6): cap every
+    source at 50 documents chosen by deterministic md5(doc_id) priority
+    — the mixture-control primitive that bounds a dominant source's
+    absolute contribution to a training corpus (rate-based stratified
+    sampling cannot: a source 100x larger still contributes 100x more
+    rows at any rate). Exact, reproducible, and skew-robust: the salted
+    two-stage top-N never puts a hot source through one window task.
+    Oracle: the equivalent row_number-over-md5 window."""
+    from rdfproject_msc_spark.operators.topn import quota_sample_per_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quota_sample_per_key(
+        docs, ["source"], DOCS_QUOTA_N, id_col="doc_id"
+    ).select("source", "doc_id", "n_chars")
+
+
+DOCS_QUOTA_SQL = f"""
+SELECT source, doc_id, n_chars
+FROM (SELECT source, doc_id, n_chars,
+             row_number() OVER (
+                 PARTITION BY source
+                 ORDER BY md5('quota:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents)
+WHERE rn <= {DOCS_QUOTA_N}
+"""
+
+
 def corpus_split(spark, sf_dir):
     """Dataset partitioning for training (operators/sampling.py): a
     deterministic md5-bucket train/val/test split (80/10/10 — per-row
@@ -2260,7 +2298,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "ann_lsh_topk": QuerySpec(ann_lsh_topk, ANN_LSH_TOPK_SQL, headline=True),
     "multimodal_stats": QuerySpec(multimodal_stats, MULTIMODAL_STATS_SQL, headline=True),
     "multimodal_filter": QuerySpec(multimodal_filter, MULTIMODAL_FILTER_SQL),
-    "multimodal_decode": QuerySpec(multimodal_decode, MULTIMODAL_DECODE_SQL),
+    # multimodal_decode demoted r6 (slot -> docs_quota_sample): the
+    # mapInPandas decode plumbing stays oracle-pinned in
+    # tests/test_demoted.py; stats+filter keep the family's driver rows
+    "docs_quota_sample": QuerySpec(docs_quota_sample, DOCS_QUOTA_SQL),
     # new / reworked this round
     "sparql_nested": QuerySpec(sparql_nested, SPARQL_NESTED_SQL, headline=True),
     "sparql_subquery": QuerySpec(sparql_subquery, SPARQL_SUBQUERY_SQL, headline=True),

@@ -36,6 +36,14 @@ def test_rdf_split_join_pstore(spark, sf_dir):
     )
 
 
+def test_multimodal_decode_matches_oracle(spark, sf_dir):
+    """Demoted r6 (slot → docs_quota_sample): the Arrow mapInPandas
+    decode plumbing with its declared schema, exact DuckDB oracle."""
+    assert_matches_oracle(
+        R.multimodal_decode(spark, sf_dir), R.MULTIMODAL_DECODE_SQL, sf_dir
+    )
+
+
 def test_text_fingerprint_matches_oracle(spark, sf_dir):
     """Demoted r6 (slot → sparql_from): rolling-hash document
     fingerprinting, exact DuckDB oracle."""

@@ -1018,6 +1018,59 @@ def _parse_filter_expr(src: str):
             }[lhs.lower()]
             v = _take_var_arg(lhs)
             return ("termis", kind, v)
+        def _take_str_var(fname: str) -> str:
+            """Argument of a string accessor: `?v` or `STR(?v)`."""
+            take("(")
+            t2 = take()
+            if t2.lower() == "str":
+                v = _take_var_arg("STR")
+            elif t2.startswith(("?", "$")):
+                v = t2[1:]
+            else:
+                raise SparqlSyntaxError(
+                    f"bad FILTER expression {src!r}: {fname} takes a "
+                    f"variable or STR(?var), got {t2!r}"
+                )
+            take(")")
+            return v
+
+        if lhs.lower() == "strlen" and peek() == "(":
+            # STRLEN(STR(?x)) <op> n (§17.4.3.2): term LENGTH compared to
+            # an integer — evaluated over the dictionary term text (same
+            # join as REGEX); null-intolerant, so the dict join
+            # inner-izes and the length predicate pushes to the dict scan
+            v = _take_str_var("STRLEN")
+            op = take()
+            if op not in _CMP_OPS:
+                raise SparqlSyntaxError(
+                    f"bad FILTER expression {src!r}: STRLEN comparison "
+                    f"needs an operator, got {op!r}"
+                )
+            num = take()
+            if not re.fullmatch(r"-?\d+", num):
+                raise SparqlSyntaxError(
+                    f"bad FILTER expression {src!r}: STRLEN compares "
+                    f"against an integer, got {num!r}"
+                )
+            return ("strlen", v, op, int(num))
+        if lhs.lower() in ("ucase", "lcase") and peek() == "(":
+            # UCASE/LCASE(STR(?x)) =|!= "literal" (§17.4.3.4-5):
+            # case-folded term equality, dictionary-side
+            fn = lhs.lower()
+            v = _take_str_var(fn.upper())
+            op = take()
+            if op not in ("=", "!="):
+                raise SparqlSyntaxError(
+                    f"bad FILTER expression {src!r}: {fn.upper()}() "
+                    f"comparisons support = and != only, got {op!r}"
+                )
+            lit = take()
+            if not (lit.startswith('"') and lit.endswith('"')):
+                raise SparqlSyntaxError(
+                    f"bad FILTER expression {src!r}: {fn.upper()}() "
+                    f"compares against a string literal, got {lit!r}"
+                )
+            return ("strcase", fn, v, _unescape(lit[1:-1]), op == "!=")
         if lhs.lower() == "str" and peek() == "(":
             # STR(?x) = "literal" (§17.4.2.5 wrapper + term equality): ids
             # ARE term references here, so STR-of-var compares the term
@@ -1115,6 +1168,10 @@ def filter_expr_vars(node) -> set[str]:
         return {node[2]}
     if len(node) == 3 and node[0] == "langmatches":
         return {node[1]}
+    if len(node) == 4 and node[0] == "strlen":  # STRLEN comparison leaf
+        return {node[1]}
+    if len(node) == 5 and node[0] == "strcase":  # UCASE/LCASE equality
+        return {node[2]}
     if node[0] == "not":
         return filter_expr_vars(node[1])
     return filter_expr_vars(node[1]) | filter_expr_vars(node[2])
@@ -1139,6 +1196,10 @@ def filter_expr_strfn_vars(node) -> set[str]:
         return {node[2]}
     if len(node) == 3 and node[0] == "langmatches":
         return {node[1]}
+    if len(node) == 4 and node[0] == "strlen":
+        return {node[1]}
+    if len(node) == 5 and node[0] == "strcase":
+        return {node[2]}
     if node[0] == "not":
         return filter_expr_strfn_vars(node[1])
     return filter_expr_strfn_vars(node[1]) | filter_expr_strfn_vars(node[2])
@@ -1165,6 +1226,10 @@ def filter_expr_streq_literals(node) -> set[str]:
         return set()  # LANG/DATATYPE values compare as strings, not ids
     if len(node) == 3 and node[0] in ("termis", "langmatches"):
         return set()
+    if len(node) == 4 and node[0] == "strlen":
+        return set()
+    if len(node) == 5 and node[0] == "strcase":
+        return set()  # case-folded match cannot resolve to one id
     if node[0] == "not":
         return filter_expr_streq_literals(node[1])
     return filter_expr_streq_literals(node[1]) | filter_expr_streq_literals(

@@ -235,6 +235,27 @@ def _compile_filter(
         if fn == "strstarts":
             return col.startswith(pattern)
         return col.endswith(pattern)
+    if len(node) == 4 and node[0] == "strlen":  # STRLEN comparison leaf
+        _, var, op, num = node
+        if termmap is None or var not in termmap:
+            raise SparqlSyntaxError(
+                "string functions are not supported in this FILTER context"
+            )
+        # term length, dictionary-side; NULL term (unbound / integer
+        # literal) → NULL → drop, and the predicate is null-intolerant so
+        # Catalyst inner-izes the dict join and pushes the length test
+        # into the dictionary scan (same strategy as the other strfns)
+        return _OPS[op](F.length(F.col(termmap[var])), F.lit(num))
+    if len(node) == 5 and node[0] == "strcase":  # UCASE/LCASE equality
+        _, fn, var, text, negated = node
+        if termmap is None or var not in termmap:
+            raise SparqlSyntaxError(
+                "string functions are not supported in this FILTER context"
+            )
+        folded = (F.upper if fn == "ucase" else F.lower)(F.col(termmap[var]))
+        return (
+            (folded != F.lit(text)) if negated else (folded == F.lit(text))
+        )
     if len(node) == 5 and node[0] == "termfn":  # LANG/DATATYPE leaf
         _, fn, var, value, negated = node
         if termmap is None or var not in termmap:

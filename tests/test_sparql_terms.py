@@ -162,6 +162,26 @@ def test_positive_lang_filter_inner_izes_dict_join(tstore, tdict):
     assert "LeftOuter" not in final
 
 
+def test_strlen_and_case_filters(tstore, tdict):
+    """STRLEN / UCASE / LCASE (r6): term-text functions evaluated
+    dictionary-side like the REGEX family. Integer literals (no term
+    text) and unbound vars error → drop, same as the other strfns."""
+    # term lengths: ':alice'=6, '"chat"@en'=9, '"cat"@fr'=8, 'hello'=5,
+    # '"2024-01-01"^^:date'=19, '"hi"@en-us'=10; 42 has no term
+    assert _objs(tstore, tdict, "STRLEN(STR(?o)) > 9") == [5, 6]
+    assert _objs(tstore, tdict, "STRLEN(?o) = 5") == [4]
+    assert _objs(tstore, tdict, 'UCASE(STR(?o)) = "HELLO"') == [4]
+    assert _objs(tstore, tdict, 'LCASE(?o) = ":alice"') == [1]
+    # != under 3VL: the dictionary-absent id (42) drops (term is NULL)
+    assert _objs(tstore, tdict, 'UCASE(?o) != "HELLO"') == [1, 2, 3, 5, 6]
+    # composition with connectives
+    assert _objs(
+        tstore, tdict, 'STRLEN(?o) < 9 && !isIRI(?o)'
+    ) == [3, 4]  # '"cat"@fr' (8) and 'hello' (5)
+    with pytest.raises(SparqlSyntaxError, match="integer"):
+        _objs(tstore, tdict, 'STRLEN(?o) > "x"')
+
+
 def test_accessor_rejects_without_dictionary(tstore, spark):
     with pytest.raises(SparqlSyntaxError):
         sparql_to_df(

@@ -1842,6 +1842,34 @@ FROM base
 """
 
 
+def text_ngram_top(spark, sf_dir):
+    """Corpus-wide top-20 word bigrams (operators/ngrams.py, r6) — the
+    boilerplate/stopword-analysis primitive: tokenize + n-gram build are
+    whole-stage-codegen column expressions, counts map-side combine
+    before ONE shuffle, and the top-K is TakeOrderedAndProject (per-
+    partition heaps, no global sort). Deterministic (count desc, gram
+    asc). Oracle: the same tokenization + UNNEST-range bigrams in
+    DuckDB."""
+    from rdfproject_msc_spark.operators.ngrams import top_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    return top_ngrams(docs, n=2, k=20)
+
+
+TEXT_NGRAM_TOP_SQL = r"""
+WITH toks AS (
+  SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+),
+grams AS (
+  SELECT t[i] || ' ' || t[i + 1] AS ngram
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+)
+SELECT ngram, COUNT(*) AS c FROM grams
+GROUP BY ngram ORDER BY c DESC, ngram LIMIT 20
+"""
+
+
 def text_langid(spark, sf_dir):
     """Both language-ID heuristics side by side, each with an exact SQL
     twin: stopword-argmax (`lang_pred`) and the char-n-gram profile argmax
@@ -2322,7 +2350,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "corpus_split": QuerySpec(corpus_split, CORPUS_SPLIT_SQL),
     "doc_pack": QuerySpec(doc_pack, DOC_PACK_SQL),
     "text_stats": QuerySpec(text_stats, TEXT_STATS_SQL),
-    "text_langid": QuerySpec(text_langid, TEXT_LANGID_SQL),
+    # text_langid demoted r6 (slot -> text_ngram_top): the n-gram
+    # language-ID heuristic stays oracle-pinned in tests/test_demoted.py
+    "text_ngram_top": QuerySpec(text_ngram_top, TEXT_NGRAM_TOP_SQL),
     # text_fingerprint demoted r6 (slot → sparql_from): the rolling-hash
     # fingerprint stays oracle-pinned in tests/test_demoted.py; the
     # textstats family keeps text_stats/text_langid/text_tokens rows

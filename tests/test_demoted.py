@@ -36,6 +36,14 @@ def test_rdf_split_join_pstore(spark, sf_dir):
     )
 
 
+def test_text_langid_matches_oracle(spark, sf_dir):
+    """Demoted r6 (slot → text_ngram_top): the n-gram language-ID
+    heuristic, exact DuckDB oracle."""
+    assert_matches_oracle(
+        R.text_langid(spark, sf_dir), R.TEXT_LANGID_SQL, sf_dir
+    )
+
+
 def test_multimodal_decode_matches_oracle(spark, sf_dir):
     """Demoted r6 (slot → docs_quota_sample): the Arrow mapInPandas
     decode plumbing with its declared schema, exact DuckDB oracle."""

@@ -201,7 +201,7 @@ _FROM_CLAUSE = re.compile(r"FROM\s+(?P<named>NAMED\s+)?(?P<src>\S+)", re.I)
 _PROJ_ITEM = re.compile(r"[?$]\w+|\((?:[^()]|\([^()]*\))*\)")
 _AGG_ITEM = re.compile(
     r"^\(\s*(?P<func>COUNT|SUM|AVG|MIN|MAX|SAMPLE|GROUP_CONCAT)\s*\(\s*"
-    r"(?P<distinct>DISTINCT\s+)?(?P<arg>\*|[?$]\w+)\s*"
+    r"(?P<distinct>DISTINCT\s+)?(?P<arg>\*|[^();]+?)\s*"
     r'(?:;\s*SEPARATOR\s*=\s*"(?P<sep>[^"]*)"\s*)?\)\s+'
     r"AS\s+[?$](?P<alias>\w+)\s*\)$",
     re.I,
@@ -2404,7 +2404,7 @@ def parse_sparql(
                     "or (arithmetic AS ?alias))"
                 )
             func = am.group("func").lower()
-            arg = am.group("arg")
+            arg = am.group("arg").strip()
             distinct_arg = bool(am.group("distinct"))
             sep = am.group("sep")
             if arg == "*" and (func != "count" or distinct_arg):
@@ -2416,14 +2416,21 @@ def parse_sparql(
                 )
             if func == "group_concat" and sep is None:
                 sep = " "  # the §11 default separator
+            if arg == "*":
+                avar = None
+            elif re.fullmatch(r"[?$]\w+", arg):
+                avar = arg[1:]
+            else:
+                # aggregate over an EXPRESSION (§11.1 — `SUM(?a * ?b)`):
+                # the arithmetic computes per solution row BEFORE the
+                # aggregation; arg slot = ('expr', arith AST)
+                if func == "group_concat":
+                    raise SparqlSyntaxError(
+                        "GROUP_CONCAT over an expression is not supported"
+                    )
+                avar = ("expr", _parse_arith_expr(arg))
             aggregates.append(
-                (
-                    func,
-                    None if arg == "*" else arg[1:],
-                    distinct_arg,
-                    am.group("alias"),
-                    sep,
-                )
+                (func, avar, distinct_arg, am.group("alias"), sep)
             )
             items.append(am.group("alias"))
         if len(set(items)) != len(items):
@@ -2500,7 +2507,14 @@ def parse_sparql(
                 f"{sorted(aliases & pattern_vars)}"
             )
     for _, avar, _, _, _ in aggregates:
-        if avar is not None and avar not in pattern_vars:
+        if isinstance(avar, tuple):
+            bad = arith_expr_vars(avar[1]) - pattern_vars
+            if bad:
+                raise SparqlSyntaxError(
+                    f"aggregate-expression variables not in BGP: "
+                    f"{['?' + v for v in sorted(bad)]}"
+                )
+        elif avar is not None and avar not in pattern_vars:
             raise SparqlSyntaxError(f"aggregate variable not in BGP: ?{avar}")
     # solution modifiers after the group pattern
     mods = mods_src or ""
@@ -2604,7 +2618,14 @@ def parse_sparql(
         a for a, _ in agg_exprs
     }
     for _, avar, _, _, _ in aggregates:  # re-check: lifting added entries
-        if avar is not None and avar not in pattern_vars:
+        if isinstance(avar, tuple):
+            bad = arith_expr_vars(avar[1]) - pattern_vars
+            if bad:
+                raise SparqlSyntaxError(
+                    f"aggregate-expression variables not in BGP: "
+                    f"{['?' + v for v in sorted(bad)]}"
+                )
+        elif avar is not None and avar not in pattern_vars:
             raise SparqlSyntaxError(f"aggregate variable not in BGP: ?{avar}")
     gm = _GROUP.search(mods)
     group_by = (

@@ -2333,7 +2333,14 @@ def _plan_grouped(
         if var is None:  # COUNT(*)
             expr = F.count(F.lit(1))
         else:
-            col = F.col(bound_cols[var])
+            # aggregate over an expression (§11.1): the arithmetic
+            # computes per solution row inside the partial aggregation —
+            # still one map-side-combined pass
+            col = (
+                _compile_arith(var[1], bound_cols)
+                if isinstance(var, tuple)
+                else F.col(bound_cols[var])
+            )
             if func == "count":
                 expr = F.count_distinct(col) if distinct else F.count(col)
             elif func == "sum":

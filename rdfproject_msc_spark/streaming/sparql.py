@@ -43,8 +43,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rdfproject_msc_spark.dictionary import Dictionary
-from rdfproject_msc_spark.sparql.parser import SparqlSyntaxError, parse_sparql
-from rdfproject_msc_spark.sparql.planner import sparql_to_df
+from rdfproject_msc_spark.sparql.parser import (
+    SparqlSyntaxError,
+    filter_expr_streq_literals,
+    filter_expr_strfn_vars,
+    filter_expr_vars,
+    parse_sparql,
+)
+from rdfproject_msc_spark.sparql.planner import _compile_filter, sparql_to_df
 from rdfproject_msc_spark.store import TripleStore
 
 
@@ -59,13 +65,13 @@ def _pattern_stream(
     names, a repeated variable filters for slot equality."""
     bgp = parse_sparql(f"SELECT * WHERE {{ {pattern_src} }}")
     grp = bgp.where
-    # Reject ANY clause besides the single triple pattern — a FILTER /
-    # OPTIONAL / BIND / VALUES / UNION / GRAPH here would be silently
-    # dropped by the slot compiler below, which contradicts the engine's
-    # reject-rather-than-guess stance.
+    # Besides the one triple pattern, the only clause kind the stream
+    # side supports is FILTER over the pattern's OWN variables (compiled
+    # below as stateless per-batch predicates over the encoded ids).
+    # Everything else — OPTIONAL / BIND / VALUES / UNION / GRAPH / paths
+    # — is rejected, never silently dropped.
     extras = (
-        grp.filters
-        or grp.binds
+        grp.binds
         or grp.optionals
         or grp.unions
         or grp.minuses
@@ -81,9 +87,24 @@ def _pattern_stream(
     if len(grp.patterns) != 1 or extras:
         raise SparqlSyntaxError(
             f"stream pattern must be exactly one plain triple pattern "
-            f"(no FILTER/OPTIONAL/BIND/VALUES/UNION/MINUS/GRAPH/paths), "
+            f"(plus optional FILTERs over its own variables — no "
+            f"OPTIONAL/BIND/VALUES/UNION/MINUS/GRAPH/paths), "
             f"got {pattern_src!r}"
         )
+    pat_vars = grp.patterns[0].variables()
+    for expr in grp.filters:
+        fvars = filter_expr_vars(expr)
+        if not fvars <= pat_vars:
+            raise SparqlSyntaxError(
+                f"stream-pattern FILTER may reference only the pattern's "
+                f"own variables {sorted(pat_vars)}, got {sorted(fvars)}"
+            )
+        if filter_expr_strfn_vars(expr):
+            raise SparqlSyntaxError(
+                "stream-pattern FILTERs are numeric/term-equality only "
+                "(string functions would join the dictionary per "
+                "micro-batch; filter the STATIC side instead)"
+            )
     tp = bgp.where.patterns[0]
     terms = sorted(
         {val for _, (kind, val) in tp.slots.items() if kind == "term"}
@@ -115,7 +136,31 @@ def _pattern_stream(
         raise SparqlSyntaxError(
             "stream pattern binds no variables — nothing to join"
         )
-    return df.select(*out), var_order
+    sdf = df.select(*out)
+    if grp.filters:
+        # stream-side FILTERs (r6): stateless column predicates per
+        # micro-batch over the renamed variable columns; term-equality
+        # literals resolve through the SAME bounded dictionary lookup as
+        # pattern constants (plan-time, never per batch)
+        litids: dict[str, int] = {}
+        streq = sorted(
+            {
+                t
+                for expr in grp.filters
+                for t in filter_expr_streq_literals(expr)
+            }
+        )
+        if streq:
+            if dictionary is None:
+                raise SparqlSyntaxError(
+                    "stream-pattern term-equality FILTERs need a "
+                    "dictionary to resolve literals"
+                )
+            litids = dictionary.lookup_terms(streq)
+        colmap = {v: v for v in var_order}
+        for expr in grp.filters:
+            sdf = sdf.filter(_compile_filter(expr, colmap, None, litids))
+    return sdf, var_order
 
 
 def _surely_bound_vars(grp) -> set[str]:

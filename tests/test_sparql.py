@@ -1306,6 +1306,25 @@ def test_expression_residue_matches_duckdb(spark):
     )
     assert got == want == [(1, 3)]
 
+    # aggregates over EXPRESSIONS (§11.1): arithmetic computes per row
+    # before the (map-side combined) aggregation
+    got = sorted(
+        (r.s, r.sq, r.d)
+        for r in sparql_to_df(
+            store,
+            "SELECT ?s (SUM(?o * ?o) AS ?sq) (AVG(?o - ?s) AS ?d) "
+            "WHERE { ?s :p10 ?o } GROUP BY ?s",
+            d,
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            "SELECT s, SUM(o * o), AVG(o - s) FROM t WHERE p = 10 GROUP BY s"
+        ).fetchall()
+    )
+    assert got == want and len(got) == 2
+
     # aggregate aliases have no term: string functions over them reject
     with pytest.raises(SparqlSyntaxError, match="GROUP BY keys"):
         parse_sparql(

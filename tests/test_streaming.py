@@ -584,11 +584,10 @@ def test_sparql_stream_delta_equals_batch(spark, sf_dir, tmp_path):
             stream, store, static_q, "?x :hasType ?t", dictionary=d
         )
 
-    # a stream pattern carrying ANY extra clause is rejected, not
-    # silently stripped — FILTER/OPTIONAL/BIND/VALUES/UNION/GRAPH would
+    # a stream pattern carrying any NON-FILTER clause is rejected, not
+    # silently stripped — OPTIONAL/BIND/VALUES/UNION/GRAPH would
     # otherwise be discarded by the single-pattern compiler
     for bad in (
-        "?e :byUser ?c . FILTER(?c > 50)",
         "?e :byUser ?c . OPTIONAL { ?e :hasType ?t }",
         "?e :byUser ?c . BIND(?c + 1 AS ?d)",
         "?e :byUser ?c . VALUES ?c { 1 2 }",
@@ -596,6 +595,42 @@ def test_sparql_stream_delta_equals_batch(spark, sf_dir, tmp_path):
     ):
         with pytest.raises(SparqlSyntaxError, match="exactly one plain"):
             sparql_stream_delta(stream, store, static_q, bad, dictionary=d)
+
+    # stream-side FILTERs over the pattern's own vars (r6): stateless
+    # per-batch predicates — the filtered delta equals the filtered batch
+    outf = sparql_stream_delta(
+        spark.readStream.schema("s long, p long, o long").parquet(edges_dir),
+        store,
+        static_q,
+        "?e :byUser ?c . FILTER(?c > 50 && ?e <= -7)",
+        dictionary=d,
+    )
+    gotf = S.run_to_memory_table(
+        outf, spark, "sparql_delta_f", str(tmp_path / "ckf"),
+        output_mode="append",
+    )
+    wantf = sparql_to_df(
+        store,
+        "SELECT ?e ?c ?n WHERE { ?e :byUser ?c . ?c :inNation ?n . "
+        "FILTER(?c > 50 && ?e <= -7) }",
+        d,
+    )
+    assert sorted(map(tuple, gotf.select("e", "c", "n").collect())) == sorted(
+        map(tuple, wantf.collect())
+    )
+    # ...but only over the pattern's OWN variables (the root typo guard
+    # fires first for vars bound nowhere in the pattern), and no
+    # string fns
+    with pytest.raises(SparqlSyntaxError, match="not in BGP"):
+        sparql_stream_delta(
+            stream, store, static_q,
+            "?e :byUser ?c . FILTER(?n > 0)", dictionary=d,
+        )
+    with pytest.raises(SparqlSyntaxError, match="numeric"):
+        sparql_stream_delta(
+            stream, store, static_q,
+            '?e :byUser ?c . FILTER(REGEX(STR(?c), "x"))', dictionary=d,
+        )
 
     # a shared variable the static query binds only OPTIONALLY (nullable)
     # is rejected: NULL never matches the stream-static equi-join

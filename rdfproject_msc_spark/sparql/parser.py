@@ -2685,18 +2685,37 @@ def parse_sparql(
         pos = om.end()
         consumed_end = pos
         dir_open = re.compile(r"(ASC|DESC)\s*\(", re.I)
+        str_open = re.compile(r"STR\s*\(", re.I)
         var_key = re.compile(r"[?$](\w+)")
+        _STR_KEY = re.compile(r"STR\s*\(\s*[?$](\w+)\s*\)", re.I)
         while True:
             pos = _skip_ws(mods, pos)
             if pos >= len(mods):
                 consumed_end = pos
                 break
             mdir = dir_open.match(mods, pos)
+            mstr = str_open.match(mods, pos) if not mdir else None
             if mdir:
                 desc = mdir.group(1).upper() == "DESC"
                 inner, pos = _scan_delim(
                     mods, mdir.end() - 1, "(", ")", "ORDER BY"
                 )
+            elif mstr:
+                # bare STR(?x) key: sort by the DECODED term (r6)
+                v = var_key.match(mods, _skip_ws(mods, mstr.end()))
+                if not v:
+                    raise SparqlSyntaxError(
+                        "ORDER BY STR(...) takes a variable"
+                    )
+                pos = _skip_ws(mods, v.end())
+                if pos >= len(mods) or mods[pos] != ")":
+                    raise SparqlSyntaxError(
+                        "malformed ORDER BY STR(?var) key"
+                    )
+                pos += 1
+                order_by.append((("str", v.group(1)), False))
+                consumed_end = pos
+                continue
             elif mods[pos] == "(":
                 desc = False
                 inner, pos = _scan_delim(mods, pos, "(", ")", "ORDER BY")
@@ -2709,7 +2728,11 @@ def parse_sparql(
                 consumed_end = pos
                 continue
             txt = inner.strip()
-            if re.fullmatch(r"[?$]\w+", txt):
+            sm = _STR_KEY.fullmatch(txt)
+            if sm:
+                # [ASC|DESC](STR(?x)): term-ordered sort key (r6)
+                order_by.append((("str", sm.group(1)), desc))
+            elif re.fullmatch(r"[?$]\w+", txt):
                 order_by.append((txt[1:], desc))
             else:
                 order_by.append((("expr", _parse_arith_expr(inner)), desc))
@@ -2718,13 +2741,19 @@ def parse_sparql(
         if not order_by:
             raise SparqlSyntaxError("ORDER BY needs at least one sort key")
     for key, _ in order_by:
-        if isinstance(key, tuple):  # expression key
+        if isinstance(key, tuple):  # expression / STR key
             if grouped:
                 raise SparqlSyntaxError(
                     "ORDER BY expressions are not supported with "
                     "GROUP BY/aggregates (order by an aliased aggregate "
                     "or group key instead)"
                 )
+            if key[0] == "str":
+                if key[1] not in pattern_vars:
+                    raise SparqlSyntaxError(
+                        f"ORDER BY STR variable not in BGP: ?{key[1]}"
+                    )
+                continue
             unknown = arith_expr_vars(key[1]) - pattern_vars
             if unknown:
                 raise SparqlSyntaxError(

@@ -2274,8 +2274,36 @@ def plan_bgp(
                 "cannot combine with DISTINCT"
             )
 
+        # STR(?x) sort keys (r6): order by the DECODED term — attach the
+        # variable's dictionary term via one broadcast left join (a
+        # dangling id sorts as NULL), sort on it, and let the projection
+        # drop the helper column. Spark string ordering is binary UTF-8,
+        # matching DuckDB's default collation for oracles.
+        str_keys = {
+            k[1]
+            for k, _ in bgp.order_by
+            if isinstance(k, tuple) and k[0] == "str"
+        }
+        str_cols: dict[str, str] = {}
+        if str_keys and dictionary is None:
+            raise SparqlSyntaxError(
+                "ORDER BY STR(...) needs a dictionary to resolve terms"
+            )
+        for i, v in enumerate(sorted(str_keys)):
+            d = (
+                dictionary._dict_side()
+                .withColumnRenamed("id", f"__osid{i}")
+                .withColumnRenamed("term", f"__oterm{i}")
+            )
+            joined = joined.join(
+                d, F.col(bound_cols[v]) == F.col(f"__osid{i}"), "left"
+            ).drop(f"__osid{i}")
+            str_cols[v] = f"__oterm{i}"
+
         def _key_col(k):
             if isinstance(k, tuple):
+                if k[0] == "str":
+                    return F.col(str_cols[k[1]])
                 return _compile_arith(k[1], bound_cols)
             return F.col(bound_cols[k])
 

@@ -182,6 +182,34 @@ def test_strlen_and_case_filters(tstore, tdict):
         _objs(tstore, tdict, 'STRLEN(?o) > "x"')
 
 
+def test_order_by_str_sorts_by_term(tstore, tdict):
+    """ORDER BY STR(?x) (r6): sort by the DECODED dictionary term
+    (binary UTF-8 — DuckDB's default VARCHAR collation), ids only in
+    the output. Dictionary-absent ids sort as NULL (Spark nulls-first
+    asc). Composable with DESC() and plain keys."""
+    df = sparql_to_df(
+        tstore,
+        "SELECT ?o WHERE { ?s :label ?o . FILTER(isLiteral(?o) && "
+        'LANG(?o) != "") } ORDER BY STR(?o)',
+        tdict,
+    )
+    # terms: '"cat"@fr' < '"chat"@en' < '"hi"@en-us' (binary)
+    assert [r.o for r in df.collect()] == [3, 2, 6]
+    df = sparql_to_df(
+        tstore,
+        "SELECT ?o WHERE { ?s :label ?o . FILTER(isLiteral(?o) && "
+        'LANG(?o) != "") } ORDER BY DESC(STR(?o)) LIMIT 2',
+        tdict,
+    )
+    assert [r.o for r in df.collect()] == [6, 2]
+    with pytest.raises(SparqlSyntaxError, match="not in BGP"):
+        sparql_to_df(
+            tstore,
+            "SELECT ?o WHERE { ?s :label ?o } ORDER BY STR(?zz)",
+            tdict,
+        )
+
+
 def test_accessor_rejects_without_dictionary(tstore, spark):
     with pytest.raises(SparqlSyntaxError):
         sparql_to_df(

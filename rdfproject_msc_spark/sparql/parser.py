@@ -2026,7 +2026,7 @@ def _parse_group(
                     )
                 body_expr = body[: am.start()]
                 tm = re.fullmatch(
-                    r"\s*(LANG|DATATYPE)\s*\(\s*([?$]\w+)\s*\)\s*",
+                    r"\s*(LANG|DATATYPE|STR)\s*\(\s*([?$]\w+)\s*\)\s*",
                     body_expr,
                     re.I,
                 )

@@ -1663,9 +1663,17 @@ def _plan_group(
                 d, F.col(bound_cols[src_var]) == F.col(f"__bsid{bi}"), "left"
             ).drop(f"__bsid{bi}")
             idc, tc = F.col(bound_cols[src_var]), F.col(tcol)
-            ex = _term_lang(idc, tc) if fn == "lang" else _term_datatype(
-                idc, tc
-            )
+            if fn == "str":
+                # STR(?x) (§17.4.2.5): the term's lexical text; a
+                # dictionary-absent id is an integer literal whose STR is
+                # its decimal form; unbound stays unbound
+                ex = F.when(
+                    idc.isNotNull(), F.coalesce(tc, idc.cast("string"))
+                )
+            elif fn == "lang":
+                ex = _term_lang(idc, tc)
+            else:
+                ex = _term_datatype(idc, tc)
             joined = joined.withColumn(cname, ex).drop(tcol)
             bound_cols[bvar] = cname
             order.append(bvar)

@@ -182,6 +182,27 @@ def test_strlen_and_case_filters(tstore, tdict):
         _objs(tstore, tdict, 'STRLEN(?o) > "x"')
 
 
+def test_bind_str_decodes_term(tstore, tdict):
+    """BIND(STR(?x) AS ?t) (r6): the term's lexical text as a string
+    column — integer literals render as their decimal form, IRIs keep
+    their localized text, unbound stays unbound."""
+    df = sparql_to_df(
+        tstore,
+        "SELECT ?o ?t WHERE { ?s :label ?o . BIND(STR(?o) AS ?t) }",
+        tdict,
+    )
+    got = sorted((r.o, r.t) for r in df.collect())
+    assert got == [
+        (1, ":alice"),
+        (2, '"chat"@en'),
+        (3, '"cat"@fr'),
+        (4, "hello"),
+        (5, '"2024-01-01"^^:date'),
+        (6, '"hi"@en-us'),
+        (42, "42"),
+    ]
+
+
 def test_order_by_str_sorts_by_term(tstore, tdict):
     """ORDER BY STR(?x) (r6): sort by the DECODED dictionary term
     (binary UTF-8 — DuckDB's default VARCHAR collation), ids only in

@@ -476,11 +476,19 @@ WHERE q0.p = {P_BY_USER} AND q1.p = {P_IN_NATION} AND t.p = {P_IN_REGION}
 """
 
 
-# FROM merges graphs 1 and 3 into the active default graph; FROM NAMED
-# restricts GRAPH ?g to graphs 0 and 2 — the two §13.2 clauses composed
-# in one query, joined on ?c across the dataset boundary.
+# FROM restricts the active default graph to graph 1 and FROM NAMED
+# restricts GRAPH ?g to graph 3 — the two §13.2 clauses composed in one
+# query, joined on ?c across the dataset boundary. Both clauses are
+# LOAD-BEARING under the g = |s| % 4 graphing: `:byUser` subjects are
+# -(10e+7) so graph 1 holds exactly the odd-event half of the stream,
+# and `:inNation` subjects are 10c+1 so graph 3 holds exactly the
+# odd-customer half — each clause strictly shrinks its pattern's input
+# and the join output (the round-6 shape used FROM NAMED {0,2}, which
+# no `:inNation` subject can reach — both engines returned 0 rows and
+# the hash-match was vacuous; tests/test_sparql_graph.py now pins this
+# entry non-empty).
 SPARQL_FROM = (
-    "SELECT ?g ?e ?c ?n FROM 1 FROM 3 FROM NAMED 0 FROM NAMED 2 WHERE "
+    "SELECT ?g ?e ?c ?n FROM 1 FROM NAMED 3 WHERE "
     "{ ?e :byUser ?c . GRAPH ?g { ?c :inNation ?n } }"
 )
 
@@ -505,10 +513,10 @@ def sparql_from(spark, sf_dir):
 
 SPARQL_FROM_SQL = f"""{TRIPLES_CTE},
 quads AS (SELECT abs(s) % 4 AS g, s, p, o FROM triples),
-dflt AS (SELECT DISTINCT s, p, o FROM quads WHERE g IN (1, 3))
+dflt AS (SELECT DISTINCT s, p, o FROM quads WHERE g IN (1))
 SELECT q.g AS g, a.s AS e, a.o AS c, q.o AS n
 FROM dflt a
-JOIN quads q ON a.o = q.s AND q.g IN (0, 2)
+JOIN quads q ON a.o = q.s AND q.g IN (3)
 WHERE a.p = {P_BY_USER} AND q.p = {P_IN_NATION}
 """
 

@@ -715,3 +715,22 @@ def test_graph_closure_fuzz(spark, quads, ):
         tuple(dict(g=g, s=s, o=o)[c] for c in cols) for g, s, o in want
     )
     assert got == want_t
+
+
+def test_sparql_from_registry_entry_is_load_bearing(spark, sf_dir):
+    """The driver entry must pin REAL rows (round-6 regression: FROM
+    NAMED {0,2} could never contain an `:inNation` triple — subjects
+    are 10c+1, odd, so |s| % 4 ∈ {1,3} — and the green hash-match
+    compared two empty results). With FROM 1 / FROM NAMED 3 both
+    clauses restrict their pattern's input AND the result is
+    non-empty: only odd-event `?e` (graph 1) and odd-customer `?c`
+    (graph 3) bindings survive."""
+    from rdfproject_msc_spark.registry import REGISTRY
+
+    rows = REGISTRY["sparql_from"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert {r["g"] for r in rows} == {3}
+    # `:inNation` subjects 10c+1 with c odd ⇒ id % 20 == 11
+    assert all(r["c"] % 20 == 11 for r in rows)
+    # `:byUser` subjects -(10e+7) with e odd ⇒ |id| % 20 == 17
+    assert all((-r["e"]) % 20 == 17 for r in rows)

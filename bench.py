@@ -29,6 +29,38 @@ def main() -> None:
 
     spark = get_spark(app_name="bench", cpus=cpus)
 
+    # Fixed-work CPU calibration (r7): this shared host's ambient
+    # contention moves ALL wall-clocks multiplicatively between sessions
+    # (BASELINE.md "bench drift"). A pure-CPU, zero-IO job of constant
+    # work — whole-stage-codegen hash+sum over spark.range, no shuffle
+    # reading no data — measures the session's effective throughput so
+    # cross-round comparisons can divide it out instead of eyeballing
+    # "uniformly slower". min ≈ burst-free throughput (same estimator as
+    # the per-query timings); median additionally reflects sustained
+    # contention DURING this run.
+    def _calibrate() -> tuple[float, float]:
+        # the DataFrame is REBUILT per rep: re-collecting one DataFrame
+        # object reuses its RDD lineage and Spark skips the map stage
+        # whose shuffle output already exists — a fresh plan each rep
+        # forces the full computation (xor-fold aggregate: no ANSI
+        # overflow, nothing constant-foldable)
+        def job():
+            return spark.range(0, 4_000_000_000, 1, cpus).selectExpr(
+                "bit_xor(xxhash64(id)) AS h"
+            )
+
+        job().collect()  # warm-up: codegen compile + C2 JIT
+        samples = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            job().collect()
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        return round(samples[0], 4), round(samples[len(samples) // 2], 4)
+
+    calib_min, calib_med = _calibrate()
+    print(f"  calib: min={calib_min:.3f}s med={calib_med:.3f}s", file=sys.stderr)
+
     names = [n for n, s in REGISTRY.items() if s.headline]
     timings: dict[str, float] = {}
     # Build every DataFrame once: we measure ENGINE execution (scan,
@@ -87,6 +119,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "calib_s": calib_min,
+                "calib_med_s": calib_med,
                 "sf": sf,
             }
         )

@@ -521,6 +521,59 @@ WHERE a.p = {P_BY_USER} AND q.p = {P_IN_NATION}
 """
 
 
+# typed-VALUE comparisons + casts (r7): date-window FILTER over typed
+# literals, an xsd:string cast BIND, and a cast-VALUE sort key with a
+# load-bearing LIMIT (ties broken by ?n, so the top-12 is deterministic
+# on both engines)
+SPARQL_VALUE_CMP = (
+    "SELECT ?n ?r ?d ?v WHERE { ?n :inRegion ?r . ?r :hasLabel ?d . "
+    'FILTER(?d >= "2020-02-15"^^xsd:date && ?d < "2020-05-15"^^xsd:date) '
+    "BIND(xsd:string(?d) AS ?v) } ORDER BY DESC(xsd:date(?d)) ?n LIMIT 12"
+)
+
+
+def sparql_value_cmp(spark, sf_dir):
+    """Typed-literal VALUE comparisons, casts and value ordering (SPARQL
+    1.1 §17.3 operand mapping + §17.5 constructor casts, r7): the date
+    window FILTER parses '"lex"^^:date' lexicals out of the dictionary
+    term text (planner._term_temporal) — evaluated over |dict| distinct
+    terms, never per solution row, with the implied null-intolerant
+    suffix predicate letting Catalyst inner-ize the dictionary join and
+    push the match into the dict scan; non-date labels (plain literals,
+    tagged literals) are type ERRORS → NULL → dropped by 3VL.
+    ORDER BY DESC(xsd:date(?d)) sorts by the cast VALUE (not the
+    arbitrary encoded id), and BIND(xsd:string(?d)) projects the decoded
+    term. The reference's Jena front-end parsed all three forms
+    (MyOpVisitorBase.java:49); its translator compared raw ids only."""
+    store = _store(spark, sf_dir)
+    return sparql_to_df(store, SPARQL_VALUE_CMP, _dict(spark, sf_dir))
+
+
+# the oracle mirrors the value derivation over the dict CTE: a CASE
+# parses the date VALUE from terms matching the typed-date grammar,
+# everything else derives NULL (type error) and fails the window
+SPARQL_VALUE_CMP_SQL = f"""{TRIPLES_CTE}, dict AS ({DICTIONARY_SQL}),
+lab AS (
+    SELECT a.s AS n, a.o AS r, b.o AS d, d2.term AS dterm
+    FROM triples a
+    JOIN triples b ON a.o = b.s
+    LEFT JOIN dict d2 ON b.o = d2.id
+    WHERE a.p = {P_IN_REGION} AND b.p = {P_HAS_LABEL}
+),
+vals AS (
+    SELECT n, r, d, dterm,
+           CASE WHEN dterm IS NOT NULL AND regexp_matches(
+                    dterm, '^"\\d{{4}}-\\d{{2}}-\\d{{2}}"\\^\\^:date$')
+                THEN CAST(substring(dterm, 2, 10) AS DATE) END AS dv
+    FROM lab
+)
+SELECT n, r, d, dterm AS v FROM vals
+WHERE dv >= DATE '2020-02-15' AND dv < DATE '2020-05-15'
+ORDER BY dv DESC, n
+LIMIT 12
+"""
+
+
 SPARQL_FILTER = (
     "SELECT ?e ?c WHERE { ?e (:byUser|:linkedEvent) ?c . "
     "FILTER((?e >= -2507 && !(?c = 71)) || ?c < 60) }"
@@ -2376,7 +2429,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "top_orders_per_priority": QuerySpec(top_orders_per_priority, TOP_ORDERS_SQL),
     "orders_rollup": QuerySpec(orders_rollup, ORDERS_ROLLUP_SQL, headline=True),
     "orders_percentiles": QuerySpec(orders_percentiles, ORDERS_PERCENTILES_SQL),
-    "customers_setops": QuerySpec(customers_setops, CUSTOMERS_SETOPS_SQL),
+    # customers_setops demoted r7 (slot → sparql_value_cmp): INTERSECT/
+    # EXCEPT surface, still oracle-checked in tests/test_demoted.py
+    "sparql_value_cmp": QuerySpec(
+        sparql_value_cmp, SPARQL_VALUE_CMP_SQL, headline=True
+    ),
     "parts_semi_anti": QuerySpec(parts_semi_anti, PARTS_SEMI_ANTI_SQL),
     "events_props_json": QuerySpec(events_props_json, EVENTS_PROPS_JSON_SQL),
     # events_distinct_users demoted r5 (slot → sparql_subquery): per-group

@@ -57,8 +57,8 @@ outer variables ARE accepted and evaluate the unbound reference per
 §18.2.2.2 — error → filter-false), non-disjoint VALUES rows (UNDEF
 wildcards are supported when rows are pairwise disjoint — the exact
 condition under which the OR-filter compilation equals the multiset
-join), string functions inside HAVING (grouped output is numeric), and
-other FILTER forms (casts). Term-kind accessors (LANG, DATATYPE,
+join), and string functions inside HAVING (grouped output is numeric).
+Term-kind accessors (LANG, DATATYPE,
 isIRI/isLiteral/isBlank/isNumeric, LANGMATCHES) ARE supported — they
 compile to dictionary-side column predicates over the term-text
 grammar (planner `_term_lang`/`_term_datatype`). FILTER
@@ -67,6 +67,20 @@ comparison sides accept full integer arithmetic (the BIND grammar:
 OPTIONAL-scoped FILTERs: the term column attaches to whichever join
 side binds the variable and the predicate rides in the LeftJoin
 condition.
+Typed-literal VALUE comparisons (r7, §17.3 operand mapping):
+`FILTER(?d >= "2020-02-15"^^xsd:date)`, `FILTER(?p > 19.5)` and the
+decimal/double/float/dateTime forms compile to comparisons over a
+value column derived from the dictionary term text (('valcmp', var,
+op, kind, value) leaves — planner `_term_numeric`/`_term_temporal`);
+integer-typed literals keep collapsing to the id model, and plain /
+unknown-datatype literals stay term-identity-only (=, !=).
+Constructor casts (§17.5): `BIND(xsd:integer(STR(?x)) AS ?n)` and the
+decimal/double/float/date/dateTime/string targets lower to
+('cast_expr', kind, var) — typed VALUE columns over the term text
+(planner `_term_cast`; xsd:string ≡ STR); ORDER BY accepts
+`[ASC|DESC](xsd:T(?x))` cast keys for VALUE ordering (plain `ORDER BY
+?v` deliberately keeps the engine's encoded-id order, which the
+modifier tests pin — use a cast key or STR(?v) for value/term order).
 
 Term forms (normalization mirrors MyOpVisitorBase.java:74-78):
   ?x / $x          variable
@@ -112,8 +126,10 @@ _GROUP_KEYWORDS = frozenset(
 # one token; the arithmetic parser re-splits a negative number where a
 # binary operator was expected (`?a -3` ≡ `?a - 3`)
 _FILTER_TOKEN = re.compile(
-    r'\s*(\(|\)|&&|\|\||<[^>\s]*>|!=|<=|>=|=|<|>|!|[?$]\w+|-?\d+'
-    r'|"(?:[^"\\]|\\.)*"|\w+:\w+|:\w+|,|\+|-|\*|/|\w+)'
+    r'\s*(\(|\)|&&|\|\||<[^>\s]*>|!=|<=|>=|=|<|>|!|[?$]\w+'
+    r"|-?\d+\.\d+(?:[eE][+-]?\d+)?|-?\d+[eE][+-]?\d+|-?\d+"
+    r'|"(?:[^"\\]|\\.)*"(?:\^\^(?:<[^>\s]*>|\w*:\w+))?'
+    r'|\w+:\w+|:\w+|,|\+|-|\*|/|\w+)'
 )
 _CMP_OPS = ("=", "!=", "<", "<=", ">", ">=")
 # string-valued FILTER functions (SPARQL 1.1 §17.4.3): evaluated against the
@@ -684,6 +700,103 @@ def _localize_datatype(tok: str) -> str:
     return ":integer" if ":" + local in _INT_DATATYPES else ":" + local
 
 
+# decimal / double lexical forms in FILTER comparisons (never valid ids —
+# ids are integers — so a decimal constant always means a VALUE comparison)
+_DEC_RE = re.compile(r"-?\d+\.\d+(?:[eE][+-]?\d+)?|-?\d+[eE][+-]?\d+")
+# datatypes whose typed literals compare by NUMERIC VALUE (§17.3 operand
+# mapping); integer datatypes are absent because they collapse to ids
+_NUM_VAL_DATATYPES = frozenset({":decimal", ":double", ":float"})
+_DATE_LEX = re.compile(r"\d{4}-\d{2}-\d{2}")
+_DT_LEX = re.compile(r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?")
+
+
+def _classify_filter_literal(tok: str, src: str):
+    """Classify a quoted FILTER-comparison constant (optional ^^datatype):
+
+    → ('int', n)       integer-datatype lexical — ids ARE the values
+    → ('vnum', float)  decimal / double / float — compared by VALUE
+    → ('vdate', lex)   xsd:date — compared by VALUE
+    → ('vdt', lex)     xsd:dateTime (no timezone) — compared by VALUE
+    → ('text', canon)  no / other datatype — term IDENTITY only (=, !=),
+                       canon being the canonical dictionary text
+    """
+    if "^^" not in tok:
+        return ("text", _unescape(tok[1:-1]))
+    body, dt = tok.rsplit("^^", 1)
+    lex = _unescape(body[1:-1])
+    local = _localize_datatype(dt)
+    if local == ":integer":
+        if not re.fullmatch(r"-?\d+", lex):
+            raise SparqlSyntaxError(
+                f"bad FILTER expression {src!r}: integer-typed literal "
+                f"with non-integer lexical form {lex!r}"
+            )
+        return ("int", int(lex))
+    if local in _NUM_VAL_DATATYPES:
+        try:
+            return ("vnum", float(lex))
+        except ValueError:
+            raise SparqlSyntaxError(
+                f"bad FILTER expression {src!r}: numeric-typed literal "
+                f"with non-numeric lexical form {lex!r}"
+            ) from None
+    if local == ":date":
+        if not _DATE_LEX.fullmatch(lex):
+            raise SparqlSyntaxError(
+                f"bad FILTER expression {src!r}: xsd:date literal must "
+                f"be YYYY-MM-DD, got {lex!r}"
+            )
+        return ("vdate", lex)
+    if local == ":dateTime":
+        if not _DT_LEX.fullmatch(lex):
+            raise SparqlSyntaxError(
+                f"bad FILTER expression {src!r}: xsd:dateTime literal "
+                "must be YYYY-MM-DDTHH:MM:SS[.fff] (no timezone), got "
+                f"{lex!r}"
+            )
+        return ("vdt", lex)
+    return ("text", f'"{lex}"^^{local}')
+
+
+_MIRROR_OP = {"=": "=", "!=": "!=", "<": ">", "<=": ">=", ">": "<", ">=": "<="}
+
+# §17.5 constructor casts: canonical spelling of the supported targets
+_XSD_CAST_KINDS = {
+    "integer": "integer",
+    "decimal": "decimal",
+    "double": "double",
+    "float": "float",
+    "date": "date",
+    "datetime": "dateTime",
+    "string": "string",
+}
+
+
+def _literal_cmp_leaf(var: str, op: str, lit_tok: str, src: str):
+    """Build the comparison leaf for `?var <op> <quoted literal>` from the
+    literal's classification: integer-typed → the legacy numeric-id leaf;
+    decimal/double/float/date/dateTime → a VALUE comparison
+    ('valcmp', var, op, kind, value) evaluated over the dictionary term
+    text (kind ∈ 'num' | 'date' | 'dt'); anything else → term identity
+    ('streq'), =/!= only."""
+    kind, v = _classify_filter_literal(lit_tok, src)
+    if kind == "int":
+        return (var, op, ("num", v))
+    if kind == "vnum":
+        return ("valcmp", var, op, "num", v)
+    if kind == "vdate":
+        return ("valcmp", var, op, "date", v)
+    if kind == "vdt":
+        return ("valcmp", var, op, "dt", v)
+    if op not in ("=", "!="):
+        raise SparqlSyntaxError(
+            f"bad FILTER expression {src!r}: ordering comparisons need a "
+            "numeric- or date-typed literal; plain / unknown-datatype "
+            "literals support = and != (term identity) only"
+        )
+    return ("streq", var, v, op == "!=")
+
+
 def _parse_filter_expr(src: str):
     """Recursive-descent parse of a FILTER expression into the AST above.
     Precedence (SPARQL 1.1 §17, same as C): ! > && > ||."""
@@ -886,8 +999,14 @@ def _parse_filter_expr(src: str):
             t = take()
             if re.fullmatch(r"-?\d+", t):
                 ints.append(int(t))
-            elif t.startswith('"') and t.endswith('"'):
-                texts.append(_unescape(t[1:-1]))
+            elif t.startswith('"'):
+                # plain or typed literal: IN is a term-identity test on
+                # this engine (one id per distinct term), so a typed
+                # literal resolves through the SAME normalization as a
+                # BGP constant — integer datatypes to ids, anything else
+                # to its canonical dictionary text
+                slot = _normalize_term(t)
+                (ints if slot[0] == "id" else texts).append(slot[1])
             else:
                 raise SparqlSyntaxError(
                     f"bad FILTER expression {src!r}: IN lists take "
@@ -1088,32 +1207,59 @@ def _parse_filter_expr(src: str):
                     f"support = and != only, got {peek()!r}"
                 )
             return streq_rhs(v)
-        if lhs.startswith('"') and lhs.endswith('"'):
-            # reversed form `"literal" = ?x`
-            if peek() not in ("=", "!="):
-                raise SparqlSyntaxError(
-                    f"bad FILTER expression {src!r}: a string literal "
-                    f"can only be compared with = or !=, got {peek()!r}"
-                )
+        if _DEC_RE.fullmatch(lhs):
+            # reversed bare-decimal form `19.5 < ?x`
             op = take()
+            if op not in _CMP_OPS:
+                raise SparqlSyntaxError(
+                    f"bad FILTER expression {src!r}: a decimal constant "
+                    f"can only appear in a comparison, got {op!r}"
+                )
             v = take()
             if not v.startswith(("?", "$")):
                 raise SparqlSyntaxError(
-                    f"bad FILTER expression {src!r}: term equality "
-                    f"compares a variable against a literal, got {v!r}"
+                    f"bad FILTER expression {src!r}: a decimal comparison "
+                    f"takes a variable on the other side, got {v!r}"
                 )
-            return ("streq", v[1:], _unescape(lhs[1:-1]), op == "!=")
+            return ("valcmp", v[1:], _MIRROR_OP[op], "num", float(lhs))
+        if lhs.startswith('"'):
+            # reversed form `"literal" <op> ?x` (plain or typed literal):
+            # mirror the operator and reuse the var-on-the-left leaves
+            op = take()
+            if op not in _CMP_OPS:
+                raise SparqlSyntaxError(
+                    f"bad FILTER expression {src!r}: a literal can only "
+                    f"be compared with {_CMP_OPS}, got {op!r}"
+                )
+            v = take()
+            if not v.startswith(("?", "$")):
+                raise SparqlSyntaxError(
+                    f"bad FILTER expression {src!r}: a literal comparison "
+                    f"takes a variable on the other side, got {v!r}"
+                )
+            return _literal_cmp_leaf(v[1:], _MIRROR_OP[op], lhs, src)
         if lhs.lower() in _STR_FNS and peek() == "(":
             return strfn_call(lhs.lower())
         if lhs.startswith(("?", "$")):
             nxt = peek()
             if (
-                nxt in ("=", "!=")
+                nxt in _CMP_OPS
                 and pos + 1 < len(toks)
-                and toks[pos + 1].startswith('"')
+                and (
+                    toks[pos + 1].startswith('"')
+                    or _DEC_RE.fullmatch(toks[pos + 1])
+                )
             ):
-                # ?x = "literal" — the most common real-world FILTER form
-                return streq_rhs(lhs)
+                # ?x <op> literal: plain `?x = "lit"` term equality (the
+                # most common real-world FILTER form), typed-literal VALUE
+                # comparisons (`?d >= "2020-02-15"^^xsd:date`,
+                # `?p > "19.5"^^xsd:decimal`), and bare decimal constants
+                # (`?p > 19.5` — never a valid id, so always by value)
+                op = take()
+                lit = take()
+                if _DEC_RE.fullmatch(lit):
+                    return ("valcmp", lhs[1:], op, "num", float(lit))
+                return _literal_cmp_leaf(lhs[1:], op, lit, src)
             if nxt is not None and nxt.lower() == "in":
                 take()
                 return in_list(lhs[1:], negated=False)
@@ -1162,6 +1308,8 @@ def filter_expr_vars(node) -> set[str]:
         return {node[1]}
     if len(node) == 5 and node[0] == "strfn":  # string-function leaf
         return {node[2]}
+    if len(node) == 5 and node[0] == "valcmp":  # typed-value comparison
+        return {node[1]}
     if len(node) == 5 and node[0] == "termfn":  # LANG/DATATYPE leaf
         return {node[2]}
     if len(node) == 3 and node[0] == "termis":  # isIRI/isLiteral/... leaf
@@ -1190,6 +1338,8 @@ def filter_expr_strfn_vars(node) -> set[str]:
         return set()
     if len(node) == 5 and node[0] == "strfn":
         return {node[2]}
+    if len(node) == 5 and node[0] == "valcmp":
+        return {node[1]}  # value derivation reads the term text
     if len(node) == 5 and node[0] == "termfn":
         return {node[2]}  # accessors read the term text too
     if len(node) == 3 and node[0] == "termis":
@@ -1222,6 +1372,8 @@ def filter_expr_streq_literals(node) -> set[str]:
         return set()
     if len(node) == 5 and node[0] == "strfn":
         return set()
+    if len(node) == 5 and node[0] == "valcmp":
+        return set()  # the constant is a value, never a dictionary id
     if len(node) == 5 and node[0] == "termfn":
         return set()  # LANG/DATATYPE values compare as strings, not ids
     if len(node) == 3 and node[0] in ("termis", "langmatches"):
@@ -1364,6 +1516,8 @@ def arith_expr_vars(node) -> set[str]:
     if k == "num":
         return set()
     if k == "termfn_expr":  # BIND(LANG/DATATYPE(?x) AS ?y)
+        return {node[2]}
+    if k == "cast_expr":  # BIND(xsd:T(?x) AS ?y) (§17.5)
         return {node[2]}
     if k == "abs":
         return arith_expr_vars(node[1])
@@ -2030,6 +2184,17 @@ def _parse_group(
                     body_expr,
                     re.I,
                 )
+                cm = (
+                    None
+                    if tm
+                    else re.fullmatch(
+                        r"\s*xsd:(integer|decimal|double|float|date"
+                        r"|dateTime|string)\s*\(\s*"
+                        r"(?:STR\s*\(\s*([?$]\w+)\s*\)|([?$]\w+))\s*\)\s*",
+                        body_expr,
+                        re.I,
+                    )
+                )
                 if tm:
                     # BIND(LANG(?x) AS ?l) / BIND(DATATYPE(?x) AS ?d):
                     # term-kind accessor bind — the target is a STRING
@@ -2040,6 +2205,24 @@ def _parse_group(
                             am.group("var"),
                             ("termfn_expr", tm.group(1).lower(),
                              tm.group(2)[1:]),
+                        )
+                    )
+                elif cm:
+                    # BIND(xsd:T(?x) AS ?y) / BIND(xsd:T(STR(?x)) AS ?y)
+                    # (§17.5 constructor casts, r7): the cast evaluates
+                    # over the term's lexical form dictionary-side —
+                    # xsd:string is exactly STR; the others produce a
+                    # typed VALUE column (long / double / date /
+                    # timestamp), NULL on uncastable kinds (§17.5 error
+                    # → target unbound)
+                    kind = _XSD_CAST_KINDS[cm.group(1).lower()]
+                    src_v = (cm.group(2) or cm.group(3))[1:]
+                    binds.append(
+                        (
+                            am.group("var"),
+                            ("termfn_expr", "str", src_v)
+                            if kind == "string"
+                            else ("cast_expr", kind, src_v),
                         )
                     )
                 else:
@@ -2686,6 +2869,11 @@ def parse_sparql(
         consumed_end = pos
         dir_open = re.compile(r"(ASC|DESC)\s*\(", re.I)
         str_open = re.compile(r"STR\s*\(", re.I)
+        cast_open = re.compile(
+            r"xsd:(integer|decimal|double|float|date|dateTime)\s*"
+            r"\(\s*[?$](\w+)\s*\)",
+            re.I,
+        )
         var_key = re.compile(r"[?$](\w+)")
         _STR_KEY = re.compile(r"STR\s*\(\s*[?$](\w+)\s*\)", re.I)
         while True:
@@ -2695,6 +2883,25 @@ def parse_sparql(
                 break
             mdir = dir_open.match(mods, pos)
             mstr = str_open.match(mods, pos) if not mdir else None
+            mcast = (
+                cast_open.match(mods, pos) if not (mdir or mstr) else None
+            )
+            if mcast:
+                # bare xsd:T(?x) key (r7): sort by the CAST VALUE of the
+                # term — numeric/date ordering over typed literals
+                order_by.append(
+                    (
+                        (
+                            "cast",
+                            _XSD_CAST_KINDS[mcast.group(1).lower()],
+                            mcast.group(2),
+                        ),
+                        False,
+                    )
+                )
+                pos = mcast.end()
+                consumed_end = pos
+                continue
             if mdir:
                 desc = mdir.group(1).upper() == "DESC"
                 inner, pos = _scan_delim(
@@ -2729,9 +2936,19 @@ def parse_sparql(
                 continue
             txt = inner.strip()
             sm = _STR_KEY.fullmatch(txt)
+            cm = cast_open.fullmatch(txt)
             if sm:
                 # [ASC|DESC](STR(?x)): term-ordered sort key (r6)
                 order_by.append((("str", sm.group(1)), desc))
+            elif cm:
+                # [ASC|DESC](xsd:T(?x)): cast-VALUE sort key (r7)
+                order_by.append(
+                    (
+                        ("cast", _XSD_CAST_KINDS[cm.group(1).lower()],
+                         cm.group(2)),
+                        desc,
+                    )
+                )
             elif re.fullmatch(r"[?$]\w+", txt):
                 order_by.append((txt[1:], desc))
             else:
@@ -2752,6 +2969,12 @@ def parse_sparql(
                 if key[1] not in pattern_vars:
                     raise SparqlSyntaxError(
                         f"ORDER BY STR variable not in BGP: ?{key[1]}"
+                    )
+                continue
+            if key[0] == "cast":
+                if key[2] not in pattern_vars:
+                    raise SparqlSyntaxError(
+                        f"ORDER BY cast variable not in BGP: ?{key[2]}"
                     )
                 continue
             unknown = arith_expr_vars(key[1]) - pattern_vars

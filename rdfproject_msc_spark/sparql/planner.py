@@ -115,6 +115,88 @@ def _term_datatype(idc: Column, t: Column) -> Column:
     )
 
 
+# lexical extractors for typed-value comparisons (§17.3 operand mapping):
+# anchored to the FULL canonical term text, so a non-matching kind (IRI,
+# tagged/plain literal, other datatype, malformed lexical) extracts ""
+# and derives NULL — SPARQL's type ERROR, dropped by 3VL
+_NUM_LEX_RE = (
+    r'^"(-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"\^\^:(?:decimal|double|float)$'
+)
+_DATE_LEX_RE = r'^"(\d{4}-\d{2}-\d{2})"\^\^:date$'
+_DT_LEX_RE = r'^"(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?)"\^\^:dateTime$'
+
+
+def _term_numeric(idc: Column, t: Column) -> Column:
+    """Numeric VALUE of a term: a dictionary-absent id IS an integer
+    literal (its own value); a decimal/double/float typed literal parses
+    its lexical form; every other kind is a type ERROR (NULL). Evaluated
+    over the dictionary term text — |dict| rows, never per solution."""
+    lex = F.regexp_extract(t, _NUM_LEX_RE, 1)
+    return (
+        F.when(idc.isNull(), F.lit(None).cast("double"))
+        .when(t.isNull(), idc.cast("double"))
+        .when(lex != F.lit(""), lex.cast("double"))
+        .otherwise(F.lit(None).cast("double"))
+    )
+
+
+def _term_temporal(t: Column, kind: str) -> Column:
+    """Date / dateTime VALUE of a term; non-matching kinds → NULL (type
+    ERROR). The lexical forms carry no timezone (parser-enforced), so the
+    cast is session-timezone-stable on both engines."""
+    if kind == "date":
+        lex = F.regexp_extract(t, _DATE_LEX_RE, 1)
+        return F.when(lex != F.lit(""), F.to_date(lex))
+    lex = F.regexp_extract(t, _DT_LEX_RE, 1)
+    return F.when(lex != F.lit(""), F.to_timestamp(lex))
+
+
+# plain-literal lexical forms castable to numeric / date (§17.5 string
+# rows of the cast table). ANSI mode makes an unguarded string cast THROW
+# on bad input, so every cast below is reached only under an rlike guard
+# (CaseWhen branches evaluate lazily in codegen).
+_PLAIN_NUM_RE = r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$"
+_PLAIN_INT_RE = r"^[+-]?\d+$"
+_PLAIN_DATE_RE = r"^\d{4}-\d{2}-\d{2}$"
+_PLAIN_DT_RE = r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?$"
+
+
+def _term_cast(kind: str, idc: Column, t: Column) -> Column:
+    """xsd:T(?x) constructor cast (§17.5) over the term text: evaluates
+    the cast-table rows this data model can represent — numeric literals
+    (integer = dictionary-absent id, decimal/double/float = typed
+    lexical), plain (xsd:string) literals with a valid lexical form, and
+    date/dateTime typed literals. Every other (kind, target) pair is a
+    cast ERROR → NULL → the BIND target is unbound / the sort key is
+    NULL. `string` is not handled here (it is exactly STR, lowered as a
+    termfn_expr)."""
+    plain = t.isNotNull() & ~_is_ref(t) & ~_is_tagged(t) & ~_is_typed(t)
+    if kind in ("date", "dateTime"):
+        typed = _term_temporal(t, "date" if kind == "date" else "dt")
+        if kind == "date":
+            from_plain = F.when(
+                plain & t.rlike(_PLAIN_DATE_RE), F.to_date(t)
+            )
+        else:
+            from_plain = F.when(
+                plain & t.rlike(_PLAIN_DT_RE), F.to_timestamp(t)
+            )
+        return F.coalesce(typed, from_plain)
+    # numeric targets: the typed-value derivation covers integer literals
+    # and decimal/double/float lexicals; plain literals cast when their
+    # lexical form is numeric (string→integer additionally requires an
+    # INTEGER lexical per the XPath constructor rules, while
+    # decimal→integer truncates toward zero — the double→long cast)
+    num = _term_numeric(idc, t)
+    if kind == "integer":
+        from_plain = F.when(
+            plain & t.rlike(_PLAIN_INT_RE), t.cast("long")
+        )
+        return F.coalesce(num.cast("long"), from_plain)
+    from_plain = F.when(plain & t.rlike(_PLAIN_NUM_RE), t.cast("double"))
+    return F.coalesce(num, from_plain)
+
+
 def _termis_expr(kind: str, idc: Column, t: Column) -> Column:
     """isIRI/isBlank/isLiteral/isNumeric (§17.4.2.1-4): boolean over the
     term kind; unbound → ERROR (NULL)."""
@@ -256,6 +338,39 @@ def _compile_filter(
         return (
             (folded != F.lit(text)) if negated else (folded == F.lit(text))
         )
+    if len(node) == 5 and node[0] == "valcmp":  # typed-VALUE comparison
+        # ?d >= "2020-02-15"^^xsd:date / ?p > 19.5 (§17.3 operand
+        # mapping): the variable's VALUE derives from the dictionary term
+        # text (numeric: integer literals are the id itself, decimal/
+        # double/float parse their lexical form; date/dateTime parse the
+        # ISO lexical); non-matching kinds are type ERRORS → NULL → drop
+        _, var, op, kind, value = node
+        if termmap is None or var not in termmap:
+            raise SparqlSyntaxError(
+                "typed-value comparisons are not supported in this "
+                "FILTER context"
+            )
+        idc, tc = F.col(colmap[var]), F.col(termmap[var])
+        if kind == "num":
+            pred = _OPS[op](_term_numeric(idc, tc), F.lit(float(value)))
+            # no implied term predicate: integer literals (dictionary-
+            # absent, NULL term) are legitimate matches, so the dict
+            # join must stay LEFT
+            return pred
+        rhs = (
+            F.to_date(F.lit(value))
+            if kind == "date"
+            else F.to_timestamp(F.lit(value))
+        )
+        pred = _OPS[op](_term_temporal(tc, kind), rhs)
+        if positive:
+            # every date/dateTime match HAS a typed term — conjoin the
+            # null-intolerant suffix test so Catalyst inner-izes the
+            # dictionary join and pushes it into the dict scan
+            pred = pred & tc.endswith(
+                '"^^:date' if kind == "date" else '"^^:dateTime'
+            )
+        return pred
     if len(node) == 5 and node[0] == "termfn":  # LANG/DATATYPE leaf
         _, fn, var, value, negated = node
         if termmap is None or var not in termmap:
@@ -1640,7 +1755,7 @@ def _plan_group(
         nonlocal joined
         bvar, bexpr = item
         cname = f"vb_{bvar}"
-        if bexpr[0] == "termfn_expr":
+        if bexpr[0] in ("termfn_expr", "cast_expr"):
             # BIND(LANG(?x) AS ?l) / BIND(DATATYPE(?x) AS ?d): attach the
             # source variable's dictionary term (one broadcast left join,
             # same as the strfn strategy) and compute the STRING value
@@ -1649,8 +1764,8 @@ def _plan_group(
             _, fn, src_var = bexpr
             if dictionary is None:
                 raise SparqlSyntaxError(
-                    "LANG()/DATATYPE() BINDs need a dictionary to "
-                    "resolve terms"
+                    "LANG()/DATATYPE()/STR()/xsd:T() BINDs need a "
+                    "dictionary to resolve terms"
                 )
             bi = ctx.nid()
             tcol = f"__bterm{bi}_{src_var}"
@@ -1663,7 +1778,11 @@ def _plan_group(
                 d, F.col(bound_cols[src_var]) == F.col(f"__bsid{bi}"), "left"
             ).drop(f"__bsid{bi}")
             idc, tc = F.col(bound_cols[src_var]), F.col(tcol)
-            if fn == "str":
+            if bexpr[0] == "cast_expr":
+                # BIND(xsd:T(?x) AS ?y) (§17.5, r7): typed-VALUE column
+                # from the term text; uncastable kinds → NULL → unbound
+                ex = _term_cast(fn, idc, tc)
+            elif fn == "str":
                 # STR(?x) (§17.4.2.5): the term's lexical text; a
                 # dictionary-absent id is an integer literal whose STR is
                 # its decimal form; unbound stays unbound
@@ -2291,11 +2410,17 @@ def plan_bgp(
             k[1]
             for k, _ in bgp.order_by
             if isinstance(k, tuple) and k[0] == "str"
+        } | {
+            # xsd:T(?x) cast keys (r7) read the term text too
+            k[2]
+            for k, _ in bgp.order_by
+            if isinstance(k, tuple) and k[0] == "cast"
         }
         str_cols: dict[str, str] = {}
         if str_keys and dictionary is None:
             raise SparqlSyntaxError(
-                "ORDER BY STR(...) needs a dictionary to resolve terms"
+                "ORDER BY STR(...) / xsd:T(...) needs a dictionary to "
+                "resolve terms"
             )
         for i, v in enumerate(sorted(str_keys)):
             d = (
@@ -2312,6 +2437,14 @@ def plan_bgp(
             if isinstance(k, tuple):
                 if k[0] == "str":
                     return F.col(str_cols[k[1]])
+                if k[0] == "cast":
+                    # cast-VALUE sort key: numeric/date ordering over
+                    # typed literals (uncastable kinds sort as NULL)
+                    return _term_cast(
+                        k[1],
+                        F.col(bound_cols[k[2]]),
+                        F.col(str_cols[k[2]]),
+                    )
                 return _compile_arith(k[1], bound_cols)
             return F.col(bound_cols[k])
 

@@ -190,3 +190,11 @@ def test_text_top_tokens(spark, sf_dir):
     assert_matches_oracle(
         R.text_top_tokens(spark, sf_dir), R.TEXT_TOP_TOKENS_SQL, sf_dir
     )
+
+
+def test_customers_setops_matches_oracle(spark, sf_dir):
+    """Demoted r7 (slot → sparql_value_cmp): INTERSECT / EXCEPT set
+    operations, exact DuckDB oracle."""
+    assert_matches_oracle(
+        R.customers_setops(spark, sf_dir), R.CUSTOMERS_SETOPS_SQL, sf_dir
+    )

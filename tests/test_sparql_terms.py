@@ -29,6 +29,10 @@ from rdfproject_msc_spark.store import TripleStore
 # 42 has NO dictionary entry → integer literal
 TRIPLES = [(1, 10, 2), (1, 10, 3), (1, 10, 4), (1, 10, 5), (1, 10, 42),
            (1, 10, 1), (1, 10, 6)]
+# :price (11) objects for typed-VALUE comparisons (r7): 7/8 decimal and
+# double literals, 9 a dateTime literal, 43 dictionary-absent (integer
+# literal 43 — numeric value 43.0)
+TRIPLES += [(1, 11, 7), (1, 11, 8), (1, 11, 9), (1, 11, 43)]
 DICT = [
     (1, ":alice"),
     (2, '"chat"@en'),
@@ -37,6 +41,10 @@ DICT = [
     (5, '"2024-01-01"^^:date'),
     (6, '"hi"@en-us'),
     (10, ":label"),
+    (7, '"19.5"^^:decimal'),
+    (8, '"120.25"^^:double'),
+    (9, '"2024-01-01T10:30:00"^^:dateTime'),
+    (11, ":price"),
 ]
 
 
@@ -238,3 +246,238 @@ def test_accessor_rejects_without_dictionary(tstore, spark):
             'SELECT ?o WHERE { ?s 10 ?o . FILTER(LANG(?o) = "en") }',
             None,
         )
+
+
+# ---- typed-VALUE comparisons (r7) ----------------------------------------
+
+
+def _prices(tstore, tdict, flt):
+    df = sparql_to_df(
+        tstore, f"SELECT ?o WHERE {{ ?s :price ?o . FILTER({flt}) }}", tdict
+    )
+    return sorted(r.o for r in df.collect())
+
+
+class TestValueComparisons:
+    """FILTER comparisons by typed-literal VALUE (§17.3 operand mapping):
+    decimal/double/float and date/dateTime literals compare by their
+    parsed lexical value, integer literals (dictionary-absent ids) by the
+    id itself; every other term kind is a type ERROR → NULL → drop (and
+    under ! the error stays an error, so negation does NOT readmit)."""
+
+    def test_bare_decimal_constant(self, tstore, tdict):
+        # 19.5(dec):7  120.25(dbl):8  43(int-literal)  dateTime:9(error)
+        assert _prices(tstore, tdict, "?o > 19.5") == [8, 43]
+        assert _prices(tstore, tdict, "?o > 100.0") == [8]
+        assert _prices(tstore, tdict, "?o <= 19.5") == [7]
+
+    def test_typed_numeric_constant(self, tstore, tdict):
+        assert _prices(tstore, tdict, '?o >= "19.5"^^xsd:decimal') == [7, 8, 43]
+        assert _prices(tstore, tdict, '?o = "120.25"^^xsd:double') == [8]
+        # value equality crosses datatypes: 19.50 double == 19.5 decimal
+        assert _prices(tstore, tdict, '?o = "19.50"^^xsd:double') == [7]
+
+    def test_integer_typed_constant_is_id_comparison(self, tstore, tdict):
+        # "40"^^xsd:integer collapses to the id data model: compares
+        # encoded IDS (9 and 43 > 40), not numeric VALUES
+        assert _prices(tstore, tdict, '?o > "40"^^xsd:integer') == [43]
+
+    def test_reversed_literal_side(self, tstore, tdict):
+        assert _prices(tstore, tdict, '"19.5"^^xsd:decimal < ?o') == [8, 43]
+        assert _prices(tstore, tdict, "120.25 <= ?o") == [8]
+
+    def test_date_value(self, tstore, tdict):
+        labs = sparql_to_df(
+            tstore,
+            'SELECT ?o WHERE { ?s :label ?o . '
+            'FILTER(?o >= "2024-01-01"^^xsd:date) }',
+            tdict,
+        )
+        assert sorted(r.o for r in labs.collect()) == [5]
+        none = sparql_to_df(
+            tstore,
+            'SELECT ?o WHERE { ?s :label ?o . '
+            'FILTER(?o > "2024-01-01"^^xsd:date) }',
+            tdict,
+        )
+        assert none.collect() == []
+
+    def test_datetime_value(self, tstore, tdict):
+        assert _prices(
+            tstore, tdict, '?o >= "2024-01-01T00:00:00"^^xsd:dateTime'
+        ) == [9]
+        assert _prices(
+            tstore, tdict, '?o > "2024-01-01T10:30:00"^^xsd:dateTime'
+        ) == []
+
+    def test_error_semantics_not_readmitted_by_negation(self, tstore, tdict):
+        # :label objects: IRI/tagged/plain/date are type ERRORS for a
+        # numeric comparison — dropped at BOTH polarities; only the
+        # integer literal 42 has a numeric value
+        base = 'SELECT ?o WHERE { ?s :label ?o . FILTER(%s) }'
+        pos = sparql_to_df(tstore, base % "?o > 0.0", tdict)
+        assert sorted(r.o for r in pos.collect()) == [42]
+        neg = sparql_to_df(tstore, base % "!(?o > 0.0)", tdict)
+        assert neg.collect() == []
+
+    def test_composes_with_connectives(self, tstore, tdict):
+        assert _prices(tstore, tdict, "?o > 19.5 && ?o < 120.0") == [43]
+        assert _prices(
+            tstore, tdict, '?o < 20.0 || ?o = "120.25"^^xsd:double'
+        ) == [7, 8]
+
+    def test_unknown_datatype_is_term_identity_only(self, tstore, tdict):
+        with pytest.raises(SparqlSyntaxError, match="ordering comparisons"):
+            sparql_to_df(
+                tstore,
+                'SELECT ?o WHERE { ?s :price ?o . '
+                'FILTER(?o > "x"^^:custom) }',
+                tdict,
+            )
+        with pytest.raises(SparqlSyntaxError, match="ordering comparisons"):
+            sparql_to_df(
+                tstore,
+                'SELECT ?o WHERE { ?s :price ?o . FILTER(?o >= "abc") }',
+                tdict,
+            )
+
+    def test_malformed_lexicals_reject(self, tstore, tdict):
+        for flt in (
+            '?o > "abc"^^xsd:decimal',
+            '?o > "2020-13"^^xsd:date',
+            '?o > "2020-01-01T00:00:00+02:00"^^xsd:dateTime',
+        ):
+            with pytest.raises(SparqlSyntaxError):
+                sparql_to_df(
+                    tstore,
+                    f"SELECT ?o WHERE {{ ?s :price ?o . FILTER({flt}) }}",
+                    tdict,
+                )
+
+    def test_typed_literal_in_list_is_term_identity(self, tstore, tdict):
+        # IN resolves typed literals through the BGP normalization:
+        # canonical text → id ("19.50" is a DIFFERENT term from "19.5")
+        assert _prices(
+            tstore, tdict, '?o IN ("19.5"^^xsd:decimal, "zzz")'
+        ) == [7]
+        assert _prices(
+            tstore, tdict, '?o IN ("19.50"^^xsd:decimal)'
+        ) == []
+        # integer-typed literals land in the id list
+        assert _prices(tstore, tdict, '?o IN ("43"^^xsd:integer)') == [43]
+
+    def test_optional_scoped_value_filter(self, tstore, tdict):
+        # valcmp rides the LeftJoin-condition machinery like the strfns:
+        # only the passing price joins; with NO passing price the left
+        # row survives null-extended
+        df = sparql_to_df(
+            tstore,
+            "SELECT ?s ?o WHERE { ?s :label 42 . "
+            "OPTIONAL { ?s :price ?o . FILTER(?o > 100.0) } }",
+            tdict,
+        )
+        rows = sorted((r.s, r.o) for r in df.collect())
+        assert rows == [(1, 8)]
+        df2 = sparql_to_df(
+            tstore,
+            "SELECT ?s ?o WHERE { ?s :label 42 . "
+            "OPTIONAL { ?s :price ?o . FILTER(?o > 1000.0) } }",
+            tdict,
+        )
+        assert [(r.s, r.o) for r in df2.collect()] == [(1, None)]
+
+
+class TestCasts:
+    """xsd:T() constructor casts (§17.5, r7) in BIND and ORDER BY —
+    closing the parser's historical 'casts rejected' note. The cast
+    evaluates over the dictionary term text: numeric literals by value
+    (decimal→integer truncates toward zero), PLAIN literals by lexical
+    form (string→integer requires an integer lexical), everything else
+    is a cast error → NULL → unbound target / NULL sort key."""
+
+    def test_bind_integer_cast(self, tstore, tdict):
+        df = sparql_to_df(
+            tstore,
+            "SELECT ?o ?n WHERE { ?s :price ?o . "
+            "BIND(xsd:integer(STR(?o)) AS ?n) }",
+            tdict,
+        )
+        got = sorted((r.o, r.n) for r in df.collect())
+        # 7: 19.5→19 (truncate)  8: 120.25→120  9: dateTime→error
+        # 43: integer literal → itself
+        assert got == [(7, 19), (8, 120), (9, None), (43, 43)]
+
+    def test_bind_double_cast_and_plain_lexical(self, tstore, tdict):
+        # :label objects: plain 'hello' has no numeric lexical → NULL;
+        # IRIs/tagged/date all error; integer literal 42 → 42.0
+        df = sparql_to_df(
+            tstore,
+            "SELECT ?o ?v WHERE { ?s :label ?o . "
+            "BIND(xsd:double(?o) AS ?v) }",
+            tdict,
+        )
+        got = sorted((r.o, r.v) for r in df.collect())
+        assert got == [
+            (1, None), (2, None), (3, None), (4, None), (5, None),
+            (6, None), (42, 42.0),
+        ]
+
+    def test_bind_date_cast(self, tstore, tdict):
+        import datetime
+
+        df = sparql_to_df(
+            tstore,
+            "SELECT ?o ?d WHERE { ?s :label ?o . "
+            "BIND(xsd:date(?o) AS ?d) }",
+            tdict,
+        )
+        by_o = {r.o: r.d for r in df.collect()}
+        assert by_o[5] == datetime.date(2024, 1, 1)
+        assert all(v is None for k, v in by_o.items() if k != 5)
+
+    def test_bind_xsd_string_is_str(self, tstore, tdict):
+        df = sparql_to_df(
+            tstore,
+            "SELECT ?o ?t WHERE { ?s :price ?o . "
+            "BIND(xsd:string(?o) AS ?t) }",
+            tdict,
+        )
+        by_o = {r.o: r.t for r in df.collect()}
+        assert by_o[43] == "43"  # integer literal STR = decimal form
+        assert by_o[7] == '"19.5"^^:decimal'
+
+    def test_order_by_cast_value(self, tstore, tdict):
+        df = sparql_to_df(
+            tstore,
+            "SELECT ?o WHERE { ?s :price ?o } "
+            "ORDER BY DESC(xsd:double(?o)) LIMIT 3",
+            tdict,
+        )
+        # by VALUE: 120.25 > 43 > 19.5 (the dateTime is NULL, sorts last
+        # under DESC) — id order would give 43 > 9 > 8
+        assert [r.o for r in df.collect()] == [8, 43, 7]
+        df2 = sparql_to_df(
+            tstore,
+            "SELECT ?o WHERE { ?s :price ?o } "
+            "ORDER BY DESC(xsd:dateTime(?o)) LIMIT 1",
+            tdict,
+        )
+        assert [r.o for r in df2.collect()] == [9]
+
+    def test_cast_bind_usable_downstream(self, tstore, tdict):
+        # the cast target feeds FILTER arithmetic like any BIND target
+        df = sparql_to_df(
+            tstore,
+            "SELECT ?o WHERE { ?s :price ?o . "
+            "BIND(xsd:integer(?o) AS ?n) FILTER(?n > 20 && ?n < 100) }",
+            tdict,
+        )
+        assert sorted(r.o for r in df.collect()) == [43]
+
+    def test_order_by_cast_var_not_in_bgp_rejects(self, tstore, tdict):
+        with pytest.raises(SparqlSyntaxError, match="not in BGP"):
+            sparql_to_df(
+                tstore,
+                "SELECT ?o WHERE { ?s :price ?o } ORDER BY xsd:double(?zz)",
+                tdict,
+            )

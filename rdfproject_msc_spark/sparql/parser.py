@@ -81,6 +81,11 @@ decimal/double/float/date/dateTime/string targets lower to
 `[ASC|DESC](xsd:T(?x))` cast keys for VALUE ordering (plain `ORDER BY
 ?v` deliberately keeps the engine's encoded-id order, which the
 modifier tests pin — use a cast key or STR(?v) for value/term order).
+String-manipulation BINDs (r7, §17.4.3): SUBSTR / STRBEFORE /
+STRAFTER / REPLACE / CONCAT / UCASE / LCASE over STR(?x), literals,
+earlier string BIND targets and each other (nested), lowered to
+('strexpr', tree) — `_parse_str_expr` — and compiled to JVM column
+expressions with one dictionary join per distinct source variable.
 
 Term forms (normalization mirrors MyOpVisitorBase.java:74-78):
   ?x / $x          variable
@@ -759,6 +764,161 @@ def _classify_filter_literal(tok: str, src: str):
 
 
 _MIRROR_OP = {"=": "=", "!=": "!=", "<": ">", "<=": ">=", ">": "<", ">=": "<="}
+
+_STR_EXPR_FNS = (
+    "substr", "strbefore", "strafter", "replace", "concat", "ucase", "lcase"
+)
+
+
+def _parse_str_expr(src: str):
+    """String-manipulation BIND expression (§17.4.3, r7): SUBSTR /
+    STRBEFORE / STRAFTER / REPLACE / CONCAT / UCASE / LCASE over STR(?x),
+    bare variables, string literals, and each other (arbitrarily nested).
+
+    AST nodes:
+      ('slit', text)                string literal
+      ('sof', var)                  STR(?x) — the term's lexical text
+      ('svar', var)                 bare ?x in string position (planner:
+                                    a string-valued BIND target is used
+                                    as-is, an id variable means STR(?x))
+      ('substr', sub, start, len|None)     1-based (XPath fn:substring)
+      ('strbefore'|'strafter', sub, sep)   sep a string LITERAL
+      ('replace', sub, pat, rep, flags)    regex replace, flags '' | 'i'
+      ('concat', (args...))
+      ('ucase'|'lcase', sub)
+    """
+    toks = _tokenize_filter(src)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take(expected=None):
+        nonlocal pos
+        if pos >= len(toks) or (
+            expected is not None and toks[pos] != expected
+        ):
+            raise SparqlSyntaxError(
+                f"bad string expression {src!r}: expected "
+                f"{expected or 'a term'}, got {peek()!r}"
+            )
+        pos += 1
+        return toks[pos - 1]
+
+    def str_lit(what: str) -> str:
+        t = take()
+        if not (t.startswith('"') and t.endswith('"')):
+            raise SparqlSyntaxError(
+                f"bad string expression {src!r}: {what} must be a string "
+                f"literal, got {t!r}"
+            )
+        return _unescape(t[1:-1])
+
+    def int_lit(what: str) -> int:
+        t = take()
+        if not re.fullmatch(r"\d+", t):
+            raise SparqlSyntaxError(
+                f"bad string expression {src!r}: {what} must be a "
+                f"non-negative integer, got {t!r}"
+            )
+        return int(t)
+
+    def sexpr():
+        t = take()
+        up = t.lower()
+        if t.startswith('"'):
+            if "^^" in t:
+                raise SparqlSyntaxError(
+                    f"bad string expression {src!r}: typed literals have "
+                    "no string value here; use a plain literal"
+                )
+            return ("slit", _unescape(t[1:-1]))
+        if t.startswith(("?", "$")):
+            return ("svar", t[1:])
+        if up == "str" and peek() == "(":
+            take("(")
+            v = take()
+            if not v.startswith(("?", "$")):
+                raise SparqlSyntaxError(
+                    f"bad string expression {src!r}: STR takes a "
+                    f"variable, got {v!r}"
+                )
+            take(")")
+            return ("sof", v[1:])
+        if up in ("ucase", "lcase") and peek() == "(":
+            take("(")
+            a = sexpr()
+            take(")")
+            return (up, a)
+        if up == "substr" and peek() == "(":
+            take("(")
+            a = sexpr()
+            take(",")
+            start = int_lit("SUBSTR start")
+            ln = None
+            if peek() == ",":
+                take()
+                ln = int_lit("SUBSTR length")
+            take(")")
+            return ("substr", a, start, ln)
+        if up in ("strbefore", "strafter") and peek() == "(":
+            take("(")
+            a = sexpr()
+            take(",")
+            sep = str_lit(f"{up.upper()} separator")
+            take(")")
+            return (up, a, sep)
+        if up == "replace" and peek() == "(":
+            take("(")
+            a = sexpr()
+            take(",")
+            pat = str_lit("REPLACE pattern")
+            take(",")
+            rep = str_lit("REPLACE replacement")
+            flags = ""
+            if peek() == ",":
+                take()
+                fl = take()
+                if fl != '"i"':
+                    raise SparqlSyntaxError(
+                        f"bad string expression {src!r}: REPLACE supports "
+                        f'only the "i" flag, got {fl!r}'
+                    )
+                flags = "i"
+            take(")")
+            return ("replace", a, pat, rep, flags)
+        if up == "concat" and peek() == "(":
+            take("(")
+            args = [sexpr()]
+            while peek() == ",":
+                take()
+                args.append(sexpr())
+            take(")")
+            return ("concat", tuple(args))
+        raise SparqlSyntaxError(
+            f"bad string expression {src!r}: expected a string function, "
+            f"STR(?x), a variable, or a string literal, got {t!r}"
+        )
+
+    node = sexpr()
+    if pos != len(toks):
+        raise SparqlSyntaxError(
+            f"bad string expression {src!r}: trailing tokens {toks[pos:]!r}"
+        )
+    return node
+
+
+def strexpr_vars(node) -> set[str]:
+    """All variables referenced by a string-expression AST."""
+    k = node[0]
+    if k == "slit":
+        return set()
+    if k in ("sof", "svar"):
+        return {node[1]}
+    if k == "concat":
+        return set().union(*(strexpr_vars(a) for a in node[1]))
+    return strexpr_vars(node[1])  # unary wrappers / first operand
+
 
 # §17.5 constructor casts: canonical spelling of the supported targets
 _XSD_CAST_KINDS = {
@@ -1519,6 +1679,8 @@ def arith_expr_vars(node) -> set[str]:
         return {node[2]}
     if k == "cast_expr":  # BIND(xsd:T(?x) AS ?y) (§17.5)
         return {node[2]}
+    if k == "strexpr":  # BIND(SUBSTR/CONCAT/... AS ?y) (§17.4.3)
+        return strexpr_vars(node[1])
     if k == "abs":
         return arith_expr_vars(node[1])
     if k == "coalesce":
@@ -2205,6 +2367,21 @@ def _parse_group(
                             am.group("var"),
                             ("termfn_expr", tm.group(1).lower(),
                              tm.group(2)[1:]),
+                        )
+                    )
+                elif re.match(
+                    r"\s*(?:SUBSTR|STRBEFORE|STRAFTER|REPLACE|CONCAT"
+                    r"|UCASE|LCASE)\s*\(",
+                    body_expr,
+                    re.I,
+                ):
+                    # BIND(string-fn(...) AS ?y) (§17.4.3, r7): string
+                    # manipulation over STR(?x) / literals / other string
+                    # binds, compiled dictionary-side by the planner
+                    binds.append(
+                        (
+                            am.group("var"),
+                            ("strexpr", _parse_str_expr(body_expr)),
                         )
                     )
                 elif cm:

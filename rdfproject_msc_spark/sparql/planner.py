@@ -41,6 +41,7 @@ from rdfproject_msc_spark.sparql.parser import (
     SparqlSyntaxError,
     _walk_groups,
     arith_expr_vars,
+    strexpr_vars,
     filter_expr_streq_literals,
     filter_expr_strfn_vars,
     filter_expr_vars,
@@ -1751,10 +1752,111 @@ def _plan_group(
     # the arithmetic, leaving the target unbound — SPARQL's expression
     # error semantics). Plain withColumn projections — zero extra plan
     # cost, and Catalyst folds them into the surrounding stage.
+    # BIND targets holding STRING values (LANG/DATATYPE/STR/xsd:string/
+    # string expressions): a later string expression referencing one uses
+    # the column as-is instead of attaching a dictionary term
+    string_targets: set[str] = set()
+
     def _do_bind(item):
         nonlocal joined
         bvar, bexpr = item
         cname = f"vb_{bvar}"
+        if bexpr[0] == "strexpr":
+            # BIND(SUBSTR/STRBEFORE/STRAFTER/REPLACE/CONCAT/UCASE/LCASE
+            # (...) AS ?y) (§17.4.3, r7): string manipulation over term
+            # text. Each ID variable the expression reads gets ONE
+            # dictionary term join (the strfn strategy); the functions
+            # compile to JVM column expressions (substring / locate /
+            # regexp_replace / concat — whole-stage codegen, no Python).
+            # NULL inputs propagate through every function → the target
+            # is unbound (SPARQL expression-error semantics).
+            if dictionary is None:
+                raise SparqlSyntaxError(
+                    "string-expression BINDs need a dictionary to "
+                    "resolve terms"
+                )
+            need = {
+                v
+                for v in strexpr_vars(bexpr[1])
+                if v not in string_targets
+            }
+            tcols: dict[str, str] = {}
+            for v in sorted(need):
+                bi = ctx.nid()
+                tcol = f"__sterm{bi}_{v}"
+                d = (
+                    dictionary._dict_side()
+                    .withColumnRenamed("id", f"__ssid{bi}")
+                    .withColumnRenamed("term", tcol)
+                )
+                joined = joined.join(
+                    d,
+                    F.col(bound_cols[v]) == F.col(f"__ssid{bi}"),
+                    "left",
+                ).drop(f"__ssid{bi}")
+                tcols[v] = tcol
+
+            def s_compile(node):
+                k = node[0]
+                if k == "slit":
+                    return F.lit(node[1])
+                if k in ("sof", "svar"):
+                    v = node[1]
+                    if k == "svar" and v in string_targets:
+                        return F.col(bound_cols[v])
+                    idc, tc = F.col(bound_cols[v]), F.col(tcols[v])
+                    # STR(?x): term text; dictionary-absent id = integer
+                    # literal whose STR is its decimal form
+                    return F.when(
+                        idc.isNotNull(), F.coalesce(tc, idc.cast("string"))
+                    )
+                if k == "ucase":
+                    return F.upper(s_compile(node[1]))
+                if k == "lcase":
+                    return F.lower(s_compile(node[1]))
+                if k == "substr":
+                    c = s_compile(node[1])
+                    start, ln = node[2], node[3]
+                    if ln is None:
+                        return F.substring(c, F.lit(start), F.length(c))
+                    return F.substring(c, F.lit(start), F.lit(ln))
+                if k in ("strbefore", "strafter"):
+                    c, sep = s_compile(node[1]), node[2]
+                    if sep == "":
+                        # §17.4.3.12-13 empty separator: "" before, the
+                        # full string after (NULL input still NULL)
+                        return (
+                            F.when(c.isNotNull(), F.lit(""))
+                            if k == "strbefore"
+                            else c
+                        )
+                    p = F.locate(sep, c)
+                    hit = (
+                        F.substring(c, F.lit(1), p - 1)
+                        if k == "strbefore"
+                        else F.substring(c, p + len(sep), F.length(c))
+                    )
+                    # no match → "" (§17.4.3.12-13); NULL input → NULL
+                    return F.when(p > 0, hit).otherwise(
+                        F.when(c.isNotNull(), F.lit(""))
+                    )
+                if k == "replace":
+                    _, a, pat, rep, flags = node
+                    return F.regexp_replace(
+                        s_compile(a), ("(?i)" if flags else "") + pat, rep
+                    )
+                # concat: NULL if ANY argument is NULL — SPARQL error
+                # propagation, exactly Spark's concat
+                return F.concat(*[s_compile(a) for a in node[1]])
+
+            joined = joined.withColumn(cname, s_compile(bexpr[1]))
+            if tcols:
+                joined = joined.drop(*tcols.values())
+            bound_cols[bvar] = cname
+            order.append(bvar)
+            nullable_vars.add(bvar)
+            string_targets.add(bvar)
+            return
         if bexpr[0] in ("termfn_expr", "cast_expr"):
             # BIND(LANG(?x) AS ?l) / BIND(DATATYPE(?x) AS ?d): attach the
             # source variable's dictionary term (one broadcast left join,
@@ -1797,6 +1899,8 @@ def _plan_group(
             bound_cols[bvar] = cname
             order.append(bvar)
             nullable_vars.add(bvar)
+            if bexpr[0] == "termfn_expr":
+                string_targets.add(bvar)  # STR/LANG/DATATYPE are strings
             return
         joined = joined.withColumn(cname, _compile_arith(bexpr, bound_cols))
         bound_cols[bvar] = cname

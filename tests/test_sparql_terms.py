@@ -481,3 +481,131 @@ class TestCasts:
                 "SELECT ?o WHERE { ?s :price ?o } ORDER BY xsd:double(?zz)",
                 tdict,
             )
+
+
+class TestStringExpressions:
+    """String-manipulation BIND expressions (§17.4.3, r7): SUBSTR /
+    STRBEFORE / STRAFTER / REPLACE / CONCAT / UCASE / LCASE over term
+    text, arbitrarily nested, compiled to JVM column expressions with
+    one dictionary join per distinct source variable. NULL (unbound /
+    error) propagates through every function — SPARQL's
+    expression-error-leaves-unbound."""
+
+    def _t(self, tstore, tdict, expr):
+        df = sparql_to_df(
+            tstore,
+            "SELECT ?o ?t WHERE { ?s :label ?o . "
+            f"BIND({expr} AS ?t) }}",
+            tdict,
+        )
+        return {r.o: r.t for r in df.collect()}
+
+    def test_substr(self, tstore, tdict):
+        got = self._t(tstore, tdict, "SUBSTR(STR(?o), 2, 4)")
+        assert got[2] == "chat"  # '"chat"@en'[2:6]
+        assert got[4] == "ello"
+        assert got[42] == "2"  # integer literal STR = '42'
+        # without length: to the end
+        got2 = self._t(tstore, tdict, "SUBSTR(STR(?o), 7)")
+        assert got2[2] == "@en"  # 1-based: pos 7 of '"chat"@en'
+
+    def test_strbefore_strafter(self, tstore, tdict):
+        got = self._t(tstore, tdict, 'STRBEFORE(STR(?o), "\\"@")')
+        assert got[2] == '"chat'
+        assert got[4] == ""  # no match → "" (§17.4.3.12)
+        got2 = self._t(tstore, tdict, 'STRAFTER(STR(?o), "\\"@")')
+        assert got2[2] == "en"
+        assert got2[4] == ""
+        # empty separator: "" before, the full string after
+        assert self._t(tstore, tdict, 'STRBEFORE(STR(?o), "")')[4] == ""
+        assert self._t(tstore, tdict, 'STRAFTER(STR(?o), "")')[4] == "hello"
+
+    def test_replace_and_case(self, tstore, tdict):
+        got = self._t(tstore, tdict, 'REPLACE(STR(?o), "[aeiou]", "_")')
+        assert got[4] == "h_ll_"
+        goti = self._t(tstore, tdict, 'REPLACE(STR(?o), "HELLO", "x", "i")')
+        assert goti[4] == "x"
+        assert self._t(tstore, tdict, "UCASE(STR(?o))")[4] == "HELLO"
+        assert self._t(tstore, tdict, "LCASE(STR(?o))")[1] == ":alice"
+
+    def test_concat_and_nesting(self, tstore, tdict):
+        got = self._t(
+            tstore, tdict, 'CONCAT("[", UCASE(SUBSTR(STR(?o), 1, 2)), "]")'
+        )
+        assert got[4] == "[HE]"
+        assert got[42] == "[42]"
+
+    def test_chain_through_string_targets(self, tstore, tdict):
+        # a string expression can consume an earlier string BIND target
+        # directly (no second dictionary join for ?u)
+        df = sparql_to_df(
+            tstore,
+            "SELECT ?o ?t WHERE { ?s :label ?o . BIND(STR(?o) AS ?u) "
+            'BIND(CONCAT(?u, "!") AS ?t) }',
+            tdict,
+        )
+        got = {r.o: r.t for r in df.collect()}
+        assert got[4] == "hello!"
+        assert got[42] == "42!"
+
+    def test_null_propagates_through_unbound(self, tstore, tdict):
+        # OPTIONAL-unbound ?m: every string function errors → ?t unbound
+        df = sparql_to_df(
+            tstore,
+            "SELECT ?s ?t WHERE { ?s :label 2 . "
+            "OPTIONAL { ?s :price ?m . FILTER(?m > 1000.0) } "
+            'BIND(CONCAT("x", STR(?m)) AS ?t) }',
+            tdict,
+        )
+        assert [(r.s, r.t) for r in df.collect()] == [(1, None)]
+
+    def test_rejects(self, tstore, tdict):
+        with pytest.raises(SparqlSyntaxError, match="non-negative integer"):
+            sparql_to_df(
+                tstore,
+                "SELECT ?t WHERE { ?s :label ?o . "
+                'BIND(SUBSTR(STR(?o), "x") AS ?t) }',
+                tdict,
+            )
+        with pytest.raises(SparqlSyntaxError, match="string literal"):
+            sparql_to_df(
+                tstore,
+                "SELECT ?t WHERE { ?s :label ?o . "
+                "BIND(STRBEFORE(STR(?o), ?o) AS ?t) }",
+                tdict,
+            )
+        with pytest.raises(SparqlSyntaxError, match="not in scope"):
+            sparql_to_df(
+                tstore,
+                "SELECT ?t WHERE { ?s :label ?o . "
+                "BIND(UCASE(STR(?zz)) AS ?t) }",
+                tdict,
+            )
+
+
+def test_string_expr_bind_matches_duckdb(spark, sf_dir):
+    """String-expression BIND over the REAL derived graph vs a DuckDB
+    twin: extract the bare nation name out of the '"NAME (fr)"@fr'
+    tagged-literal labels."""
+    from rdfproject_msc_spark.registry import _dict, _store
+    from rdfproject_msc_spark.sources.derived import (
+        DICTIONARY_SQL,
+        P_HAS_LABEL,
+        TRIPLES_SQL,
+    )
+    from tests.oracle import assert_matches_oracle
+
+    q = (
+        "SELECT ?x ?t WHERE { ?x :hasLabel ?l . "
+        'FILTER(LANGMATCHES(LANG(?l), "fr")) '
+        'BIND(STRBEFORE(STRAFTER(STR(?l), "\\""), " (fr)") AS ?t) }'
+    )
+    df = sparql_to_df(_store(spark, sf_dir), q, _dict(spark, sf_dir))
+    sql = f"""WITH triples AS ({TRIPLES_SQL}), dict AS ({DICTIONARY_SQL})
+SELECT t.s AS x,
+       substring(substr(d.term, 2), 1,
+                 strpos(substr(d.term, 2), ' (fr)') - 1) AS t
+FROM triples t JOIN dict d ON t.o = d.id
+WHERE t.p = {P_HAS_LABEL} AND regexp_matches(d.term, '"@fr$')
+"""
+    assert_matches_oracle(df, sql, sf_dir)

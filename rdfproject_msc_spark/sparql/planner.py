@@ -2353,6 +2353,17 @@ def _dataset_scoped_store(
         default = quads.filter(F.col("g") == F.lit(from_ids[0])).select(
             "s", "p", "o"
         )
+    elif store.graphs_disjoint:
+        # disjoint-graphs fast path (r7): the caller declared that no
+        # triple appears in more than one graph, so the RDF merge IS the
+        # plain union — no duplicate elimination, no Exchange. At scale
+        # this removes a full shuffle of every selected triple (the
+        # common case: partitioned loads write each triple to exactly
+        # one graph). Results are identical by the declared invariant
+        # (pinned in tests/test_sparql_graph.py).
+        default = quads.filter(F.col("g").isin(from_ids)).select(
+            "s", "p", "o"
+        )
     else:
         default = (
             quads.filter(F.col("g").isin(from_ids))
@@ -2364,7 +2375,9 @@ def _dataset_scoped_store(
         if named_ids
         else quads.filter(F.lit(False))
     )
-    return TripleStore(default, quads=named)
+    return TripleStore(
+        default, quads=named, graphs_disjoint=store.graphs_disjoint
+    )
 
 
 def plan_bgp(

@@ -48,6 +48,7 @@ class TripleStore:
         broadcast_negative: bool = False,
         cache: bool = False,
         quads: DataFrame | None = None,
+        graphs_disjoint: bool = False,
     ):
         """``broadcast_negative`` defaults to False: the reference broadcasts
         its Negative table unconditionally (MSc-scale assumption); at 100 TB
@@ -74,6 +75,15 @@ class TripleStore:
         self._quads = (
             quads.select("g", "s", "p", "o") if quads is not None else None
         )
+        # caller-declared invariant: no (s, p, o) triple appears in more
+        # than one named graph. The RDF-merge semantics of a multi-graph
+        # FROM then need NO duplicate elimination, so the planner skips
+        # the merge's .distinct() — one full shuffle of the selected
+        # triples saved (the common case for partitioned loads, where
+        # each triple is written to exactly one graph). NOT provable from
+        # a partitionBy("g") layout — the same triple may be asserted in
+        # two directories — hence an explicit opt-in.
+        self.graphs_disjoint = graphs_disjoint
 
     def _apply_clustering(self, df: DataFrame) -> DataFrame:
         if self.cluster_by is None:
@@ -150,8 +160,12 @@ class TripleStore:
     def has_quads(self) -> bool:
         return self._quads is not None
 
-    def attach_quads(self, quads: DataFrame) -> None:
+    def attach_quads(
+        self, quads: DataFrame, graphs_disjoint: bool | None = None
+    ) -> None:
         self._quads = quads.select("g", "s", "p", "o")
+        if graphs_disjoint is not None:
+            self.graphs_disjoint = graphs_disjoint
 
     def quads_for_graph(self, graph_id: int) -> DataFrame:
         """One named graph as a plain triple relation (the active graph of
@@ -229,4 +243,5 @@ class TripleStore:
         store.broadcast_negative = kwargs.get("broadcast_negative", False)
         store._df = df  # already laid out on disk; no re-shuffle on read
         store._quads = None  # attach_quads(read_quads(...)) to add graphs
+        store.graphs_disjoint = kwargs.get("graphs_disjoint", False)
         return store

@@ -734,3 +734,36 @@ def test_sparql_from_registry_entry_is_load_bearing(spark, sf_dir):
     assert all(r["c"] % 20 == 11 for r in rows)
     # `:byUser` subjects -(10e+7) with e odd ⇒ |id| % 20 == 17
     assert all((-r["e"]) % 20 == 17 for r in rows)
+
+
+def test_disjoint_from_fast_path_skips_distinct(spark, gdict):
+    """graphs_disjoint=True (r7): a multi-graph FROM skips the RDF-merge
+    .distinct() — identical results on disjoint data, and the executed
+    plan loses the duplicate-elimination Exchange entirely."""
+    dis_quads = [
+        (100, 1, 10, 2),
+        (100, 2, 11, 3),
+        (101, 2, 10, 9),
+        (102, 7, 10, 8),
+    ]
+    base = spark.createDataFrame([(1, 10, 2)], "s long, p long, o long")
+    q = "SELECT ?s ?o FROM :graph_a FROM :graph_b WHERE { ?s :p10 ?o }"
+
+    def run(disjoint):
+        st_ = TripleStore(
+            base,
+            quads=spark.createDataFrame(
+                dis_quads, "g long, s long, p long, o long"
+            ),
+            graphs_disjoint=disjoint,
+        )
+        df = sparql_to_df(st_, q, gdict)
+        rows = _rows(df)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return rows, plan.split("Initial Plan")[0]
+
+    slow_rows, slow_plan = run(False)
+    fast_rows, fast_plan = run(True)
+    assert fast_rows == slow_rows == [(1, 2), (2, 9)]
+    assert "Exchange" in slow_plan  # the merge's duplicate elimination
+    assert "Exchange" not in fast_plan  # filter + project only

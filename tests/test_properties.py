@@ -704,3 +704,93 @@ def test_random_nested_group_trees_match_python_eval(spark, rows, shape):
         key=lambda t: tuple((x[1] is None, x[1] or 0) for x in t),
     )
     assert got == want
+
+
+# ---- dataset-clause fuzz (§13.2, r7) --------------------------------------
+# the round-6 sparql_from miss (a FROM NAMED set no pattern could reach,
+# green only because both engines returned empty) is exactly the blindness
+# example-based tests have — so FROM / FROM NAMED sets and GRAPH blocks
+# are drawn TOGETHER and compared against a bottom-up Python twin with
+# dataset scoping.
+
+_quads_strategy = st.lists(
+    st.tuples(
+        st.integers(1, 3),            # graph
+        st.integers(1, 5),            # s
+        st.sampled_from([11, 22]),    # p
+        st.integers(1, 5),            # o
+    ),
+    min_size=0,
+    max_size=14,
+    unique=True,  # a graph is a SET of triples
+)
+
+
+@given(
+    quads=_quads_strategy,
+    trips=triples_strategy,
+    from_ids=st.sets(st.integers(1, 3), max_size=3),
+    named_ids=st.sets(st.integers(1, 3), max_size=3),
+)
+@settings(**SETTINGS)
+def test_dataset_clauses_match_python_eval(
+    spark, quads, trips, from_ids, named_ids
+):
+    """FROM/FROM NAMED composed with a GRAPH ?g block: when either clause
+    is present the default graph is the SET union of the FROM graphs and
+    GRAPH ranges over only the FROM NAMED graphs; with no clauses the
+    store's own default graph and all named graphs apply. Additionally,
+    whenever the drawn quads happen to be graph-disjoint, the
+    graphs_disjoint fast path must return the identical multiset."""
+    from rdfproject_msc_spark.sparql.planner import sparql_to_df
+    from rdfproject_msc_spark.store import TripleStore
+
+    trips = list({t for t in trips})  # triples table as a set, like quads
+    ds = " ".join(
+        [f"FROM {g}" for g in sorted(from_ids)]
+        + [f"FROM NAMED {g}" for g in sorted(named_ids)]
+    )
+    q = (
+        f"SELECT ?a ?b ?g ?c {ds} WHERE "
+        "{ ?a 11 ?b . GRAPH ?g { ?b 22 ?c } }"
+    )
+
+    def run(disjoint):
+        st_ = TripleStore(
+            spark.createDataFrame(
+                trips or [(0, 0, 0)], "s long, p long, o long"
+            ),
+            quads=spark.createDataFrame(
+                quads or [(0, 0, 0, 0)], "g long, s long, p long, o long"
+            ),
+            graphs_disjoint=disjoint,
+        )
+        out = sparql_to_df(st_, q)
+        return sorted(
+            (r["a"], r["b"], r["g"], r["c"]) for r in out.collect()
+        )
+
+    got = run(False)
+
+    # Python twin with dataset scoping
+    if from_ids or named_ids:
+        default = {(s, p, o) for g, s, p, o in quads if g in from_ids}
+        named = [(g, s, p, o) for g, s, p, o in quads if g in named_ids]
+    else:
+        default = set(trips)
+        named = list(quads)
+    want = sorted(
+        (a, b, g, c)
+        for (a, p1, b) in default
+        if p1 == 11
+        for (g, b2, p2, c) in named
+        if p2 == 22 and b2 == b
+    )
+    assert got == want
+
+    # disjoint fast path: exact same multiset whenever the invariant holds
+    spo_graphs = {}
+    for g, s, p, o in quads:
+        spo_graphs.setdefault((s, p, o), set()).add(g)
+    if all(len(gs) == 1 for gs in spo_graphs.values()):
+        assert run(True) == want

@@ -54,10 +54,12 @@ Out of scope, rejected explicitly: inverse/sequence members inside
 negated sets, nested-group BIND expressions referencing outer
 variables (groups plan standalone; nested-group FILTERs referencing
 outer variables ARE accepted and evaluate the unbound reference per
-§18.2.2.2 — error → filter-false), non-disjoint VALUES rows (UNDEF
-wildcards are supported when rows are pairwise disjoint — the exact
-condition under which the OR-filter compilation equals the multiset
-join), and string functions inside HAVING (grouped output is numeric).
+§18.2.2.2 — error → filter-false) and string functions inside
+HAVING (grouped output is numeric). Multi-variable VALUES rows support
+UNDEF wildcards and (since r7) NON-disjoint rows: pairwise-disjoint
+blocks compile to the cheap OR-of-ANDs row filter, unifiable rows take
+the broadcast-relation JOIN lowering that produces the spec's multiset
+duplication.
 Term-kind accessors (LANG, DATATYPE,
 isIRI/isLiteral/isBlank/isNumeric, LANGMATCHES) ARE supported — they
 compile to dictionary-side column predicates over the term-text
@@ -2108,9 +2110,10 @@ def _scan_delim(src: str, i: int, open_c: str, close_c: str, what: str):
 
 
 def _parse_values_rows(vars_: tuple[str, ...], rows_src: str, prefixes):
-    """Rows of a multi-variable VALUES block: width check, constants only,
-    UNDEF wildcards, pairwise-disjointness (the condition under which the
-    OR-of-ANDs compilation equals SPARQL's multiset join)."""
+    """Rows of a multi-variable VALUES block: width check, constants
+    only, UNDEF wildcards. Non-disjoint rows parse fine — the planner
+    picks the OR-of-ANDs filter or the multiset JOIN lowering by
+    checking row unifiability itself."""
     if len(set(vars_)) != len(vars_):
         raise SparqlSyntaxError(f"duplicate VALUES variables: {vars_}")
     rows: list[tuple[tuple[str, object], ...]] = []
@@ -2132,17 +2135,10 @@ def _parse_values_rows(vars_: tuple[str, ...], rows_src: str, prefixes):
         raise SparqlSyntaxError(f"malformed VALUES rows: {rows_src.strip()!r}")
     if not rows:
         raise SparqlSyntaxError("empty VALUES block")
-    for i in range(len(rows)):
-        for j in range(i + 1, len(rows)):
-            if not any(
-                ka == kb and ka not in ("undef",) and va != vb
-                for (ka, va), (kb, vb) in zip(rows[i], rows[j])
-            ):
-                raise SparqlSyntaxError(
-                    "VALUES rows must be pairwise disjoint (a solution "
-                    "matching two rows would need multiset duplication): "
-                    f"rows {i} and {j}"
-                )
+    # non-disjoint rows (two rows some solution could match) are FINE
+    # since r7: the planner routes them through the broadcast-relation
+    # JOIN lowering, which produces the spec's multiset duplication the
+    # OR-filter form cannot (historically a parse-time reject)
     return (vars_, tuple(rows))
 
 

@@ -2124,11 +2124,30 @@ def _plan_group(
                 nullable_vars.add(v)
         lnv = [v for v in vars_ if v in nullable_vars]
 
-        if not lnv:
-            # all vars required-bound: the block reduces to one
-            # OR-of-ANDs row filter — UNDEF slots are wildcards (no
-            # conjunct), and pairwise-disjoint rows (enforced at parse
-            # time) make the OR exactly the multiset join result
+        # two rows are UNIFIABLE when some solution could match both
+        # (every variable both rows define agrees — UNDEF constrains
+        # nothing); a solution matching k rows must appear k TIMES in the
+        # VALUES join (§18.2.2.6 multiset semantics), which a row FILTER
+        # cannot produce — those blocks take the join lowering below.
+        # Mixed id/term slots count as potentially-equal (a term resolves
+        # to an id only at plan time), erring toward the exact path.
+        def _unifiable(a, b):
+            return not any(
+                ka == kb and ka != "undef" and va != vb
+                for (ka, va), (kb, vb) in zip(a, b)
+            )
+
+        overlapping = any(
+            _unifiable(rows[i], rows[j])
+            for i in range(len(rows))
+            for j in range(i + 1, len(rows))
+        )
+
+        if not lnv and not overlapping:
+            # all vars required-bound and rows pairwise disjoint: the
+            # block reduces to one OR-of-ANDs row filter — UNDEF slots
+            # are wildcards (no conjunct), and disjointness makes the OR
+            # exactly the multiset join result
             def _row_cond(row):
                 conds = [
                     F.col(bound_cols[v])
@@ -2147,13 +2166,16 @@ def _plan_group(
             )
             return
 
-        # possibly-unbound vars: JOIN with a broadcast literal relation
-        # (UNDEF = NULL). Left bound-mask branches keep compatibility
-        # exact: in a branch, a var bound on the left matches rows whose
-        # slot is UNDEF or equal; an unbound var takes the row's value
-        # (coalesce merge — NULL slot leaves it unbound). The join is a
-        # broadcast nested-loop against a QUERY-sized relation (a few
-        # rows), bounded at plan time like all constant encoding.
+        # possibly-unbound vars, or unifiable (non-disjoint) rows (r7):
+        # JOIN with a broadcast literal relation (UNDEF = NULL). Left
+        # bound-mask branches keep compatibility exact: in a branch, a
+        # var bound on the left matches rows whose slot is UNDEF or
+        # equal (a solution matching k rows joins k times — the multiset
+        # duplication the filter form cannot express); an unbound var
+        # takes the row's value (coalesce merge — NULL slot leaves it
+        # unbound). The join is a broadcast nested-loop against a
+        # QUERY-sized relation (a few rows), bounded at plan time like
+        # all constant encoding.
         vi = ctx.nid()
         rcols = {v: f"vr{vi}_{v}" for v in vars_}
         schema = ", ".join(f"{rcols[v]} long" for v in vars_)

@@ -1103,17 +1103,44 @@ def test_multi_var_values_executes(tiny_store, tiny_dict):
 def test_multi_var_values_rejections():
     with pytest.raises(SparqlSyntaxError, match="row width"):
         parse_sparql("SELECT ?s WHERE { ?s :p ?o . VALUES (?s ?o) { (1) } }")
-    with pytest.raises(SparqlSyntaxError, match="pairwise disjoint"):
-        parse_sparql(
-            "SELECT ?s WHERE { ?s :p ?o . VALUES (?s ?o) { (1 2) (1 2) } }"
-        )
     with pytest.raises(SparqlSyntaxError, match="not in BGP"):
         parse_sparql("SELECT ?s WHERE { ?s :p ?o . VALUES (?s ?z) { (1 2) } }")
-    # a wildcard row subsuming another row needs multiset duplication
-    with pytest.raises(SparqlSyntaxError, match="pairwise disjoint"):
-        parse_sparql(
-            "SELECT ?s WHERE { ?s :p ?o . VALUES (?s ?o) { (1 UNDEF) (1 2) } }"
-        )
+
+
+def test_multi_var_values_non_disjoint_rows_duplicate(tiny_store, tiny_dict):
+    """Non-disjoint VALUES rows (r7 — historically a parse reject): a
+    solution matching k rows appears k times (§18.2.2.6 multiset join),
+    via the broadcast-relation JOIN lowering."""
+    # p10 edges 1→1, 1→2, 2→2, -5→1; duplicate row (1 2) ×2
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?o WHERE { ?s :p10 ?o . "
+        "VALUES (?s ?o) { (1 2) (1 2) } }",
+        tiny_dict,
+    )
+    assert sorted((r.s, r.o) for r in df.collect()) == [(1, 2), (1, 2)]
+    # a wildcard row SUBSUMING a specific row: (1, 2) matches both rows
+    # (duplicated), the other s=1 solutions match only the wildcard
+    df2 = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?o WHERE { ?s :p10 ?o . "
+        "VALUES (?s ?o) { (1 UNDEF) (1 2) } }",
+        tiny_dict,
+    )
+    assert sorted((r.s, r.o) for r in df2.collect()) == [
+        (1, 1), (1, 2), (1, 2),
+    ]
+    # two all-UNDEF rows double EVERY solution
+    df3 = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?o WHERE { ?s :p10 ?o . "
+        "VALUES (?s ?o) { (UNDEF UNDEF) (UNDEF UNDEF) } }",
+        tiny_dict,
+    )
+    got = sorted((r.s, r.o) for r in df3.collect())
+    assert got == sorted(
+        2 * [(-5, 1), (1, 1), (1, 2), (2, 2)]
+    )
 
 
 def test_multi_var_values_undef_wildcard(tiny_store, tiny_dict):

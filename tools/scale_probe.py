@@ -58,6 +58,13 @@ FAMILY = [
     "bm25_search",
     "text_decontaminate",
     "corpus_curate",
+    # r7: dictionary-side accessor joins (LANG/DATATYPE over |dict|
+    # terms), the one-shuffle n-gram aggregation, salted quota sampling
+    # under a hot source, and the typed-value comparison + cast ordering
+    "sparql_lang",
+    "text_ngram_top",
+    "docs_quota_sample",
+    "sparql_value_cmp",
 ]
 
 TABLES = [

@@ -209,10 +209,17 @@ def _skip_string(src: str, i: int) -> int:
 # mis-split queries whose modifiers contain braces — trailing VALUES)
 # REDUCED (§9.9.2) *permits* duplicate elimination without requiring it;
 # returning the multiset unchanged is conformant, so it parses as a no-op
+# one parenthesized projection item, nested to depth 6 — enough for
+# `(CONCAT("<", UCASE(SUBSTR(STR(?o), 1, 2)), ">") AS ?t)`-class
+# expressions (regexes cannot match arbitrary nesting; deeper forms can
+# always be written as a BIND, whose body is brace-scanned)
+_PAREN4 = r"[^()]*"
+for _ in range(6):
+    _PAREN4 = r"\((?:[^()]|" + _PAREN4 + r")*\)"
 _QUERY = re.compile(
     r"^\s*(?P<prefixes>(?:PREFIX\s+\S+\s*<[^>]*>\s*)*)"
     r"SELECT\s+(?:(?P<distinct>DISTINCT)\s+|REDUCED\s+)?"
-    r"(?P<proj>\*|(?:(?:[?$]\w+|\((?:[^()]|\([^()]*\))*\))\s*)+)\s*"
+    r"(?P<proj>\*|(?:(?:[?$]\w+|" + _PAREN4 + r")\s*)+)\s*"
     r"(?P<dataset>(?:FROM\s+(?:NAMED\s+)?\S+\s*)*)"
     r"WHERE\s*(?=\{)",
     re.I | re.S,
@@ -221,7 +228,7 @@ _QUERY = re.compile(
 _FROM_CLAUSE = re.compile(r"FROM\s+(?P<named>NAMED\s+)?(?P<src>\S+)", re.I)
 # projection items: a plain variable, or a parenthesized aggregate
 # `(AGG([DISTINCT] ?v|*) AS ?alias)` (SPARQL 1.1 §11; one paren level)
-_PROJ_ITEM = re.compile(r"[?$]\w+|\((?:[^()]|\([^()]*\))*\)")
+_PROJ_ITEM = re.compile(r"[?$]\w+|" + _PAREN4)
 _AGG_ITEM = re.compile(
     r"^\(\s*(?P<func>COUNT|SUM|AVG|MIN|MAX|SAMPLE|GROUP_CONCAT)\s*\(\s*"
     r"(?P<distinct>DISTINCT\s+)?(?P<arg>\*|[^();]+?)\s*"
@@ -770,6 +777,43 @@ _MIRROR_OP = {"=": "=", "!=": "!=", "<": ">", "<=": ">=", ">": "<", ">=": "<="}
 _STR_EXPR_FNS = (
     "substr", "strbefore", "strafter", "replace", "concat", "ucase", "lcase"
 )
+
+
+def _parse_bind_body(body_expr: str):
+    """Classify + parse one BIND / SELECT-expression body (the two share
+    this lowering per §18.2.4.4): a term-kind accessor (LANG / DATATYPE /
+    STR → termfn_expr), a §17.5 constructor cast (xsd:T → cast_expr;
+    xsd:string ≡ STR), a §17.4.3 string manipulation (→ strexpr), or
+    integer arithmetic (the default)."""
+    tm = re.fullmatch(
+        r"\s*(LANG|DATATYPE|STR)\s*\(\s*([?$]\w+)\s*\)\s*",
+        body_expr,
+        re.I,
+    )
+    if tm:
+        return ("termfn_expr", tm.group(1).lower(), tm.group(2)[1:])
+    cm = re.fullmatch(
+        r"\s*xsd:(integer|decimal|double|float|date"
+        r"|dateTime|string)\s*\(\s*"
+        r"(?:STR\s*\(\s*([?$]\w+)\s*\)|([?$]\w+))\s*\)\s*",
+        body_expr,
+        re.I,
+    )
+    if cm:
+        kind = _XSD_CAST_KINDS[cm.group(1).lower()]
+        src_v = (cm.group(2) or cm.group(3))[1:]
+        return (
+            ("termfn_expr", "str", src_v)
+            if kind == "string"
+            else ("cast_expr", kind, src_v)
+        )
+    if re.match(
+        r"\s*(?:SUBSTR|STRBEFORE|STRAFTER|REPLACE|CONCAT|UCASE|LCASE)\s*\(",
+        body_expr,
+        re.I,
+    ):
+        return ("strexpr", _parse_str_expr(body_expr))
+    return _parse_arith_expr(body_expr)
 
 
 def _parse_str_expr(src: str):
@@ -2337,69 +2381,12 @@ def _parse_group(
                         f"{body.strip()!r}"
                     )
                 body_expr = body[: am.start()]
-                tm = re.fullmatch(
-                    r"\s*(LANG|DATATYPE|STR)\s*\(\s*([?$]\w+)\s*\)\s*",
-                    body_expr,
-                    re.I,
+                # accessor (termfn_expr) / cast (cast_expr) / string
+                # manipulation (strexpr) / integer arithmetic — one
+                # classification shared with SELECT expression items
+                binds.append(
+                    (am.group("var"), _parse_bind_body(body_expr))
                 )
-                cm = (
-                    None
-                    if tm
-                    else re.fullmatch(
-                        r"\s*xsd:(integer|decimal|double|float|date"
-                        r"|dateTime|string)\s*\(\s*"
-                        r"(?:STR\s*\(\s*([?$]\w+)\s*\)|([?$]\w+))\s*\)\s*",
-                        body_expr,
-                        re.I,
-                    )
-                )
-                if tm:
-                    # BIND(LANG(?x) AS ?l) / BIND(DATATYPE(?x) AS ?d):
-                    # term-kind accessor bind — the target is a STRING
-                    # column (the tag / localized datatype), computed
-                    # dictionary-side by the planner
-                    binds.append(
-                        (
-                            am.group("var"),
-                            ("termfn_expr", tm.group(1).lower(),
-                             tm.group(2)[1:]),
-                        )
-                    )
-                elif re.match(
-                    r"\s*(?:SUBSTR|STRBEFORE|STRAFTER|REPLACE|CONCAT"
-                    r"|UCASE|LCASE)\s*\(",
-                    body_expr,
-                    re.I,
-                ):
-                    # BIND(string-fn(...) AS ?y) (§17.4.3, r7): string
-                    # manipulation over STR(?x) / literals / other string
-                    # binds, compiled dictionary-side by the planner
-                    binds.append(
-                        (
-                            am.group("var"),
-                            ("strexpr", _parse_str_expr(body_expr)),
-                        )
-                    )
-                elif cm:
-                    # BIND(xsd:T(?x) AS ?y) / BIND(xsd:T(STR(?x)) AS ?y)
-                    # (§17.5 constructor casts, r7): the cast evaluates
-                    # over the term's lexical form dictionary-side —
-                    # xsd:string is exactly STR; the others produce a
-                    # typed VALUE column (long / double / date /
-                    # timestamp), NULL on uncastable kinds (§17.5 error
-                    # → target unbound)
-                    kind = _XSD_CAST_KINDS[cm.group(1).lower()]
-                    src_v = (cm.group(2) or cm.group(3))[1:]
-                    binds.append(
-                        (
-                            am.group("var"),
-                            ("termfn_expr", "str", src_v)
-                            if kind == "string"
-                            else ("cast_expr", kind, src_v),
-                        )
-                    )
-                else:
-                    binds.append((am.group("var"), _parse_arith_expr(body_expr)))
                 seq.append(("bind", len(binds) - 1))
                 continue
             # VALUES
@@ -2745,11 +2732,13 @@ def parse_sparql(
                     continue
                 if em:
                     # SELECT expression → synthetic BIND (same lowering,
-                    # same scope/freshness validation further down)
+                    # same scope/freshness validation further down);
+                    # accessors / casts / string manipulations compose
+                    # here exactly like in a written BIND (r7)
                     binds.append(
                         (
                             em.group("alias"),
-                            _parse_arith_expr(em.group("expr")),
+                            _parse_bind_body(em.group("expr")),
                         )
                     )
                     items.append(em.group("alias"))
@@ -2757,7 +2746,7 @@ def parse_sparql(
                 raise SparqlSyntaxError(
                     f"unsupported projection item: {itm!r} "
                     "(supported: ?var, (AGG([DISTINCT] ?v|*) AS ?alias), "
-                    "or (arithmetic AS ?alias))"
+                    "or (expression AS ?alias))"
                 )
             func = am.group("func").lower()
             arg = am.group("arg").strip()

@@ -609,3 +609,27 @@ FROM triples t JOIN dict d ON t.o = d.id
 WHERE t.p = {P_HAS_LABEL} AND regexp_matches(d.term, '"@fr$')
 """
     assert_matches_oracle(df, sql, sf_dir)
+
+
+def test_select_expression_accessors_and_casts(tstore, tdict):
+    """SELECT expression items share the BIND classification (r7):
+    accessors, casts and string manipulations compose in the projection
+    exactly like in a written BIND — including nesting past the old
+    one-paren-level projection grammar."""
+    df = sparql_to_df(
+        tstore,
+        'SELECT ?o (CONCAT("[", UCASE(SUBSTR(STR(?o), 2, 4)), "]") AS ?t) '
+        "(xsd:double(?o) AS ?v) WHERE { ?s :price ?o }",
+        tdict,
+    )
+    got = {r.o: (r.t, r.v) for r in df.collect()}
+    assert got[7] == ("[19.5]", 19.5)
+    assert got[43] == ("[3]", 43.0)
+    assert got[9] == ("[2024]", None)  # dateTime: double cast errors
+    df2 = sparql_to_df(
+        tstore,
+        "SELECT (STR(?o) AS ?t) WHERE { ?s :label ?o . "
+        'FILTER(LANG(?o) = "en") }',
+        tdict,
+    )
+    assert [r.t for r in df2.collect()] == ['"chat"@en']

@@ -807,6 +807,15 @@ def _parse_bind_body(body_expr: str):
             if kind == "string"
             else ("cast_expr", kind, src_v)
         )
+    lm = re.fullmatch(
+        r"\s*STRLEN\s*\(\s*(?:STR\s*\(\s*([?$]\w+)\s*\)|([?$]\w+))\s*\)\s*",
+        body_expr,
+        re.I,
+    )
+    if lm:
+        # BIND(STRLEN([STR(]?x[)]) AS ?n) (§17.4.3.2, r7): term-text
+        # length as a numeric target — rides the cast lowering
+        return ("cast_expr", "strlen", (lm.group(1) or lm.group(2))[1:])
     if re.match(
         r"\s*(?:SUBSTR|STRBEFORE|STRAFTER|REPLACE|CONCAT|UCASE|LCASE)\s*\(",
         body_expr,
@@ -1378,6 +1387,58 @@ def _parse_filter_expr(src: str):
                     f"against an integer, got {num!r}"
                 )
             return ("strlen", v, op, int(num))
+        if (
+            lhs.lower() in _STR_EXPR_FNS
+            and peek() == "("
+            and not (
+                # simple UCASE/LCASE(?v|STR(?v)) keeps the dedicated
+                # dictionary-side 'strcase' leaf below (type-strict:
+                # integer literals have no term text and DROP); every
+                # other string-expression form — SUBSTR/STRBEFORE/
+                # STRAFTER/REPLACE/CONCAT and nested UCASE/LCASE — takes
+                # the general strexpr comparison (r7)
+                lhs.lower() in ("ucase", "lcase")
+                and pos + 1 < len(toks)
+                and (
+                    toks[pos + 1].startswith(("?", "$"))
+                    or toks[pos + 1].lower() == "str"
+                )
+            )
+        ):
+            # FN(...) <op> "literal": re-render the call's token span and
+            # parse it with the string-expression grammar
+            start = pos - 1
+            depth = 0
+            j = pos
+            while j < len(toks):
+                if toks[j] == "(":
+                    depth += 1
+                elif toks[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if depth != 0:
+                raise SparqlSyntaxError(
+                    f"bad FILTER expression {src!r}: unbalanced parens in "
+                    f"{lhs.upper()}(...)"
+                )
+            expr_src = " ".join(toks[start : j + 1])
+            pos = j + 1
+            tree = _parse_str_expr(expr_src)
+            op = take()
+            if op not in _CMP_OPS:
+                raise SparqlSyntaxError(
+                    f"bad FILTER expression {src!r}: string-expression "
+                    f"comparison needs an operator, got {op!r}"
+                )
+            lit = take()
+            if not (lit.startswith('"') and lit.endswith('"')):
+                raise SparqlSyntaxError(
+                    f"bad FILTER expression {src!r}: string-expression "
+                    f"comparison takes a string literal, got {lit!r}"
+                )
+            return ("strexprcmp", tree, op, _unescape(lit[1:-1]))
         if lhs.lower() in ("ucase", "lcase") and peek() == "(":
             # UCASE/LCASE(STR(?x)) =|!= "literal" (§17.4.3.4-5):
             # case-folded term equality, dictionary-side
@@ -1516,6 +1577,8 @@ def filter_expr_vars(node) -> set[str]:
         return {node[2]}
     if len(node) == 5 and node[0] == "valcmp":  # typed-value comparison
         return {node[1]}
+    if len(node) == 4 and node[0] == "strexprcmp":  # string-expression cmp
+        return strexpr_vars(node[1])
     if len(node) == 5 and node[0] == "termfn":  # LANG/DATATYPE leaf
         return {node[2]}
     if len(node) == 3 and node[0] == "termis":  # isIRI/isLiteral/... leaf
@@ -1546,6 +1609,8 @@ def filter_expr_strfn_vars(node) -> set[str]:
         return {node[2]}
     if len(node) == 5 and node[0] == "valcmp":
         return {node[1]}  # value derivation reads the term text
+    if len(node) == 4 and node[0] == "strexprcmp":
+        return strexpr_vars(node[1])  # every referenced var needs a term
     if len(node) == 5 and node[0] == "termfn":
         return {node[2]}  # accessors read the term text too
     if len(node) == 3 and node[0] == "termis":
@@ -1580,6 +1645,8 @@ def filter_expr_streq_literals(node) -> set[str]:
         return set()
     if len(node) == 5 and node[0] == "valcmp":
         return set()  # the constant is a value, never a dictionary id
+    if len(node) == 4 and node[0] == "strexprcmp":
+        return set()  # compared against the computed string, not an id
     if len(node) == 5 and node[0] == "termfn":
         return set()  # LANG/DATATYPE values compare as strings, not ids
     if len(node) == 3 and node[0] in ("termis", "langmatches"):

@@ -172,6 +172,13 @@ def _term_cast(kind: str, idc: Column, t: Column) -> Column:
     NULL. `string` is not handled here (it is exactly STR, lowered as a
     termfn_expr)."""
     plain = t.isNotNull() & ~_is_ref(t) & ~_is_tagged(t) & ~_is_typed(t)
+    if kind == "strlen":
+        # STRLEN of the STR value: term-text length, or the decimal-form
+        # length of an integer literal; unbound → NULL
+        return F.when(
+            idc.isNotNull(),
+            F.length(F.coalesce(t, idc.cast("string"))),
+        ).cast("long")
     if kind in ("date", "dateTime"):
         typed = _term_temporal(t, "date" if kind == "date" else "dt")
         if kind == "date":
@@ -196,6 +203,68 @@ def _term_cast(kind: str, idc: Column, t: Column) -> Column:
         return F.coalesce(num.cast("long"), from_plain)
     from_plain = F.when(plain & t.rlike(_PLAIN_NUM_RE), t.cast("double"))
     return F.coalesce(num, from_plain)
+
+
+def _compile_strexpr(node, idcol, termcol) -> Column:
+    """String-manipulation expression AST (parser `_parse_str_expr`) →
+    Column. ``idcol(v)`` returns the variable's id column; ``termcol(v)``
+    its attached dictionary term column, or None when the variable is
+    ALREADY a string (a string-valued BIND target — its column is its
+    own STR value). All functions are JVM expressions (substring /
+    locate / regexp_replace / concat) and propagate NULL — SPARQL's
+    expression-error semantics."""
+    k = node[0]
+    if k == "slit":
+        return F.lit(node[1])
+    if k in ("sof", "svar"):
+        v = node[1]
+        tc = termcol(v)
+        if tc is None:
+            return idcol(v)
+        idc = idcol(v)
+        # STR(?x): term text; dictionary-absent id = integer literal
+        # whose STR is its decimal form
+        return F.when(
+            idc.isNotNull(), F.coalesce(tc, idc.cast("string"))
+        )
+    if k == "ucase":
+        return F.upper(_compile_strexpr(node[1], idcol, termcol))
+    if k == "lcase":
+        return F.lower(_compile_strexpr(node[1], idcol, termcol))
+    if k == "substr":
+        c = _compile_strexpr(node[1], idcol, termcol)
+        start, ln = node[2], node[3]
+        if ln is None:
+            return F.substring(c, F.lit(start), F.length(c))
+        return F.substring(c, F.lit(start), F.lit(ln))
+    if k in ("strbefore", "strafter"):
+        c, sep = _compile_strexpr(node[1], idcol, termcol), node[2]
+        if sep == "":
+            # §17.4.3.12-13 empty separator: "" before, the full
+            # string after (NULL input still NULL)
+            return (
+                F.when(c.isNotNull(), F.lit("")) if k == "strbefore" else c
+            )
+        p = F.locate(sep, c)
+        hit = (
+            F.substring(c, F.lit(1), p - 1)
+            if k == "strbefore"
+            else F.substring(c, p + len(sep), F.length(c))
+        )
+        # no match → "" (§17.4.3.12-13); NULL input → NULL
+        return F.when(p > 0, hit).otherwise(
+            F.when(c.isNotNull(), F.lit(""))
+        )
+    if k == "replace":
+        _, a, pat, rep, flags = node
+        return F.regexp_replace(
+            _compile_strexpr(a, idcol, termcol),
+            ("(?i)" if flags else "") + pat,
+            rep,
+        )
+    # concat: NULL if ANY argument is NULL — SPARQL error propagation,
+    # exactly Spark's concat
+    return F.concat(*[_compile_strexpr(a, idcol, termcol) for a in node[1]])
 
 
 def _termis_expr(kind: str, idc: Column, t: Column) -> Column:
@@ -339,6 +408,27 @@ def _compile_filter(
         return (
             (folded != F.lit(text)) if negated else (folded == F.lit(text))
         )
+    if len(node) == 4 and node[0] == "strexprcmp":
+        # string-expression comparison (r7): SUBSTR/STRBEFORE/STRAFTER/
+        # REPLACE/CONCAT/UCASE/LCASE chains against a string literal —
+        # compiled over the attached term columns, codepoint comparison
+        # (Spark binary string order = DuckDB default collation)
+        _, tree, op, text = node
+        missing = [
+            v
+            for v in strexpr_vars(tree)
+            if termmap is None or v not in termmap
+        ]
+        if missing:
+            raise SparqlSyntaxError(
+                "string functions are not supported in this FILTER context"
+            )
+        sc = _compile_strexpr(
+            tree,
+            lambda v: F.col(colmap[v]),
+            lambda v: F.col(termmap[v]),
+        )
+        return _OPS[op](sc, F.lit(text))
     if len(node) == 5 and node[0] == "valcmp":  # typed-VALUE comparison
         # ?d >= "2020-02-15"^^xsd:date / ?p > 19.5 (§17.3 operand
         # mapping): the variable's VALUE derives from the dictionary term
@@ -1796,60 +1886,17 @@ def _plan_group(
                 ).drop(f"__ssid{bi}")
                 tcols[v] = tcol
 
-            def s_compile(node):
-                k = node[0]
-                if k == "slit":
-                    return F.lit(node[1])
-                if k in ("sof", "svar"):
-                    v = node[1]
-                    if k == "svar" and v in string_targets:
-                        return F.col(bound_cols[v])
-                    idc, tc = F.col(bound_cols[v]), F.col(tcols[v])
-                    # STR(?x): term text; dictionary-absent id = integer
-                    # literal whose STR is its decimal form
-                    return F.when(
-                        idc.isNotNull(), F.coalesce(tc, idc.cast("string"))
-                    )
-                if k == "ucase":
-                    return F.upper(s_compile(node[1]))
-                if k == "lcase":
-                    return F.lower(s_compile(node[1]))
-                if k == "substr":
-                    c = s_compile(node[1])
-                    start, ln = node[2], node[3]
-                    if ln is None:
-                        return F.substring(c, F.lit(start), F.length(c))
-                    return F.substring(c, F.lit(start), F.lit(ln))
-                if k in ("strbefore", "strafter"):
-                    c, sep = s_compile(node[1]), node[2]
-                    if sep == "":
-                        # §17.4.3.12-13 empty separator: "" before, the
-                        # full string after (NULL input still NULL)
-                        return (
-                            F.when(c.isNotNull(), F.lit(""))
-                            if k == "strbefore"
-                            else c
-                        )
-                    p = F.locate(sep, c)
-                    hit = (
-                        F.substring(c, F.lit(1), p - 1)
-                        if k == "strbefore"
-                        else F.substring(c, p + len(sep), F.length(c))
-                    )
-                    # no match → "" (§17.4.3.12-13); NULL input → NULL
-                    return F.when(p > 0, hit).otherwise(
-                        F.when(c.isNotNull(), F.lit(""))
-                    )
-                if k == "replace":
-                    _, a, pat, rep, flags = node
-                    return F.regexp_replace(
-                        s_compile(a), ("(?i)" if flags else "") + pat, rep
-                    )
-                # concat: NULL if ANY argument is NULL — SPARQL error
-                # propagation, exactly Spark's concat
-                return F.concat(*[s_compile(a) for a in node[1]])
+            def _idc(v):
+                return F.col(bound_cols[v])
 
-            joined = joined.withColumn(cname, s_compile(bexpr[1]))
+            def _tc(v):
+                if v in string_targets:
+                    return None  # string target IS its own STR value
+                return F.col(tcols[v])
+
+            joined = joined.withColumn(
+                cname, _compile_strexpr(bexpr[1], _idc, _tc)
+            )
             if tcols:
                 joined = joined.drop(*tcols.values())
             bound_cols[bvar] = cname

@@ -633,3 +633,44 @@ def test_select_expression_accessors_and_casts(tstore, tdict):
         tdict,
     )
     assert [r.t for r in df2.collect()] == ['"chat"@en']
+
+
+def test_bind_strlen(tstore, tdict):
+    """BIND(STRLEN(STR(?x)) AS ?n) (r7): numeric term-text length,
+    usable downstream like any integer BIND target."""
+    df = sparql_to_df(
+        tstore,
+        "SELECT ?o ?n WHERE { ?s :label ?o . "
+        "BIND(STRLEN(STR(?o)) AS ?n) FILTER(?n > 8) }",
+        tdict,
+    )
+    got = sorted((r.o, r.n) for r in df.collect())
+    # '"chat"@en'=9, '"2024-01-01"^^:date'=19, '"hi"@en-us'=10
+    assert got == [(2, 9), (5, 19), (6, 10)]
+    # integer literal: STR is the decimal form, STRLEN counts digits
+    df2 = sparql_to_df(
+        tstore,
+        "SELECT (STRLEN(?o) AS ?n) WHERE { ?s :price ?o . "
+        "FILTER(?o = 43) }",
+        tdict,
+    )
+    assert [r.n for r in df2.collect()] == [2]
+
+
+def test_filter_string_expression_comparisons(tstore, tdict):
+    """String-expression comparisons in FILTER (r7): the §17.4.3 chains
+    compare against a literal — codepoint semantics, dictionary-side."""
+    assert _objs(
+        tstore, tdict, 'STRAFTER(STR(?o), "\\"@") = "en"'
+    ) == [2]
+    assert _objs(
+        tstore, tdict, 'CONCAT("<", STR(?o), ">") = "<hello>"'
+    ) == [4]
+    assert _objs(
+        tstore, tdict, 'UCASE(SUBSTR(STR(?o), 1, 1)) = "H"'
+    ) == [4]
+    # ordering comparison: codepoint (binary) order — only 'hello'
+    # starts ≥ 'a' (quoted/IRI/integer STR forms start '"', ':', digits)
+    assert _objs(
+        tstore, tdict, 'SUBSTR(STR(?o), 1, 1) >= "a"'
+    ) == [4]

@@ -56,6 +56,7 @@ def ngram_contamination(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """Per-document benchmark-overlap report.
 
@@ -75,8 +76,14 @@ def ngram_contamination(
         F.col(id_col),
         F.explode_outer(word_ngrams(F.col(text_col), n)).alias("ng"),
     )
+    # eval benchmarks are MBs by construction → broadcast; a HOLDOUT
+    # SPLIT of the corpus itself (leakage_safe_split) is a constant
+    # fraction of the data and must shuffle-hash-join instead
+    # (broadcast_benchmark=False) — the bench side is distinct per
+    # n-gram, so hot n-grams never multiply rows
+    bench_side = F.broadcast(bench_ng) if broadcast_benchmark else bench_ng
     counted = (
-        exploded.join(F.broadcast(bench_ng), "ng", "left")
+        exploded.join(bench_side, "ng", "left")
         .groupBy(id_col)
         .agg(
             F.count("ng").alias("n_ngrams"),

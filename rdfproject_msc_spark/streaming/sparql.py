@@ -99,11 +99,10 @@ def _pattern_stream(
                 f"stream-pattern FILTER may reference only the pattern's "
                 f"own variables {sorted(pat_vars)}, got {sorted(fvars)}"
             )
-        if filter_expr_strfn_vars(expr):
+        if filter_expr_strfn_vars(expr) and dictionary is None:
             raise SparqlSyntaxError(
-                "stream-pattern FILTERs are numeric/term-equality only "
-                "(string functions would join the dictionary per "
-                "micro-batch; filter the STATIC side instead)"
+                "stream-pattern string/value FILTERs need a dictionary "
+                "to resolve terms"
             )
     tp = bgp.where.patterns[0]
     terms = sorted(
@@ -158,8 +157,37 @@ def _pattern_stream(
                 )
             litids = dictionary.lookup_terms(streq)
         colmap = {v: v for v in var_order}
+        # string/value FILTER leaves (r7): attach the variable's
+        # dictionary term via a stream-STATIC broadcast left join —
+        # stateless per micro-batch (the static dictionary broadcast is
+        # reused across triggers), exactly the batch planner's strfn
+        # strategy applied to the delta
+        strvars = sorted(
+            {
+                v
+                for expr in grp.filters
+                for v in filter_expr_strfn_vars(expr)
+            }
+        )
+        termmap: dict[str, str] | None = None
+        if strvars:
+            termmap = {}
+            for i, v in enumerate(strvars):
+                d = (
+                    dictionary._dict_side()
+                    .withColumnRenamed("id", f"__fsid{i}")
+                    .withColumnRenamed("term", f"__fterm{i}")
+                )
+                sdf = sdf.join(
+                    F.broadcast(d),
+                    F.col(v) == F.col(f"__fsid{i}"),
+                    "left",
+                ).drop(f"__fsid{i}")
+                termmap[v] = f"__fterm{i}"
         for expr in grp.filters:
-            sdf = sdf.filter(_compile_filter(expr, colmap, None, litids))
+            sdf = sdf.filter(_compile_filter(expr, colmap, termmap, litids))
+        if termmap:
+            sdf = sdf.drop(*termmap.values())
     return sdf, var_order
 
 

@@ -619,17 +619,43 @@ def test_sparql_stream_delta_equals_batch(spark, sf_dir, tmp_path):
         map(tuple, wantf.collect())
     )
     # ...but only over the pattern's OWN variables (the root typo guard
-    # fires first for vars bound nowhere in the pattern), and no
-    # string fns
+    # fires first for vars bound nowhere in the pattern)
     with pytest.raises(SparqlSyntaxError, match="not in BGP"):
         sparql_stream_delta(
             stream, store, static_q,
             "?e :byUser ?c . FILTER(?n > 0)", dictionary=d,
         )
-    with pytest.raises(SparqlSyntaxError, match="numeric"):
+
+    # stream-side STRING-function FILTERs (r7): the variable's term
+    # attaches via a stream-static broadcast dictionary join, stateless
+    # per micro-batch — the filtered delta equals the filtered batch
+    outs = sparql_stream_delta(
+        spark.readStream.schema("s long, p long, o long").parquet(edges_dir),
+        store,
+        static_q,
+        '?e :byUser ?c . FILTER(REGEX(STR(?c), "customer_1[0-9]$"))',
+        dictionary=d,
+    )
+    gots = S.run_to_memory_table(
+        outs, spark, "sparql_delta_s", str(tmp_path / "cks"),
+        output_mode="append",
+    )
+    wants = sparql_to_df(
+        store,
+        "SELECT ?e ?c ?n WHERE { ?e :byUser ?c . ?c :inNation ?n . "
+        'FILTER(REGEX(STR(?c), "customer_1[0-9]$")) }',
+        d,
+    )
+    assert sorted(map(tuple, gots.select("e", "c", "n").collect())) == sorted(
+        map(tuple, wants.collect())
+    )
+    assert gots.count() > 0
+    # without a dictionary the string filter rejects, never silently
+    # passes everything
+    with pytest.raises(SparqlSyntaxError, match="need a dictionary"):
         sparql_stream_delta(
             stream, store, static_q,
-            '?e :byUser ?c . FILTER(REGEX(STR(?c), "x"))', dictionary=d,
+            '?e :byUser ?c . FILTER(REGEX(STR(?c), "x"))', dictionary=None,
         )
 
     # a shared variable the static query binds only OPTIONALLY (nullable)

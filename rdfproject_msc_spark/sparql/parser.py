@@ -231,7 +231,8 @@ _FROM_CLAUSE = re.compile(r"FROM\s+(?P<named>NAMED\s+)?(?P<src>\S+)", re.I)
 _PROJ_ITEM = re.compile(r"[?$]\w+|" + _PAREN4)
 _AGG_ITEM = re.compile(
     r"^\(\s*(?P<func>COUNT|SUM|AVG|MIN|MAX|SAMPLE|GROUP_CONCAT)\s*\(\s*"
-    r"(?P<distinct>DISTINCT\s+)?(?P<arg>\*|[^();]+?)\s*"
+    r"(?P<distinct>DISTINCT\s+)?"
+    r"(?P<arg>\*|STR\s*\(\s*[?$]\w+\s*\)|[^();]+?)\s*"
     r'(?:;\s*SEPARATOR\s*=\s*"(?P<sep>[^"]*)"\s*)?\)\s+'
     r"AS\s+[?$](?P<alias>\w+)\s*\)$",
     re.I,
@@ -2832,6 +2833,21 @@ def parse_sparql(
                 avar = None
             elif re.fullmatch(r"[?$]\w+", arg):
                 avar = arg[1:]
+            elif re.fullmatch(r"STR\s*\(\s*[?$]\w+\s*\)", arg, re.I):
+                # aggregate over the DECODED term text (r7):
+                # MIN/MAX/SAMPLE/GROUP_CONCAT get STRING semantics
+                # (codepoint order / lexical concatenation), COUNT
+                # counts solutions with a bound argument; arg slot =
+                # ('str', var) — the planner attaches the dictionary
+                # term before the partial aggregation
+                if func in ("sum", "avg"):
+                    raise SparqlSyntaxError(
+                        f"{func.upper()}(STR(...)) is not numeric"
+                    )
+                avar = (
+                    "str",
+                    re.search(r"[?$](\w+)", arg).group(1),
+                )
             else:
                 # aggregate over an EXPRESSION (§11.1 — `SUM(?a * ?b)`):
                 # the arithmetic computes per solution row BEFORE the
@@ -2919,7 +2935,12 @@ def parse_sparql(
                 f"{sorted(aliases & pattern_vars)}"
             )
     for _, avar, _, _, _ in aggregates:
-        if isinstance(avar, tuple):
+        if isinstance(avar, tuple) and avar[0] == "str":
+            if avar[1] not in pattern_vars:
+                raise SparqlSyntaxError(
+                    f"aggregate variable not in BGP: ?{avar[1]}"
+                )
+        elif isinstance(avar, tuple):
             bad = arith_expr_vars(avar[1]) - pattern_vars
             if bad:
                 raise SparqlSyntaxError(
@@ -3030,7 +3051,12 @@ def parse_sparql(
         a for a, _ in agg_exprs
     }
     for _, avar, _, _, _ in aggregates:  # re-check: lifting added entries
-        if isinstance(avar, tuple):
+        if isinstance(avar, tuple) and avar[0] == "str":
+            if avar[1] not in pattern_vars:
+                raise SparqlSyntaxError(
+                    f"aggregate variable not in BGP: ?{avar[1]}"
+                )
+        elif isinstance(avar, tuple):
             bad = arith_expr_vars(avar[1]) - pattern_vars
             if bad:
                 raise SparqlSyntaxError(

@@ -2683,6 +2683,31 @@ def _plan_grouped(
     card[...]), AVG to double; COUNT(*) counts solutions including ones
     where the counted variable is unbound."""
     keys = [F.col(bound_cols[v]).alias(v) for v in bgp.group_by]
+    # STR(?v) aggregate args (r7): attach each distinct variable's
+    # dictionary term with ONE broadcast left join BEFORE the partial
+    # aggregation — the aggregate then runs with string semantics
+    str_args = sorted(
+        {
+            var[1]
+            for _, var, _, _, _ in bgp.aggregates
+            if isinstance(var, tuple) and var[0] == "str"
+        }
+    )
+    strcols: dict[str, str] = {}
+    if str_args and dictionary is None:
+        raise SparqlSyntaxError(
+            "STR(...) aggregates need a dictionary to resolve terms"
+        )
+    for i, v in enumerate(str_args):
+        d = (
+            dictionary._dict_side()
+            .withColumnRenamed("id", f"__gsid{i}")
+            .withColumnRenamed("term", f"__gterm{i}")
+        )
+        joined = joined.join(
+            d, F.col(bound_cols[v]) == F.col(f"__gsid{i}"), "left"
+        ).drop(f"__gsid{i}")
+        strcols[v] = f"__gterm{i}"
     aggs = []
     for func, var, distinct, alias, sep in bgp.aggregates:
         if var is None:  # COUNT(*)
@@ -2691,11 +2716,19 @@ def _plan_grouped(
             # aggregate over an expression (§11.1): the arithmetic
             # computes per solution row inside the partial aggregation —
             # still one map-side-combined pass
-            col = (
-                _compile_arith(var[1], bound_cols)
-                if isinstance(var, tuple)
-                else F.col(bound_cols[var])
-            )
+            if isinstance(var, tuple) and var[0] == "str":
+                idc = F.col(bound_cols[var[1]])
+                tc = F.col(strcols[var[1]])
+                # STR value: term text; dictionary-absent id = integer
+                # literal in decimal form; unbound stays NULL (skipped
+                # by the null-skipping aggregates, per §11's card[...])
+                col = F.when(
+                    idc.isNotNull(), F.coalesce(tc, idc.cast("string"))
+                )
+            elif isinstance(var, tuple):
+                col = _compile_arith(var[1], bound_cols)
+            else:
+                col = F.col(bound_cols[var])
             if func == "count":
                 expr = F.count_distinct(col) if distinct else F.count(col)
             elif func == "sum":

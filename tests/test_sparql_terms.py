@@ -674,3 +674,54 @@ def test_filter_string_expression_comparisons(tstore, tdict):
     assert _objs(
         tstore, tdict, 'SUBSTR(STR(?o), 1, 1) >= "a"'
     ) == [4]
+
+
+def test_aggregates_over_str(tstore, tdict):
+    """Aggregates over the DECODED term (r7): GROUP_CONCAT/MIN/MAX/
+    SAMPLE get string semantics, COUNT counts bound solutions."""
+    df = sparql_to_df(
+        tstore,
+        "SELECT ?s (GROUP_CONCAT(STR(?o)) AS ?all) "
+        "(MIN(STR(?o)) AS ?lo) (MAX(STR(?o)) AS ?hi) "
+        "(COUNT(STR(?o)) AS ?n) WHERE { ?s :price ?o } GROUP BY ?s",
+        tdict,
+    )
+    r = df.collect()[0]
+    # STR values: '"19.5"^^:decimal', '"120.25"^^:double',
+    # '"2024-01-01T10:30:00"^^:dateTime', '43' — sorted codepoint order
+    assert r["lo"] == '"120.25"^^:double'
+    assert r["hi"] == "43"
+    assert r["n"] == 4
+    assert r["all"].split(" ")[0] == '"120.25"^^:double'
+    # numeric aggregates over STR reject
+    with pytest.raises(SparqlSyntaxError, match="not numeric"):
+        sparql_to_df(
+            tstore,
+            "SELECT (SUM(STR(?o)) AS ?x) WHERE { ?s :price ?o }",
+            tdict,
+        )
+
+
+def test_group_concat_str_matches_duckdb(spark, sf_dir):
+    """GROUP_CONCAT(STR(?lbl)) per nation vs DuckDB string_agg over the
+    decoded dictionary terms."""
+    from rdfproject_msc_spark.registry import _dict, _store
+    from rdfproject_msc_spark.sources.derived import (
+        DICTIONARY_SQL,
+        P_HAS_LABEL,
+        TRIPLES_SQL,
+    )
+    from tests.oracle import assert_matches_oracle
+
+    q = (
+        "SELECT ?x (GROUP_CONCAT(STR(?l)) AS ?labels) "
+        "WHERE { ?x :hasLabel ?l } GROUP BY ?x"
+    )
+    df = sparql_to_df(_store(spark, sf_dir), q, _dict(spark, sf_dir))
+    sql = f"""WITH triples AS ({TRIPLES_SQL}), dict AS ({DICTIONARY_SQL})
+SELECT t.s AS x, string_agg(d.term, ' ' ORDER BY d.term) AS labels
+FROM triples t JOIN dict d ON t.o = d.id
+WHERE t.p = {P_HAS_LABEL}
+GROUP BY t.s
+"""
+    assert_matches_oracle(df, sql, sf_dir)

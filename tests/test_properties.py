@@ -794,3 +794,121 @@ def test_dataset_clauses_match_python_eval(
         spo_graphs.setdefault((s, p, o), set()).add(g)
     if all(len(gs) == 1 for gs in spo_graphs.values()):
         assert run(True) == want
+
+
+# ---- typed-value comparison fuzz (r7) -------------------------------------
+
+_VAL_TERMS = st.lists(
+    st.tuples(
+        st.integers(100, 140),  # object id
+        st.one_of(
+            st.none(),  # dictionary-absent → integer literal
+            st.builds(
+                lambda x: f'"{x}"^^:decimal', st.integers(-40, 40)
+            ),
+            st.builds(
+                lambda x: f'"{x}.5"^^:double', st.integers(-40, 40)
+            ),
+            st.builds(
+                lambda d: f'"2020-01-{d:02d}"^^:date', st.integers(1, 28)
+            ),
+            st.just("plain text"),
+            st.just('"tag"@en'),
+            st.just(":iri_obj"),
+        ),
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(
+    terms=_VAL_TERMS,
+    op=st.sampled_from(["<", "<=", ">", ">=", "=", "!="]),
+    const=st.one_of(
+        st.integers(-30, 30).map(lambda x: ("num", float(x) + 0.5)),
+        st.integers(1, 28).map(lambda d: ("date", f"2020-01-{d:02d}")),
+    ),
+    negate=st.booleans(),
+)
+@settings(**SETTINGS)
+def test_value_comparison_matches_python_eval(
+    spark, terms, op, const, negate
+):
+    """FILTER(?o <op> typed-constant) vs a Python twin of the §17.3
+    operand mapping: integer literals compare as themselves, decimal/
+    double literals by lexical value, date literals by date; every other
+    kind is a type ERROR (dropped at BOTH polarities — !error stays
+    error)."""
+    import datetime
+
+    from rdfproject_msc_spark.dictionary import Dictionary
+    from rdfproject_msc_spark.sparql.planner import sparql_to_df
+    from rdfproject_msc_spark.store import TripleStore
+
+    kind, value = const
+    lit = (
+        str(value)
+        if kind == "num"
+        else f'"{value}"^^xsd:date'
+    )
+    flt = f"?o {op} {lit}"
+    if negate:
+        flt = f"!({flt})"
+    trips = [(1, 10, oid) for oid, _ in terms]
+    dict_rows = [(10, ":p")] + [
+        (oid, term) for oid, term in terms if term is not None
+    ]
+    store = TripleStore(
+        spark.createDataFrame(trips, "s long, p long, o long")
+    )
+    d = Dictionary(
+        spark.createDataFrame(dict_rows, "id long, term string")
+    )
+    got = sorted(
+        r.o
+        for r in sparql_to_df(
+            store,
+            f"SELECT ?o WHERE {{ ?s :p ?o . FILTER({flt}) }}",
+            d,
+        ).collect()
+    )
+
+    import re as _re
+
+    def pyval(term, oid):
+        if term is None:
+            return float(oid)
+        m = _re.fullmatch(r'"(-?\d+(?:\.\d+)?)"\^\^:(?:decimal|double)', term)
+        if m:
+            return float(m.group(1))
+        m = _re.fullmatch(r'"(\d{4}-\d{2}-\d{2})"\^\^:date', term)
+        if m:
+            return datetime.date.fromisoformat(m.group(1))
+        return None  # type error
+
+    cmpf = {
+        "<": lambda a, b: a < b,
+        "<=": lambda a, b: a <= b,
+        ">": lambda a, b: a > b,
+        ">=": lambda a, b: a >= b,
+        "=": lambda a, b: a == b,
+        "!=": lambda a, b: a != b,
+    }[op]
+    rhs = (
+        value
+        if kind == "num"
+        else datetime.date.fromisoformat(value)
+    )
+    want = []
+    for oid, term in terms:
+        v = pyval(term, oid)
+        if v is None or type(v) is not type(rhs) and not (
+            isinstance(v, float) and isinstance(rhs, float)
+        ):
+            continue  # type error at either polarity
+        r = cmpf(v, rhs)
+        if r != negate:
+            want.append(oid)
+    assert got == sorted(want)

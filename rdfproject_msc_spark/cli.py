@@ -100,6 +100,27 @@ def main(argv: list[str] | None = None) -> int:
     p_cur.add_argument("--embed-dim", type=int, default=64)
     p_cur.add_argument("--cpus", type=int, default=None)
 
+    p_split = sub.add_parser(
+        "split",
+        help="leakage-safe train/val/test split over a documents parquet "
+        "(md5 split, train docs overlapping the holdout quarantined)",
+    )
+    p_split.add_argument("--docs", required=True)
+    p_split.add_argument("--out", required=True)
+    p_split.add_argument("--ngram", type=int, default=5)
+    p_split.add_argument("--threshold", type=float, default=0.5)
+    p_split.add_argument("--cpus", type=int, default=None)
+
+    p_pdedup = sub.add_parser(
+        "dedup-passages",
+        help="corpus-wide exact passage dedup (repeated k-word spans "
+        "keep only the corpus-first occurrence)",
+    )
+    p_pdedup.add_argument("--docs", required=True)
+    p_pdedup.add_argument("--out", required=True)
+    p_pdedup.add_argument("--k", type=int, default=8, help="passage words")
+    p_pdedup.add_argument("--cpus", type=int, default=None)
+
     p_prep = sub.add_parser(
         "prepare",
         help="documents parquet -> packed training sequences "
@@ -204,6 +225,50 @@ def main(argv: list[str] | None = None) -> int:
         kept = spark.read.parquet(args.out).count()
         total = docs.count()
         print(f"curated {total} -> {kept} documents ({args.out})")
+        return 0
+
+    if args.command == "split":
+        from pyspark.sql import functions as F
+
+        from rdfproject_msc_spark.operators.leakage import leakage_safe_split
+
+        spark = _spark(args.cpus)
+        docs = spark.read.parquet(args.docs)
+        out = leakage_safe_split(
+            docs, n=args.ngram, threshold=args.threshold
+        )
+        out.write.mode("overwrite").partitionBy("split").parquet(args.out)
+        stats = {
+            r["split"]: r["n"]
+            for r in spark.read.parquet(args.out)
+            .groupBy("split")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        print(f"split sizes: {stats} ({args.out})")
+        return 0
+
+    if args.command == "dedup-passages":
+        from pyspark.sql import functions as F
+
+        from rdfproject_msc_spark.operators.passages import passage_dedup
+
+        spark = _spark(args.cpus)
+        docs = spark.read.parquet(args.docs)
+        out = passage_dedup(docs, k=args.k)
+        out.write.mode("overwrite").parquet(args.out)
+        agg = (
+            spark.read.parquet(args.out)
+            .agg(
+                F.sum("n_passages").alias("p"),
+                F.sum("n_dropped").alias("d"),
+            )
+            .collect()[0]
+        )
+        print(
+            f"passages: {agg['p']} total, {agg['d']} duplicates removed "
+            f"({args.out})"
+        )
         return 0
 
     if args.command == "prepare":

@@ -143,3 +143,40 @@ def test_engine_quads_lifecycle(engine, spark, tmp_path_factory, capsys):
     )
     assert rc == 0
     assert "e" in capsys.readouterr().out
+
+
+def test_cli_split_and_dedup_passages(spark, sf_dir, tmp_path_factory, capsys):
+    """The r7 pipeline subcommands end-to-end: leakage-safe split writes
+    a split-partitioned layout (the quarantine bucket present when the
+    synthetic corpus leaks), and passage dedup reports removed spans."""
+    from rdfproject_msc_spark.cli import main
+    from rdfproject_msc_spark.sources.tables import load_table
+
+    base = tmp_path_factory.mktemp("cli_r7")
+    docs_path = str(base / "docs")
+    load_table(spark, sf_dir, "documents").write.parquet(docs_path)
+
+    out_split = str(base / "split")
+    rc = main(["split", "--docs", docs_path, "--out", out_split])
+    assert rc == 0
+    assert "split sizes" in capsys.readouterr().out
+    splits = {
+        r["split"]
+        for r in spark.read.parquet(out_split).select("split").distinct().collect()
+    }
+    assert {"train", "val", "test"} <= splits
+
+    out_pd = str(base / "pd")
+    rc = main(
+        ["dedup-passages", "--docs", docs_path, "--out", out_pd, "--k", "3"]
+    )
+    assert rc == 0
+    assert "duplicates removed" in capsys.readouterr().out
+    import pyspark.sql.functions as F
+
+    dropped = (
+        spark.read.parquet(out_pd)
+        .agg(F.sum("n_dropped").alias("d"))
+        .collect()[0]["d"]
+    )
+    assert dropped > 0

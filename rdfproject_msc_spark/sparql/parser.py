@@ -776,8 +776,12 @@ def _classify_filter_literal(tok: str, src: str):
 _MIRROR_OP = {"=": "=", "!=": "!=", "<": ">", "<=": ">=", ">": "<", ">=": "<="}
 
 _STR_EXPR_FNS = (
-    "substr", "strbefore", "strafter", "replace", "concat", "ucase", "lcase"
+    "substr", "strbefore", "strafter", "replace", "concat", "ucase", "lcase",
+    "md5", "sha1", "sha256", "sha384", "sha512",
 )
+# §17.4.4.10-14 hash functions: unary, lowercase-hex, deterministic —
+# cross-engine exact (DuckDB md5()/sha256() match)
+_HASH_FNS = ("md5", "sha1", "sha256", "sha384", "sha512")
 
 
 def _parse_bind_body(body_expr: str):
@@ -818,7 +822,8 @@ def _parse_bind_body(body_expr: str):
         # length as a numeric target — rides the cast lowering
         return ("cast_expr", "strlen", (lm.group(1) or lm.group(2))[1:])
     if re.match(
-        r"\s*(?:SUBSTR|STRBEFORE|STRAFTER|REPLACE|CONCAT|UCASE|LCASE)\s*\(",
+        r"\s*(?:SUBSTR|STRBEFORE|STRAFTER|REPLACE|CONCAT|UCASE|LCASE"
+        r"|MD5|SHA1|SHA256|SHA384|SHA512)\s*\(",
         body_expr,
         re.I,
     ):
@@ -906,6 +911,11 @@ def _parse_str_expr(src: str):
             a = sexpr()
             take(")")
             return (up, a)
+        if up in _HASH_FNS and peek() == "(":
+            take("(")
+            a = sexpr()
+            take(")")
+            return ("hash", up, a)
         if up == "substr" and peek() == "(":
             take("(")
             a = sexpr()
@@ -973,6 +983,8 @@ def strexpr_vars(node) -> set[str]:
         return {node[1]}
     if k == "concat":
         return set().union(*(strexpr_vars(a) for a in node[1]))
+    if k == "hash":
+        return strexpr_vars(node[2])
     return strexpr_vars(node[1])  # unary wrappers / first operand
 
 

@@ -262,6 +262,15 @@ def _compile_strexpr(node, idcol, termcol) -> Column:
             ("(?i)" if flags else "") + pat,
             rep,
         )
+    if k == "hash":
+        # §17.4.4.10-14: lowercase hex digest of the UTF-8 string
+        _, fn, a = node
+        c = _compile_strexpr(a, idcol, termcol)
+        if fn == "md5":
+            return F.md5(c.cast("binary"))
+        if fn == "sha1":
+            return F.sha1(c.cast("binary"))
+        return F.sha2(c.cast("binary"), int(fn[3:]))
     # concat: NULL if ANY argument is NULL — SPARQL error propagation,
     # exactly Spark's concat
     return F.concat(*[_compile_strexpr(a, idcol, termcol) for a in node[1]])

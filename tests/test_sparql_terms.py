@@ -725,3 +725,47 @@ WHERE t.p = {P_HAS_LABEL}
 GROUP BY t.s
 """
     assert_matches_oracle(df, sql, sf_dir)
+
+
+def test_hash_functions(tstore, tdict):
+    """MD5/SHA1/SHA256/... (§17.4.4, r7) in BIND and FILTER — lowercase
+    hex over the STR value, cross-checked against hashlib."""
+    import hashlib
+
+    df = sparql_to_df(
+        tstore,
+        "SELECT ?o (MD5(STR(?o)) AS ?h) (SHA256(STR(?o)) AS ?h2) "
+        "WHERE { ?s :label ?o . FILTER(isLiteral(?o) && LANG(?o) = \"\") }",
+        tdict,
+    )
+    got = {r.o: (r.h, r.h2) for r in df.collect()}
+    for oid, text in ((4, "hello"), (42, "42")):
+        assert got[oid] == (
+            hashlib.md5(text.encode()).hexdigest(),
+            hashlib.sha256(text.encode()).hexdigest(),
+        )
+    # usable as a FILTER comparison leaf
+    h = hashlib.md5(b"hello").hexdigest()
+    assert _objs(tstore, tdict, f'MD5(STR(?o)) = "{h}"') == [4]
+
+
+def test_hash_matches_duckdb(spark, sf_dir):
+    from rdfproject_msc_spark.registry import _dict, _store
+    from rdfproject_msc_spark.sources.derived import (
+        DICTIONARY_SQL,
+        P_HAS_LABEL,
+        TRIPLES_SQL,
+    )
+    from tests.oracle import assert_matches_oracle
+
+    q = (
+        "SELECT ?x (MD5(STR(?l)) AS ?h) WHERE { ?x :hasLabel ?l . "
+        'FILTER(LANGMATCHES(LANG(?l), "en")) }'
+    )
+    df = sparql_to_df(_store(spark, sf_dir), q, _dict(spark, sf_dir))
+    sql = f"""WITH triples AS ({TRIPLES_SQL}), dict AS ({DICTIONARY_SQL})
+SELECT t.s AS x, md5(d.term) AS h
+FROM triples t JOIN dict d ON t.o = d.id
+WHERE t.p = {P_HAS_LABEL} AND regexp_matches(d.term, '"@en(-[a-z0-9]+)*$')
+"""
+    assert_matches_oracle(df, sql, sf_dir)

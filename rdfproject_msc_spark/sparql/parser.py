@@ -1401,6 +1401,67 @@ def _parse_filter_expr(src: str):
                 )
             return ("strlen", v, op, int(num))
         if (
+            re.fullmatch(
+                r"xsd:(integer|decimal|double|float|date|dateTime)",
+                lhs,
+                re.I,
+            )
+            and peek() == "("
+        ):
+            # explicit-cast comparison (§17.5 operand, r7):
+            # xsd:T([STR(]?x[)]) <op> constant — the cast VALUE compared
+            # against a matching-family constant
+            kind = _XSD_CAST_KINDS[lhs.split(":", 1)[1].lower()]
+            take("(")
+            v = take()
+            if v.lower() == "str" and peek() == "(":
+                take("(")
+                v = take()
+                take(")")
+            if not v.startswith(("?", "$")):
+                raise SparqlSyntaxError(
+                    f"bad FILTER expression {src!r}: {lhs}() takes a "
+                    f"variable (optionally STR(?var)), got {v!r}"
+                )
+            take(")")
+            op = take()
+            if op not in _CMP_OPS:
+                raise SparqlSyntaxError(
+                    f"bad FILTER expression {src!r}: cast comparison "
+                    f"needs an operator, got {op!r}"
+                )
+            lit = take()
+            if _DEC_RE.fullmatch(lit):
+                rk, rv = "num", float(lit)
+            elif re.fullmatch(r"-?\d+", lit):
+                rk, rv = "num", float(lit)
+            elif lit.startswith('"'):
+                k2, v2 = _classify_filter_literal(lit, src)
+                if k2 == "int":
+                    rk, rv = "num", float(v2)
+                elif k2 == "vnum":
+                    rk, rv = "num", v2
+                elif k2 in ("vdate", "vdt"):
+                    rk, rv = k2[1:], v2
+                else:
+                    raise SparqlSyntaxError(
+                        f"bad FILTER expression {src!r}: cast comparison "
+                        f"constant must be numeric or date-typed"
+                    )
+            else:
+                raise SparqlSyntaxError(
+                    f"bad FILTER expression {src!r}: cast comparison "
+                    f"constant must be a number or typed literal, got "
+                    f"{lit!r}"
+                )
+            want_rk = {"date": "date", "dateTime": "dt"}.get(kind, "num")
+            if rk != want_rk:
+                raise SparqlSyntaxError(
+                    f"bad FILTER expression {src!r}: xsd:{kind} cast "
+                    f"compared against a non-{kind} constant"
+                )
+            return ("castcmp", kind, v[1:], op, rk, rv)
+        if (
             lhs.lower() in _STR_EXPR_FNS
             and peek() == "("
             and not (
@@ -1592,6 +1653,8 @@ def filter_expr_vars(node) -> set[str]:
         return {node[1]}
     if len(node) == 4 and node[0] == "strexprcmp":  # string-expression cmp
         return strexpr_vars(node[1])
+    if len(node) == 6 and node[0] == "castcmp":  # explicit-cast comparison
+        return {node[2]}
     if len(node) == 5 and node[0] == "termfn":  # LANG/DATATYPE leaf
         return {node[2]}
     if len(node) == 3 and node[0] == "termis":  # isIRI/isLiteral/... leaf
@@ -1624,6 +1687,8 @@ def filter_expr_strfn_vars(node) -> set[str]:
         return {node[1]}  # value derivation reads the term text
     if len(node) == 4 and node[0] == "strexprcmp":
         return strexpr_vars(node[1])  # every referenced var needs a term
+    if len(node) == 6 and node[0] == "castcmp":
+        return {node[2]}  # the cast reads the term text
     if len(node) == 5 and node[0] == "termfn":
         return {node[2]}  # accessors read the term text too
     if len(node) == 3 and node[0] == "termis":
@@ -1660,6 +1725,8 @@ def filter_expr_streq_literals(node) -> set[str]:
         return set()  # the constant is a value, never a dictionary id
     if len(node) == 4 and node[0] == "strexprcmp":
         return set()  # compared against the computed string, not an id
+    if len(node) == 6 and node[0] == "castcmp":
+        return set()  # the constant is a value, never a dictionary id
     if len(node) == 5 and node[0] == "termfn":
         return set()  # LANG/DATATYPE values compare as strings, not ids
     if len(node) == 3 and node[0] in ("termis", "langmatches"):

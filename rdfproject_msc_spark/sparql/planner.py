@@ -438,6 +438,19 @@ def _compile_filter(
             lambda v: F.col(termmap[v]),
         )
         return _OPS[op](sc, F.lit(text))
+    if len(node) == 6 and node[0] == "castcmp":  # explicit-cast cmp (r7)
+        _, kind, var, op, rk, rv = node
+        if termmap is None or var not in termmap:
+            raise SparqlSyntaxError(
+                "cast comparisons are not supported in this FILTER context"
+            )
+        val = _term_cast(kind, F.col(colmap[var]), F.col(termmap[var]))
+        rhs = (
+            F.lit(rv)
+            if rk == "num"
+            else (F.to_date(F.lit(rv)) if rk == "date" else F.to_timestamp(F.lit(rv)))
+        )
+        return _OPS[op](val, rhs)
     if len(node) == 5 and node[0] == "valcmp":  # typed-VALUE comparison
         # ?d >= "2020-02-15"^^xsd:date / ?p > 19.5 (§17.3 operand
         # mapping): the variable's VALUE derives from the dictionary term

@@ -269,10 +269,15 @@ def test_parse_rich_filter_accessors():
         'SELECT ?x WHERE { ?x :p ?y . FILTER(LANGMATCHES(LANG(?y), "*")) }'
     )
     assert bgp.filters == (("langmatches", "y", "*"),)
-    # casts remain rejected
-    with pytest.raises(SparqlSyntaxError):
+    # explicit casts parse to the castcmp leaf since r7
+    bgp = parse_sparql(
+        "SELECT ?x WHERE { ?x :p ?y . FILTER(xsd:integer(?y) > 2) }"
+    )
+    assert bgp.filters == (("castcmp", "integer", "y", ">", "num", 2.0),)
+    # family mismatches still reject
+    with pytest.raises(SparqlSyntaxError, match="non-date"):
         parse_sparql(
-            "SELECT ?x WHERE { ?x :p ?y . FILTER(xsd:integer(?y) > 2) }"
+            "SELECT ?x WHERE { ?x :p ?y . FILTER(xsd:date(?y) > 2) }"
         )
 
 

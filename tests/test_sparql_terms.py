@@ -769,3 +769,24 @@ FROM triples t JOIN dict d ON t.o = d.id
 WHERE t.p = {P_HAS_LABEL} AND regexp_matches(d.term, '"@en(-[a-z0-9]+)*$')
 """
     assert_matches_oracle(df, sql, sf_dir)
+
+
+def test_explicit_cast_filter_comparisons(tstore, tdict):
+    """xsd:T(?x) as a FILTER comparison operand (r7): the cast VALUE
+    compares against a matching-family constant — so plain-lexical and
+    integer-literal values participate (unlike the direct-var valcmp,
+    where non-typed kinds are errors)."""
+    # :price objects: 19.5(dec), 120.25(dbl), dateTime, 43(int literal)
+    assert _prices(tstore, tdict, "xsd:double(?o) > 20.0") == [8, 43]
+    # decimal→integer truncates toward zero: 19.5 → 19
+    assert _prices(tstore, tdict, "xsd:integer(?o) = 19") == [7]
+    assert _prices(tstore, tdict, "xsd:integer(STR(?o)) >= 43") == [8, 43]
+    assert _prices(
+        tstore, tdict,
+        'xsd:dateTime(?o) >= "2024-01-01T00:00:00"^^xsd:dateTime',
+    ) == [9]
+    # :label: the PLAIN literal 'hello' has no numeric lexical (NULL),
+    # the integer literal 42 casts to itself
+    assert _objs(tstore, tdict, "xsd:double(?o) > 0.0") == [42]
+    with pytest.raises(SparqlSyntaxError, match="non-date"):
+        _prices(tstore, tdict, 'xsd:date(?o) > 5.0')

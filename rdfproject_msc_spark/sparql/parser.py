@@ -812,6 +812,10 @@ def _parse_bind_body(body_expr: str):
             if kind == "string"
             else ("cast_expr", kind, src_v)
         )
+    sl = re.fullmatch(r'\s*"(?:[^"\\]|\\.)*"\s*', body_expr)
+    if sl:
+        # BIND("literal" AS ?v): a constant string column (r7)
+        return ("strexpr", ("slit", _unescape(body_expr.strip()[1:-1])))
     lm = re.fullmatch(
         r"\s*STRLEN\s*\(\s*(?:STR\s*\(\s*([?$]\w+)\s*\)|([?$]\w+))\s*\)\s*",
         body_expr,

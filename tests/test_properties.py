@@ -912,3 +912,111 @@ def test_value_comparison_matches_python_eval(
         if r != negate:
             want.append(oid)
     assert got == sorted(want)
+
+
+# ---- string-expression fuzz (r7) ------------------------------------------
+
+_SEXPR = st.deferred(
+    lambda: st.one_of(
+        st.just(("sof", "o")),
+        st.sampled_from([("slit", "ab x"), ("slit", "zz"), ("slit", "")]),
+        st.tuples(st.sampled_from(["ucase", "lcase"]), _SEXPR),
+        st.tuples(
+            st.just("substr"), _SEXPR, st.integers(1, 6),
+            st.one_of(st.none(), st.integers(0, 5)),
+        ),
+        st.tuples(
+            st.sampled_from(["strbefore", "strafter"]), _SEXPR,
+            st.sampled_from(["a", "x", "", '"', "@"]),
+        ),
+        st.tuples(
+            st.just("concat"),
+            st.lists(_SEXPR, min_size=1, max_size=3).map(tuple),
+        ),
+    )
+)
+
+
+def _render_sexpr(node) -> str:
+    k = node[0]
+    if k == "slit":
+        return '"' + node[1].replace('"', '\\"') + '"'
+    if k == "sof":
+        return f"STR(?{node[1]})"
+    if k in ("ucase", "lcase"):
+        return f"{k.upper()}({_render_sexpr(node[1])})"
+    if k == "substr":
+        _, a, start, ln = node
+        inner = _render_sexpr(a)
+        return (
+            f"SUBSTR({inner}, {start})"
+            if ln is None
+            else f"SUBSTR({inner}, {start}, {ln})"
+        )
+    if k in ("strbefore", "strafter"):
+        sep = node[2].replace('"', '\\"')
+        return f'{k.upper()}({_render_sexpr(node[1])}, "{sep}")'
+    return "CONCAT(" + ", ".join(_render_sexpr(a) for a in node[1]) + ")"
+
+
+def _eval_sexpr(node, sval: str) -> str:
+    k = node[0]
+    if k == "slit":
+        return node[1]
+    if k == "sof":
+        return sval
+    if k == "ucase":
+        return _eval_sexpr(node[1], sval).upper()
+    if k == "lcase":
+        return _eval_sexpr(node[1], sval).lower()
+    if k == "substr":
+        _, a, start, ln = node
+        s = _eval_sexpr(a, sval)
+        return s[start - 1 :] if ln is None else s[start - 1 : start - 1 + ln]
+    if k in ("strbefore", "strafter"):
+        s, sep = _eval_sexpr(node[1], sval), node[2]
+        if sep == "":
+            return "" if k == "strbefore" else s
+        i = s.find(sep)
+        if i < 0:
+            return ""
+        return s[:i] if k == "strbefore" else s[i + len(sep):]
+    return "".join(_eval_sexpr(a, sval) for a in node[1])
+
+
+@given(expr=_SEXPR)
+@settings(**SETTINGS)
+def test_string_expression_bind_matches_python_eval(spark, expr):
+    """Random §17.4.3 string-expression trees in BIND evaluate exactly
+    like a direct Python implementation of the spec rules (1-based
+    SUBSTR, ''/full-string empty-separator cases, no-match → '')."""
+    from rdfproject_msc_spark.dictionary import Dictionary
+    from rdfproject_msc_spark.sparql.planner import sparql_to_df
+    from rdfproject_msc_spark.store import TripleStore
+
+    terms = {
+        2: '"chat"@en',
+        3: "Hello xyz a",
+        5: None,  # integer literal: STR = '5'
+    }
+    store = TripleStore(
+        spark.createDataFrame(
+            [(1, 10, o) for o in terms], "s long, p long, o long"
+        )
+    )
+    d = Dictionary(
+        spark.createDataFrame(
+            [(10, ":p")] + [(o, t) for o, t in terms.items() if t],
+            "id long, term string",
+        )
+    )
+    q = (
+        "SELECT ?o ?t WHERE { ?s :p ?o . "
+        f"BIND({_render_sexpr(expr)} AS ?t) }}"
+    )
+    got = {r.o: r.t for r in sparql_to_df(store, q, d).collect()}
+    for oid in terms:
+        sval = terms[oid] if terms[oid] is not None else str(oid)
+        assert got[oid] == _eval_sexpr(expr, sval), (
+            _render_sexpr(expr), oid, sval
+        )

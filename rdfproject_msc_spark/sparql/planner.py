@@ -145,11 +145,15 @@ def _term_temporal(t: Column, kind: str) -> Column:
     """Date / dateTime VALUE of a term; non-matching kinds → NULL (type
     ERROR). The lexical forms carry no timezone (parser-enforced), so the
     cast is session-timezone-stable on both engines."""
+    # try_cast, not to_date/to_timestamp: the lexical regex checks SHAPE
+    # only — "2020-13-45" passes it, and under ANSI an invalid date
+    # would THROW mid-query instead of being the SPARQL type error
+    # (NULL) it must be
     if kind == "date":
         lex = F.regexp_extract(t, _DATE_LEX_RE, 1)
-        return F.when(lex != F.lit(""), F.to_date(lex))
+        return F.when(lex != F.lit(""), lex.try_cast("date"))
     lex = F.regexp_extract(t, _DT_LEX_RE, 1)
-    return F.when(lex != F.lit(""), F.to_timestamp(lex))
+    return F.when(lex != F.lit(""), lex.try_cast("timestamp"))
 
 
 # plain-literal lexical forms castable to numeric / date (§17.5 string
@@ -197,11 +201,15 @@ def _term_cast(kind: str, idc: Column, t: Column) -> Column:
     # decimal→integer truncates toward zero — the double→long cast)
     num = _term_numeric(idc, t)
     if kind == "integer":
+        # try_cast: a 30-digit lexical passes the shape regex but
+        # overflows long — ANSI would throw; the cast ERROR is NULL
         from_plain = F.when(
-            plain & t.rlike(_PLAIN_INT_RE), t.cast("long")
+            plain & t.rlike(_PLAIN_INT_RE), t.try_cast("long")
         )
-        return F.coalesce(num.cast("long"), from_plain)
-    from_plain = F.when(plain & t.rlike(_PLAIN_NUM_RE), t.cast("double"))
+        return F.coalesce(num.try_cast("long"), from_plain)
+    from_plain = F.when(
+        plain & t.rlike(_PLAIN_NUM_RE), t.try_cast("double")
+    )
     return F.coalesce(num, from_plain)
 
 

@@ -790,3 +790,43 @@ def test_explicit_cast_filter_comparisons(tstore, tdict):
     assert _objs(tstore, tdict, "xsd:double(?o) > 0.0") == [42]
     with pytest.raises(SparqlSyntaxError, match="non-date"):
         _prices(tstore, tdict, 'xsd:date(?o) > 5.0')
+
+
+def test_pathological_lexicals_are_errors_not_crashes(spark):
+    """Shape-valid but semantically-invalid lexicals ("2020-13-45" date,
+    long-overflow integers, overflow doubles) must be SPARQL type
+    errors (NULL → drop / unbound), never ANSI runtime exceptions."""
+    st_ = TripleStore(
+        spark.createDataFrame(
+            [(1, 10, 21), (1, 10, 22), (1, 10, 23)],
+            "s long, p long, o long",
+        )
+    )
+    d = Dictionary(
+        spark.createDataFrame(
+            [
+                (10, ":p"),
+                (21, '"2020-13-45"^^:date'),
+                (22, "9" * 30),          # plain literal, overflows long
+                (23, '"1.5"^^:decimal'),
+            ],
+            "id long, term string",
+        )
+    )
+    out = sparql_to_df(
+        st_,
+        'SELECT ?o WHERE { ?s :p ?o . '
+        'FILTER(?o >= "2020-01-01"^^xsd:date) }',
+        d,
+    )
+    assert out.collect() == []  # invalid date = error, no crash
+    binds = sparql_to_df(
+        st_,
+        "SELECT ?o ?n ?dt WHERE { ?s :p ?o . "
+        "BIND(xsd:integer(?o) AS ?n) BIND(xsd:date(?o) AS ?dt) }",
+        d,
+    )
+    got = {r.o: (r.n, r.dt) for r in binds.collect()}
+    assert got[21] == (None, None)
+    assert got[22] == (None, None)  # overflow → cast error → unbound
+    assert got[23] == (1, None)

@@ -830,3 +830,15 @@ def test_pathological_lexicals_are_errors_not_crashes(spark):
     assert got[21] == (None, None)
     assert got[22] == (None, None)  # overflow → cast error → unbound
     assert got[23] == (1, None)
+
+
+def test_value_cmp_full_iri_datatype(tstore, tdict):
+    """Typed constants with full-IRI datatypes localize like every IRI:
+    "…"^^<http://www.w3.org/2001/XMLSchema#date> ≡ xsd:date."""
+    labs = sparql_to_df(
+        tstore,
+        'SELECT ?o WHERE { ?s :label ?o . FILTER(?o >= '
+        '"2024-01-01"^^<http://www.w3.org/2001/XMLSchema#date>) }',
+        tdict,
+    )
+    assert sorted(r.o for r in labs.collect()) == [5]

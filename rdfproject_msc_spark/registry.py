@@ -1687,6 +1687,56 @@ def text_tokens(spark, sf_dir):
     )
 
 
+def passage_dedup_docs(spark, sf_dir):
+    """Corpus-wide exact passage dedup (operators/passages.py, r7):
+    repeated 3-word spans keep only the corpus-first occurrence — the
+    span-level complement of document dedup (Lee et al. 2022). The
+    corpus-first choice is a min-struct AGGREGATE (map-side combine),
+    deliberately not a window: a passage duplicated across millions of
+    documents is the hot key that would serialize a window partition at
+    100 TB. The small-vocabulary synthetic corpus repeats thousands of
+    3-grams, so the drop count is load-bearing (pinned non-zero in
+    tests/test_passages.py)."""
+    from rdfproject_msc_spark.operators.passages import passage_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return passage_dedup(docs, k=3)
+
+
+PASSAGE_DEDUP_SQL = """
+WITH words AS (
+    SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+idxed AS (
+    SELECT doc_id, ws,
+           unnest(range(CAST(ceil(len(ws) / 3.0) AS BIGINT))) AS i
+    FROM words
+),
+chunks AS (
+    SELECT doc_id, CAST(i AS INT) AS idx,
+           array_to_string(
+               ws[(CAST(i AS INT)*3+1):(CAST(i AS INT)*3+3)], ' '
+           ) AS passage
+    FROM idxed
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY passage ORDER BY doc_id, idx
+    ) AS rn
+    FROM chunks
+)
+SELECT doc_id,
+       coalesce(
+           string_agg(passage, ' ' ORDER BY idx) FILTER (WHERE rn = 1),
+           ''
+       ) AS text,
+       count(*) AS n_passages,
+       count(*) FILTER (WHERE rn > 1) AS n_dropped
+FROM ranked
+GROUP BY doc_id
+"""
+
+
 TEXT_TOKENS_SQL = rf"""
 SELECT doc_id,
        CASE WHEN trim(text) = '' THEN 0
@@ -2406,7 +2456,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_minhash": QuerySpec(dedup_minhash, DEDUP_MINHASH_SQL, headline=True),
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL, headline=True),
     "cosine_neardup": QuerySpec(cosine_neardup, COSINE_NEARDUP_SQL),
-    "text_tokens": QuerySpec(text_tokens, TEXT_TOKENS_SQL, headline=True),
+    # text_tokens demoted r7 (slot → passage_dedup; its family twin
+    # text_stats keeps a driver row) — still oracle-checked in
+    # tests/test_demoted.py
+    "passage_dedup": QuerySpec(
+        passage_dedup_docs, PASSAGE_DEDUP_SQL, headline=True
+    ),
     "corpus_curate": QuerySpec(corpus_curate, CORPUS_CURATE_SQL, headline=True),
     "corpus_split": QuerySpec(corpus_split, CORPUS_SPLIT_SQL),
     "doc_pack": QuerySpec(doc_pack, DOC_PACK_SQL),

@@ -198,3 +198,12 @@ def test_customers_setops_matches_oracle(spark, sf_dir):
     assert_matches_oracle(
         R.customers_setops(spark, sf_dir), R.CUSTOMERS_SETOPS_SQL, sf_dir
     )
+
+
+def test_text_tokens_matches_oracle(spark, sf_dir):
+    """Demoted r7 (slot → passage_dedup; family twin text_stats keeps a
+    driver row): whitespace + BPE-ish token counting, exact DuckDB
+    oracle."""
+    assert_matches_oracle(
+        R.text_tokens(spark, sf_dir), R.TEXT_TOKENS_SQL, sf_dir
+    )

@@ -11,40 +11,7 @@ from rdfproject_msc_spark.operators.passages import passage_dedup
 from rdfproject_msc_spark.sources.tables import load_table
 from tests.oracle import assert_matches_oracle, duck_connect
 
-# DuckDB twin: 1-based list slicing, row_number window (fine at oracle
-# scale; the operator itself deliberately uses an aggregate instead)
-PASSAGE_DEDUP_SQL = """
-WITH words AS (
-    SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-),
-idxed AS (
-    SELECT doc_id, ws,
-           unnest(range(CAST(ceil(len(ws) / 3.0) AS BIGINT))) AS i
-    FROM words
-),
-chunks AS (
-    SELECT doc_id, CAST(i AS INT) AS idx,
-           array_to_string(
-               ws[(CAST(i AS INT)*3+1):(CAST(i AS INT)*3+3)], ' '
-           ) AS passage
-    FROM idxed
-),
-ranked AS (
-    SELECT *, row_number() OVER (
-        PARTITION BY passage ORDER BY doc_id, idx
-    ) AS rn
-    FROM chunks
-)
-SELECT doc_id,
-       coalesce(
-           string_agg(passage, ' ' ORDER BY idx) FILTER (WHERE rn = 1),
-           ''
-       ) AS text,
-       count(*) AS n_passages,
-       count(*) FILTER (WHERE rn > 1) AS n_dropped
-FROM ranked
-GROUP BY doc_id
-"""
+from rdfproject_msc_spark.registry import PASSAGE_DEDUP_SQL
 
 
 def test_passage_dedup_tiny(spark):

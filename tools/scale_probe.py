@@ -65,6 +65,7 @@ FAMILY = [
     "text_ngram_top",
     "docs_quota_sample",
     "sparql_value_cmp",
+    "passage_dedup",
 ]
 
 TABLES = [

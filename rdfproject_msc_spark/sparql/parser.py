@@ -832,6 +832,14 @@ def _parse_bind_body(body_expr: str):
         re.I,
     ):
         return ("strexpr", _parse_str_expr(body_expr))
+    if re.match(r"\s*COALESCE\s*\(", body_expr, re.I):
+        # COALESCE is shared between the numeric grammar
+        # (COALESCE(?a, 0)) and the string grammar
+        # (COALESCE(STR(?x), "none")) — numeric first, string fallback
+        try:
+            return _parse_arith_expr(body_expr)
+        except SparqlSyntaxError:
+            return ("strexpr", _parse_str_expr(body_expr))
     return _parse_arith_expr(body_expr)
 
 
@@ -957,14 +965,16 @@ def _parse_str_expr(src: str):
                 flags = "i"
             take(")")
             return ("replace", a, pat, rep, flags)
-        if up == "concat" and peek() == "(":
+        if up in ("concat", "coalesce") and peek() == "(":
             take("(")
             args = [sexpr()]
             while peek() == ",":
                 take()
                 args.append(sexpr())
             take(")")
-            return ("concat", tuple(args))
+            # string COALESCE (§17.4.1.3 over string expressions): the
+            # post-OPTIONAL fallback idiom COALESCE(STR(?x), "none")
+            return ("concat" if up == "concat" else "scoalesce", tuple(args))
         raise SparqlSyntaxError(
             f"bad string expression {src!r}: expected a string function, "
             f"STR(?x), a variable, or a string literal, got {t!r}"
@@ -985,7 +995,7 @@ def strexpr_vars(node) -> set[str]:
         return set()
     if k in ("sof", "svar"):
         return {node[1]}
-    if k == "concat":
+    if k in ("concat", "scoalesce"):
         return set().union(*(strexpr_vars(a) for a in node[1]))
     if k == "hash":
         return strexpr_vars(node[2])

@@ -279,6 +279,11 @@ def _compile_strexpr(node, idcol, termcol) -> Column:
         if fn == "sha1":
             return F.sha1(c.cast("binary"))
         return F.sha2(c.cast("binary"), int(fn[3:]))
+    if k == "scoalesce":
+        # string COALESCE (§17.4.1.3): first non-error (non-NULL) value
+        return F.coalesce(
+            *[_compile_strexpr(a, idcol, termcol) for a in node[1]]
+        )
     # concat: NULL if ANY argument is NULL — SPARQL error propagation,
     # exactly Spark's concat
     return F.concat(*[_compile_strexpr(a, idcol, termcol) for a in node[1]])

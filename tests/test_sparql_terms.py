@@ -842,3 +842,29 @@ def test_value_cmp_full_iri_datatype(tstore, tdict):
         tdict,
     )
     assert sorted(r.o for r in labs.collect()) == [5]
+
+
+def test_string_coalesce_bind(tstore, tdict):
+    """COALESCE over string expressions (§17.4.1.3, r7): the
+    post-OPTIONAL fallback idiom — first non-error value wins; the
+    numeric COALESCE grammar is untouched."""
+    df = sparql_to_df(
+        tstore,
+        "SELECT ?s ?t WHERE { ?s :label 42 . "
+        "OPTIONAL { ?s :missing ?m } "
+        'BIND(COALESCE(STR(?m), "none") AS ?t) }',
+        Dictionary(
+            tdict.df.sparkSession.createDataFrame(
+                DICT + [(99, ":missing")], "id long, term string"
+            )
+        ),
+    )
+    assert [(r.s, r.t) for r in df.collect()] == [(1, "none")]
+    # numeric COALESCE still parses as arithmetic
+    df2 = sparql_to_df(
+        tstore,
+        "SELECT ?o ?n WHERE { ?s :price ?o . "
+        "BIND(COALESCE(?o, 0) AS ?n) }",
+        tdict,
+    )
+    assert all(r.o == r.n for r in df2.collect())

@@ -832,10 +832,11 @@ def _parse_bind_body(body_expr: str):
         re.I,
     ):
         return ("strexpr", _parse_str_expr(body_expr))
-    if re.match(r"\s*COALESCE\s*\(", body_expr, re.I):
-        # COALESCE is shared between the numeric grammar
-        # (COALESCE(?a, 0)) and the string grammar
-        # (COALESCE(STR(?x), "none")) — numeric first, string fallback
+    if re.match(r"\s*(?:COALESCE|IF)\s*\(", body_expr, re.I):
+        # COALESCE and IF are shared between the numeric grammar
+        # (COALESCE(?a, 0), IF(?a > 1, 2, 3)) and the string grammar
+        # (COALESCE(STR(?x), "none"), IF(?a > 1, "hi", "lo")) —
+        # numeric first, string fallback
         try:
             return _parse_arith_expr(body_expr)
         except SparqlSyntaxError:
@@ -965,6 +966,38 @@ def _parse_str_expr(src: str):
                 flags = "i"
             take(")")
             return ("replace", a, pat, rep, flags)
+        if up == "if" and peek() == "(":
+            # string IF (§17.4.1.2 over string branches): the condition
+            # is the FILTER grammar's numeric/BOUND subset (string
+            # leaves inside the condition reject at compile — they would
+            # need their own term attachment)
+            nonlocal pos
+            take("(")
+            depth = 0
+            cond_toks = []
+            while pos < len(toks):
+                t2 = toks[pos]
+                if t2 == "(":
+                    depth += 1
+                elif t2 == ")":
+                    if depth == 0:
+                        break
+                    depth -= 1
+                elif t2 == "," and depth == 0:
+                    break
+                cond_toks.append(t2)
+                pos += 1
+            if not cond_toks:
+                raise SparqlSyntaxError(
+                    f"bad string expression {src!r}: empty IF condition"
+                )
+            cond = _parse_filter_expr(" ".join(cond_toks))
+            take(",")
+            a = sexpr()
+            take(",")
+            b = sexpr()
+            take(")")
+            return ("sif", cond, a, b)
         if up in ("concat", "coalesce") and peek() == "(":
             take("(")
             args = [sexpr()]
@@ -997,6 +1030,12 @@ def strexpr_vars(node) -> set[str]:
         return {node[1]}
     if k in ("concat", "scoalesce"):
         return set().union(*(strexpr_vars(a) for a in node[1]))
+    if k == "sif":
+        return (
+            filter_expr_vars(node[1])
+            | strexpr_vars(node[2])
+            | strexpr_vars(node[3])
+        )
     if k == "hash":
         return strexpr_vars(node[2])
     return strexpr_vars(node[1])  # unary wrappers / first operand

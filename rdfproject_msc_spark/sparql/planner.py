@@ -213,7 +213,7 @@ def _term_cast(kind: str, idc: Column, t: Column) -> Column:
     return F.coalesce(num, from_plain)
 
 
-def _compile_strexpr(node, idcol, termcol) -> Column:
+def _compile_strexpr(node, idcol, termcol, colmap=None) -> Column:
     """String-manipulation expression AST (parser `_parse_str_expr`) →
     Column. ``idcol(v)`` returns the variable's id column; ``termcol(v)``
     its attached dictionary term column, or None when the variable is
@@ -236,17 +236,17 @@ def _compile_strexpr(node, idcol, termcol) -> Column:
             idc.isNotNull(), F.coalesce(tc, idc.cast("string"))
         )
     if k == "ucase":
-        return F.upper(_compile_strexpr(node[1], idcol, termcol))
+        return F.upper(_compile_strexpr(node[1], idcol, termcol, colmap))
     if k == "lcase":
-        return F.lower(_compile_strexpr(node[1], idcol, termcol))
+        return F.lower(_compile_strexpr(node[1], idcol, termcol, colmap))
     if k == "substr":
-        c = _compile_strexpr(node[1], idcol, termcol)
+        c = _compile_strexpr(node[1], idcol, termcol, colmap)
         start, ln = node[2], node[3]
         if ln is None:
             return F.substring(c, F.lit(start), F.length(c))
         return F.substring(c, F.lit(start), F.lit(ln))
     if k in ("strbefore", "strafter"):
-        c, sep = _compile_strexpr(node[1], idcol, termcol), node[2]
+        c, sep = _compile_strexpr(node[1], idcol, termcol, colmap), node[2]
         if sep == "":
             # §17.4.3.12-13 empty separator: "" before, the full
             # string after (NULL input still NULL)
@@ -266,14 +266,14 @@ def _compile_strexpr(node, idcol, termcol) -> Column:
     if k == "replace":
         _, a, pat, rep, flags = node
         return F.regexp_replace(
-            _compile_strexpr(a, idcol, termcol),
+            _compile_strexpr(a, idcol, termcol, colmap),
             ("(?i)" if flags else "") + pat,
             rep,
         )
     if k == "hash":
         # §17.4.4.10-14: lowercase hex digest of the UTF-8 string
         _, fn, a = node
-        c = _compile_strexpr(a, idcol, termcol)
+        c = _compile_strexpr(a, idcol, termcol, colmap)
         if fn == "md5":
             return F.md5(c.cast("binary"))
         if fn == "sha1":
@@ -282,11 +282,24 @@ def _compile_strexpr(node, idcol, termcol) -> Column:
     if k == "scoalesce":
         # string COALESCE (§17.4.1.3): first non-error (non-NULL) value
         return F.coalesce(
-            *[_compile_strexpr(a, idcol, termcol) for a in node[1]]
+            *[_compile_strexpr(a, idcol, termcol, colmap) for a in node[1]]
         )
+    if k == "sif":
+        # string IF (§17.4.1.2): guarded two-branch when with NO
+        # otherwise — an ERROR condition errors the whole IF (NULL)
+        if colmap is None:
+            raise SparqlSyntaxError(
+                "IF conditions are not supported in this string context"
+            )
+        cond = _compile_filter(node[1], colmap, None, None)
+        return F.when(
+            cond, _compile_strexpr(node[2], idcol, termcol, colmap)
+        ).when(~cond, _compile_strexpr(node[3], idcol, termcol, colmap))
     # concat: NULL if ANY argument is NULL — SPARQL error propagation,
     # exactly Spark's concat
-    return F.concat(*[_compile_strexpr(a, idcol, termcol) for a in node[1]])
+    return F.concat(
+        *[_compile_strexpr(a, idcol, termcol, colmap) for a in node[1]]
+    )
 
 
 def _termis_expr(kind: str, idc: Column, t: Column) -> Column:
@@ -449,6 +462,7 @@ def _compile_filter(
             tree,
             lambda v: F.col(colmap[v]),
             lambda v: F.col(termmap[v]),
+            colmap,
         )
         return _OPS[op](sc, F.lit(text))
     if len(node) == 6 and node[0] == "castcmp":  # explicit-cast cmp (r7)
@@ -1930,7 +1944,7 @@ def _plan_group(
                 return F.col(tcols[v])
 
             joined = joined.withColumn(
-                cname, _compile_strexpr(bexpr[1], _idc, _tc)
+                cname, _compile_strexpr(bexpr[1], _idc, _tc, bound_cols)
             )
             if tcols:
                 joined = joined.drop(*tcols.values())

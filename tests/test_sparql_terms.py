@@ -868,3 +868,35 @@ def test_string_coalesce_bind(tstore, tdict):
         tdict,
     )
     assert all(r.o == r.n for r in df2.collect())
+
+
+def test_string_if_bind(tstore, tdict):
+    """String IF (§17.4.1.2, r7): numeric/BOUND condition, string
+    branches; an ERROR condition errors the IF (unbound target)."""
+    df = sparql_to_df(
+        tstore,
+        "SELECT ?o ?t WHERE { ?s :price ?o . "
+        'BIND(IF(?o > 20, "big", CONCAT("small:", STR(?o))) AS ?t) }',
+        tdict,
+    )
+    got = {r.o: r.t for r in df.collect()}
+    assert got[43] == "big"
+    assert got[7] == 'small:"19.5"^^:decimal'
+    # unbound condition var → error → unbound target
+    df2 = sparql_to_df(
+        tstore,
+        "SELECT ?s ?t WHERE { ?s :label 42 . "
+        "OPTIONAL { ?s :price ?m . FILTER(?m > 10000.0) } "
+        'BIND(IF(?m > 0, "y", "n") AS ?t) }',
+        tdict,
+    )
+    assert [(r.s, r.t) for r in df2.collect()] == [(1, None)]
+    # numeric IF still parses as arithmetic
+    df3 = sparql_to_df(
+        tstore,
+        "SELECT ?o ?n WHERE { ?s :price ?o . "
+        "BIND(IF(?o > 20, 1, 0) AS ?n) }",
+        tdict,
+    )
+    got3 = {r.o: r.n for r in df3.collect()}
+    assert got3[43] == 1 and got3[7] == 0

@@ -812,6 +812,17 @@ def _parse_bind_body(body_expr: str):
             if kind == "string"
             else ("cast_expr", kind, src_v)
         )
+    am = re.fullmatch(
+        r"\s*(YEAR|MONTH|DAY|HOURS|MINUTES|SECONDS|FLOOR|CEIL|ROUND)"
+        r"\s*\(\s*([?$]\w+)\s*\)\s*",
+        body_expr,
+        re.I,
+    )
+    if am:
+        # §17.4.5 date/time component accessors and §17.4.4 numeric
+        # rounders (r7): typed-VALUE computations over the term text —
+        # they ride the cast lowering (planner `_term_cast`)
+        return ("cast_expr", am.group(1).lower(), am.group(2)[1:])
     sl = re.fullmatch(r'\s*"(?:[^"\\]|\\.)*"\s*', body_expr)
     if sl:
         # BIND("literal" AS ?v): a constant string column (r7)
@@ -1453,6 +1464,53 @@ def _parse_filter_expr(src: str):
                     f"against an integer, got {num!r}"
                 )
             return ("strlen", v, op, int(num))
+        if (
+            lhs.lower()
+            in (
+                "year", "month", "day", "hours", "minutes", "seconds",
+                "floor", "ceil", "round",
+            )
+            and peek() == "("
+        ):
+            # date/time accessor / numeric-rounder comparison (r7):
+            # YEAR(?d) >= 2020, FLOOR(?p) = 19 — a typed-VALUE
+            # computation vs a numeric constant, riding the castcmp
+            # lowering (the kind names a `_term_cast` derivation)
+            kind = lhs.lower()
+            take("(")
+            v = take()
+            if not v.startswith(("?", "$")):
+                raise SparqlSyntaxError(
+                    f"bad FILTER expression {src!r}: {lhs.upper()}() "
+                    f"takes a variable, got {v!r}"
+                )
+            take(")")
+            op = take()
+            if op not in _CMP_OPS:
+                raise SparqlSyntaxError(
+                    f"bad FILTER expression {src!r}: {lhs.upper()} "
+                    f"comparison needs an operator, got {op!r}"
+                )
+            lit = take()
+            if _DEC_RE.fullmatch(lit) or re.fullmatch(r"-?\d+", lit):
+                rv = float(lit)
+            elif lit.startswith('"'):
+                k2, v2 = _classify_filter_literal(lit, src)
+                if k2 == "int":
+                    rv = float(v2)
+                elif k2 == "vnum":
+                    rv = v2
+                else:
+                    raise SparqlSyntaxError(
+                        f"bad FILTER expression {src!r}: {lhs.upper()} "
+                        f"compares against a numeric constant"
+                    )
+            else:
+                raise SparqlSyntaxError(
+                    f"bad FILTER expression {src!r}: {lhs.upper()} "
+                    f"compares against a numeric constant, got {lit!r}"
+                )
+            return ("castcmp", kind, v[1:], op, "num", rv)
         if (
             re.fullmatch(
                 r"xsd:(integer|decimal|double|float|date|dateTime)",
@@ -3257,8 +3315,9 @@ def parse_sparql(
         dir_open = re.compile(r"(ASC|DESC)\s*\(", re.I)
         str_open = re.compile(r"STR\s*\(", re.I)
         cast_open = re.compile(
-            r"xsd:(integer|decimal|double|float|date|dateTime)\s*"
-            r"\(\s*[?$](\w+)\s*\)",
+            r"(?:xsd:(integer|decimal|double|float|date|dateTime)"
+            r"|(YEAR|MONTH|DAY|HOURS|MINUTES|SECONDS|FLOOR|CEIL|ROUND))"
+            r"\s*\(\s*[?$](\w+)\s*\)",
             re.I,
         )
         var_key = re.compile(r"[?$](\w+)")
@@ -3274,17 +3333,16 @@ def parse_sparql(
                 cast_open.match(mods, pos) if not (mdir or mstr) else None
             )
             if mcast:
-                # bare xsd:T(?x) key (r7): sort by the CAST VALUE of the
-                # term — numeric/date ordering over typed literals
+                # bare xsd:T(?x) / YEAR(?x)-family key (r7): sort by the
+                # CAST/accessor VALUE of the term — numeric/date ordering
+                # over typed literals
+                kind = (
+                    _XSD_CAST_KINDS[mcast.group(1).lower()]
+                    if mcast.group(1)
+                    else mcast.group(2).lower()
+                )
                 order_by.append(
-                    (
-                        (
-                            "cast",
-                            _XSD_CAST_KINDS[mcast.group(1).lower()],
-                            mcast.group(2),
-                        ),
-                        False,
-                    )
+                    (("cast", kind, mcast.group(3)), False)
                 )
                 pos = mcast.end()
                 consumed_end = pos
@@ -3328,14 +3386,14 @@ def parse_sparql(
                 # [ASC|DESC](STR(?x)): term-ordered sort key (r6)
                 order_by.append((("str", sm.group(1)), desc))
             elif cm:
-                # [ASC|DESC](xsd:T(?x)): cast-VALUE sort key (r7)
-                order_by.append(
-                    (
-                        ("cast", _XSD_CAST_KINDS[cm.group(1).lower()],
-                         cm.group(2)),
-                        desc,
-                    )
+                # [ASC|DESC](xsd:T(?x) / YEAR(?x)-family): cast/accessor
+                # VALUE sort key (r7)
+                kind = (
+                    _XSD_CAST_KINDS[cm.group(1).lower()]
+                    if cm.group(1)
+                    else cm.group(2).lower()
                 )
+                order_by.append((("cast", kind, cm.group(3)), desc))
             elif re.fullmatch(r"[?$]\w+", txt):
                 order_by.append((txt[1:], desc))
             else:

@@ -174,8 +174,46 @@ def _term_cast(kind: str, idc: Column, t: Column) -> Column:
     date/dateTime typed literals. Every other (kind, target) pair is a
     cast ERROR → NULL → the BIND target is unbound / the sort key is
     NULL. `string` is not handled here (it is exactly STR, lowered as a
-    termfn_expr)."""
+    termfn_expr). Also hosts the §17.4.5 date/time component accessors
+    (YEAR/MONTH/DAY over date OR dateTime, HOURS/MINUTES/SECONDS over
+    dateTime) and the §17.4.4 numeric rounders (FLOOR/CEIL/ROUND over
+    the numeric VALUE) — they share the cast lowering because each is a
+    typed-VALUE-of-the-term-text computation with ERROR → NULL."""
     plain = t.isNotNull() & ~_is_ref(t) & ~_is_tagged(t) & ~_is_typed(t)
+    if kind in ("year", "month", "day"):
+        # valid on BOTH xsd:date and xsd:dateTime typed literals (the
+        # try_cast inside _term_temporal rejects shape-valid nonsense
+        # like "2020-13-45"); every other kind is a type ERROR
+        fn = {"year": F.year, "month": F.month, "day": F.dayofmonth}[kind]
+        return F.coalesce(
+            fn(_term_temporal(t, "date")), fn(_term_temporal(t, "dt"))
+        ).cast("long")
+    if kind in ("hours", "minutes"):
+        fn = F.hour if kind == "hours" else F.minute
+        return fn(_term_temporal(t, "dt")).cast("long")
+    if kind == "seconds":
+        # §17.4.5.6 returns xsd:decimal INCLUDING the fraction — extract
+        # the seconds field from the lexical (F.second truncates), but
+        # only for calendar-VALID timestamps (the try_cast guard)
+        lex = F.regexp_extract(
+            t, r'^"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:(\d{2}(?:\.\d+)?)"\^\^:dateTime$', 1
+        )
+        return F.when(
+            _term_temporal(t, "dt").isNotNull() & (lex != F.lit("")),
+            lex.cast("double"),
+        )
+    if kind in ("floor", "ceil", "round"):
+        # §17.4.4.1-3 over the numeric VALUE (integer literal = the id,
+        # decimal/double/float = the typed lexical; plain literals are
+        # NOT numeric → type ERROR, unlike the xsd:double cast).
+        # ROUND ties go toward +INF per spec — floor(x + 0.5), NOT
+        # Spark's HALF_UP (which sends -2.5 to -3; spec wants -2)
+        v = _term_numeric(idc, t)
+        if kind == "floor":
+            return F.floor(v).cast("double")
+        if kind == "ceil":
+            return F.ceil(v).cast("double")
+        return F.floor(v + F.lit(0.5)).cast("double")
     if kind == "strlen":
         # STRLEN of the STR value: term-text length, or the decimal-form
         # length of an integer literal; unbound → NULL

@@ -33,6 +33,13 @@ TRIPLES = [(1, 10, 2), (1, 10, 3), (1, 10, 4), (1, 10, 5), (1, 10, 42),
 # double literals, 9 a dateTime literal, 43 dictionary-absent (integer
 # literal 43 — numeric value 43.0)
 TRIPLES += [(1, 11, 7), (1, 11, 8), (1, 11, 9), (1, 11, 43)]
+# :when (13) objects for the §17.4.5 date/time accessors (r7): valid
+# date 5 and dateTime 9 (shared ids), a second date 14, a SHAPE-valid but
+# calendar-INVALID date 12 (accessor → error), and integer literal 43
+# (not temporal → error). :delta (16) objects for FLOOR/CEIL/ROUND tie
+# and fraction cases.
+TRIPLES += [(2, 13, 5), (2, 13, 12), (2, 13, 14), (2, 13, 9), (2, 13, 43)]
+TRIPLES += [(2, 16, 15), (2, 16, 17), (2, 16, 18)]
 DICT = [
     (1, ":alice"),
     (2, '"chat"@en'),
@@ -45,6 +52,13 @@ DICT = [
     (8, '"120.25"^^:double'),
     (9, '"2024-01-01T10:30:00"^^:dateTime'),
     (11, ":price"),
+    (12, '"2024-13-99"^^:date'),
+    (13, ":when"),
+    (14, '"2023-06-15"^^:date'),
+    (15, '"-2.5"^^:decimal'),
+    (16, ":delta"),
+    (17, '"2.5"^^:decimal'),
+    (18, '"2024-01-01T23:59:59.75"^^:dateTime'),
 ]
 
 
@@ -900,3 +914,102 @@ def test_string_if_bind(tstore, tdict):
     )
     got3 = {r.o: r.n for r in df3.collect()}
     assert got3[43] == 1 and got3[7] == 0
+
+
+def test_datetime_accessor_filters(tstore, tdict):
+    """§17.4.5 YEAR/MONTH/DAY/HOURS/MINUTES/SECONDS comparisons (r7):
+    valid on date AND dateTime typed literals; calendar-invalid lexicals
+    and non-temporal kinds ERROR → drop at both polarities."""
+    def when_objs(flt):
+        df = sparql_to_df(
+            tstore,
+            f"SELECT ?d WHERE {{ ?s :when ?d . FILTER({flt}) }}",
+            tdict,
+        )
+        return sorted(r.d for r in df.collect())
+
+    # 5="2024-01-01"^^:date, 9="2024-01-01T10:30:00"^^:dateTime,
+    # 14="2023-06-15"^^:date; 12 is "2024-13-99"^^:date (invalid), 43 an
+    # integer literal — both ERROR out under every polarity
+    assert when_objs("YEAR(?d) = 2024") == [5, 9]
+    assert when_objs("YEAR(?d) != 2024") == [14]
+    assert when_objs("YEAR(?d) >= 2024") == [5, 9]
+    assert when_objs("MONTH(?d) = 6") == [14]
+    assert when_objs("DAY(?d) <= 1") == [5, 9]
+    # HOURS/MINUTES/SECONDS are dateTime-only — dates ERROR too
+    assert when_objs("HOURS(?d) = 10") == [9]
+    assert when_objs("MINUTES(?d) = 30") == [9]
+    assert when_objs("SECONDS(?d) = 0") == [9]
+
+
+def test_datetime_accessor_binds(tstore, tdict):
+    """BIND(YEAR(?d) AS ?y): numeric VALUE column; error → unbound."""
+    df = sparql_to_df(
+        tstore,
+        "SELECT ?d ?y ?m WHERE { ?s :when ?d . "
+        "BIND(YEAR(?d) AS ?y) BIND(MONTH(?d) AS ?m) }",
+        tdict,
+    )
+    got = {r.d: (r.y, r.m) for r in df.collect()}
+    assert got[5] == (2024, 1)
+    assert got[9] == (2024, 1)
+    assert got[14] == (2023, 6)
+    assert got[12] == (None, None)  # calendar-invalid lexical
+    assert got[43] == (None, None)  # integer literal: not temporal
+
+
+def test_seconds_fraction(tstore, tdict):
+    """SECONDS returns xsd:decimal INCLUDING the fraction (§17.4.5.6)."""
+    df = sparql_to_df(
+        tstore,
+        "SELECT ?d ?sec WHERE { ?s :delta ?d . BIND(SECONDS(?d) AS ?sec) }",
+        tdict,
+    )
+    got = {r.d: r.sec for r in df.collect()}
+    assert got[18] == 59.75
+    assert got[15] is None and got[17] is None  # decimals: not temporal
+
+
+def test_floor_ceil_round(tstore, tdict):
+    """§17.4.4.1-3 over the numeric VALUE; ROUND ties toward +INF
+    (round(-2.5) = -2, round(2.5) = 3 — NOT half-away-from-zero)."""
+    df = sparql_to_df(
+        tstore,
+        "SELECT ?p ?f ?c ?r WHERE { ?s :price ?p . "
+        "BIND(FLOOR(?p) AS ?f) BIND(CEIL(?p) AS ?c) "
+        "BIND(ROUND(?p) AS ?r) }",
+        tdict,
+    )
+    got = {r.p: (r.f, r.c, r.r) for r in df.collect()}
+    assert got[7] == (19.0, 20.0, 20.0)     # "19.5"^^:decimal
+    assert got[8] == (120.0, 121.0, 120.0)  # "120.25"^^:double
+    assert got[43] == (43.0, 43.0, 43.0)    # integer literal
+    assert got[9] == (None, None, None)     # dateTime: not numeric
+    # spec tie-break: toward positive infinity
+    df2 = sparql_to_df(
+        tstore,
+        "SELECT ?p ?r WHERE { ?s :delta ?p . BIND(ROUND(?p) AS ?r) }",
+        tdict,
+    )
+    got2 = {r.p: r.r for r in df2.collect()}
+    assert got2[15] == -2.0 and got2[17] == 3.0
+    # FILTER form rides castcmp
+    df3 = sparql_to_df(
+        tstore,
+        "SELECT ?p WHERE { ?s :price ?p . FILTER(FLOOR(?p) = 19) }",
+        tdict,
+    )
+    assert [r.p for r in df3.collect()] == [7]
+
+
+def test_accessor_order_by(tstore, tdict):
+    """ORDER BY YEAR(?d) / DESC(DAY(?d)): accessor-VALUE sort keys;
+    errors sort as NULL (first ASC, per Spark nulls-first default)."""
+    df = sparql_to_df(
+        tstore,
+        "SELECT ?d WHERE { ?s :when ?d } ORDER BY YEAR(?d) ?d",
+        tdict,
+    )
+    order = [r.d for r in df.collect()]
+    # NULL-key rows (12, 43) first, then 2023's 14, then 2024's 5, 9
+    assert order == [12, 43, 14, 5, 9]

@@ -51,11 +51,10 @@ with outer prefixes in scope, and composite property paths with
 closures inside sequences/alternations (`p1/p2*`, `(p1|p2)+`) parse
 into path ASTs via `_parse_path_expr`.
 Out of scope, rejected explicitly: inverse/sequence members inside
-negated sets, nested-group BIND expressions referencing outer
-variables (groups plan standalone; nested-group FILTERs referencing
-outer variables ARE accepted and evaluate the unbound reference per
-§18.2.2.2 — error → filter-false) and string functions inside
-HAVING (grouped output is numeric). Multi-variable VALUES rows support
+negated sets and string functions inside HAVING (grouped output is
+numeric). Nested-group FILTERs and BINDs referencing outer variables
+ARE accepted and evaluate the unbound reference per §18.2.2.2 —
+FILTER: error → filter-false; BIND: error → target unbound (r7). Multi-variable VALUES rows support
 UNDEF wildcards and (since r7) NON-disjoint rows: pairwise-disjoint
 blocks compile to the cheap OR-of-ANDs row filter, unifiable rows take
 the broadcast-relation JOIN lowering that produces the spec's multiset
@@ -838,7 +837,8 @@ def _parse_bind_body(body_expr: str):
         return ("cast_expr", "strlen", (lm.group(1) or lm.group(2))[1:])
     if re.match(
         r"\s*(?:SUBSTR|STRBEFORE|STRAFTER|REPLACE|CONCAT|UCASE|LCASE"
-        r"|MD5|SHA1|SHA256|SHA384|SHA512)\s*\(",
+        r"|MD5|SHA1|SHA256|SHA384|SHA512"
+        r"|ENCODE_FOR_URI|STRLANG|STRDT|IRI|URI)\s*\(",
         body_expr,
         re.I,
     ):
@@ -940,6 +940,49 @@ def _parse_str_expr(src: str):
             a = sexpr()
             take(")")
             return ("hash", up, a)
+        if up == "encode_for_uri" and peek() == "(":
+            # §17.4.3.11: percent-encode everything outside the RFC 3986
+            # unreserved set, uppercase hex
+            take("(")
+            a = sexpr()
+            take(")")
+            return ("encuri", a)
+        if up == "strlang" and peek() == "(":
+            # §17.4.2.8: construct a language-tagged literal TERM — the
+            # result is the engine's canonical term text '"lex"@tag'
+            # (lowercase tag, the dictionary convention), so it compares
+            # and joins against stored terms
+            take("(")
+            a = sexpr()
+            take(",")
+            tag = str_lit("STRLANG language tag")
+            take(")")
+            if not re.fullmatch(r"[A-Za-z]+(?:-[A-Za-z0-9]+)*", tag):
+                raise SparqlSyntaxError(
+                    f"bad string expression {src!r}: STRLANG tag must be "
+                    f"a BCP-47 shape, got {tag!r}"
+                )
+            return ("strlang", a, tag.lower())
+        if up == "strdt" and peek() == "(":
+            # §17.4.2.9: construct a typed literal TERM — canonical text
+            # '"lex"^^:localdt' with the datatype localized exactly like
+            # every constant IRI (shared _localize_datatype)
+            take("(")
+            a = sexpr()
+            take(",")
+            dt = take()
+            take(")")
+            return ("strdt", a, _localize_datatype(dt))
+        if up in ("iri", "uri") and peek() == "(":
+            # §17.4.2.6: construct an IRI TERM from the string value,
+            # localized per the engine's IRI normalization (last
+            # '/'-segment, leading ':'), mirroring how every constant
+            # IRI in a query normalizes — the result matches dictionary
+            # terms (reference normalization MyOpVisitorBase.java:74-78)
+            take("(")
+            a = sexpr()
+            take(")")
+            return ("iri", a)
         if up == "substr" and peek() == "(":
             take("(")
             a = sexpr()
@@ -1355,6 +1398,28 @@ def _parse_filter_expr(src: str):
                 )
             take(")")
             return ("bound", v[1:])
+        if lhs.lower() == "sameterm" and peek() == "(":
+            # sameTerm(?a, ?b) (§17.4.1.8): term identity IS id equality
+            # in the dictionary-encoded model (one id per distinct
+            # term), so it lowers to the plain equality leaf — unbound →
+            # error → filter-false, same as `=`; !sameTerm via the
+            # `not` unary. Constant operands: use a pattern constant
+            # instead (the planner's constant-encoding path) — rejected
+            # here to keep FILTER compilation dictionary-free.
+            take("(")
+            a = take()
+            take(",")
+            b = take()
+            take(")")
+            if not (
+                a.startswith(("?", "$")) and b.startswith(("?", "$"))
+            ):
+                raise SparqlSyntaxError(
+                    f"bad FILTER expression {src!r}: sameTerm takes two "
+                    f"variables (for a constant, put the term in the "
+                    f"pattern), got {a!r}, {b!r}"
+                )
+            return (a[1:], "=", ("var", b[1:]))
 
         def _take_var_arg(fname: str) -> str:
             take("(")
@@ -2756,7 +2821,14 @@ def _validate_group_tree(
     bind_scope = g.all_vars() | set(inherited)
     for bvar, bexpr in g.binds:
         unknown = arith_expr_vars(bexpr) - bind_scope
-        if unknown:
+        if unknown and not nested:
+            # ROOT group: a variable in no pattern is a typo. A NESTED
+            # group's BIND MAY reference variables the group cannot bind
+            # — §18.2.2.2 evaluates the group bottom-up, so the
+            # reference is unbound when the BIND runs: expression →
+            # error → target unbound (r7, mirroring the nested-group
+            # FILTER rule; the planner compiles the reference as a NULL
+            # column)
             raise SparqlSyntaxError(
                 f"BIND expression variables not in scope: "
                 f"{['?' + v for v in sorted(unknown)]}"
@@ -2823,7 +2895,7 @@ def _validate_group_tree(
                         f"OPTIONAL FILTER variable not in the group or the "
                         f"required patterns: ?{v}"
                     )
-        _validate_group_tree(opt, None, inherited)
+        _validate_group_tree(opt, None, inherited, nested=True)
         opt_scope |= opt.all_vars()
     # MINUS/EXISTS plan after every OPTIONAL, so optional-bound vars are
     # legitimate (compat-joined) keys; a group sharing NOTHING with the
@@ -2835,13 +2907,13 @@ def _validate_group_tree(
             raise SparqlSyntaxError(
                 "MINUS group shares no variable with the required patterns"
             )
-        _validate_group_tree(grp, grp.all_vars(), inherited)
+        _validate_group_tree(grp, grp.all_vars(), inherited, nested=True)
     for _, grp in g.exists:
         if not ((grp.all_vars() | set(inherited)) & group_scope):
             raise SparqlSyntaxError(
                 "EXISTS group shares no variable with the required patterns"
             )
-        _validate_group_tree(grp, grp.all_vars(), inherited)
+        _validate_group_tree(grp, grp.all_vars(), inherited, nested=True)
 
 
 def parse_sparql(

@@ -277,6 +277,38 @@ def _compile_strexpr(node, idcol, termcol, colmap=None) -> Column:
         return F.upper(_compile_strexpr(node[1], idcol, termcol, colmap))
     if k == "lcase":
         return F.lower(_compile_strexpr(node[1], idcol, termcol, colmap))
+    if k == "encuri":
+        # ENCODE_FOR_URI (§17.4.3.11) = RFC 3986 percent-encoding with
+        # the unreserved set [A-Za-z0-9._~-] kept. url_encode is the
+        # form-encoding variant, so fix its three divergences: space is
+        # '+' there but must be %20, '~' is escaped there but is
+        # unreserved, '*' is kept there but must be %2A. url_encode
+        # never emits a bare '+' or '*' for other inputs (both escape),
+        # so the textual replaces cannot collide.
+        s = F.url_encode(_compile_strexpr(node[1], idcol, termcol, colmap))
+        s = F.replace(s, F.lit("+"), F.lit("%20"))
+        s = F.replace(s, F.lit("%7E"), F.lit("~"))
+        return F.replace(s, F.lit("*"), F.lit("%2A"))
+    if k == "strlang":
+        # STRLANG (§17.4.2.8): language-tagged literal TERM text in the
+        # dictionary's canonical form '"lex"@tag' (tag already
+        # lowercased at parse). NULL input → NULL (expression error).
+        s = _compile_strexpr(node[1], idcol, termcol, colmap)
+        return F.concat(F.lit('"'), s, F.lit(f'"@{node[2]}'))
+    if k == "strdt":
+        # STRDT (§17.4.2.9): typed-literal TERM text '"lex"^^:localdt'
+        # (datatype localized at parse, same form the dictionary stores)
+        s = _compile_strexpr(node[1], idcol, termcol, colmap)
+        return F.concat(F.lit('"'), s, F.lit(f'"^^{node[2]}'))
+    if k == "iri":
+        # IRI/URI (§17.4.2.6): IRI TERM text, localized the way every
+        # constant IRI in a query is (last '/'-segment, leading ':') so
+        # the constructed term matches dictionary entries
+        s = _compile_strexpr(node[1], idcol, termcol, colmap)
+        seg = F.substring_index(s, "/", -1)
+        return F.when(seg.startswith(":"), seg).otherwise(
+            F.concat(F.lit(":"), seg)
+        )
     if k == "substr":
         c = _compile_strexpr(node[1], idcol, termcol, colmap)
         start, ln = node[2], node[3]
@@ -1938,6 +1970,25 @@ def _plan_group(
         nonlocal joined
         bvar, bexpr = item
         cname = f"vb_{bvar}"
+        # §18.2.2.2 (r7): a BIND expression variable this group does not
+        # bind is UNBOUND when the BIND evaluates (groups plan
+        # bottom-up) — mirror the nested-group FILTER rule: compile the
+        # reference as a NULL column, the expression errors → the target
+        # is unbound. Only NESTED groups reach here with such variables
+        # (root-group validation rejects unknown vars as typos). The
+        # NULL columns are TEMPORARY (dropped below): registering the
+        # outer var as bound-NULL would corrupt the parent's
+        # compatible-bindings join where that var IS bound.
+        missing = sorted(arith_expr_vars(bexpr) - set(bound_cols))
+        fcols = bound_cols
+        tmp_unb: list[str] = []
+        if missing:
+            fcols = dict(bound_cols)
+            for mv in missing:
+                cn = f"__bunb{ctx.nid()}_{mv}"
+                joined = joined.withColumn(cn, F.lit(None).cast("long"))
+                fcols[mv] = cn
+                tmp_unb.append(cn)
         if bexpr[0] == "strexpr":
             # BIND(SUBSTR/STRBEFORE/STRAFTER/REPLACE/CONCAT/UCASE/LCASE
             # (...) AS ?y) (§17.4.3, r7): string manipulation over term
@@ -1961,6 +2012,14 @@ def _plan_group(
             for v in sorted(need):
                 bi = ctx.nid()
                 tcol = f"__sterm{bi}_{v}"
+                if v in missing:
+                    # outer-unbound reference: its term is NULL — no
+                    # dictionary join needed
+                    joined = joined.withColumn(
+                        tcol, F.lit(None).cast("string")
+                    )
+                    tcols[v] = tcol
+                    continue
                 d = (
                     dictionary._dict_side()
                     .withColumnRenamed("id", f"__ssid{bi}")
@@ -1974,7 +2033,7 @@ def _plan_group(
                 tcols[v] = tcol
 
             def _idc(v):
-                return F.col(bound_cols[v])
+                return F.col(fcols[v])
 
             def _tc(v):
                 if v in string_targets:
@@ -1982,10 +2041,10 @@ def _plan_group(
                 return F.col(tcols[v])
 
             joined = joined.withColumn(
-                cname, _compile_strexpr(bexpr[1], _idc, _tc, bound_cols)
+                cname, _compile_strexpr(bexpr[1], _idc, _tc, fcols)
             )
-            if tcols:
-                joined = joined.drop(*tcols.values())
+            if tcols or tmp_unb:
+                joined = joined.drop(*tcols.values(), *tmp_unb)
             bound_cols[bvar] = cname
             order.append(bvar)
             nullable_vars.add(bvar)
@@ -2005,15 +2064,22 @@ def _plan_group(
                 )
             bi = ctx.nid()
             tcol = f"__bterm{bi}_{src_var}"
-            d = (
-                dictionary._dict_side()
-                .withColumnRenamed("id", f"__bsid{bi}")
-                .withColumnRenamed("term", tcol)
-            )
-            joined = joined.join(
-                d, F.col(bound_cols[src_var]) == F.col(f"__bsid{bi}"), "left"
-            ).drop(f"__bsid{bi}")
-            idc, tc = F.col(bound_cols[src_var]), F.col(tcol)
+            if src_var in missing:
+                # outer-unbound reference: id and term are both NULL —
+                # no dictionary join needed; the fn errors → unbound
+                joined = joined.withColumn(tcol, F.lit(None).cast("string"))
+            else:
+                d = (
+                    dictionary._dict_side()
+                    .withColumnRenamed("id", f"__bsid{bi}")
+                    .withColumnRenamed("term", tcol)
+                )
+                joined = joined.join(
+                    d,
+                    F.col(bound_cols[src_var]) == F.col(f"__bsid{bi}"),
+                    "left",
+                ).drop(f"__bsid{bi}")
+            idc, tc = F.col(fcols[src_var]), F.col(tcol)
             if bexpr[0] == "cast_expr":
                 # BIND(xsd:T(?x) AS ?y) (§17.5, r7): typed-VALUE column
                 # from the term text; uncastable kinds → NULL → unbound
@@ -2029,17 +2095,19 @@ def _plan_group(
                 ex = _term_lang(idc, tc)
             else:
                 ex = _term_datatype(idc, tc)
-            joined = joined.withColumn(cname, ex).drop(tcol)
+            joined = joined.withColumn(cname, ex).drop(tcol, *tmp_unb)
             bound_cols[bvar] = cname
             order.append(bvar)
             nullable_vars.add(bvar)
             if bexpr[0] == "termfn_expr":
                 string_targets.add(bvar)  # STR/LANG/DATATYPE are strings
             return
-        joined = joined.withColumn(cname, _compile_arith(bexpr, bound_cols))
+        joined = joined.withColumn(cname, _compile_arith(bexpr, fcols))
+        if tmp_unb:
+            joined = joined.drop(*tmp_unb)
         bound_cols[bvar] = cname
         order.append(bvar)
-        if arith_expr_vars(bexpr) & nullable_vars:
+        if missing or arith_expr_vars(bexpr) & nullable_vars:
             nullable_vars.add(bvar)
 
     # MINUS child groups → LEFT ANTI JOIN on the shared variables (SPARQL

@@ -604,6 +604,15 @@ group_shape = st.recursive(
             st.just("subf"), child,
             st.sampled_from(["cmp", "nbound", "bound"]),
         ),
+        # r7: a subgroup whose BIND references the PARENT's chain
+        # variable — OUT OF SCOPE inside the group (§18.2.2.2
+        # bottom-up): arith → error → target unbound, IF(BOUND) → false
+        # branch; "own" binds the group's shared var (in scope — sanity
+        # that the same position still computes when bound)
+        st.tuples(
+            st.just("subb"), child,
+            st.sampled_from(["arith", "ifb", "own"]),
+        ),
     ),
     max_leaves=4,
 )
@@ -631,6 +640,15 @@ def _shape_to_query(shape, var_in, preds, counter):
             "bound": f"FILTER(BOUND(?{var_in}))",
         }[shape[2]]
         return f"{base} {{ {inner} {flt} }}"
+    if kind == "subb":
+        w = f"w{next(counter)}"
+        inner = _shape_to_query(shape[1], v, preds, counter)
+        bnd = {
+            "arith": f"BIND(?{var_in} + 1 AS ?{w})",
+            "ifb": f"BIND(IF(BOUND(?{var_in}), 1, 0) AS ?{w})",
+            "own": f"BIND(?{v} + 1 AS ?{w})",
+        }[shape[2]]
+        return f"{base} {{ {inner} {bnd} }}"
     a = _shape_to_query(shape[1], v, preds, counter)
     b = _shape_to_query(shape[2], v, preds, counter)
     return f"{base} {{ {a} }} UNION {{ {b} }}"
@@ -668,6 +686,21 @@ def _eval_group_text(shape, var_in, rows, preds, counter):
             # var_in is unbound INSIDE the group: comparison errors /
             # BOUND is false -> every group solution drops
             inner = []
+        return [
+            {**b, **i} for b in base for i in inner if i[v] == b[v]
+        ]
+    if kind == "subb":
+        w = f"w{next(counter)}"
+        inner = _eval_group_text(shape[1], v, rows, preds, counter)
+        if shape[2] == "arith":
+            # var_in is unbound INSIDE the group: ?var_in + 1 errors ->
+            # the target stays unbound (key absent)
+            pass
+        elif shape[2] == "ifb":
+            # BOUND(var_in) is false inside the group -> else branch
+            inner = [{**i, w: 0} for i in inner]
+        else:  # own: the group's shared var is bound
+            inner = [{**i, w: i[v] + 1} for i in inner]
         return [
             {**b, **i} for b in base for i in inner if i[v] == b[v]
         ]

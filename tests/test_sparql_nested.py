@@ -241,12 +241,68 @@ def test_bind_inside_groups(tiny_store, tiny_dict):
         (2, 2, None),
         (2, 3, 30),
     ]
-    # a nested BIND referencing an OUTER variable is rejected (groups
-    # plan standalone)
+    # root-level unknown BIND vars still reject (typo guard)
     with pytest.raises(SparqlSyntaxError, match="not in scope"):
         parse_sparql(
-            "SELECT ?a WHERE { ?a :p10 ?b . { ?a :p20 ?c . BIND(?b + 1 AS ?d) } }"
+            "SELECT ?a WHERE { ?a :p10 ?b . BIND(?zz + 1 AS ?d) }"
         )
+
+
+def test_subgroup_bind_outer_var_is_unbound(tiny_store, tiny_dict):
+    """§18.2.2.2 (r7): a nested group's BIND referencing an OUTER
+    variable evaluates it as UNBOUND (groups plan bottom-up, mirroring
+    the r6 FILTER rule) — arithmetic over unbound → error → the target
+    is unbound; IF(BOUND(?outer),...) takes the false branch; the
+    OUTER binding itself is NOT clobbered by the group's NULL."""
+    # ?b is parent-bound only: ?d is unbound in every solution, ?b keeps
+    # its outer value (inner group: ?a :p20 ?c matches only a=2,c=3;
+    # join on ?a keeps outer row (2,2))
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?a ?b ?c ?d WHERE { ?a :p10 ?b . "
+        "{ ?a :p20 ?c . BIND(?b + 1 AS ?d) } }",
+        tiny_dict,
+    )
+    assert _rows(df, "a", "b", "c", "d") == [(2, 2, 3, None)]
+    # IF(BOUND(outer)...) inside the group: false branch
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?a ?f WHERE { ?a :p10 ?b . "
+        "{ ?a :p20 ?c . BIND(IF(BOUND(?b), 1, 0) AS ?f) } }",
+        tiny_dict,
+    )
+    assert _rows(df, "a", "f") == [(2, 0)]
+    # string-expression BIND over an outer var: CONCAT errors → unbound
+    df = sparql_to_df(
+        tiny_store,
+        'SELECT ?a ?t WHERE { ?a :p10 ?b . '
+        '{ ?a :p20 ?c . BIND(CONCAT(STR(?b), "x") AS ?t) } }',
+        tiny_dict,
+    )
+    assert _rows(df, "a", "t") == [(2, None)]
+    # BIND inside a UNION arm referencing the other arm's variable:
+    # unbound in THIS arm (each arm plans standalone)
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s ?t WHERE { "
+        "{ ?s :p20 ?o . BIND(?q * 10 AS ?t) } UNION { ?s :p10 ?q } }",
+        tiny_dict,
+    )
+    assert _rows(df, "s", "t") == [
+        (-5, None), (1, None), (1, None), (2, None), (2, None),
+    ]
+    # BIND inside an OPTIONAL referencing a required-side var: the
+    # OPTIONAL's pattern evaluates bottom-up too — ?d unbound, but the
+    # optional's own ?x binds normally
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?a ?x ?d WHERE { ?a :p10 ?b . "
+        "OPTIONAL { ?b :p20 ?x . BIND(?a + 1 AS ?d) } }",
+        tiny_dict,
+    )
+    assert _rows(df, "a", "x", "d") == [
+        (-5, None, None), (1, 3, None), (1, None, None), (2, 3, None),
+    ]
 
 
 def test_values_inside_group_executes(tiny_store, tiny_dict):

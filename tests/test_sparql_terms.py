@@ -20,7 +20,7 @@ from __future__ import annotations
 import pytest
 
 from rdfproject_msc_spark.dictionary import Dictionary
-from rdfproject_msc_spark.sparql.parser import SparqlSyntaxError
+from rdfproject_msc_spark.sparql.parser import SparqlSyntaxError, parse_sparql
 from rdfproject_msc_spark.sparql.planner import sparql_to_df
 from rdfproject_msc_spark.store import TripleStore
 
@@ -1013,3 +1013,74 @@ def test_accessor_order_by(tstore, tdict):
     order = [r.d for r in df.collect()]
     # NULL-key rows (12, 43) first, then 2023's 14, then 2024's 5, 9
     assert order == [12, 43, 14, 5, 9]
+
+
+def test_term_constructors(tstore, tdict):
+    """IRI/STRLANG/STRDT construct canonical dictionary TERM text and
+    ENCODE_FOR_URI percent-encodes per RFC 3986 (§17.4.2.6-9,
+    §17.4.3.11). IRI localizes like every constant IRI in a query
+    (last '/'-segment, leading ':'), so constructed terms match stored
+    dictionary entries."""
+    df = sparql_to_df(
+        tstore,
+        'SELECT DISTINCT ?e ?l ?d ?i ?f WHERE { ?s :label ?o . '
+        'BIND(ENCODE_FOR_URI("a b~c*/d é") AS ?e) '
+        'BIND(STRLANG("chat", "EN") AS ?l) '
+        'BIND(STRDT("19.5", xsd:decimal) AS ?d) '
+        'BIND(IRI(CONCAT("http://example.org/xyz/", "alice")) AS ?i) '
+        'BIND(URI(":already") AS ?f) }',
+        tdict,
+    )
+    rows = df.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.e == "a%20b~c%2A%2Fd%20%C3%A9"
+    assert r.l == '"chat"@en'       # tag lowercased, canonical form
+    assert r.d == '"19.5"^^:decimal'
+    assert r.i == ":alice"          # localized: matches the dict entry
+    assert r.f == ":already"        # already-local form passes through
+
+
+def test_term_constructor_composition(tstore, tdict):
+    """Constructors compose with the rest of the string grammar and
+    NULL-propagate: IRI(STR(?s)) reproduces the subject's own term."""
+    df = sparql_to_df(
+        tstore,
+        "SELECT ?s ?j WHERE { ?s :label ?o . BIND(IRI(STR(?s)) AS ?j) }",
+        tdict,
+    )
+    for r in df.collect():
+        assert r.j == ":alice"  # every :label subject is 1 = :alice
+    # a nested group's outer-var reference: STRLANG over unbound → NULL
+    df2 = sparql_to_df(
+        tstore,
+        "SELECT ?s ?t WHERE { ?s :label ?o . "
+        '{ ?s :price ?p . BIND(STRLANG(STR(?zz), "en") AS ?t) } }',
+        tdict,
+    )
+    got = df2.collect()
+    assert got and all(r.t is None for r in got)
+
+
+def test_sameterm_filter(tstore, tdict):
+    """sameTerm(?a, ?b) (§17.4.1.8) is id equality in the encoded model;
+    !sameTerm negates; constant operands reject with guidance."""
+    df = sparql_to_df(
+        tstore,
+        "SELECT ?a ?b WHERE { ?x :price ?a . ?y :price ?b . "
+        "FILTER(sameTerm(?a, ?b)) }",
+        tdict,
+    )
+    got = sorted((r.a, r.b) for r in df.collect())
+    assert got == [(7, 7), (8, 8), (9, 9), (43, 43)]
+    df2 = sparql_to_df(
+        tstore,
+        "SELECT ?a ?b WHERE { ?x :price ?a . ?y :price ?b . "
+        "FILTER(!sameTerm(?a, ?b)) }",
+        tdict,
+    )
+    assert df2.count() == 12  # 4x4 minus the diagonal
+    with pytest.raises(SparqlSyntaxError, match="sameTerm"):
+        parse_sparql(
+            'SELECT ?a WHERE { ?x :price ?a . FILTER(sameTerm(?a, "x")) }'
+        )

@@ -231,10 +231,22 @@ _PROJ_ITEM = re.compile(r"[?$]\w+|" + _PAREN4)
 _AGG_ITEM = re.compile(
     r"^\(\s*(?P<func>COUNT|SUM|AVG|MIN|MAX|SAMPLE|GROUP_CONCAT)\s*\(\s*"
     r"(?P<distinct>DISTINCT\s+)?"
-    r"(?P<arg>\*|STR\s*\(\s*[?$]\w+\s*\)|[^();]+?)\s*"
+    r"(?P<arg>\*|STR\s*\(\s*[?$]\w+\s*\)"
+    # cast / accessor call args (r7): `SUM(xsd:decimal(?p))`,
+    # `MIN(YEAR(?d))`, `COUNT(STRLEN(?x))` — desugared below onto a
+    # synthetic BIND, so the aggregate itself sees a plain variable
+    r"|(?:xsd:\w+|YEAR|MONTH|DAY|HOURS|MINUTES|SECONDS|FLOOR|CEIL|ROUND"
+    r"|STRLEN)\s*\(\s*(?:STR\s*\(\s*[?$]\w+\s*\)|[?$]\w+)\s*\)"
+    r"|[^();]+?)\s*"
     r'(?:;\s*SEPARATOR\s*=\s*"(?P<sep>[^"]*)"\s*)?\)\s+'
     r"AS\s+[?$](?P<alias>\w+)\s*\)$",
     re.I,
+)
+# a cast/accessor aggregate arg (the r7 desugar branch above)
+_AGG_CALL_ARG = re.compile(
+    r"(?:xsd:\w+|YEAR|MONTH|DAY|HOURS|MINUTES|SECONDS|FLOOR|CEIL|ROUND"
+    r"|STRLEN)\s*\(.*\)",
+    re.I | re.S,
 )
 # non-aggregate SELECT expression `(arith AS ?alias)` (§18.2.4.4 Extend):
 # desugars onto the BIND machinery — the alias becomes a synthetic BIND
@@ -1880,6 +1892,26 @@ def filter_expr_strfn_vars(node) -> set[str]:
     return filter_expr_strfn_vars(node[1]) | filter_expr_strfn_vars(node[2])
 
 
+def filter_expr_term_vars(node) -> set[str]:
+    """Variables whose TERM (dictionary entry) the expression reads —
+    the string-function leaves plus term-equality / term-IN leaves
+    (which resolve their literal to an id and compare identities).
+    Used to reject HAVING over COMPUTED group keys (r7): a BIND-target
+    key is a value, not a dictionary id, so any term-semantics leaf
+    over it would silently misinterpret."""
+    if len(node) == 4 and node[0] in ("streq", "strin"):
+        return {node[1]}
+    if isinstance(node[1], str) and node[1] in _CMP_OPS:
+        return filter_expr_strfn_vars(node)
+    if node[0] == "not":
+        return filter_expr_term_vars(node[1])
+    if len(node) == 3 and node[0] in ("and", "or"):
+        return filter_expr_term_vars(node[1]) | filter_expr_term_vars(
+            node[2]
+        )
+    return filter_expr_strfn_vars(node)
+
+
 def filter_expr_streq_literals(node) -> set[str]:
     """String literals in term-equality leaves — the planner resolves each
     via ONE bounded dictionary lookup (never a term join) and compiles an
@@ -3019,6 +3051,60 @@ def parse_sparql(
     agg_exprs: list[tuple[str, object]] = []
     hidden_agg_counter = itertools.count()
 
+    # GROUP BY expression keys `GROUP BY (expr AS ?v)` (§11.2
+    # GroupCondition, r7): each parenthesized item desugars onto the BIND
+    # machinery — the expression becomes a synthetic BIND (same
+    # lowering, scoping and freshness validation as a SELECT expression)
+    # and the key the rest of the pipeline sees is the plain alias
+    # variable. Mixed plain/expression key lists work; a bare
+    # parenthesized expression without AS rejects (the key needs a name
+    # to be projectable, and silent auto-naming would hide typos).
+    gbm = re.search(r"GROUP\s+BY\s+", mods_src or "", re.I)
+    if gbm and "(" in mods_src[gbm.end() :]:
+        pos = gbm.end()
+        gb_items: list[str] = []
+        changed = False
+        while pos < len(mods_src):
+            pos = _skip_ws(mods_src, pos)
+            if pos >= len(mods_src):
+                break
+            if mods_src[pos] in "?$":
+                vm0 = re.compile(r"[?$](\w+)").match(mods_src, pos)
+                if not vm0:
+                    raise SparqlSyntaxError("malformed GROUP BY variable")
+                gb_items.append("?" + vm0.group(1))
+                pos = vm0.end()
+                continue
+            if mods_src[pos] == "(":
+                content, pos = _scan_delim(
+                    mods_src, pos, "(", ")", "GROUP BY"
+                )
+                em0 = re.fullmatch(
+                    r"(?P<expr>.+)\s+AS\s+[?$](?P<alias>\w+)\s*",
+                    content,
+                    re.S | re.I,
+                )
+                if not em0:
+                    raise SparqlSyntaxError(
+                        f"GROUP BY expression keys need a name: "
+                        f"({content.strip()!r}) — write (expr AS ?v)"
+                    )
+                binds.append(
+                    (em0.group("alias"), _parse_bind_body(em0.group("expr")))
+                )
+                gb_items.append("?" + em0.group("alias"))
+                changed = True
+                continue
+            break  # the next modifier (HAVING/ORDER/LIMIT/...) starts here
+        if changed:
+            mods_src = (
+                mods_src[: gbm.start()]
+                + "GROUP BY "
+                + " ".join(gb_items)
+                + " "
+                + mods_src[pos:]
+            )
+
     def _lift_aggs(body: str) -> str:
         """Replace every aggregate call in `body` with a hidden-alias
         variable, registering the aggregate — shared by HAVING bodies and
@@ -3110,6 +3196,29 @@ def parse_sparql(
                     "str",
                     re.search(r"[?$](\w+)", arg).group(1),
                 )
+            elif _AGG_CALL_ARG.fullmatch(arg):
+                # cast / accessor aggregate args (r7):
+                # `SUM(xsd:decimal(?p))`, `AVG(YEAR(?d))`,
+                # `MIN(xsd:date(?d))`, `COUNT(STRLEN(?x))` — the typed
+                # VALUE computes once per solution row as a synthetic
+                # BIND (the §17.5 / §17.4.5 lowering, errors → NULL →
+                # skipped by the null-skipping aggregates, matching
+                # §11's error-removing card[...]), and the aggregate
+                # itself runs over a plain bound column
+                node = _parse_bind_body(arg)
+                if func in ("sum", "avg") and (
+                    node[0] == "termfn_expr"  # xsd:string ≡ STR
+                    or (
+                        node[0] == "cast_expr"
+                        and node[1] in ("date", "dateTime")
+                    )
+                ):
+                    raise SparqlSyntaxError(
+                        f"{func.upper()}({arg}) is not numeric"
+                    )
+                synth = f"__aggb{len(binds)}"
+                binds.append((synth, node))
+                avar = synth
             else:
                 # aggregate over an EXPRESSION (§11.1 — `SUM(?a * ?b)`):
                 # the arithmetic computes per solution row BEFORE the
@@ -3145,9 +3254,10 @@ def parse_sparql(
     # in). Per-group BIND scoping/freshness validates in
     # _validate_group_tree below.
     binds = root.binds
-    pattern_vars = root.all_vars() | {
+    bind_targets = {
         bvar for g in _walk_groups(root) for bvar, _ in g.binds
     }
+    pattern_vars = root.all_vars() | bind_targets
 
     # OPTIONAL-bound DESCRIBE vars are fine: an unbound binding names no
     # resource and the planner filters it (§16.4); only a var bound
@@ -3318,6 +3428,14 @@ def parse_sparql(
                 raise SparqlSyntaxError(
                     f"aggregate variable not in BGP: ?{avar[1]}"
                 )
+            if avar[1] in bind_targets:
+                # a computed variable is a VALUE, not a dictionary id —
+                # STR() would join it against unrelated terms (r7)
+                raise SparqlSyntaxError(
+                    f"STR() aggregates need a pattern-bound variable "
+                    f"(a computed variable has no dictionary term): "
+                    f"?{avar[1]}"
+                )
         elif isinstance(avar, tuple):
             bad = arith_expr_vars(avar[1]) - pattern_vars
             if bad:
@@ -3353,6 +3471,17 @@ def parse_sparql(
                 raise SparqlSyntaxError(
                     f"HAVING string functions apply to GROUP BY keys "
                     f"(dictionary terms), not aggregates: ?{v}"
+                )
+        for v in sorted(filter_expr_term_vars(expr)):
+            if v in bind_targets:
+                # a COMPUTED key (BIND target / expression key) is a
+                # value, not a dictionary id — joining or resolving it
+                # against the dictionary would match unrelated terms.
+                # Reject rather than misinterpret (r7).
+                raise SparqlSyntaxError(
+                    f"HAVING term-semantics functions need a "
+                    f"pattern-bound key (a computed key has no "
+                    f"dictionary term): ?{v}"
                 )
         for v in sorted(filter_expr_vars(expr)):
             if v not in set(group_by) | aliases:
@@ -3487,11 +3616,26 @@ def parse_sparql(
                     raise SparqlSyntaxError(
                         f"ORDER BY STR variable not in BGP: ?{key[1]}"
                     )
+                if key[1] in bind_targets:
+                    # a computed variable is a VALUE, not a dictionary
+                    # id — the term join would be nonsense; sort by the
+                    # plain variable instead (value order) (r7)
+                    raise SparqlSyntaxError(
+                        f"ORDER BY STR needs a pattern-bound variable "
+                        f"(a computed variable has no dictionary "
+                        f"term — sort by ?{key[1]} directly)"
+                    )
                 continue
             if key[0] == "cast":
                 if key[2] not in pattern_vars:
                     raise SparqlSyntaxError(
                         f"ORDER BY cast variable not in BGP: ?{key[2]}"
+                    )
+                if key[2] in bind_targets:
+                    raise SparqlSyntaxError(
+                        f"ORDER BY casts need a pattern-bound variable "
+                        f"(a computed variable has no dictionary "
+                        f"term — sort by ?{key[2]} directly)"
                     )
                 continue
             unknown = arith_expr_vars(key[1]) - pattern_vars

@@ -1084,3 +1084,137 @@ def test_sameterm_filter(tstore, tdict):
         parse_sparql(
             'SELECT ?a WHERE { ?x :price ?a . FILTER(sameTerm(?a, "x")) }'
         )
+
+
+def test_group_by_expression_keys(tstore, tdict):
+    """GROUP BY (expr AS ?v) (§11.2 GroupCondition, r7) desugars onto
+    the BIND machinery: the expression computes per solution row, the
+    key is the alias variable, and error rows (calendar-invalid date,
+    non-temporal term) land in the NULL group together."""
+    df = sparql_to_df(
+        tstore,
+        "SELECT ?y (COUNT(*) AS ?n) WHERE { ?s :when ?d } "
+        "GROUP BY (YEAR(?d) AS ?y)",
+        tdict,
+    )
+    got = sorted((tuple(r) for r in df.collect()), key=str)
+    # 2024: date 5 + dateTime 9; 2023: date 14; NULL: invalid 12 + int 43
+    assert got == [(2023, 1), (2024, 2), (None, 2)]
+    # mixed plain + expression keys, and HAVING over the computed VALUE
+    df = sparql_to_df(
+        tstore,
+        "SELECT ?y (COUNT(*) AS ?n) WHERE { ?s :when ?d } "
+        "GROUP BY (YEAR(?d) AS ?y) HAVING(?y >= 2024)",
+        tdict,
+    )
+    assert [tuple(r) for r in df.collect()] == [(2024, 2)]
+    # string-expression keys work too (term-text SUBSTR months)
+    df = sparql_to_df(
+        tstore,
+        "SELECT ?m (COUNT(*) AS ?n) WHERE { ?s :when ?d } "
+        "GROUP BY (MONTH(?d) AS ?m)",
+        tdict,
+    )
+    got = sorted((tuple(r) for r in df.collect()), key=str)
+    assert got == [(1, 2), (6, 1), (None, 2)]
+    # a bare parenthesized expression has no projectable name
+    with pytest.raises(SparqlSyntaxError, match="need a name"):
+        parse_sparql(
+            "SELECT ?y (COUNT(*) AS ?n) WHERE { ?s :when ?d } "
+            "GROUP BY (YEAR(?d))"
+        )
+    # the alias must be fresh (shadowing a pattern var would clobber it)
+    with pytest.raises(SparqlSyntaxError, match="already bound"):
+        parse_sparql(
+            "SELECT ?d (COUNT(*) AS ?n) WHERE { ?s :when ?d } "
+            "GROUP BY (YEAR(?d) AS ?d)"
+        )
+    # expression variables must be in scope (typo guard holds)
+    with pytest.raises(SparqlSyntaxError, match="not in scope"):
+        parse_sparql(
+            "SELECT ?y (COUNT(*) AS ?n) WHERE { ?s :when ?d } "
+            "GROUP BY (YEAR(?zz) AS ?y)"
+        )
+
+
+def test_aggregates_over_casts(tstore, tdict):
+    """Cast / accessor aggregate args (r7): `SUM(xsd:decimal(?p))`,
+    `MIN(xsd:date(?d))`, `AVG(DISTINCT YEAR(?d))` — the typed VALUE
+    computes per solution row (synthetic BIND), errors → NULL → skipped
+    by the null-skipping aggregates (§11's error-removing card[...])."""
+    df = sparql_to_df(
+        tstore,
+        "SELECT ?s (SUM(xsd:decimal(?p)) AS ?t) "
+        "(COUNT(xsd:decimal(?p)) AS ?n) WHERE { ?s :price ?p } GROUP BY ?s",
+        tdict,
+    )
+    # 19.5 + 120.25 + integer-literal 43; the dateTime object errors out
+    assert [tuple(r) for r in df.collect()] == [(1, 182.75, 3)]
+    df = sparql_to_df(
+        tstore,
+        "SELECT (MIN(xsd:date(?d)) AS ?lo) (MAX(xsd:date(?d)) AS ?hi) "
+        "WHERE { ?s :when ?d }",
+        tdict,
+    )
+    import datetime
+    assert [tuple(r) for r in df.collect()] == [
+        (datetime.date(2023, 6, 15), datetime.date(2024, 1, 1))
+    ]
+    # DISTINCT composes with the desugared arg
+    df = sparql_to_df(
+        tstore,
+        "SELECT (AVG(DISTINCT YEAR(?d)) AS ?a) WHERE { ?s :when ?d }",
+        tdict,
+    )
+    assert [tuple(r) for r in df.collect()] == [(2023.5,)]
+    # GROUP_CONCAT(xsd:string(?d)) concatenates term TEXT (the engine's
+    # STR convention), sorted for determinism
+    df = sparql_to_df(
+        tstore,
+        'SELECT (GROUP_CONCAT(xsd:string(?d)) AS ?g) '
+        'WHERE { ?s :when ?d . FILTER(MONTH(?d) = 1) }',
+        tdict,
+    )
+    assert [tuple(r) for r in df.collect()] == [
+        ('"2024-01-01"^^:date "2024-01-01T10:30:00"^^:dateTime',)
+    ]
+    # temporal / string args are not summable
+    with pytest.raises(SparqlSyntaxError, match="not numeric"):
+        parse_sparql(
+            "SELECT (SUM(xsd:date(?d)) AS ?t) WHERE { ?s :when ?d }"
+        )
+    with pytest.raises(SparqlSyntaxError, match="not numeric"):
+        parse_sparql(
+            "SELECT (AVG(xsd:string(?d)) AS ?t) WHERE { ?s :when ?d }"
+        )
+
+
+def test_computed_keys_reject_term_semantics(tstore, tdict):
+    """A computed variable (BIND target / expression key) is a VALUE,
+    not a dictionary id — term-semantics positions over it reject
+    rather than join the dictionary against unrelated ids (r7)."""
+    with pytest.raises(SparqlSyntaxError, match="pattern-bound key"):
+        parse_sparql(
+            "SELECT ?y (COUNT(*) AS ?n) WHERE { ?s :when ?d } "
+            'GROUP BY (YEAR(?d) AS ?y) HAVING(STR(?y) = "2024")'
+        )
+    with pytest.raises(SparqlSyntaxError, match="pattern-bound key"):
+        parse_sparql(
+            "SELECT ?y (COUNT(*) AS ?n) WHERE { ?s :when ?d } "
+            "GROUP BY (YEAR(?d) AS ?y) HAVING(STRLEN(?y) > 2)"
+        )
+    with pytest.raises(SparqlSyntaxError, match="pattern-bound"):
+        parse_sparql(
+            "SELECT (GROUP_CONCAT(STR(?y)) AS ?g) "
+            "WHERE { ?s :when ?d . BIND(YEAR(?d) AS ?y) }"
+        )
+    with pytest.raises(SparqlSyntaxError, match="pattern-bound"):
+        parse_sparql(
+            "SELECT ?y WHERE { ?s :when ?d . BIND(YEAR(?d) AS ?y) } "
+            "ORDER BY STR(?y)"
+        )
+    with pytest.raises(SparqlSyntaxError, match="pattern-bound"):
+        parse_sparql(
+            "SELECT ?y WHERE { ?s :when ?d . BIND(YEAR(?d) AS ?y) } "
+            "ORDER BY xsd:integer(?y)"
+        )

@@ -237,6 +237,11 @@ _AGG_ITEM = re.compile(
     # synthetic BIND, so the aggregate itself sees a plain variable
     r"|(?:xsd:\w+|YEAR|MONTH|DAY|HOURS|MINUTES|SECONDS|FLOOR|CEIL|ROUND"
     r"|STRLEN)\s*\(\s*(?:STR\s*\(\s*[?$]\w+\s*\)|[?$]\w+)\s*\)"
+    # one function call with args nested up to two levels (r8):
+    # `GROUP_CONCAT(UCASE(STR(?s)))`, `MIN(SUBSTR(STR(?x), 1, 3))` —
+    # anchored on a leading callable name so `COUNT(?a) + COUNT(?b)`
+    # still falls through to the SELECT-expression agg-lifting path
+    r"|(?:xsd:)?[A-Za-z_]\w*\s*\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\)"
     r"|[^();]+?)\s*"
     r'(?:;\s*SEPARATOR\s*=\s*"(?P<sep>[^"]*)"\s*)?\)\s+'
     r"AS\s+[?$](?P<alias>\w+)\s*\)$",
@@ -245,7 +250,8 @@ _AGG_ITEM = re.compile(
 # a cast/accessor aggregate arg (the r7 desugar branch above)
 _AGG_CALL_ARG = re.compile(
     r"(?:xsd:\w+|YEAR|MONTH|DAY|HOURS|MINUTES|SECONDS|FLOOR|CEIL|ROUND"
-    r"|STRLEN)\s*\(.*\)",
+    r"|STRLEN|SUBSTR|STRBEFORE|STRAFTER|REPLACE|CONCAT|UCASE|LCASE"
+    r"|MD5|SHA1|SHA256|SHA384|SHA512|ENCODE_FOR_URI)\s*\(.*\)",
     re.I | re.S,
 )
 # non-aggregate SELECT expression `(arith AS ?alias)` (§18.2.4.4 Extend):
@@ -3208,6 +3214,7 @@ def parse_sparql(
                 node = _parse_bind_body(arg)
                 if func in ("sum", "avg") and (
                     node[0] == "termfn_expr"  # xsd:string ≡ STR
+                    or node[0] == "strexpr"  # computed string (r8)
                     or (
                         node[0] == "cast_expr"
                         and node[1] in ("date", "dateTime")
@@ -3220,13 +3227,11 @@ def parse_sparql(
                 binds.append((synth, node))
                 avar = synth
             else:
-                # aggregate over an EXPRESSION (§11.1 — `SUM(?a * ?b)`):
-                # the arithmetic computes per solution row BEFORE the
-                # aggregation; arg slot = ('expr', arith AST)
-                if func == "group_concat":
-                    raise SparqlSyntaxError(
-                        "GROUP_CONCAT over an expression is not supported"
-                    )
+                # aggregate over an EXPRESSION (§11.1 — `SUM(?a * ?b)`,
+                # `GROUP_CONCAT(?a + ?b)`): the arithmetic computes per
+                # solution row BEFORE the aggregation; arg slot =
+                # ('expr', arith AST). GROUP_CONCAT stringifies the
+                # numeric value (r8) — the concat path casts to string.
                 avar = ("expr", _parse_arith_expr(arg))
             aggregates.append(
                 (func, avar, distinct_arg, am.group("alias"), sep)
@@ -3597,14 +3602,48 @@ def parse_sparql(
                 order_by.append((("cast", kind, cm.group(3)), desc))
             elif re.fullmatch(r"[?$]\w+", txt):
                 order_by.append((txt[1:], desc))
+            elif grouped:
+                # ORDER BY expression under GROUP BY (r8, §15.1 with
+                # §11): aggregate calls lift to hidden `?__haggN`
+                # aggregates — the SAME desugaring HAVING and SELECT
+                # expressions over aggregates use — and the arithmetic
+                # compiles over the grouped output, where group keys and
+                # aggregate aliases are 1:1 columns. So
+                # `ORDER BY DESC(COUNT(?x))` sorts by a hidden count
+                # computed alongside the projected aggregates.
+                n_before = len(aggregates)
+                ast = _parse_arith_expr(_lift_aggs(inner))
+                for _, avar, _, _, _ in aggregates[n_before:]:
+                    # the earlier re-check loop already ran; validate
+                    # aggregate args lifted HERE against the BGP now
+                    if avar is not None and avar not in pattern_vars:
+                        raise SparqlSyntaxError(
+                            f"aggregate variable not in BGP: ?{avar}"
+                        )
+                order_by.append((("gexpr", ast), desc))
             else:
                 order_by.append((("expr", _parse_arith_expr(inner)), desc))
             consumed_end = pos
         mods = mods[: om.start()] + " " + mods[consumed_end:]
         if not order_by:
             raise SparqlSyntaxError("ORDER BY needs at least one sort key")
+    agg_alias_set = {alias for _, _, _, alias, _ in aggregates} | {
+        a for a, _ in agg_exprs
+    }
     for key, _ in order_by:
         if isinstance(key, tuple):  # expression / STR key
+            if key[0] == "gexpr":
+                # grouped-output expression key: every variable must be
+                # a column of the grouped output — a GROUP BY key or an
+                # aggregate alias (projected, post-agg, or hidden)
+                bad = arith_expr_vars(key[1]) - set(group_by) - agg_alias_set
+                if bad:
+                    raise SparqlSyntaxError(
+                        f"ORDER BY expression variables must be GROUP BY "
+                        f"keys or aggregates: "
+                        f"{['?' + v for v in sorted(bad)]}"
+                    )
+                continue
             if grouped:
                 raise SparqlSyntaxError(
                     "ORDER BY expressions are not supported with "

@@ -2800,8 +2800,49 @@ def plan_bgp(
         if bgp.limit is not None:
             joined = joined.limit(bgp.limit)
 
+    order_gexpr = any(
+        isinstance(k, tuple) and k[0] == "gexpr" for k, _ in bgp.order_by
+    )
     if grouped:
-        out = _plan_grouped(joined, bound_cols, bgp, dictionary, litids)
+        out = _plan_grouped(
+            joined,
+            bound_cols,
+            bgp,
+            dictionary,
+            litids,
+            defer_projection=order_gexpr,
+        )
+        if order_gexpr:
+            # ORDER BY expression over the grouped output (r8):
+            # `ORDER BY DESC(COUNT(?x))` — the expression's aggregates
+            # lifted to hidden columns at parse time, so the sort key
+            # compiles over the PRE-projection grouped output (where
+            # hidden aggregate aliases still exist), then the projection
+            # drops them. The sort evaluates in place — with LIMIT this
+            # still plans as TakeOrderedAndProject, no materialized key.
+            if bgp.distinct:
+                raise SparqlSyntaxError(
+                    "ORDER BY expressions over aggregates cannot "
+                    "combine with DISTINCT"
+                )
+            gmap = {c: c for c in out.columns}
+
+            def _gkey(k):
+                if isinstance(k, tuple):
+                    return _compile_arith(k[1], gmap)
+                return F.col(k)
+
+            out = out.orderBy(
+                *[
+                    _gkey(k).desc() if desc else _gkey(k).asc()
+                    for k, desc in bgp.order_by
+                ]
+            )
+            if bgp.offset is not None:
+                out = out.offset(bgp.offset)
+            if bgp.limit is not None:
+                out = out.limit(bgp.limit)
+            return out.select(*[F.col(c) for c in bgp.projection])
     else:
         out = joined.select(*[F.col(bound_cols[v]).alias(v) for v in proj])
 
@@ -2828,6 +2869,7 @@ def _plan_grouped(
     bgp: BGPQuery,
     dictionary: Dictionary | None = None,
     litids: dict[str, int] | None = None,
+    defer_projection: bool = False,
 ) -> DataFrame:
     """GROUP BY / aggregate lowering (SPARQL 1.1 §11) → groupBy/agg.
 
@@ -2965,6 +3007,10 @@ def _plan_grouped(
             out = out.filter(_compile_filter(expr, out_map, tmap, litids))
         if tmap:
             out = out.drop(*tmap.values())
+    if defer_projection:
+        # an ORDER BY expression over the grouped output needs the hidden
+        # aggregate columns — the caller sorts, then projects
+        return out
     return out.select(*[F.col(c) for c in bgp.projection])
 
 

@@ -75,14 +75,18 @@ class TripleStore:
         self._quads = (
             quads.select("g", "s", "p", "o") if quads is not None else None
         )
-        # caller-declared invariant: no (s, p, o) triple appears in more
-        # than one named graph. The RDF-merge semantics of a multi-graph
-        # FROM then need NO duplicate elimination, so the planner skips
-        # the merge's .distinct() — one full shuffle of the selected
-        # triples saved (the common case for partitioned loads, where
-        # each triple is written to exactly one graph). NOT provable from
-        # a partitionBy("g") layout — the same triple may be asserted in
-        # two directories — hence an explicit opt-in.
+        # invariant: no (s, p, o) triple appears in more than one named
+        # graph. The RDF-merge semantics of a multi-graph FROM then need
+        # NO duplicate elimination, so the planner skips the merge's
+        # .distinct() — one full shuffle of the selected triples saved
+        # (the common case for partitioned loads, where each triple is
+        # written to exactly one graph). NOT provable from a
+        # partitionBy("g") layout alone — partitioning places each ROW in
+        # one directory, but the same triple may be asserted under two g
+        # values — so it is either (a) caller-declared here (trust-me),
+        # or (b) PROVEN at write time: ``write_quads`` verifies it with
+        # one keyed aggregation and persists a ``_GRAPHS_DISJOINT``
+        # marker that ``attach_quads_path`` applies automatically (r8).
         self.graphs_disjoint = graphs_disjoint
 
     def _apply_clustering(self, df: DataFrame) -> DataFrame:
@@ -176,19 +180,74 @@ class TripleStore:
             .select("s", "p", "o")
         )
 
-    def write_quads(self, path: str) -> None:
+    def write_quads(self, path: str, verify_disjoint: bool = True) -> None:
         """Persist named graphs partitioned BY GRAPH: ``GRAPH <iri>``
         then reads exactly one directory. Right for the common
         tens-to-thousands-of-graphs regime; a dataset with millions of
         tiny graphs should range-cluster on ``g`` instead (same min/max
-        row-group skipping, no directory explosion)."""
+        row-group skipping, no directory explosion).
+
+        ``verify_disjoint`` (r8): PROVE the graphs-disjoint invariant —
+        no (s, p, o) in more than one graph — with one keyed aggregation
+        (24-byte keys, map-side partial count_distinct) and persist a
+        ``_GRAPHS_DISJOINT`` marker next to ``_SUCCESS`` when it holds.
+        ``attach_quads_path`` then enables the planner's merge-skip fast
+        path automatically: one write-time shuffle buys every future
+        multi-graph FROM a shuffle-free RDF merge, and a wrong caller
+        declaration can no longer silently change semantics. Opt out for
+        pure-append pipelines that re-verify elsewhere."""
         self.quads.write.mode("overwrite").partitionBy("g").parquet(path)
+        if not verify_disjoint:
+            return
+        shared = (
+            self.quads.groupBy("s", "p", "o")
+            .agg(F.count_distinct("g").alias("ng"))
+            .filter(F.col("ng") > 1)
+        )
+        if shared.isEmpty():
+            self._touch_marker(self.quads.sparkSession, path)
+
+    _DISJOINT_MARKER = "_GRAPHS_DISJOINT"
+
+    @classmethod
+    def _marker_fs_path(cls, spark: SparkSession, path: str):
+        """(FileSystem, Path) for the disjointness marker — the Hadoop FS
+        API, so the proof travels with the data on HDFS/S3, not only on
+        a local filesystem."""
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(
+            path.rstrip("/") + "/" + cls._DISJOINT_MARKER
+        )
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return fs, jpath
+
+    @classmethod
+    def _touch_marker(cls, spark: SparkSession, path: str) -> None:
+        fs, jpath = cls._marker_fs_path(spark, path)
+        fs.create(jpath, True).close()
+
+    @classmethod
+    def quads_disjoint_proven(cls, spark: SparkSession, path: str) -> bool:
+        """True iff ``write_quads`` verified graph disjointness for this
+        layout (the ``_GRAPHS_DISJOINT`` marker exists)."""
+        fs, jpath = cls._marker_fs_path(spark, path)
+        return bool(fs.exists(jpath))
 
     @staticmethod
     def read_quads(spark: SparkSession, path: str) -> DataFrame:
         """Open a ``write_quads`` layout without re-shuffling; pass to
-        ``attach_quads`` / the ``quads=`` constructor arg."""
+        ``attach_quads`` / the ``quads=`` constructor arg (or use
+        ``attach_quads_path`` to auto-apply the disjointness proof)."""
         return spark.read.parquet(path)
+
+    def attach_quads_path(self, spark: SparkSession, path: str) -> None:
+        """Open a ``write_quads`` layout AND apply its write-time
+        disjointness proof: the planner's multi-graph-FROM fast path
+        (skip the RDF merge's ``.distinct()``) turns on exactly when the
+        marker proves it sound — no trust-me flag involved. An explicit
+        caller declaration (``graphs_disjoint=True``) is still honored."""
+        self._quads = self.read_quads(spark, path).select("g", "s", "p", "o")
+        if self.quads_disjoint_proven(spark, path):
+            self.graphs_disjoint = True
 
     def table_for_subject(self, subject_id: int | None) -> DataFrame:
         """Static sign routing (MyOpVisitorBase.java:82-86): a bound subject

@@ -2107,11 +2107,16 @@ def test_order_by_expressions(tiny_store, tiny_dict):
         tiny_dict,
     )
     assert [r.s for r in df.collect()] == [1, 2]
-    with pytest.raises(SparqlSyntaxError, match="GROUP BY"):
-        parse_sparql(
-            "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s :p10 ?o } "
-            "GROUP BY ?s ORDER BY (?n + 1)"
-        )
+    # r8: an ORDER BY expression over a grouped-output column is LEGAL
+    # (it rode the reject this test used to pin; see
+    # test_order_by_aggregate_expression for the full surface)
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s :p10 ?o } "
+        "GROUP BY ?s ORDER BY (?n + 1) ?s",
+        tiny_dict,
+    )
+    assert [(r.s, r.n) for r in df.collect()] == [(-5, 1), (2, 1), (1, 2)]
     with pytest.raises(SparqlSyntaxError, match="not in BGP"):
         parse_sparql("SELECT ?s WHERE { ?s :p10 ?o } ORDER BY (?zz + 1)")
 
@@ -2231,3 +2236,138 @@ def test_bind_division(tiny_store, tiny_dict):
 def test_order_by_requires_keys():
     with pytest.raises(SparqlSyntaxError, match="at least one sort key"):
         parse_sparql("SELECT ?s WHERE { ?s :p ?o } ORDER BY LIMIT 2")
+
+
+def test_order_by_aggregate_expression(tiny_store, tiny_dict):
+    """ORDER BY DESC(COUNT(?x)) under GROUP BY (r8): the expression's
+    aggregate lifts to a hidden aggregate (the HAVING desugaring) and the
+    sort runs over the grouped output before the projection drops it."""
+    # grouping ?o over { ?s ?p ?o }: o=1 ← {1,-5} (n=2), o=2 ← {1,2}
+    # (n=2), o=3 ← {2} (n=1); ?o breaks the n=2 tie deterministically
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?o WHERE { ?s ?p ?o } GROUP BY ?o "
+        "ORDER BY DESC(COUNT(?s)) ?o LIMIT 2",
+        tiny_dict,
+    )
+    assert [r.o for r in df.collect()] == [1, 2]
+    # the hidden count must NOT leak into the schema
+    assert df.columns == ["o"]
+
+    # mixed keys + arithmetic over two aggregates, ascending tiebreak:
+    # o=1 sum(1-5)=-4 n=2 → -6; o=2 sum(1+2)=3 n=2 → 1; o=3 sum=2 n=1 → 1
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?o (COUNT(?s) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?o "
+        "ORDER BY (SUM(?s) - COUNT(?s)) ?o",
+        tiny_dict,
+    )
+    assert [(r.o, r.n) for r in df.collect()] == [(1, 2), (2, 2), (3, 1)]
+
+    # expression over a projected aggregate ALIAS also works (?n is a
+    # grouped-output column)
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?o (COUNT(?s) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?o "
+        "ORDER BY (0 - ?n) ?o",
+        tiny_dict,
+    )
+    assert [(r.o, r.n) for r in df.collect()] == [(1, 2), (2, 2), (3, 1)]
+
+
+def test_order_by_aggregate_expression_oracle(tiny_store, tiny_dict, spark):
+    """DuckDB oracle for ORDER BY DESC(COUNT(...)) — full ordered rows."""
+    import duckdb
+
+    pdf = tiny_store.df.select("s", "p", "o").toPandas()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute(
+        "SELECT o, COUNT(s) AS n FROM t GROUP BY o "
+        "ORDER BY COUNT(s) DESC, o LIMIT 3"
+    ).fetchall()
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?o (COUNT(?s) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?o "
+        "ORDER BY DESC(COUNT(?s)) ?o LIMIT 3",
+        tiny_dict,
+    )
+    assert [(r.o, r.n) for r in df.collect()] == want
+
+
+def test_order_by_aggregate_expression_rejections(tiny_store, tiny_dict):
+    # a non-grouped variable inside the ORDER BY expression is an error
+    with pytest.raises(SparqlSyntaxError, match="GROUP BY keys or aggregates"):
+        parse_sparql(
+            "SELECT ?o (COUNT(?s) AS ?n) WHERE { ?s :p10 ?o } "
+            "GROUP BY ?o ORDER BY (?s + 1)"
+        )
+    # aggregate over a variable not in the BGP
+    with pytest.raises(SparqlSyntaxError, match="not in BGP"):
+        parse_sparql(
+            "SELECT ?o (COUNT(?s) AS ?n) WHERE { ?s :p10 ?o } "
+            "GROUP BY ?o ORDER BY DESC(COUNT(?z))"
+        )
+    # DISTINCT + aggregate-expression sort key is contradictory
+    with pytest.raises(SparqlSyntaxError, match="DISTINCT"):
+        sparql_to_df(
+            tiny_store,
+            "SELECT DISTINCT ?o WHERE { ?s :p10 ?o } GROUP BY ?o "
+            "ORDER BY DESC(COUNT(?s))",
+            tiny_dict,
+        )
+
+
+def test_group_concat_over_expressions(tiny_store, tiny_dict, spark):
+    """GROUP_CONCAT over computed expressions (r8, §11.4.7): a string
+    manipulation rides the synthetic-BIND lowering (term attach before
+    the partial aggregation); arithmetic stringifies the numeric value."""
+    import duckdb
+
+    # string expression: UCASE of the decoded subject term
+    df = sparql_to_df(
+        tiny_store,
+        'SELECT ?o (GROUP_CONCAT(UCASE(STR(?s)); SEPARATOR=",") AS ?c) '
+        "WHERE { ?s :p10 ?o } GROUP BY ?o",
+        tiny_dict,
+    )
+    got = {r.o: r.c for r in df.collect()}
+    assert got == {1: ":N1,:NEG5", 2: ":N1,:N2"}
+
+    # arithmetic expression: numeric value stringified, value-sorted
+    df = sparql_to_df(
+        tiny_store,
+        'SELECT ?o (GROUP_CONCAT(?s + ?s; SEPARATOR="|") AS ?c) '
+        "WHERE { ?s :p10 ?o } GROUP BY ?o",
+        tiny_dict,
+    )
+    got = {r.o: r.c for r in df.collect()}
+    assert got == {1: "-10|2", 2: "2|4"}
+
+    # DuckDB string_agg oracle for the string-expression form
+    pdf = tiny_store.df.filter("p = 10").select("s", "o").toPandas()
+    dpdf = tiny_dict.df.toPandas()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    con.register("d", dpdf)
+    want = {
+        o: c
+        for o, c in con.execute(
+            "SELECT t.o, string_agg(UPPER(d.term), ',' ORDER BY "
+            "UPPER(d.term)) FROM t JOIN d ON t.s = d.id GROUP BY t.o"
+        ).fetchall()
+    }
+    df = sparql_to_df(
+        tiny_store,
+        'SELECT ?o (GROUP_CONCAT(UCASE(STR(?s)); SEPARATOR=",") AS ?c) '
+        "WHERE { ?s :p10 ?o } GROUP BY ?o",
+        tiny_dict,
+    )
+    assert {r.o: r.c for r in df.collect()} == want
+
+    # SUM over a string expression is a type error
+    with pytest.raises(SparqlSyntaxError, match="not numeric"):
+        parse_sparql(
+            "SELECT ?o (SUM(CONCAT(STR(?s), \"x\")) AS ?t) "
+            "WHERE { ?s :p10 ?o } GROUP BY ?o"
+        )

@@ -767,3 +767,59 @@ def test_disjoint_from_fast_path_skips_distinct(spark, gdict):
     assert fast_rows == slow_rows == [(1, 2), (2, 9)]
     assert "Exchange" in slow_plan  # the merge's duplicate elimination
     assert "Exchange" not in fast_plan  # filter + project only
+
+
+def test_write_quads_proves_disjointness(spark, gdict, tmp_path):
+    """r8: write_quads PROVES graph disjointness (one keyed aggregation)
+    and persists a _GRAPHS_DISJOINT marker; attach_quads_path applies the
+    proof, so the multi-graph-FROM merge-skip fast path turns on without
+    a trust-me flag — and does NOT turn on for overlapping graphs."""
+    q = "SELECT ?s ?o FROM :graph_a FROM :graph_b WHERE { ?s :p10 ?o }"
+    base = spark.createDataFrame([(1, 10, 2)], "s long, p long, o long")
+    dis_quads = [(100, 1, 10, 2), (100, 2, 11, 3), (101, 2, 10, 9)]
+    # (1,10,2) asserted in BOTH graphs → NOT disjoint
+    ovl_quads = [(100, 1, 10, 2), (101, 1, 10, 2), (101, 2, 10, 9)]
+
+    def roundtrip(quad_rows, subdir):
+        path = str(tmp_path / subdir)
+        w = TripleStore(
+            base,
+            quads=spark.createDataFrame(
+                quad_rows, "g long, s long, p long, o long"
+            ),
+        )
+        w.write_quads(path)
+        r = TripleStore(base)
+        r.attach_quads_path(spark, path)
+        return r, path
+
+    st, path = roundtrip(dis_quads, "dis")
+    assert TripleStore.quads_disjoint_proven(spark, path)
+    assert st.graphs_disjoint
+    df = sparql_to_df(st, q, gdict)
+    assert sorted((r.s, r.o) for r in df.collect()) == [(1, 2), (2, 9)]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("Initial Plan")[0]  # merge skipped
+
+    st, path = roundtrip(ovl_quads, "ovl")
+    assert not TripleStore.quads_disjoint_proven(spark, path)
+    assert not st.graphs_disjoint  # proof refused — slow correct path
+    df = sparql_to_df(st, q, gdict)
+    # the RDF merge dedupes the doubly-asserted triple
+    assert sorted((r.s, r.o) for r in df.collect()) == [(1, 2), (2, 9)]
+
+    # opt-out writes no marker even on disjoint data
+    path = str(tmp_path / "noverify")
+    w = TripleStore(
+        base,
+        quads=spark.createDataFrame(
+            dis_quads, "g long, s long, p long, o long"
+        ),
+    )
+    w.write_quads(path, verify_disjoint=False)
+    assert not TripleStore.quads_disjoint_proven(spark, path)
+
+    # an explicit caller declaration is still honored after attach
+    r = TripleStore(base, graphs_disjoint=True)
+    r.attach_quads_path(spark, path)
+    assert r.graphs_disjoint

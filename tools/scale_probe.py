@@ -68,6 +68,20 @@ FAMILY = [
     "passage_dedup",
 ]
 
+def _passage_dedup_k32(spark, sf_dir):
+    """passage_dedup at a REALISTIC span length (r8): Lee et al. dedup
+    ~50-token spans, not 3-word ones. k=32 flips the shuffle-bytes
+    trade-off — chunk count per doc drops ~10×, passage strings grow
+    ~10× — so the scale row measures the shape users actually run."""
+    from rdfproject_msc_spark.operators.passages import passage_dedup
+    from rdfproject_msc_spark.registry import load_table
+
+    return passage_dedup(load_table(spark, sf_dir, "documents"), k=32)
+
+
+# parameter variants probed alongside the registry entries
+EXTRAS = {"passage_dedup_k32": _passage_dedup_k32}
+
 TABLES = [
     "customer",
     "orders",
@@ -167,6 +181,11 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/spark_graft_sf1")
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--skip-generate", action="store_true")
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated subset of FAMILY/EXTRAS names to probe",
+    )
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -179,8 +198,11 @@ def main() -> None:
         generate(spark, args.src, args.out, args.factor)
 
     results: dict[str, dict] = {}
-    for name in FAMILY:
-        fn = REGISTRY[name].fn
+    names = list(FAMILY) + list(EXTRAS)
+    if args.only:
+        names = [n for n in args.only.split(",") if n]
+    for name in names:
+        fn = EXTRAS[name] if name in EXTRAS else REGISTRY[name].fn
         small_df = fn(spark, args.src)
         big_df = fn(spark, args.out)
         prune_s, strat_s = _plan_shape(small_df)

@@ -118,7 +118,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_pdedup.add_argument("--docs", required=True)
     p_pdedup.add_argument("--out", required=True)
-    p_pdedup.add_argument("--k", type=int, default=8, help="passage words")
+    p_pdedup.add_argument(
+        "--k",
+        type=int,
+        default=32,
+        help="passage length in words (default 32 ≈ the ~50-token spans "
+        "of Lee et al. 2022; see SCALE.md for the k=3 vs k=32 probe)",
+    )
     p_pdedup.add_argument("--cpus", type=int, default=None)
 
     p_prep = sub.add_parser(

@@ -213,7 +213,9 @@ def _skip_string(src: str, i: int) -> int:
 # expressions (regexes cannot match arbitrary nesting; deeper forms can
 # always be written as a BIND, whose body is brace-scanned)
 _PAREN4 = r"[^()]*"
-for _ in range(6):
+# depth 10 (r8: was 6 — the DuckDB string-expression fuzz found a legal
+# 7-deep SUBSTR/UCASE chain the projection regex rejected)
+for _ in range(10):
     _PAREN4 = r"\((?:[^()]|" + _PAREN4 + r")*\)"
 _QUERY = re.compile(
     r"^\s*(?P<prefixes>(?:PREFIX\s+\S+\s*<[^>]*>\s*)*)"
@@ -853,6 +855,20 @@ def _parse_bind_body(body_expr: str):
         # BIND(STRLEN([STR(]?x[)]) AS ?n) (§17.4.3.2, r7): term-text
         # length as a numeric target — rides the cast lowering
         return ("cast_expr", "strlen", (lm.group(1) or lm.group(2))[1:])
+    nd = re.match(r"\s*(NOW|RAND|UUID|STRUUID)\s*\(", body_expr, re.I)
+    if nd:
+        # deliberate stance (r8, SPARQL.md "Known deviations"): a
+        # per-evaluation clock/RNG breaks the engine's re-runnable
+        # hash-verified contract, and a Spark task RETRY would observe a
+        # different value than the lost attempt — pass timestamps via
+        # VALUES, use the deterministic md5-bucket sampling operators
+        raise SparqlSyntaxError(
+            f"{nd.group(1).upper()}() is deliberately unsupported: "
+            "nondeterministic built-ins break re-executable task "
+            "semantics (a retried Spark task would see a different "
+            "value); bind timestamps via VALUES or use the engine's "
+            "deterministic sampling operators"
+        )
     if re.match(
         r"\s*(?:SUBSTR|STRBEFORE|STRAFTER|REPLACE|CONCAT|UCASE|LCASE"
         r"|MD5|SHA1|SHA256|SHA384|SHA512"
@@ -1512,13 +1528,21 @@ def _parse_filter_expr(src: str):
             }[lhs.lower()]
             v = _take_var_arg(lhs)
             return ("termis", kind, v)
-        def _take_str_var(fname: str) -> str:
-            """Argument of a string accessor: `?v` or `STR(?v)`."""
+        def _take_str_var(fname: str) -> tuple[str, bool]:
+            """Argument of a string accessor: `?v` or `STR(?v)`. The
+            second slot records whether STR() was WRITTEN — §17.4.3
+            functions over a bare term error on non-strings (the
+            dictionary-absent integer literal drops), while an explicit
+            STR() gives every term a lexical form, integer literals
+            their decimal one (r8 — the DuckDB fuzz caught the two
+            forms being conflated)."""
             take("(")
             t2 = take()
             if t2.lower() == "str":
                 v = _take_var_arg("STR")
-            elif t2.startswith(("?", "$")):
+                take(")")
+                return v, True
+            if t2.startswith(("?", "$")):
                 v = t2[1:]
             else:
                 raise SparqlSyntaxError(
@@ -1526,14 +1550,14 @@ def _parse_filter_expr(src: str):
                     f"variable or STR(?var), got {t2!r}"
                 )
             take(")")
-            return v
+            return v, False
 
         if lhs.lower() == "strlen" and peek() == "(":
             # STRLEN(STR(?x)) <op> n (§17.4.3.2): term LENGTH compared to
             # an integer — evaluated over the dictionary term text (same
             # join as REGEX); null-intolerant, so the dict join
             # inner-izes and the length predicate pushes to the dict scan
-            v = _take_str_var("STRLEN")
+            v, has_str = _take_str_var("STRLEN")
             op = take()
             if op not in _CMP_OPS:
                 raise SparqlSyntaxError(
@@ -1546,7 +1570,7 @@ def _parse_filter_expr(src: str):
                     f"bad FILTER expression {src!r}: STRLEN compares "
                     f"against an integer, got {num!r}"
                 )
-            return ("strlen", v, op, int(num))
+            return ("strlen", v, op, int(num), has_str)
         if (
             lhs.lower()
             in (
@@ -1711,7 +1735,7 @@ def _parse_filter_expr(src: str):
             # UCASE/LCASE(STR(?x)) =|!= "literal" (§17.4.3.4-5):
             # case-folded term equality, dictionary-side
             fn = lhs.lower()
-            v = _take_str_var(fn.upper())
+            v, has_str = _take_str_var(fn.upper())
             op = take()
             if op not in ("=", "!="):
                 raise SparqlSyntaxError(
@@ -1724,7 +1748,9 @@ def _parse_filter_expr(src: str):
                     f"bad FILTER expression {src!r}: {fn.upper()}() "
                     f"compares against a string literal, got {lit!r}"
                 )
-            return ("strcase", fn, v, _unescape(lit[1:-1]), op == "!=")
+            return (
+                "strcase", fn, v, _unescape(lit[1:-1]), op == "!=", has_str
+            )
         if lhs.lower() == "str" and peek() == "(":
             # STR(?x) = "literal" (§17.4.2.5 wrapper + term equality): ids
             # ARE term references here, so STR-of-var compares the term
@@ -1855,9 +1881,9 @@ def filter_expr_vars(node) -> set[str]:
         return {node[2]}
     if len(node) == 3 and node[0] == "langmatches":
         return {node[1]}
-    if len(node) == 4 and node[0] == "strlen":  # STRLEN comparison leaf
+    if len(node) == 5 and node[0] == "strlen":  # STRLEN comparison leaf
         return {node[1]}
-    if len(node) == 5 and node[0] == "strcase":  # UCASE/LCASE equality
+    if len(node) == 6 and node[0] == "strcase":  # UCASE/LCASE equality
         return {node[2]}
     if node[0] == "not":
         return filter_expr_vars(node[1])
@@ -1889,9 +1915,9 @@ def filter_expr_strfn_vars(node) -> set[str]:
         return {node[2]}
     if len(node) == 3 and node[0] == "langmatches":
         return {node[1]}
-    if len(node) == 4 and node[0] == "strlen":
+    if len(node) == 5 and node[0] == "strlen":
         return {node[1]}
-    if len(node) == 5 and node[0] == "strcase":
+    if len(node) == 6 and node[0] == "strcase":
         return {node[2]}
     if node[0] == "not":
         return filter_expr_strfn_vars(node[1])
@@ -1945,9 +1971,9 @@ def filter_expr_streq_literals(node) -> set[str]:
         return set()  # LANG/DATATYPE values compare as strings, not ids
     if len(node) == 3 and node[0] in ("termis", "langmatches"):
         return set()
-    if len(node) == 4 and node[0] == "strlen":
+    if len(node) == 5 and node[0] == "strlen":
         return set()
-    if len(node) == 5 and node[0] == "strcase":
+    if len(node) == 6 and node[0] == "strcase":
         return set()  # case-folded match cannot resolve to one id
     if node[0] == "not":
         return filter_expr_streq_literals(node[1])

@@ -492,24 +492,46 @@ def _compile_filter(
         if fn == "strstarts":
             return col.startswith(pattern)
         return col.endswith(pattern)
-    if len(node) == 4 and node[0] == "strlen":  # STRLEN comparison leaf
-        _, var, op, num = node
+    if len(node) == 5 and node[0] == "strlen":  # STRLEN comparison leaf
+        _, var, op, num, has_str = node
         if termmap is None or var not in termmap:
             raise SparqlSyntaxError(
                 "string functions are not supported in this FILTER context"
             )
-        # term length, dictionary-side; NULL term (unbound / integer
-        # literal) → NULL → drop, and the predicate is null-intolerant so
-        # Catalyst inner-izes the dict join and pushes the length test
-        # into the dictionary scan (same strategy as the other strfns)
+        if has_str:
+            # STRLEN(STR(?x)): every term has a lexical form — a
+            # dictionary-absent id measures its decimal STR (r8)
+            idc = F.col(colmap[var])
+            sval = F.when(
+                idc.isNotNull(),
+                F.coalesce(F.col(termmap[var]), idc.cast("string")),
+            )
+            return _OPS[op](F.length(sval), F.lit(num))
+        # bare STRLEN(?x): term length, dictionary-side; NULL term
+        # (unbound / integer literal) → type error → NULL → drop, and
+        # the predicate is null-intolerant so Catalyst inner-izes the
+        # dict join and pushes the length test into the dictionary scan
         return _OPS[op](F.length(F.col(termmap[var])), F.lit(num))
-    if len(node) == 5 and node[0] == "strcase":  # UCASE/LCASE equality
-        _, fn, var, text, negated = node
+    if len(node) == 6 and node[0] == "strcase":  # UCASE/LCASE equality
+        _, fn, var, text, negated, has_str = node
         if termmap is None or var not in termmap:
             raise SparqlSyntaxError(
                 "string functions are not supported in this FILTER context"
             )
-        folded = (F.upper if fn == "ucase" else F.lower)(F.col(termmap[var]))
+        if has_str:
+            # UCASE/LCASE(STR(?x)): STR of a dictionary-absent id is its
+            # decimal form (r8 — the DuckDB fuzz caught the != form
+            # dropping integer literals); case-folding is identity on
+            # digits, so the coalesce gives them the right compare value
+            sval = F.coalesce(
+                F.col(termmap[var]), F.col(colmap[var]).cast("string")
+            )
+        else:
+            # bare UCASE/LCASE(?x): non-string terms (absent ids) are a
+            # type error → NULL → drop, keeping the predicate
+            # null-intolerant so the dict join inner-izes
+            sval = F.col(termmap[var])
+        folded = (F.upper if fn == "ucase" else F.lower)(sval)
         return (
             (folded != F.lit(text)) if negated else (folded == F.lit(text))
         )

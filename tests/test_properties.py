@@ -5,7 +5,7 @@ LSH soundness. Spark jobs per example are expensive: few, small examples."""
 from __future__ import annotations
 
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, assume, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -1053,3 +1053,202 @@ def test_string_expression_bind_matches_python_eval(spark, expr):
         assert got[oid] == _eval_sexpr(expr, sval), (
             _render_sexpr(expr), oid, sval
         )
+
+
+# ---- string-expression fuzz vs DuckDB (r8) --------------------------------
+# The r7 fuzz checks the string grammar against a Python twin; this one
+# composes nested SUBSTR/STRBEFORE/STRAFTER/REPLACE/UCASE/LCASE/CONCAT
+# chains in SELECT expressions AND FILTER comparisons and checks them
+# against DUCKDB — the cross-engine oracle — over terms chosen to hit the
+# codepoint/regex edges where engines diverge: empty strings, multibyte,
+# regex metachars in REPLACE, quotes, separators absent/empty.
+
+_DK_LITS = ["", "a", "x.y", 'wi"th', "é漢 b"]
+_DK_SEPS = ["a", "", ".", "é", " "]
+# regex patterns (REPLACE is fn:replace = regex): literal, class, plus,
+# escaped metachar, dot, multibyte — same dialect in Java and DuckDB RE2
+_DK_PATS = ["a", "[ab]", "x+", "\\.", ".", "é"]
+_DK_REPS = ["", "_", "Z"]
+
+_DKEXPR = st.deferred(
+    lambda: st.one_of(
+        st.just(("sof",)),
+        st.sampled_from([("slit", x) for x in _DK_LITS]),
+        st.tuples(st.sampled_from(["ucase", "lcase"]), _DKEXPR),
+        st.tuples(
+            st.just("substr"), _DKEXPR, st.integers(1, 5),
+            st.one_of(st.none(), st.integers(0, 4)),
+        ),
+        st.tuples(
+            st.sampled_from(["strbefore", "strafter"]), _DKEXPR,
+            st.sampled_from(_DK_SEPS),
+        ),
+        st.tuples(
+            st.just("replace"), _DKEXPR, st.sampled_from(_DK_PATS),
+            st.sampled_from(_DK_REPS),
+        ),
+        st.tuples(
+            st.just("concat"),
+            st.lists(_DKEXPR, min_size=1, max_size=3).map(tuple),
+        ),
+    )
+)
+
+
+def _dk_sparql_lit(s: str) -> str:
+    return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+
+
+def _dk_render(node) -> str:
+    k = node[0]
+    if k == "sof":
+        return "STR(?o)"
+    if k == "slit":
+        return _dk_sparql_lit(node[1])
+    if k in ("ucase", "lcase"):
+        return f"{k.upper()}({_dk_render(node[1])})"
+    if k == "substr":
+        _, a, start, ln = node
+        inner = _dk_render(a)
+        return (
+            f"SUBSTR({inner}, {start})"
+            if ln is None
+            else f"SUBSTR({inner}, {start}, {ln})"
+        )
+    if k in ("strbefore", "strafter"):
+        return (
+            f"{k.upper()}({_dk_render(node[1])}, "
+            f"{_dk_sparql_lit(node[2])})"
+        )
+    if k == "replace":
+        _, a, pat, rep = node
+        return (
+            f"REPLACE({_dk_render(a)}, {_dk_sparql_lit(pat)}, "
+            f"{_dk_sparql_lit(rep)})"
+        )
+    return "CONCAT(" + ", ".join(_dk_render(a) for a in node[1]) + ")"
+
+
+def _dk_sqlq(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _dk_sql(node, col: str) -> str:
+    """The same expression tree as DuckDB SQL over string column `col`
+    (position/substr/length are codepoint-based in DuckDB, matching
+    Spark's JVM string functions and §17.4.3's character semantics)."""
+    k = node[0]
+    if k == "sof":
+        return col
+    if k == "slit":
+        return _dk_sqlq(node[1])
+    if k in ("ucase", "lcase"):
+        fn = "upper" if k == "ucase" else "lower"
+        return f"{fn}({_dk_sql(node[1], col)})"
+    if k == "substr":
+        _, a, start, ln = node
+        inner = _dk_sql(a, col)
+        return (
+            f"substr({inner}, {start})"
+            if ln is None
+            else f"substr({inner}, {start}, {ln})"
+        )
+    if k in ("strbefore", "strafter"):
+        s, sep = _dk_sql(node[1], col), node[2]
+        if sep == "":
+            # §17.4.3.12-13 empty-separator cases
+            return "''" if k == "strbefore" else s
+        sq = _dk_sqlq(sep)
+        pos = f"position({sq} IN {s})"
+        if k == "strbefore":
+            return f"CASE WHEN {pos} > 0 THEN substr({s}, 1, {pos} - 1) ELSE '' END"
+        return (
+            f"CASE WHEN {pos} > 0 "
+            f"THEN substr({s}, {pos} + length({sq})) ELSE '' END"
+        )
+    if k == "replace":
+        _, a, pat, rep = node
+        return (
+            f"regexp_replace({_dk_sql(a, col)}, {_dk_sqlq(pat)}, "
+            f"{_dk_sqlq(rep)}, 'g')"
+        )
+    return "concat(" + ", ".join(_dk_sql(a, col) for a in node[1]) + ")"
+
+
+@given(expr=_DKEXPR, op=st.sampled_from(["=", "!="]))
+@settings(**SETTINGS)
+def test_string_expression_matches_duckdb(spark, expr, op):
+    """Random string-expression chains in a SELECT expression and in a
+    FILTER comparison produce exactly DuckDB's answer on the same terms."""
+    import duckdb
+
+    from rdfproject_msc_spark.dictionary import Dictionary
+    from rdfproject_msc_spark.sparql.planner import sparql_to_df
+    from rdfproject_msc_spark.store import TripleStore
+
+    terms = {2: "x.y z", 3: 'Héllo "q" a', 5: None, 7: "aabxé", 8: ""}
+    store = TripleStore(
+        spark.createDataFrame(
+            [(1, 10, o) for o in terms], "s long, p long, o long"
+        )
+    )
+    d = Dictionary(
+        spark.createDataFrame(
+            [(10, ":p")] + [(o, t) for o, t in terms.items() if t is not None],
+            "id long, term string",
+        )
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE vals (o BIGINT, s VARCHAR)")
+    for o, t in terms.items():
+        con.execute(
+            "INSERT INTO vals VALUES (?, ?)", [o, t if t is not None else str(o)]
+        )
+
+    # SELECT-expression projection
+    rendered = _dk_render(expr)
+    # the projection regex supports 10 nested parens; the `(... AS ?t)`
+    # wrapper adds one — skip the rare deeper trees
+    depth = cur = 0
+    for ch in rendered:
+        if ch == "(":
+            cur += 1
+            depth = max(depth, cur)
+        elif ch == ")":
+            cur -= 1
+    assume(depth <= 9)
+    got = {
+        r.o: r.t
+        for r in sparql_to_df(
+            store,
+            f"SELECT ?o ({rendered} AS ?t) WHERE {{ ?s :p ?o }}",
+            d,
+        ).collect()
+    }
+    want = dict(
+        con.execute(f"SELECT o, {_dk_sql(expr, 's')} FROM vals").fetchall()
+    )
+    assert got == want, rendered
+
+    # FILTER comparison against a value DuckDB computed for one row
+    # (ensures the filter is sometimes satisfiable, not vacuous);
+    # CONCAT-wrap single-leaf trees so the chain enters the
+    # string-expression FILTER branch
+    frendered = (
+        rendered if expr[0] not in ("sof", "slit") else f"CONCAT({rendered})"
+    )
+    lit = want[2]
+    fq = (
+        f"SELECT ?o WHERE {{ ?s :p ?o . "
+        f"FILTER({frendered} {op} {_dk_sparql_lit(lit)}) }}"
+    )
+    got_ids = sorted(r.o for r in sparql_to_df(store, fq, d).collect())
+    dop = "=" if op == "=" else "<>"
+    want_ids = sorted(
+        o
+        for (o,) in con.execute(
+            f"SELECT o FROM vals WHERE {_dk_sql(expr, 's')} {dop} ?",
+            [lit],
+        ).fetchall()
+    )
+    assert got_ids == want_ids, (fq, lit)

@@ -2371,3 +2371,112 @@ def test_group_concat_over_expressions(tiny_store, tiny_dict, spark):
             "SELECT ?o (SUM(CONCAT(STR(?s), \"x\")) AS ?t) "
             "WHERE { ?s :p10 ?o } GROUP BY ?o"
         )
+
+
+def test_fuzz_regressions_deep_nesting_and_absent_id_strcase(
+    tiny_store, tiny_dict
+):
+    """Deterministic pins for two r8 DuckDB-fuzz finds: (1) a legal
+    7-paren-deep string chain was rejected by the projection regex
+    (depth cap 6 → 10); (2) UCASE/LCASE(STR(?x)) != "lit" dropped
+    dictionary-absent ids instead of comparing their decimal STR."""
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?o (SUBSTR(SUBSTR(UCASE(SUBSTR(UCASE(STR(?o)), 1)), 1), 1)"
+        " AS ?t) WHERE { ?s :p10 ?o }",
+        tiny_dict,
+    )
+    got = {r.o: r.t for r in df.collect()}
+    assert got == {1: ":N1", 2: ":N2"}
+
+    # tiny_store has s=-5,1,2 on :p10; all their STR values are dict
+    # terms — add an absent o: use ?s which includes -5 (":neg5") and
+    # check != keeps EVERY row including ids with no dictionary term.
+    # o values 1,2 are in the dict; predicate 10 is; so exercise via a
+    # store row with an absent object:
+    from rdfproject_msc_spark.store import TripleStore
+
+    spark = tiny_store.df.sparkSession
+    st_ = TripleStore(
+        spark.createDataFrame(
+            [(1, 10, 2), (1, 10, 999)], "s long, p long, o long"
+        )
+    )
+    df = sparql_to_df(
+        st_,
+        'SELECT ?o WHERE { ?s :p10 ?o . FILTER(UCASE(STR(?o)) != "ZZ") }',
+        tiny_dict,
+    )
+    assert sorted(r.o for r in df.collect()) == [2, 999]
+    # and equality against the decimal form MATCHES the absent id
+    df = sparql_to_df(
+        st_,
+        'SELECT ?o WHERE { ?s :p10 ?o . FILTER(LCASE(STR(?o)) = "999") }',
+        tiny_dict,
+    )
+    assert [r.o for r in df.collect()] == [999]
+    # STRLEN(STR(?x)) measures the decimal form of an absent id too,
+    # while bare STRLEN(?x) stays a type error → drop (§17.4.3 applies
+    # to string literals; STR() gives every term a lexical form)
+    df = sparql_to_df(
+        st_,
+        "SELECT ?o WHERE { ?s :p10 ?o . FILTER(STRLEN(STR(?o)) = 3) }",
+        tiny_dict,
+    )
+    assert sorted(r.o for r in df.collect()) == [2, 999]  # ':n2' and '999'
+    df = sparql_to_df(
+        st_,
+        "SELECT ?o WHERE { ?s :p10 ?o . FILTER(STRLEN(?o) = 3) }",
+        tiny_dict,
+    )
+    assert [r.o for r in df.collect()] == [2]  # absent 999 type-errors
+
+
+def test_negated_property_set_composed_with_path_operators(spark, tiny_dict):
+    """§9.1 negated sets composed with closures/sequences/inverses —
+    VERDICT r7 listed these as rejects, but they fall through the flat
+    expansion to the full path-AST parser; pin the execution semantics.
+    Edges: 1-:p10->2, 2-:p20->3, 3-:p30->4, 1-:p30->5."""
+    from rdfproject_msc_spark.dictionary import Dictionary
+    from rdfproject_msc_spark.store import TripleStore
+
+    st_ = TripleStore(
+        spark.createDataFrame(
+            [(1, 10, 2), (2, 20, 3), (3, 30, 4), (1, 30, 5)],
+            "s long, p long, o long",
+        )
+    )
+    d = Dictionary(
+        spark.createDataFrame(
+            [(10, ":p10"), (20, ":p20"), (30, ":p30")]
+            + [(i, f":n{i}") for i in (1, 2, 3, 4, 5)],
+            "id long, term string",
+        )
+    )
+
+    # closure OF a negated set: p∉{p10,p20} edges are the :p30 ones
+    df = sparql_to_df(
+        st_, "SELECT ?s ?o WHERE { ?s !(:p10|:p20)+ ?o }", d
+    )
+    assert sorted((r.s, r.o) for r in df.collect()) == [(1, 5), (3, 4)]
+
+    # negated set as a sequence member: (!:p10)/:p30 = {2->3}/:p30 ∪ ...
+    df = sparql_to_df(st_, "SELECT ?s ?o WHERE { ?s (!:p10)/:p30 ?o }", d)
+    assert sorted((r.s, r.o) for r in df.collect()) == [(2, 4)]
+
+    # inverse member inside the set (§9.1 identity:
+    # !(^A|B) ≡ !(B) ∪ ^!(A)): forward p∉{p20} plus reversed p∉{p10}
+    df = sparql_to_df(st_, "SELECT ?s ?o WHERE { ?s !(^:p10|:p20) ?o }", d)
+    assert sorted((r.s, r.o) for r in df.collect()) == [
+        (1, 2), (1, 5), (3, 2), (3, 4), (4, 3), (5, 1),
+    ]
+
+
+def test_nondeterministic_builtins_named_reject():
+    """NOW/RAND/UUID/STRUUID: the documented r8 stance (SPARQL.md) — a
+    named reject explaining WHY, not a generic parse error."""
+    for fn in ("NOW", "RAND", "UUID", "STRUUID"):
+        with pytest.raises(SparqlSyntaxError, match="deliberately"):
+            parse_sparql(
+                f"SELECT ?s WHERE {{ ?s :p ?o . BIND({fn}() AS ?x) }}"
+            )

@@ -273,10 +273,15 @@ def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
     first occurrence of the max)."""
     vd = F.transform(vec, lambda x: x.cast("double"))
     vn = _norm(vd)
+    # try_divide: a zero vector has no defined direction — its scores
+    # are NULL and so is its assignment (callers treat it as inert)
+    # instead of an ANSI divide-by-zero error
     scores = F.array(
         *[
-            _dot(vd, F.array(*[F.lit(c) for c in cen]))
-            / (vn * F.lit(sum(c * c for c in cen) ** 0.5))
+            F.try_divide(
+                _dot(vd, F.array(*[F.lit(c) for c in cen])),
+                vn * F.lit(sum(c * c for c in cen) ** 0.5),
+            )
             for cen in centroids
         ]
     )

@@ -1161,6 +1161,71 @@ def events_pivot(spark, sf_dir):
     )
 
 
+_SEMDEDUP = dict(k=8, dim=64, threshold=0.35)
+
+
+def _semdedup_centroids() -> list[list[float]]:
+    """Fixed deterministic centroids for the driver row: a pure function
+    of (k, dim), so the DuckDB oracle replicates the assignment exactly.
+    Production use trains `similarity.kmeans_centroids` instead — the
+    operator takes either."""
+    import math
+
+    return [
+        [math.sin(0.5 * i + 0.13 * j) for j in range(_SEMDEDUP["dim"])]
+        for i in range(_SEMDEDUP["k"])
+    ]
+
+
+def semantic_dedup_embeddings(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, operators/semdedup.py): cluster the
+    embedding space, drop every vector cosine-dominated (>= 0.35) by a
+    smaller-id vector in its cluster, return the survivors with their
+    cluster. The corpus-PRUNING complement of cosine_neardup's pair
+    enumeration. Within-cluster work is the cluster-keyed co-partitioned
+    self-join (never corpus all-pairs); the keep rule is the same
+    corpus-first min-id as exact/passage dedup, so the result is
+    deterministic and exactly oracle-replicable."""
+    from rdfproject_msc_spark.operators.semdedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semantic_dedup(
+        emb,
+        dim=_SEMDEDUP["dim"],
+        threshold=_SEMDEDUP["threshold"],
+        centroids=_semdedup_centroids(),
+    )
+    return out.select("vec_id", "cluster")
+
+
+def _semantic_dedup_sql() -> str:
+    cents = _semdedup_centroids()
+    scores = ", ".join(
+        "list_cosine_similarity(v, [" + ", ".join(map(str, c)) + "])"
+        for c in cents
+    )
+    t = _SEMDEDUP["threshold"]
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+a AS (
+    SELECT vec_id, v,
+           CAST(list_position([{scores}], list_max([{scores}])) - 1
+                AS INTEGER) AS cluster
+    FROM e
+),
+dropped AS (
+    SELECT DISTINCT b.vec_id
+    FROM a x JOIN a b
+      ON x.cluster = b.cluster AND x.vec_id < b.vec_id
+     AND list_cosine_similarity(x.v, b.v) >= {t}
+)
+SELECT vec_id, cluster FROM a
+WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+
+SEMANTIC_DEDUP_SQL = _semantic_dedup_sql()
+
 EVENTS_PIVOT_SQL = """
 SELECT user_id,
        CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
@@ -2496,7 +2561,12 @@ REGISTRY: dict[str, QuerySpec] = {
     # pinned in tests/test_demoted.py (HLL error pin already lives in
     # tests/test_registry_extras.py)
     "customer_running_revenue": QuerySpec(customer_running_revenue, CUSTOMER_RUNNING_REVENUE_SQL),
-    "events_pivot": QuerySpec(events_pivot, EVENTS_PIVOT_SQL),
+    # r8: events_pivot demoted to tests/test_demoted.py (slot →
+    # semantic_dedup — conditional aggregation stays covered by the
+    # rollup/percentile rows)
+    "semantic_dedup": QuerySpec(
+        semantic_dedup_embeddings, SEMANTIC_DEDUP_SQL, headline=True
+    ),
     "skew_salted_join": QuerySpec(skew_salted_join, SKEW_SALTED_JOIN_SQL, headline=True),
     "bucketed_join": QuerySpec(bucketed_join, BUCKETED_JOIN_SQL, headline=True),
     "events_hourly_stream": QuerySpec(events_hourly_stream, EVENTS_HOURLY_SQL),

@@ -265,7 +265,13 @@ _GROUP = re.compile(r"GROUP\s+BY\s+(?P<keys>(?:[?$]\w+\s*)+)", re.I)
 _HAVING = re.compile(r"HAVING\s*\(", re.I)
 # aggregate calls INSIDE a HAVING body (§11.5): lifted to hidden aliases
 _HAVING_AGG = re.compile(
-    r"\b(COUNT|SUM|AVG|MIN|MAX|SAMPLE)\s*\(\s*(DISTINCT\s+)?([?$]\w+|\*)\s*\)",
+    # arg: a variable, *, or a paren-free arithmetic expression over
+    # variables/integers (r8 — `HAVING(SUM(?a * ?b) > 5)`,
+    # `ORDER BY DESC(SUM(?a + 1))`); parenthesized sub-expressions inside
+    # an aggregate arg stay unsupported (regex cannot nest) and keep the
+    # named reject
+    r"\b(COUNT|SUM|AVG|MIN|MAX|SAMPLE)\s*\(\s*(DISTINCT\s+)?"
+    r"([?$]\w+(?:\s*[-+*/]\s*(?:[?$]\w+|-?\d+))+|[?$]\w+|\*)\s*\)",
     re.I,
 )
 # ASK query form (§16.3): boolean existence of any solution
@@ -3150,9 +3156,16 @@ def parse_sparql(
                 raise SparqlSyntaxError(f"{func.upper()}(*) is not supported")
 
             alias = f"__hagg{next(hidden_agg_counter)}"
-            aggregates.append(
-                (func, None if arg == "*" else arg[1:], distinct, alias, None)
-            )
+            if arg == "*":
+                avar = None
+            elif re.fullmatch(r"[?$]\w+", arg):
+                avar = arg[1:]
+            else:
+                # aggregate over an expression (§11.1) inside HAVING /
+                # SELECT expressions / ORDER BY (r8): same per-row
+                # arithmetic-before-aggregation slot as projected ones
+                avar = ("expr", _parse_arith_expr(arg))
+            aggregates.append((func, avar, distinct, alias, None))
             return "?" + alias
 
         return _HAVING_AGG.sub(repl, body)
@@ -3642,9 +3655,19 @@ def parse_sparql(
                 for _, avar, _, _, _ in aggregates[n_before:]:
                     # the earlier re-check loop already ran; validate
                     # aggregate args lifted HERE against the BGP now
-                    if avar is not None and avar not in pattern_vars:
+                    bad = (
+                        arith_expr_vars(avar[1]) - pattern_vars
+                        if isinstance(avar, tuple)
+                        else (
+                            {avar} - pattern_vars
+                            if avar is not None
+                            else set()
+                        )
+                    )
+                    if bad:
                         raise SparqlSyntaxError(
-                            f"aggregate variable not in BGP: ?{avar}"
+                            "aggregate variables not in BGP: "
+                            f"{['?' + v for v in sorted(bad)]}"
                         )
                 order_by.append((("gexpr", ast), desc))
             else:

@@ -207,3 +207,11 @@ def test_text_tokens_matches_oracle(spark, sf_dir):
     assert_matches_oracle(
         R.text_tokens(spark, sf_dir), R.TEXT_TOKENS_SQL, sf_dir
     )
+
+
+def test_events_pivot_matches_oracle(spark, sf_dir):
+    """Demoted r8 (slot → semantic_dedup): pivot() with an explicit value
+    list vs conditional-aggregation oracle."""
+    assert_matches_oracle(
+        R.events_pivot(spark, sf_dir), R.EVENTS_PIVOT_SQL, sf_dir
+    )

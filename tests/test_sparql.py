@@ -2480,3 +2480,53 @@ def test_nondeterministic_builtins_named_reject():
             parse_sparql(
                 f"SELECT ?s WHERE {{ ?s :p ?o . BIND({fn}() AS ?x) }}"
             )
+
+
+def test_aggregate_expression_args_in_having_order_select(
+    tiny_store, tiny_dict
+):
+    """r8: aggregate calls over paren-free arithmetic lift everywhere the
+    HAVING desugaring applies — HAVING bodies, ORDER BY expressions, and
+    SELECT expressions over aggregates. p10 groups: o=1 ← {1,-5},
+    o=2 ← {1,2}."""
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?o (COUNT(?s) AS ?n) WHERE { ?s :p10 ?o } GROUP BY ?o "
+        "HAVING(SUM(?s * ?s) > 5)",
+        tiny_dict,
+    )
+    assert [(r.o, r.n) for r in df.collect()] == [(1, 2)]  # 26 > 5; 5 is not
+
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?o WHERE { ?s :p10 ?o } GROUP BY ?o "
+        "ORDER BY DESC(SUM(?s + 1))",
+        tiny_dict,
+    )
+    assert [r.o for r in df.collect()] == [2, 1]  # 5 desc over -2
+
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?o ((SUM(?s * ?s) + 1) AS ?t) WHERE { ?s :p10 ?o } "
+        "GROUP BY ?o",
+        tiny_dict,
+    )
+    assert sorted((r.o, r.t) for r in df.collect()) == [(1, 27), (2, 6)]
+
+    # DuckDB oracle for the HAVING form
+    import duckdb
+
+    pdf = tiny_store.df.filter("p = 10").select("s", "o").toPandas()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute(
+        "SELECT o, COUNT(s) AS n FROM t GROUP BY o HAVING SUM(s*s) > 5 "
+        "ORDER BY o"
+    ).fetchall()
+    df = sparql_to_df(
+        tiny_store,
+        "SELECT ?o (COUNT(?s) AS ?n) WHERE { ?s :p10 ?o } GROUP BY ?o "
+        "HAVING(SUM(?s * ?s) > 5) ORDER BY ?o",
+        tiny_dict,
+    )
+    assert [(r.o, r.n) for r in df.collect()] == want

@@ -66,6 +66,9 @@ FAMILY = [
     "docs_quota_sample",
     "sparql_value_cmp",
     "passage_dedup",
+    # r8: SemDeDup — the within-cluster quadratic must stay bounded by
+    # cluster size (plan shape: cluster-keyed self-join, no cartesian)
+    "semantic_dedup",
 ]
 
 def _passage_dedup_k32(spark, sf_dir):
@@ -79,8 +82,32 @@ def _passage_dedup_k32(spark, sf_dir):
     return passage_dedup(load_table(spark, sf_dir, "documents"), k=32)
 
 
+def _semantic_dedup_kscaled(spark, sf_dir):
+    """SemDeDup under its documented scaling rule: k grows with the
+    corpus (k ≈ N / 625-vector clusters), holding cluster sizes — and
+    the within-cluster Σcᵢ² — constant per unit of data. The registry
+    row keeps k=8 fixed (oracle-replicable), which the probe shows goes
+    quadratic; THIS row is the configuration a user runs at scale."""
+    import math
+
+    from rdfproject_msc_spark.operators.semdedup import semantic_dedup
+    from rdfproject_msc_spark.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = max(8, int(round(emb.count() / 625)))
+    cents = [
+        [math.sin(0.5 * i + 0.13 * j) for j in range(64)] for i in range(k)
+    ]
+    return semantic_dedup(emb, dim=64, threshold=0.35, centroids=cents).select(
+        "vec_id", "cluster"
+    )
+
+
 # parameter variants probed alongside the registry entries
-EXTRAS = {"passage_dedup_k32": _passage_dedup_k32}
+EXTRAS = {
+    "passage_dedup_k32": _passage_dedup_k32,
+    "semantic_dedup_kscaled": _semantic_dedup_kscaled,
+}
 
 TABLES = [
     "customer",

@@ -57,6 +57,7 @@ def ngram_contamination(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_benchmark: bool = True,
+    bloom_fpp: float | None = None,
 ) -> DataFrame:
     """Per-document benchmark-overlap report.
 
@@ -64,6 +65,17 @@ def ngram_contamination(
     distinct n-grams in the document, how many also occur anywhere in the
     benchmark, their ratio, and the ``overlap_frac >= threshold`` flag
     (documents with no n-grams are never contaminated).
+
+    ``bloom_fpp`` switches on the Bloom pre-filter path: a bounded bit
+    array is built over the benchmark's n-grams (operators/bloom.py, one
+    extra bounded-size job) and each document's n-gram ARRAY is filtered
+    through it BEFORE the explode — codegen'd arithmetic on the scan, no
+    join. At 100 TB this shrinks the exploded relation feeding the join
+    from |corpus n-grams| to |true matches| + the chosen false-positive
+    sliver (~fpp · |corpus n-grams|), while the per-document totals are
+    taken from ``size()`` of the pre-filter array so results are
+    BIT-IDENTICAL to the join-only plan: the filter has no false
+    negatives, and false positives fail the exact join that follows.
     """
     bench_ng = (
         benchmark.select(
@@ -72,24 +84,44 @@ def ngram_contamination(
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
-    exploded = docs.select(
-        F.col(id_col),
-        F.explode_outer(word_ngrams(F.col(text_col), n)).alias("ng"),
-    )
+    if bloom_fpp is not None:
+        from rdfproject_msc_spark.operators import bloom as _bloom
+
+        n_bench = bench_ng.count()
+        bits, hashes = _bloom.optimal_geometry(n_bench, bloom_fpp)
+        bf = _bloom.bloom_build(
+            bench_ng, "ng", num_bits=bits, num_hashes=hashes
+        )
+        ngs = word_ngrams(F.col(text_col), n)
+        exploded = docs.select(
+            F.col(id_col),
+            F.size(ngs).cast("long").alias("__total"),
+            F.explode_outer(
+                F.filter(ngs, lambda g: bf.might_contain(g))
+            ).alias("ng"),
+        )
+    else:
+        exploded = docs.select(
+            F.col(id_col),
+            F.explode_outer(word_ngrams(F.col(text_col), n)).alias("ng"),
+        )
     # eval benchmarks are MBs by construction → broadcast; a HOLDOUT
     # SPLIT of the corpus itself (leakage_safe_split) is a constant
     # fraction of the data and must shuffle-hash-join instead
     # (broadcast_benchmark=False) — the bench side is distinct per
     # n-gram, so hot n-grams never multiply rows
     bench_side = F.broadcast(bench_ng) if broadcast_benchmark else bench_ng
-    counted = (
-        exploded.join(bench_side, "ng", "left")
-        .groupBy(id_col)
-        .agg(
+    joined = exploded.join(bench_side, "ng", "left")
+    if bloom_fpp is not None:
+        counted = joined.groupBy(id_col).agg(
+            F.max("__total").alias("n_ngrams"),
+            F.count("__hit").alias("n_matched"),
+        )
+    else:
+        counted = joined.groupBy(id_col).agg(
             F.count("ng").alias("n_ngrams"),
             F.count("__hit").alias("n_matched"),
         )
-    )
     frac = F.col("n_matched").cast("double") / F.greatest(
         F.col("n_ngrams"), F.lit(1)
     ).cast("double")

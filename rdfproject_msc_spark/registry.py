@@ -1982,6 +1982,56 @@ LEFT JOIN counted USING (doc_id)
 """
 
 
+def bloom_decontam(spark, sf_dir):
+    """text_decontaminate's Bloom-pre-filtered twin (operators/bloom.py):
+    a bounded bit array built over the benchmark's n-grams filters each
+    document's n-gram ARRAY scan-side — pure codegen arithmetic on an
+    array literal — BEFORE the explode, so the relation feeding the join
+    shrinks from |corpus n-grams| to |true matches| + ~1% false positives.
+    Zero false negatives by construction and the exact join resolves the
+    FPs, so results are bit-identical to text_decontaminate (same oracle).
+    At 100 TB this is the difference between exploding ~10^12 n-gram rows
+    into a join and exploding only the contaminated sliver; the filter
+    itself is kilobytes, mergeable across benchmark shards, and costs one
+    bounded-size build job."""
+    from rdfproject_msc_spark.operators import decontam
+
+    docs = load_table(spark, sf_dir, "documents").repartition(64)
+    return decontam.ngram_contamination(
+        docs.filter(F.col("doc_id") % 41 != 3),
+        docs.filter(F.col("doc_id") % 41 == 3),
+        n=5,
+        threshold=0.5,
+        bloom_fpp=0.01,
+    )
+
+
+def events_user_reach(spark, sf_dir):
+    """Exact distinct-user reach per event type via Spark's two-level
+    RoaringBitmap aggregate (operators/sketches.py): bucket the id space
+    (bitmap_bucket_number), build one bitmap per (type, bucket) with
+    map-side combine, popcount + sum. Unlike count(DISTINCT), the exchange
+    carries compressed bitmap state bounded by occupied buckets — not one
+    row per (group, value) — and the per-(type, bucket) partials are
+    losslessly OR-mergeable, so daily shards union without re-scanning
+    history (the incremental-statistics contract pinned in
+    tests/test_sketches.py)."""
+    from rdfproject_msc_spark.operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    return sketches.exact_distinct(
+        ev, ["event_type"], "user_id", out_col="n_users"
+    ).orderBy("event_type")
+
+
+EVENTS_USER_REACH_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def text_stats(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return textstats.with_text_stats(docs).select(
@@ -2520,7 +2570,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash": QuerySpec(dedup_minhash, DEDUP_MINHASH_SQL, headline=True),
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL, headline=True),
-    "cosine_neardup": QuerySpec(cosine_neardup, COSINE_NEARDUP_SQL),
+    # cosine_neardup demoted r8 (slot → events_user_reach): the LSH
+    # candidate + exact-cosine family is carried by ann_lsh_topk and
+    # semantic_dedup; oracle kept in tests/test_demoted.py
+    "events_user_reach": QuerySpec(
+        events_user_reach, EVENTS_USER_REACH_SQL, headline=True
+    ),
     # text_tokens demoted r7 (slot → passage_dedup; its family twin
     # text_stats keeps a driver row) — still oracle-checked in
     # tests/test_demoted.py
@@ -2560,7 +2615,12 @@ REGISTRY: dict[str, QuerySpec] = {
     # DISTINCT aggregation, machinery shared with orders_rollup/tpch_q1;
     # pinned in tests/test_demoted.py (HLL error pin already lives in
     # tests/test_registry_extras.py)
-    "customer_running_revenue": QuerySpec(customer_running_revenue, CUSTOMER_RUNNING_REVENUE_SQL),
+    # customer_running_revenue demoted r8 (slot → bloom_decontam): the
+    # running-window surface is carried by events_prev_asof + the batching
+    # window twins; oracle kept in tests/test_demoted.py
+    "bloom_decontam": QuerySpec(
+        bloom_decontam, TEXT_DECONTAMINATE_SQL, headline=True
+    ),
     # r8: events_pivot demoted to tests/test_demoted.py (slot →
     # semantic_dedup — conditional aggregation stays covered by the
     # rollup/percentile rows)

@@ -215,3 +215,21 @@ def test_events_pivot_matches_oracle(spark, sf_dir):
     assert_matches_oracle(
         R.events_pivot(spark, sf_dir), R.EVENTS_PIVOT_SQL, sf_dir
     )
+
+
+def test_cosine_neardup_matches_oracle(spark, sf_dir):
+    """Demoted r8 (slot → events_user_reach): LSH-candidate + exact-cosine
+    near-dup pairs, exact DuckDB oracle with the same inlined planes."""
+    assert_matches_oracle(
+        R.cosine_neardup(spark, sf_dir), R.COSINE_NEARDUP_SQL, sf_dir
+    )
+
+
+def test_customer_running_revenue_matches_oracle(spark, sf_dir):
+    """Demoted r8 (slot → bloom_decontam): per-customer cumulative window
+    total, exact DuckDB window oracle."""
+    assert_matches_oracle(
+        R.customer_running_revenue(spark, sf_dir),
+        R.CUSTOMER_RUNNING_REVENUE_SQL,
+        sf_dir,
+    )

@@ -58,6 +58,7 @@ def ngram_contamination(
     text_col: str = "text",
     broadcast_benchmark: bool = True,
     bloom_fpp: float | None = None,
+    bloom_filter=None,
 ) -> DataFrame:
     """Per-document benchmark-overlap report.
 
@@ -84,14 +85,19 @@ def ngram_contamination(
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
-    if bloom_fpp is not None:
-        from rdfproject_msc_spark.operators import bloom as _bloom
+    use_bloom = bloom_fpp is not None or bloom_filter is not None
+    if use_bloom:
+        if bloom_filter is not None:
+            # prebuilt (streaming reuses ONE build across micro-batches)
+            bf = bloom_filter
+        else:
+            from rdfproject_msc_spark.operators import bloom as _bloom
 
-        n_bench = bench_ng.count()
-        bits, hashes = _bloom.optimal_geometry(n_bench, bloom_fpp)
-        bf = _bloom.bloom_build(
-            bench_ng, "ng", num_bits=bits, num_hashes=hashes
-        )
+            n_bench = bench_ng.count()
+            bits, hashes = _bloom.optimal_geometry(n_bench, bloom_fpp)
+            bf = _bloom.bloom_build(
+                bench_ng, "ng", num_bits=bits, num_hashes=hashes
+            )
         ngs = word_ngrams(F.col(text_col), n)
         exploded = docs.select(
             F.col(id_col),
@@ -112,7 +118,7 @@ def ngram_contamination(
     # n-gram, so hot n-grams never multiply rows
     bench_side = F.broadcast(bench_ng) if broadcast_benchmark else bench_ng
     joined = exploded.join(bench_side, "ng", "left")
-    if bloom_fpp is not None:
+    if use_bloom:
         counted = joined.groupBy(id_col).agg(
             F.max("__total").alias("n_ngrams"),
             F.count("__hit").alias("n_matched"),

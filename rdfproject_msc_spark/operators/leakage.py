@@ -22,6 +22,15 @@ broadcast), the holdout here is a constant FRACTION of the corpus, so
 the n-gram match is a shuffle hash join (``broadcast_benchmark=False``)
 — one extra ng-keyed shuffle of the train n-gram relation; the holdout
 side is distinct per n-gram, so hot n-grams never multiply rows.
+
+``bloom_fpp`` attacks exactly that shuffle: a Bloom filter over the
+HOLDOUT n-grams (operators/bloom.py, bits capped by ``bloom_max_bits``
+because the holdout population scales with the corpus — a saturated
+filter degrades to more false positives, never to wrong results)
+filters each train document's n-gram array scan-side, so the ng-keyed
+exchange carries matches + the FP sliver instead of every train n-gram.
+Results stay bit-identical (no false negatives; the exact join resolves
+FPs).
 """
 
 from __future__ import annotations
@@ -40,6 +49,8 @@ def leakage_safe_split(
     weights: dict[str, float] | None = None,
     n: int = 5,
     threshold: float = 0.5,
+    bloom_fpp: float | None = None,
+    bloom_max_bits: int = 1 << 23,
 ) -> DataFrame:
     """``docs`` + a ``split`` column in {train, train_leaked, val,
     test}: the hash split with train rows contaminating the held-out
@@ -47,6 +58,28 @@ def leakage_safe_split(
     s = with_split(docs, id_col=id_col, weights=weights)
     train = s.filter(F.col("split") == "train").select(id_col, text_col)
     holdout = s.filter(F.col("split") != "train").select(text_col)
+    bf = None
+    if bloom_fpp is not None:
+        from rdfproject_msc_spark.operators import bloom as bloom_mod
+        from rdfproject_msc_spark.operators.decontam import word_ngrams
+
+        holdout_ng = holdout.select(
+            F.explode(word_ngrams(F.col(text_col), n)).alias("ng")
+        ).distinct()
+        import math
+
+        n_holdout = holdout_ng.count()
+        bits, hashes = bloom_mod.optimal_geometry(n_holdout, bloom_fpp)
+        if bits > bloom_max_bits:
+            # capped: re-derive k for the REAL bits/element ratio (the
+            # uncapped k would over-hash a denser filter)
+            bits = bloom_max_bits
+            hashes = max(
+                1, round((bits / max(1, n_holdout)) * math.log(2))
+            )
+        bf = bloom_mod.bloom_build(
+            holdout_ng, "ng", num_bits=bits, num_hashes=hashes
+        )
     report = ngram_contamination(
         train,
         holdout,
@@ -55,6 +88,7 @@ def leakage_safe_split(
         id_col=id_col,
         text_col=text_col,
         broadcast_benchmark=False,
+        bloom_filter=bf,
     )
     leaked = report.filter(F.col("contaminated")).select(
         F.col(id_col), F.lit(True).alias("__leak")

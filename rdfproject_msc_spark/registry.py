@@ -1982,6 +1982,96 @@ LEFT JOIN counted USING (doc_id)
 """
 
 
+def quality_model_filter(spark, sf_dir):
+    """Model-based quality filtering (operators/classify.py): the GPT-3 /
+    CCNet / DCLM curation step — a logistic probe over signed hashed-TF
+    features scores every document's probability of being reference-
+    quality prose vs junk. REFERENCE_MODEL's weights are deterministic
+    literals (fit on the fixed built-in labeled sample by the
+    no-SparkSession local fit; provenance pinned in tests/test_classify.py)
+    so the DuckDB oracle inlines the same numbers. Scoring is JVM-only:
+    hash_embed's two keyed aggregations, then the dot product statically
+    expanded in fixed index order (engine-reproducible float summation)
+    + sigmoid; probabilities round to 6 decimals on BOTH engines before
+    compare/threshold (libm exp may differ in the last ulp)."""
+    from rdfproject_msc_spark.operators.classify import (
+        REFERENCE_MODEL,
+        quality_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").repartition(64)
+    scored = quality_scores(docs, REFERENCE_MODEL)
+    p6 = F.round(F.col("quality_prob"), 6)
+    return scored.select(
+        "doc_id",
+        p6.alias("quality_prob"),
+        (p6 >= F.lit(0.5)).alias("kept"),
+    )
+
+
+def _quality_model_sql() -> str:
+    """DuckDB twin of quality_model_filter: hashvec's exact md5 nibble
+    embedding (idx = hex digits 1-6 mod dim, sign = digit-7 parity,
+    integer TF sums, L2 norm, float32 element rounding via CAST AS
+    FLOAT) composed with the SAME fixed-order dot product + sigmoid."""
+    from rdfproject_msc_spark.operators.classify import REFERENCE_MODEL
+
+    m = REFERENCE_MODEL
+    dim = m.dim
+
+    def hex_val(start: int, n: int) -> str:
+        return " + ".join(
+            f"(strpos('0123456789abcdef', substr(md5(token), {start + i}, 1)) - 1)"
+            f" * {16 ** (n - 1 - i)}"
+            for i in range(n)
+        )
+
+    norm = " + ".join(f"v[{i + 1}] * v[{i + 1}]" for i in range(dim))
+    dot = " + ".join(
+        f"({m.weights[i]!r}) * CAST(e[{i + 1}] AS DOUBLE)"
+        for i in range(dim)
+    )
+    return f"""
+WITH tok AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split(regexp_replace(lower(text),
+                  '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '')) AS token
+    FROM documents
+),
+h AS (
+    SELECT doc_id,
+           CAST(({hex_val(1, 6)}) % {dim} AS BIGINT) AS idx,
+           CASE WHEN ({hex_val(7, 1)}) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sgn
+    FROM tok
+),
+sparse AS (SELECT doc_id, idx, sum(sgn) AS w FROM h GROUP BY doc_id, idx),
+maps AS (SELECT doc_id, map(list(idx), list(w)) AS m FROM sparse GROUP BY doc_id),
+dense AS (
+    SELECT d.doc_id,
+           list_transform(range(0, {dim}),
+                          i -> CAST(coalesce(element_at(m, i)[1], 0.0) AS DOUBLE)) AS v
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN maps USING (doc_id)
+),
+normed AS (SELECT doc_id, v, sqrt({norm}) AS nrm FROM dense),
+emb AS (
+    SELECT doc_id,
+           list_transform(v, x -> CAST(CASE WHEN nrm = 0 THEN 0.0
+                                            ELSE x / nrm END AS FLOAT)) AS e
+    FROM normed
+),
+scored AS (
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(({m.bias!r}) + {dot}))), 6) AS quality_prob
+    FROM emb
+)
+SELECT doc_id, quality_prob, quality_prob >= 0.5 AS kept FROM scored
+"""
+
+
+QUALITY_MODEL_SQL = _quality_model_sql()
+
+
 def bloom_decontam(spark, sf_dir):
     """text_decontaminate's Bloom-pre-filtered twin (operators/bloom.py):
     a bounded bit array built over the benchmark's n-grams filters each
@@ -2603,7 +2693,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "tpch_q5": QuerySpec(tpch_q5, TPCH_Q5_SQL, headline=True),
     "top_orders_per_priority": QuerySpec(top_orders_per_priority, TOP_ORDERS_SQL),
     "orders_rollup": QuerySpec(orders_rollup, ORDERS_ROLLUP_SQL, headline=True),
-    "orders_percentiles": QuerySpec(orders_percentiles, ORDERS_PERCENTILES_SQL),
+    # orders_percentiles demoted r8 (slot → quality_model_filter): exact
+    # percentile_disc surface; oracle kept in tests/test_demoted.py
+    "quality_model_filter": QuerySpec(
+        quality_model_filter, QUALITY_MODEL_SQL, headline=True
+    ),
     # customers_setops demoted r7 (slot → sparql_value_cmp): INTERSECT/
     # EXCEPT surface, still oracle-checked in tests/test_demoted.py
     "sparql_value_cmp": QuerySpec(

@@ -16,6 +16,7 @@ from rdfproject_msc_spark.streaming.events import (  # noqa: F401
 from rdfproject_msc_spark.streaming.documents import (  # noqa: F401
     DOC_SCHEMA,
     curate_documents,
+    decontaminate_stream,
     read_documents_stream,
     stage_documents_dir,
 )

@@ -59,6 +59,72 @@ def read_documents_stream(
     return reader.parquet(docs_dir)
 
 
+def decontaminate_stream(
+    docs: DataFrame,
+    bench: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    n: int = 5,
+    threshold: float = 0.5,
+    bloom_fpp: float | None = 0.01,
+):
+    """Streaming benchmark decontamination: flag arriving documents whose
+    word n-grams overlap a STATIC benchmark set (operators/decontam.py),
+    exactly and incrementally.
+
+    Why ``foreachBatch`` and not a streaming aggregation: contamination is
+    a PER-DOCUMENT property against a static reference — each document
+    arrives in exactly one micro-batch and its verdict never depends on
+    other batches, so running the batch operator on each micro-batch is
+    exact with ZERO cross-batch state (no watermark, no state store).
+    A streaming groupBy(doc_id) would hold unbounded per-doc state for
+    semantics that need none.
+
+    The Bloom pre-filter (operators/bloom.py) builds ONCE from the
+    benchmark up front — a bounded job — and its literal-array probe is
+    embedded in every micro-batch plan, so steady-state per-batch cost is
+    one scan of the NEW documents, a filtered explode over bloom
+    survivors, and one broadcast join against the benchmark n-grams.
+    Exactly-once via the parquet sink + checkpoint; ``availableNow``
+    drains the staged input (production: a processing-time trigger).
+    Returns the finished StreamingQuery (recentProgress carries per-batch
+    row counts for observability)."""
+    from rdfproject_msc_spark.operators import bloom as bloom_mod
+    from rdfproject_msc_spark.operators import decontam
+
+    bf = None
+    if bloom_fpp is not None:
+        bench_ng = bench.select(
+            F.explode(decontam.word_ngrams(F.col("text"), n)).alias("ng")
+        ).distinct()
+        bits, hashes = bloom_mod.optimal_geometry(
+            bench_ng.count(), bloom_fpp
+        )
+        bf = bloom_mod.bloom_build(
+            bench_ng, "ng", num_bits=bits, num_hashes=hashes
+        )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        report = decontam.ngram_contamination(
+            batch_df,
+            bench,
+            n=n,
+            threshold=threshold,
+            bloom_filter=bf,
+        )
+        report.write.mode("append").parquet(out_dir)
+
+    q = (
+        docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def curate_documents(docs: DataFrame, min_quality: float = 0.5) -> DataFrame:
     """Stateless curation: clean + redact, score, count tokens, keep docs at
     or above the quality bar. Works identically on a batch DataFrame and a

@@ -233,3 +233,11 @@ def test_customer_running_revenue_matches_oracle(spark, sf_dir):
         R.CUSTOMER_RUNNING_REVENUE_SQL,
         sf_dir,
     )
+
+
+def test_orders_percentiles_matches_oracle(spark, sf_dir):
+    """Demoted r8 (slot → quality_model_filter): exact percentile_disc
+    aggregation, exact DuckDB oracle."""
+    assert_matches_oracle(
+        R.orders_percentiles(spark, sf_dir), R.ORDERS_PERCENTILES_SQL, sf_dir
+    )

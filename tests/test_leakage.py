@@ -111,3 +111,28 @@ def test_holdout_join_is_not_broadcast(spark, sf_dir):
     # broadcast HINT forced it — read the analyzed plan instead
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in analyzed
+
+
+def test_leakage_bloom_path_bit_identical(spark, sf_dir):
+    """bloom_fpp pre-filters the train n-gram arrays scan-side before the
+    holdout shuffle join; no false negatives + exact survivor join ⇒ the
+    split labels are bit-identical to the unfiltered path."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plain = leakage_safe_split(docs, n=3)
+    bloomed = leakage_safe_split(docs, n=3, bloom_fpp=0.01)
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, bloomed.collect())
+    )
+
+
+def test_leakage_bloom_cap_rederives_hash_count(spark):
+    """When the holdout population forces the bits cap, k must be
+    re-derived for the real density — a saturated filter with the
+    uncapped k would over-hash. Results stay identical either way."""
+    rows = [(i, f"alpha beta gamma delta token{i} omega end{i}") for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    plain = leakage_safe_split(docs, n=3)
+    capped = leakage_safe_split(docs, n=3, bloom_fpp=0.01, bloom_max_bits=256)
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, capped.collect())
+    )

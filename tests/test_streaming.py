@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from rdfproject_msc_spark import streaming as S
+from rdfproject_msc_spark.operators.decontam import ngram_contamination
 from rdfproject_msc_spark.sources.tables import load_table
 
 
@@ -679,3 +680,36 @@ def test_sparql_stream_delta_equals_batch(spark, sf_dir, tmp_path):
         dictionary=d,
     )
     assert ok.isStreaming
+
+
+def test_decontaminate_stream_equals_batch(spark, sf_dir, tmp_path_factory):
+    """Streaming benchmark decontamination (r8): documents arriving over
+    multiple micro-batches get EXACTLY the batch verdicts — contamination
+    is per-document vs a static benchmark, so foreachBatch runs the exact
+    operator with zero cross-batch state, and the Bloom pre-filter builds
+    once up front and is reused by every micro-batch plan."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 41 == 3)
+    corpus = docs.filter(F.col("doc_id") % 41 != 3)
+
+    base = tmp_path_factory.mktemp("decontam_stream")
+    corpus_dir = str(base / "corpus")
+    corpus.repartition(4).write.parquet(corpus_dir)
+    out_dir = str(base / "report")
+    stream = S.read_documents_stream(spark, corpus_dir, max_files_per_trigger=1)
+    q = S.decontaminate_stream(
+        stream, bench, out_dir, str(base / "ckpt"), n=3, threshold=0.5
+    )
+    # genuinely incremental: the drain ran more than one micro-batch
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) > 1
+
+    got = spark.read.parquet(out_dir)
+    want = ngram_contamination(corpus, bench, n=3, threshold=0.5)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # sf0.001 is below the threshold-firing scale (the flag is
+    # load-bearing at sf0.01 — registry note); pin on real overlap instead
+    assert got.filter(F.col("n_matched") > 0).count() > 0

@@ -69,6 +69,16 @@ FAMILY = [
     # r8: SemDeDup — the within-cluster quadratic must stay bounded by
     # cluster size (plan shape: cluster-keyed self-join, no cartesian)
     "semantic_dedup",
+    # r8: Bloom pre-filtered decontamination (the explode feeds only
+    # bloom survivors — must track text_decontaminate's shape with a
+    # smaller join input) and bitmap distinct reach (state bounded by
+    # occupied buckets, two map-side-combined aggs)
+    "bloom_decontam",
+    "events_user_reach",
+    # r8: model-based quality scoring — hash_embed's two keyed aggs plus
+    # a statically-expanded 64-term dot product (scan-CPU-bound; must
+    # stay Python-free and shuffle-count-stable)
+    "quality_model_filter",
 ]
 
 def _passage_dedup_k32(spark, sf_dir):
@@ -103,10 +113,34 @@ def _semantic_dedup_kscaled(spark, sf_dir):
     )
 
 
+def _leakage_split(spark, sf_dir):
+    """The ≈linear-by-construction shuffle-join shape (SCALE.md r7 row):
+    both sides of the n-gram join grow with the corpus."""
+    from rdfproject_msc_spark.operators.leakage import leakage_safe_split
+    from rdfproject_msc_spark.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return leakage_safe_split(docs.repartition(64), n=5)
+
+
+def _leakage_split_bloom(spark, sf_dir):
+    """The same split with the r8 Bloom pre-filter: the train-side
+    n-gram exchange carries matches + the FP sliver instead of every
+    train n-gram — the regime the Bloom filter exists for (contrast
+    bloom_decontam, whose join was already broadcast)."""
+    from rdfproject_msc_spark.operators.leakage import leakage_safe_split
+    from rdfproject_msc_spark.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return leakage_safe_split(docs.repartition(64), n=5, bloom_fpp=0.01)
+
+
 # parameter variants probed alongside the registry entries
 EXTRAS = {
     "passage_dedup_k32": _passage_dedup_k32,
     "semantic_dedup_kscaled": _semantic_dedup_kscaled,
+    "leakage_split": _leakage_split,
+    "leakage_split_bloom": _leakage_split_bloom,
 }
 
 TABLES = [
@@ -192,12 +226,23 @@ def _plan_shape(df) -> tuple[str, str]:
     return pruning, json.dumps(tally, sort_keys=True)
 
 
+def _evaluate(df) -> None:
+    """Force FULL evaluation: a noop-format write materializes every
+    output column. count() — the harness action through r7 — let
+    Catalyst prune projection-only work entirely (quality_model_filter
+    'scaled' 0.75× at 10× because the 64-term dot product was never
+    evaluated; leakage_safe_split's flagged-join stage collapsed the
+    same way), quietly flattering exactly the scan-CPU-bound shapes the
+    probe exists to stress."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def _time_best(df, reps: int = 3) -> float:
-    df.count()  # warm-up: analysis + codegen + page cache
+    _evaluate(df)  # warm-up: analysis + codegen + page cache
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        df.count()
+        _evaluate(df)
         best = min(best, time.perf_counter() - t0)
     return best
 

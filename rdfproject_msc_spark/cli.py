@@ -109,7 +109,47 @@ def main(argv: list[str] | None = None) -> int:
     p_split.add_argument("--out", required=True)
     p_split.add_argument("--ngram", type=int, default=5)
     p_split.add_argument("--threshold", type=float, default=0.5)
+    p_split.add_argument(
+        "--bloom-fpp",
+        type=float,
+        default=None,
+        help="Bloom-pre-filter the train-side n-gram shuffle at this "
+        "false-positive rate (results identical; see operators/bloom.py)",
+    )
     p_split.add_argument("--cpus", type=int, default=None)
+
+    p_dec = sub.add_parser(
+        "decontaminate",
+        help="benchmark decontamination report over a documents parquet "
+        "(n-gram overlap vs an eval set; optional Bloom pre-filter)",
+    )
+    p_dec.add_argument("--docs", required=True)
+    p_dec.add_argument("--benchmark", required=True)
+    p_dec.add_argument("--out", required=True)
+    p_dec.add_argument("--ngram", type=int, default=5)
+    p_dec.add_argument("--threshold", type=float, default=0.5)
+    p_dec.add_argument("--bloom-fpp", type=float, default=None)
+    p_dec.add_argument("--cpus", type=int, default=None)
+
+    p_q = sub.add_parser(
+        "quality",
+        help="model-based quality scoring (logistic probe over hashed-TF "
+        "features); default model is the built-in reference classifier, "
+        "or fit one from --labeled (parquet with doc_id/text/label)",
+    )
+    p_q.add_argument("--docs", required=True)
+    p_q.add_argument("--out", required=True)
+    p_q.add_argument(
+        "--labeled",
+        default=None,
+        help="labeled parquet to fit a model from (else REFERENCE_MODEL)",
+    )
+    p_q.add_argument("--threshold", type=float, default=0.5)
+    p_q.add_argument(
+        "--keep-only", action="store_true",
+        help="write only rows at/above the threshold",
+    )
+    p_q.add_argument("--cpus", type=int, default=None)
 
     p_pdedup = sub.add_parser(
         "dedup-passages",
@@ -146,6 +186,22 @@ def main(argv: list[str] | None = None) -> int:
     p_prep.add_argument("--overlap", type=int, default=0)
     p_prep.add_argument("--pack-budget", type=int, default=2048)
     p_prep.add_argument("--cpus", type=int, default=None)
+
+    p_sel = sub.add_parser(
+        "select",
+        help="budgeted data selection: keep the highest-quality documents "
+        "whose cumulative token count fits a training budget",
+    )
+    p_sel.add_argument("--docs", required=True)
+    p_sel.add_argument("--out", required=True)
+    p_sel.add_argument("--budget", type=int, required=True,
+                       help="token budget")
+    p_sel.add_argument("--labeled", default=None,
+                       help="labeled parquet to fit the scorer from "
+                       "(else the built-in reference classifier)")
+    p_sel.add_argument("--keep-only", action="store_true",
+                       help="write only the selected prefix")
+    p_sel.add_argument("--cpus", type=int, default=None)
 
     p_srch = sub.add_parser(
         "search",
@@ -241,7 +297,10 @@ def main(argv: list[str] | None = None) -> int:
         spark = _spark(args.cpus)
         docs = spark.read.parquet(args.docs)
         out = leakage_safe_split(
-            docs, n=args.ngram, threshold=args.threshold
+            docs,
+            n=args.ngram,
+            threshold=args.threshold,
+            bloom_fpp=args.bloom_fpp,
         )
         out.write.mode("overwrite").partitionBy("split").parquet(args.out)
         stats = {
@@ -252,6 +311,103 @@ def main(argv: list[str] | None = None) -> int:
             .collect()
         }
         print(f"split sizes: {stats} ({args.out})")
+        return 0
+
+    if args.command == "decontaminate":
+        from pyspark.sql import functions as F
+
+        from rdfproject_msc_spark.operators.decontam import (
+            ngram_contamination,
+        )
+
+        spark = _spark(args.cpus)
+        docs = spark.read.parquet(args.docs)
+        bench = spark.read.parquet(args.benchmark)
+        report = ngram_contamination(
+            docs,
+            bench,
+            n=args.ngram,
+            threshold=args.threshold,
+            bloom_fpp=args.bloom_fpp,
+        )
+        report.write.mode("overwrite").parquet(args.out)
+        flagged = (
+            spark.read.parquet(args.out).filter(F.col("contaminated")).count()
+        )
+        total = docs.count()
+        print(f"decontaminate: {flagged}/{total} flagged ({args.out})")
+        return 0
+
+    if args.command == "quality":
+        from pyspark.sql import functions as F
+
+        from rdfproject_msc_spark.operators.classify import (
+            REFERENCE_MODEL,
+            fit_quality_classifier,
+            quality_scores,
+        )
+
+        spark = _spark(args.cpus)
+        docs = spark.read.parquet(args.docs)
+        if args.labeled:
+            model = fit_quality_classifier(spark.read.parquet(args.labeled))
+        else:
+            model = REFERENCE_MODEL
+        scored = quality_scores(docs, model, threshold=args.threshold)
+        if args.keep_only:
+            scored = scored.filter(F.col("kept"))
+        scored.write.mode("overwrite").parquet(args.out)
+        stats = (
+            spark.read.parquet(args.out)
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("kept").cast("long")).alias("kept"),
+            )
+            .collect()[0]
+        )
+        print(
+            f"quality: {stats['kept']}/{stats['n']} at/above "
+            f"{args.threshold} ({args.out})"
+        )
+        return 0
+
+    if args.command == "select":
+        from pyspark.sql import functions as F
+
+        from rdfproject_msc_spark.operators.classify import (
+            REFERENCE_MODEL,
+            fit_quality_classifier,
+        )
+        from rdfproject_msc_spark.operators.selection import (
+            select_quality_budget,
+        )
+
+        spark = _spark(args.cpus)
+        docs = spark.read.parquet(args.docs)
+        model = (
+            fit_quality_classifier(spark.read.parquet(args.labeled))
+            if args.labeled
+            else REFERENCE_MODEL
+        )
+        out = select_quality_budget(docs, model, args.budget)
+        if args.keep_only:
+            out = out.filter(F.col("selected"))
+        out.write.mode("overwrite").parquet(args.out)
+        stats = (
+            spark.read.parquet(args.out)
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("selected").cast("long")).alias("sel"),
+                F.max(F.when(F.col("selected"), F.col("cum_tokens"))).alias(
+                    "spent"
+                ),
+            )
+            .collect()[0]
+        )
+        print(
+            f"select: {stats['sel']}/{stats['n']} documents, "
+            f"{stats['spent']}/{args.budget} tokens ({args.out})"
+        )
         return 0
 
     if args.command == "dedup-passages":

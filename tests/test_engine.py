@@ -180,3 +180,67 @@ def test_cli_split_and_dedup_passages(spark, sf_dir, tmp_path_factory, capsys):
         .collect()[0]["d"]
     )
     assert dropped > 0
+
+
+def test_cli_quality_and_decontaminate(spark, sf_dir, tmp_path_factory, capsys):
+    """The r8 pipeline subcommands end-to-end: model-based quality scoring
+    with the built-in reference classifier (and --keep-only filtering),
+    and the standalone decontamination report with the Bloom pre-filter
+    producing the same flags as the plain path."""
+    import pyspark.sql.functions as F
+
+    from rdfproject_msc_spark.cli import main
+    from rdfproject_msc_spark.sources.tables import load_table
+
+    base = tmp_path_factory.mktemp("cli_r8")
+    docs_path = str(base / "docs")
+    bench_path = str(base / "bench")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") % 41 != 3).write.parquet(docs_path)
+    docs.filter(F.col("doc_id") % 41 == 3).write.parquet(bench_path)
+
+    out_q = str(base / "scored")
+    rc = main(["quality", "--docs", docs_path, "--out", out_q])
+    assert rc == 0
+    assert "quality:" in capsys.readouterr().out
+    scored = spark.read.parquet(out_q)
+    assert scored.count() == spark.read.parquet(docs_path).count()
+    assert {"doc_id", "quality_prob", "kept"} <= set(scored.columns)
+
+    out_d = str(base / "report")
+    rc = main(
+        ["decontaminate", "--docs", docs_path, "--benchmark", bench_path,
+         "--out", out_d, "--ngram", "3", "--bloom-fpp", "0.01"]
+    )
+    assert rc == 0
+    assert "decontaminate:" in capsys.readouterr().out
+    got = spark.read.parquet(out_d)
+    assert got.filter(F.col("n_matched") > 0).count() > 0
+
+    out_s = str(base / "split_bloom")
+    rc = main(
+        ["split", "--docs", docs_path, "--out", out_s, "--bloom-fpp", "0.01"]
+    )
+    assert rc == 0
+    assert "split sizes" in capsys.readouterr().out
+
+
+def test_cli_select_budget(spark, sf_dir, tmp_path_factory, capsys):
+    """r8 budgeted selection end-to-end: score with the reference
+    classifier, keep the greedy prefix that fits the token budget."""
+    import pyspark.sql.functions as F
+
+    from rdfproject_msc_spark.cli import main
+    from rdfproject_msc_spark.sources.tables import load_table
+
+    base = tmp_path_factory.mktemp("cli_sel")
+    docs_path = str(base / "docs")
+    load_table(spark, sf_dir, "documents").write.parquet(docs_path)
+    out = str(base / "selected")
+    rc = main(["select", "--docs", docs_path, "--out", out,
+               "--budget", "5000", "--keep-only"])
+    assert rc == 0
+    assert "select:" in capsys.readouterr().out
+    sel = spark.read.parquet(out)
+    assert sel.count() > 0
+    assert sel.agg(F.max("cum_tokens")).collect()[0][0] <= 5000

@@ -136,11 +136,26 @@ def _leakage_split_bloom(spark, sf_dir):
 
 
 # parameter variants probed alongside the registry entries
+def _select_budget(spark, sf_dir):
+    """Budgeted selection (r8): global (score DESC, id) prefix sum via
+    range partitioning + the two-phase pattern — the shape that must
+    NOT collapse to a single-partition window as the corpus grows."""
+    from rdfproject_msc_spark.operators.classify import REFERENCE_MODEL
+    from rdfproject_msc_spark.operators.selection import (
+        select_quality_budget,
+    )
+    from rdfproject_msc_spark.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").repartition(64)
+    return select_quality_budget(docs, REFERENCE_MODEL, budget=100_000)
+
+
 EXTRAS = {
     "passage_dedup_k32": _passage_dedup_k32,
     "semantic_dedup_kscaled": _semantic_dedup_kscaled,
     "leakage_split": _leakage_split,
     "leakage_split_bloom": _leakage_split_bloom,
+    "select_budget": _select_budget,
 }
 
 TABLES = [

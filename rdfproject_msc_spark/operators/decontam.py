@@ -69,14 +69,24 @@ def ngram_contamination(
 
     ``bloom_fpp`` switches on the Bloom pre-filter path: a bounded bit
     array is built over the benchmark's n-grams (operators/bloom.py, one
-    extra bounded-size job) and each document's n-gram ARRAY is filtered
-    through it BEFORE the explode — codegen'd arithmetic on the scan, no
-    join. At 100 TB this shrinks the exploded relation feeding the join
-    from |corpus n-grams| to |true matches| + the chosen false-positive
-    sliver (~fpp · |corpus n-grams|), while the per-document totals are
-    taken from ``size()`` of the pre-filter array so results are
-    BIT-IDENTICAL to the join-only plan: the filter has no false
-    negatives, and false positives fail the exact join that follows.
+    extra bounded-size job) and the probe runs as a codegen filter in the
+    SAME stage as the explode — rows are discarded in the generate
+    pipeline before they ever reach an exchange. At 100 TB this shrinks
+    the relation feeding the join from |corpus n-grams| to |true matches|
+    + the chosen false-positive sliver (~fpp · |corpus n-grams|), and
+    results are BIT-IDENTICAL to the join-only plan: the filter has no
+    false negatives, and false positives fail the exact join that follows.
+
+    Physical shape (deliberate): ``posexplode`` of the n-gram array with
+    one appended NULL sentinel, then ``isnull(ng) OR might_contain(ng)``.
+    The sentinel's 0-based position IS the document's total n-gram count,
+    so no ``size()`` column rides along — the earlier formulation
+    (``size(ngs)`` next to a higher-order ``filter(ngs, bloom)`` in one
+    projection) made Catalyst inline the whole n-gram pipeline into both
+    expressions and went ~14× slower at 10× scale; probing per exploded
+    row keeps each n-gram hashed exactly twice (Kirsch-Mitzenmacher) in
+    one whole-stage-codegen pass. The sentinel also restores the
+    ``explode_outer`` guarantee that zero-n-gram documents keep a row.
     """
     bench_ng = (
         benchmark.select(
@@ -99,13 +109,11 @@ def ngram_contamination(
                 bench_ng, "ng", num_bits=bits, num_hashes=hashes
             )
         ngs = word_ngrams(F.col(text_col), n)
+        sentineled = F.concat(ngs, F.array(F.lit(None).cast("string")))
         exploded = docs.select(
             F.col(id_col),
-            F.size(ngs).cast("long").alias("__total"),
-            F.explode_outer(
-                F.filter(ngs, lambda g: bf.might_contain(g))
-            ).alias("ng"),
-        )
+            F.posexplode(sentineled).alias("__pos", "ng"),
+        ).filter(F.col("ng").isNull() | bf.might_contain(F.col("ng")))
     else:
         exploded = docs.select(
             F.col(id_col),
@@ -119,8 +127,12 @@ def ngram_contamination(
     bench_side = F.broadcast(bench_ng) if broadcast_benchmark else bench_ng
     joined = exploded.join(bench_side, "ng", "left")
     if use_bloom:
+        # every doc keeps exactly one NULL-sentinel row whose position is
+        # its total n-gram count (the sentinel never matches the join)
         counted = joined.groupBy(id_col).agg(
-            F.max("__total").alias("n_ngrams"),
+            F.max(
+                F.when(F.col("ng").isNull(), F.col("__pos"))
+            ).cast("long").alias("n_ngrams"),
             F.count("__hit").alias("n_matched"),
         )
     else:

@@ -118,5 +118,14 @@ def test_bloom_decontam_plan_shape(decontam_pair):
     # the pre-filter adds NO exchange and keeps everything JVM-side
     assert p_bloom.count("Exchange") == p_plain.count("Exchange")
     assert "Python" not in p_bloom
-    # still exactly one corpus-side explode, fed by the filtered array
-    assert "Generate explode" in p_bloom
+    # corpus side: posexplode with the NULL sentinel, probed by a plain
+    # codegen Filter ABOVE the generate (same stage, pre-shuffle) — NOT a
+    # higher-order filter(ngs, ...) lambda sharing a projection with
+    # size(ngs), the shape measured ~14x slower at 10x scale
+    assert "Generate posexplode" in p_bloom
+    assert "isnull(ng" in p_bloom  # sentinel kept by the probe filter
+    # the probe (its xxhash64 position hashes) must not be evaluated
+    # inside the generator's input expression — only in the Filter above
+    for line in p_bloom.splitlines():
+        if "Generate posexplode" in line:
+            assert "xxhash64" not in line

@@ -203,6 +203,24 @@ def main(argv: list[str] | None = None) -> int:
                        help="write only the selected prefix")
     p_sel.add_argument("--cpus", type=int, default=None)
 
+    p_dsir = sub.add_parser(
+        "dsir",
+        help="DSIR importance selection: keep the k raw documents that "
+        "look most like a target corpus (hashed n-gram LM ratio, "
+        "Gumbel-top-k resampling)",
+    )
+    p_dsir.add_argument("--raw", required=True, help="raw corpus parquet")
+    p_dsir.add_argument("--target", required=True, help="target corpus parquet")
+    p_dsir.add_argument("--out", required=True)
+    p_dsir.add_argument("--k", type=int, required=True)
+    p_dsir.add_argument("--buckets", type=int, default=10_000)
+    p_dsir.add_argument(
+        "--argmax",
+        action="store_true",
+        help="deterministic top-k by weight instead of the Gumbel sample",
+    )
+    p_dsir.add_argument("--cpus", type=int, default=None)
+
     p_srch = sub.add_parser(
         "search",
         help="BM25 lexical top-k over a documents parquet "
@@ -369,6 +387,22 @@ def main(argv: list[str] | None = None) -> int:
             f"quality: {stats['kept']}/{stats['n']} at/above "
             f"{args.threshold} ({args.out})"
         )
+        return 0
+
+    if args.command == "dsir":
+        from rdfproject_msc_spark.operators.dsir import dsir_select
+
+        spark = _spark(args.cpus)
+        out = dsir_select(
+            spark.read.parquet(args.raw),
+            spark.read.parquet(args.target),
+            args.k,
+            n_buckets=args.buckets,
+            temperature=None if args.argmax else 1.0,
+        )
+        out.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(f"selected {n} documents to {args.out}")
         return 0
 
     if args.command == "select":

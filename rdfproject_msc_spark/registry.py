@@ -2096,6 +2096,78 @@ def bloom_decontam(spark, sf_dir):
     )
 
 
+DSIR_N_BUCKETS = 2048
+
+
+def dsir_weights(spark, sf_dir):
+    """DSIR importance weights (operators/dsir.py; Xie et al., NeurIPS
+    2023): score every raw document by a log ratio of two hashed
+    unigram+bigram bag LMs — target-like corpora up-weighted, generic
+    text down. The model is a BOUNDED (bucket, log_ratio) table fit with
+    two map-side-combined aggregations onto ≤ n_buckets keys, broadcast
+    to the scoring join; the corpus is never shuffled by feature — its
+    only exchange is the doc-keyed sum. md5-nibble bucket hashing keeps
+    the DuckDB twin exact; log_weight rounds to 6dp on both sides (the
+    per-doc sum order differs across engines at the last ulp)."""
+    from rdfproject_msc_spark.operators import dsir
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 13 == 0)
+    raw = docs.filter(F.col("doc_id") % 13 != 0)
+    w = dsir.dsir_weights(raw, target, n_buckets=DSIR_N_BUCKETS)
+    return w.select(
+        "doc_id",
+        "n_feats",
+        F.round("log_weight", 6).alias("log_weight"),
+    ).orderBy("doc_id")
+
+
+def _dsir_weights_sql() -> str:
+    n = DSIR_N_BUCKETS
+    bucket = f"({_hex6_sql(1, 'md5(feat)')}) % {n}"
+    return f"""
+WITH tok AS (
+    SELECT doc_id, (doc_id % 13 = 0) AS is_target,
+           list_filter(string_split(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS toks
+    FROM documents
+),
+feats AS (
+    SELECT doc_id, is_target, unnest(toks) AS feat FROM tok
+    UNION ALL
+    SELECT doc_id, is_target,
+           unnest(list_transform(range(1, len(toks)),
+                  i -> toks[i] || ' ' || toks[i + 1])) AS feat
+    FROM tok
+),
+bucketed AS (SELECT doc_id, is_target, {bucket} AS bucket FROM feats),
+p AS (SELECT bucket, count(*) AS c FROM bucketed WHERE is_target GROUP BY 1),
+q AS (SELECT bucket, count(*) AS c FROM bucketed WHERE NOT is_target GROUP BY 1),
+pt AS (SELECT coalesce(sum(c), 0) + 1.0 * {n} AS d FROM p),
+qt AS (SELECT coalesce(sum(c), 0) + 1.0 * {n} AS d FROM q),
+ratios AS (
+    SELECT b.range AS bucket,
+           ln((coalesce(p.c, 0) + 1.0) / (SELECT d FROM pt))
+         - ln((coalesce(q.c, 0) + 1.0) / (SELECT d FROM qt)) AS lr
+    FROM range({n}) b
+    LEFT JOIN p ON p.bucket = b.range
+    LEFT JOIN q ON q.bucket = b.range
+),
+doc_w AS (
+    SELECT f.doc_id, count(*) AS n_feats, sum(r.lr) AS log_weight
+    FROM bucketed f JOIN ratios r USING (bucket)
+    WHERE NOT f.is_target
+    GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(w.n_feats, 0) AS n_feats,
+       round(coalesce(w.log_weight, 0.0), 6) AS log_weight
+FROM (SELECT doc_id FROM documents WHERE doc_id % 13 <> 0) d
+LEFT JOIN doc_w w USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def events_user_reach(spark, sf_dir):
     """Exact distinct-user reach per event type via Spark's two-level
     RoaringBitmap aggregate (operators/sketches.py): bucket the id space
@@ -2345,6 +2417,8 @@ def _hex6_sql(start: int, src: str = "md5(CAST(doc_id AS VARCHAR))") -> str:
     )
     return f"({terms})"
 
+
+DSIR_WEIGHTS_SQL = _dsir_weights_sql()
 
 DOCS_QUOTA_N = 50
 
@@ -2691,7 +2765,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "tpch_q1": QuerySpec(tpch_q1, TPCH_Q1_SQL, headline=True),
     "tpch_q3": QuerySpec(tpch_q3, TPCH_Q3_SQL, headline=True),
     "tpch_q5": QuerySpec(tpch_q5, TPCH_Q5_SQL, headline=True),
-    "top_orders_per_priority": QuerySpec(top_orders_per_priority, TOP_ORDERS_SQL),
+    # top_orders_per_priority demoted r8 (slot → dsir_weights): the salted
+    # two-stage top-N machinery (operators/topn.py) stays driver-checked
+    # via docs_quota_sample; oracle kept in tests/test_demoted.py
+    "dsir_weights": QuerySpec(dsir_weights, DSIR_WEIGHTS_SQL, headline=True),
     "orders_rollup": QuerySpec(orders_rollup, ORDERS_ROLLUP_SQL, headline=True),
     # orders_percentiles demoted r8 (slot → quality_model_filter): exact
     # percentile_disc surface; oracle kept in tests/test_demoted.py

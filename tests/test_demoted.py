@@ -241,3 +241,12 @@ def test_orders_percentiles_matches_oracle(spark, sf_dir):
     assert_matches_oracle(
         R.orders_percentiles(spark, sf_dir), R.ORDERS_PERCENTILES_SQL, sf_dir
     )
+
+
+def test_top_orders_per_priority_matches_oracle(spark, sf_dir):
+    """Demoted r8 (slot → dsir_weights): salted exact top-N per group —
+    the operators/topn.py machinery stays driver-checked via
+    docs_quota_sample (the quota variant of the same salted windows)."""
+    assert_matches_oracle(
+        R.top_orders_per_priority(spark, sf_dir), R.TOP_ORDERS_SQL, sf_dir
+    )

@@ -244,3 +244,27 @@ def test_cli_select_budget(spark, sf_dir, tmp_path_factory, capsys):
     sel = spark.read.parquet(out)
     assert sel.count() > 0
     assert sel.agg(F.max("cum_tokens")).collect()[0][0] <= 5000
+
+
+def test_cli_dsir(spark, sf_dir, tmp_path_factory, capsys):
+    """r8 DSIR selection end-to-end: hashed n-gram importance sample of
+    the raw corpus toward a target corpus."""
+    import pyspark.sql.functions as F
+
+    from rdfproject_msc_spark.cli import main
+    from rdfproject_msc_spark.sources.tables import load_table
+
+    base = tmp_path_factory.mktemp("cli_dsir")
+    docs = load_table(spark, sf_dir, "documents")
+    raw_path = str(base / "raw")
+    tgt_path = str(base / "target")
+    docs.filter(F.col("doc_id") % 13 != 0).write.parquet(raw_path)
+    docs.filter(F.col("doc_id") % 13 == 0).write.parquet(tgt_path)
+    out = str(base / "selected")
+    rc = main(["dsir", "--raw", raw_path, "--target", tgt_path,
+               "--out", out, "--k", "10", "--buckets", "512"])
+    assert rc == 0
+    assert "selected 10 documents" in capsys.readouterr().out
+    sel = spark.read.parquet(out)
+    assert sel.count() == 10
+    assert set(sel.columns) == {"doc_id", "n_feats", "log_weight", "select_key"}

@@ -79,6 +79,10 @@ FAMILY = [
     # a statically-expanded 64-term dot product (scan-CPU-bound; must
     # stay Python-free and shuffle-count-stable)
     "quality_model_filter",
+    # r8: DSIR — bounded log-ratio model broadcast to the scoring join;
+    # the corpus-side exchange is ONLY the doc-keyed sum (near-linear
+    # scan-bound fit is expected; the plan shape must not change)
+    "dsir_weights",
 ]
 
 def _passage_dedup_k32(spark, sf_dir):

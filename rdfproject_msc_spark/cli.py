@@ -203,6 +203,20 @@ def main(argv: list[str] | None = None) -> int:
                        help="write only the selected prefix")
     p_sel.add_argument("--cpus", type=int, default=None)
 
+    p_exp = sub.add_parser(
+        "export",
+        help="export a curated corpus as shuffled training shards "
+        "(deterministic epoch permutation, row-count manifest)",
+    )
+    p_exp.add_argument("--docs", required=True)
+    p_exp.add_argument("--out", required=True)
+    p_exp.add_argument("--shards", type=int, required=True)
+    p_exp.add_argument("--seed", type=int, default=0,
+                       help="epoch seed: new seed = fresh permutation")
+    p_exp.add_argument("--fmt", choices=["json", "parquet"], default="json")
+    p_exp.add_argument("--id-col", default="doc_id")
+    p_exp.add_argument("--cpus", type=int, default=None)
+
     p_dsir = sub.add_parser(
         "dsir",
         help="DSIR importance selection: keep the k raw documents that "
@@ -386,6 +400,26 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"quality: {stats['kept']}/{stats['n']} at/above "
             f"{args.threshold} ({args.out})"
+        )
+        return 0
+
+    if args.command == "export":
+        from rdfproject_msc_spark.sources.export import write_training_shards
+
+        spark = _spark(args.cpus)
+        manifest = write_training_shards(
+            spark.read.parquet(args.docs),
+            args.out,
+            args.shards,
+            id_col=args.id_col,
+            seed=args.seed,
+            fmt=args.fmt,
+        )
+        rows = manifest.collect()
+        total = sum(r["n_rows"] for r in rows)
+        print(
+            f"exported {total} rows to {args.out} in {len(rows)} shards "
+            f"(fmt={args.fmt}, seed={args.seed})"
         )
         return 0
 

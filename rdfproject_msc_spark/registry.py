@@ -2111,7 +2111,10 @@ def dsir_weights(spark, sf_dir):
     per-doc sum order differs across engines at the last ulp)."""
     from rdfproject_msc_spark.operators import dsir
 
-    docs = load_table(spark, sf_dir, "documents")
+    # the feature explode multiplies rows ~10^3; split the scan so it
+    # parallelizes even when the corpus arrives as one fat file (at
+    # cluster scale the reader's split planning does this for free)
+    docs = load_table(spark, sf_dir, "documents").repartition(64)
     target = docs.filter(F.col("doc_id") % 13 == 0)
     raw = docs.filter(F.col("doc_id") % 13 != 0)
     w = dsir.dsir_weights(raw, target, n_buckets=DSIR_N_BUCKETS)

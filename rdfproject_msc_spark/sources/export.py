@@ -1,0 +1,132 @@
+"""Training-data export sink: deterministic epoch shuffle, size-balanced
+shard assignment, JSONL or Parquet shard files, and a row-count manifest.
+
+The last step of a curation pipeline hands the corpus to a trainer, which
+wants (a) documents in a RANDOM order that is nevertheless reproducible —
+re-exporting the same corpus yields byte-identical shards, so checkpoints
+and data ablations line up; (b) shards of roughly equal row counts so data
+loaders stripe evenly across workers; (c) a manifest recording exactly what
+each shard holds, so a resumed/partial read can be audited.
+
+Design (all deterministic, no RNG state):
+- The shuffle key is md5(seed || id) — the same cross-engine nibble
+  arithmetic as operators/sampling.py, so the order is reproducible from
+  (corpus, seed) alone and changing the seed is a fresh epoch permutation.
+- Shard assignment is the TOP bucket digits of that same key, so a shard
+  is a uniform random 1/n_shards slice, independent of input partitioning.
+  Expected shard skew is O(sqrt(N/n_shards)) rows — negligible at training
+  scale; exact-equal sharding would need a global prefix sum
+  (operators/batching.py has one) for no trainer-visible benefit.
+- Files are written with ``partitionBy("shard")``, ONE file per shard via
+  an explicit ``repartition(n_shards, shard)`` so the shuffle that orders
+  rows also co-locates each shard in a single task — no second pass, no
+  driver loop over shards.
+- Within a shard, rows sort by the shuffle key (``sortWithinPartitions``)
+  — a map-side sort after the exchange; no global sort appears anywhere.
+- The manifest is a per-shard aggregation of the SAME DataFrame that was
+  written (counts computed from what landed on disk, not what was
+  planned), written next to the shards as one small JSON-lines file.
+
+At 100 TB: one hash-keyed exchange + map-side sorts; n_shards bounds the
+writer-task count, and every property above is independent of input
+partitioning — re-running on a differently-partitioned copy of the corpus
+produces the same shard membership and order.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MANIFEST_DIR = "_manifest"
+
+
+def epoch_key(id_col: Column, seed: int) -> Column:
+    """Deterministic per-epoch permutation key: md5 of seed||id. 13 hex
+    digits (52 bits) — collision-free ordering in practice, and ties fall
+    back to the id itself when sorting."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), id_col.cast("string"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def with_shard(
+    df: DataFrame,
+    n_shards: int,
+    *,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Add ``__key`` (epoch permutation key) and ``shard`` columns. The
+    shard is the key modulo n_shards, so membership is a uniform random
+    but reproducible function of (id, seed) only."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key = epoch_key(F.col(id_col), seed)
+    return df.withColumn("__key", key).withColumn(
+        "shard", (F.col("__key") % n_shards).cast("int")
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    *,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    fmt: str = "json",
+) -> DataFrame:
+    """Export ``df`` as ``n_shards`` shuffled shard files under ``path``
+    (layout: ``shard=K/part-*.json[.parquet]``) plus a row-count manifest
+    at ``path/_manifest``. Returns the manifest DataFrame
+    (shard, n_rows, min_key, max_key).
+
+    ``fmt='json'`` writes JSON Lines (the interchange format trainers
+    ingest); ``fmt='parquet'`` keeps types exactly (round-trip tested).
+    """
+    if fmt not in ("json", "parquet"):
+        raise ValueError(f"fmt must be json or parquet, got {fmt}")
+    sharded = (
+        with_shard(df, n_shards, id_col=id_col, seed=seed)
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "__key", id_col)
+    )
+    writer = sharded.drop("__key").write.mode("overwrite").partitionBy("shard")
+    getattr(writer, fmt)(path)
+    spark = df.sparkSession
+    back = getattr(spark.read, fmt)(path)
+    manifest = (
+        with_shard(back.drop("shard"), n_shards, id_col=id_col, seed=seed)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("__key").alias("min_key"),
+            F.max("__key").alias("max_key"),
+        )
+        .orderBy("shard")
+    )
+    manifest.coalesce(1).write.mode("overwrite").json(
+        os.path.join(path, MANIFEST_DIR)
+    )
+    return manifest
+
+
+def read_training_shards(
+    spark, path: str, *, fmt: str = "json", shards: list[int] | None = None
+) -> DataFrame:
+    """Read back an export (optionally a subset of shards — partition
+    pruning keeps unselected shard directories unread, which is the point
+    of the layout)."""
+    df = getattr(spark.read, fmt)(path)
+    if shards is not None:
+        df = df.filter(F.col("shard").isin([int(s) for s in shards]))
+    return df

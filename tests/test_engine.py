@@ -268,3 +268,21 @@ def test_cli_dsir(spark, sf_dir, tmp_path_factory, capsys):
     sel = spark.read.parquet(out)
     assert sel.count() == 10
     assert set(sel.columns) == {"doc_id", "n_feats", "log_weight", "select_key"}
+
+
+def test_cli_export_shards(spark, sf_dir, tmp_path_factory, capsys):
+    """r8 training-shard export end-to-end: shuffled JSONL shards plus a
+    manifest whose counts cover the corpus."""
+    from rdfproject_msc_spark.cli import main
+    from rdfproject_msc_spark.sources.tables import load_table
+
+    base = tmp_path_factory.mktemp("cli_exp")
+    docs_path = str(base / "docs")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.write.parquet(docs_path)
+    out = str(base / "shards")
+    rc = main(["export", "--docs", docs_path, "--out", out,
+               "--shards", "4", "--seed", "7"])
+    assert rc == 0
+    assert f"exported {docs.count()} rows" in capsys.readouterr().out
+    assert spark.read.json(out).count() == docs.count()

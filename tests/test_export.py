@@ -1,0 +1,116 @@
+"""Training-shard export sink (sources/export.py): reproducible epoch
+shuffle, shard balance, manifest integrity, partition pruning, and
+independence from input partitioning."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdfproject_msc_spark.sources.export import (
+    read_training_shards,
+    with_shard,
+    write_training_shards,
+)
+
+N_SHARDS = 8
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _export_layout(df, path, **kw):
+    write_training_shards(df, path, N_SHARDS, fmt="parquet", **kw)
+    out = df.sparkSession.read.parquet(path)
+    rows = out.select("shard", "doc_id").collect()
+    return sorted((r["shard"], r["doc_id"]) for r in rows)
+
+
+def test_round_trip_exact(docs, spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("exp") / "shards")
+    write_training_shards(docs, path, N_SHARDS, fmt="parquet")
+    back = read_training_shards(spark, path, fmt="parquet").drop("shard")
+    assert sorted(map(tuple, docs.collect())) == sorted(
+        map(tuple, back.select(*docs.columns).collect())
+    )
+
+
+def test_reproducible_and_seed_sensitive(docs, tmp_path_factory):
+    base = tmp_path_factory.mktemp("exp_seed")
+    a = _export_layout(docs, str(base / "a"), seed=1)
+    b = _export_layout(docs, str(base / "b"), seed=1)
+    c = _export_layout(docs, str(base / "c"), seed=2)
+    assert a == b  # same seed: byte-identical membership
+    assert a != c  # new seed: a fresh permutation
+
+
+def test_input_partitioning_invariance(docs, tmp_path_factory):
+    base = tmp_path_factory.mktemp("exp_part")
+    a = _export_layout(docs.repartition(3), str(base / "a"))
+    b = _export_layout(docs.repartition(7), str(base / "b"))
+    assert a == b
+
+
+def test_manifest_counts_and_balance(docs, spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("exp_m") / "shards")
+    manifest = write_training_shards(docs, path, N_SHARDS, fmt="parquet")
+    rows = manifest.collect()
+    assert [r["shard"] for r in rows] == list(range(N_SHARDS))
+    assert sum(r["n_rows"] for r in rows) == docs.count()
+    # manifest landed on disk as JSON lines and agrees with itself
+    mf = glob.glob(os.path.join(path, "_manifest", "part-*.json"))
+    assert len(mf) == 1
+    disk = [json.loads(line) for line in open(mf[0])]
+    assert sorted(d["shard"] for d in disk) == list(range(N_SHARDS))
+    assert sum(d["n_rows"] for d in disk) == docs.count()
+    # uniform hash sharding: no shard is pathologically fat or empty
+    counts = [r["n_rows"] for r in rows]
+    assert min(counts) > 0
+    assert max(counts) < 4 * (sum(counts) / N_SHARDS)
+
+
+def test_one_file_per_shard_sorted_within(docs, spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("exp_f") / "shards")
+    write_training_shards(docs, path, N_SHARDS, fmt="parquet")
+    for k in range(N_SHARDS):
+        files = glob.glob(os.path.join(path, f"shard={k}", "*.parquet"))
+        assert len(files) == 1
+    # rows inside a shard follow the epoch key order
+    one = spark.read.parquet(os.path.join(path, "shard=0"))
+    ids = [r["doc_id"] for r in one.collect()]
+    keyed = (
+        with_shard(docs, N_SHARDS)
+        .filter(F.col("shard") == 0)
+        .orderBy("__key", "doc_id")
+    )
+    assert ids == [r["doc_id"] for r in keyed.collect()]
+
+
+def test_subset_read_prunes_partitions(docs, spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("exp_p") / "shards")
+    write_training_shards(docs, path, N_SHARDS, fmt="parquet")
+    sub = read_training_shards(spark, path, fmt="parquet", shards=[1, 3])
+    assert set(r["shard"] for r in sub.select("shard").distinct().collect()) == {1, 3}
+    sub.collect()
+    plan = sub._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]
+    # the shard predicate prunes directories at the scan, not post-read
+    pf = [ln for ln in final.splitlines() if "PartitionFilters" in ln]
+    assert pf and "shard" in pf[0]
+
+
+def test_jsonl_export_readable(docs, spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("exp_j") / "shards")
+    write_training_shards(docs, path, 4, fmt="json")
+    back = read_training_shards(spark, path, fmt="json")
+    assert back.count() == docs.count()
+    # every line is standalone JSON with the id present
+    f = glob.glob(os.path.join(path, "shard=0", "part-*"))[0]
+    first = json.loads(open(f).readline())
+    assert "doc_id" in first and "text" in first

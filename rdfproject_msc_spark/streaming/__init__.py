@@ -17,6 +17,7 @@ from rdfproject_msc_spark.streaming.documents import (  # noqa: F401
     DOC_SCHEMA,
     curate_documents,
     decontaminate_stream,
+    dsir_score_stream,
     read_documents_stream,
     stage_documents_dir,
 )

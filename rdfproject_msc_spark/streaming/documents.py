@@ -138,3 +138,58 @@ def curate_documents(docs: DataFrame, min_quality: float = 0.5) -> DataFrame:
         "quality_score",
         "n_bpe_tokens",
     )
+
+
+def dsir_score_stream(
+    docs: DataFrame,
+    raw_sample: DataFrame,
+    target: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    n_buckets: int = 10_000,
+    smoothing: float = 1.0,
+):
+    """Streaming DSIR scoring: importance-weight arriving documents
+    against a model fit ONCE from a static (raw_sample, target) pair
+    (operators/dsir.py).
+
+    The importance weight is a per-document property of a FIXED model, so
+    — like decontamination above — ``foreachBatch`` runs the batch scorer
+    per micro-batch with zero cross-batch state. The fitted model is
+    bounded by construction (n_buckets rows), so it is materialized to a
+    LOCAL relation up front: every micro-batch plan embeds the same
+    (bucket, log_ratio) table without re-running the fit aggregations,
+    the same once-built-many-probed economics as the Bloom filter.
+    Exactly-once via the parquet sink + checkpoint."""
+    from rdfproject_msc_spark.operators import dsir
+
+    spark = raw_sample.sparkSession
+    fitted = dsir.dsir_log_ratios(
+        raw_sample,
+        target,
+        n_buckets=n_buckets,
+        smoothing=smoothing,
+    )
+    # bounded (n_buckets rows): pin as a local relation so micro-batch
+    # plans reuse the model instead of re-running the fit
+    model = spark.createDataFrame(fitted.collect(), schema=fitted.schema)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        scored = dsir.dsir_weights(
+            batch_df,
+            target,
+            n_buckets=n_buckets,
+            smoothing=smoothing,
+            log_ratios=model,
+        )
+        scored.write.mode("append").parquet(out_dir)
+
+    q = (
+        docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -713,3 +713,40 @@ def test_decontaminate_stream_equals_batch(spark, sf_dir, tmp_path_factory):
     # sf0.001 is below the threshold-firing scale (the flag is
     # load-bearing at sf0.01 — registry note); pin on real overlap instead
     assert got.filter(F.col("n_matched") > 0).count() > 0
+
+
+def test_dsir_score_stream_equals_batch(spark, sf_dir, tmp_path_factory):
+    """Streaming DSIR scoring (r8): documents arriving over multiple
+    micro-batches get EXACTLY the batch importance weights — the bounded
+    (bucket, log_ratio) model fits once up front as a local relation and
+    every micro-batch plan reuses it."""
+    from pyspark.sql import functions as F
+
+    from rdfproject_msc_spark.operators import dsir
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 13 == 0)
+    raw = docs.filter(F.col("doc_id") % 13 != 0)
+
+    base = tmp_path_factory.mktemp("dsir_stream")
+    raw_dir = str(base / "raw")
+    raw.repartition(4).write.parquet(raw_dir)
+    out_dir = str(base / "scored")
+    stream = S.read_documents_stream(spark, raw_dir, max_files_per_trigger=1)
+    q = S.dsir_score_stream(
+        stream, raw, target, out_dir, str(base / "ckpt"), n_buckets=512
+    )
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) > 1
+
+    got = spark.read.parquet(out_dir)
+    want = dsir.dsir_weights(raw, target, n_buckets=512)
+    g = {r["doc_id"]: r for r in got.collect()}
+    w = {r["doc_id"]: r for r in want.collect()}
+    assert set(g) == set(w)
+    for d in w:
+        assert g[d]["n_feats"] == w[d]["n_feats"]
+        # the per-doc float sum is order-sensitive at the last ulp; the
+        # stream partitions differ from the batch plan's
+        assert g[d]["log_weight"] == pytest.approx(
+            w[d]["log_weight"], abs=1e-9
+        )

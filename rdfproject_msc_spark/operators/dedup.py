@@ -346,6 +346,57 @@ def simhash_pairs(
     )
 
 
+def _lsh_band_rows(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    n: int,
+    n_hashes: int,
+    bands: int,
+    seed: int,
+    min_partitions: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared LSH front half: hashed shingle sets (id, hs) and banded
+    bucket rows (id, band, band_val). Same expressions on both sides of
+    any LSH join — the zero-false-negative property (a true near-dup pair
+    always shares a band value with probability 1-(1-J^r)^bands) depends
+    on build symmetry exactly like the Bloom filter's probe."""
+    r = n_hashes // bands
+    src = df.select(F.col(id_col).alias("id"), F.col(content_col))
+    if min_partitions is not None:
+        # repartition the RAW text before shingling so the (CPU-heavy)
+        # shingle+hash work parallelizes even off a single-file scan.
+        # NOTE: no filter may sit between here and the shingle projection —
+        # predicate pushdown would push it (and the whole shingle expression
+        # tree it references) below the exchange, serializing the work back
+        # onto the scan partitions.
+        src = src.repartition(min_partitions, "id")
+    sh = shingle_sets(src, content_col, "id", n)
+    hs = sh.select(
+        "id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs")
+    )
+    sig_udf = _minhash_sig_udf(n_hashes, seed)
+    sigs = hs.select("id", sig_udf(F.col("hs")).alias("sig"))
+
+    band_vals = F.array(
+        *[
+            F.xxhash64(F.slice(F.col("sig"), b * r + 1, r), F.lit(b))
+            for b in range(bands)
+        ]
+    )
+    # A shingle-less document has a null signature (see _minhash_sig_udf);
+    # wrapping the band array in that null makes posexplode emit ZERO rows
+    # for it — empty docs can never bucket together, and there is no
+    # pushable filter predicate (see the repartition note above).
+    bv = sigs.select(
+        F.col("id"),
+        F.posexplode(F.when(F.col("sig").isNotNull(), band_vals)).alias(
+            "band", "band_val"
+        ),
+    )
+    return hs, bv
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     content_col: str = "text",
@@ -383,38 +434,8 @@ def minhash_lsh_pairs(
     parallelism, and the repartition would be a full-corpus shuffle.
     """
     assert n_hashes % bands == 0
-    r = n_hashes // bands
-    src = df.select(F.col(id_col).alias("id"), F.col(content_col))
-    if min_partitions is not None:
-        # repartition the RAW text before shingling so the (CPU-heavy)
-        # shingle+hash work parallelizes even off a single-file scan.
-        # NOTE: no filter may sit between here and the shingle projection —
-        # predicate pushdown would push it (and the whole shingle expression
-        # tree it references) below the exchange, serializing the work back
-        # onto the scan partitions.
-        src = src.repartition(min_partitions, "id")
-    sh = shingle_sets(src, content_col, "id", n)
-    hs = sh.select(
-        "id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs")
-    )
-    sig_udf = _minhash_sig_udf(n_hashes, seed)
-    sigs = hs.select("id", sig_udf(F.col("hs")).alias("sig"))
-
-    band_vals = F.array(
-        *[
-            F.xxhash64(F.slice(F.col("sig"), b * r + 1, r), F.lit(b))
-            for b in range(bands)
-        ]
-    )
-    # A shingle-less document has a null signature (see _minhash_sig_udf);
-    # wrapping the band array in that null makes posexplode emit ZERO rows
-    # for it — empty docs can never bucket together, and there is no
-    # pushable filter predicate (see the repartition note above).
-    bv = sigs.select(
-        F.col("id"),
-        F.posexplode(F.when(F.col("sig").isNotNull(), band_vals)).alias(
-            "band", "band_val"
-        ),
+    hs, bv = _lsh_band_rows(
+        df, content_col, id_col, n, n_hashes, bands, seed, min_partitions
     )
     a, b = bv.alias("a"), bv.alias("b")
     cand = (
@@ -449,3 +470,77 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return verified.select("id_a", "id_b", "jaccard")
+
+
+def minhash_lsh_join(
+    left: DataFrame,
+    right: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    n_hashes: int = 64,
+    bands: int = 32,
+    seed: int = 42,
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """Cross-corpus near-duplicate join: which LEFT documents near-match a
+    RIGHT document (new crawl vs existing corpus, vendor delivery vs what
+    we already hold, corpus vs eval set at the document level).
+
+    ``minhash_lsh_pairs`` finds pairs WITHIN one corpus; this joins two —
+    the incremental-ingest primitive, because the right side's banded rows
+    are exactly what ``minhash_lsh_pairs`` computes, so an existing
+    corpus's bands can be persisted once and every new delivery probes
+    them without re-shingling history (the persisted-index economics of
+    similarity.lsh_write, applied to documents).
+
+    Same machinery, same guarantees: banded (band, band_val) candidates —
+    the only shuffle keys are int pairs, never text — then exact Jaccard
+    verify on hashed shingle sets. Output: (id_left, id_right, jaccard)
+    for verified Jaccard ≥ threshold. Both ids keep their own corpora's
+    namespaces (no id ordering between sides is assumed or required).
+    """
+    assert n_hashes % bands == 0
+    hs_l, bv_l = _lsh_band_rows(
+        left, content_col, id_col, n, n_hashes, bands, seed, min_partitions
+    )
+    hs_r, bv_r = _lsh_band_rows(
+        right, content_col, id_col, n, n_hashes, bands, seed, min_partitions
+    )
+    a, b = bv_l.alias("a"), bv_r.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val")),
+        )
+        .select(
+            F.col("a.id").alias("id_left"), F.col("b.id").alias("id_right")
+        )
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            hs_l.select(F.col("id").alias("id_left"), F.col("hs").alias("hs_a")),
+            "id_left",
+        )
+        .join(
+            hs_r.select(
+                F.col("id").alias("id_right"), F.col("hs").alias("hs_b")
+            ),
+            "id_right",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.try_divide(
+                    F.size(F.array_intersect("hs_a", "hs_b")),
+                    F.size(F.array_union("hs_a", "hs_b")),
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_left", "id_right", "jaccard")

@@ -152,3 +152,40 @@ def with_stratified_flag(
     return df.withColumn(
         flag_col, (F.row_number().over(w) <= n_per_stratum).cast("boolean")
     )
+
+
+def temperature_rates(
+    df: DataFrame,
+    temperature: float,
+    source_col: str = "source",
+    total_rows: int | None = None,
+) -> dict[str, float]:
+    """Per-source mixture rates implementing multinomial TEMPERATURE
+    sampling (the mT5 / GPT-3 domain-mixing rule): sample source i with
+    probability p_i ∝ n_i^(1/T). T=1 reproduces natural proportions;
+    T→∞ approaches uniform over sources; T<1 sharpens toward the largest
+    source. The returned dict feeds ``mixture_sample`` directly —
+    rate_i = p_i · total / n_i, so the EXPECTED output size is
+    ``total_rows`` (default: the corpus size, i.e. pure reweighting)
+    and small sources are upsampled by duplication, large ones
+    downsampled, exactly as the epoch-weighting literature prescribes.
+
+    The aggregation is one map-side-combined groupBy over the source
+    column — the number of SOURCES is bounded (domains, not documents),
+    so the collect is model-sized, like the Bloom/DSIR fits."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(source_col).count().collect()
+        if r[0] is not None
+    }
+    if not counts:
+        return {}
+    n_total = sum(counts.values())
+    target = float(total_rows) if total_rows is not None else float(n_total)
+    powered = {s: n ** (1.0 / temperature) for s, n in counts.items()}
+    z = sum(powered.values())
+    return {
+        s: (powered[s] / z) * target / counts[s] for s in sorted(counts)
+    }

@@ -476,3 +476,122 @@ def test_chunk_documents_edges(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(df, max_tokens=4, overlap=4)
+
+
+def test_temperature_rates_properties(spark, sf_dir):
+    """Temperature mixing (r8): T=1 is the identity reweighting, large T
+    flattens toward uniform, expected output size hits the target, and
+    the rates compose with mixture_sample."""
+    import pytest
+
+    from rdfproject_msc_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = {r[0]: r[1] for r in docs.groupBy("source").count().collect()}
+    n_total = sum(counts.values())
+
+    # T=1: natural proportions → every rate is exactly 1 (pure identity)
+    r1 = sampling.temperature_rates(docs, 1.0)
+    assert set(r1) == set(counts)
+    for s in counts:
+        assert r1[s] == pytest.approx(1.0)
+
+    # expected output size == target for any T
+    for t, target in ((0.5, n_total), (3.0, 2 * n_total), (100.0, 500)):
+        rates = sampling.temperature_rates(docs, t, total_rows=target)
+        expected = sum(rates[s] * counts[s] for s in counts)
+        assert expected == pytest.approx(target)
+
+    # large T → per-source expected rows approach uniform
+    ru = sampling.temperature_rates(docs, 1000.0)
+    per_source = [ru[s] * counts[s] for s in counts]
+    assert max(per_source) / min(per_source) < 1.05
+
+    # composes with mixture_sample; realized size near expectation
+    rates = sampling.temperature_rates(docs, 2.0)
+    out = sampling.mixture_sample(docs, rates)
+    realized = out.count()
+    assert abs(realized - n_total) < 0.15 * n_total
+
+    # T <= 0 rejected
+    with pytest.raises(ValueError):
+        sampling.temperature_rates(docs, 0.0)
+
+
+CROSS_JACCARD_SQL = r"""
+WITH toks AS (
+    SELECT doc_id, (doc_id % 2 = 0) AS left_side,
+           string_split_regex(trim(text), '\s+') AS t
+    FROM docs
+),
+sh AS (
+    SELECT DISTINCT doc_id AS id, left_side,
+           array_to_string(t[i:i+2], ' ') AS shingle
+    FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+    WHERE array_to_string(t[i:i+2], ' ') <> ''
+),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+    SELECT a.id AS id_left, b.id AS id_right, count(*) AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle
+    WHERE a.left_side AND NOT b.left_side
+    GROUP BY a.id, b.id
+)
+SELECT id_left, id_right,
+       round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_left
+JOIN sizes sb ON sb.id = id_right
+WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
+ORDER BY id_left, id_right
+"""
+
+
+def test_minhash_lsh_join_matches_exact_cross_jaccard(spark, sf_dir):
+    """Cross-corpus LSH join (r8): left = even ids, right = odd ids; the
+    verified banded join equals exact cross-corpus Jaccard at the same
+    threshold (same miss-probability argument as dedup_minhash: the
+    planted near-dups sit at J >= 0.88, miss <= 4e-11)."""
+    import duckdb
+
+    docs = load_table(spark, sf_dir, "documents")
+    left = docs.filter(F.col("doc_id") % 2 == 0)
+    right = docs.filter(F.col("doc_id") % 2 == 1)
+    got = sorted(
+        map(
+            tuple,
+            dedup.minhash_lsh_join(
+                left,
+                right,
+                n=3,
+                threshold=0.5,
+                min_partitions=spark.sparkContext.defaultParallelism,
+            ).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW docs AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(CROSS_JACCARD_SQL).fetchall()]
+    assert got == want
+    assert len(got) > 0  # the planted near-dups straddle the parity split
+
+
+def test_minhash_lsh_join_disjoint_namespaces(spark):
+    """Ids on the two sides are independent namespaces: the same id value
+    on both sides must still pair (no a.id < b.id ordering leaks in from
+    the within-corpus variant)."""
+    left = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    right = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "totally different words in this one here now")],
+        "doc_id long, text string",
+    )
+    got = dedup.minhash_lsh_join(left, right, n=3, threshold=0.5).collect()
+    assert [(r["id_left"], r["id_right"]) for r in got] == [(1, 1)]
+    assert got[0]["jaccard"] == 1.0

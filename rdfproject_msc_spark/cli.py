@@ -203,6 +203,20 @@ def main(argv: list[str] | None = None) -> int:
                        help="write only the selected prefix")
     p_sel.add_argument("--cpus", type=int, default=None)
 
+    p_nd = sub.add_parser(
+        "neardup",
+        help="incremental near-dup ingest loop over a persisted MinHash "
+        "band index: --build once, then --probe each delivery and "
+        "--append it (history is shingled exactly once)",
+    )
+    p_nd.add_argument("--index", required=True, help="band-index path")
+    p_nd.add_argument("--build", default=None, help="corpus parquet to build from")
+    p_nd.add_argument("--append", default=None, help="delivery parquet to append")
+    p_nd.add_argument("--probe", default=None, help="delivery parquet to probe")
+    p_nd.add_argument("--out", default=None, help="pairs output (with --probe)")
+    p_nd.add_argument("--threshold", type=float, default=0.5)
+    p_nd.add_argument("--cpus", type=int, default=None)
+
     p_exp = sub.add_parser(
         "export",
         help="export a curated corpus as shuffled training shards "
@@ -401,6 +415,38 @@ def main(argv: list[str] | None = None) -> int:
             f"quality: {stats['kept']}/{stats['n']} at/above "
             f"{args.threshold} ({args.out})"
         )
+        return 0
+
+    if args.command == "neardup":
+        from rdfproject_msc_spark.operators import dedup as dedup_mod
+
+        spark = _spark(args.cpus)
+        mp = spark.sparkContext.defaultParallelism
+        if args.build:
+            dedup_mod.minhash_write(
+                spark.read.parquet(args.build), args.index, min_partitions=mp
+            )
+            print(f"built index at {args.index}")
+        if args.probe:
+            if not args.out:
+                raise SystemExit("--probe requires --out")
+            pairs = dedup_mod.minhash_join_persisted(
+                spark.read.parquet(args.probe),
+                args.index,
+                threshold=args.threshold,
+                min_partitions=mp,
+            )
+            pairs.write.mode("overwrite").parquet(args.out)
+            n = spark.read.parquet(args.out).count()
+            print(f"probe: {n} near-dup pairs to {args.out}")
+        if args.append:
+            dedup_mod.minhash_write(
+                spark.read.parquet(args.append),
+                args.index,
+                min_partitions=mp,
+                mode="append",
+            )
+            print(f"appended {args.append} to {args.index}")
         return 0
 
     if args.command == "export":

@@ -544,3 +544,115 @@ def minhash_lsh_join(
         .filter(F.col("jaccard") >= threshold)
     )
     return verified.select("id_left", "id_right", "jaccard")
+
+
+def minhash_write(
+    df: DataFrame,
+    path: str,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    n_hashes: int = 64,
+    bands: int = 32,
+    seed: int = 42,
+    min_partitions: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a corpus's MinHash band index: (id, band_val) partitioned
+    by ``band`` (directory count = ``bands``, bounded by parameters, never
+    data), hashed shingle sets under ``_shingles`` (the verify stage's
+    input), geometry under ``_meta`` (underscore dirs are invisible to the
+    main read — the same self-contained layout as similarity.lsh_write).
+
+    ``mode="append"`` grows the index incrementally — the ingest loop is
+    "join the delivery against the index, then append the delivery":
+    history is shingled exactly once, ever. Appends verify the stored
+    geometry first; a mixed-geometry index would silently lose recall
+    (band values from different (n, n_hashes, bands, seed) never match).
+    """
+    spark = df.sparkSession
+    geom = (n, n_hashes, bands, seed)
+    if mode == "append":
+        stored = minhash_meta(spark, path)
+        if stored != geom:
+            raise ValueError(
+                f"index at {path} has geometry {stored}, append has {geom}"
+            )
+    hs, bv = _lsh_band_rows(
+        df, content_col, id_col, n, n_hashes, bands, seed, min_partitions
+    )
+    bv.write.mode(mode).partitionBy("band").parquet(path)
+    hs.write.mode(mode).parquet(f"{path}/_shingles")
+    if mode != "append":
+        (
+            spark.createDataFrame(
+                [geom], "n int, n_hashes int, bands int, seed int"
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{path}/_meta")
+        )
+
+
+def minhash_meta(spark, path: str) -> tuple[int, int, int, int]:
+    row = spark.read.parquet(f"{path}/_meta").head()
+    return (row["n"], row["n_hashes"], row["bands"], row["seed"])
+
+
+def minhash_join_persisted(
+    left: DataFrame,
+    path: str,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """``minhash_lsh_join`` against a PERSISTED right side: the delivery's
+    bands join the index's band rows (int-pair shuffle keys; the index
+    side arrives pre-banded from disk — no re-shingling of history), and
+    the verify stage reads the stored hashed shingle sets. Geometry comes
+    from ``_meta``, so a probe cannot silently disagree with the build.
+    Output schema = minhash_lsh_join: (id_left, id_right, jaccard)."""
+    spark = left.sparkSession
+    n, n_hashes, bands, seed = minhash_meta(spark, path)
+    hs_l, bv_l = _lsh_band_rows(
+        left, content_col, id_col, n, n_hashes, bands, seed, min_partitions
+    )
+    bv_r = spark.read.parquet(path)
+    hs_r = spark.read.parquet(f"{path}/_shingles")
+    a, b = bv_l.alias("a"), bv_r.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val")),
+        )
+        .select(
+            F.col("a.id").alias("id_left"), F.col("b.id").alias("id_right")
+        )
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            hs_l.select(F.col("id").alias("id_left"), F.col("hs").alias("hs_a")),
+            "id_left",
+        )
+        .join(
+            hs_r.select(
+                F.col("id").alias("id_right"), F.col("hs").alias("hs_b")
+            ),
+            "id_right",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.try_divide(
+                    F.size(F.array_intersect("hs_a", "hs_b")),
+                    F.size(F.array_union("hs_a", "hs_b")),
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_left", "id_right", "jaccard")

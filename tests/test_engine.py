@@ -286,3 +286,28 @@ def test_cli_export_shards(spark, sf_dir, tmp_path_factory, capsys):
     assert rc == 0
     assert f"exported {docs.count()} rows" in capsys.readouterr().out
     assert spark.read.json(out).count() == docs.count()
+
+
+def test_cli_neardup_ingest_loop(spark, sf_dir, tmp_path_factory, capsys):
+    """r8 incremental near-dup loop: build the index, probe a delivery,
+    append it, probe the next — each probe's pairs land as parquet."""
+    import pyspark.sql.functions as F
+
+    from rdfproject_msc_spark.cli import main
+    from rdfproject_msc_spark.sources.tables import load_table
+
+    base = tmp_path_factory.mktemp("cli_nd")
+    docs = load_table(spark, sf_dir, "documents")
+    held, d1 = str(base / "held"), str(base / "d1")
+    docs.filter(F.col("doc_id") % 3 == 0).write.parquet(held)
+    docs.filter(F.col("doc_id") % 3 == 1).write.parquet(d1)
+    idx, out = str(base / "idx"), str(base / "pairs")
+    rc = main(["neardup", "--index", idx, "--build", held])
+    assert rc == 0
+    rc = main(["neardup", "--index", idx, "--probe", d1, "--out", out,
+               "--append", d1])
+    assert rc == 0
+    assert "near-dup pairs" in capsys.readouterr().out
+    pairs = spark.read.parquet(out)
+    assert pairs.count() > 0
+    assert set(pairs.columns) == {"id_left", "id_right", "jaccard"}

@@ -595,3 +595,61 @@ def test_minhash_lsh_join_disjoint_namespaces(spark):
     got = dedup.minhash_lsh_join(left, right, n=3, threshold=0.5).collect()
     assert [(r["id_left"], r["id_right"]) for r in got] == [(1, 1)]
     assert got[0]["jaccard"] == 1.0
+
+
+def test_minhash_persisted_index_equals_in_memory(spark, sf_dir, tmp_path):
+    """Persisted band index (r8): probe against the written index is
+    bit-identical to the in-memory cross-corpus join; append grows the
+    index incrementally (history shingled once, ever); geometry drift
+    rejected."""
+    import pytest
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 3 == 0)  # held corpus
+    b = docs.filter(F.col("doc_id") % 3 == 1)  # first delivery
+    c = docs.filter(F.col("doc_id") % 3 == 2)  # second delivery
+    mp = spark.sparkContext.defaultParallelism
+    path = str(tmp_path / "mh_index")
+
+    dedup.minhash_write(a, path, min_partitions=mp)
+    got = sorted(
+        map(
+            tuple,
+            dedup.minhash_join_persisted(
+                b, path, threshold=0.5, min_partitions=mp
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            dedup.minhash_lsh_join(
+                b, a, threshold=0.5, min_partitions=mp
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+    # append the delivery; probing the next one sees a UNION b
+    dedup.minhash_write(b, path, min_partitions=mp, mode="append")
+    got2 = sorted(
+        map(
+            tuple,
+            dedup.minhash_join_persisted(
+                c, path, threshold=0.5, min_partitions=mp
+            ).collect(),
+        )
+    )
+    want2 = sorted(
+        map(
+            tuple,
+            dedup.minhash_lsh_join(
+                c, a.unionByName(b), threshold=0.5, min_partitions=mp
+            ).collect(),
+        )
+    )
+    assert got2 == want2 and len(got2) > 0
+
+    # geometry mismatch on append is an error, not silent recall loss
+    with pytest.raises(ValueError, match="geometry"):
+        dedup.minhash_write(c, path, bands=16, mode="append")

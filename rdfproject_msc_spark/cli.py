@@ -203,6 +203,15 @@ def main(argv: list[str] | None = None) -> int:
                        help="write only the selected prefix")
     p_sel.add_argument("--cpus", type=int, default=None)
 
+    p_rep = sub.add_parser(
+        "report",
+        help="one-pass corpus report: volume, token budget, composition, "
+        "dup rate, filter pass-rates",
+    )
+    p_rep.add_argument("--docs", required=True)
+    p_rep.add_argument("--out", default=None, help="optional parquet output")
+    p_rep.add_argument("--cpus", type=int, default=None)
+
     p_nd = sub.add_parser(
         "neardup",
         help="incremental near-dup ingest loop over a persisted MinHash "
@@ -415,6 +424,18 @@ def main(argv: list[str] | None = None) -> int:
             f"quality: {stats['kept']}/{stats['n']} at/above "
             f"{args.threshold} ({args.out})"
         )
+        return 0
+
+    if args.command == "report":
+        from rdfproject_msc_spark.operators.report import corpus_report
+
+        spark = _spark(args.cpus)
+        rep = corpus_report(spark.read.parquet(args.docs))
+        rows = rep.collect()
+        for r in rows:
+            print(f"{r['metric']}: {r['value']:.6f}")
+        if args.out:
+            rep.write.mode("overwrite").parquet(args.out)
         return 0
 
     if args.command == "neardup":

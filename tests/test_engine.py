@@ -311,3 +311,17 @@ def test_cli_neardup_ingest_loop(spark, sf_dir, tmp_path_factory, capsys):
     pairs = spark.read.parquet(out)
     assert pairs.count() > 0
     assert set(pairs.columns) == {"id_left", "id_right", "jaccard"}
+
+
+def test_cli_report(spark, sf_dir, tmp_path_factory, capsys):
+    """r8 corpus report end-to-end."""
+    from rdfproject_msc_spark.cli import main
+    from rdfproject_msc_spark.sources.tables import load_table
+
+    base = tmp_path_factory.mktemp("cli_rep")
+    docs_path = str(base / "docs")
+    load_table(spark, sf_dir, "documents").write.parquet(docs_path)
+    rc = main(["report", "--docs", docs_path])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "n_docs:" in out and "dup_rate:" in out

@@ -750,3 +750,45 @@ def test_dsir_score_stream_equals_batch(spark, sf_dir, tmp_path_factory):
         assert g[d]["log_weight"] == pytest.approx(
             w[d]["log_weight"], abs=1e-9
         )
+
+
+def test_r8_row_filters_stream_equals_batch(spark, sf_dir, tmp_path_factory):
+    """Gopher rules, C4 cleaning, and tokenization (r8) are pure per-row
+    projections — they run append-mode over a document stream and produce
+    exactly the batch result, like curate_documents."""
+    from rdfproject_msc_spark.operators.c4filter import c4_clean
+    from rdfproject_msc_spark.operators.gopher import with_gopher_rules
+    from rdfproject_msc_spark.operators.tokenize import token_ids
+
+    docs_dir = S.stage_documents_dir(
+        spark, sf_dir, str(tmp_path_factory.mktemp("r8s") / "docs"), n_files=4
+    )
+    batch_docs = load_table(spark, sf_dir, "documents")
+
+    def compose(df):
+        # flags ride along as columns (the sf0.001 synthetic text passes
+        # neither filter, so filtering here would vacuously compare zero
+        # rows); tokenize the C4-cleaned text — ONE projection chain, no
+        # stream-side self-join
+        scored = c4_clean(with_gopher_rules(df))
+        return scored.select(
+            "doc_id",
+            "gopher_pass",
+            "c4_keep",
+            "n_words",
+            token_ids(F.col("text_c4"), 4096).alias("input_ids"),
+        )
+
+    stream = S.read_documents_stream(spark, docs_dir, max_files_per_trigger=1)
+    got = S.run_to_memory_table(
+        compose(stream),
+        spark,
+        "r8_filters_stream",
+        str(tmp_path_factory.mktemp("ckpt")),
+        output_mode="append",
+    )
+    want = compose(batch_docs)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert got.count() > 0

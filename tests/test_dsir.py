@@ -189,3 +189,42 @@ def test_plan_shape(split):
     k_df.collect()
     k_plan = k_df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in k_plan  # never a global sort for top-k
+
+
+def test_gumbel_key_matches_duckdb(spark):
+    """The md5-derived Gumbel perturbation is cross-engine exact: the
+    same 13-hex-digit uniform and -ln(-ln u) in DuckDB reproduces the
+    Spark keys (so a selection audit can re-derive the sample in SQL)."""
+    import duckdb
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 0.01).alias("lw")
+    )
+    got = {
+        r["doc_id"]: r["k"]
+        for r in df.select(
+            "doc_id", dsir.gumbel_key(F.col("lw"), F.col("doc_id")).alias("k")
+        ).collect()
+    }
+    hex13 = " + ".join(
+        f"(strpos('0123456789abcdef', "
+        f"substr(md5(CAST(doc_id AS VARCHAR)), {1 + i}, 1)) - 1)"
+        f" * {16 ** (12 - i)}"
+        for i in range(13)
+    )
+    want = {
+        r[0]: r[1]
+        for r in duckdb.connect()
+        .execute(
+            f"""
+SELECT doc_id,
+       doc_id * 0.01 - ln(-ln((({hex13}) + 1.0) / {float(16**13 + 2)}))
+           AS k
+FROM range(500) t(doc_id)
+"""
+        )
+        .fetchall()
+    }
+    assert set(got) == set(want)
+    for d in got:
+        assert got[d] == pytest.approx(want[d], abs=1e-12)

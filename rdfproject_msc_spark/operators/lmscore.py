@@ -100,3 +100,61 @@ def doc_lm_score(
         .otherwise(F.lit(float(oov_surprisal)))
         .alias("bits_per_token"),
     )
+
+
+def lm_score_thresholds(
+    scored: DataFrame,
+    fractions: tuple[float, ...] = (1.0 / 3.0, 2.0 / 3.0),
+    score_col: str = "bits_per_token",
+) -> list[float]:
+    """EXACT score quantiles at the given fractions — the bucket
+    boundaries for ``perplexity_partition``. Spark's ``percentile`` is an
+    exact aggregate (one pass + a bounded per-group state); the result is
+    a driver-side scalar list, model-sized like the Bloom/DSIR fits. At
+    extreme scale swap in ``percentile_approx`` — the partition operator
+    below takes explicit thresholds precisely so the estimator is the
+    caller's choice, not baked in."""
+    row = scored.agg(
+        *[
+            F.percentile(F.col(score_col), F.lit(f)).alias(f"q{i}")
+            for i, f in enumerate(fractions)
+        ]
+    ).head()
+    return [float(row[f"q{i}"]) for i in range(len(fractions))]
+
+
+def perplexity_partition(
+    scored: DataFrame,
+    thresholds: list[float],
+    score_col: str = "bits_per_token",
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): split the
+    corpus into head / middle / tail by LM score — head (lowest
+    perplexity, most in-distribution) trains as-is, middle is kept,
+    tail is dropped or heavily downsampled in the CCNet recipe.
+
+    Takes EXPLICIT thresholds (len(labels) - 1, ascending) so the bucket
+    assignment is a pure per-row codegen expression — deterministic,
+    oracle-exact, and free of the cross-engine quantile-interpolation
+    ambiguity (compute thresholds once via ``lm_score_thresholds``,
+    record them with the corpus snapshot, reuse them for every shard:
+    CCNet's buckets are defined per LANGUAGE MODEL, not per shard).
+    Boundary convention: score <= thresholds[i] → labels[i]."""
+    if len(thresholds) != len(labels) - 1:
+        raise ValueError(
+            f"need {len(labels) - 1} thresholds for {len(labels)} labels, "
+            f"got {len(thresholds)}"
+        )
+    if sorted(thresholds) != list(thresholds):
+        raise ValueError(f"thresholds must ascend, got {thresholds}")
+    expr = None
+    for t, lab in zip(thresholds, labels):
+        cond = F.col(score_col) <= F.lit(float(t))
+        expr = (
+            F.when(cond, F.lit(lab))
+            if expr is None
+            else expr.when(cond, F.lit(lab))
+        )
+    expr = expr.otherwise(F.lit(labels[-1]))
+    return scored.withColumn("ppl_bucket", expr)

@@ -115,3 +115,57 @@ LEFT JOIN agg USING (doc_id)
         sn, sb = got[doc_id]
         assert sn == n_tokens, doc_id
         assert abs(sb - bpt) < 1e-9, doc_id
+
+
+def test_perplexity_partition_matches_duckdb(spark, sf_dir):
+    """CCNet head/middle/tail bucketing (r8): thresholds from the exact
+    percentile aggregate, bucket assignment vs a DuckDB CASE twin, and
+    the terciles actually split the corpus ~evenly."""
+    import duckdb
+
+    from rdfproject_msc_spark.operators.lmscore import (
+        lm_score_thresholds,
+        perplexity_partition,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = unigram_vocab(docs, vocab_size=5000)
+    scored = doc_lm_score(docs, vocab)
+    t1, t2 = lm_score_thresholds(scored)
+    assert t1 < t2
+    out = perplexity_partition(scored, [t1, t2])
+    got = sorted(
+        (r["doc_id"], r["ppl_bucket"])
+        for r in out.select("doc_id", "ppl_bucket").collect()
+    )
+    pdf = scored.toPandas()
+    con = duckdb.connect()
+    con.register("scored", pdf)
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                f"""
+SELECT doc_id,
+       CASE WHEN bits_per_token <= {t1!r} THEN 'head'
+            WHEN bits_per_token <= {t2!r} THEN 'middle'
+            ELSE 'tail' END AS b
+FROM scored
+"""
+            ).fetchall(),
+        )
+    )
+    assert got == want
+    counts = {r["ppl_bucket"]: r["count"] for r in out.groupBy("ppl_bucket").count().collect()}
+    n = sum(counts.values())
+    assert set(counts) == {"head", "middle", "tail"}
+    for b in counts:
+        assert counts[b] >= n // 5  # exact terciles: no bucket starves
+
+    # validation
+    import pytest
+
+    with pytest.raises(ValueError, match="thresholds"):
+        perplexity_partition(scored, [t2, t1])
+    with pytest.raises(ValueError, match="labels"):
+        perplexity_partition(scored, [t1])

@@ -237,6 +237,8 @@ def main(argv: list[str] | None = None) -> int:
     p_exp.add_argument("--seed", type=int, default=0,
                        help="epoch seed: new seed = fresh permutation")
     p_exp.add_argument("--fmt", choices=["json", "parquet"], default="json")
+    p_exp.add_argument("--order-col", default=None,
+                       help="curriculum mode: range-shard ascending by this column")
     p_exp.add_argument("--id-col", default="doc_id")
     p_exp.add_argument("--cpus", type=int, default=None)
 
@@ -481,6 +483,7 @@ def main(argv: list[str] | None = None) -> int:
             id_col=args.id_col,
             seed=args.seed,
             fmt=args.fmt,
+            order_col=args.order_col,
         )
         rows = manifest.collect()
         total = sum(r["n_rows"] for r in rows)

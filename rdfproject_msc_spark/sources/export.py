@@ -76,6 +76,25 @@ def with_shard(
     )
 
 
+def order_boundaries(
+    df: DataFrame, order_col: str, n_shards: int
+) -> list[float]:
+    """Deterministic range boundaries for curriculum sharding: the exact
+    (n_shards − 1) interior quantiles of ``order_col``. A driver-side
+    scalar list (model-sized), independent of input partitioning — unlike
+    ``repartitionByRange``'s sampled boundaries, which depend on the
+    input's physical layout. Swap in ``percentile_approx`` at extreme
+    scale; the shard assignment below takes the boundaries as data."""
+    fr = [i / n_shards for i in range(1, n_shards)]
+    row = df.agg(
+        *[
+            F.percentile(F.col(order_col), F.lit(f)).alias(f"q{i}")
+            for i, f in enumerate(fr)
+        ]
+    ).head()
+    return [float(row[f"q{i}"]) for i in range(len(fr))]
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,
@@ -84,33 +103,68 @@ def write_training_shards(
     id_col: str = "doc_id",
     seed: int = 0,
     fmt: str = "json",
+    order_col: str | None = None,
 ) -> DataFrame:
-    """Export ``df`` as ``n_shards`` shuffled shard files under ``path``
-    (layout: ``shard=K/part-*.json[.parquet]``) plus a row-count manifest
-    at ``path/_manifest``. Returns the manifest DataFrame
+    """Export ``df`` as ``n_shards`` shard files under ``path`` (layout:
+    ``shard=K/part-*.json[.parquet]``) plus a row-count manifest at
+    ``path/_manifest``. Returns the manifest DataFrame
     (shard, n_rows, min_key, max_key).
+
+    Default mode: uniformly SHUFFLED shards (epoch permutation; see
+    module docstring). ``order_col`` switches to CURRICULUM mode: shard k
+    holds the k-th ascending range of that column (difficulty score,
+    length, quality — whatever the schedule orders by), rows sorted by it
+    within each shard, so reading shards 0..n in order IS the global
+    curriculum. Shard boundaries are exact quantiles (deterministic,
+    partitioning-independent — ``order_boundaries``), ties broken by id;
+    the manifest's min/max keys then record each shard's score range.
 
     ``fmt='json'`` writes JSON Lines (the interchange format trainers
     ingest); ``fmt='parquet'`` keeps types exactly (round-trip tested).
     """
     if fmt not in ("json", "parquet"):
         raise ValueError(f"fmt must be json or parquet, got {fmt}")
-    sharded = (
-        with_shard(df, n_shards, id_col=id_col, seed=seed)
-        .repartition(n_shards, F.col("shard"))
-        .sortWithinPartitions("shard", "__key", id_col)
-    )
+    if order_col is not None:
+        bounds = order_boundaries(df, order_col, n_shards)
+        # NULL scores sort after everything (the SQL NULLS LAST
+        # convention): they land in the tail shard instead of a silent
+        # __HIVE_DEFAULT_PARTITION__ directory
+        key = F.coalesce(
+            F.col(order_col).cast("double"), F.lit(float("inf"))
+        )
+        shard = F.lit(0)
+        for b in bounds:
+            shard = shard + (key > F.lit(b)).cast("int")
+        sharded = (
+            df.withColumn("__key", key)
+            .withColumn("shard", shard.cast("int"))
+            .repartition(n_shards, F.col("shard"))
+            .sortWithinPartitions("shard", "__key", id_col)
+        )
+    else:
+        sharded = (
+            with_shard(df, n_shards, id_col=id_col, seed=seed)
+            .repartition(n_shards, F.col("shard"))
+            .sortWithinPartitions("shard", "__key", id_col)
+        )
     writer = sharded.drop("__key").write.mode("overwrite").partitionBy("shard")
     getattr(writer, fmt)(path)
     spark = df.sparkSession
     back = getattr(spark.read, fmt)(path)
+    # manifest from what LANDED: the directory's shard value, and the
+    # mode's own key (score range in curriculum mode, permutation key in
+    # shuffle mode)
+    key = (
+        F.col(order_col).cast("double")
+        if order_col is not None
+        else epoch_key(F.col(id_col), seed).cast("double")
+    )
     manifest = (
-        with_shard(back.drop("shard"), n_shards, id_col=id_col, seed=seed)
-        .groupBy("shard")
+        back.groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.min("__key").alias("min_key"),
-            F.max("__key").alias("max_key"),
+            F.min(key).alias("min_key"),
+            F.max(key).alias("max_key"),
         )
         .orderBy("shard")
     )

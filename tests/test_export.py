@@ -114,3 +114,57 @@ def test_jsonl_export_readable(docs, spark, tmp_path_factory):
     f = glob.glob(os.path.join(path, "shard=0", "part-*"))[0]
     first = json.loads(open(f).readline())
     assert "doc_id" in first and "text" in first
+
+
+def test_curriculum_order_mode(docs, spark, tmp_path_factory):
+    """order_col mode (r8): shard k holds the k-th ascending score range,
+    rows sorted within — reading shards 0..n in order IS the global
+    curriculum; manifest records each shard's score range."""
+    from pyspark.sql import functions as F
+
+    scored = docs.withColumn(
+        "difficulty", F.length("text").cast("double")
+    )
+    path = str(tmp_path_factory.mktemp("exp_cur") / "shards")
+    manifest = write_training_shards(
+        scored, path, 4, fmt="parquet", order_col="difficulty"
+    ).collect()
+    # shard ranges ascend and do not overlap
+    for a, b in zip(manifest, manifest[1:]):
+        assert a["max_key"] <= b["min_key"]
+    # reading shards in order yields a globally nondecreasing curriculum
+    seq = []
+    for k in range(4):
+        part = spark.read.parquet(f"{path}/shard={k}")
+        seq.extend(r["difficulty"] for r in part.collect())
+    assert seq == sorted(seq)
+    assert len(seq) == docs.count()
+    # deterministic: same input, same shard membership, any partitioning
+    path2 = str(tmp_path_factory.mktemp("exp_cur") / "shards2")
+    write_training_shards(
+        scored.repartition(7), path2, 4, fmt="parquet", order_col="difficulty"
+    )
+    a = sorted(
+        (r["shard"], r["doc_id"])
+        for r in spark.read.parquet(path).select("shard", "doc_id").collect()
+    )
+    b = sorted(
+        (r["shard"], r["doc_id"])
+        for r in spark.read.parquet(path2).select("shard", "doc_id").collect()
+    )
+    assert a == b
+
+
+def test_curriculum_null_scores_go_to_tail(spark, tmp_path_factory):
+    df = spark.createDataFrame(
+        [(i, float(i) if i < 8 else None) for i in range(10)],
+        "doc_id long, difficulty double",
+    )
+    path = str(tmp_path_factory.mktemp("exp_null") / "shards")
+    write_training_shards(
+        df, path, 2, fmt="parquet", order_col="difficulty"
+    )
+    back = spark.read.parquet(path)
+    tail = {r["doc_id"] for r in back.filter("shard = 1").collect()}
+    assert {8, 9} <= tail  # NULLS LAST: null scores land in the tail shard
+    assert back.count() == 10  # nothing fell into a default partition

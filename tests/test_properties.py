@@ -592,7 +592,14 @@ def test_sparql_bind_matches_python_eval(spark, rows, expr):
 # the Spark result must equal the direct Python evaluation of the
 # bottom-up group algebra
 group_shape = st.recursive(
-    st.just(("leaf",)),
+    st.one_of(
+        st.just(("leaf",)),
+        # r8: PROPERTY-PATH leaves — sequence (bag semantics: one
+        # solution per intermediate), alternation (multiset union),
+        # closure (distinct reachability) — so paths are fuzzed INSIDE
+        # random OPTIONAL/subgroup/UNION nesting, not only standalone
+        st.tuples(st.just("pleaf"), st.sampled_from(["seq", "alt", "plus"])),
+    ),
     lambda child: st.one_of(
         st.tuples(st.just("opt"), child),
         st.tuples(st.just("sub"), child),
@@ -626,6 +633,15 @@ def _shape_to_query(shape, var_in, preds, counter):
     kind = shape[0]
     if kind == "leaf":
         return base
+    if kind == "pleaf":
+        mode = shape[1]
+        if mode == "seq":
+            p2 = preds[next(counter) % len(preds)]
+            return f"?{var_in} {p}/{p2} ?{v} ."
+        if mode == "alt":
+            p2 = preds[next(counter) % len(preds)]
+            return f"?{var_in} ({p}|{p2}) ?{v} ."
+        return f"?{var_in} {p}+ ?{v} ."
     if kind == "opt":
         inner = _shape_to_query(shape[1], v, preds, counter)
         return f"{base} OPTIONAL {{ {inner} }}"
@@ -665,6 +681,39 @@ def _eval_group_text(shape, var_in, rows, preds, counter):
     kind = shape[0]
     if kind == "leaf":
         return base
+    if kind == "pleaf":
+        mode = shape[1]
+        if mode == "seq":
+            p2 = int(preds[next(counter) % len(preds)])
+            return [
+                {var_in: s1, v: o2}
+                for s1, pp1, o1 in rows
+                if pp1 == p
+                for s2, pp2, o2 in rows
+                if pp2 == p2 and s2 == o1
+            ]
+        if mode == "alt":
+            p2 = int(preds[next(counter) % len(preds)])
+            return [
+                {var_in: s, v: o} for s, pp, o in rows if pp == p
+            ] + [{var_in: s, v: o} for s, pp, o in rows if pp == p2]
+        adj: dict[int, set[int]] = {}
+        for s, pp, o in rows:
+            if pp == p:
+                adj.setdefault(s, set()).add(o)
+        out = []
+        for start in adj:
+            frontier, seen = set(adj[start]), set(adj[start])
+            while frontier:
+                frontier = {
+                    n
+                    for f in frontier
+                    for n in adj.get(f, ())
+                    if n not in seen
+                }
+                seen |= frontier
+            out.extend({var_in: start, v: n} for n in seen)
+        return out
     if kind == "opt":
         inner = _eval_group_text(shape[1], v, rows, preds, counter)
         out = []

@@ -54,11 +54,19 @@ def c4_clean(
     *,
     min_line_words: int = 5,
     min_sentences: int = 3,
+    blocklist: tuple[str, ...] = (),
 ) -> DataFrame:
     """Adds ``text_c4`` (surviving lines rejoined with newlines),
     ``n_lines`` / ``n_lines_kept``, and ``c4_keep`` — False when too few
     lines survive or a document-level blocklist rule fires. NULL text
-    behaves as empty (0 lines, rejected)."""
+    behaves as empty (0 lines, rejected).
+
+    ``blocklist``: the paper's remaining document rule — pages containing
+    any phrase from a bad-words list are rejected whole. Matching is
+    case-insensitive on WORD BOUNDARIES (the published list's convention;
+    plain substring would reject e.g. 'assess'). The list is query-sized
+    configuration compiled into one regex alternation — plan-literal,
+    zero shuffle, like the Bloom probe's constants."""
     c = F.coalesce(F.col(content_col), F.lit(""))
     kept = _clean_lines(c, min_line_words)
     all_lines = F.filter(
@@ -69,6 +77,11 @@ def c4_clean(
         & ~c.contains("{")
         & ~c.rlike(DOC_BLOCK_RE)
     )
+    if blocklist:
+        import re as _re
+
+        alternation = "|".join(_re.escape(w) for w in sorted(blocklist))
+        doc_ok = doc_ok & ~c.rlike(rf"(?i)\b({alternation})\b")
     return (
         df.withColumn("n_lines", F.size(all_lines).cast("long"))
         .withColumn("n_lines_kept", F.size(kept).cast("long"))

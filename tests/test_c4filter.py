@@ -108,3 +108,29 @@ def test_plan_is_codegen_only(spark, sf_dir):
     final = plan.split("Initial Plan")[0]
     assert "Python" not in final
     assert "Exchange" not in final
+
+
+def test_blocklist_word_boundaries(spark):
+    """The bad-words rule rejects whole documents on word-boundary
+    matches only — 'assess' must not trip a blocklist entry 'ass'."""
+    ok = "A good sentence with five words here.\n" * 3
+    rows = c4_clean(
+        spark.createDataFrame(
+            [
+                (1, ok),
+                (2, ok + "We assess the quality of results carefully."),
+                (3, ok + "This page contains one BadWord right here."),
+                (4, ok + "badword appears lowercase at line start too."),
+            ],
+            "doc_id long, text string",
+        ),
+        blocklist=("badword", "ass"),
+    ).collect()
+    keep = {r["doc_id"]: r["c4_keep"] for r in rows}
+    assert keep == {1: True, 2: True, 3: False, 4: False}
+    # empty blocklist leaves behavior unchanged
+    base = c4_clean(
+        spark.createDataFrame([(2, ok + "We assess it.")],
+                              "doc_id long, text string")
+    ).head()
+    assert base["c4_keep"] is True

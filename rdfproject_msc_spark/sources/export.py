@@ -118,6 +118,9 @@ def write_training_shards(
     curriculum. Shard boundaries are exact quantiles (deterministic,
     partitioning-independent — ``order_boundaries``), ties broken by id;
     the manifest's min/max keys then record each shard's score range.
+    Heavily TIED scores can leave some quantile ranges empty (e.g. every
+    chunk at max_tokens) — consumers must iterate the manifest's shard
+    list, not assume 0..n−1 directories all exist.
 
     ``fmt='json'`` writes JSON Lines (the interchange format trainers
     ingest); ``fmt='parquet'`` keeps types exactly (round-trip tested).

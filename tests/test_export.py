@@ -168,3 +168,52 @@ def test_curriculum_null_scores_go_to_tail(spark, tmp_path_factory):
     tail = {r["doc_id"] for r in back.filter("shard = 1").collect()}
     assert {8, 9} <= tail  # NULLS LAST: null scores land in the tail shard
     assert back.count() == 10  # nothing fell into a default partition
+
+
+def test_last_mile_composition(spark, sf_dir, tmp_path_factory):
+    """End-to-end last mile (r8): curate -> chunk -> pack
+    (prepare_training_set), tokenize each chunk to ids, export the
+    examples as curriculum shards ordered by token count — one composed
+    flow over the pinned operators; the shard read-back preserves every
+    example and the global token-count order."""
+    from pyspark.sql import functions as F
+
+    from rdfproject_msc_spark.operators.curate import prepare_training_set
+    from rdfproject_msc_spark.operators.tokenize import token_ids
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 41 == 3)
+    examples = prepare_training_set(
+        docs.filter(F.col("doc_id") % 41 != 3),
+        bench,
+        max_tokens=64,
+        pack_budget=256,
+        min_quality=0.0,
+        max_bits_per_token=50.0,
+    ).withColumn("input_ids", token_ids(F.col("chunk"), 4096))
+    n = examples.count()
+    assert n > 0
+    path = str(tmp_path_factory.mktemp("mile") / "shards")
+    # example id = a unique (doc, copy, chunk) compound for the shuffle key
+    keyed = examples.withColumn(
+        "example_id",
+        F.col("doc_id") * 1_000_000 + F.col("copy") * 1_000 + F.col("chunk_id"),
+    )
+    manifest = write_training_shards(
+        keyed, path, 4, fmt="parquet",
+        id_col="example_id", order_col="n_tokens",
+    ).collect()
+    back = spark.read.parquet(path)
+    assert back.count() == n
+    # max_tokens chunks tie heavily on n_tokens, so some quantile ranges
+    # can be EMPTY — the manifest lists only shards that landed
+    seq = []
+    for row in manifest:
+        seq.extend(
+            r["n_tokens"]
+            for r in spark.read.parquet(
+                f"{path}/shard={row['shard']}"
+            ).collect()
+        )
+    assert len(seq) == n
+    assert seq == sorted(seq)

@@ -203,6 +203,21 @@ def main(argv: list[str] | None = None) -> int:
                        help="write only the selected prefix")
     p_sel.add_argument("--cpus", type=int, default=None)
 
+    p_tok = sub.add_parser(
+        "tokenize",
+        help="text -> trainer-ready token-id sequences "
+        "(hash vocab; BOS/EOS, truncation, optional padding)",
+    )
+    p_tok.add_argument("--docs", required=True)
+    p_tok.add_argument("--out", required=True)
+    p_tok.add_argument("--vocab-size", type=int, default=32768)
+    p_tok.add_argument("--max-len", type=int, default=None)
+    p_tok.add_argument("--pad", action="store_true",
+                       help="right-pad to --max-len (fixed shapes)")
+    p_tok.add_argument("--no-special", action="store_true",
+                       help="omit BOS/EOS")
+    p_tok.add_argument("--cpus", type=int, default=None)
+
     p_rep = sub.add_parser(
         "report",
         help="one-pass corpus report: volume, token budget, composition, "
@@ -425,6 +440,29 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"quality: {stats['kept']}/{stats['n']} at/above "
             f"{args.threshold} ({args.out})"
+        )
+        return 0
+
+    if args.command == "tokenize":
+        from rdfproject_msc_spark.operators.tokenize import tokenize_ids
+
+        spark = _spark(args.cpus)
+        out = tokenize_ids(
+            spark.read.parquet(args.docs),
+            vocab_size=args.vocab_size,
+            max_len=args.max_len,
+            add_special=not args.no_special,
+            pad_to_max=args.pad,
+        )
+        out.write.mode("overwrite").parquet(args.out)
+        import pyspark.sql.functions as F
+
+        stats = spark.read.parquet(args.out).agg(
+            F.count("*").alias("n"), F.sum("n_tokens").alias("toks")
+        ).head()
+        print(
+            f"tokenized {stats['n']} documents, {stats['toks']} tokens "
+            f"to {args.out}"
         )
         return 0
 

@@ -325,3 +325,23 @@ def test_cli_report(spark, sf_dir, tmp_path_factory, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "n_docs:" in out and "dup_rate:" in out
+
+
+def test_cli_tokenize(spark, sf_dir, tmp_path_factory, capsys):
+    """r8 tokenization end-to-end."""
+    from rdfproject_msc_spark.cli import main
+    from rdfproject_msc_spark.sources.tables import load_table
+
+    base = tmp_path_factory.mktemp("cli_tok")
+    docs_path = str(base / "docs")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.write.parquet(docs_path)
+    out = str(base / "ids")
+    rc = main(["tokenize", "--docs", docs_path, "--out", out,
+               "--vocab-size", "4096", "--max-len", "128", "--pad"])
+    assert rc == 0
+    assert "tokenized" in capsys.readouterr().out
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    row = back.head()
+    assert len(row["input_ids"]) == 128

@@ -57,3 +57,39 @@ def with_clean_text(
     return df.withColumn("text_clean", cleaned).withColumn(
         "n_redactions", n_red
     )
+
+
+def dedup_paragraphs(col: Column, sep: str = "\n") -> Column:
+    """Drop REPEATED paragraphs within one document, keeping each distinct
+    paragraph's FIRST occurrence in order — the within-page boilerplate
+    cleanup (navigation blocks, repeated footers) corpus pipelines run
+    before corpus-level dedup ever sees the text.
+
+    Pure per-row array algebra: for each position i, keep paragraph i iff
+    its first index in the array is i (array_position is 1-based). O(k²)
+    comparisons per row on the document's OWN paragraph list (k = its
+    paragraph count) — row-local, zero shuffle, no Python."""
+    paras = F.split(col, sep)
+    keep = F.filter(
+        paras,
+        lambda p, i: F.array_position(paras, p) == i + F.lit(1),
+    )
+    return F.array_join(keep, sep)
+
+
+def with_paragraph_dedup(
+    df: DataFrame, content_col: str = "text", sep: str = "\n"
+) -> DataFrame:
+    """Add ``text_paradedup`` plus ``n_paragraphs`` / ``n_paragraphs_kept``
+    audit counts (NULL text behaves as empty)."""
+    c = F.coalesce(F.col(content_col), F.lit(""))
+    paras = F.split(c, sep)
+    deduped = dedup_paragraphs(c, sep)
+    return (
+        df.withColumn("n_paragraphs", F.size(paras).cast("long"))
+        .withColumn(
+            "n_paragraphs_kept",
+            F.size(F.split(deduped, sep)).cast("long"),
+        )
+        .withColumn("text_paradedup", deduped)
+    )

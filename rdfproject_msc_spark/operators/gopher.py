@@ -10,7 +10,9 @@ groupBy away) plus the diagnostic ratios the thresholds apply to.
 Rules (document-level, defaults = the paper's):
 - word count in [min_words, max_words]              (50 .. 100,000)
 - mean word length in [min_mean_len, max_mean_len]  (3 .. 10 chars)
-- symbol-to-word ratio ('#' or '...' per word) <= max_symbol_ratio (0.1)
+- symbol-to-word ratio <= max_symbol_ratio (0.1) — applied to the '#'
+  count and the '...' count SEPARATELY, per the paper's "either the hash
+  symbol or the ellipsis"; a doc fails when EITHER ratio exceeds the cap
 - lines starting with a bullet <= max_bullet_frac   (0.90)
 - lines ending with an ellipsis <= max_ellipsis_frac (0.30)
 - words containing an alphabetic char >= min_alpha_frac (0.80)
@@ -66,9 +68,9 @@ def with_gopher_rules(
     min_alpha_frac: float = 0.80,
     min_stopwords: int = 2,
 ) -> DataFrame:
-    """Adds diagnostics (n_words, mean_word_len, symbol_ratio, bullet_frac,
-    ellipsis_frac, alpha_frac, n_req_stopwords), one boolean per rule
-    (rule_*), and ``gopher_pass``. NULL text behaves as empty (fails the
+    """Adds diagnostics (n_words, mean_word_len, hash_ratio, ellipsis_sym_ratio,
+    bullet_frac, ellipsis_frac, alpha_frac, n_req_stopwords), one boolean per
+    rule (rule_*), and ``gopher_pass``. NULL text behaves as empty (fails the
     word-count rule, passes the vacuous line/word-fraction rules)."""
     c = F.coalesce(F.col(content_col), F.lit(""))
     words = _words(c)
@@ -77,8 +79,10 @@ def with_gopher_rules(
     # total word chars == length with ALL whitespace removed
     word_chars = F.length(F.regexp_replace(c, r"\s", ""))
     mean_len = word_chars.cast("double") / nw1.cast("double")
-    symbols = _count_char(c, "#") + _count_substr(c, "...")
-    symbol_ratio = symbols.cast("double") / nw1.cast("double")
+    hash_ratio = _count_char(c, "#").cast("double") / nw1.cast("double")
+    ellipsis_sym_ratio = _count_substr(c, "...").cast("double") / nw1.cast(
+        "double"
+    )
     lines = F.filter(F.split(c, "\n"), lambda ln: F.trim(ln) != "")
     n_lines = F.size(lines)
     nl1 = F.greatest(n_lines, F.lit(1))
@@ -103,7 +107,8 @@ def with_gopher_rules(
     out = (
         df.withColumn("n_words", n_words)
         .withColumn("mean_word_len", F.round(mean_len, 6))
-        .withColumn("symbol_ratio", F.round(symbol_ratio, 6))
+        .withColumn("hash_ratio", F.round(hash_ratio, 6))
+        .withColumn("ellipsis_sym_ratio", F.round(ellipsis_sym_ratio, 6))
         .withColumn("bullet_frac", F.round(bullet_frac, 6))
         .withColumn("ellipsis_frac", F.round(ellipsis_frac, 6))
         .withColumn("alpha_frac", F.round(alpha_frac, 6))
@@ -114,7 +119,8 @@ def with_gopher_rules(
         & (F.col("n_words") <= max_words),
         "rule_mean_word_len": (F.col("mean_word_len") >= min_mean_len)
         & (F.col("mean_word_len") <= max_mean_len),
-        "rule_symbol_ratio": F.col("symbol_ratio") <= max_symbol_ratio,
+        "rule_symbol_ratio": (F.col("hash_ratio") <= max_symbol_ratio)
+        & (F.col("ellipsis_sym_ratio") <= max_symbol_ratio),
         "rule_bullet": F.col("bullet_frac") <= max_bullet_frac,
         "rule_ellipsis": F.col("ellipsis_frac") <= max_ellipsis_frac,
         "rule_alpha": F.col("alpha_frac") >= min_alpha_frac,

@@ -21,8 +21,9 @@ m AS (
            len(list_filter(string_split_regex(c, '\s+'), w -> w <> ''))
                AS n_words,
            length(regexp_replace(c, '\s', '', 'g')) AS word_chars,
-           (length(c) - length(replace(c, '#', '')))
-             + (length(c) - length(replace(c, '...', ''))) / 3.0 AS symbols,
+           (length(c) - length(replace(c, '#', ''))) AS hash_symbols,
+           (length(c) - length(replace(c, '...', ''))) / 3.0
+               AS ellipsis_symbols,
            list_filter(string_split(c, chr(10)), ln -> trim(ln) <> '')
                AS lines,
            list_filter(string_split_regex(c, '\s+'),
@@ -36,7 +37,9 @@ m AS (
 r AS (
     SELECT doc_id, n_words,
            round(word_chars / greatest(n_words, 1), 6) AS mean_word_len,
-           round(symbols / greatest(n_words, 1), 6) AS symbol_ratio,
+           round(hash_symbols / greatest(n_words, 1), 6) AS hash_ratio,
+           round(ellipsis_symbols / greatest(n_words, 1), 6)
+               AS ellipsis_sym_ratio,
            round(len(list_filter(lines,
                      ln -> regexp_matches(ltrim(ln), '^[-*•]')))
                  / CAST(greatest(len(lines), 1) AS DOUBLE), 6)
@@ -52,12 +55,14 @@ r AS (
                AS n_req_stopwords
     FROM m
 )
-SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+SELECT doc_id, n_words, mean_word_len, hash_ratio, ellipsis_sym_ratio,
+       bullet_frac,
        ellipsis_frac, alpha_frac, n_req_stopwords,
        (n_words >= 50 AND n_words <= 100000) AS rule_word_count,
        (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
            AS rule_mean_word_len,
-       symbol_ratio <= 0.1 AS rule_symbol_ratio,
+       (hash_ratio <= 0.1 AND ellipsis_sym_ratio <= 0.1)
+           AS rule_symbol_ratio,
        bullet_frac <= 0.9 AS rule_bullet,
        ellipsis_frac <= 0.3 AS rule_ellipsis,
        alpha_frac >= 0.8 AS rule_alpha,
@@ -70,7 +75,8 @@ OUT_COLS = [
     "doc_id",
     "n_words",
     "mean_word_len",
-    "symbol_ratio",
+    "hash_ratio",
+    "ellipsis_sym_ratio",
     "bullet_frac",
     "ellipsis_frac",
     "alpha_frac",
@@ -108,6 +114,8 @@ FIXTURES = [
     ("word " * 10, "rule_word_count"),  # too short
     ("supercalifragilistic " * 60 + "the of", "rule_mean_word_len"),
     ("the of " + "### # ## " * 30 + "word " * 40, "rule_symbol_ratio"),
+    # the ellipsis-count branch alone (no '#' anywhere) must also trip it
+    ("the of " + "word... more... " * 30 + "pad " * 40, "rule_symbol_ratio"),
     (
         "\n".join("- bullet line the of item" for _ in range(20))
         + "\nthe of plain words here "

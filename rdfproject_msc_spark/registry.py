@@ -939,8 +939,11 @@ def tpch_q3(spark, sf_dir):
     )
     disc = _dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))
     return (
+        # no broadcast hint on customer: it GROWS with sf (a hint is honored
+        # regardless of runtime size — driver OOM bait at 100×). AQE picks
+        # broadcast from actual stats while the filtered side is small.
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(_money(disc, "revenue"))
     )
@@ -970,8 +973,10 @@ def tpch_q5(spark, sf_dir):
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
+        # supplier grows with sf → no hint (AQE broadcasts while it's small);
+        # nation/region are FIXED-size dimensions → hint is safe at any sf
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )

@@ -40,16 +40,22 @@ def test_salted_join_left_outer(spark):
 @pytest.mark.parametrize(
     "name,expect",
     [
-        ("tpch_q3", "BroadcastHashJoin"),  # filtered customer broadcast
+        ("tpch_q3", "BroadcastHashJoin"),  # filtered customer: AQE broadcast
         ("tpch_q5", "BroadcastHashJoin"),  # supplier/nation/region broadcast
     ],
 )
 def test_analytics_plans_broadcast(spark, sf_dir, name, expect):
+    """Asserts the JOIN AQE actually executed, not a hint: customer and
+    supplier carry NO broadcast hint (they grow with sf), so the broadcast
+    must come from runtime statistics while the test scale keeps them under
+    the threshold."""
     from rdfproject_msc_spark.registry import REGISTRY
 
     df = REGISTRY[name].fn(spark, sf_dir)
+    df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert expect in plan
+    final = plan.split("Initial Plan")[0]
+    assert expect in final
 
 
 def test_tpch_scan_prunes_columns(spark, sf_dir):

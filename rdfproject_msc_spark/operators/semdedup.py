@@ -47,12 +47,24 @@ from rdfproject_msc_spark.operators.similarity import (
     kmeans_centroids,
 )
 
+# Default cluster granularity: k ≈ N / TARGET_CLUSTER_SIZE holds expected
+# cluster sizes (and therefore the per-task Σcᵢ² quadratic) CONSTANT as the
+# corpus grows — the measured-sublinear configuration (SCALE.md: k∝N probe
+# 9.2× per decade vs 12.4× at fixed k). 625 ⇒ ~0.4M pair-dots per cluster.
+TARGET_CLUSTER_SIZE = 625
+
+
+def auto_k(n_rows: int, target_cluster_size: int = TARGET_CLUSTER_SIZE) -> int:
+    """The scale-safe cluster count for an ``n_rows`` corpus: ceil(N/625),
+    floored at 16 so tiny corpora still get a non-degenerate partition."""
+    return max(16, -(-int(n_rows) // int(target_cluster_size)))
+
 
 def semantic_dedup(
     df: DataFrame,
     dim: int,
     threshold: float,
-    k: int = 16,
+    k: int | None = None,
     centroids: list[list[float]] | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -62,11 +74,20 @@ def semantic_dedup(
     ``threshold``, plus a ``cluster`` column (the assignment is useful
     downstream — e.g. for stratified sampling over semantic regions).
 
+    ``k`` defaults to ``auto_k(count(df))`` — k grows with the corpus so
+    within-cluster work per row stays constant (the configuration the
+    scale probe measures sublinear). Pass an explicit k ONLY to replicate
+    a fixed-geometry oracle; a fixed k makes the within-cluster quadratic
+    grow with N by construction.
+
     ``centroids``: pass a precomputed k×dim table to skip training (and
     to make the whole operator a pure function of its inputs — the
     DuckDB oracle path); default trains the deterministic IVF quantizer.
     """
     if centroids is None:
+        if k is None:
+            # one bounded count() — the price of a size-adaptive default
+            k = auto_k(df.count())
         centroids = kmeans_centroids(df, dim=dim, k=k, vec_col=vec_col, id_col=id_col)
     assigned = df.withColumn(
         "cluster", _nearest_centroid(F.col(vec_col), centroids)

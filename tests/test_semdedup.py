@@ -130,3 +130,37 @@ def test_semdedup_zero_vector_is_inert(spark):
     # (no defined direction — inert on both sides of the dominate join)
     assert sorted(got) == [1, 2]
     assert got[1] is None and got[2] == 0
+
+
+def test_auto_k_rule():
+    from rdfproject_msc_spark.operators.semdedup import auto_k
+
+    assert auto_k(0) == 16
+    assert auto_k(10_000) == 16  # floor dominates small corpora
+    assert auto_k(625_000) == 1000  # the SCALE.md k ≈ N/625 rule
+    assert auto_k(625_001) == 1001  # ceil, not round
+    assert auto_k(10**12) == 1_600_000_000  # k scales with the corpus
+
+
+def test_semdedup_default_derives_scale_safe_k(spark):
+    """The DEFAULT call (no k, no centroids) must auto-derive k from the
+    corpus size and agree with the same call made explicit — the
+    scale-safe configuration is what a bare semantic_dedup() runs."""
+    from rdfproject_msc_spark.operators.semdedup import auto_k
+
+    dim, t = 8, 0.999
+    rows = _mkvecs(40, dim)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    k = auto_k(len(rows))
+    cents = kmeans_centroids(df, dim=dim, k=k)
+    want = sorted(
+        (r.vec_id, r.cluster)
+        for r in semantic_dedup(
+            df, dim=dim, threshold=t, centroids=cents
+        ).collect()
+    )
+    got = sorted(
+        (r.vec_id, r.cluster)
+        for r in semantic_dedup(df, dim=dim, threshold=t).collect()
+    )
+    assert got == want

@@ -97,22 +97,17 @@ def _passage_dedup_k32(spark, sf_dir):
 
 
 def _semantic_dedup_kscaled(spark, sf_dir):
-    """SemDeDup under its documented scaling rule: k grows with the
-    corpus (k ≈ N / 625-vector clusters), holding cluster sizes — and
-    the within-cluster Σcᵢ² — constant per unit of data. The registry
-    row keeps k=8 fixed (oracle-replicable), which the probe shows goes
-    quadratic; THIS row is the configuration a user runs at scale."""
-    import math
-
+    """SemDeDup's DEFAULT call (r9): no k, no centroids — auto_k derives
+    k ≈ N/625 and the deterministic IVF quantizer trains, so this row
+    measures exactly what a user gets out of the box, kmeans included.
+    Cluster sizes — and the within-cluster Σcᵢ² — stay constant per unit
+    of data. The registry row keeps k=8 fixed (oracle-replicable), which
+    the probe shows goes quadratic; THIS row is the at-scale default."""
     from rdfproject_msc_spark.operators.semdedup import semantic_dedup
     from rdfproject_msc_spark.registry import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    k = max(8, int(round(emb.count() / 625)))
-    cents = [
-        [math.sin(0.5 * i + 0.13 * j) for j in range(64)] for i in range(k)
-    ]
-    return semantic_dedup(emb, dim=64, threshold=0.35, centroids=cents).select(
+    return semantic_dedup(emb, dim=64, threshold=0.35).select(
         "vec_id", "cluster"
     )
 

@@ -565,7 +565,11 @@ def main(argv: list[str] | None = None) -> int:
             if args.labeled
             else REFERENCE_MODEL
         )
-        out = select_quality_budget(docs, model, args.budget)
+        verdict = select_quality_budget(docs, model, args.budget)
+        # join the id-level verdict back onto the input docs so the output
+        # is directly consumable by tokenize/export (text travels along —
+        # without this a --keep-only result forces a manual join back)
+        out = docs.join(verdict, "doc_id")
         if args.keep_only:
             out = out.filter(F.col("selected"))
         out.write.mode("overwrite").parquet(args.out)

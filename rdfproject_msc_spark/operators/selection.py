@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def select_to_budget(
@@ -46,9 +47,16 @@ def select_to_budget(
     npart = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
+    # persist the ranged frame BEFORE forking it into the totals subtree
+    # and the probe subtree: RangePartitioner SAMPLES its boundaries, and
+    # two independent instantiations of this exchange could sample
+    # differently (exchange reuse is an optimizer rule, not a guarantee) —
+    # the cache pins exactly one instantiation, so the __pid seen by the
+    # offsets build is the __pid seen by the probe. Disk-backed: at scale
+    # this is one extra spill-read of the corpus, never a recompute.
     ranged = df.repartitionByRange(
         npart, F.col(score_col).desc(), F.col(id_col).asc()
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # after repartitionByRange the partition index IS the range index:
     # pid order == global (score DESC, id) order, so it is a sound
     # prefix key (plain spark_partition_id on arbitrary data would not be)

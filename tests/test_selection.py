@@ -124,3 +124,30 @@ def test_quality_budget_composition(spark, sf_dir):
     for r in straddle:
         assert r["cum_tokens"] > 3_000
     assert best_unsel <= 1.0
+
+
+def test_cli_select_output_is_pipeline_ready(spark, sf_dir, tmp_path):
+    """The select subcommand's output must carry the document columns
+    (text included) so it feeds tokenize/export directly — not just the
+    id-level verdict."""
+    import os
+
+    from rdfproject_msc_spark.cli import main
+
+    out = str(tmp_path / "selected")
+    rc = main(
+        [
+            "select",
+            "--docs", os.path.join(sf_dir, "documents.parquet"),
+            "--budget", "5000",
+            "--keep-only",
+            "--out", out,
+        ]
+    )
+    assert rc == 0
+    got = spark.read.parquet(out)
+    for c in ("doc_id", "text", "quality_prob", "cum_tokens", "selected"):
+        assert c in got.columns
+    rows = got.collect()
+    assert rows and all(r.selected for r in rows)
+    assert max(r.cum_tokens for r in rows) <= 5000

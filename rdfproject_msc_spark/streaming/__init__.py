@@ -20,6 +20,7 @@ from rdfproject_msc_spark.streaming.documents import (  # noqa: F401
     dsir_score_stream,
     read_documents_stream,
     stage_documents_dir,
+    write_batch_idempotent,
 )
 from rdfproject_msc_spark.streaming.sparql import (  # noqa: F401
     sparql_stream_delta,

@@ -15,6 +15,8 @@ design.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -34,6 +36,19 @@ DOC_SCHEMA = T.StructType(
         T.StructField("n_chars", T.LongType()),
     ]
 )
+
+
+def write_batch_idempotent(df: DataFrame, out_dir: str, batch_id: int) -> None:
+    """Exactly-once micro-batch sink for ``foreachBatch``: each batch lands
+    in its own ``batch_id=<n>`` partition directory with OVERWRITE mode, so
+    a micro-batch that replays after a crash (foreachBatch is at-least-once
+    — the write can land before the checkpoint commits) overwrites its own
+    partition instead of appending a duplicate copy. Readers see a plain
+    parquet dataset with a ``batch_id`` partition column (drop it if the
+    provenance is unwanted)."""
+    df.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"batch_id={int(batch_id)}")
+    )
 
 
 def stage_documents_dir(
@@ -86,10 +101,12 @@ def decontaminate_stream(
     embedded in every micro-batch plan, so steady-state per-batch cost is
     one scan of the NEW documents, a filtered explode over bloom
     survivors, and one broadcast join against the benchmark n-grams.
-    Exactly-once via the parquet sink + checkpoint; ``availableNow``
-    drains the staged input (production: a processing-time trigger).
-    Returns the finished StreamingQuery (recentProgress carries per-batch
-    row counts for observability)."""
+    Exactly-once: each micro-batch overwrites its own ``batch_id=<n>``
+    partition (``write_batch_idempotent``), so checkpoint-replayed batches
+    are idempotent rather than appended twice. ``availableNow`` drains the
+    staged input (production: a processing-time trigger). Returns the
+    finished StreamingQuery (recentProgress carries per-batch row
+    counts for observability)."""
     from rdfproject_msc_spark.operators import bloom as bloom_mod
     from rdfproject_msc_spark.operators import decontam
 
@@ -113,7 +130,7 @@ def decontaminate_stream(
             threshold=threshold,
             bloom_filter=bf,
         )
-        report.write.mode("append").parquet(out_dir)
+        write_batch_idempotent(report, out_dir, batch_id)
 
     q = (
         docs.writeStream.foreachBatch(_process)
@@ -161,7 +178,8 @@ def dsir_score_stream(
     LOCAL relation up front: every micro-batch plan embeds the same
     (bucket, log_ratio) table without re-running the fit aggregations,
     the same once-built-many-probed economics as the Bloom filter.
-    Exactly-once via the parquet sink + checkpoint."""
+    Exactly-once via per-batch partition overwrite
+    (``write_batch_idempotent``)."""
     from rdfproject_msc_spark.operators import dsir
 
     spark = raw_sample.sparkSession
@@ -183,7 +201,7 @@ def dsir_score_stream(
             smoothing=smoothing,
             log_ratios=model,
         )
-        scored.write.mode("append").parquet(out_dir)
+        write_batch_idempotent(scored, out_dir, batch_id)
 
     q = (
         docs.writeStream.foreachBatch(_process)

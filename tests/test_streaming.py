@@ -705,7 +705,7 @@ def test_decontaminate_stream_equals_batch(spark, sf_dir, tmp_path_factory):
     # genuinely incremental: the drain ran more than one micro-batch
     assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) > 1
 
-    got = spark.read.parquet(out_dir)
+    got = spark.read.parquet(out_dir).drop("batch_id")
     want = ngram_contamination(corpus, bench, n=3, threshold=0.5)
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
@@ -738,7 +738,7 @@ def test_dsir_score_stream_equals_batch(spark, sf_dir, tmp_path_factory):
     )
     assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) > 1
 
-    got = spark.read.parquet(out_dir)
+    got = spark.read.parquet(out_dir).drop("batch_id")
     want = dsir.dsir_weights(raw, target, n_buckets=512)
     g = {r["doc_id"]: r for r in got.collect()}
     w = {r["doc_id"]: r for r in want.collect()}
@@ -792,3 +792,22 @@ def test_r8_row_filters_stream_equals_batch(spark, sf_dir, tmp_path_factory):
         map(tuple, want.collect())
     )
     assert got.count() > 0
+
+
+def test_write_batch_idempotent_replay(spark, tmp_path):
+    """foreachBatch is at-least-once: a batch whose write landed but whose
+    checkpoint commit didn't will REPLAY on restart. The batch-keyed
+    partition overwrite must absorb the replay — two writes of the same
+    (df, batch_id) leave exactly one copy; a different batch_id appends."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    out = str(tmp_path / "sink")
+    S.write_batch_idempotent(df, out, 0)
+    S.write_batch_idempotent(df, out, 0)  # crash-replay of batch 0
+    got = spark.read.parquet(out)
+    assert got.count() == 2
+    assert sorted((r.id, r.v, r.batch_id) for r in got.collect()) == [
+        (1, "a", 0),
+        (2, "b", 0),
+    ]
+    S.write_batch_idempotent(df, out, 1)  # a NEW batch still appends
+    assert spark.read.parquet(out).count() == 4

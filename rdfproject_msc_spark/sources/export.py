@@ -12,15 +12,18 @@ Design (all deterministic, no RNG state):
 - The shuffle key is md5(seed || id) — the same cross-engine nibble
   arithmetic as operators/sampling.py, so the order is reproducible from
   (corpus, seed) alone and changing the seed is a fresh epoch permutation.
-- Shard assignment is the TOP bucket digits of that same key, so a shard
-  is a uniform random 1/n_shards slice, independent of input partitioning.
+- Shard assignment is that same key MODULO n_shards, so a shard is a
+  uniform random 1/n_shards slice, independent of input partitioning.
   Expected shard skew is O(sqrt(N/n_shards)) rows — negligible at training
   scale; exact-equal sharding would need a global prefix sum
   (operators/batching.py has one) for no trainer-visible benefit.
-- Files are written with ``partitionBy("shard")``, ONE file per shard via
-  an explicit ``repartition(n_shards, shard)`` so the shuffle that orders
-  rows also co-locates each shard in a single task — no second pass, no
-  driver loop over shards.
+- Files are written with ``partitionBy("shard")`` after an explicit
+  ``repartition(n_shards, shard)``: hashing the shard value sends EVERY
+  row of a given shard to one task, so each shard directory holds a
+  single file. Distinct shard values can hash-collide into the same task
+  (leaving others empty) — that skews WRITER load across tasks, not the
+  file layout or shard membership; callers needing strictly one shard
+  per writer should raise n_shards rather than rely on the hash spread.
 - Within a shard, rows sort by the shuffle key (``sortWithinPartitions``)
   — a map-side sort after the exchange; no global sort appears anywhere.
 - The manifest is a per-shard aggregation of the SAME DataFrame that was

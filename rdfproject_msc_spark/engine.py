@@ -45,14 +45,34 @@ class Engine:
         layout: str = "single",
         cluster_by: str | None = None,
         register_as: str = "table",
+        negative_when=None,
         **store_kwargs,
     ) -> "Engine":
-        """Read triples (text or parquet) + optional dictionary TSV, apply
-        the physical layout, and register SQL views. Returns self."""
+        """Read triples + optional dictionary TSV, apply the physical
+        layout, and register SQL views. Returns self.
+
+        ``fmt``: ``"text"`` (pre-encoded space-separated ints — the
+        reference's contract), ``"parquet"`` (persisted encoded layout), or
+        ``"nt"`` (RAW N-Triples: the dictionary is BUILT distributedly and
+        the terms encoded — sources/ntriples.py; ``negative_when`` chooses
+        the Negative sign class by term, ``dict_path`` must be None)."""
         if fmt == "text":
             df = TIO.read_triples_text(self.spark, triples_path)
         elif fmt == "parquet":
             df = TIO.read_triples_parquet(self.spark, triples_path)
+        elif fmt == "nt":
+            if dict_path is not None:
+                raise ValueError(
+                    "fmt='nt' builds its dictionary from the data; "
+                    "dict_path must be None"
+                )
+            from rdfproject_msc_spark.sources.ntriples import ingest_ntriples
+
+            df, dict_df = ingest_ntriples(
+                self.spark, triples_path, negative_when=negative_when
+            )
+            # built dictionaries scale with the corpus: no broadcast hint
+            self.dictionary = Dictionary(dict_df, broadcast_hint=False)
         else:
             raise ValueError(f"unknown triples format: {fmt!r}")
         self.store = TripleStore(

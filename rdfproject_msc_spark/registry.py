@@ -407,6 +407,134 @@ def rdf_text_lifecycle(spark, sf_dir):
     )
 
 
+def rdf_ingest_nt(spark, sf_dir):
+    """Raw-RDF first mile (r9, sources/ntriples.py): the onboarding step
+    NEITHER repo had — the reference's input arrives pre-encoded
+    (PartitionQueryingSubject.java:55) and its dictionary is consumed,
+    never produced (:63-70). Here: materialize genuine N-Triples text from
+    the base tables, then parse → build the dictionary DISTRIBUTEDLY
+    (dense signed ids = lexicographic rank per sign class; event terms
+    take the Negative class) → encode → sign-split layout → query on ids
+    (static Positive routing) → decode. Ids in the output prove the
+    dense-rank assignment end-to-end against the row_number oracle."""
+    import os
+    import tempfile
+
+    from rdfproject_msc_spark.engine import Engine
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(tempfile.gettempdir(), "rdfproject_msc_nt", tag)
+
+    def _line(*parts):
+        return F.concat(
+            *[F.lit(p) if isinstance(p, str) else p for p in parts]
+        ).alias("value")
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    events = load_table(spark, sf_dir, "events")
+    s = lambda c: F.col(c).cast("string")  # noqa: E731
+    lines = (
+        orders.select(
+            _line("<urn:order_", s("o_orderkey"),
+                  "> <urn:placedBy> <urn:customer_", s("o_custkey"), "> .")
+        )
+        .unionAll(customer.select(
+            _line("<urn:customer_", s("c_custkey"),
+                  "> <urn:inNation> <urn:nation_", s("c_nationkey"), "> .")
+        ))
+        .unionAll(nation.select(
+            _line("<urn:nation_", s("n_nationkey"),
+                  "> <urn:inRegion> <urn:region_", s("n_regionkey"), "> .")
+        ))
+        .unionAll(nation.select(
+            _line("<urn:nation_", s("n_nationkey"),
+                  '> <urn:label> "', F.col("n_name"), '"@en .')
+        ))
+        .unionAll(events.select(
+            _line("<urn:event_", s("event_id"),
+                  "> <urn:byUser> <urn:customer_", s("user_id"), "> .")
+        ))
+    )
+    nt_dir = os.path.join(base, "nt")
+    lines.write.mode("overwrite").text(nt_dir)
+
+    eng = Engine(spark).load_triples(
+        nt_dir,
+        fmt="nt",
+        layout="sign_split",
+        cluster_by="s",
+        negative_when=F.col("term").startswith("<urn:event_"),
+    )
+    ids = eng.dictionary.encode_terms(
+        ["<urn:placedBy>", "<urn:inNation>", "<urn:nation_7>"]
+    )
+    # order→customer 2-hop into nation_7: both subjects are POSITIVE terms,
+    # so the reference's sign routing reads Positive alone (the Negative
+    # table holds the event triples)
+    res = eng.sql(
+        f"""SELECT t0.s AS order_id, t0.o AS cust_id
+            FROM Positive t0 INNER JOIN Positive t1 ON t0.o = t1.s
+            WHERE t0.p = {ids['<urn:placedBy>']}
+              AND t1.p = {ids['<urn:inNation>']}
+              AND t1.o = {ids['<urn:nation_7>']}"""
+    )
+    decorated = res.withColumn("order_term", F.col("order_id")).withColumn(
+        "cust_term", F.col("cust_id")
+    )
+    return eng.dictionary.decode(decorated, ["order_term", "cust_term"])
+
+
+RDF_INGEST_NT_SQL = """
+WITH nt AS (
+  SELECT '<urn:order_' || o_orderkey || '>' AS s_term,
+         '<urn:placedBy>' AS p_term,
+         '<urn:customer_' || o_custkey || '>' AS o_term FROM orders
+  UNION ALL
+  SELECT '<urn:customer_' || c_custkey || '>', '<urn:inNation>',
+         '<urn:nation_' || c_nationkey || '>' FROM customer
+  UNION ALL
+  SELECT '<urn:nation_' || n_nationkey || '>', '<urn:inRegion>',
+         '<urn:region_' || n_regionkey || '>' FROM nation
+  UNION ALL
+  SELECT '<urn:nation_' || n_nationkey || '>', '<urn:label>',
+         '"' || n_name || '"@en' FROM nation
+  UNION ALL
+  SELECT '<urn:event_' || event_id || '>', '<urn:byUser>',
+         '<urn:customer_' || user_id || '>' FROM events
+),
+terms AS (
+  SELECT DISTINCT term FROM (
+    SELECT s_term AS term FROM nt
+    UNION ALL SELECT p_term FROM nt
+    UNION ALL SELECT o_term FROM nt)
+),
+dict AS (
+  SELECT CASE WHEN neg THEN -rnk ELSE rnk END AS id, term
+  FROM (SELECT term, term LIKE '<urn:event_%' AS neg,
+               row_number() OVER (PARTITION BY term LIKE '<urn:event_%'
+                                  ORDER BY term) AS rnk
+        FROM terms)
+),
+enc AS (
+  SELECT ds.id AS s, dp.id AS p, dd.id AS o
+  FROM nt JOIN dict ds ON ds.term = nt.s_term
+          JOIN dict dp ON dp.term = nt.p_term
+          JOIN dict dd ON dd.term = nt.o_term
+)
+SELECT t0.s AS order_id, t0.o AS cust_id,
+       d0.term AS order_term, d1.term AS cust_term
+FROM enc t0
+JOIN enc t1 ON t0.o = t1.s
+JOIN dict d0 ON d0.id = t0.s
+JOIN dict d1 ON d1.id = t0.o
+WHERE t0.p = (SELECT id FROM dict WHERE term = '<urn:placedBy>')
+  AND t1.p = (SELECT id FROM dict WHERE term = '<urn:inNation>')
+  AND t1.o = (SELECT id FROM dict WHERE term = '<urn:nation_7>')
+"""
+
+
 SPARQL_2HOP = (
     "SELECT ?c ?n WHERE { :order_1 :placedBy ?c . ?c :inNation ?n . }"
 )
@@ -2723,7 +2851,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "knn_cosine": QuerySpec(knn_cosine, KNN_COSINE_SQL, headline=True),
     "ann_lsh_topk": QuerySpec(ann_lsh_topk, ANN_LSH_TOPK_SQL, headline=True),
     "multimodal_stats": QuerySpec(multimodal_stats, MULTIMODAL_STATS_SQL, headline=True),
-    "multimodal_filter": QuerySpec(multimodal_filter, MULTIMODAL_FILTER_SQL),
+    # multimodal_filter demoted r9 (slot → rdf_ingest_nt): the metadata
+    # predicate pushdown is carried by multimodal_stats' driver row; oracle
+    # kept in tests/test_demoted.py
     # multimodal_decode demoted r6 (slot -> docs_quota_sample): the
     # mapInPandas decode plumbing stays oracle-pinned in
     # tests/test_demoted.py; stats+filter keep the family's driver rows
@@ -2825,6 +2955,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "rdf_split_join": QuerySpec(rdf_split_join, RDF_SPLIT_JOIN_SQL, headline=True),
     "sparql_regex": QuerySpec(sparql_regex, SPARQL_REGEX_SQL, headline=True),
     "rdf_text_lifecycle": QuerySpec(rdf_text_lifecycle, RDF_DECODE_2HOP_SQL),
+    # r9: the raw-RDF first mile — N-Triples parse + distributed dictionary
+    # build + encode + sign-split layout + id-level query + decode
+    "rdf_ingest_nt": QuerySpec(rdf_ingest_nt, RDF_INGEST_NT_SQL, headline=True),
     "rdf_sign_union": QuerySpec(rdf_sign_union, RDF_SIGN_UNION_SQL),
     "sparql_2hop": QuerySpec(sparql_2hop, SPARQL_2HOP_SQL, headline=True),
     "text_decontaminate": QuerySpec(text_decontaminate, TEXT_DECONTAMINATE_SQL, headline=True),

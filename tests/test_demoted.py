@@ -250,3 +250,12 @@ def test_top_orders_per_priority_matches_oracle(spark, sf_dir):
     assert_matches_oracle(
         R.top_orders_per_priority(spark, sf_dir), R.TOP_ORDERS_SQL, sf_dir
     )
+
+
+def test_multimodal_filter_matches_oracle(spark, sf_dir):
+    """Demoted r9 (slot → rdf_ingest_nt): the typed-metadata predicate
+    filter over binary assets — the pushdown-able modality/min-bytes
+    projection stays exact vs the byte-arithmetic DuckDB twin."""
+    assert_matches_oracle(
+        R.multimodal_filter(spark, sf_dir), R.MULTIMODAL_FILTER_SQL, sf_dir
+    )

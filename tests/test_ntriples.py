@@ -1,0 +1,221 @@
+"""Raw-RDF ingestion (sources/ntriples.py): parser fixtures (IRIs, bnodes,
+literals with escapes/lang/datatype, comments, malformed lines), the
+dictionary builder vs a DuckDB row_number twin, dense/signed/no-zero id
+invariants, determinism under re-partitioning, encode→decode round-trip,
+Engine fmt="nt" end-to-end, and the no-driver-materialization plan shape."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from rdfproject_msc_spark.dictionary import Dictionary
+from rdfproject_msc_spark.engine import Engine
+from rdfproject_msc_spark.sources.ntriples import (
+    build_dictionary,
+    encode_triples,
+    ingest_ntriples,
+    parse_ntriples,
+)
+
+NT_FIXTURE = """\
+# a comment line
+<http://ex.org/a> <http://ex.org/knows> <http://ex.org/b> .
+
+<http://ex.org/b> <http://ex.org/name> "Bob" .
+_:blank1 <http://ex.org/age> "42"^^<http://www.w3.org/2001/XMLSchema#integer> .
+<http://ex.org/b> <http://ex.org/label> "Bo\\"b the \\\\builder"@en .
+<http://ex.org/c> <http://ex.org/note> "ends with dot . inside"@en-GB .
+  <http://ex.org/a> <http://ex.org/knows> _:blank1 .
+"""
+
+MALFORMED = "<http://ex.org/a> missing-angle-predicate <http://ex.org/b> .\n"
+
+
+@pytest.fixture(scope="module")
+def nt_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("nt") / "data.nt"
+    p.write_text(NT_FIXTURE)
+    return str(p)
+
+
+def test_parse_fixture(spark, nt_path):
+    rows = sorted(
+        map(tuple, parse_ntriples(spark, nt_path).collect())
+    )
+    assert rows == sorted(
+        [
+            ("<http://ex.org/a>", "<http://ex.org/knows>", "<http://ex.org/b>"),
+            ("<http://ex.org/b>", "<http://ex.org/name>", '"Bob"'),
+            (
+                "_:blank1",
+                "<http://ex.org/age>",
+                '"42"^^<http://www.w3.org/2001/XMLSchema#integer>',
+            ),
+            (
+                "<http://ex.org/b>",
+                "<http://ex.org/label>",
+                '"Bo\\"b the \\\\builder"@en',
+            ),
+            (
+                "<http://ex.org/c>",
+                "<http://ex.org/note>",
+                '"ends with dot . inside"@en-GB',
+            ),
+            ("<http://ex.org/a>", "<http://ex.org/knows>", "_:blank1"),
+        ]
+    )
+
+
+def test_parse_skip_vs_fail(spark, tmp_path):
+    p = tmp_path / "bad.nt"
+    p.write_text(NT_FIXTURE + MALFORMED)
+    ok = parse_ntriples(spark, str(p), on_error="skip")
+    assert ok.count() == 6  # malformed line dropped, comments/blanks free
+    strict = parse_ntriples(spark, str(p), on_error="fail")
+    with pytest.raises(Exception, match="malformed N-Triples line"):
+        strict.collect()
+    with pytest.raises(ValueError, match="on_error"):
+        parse_ntriples(spark, str(p), on_error="boom")
+
+
+def test_dictionary_dense_signed_ids(spark, nt_path):
+    parsed = parse_ntriples(spark, nt_path)
+    d = build_dictionary(parsed, negative_when="term LIKE '_:%'")
+    rows = {r["term"]: r["id"] for r in d.collect()}
+    pos = sorted(t for t in rows if not t.startswith("_:"))
+    neg = sorted(t for t in rows if t.startswith("_:"))
+    # ids are the lexicographic rank within the sign class: dense, no 0
+    assert [rows[t] for t in pos] == list(range(1, len(pos) + 1))
+    assert [rows[t] for t in neg] == list(range(-1, -len(neg) - 1, -1))
+    Dictionary(d).validate()  # unique ids, unique terms, no zero
+
+
+def test_dictionary_matches_duckdb_row_number(spark, nt_path):
+    parsed = parse_ntriples(spark, nt_path).cache()
+    got = sorted(
+        map(tuple, build_dictionary(parsed, "term LIKE '_:%'").collect())
+    )
+    terms = [
+        (r["term"],)
+        for r in parsed.selectExpr("s_term AS term")
+        .unionAll(parsed.selectExpr("p_term"))
+        .unionAll(parsed.selectExpr("o_term"))
+        .distinct()
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE terms(term VARCHAR)")
+    con.executemany("INSERT INTO terms VALUES (?)", terms)
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                """
+SELECT CASE WHEN neg THEN -rnk ELSE rnk END AS id, term
+FROM (SELECT term, term LIKE '_:%' AS neg,
+             row_number() OVER (PARTITION BY term LIKE '_:%'
+                                ORDER BY term) AS rnk
+      FROM terms)
+"""
+            ).fetchall(),
+        )
+    )
+    assert got == want
+
+
+def test_ids_invariant_under_input_partitioning(spark, nt_path):
+    parsed = parse_ntriples(spark, nt_path)
+    a = sorted(map(tuple, build_dictionary(parsed, num_partitions=2).collect()))
+    b = sorted(
+        map(
+            tuple,
+            build_dictionary(
+                parsed.repartition(7), num_partitions=5
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_encode_decode_round_trip(spark, nt_path):
+    parsed = parse_ntriples(spark, nt_path)
+    enc, d = ingest_ntriples(spark, nt_path, negative_when="term LIKE '_:%'")
+    assert enc.count() == parsed.count()
+    dec = Dictionary(d, broadcast_hint=False).decode(
+        enc.select(
+            F.col("s").alias("s_term"),
+            F.col("p").alias("p_term"),
+            F.col("o").alias("o_term"),
+        )
+    )
+    assert sorted(map(tuple, dec.collect())) == sorted(
+        map(tuple, parsed.collect())
+    )
+
+
+def test_engine_nt_end_to_end(spark, nt_path):
+    """Engine.load_triples(fmt='nt'): raw terms in, SQL over encoded ids,
+    decode back out — with the bnode class routed to the Negative table."""
+    eng = Engine(spark).load_triples(
+        nt_path,
+        fmt="nt",
+        layout="sign_split",
+        negative_when="term LIKE '_:%'",
+    )
+    ids = eng.dictionary.encode_terms(
+        ["<http://ex.org/knows>", "<http://ex.org/a>"]
+    )
+    res = eng.sql(
+        "SELECT s, o FROM (SELECT * FROM Positive UNION ALL "
+        f"SELECT * FROM Negative) WHERE p = {ids['<http://ex.org/knows>']} "
+        f"AND s = {ids['<http://ex.org/a>']}"
+    )
+    objs = sorted(
+        r["o_term"]
+        for r in eng.dictionary.decode(
+            res.select(F.col("o").alias("o_term"))
+        ).collect()
+    )
+    assert objs == ["<http://ex.org/b>", "_:blank1"]
+    # the bnode object decoded from a NEGATIVE id (sign class respected)
+    bnode_id = eng.dictionary.encode_terms(["_:blank1"])["_:blank1"]
+    assert bnode_id < 0
+    assert eng.store.negative.count() == 1  # the _:blank1-subject triple
+    with pytest.raises(ValueError, match="dict_path must be None"):
+        Engine(spark).load_triples(nt_path, dict_path="/x", fmt="nt")
+
+
+def test_build_plan_never_collects_terms(spark, nt_path):
+    """The dictionary build must stay distributed: no driver-side term-set
+    materialization anywhere in the plan (the broadcasted offsets relation
+    is #partitions-sized, not data-sized) and no Python."""
+    parsed = parse_ntriples(spark, nt_path)
+    d = build_dictionary(parsed, num_partitions=4)
+    d.collect()
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]
+    assert "Python" not in final
+    assert "CollectLimit" not in final
+
+
+def test_encode_at_sf(spark, sf_dir, tmp_path):
+    """Volume check on real testdata: derive NT lines from the nation and
+    region tables, ingest, and verify the triple count and id density."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    lines = nation.select(
+        F.concat(
+            F.lit("<urn:nation_"),
+            "n_nationkey",
+            F.lit("> <urn:inRegion> <urn:region_"),
+            "n_regionkey",
+            F.lit("> ."),
+        ).alias("value")
+    )
+    path = str(tmp_path / "nt")
+    lines.write.mode("overwrite").text(path)
+    enc, d = ingest_ntriples(spark, path)
+    assert enc.count() == nation.count()
+    n_terms = d.count()
+    assert d.agg(F.max("id")).first()[0] == n_terms  # dense, all positive

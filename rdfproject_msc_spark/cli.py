@@ -216,6 +216,13 @@ def main(argv: list[str] | None = None) -> int:
                        help="right-pad to --max-len (fixed shapes)")
     p_tok.add_argument("--no-special", action="store_true",
                        help="omit BOS/EOS")
+    p_tok.add_argument("--fit-vocab", metavar="DIR", default=None,
+                       help="fit a trained top-V vocabulary from --docs, "
+                       "persist it to DIR, and tokenize through it "
+                       "(OOV -> UNK) instead of the hash vocab")
+    p_tok.add_argument("--use-vocab", metavar="DIR", default=None,
+                       help="tokenize through an existing fitted "
+                       "vocabulary parquet (token, token_id)")
     p_tok.add_argument("--cpus", type=int, default=None)
 
     p_rep = sub.add_parser(
@@ -444,16 +451,33 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "tokenize":
-        from rdfproject_msc_spark.operators.tokenize import tokenize_ids
+        from rdfproject_msc_spark.operators.tokenize import (
+            fit_vocab,
+            tokenize_ids,
+            tokenize_ids_vocab,
+        )
 
+        if args.fit_vocab and args.use_vocab:
+            raise SystemExit("--fit-vocab and --use-vocab are exclusive")
         spark = _spark(args.cpus)
-        out = tokenize_ids(
-            spark.read.parquet(args.docs),
-            vocab_size=args.vocab_size,
+        docs = spark.read.parquet(args.docs)
+        kw = dict(
             max_len=args.max_len,
             add_special=not args.no_special,
             pad_to_max=args.pad,
         )
+        if args.fit_vocab:
+            vocab = fit_vocab(docs, vocab_size=args.vocab_size)
+            vocab.write.mode("overwrite").parquet(args.fit_vocab)
+            out = tokenize_ids_vocab(
+                docs, spark.read.parquet(args.fit_vocab), **kw
+            )
+        elif args.use_vocab:
+            out = tokenize_ids_vocab(
+                docs, spark.read.parquet(args.use_vocab), **kw
+            )
+        else:
+            out = tokenize_ids(docs, vocab_size=args.vocab_size, **kw)
         out.write.mode("overwrite").parquet(args.out)
         import pyspark.sql.functions as F
 

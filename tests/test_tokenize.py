@@ -134,3 +134,170 @@ def test_plan_is_codegen_only(spark, sf_dir):
     final = plan.split("Initial Plan")[0]
     assert "Python" not in final
     assert "Exchange" not in final
+
+
+# ---------------------------------------------------------------------------
+# trained-vocabulary tier (r9): fit_vocab + tokenize_ids_vocab
+
+
+def _vocab_sql(v_content: int) -> str:
+    pattern_sql = BPE_ISH_PATTERN.replace("'", "''")
+    return rf"""
+SELECT token, n,
+       CAST(row_number() OVER (ORDER BY n DESC, token) + {N_SPECIAL - 1}
+            AS INT) AS token_id
+FROM (SELECT t AS token, count(*) AS n
+      FROM (SELECT unnest(regexp_extract_all(coalesce(text, ''),
+                          '{pattern_sql}')) AS t
+            FROM docs)
+      GROUP BY t)
+ORDER BY n DESC, token
+LIMIT {v_content}
+"""
+
+
+def test_fit_vocab_matches_duckdb(spark, sf_dir):
+    from rdfproject_msc_spark.operators.tokenize import fit_vocab
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(
+        map(tuple, fit_vocab(docs, vocab_size=2048).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW docs AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(_vocab_sql(2048 - N_SPECIAL)).fetchall()))
+    assert got == want
+    ids = [r[2] for r in got]
+    assert min(ids) == N_SPECIAL and max(ids) == N_SPECIAL + len(ids) - 1
+
+
+def test_vocab_tokenize_matches_duckdb(spark, sf_dir):
+    """The full vocab-join path vs a DuckDB lockstep-unnest + join twin
+    (OOV → UNK), including empty-sequence docs."""
+    from rdfproject_msc_spark.operators.tokenize import (
+        UNK_ID,
+        fit_vocab,
+        tokenize_ids_vocab,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = fit_vocab(docs, vocab_size=20)  # tiny: forces real OOV
+    got = [
+        (r["doc_id"], r["input_ids"])
+        for r in tokenize_ids_vocab(docs, vocab, add_special=False)
+        .orderBy("doc_id")
+        .collect()
+    ]
+    pattern_sql = BPE_ISH_PATTERN.replace("'", "''")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW docs AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    con.execute(f"CREATE TABLE vocab AS {_vocab_sql(20 - N_SPECIAL)}")
+    want = con.execute(
+        rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(coalesce(text, ''), '{pattern_sql}')) AS t,
+         generate_subscripts(regexp_extract_all(coalesce(text, ''),
+                             '{pattern_sql}'), 1) AS pos
+  FROM docs
+),
+seqs AS (
+  SELECT doc_id, list(coalesce(v.token_id, {UNK_ID}) ORDER BY pos) AS ids
+  FROM toks LEFT JOIN vocab v ON v.token = toks.t
+  GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(s.ids, []) AS ids
+FROM docs d LEFT JOIN seqs s ON s.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+    ).fetchall()
+    assert got == [(r[0], r[1]) for r in want]
+    flat = [i for _, ids in got for i in ids]
+    assert UNK_ID in flat  # the small vocab really exercised the fallback
+
+
+def test_vocab_and_hash_tiers_agree_on_covered_docs(spark, sf_dir):
+    """On documents the vocabulary FULLY covers: no UNK anywhere, token
+    counts equal the hash tier's (same pre-tokenizer), and joining the ids
+    back through the vocab decodes the exact pre-token sequence."""
+    from rdfproject_msc_spark.operators.tokenize import (
+        UNK_ID,
+        fit_vocab,
+        tokenize_ids_vocab,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = fit_vocab(docs, vocab_size=200_000)  # > distinct tokens: full cover
+    out = tokenize_ids_vocab(docs, vocab, add_special=False)
+    hash_out = tokenize_ids(docs, VOCAB, add_special=False).select(
+        "doc_id", F.col("n_tokens").alias("n_hash")
+    )
+    j = out.join(hash_out, "doc_id")
+    assert j.filter(F.col("n_tokens") != F.col("n_hash")).count() == 0
+    assert (
+        out.filter(F.array_contains("input_ids", UNK_ID)).count() == 0
+    )
+    # decode round-trip: ids → tokens reproduces the regex pre-tokens
+    rev = {r["token_id"]: r["token"] for r in vocab.collect()}
+    sample = out.orderBy("doc_id").limit(20).collect()
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.filter(
+            F.col("doc_id").isin([s["doc_id"] for s in sample])
+        ).collect()
+    }
+    import re
+
+    for r in sample:
+        want_toks = re.findall(BPE_ISH_PATTERN, texts[r["doc_id"]] or "")
+        assert [rev[i] for i in r["input_ids"]] == want_toks
+
+
+def test_vocab_specials_and_padding_contract(spark):
+    from rdfproject_msc_spark.operators.tokenize import (
+        fit_vocab,
+        tokenize_ids_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha"), (2, None)],
+        "doc_id long, text string",
+    )
+    vocab = fit_vocab(docs, vocab_size=64)
+    out = {
+        r["doc_id"]: r
+        for r in tokenize_ids_vocab(
+            docs, vocab, max_len=4, pad_to_max=True
+        ).collect()
+    }
+    assert out[1]["input_ids"][0] == BOS_ID
+    assert out[1]["input_ids"][-1] == EOS_ID
+    assert out[1]["n_tokens"] == 4  # BOS + 2 content (truncated) + EOS
+    assert out[2]["input_ids"] == [BOS_ID, EOS_ID, PAD_ID, PAD_ID]
+    assert out[2]["n_tokens"] == 2
+
+
+def test_cli_tokenize_fit_vocab(spark, sf_dir, tmp_path):
+    """CLI: fit + persist a trained vocab, tokenize through it; round-trip
+    the persisted vocab with --use-vocab for identical ids."""
+    import os
+
+    from rdfproject_msc_spark.cli import main
+
+    docs = os.path.join(sf_dir, "documents.parquet")
+    out1, out2 = str(tmp_path / "t1"), str(tmp_path / "t2")
+    vdir = str(tmp_path / "vocab")
+    assert main(["tokenize", "--docs", docs, "--out", out1,
+                 "--vocab-size", "128", "--fit-vocab", vdir]) == 0
+    assert main(["tokenize", "--docs", docs, "--out", out2,
+                 "--use-vocab", vdir]) == 0
+    a = sorted((r.doc_id, r.input_ids) for r in spark.read.parquet(out1).collect())
+    b = sorted((r.doc_id, r.input_ids) for r in spark.read.parquet(out2).collect())
+    assert a == b
+    assert spark.read.parquet(vdir).count() == 61  # whole tiny-corpus vocab

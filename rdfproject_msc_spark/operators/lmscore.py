@@ -106,20 +106,48 @@ def lm_score_thresholds(
     scored: DataFrame,
     fractions: tuple[float, ...] = (1.0 / 3.0, 2.0 / 3.0),
     score_col: str = "bits_per_token",
+    *,
+    mode: str = "exact",
+    accuracy: int = 10_000,
 ) -> list[float]:
-    """EXACT score quantiles at the given fractions — the bucket
-    boundaries for ``perplexity_partition``. Spark's ``percentile`` is an
-    exact aggregate (one pass + a bounded per-group state); the result is
-    a driver-side scalar list, model-sized like the Bloom/DSIR fits. At
-    extreme scale swap in ``percentile_approx`` — the partition operator
-    below takes explicit thresholds precisely so the estimator is the
-    caller's choice, not baked in."""
-    row = scored.agg(
-        *[
-            F.percentile(F.col(score_col), F.lit(f)).alias(f"q{i}")
+    """Score quantiles at the given fractions — the bucket boundaries for
+    ``perplexity_partition``; a driver-side scalar list, model-sized like
+    the Bloom/DSIR fits.
+
+    ``mode="exact"`` (default): Spark's exact ``percentile`` aggregate —
+    one pass, but its state holds the distinct values, which at EXTREME
+    scale (billions of distinct doubles) is the memory hazard.
+    ``mode="approx"``: ``percentile_approx`` with an explicit
+    ``accuracy`` — bounded state (O(accuracy)), guaranteed rank error
+    ≤ 1/accuracy of the population (pinned by test); the estimator choice
+    stays recorded in the corpus snapshot alongside the thresholds."""
+    return _quantiles(scored, score_col, list(fractions), mode, accuracy)
+
+
+def _quantiles(
+    df: DataFrame,
+    col: str,
+    fractions: list[float],
+    mode: str,
+    accuracy: int,
+) -> list[float]:
+    """Shared exact/approx quantile dispatch (also used by
+    sources/export.py curriculum boundaries)."""
+    if mode == "exact":
+        agg = [
+            F.percentile(F.col(col), F.lit(f)).alias(f"q{i}")
             for i, f in enumerate(fractions)
         ]
-    ).head()
+    elif mode == "approx":
+        agg = [
+            F.percentile_approx(
+                F.col(col), F.lit(f), F.lit(int(accuracy))
+            ).alias(f"q{i}")
+            for i, f in enumerate(fractions)
+        ]
+    else:
+        raise ValueError(f"mode must be 'exact' or 'approx', got {mode!r}")
+    row = df.agg(*agg).head()
     return [float(row[f"q{i}"]) for i in range(len(fractions))]
 
 

@@ -80,22 +80,26 @@ def with_shard(
 
 
 def order_boundaries(
-    df: DataFrame, order_col: str, n_shards: int
+    df: DataFrame,
+    order_col: str,
+    n_shards: int,
+    *,
+    mode: str = "exact",
+    accuracy: int = 10_000,
 ) -> list[float]:
-    """Deterministic range boundaries for curriculum sharding: the exact
+    """Deterministic range boundaries for curriculum sharding: the
     (n_shards − 1) interior quantiles of ``order_col``. A driver-side
     scalar list (model-sized), independent of input partitioning — unlike
     ``repartitionByRange``'s sampled boundaries, which depend on the
-    input's physical layout. Swap in ``percentile_approx`` at extreme
-    scale; the shard assignment below takes the boundaries as data."""
+    input's physical layout. ``mode="approx"`` switches to
+    ``percentile_approx`` with explicit ``accuracy`` (rank error ≤
+    1/accuracy, bounded aggregation state) for corpora whose distinct
+    score count makes the exact aggregate's state a hazard; the shard
+    assignment below takes the boundaries as data either way."""
+    from rdfproject_msc_spark.operators.lmscore import _quantiles
+
     fr = [i / n_shards for i in range(1, n_shards)]
-    row = df.agg(
-        *[
-            F.percentile(F.col(order_col), F.lit(f)).alias(f"q{i}")
-            for i, f in enumerate(fr)
-        ]
-    ).head()
-    return [float(row[f"q{i}"]) for i in range(len(fr))]
+    return _quantiles(df, order_col, fr, mode, accuracy)
 
 
 def write_training_shards(
@@ -107,6 +111,7 @@ def write_training_shards(
     seed: int = 0,
     fmt: str = "json",
     order_col: str | None = None,
+    quantile_mode: str = "exact",
 ) -> DataFrame:
     """Export ``df`` as ``n_shards`` shard files under ``path`` (layout:
     ``shard=K/part-*.json[.parquet]``) plus a row-count manifest at
@@ -131,7 +136,7 @@ def write_training_shards(
     if fmt not in ("json", "parquet"):
         raise ValueError(f"fmt must be json or parquet, got {fmt}")
     if order_col is not None:
-        bounds = order_boundaries(df, order_col, n_shards)
+        bounds = order_boundaries(df, order_col, n_shards, mode=quantile_mode)
         # NULL scores sort after everything (the SQL NULLS LAST
         # convention): they land in the tail shard instead of a silent
         # __HIVE_DEFAULT_PARTITION__ directory

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from rdfproject_msc_spark.operators.lmscore import (
@@ -169,3 +171,50 @@ FROM scored
         perplexity_partition(scored, [t2, t1])
     with pytest.raises(ValueError, match="labels"):
         perplexity_partition(scored, [t1])
+
+
+def test_approx_thresholds_within_rank_error(spark):
+    """mode='approx' (percentile_approx, explicit accuracy) must land each
+    boundary within the configured rank error (1/accuracy) of its target
+    fraction on a heavily SKEWED score distribution; mode='exact' stays
+    the default and both modes agree exactly when accuracy is huge."""
+    from rdfproject_msc_spark.operators.lmscore import lm_score_thresholds
+
+    # skew: 90% of mass piled at 1.0, a long sparse tail above
+    vals = [1.0] * 9000 + [1.0 + (i + 1) / 100.0 for i in range(1000)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)],
+        "doc_id long, bits_per_token double",
+    )
+    fr = (0.25, 0.5, 0.9, 0.99)
+    accuracy = 100  # rank error <= 1%
+    approx = lm_score_thresholds(df, fr, mode="approx", accuracy=accuracy)
+    n = len(vals)
+    svals = sorted(vals)
+    for f, b in zip(fr, approx):
+        # achieved rank of the returned boundary, as a fraction
+        lo = sum(1 for v in svals if v < b) / n
+        hi = sum(1 for v in svals if v <= b) / n
+        err = 1.0 / accuracy + 1e-9
+        assert lo - err <= f <= hi + err, (f, b, lo, hi)
+    exact = lm_score_thresholds(df, fr)
+    tight = lm_score_thresholds(df, fr, mode="approx", accuracy=1_000_000)
+    # at near-exact accuracy the approx boundaries are real data values
+    # within the same 1/accuracy rank band as the exact interpolation
+    for e, t in zip(exact, tight):
+        assert abs(e - t) < 0.02
+    with pytest.raises(ValueError, match="mode"):
+        lm_score_thresholds(df, fr, mode="fast")
+
+
+def test_order_boundaries_approx_mode(spark):
+    from rdfproject_msc_spark.sources.export import order_boundaries
+
+    df = spark.createDataFrame(
+        [(i, float(i % 97)) for i in range(5000)], "doc_id long, s double"
+    )
+    ex = order_boundaries(df, "s", 4)
+    ap = order_boundaries(df, "s", 4, mode="approx", accuracy=10_000)
+    # a 97-value distribution at accuracy 10k: approx == exact-rank value
+    for e, a in zip(ex, ap):
+        assert abs(e - a) <= 1.0

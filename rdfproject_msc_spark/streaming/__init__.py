@@ -5,10 +5,12 @@ from rdfproject_msc_spark.streaming.events import (  # noqa: F401
     EVENT_SCHEMA,
     dedup_events_stream,
     hourly_rollup,
+    near_pairs_stream,
     read_events_stream,
     run_to_memory_table,
     sessionize,
     stage_events_dir,
+    stage_events_dir_by_time,
     stream_triples_to_store,
     triples_from_event_stream,
     user_running_totals,

@@ -48,6 +48,38 @@ def stage_events_dir(
     return out_dir
 
 
+def stage_events_dir_by_time(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 4
+) -> str:
+    """Stage events as TIME-ORDERED parquet slices: file k holds the k-th
+    ascending ts range (repartitionByRange) and the files carry strictly
+    increasing modification times, so the file stream source replays them
+    in event-time order. This is the arrival shape stream-STREAM joins
+    assume — a random split over a long history makes most rows late
+    beyond any reasonable watermark, which append-mode joins drop (the
+    aggregation tests tolerate that only because complete-mode state
+    ignores the watermark)."""
+    import os
+    import time
+
+    from rdfproject_msc_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    (
+        events.repartitionByRange(n_files, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    parts = sorted(
+        f for f in os.listdir(out_dir) if f.endswith(".parquet")
+    )
+    base = time.time() - len(parts) * 10
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(out_dir, f), (base + i * 10, base + i * 10))
+    return out_dir
+
+
 def read_events_stream(
     spark: SparkSession, events_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -171,6 +203,56 @@ def stream_triples_to_store(
         .start()
     )
     q.awaitTermination()
+
+
+def near_pairs_stream(
+    events: DataFrame,
+    *,
+    key: str = "user_id",
+    max_delta_s: int = 300,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM interval self-join: pair every event with
+    the STRICTLY LATER events of the same ``key`` within ``max_delta_s``
+    seconds — the streaming twin of ``operators/asof.interval_join`` (the
+    ``events_near_pairs`` shape), pairing events that arrive in DIFFERENT
+    micro-batches through the join state store. Each |Δts| ≤ max_delta
+    pair with distinct timestamps emits exactly once (earlier event on
+    the left); simultaneous events do not pair — the tie-break would need
+    an id inequality in the join condition, and any NON-TIME cross-side
+    conjunct makes Spark's StreamingJoinHelper fail to solve the state
+    constraint (it then buffers both sides FOREVER — measured, not
+    guessed; filter ids downstream if you need simultaneous pairs).
+
+    State boundedness (the reason stream-stream joins need BOTH pieces):
+    each side carries an event-time watermark, and the join condition is
+    a pure TIME-RANGE between the two event-time columns (CalendarInterval
+    via make_interval — the ANSI DayTimeInterval the bare INTERVAL literal
+    produces is likewise unsolvable), so Spark evicts a buffered row once
+    the opposite watermark passes ts + max_delta: state is
+    O(rate × (watermark + max_delta)), never unbounded. Inner joins emit
+    each match as soon as both rows exist (no watermark holdback — that
+    is outer-join semantics only).
+
+    Arrival contract: a file-replay source must deliver slices in event-
+    time order (``stage_events_dir_by_time``) — rows later than the
+    watermark horizon behind max-seen ts are dropped as late, exactly as
+    they would be in production."""
+    left = events.withWatermark("ts", watermark).select(
+        F.col(key).alias("k"),
+        F.col("event_id").alias("id1"),
+        F.col("ts").alias("ts1"),
+    )
+    right = events.withWatermark("ts", watermark).select(
+        F.col(key).alias("k2"),
+        F.col("event_id").alias("id2"),
+        F.col("ts").alias("ts2"),
+    )
+    d = int(max_delta_s)
+    cond = F.expr(
+        f"k = k2 AND ts2 > ts1 AND ts2 <= ts1 + make_interval(0,0,0,0,0,0,{d})"
+    )
+    return left.join(right, cond).drop("k2")
 
 
 def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -811,3 +811,62 @@ def test_write_batch_idempotent_replay(spark, tmp_path):
     ]
     S.write_batch_idempotent(df, out, 1)  # a NEW batch still appends
     assert spark.read.parquet(out).count() == 4
+
+
+def test_near_pairs_stream_equals_batch(spark, sf_dir, tmp_path_factory):
+    """Watermarked stream-stream interval self-join (r9): pairs of events
+    by the same user within the window come out EXACTLY as the batch
+    self-join computes them — including pairs whose two events arrive in
+    DIFFERENT micro-batches (maxFilesPerTrigger=1 over 4 time-ordered
+    slices forces cross-batch pairing through the join state store), with
+    BOTH watermarks bounding state (evictions observed, no unbounded
+    buffering)."""
+    import os
+
+    base = tmp_path_factory.mktemp("nearpairs")
+    ed = S.stage_events_dir_by_time(
+        spark, sf_dir, str(base / "events"), n_files=4
+    )
+    stream = S.read_events_stream(spark, ed, max_files_per_trigger=1)
+    joined = S.near_pairs_stream(stream, max_delta_s=1800)
+    # both inputs carry the state-bounding watermark
+    plan = joined._jdf.queryExecution().analyzed().toString()
+    assert plan.count("EventTimeWatermark") == 2
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("near_pairs_t")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(str(base), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.k, r.id1, r.id2) for r in spark.table("near_pairs_t").collect()
+    }
+    # multi-batch drain, and the solver DID bound state: rows were evicted
+    # as the watermarks advanced (a failed state constraint evicts nothing)
+    progresses = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(progresses) > 1
+    removed = sum(
+        p["stateOperators"][0]["numRowsRemoved"] for p in q.recentProgress
+    )
+    assert removed > 0
+
+    batch = spark.read.parquet(ed)
+    l = batch.select(
+        F.col("user_id").alias("k"),
+        F.col("event_id").alias("id1"),
+        F.col("ts").alias("t1"),
+    )
+    r = batch.select(
+        F.col("user_id").alias("k"),
+        F.col("event_id").alias("id2"),
+        F.col("ts").alias("t2"),
+    )
+    want_df = l.join(r, "k").filter(
+        "t2 > t1 AND t2 <= t1 + make_interval(0,0,0,0,0,0,1800)"
+    )
+    want = {(r.k, r.id1, r.id2) for r in want_df.collect()}
+    assert got == want
+    assert len(got) > 0

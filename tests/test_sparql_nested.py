@@ -636,3 +636,67 @@ def test_multivar_values_inside_nested_group(tiny_store, tiny_dict):
         tiny_dict,
     )
     assert _rows(df, "s", "o") == [(1, 2), (2, 2)]
+
+
+def test_aggregating_subqueries_match_oracle(spark, sf_dir):
+    """§18.2.4.3 aggregating subqueries, oracle-pinned beyond the driver
+    row's GROUP BY+COUNT shape: HAVING inside the subquery, aggregate
+    without GROUP BY, ORDER/LIMIT on the aggregated inner SELECT, and an
+    aggregating subquery as a UNION arm."""
+    from rdfproject_msc_spark import registry as R
+    from rdfproject_msc_spark.sources.derived import (
+        P_BY_USER,
+        P_PLACED_BY,
+    )
+    from tests.oracle import assert_matches_oracle
+
+    store = R._store(spark, sf_dir, layout="sign_split")
+    d = R._dict(spark, sf_dir)
+    cases = [
+        (
+            """SELECT ?c ?cnt WHERE {
+  { SELECT ?c (COUNT(?o) AS ?cnt) WHERE { ?o :placedBy ?c }
+    GROUP BY ?c HAVING (COUNT(?o) > 12) } }""",
+            f"""{R.TRIPLES_CTE}
+SELECT o AS c, count(s) AS cnt FROM triples WHERE p = {P_PLACED_BY}
+GROUP BY o HAVING count(s) > 12""",
+        ),
+        (
+            """SELECT ?total WHERE {
+  { SELECT (COUNT(?o) AS ?total) WHERE { ?o :placedBy ?c } } }""",
+            f"""{R.TRIPLES_CTE}
+SELECT count(s) AS total FROM triples WHERE p = {P_PLACED_BY}""",
+        ),
+        (
+            """SELECT ?c ?cnt WHERE {
+  {{ SELECT ?c (COUNT(?o) AS ?cnt) WHERE {{ ?o :placedBy ?c }} GROUP BY ?c }}
+  UNION
+  {{ SELECT ?c (COUNT(?e) AS ?cnt) WHERE {{ ?e :byUser ?c }} GROUP BY ?c }}
+}""".replace("{{", "{").replace("}}", "}"),
+            f"""{R.TRIPLES_CTE}
+SELECT o AS c, count(s) AS cnt FROM triples WHERE p = {P_PLACED_BY} GROUP BY o
+UNION ALL
+SELECT o AS c, count(s) AS cnt FROM triples WHERE p = {P_BY_USER} GROUP BY o""",
+        ),
+    ]
+    for q, sql in cases:
+        assert_matches_oracle(sparql_to_df(store, q, d), sql, sf_dir)
+
+
+def test_aggregating_subquery_order_limit(spark, sf_dir):
+    """ORDER BY an aggregate alias + LIMIT inside the subquery: the top-5
+    customers by order count, deterministic via the ?c tiebreak."""
+    from rdfproject_msc_spark import registry as R
+    from rdfproject_msc_spark.sources.derived import P_PLACED_BY
+    from tests.oracle import assert_matches_oracle
+
+    store = R._store(spark, sf_dir, layout="sign_split")
+    q = """SELECT ?c ?cnt WHERE {
+  { SELECT ?c (COUNT(?o) AS ?cnt) WHERE { ?o :placedBy ?c }
+    GROUP BY ?c ORDER BY DESC(?cnt) ?c LIMIT 5 } }"""
+    sql = f"""{R.TRIPLES_CTE}
+SELECT o AS c, count(s) AS cnt FROM triples WHERE p = {P_PLACED_BY}
+GROUP BY o ORDER BY cnt DESC, c LIMIT 5"""
+    assert_matches_oracle(
+        sparql_to_df(store, q, R._dict(spark, sf_dir)), sql, sf_dir
+    )

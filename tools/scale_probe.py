@@ -83,6 +83,12 @@ FAMILY = [
     # the corpus-side exchange is ONLY the doc-keyed sum (near-linear
     # scan-bound fit is expected; the plan shape must not change)
     "dsir_weights",
+    # r9: raw-RDF first mile — text write + parse + distributed dictionary
+    # build (two-phase rank) + 3-join encode + query + decode; inherently
+    # ≈linear in corpus size (every stage is scan- or shuffle-bound on the
+    # full input), the check is that the plan shape holds and nothing
+    # driver-side appears as terms grow 10×
+    "rdf_ingest_nt",
 ]
 
 def _passage_dedup_k32(spark, sf_dir):
@@ -176,7 +182,24 @@ def _neardup_probe_persisted(spark, sf_dir):
     )
 
 
+def _tokenize_vocab(spark, sf_dir):
+    """Trained-vocab tokenization (r9): the fit is one token-keyed agg +
+    bounded top-V; the apply is posexplode → broadcast vocab join → one
+    doc-keyed reassembly shuffle. Both sides scale with the corpus scan;
+    the vocab stays model-sized, so the join must remain broadcast at
+    both scales."""
+    from rdfproject_msc_spark.operators.tokenize import (
+        fit_vocab,
+        tokenize_ids_vocab,
+    )
+    from rdfproject_msc_spark.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tokenize_ids_vocab(docs, fit_vocab(docs, vocab_size=32_768))
+
+
 EXTRAS = {
+    "tokenize_vocab": _tokenize_vocab,
     "neardup_probe_persisted": _neardup_probe_persisted,
     "passage_dedup_k32": _passage_dedup_k32,
     "semantic_dedup_kscaled": _semantic_dedup_kscaled,

@@ -51,6 +51,30 @@ def main(argv: list[str] | None = None) -> int:
     p_load.add_argument("--out", required=True)
     p_load.add_argument("--cpus", type=int, default=None)
 
+    p_ing = sub.add_parser(
+        "ingest",
+        help="RAW N-Triples/N-Quads in: build the dictionary distributedly, "
+        "encode, persist store + dictionary (the first mile the pre-encoded "
+        "'load' path assumes already happened)",
+    )
+    p_ing.add_argument("--nt", default=None, help="N-Triples file/dir")
+    p_ing.add_argument("--nq", default=None, help="N-Quads file/dir")
+    p_ing.add_argument("--out", required=True, help="store output dir")
+    p_ing.add_argument("--dict-out", required=True,
+                       help="dictionary parquet output dir")
+    p_ing.add_argument("--quads-out", default=None,
+                       help="named-graph quads output dir (--nq only)")
+    p_ing.add_argument("--dict-in", default=None,
+                       help="existing dictionary parquet: incremental "
+                       "ingest — unseen terms append, existing ids kept")
+    p_ing.add_argument("--negative-when", default=None,
+                       help="SQL bool expr over `term` choosing the "
+                       "Negative sign class (e.g. \"term LIKE '_:%%'\")")
+    p_ing.add_argument("--layout", choices=("single", "sign_split"),
+                       default="sign_split")
+    p_ing.add_argument("--on-error", choices=("skip", "fail"), default="skip")
+    p_ing.add_argument("--cpus", type=int, default=None)
+
     p_sql = sub.add_parser("sql", help="SQL over a persisted store")
     p_sql.add_argument("--store", required=True)
     p_sql.add_argument("--layout", choices=("single", "sign_split"), default="sign_split")
@@ -317,6 +341,68 @@ def main(argv: list[str] | None = None) -> int:
         n = eng.store.df.count()
         print(f"persisted {n} triples to {args.out} "
               f"(layout={args.layout}, cluster_by={args.cluster_by})")
+        return 0
+
+    if args.command == "ingest":
+        from rdfproject_msc_spark.sources import ntriples as NT
+        from rdfproject_msc_spark.store import TripleStore
+
+        if bool(args.nt) == bool(args.nq):
+            raise SystemExit("ingest needs exactly one of --nt / --nq")
+        spark = _spark(args.cpus)
+        if args.nt:
+            existing = (
+                spark.read.parquet(args.dict_in) if args.dict_in else None
+            )
+            _, d = NT.ingest_ntriples(
+                spark,
+                args.nt,
+                negative_when=args.negative_when,
+                on_error=args.on_error,
+                dictionary=existing,
+            )
+        else:
+            if args.dict_in:
+                raise SystemExit("--dict-in is N-Triples-only for now")
+            _, _, d = NT.ingest_nquads(
+                spark,
+                args.nq,
+                negative_when=args.negative_when,
+                on_error=args.on_error,
+            )
+        # persist the dictionary FIRST, then encode against the STORED
+        # relation: the store/quads writes read a materialized dictionary
+        # instead of re-running the distributed rank build per sink
+        d.write.mode("overwrite").parquet(args.dict_out)
+        d_stored = spark.read.parquet(args.dict_out)
+        if args.nt:
+            spo = NT.parse_ntriples(spark, args.nt, on_error=args.on_error)
+        else:
+            nq = NT.parse_nquads(spark, args.nq, on_error=args.on_error)
+            spo = nq.filter("g_term IS NULL").select(
+                "s_term", "p_term", "o_term"
+            )
+        TripleStore(
+            NT.encode_triples(spo, d_stored), layout=args.layout
+        ).write(args.out)
+        if args.nq and args.quads_out:
+            named = NT.parse_nquads(
+                spark, args.nq, on_error=args.on_error
+            ).filter("g_term IS NOT NULL")
+            dg = d_stored.selectExpr("id AS g", "term AS g_term")
+            q = NT.encode_triples(
+                named.join(dg, "g_term").select(
+                    "g", "s_term", "p_term", "o_term"
+                ),
+                d_stored,
+            ).select("g", "s", "p", "o")
+            q.write.mode("overwrite").partitionBy("g").parquet(args.quads_out)
+        n = spark.read.parquet(args.out).count()
+        nd = d_stored.count()
+        print(
+            f"ingested {n} triples, {nd} dictionary terms "
+            f"(store={args.out}, dict={args.dict_out})"
+        )
         return 0
 
     if args.command == "sql":

@@ -62,6 +62,10 @@ NT_PREDICATE = r"(<[^>]*>)"
 NT_LITERAL = r'"(?:[^"\\]|\\.)*"(?:@[A-Za-z][A-Za-z0-9]*(?:-[A-Za-z0-9]+)*|\^\^<[^>]*>)?'
 NT_OBJECT = rf"(<[^>]*>|_:\S+|{NT_LITERAL})"
 NT_LINE = rf"^[ \t]*{NT_SUBJECT}[ \t]+{NT_PREDICATE}[ \t]+{NT_OBJECT}[ \t]*\.[ \t]*$"
+# N-Quads: same line with an optional 4th term (graph IRI or bnode);
+# absent → the default graph (empty g_term)
+NQ_GRAPH = r"(?:[ \t]+(<[^>]*>|_:\S+))?"
+NQ_LINE = rf"^[ \t]*{NT_SUBJECT}[ \t]+{NT_PREDICATE}[ \t]+{NT_OBJECT}{NQ_GRAPH}[ \t]*\.[ \t]*$"
 
 
 def parse_ntriples(
@@ -100,6 +104,54 @@ def parse_ntriples(
         )
         return checked.select("s_term", "p_term", "o_term")
     return parsed.filter(~bad).select("s_term", "p_term", "o_term")
+
+
+def parse_nquads(
+    spark: SparkSession, path: str, on_error: str = "skip"
+) -> DataFrame:
+    """N-Quads text → ``(g_term, s_term, p_term, o_term)``. A line without
+    a graph label is a default-graph statement: ``g_term`` is NULL. Same
+    one-regex-per-line scan and skip/fail contract as ``parse_ntriples``.
+    """
+    if on_error not in ("skip", "fail"):
+        raise ValueError(f"on_error must be 'skip' or 'fail', got {on_error!r}")
+    lines = spark.read.text(path).filter(
+        ~F.col("value").rlike(r"^[ \t]*(#|$)")
+    )
+    g = F.regexp_extract("value", NQ_LINE, 4)
+    parsed = lines.select(
+        F.col("value"),
+        F.when(g == "", F.lit(None)).otherwise(g).alias("g_term"),
+        F.regexp_extract("value", NQ_LINE, 1).alias("s_term"),
+        F.regexp_extract("value", NQ_LINE, 2).alias("p_term"),
+        F.regexp_extract("value", NQ_LINE, 3).alias("o_term"),
+    )
+    bad = F.col("s_term") == ""
+    if on_error == "fail":
+        checked = parsed.withColumn(
+            "s_term",
+            F.when(
+                bad,
+                F.raise_error(
+                    F.concat(F.lit("malformed N-Quads line: "), F.col("value"))
+                ),
+            ).otherwise(F.col("s_term")),
+        )
+        return checked.select("g_term", "s_term", "p_term", "o_term")
+    return parsed.filter(~bad).select("g_term", "s_term", "p_term", "o_term")
+
+
+def format_ntriples(parsed: DataFrame) -> DataFrame:
+    """``(s_term, p_term, o_term)`` lexical forms → one-column N-Triples
+    lines (the inverse of ``parse_ntriples``: parse∘format is identity —
+    terms are stored as exact lexical forms, so no escaping pass is
+    needed). Write with ``df.write.text(path)`` for the interchange file.
+    """
+    return parsed.select(
+        F.concat_ws(
+            " ", F.col("s_term"), F.col("p_term"), F.col("o_term"), F.lit(".")
+        ).alias("value")
+    )
 
 
 def _lex_ranks(terms: DataFrame, num_partitions: int) -> DataFrame:
@@ -169,12 +221,80 @@ def build_dictionary(
     )
 
 
+def extend_dictionary(
+    dictionary: DataFrame,
+    parsed: DataFrame,
+    negative_when: Column | str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Incremental ingest (the dictionary twin of the MinHash index's
+    ``mode="append"``): assign ids to the terms of ``parsed`` that the
+    existing ``dictionary`` does NOT hold, without touching any existing
+    id — new positives take max(id)+rank, new negatives min(id)−rank
+    (rank = lexicographic rank among the NEW terms of that class, same
+    two-phase machinery as the initial build). Returns the id rows for
+    the NEW terms only; union with the existing dictionary to encode.
+
+    Ids stay dense per class across appends (appended blocks are dense
+    and contiguous); they are no longer globally term-sorted — that was
+    an artifact of the initial build, not a contract (the contract is:
+    unique, non-zero, sign = class). Deterministic given (dictionary,
+    new term set): a replayed delivery re-derives the same ids, and two
+    DIFFERENT deliveries must append serially (concurrent appends would
+    both start from the same max)."""
+    spark = parsed.sparkSession
+    npart = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    terms = (
+        parsed.select(F.col("s_term").alias("term"))
+        .unionAll(parsed.select(F.col("p_term").alias("term")))
+        .unionAll(parsed.select(F.col("o_term").alias("term")))
+        .distinct()
+    )
+    fresh = terms.join(dictionary.select("term"), "term", "left_anti")
+    if negative_when is None:
+        neg = F.lit(False)
+    elif isinstance(negative_when, str):
+        neg = F.expr(negative_when)
+    else:
+        neg = negative_when
+    classed = fresh.withColumn("__neg", neg)
+    # one bounded aggregation: the append bases (0 when a class is empty,
+    # so a first append onto an empty class starts at 1 / -1)
+    row = dictionary.agg(
+        F.coalesce(
+            F.max(F.when(F.col("id") > 0, F.col("id"))), F.lit(0)
+        ).alias("pos_base"),
+        F.coalesce(
+            F.max(F.when(F.col("id") < 0, -F.col("id"))), F.lit(0)
+        ).alias("neg_base"),
+    ).first()
+    pos = _lex_ranks(classed.filter(~F.col("__neg")).select("term"), npart)
+    negs = _lex_ranks(classed.filter(F.col("__neg")).select("term"), npart)
+    return pos.select(
+        (F.col("rank") + F.lit(int(row["pos_base"]))).alias("id"), "term"
+    ).unionAll(
+        negs.select(
+            (-(F.col("rank") + F.lit(int(row["neg_base"])))).alias("id"),
+            "term",
+        )
+    )
+
+
 def encode_triples(parsed: DataFrame, dictionary: DataFrame) -> DataFrame:
     """``(s_term, p_term, o_term)`` → ``(s, p, o)`` long ids via three
-    term-keyed joins. Inner joins: every term is in the dictionary by
-    construction when the dictionary was built from this relation (a
-    PARTIAL dictionary would silently drop triples — callers encoding
-    against a foreign dictionary should validate coverage first)."""
+    term-keyed joins; any OTHER columns of ``parsed`` pass through (the
+    quad path rides this with its already-encoded ``g``). Inner joins:
+    every term is in the dictionary by construction when the dictionary
+    was built from this relation (a PARTIAL dictionary would silently
+    drop triples — callers encoding against a foreign dictionary should
+    validate coverage first)."""
+    extra = [
+        c
+        for c in parsed.columns
+        if c not in ("s_term", "p_term", "o_term")
+    ]
     out = parsed
     for term_col, id_col in (
         ("s_term", "s"),
@@ -185,7 +305,7 @@ def encode_triples(parsed: DataFrame, dictionary: DataFrame) -> DataFrame:
             F.col("id").alias(id_col), F.col("term").alias(term_col)
         )
         out = out.join(d, term_col, "inner")
-    return out.select("s", "p", "o")
+    return out.select(*extra, "s", "p", "o")
 
 
 def ingest_ntriples(
@@ -195,15 +315,77 @@ def ingest_ntriples(
     negative_when: Column | str | None = None,
     on_error: str = "skip",
     num_partitions: int | None = None,
+    dictionary: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Full first mile: parse → build dictionary → encode. Returns
     ``(encoded_triples, dictionary)`` — both lazy plans over one parsed
     relation (persisted, since the dictionary build and the encode both
-    traverse it)."""
+    traverse it).
+
+    Pass ``dictionary`` (an existing ``(id, term)`` relation) for
+    INCREMENTAL ingest: unseen terms append via ``extend_dictionary``
+    (existing ids untouched) and the returned dictionary is the union —
+    the delivery loop that pairs with the persisted MinHash index's
+    ``mode="append"``."""
     parsed = parse_ntriples(spark, path, on_error=on_error).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    dictionary = build_dictionary(
-        parsed, negative_when=negative_when, num_partitions=num_partitions
+    if dictionary is None:
+        full = build_dictionary(
+            parsed, negative_when=negative_when, num_partitions=num_partitions
+        )
+    else:
+        fresh = extend_dictionary(
+            dictionary,
+            parsed,
+            negative_when=negative_when,
+            num_partitions=num_partitions,
+        )
+        full = dictionary.select("id", "term").unionAll(fresh)
+    return encode_triples(parsed, full), full
+
+
+def ingest_nquads(
+    spark: SparkSession,
+    path: str,
+    *,
+    negative_when: Column | str | None = None,
+    on_error: str = "skip",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """N-Quads first mile: parse → ONE dictionary over every term
+    (graph labels included) → encode. Returns ``(triples, quads,
+    dictionary)``: label-less statements become the DEFAULT-graph triple
+    relation ``(s, p, o)``; labeled statements become the named-graph
+    quad relation ``(g, s, p, o)`` — the exact split the engine's GRAPH
+    surface consumes (``TripleStore.attach_quads``: the default graph IS
+    the triple relation, SPARQL §13.3)."""
+    parsed = parse_nquads(spark, path, on_error=on_error).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    return encode_triples(parsed, dictionary), dictionary
+    spo = parsed.select("s_term", "p_term", "o_term")
+    g_terms = parsed.filter(F.col("g_term").isNotNull()).select(
+        F.col("g_term").alias("s_term"),
+        F.col("g_term").alias("p_term"),
+        F.col("g_term").alias("o_term"),
+    )
+    dictionary = build_dictionary(
+        spo.unionAll(g_terms),
+        negative_when=negative_when,
+        num_partitions=num_partitions,
+    )
+    triples = encode_triples(
+        parsed.filter(F.col("g_term").isNull()).select(
+            "s_term", "p_term", "o_term"
+        ),
+        dictionary,
+    )
+    named = parsed.filter(F.col("g_term").isNotNull())
+    d_g = dictionary.select(
+        F.col("id").alias("g"), F.col("term").alias("g_term")
+    )
+    quads = encode_triples(
+        named.join(d_g, "g_term").select("g", "s_term", "p_term", "o_term"),
+        dictionary,
+    )
+    return triples, quads.select("g", "s", "p", "o"), dictionary

@@ -219,3 +219,173 @@ def test_encode_at_sf(spark, sf_dir, tmp_path):
     assert enc.count() == nation.count()
     n_terms = d.count()
     assert d.agg(F.max("id")).first()[0] == n_terms  # dense, all positive
+
+
+NQ_FIXTURE = """\
+# default graph + two named graphs
+<http://ex.org/a> <http://ex.org/knows> <http://ex.org/b> .
+<http://ex.org/a> <http://ex.org/knows> <http://ex.org/c> <http://ex.org/g1> .
+<http://ex.org/b> <http://ex.org/name> "Bob"@en <http://ex.org/g1> .
+<http://ex.org/c> <http://ex.org/name> "Cee" <http://ex.org/g2> .
+_:bn <http://ex.org/in> <http://ex.org/c> _:g3 .
+"""
+
+
+def test_extend_dictionary_appends_without_touching_ids(spark, nt_path, tmp_path):
+    from rdfproject_msc_spark.sources.ntriples import (
+        extend_dictionary,
+        ingest_ntriples,
+    )
+
+    _, d0 = ingest_ntriples(spark, nt_path, negative_when="term LIKE '_:%'")
+    d0 = d0.cache()
+    base = {r["term"]: r["id"] for r in d0.collect()}
+    # a delivery: one known term, two new positives, one new negative
+    p = tmp_path / "delta.nt"
+    p.write_text(
+        "<http://ex.org/zzz> <http://ex.org/knows> _:blank9 .\n"
+        "<http://ex.org/a> <http://ex.org/alpha> _:blank1 .\n"
+    )
+    enc, d1 = ingest_ntriples(
+        spark, str(p), negative_when="term LIKE '_:%'", dictionary=d0
+    )
+    after = {r["term"]: r["id"] for r in d1.collect()}
+    for t, i in base.items():
+        assert after[t] == i  # existing ids untouched
+    news = set(after) - set(base)
+    assert news == {"<http://ex.org/zzz>", "<http://ex.org/alpha>", "_:blank9"}
+    pos_base = max(i for i in base.values() if i > 0)
+    neg_base = min(i for i in base.values() if i < 0)
+    new_pos = sorted(t for t in news if not t.startswith("_:"))
+    # appended block: dense, contiguous, lexicographic within the delivery
+    assert [after[t] for t in new_pos] == [pos_base + 1, pos_base + 2]
+    assert after["_:blank9"] == neg_base - 1
+    Dictionary(d1).validate()
+    # the delivery encodes against the UNION dictionary: full round-trip
+    dec = Dictionary(d1, broadcast_hint=False).decode(
+        enc.select(
+            F.col("s").alias("s_term"),
+            F.col("p").alias("p_term"),
+            F.col("o").alias("o_term"),
+        )
+    )
+    assert sorted(map(tuple, dec.collect())) == sorted(
+        [
+            ("<http://ex.org/zzz>", "<http://ex.org/knows>", "_:blank9"),
+            ("<http://ex.org/a>", "<http://ex.org/alpha>", "_:blank1"),
+        ]
+    )
+    # replaying the SAME delivery derives the same ids (deterministic)
+    from rdfproject_msc_spark.sources.ntriples import parse_ntriples
+
+    fresh2 = extend_dictionary(
+        d0, parse_ntriples(spark, str(p)), "term LIKE '_:%'"
+    )
+    assert sorted(map(tuple, fresh2.collect())) == sorted(
+        (after[t], t) for t in news
+    )
+
+
+def test_nquads_ingest_splits_default_and_named(spark, tmp_path):
+    from rdfproject_msc_spark.sources.ntriples import ingest_nquads
+
+    p = tmp_path / "data.nq"
+    p.write_text(NQ_FIXTURE)
+    triples, quads, d = ingest_nquads(spark, str(p))
+    dd = Dictionary(d, broadcast_hint=False)
+    assert triples.count() == 1  # the label-less statement
+    assert quads.count() == 4
+    # graph labels are dictionary terms like any other
+    gids = dd.encode_terms(["<http://ex.org/g1>", "<http://ex.org/g2>", "_:g3"])
+    got = {
+        r["g"]: r_cnt
+        for r, r_cnt in (
+            (r, r["n"])
+            for r in quads.groupBy("g").agg(F.count("*").alias("n")).collect()
+        )
+    }
+    assert got == {
+        gids["<http://ex.org/g1>"]: 2,
+        gids["<http://ex.org/g2>"]: 1,
+        gids["_:g3"]: 1,
+    }
+    Dictionary(d).validate()
+
+
+def test_nquads_attach_to_store_graph_query(spark, tmp_path):
+    """Close the GRAPH loop: N-Quads in, TripleStore + attach_quads, a
+    same-graph id query out."""
+    from rdfproject_msc_spark.sources.ntriples import ingest_nquads
+    from rdfproject_msc_spark.store import TripleStore
+
+    p = tmp_path / "data.nq"
+    p.write_text(NQ_FIXTURE)
+    triples, quads, d = ingest_nquads(spark, str(p))
+    store = TripleStore(triples, layout="single")
+    store.attach_quads(quads)
+    dd = Dictionary(d, broadcast_hint=False)
+    g1 = dd.encode_terms(["<http://ex.org/g1>"])["<http://ex.org/g1>"]
+    in_g1 = store.quads.filter(F.col("g") == g1)
+    assert in_g1.count() == 2
+
+
+def test_format_parse_round_trip(spark, nt_path, tmp_path):
+    from rdfproject_msc_spark.sources.ntriples import (
+        format_ntriples,
+        parse_ntriples,
+    )
+
+    parsed = parse_ntriples(spark, nt_path)
+    out = str(tmp_path / "export_nt")
+    format_ntriples(parsed).write.mode("overwrite").text(out)
+    back = parse_ntriples(spark, out, on_error="fail")
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, parsed.collect())
+    )
+
+
+def test_cli_ingest_nt_then_incremental(spark, nt_path, tmp_path):
+    """CLI first mile: NT → persisted store + dictionary; then an
+    incremental delivery via --dict-in keeps every existing id."""
+    from rdfproject_msc_spark.cli import main
+
+    store1, dict1 = str(tmp_path / "s1"), str(tmp_path / "d1")
+    rc = main(
+        ["ingest", "--nt", nt_path, "--out", store1, "--dict-out", dict1,
+         "--negative-when", "term LIKE '_:%'"]
+    )
+    assert rc == 0
+    d1 = {r["term"]: r["id"] for r in spark.read.parquet(dict1).collect()}
+    assert d1["_:blank1"] < 0
+
+    delta = tmp_path / "delta.nt"
+    delta.write_text("<http://ex.org/zzz> <http://ex.org/knows> _:blank9 .\n")
+    store2, dict2 = str(tmp_path / "s2"), str(tmp_path / "d2")
+    rc = main(
+        ["ingest", "--nt", str(delta), "--out", store2, "--dict-out", dict2,
+         "--dict-in", dict1, "--negative-when", "term LIKE '_:%'"]
+    )
+    assert rc == 0
+    d2 = {r["term"]: r["id"] for r in spark.read.parquet(dict2).collect()}
+    for t, i in d1.items():
+        assert d2[t] == i
+    assert "_:blank9" in d2 and d2["_:blank9"] < 0
+
+
+def test_cli_ingest_nq_with_quads(spark, tmp_path):
+    from rdfproject_msc_spark.cli import main
+
+    p = tmp_path / "data.nq"
+    p.write_text(NQ_FIXTURE)
+    store, dct, qd = (
+        str(tmp_path / "s"), str(tmp_path / "d"), str(tmp_path / "q")
+    )
+    rc = main(
+        ["ingest", "--nq", str(p), "--out", store, "--dict-out", dct,
+         "--quads-out", qd]
+    )
+    assert rc == 0
+    assert spark.read.parquet(store).count() == 1
+    quads = spark.read.parquet(qd)
+    assert quads.count() == 4
+    assert set(quads.columns) == {"g", "s", "p", "o"}

@@ -31,10 +31,16 @@ class Engine:
         spark: SparkSession,
         store: TripleStore | None = None,
         dictionary: Dictionary | None = None,
+        term_style: str = "localized",
     ):
         self.spark = spark
         self.store = store
         self.dictionary = dictionary
+        # SPARQL-constant convention: "localized" for reference-format
+        # dictionaries (':local' terms), "lexical" for dictionaries built
+        # from raw RDF (full '<iri>' forms). load_triples(fmt="nt") flips
+        # this automatically.
+        self.term_style = term_style
 
     # -- entry point 3: ingest + layout -----------------------------------
     def load_triples(
@@ -73,6 +79,9 @@ class Engine:
             )
             # built dictionaries scale with the corpus: no broadcast hint
             self.dictionary = Dictionary(dict_df, broadcast_hint=False)
+            # built dictionaries store full lexical forms: SPARQL
+            # constants must normalize to the same convention
+            self.term_style = "lexical"
         else:
             raise ValueError(f"unknown triples format: {fmt!r}")
         self.store = TripleStore(
@@ -124,7 +133,11 @@ class Engine:
     def sparql(self, query: str, decode: bool = False) -> DataFrame:
         """SPARQL BGP → DataFrame join plan (→ optional dictionary decode)."""
         return sparql_to_df(
-            self._require_store(), query, self.dictionary, decode=decode
+            self._require_store(),
+            query,
+            self.dictionary,
+            decode=decode,
+            term_style=self.term_style,
         )
 
     def decode(self, df: DataFrame, columns: list[str] | None = None) -> DataFrame:

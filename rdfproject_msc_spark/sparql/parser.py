@@ -100,6 +100,7 @@ Term forms (normalization mirrors MyOpVisitorBase.java:74-78):
 
 from __future__ import annotations
 
+import contextvars
 import itertools
 import re
 from dataclasses import dataclass, replace as _dc_replace
@@ -613,6 +614,20 @@ def _localize_iri(inner: str) -> str:
     return local if local.startswith(":") else ":" + local
 
 
+# Term-style context for constant normalization (set by parse_sparql,
+# inherited by recursive subquery parses):
+# - "localized": the reference's convention (MyOpVisitorBase.java:74-78) —
+#   IRIs collapse to their ':local' name, lang tags lowercase, datatypes
+#   localize, xsd-integer literals collapse to raw ids. Matches
+#   dictionaries in the reference's TSV format (':node_...').
+# - "lexical": full N-Triples lexical forms — '<iri>' verbatim, prefixed
+#   names EXPAND to '<full_iri>', lang tags as written, typed literals
+#   keep '^^<full_datatype>' and never collapse to ids. Matches
+#   dictionaries BUILT from raw RDF (sources/ntriples.py), whose terms are
+#   exact lexical forms so decode/export round-trips.
+_TERM_STYLE = contextvars.ContextVar("sparql_term_style", default="localized")
+
+
 # fresh ids for anonymous blank nodes `[]` — process-global so every
 # occurrence anywhere is distinct; labels never leak (hidden internal vars)
 _BNODE_IDS = itertools.count()
@@ -631,11 +646,19 @@ def _normalize_term(
     if tok.startswith('"') and tok.endswith('"'):
         return ("term", _unescape(tok[1:-1]))
     if tok.startswith('"') and "^^" in tok:
-        # typed literal: xsd integer types collapse to the id data model;
-        # any other datatype has no representation here — reject
         body, dt = tok.rsplit("^^", 1)
         if not (body.startswith('"') and body.endswith('"')):
             raise SparqlSyntaxError(f"malformed typed literal: {tok!r}")
+        if _TERM_STYLE.get() == "lexical":
+            # keep the full '^^<datatype>' lexical form (expanding a
+            # prefixed datatype name); NEVER collapse integers to ids —
+            # in a built dictionary ids are ranks, unrelated to values
+            dt_slot = _normalize_term(dt, prefixes)
+            if dt_slot[0] != "term":
+                raise SparqlSyntaxError(f"malformed typed literal: {tok!r}")
+            return ("term", f'"{_unescape(body[1:-1])}"^^{dt_slot[1]}')
+        # xsd integer types collapse to the id data model; any other
+        # datatype has no representation here — reject
         dt_slot = _normalize_term(dt, prefixes)
         # local datatype name: strip prefix/IRI path and any #fragment —
         # the final colon segment, so declared (':integer'), undeclared
@@ -672,11 +695,18 @@ def _normalize_term(
             and len(body) >= 2
             and re.fullmatch(r"[A-Za-z][A-Za-z0-9-]*", tag)
         ):
+            if _TERM_STYLE.get() == "lexical":
+                # tag as WRITTEN: lexical-form dictionaries store the
+                # source bytes (BCP47 case-folding is the caller's
+                # normalization decision at ingest time, not the query's)
+                return ("term", f'"{_unescape(body[1:-1])}"@{tag}')
             return ("term", f'"{_unescape(body[1:-1])}"@{tag.lower()}')
         raise SparqlSyntaxError(
             f"malformed language-tagged literal: {tok!r}"
         )
     if tok.startswith("<") and tok.endswith(">"):
+        if _TERM_STYLE.get() == "lexical":
+            return ("term", tok)  # the full '<iri>' IS the dictionary term
         return ("term", _localize_iri(tok[1:-1]))
     if tok.startswith("_:") or tok == "[]":
         # blank nodes in a query are existential variables (§19.8 /
@@ -699,6 +729,8 @@ def _normalize_term(
     if prefixes and ":" in tok:
         pfx, local = tok.split(":", 1)
         if pfx in prefixes:
+            if _TERM_STYLE.get() == "lexical":
+                return ("term", f"<{prefixes[pfx] + local}>")
             return ("term", _localize_iri(prefixes[pfx] + local))
     return ("term", tok)
 
@@ -2987,11 +3019,29 @@ def _validate_group_tree(
 
 
 def parse_sparql(
-    query: str, outer_prefixes: dict[str, str] | None = None
+    query: str,
+    outer_prefixes: dict[str, str] | None = None,
+    term_style: str | None = None,
 ) -> BGPQuery:
     """Parse one query. `outer_prefixes` carries an ENCLOSING query's
     PREFIX declarations into a subquery (§12: subqueries do not redeclare
-    prefixes; inner declarations would shadow outer ones)."""
+    prefixes; inner declarations would shadow outer ones).
+
+    ``term_style``: "localized" (default — the reference's dictionary
+    convention) or "lexical" (full N-Triples lexical forms, for
+    dictionaries built from raw RDF); see ``_TERM_STYLE``. None inherits
+    the ambient style, which is how recursive subquery parses stay
+    consistent with their outer query."""
+    if term_style is not None:
+        if term_style not in ("localized", "lexical"):
+            raise SparqlSyntaxError(
+                f"term_style must be 'localized' or 'lexical', got {term_style!r}"
+            )
+        token = _TERM_STYLE.set(term_style)
+        try:
+            return parse_sparql(query, outer_prefixes)
+        finally:
+            _TERM_STYLE.reset(token)
     ask, tpl_src, describe_var = False, None, None
     dataset_src = ""
     dv = _DESCRIBE_VAR.match(query)

@@ -3041,9 +3041,13 @@ def sparql_to_df(
     query: str,
     dictionary: Dictionary | None = None,
     decode: bool = False,
+    term_style: str | None = None,
 ) -> DataFrame:
-    """Parse + plan; optionally decode result ids back to terms (J5)."""
-    bgp = parse_sparql(query)
+    """Parse + plan; optionally decode result ids back to terms (J5).
+    ``term_style="lexical"`` matches constants against full N-Triples
+    lexical forms — the convention of dictionaries BUILT from raw RDF
+    (sources/ntriples.py); default is the reference's localized form."""
+    bgp = parse_sparql(query, term_style=term_style)
     df = plan_bgp(store, bgp, dictionary)
     if decode:
         if dictionary is None:

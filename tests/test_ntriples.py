@@ -389,3 +389,64 @@ def test_cli_ingest_nq_with_quads(spark, tmp_path):
     quads = spark.read.parquet(qd)
     assert quads.count() == 4
     assert set(quads.columns) == {"g", "s", "p", "o"}
+
+
+def test_sparql_lexical_over_nt_store(spark, tmp_path):
+    """The complete raw-RDF user story: N-Triples in, SPARQL out. A
+    dictionary built from raw RDF stores full lexical forms, so
+    Engine.load_triples(fmt='nt') flips the planner to term_style=
+    'lexical': '<iri>' constants match verbatim, PREFIX names EXPAND to
+    the full IRI (instead of the reference convention's ':local'
+    collapse), lang tags stay as written, and typed literals keep
+    '^^<datatype>' (never collapsing to raw ids — built ids are ranks)."""
+    nt = tmp_path / "g.nt"
+    nt.write_text(
+        "<http://ex.org/a> <http://ex.org/knows> <http://ex.org/b> .\n"
+        "<http://ex.org/b> <http://ex.org/knows> <http://ex.org/c> .\n"
+        '<http://ex.org/b> <http://ex.org/name> "Bob"@en-GB .\n'
+        '<http://ex.org/c> <http://ex.org/age> '
+        '"42"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+    )
+    eng = Engine(spark).load_triples(str(nt), fmt="nt", layout="sign_split")
+    assert eng.term_style == "lexical"
+
+    q = """PREFIX ex: <http://ex.org/>
+SELECT ?x ?n WHERE { ex:a ex:knows ?x . ?x ex:name ?n . }"""
+    got = sorted(map(tuple, eng.sparql(q, decode=True).collect()))
+    assert got == [("<http://ex.org/b>", '"Bob"@en-GB')]
+
+    # full-IRI constants + an as-written lang-tagged constant
+    q2 = (
+        'SELECT ?x WHERE { <http://ex.org/b> <http://ex.org/name> '
+        '"Bob"@en-GB . <http://ex.org/b> <http://ex.org/knows> ?x . }'
+    )
+    assert [
+        r[0] for r in eng.sparql(q2, decode=True).collect()
+    ] == ["<http://ex.org/c>"]
+
+    # typed-literal constant matches its lexical form (no id collapse)
+    q3 = (
+        "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+        'SELECT ?s WHERE { ?s <http://ex.org/age> "42"^^xsd:integer . }'
+    )
+    assert [
+        r[0] for r in eng.sparql(q3, decode=True).collect()
+    ] == ["<http://ex.org/c>"]
+
+
+def test_term_style_is_scoped_not_sticky(spark, tmp_path):
+    """term_style is per-parse: a lexical parse must not leak into the
+    next default parse (the contextvar resets), and explicit bad values
+    reject."""
+    from rdfproject_msc_spark.sparql.parser import (
+        SparqlSyntaxError,
+        parse_sparql,
+    )
+
+    q = "SELECT ?x WHERE { <http://ex.org/a> <http://ex.org/p> ?x . }"
+    lex = parse_sparql(q, term_style="lexical")
+    assert lex.where.patterns[0].s == ("term", "<http://ex.org/a>")
+    loc = parse_sparql(q)  # ambient default: the reference convention
+    assert loc.where.patterns[0].s == ("term", ":a")
+    with pytest.raises(SparqlSyntaxError, match="term_style"):
+        parse_sparql(q, term_style="fancy")

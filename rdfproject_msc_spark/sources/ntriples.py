@@ -68,28 +68,19 @@ NQ_GRAPH = r"(?:[ \t]+(<[^>]*>|_:\S+))?"
 NQ_LINE = rf"^[ \t]*{NT_SUBJECT}[ \t]+{NT_PREDICATE}[ \t]+{NT_OBJECT}{NQ_GRAPH}[ \t]*\.[ \t]*$"
 
 
-def parse_ntriples(
-    spark: SparkSession, path: str, on_error: str = "skip"
-) -> DataFrame:
-    """N-Triples text → ``(s_term, p_term, o_term)`` lexical-form strings.
-
-    ``on_error="skip"`` drops malformed lines; ``"fail"`` raises inside the
-    scan on the first malformed line (comment/blank lines are never
-    malformed). Both paths are pure column expressions over one text scan.
+def parse_ntriples_lines(lines: DataFrame, on_error: str = "skip") -> DataFrame:
+    """The parse as pure column expressions over a ``value`` line relation
+    — shared verbatim by the batch reader and the streaming twin
+    (streaming/rdf.py), so the two parse bit-identically by construction.
     """
     if on_error not in ("skip", "fail"):
         raise ValueError(f"on_error must be 'skip' or 'fail', got {on_error!r}")
-    lines = spark.read.text(path).filter(
-        ~F.col("value").rlike(r"^[ \t]*(#|$)")
-    )
-    s = F.regexp_extract("value", NT_LINE, 1)
-    p = F.regexp_extract("value", NT_LINE, 2)
-    o = F.regexp_extract("value", NT_LINE, 3)
-    parsed = lines.select(
+    content = lines.filter(~F.col("value").rlike(r"^[ \t]*(#|$)"))
+    parsed = content.select(
         F.col("value"),
-        s.alias("s_term"),
-        p.alias("p_term"),
-        o.alias("o_term"),
+        F.regexp_extract("value", NT_LINE, 1).alias("s_term"),
+        F.regexp_extract("value", NT_LINE, 2).alias("p_term"),
+        F.regexp_extract("value", NT_LINE, 3).alias("o_term"),
     )
     bad = F.col("s_term") == ""  # regexp_extract yields "" on no match
     if on_error == "fail":
@@ -104,6 +95,18 @@ def parse_ntriples(
         )
         return checked.select("s_term", "p_term", "o_term")
     return parsed.filter(~bad).select("s_term", "p_term", "o_term")
+
+
+def parse_ntriples(
+    spark: SparkSession, path: str, on_error: str = "skip"
+) -> DataFrame:
+    """N-Triples text → ``(s_term, p_term, o_term)`` lexical-form strings.
+
+    ``on_error="skip"`` drops malformed lines; ``"fail"`` raises inside the
+    scan on the first malformed line (comment/blank lines are never
+    malformed). Both paths are pure column expressions over one text scan.
+    """
+    return parse_ntriples_lines(spark.read.text(path), on_error=on_error)
 
 
 def parse_nquads(

@@ -24,6 +24,11 @@ from rdfproject_msc_spark.streaming.documents import (  # noqa: F401
     stage_documents_dir,
     write_batch_idempotent,
 )
+from rdfproject_msc_spark.streaming.rdf import (  # noqa: F401
+    encode_ntriples_stream,
+    ingest_ntriples_stream,
+    read_ntriples_stream,
+)
 from rdfproject_msc_spark.streaming.sparql import (  # noqa: F401
     sparql_stream_delta,
 )

@@ -450,3 +450,60 @@ def test_term_style_is_scoped_not_sticky(spark, tmp_path):
     assert loc.where.patterns[0].s == ("term", ":a")
     with pytest.raises(SparqlSyntaxError, match="term_style"):
         parse_sparql(q, term_style="fancy")
+
+
+def test_streaming_nt_ingest_equals_batch(spark, tmp_path):
+    """Streaming first mile (r9): NT files arriving over multiple
+    micro-batches parse with the EXACT batch expressions and encode via
+    stream-static joins against a batch-built dictionary — the encoded
+    parquet equals the batch encode, and a TripleStore over it answers
+    queries. A second delivery carrying NEW terms encodes after (and
+    only after) a batch extend_dictionary run — the documented
+    incremental loop."""
+    from rdfproject_msc_spark import streaming as S
+    from rdfproject_msc_spark.sources.ntriples import (
+        extend_dictionary,
+        ingest_ntriples,
+        parse_ntriples,
+    )
+    from rdfproject_msc_spark.store import TripleStore
+
+    nt_dir = tmp_path / "landing"
+    nt_dir.mkdir()
+    (nt_dir / "a.nt").write_text(NT_FIXTURE)
+    base_path = str(nt_dir / "a.nt")
+    enc_batch, d = ingest_ntriples(
+        spark, base_path, negative_when="term LIKE '_:%'"
+    )
+    d = d.cache()
+
+    out = str(tmp_path / "encoded")
+    ckpt = str(tmp_path / "ckpt")
+    q = S.ingest_ntriples_stream(
+        spark, str(nt_dir), d, out, ckpt, max_files_per_trigger=1
+    )
+    got = spark.read.parquet(out)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, enc_batch.collect())
+    )
+    store = TripleStore(spark.read.parquet(out), layout="sign_split")
+    assert store.negative.count() == 1  # the _:blank1-subject triple
+
+    # delivery 2: one statement with a NEW term — dropped under the
+    # current dictionary (unrepresentable), encoded after extension
+    (nt_dir / "b.nt").write_text(
+        "<http://ex.org/a> <http://ex.org/knows> <http://ex.org/NEW> .\n"
+    )
+    S.ingest_ntriples_stream(spark, str(nt_dir), d, out, ckpt)
+    n_before = spark.read.parquet(out).count()
+    assert n_before == enc_batch.count()  # new-term statement dropped
+
+    d2 = d.unionAll(
+        extend_dictionary(
+            d, parse_ntriples(spark, str(nt_dir / "b.nt")), "term LIKE '_:%'"
+        )
+    ).cache()
+    ckpt2 = str(tmp_path / "ckpt2")  # fresh stream over the same landing
+    out2 = str(tmp_path / "encoded2")
+    S.ingest_ntriples_stream(spark, str(nt_dir), d2, out2, ckpt2)
+    assert spark.read.parquet(out2).count() == enc_batch.count() + 1

@@ -345,6 +345,10 @@ def ingest_ntriples(
             num_partitions=num_partitions,
         )
         full = dictionary.select("id", "term").unionAll(fresh)
+    # persist the dictionary too: every downstream consumer re-traverses
+    # it (three encode joins, SPARQL constant lookups, decode joins) and
+    # would otherwise re-run the two-shuffle rank build each time
+    full = full.persist(StorageLevel.MEMORY_AND_DISK)
     return encode_triples(parsed, full), full
 
 
@@ -376,7 +380,7 @@ def ingest_nquads(
         spo.unionAll(g_terms),
         negative_when=negative_when,
         num_partitions=num_partitions,
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     triples = encode_triples(
         parsed.filter(F.col("g_term").isNull()).select(
             "s_term", "p_term", "o_term"

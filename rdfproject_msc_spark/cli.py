@@ -85,6 +85,20 @@ def main(argv: list[str] | None = None) -> int:
     p_sparql.add_argument("--store", required=True)
     p_sparql.add_argument("--layout", choices=("single", "sign_split"), default="sign_split")
     p_sparql.add_argument("--dict", dest="dict_path", default=None)
+    p_sparql.add_argument(
+        "--dict-format",
+        choices=("tsv", "parquet"),
+        default="tsv",
+        help="tsv = the reference's id<TAB>term format (localized "
+        "SPARQL constants); parquet = an `ingest`-built dictionary "
+        "(full lexical forms — term style flips to lexical)",
+    )
+    p_sparql.add_argument(
+        "--term-style",
+        choices=("localized", "lexical"),
+        default=None,
+        help="override the constant convention implied by --dict-format",
+    )
     p_sparql.add_argument("--query", required=True)
     p_sparql.add_argument(
         "--quads",
@@ -347,8 +361,24 @@ def main(argv: list[str] | None = None) -> int:
         from rdfproject_msc_spark.sources import ntriples as NT
         from rdfproject_msc_spark.store import TripleStore
 
+        import os as _os
+
         if bool(args.nt) == bool(args.nq):
             raise SystemExit("ingest needs exactly one of --nt / --nq")
+        if args.dict_in and _os.path.realpath(args.dict_in) == _os.path.realpath(
+            args.dict_out
+        ):
+            # overwriting the parquet the lazy union still reads would
+            # destroy the existing ids mid-job — require a fresh path
+            raise SystemExit(
+                "--dict-out must differ from --dict-in (the append reads "
+                "the old dictionary while writing the new one)"
+            )
+        if args.nq and not args.quads_out:
+            raise SystemExit(
+                "--nq requires --quads-out: named-graph statements would "
+                "otherwise be parsed and silently discarded"
+            )
         spark = _spark(args.cpus)
         if args.nt:
             existing = (
@@ -421,7 +451,19 @@ def main(argv: list[str] | None = None) -> int:
             from rdfproject_msc_spark.dictionary import Dictionary
             from rdfproject_msc_spark.sources.triples import read_dictionary_tsv
 
-            eng.dictionary = Dictionary(read_dictionary_tsv(spark, args.dict_path))
+            if args.dict_format == "parquet":
+                # an ingest-built dictionary: corpus-sized (no broadcast
+                # hint) and storing full lexical forms
+                eng.dictionary = Dictionary(
+                    spark.read.parquet(args.dict_path), broadcast_hint=False
+                )
+                eng.term_style = "lexical"
+            else:
+                eng.dictionary = Dictionary(
+                    read_dictionary_tsv(spark, args.dict_path)
+                )
+        if args.term_style:
+            eng.term_style = args.term_style
         df = eng.sparql(args.query, decode=args.decode)
         if args.explain:
             df.explain("formatted")

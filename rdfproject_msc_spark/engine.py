@@ -52,6 +52,7 @@ class Engine:
         cluster_by: str | None = None,
         register_as: str = "table",
         negative_when=None,
+        on_error: str = "skip",
         **store_kwargs,
     ) -> "Engine":
         """Read triples + optional dictionary TSV, apply the physical
@@ -75,7 +76,10 @@ class Engine:
             from rdfproject_msc_spark.sources.ntriples import ingest_ntriples
 
             df, dict_df = ingest_ntriples(
-                self.spark, triples_path, negative_when=negative_when
+                self.spark,
+                triples_path,
+                negative_when=negative_when,
+                on_error=on_error,
             )
             # built dictionaries scale with the corpus: no broadcast hint
             self.dictionary = Dictionary(dict_df, broadcast_hint=False)

@@ -45,6 +45,16 @@ cannot onboard. This module closes that gap Spark-first:
 ``Engine.load_triples(path, fmt="nt")`` wires the full flow: parse →
 build dictionary → encode → layout, leaving the engine holding the built
 ``Dictionary`` for SPARQL constants and decode.
+
+Cache lifetime: the ingest paths persist the parsed relation and the
+dictionary (both are traversed by several downstream subtrees; without
+the persist the multi-shuffle rank build re-runs per consumer). The
+returned DataFrames stay lazy over those caches, so they cannot be
+unpersisted here — they live until the caller drops them or the session
+ends (Spark evicts LRU under pressure; disk spill is reclaimed at
+shutdown). Long-lived sessions ingesting many deliveries should persist
+the dictionary to Parquet (the CLI does) and re-read it, which frees the
+lineage caches.
 """
 
 from __future__ import annotations
@@ -53,48 +63,61 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-# One anchored regex per N-Triples line: subject (IRI | bnode), predicate
-# (IRI), object (IRI | bnode | literal with optional @lang / ^^<datatype>),
-# terminating dot. Escaped quotes inside literals ride the (?:[^"\\]|\\.)*
-# body, so a literal containing '" .' cannot terminate the line early.
+# Line validation (ONE anchored rlike per line) + term tokenization (ONE
+# global extract per line): subject (IRI | bnode), predicate (IRI), object
+# (IRI | bnode | literal with optional @lang / ^^<datatype>), terminating
+# dot, optional trailing \r (CRLF files). Escaped quotes inside literals
+# ride the (?:[^"\\]|\\.)* body, so a literal containing '" .' cannot
+# terminate the line early, and the tokenizer cannot match an IRI-looking
+# '<x>' INSIDE a literal (at the quote position the literal alternative
+# consumes the whole quoted run first).
 NT_SUBJECT = r"(<[^>]*>|_:\S+)"
 NT_PREDICATE = r"(<[^>]*>)"
 NT_LITERAL = r'"(?:[^"\\]|\\.)*"(?:@[A-Za-z][A-Za-z0-9]*(?:-[A-Za-z0-9]+)*|\^\^<[^>]*>)?'
 NT_OBJECT = rf"(<[^>]*>|_:\S+|{NT_LITERAL})"
-NT_LINE = rf"^[ \t]*{NT_SUBJECT}[ \t]+{NT_PREDICATE}[ \t]+{NT_OBJECT}[ \t]*\.[ \t]*$"
+NT_LINE = rf"^[ \t]*{NT_SUBJECT}[ \t]+{NT_PREDICATE}[ \t]+{NT_OBJECT}[ \t]*\.[ \t\r]*$"
 # N-Quads: same line with an optional 4th term (graph IRI or bnode);
 # absent → the default graph (empty g_term)
 NQ_GRAPH = r"(?:[ \t]+(<[^>]*>|_:\S+))?"
-NQ_LINE = rf"^[ \t]*{NT_SUBJECT}[ \t]+{NT_PREDICATE}[ \t]+{NT_OBJECT}{NQ_GRAPH}[ \t]*\.[ \t]*$"
+NQ_LINE = rf"^[ \t]*{NT_SUBJECT}[ \t]+{NT_PREDICATE}[ \t]+{NT_OBJECT}{NQ_GRAPH}[ \t]*\.[ \t\r]*$"
+# global term tokenizer: on a LINE-VALIDATED input, the matches are exactly
+# the statement's terms in order (the dot and whitespace match nothing).
+# The bnode alternative takes a dot only when a non-space follows — so a
+# label-internal dot (_:a.b, legal) stays in the token while the
+# TERMINATING dot of a no-space '_:b.' ending (also legal) does not; the
+# anchored validation regex reaches the same split by backtracking.
+NT_TERM = rf"<[^>]*>|_:(?:[^\s.]|\.(?=\S))+|{NT_LITERAL}"
+_BLANK_OR_COMMENT = r"^[ \t]*(#|\r?$)"
 
 
 def parse_ntriples_lines(lines: DataFrame, on_error: str = "skip") -> DataFrame:
     """The parse as pure column expressions over a ``value`` line relation
     — shared verbatim by the batch reader and the streaming twin
     (streaming/rdf.py), so the two parse bit-identically by construction.
+    Two regex passes per line (one anchored validation rlike + one global
+    term tokenization), not one per output column.
     """
     if on_error not in ("skip", "fail"):
         raise ValueError(f"on_error must be 'skip' or 'fail', got {on_error!r}")
-    content = lines.filter(~F.col("value").rlike(r"^[ \t]*(#|$)"))
-    parsed = content.select(
-        F.col("value"),
-        F.regexp_extract("value", NT_LINE, 1).alias("s_term"),
-        F.regexp_extract("value", NT_LINE, 2).alias("p_term"),
-        F.regexp_extract("value", NT_LINE, 3).alias("o_term"),
-    )
-    bad = F.col("s_term") == ""  # regexp_extract yields "" on no match
+    content = lines.filter(~F.col("value").rlike(_BLANK_OR_COMMENT))
+    ok = F.col("value").rlike(NT_LINE)
+    toks = F.regexp_extract_all("value", F.lit(NT_TERM), 0)
     if on_error == "fail":
-        checked = parsed.withColumn(
-            "s_term",
-            F.when(
-                bad,
-                F.raise_error(
-                    F.concat(F.lit("malformed N-Triples line: "), F.col("value"))
-                ),
-            ).otherwise(F.col("s_term")),
+        toks = F.when(
+            ok, toks
+        ).otherwise(
+            F.raise_error(
+                F.concat(F.lit("malformed N-Triples line: "), F.col("value"))
+            )
         )
-        return checked.select("s_term", "p_term", "o_term")
-    return parsed.filter(~bad).select("s_term", "p_term", "o_term")
+        parsed = content.select(toks.alias("__t"))
+    else:
+        parsed = content.filter(ok).select(toks.alias("__t"))
+    return parsed.select(
+        F.col("__t")[0].alias("s_term"),
+        F.col("__t")[1].alias("p_term"),
+        F.col("__t")[2].alias("o_term"),
+    )
 
 
 def parse_ntriples(
@@ -118,30 +141,29 @@ def parse_nquads(
     """
     if on_error not in ("skip", "fail"):
         raise ValueError(f"on_error must be 'skip' or 'fail', got {on_error!r}")
-    lines = spark.read.text(path).filter(
-        ~F.col("value").rlike(r"^[ \t]*(#|$)")
+    content = spark.read.text(path).filter(
+        ~F.col("value").rlike(_BLANK_OR_COMMENT)
     )
-    g = F.regexp_extract("value", NQ_LINE, 4)
-    parsed = lines.select(
-        F.col("value"),
-        F.when(g == "", F.lit(None)).otherwise(g).alias("g_term"),
-        F.regexp_extract("value", NQ_LINE, 1).alias("s_term"),
-        F.regexp_extract("value", NQ_LINE, 2).alias("p_term"),
-        F.regexp_extract("value", NQ_LINE, 3).alias("o_term"),
-    )
-    bad = F.col("s_term") == ""
+    ok = F.col("value").rlike(NQ_LINE)
+    toks = F.regexp_extract_all("value", F.lit(NT_TERM), 0)
     if on_error == "fail":
-        checked = parsed.withColumn(
-            "s_term",
-            F.when(
-                bad,
-                F.raise_error(
-                    F.concat(F.lit("malformed N-Quads line: "), F.col("value"))
-                ),
-            ).otherwise(F.col("s_term")),
+        toks = F.when(
+            ok, toks
+        ).otherwise(
+            F.raise_error(
+                F.concat(F.lit("malformed N-Quads line: "), F.col("value"))
+            )
         )
-        return checked.select("g_term", "s_term", "p_term", "o_term")
-    return parsed.filter(~bad).select("g_term", "s_term", "p_term", "o_term")
+        parsed = content.select(toks.alias("__t"))
+    else:
+        parsed = content.filter(ok).select(toks.alias("__t"))
+    return parsed.select(
+        # 4 tokens → labeled statement; 3 → default graph (NULL g_term)
+        F.when(F.size("__t") == 4, F.col("__t")[3]).alias("g_term"),
+        F.col("__t")[0].alias("s_term"),
+        F.col("__t")[1].alias("p_term"),
+        F.col("__t")[2].alias("o_term"),
+    )
 
 
 def format_ntriples(parsed: DataFrame) -> DataFrame:

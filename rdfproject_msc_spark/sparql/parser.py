@@ -644,6 +644,11 @@ def _normalize_term(
             raise SparqlSyntaxError(f"malformed variable name: {tok!r}")
         return ("var", tok[1:])
     if tok.startswith('"') and tok.endswith('"'):
+        if _TERM_STYLE.get() == "lexical":
+            # plain literal: the dictionary term IS the quoted source
+            # bytes (SPARQL and N-Triples share the backslash escapes,
+            # so keeping them means byte equality — no unescape pass)
+            return ("term", tok)
         return ("term", _unescape(tok[1:-1]))
     if tok.startswith('"') and "^^" in tok:
         body, dt = tok.rsplit("^^", 1)
@@ -651,12 +656,14 @@ def _normalize_term(
             raise SparqlSyntaxError(f"malformed typed literal: {tok!r}")
         if _TERM_STYLE.get() == "lexical":
             # keep the full '^^<datatype>' lexical form (expanding a
-            # prefixed datatype name); NEVER collapse integers to ids —
-            # in a built dictionary ids are ranks, unrelated to values
+            # prefixed datatype name) with the body's SOURCE bytes (the
+            # escapes are shared with N-Triples — see the plain-literal
+            # branch); NEVER collapse integers to ids — in a built
+            # dictionary ids are ranks, unrelated to values
             dt_slot = _normalize_term(dt, prefixes)
             if dt_slot[0] != "term":
                 raise SparqlSyntaxError(f"malformed typed literal: {tok!r}")
-            return ("term", f'"{_unescape(body[1:-1])}"^^{dt_slot[1]}')
+            return ("term", f"{body}^^{dt_slot[1]}")
         # xsd integer types collapse to the id data model; any other
         # datatype has no representation here — reject
         dt_slot = _normalize_term(dt, prefixes)
@@ -696,10 +703,11 @@ def _normalize_term(
             and re.fullmatch(r"[A-Za-z][A-Za-z0-9-]*", tag)
         ):
             if _TERM_STYLE.get() == "lexical":
-                # tag as WRITTEN: lexical-form dictionaries store the
-                # source bytes (BCP47 case-folding is the caller's
-                # normalization decision at ingest time, not the query's)
-                return ("term", f'"{_unescape(body[1:-1])}"@{tag}')
+                # body and tag as WRITTEN: lexical-form dictionaries
+                # store the source bytes — escapes included (shared with
+                # N-Triples), and BCP47 case-folding is the caller's
+                # normalization decision at ingest time, not the query's
+                return ("term", f"{body}@{tag}")
             return ("term", f'"{_unescape(body[1:-1])}"@{tag.lower()}')
         raise SparqlSyntaxError(
             f"malformed language-tagged literal: {tok!r}"
@@ -721,6 +729,16 @@ def _normalize_term(
             raise SparqlSyntaxError(f"malformed blank node label: {tok!r}")
         return ("var", f"__bn_{tok[2:]}")
     if re.fullmatch(r"-?\d+", tok):
+        if _TERM_STYLE.get() == "lexical":
+            # SPARQL's bare-integer shorthand means "42"^^xsd:integer
+            # (§19.2 numeric literals); in a BUILT dictionary ids are
+            # lexicographic ranks, so treating the number as a raw id
+            # (the reference convention below) would silently match
+            # whatever term happens to hold that rank
+            return (
+                "term",
+                f'"{tok}"^^<http://www.w3.org/2001/XMLSchema#integer>',
+            )
         return ("id", int(tok))
     # prefixed name: expand via the declared PREFIX mapping (as Jena's
     # front-end did before normalization), then localize exactly like a

@@ -39,12 +39,15 @@ def read_ntriples_stream(
     spark: SparkSession,
     nt_dir: str,
     max_files_per_trigger: int | None = None,
+    on_error: str = "skip",
 ) -> DataFrame:
-    """Streaming N-Triples source: a directory where NT text files land."""
+    """Streaming N-Triples source: a directory where NT text files land.
+    ``on_error="fail"`` makes a malformed line kill the micro-batch (a
+    producer bug surfaces instead of silently thinning the store)."""
     reader = spark.readStream
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return parse_ntriples_lines(reader.text(nt_dir))
+    return parse_ntriples_lines(reader.text(nt_dir), on_error=on_error)
 
 
 def encode_ntriples_stream(
@@ -64,12 +67,13 @@ def ingest_ntriples_stream(
     out_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
+    on_error: str = "skip",
 ):
     """Drain arriving NT files into an encoded-triples parquet directory —
     the layout ``TripleStore``/``Engine.open`` reads. Returns the finished
     StreamingQuery."""
     enc = encode_ntriples_stream(
-        read_ntriples_stream(spark, nt_dir, max_files_per_trigger),
+        read_ntriples_stream(spark, nt_dir, max_files_per_trigger, on_error),
         dictionary,
     )
     q = (

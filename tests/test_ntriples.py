@@ -507,3 +507,111 @@ def test_streaming_nt_ingest_equals_batch(spark, tmp_path):
     out2 = str(tmp_path / "encoded2")
     S.ingest_ntriples_stream(spark, str(nt_dir), d2, out2, ckpt2)
     assert spark.read.parquet(out2).count() == enc_batch.count() + 1
+
+
+def test_parse_edge_cases_dot_and_crlf(spark, tmp_path):
+    """Grammar corners: a bnode object directly against the terminating
+    dot (legal NT — the tokenizer must not eat the dot), a label-internal
+    dot (stays in the token), and CRLF line endings (trailing \\r on
+    statements, comments, and blank lines)."""
+    p = tmp_path / "edge.nt"
+    p.write_bytes(
+        b"<http://e/a> <http://e/p> _:b.\r\n"
+        b"<http://e/a> <http://e/p> _:x.y .\r\n"
+        b"# comment\r\n"
+        b"\r\n"
+        b'<http://e/a> <http://e/p> "v" .\r\n'
+    )
+    rows = sorted(
+        map(tuple, parse_ntriples(spark, str(p), on_error="fail").collect())
+    )
+    assert rows == sorted(
+        [
+            ("<http://e/a>", "<http://e/p>", "_:b"),
+            ("<http://e/a>", "<http://e/p>", "_:x.y"),
+            ("<http://e/a>", "<http://e/p>", '"v"'),
+        ]
+    )
+
+
+def test_sparql_lexical_plain_literal_escapes_and_bare_int(spark, tmp_path):
+    """The review-found lexical-mode constant bugs, pinned: plain string
+    literals keep their quotes (match the stored lexical form), escaped
+    literal bytes match as written, and a bare integer is xsd:integer
+    shorthand — never a raw dictionary id."""
+    nt = tmp_path / "lit.nt"
+    nt.write_text(
+        '<http://e/a> <http://e/name> "Bob" .\n'
+        '<http://e/b> <http://e/name> "Bo\\"b the \\\\builder"@en .\n'
+        '<http://e/c> <http://e/age> '
+        '"42"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+    )
+    eng = Engine(spark).load_triples(str(nt), fmt="nt")
+    got = [
+        r[0]
+        for r in eng.sparql(
+            'SELECT ?s WHERE { ?s <http://e/name> "Bob" . }', decode=True
+        ).collect()
+    ]
+    assert got == ["<http://e/a>"]
+    got = [
+        r[0]
+        for r in eng.sparql(
+            'SELECT ?s WHERE { ?s <http://e/name> '
+            '"Bo\\"b the \\\\builder"@en . }',
+            decode=True,
+        ).collect()
+    ]
+    assert got == ["<http://e/b>"]
+    # bare 42 = "42"^^xsd:integer (NOT the term ranked 42, which would be
+    # a silent wrong answer — there are fewer than 42 terms here, so the
+    # raw-id reading would return nothing)
+    got = [
+        r[0]
+        for r in eng.sparql(
+            "SELECT ?s WHERE { ?s <http://e/age> 42 . }", decode=True
+        ).collect()
+    ]
+    assert got == ["<http://e/c>"]
+
+
+def test_cli_ingest_then_sparql(spark, tmp_path, capsys):
+    """The advertised first-mile story through the CLI alone: ingest raw
+    NT, then SPARQL over the persisted store with the parquet dictionary
+    (term style flips to lexical automatically)."""
+    from rdfproject_msc_spark.cli import main
+
+    nt = tmp_path / "g.nt"
+    nt.write_text(
+        "<http://ex.org/a> <http://ex.org/knows> <http://ex.org/b> .\n"
+        '<http://ex.org/b> <http://ex.org/name> "Bob" .\n'
+    )
+    store, dct = str(tmp_path / "store"), str(tmp_path / "dict")
+    assert main(["ingest", "--nt", str(nt), "--out", store,
+                 "--dict-out", dct]) == 0
+    rc = main(
+        ["sparql", "--store", store, "--dict", dct,
+         "--dict-format", "parquet", "--decode",
+         "--query",
+         "PREFIX ex: <http://ex.org/> "
+         "SELECT ?n WHERE { ex:a ex:knows ?x . ?x ex:name ?n . }"]
+    )
+    assert rc == 0
+    assert '"Bob"' in capsys.readouterr().out
+
+
+def test_cli_ingest_guards(tmp_path):
+    from rdfproject_msc_spark.cli import main
+    import pytest as _pt
+
+    nt = tmp_path / "x.nt"
+    nt.write_text("<http://e/a> <http://e/p> <http://e/b> .\n")
+    nq = tmp_path / "x.nq"
+    nq.write_text("<http://e/a> <http://e/p> <http://e/b> <http://e/g> .\n")
+    d = str(tmp_path / "d")
+    with _pt.raises(SystemExit, match="differ from --dict-in"):
+        main(["ingest", "--nt", str(nt), "--out", str(tmp_path / "s"),
+              "--dict-out", d, "--dict-in", d])
+    with _pt.raises(SystemExit, match="--quads-out"):
+        main(["ingest", "--nq", str(nq), "--out", str(tmp_path / "s"),
+              "--dict-out", d])

@@ -1301,3 +1301,119 @@ def test_string_expression_matches_duckdb(spark, expr, op):
         ).fetchall()
     )
     assert got_ids == want_ids, (fq, lit)
+
+
+# ---------------------------------------------------------------------------
+# r9: raw-RDF first mile — format∘parse identity and the dictionary's
+# DuckDB row_number twin under ADVERSARIAL terms (unicode, escapes,
+# dots-against-the-terminator, mixed bnodes/literals/IRIs)
+
+_iri_chars = st.text(
+    st.sampled_from("abcXYZ09/:#_.~%?&=-"), min_size=1, max_size=12
+)
+_iris = _iri_chars.map(lambda s: f"<urn:{s}>")
+_bnodes = st.from_regex(r"_:[A-Za-z0-9]+(\.[A-Za-z0-9]+)*", fullmatch=True)
+_lit_body = st.text(
+    st.characters(
+        codec="utf-8", exclude_characters='"\\\n\r', exclude_categories=("Cs",)
+    ),
+    max_size=15,
+).map(lambda s: s.replace("\\", "\\\\").replace('"', '\\"'))
+_literals = st.one_of(
+    _lit_body.map(lambda b: f'"{b}"'),
+    st.tuples(_lit_body, st.from_regex(r"[a-zA-Z]+(-[a-zA-Z0-9]+)?", fullmatch=True)).map(
+        lambda t: f'"{t[0]}"@{t[1]}'
+    ),
+    st.tuples(_lit_body, _iris).map(lambda t: f'"{t[0]}"^^{t[1]}'),
+)
+_statements = st.lists(
+    st.tuples(
+        st.one_of(_iris, _bnodes), _iris, st.one_of(_iris, _bnodes, _literals)
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(stmts=_statements, tight_dot=st.booleans())
+@settings(**SETTINGS)
+def test_nt_format_parse_identity_fuzz(spark, tmp_path_factory, stmts, tight_dot):
+    """parse(format(X)) == X for adversarial term sets, in strict-fail
+    mode (any line the grammar cannot re-read is a bug, not a skip);
+    with tight_dot the terminating dot hugs the object (legal NT)."""
+    from rdfproject_msc_spark.sources.ntriples import (
+        format_ntriples,
+        parse_ntriples,
+    )
+
+    base = tmp_path_factory.mktemp("ntfuzz")
+    sep = "" if tight_dot else " "
+    lines = [f"{s} {p} {o}{sep}." for s, p, o in stmts]
+    # a bnode hugging the dot would merge: only IRIs/literals may be tight
+    if tight_dot:
+        lines = [
+            f"{s} {p} {o} ." if o.startswith("_:") else f"{s} {p} {o}."
+            for s, p, o in stmts
+        ]
+    path = str(base / "f.nt")
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(lines) + "\n")
+    got = sorted(
+        map(tuple, parse_ntriples(spark, path, on_error="fail").collect())
+    )
+    assert got == sorted(stmts)
+    # and the library writer reproduces the same statements
+    out = str(base / "round")
+    format_ntriples(
+        parse_ntriples(spark, path, on_error="fail")
+    ).write.mode("overwrite").text(out)
+    back = sorted(
+        map(tuple, parse_ntriples(spark, out, on_error="fail").collect())
+    )
+    assert back == sorted(stmts)
+
+
+@given(stmts=_statements)
+@settings(**SETTINGS)
+def test_dictionary_ids_match_duckdb_fuzz(spark, tmp_path_factory, stmts):
+    """Dense signed ids == DuckDB row_number over the same term set for
+    adversarial (incl. non-ASCII) terms — pins that Spark's UTF8_BINARY
+    sort and DuckDB's memcmp collation agree on the rank order."""
+    import duckdb
+
+    from rdfproject_msc_spark.sources.ntriples import (
+        build_dictionary,
+        parse_ntriples,
+    )
+
+    base = tmp_path_factory.mktemp("dictfuzz")
+    path = str(base / "f.nt")
+    with open(path, "w", encoding="utf-8") as fh:
+        for s, p, o in stmts:
+            fh.write(f"{s} {p} {o} .\n")
+    parsed = parse_ntriples(spark, path, on_error="fail")
+    got = sorted(
+        map(
+            tuple,
+            build_dictionary(parsed, "term LIKE '_:%'").collect(),
+        )
+    )
+    terms = sorted({t for st_ in stmts for t in st_})
+    con = duckdb.connect()
+    con.execute("CREATE TABLE terms(term VARCHAR)")
+    con.executemany("INSERT INTO terms VALUES (?)", [(t,) for t in terms])
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                """
+SELECT CASE WHEN neg THEN -rnk ELSE rnk END AS id, term
+FROM (SELECT term, term LIKE '_:%' AS neg,
+             row_number() OVER (PARTITION BY term LIKE '_:%'
+                                ORDER BY term) AS rnk
+      FROM terms)
+"""
+            ).fetchall(),
+        )
+    )
+    assert got == want

@@ -25,6 +25,7 @@ predicate-clustered.
 from __future__ import annotations
 
 import itertools
+import re
 from functools import reduce
 
 from pyspark.sql import DataFrame
@@ -60,16 +61,26 @@ _OPS = {
 }
 
 
-# Term-TEXT grammar of the dictionary (see SPARQL.md): an IRI is stored
-# localized with a leading ':'; a blank node as '_:label'; a
-# language-tagged literal as '"lex"@tag' (lowercase tag); a non-integer
-# typed literal as '"lex"^^:dtype'; any other text is a plain literal
-# (xsd:string). An id with NO dictionary entry is an INTEGER literal (the
-# typed-int data model). All kinds are decidable by column expressions
-# over (id, term) — LANG/DATATYPE/isIRI never need per-row Python, and
-# they evaluate against the DICTIONARY (|dict| rows), not per solution.
+# Term-TEXT grammar of the dictionary (see SPARQL.md), covering BOTH
+# storage conventions at once (they are disjoint, so no style flag is
+# needed): an IRI is stored localized with a leading ':' (reference
+# convention) OR as the full '<iri>' lexical form (r9 built
+# dictionaries); a blank node as '_:label'; a language-tagged literal as
+# '"lex"@tag'; a non-integer typed literal as '"lex"^^:dtype' (localized)
+# OR '"lex"^^<datatype-iri>' (lexical); any other text is a plain literal
+# (xsd:string — quoted in lexical stores, bare in localized ones: both
+# fall through to the same branch). An id with NO dictionary entry is an
+# INTEGER literal (the typed-int data model; inert in lexical stores,
+# where every id has an entry). All kinds are decidable by column
+# expressions over (id, term) — LANG/DATATYPE/isIRI never need per-row
+# Python, and they evaluate against the DICTIONARY (|dict| rows), not
+# per solution.
 _TAGGED_RE = '"@[A-Za-z][A-Za-z0-9-]*$'
-_TYPED_RE = r'"\^\^:\w+$'
+_TYPED_RE = r'"\^\^(?::\w+|<[^>]*>)$'
+# the datatype's LOCAL name from either convention: the final segment
+# containing no '/', '#', ':' — ':date' and '<…XMLSchema#date>' both
+# yield 'date' (the parser's _localize_iri rule, as a regex)
+_TYPED_LOCAL_RE = r'"\^\^(?::|<[^>]*?)([^/#:>]+)>?$'
 
 
 def _is_tagged(t: Column) -> Column:
@@ -81,8 +92,8 @@ def _is_typed(t: Column) -> Column:
 
 
 def _is_ref(t: Column) -> Column:
-    """IRI or blank node (the non-literal kinds)."""
-    return t.startswith(":") | t.startswith("_:")
+    """IRI or blank node (the non-literal kinds), either convention."""
+    return t.startswith(":") | t.startswith("_:") | t.startswith("<")
 
 
 def _term_lang(idc: Column, t: Column) -> Column:
@@ -111,7 +122,13 @@ def _term_datatype(idc: Column, t: Column) -> Column:
         .when(t.isNull(), F.lit(":integer"))
         .when(_is_ref(t), F.lit(None).cast("string"))
         .when(_is_tagged(t), F.lit(":langString"))
-        .when(_is_typed(t), F.regexp_extract(t, r'"\^\^(:\w+)$', 1))
+        .when(
+            _is_typed(t),
+            # DATATYPE() output is the LOCALIZED name under either
+            # storage convention, so oracle/test expectations are
+            # style-independent
+            F.concat(F.lit(":"), F.regexp_extract(t, _TYPED_LOCAL_RE, 1)),
+        )
         .otherwise(F.lit(":string"))
     )
 
@@ -120,11 +137,21 @@ def _term_datatype(idc: Column, t: Column) -> Column:
 # anchored to the FULL canonical term text, so a non-matching kind (IRI,
 # tagged/plain literal, other datatype, malformed lexical) extracts ""
 # and derives NULL — SPARQL's type ERROR, dropped by 3VL
+# each datatype matches its localized form OR the full-IRI lexical form
+# (r9 built dictionaries) — '…#date' / '…/date' / '…:date' inside <…>
+def _dt_alt(local: str) -> str:
+    return rf"(?::{local}|<[^>]*[/#:]{local}>)"
+
+
 _NUM_LEX_RE = (
-    r'^"(-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"\^\^:(?:decimal|double|float)$'
+    r'^"(-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"\^\^'
+    rf"(?:{_dt_alt('decimal')}|{_dt_alt('double')}|{_dt_alt('float')})$"
 )
-_DATE_LEX_RE = r'^"(\d{4}-\d{2}-\d{2})"\^\^:date$'
-_DT_LEX_RE = r'^"(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?)"\^\^:dateTime$'
+_DATE_LEX_RE = rf'^"(\d{{4}}-\d{{2}}-\d{{2}})"\^\^{_dt_alt("date")}$'
+_DT_LEX_RE = (
+    r'^"(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?)"\^\^'
+    rf'{_dt_alt("dateTime")}$'
+)
 
 
 def _term_numeric(idc: Column, t: Column) -> Column:
@@ -376,7 +403,9 @@ def _termis_expr(kind: str, idc: Column, t: Column) -> Column:
     """isIRI/isBlank/isLiteral/isNumeric (§17.4.2.1-4): boolean over the
     term kind; unbound → ERROR (NULL)."""
     if kind == "iri":
-        core = F.coalesce(t.startswith(":"), F.lit(False))
+        core = F.coalesce(
+            t.startswith(":") | t.startswith("<"), F.lit(False)
+        )
     elif kind == "blank":
         core = F.coalesce(t.startswith("_:"), F.lit(False))
     elif kind == "literal":
@@ -400,7 +429,12 @@ def _termfn_implied(fn: str, t: Column, value: str) -> Column | None:
     if value == ":langString":
         return t.rlike(_TAGGED_RE)
     if value not in (":integer", ":string"):
-        return t.endswith('"^^' + value)
+        # implied superset predicate covering BOTH conventions: the term
+        # ends '^^:dtype' (localized) or '…local>' under '^^<…>' (lexical)
+        local = value[1:]
+        return t.endswith('"^^' + value) | t.rlike(
+            rf'"\^\^<[^>]*?{re.escape(local)}>$'
+        )
     return None
 
 
@@ -598,9 +632,13 @@ def _compile_filter(
         if positive:
             # every date/dateTime match HAS a typed term — conjoin the
             # null-intolerant suffix test so Catalyst inner-izes the
-            # dictionary join and pushes it into the dict scan
-            pred = pred & tc.endswith(
-                '"^^:date' if kind == "date" else '"^^:dateTime'
+            # dictionary join and pushes it into the dict scan; superset
+            # covering BOTH term conventions (localized ^^:date and
+            # lexical ^^<…#date>)
+            local = "date" if kind == "date" else "dateTime"
+            pred = pred & (
+                tc.endswith(f'"^^:{local}')
+                | tc.rlike(rf'"\^\^<[^>]*[/#:]{local}>$')
             )
         return pred
     if len(node) == 5 and node[0] == "termfn":  # LANG/DATATYPE leaf
@@ -644,8 +682,10 @@ def _compile_filter(
             )
         idc, tc = F.col(colmap[var]), F.col(termmap[var])
         pred = _termis_expr(kind, idc, tc)
-        if positive and kind in ("iri", "blank"):
-            pred = pred & tc.startswith(":" if kind == "iri" else "_:")
+        if positive and kind == "iri":
+            pred = pred & (tc.startswith(":") | tc.startswith("<"))
+        elif positive and kind == "blank":
+            pred = pred & tc.startswith("_:")
         return pred
     if node[0] == "not":
         # under negation NULL (error) and FALSE diverge (!error = error,

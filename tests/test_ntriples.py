@@ -615,3 +615,60 @@ def test_cli_ingest_guards(tmp_path):
     with _pt.raises(SystemExit, match="--quads-out"):
         main(["ingest", "--nq", str(nq), "--out", str(tmp_path / "s"),
               "--dict-out", d])
+
+
+def test_lexical_accessor_surface(spark, tmp_path):
+    """LANG/DATATYPE/isIRI/isBlank/isLiteral and typed-VALUE comparisons
+    over a LEXICAL store (r9): the planner's term-kind grammar recognizes
+    both storage conventions at once, DATATYPE() output stays localized
+    (style-independent expectations), and date/decimal comparisons parse
+    the '^^<full-iri>' lexical forms."""
+    nt = tmp_path / "k.nt"
+    nt.write_text(
+        '<http://e/a> <http://e/name> "Alpha"@en .\n'
+        '<http://e/b> <http://e/name> "Beta" .\n'
+        "<http://e/a> <http://e/born> "
+        '"2001-05-04"^^<http://www.w3.org/2001/XMLSchema#date> .\n'
+        "<http://e/b> <http://e/born> "
+        '"1999-01-02"^^<http://www.w3.org/2001/XMLSchema#date> .\n'
+        "<http://e/a> <http://e/score> "
+        '"19.75"^^<http://www.w3.org/2001/XMLSchema#decimal> .\n'
+        "<http://e/a> <http://e/knows> <http://e/b> .\n"
+        "_:bn <http://e/knows> <http://e/a> .\n"
+    )
+    eng = Engine(spark).load_triples(str(nt), fmt="nt")
+
+    def ids(q):
+        return sorted(
+            r[0] for r in eng.sparql(q, decode=True).collect()
+        )
+
+    xsd = "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+    assert ids(
+        'SELECT ?s WHERE { ?s <http://e/name> ?n . FILTER(LANG(?n) = "en") }'
+    ) == ["<http://e/a>"]
+    assert ids(
+        xsd + "SELECT ?s WHERE { ?s <http://e/born> ?b . "
+        "FILTER(DATATYPE(?b) = xsd:date) }"
+    ) == ["<http://e/a>", "<http://e/b>"]
+    assert ids(
+        "SELECT ?o WHERE { ?s <http://e/knows> ?o . FILTER(isIRI(?o)) }"
+    ) == ["<http://e/a>", "<http://e/b>"]
+    assert ids(
+        "SELECT ?s WHERE { ?s <http://e/knows> ?o . FILTER(isBlank(?s)) }"
+    ) == ["_:bn"]
+    assert ids(
+        "SELECT ?n WHERE { ?s <http://e/name> ?n . FILTER(isLiteral(?n)) }"
+    ) == ['"Alpha"@en', '"Beta"']
+    # typed-VALUE comparisons over '^^<full-iri>' lexical forms
+    assert ids(
+        xsd + "SELECT ?s WHERE { ?s <http://e/born> ?b . "
+        'FILTER(?b >= "2000-01-01"^^xsd:date) }'
+    ) == ["<http://e/a>"]
+    assert ids(
+        "SELECT ?s WHERE { ?s <http://e/score> ?v . FILTER(?v > 19.5) }"
+    ) == ["<http://e/a>"]
+    assert ids(
+        xsd + "SELECT ?s WHERE { ?s <http://e/born> ?b . "
+        'FILTER(xsd:date(?b) < "2000-06-06"^^xsd:date) }'
+    ) == ["<http://e/b>"]

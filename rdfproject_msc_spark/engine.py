@@ -109,22 +109,55 @@ class Engine:
         )
         return self
 
-    def save(self, path: str, quads_path: str | None = None) -> "Engine":
+    def save(
+        self,
+        path: str,
+        quads_path: str | None = None,
+        dict_path: str | None = None,
+    ) -> "Engine":
         """Persist the laid-out store (write once → prune forever);
         ``quads_path`` additionally persists the attached named graphs
-        partitioned BY GRAPH (constant-GRAPH directory pruning)."""
+        partitioned BY GRAPH (constant-GRAPH directory pruning);
+        ``dict_path`` persists the dictionary as parquet — the hand-off a
+        BUILT (fmt="nt") dictionary needs so a later ``open`` can query
+        without re-running the ingest."""
         self._require_store().write(path)
         if quads_path is not None:
             self._require_store().write_quads(quads_path)
+        if dict_path is not None:
+            if self.dictionary is None:
+                raise ValueError("no dictionary loaded — nothing to save")
+            self.dictionary.df.write.mode("overwrite").parquet(dict_path)
         return self
 
     def open(
-        self, path: str, layout: str = "single", cluster_by: str | None = None
+        self,
+        path: str,
+        layout: str = "single",
+        cluster_by: str | None = None,
+        dict_path: str | None = None,
+        term_style: str | None = None,
+        dict_broadcast: bool = False,
     ) -> "Engine":
-        """Open a persisted store without re-shuffling."""
+        """Open a persisted store without re-shuffling. ``dict_path``
+        restores a parquet dictionary (``save(dict_path=…)`` output);
+        ``term_style`` restores the SPARQL constant convention —
+        defaults to "lexical" when a dictionary parquet is given (built
+        dictionaries store lexical forms; pass "localized" explicitly
+        for a reference-convention dictionary that was re-saved as
+        parquet). ``dict_broadcast`` defaults False: built dictionaries
+        scale with the corpus."""
         self.store = TripleStore.read(
             self.spark, path, layout=layout, cluster_by=cluster_by
         )
+        if dict_path is not None:
+            self.dictionary = Dictionary(
+                self.spark.read.parquet(dict_path),
+                broadcast_hint=dict_broadcast,
+            )
+            self.term_style = term_style or "lexical"
+        elif term_style is not None:
+            self.term_style = term_style
         return self
 
     # -- entry point 2: SQL ------------------------------------------------

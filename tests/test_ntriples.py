@@ -672,3 +672,34 @@ def test_lexical_accessor_surface(spark, tmp_path):
         xsd + "SELECT ?s WHERE { ?s <http://e/born> ?b . "
         'FILTER(xsd:date(?b) < "2000-06-06"^^xsd:date) }'
     ) == ["<http://e/b>"]
+
+
+def test_engine_save_open_round_trip_lexical(spark, tmp_path):
+    """Session lifecycle for a raw-ingested engine: save the layout AND
+    the built dictionary, reopen in a fresh Engine, SPARQL still answers
+    (term style restored to lexical with the parquet dictionary)."""
+    nt = tmp_path / "g.nt"
+    nt.write_text(
+        "<http://ex.org/a> <http://ex.org/knows> <http://ex.org/b> .\n"
+        '<http://ex.org/b> <http://ex.org/name> "Bob" .\n'
+    )
+    store, dct = str(tmp_path / "store"), str(tmp_path / "dict")
+    Engine(spark).load_triples(
+        str(nt), fmt="nt", layout="sign_split"
+    ).save(store, dict_path=dct)
+
+    eng2 = Engine(spark).open(store, layout="sign_split", dict_path=dct)
+    assert eng2.term_style == "lexical"
+    got = sorted(
+        map(
+            tuple,
+            eng2.sparql(
+                "PREFIX ex: <http://ex.org/> "
+                "SELECT ?n WHERE { ex:a ex:knows ?x . ?x ex:name ?n . }",
+                decode=True,
+            ).collect(),
+        )
+    )
+    assert got == [('"Bob"',)]
+    with pytest.raises(ValueError, match="nothing to save"):
+        Engine(spark).open(store).save(store + "2", dict_path=dct + "2")

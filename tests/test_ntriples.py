@@ -703,3 +703,59 @@ def test_engine_save_open_round_trip_lexical(spark, tmp_path):
     assert got == [('"Bob"',)]
     with pytest.raises(ValueError, match="nothing to save"):
         Engine(spark).open(store).save(store + "2", dict_path=dct + "2")
+
+
+def test_graph_and_construct_over_lexical_quads(spark, tmp_path):
+    """Close the named-graph loop at the SPARQL level: N-Quads ingest →
+    attach_quads → GRAPH <iri> query with lexical constants; CONSTRUCT
+    emits decoded lexical terms (template constants must exist in the
+    dictionary — the id data model's standing rule, either convention)."""
+    from rdfproject_msc_spark.dictionary import (
+        Dictionary,
+        DictionaryError,
+    )
+    from rdfproject_msc_spark.sources.ntriples import ingest_nquads
+    from rdfproject_msc_spark.store import TripleStore
+
+    nq = tmp_path / "d.nq"
+    nq.write_text(
+        "<http://e/a> <http://e/p> <http://e/b> .\n"
+        "<http://e/a> <http://e/p> <http://e/c> <http://e/g1> .\n"
+        '<http://e/b> <http://e/n> "x" <http://e/g1> .\n'
+        "<http://e/c> <http://e/p> <http://e/a> <http://e/g2> .\n"
+    )
+    triples, quads, d = ingest_nquads(spark, str(nq))
+    eng = Engine(
+        spark,
+        store=TripleStore(triples, layout="single"),
+        dictionary=Dictionary(d, broadcast_hint=False),
+        term_style="lexical",
+    )
+    eng.store.attach_quads(quads)
+    got = sorted(
+        map(
+            tuple,
+            eng.sparql(
+                "SELECT ?s ?o WHERE "
+                "{ GRAPH <http://e/g1> { ?s <http://e/p> ?o . } }",
+                decode=True,
+            ).collect(),
+        )
+    )
+    assert got == [("<http://e/a>", "<http://e/c>")]
+    built = sorted(
+        map(
+            tuple,
+            eng.sparql(
+                "CONSTRUCT { ?o <http://e/p> ?s } "
+                "WHERE { ?s <http://e/p> ?o . }",
+                decode=True,
+            ).collect(),
+        )
+    )
+    assert built == [("<http://e/b>", "<http://e/p>", "<http://e/a>")]
+    with pytest.raises(DictionaryError, match="not in dictionary"):
+        eng.sparql(
+            "CONSTRUCT { ?o <http://e/NOPE> ?s } "
+            "WHERE { ?s <http://e/p> ?o . }"
+        )

@@ -1062,17 +1062,24 @@ def _parse_str_expr(src: str):
             take(",")
             dt = take()
             take(")")
+            # lexical style keeps a full '<iri>' datatype verbatim (the
+            # built-dictionary convention); prefixed datatype names still
+            # localize — the string-expr grammar carries no PREFIX map,
+            # so full-IRI datatypes are the lexical-mode spelling
+            if _TERM_STYLE.get() == "lexical" and dt.startswith("<"):
+                return ("strdt", a, dt)
             return ("strdt", a, _localize_datatype(dt))
         if up in ("iri", "uri") and peek() == "(":
-            # §17.4.2.6: construct an IRI TERM from the string value,
-            # localized per the engine's IRI normalization (last
-            # '/'-segment, leading ':'), mirroring how every constant
-            # IRI in a query normalizes — the result matches dictionary
-            # terms (reference normalization MyOpVisitorBase.java:74-78)
+            # §17.4.2.6: construct an IRI TERM from the string value in
+            # the AMBIENT term style (captured here, applied by the
+            # planner): localized (last '/'-segment, leading ':' — the
+            # reference normalization MyOpVisitorBase.java:74-78) or the
+            # lexical '<iri>' form, so the result matches the
+            # dictionary's convention either way
             take("(")
             a = sexpr()
             take(")")
-            return ("iri", a)
+            return ("iri", a, _TERM_STYLE.get())
         if up == "substr" and peek() == "(":
             take("(")
             a = sexpr()

@@ -328,10 +328,16 @@ def _compile_strexpr(node, idcol, termcol, colmap=None) -> Column:
         s = _compile_strexpr(node[1], idcol, termcol, colmap)
         return F.concat(F.lit('"'), s, F.lit(f'"^^{node[2]}'))
     if k == "iri":
-        # IRI/URI (§17.4.2.6): IRI TERM text, localized the way every
-        # constant IRI in a query is (last '/'-segment, leading ':') so
-        # the constructed term matches dictionary entries
+        # IRI/URI (§17.4.2.6): IRI TERM text in the style captured at
+        # parse — localized (the way every constant IRI in a query is:
+        # last '/'-segment, leading ':') or the lexical '<iri>' form —
+        # so the constructed term matches dictionary entries under
+        # either convention
         s = _compile_strexpr(node[1], idcol, termcol, colmap)
+        if len(node) == 3 and node[2] == "lexical":
+            return F.when(s.startswith("<"), s).otherwise(
+                F.concat(F.lit("<"), s, F.lit(">"))
+            )
         seg = F.substring_index(s, "/", -1)
         return F.when(seg.startswith(":"), seg).otherwise(
             F.concat(F.lit(":"), seg)

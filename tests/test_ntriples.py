@@ -759,3 +759,31 @@ def test_graph_and_construct_over_lexical_quads(spark, tmp_path):
             "CONSTRUCT { ?o <http://e/NOPE> ?s } "
             "WHERE { ?s <http://e/p> ?o . }"
         )
+
+
+def test_iri_and_strdt_constructors_lexical(spark, tmp_path):
+    """IRI()/STRDT() construct terms in the AMBIENT style: on a lexical
+    store IRI(CONCAT(...)) produces '<...>' that joins back to dictionary
+    terms, and STRDT keeps a full '<datatype>' verbatim."""
+    nt = tmp_path / "c.nt"
+    nt.write_text(
+        '<http://e/a> <http://e/code> "a" .\n'
+        "<http://e/a> <http://e/p> <http://e/b> .\n"
+    )
+    eng = Engine(spark).load_triples(str(nt), fmt="nt")
+    # IRI over a computed string: must produce the stored '<http://e/b>'
+    # form (string-function inputs here are query constants — variable
+    # STR() values on lexical stores are the documented raw-term-text
+    # caveat, SPARQL.md)
+    got = eng.sparql(
+        'SELECT ?u WHERE { ?s <http://e/p> ?o . '
+        'BIND(IRI(CONCAT("http://e/", "b")) AS ?u) }',
+    ).collect()
+    assert [r["u"] for r in got] == ["<http://e/b>"]
+    got = eng.sparql(
+        'SELECT ?t WHERE { ?s <http://e/p> ?o . '
+        'BIND(STRDT("a", <http://www.w3.org/2001/XMLSchema#token>) AS ?t) }',
+    ).collect()
+    assert [r["t"] for r in got] == [
+        '"a"^^<http://www.w3.org/2001/XMLSchema#token>'
+    ]

@@ -36,6 +36,11 @@ class Engine:
         self.spark = spark
         self.store = store
         self.dictionary = dictionary
+        # bookkeeping for the UPDATE path (sparql/update.py): the view
+        # name to re-register after a copy-on-write swap, and the
+        # ingest-time sign-class rule new INSERTed terms should follow
+        self._register_as: str | None = None
+        self._negative_when = None
         # SPARQL-constant convention: "localized" for reference-format
         # dictionaries (':local' terms), "lexical" for dictionaries built
         # from raw RDF (full '<iri>' forms). load_triples(fmt="nt") flips
@@ -93,6 +98,8 @@ class Engine:
         )
         if register_as:
             self.store.register(self.spark, register_as)
+        self._register_as = register_as or None
+        self._negative_when = negative_when
         if dict_path is not None:
             self.dictionary = Dictionary(
                 TIO.read_dictionary_tsv(self.spark, dict_path)
@@ -176,6 +183,19 @@ class Engine:
             decode=decode,
             term_style=self.term_style,
         )
+
+    # -- SPARQL 1.1 Update (copy-on-write) ---------------------------------
+    def update(self, update_str: str, negative_when=None) -> "Engine":
+        """Apply a SPARQL UPDATE request (INSERT DATA / DELETE DATA /
+        DELETE WHERE / DELETE…INSERT…WHERE / CLEAR — sparql/update.py)
+        to this engine: the store is swapped for a copy-on-write clone,
+        the dictionary extends when INSERT introduces new terms, and
+        the SQL views re-register. Nothing on disk changes until
+        ``save()`` — the updated snapshot is a logical plan."""
+        from rdfproject_msc_spark.sparql.update import apply_update
+
+        apply_update(self, update_str, negative_when=negative_when)
+        return self
 
     def decode(self, df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         if self.dictionary is None:

@@ -1,0 +1,734 @@
+r"""SPARQL 1.1 Update (W3C sparql11-update) — a copy-on-write subset.
+
+The reference is read-only: its drivers load a pre-encoded file and
+query it (PartitionQueryingSubject.java:55 — there is no write path
+anywhere). This module adds the UPDATE half of the SPARQL surface the
+way a Spark engine can honestly offer it: **copy-on-write over
+immutable DataFrames**. An update never mutates files in place — it
+derives a NEW logical triple relation (base ∪ inserts \ deletes), swaps
+it into the Engine, and re-registers the SQL views. Persisting the
+updated snapshot is an explicit ``Engine.save()`` — the same
+"write once, prune forever" story as ingest.
+
+Supported operations (';'-separated, PREFIX decls shared):
+
+- ``INSERT DATA { triples… GRAPH <g> { triples… } … }`` — ground
+  triples/quads. Terms NOT in the dictionary are appended through
+  ``sources/ntriples.extend_dictionary`` (existing ids untouched,
+  deterministic), so an update can introduce brand-new vocabulary.
+- ``DELETE DATA { … }`` — ground; a term absent from the dictionary
+  means the triple cannot exist, so that row is a no-op (§3.1.2).
+- ``DELETE WHERE { pattern }`` — the pattern is both the WHERE clause
+  and the delete template (§3.1.3.3). Plain triple patterns only
+  (paths/GRAPH/OPTIONAL are not a QuadPattern template).
+- ``DELETE { tpl } INSERT { tpl } WHERE { group }`` and the
+  single-template forms ``DELETE {…} WHERE {…}`` / ``INSERT {…}
+  WHERE {…}`` (§3.1.3). The WHERE group is the FULL query surface
+  (OPTIONAL/FILTER/UNION/paths/subqueries — it compiles through
+  ``sparql_to_df``); both template sets instantiate against the same
+  pre-state solutions, deletes apply before inserts (§3.1.3's
+  semantics: one solution mapping set, DELETE then INSERT).
+- ``CLEAR DEFAULT | NAMED | ALL | GRAPH <iri>`` (§3.2.2). Graphs are
+  rows here, not resources: clearing a graph that holds no quads is a
+  no-op (the SILENT distinction is moot and accepted).
+
+Documented rejects (didactic errors, repo convention): blank nodes in
+any update payload (fresh-bnode minting has no stable oracle — the
+same stance as NOW/UUID), LOAD/CREATE/DROP/COPY/MOVE/ADD, WITH/USING,
+GRAPH blocks in DELETE WHERE / modify templates, and template
+variables not bound by the WHERE group (a typo guard, like the
+planner's unknown-filter-var reject; the spec would silently drop the
+instantiation).
+
+Scale design (the asymmetry drives every join below):
+
+- Ground payloads (INSERT/DELETE DATA, template constants) are bounded
+  by the query STRING — driver-side handling is query-sized, never
+  data-sized (the ``encode_terms`` precedent, dictionary.py:57).
+- INSERT set-semantics never shuffles the store: the "already
+  present?" probe is ``store ⋈ broadcast(delta)`` (one scan, result ≤
+  |delta|), and the union of the survivors is exchange-free.
+- DELETE anti-joins broadcast the delete set when it is query-sized
+  (ground DATA); a DELETE WHERE match set is DATA-sized, so that
+  anti-join carries no hint — AQE picks (shuffled when it must).
+- The updated store is cloned WITHOUT re-running layout clustering:
+  stacking a ``repartitionByRange`` per update would re-shuffle 100 TB
+  per statement. The base relation keeps whatever layout it had; the
+  delta rides along unclustered until the next ``save()``.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rdfproject_msc_spark.dictionary import Dictionary
+from rdfproject_msc_spark.sparql.parser import (
+    SparqlSyntaxError,
+    _PREFIX_DECL,
+    _TERM_STYLE,
+    _parse_patterns,
+    _scan_delim,
+    _skip_string,
+    _skip_ws,
+)
+from rdfproject_msc_spark.store import TripleStore
+
+TRIPLE_SCHEMA = "s long, p long, o long"
+QUAD_SCHEMA = "g long, s long, p long, o long"
+
+_GRAPH_KW = re.compile(r"GRAPH\b", re.I)
+_CLEAR_RE = re.compile(
+    r"CLEAR\s+(?:SILENT\s+)?(?P<tgt>DEFAULT|NAMED|ALL|GRAPH\s+\S+)", re.I
+)
+_REJECTED_OPS = re.compile(r"\b(LOAD|CREATE|DROP|COPY|MOVE|ADD)\b", re.I)
+_WITH_USING = re.compile(r"\b(WITH|USING)\b", re.I)
+
+
+# ---------------------------------------------------------------------------
+# parsed representation
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class GroundData:
+    """INSERT DATA / DELETE DATA payload: ground quads as normalized
+    slots — ``(g_slot | None, s_slot, p_slot, o_slot)`` with slot =
+    ("term", text) | ("id", int); g_slot None = default graph."""
+
+    insert: bool
+    quads: tuple
+
+
+@dataclass(frozen=True)
+class Modify:
+    """DELETE/INSERT … WHERE (and DELETE WHERE, where the template IS
+    the pattern source). Templates are tuples of TriplePattern."""
+
+    delete_tpl: tuple
+    insert_tpl: tuple
+    where_src: str
+    prefixes_src: str
+
+
+@dataclass(frozen=True)
+class Clear:
+    target: str  # "default" | "named" | "all"
+    graph_slot: tuple | None = None  # ("term", text)|("id", int) for GRAPH
+
+
+def _ground_slots(pattern) -> tuple:
+    """Validate one template/data TriplePattern into ground slots."""
+    out = []
+    for slot in (pattern.s, pattern.p, pattern.o):
+        kind = slot[0]
+        if kind == "var":
+            name = str(slot[1])
+            what = (
+                "blank nodes"
+                if name.startswith("__bn_")
+                else f"variable ?{name}"
+            )
+            raise SparqlSyntaxError(
+                f"update DATA blocks take ground triples only: {what} "
+                "is not allowed (INSERT/DELETE DATA per §3.1.1-2; use "
+                "DELETE/INSERT … WHERE for variables)"
+            )
+        if kind not in ("term", "id"):
+            raise SparqlSyntaxError(
+                f"unsupported term in update payload: {slot!r} "
+                "(plain triples only — no paths or negated sets)"
+            )
+        out.append(slot)
+    return tuple(out)
+
+
+def _template_patterns(src: str, prefixes, what: str) -> tuple:
+    """Parse a template block: plain triples (vars allowed, bnodes and
+    paths reject — same stance as CONSTRUCT templates, §16.2)."""
+    pats = _parse_patterns(src, prefixes)  # paths/alternations reject
+    for tp in pats:
+        for slot in (tp.s, tp.p, tp.o):
+            if slot[0] == "var" and str(slot[1]).startswith("__bn_"):
+                raise SparqlSyntaxError(
+                    f"blank nodes in {what} templates are not supported "
+                    "(fresh-bnode minting has no stable oracle — the "
+                    "NOW/UUID stance; use IRIs)"
+                )
+            if slot[0] not in ("var", "term", "id"):
+                raise SparqlSyntaxError(
+                    f"{what} templates take plain triples, got {slot!r}"
+                )
+    return tuple(pats)
+
+
+def _split_graph_blocks(src: str, prefixes):
+    """A QuadData body → (default-graph patterns, [(g_slot, patterns)]).
+
+    Char-scan (not regex split): GRAPH inside a quoted literal must not
+    open a block, so strings are skipped with the parser's own
+    ``_skip_string``."""
+    from rdfproject_msc_spark.sparql.parser import _normalize_term
+
+    default_parts: list[str] = []
+    graph_blocks = []
+    i, seg_start, n = 0, 0, len(src)
+    while i < n:
+        c = src[i]
+        if c == '"':
+            i = _skip_string(src, i)
+            continue
+        if c == "<":  # IRI: skip to '>' so 'GRAPH' inside an IRI is inert
+            j = src.find(">", i)
+            i = n if j < 0 else j + 1
+            continue
+        m = _GRAPH_KW.match(src, i)
+        is_boundary = i == 0 or not (src[i - 1].isalnum() or src[i - 1] in "_:?$")
+        if m and is_boundary:
+            default_parts.append(src[seg_start:i])
+            j = _skip_ws(src, m.end())
+            if j < n and src[j] == "<":
+                k = src.find(">", j)
+                if k < 0:
+                    raise SparqlSyntaxError("unterminated IRI after GRAPH")
+                g_tok, j = src[j : k + 1], k + 1
+            else:
+                k = j
+                while k < n and not src[k].isspace() and src[k] != "{":
+                    k += 1
+                g_tok, j = src[j:k], k
+            if not g_tok:
+                raise SparqlSyntaxError("GRAPH needs a graph name in DATA blocks")
+            g_slot = _normalize_term(g_tok, prefixes)
+            if g_slot[0] == "var":
+                raise SparqlSyntaxError(
+                    "GRAPH in update DATA blocks takes a constant graph "
+                    f"name, got ?{g_slot[1]}"
+                )
+            j = _skip_ws(src, j)
+            inner, j = _scan_delim(src, j, "{", "}", "GRAPH block")
+            graph_blocks.append((g_slot, _parse_patterns(inner, prefixes)))
+            i = seg_start = j
+            continue
+        i += 1
+    default_parts.append(src[seg_start:])
+    default = _parse_patterns(" ".join(default_parts), prefixes)
+    return default, graph_blocks
+
+
+def parse_update(src: str, term_style: str | None = None) -> list:
+    """Parse an update string into a list of operations (GroundData /
+    Modify / Clear), applied in order by ``apply_update``."""
+    token = None
+    if term_style is not None:
+        if term_style not in ("localized", "lexical"):
+            raise SparqlSyntaxError(
+                f"term_style must be 'localized' or 'lexical', got {term_style!r}"
+            )
+        token = _TERM_STYLE.set(term_style)
+    try:
+        return _parse_update_inner(src)
+    finally:
+        if token is not None:
+            _TERM_STYLE.reset(token)
+
+
+def _parse_update_inner(src: str) -> list:
+    prefixes = {m.group(1): m.group(2) for m in _PREFIX_DECL.finditer(src)}
+    prefixes_src = "\n".join(
+        m.group(0) for m in _PREFIX_DECL.finditer(src)
+    )
+    body = _PREFIX_DECL.sub(" ", src)
+    ops: list = []
+    i, n = 0, len(body)
+    while True:
+        i = _skip_ws(body, i)
+        while i < n and body[i] == ";":
+            i = _skip_ws(body, i + 1)
+        if i >= n:
+            break
+        head = body[i:]
+        if re.match(r"INSERT\s+DATA\b", head, re.I):
+            j = _skip_ws(body, i + len(re.match(r"INSERT\s+DATA", head, re.I).group(0)))
+            inner, j = _scan_delim(body, j, "{", "}", "INSERT DATA block")
+            default, graphs = _split_graph_blocks(inner, prefixes)
+            quads = [(None, *_ground_slots(p)) for p in default] + [
+                (g, *_ground_slots(p)) for g, pats in graphs for p in pats
+            ]
+            ops.append(GroundData(insert=True, quads=tuple(quads)))
+            i = j
+            continue
+        if re.match(r"DELETE\s+DATA\b", head, re.I):
+            j = _skip_ws(body, i + len(re.match(r"DELETE\s+DATA", head, re.I).group(0)))
+            inner, j = _scan_delim(body, j, "{", "}", "DELETE DATA block")
+            default, graphs = _split_graph_blocks(inner, prefixes)
+            quads = [(None, *_ground_slots(p)) for p in default] + [
+                (g, *_ground_slots(p)) for g, pats in graphs for p in pats
+            ]
+            ops.append(GroundData(insert=False, quads=tuple(quads)))
+            i = j
+            continue
+        if re.match(r"DELETE\s+WHERE\b", head, re.I):
+            j = _skip_ws(body, i + len(re.match(r"DELETE\s+WHERE", head, re.I).group(0)))
+            inner, j = _scan_delim(body, j, "{", "}", "DELETE WHERE block")
+            if _GRAPH_KW.search(inner):
+                raise SparqlSyntaxError(
+                    "GRAPH blocks in DELETE WHERE are not supported "
+                    "(default-graph QuadPattern only)"
+                )
+            tpl = _template_patterns(inner, prefixes, "DELETE WHERE")
+            if not tpl:
+                raise SparqlSyntaxError("DELETE WHERE needs at least one pattern")
+            ops.append(
+                Modify(
+                    delete_tpl=tpl,
+                    insert_tpl=(),
+                    where_src=inner,
+                    prefixes_src=prefixes_src,
+                )
+            )
+            i = j
+            continue
+        mm = re.match(r"(DELETE|INSERT)\s*\{", head, re.I)
+        if mm:
+            first_kw = mm.group(1).upper()
+            j = i + mm.end() - 1
+            tpl1_src, j = _scan_delim(body, j, "{", "}", f"{first_kw} template")
+            j = _skip_ws(body, j)
+            tpl2_src = None
+            second_kw = None
+            mm2 = re.match(r"(INSERT)\s*\{", body[j:], re.I)
+            if first_kw == "DELETE" and mm2:
+                second_kw = "INSERT"
+                j2 = j + mm2.end() - 1
+                tpl2_src, j = _scan_delim(body, j2, "{", "}", "INSERT template")
+                j = _skip_ws(body, j)
+            mw = re.match(r"WHERE\s*", body[j:], re.I)
+            if not mw:
+                raise SparqlSyntaxError(
+                    f"{first_kw} {{…}} needs a WHERE group (ground updates "
+                    "use INSERT DATA / DELETE DATA)"
+                )
+            j = _skip_ws(body, j + mw.end())
+            where_src, j = _scan_delim(body, j, "{", "}", "WHERE group")
+            for name, tsrc in ((first_kw, tpl1_src), (second_kw, tpl2_src)):
+                if tsrc is not None and _GRAPH_KW.search(tsrc):
+                    raise SparqlSyntaxError(
+                        f"GRAPH blocks in {name} templates are not supported "
+                        "(default-graph templates only)"
+                    )
+            tpl1 = _template_patterns(tpl1_src, prefixes, first_kw)
+            tpl2 = (
+                _template_patterns(tpl2_src, prefixes, "INSERT")
+                if tpl2_src is not None
+                else ()
+            )
+            if first_kw == "DELETE":
+                ops.append(
+                    Modify(
+                        delete_tpl=tpl1,
+                        insert_tpl=tpl2,
+                        where_src=where_src,
+                        prefixes_src=prefixes_src,
+                    )
+                )
+            else:
+                ops.append(
+                    Modify(
+                        delete_tpl=(),
+                        insert_tpl=tpl1,
+                        where_src=where_src,
+                        prefixes_src=prefixes_src,
+                    )
+                )
+            i = j
+            continue
+        mc = _CLEAR_RE.match(head)
+        if mc:
+            tgt = mc.group("tgt")
+            i = i + mc.end()
+            low = tgt.lower()
+            if low in ("default", "named", "all"):
+                ops.append(Clear(target=low))
+            else:
+                from rdfproject_msc_spark.sparql.parser import _normalize_term
+
+                g_tok = tgt.split(None, 1)[1]
+                g_slot = _normalize_term(g_tok, prefixes)
+                if g_slot[0] == "var":
+                    raise SparqlSyntaxError("CLEAR GRAPH takes a constant IRI")
+                ops.append(Clear(target="graph", graph_slot=g_slot))
+            continue
+        mr = _REJECTED_OPS.match(head)
+        if mr:
+            raise SparqlSyntaxError(
+                f"{mr.group(1).upper()} is not supported (graph-management "
+                "ops beyond CLEAR are out of scope: the store is a "
+                "DataFrame, not a graph-store protocol endpoint)"
+            )
+        if _WITH_USING.match(head):
+            raise SparqlSyntaxError(
+                "WITH/USING dataset clauses are not supported "
+                "(updates address the default graph; use GRAPH blocks "
+                "in INSERT DATA / DELETE DATA for named graphs)"
+            )
+        raise SparqlSyntaxError(
+            f"unrecognized update operation at: {head[:60]!r}"
+        )
+    if not ops:
+        raise SparqlSyntaxError("empty update request")
+    return ops
+
+
+# ---------------------------------------------------------------------------
+# application
+# ---------------------------------------------------------------------------
+
+
+def _clone_store(
+    store: TripleStore,
+    df: DataFrame | None = None,
+    quads: DataFrame | None | str = "keep",
+    graphs_disjoint: bool | None = None,
+) -> TripleStore:
+    """Copy-on-write clone: swap the backing relations WITHOUT re-running
+    layout clustering (a ``repartitionByRange`` per update statement
+    would re-shuffle the corpus per statement; the delta rides
+    unclustered until the next ``save()``)."""
+    new = TripleStore.__new__(TripleStore)
+    new.layout = store.layout
+    new.cluster_by = store.cluster_by
+    new.num_partitions = store.num_partitions
+    new.broadcast_negative = store.broadcast_negative
+    new._df = store._df if df is None else df
+    new._quads = store._quads if isinstance(quads, str) else quads
+    new.graphs_disjoint = (
+        store.graphs_disjoint if graphs_disjoint is None else graphs_disjoint
+    )
+    return new
+
+
+def _resolve_ground(
+    spark: SparkSession,
+    dictionary: Dictionary,
+    quads,
+    extend: bool,
+    negative_when,
+):
+    """Ground slots → id rows. ``extend=True`` appends unseen terms to
+    the dictionary (returns the possibly-extended Dictionary); with
+    ``extend=False`` a row with an unknown term resolves to None (the
+    triple cannot exist — DELETE DATA no-op semantics)."""
+    texts = sorted(
+        {
+            slot[1]
+            for q in quads
+            for slot in q
+            if slot is not None and slot[0] == "term"
+        }
+    )
+    known = dictionary.lookup_terms(texts) if texts else {}
+    missing = [t for t in texts if t not in known]
+    if extend and missing:
+        from rdfproject_msc_spark.sources.ntriples import extend_dictionary
+
+        parsed = spark.createDataFrame(
+            [(t, t, t) for t in missing],
+            "s_term string, p_term string, o_term string",
+        )
+        fresh = extend_dictionary(
+            dictionary.df, parsed, negative_when=negative_when
+        )
+        # payload-bounded collect: the term set comes from the update
+        # STRING, never from data (the encode_terms precedent)
+        for r in fresh.collect():
+            known[r["term"]] = r["id"]
+        dictionary = Dictionary(
+            dictionary.df.unionAll(
+                spark.createDataFrame(
+                    [(known[t], t) for t in missing], "id long, term string"
+                )
+            ),
+            broadcast_hint=dictionary.broadcast_hint,
+        )
+    rows = []
+    for q in quads:
+        ids = []
+        ok = True
+        for slot in q:
+            if slot is None:
+                ids.append(None)
+                continue
+            if slot[0] == "id":
+                ids.append(int(slot[1]))
+            elif slot[1] in known:
+                ids.append(int(known[slot[1]]))
+            else:
+                ok = False
+                break
+        if ok:
+            rows.append(tuple(ids))
+    return rows, dictionary
+
+
+def _insert_triples(spark: SparkSession, store: TripleStore, rows) -> TripleStore:
+    """Set-union a query-sized delta into the default graph: one
+    broadcast semi probe of the store (scan, no shuffle), union the
+    genuinely-new rows."""
+    # dedupe driver-side: the payload is a Python list already, and a
+    # DataFrame .distinct() would put a (pointless) hash exchange over
+    # the query-sized delta into every downstream plan
+    delta = spark.createDataFrame(sorted(set(rows)), TRIPLE_SCHEMA)
+    present = store.df.join(F.broadcast(delta), ["s", "p", "o"], "left_semi")
+    fresh = delta.join(F.broadcast(present), ["s", "p", "o"], "left_anti")
+    return _clone_store(store, df=store.df.unionAll(fresh))
+
+
+def _insert_quads(spark: SparkSession, store: TripleStore, rows) -> TripleStore:
+    delta = spark.createDataFrame(sorted(set(rows)), QUAD_SCHEMA)
+    if store.has_quads:
+        base = store.quads
+        present = base.join(
+            F.broadcast(delta), ["g", "s", "p", "o"], "left_semi"
+        )
+        fresh = delta.join(
+            F.broadcast(present), ["g", "s", "p", "o"], "left_anti"
+        )
+        new_quads = base.unionAll(fresh)
+    else:
+        new_quads = delta
+        base = None
+    disjoint = store.graphs_disjoint
+    if disjoint:
+        # the flag licenses skipping the RDF-merge dedup (store.py):
+        # preserve it only if the delta provably keeps every (s,p,o)
+        # in one graph — a bounded broadcast probe, else drop to False
+        probe_base = base if base is not None else spark.createDataFrame([], QUAD_SCHEMA)
+        d = delta.select(
+            "s", "p", "o", F.col("g").alias("__g_new")
+        )
+        cross = (
+            probe_base.join(F.broadcast(d), ["s", "p", "o"], "inner")
+            .filter(F.col("g") != F.col("__g_new"))
+            .limit(1)
+            .count()
+        )
+        within = (
+            delta.groupBy("s", "p", "o")
+            .agg(F.count_distinct("g").alias("ng"))
+            .filter(F.col("ng") > 1)
+            .limit(1)
+            .count()
+        )
+        disjoint = cross == 0 and within == 0
+    return _clone_store(store, quads=new_quads, graphs_disjoint=disjoint)
+
+
+def _delete_rows(
+    spark: SparkSession, store: TripleStore, rows, broadcast_hint: bool
+) -> TripleStore:
+    """Anti-join a delete set out of the default graph. ``broadcast_hint``
+    marks query-sized sets (ground DATA); data-sized sets (WHERE
+    matches) carry no hint — AQE picks the strategy."""
+    delta = spark.createDataFrame(rows, TRIPLE_SCHEMA)
+    return _delete_df(store, delta, broadcast_hint)
+
+
+def _delete_df(
+    store: TripleStore, delta: DataFrame, broadcast_hint: bool
+) -> TripleStore:
+    side = F.broadcast(delta) if broadcast_hint else delta
+    return _clone_store(
+        store, df=store.df.join(side, ["s", "p", "o"], "left_anti")
+    )
+
+
+def _delete_quads(spark: SparkSession, store: TripleStore, rows) -> TripleStore:
+    if not store.has_quads:
+        return store  # no named graphs: nothing those rows could match
+    delta = spark.createDataFrame(rows, QUAD_SCHEMA)
+    return _clone_store(
+        store,
+        quads=store.quads.join(
+            F.broadcast(delta), ["g", "s", "p", "o"], "left_anti"
+        ),
+    )
+
+
+def _instantiate(solutions: DataFrame, templates, const_ids) -> DataFrame | None:
+    """Template patterns × solution rows → (s, p, o) rows. A solution
+    leaving any used variable unbound (NULL) drops that instantiation
+    (§3.1.3); a template whose constant term is absent from the
+    dictionary matches nothing it could produce against existing data
+    and resolves through ``const_ids`` (insert templates always
+    resolve — the dictionary was extended first)."""
+    parts = []
+    for tp in templates:
+        cols = []
+        ok = True
+        not_null = []
+        for slot, name in ((tp.s, "s"), (tp.p, "p"), (tp.o, "o")):
+            if slot[0] == "var":
+                cols.append(F.col(str(slot[1])).cast("long").alias(name))
+                not_null.append(str(slot[1]))
+            elif slot[0] == "id":
+                cols.append(F.lit(int(slot[1])).cast("long").alias(name))
+            else:
+                tid = const_ids.get(slot[1])
+                if tid is None:
+                    ok = False
+                    break
+                cols.append(F.lit(int(tid)).cast("long").alias(name))
+        if not ok:
+            continue
+        inst = solutions
+        for v in not_null:
+            inst = inst.filter(F.col(v).isNotNull())
+        parts.append(inst.select(*cols))
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.distinct()
+
+
+def apply_update(engine, src: str, negative_when=None) -> None:
+    """Parse ``src`` and apply each operation to ``engine`` in order
+    (later operations see earlier results). Mutates ``engine.store``
+    (copy-on-write clone) and, when INSERT introduces new terms,
+    ``engine.dictionary``."""
+    from rdfproject_msc_spark.sparql.planner import sparql_to_df
+
+    spark = engine.spark
+    ops = parse_update(src, term_style=engine.term_style)
+    if negative_when is None:
+        negative_when = getattr(engine, "_negative_when", None)
+    for op in ops:
+        store = engine._require_store()
+        if isinstance(op, GroundData):
+            if not op.quads:
+                continue
+            rows, new_dict = _resolve_ground(
+                spark, engine.dictionary, op.quads, op.insert, negative_when
+            )
+            if op.insert:
+                engine.dictionary = new_dict
+            t_rows = [r[1:] for r in rows if r[0] is None]
+            q_rows = [r for r in rows if r[0] is not None]
+            if op.insert:
+                if t_rows:
+                    store = _insert_triples(spark, store, t_rows)
+                if q_rows:
+                    store = _insert_quads(spark, store, q_rows)
+            else:
+                if t_rows:
+                    store = _delete_rows(spark, store, t_rows, broadcast_hint=True)
+                if q_rows:
+                    store = _delete_quads(spark, store, q_rows)
+            engine.store = store
+        elif isinstance(op, Modify):
+            tpl_vars = sorted(
+                {
+                    str(slot[1])
+                    for tp in op.delete_tpl + op.insert_tpl
+                    for slot in (tp.s, tp.p, tp.o)
+                    if slot[0] == "var"
+                }
+            )
+            proj = (
+                " ".join(f"?{v}" for v in tpl_vars) if tpl_vars else "*"
+            )
+            query = (
+                f"{op.prefixes_src}\nSELECT {proj} WHERE {{ {op.where_src} }}"
+            )
+            solutions = sparql_to_df(
+                store, query, engine.dictionary, term_style=engine.term_style
+            )
+            # template constants: insert-side terms may be NEW (extend);
+            # delete-side unknown terms simply instantiate nothing
+            ins_texts = sorted(
+                {
+                    slot[1]
+                    for tp in op.insert_tpl
+                    for slot in (tp.s, tp.p, tp.o)
+                    if slot[0] == "term"
+                }
+            )
+            del_texts = sorted(
+                {
+                    slot[1]
+                    for tp in op.delete_tpl
+                    for slot in (tp.s, tp.p, tp.o)
+                    if slot[0] == "term"
+                }
+            )
+            const_ids = engine.dictionary.lookup_terms(
+                sorted(set(ins_texts) | set(del_texts))
+            )
+            new_terms = [t for t in ins_texts if t not in const_ids]
+            if new_terms:
+                _, engine.dictionary = _resolve_ground(
+                    spark,
+                    engine.dictionary,
+                    tuple(
+                        (None, ("term", t), ("term", t), ("term", t))
+                        for t in new_terms
+                    ),
+                    extend=True,
+                    negative_when=negative_when,
+                )
+                const_ids.update(engine.dictionary.lookup_terms(new_terms))
+            # both sets instantiate against the SAME pre-state solutions.
+            # localCheckpoint the match-sized DELTAS (not the store): it
+            # truncates the solutions lineage so chained updates don't
+            # stack recomputes, and the copy is bounded by the match set
+            solutions = solutions.persist()
+            try:
+                del_set = _instantiate(solutions, op.delete_tpl, const_ids)
+                ins_set = _instantiate(solutions, op.insert_tpl, const_ids)
+                if del_set is not None:
+                    del_set = del_set.localCheckpoint(eager=True)
+                    store = _delete_df(store, del_set, broadcast_hint=False)
+                if ins_set is not None:
+                    ins_set = ins_set.localCheckpoint(eager=True)
+                    # insert into the POST-delete state (§3.1.3: deletes
+                    # apply first); set semantics without broadcasting a
+                    # data-sized side — one keyed anti-join, AQE picks
+                    fresh = ins_set.join(
+                        store.df, ["s", "p", "o"], "left_anti"
+                    )
+                    store = _clone_store(store, df=store.df.unionAll(fresh))
+                engine.store = store
+            finally:
+                solutions.unpersist()
+        elif isinstance(op, Clear):
+            if op.target in ("default", "all"):
+                empty = spark.createDataFrame([], TRIPLE_SCHEMA)
+                store = _clone_store(store, df=empty)
+            if op.target in ("named", "all") and store.has_quads:
+                store = _clone_store(
+                    store,
+                    quads=spark.createDataFrame([], QUAD_SCHEMA),
+                    graphs_disjoint=True,
+                )
+            if op.target == "graph" and store.has_quads:
+                slot = op.graph_slot
+                gid = (
+                    int(slot[1])
+                    if slot[0] == "id"
+                    else engine.dictionary.lookup_terms([slot[1]]).get(slot[1])
+                )
+                if gid is not None:
+                    store = _clone_store(
+                        store,
+                        quads=store.quads.filter(F.col("g") != F.lit(gid)),
+                    )
+            engine.store = store
+        else:  # pragma: no cover
+            raise AssertionError(f"unknown op {op!r}")
+    if getattr(engine, "_register_as", None):
+        engine.store.register(spark, engine._register_as)

@@ -1,0 +1,326 @@
+"""SPARQL 1.1 Update (sparql/update.py): copy-on-write INSERT DATA /
+DELETE DATA / DELETE WHERE / DELETE-INSERT-WHERE / CLEAR over the
+Engine, with DuckDB set-algebra twins over the same initial graph."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from rdfproject_msc_spark.engine import Engine
+from rdfproject_msc_spark.sparql.parser import SparqlSyntaxError
+
+EX = "http://ex.org/"
+
+NT = f"""\
+<{EX}a> <{EX}knows> <{EX}b> .
+<{EX}b> <{EX}knows> <{EX}c> .
+<{EX}c> <{EX}knows> <{EX}a> .
+<{EX}a> <{EX}name> "Alice" .
+<{EX}b> <{EX}name> "Bob" .
+"""
+
+# the same graph as a DuckDB VALUES relation (term-level twin)
+CTE = (
+    "t(s, p, o) AS (VALUES "
+    f"('<{EX}a>', '<{EX}knows>', '<{EX}b>'), "
+    f"('<{EX}b>', '<{EX}knows>', '<{EX}c>'), "
+    f"('<{EX}c>', '<{EX}knows>', '<{EX}a>'), "
+    f"('<{EX}a>', '<{EX}name>', '\"Alice\"'), "
+    f"('<{EX}b>', '<{EX}name>', '\"Bob\"'))"
+)
+
+
+@pytest.fixture(scope="module")
+def nt_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("upd") / "data.nt"
+    p.write_text(NT)
+    return str(p)
+
+
+def make_engine(spark, nt_path, **kw) -> Engine:
+    kw.setdefault("layout", "sign_split")
+    kw.setdefault("cluster_by", "s")
+    return Engine(spark).load_triples(nt_path, fmt="nt", **kw)
+
+
+def decoded_set(eng: Engine) -> list[tuple]:
+    return sorted(map(tuple, eng.decode(eng.store.df).collect()))
+
+
+def duck_set(sql: str) -> list[tuple]:
+    return sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
+
+
+def test_insert_data_new_terms_and_set_semantics(spark, nt_path):
+    eng = make_engine(spark, nt_path)
+    n_dict0 = eng.dictionary.df.count()
+    stmt = (
+        f"INSERT DATA {{ <{EX}d> <{EX}knows> <{EX}a> . "
+        f"<{EX}a> <{EX}knows> <{EX}b> }}"  # second triple already present
+    )
+    eng.update(stmt)
+    assert decoded_set(eng) == duck_set(
+        f"WITH {CTE} SELECT * FROM t UNION "
+        f"VALUES ('<{EX}d>', '<{EX}knows>', '<{EX}a>') ORDER BY 1,2,3"
+    )
+    # exactly one new term (<d>); ids stay valid (unique, non-zero)
+    assert eng.dictionary.df.count() == n_dict0 + 1
+    eng.dictionary.validate()
+    # idempotence: re-running the same INSERT DATA changes nothing
+    before = decoded_set(eng)
+    eng.update(stmt)
+    assert decoded_set(eng) == before
+    # the views re-registered over the updated snapshot
+    assert (
+        eng.sql("SELECT count(*) AS n FROM table").first()["n"]
+        == len(before)
+    )
+
+
+def test_delete_data_including_unknown_term_noop(spark, nt_path):
+    eng = make_engine(spark, nt_path)
+    eng.update(
+        f'DELETE DATA {{ <{EX}a> <{EX}name> "Alice" . '
+        f"<{EX}zz> <{EX}knows> <{EX}a> }}"  # zz unknown → no-op row
+    )
+    assert decoded_set(eng) == duck_set(
+        f"WITH {CTE} SELECT * FROM t "
+        f"EXCEPT VALUES ('<{EX}a>', '<{EX}name>', '\"Alice\"') ORDER BY 1,2,3"
+    )
+
+
+def test_delete_where_duckdb_twin(spark, nt_path):
+    eng = make_engine(spark, nt_path)
+    eng.update(f"DELETE WHERE {{ ?s <{EX}knows> ?x }}")
+    assert decoded_set(eng) == duck_set(
+        f"WITH {CTE} SELECT * FROM t WHERE p <> '<{EX}knows>' ORDER BY 1,2,3"
+    )
+
+
+def test_modify_rename_predicate_duckdb_twin(spark, nt_path):
+    eng = make_engine(spark, nt_path)
+    eng.update(
+        f"PREFIX ex: <{EX}> "
+        "DELETE { ?s ex:knows ?o } INSERT { ?o ex:knownBy ?s } "
+        "WHERE { ?s ex:knows ?o }"
+    )
+    assert decoded_set(eng) == duck_set(
+        f"WITH {CTE}, m AS (SELECT s, o FROM t WHERE p = '<{EX}knows>') "
+        f"SELECT * FROM t EXCEPT SELECT s, '<{EX}knows>', o FROM m "
+        f"UNION SELECT o, '<{EX}knownBy>', s FROM m ORDER BY 1,2,3"
+    )
+    # the updated graph is queryable through the SPARQL read path
+    res = eng.sparql(
+        f"PREFIX ex: <{EX}> SELECT ?x WHERE {{ ?x ex:knownBy ex:a }}",
+        decode=True,
+    )
+    assert [r["x"] for r in res.collect()] == [f"<{EX}b>"]
+
+
+def test_modify_optional_unbound_drops_instantiation(spark, nt_path):
+    """§3.1.3: a solution leaving a template variable unbound produces
+    no instantiation — c knows a but a has no name… wait, a HAS a name;
+    c's name is missing, so ?s=b (knows c) instantiates nothing."""
+    eng = make_engine(spark, nt_path)
+    eng.update(
+        f"PREFIX ex: <{EX}> "
+        "INSERT { ?s ex:friendName ?n } "
+        "WHERE { ?s ex:knows ?o OPTIONAL { ?o ex:name ?n } }"
+    )
+    assert decoded_set(eng) == duck_set(
+        f"WITH {CTE}, m AS ("
+        f"  SELECT k.s, n.o AS n FROM t k "
+        f"  JOIN t n ON n.s = k.o AND n.p = '<{EX}name>' "
+        f"  WHERE k.p = '<{EX}knows>') "
+        f"SELECT * FROM t UNION SELECT s, '<{EX}friendName>', n FROM m "
+        "ORDER BY 1,2,3"
+    )
+
+
+def test_insert_delete_same_triple_delete_first(spark, nt_path):
+    """DELETE then INSERT over the same solutions: re-inserting a
+    just-deleted triple keeps it (§3.1.3 application order)."""
+    eng = make_engine(spark, nt_path)
+    before = decoded_set(eng)
+    eng.update(
+        f"PREFIX ex: <{EX}> "
+        "DELETE { ?s ex:knows ?o } INSERT { ?s ex:knows ?o } "
+        "WHERE { ?s ex:knows ?o }"
+    )
+    assert decoded_set(eng) == before
+
+
+def test_sequence_of_operations_in_order(spark, nt_path):
+    eng = make_engine(spark, nt_path)
+    eng.update(
+        f"PREFIX ex: <{EX}> "
+        "INSERT DATA { ex:d ex:knows ex:a } ; "
+        "DELETE WHERE { ?s ex:name ?n } ; "
+        "DELETE DATA { ex:d ex:knows ex:a }"
+    )
+    assert decoded_set(eng) == duck_set(
+        f"WITH {CTE} SELECT * FROM t WHERE p = '<{EX}knows>' ORDER BY 1,2,3"
+    )
+
+
+def test_insert_data_named_graph_and_disjointness_probe(spark, nt_path):
+    eng = make_engine(spark, nt_path)
+    # no quads yet → INSERT DATA GRAPH creates the quad relation;
+    # an empty store is vacuously disjoint but starts False (unproven)
+    eng.update(
+        f"INSERT DATA {{ GRAPH <{EX}g1> {{ <{EX}a> <{EX}knows> <{EX}c> }} "
+        f"GRAPH <{EX}g2> {{ <{EX}b> <{EX}knows> <{EX}a> }} }}"
+    )
+    assert eng.store.has_quads
+    got = sorted(
+        map(tuple, eng.decode(eng.store.quads).collect())
+    )
+    assert got == sorted(
+        [
+            (f"<{EX}g1>", f"<{EX}a>", f"<{EX}knows>", f"<{EX}c>"),
+            (f"<{EX}g2>", f"<{EX}b>", f"<{EX}knows>", f"<{EX}a>"),
+        ]
+    )
+    # GRAPH query over the inserted graph
+    res = eng.sparql(
+        f"SELECT ?o WHERE {{ GRAPH <{EX}g1> {{ <{EX}a> <{EX}knows> ?o }} }}",
+        decode=True,
+    )
+    assert [r["o"] for r in res.collect()] == [f"<{EX}c>"]
+    # a claimed-disjoint store keeps the proof when the delta preserves
+    # it, and drops to False when the same triple lands in two graphs
+    eng.store.graphs_disjoint = True
+    eng.update(
+        f"INSERT DATA {{ GRAPH <{EX}g1> {{ <{EX}c> <{EX}knows> <{EX}b> }} }}"
+    )
+    assert eng.store.graphs_disjoint is True
+    eng.update(
+        f"INSERT DATA {{ GRAPH <{EX}g2> {{ <{EX}c> <{EX}knows> <{EX}b> }} }}"
+    )
+    assert eng.store.graphs_disjoint is False
+    # DELETE DATA with a GRAPH block removes only that graph's quad
+    eng.update(
+        f"DELETE DATA {{ GRAPH <{EX}g2> {{ <{EX}c> <{EX}knows> <{EX}b> }} }}"
+    )
+    left = eng.decode(eng.store.quads).filter(
+        F.col("s") == f"<{EX}c>"
+    )
+    assert [r["g"] for r in left.collect()] == [f"<{EX}g1>"]
+
+
+def test_clear_variants(spark, nt_path):
+    eng = make_engine(spark, nt_path)
+    eng.update(
+        f"INSERT DATA {{ GRAPH <{EX}g1> {{ <{EX}a> <{EX}knows> <{EX}c> }} }}"
+    )
+    eng.update(f"CLEAR GRAPH <{EX}g1>")
+    assert eng.store.quads.count() == 0
+    assert eng.store.df.count() == 5  # default graph untouched
+    eng.update("CLEAR DEFAULT")
+    assert eng.store.df.count() == 0
+    # CLEAR of a graph that never existed: no-op, not an error
+    eng.update(f"CLEAR GRAPH <{EX}nope>")
+
+
+def test_negative_when_rule_classes_new_terms(spark, nt_path):
+    """New INSERTed terms follow the engine's ingest-time sign-class
+    rule: event terms route to the Negative table."""
+    eng = make_engine(
+        spark, nt_path, negative_when="term LIKE '<urn:event_%'"
+    )
+    eng.update(
+        f"INSERT DATA {{ <urn:event_9> <{EX}knows> <{EX}a> }}"
+    )
+    ids = eng.dictionary.encode_terms(["<urn:event_9>"])
+    assert ids["<urn:event_9>"] < 0
+    neg = eng.sql("SELECT count(*) AS n FROM Negative").first()["n"]
+    assert neg == 1
+
+
+def test_ground_insert_plan_is_broadcast_only(spark, nt_path, tmp_path):
+    """After a ground INSERT+DELETE over a PERSISTED store, the updated
+    relation's plan carries no hash-partitioning exchange: the presence
+    probe and the deletes are broadcast joins over the delta — the
+    store is scanned, never shuffled."""
+    eng = make_engine(spark, nt_path)
+    eng.save(str(tmp_path / "store"), dict_path=str(tmp_path / "dict"))
+    eng2 = Engine(spark).open(
+        str(tmp_path / "store"),
+        layout="sign_split",
+        dict_path=str(tmp_path / "dict"),
+    )
+    eng2.update(
+        f"INSERT DATA {{ <{EX}d> <{EX}knows> <{EX}a> }} ; "
+        f'DELETE DATA {{ <{EX}a> <{EX}name> "Alice" }}'
+    )
+    plan = eng2.store.df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert len(decoded_set(eng2)) == 5
+
+
+@pytest.mark.parametrize(
+    "stmt, msg",
+    [
+        (f"INSERT DATA {{ ?s <{EX}p> <{EX}o> }}", "ground"),
+        (f"INSERT DATA {{ _:b <{EX}p> <{EX}o> }}", "ground"),
+        (
+            f"DELETE {{ _:b <{EX}p> ?o }} WHERE {{ ?s <{EX}p> ?o }}",
+            "blank nodes",
+        ),
+        ("LOAD <http://ex.org/file.nt>", "not supported"),
+        (
+            f"WITH <{EX}g> DELETE {{ ?s ?p ?o }} WHERE {{ ?s ?p ?o }}",
+            "WITH/USING",
+        ),
+        (
+            f"DELETE WHERE {{ GRAPH <{EX}g> {{ ?s ?p ?o }} }}",
+            "GRAPH blocks in DELETE WHERE",
+        ),
+        (f"DELETE {{ ?s <{EX}p>+ ?o }} WHERE {{ ?s <{EX}p> ?o }}", ""),
+        (f"INSERT {{ ?s <{EX}p> ?o }}", "WHERE"),
+        ("", "empty update"),
+    ],
+)
+def test_rejects(spark, nt_path, stmt, msg):
+    eng = make_engine(spark, nt_path)
+    with pytest.raises(SparqlSyntaxError, match=msg):
+        eng.update(stmt)
+
+
+def test_update_localized_style(spark, sf_dir, tmp_path):
+    """Updates over a reference-convention (localized) dictionary:
+    ':local' constants and raw integer ids both resolve."""
+    from rdfproject_msc_spark.sources.derived import (
+        dictionary_df,
+        triples_df,
+    )
+
+    triples_df(spark, sf_dir).write.mode("overwrite").csv(
+        str(tmp_path / "triples"), sep=" "
+    )
+    dictionary_df(spark, sf_dir).write.mode("overwrite").csv(
+        str(tmp_path / "dict"), sep="\t"
+    )
+    eng = Engine(spark).load_triples(
+        str(tmp_path / "triples"),
+        str(tmp_path / "dict"),
+        layout="sign_split",
+        cluster_by="s",
+    )
+    n0 = eng.store.df.count()
+    # raw-id triple (the localized model's integer shorthand)
+    eng.update("INSERT DATA { 91001 91002 91003 }")
+    assert eng.store.df.count() == n0 + 1
+    eng.update("DELETE DATA { 91001 91002 91003 }")
+    assert eng.store.df.count() == n0
+    # localized-term triple introducing a new local name
+    eng.update("INSERT DATA { :upd_subject :upd_pred :upd_obj }")
+    ids = eng.dictionary.encode_terms([":upd_subject", ":upd_pred", ":upd_obj"])
+    assert all(v > 0 for v in ids.values())
+    res = eng.sparql(
+        "SELECT ?o WHERE { :upd_subject :upd_pred ?o }", decode=True
+    )
+    assert [r["o"] for r in res.collect()] == [":upd_obj"]

@@ -59,6 +59,8 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_ing.add_argument("--nt", default=None, help="N-Triples file/dir")
     p_ing.add_argument("--nq", default=None, help="N-Quads file/dir")
+    p_ing.add_argument("--ttl", default=None,
+                       help="Turtle file/dir (parsed per file)")
     p_ing.add_argument("--out", required=True, help="store output dir")
     p_ing.add_argument("--dict-out", required=True,
                        help="dictionary parquet output dir")
@@ -363,8 +365,10 @@ def main(argv: list[str] | None = None) -> int:
 
         import os as _os
 
-        if bool(args.nt) == bool(args.nq):
-            raise SystemExit("ingest needs exactly one of --nt / --nq")
+        if sum(map(bool, (args.nt, args.nq, args.ttl))) != 1:
+            raise SystemExit(
+                "ingest needs exactly one of --nt / --nq / --ttl"
+            )
         if args.dict_in and _os.path.realpath(args.dict_in) == _os.path.realpath(
             args.dict_out
         ):
@@ -380,17 +384,28 @@ def main(argv: list[str] | None = None) -> int:
                 "otherwise be parsed and silently discarded"
             )
         spark = _spark(args.cpus)
-        if args.nt:
+        if args.nt or args.ttl:
             existing = (
                 spark.read.parquet(args.dict_in) if args.dict_in else None
             )
-            _, d = NT.ingest_ntriples(
-                spark,
-                args.nt,
-                negative_when=args.negative_when,
-                on_error=args.on_error,
-                dictionary=existing,
-            )
+            if args.ttl:
+                from rdfproject_msc_spark.sources.turtle import ingest_turtle
+
+                _, d = ingest_turtle(
+                    spark,
+                    args.ttl,
+                    negative_when=args.negative_when,
+                    on_error=args.on_error,
+                    dictionary=existing,
+                )
+            else:
+                _, d = NT.ingest_ntriples(
+                    spark,
+                    args.nt,
+                    negative_when=args.negative_when,
+                    on_error=args.on_error,
+                    dictionary=existing,
+                )
         else:
             if args.dict_in:
                 raise SystemExit("--dict-in is N-Triples-only for now")
@@ -405,7 +420,11 @@ def main(argv: list[str] | None = None) -> int:
         # instead of re-running the distributed rank build per sink
         d.write.mode("overwrite").parquet(args.dict_out)
         d_stored = spark.read.parquet(args.dict_out)
-        if args.nt:
+        if args.ttl:
+            from rdfproject_msc_spark.sources.turtle import parse_turtle
+
+            spo = parse_turtle(spark, args.ttl, on_error=args.on_error)
+        elif args.nt:
             spo = NT.parse_ntriples(spark, args.nt, on_error=args.on_error)
         else:
             nq = NT.parse_nquads(spark, args.nq, on_error=args.on_error)

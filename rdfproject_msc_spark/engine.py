@@ -64,23 +64,32 @@ class Engine:
         layout, and register SQL views. Returns self.
 
         ``fmt``: ``"text"`` (pre-encoded space-separated ints — the
-        reference's contract), ``"parquet"`` (persisted encoded layout), or
+        reference's contract), ``"parquet"`` (persisted encoded layout),
         ``"nt"`` (RAW N-Triples: the dictionary is BUILT distributedly and
         the terms encoded — sources/ntriples.py; ``negative_when`` chooses
-        the Negative sign class by term, ``dict_path`` must be None)."""
+        the Negative sign class by term, ``dict_path`` must be None), or
+        ``"ttl"`` (RAW Turtle — sources/turtle.py parses per file, same
+        built-dictionary contract as "nt")."""
         if fmt == "text":
             df = TIO.read_triples_text(self.spark, triples_path)
         elif fmt == "parquet":
             df = TIO.read_triples_parquet(self.spark, triples_path)
-        elif fmt == "nt":
+        elif fmt in ("nt", "ttl"):
             if dict_path is not None:
                 raise ValueError(
-                    "fmt='nt' builds its dictionary from the data; "
+                    f"fmt={fmt!r} builds its dictionary from the data; "
                     "dict_path must be None"
                 )
-            from rdfproject_msc_spark.sources.ntriples import ingest_ntriples
+            if fmt == "nt":
+                from rdfproject_msc_spark.sources.ntriples import (
+                    ingest_ntriples as _ingest,
+                )
+            else:
+                from rdfproject_msc_spark.sources.turtle import (
+                    ingest_turtle as _ingest,
+                )
 
-            df, dict_df = ingest_ntriples(
+            df, dict_df = _ingest(
                 self.spark,
                 triples_path,
                 negative_when=negative_when,

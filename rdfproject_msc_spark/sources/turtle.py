@@ -1,0 +1,482 @@
+"""Turtle ingestion: the raw-RDF first mile for the format people
+actually write by hand.
+
+N-Triples (sources/ntriples.py) is line-delimited, so its parse is pure
+column expressions over ``spark.read.text``. Turtle is NOT: statements
+span lines, and ``@prefix``/``@base`` directives are document-scoped
+state, so an intra-file split is unsound without a stateful pre-scan.
+The honest Spark unit of parallelism is therefore the FILE:
+``spark.read.format("binaryFile")`` lists the input once, and an
+Arrow-batched ``mapInPandas`` stage parses each file's text with a pure
+Python recursive-descent tokenizer, emitting the SAME ``(s_term,
+p_term, o_term)`` lexical-form relation the N-Triples reader produces —
+everything downstream (dictionary build, encode, layouts, SPARQL
+``term_style="lexical"``) is shared, not duplicated. At corpus scale a
+Turtle delivery is thousands of files, so per-file parallelism is real;
+one giant single file serializes by nature of the grammar (documented —
+re-shard or convert such inputs to N-Triples, which splits by line).
+
+Canonical term forms (so Turtle- and NT-ingested graphs agree):
+
+- IRIs expand (prefixed names, ``a``, relative-against-``@base``) to
+  full ``<iri>``.
+- String literals canonicalize to minimal N-Triples escaping of the
+  UNESCAPED value (``\\``, ``\"``, newline, CR escaped; everything else
+  raw) — both quote styles and long strings converge to one form.
+- Numeric/boolean shorthands become their RDF 1.1 typed literals with
+  the lexical form as written (``42`` → ``"42"^^<…#integer>``) —
+  exactly what the lexical SPARQL term style produces for a bare
+  integer constant, so shorthand data matches shorthand queries.
+- Labeled blank nodes pass through as ``_:label`` terms (the NT
+  convention here); anonymous ``[…]`` nodes mint deterministic labels
+  ``_:ttlanon-<md5(file path)[:8]>-<n>`` in document order, so a
+  replayed delivery re-derives identical terms (the same determinism
+  contract as the dictionary build).
+
+Subset rejects (didactic errors): RDF collections ``( … )`` (expand to
+rdf:first/rest chains; write the chain explicitly) and TriG blocks.
+
+The parser lives INSIDE the mapInPandas closure: cloudpickle ships
+nested defs by value, so Python workers need no importable copy of this
+package (the multimodal decoder precedent — a module-level helper
+pickles as a module reference and fails on workers whose sys.path lacks
+the repo).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+PARSED_SCHEMA = "s_term string, p_term string, o_term string"
+
+RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+def parse_turtle(
+    spark: SparkSession, path: str, on_error: str = "skip"
+) -> DataFrame:
+    """Turtle files → ``(s_term, p_term, o_term)`` lexical-form strings,
+    one mapInPandas stage over a binaryFile listing.
+
+    ``on_error="fail"`` raises on the first malformed file;
+    ``"skip"`` drops the WHOLE offending file — Turtle's directive
+    state makes statement-level recovery unsound (after a parse error
+    the prefix table may be wrong, and silently mis-expanded IRIs are
+    worse than a dropped file)."""
+    if on_error not in ("skip", "fail"):
+        raise ValueError(f"on_error must be 'skip' or 'fail', got {on_error!r}")
+    files = spark.read.format("binaryFile").load(path)
+    fail = on_error == "fail"
+
+    def parse_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import re as _re
+
+        _SCHEME = _re.compile(r"[A-Za-z][A-Za-z0-9+.\-]*:")
+        _INTEGER = _re.compile(r"[+-]?[0-9]+")
+        _DECIMAL = _re.compile(r"[+-]?[0-9]*\.[0-9]+")
+        _DOUBLE = _re.compile(
+            r"[+-]?(?:[0-9]+\.[0-9]*|\.?[0-9]+)[eE][+-]?[0-9]+"
+        )
+        # term-ish token: dots stay IN (decimals, dotted local names) and
+        # a trailing statement '.' strips afterwards; ';' ',' brackets and
+        # quotes delimit (PN_LOCAL escapes of those delimiters are outside
+        # the subset)
+        _PNAME = _re.compile(r"[^\s;,\[\]()<>\"'{}]+")
+        _ECHARS = {
+            "t": "\t", "b": "\b", "n": "\n", "r": "\r", "f": "\f",
+            '"': '"', "'": "'", "\\": "\\",
+        }
+        _LOCAL_ESC = set("_~.-!$&'()*+,;=/?#@%")
+
+        def canon_string(value: str) -> str:
+            # minimal N-Triples escaping of the raw value
+            out = (
+                value.replace("\\", "\\\\")
+                .replace('"', '\\"')
+                .replace("\n", "\\n")
+                .replace("\r", "\\r")
+            )
+            return f'"{out}"'
+
+        def parse_text(text: str, origin: str) -> list:
+            i = 0
+            n = len(text)
+            prefixes: dict[str, str] = {}
+            base: str | None = None
+            anon_tag = hashlib.md5(origin.encode()).hexdigest()[:8]
+            anon_n = [0]
+            triples: list = []
+
+            def err(msg: str):
+                line = text.count("\n", 0, i) + 1
+                raise ValueError(f"{origin}:{line}: {msg}")
+
+            def skip_ws():
+                nonlocal i
+                while i < n:
+                    c = text[i]
+                    if c in " \t\r\n":
+                        i += 1
+                    elif c == "#":
+                        j = text.find("\n", i)
+                        i = n if j < 0 else j + 1
+                    else:
+                        return
+
+            def resolve(iri: str) -> str:
+                if _SCHEME.match(iri) or base is None:
+                    return iri
+                if iri.startswith("#") or iri.startswith("?"):
+                    return base + iri
+                # practical resolution: base must end in '/' or '#'
+                # (enforced at @base time), so join is concatenation
+                return base + iri
+
+            def read_iriref() -> str:
+                nonlocal i
+                j = text.find(">", i)
+                if j < 0:
+                    err("unterminated IRI")
+                raw = text[i + 1 : j]
+                if any(c in raw for c in ' "{}|^`'):
+                    err(f"illegal character in IRI <{raw}>")
+                i = j + 1
+                return f"<{resolve(raw)}>"
+
+            def unescape_local(local: str) -> str:
+                if "\\" not in local:
+                    return local
+                out = []
+                k = 0
+                while k < len(local):
+                    if local[k] == "\\" and k + 1 < len(local):
+                        if local[k + 1] not in _LOCAL_ESC:
+                            err(f"bad local-name escape in {local!r}")
+                        out.append(local[k + 1])
+                        k += 2
+                    else:
+                        out.append(local[k])
+                        k += 1
+                return "".join(out)
+
+            def read_pname(tok: str) -> str:
+                if ":" not in tok:
+                    err(f"expected an IRI or prefixed name, got {tok!r}")
+                pfx, local = tok.split(":", 1)
+                if pfx not in prefixes:
+                    err(f"undeclared prefix {pfx + ':'!r}")
+                return f"<{prefixes[pfx]}{unescape_local(local)}>"
+
+            def read_string_body() -> str:
+                """Cursor on the opening quote; returns the UNESCAPED value."""
+                nonlocal i
+                q = text[i]
+                long_form = text[i : i + 3] == q * 3
+                i += 3 if long_form else 1
+                out = []
+                while i < n:
+                    c = text[i]
+                    if c == "\\":
+                        if i + 1 >= n:
+                            err("dangling escape in string")
+                        e = text[i + 1]
+                        if e in _ECHARS:
+                            out.append(_ECHARS[e])
+                            i += 2
+                        elif e in ("u", "U"):
+                            width = 4 if e == "u" else 8
+                            hexs = text[i + 2 : i + 2 + width]
+                            if len(hexs) != width:
+                                err("truncated \\u escape")
+                            try:
+                                out.append(chr(int(hexs, 16)))
+                            except ValueError:
+                                err(f"bad \\u escape {hexs!r}")
+                            i += 2 + width
+                        else:
+                            err(f"unknown string escape \\{e}")
+                        continue
+                    if long_form:
+                        if c == q:
+                            # greedy quote-run: content may contain up to
+                            # two consecutive quotes; in a longer run the
+                            # LAST three are the terminator
+                            r = i
+                            while r < n and text[r] == q:
+                                r += 1
+                            run = r - i
+                            if run >= 3:
+                                out.append(q * (run - 3))
+                                i = r
+                                return "".join(out)
+                            out.append(q * run)
+                            i = r
+                            continue
+                        out.append(c)
+                        i += 1
+                        continue
+                    if c == q:
+                        i += 1
+                        return "".join(out)
+                    if c in "\n\r":
+                        err("newline in single-quoted string")
+                    out.append(c)
+                    i += 1
+                err("unterminated string")
+
+            def read_literal() -> str:
+                nonlocal i
+                value = read_string_body()
+                body = canon_string(value)
+                if i < n and text[i] == "@":
+                    j = i + 1
+                    while j < n and (text[j].isalnum() or text[j] == "-"):
+                        j += 1
+                    tag = text[i + 1 : j]
+                    if not tag:
+                        err("empty language tag")
+                    i = j
+                    return f"{body}@{tag}"
+                if text[i : i + 2] == "^^":
+                    i += 2
+                    skip_ws()
+                    if i < n and text[i] == "<":
+                        dt = read_iriref()
+                    else:
+                        m = _PNAME.match(text, i)
+                        if not m:
+                            err("expected datatype after ^^")
+                        i = m.end()
+                        dt = read_pname(m.group(0))
+                    return f"{body}^^{dt}"
+                return body
+
+            def fresh_anon() -> str:
+                anon_n[0] += 1
+                return f"_:ttlanon-{anon_tag}-{anon_n[0]}"
+
+            def read_term(as_subject: bool) -> str:
+                nonlocal i
+                c = text[i]
+                if c == "<":
+                    return read_iriref()
+                if c in "\"'":
+                    if as_subject:
+                        err("a literal cannot be a subject")
+                    return read_literal()
+                if c == "[":
+                    i += 1
+                    skip_ws()
+                    label = fresh_anon()
+                    if text[i] == "]":
+                        i += 1
+                        return label
+                    read_po_list(label)
+                    skip_ws()
+                    if i >= n or text[i] != "]":
+                        err("unterminated [ property list ]")
+                    i += 1
+                    return label
+                if c == "(":
+                    err(
+                        "RDF collections ( … ) are not supported — they "
+                        "expand to rdf:first/rdf:rest chains; write the "
+                        "chain explicitly"
+                    )
+                if text[i : i + 2] == "_:":
+                    m = _PNAME.match(text, i)
+                    i = m.end()
+                    return m.group(0)
+                m = _PNAME.match(text, i)
+                if not m:
+                    err(f"unexpected character {c!r}")
+                tok = m.group(0)
+                # trailing '.' is the statement terminator, not part of
+                # the name/number (IRIs with inner dots keep them)
+                while tok.endswith(".") and not (
+                    _DECIMAL.fullmatch(tok) or _DOUBLE.fullmatch(tok)
+                ):
+                    tok = tok[:-1]
+                i += len(tok) if tok else 0
+                if not tok:
+                    err("expected a term")
+                if not as_subject:
+                    if _INTEGER.fullmatch(tok):
+                        return f'"{tok}"^^<{XSD}integer>'
+                    if _DECIMAL.fullmatch(tok):
+                        return f'"{tok}"^^<{XSD}decimal>'
+                    if _DOUBLE.fullmatch(tok):
+                        return f'"{tok}"^^<{XSD}double>'
+                    if tok in ("true", "false"):
+                        return f'"{tok}"^^<{XSD}boolean>'
+                return read_pname(tok)
+
+            def read_verb() -> str:
+                nonlocal i
+                if text[i] == "<":
+                    return read_iriref()
+                m = _PNAME.match(text, i)
+                if not m:
+                    err("expected a predicate")
+                tok = m.group(0)
+                while tok.endswith("."):
+                    tok = tok[:-1]
+                if not tok:
+                    err("expected a predicate")
+                i += len(tok)
+                if tok == "a":
+                    return RDF_TYPE
+                return read_pname(tok)
+
+            def read_po_list(subject: str):
+                nonlocal i
+                while True:
+                    skip_ws()
+                    verb = read_verb()
+                    while True:
+                        skip_ws()
+                        obj = read_term(as_subject=False)
+                        triples.append((subject, verb, obj))
+                        skip_ws()
+                        if i < n and text[i] == ",":
+                            i += 1
+                            continue
+                        break
+                    if i < n and text[i] == ";":
+                        i += 1
+                        skip_ws()
+                        # trailing ';' before '.' or ']' is legal
+                        if i < n and text[i] in ".]};":
+                            while i < n and text[i] == ";":
+                                i += 1
+                                skip_ws()
+                            return
+                        continue
+                    return
+
+            def expect_dot():
+                nonlocal i
+                skip_ws()
+                if i >= n or text[i] != ".":
+                    err("expected '.' at end of statement")
+                i += 1
+
+            while True:
+                skip_ws()
+                if i >= n:
+                    break
+                if text[i] == "@" or _re.match(
+                    r"(?:PREFIX|BASE)\b", text[i:], _re.I
+                ):
+                    at_form = text[i] == "@"
+                    m = _re.match(
+                        r"@?(prefix|base)\b", text[i:], _re.I
+                    )
+                    if not m:
+                        err(f"unknown directive at {text[i:i+12]!r}")
+                    kind = m.group(1).lower()
+                    i += m.end()
+                    skip_ws()
+                    if kind == "prefix":
+                        j = text.find(":", i)
+                        if j < 0:
+                            err("@prefix needs 'name:'")
+                        name = text[i:j].strip()
+                        i = j + 1
+                        skip_ws()
+                        if i >= n or text[i] != "<":
+                            err("@prefix needs an <iri>")
+                        iri = read_iriref()[1:-1]
+                        prefixes[name] = iri
+                    else:
+                        if i >= n or text[i] != "<":
+                            err("@base needs an <iri>")
+                        b = read_iriref()[1:-1]
+                        if not (b.endswith("/") or b.endswith("#")):
+                            err(
+                                "@base must end with '/' or '#' (the "
+                                "practical-resolution subset: relative "
+                                "IRIs join by concatenation)"
+                            )
+                        base = b
+                    if at_form:
+                        expect_dot()
+                    continue
+                if text[i] == "{":
+                    err("TriG graph blocks are not Turtle — use N-Quads")
+                subject = read_term(as_subject=True)
+                skip_ws()
+                # `[ :p :o ] .` — a blankNodePropertyList statement with
+                # no outer predicate list is legal (§2.7)
+                if subject.startswith("_:ttlanon-") and i < n and text[i] == ".":
+                    i += 1
+                    continue
+                read_po_list(subject)
+                expect_dot()
+            return triples
+
+        for pdf in batches:
+            ss, ps, os_ = [], [], []
+            for pathv, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    text = bytes(content).decode("utf-8")
+                    rows = parse_text(text, str(pathv))
+                except (ValueError, UnicodeDecodeError):
+                    if fail:
+                        raise
+                    continue  # skip mode: drop the whole file
+                for s, p, o in rows:
+                    ss.append(s)
+                    ps.append(p)
+                    os_.append(o)
+            yield pd.DataFrame({"s_term": ss, "p_term": ps, "o_term": os_})
+
+    return files.select("path", "content").mapInPandas(
+        parse_batches, schema=PARSED_SCHEMA
+    )
+
+
+def ingest_turtle(
+    spark: SparkSession,
+    path: str,
+    *,
+    negative_when: Column | str | None = None,
+    on_error: str = "skip",
+    num_partitions: int | None = None,
+    dictionary: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Turtle first mile: parse → build/extend dictionary → encode —
+    the exact ``ingest_ntriples`` contract over the Turtle parser (the
+    dictionary/encode machinery is shared, not re-implemented)."""
+    from rdfproject_msc_spark.sources.ntriples import (
+        build_dictionary,
+        encode_triples,
+        extend_dictionary,
+    )
+
+    parsed = parse_turtle(spark, path, on_error=on_error).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    if dictionary is None:
+        full = build_dictionary(
+            parsed, negative_when=negative_when, num_partitions=num_partitions
+        )
+    else:
+        fresh = extend_dictionary(
+            dictionary,
+            parsed,
+            negative_when=negative_when,
+            num_partitions=num_partitions,
+        )
+        full = dictionary.select("id", "term").unionAll(fresh)
+    full = full.persist(StorageLevel.MEMORY_AND_DISK)
+    return encode_triples(parsed, full), full

@@ -1,0 +1,226 @@
+"""Turtle ingestion (sources/turtle.py): per-file mapInPandas parse to
+the shared lexical-form relation, NT-equivalence, Engine fmt="ttl"."""
+
+from __future__ import annotations
+
+import pytest
+
+from rdfproject_msc_spark.engine import Engine
+from rdfproject_msc_spark.sources.ntriples import parse_ntriples
+from rdfproject_msc_spark.sources.turtle import ingest_turtle, parse_turtle
+
+TTL = """\
+@prefix ex: <http://ex.org/> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+@base <http://base.org/> .
+# comment line
+ex:a ex:knows ex:b , ex:c ;
+     ex:name "Alice" ;
+     ex:age 42 ;
+     ex:height 1.75 ;
+     ex:score 6.02e23 ;
+     ex:active true .
+<rel> a ex:Thing .
+ex:c ex:label "caf\\u00e9"^^xsd:string .
+"""
+
+# the SAME graph in N-Triples (minimal escaping — the canonical target)
+NT = """\
+<http://ex.org/a> <http://ex.org/knows> <http://ex.org/b> .
+<http://ex.org/a> <http://ex.org/knows> <http://ex.org/c> .
+<http://ex.org/a> <http://ex.org/name> "Alice" .
+<http://ex.org/a> <http://ex.org/age> "42"^^<http://www.w3.org/2001/XMLSchema#integer> .
+<http://ex.org/a> <http://ex.org/height> "1.75"^^<http://www.w3.org/2001/XMLSchema#decimal> .
+<http://ex.org/a> <http://ex.org/score> "6.02e23"^^<http://www.w3.org/2001/XMLSchema#double> .
+<http://ex.org/a> <http://ex.org/active> "true"^^<http://www.w3.org/2001/XMLSchema#boolean> .
+<http://base.org/rel> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://ex.org/Thing> .
+<http://ex.org/c> <http://ex.org/label> "café"^^<http://www.w3.org/2001/XMLSchema#string> .
+"""
+
+
+def rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_turtle_equals_ntriples_of_same_graph(spark, tmp_path):
+    """Turtle abbreviations (prefixes, ';'/',' lists, 'a', @base,
+    numeric/boolean shorthand, \\u escapes) parse to the EXACT relation
+    the N-Triples reader produces for the same graph."""
+    (tmp_path / "g.ttl").write_text(TTL)
+    (tmp_path / "g.nt").write_text(NT)
+    got = rows(parse_turtle(spark, str(tmp_path / "g.ttl"), on_error="fail"))
+    want = rows(parse_ntriples(spark, str(tmp_path / "g.nt")))
+    assert got == want
+
+
+def test_long_strings_and_quote_runs(spark, tmp_path):
+    (tmp_path / "s.ttl").write_text(
+        '@prefix ex: <http://ex.org/> .\n'
+        'ex:b ex:note """line1\nline2 with "quote""""@en .\n'
+        "ex:b ex:alt 'single' .\n"
+        "ex:b ex:tab \"a\\tb\" .\n"
+    )
+    got = rows(parse_turtle(spark, str(tmp_path / "s.ttl"), on_error="fail"))
+    assert got == sorted(
+        [
+            (
+                "<http://ex.org/b>",
+                "<http://ex.org/note>",
+                '"line1\\nline2 with \\"quote\\""@en',
+            ),
+            ("<http://ex.org/b>", "<http://ex.org/alt>", '"single"'),
+            ("<http://ex.org/b>", "<http://ex.org/tab>", '"a\tb"'),
+        ]
+    )
+
+
+def test_anon_bnodes_deterministic_per_file(spark, tmp_path):
+    src = (
+        "@prefix ex: <http://ex.org/> .\n"
+        "_:b1 ex:knows [ ex:name \"Anon\" ] .\n"
+        "[ ex:p ex:o ] .\n"
+    )
+    (tmp_path / "b.ttl").write_text(src)
+    first = rows(parse_turtle(spark, str(tmp_path / "b.ttl"), on_error="fail"))
+    again = rows(parse_turtle(spark, str(tmp_path / "b.ttl"), on_error="fail"))
+    assert first == again  # replayed delivery re-derives identical labels
+    anon = {t for r in first for t in r if t.startswith("_:ttlanon-")}
+    assert len(anon) == 2
+    assert any(r[0] == "_:b1" for r in first)
+
+
+def test_two_files_parse_independently(spark, tmp_path):
+    """Per-file parallelism: directives are file-scoped — the same
+    prefix name maps differently in each file."""
+    (tmp_path / "a.ttl").write_text(
+        "@prefix p: <http://one.org/> .\np:x p:y p:z .\n"
+    )
+    (tmp_path / "b.ttl").write_text(
+        "@prefix p: <http://two.org/> .\np:x p:y p:z .\n"
+    )
+    got = rows(parse_turtle(spark, str(tmp_path), on_error="fail"))
+    assert got == sorted(
+        [
+            ("<http://one.org/x>", "<http://one.org/y>", "<http://one.org/z>"),
+            ("<http://two.org/x>", "<http://two.org/y>", "<http://two.org/z>"),
+        ]
+    )
+
+
+def test_skip_drops_whole_bad_file_fail_raises(spark, tmp_path):
+    (tmp_path / "good.ttl").write_text(
+        "@prefix ex: <http://ex.org/> .\nex:a ex:b ex:c .\n"
+    )
+    (tmp_path / "bad.ttl").write_text(
+        "@prefix ex: <http://ex.org/> .\nex:a ex:b ex:c\nex:d ex:undeclared"
+    )
+    got = rows(parse_turtle(spark, str(tmp_path), on_error="skip"))
+    assert got == [("<http://ex.org/a>", "<http://ex.org/b>", "<http://ex.org/c>")]
+    with pytest.raises(Exception, match="expected"):
+        parse_turtle(spark, str(tmp_path), on_error="fail").collect()
+
+
+@pytest.mark.parametrize(
+    "body, msg",
+    [
+        ("ex:a ex:list (1 2 3) .", "collections"),
+        ("{ ex:a ex:b ex:c . }", "TriG"),
+        ("ex:a undeclared:b ex:c .", "undeclared prefix"),
+        ('@base <http://no-slash.org> .\n<rel> a ex:T .', "must end"),
+        ('ex:a ex:b "unterminated .', "quoted string"),
+        ('"literal" ex:b ex:c .', "cannot be a subject"),
+    ],
+)
+def test_reject_shapes(spark, tmp_path, body, msg):
+    p = tmp_path / "r.ttl"
+    p.write_text("@prefix ex: <http://ex.org/> .\n" + body + "\n")
+    with pytest.raises(Exception, match=msg):
+        parse_turtle(spark, str(p), on_error="fail").collect()
+
+
+def test_sparql_prefix_form_directives(spark, tmp_path):
+    """SPARQL-style PREFIX/BASE (no '@', no trailing dot) also parse."""
+    (tmp_path / "p.ttl").write_text(
+        "PREFIX ex: <http://ex.org/>\nBASE <http://b.org/>\n"
+        "ex:a ex:knows <rel> .\n"
+    )
+    got = rows(parse_turtle(spark, str(tmp_path / "p.ttl"), on_error="fail"))
+    assert got == [
+        ("<http://ex.org/a>", "<http://ex.org/knows>", "<http://b.org/rel>")
+    ]
+
+
+def test_engine_ttl_end_to_end(spark, tmp_path):
+    """Engine.load_triples(fmt='ttl'): raw Turtle in, lexical-style
+    SPARQL out — sharing the whole nt dictionary/encode/planner stack."""
+    (tmp_path / "g.ttl").write_text(TTL)
+    eng = Engine(spark).load_triples(
+        str(tmp_path / "g.ttl"), fmt="ttl", layout="sign_split", cluster_by="s"
+    )
+    assert eng.term_style == "lexical"
+    res = eng.sparql(
+        "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ex:a ex:knows ?o }",
+        decode=True,
+    )
+    assert sorted(r["o"] for r in res.collect()) == [
+        "<http://ex.org/b>",
+        "<http://ex.org/c>",
+    ]
+    # typed-shorthand data matches a typed SPARQL constant (bare integer
+    # in lexical style normalizes to the same canonical literal)
+    res2 = eng.sparql(
+        "PREFIX ex: <http://ex.org/> SELECT ?s WHERE { ?s ex:age 42 }",
+        decode=True,
+    )
+    assert [r["s"] for r in res2.collect()] == ["<http://ex.org/a>"]
+    # and the updated store is UPDATE-able like any other engine
+    eng.update(
+        "PREFIX ex: <http://ex.org/> "
+        "DELETE { ?s ex:knows ?o } INSERT { ?s ex:met ?o } "
+        "WHERE { ?s ex:knows ?o }"
+    )
+    res3 = eng.sparql(
+        "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ex:a ex:met ?o }",
+        decode=True,
+    )
+    assert sorted(r["o"] for r in res3.collect()) == [
+        "<http://ex.org/b>",
+        "<http://ex.org/c>",
+    ]
+
+
+def test_cli_ingest_ttl(spark, tmp_path):
+    """CLI first mile over Turtle: --ttl → persisted store + parquet
+    dictionary, queryable via the sparql subcommand's parquet path."""
+    from rdfproject_msc_spark.cli import main
+
+    (tmp_path / "g.ttl").write_text(TTL)
+    store, dct = str(tmp_path / "store"), str(tmp_path / "dict")
+    rc = main(
+        ["ingest", "--ttl", str(tmp_path / "g.ttl"), "--out", store,
+         "--dict-out", dct]
+    )
+    assert rc == 0
+    ids = {r["term"]: r["id"] for r in spark.read.parquet(dct).collect()}
+    assert "<http://ex.org/a>" in ids
+    assert spark.read.parquet(store).count() == 9
+
+
+def test_incremental_ingest_turtle(spark, tmp_path):
+    """ingest_turtle(dictionary=…): unseen terms append, existing ids
+    untouched — the same delivery-loop contract as N-Triples."""
+    (tmp_path / "one").mkdir()
+    (tmp_path / "two").mkdir()
+    (tmp_path / "one" / "a.ttl").write_text(
+        "@prefix ex: <http://ex.org/> .\nex:a ex:knows ex:b .\n"
+    )
+    (tmp_path / "two" / "b.ttl").write_text(
+        "@prefix ex: <http://ex.org/> .\nex:b ex:knows ex:newguy .\n"
+    )
+    enc1, d1 = ingest_turtle(spark, str(tmp_path / "one"))
+    ids1 = {r["term"]: r["id"] for r in d1.collect()}
+    enc2, d2 = ingest_turtle(spark, str(tmp_path / "two"), dictionary=d1)
+    ids2 = {r["term"]: r["id"] for r in d2.collect()}
+    assert all(ids2[t] == i for t, i in ids1.items())  # untouched
+    assert "<http://ex.org/newguy>" in ids2
+    assert enc1.count() == 1 and enc2.count() == 1

@@ -365,6 +365,52 @@ LEFT JOIN dict d2 ON d2.id = r.c
 LEFT JOIN dict d3 ON d3.id = r.d
 """
 
+def rdf_update_lifecycle(spark, sf_dir):
+    """SPARQL 1.1 UPDATE end-to-end (r9, sparql/update.py): the engine
+    the reference could never be — its drivers are read-only
+    (PartitionQueryingSubject.java:55 loads a fixed file; no write path
+    exists anywhere). Three copy-on-write statements over the derived
+    graph: INSERT DATA introducing brand-new vocabulary (dictionary
+    extends via the incremental append — no existing id moves), DELETE
+    WHERE removing every label edge, and the DELETE/INSERT modify form
+    renaming :inNation to :locatedIn against one pre-state solution set.
+    The returned predicate histogram proves all three landed: the new
+    predicate is present with exactly the inserted cardinality, the
+    deleted one is absent, and the renamed edge carries the full
+    customer count. Ground deltas are broadcast probes (the store is
+    scanned, never shuffled); the modify delta is match-sized and
+    checkpointed."""
+    from rdfproject_msc_spark.engine import Engine
+
+    eng = Engine(
+        spark,
+        store=_store(spark, sf_dir, layout="sign_split"),
+        dictionary=_dict(spark, sf_dir),
+    )
+    eng.update(
+        "INSERT DATA { :nation_0 :inContinent :continent_1 . "
+        ":nation_1 :inContinent :continent_1 } ; "
+        "DELETE WHERE { ?n :hasLabel ?l } ; "
+        "DELETE { ?c :inNation ?n } INSERT { ?c :locatedIn ?n } "
+        "WHERE { ?c :inNation ?n }"
+    )
+    hist = eng.store.df.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+    return eng.dictionary.decode(hist, ["p"]).select(
+        F.col("p").alias("pred"), "n"
+    )
+
+
+RDF_UPDATE_LIFECYCLE_SQL = """
+SELECT ':placedBy' AS pred, COUNT(*) AS n FROM orders
+UNION ALL SELECT ':inRegion', COUNT(*) FROM nation
+UNION ALL SELECT ':byUser', COUNT(*) FROM events
+UNION ALL SELECT ':hasType', COUNT(*) FROM events
+UNION ALL SELECT ':linkedEvent', COUNT(*) FROM customer
+UNION ALL SELECT ':locatedIn', COUNT(*) FROM customer
+UNION ALL SELECT ':inContinent', 2
+"""
+
+
 def rdf_text_lifecycle(spark, sf_dir):
     """The reference's full lifecycle, end to end
     (PartitionQueryingSubject.java:82-153): triples TEXT in (S1) + dictionary
@@ -2869,7 +2915,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "sparql_lang": QuerySpec(sparql_lang, SPARQL_LANG_SQL, headline=True),
     "dedup_components": QuerySpec(dedup_components, DEDUP_COMPONENTS_SQL),
     # training-data pipeline
-    "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
+    # dedup_exact demoted r9 (slot → rdf_update_lifecycle): exact dedup is
+    # corpus_curate's first pipeline stage (driver-checked there); the
+    # window-vs-scale-keys cross-check oracle kept in tests/test_demoted.py
+    "rdf_update_lifecycle": QuerySpec(
+        rdf_update_lifecycle, RDF_UPDATE_LIFECYCLE_SQL
+    ),
     "dedup_minhash": QuerySpec(dedup_minhash, DEDUP_MINHASH_SQL, headline=True),
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL, headline=True),
     # cosine_neardup demoted r8 (slot → events_user_reach): the LSH

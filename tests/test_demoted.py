@@ -259,3 +259,12 @@ def test_multimodal_filter_matches_oracle(spark, sf_dir):
     assert_matches_oracle(
         R.multimodal_filter(spark, sf_dir), R.MULTIMODAL_FILTER_SQL, sf_dir
     )
+
+
+def test_dedup_exact_matches_oracle(spark, sf_dir):
+    """Demoted r9 (slot → rdf_update_lifecycle): exact dedup stays
+    driver-checked as corpus_curate's first pipeline stage; this keeps
+    the window-baseline vs scale-keys cross-check exact vs DuckDB."""
+    assert_matches_oracle(
+        R.dedup_exact(spark, sf_dir), R.DEDUP_EXACT_SQL, sf_dir
+    )

@@ -35,11 +35,14 @@ from pyspark.sql import Column
 
 from rdfproject_msc_spark.dictionary import Dictionary
 from rdfproject_msc_spark.operators.graph import transitive_closure
+from dataclasses import replace as _dc_replace
+
 from rdfproject_msc_spark.sparql.parser import (
     _CMP_OPS,
     BGPQuery,
     GroupPattern,
     SparqlSyntaxError,
+    _visible_binds,
     _walk_groups,
     arith_expr_vars,
     strexpr_vars,
@@ -1319,6 +1322,61 @@ def _compile_path_relation(
     return zero.unionByName(step).distinct()
 
 
+def _scope_subquery_to_graph(sub, gvar: str):
+    """§13.3 active-graph scoping for a subquery under ``GRAPH ?gvar`` —
+    the per-graph evaluation as a pure rewrite over the parsed query:
+
+        GRAPH ?g { SELECT P WHERE W }
+      ≡ { SELECT ?g P WHERE { GRAPH ?g { W } } GROUP BY ?g, keys }
+
+    The wrapped WHERE threads the graph variable through every pattern
+    scan (the existing GRAPH-variable machinery), appending ?g to the
+    GROUP BY keys partitions every aggregate per graph (an aggregate
+    with NO keys becomes one row PER GRAPH — exactly per-graph
+    evaluation), DISTINCT de-duplicates per (graph, projection), and
+    projecting ?g makes the result join the enclosing block's graph
+    binding. Nested GRAPH blocks inside W re-scope themselves, and
+    nested subqueries re-enter this rewrite through the recursive plan.
+
+    Rejects (didactic): ORDER BY / LIMIT / OFFSET (they would have to
+    apply PER GRAPH — a windowed form this engine does not guess),
+    FROM/FROM NAMED (a subquery cannot re-pick the dataset mid-scope),
+    and a subquery that itself uses the graph variable's NAME (the
+    rewrite would unify the inner variable with the graph slot, where
+    §18.2.4.3 keeps a non-projected inner variable independent —
+    rename it)."""
+    if sub.order_by or sub.limit is not None or sub.offset is not None:
+        raise SparqlSyntaxError(
+            "ORDER BY / LIMIT / OFFSET in a subquery under GRAPH ?var "
+            "are not supported (the modifier applies per graph); use a "
+            "constant GRAPH <iri> block"
+        )
+    if sub.dataset_default or sub.dataset_named:
+        raise SparqlSyntaxError(
+            "FROM inside a subquery under GRAPH ?var is not supported"
+        )
+    used = sub.where.all_vars() | _visible_binds(sub.where) | set(
+        sub.projection or ()
+    )
+    if gvar in used:
+        raise SparqlSyntaxError(
+            f"the subquery under GRAPH ?{gvar} uses the variable "
+            f"?{gvar} itself; an inner variable of the same name is "
+            "independent of the active graph (§18.2.4.3) and the "
+            "engine will not silently unify them — rename one"
+        )
+    wrapped = GroupPattern(
+        graphs=((("var", gvar), sub.where),), seq=(("graph", 0),)
+    )
+    new_proj = (gvar,) + tuple(sub.projection or ())
+    new_gb = sub.group_by
+    if sub.aggregates or sub.group_by:
+        new_gb = (gvar,) + tuple(sub.group_by)
+    return _dc_replace(
+        sub, where=wrapped, projection=new_proj, group_by=new_gb
+    )
+
+
 def _plan_group(
     ctx: _PlanCtx, grp: GroupPattern, defer_filters: bool = False,
     graph_var: str | None = None,
@@ -1362,13 +1420,6 @@ def _plan_group(
     bound_cols: dict[str, str] = {}
     order: list[str] = []
     nullable_vars: set[str] = set()
-
-    if graph_var is not None and grp.subselects:
-        raise SparqlSyntaxError(
-            "subqueries inside GRAPH ?var are not supported (a subquery "
-            "would need per-graph evaluation); use a constant "
-            "GRAPH <iri> block"
-        )
 
     def _compose_inner(sdf, scols, sorder, snull, clause):
         """Join one planned relation into the accumulated solution —
@@ -1752,6 +1803,15 @@ def _plan_group(
     # subquery's required patterns (OPTIONAL-bound, some-UNION-arms, BIND
     # over those) counts nullable; grouped aggregates ride the same rule.
     def _do_subselect(sub):
+        if graph_var is not None:
+            # §13.3: the active graph scopes the subquery too — evaluate
+            # it PER GRAPH via a pure algebraic rewrite (no per-graph
+            # loop): GRAPH ?g { SELECT P WHERE W } becomes the standalone
+            # { SELECT ?g P WHERE { GRAPH ?g { W } } } with ?g appended
+            # to the GROUP BY keys, so aggregates partition per graph,
+            # DISTINCT de-duplicates per graph, and the projected ?g
+            # join-keys the result to the enclosing block's graph binding
+            sub = _scope_subquery_to_graph(sub, graph_var)
         sdf = plan_bgp(store, sub, dictionary)
         svars = list(sdf.columns)
         # §12: only the subquery's PROJECTION is visible; any projected

@@ -315,13 +315,6 @@ def test_closure_under_graph_var_executes(gstore, gdict):
         gdict,
     )
     assert _rows(df3) == [(100, 1, 3)]
-    with pytest.raises(SparqlSyntaxError, match="subquer"):
-        sparql_to_df(
-            gstore,
-            "SELECT ?g ?c WHERE { GRAPH ?g "
-            "{ { SELECT (COUNT(*) AS ?c) WHERE { ?s :p10 ?o } } } }",
-            gdict,
-        ).collect()
 
 
 def test_composite_zero_length_constant_under_graph_var(gstore, gdict):
@@ -467,14 +460,17 @@ def test_from_rejects(gstore, gdict, spark):
         ).collect()
 
 
-def test_subquery_under_graph_var_rejects(gstore, gdict):
-    with pytest.raises(SparqlSyntaxError, match="GRAPH"):
-        sparql_to_df(
-            gstore,
-            "SELECT ?g ?c WHERE { GRAPH ?g "
-            "{ { SELECT (COUNT(*) AS ?c) WHERE { ?s :p10 ?o } } } }",
-            gdict,
-        ).collect()
+def test_subquery_under_graph_var_executes(gstore, gdict):
+    """r9: the former reject — subqueries under a graph VARIABLE now
+    evaluate per graph via the algebraic rewrite (see the dedicated
+    suite at the end of this file)."""
+    df = sparql_to_df(
+        gstore,
+        "SELECT ?g ?c WHERE { GRAPH ?g "
+        "{ { SELECT (COUNT(*) AS ?c) WHERE { ?s :p10 ?o } } } }",
+        gdict,
+    )
+    assert _rows(df) == [(100, 1), (101, 2), (102, 1)]
 
 
 def test_graph_without_quads_raises(spark, gdict):
@@ -823,3 +819,85 @@ def test_write_quads_proves_disjointness(spark, gdict, tmp_path):
     r = TripleStore(base, graphs_disjoint=True)
     r.attach_quads_path(spark, path)
     assert r.graphs_disjoint
+
+
+# ---- subqueries under a graph VARIABLE (r9: per-graph evaluation via the
+# algebraic rewrite GRAPH ?g { SELECT P WHERE W } ≡
+# { SELECT ?g P WHERE { GRAPH ?g { W } } GROUP BY ?g, keys }) -------------
+
+
+def test_subquery_grouped_aggregate_per_graph(gstore, gdict):
+    """§18.2.4.3 inner SELECT with GROUP BY under GRAPH ?g: the
+    aggregate partitions PER GRAPH — subject out-degrees differ across
+    graphs holding the same subject."""
+    df = sparql_to_df(
+        gstore,
+        "SELECT ?g ?s ?n WHERE { GRAPH ?g "
+        "{ { SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s :p10 ?o } GROUP BY ?s } } }",
+        gdict,
+    )
+    assert _rows(df) == [
+        (100, 1, 1),
+        (101, 1, 1),
+        (101, 2, 1),
+        (102, 7, 1),
+    ]
+
+
+def test_subquery_scalar_aggregate_per_graph(gstore, gdict):
+    """An aggregate with NO group key yields one row PER GRAPH (the
+    rewrite's appended ?g key IS the per-graph evaluation)."""
+    df = sparql_to_df(
+        gstore,
+        "SELECT ?g ?t WHERE { GRAPH ?g "
+        "{ { SELECT (COUNT(*) AS ?t) WHERE { ?s :p10 ?o } } } }",
+        gdict,
+    )
+    assert _rows(df) == [(100, 1), (101, 2), (102, 1)]
+
+
+def test_subquery_joins_outer_pattern_same_graph(gstore, gdict):
+    """The subquery's projection joins the enclosing block's patterns
+    WITHIN one graph: only graph 100 holds both the p10 edge and a p11
+    subject matching it."""
+    df = sparql_to_df(
+        gstore,
+        "SELECT ?g ?a ?s ?n WHERE { GRAPH ?g { ?a :p10 ?s . "
+        "{ SELECT ?s (COUNT(*) AS ?n) WHERE { ?s :p11 ?y } GROUP BY ?s } } }",
+        gdict,
+    )
+    assert _rows(df) == [(100, 1, 2, 1)]
+
+
+def test_subquery_distinct_per_graph(gstore, gdict):
+    """DISTINCT inside the subquery de-duplicates per (graph,
+    projection), not across graphs — :n1 appears for BOTH graphs."""
+    df = sparql_to_df(
+        gstore,
+        "SELECT ?g ?s WHERE { GRAPH ?g "
+        "{ { SELECT DISTINCT ?s WHERE { ?s :p10 ?o } } } }",
+        gdict,
+    )
+    assert _rows(df) == [(100, 1), (101, 1), (101, 2), (102, 7)]
+
+
+def test_subquery_under_graph_var_rejects_limit(gstore, gdict):
+    with pytest.raises(SparqlSyntaxError, match="per graph"):
+        sparql_to_df(
+            gstore,
+            "SELECT ?g WHERE { GRAPH ?g "
+            "{ { SELECT ?s WHERE { ?s :p10 ?o } LIMIT 1 } } }",
+            gdict,
+        )
+
+
+def test_subquery_under_graph_var_rejects_gvar_reuse(gstore, gdict):
+    """An inner variable named like the graph variable is independent
+    per §18.2.4.3 — the engine refuses to silently unify them."""
+    with pytest.raises(SparqlSyntaxError, match="rename"):
+        sparql_to_df(
+            gstore,
+            "SELECT ?g WHERE { GRAPH ?g "
+            "{ { SELECT ?s WHERE { ?s :p10 ?g } } } }",
+            gdict,
+        )

@@ -198,7 +198,48 @@ def _tokenize_vocab(spark, sf_dir):
     return tokenize_ids_vocab(docs, fit_vocab(docs, vocab_size=32_768))
 
 
+def _turtle_ingest(spark, sf_dir):
+    """Turtle first mile (r9): the parse unit is the FILE (statements
+    span lines, directives are document state), so the probe writes the
+    derived graph as ~32 Turtle documents and measures the per-file
+    mapInPandas parse + dictionary build + encode. The scaling lever is
+    file COUNT (more files = more parallel parse tasks); per-file text
+    grows with the corpus, both scales keep the same plan shape."""
+    import os as _os
+    import tempfile as _tf
+
+    from rdfproject_msc_spark.registry import load_table
+    from rdfproject_msc_spark.sources.turtle import ingest_turtle
+
+    tag = _os.path.basename(_os.path.normpath(sf_dir))
+    base = _os.path.join(_tf.gettempdir(), "rdfproject_msc_ttl_probe", tag)
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    s = lambda c: F.col(c).cast("string")  # noqa: E731
+    lines = (
+        orders.select(
+            F.concat(
+                F.lit("<urn:order_"), s("o_orderkey"),
+                F.lit("> <urn:placedBy> <urn:customer_"), s("o_custkey"),
+                F.lit("> ; <urn:hasPriority> \""), F.col("o_orderpriority"),
+                F.lit("\" ."),
+            ).alias("value")
+        )
+        .unionAll(customer.select(
+            F.concat(
+                F.lit("<urn:customer_"), s("c_custkey"),
+                F.lit("> <urn:inNation> <urn:nation_"), s("c_nationkey"),
+                F.lit("> ."),
+            ).alias("value")
+        ))
+    )
+    lines.repartition(32).write.mode("overwrite").text(base)
+    enc, d = ingest_turtle(spark, base)
+    return enc.groupBy("p").count()
+
+
 EXTRAS = {
+    "turtle_ingest": _turtle_ingest,
     "tokenize_vocab": _tokenize_vocab,
     "neardup_probe_persisted": _neardup_probe_persisted,
     "passage_dedup_k32": _passage_dedup_k32,

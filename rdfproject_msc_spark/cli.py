@@ -77,6 +77,36 @@ def main(argv: list[str] | None = None) -> int:
     p_ing.add_argument("--on-error", choices=("skip", "fail"), default="skip")
     p_ing.add_argument("--cpus", type=int, default=None)
 
+    p_upd = sub.add_parser(
+        "update",
+        help="SPARQL 1.1 UPDATE over a persisted store: apply "
+        "INSERT DATA / DELETE DATA / DELETE WHERE / DELETE-INSERT-WHERE "
+        "/ CLEAR copy-on-write, then re-persist store + dictionary",
+    )
+    p_upd.add_argument("--store", required=True)
+    p_upd.add_argument("--layout", choices=("single", "sign_split"),
+                       default="sign_split")
+    p_upd.add_argument("--dict", dest="dict_path", required=True,
+                       help="dictionary parquet (ingest-built)")
+    p_upd.add_argument("--term-style", choices=("localized", "lexical"),
+                       default=None,
+                       help="constant convention (default lexical — the "
+                       "ingest-built parquet convention)")
+    p_upd.add_argument("--request", required=True,
+                       help="the UPDATE string (';'-separated operations)")
+    p_upd.add_argument("--out", required=True, help="updated store output dir")
+    p_upd.add_argument("--dict-out", required=True,
+                       help="updated dictionary parquet output dir "
+                       "(must differ from --dict)")
+    p_upd.add_argument("--quads", default=None,
+                       help="named-graph quad parquet to attach")
+    p_upd.add_argument("--quads-out", default=None,
+                       help="updated quads output dir (with --quads)")
+    p_upd.add_argument("--negative-when", default=None,
+                       help="SQL bool expr over `term`: sign class for "
+                       "NEW INSERTed terms")
+    p_upd.add_argument("--cpus", type=int, default=None)
+
     p_sql = sub.add_parser("sql", help="SQL over a persisted store")
     p_sql.add_argument("--store", required=True)
     p_sql.add_argument("--layout", choices=("single", "sign_split"), default="sign_split")
@@ -459,6 +489,44 @@ def main(argv: list[str] | None = None) -> int:
         eng = Engine(spark).open(args.store, layout=args.layout)
         eng.store.register(spark, "table")
         _emit(eng.sql(args.query), args)
+        return 0
+
+    if args.command == "update":
+        import os as _os
+
+        if _os.path.realpath(args.dict_path) == _os.path.realpath(
+            args.dict_out
+        ):
+            raise SystemExit(
+                "--dict-out must differ from --dict (the copy-on-write "
+                "plan reads the old dictionary while writing the new one)"
+            )
+        if _os.path.realpath(args.store) == _os.path.realpath(args.out):
+            raise SystemExit(
+                "--out must differ from --store (the updated snapshot "
+                "reads the old store while writing)"
+            )
+        spark = _spark(args.cpus)
+        eng = Engine(spark).open(
+            args.store,
+            layout=args.layout,
+            dict_path=args.dict_path,
+            term_style=args.term_style,
+        )
+        if args.quads:
+            eng.load_quads(args.quads)
+        eng.update(args.request, negative_when=args.negative_when)
+        eng.save(
+            args.out,
+            quads_path=args.quads_out if eng.store.has_quads else None,
+            dict_path=args.dict_out,
+        )
+        n = spark.read.parquet(args.out).count()
+        nd = spark.read.parquet(args.dict_out).count()
+        print(
+            f"updated: {n} triples, {nd} dictionary terms "
+            f"(store={args.out}, dict={args.dict_out})"
+        )
         return 0
 
     if args.command == "sparql":

@@ -324,3 +324,137 @@ def test_update_localized_style(spark, sf_dir, tmp_path):
         "SELECT ?o WHERE { :upd_subject :upd_pred ?o }", decode=True
     )
     assert [r["o"] for r in res.collect()] == [":upd_obj"]
+
+
+def test_update_save_open_roundtrip(spark, nt_path, tmp_path):
+    """An updated snapshot persists: save() after update writes the
+    post-update store AND the extended dictionary; a fresh open answers
+    over the updated graph."""
+    eng = make_engine(spark, nt_path)
+    eng.update(
+        f"INSERT DATA {{ <{EX}d> <{EX}knows> <{EX}a> }} ; "
+        f"DELETE WHERE {{ ?s <{EX}name> ?n }}"
+    )
+    eng.save(str(tmp_path / "store"), dict_path=str(tmp_path / "dict"))
+    eng2 = Engine(spark).open(
+        str(tmp_path / "store"),
+        layout="sign_split",
+        dict_path=str(tmp_path / "dict"),
+    )
+    assert decoded_set(eng2) == duck_set(
+        f"WITH {CTE} SELECT * FROM t WHERE p <> '<{EX}name>' "
+        f"UNION VALUES ('<{EX}d>', '<{EX}knows>', '<{EX}a>') ORDER BY 1,2,3"
+    )
+    res = eng2.sparql(
+        f"SELECT ?o WHERE {{ <{EX}d> <{EX}knows> ?o }}", decode=True
+    )
+    assert [r["o"] for r in res.collect()] == [f"<{EX}a>"]
+
+
+def test_cli_update(spark, nt_path, tmp_path):
+    """CLI loop: ingest → update (copy-on-write re-persist) → sparql
+    over the updated snapshot."""
+    from rdfproject_msc_spark.cli import main
+
+    s1, d1 = str(tmp_path / "s1"), str(tmp_path / "d1")
+    assert main(["ingest", "--nt", nt_path, "--out", s1, "--dict-out", d1]) == 0
+    s2, d2 = str(tmp_path / "s2"), str(tmp_path / "d2")
+    rc = main(
+        ["update", "--store", s1, "--dict", d1, "--out", s2,
+         "--dict-out", d2, "--request",
+         f"INSERT DATA {{ <{EX}d> <{EX}knows> <{EX}a> }} ; "
+         f"DELETE WHERE {{ ?s <{EX}name> ?n }}"]
+    )
+    assert rc == 0
+    eng = Engine(spark).open(s2, layout="sign_split", dict_path=d2)
+    got = decoded_set(eng)
+    assert (f"<{EX}d>", f"<{EX}knows>", f"<{EX}a>") in got
+    assert not any(p == f"<{EX}name>" for _, p, _ in got)
+    # same-path guards
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="differ"):
+        main(["update", "--store", s1, "--dict", d1, "--out", s2,
+              "--dict-out", d1, "--request", "CLEAR DEFAULT"])
+
+
+# ---- property fuzz: random op sequences vs a Python set model ----------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_SUBJ = [f"<urn:t{i}>" for i in range(4)]
+_PRED = [f"<urn:p{i}>" for i in range(3)]
+_UNIVERSE = [(s, p, o) for s in _SUBJ for p in _PRED for o in _SUBJ]
+
+_triple = st.sampled_from(_UNIVERSE)
+_triples = st.lists(_triple, min_size=1, max_size=5)
+_slot = st.one_of(st.sampled_from(_SUBJ), st.none())  # None = variable
+_op = st.one_of(
+    st.tuples(st.just("insert"), _triples),
+    st.tuples(st.just("delete"), _triples),
+    st.tuples(
+        st.just("delete_where"),
+        st.tuples(_slot, st.sampled_from(_PRED), _slot),
+    ),
+    st.tuples(
+        st.just("rename"), st.sampled_from(_PRED), st.sampled_from(_PRED)
+    ),
+)
+
+
+@pytest.fixture(scope="module")
+def fuzz_base(spark, tmp_path_factory):
+    """One ingest shared by every example: the FULL universe (so every
+    constant resolves in the dictionary forever); each example replays
+    its op sequence from this pristine engine state."""
+    p = tmp_path_factory.mktemp("updfuzz") / "u.nt"
+    p.write_text("".join(f"{s} {pr} {o} .\n" for s, pr, o in _UNIVERSE))
+    return str(p)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_op, min_size=1, max_size=4))
+def test_update_sequences_match_set_model(spark, fuzz_base, ops):
+    """Any sequence of INSERT DATA / DELETE DATA / DELETE WHERE /
+    DELETE-INSERT rename leaves the engine's graph equal to the plain
+    Python set model of SPARQL update semantics."""
+    eng = make_engine(spark, fuzz_base)
+    model = set(_UNIVERSE)
+    for op in ops:
+        if op[0] == "insert":
+            stmt = " . ".join(f"{s} {p} {o}" for s, p, o in op[1])
+            eng.update(f"INSERT DATA {{ {stmt} }}")
+            model |= set(op[1])
+        elif op[0] == "delete":
+            stmt = " . ".join(f"{s} {p} {o}" for s, p, o in op[1])
+            eng.update(f"DELETE DATA {{ {stmt} }}")
+            model -= set(op[1])
+        elif op[0] == "delete_where":
+            s_slot, pred, o_slot = op[1]
+            s_tok = s_slot if s_slot else "?s"
+            o_tok = o_slot if o_slot else "?o"
+            eng.update(f"DELETE WHERE {{ {s_tok} {pred} {o_tok} }}")
+            model = {
+                (s, p, o)
+                for s, p, o in model
+                if not (
+                    p == pred
+                    and (s_slot is None or s == s_slot)
+                    and (o_slot is None or o == o_slot)
+                )
+            }
+        else:
+            _, p_from, p_to = op
+            eng.update(
+                f"DELETE {{ ?s {p_from} ?o }} INSERT {{ ?s {p_to} ?o }} "
+                f"WHERE {{ ?s {p_from} ?o }}"
+            )
+            moved = {(s, p, o) for s, p, o in model if p == p_from}
+            model -= moved
+            model |= {(s, p_to, o) for s, _, o in moved}
+    assert set(decoded_set(eng)) == model

@@ -19,15 +19,18 @@ Supported operations (';'-separated, PREFIX decls shared):
 - ``DELETE DATA { … }`` — ground; a term absent from the dictionary
   means the triple cannot exist, so that row is a no-op (§3.1.2).
 - ``DELETE WHERE { pattern }`` — the pattern is both the WHERE clause
-  and the delete template (§3.1.3.3). Plain triple patterns only
-  (paths/GRAPH/OPTIONAL are not a QuadPattern template).
+  and the delete template (§3.1.3.3), incl. ``GRAPH`` blocks (constant
+  or variable graph): matched quads delete from their named graphs.
+  Paths/OPTIONAL are not a QuadPattern template (reject).
 - ``DELETE { tpl } INSERT { tpl } WHERE { group }`` and the
   single-template forms ``DELETE {…} WHERE {…}`` / ``INSERT {…}
   WHERE {…}`` (§3.1.3). The WHERE group is the FULL query surface
-  (OPTIONAL/FILTER/UNION/paths/subqueries — it compiles through
-  ``sparql_to_df``); both template sets instantiate against the same
-  pre-state solutions, deletes apply before inserts (§3.1.3's
-  semantics: one solution mapping set, DELETE then INSERT).
+  (OPTIONAL/FILTER/UNION/paths/subqueries/GRAPH — it compiles through
+  ``sparql_to_df``); templates may hold ``GRAPH g {…}`` blocks with a
+  constant or WHERE-bound variable graph (instantiations land in /
+  delete from that named graph); both template sets instantiate
+  against the same pre-state solutions, deletes apply before inserts
+  (§3.1.3's semantics: one solution mapping set, DELETE then INSERT).
 - ``CLEAR DEFAULT | NAMED | ALL | GRAPH <iri>`` (§3.2.2). Graphs are
   rows here, not resources: clearing a graph that holds no quads is a
   no-op (the SILENT distinction is moot and accepted).
@@ -35,10 +38,9 @@ Supported operations (';'-separated, PREFIX decls shared):
 Documented rejects (didactic errors, repo convention): blank nodes in
 any update payload (fresh-bnode minting has no stable oracle — the
 same stance as NOW/UUID), LOAD/CREATE/DROP/COPY/MOVE/ADD, WITH/USING,
-GRAPH blocks in DELETE WHERE / modify templates, and template
-variables not bound by the WHERE group (a typo guard, like the
-planner's unknown-filter-var reject; the spec would silently drop the
-instantiation).
+and template variables not bound by the WHERE group (a typo guard,
+like the planner's unknown-filter-var reject; the spec would silently
+drop the instantiation).
 
 Scale design (the asymmetry drives every join below):
 
@@ -106,7 +108,9 @@ class GroundData:
 @dataclass(frozen=True)
 class Modify:
     """DELETE/INSERT … WHERE (and DELETE WHERE, where the template IS
-    the pattern source). Templates are tuples of TriplePattern."""
+    the pattern source). Templates are tuples of ``(g_slot | None,
+    TriplePattern)`` — g_slot None targets the default graph; a
+    constant or variable g_slot targets that named graph."""
 
     delete_tpl: tuple
     insert_tpl: tuple
@@ -146,31 +150,45 @@ def _ground_slots(pattern) -> tuple:
     return tuple(out)
 
 
-def _template_patterns(src: str, prefixes, what: str) -> tuple:
-    """Parse a template block: plain triples (vars allowed, bnodes and
-    paths reject — same stance as CONSTRUCT templates, §16.2)."""
-    pats = _parse_patterns(src, prefixes)  # paths/alternations reject
-    for tp in pats:
-        for slot in (tp.s, tp.p, tp.o):
-            if slot[0] == "var" and str(slot[1]).startswith("__bn_"):
-                raise SparqlSyntaxError(
-                    f"blank nodes in {what} templates are not supported "
-                    "(fresh-bnode minting has no stable oracle — the "
-                    "NOW/UUID stance; use IRIs)"
-                )
-            if slot[0] not in ("var", "term", "id"):
-                raise SparqlSyntaxError(
-                    f"{what} templates take plain triples, got {slot!r}"
-                )
-    return tuple(pats)
+def _check_template_pattern(tp, what: str) -> None:
+    for slot in (tp.s, tp.p, tp.o):
+        if slot[0] == "var" and str(slot[1]).startswith("__bn_"):
+            raise SparqlSyntaxError(
+                f"blank nodes in {what} templates are not supported "
+                "(fresh-bnode minting has no stable oracle — the "
+                "NOW/UUID stance; use IRIs)"
+            )
+        if slot[0] not in ("var", "term", "id"):
+            raise SparqlSyntaxError(
+                f"{what} templates take plain triples, got {slot!r}"
+            )
 
 
-def _split_graph_blocks(src: str, prefixes):
-    """A QuadData body → (default-graph patterns, [(g_slot, patterns)]).
+def _template_quads(src: str, prefixes, what: str) -> tuple:
+    """Parse a template block into ``(g_slot | None, TriplePattern)``
+    rows: plain triples target the default graph, ``GRAPH g {…}``
+    blocks (constant OR variable g) target that named graph. Vars
+    allowed anywhere; bnodes and paths reject — the CONSTRUCT-template
+    stance (§16.2)."""
+    default, graphs = _split_graph_blocks(
+        src, prefixes, allow_graph_vars=True
+    )
+    out = [(None, tp) for tp in default]
+    for g_slot, pats in graphs:
+        out.extend((g_slot, tp) for tp in pats)
+    for g_slot, tp in out:
+        _check_template_pattern(tp, what)
+    return tuple(out)
+
+
+def _split_graph_blocks(src: str, prefixes, allow_graph_vars: bool = False):
+    """A QuadData/template body → (default-graph patterns,
+    [(g_slot, patterns)]).
 
     Char-scan (not regex split): GRAPH inside a quoted literal must not
     open a block, so strings are skipped with the parser's own
-    ``_skip_string``."""
+    ``_skip_string``. ``allow_graph_vars``: templates may name the
+    graph with a WHERE-bound variable; ground DATA blocks must not."""
     from rdfproject_msc_spark.sparql.parser import _normalize_term
 
     default_parts: list[str] = []
@@ -203,7 +221,7 @@ def _split_graph_blocks(src: str, prefixes):
             if not g_tok:
                 raise SparqlSyntaxError("GRAPH needs a graph name in DATA blocks")
             g_slot = _normalize_term(g_tok, prefixes)
-            if g_slot[0] == "var":
+            if g_slot[0] == "var" and not allow_graph_vars:
                 raise SparqlSyntaxError(
                     "GRAPH in update DATA blocks takes a constant graph "
                     f"name, got ?{g_slot[1]}"
@@ -274,12 +292,7 @@ def _parse_update_inner(src: str) -> list:
         if re.match(r"DELETE\s+WHERE\b", head, re.I):
             j = _skip_ws(body, i + len(re.match(r"DELETE\s+WHERE", head, re.I).group(0)))
             inner, j = _scan_delim(body, j, "{", "}", "DELETE WHERE block")
-            if _GRAPH_KW.search(inner):
-                raise SparqlSyntaxError(
-                    "GRAPH blocks in DELETE WHERE are not supported "
-                    "(default-graph QuadPattern only)"
-                )
-            tpl = _template_patterns(inner, prefixes, "DELETE WHERE")
+            tpl = _template_quads(inner, prefixes, "DELETE WHERE")
             if not tpl:
                 raise SparqlSyntaxError("DELETE WHERE needs at least one pattern")
             ops.append(
@@ -314,15 +327,9 @@ def _parse_update_inner(src: str) -> list:
                 )
             j = _skip_ws(body, j + mw.end())
             where_src, j = _scan_delim(body, j, "{", "}", "WHERE group")
-            for name, tsrc in ((first_kw, tpl1_src), (second_kw, tpl2_src)):
-                if tsrc is not None and _GRAPH_KW.search(tsrc):
-                    raise SparqlSyntaxError(
-                        f"GRAPH blocks in {name} templates are not supported "
-                        "(default-graph templates only)"
-                    )
-            tpl1 = _template_patterns(tpl1_src, prefixes, first_kw)
+            tpl1 = _template_quads(tpl1_src, prefixes, first_kw)
             tpl2 = (
-                _template_patterns(tpl2_src, prefixes, "INSERT")
+                _template_quads(tpl2_src, prefixes, "INSERT")
                 if tpl2_src is not None
                 else ()
             )
@@ -558,19 +565,22 @@ def _delete_quads(spark: SparkSession, store: TripleStore, rows) -> TripleStore:
     )
 
 
-def _instantiate(solutions: DataFrame, templates, const_ids) -> DataFrame | None:
-    """Template patterns × solution rows → (s, p, o) rows. A solution
-    leaving any used variable unbound (NULL) drops that instantiation
-    (§3.1.3); a template whose constant term is absent from the
-    dictionary matches nothing it could produce against existing data
-    and resolves through ``const_ids`` (insert templates always
-    resolve — the dictionary was extended first)."""
-    parts = []
-    for tp in templates:
+def _instantiate(solutions: DataFrame, templates, const_ids):
+    """Template quads × solution rows → ``(triples_df | None,
+    quads_df | None)``. A solution leaving any used variable unbound
+    (NULL) drops that instantiation (§3.1.3); a template whose constant
+    term is absent from the dictionary matches nothing it could produce
+    against existing data and resolves through ``const_ids`` (insert
+    templates always resolve — the dictionary was extended first)."""
+    tri_parts, quad_parts = [], []
+    for g_slot, tp in templates:
+        slots = ([(g_slot, "g")] if g_slot is not None else []) + [
+            (tp.s, "s"), (tp.p, "p"), (tp.o, "o"),
+        ]
         cols = []
         ok = True
         not_null = []
-        for slot, name in ((tp.s, "s"), (tp.p, "p"), (tp.o, "o")):
+        for slot, name in slots:
             if slot[0] == "var":
                 cols.append(F.col(str(slot[1])).cast("long").alias(name))
                 not_null.append(str(slot[1]))
@@ -587,13 +597,18 @@ def _instantiate(solutions: DataFrame, templates, const_ids) -> DataFrame | None
         inst = solutions
         for v in not_null:
             inst = inst.filter(F.col(v).isNotNull())
-        parts.append(inst.select(*cols))
-    if not parts:
-        return None
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out.distinct()
+        sel = inst.select(*cols)
+        (quad_parts if g_slot is not None else tri_parts).append(sel)
+
+    def _union(parts):
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out.distinct()
+
+    return _union(tri_parts), _union(quad_parts)
 
 
 def apply_update(engine, src: str, negative_when=None) -> None:
@@ -634,8 +649,9 @@ def apply_update(engine, src: str, negative_when=None) -> None:
             tpl_vars = sorted(
                 {
                     str(slot[1])
-                    for tp in op.delete_tpl + op.insert_tpl
-                    for slot in (tp.s, tp.p, tp.o)
+                    for g_slot, tp in op.delete_tpl + op.insert_tpl
+                    for slot in ((g_slot,) if g_slot else ())
+                    + (tp.s, tp.p, tp.o)
                     if slot[0] == "var"
                 }
             )
@@ -653,16 +669,18 @@ def apply_update(engine, src: str, negative_when=None) -> None:
             ins_texts = sorted(
                 {
                     slot[1]
-                    for tp in op.insert_tpl
-                    for slot in (tp.s, tp.p, tp.o)
+                    for g_slot, tp in op.insert_tpl
+                    for slot in ((g_slot,) if g_slot else ())
+                    + (tp.s, tp.p, tp.o)
                     if slot[0] == "term"
                 }
             )
             del_texts = sorted(
                 {
                     slot[1]
-                    for tp in op.delete_tpl
-                    for slot in (tp.s, tp.p, tp.o)
+                    for g_slot, tp in op.delete_tpl
+                    for slot in ((g_slot,) if g_slot else ())
+                    + (tp.s, tp.p, tp.o)
                     if slot[0] == "term"
                 }
             )
@@ -688,20 +706,48 @@ def apply_update(engine, src: str, negative_when=None) -> None:
             # stack recomputes, and the copy is bounded by the match set
             solutions = solutions.persist()
             try:
-                del_set = _instantiate(solutions, op.delete_tpl, const_ids)
-                ins_set = _instantiate(solutions, op.insert_tpl, const_ids)
-                if del_set is not None:
-                    del_set = del_set.localCheckpoint(eager=True)
-                    store = _delete_df(store, del_set, broadcast_hint=False)
-                if ins_set is not None:
-                    ins_set = ins_set.localCheckpoint(eager=True)
+                del_tri, del_q = _instantiate(
+                    solutions, op.delete_tpl, const_ids
+                )
+                ins_tri, ins_q = _instantiate(
+                    solutions, op.insert_tpl, const_ids
+                )
+                ck = lambda d: (  # noqa: E731
+                    d.localCheckpoint(eager=True) if d is not None else None
+                )
+                del_tri, del_q = ck(del_tri), ck(del_q)
+                ins_tri, ins_q = ck(ins_tri), ck(ins_q)
+                if del_tri is not None:
+                    store = _delete_df(store, del_tri, broadcast_hint=False)
+                if del_q is not None and store.has_quads:
+                    store = _clone_store(
+                        store,
+                        quads=store.quads.join(
+                            del_q, ["g", "s", "p", "o"], "left_anti"
+                        ),
+                    )
+                if ins_tri is not None:
                     # insert into the POST-delete state (§3.1.3: deletes
                     # apply first); set semantics without broadcasting a
                     # data-sized side — one keyed anti-join, AQE picks
-                    fresh = ins_set.join(
+                    fresh = ins_tri.join(
                         store.df, ["s", "p", "o"], "left_anti"
                     )
                     store = _clone_store(store, df=store.df.unionAll(fresh))
+                if ins_q is not None:
+                    if store.has_quads:
+                        freshq = ins_q.join(
+                            store.quads, ["g", "s", "p", "o"], "left_anti"
+                        )
+                        new_quads = store.quads.unionAll(freshq)
+                    else:
+                        new_quads = ins_q
+                    # a data-sized quad insert: re-proving disjointness
+                    # would cost a corpus join per statement — drop the
+                    # flag conservatively (write_quads re-proves at save)
+                    store = _clone_store(
+                        store, quads=new_quads, graphs_disjoint=False
+                    )
                 engine.store = store
             finally:
                 solutions.unpersist()

@@ -275,10 +275,6 @@ def test_ground_insert_plan_is_broadcast_only(spark, nt_path, tmp_path):
             f"WITH <{EX}g> DELETE {{ ?s ?p ?o }} WHERE {{ ?s ?p ?o }}",
             "WITH/USING",
         ),
-        (
-            f"DELETE WHERE {{ GRAPH <{EX}g> {{ ?s ?p ?o }} }}",
-            "GRAPH blocks in DELETE WHERE",
-        ),
         (f"DELETE {{ ?s <{EX}p>+ ?o }} WHERE {{ ?s <{EX}p> ?o }}", ""),
         (f"INSERT {{ ?s <{EX}p> ?o }}", "WHERE"),
         ("", "empty update"),
@@ -458,3 +454,60 @@ def test_update_sequences_match_set_model(spark, fuzz_base, ops):
             model -= moved
             model |= {(s, p_to, o) for s, _, o in moved}
     assert set(decoded_set(eng)) == model
+
+
+def test_delete_where_graph_blocks(spark, nt_path):
+    """DELETE WHERE over named graphs: a variable-graph pattern deletes
+    matched quads from EVERY graph; a constant-graph pattern from one."""
+    eng = make_engine(spark, nt_path)
+    eng.update(
+        f"INSERT DATA {{ "
+        f"GRAPH <{EX}g1> {{ <{EX}a> <{EX}knows> <{EX}b> . "
+        f"<{EX}a> <{EX}name> <{EX}b> }} "
+        f"GRAPH <{EX}g2> {{ <{EX}a> <{EX}knows> <{EX}c> }} }}"
+    )
+    eng.update(f"DELETE WHERE {{ GRAPH ?g {{ ?s <{EX}knows> ?o }} }}")
+    left = sorted(map(tuple, eng.decode(eng.store.quads).collect()))
+    assert left == [(f"<{EX}g1>", f"<{EX}a>", f"<{EX}name>", f"<{EX}b>")]
+    # the default graph is untouched by a GRAPH-only DELETE WHERE
+    assert len(decoded_set(eng)) == 5
+    # constant graph: only that graph's quad goes
+    eng.update(
+        f"DELETE WHERE {{ GRAPH <{EX}g1> {{ ?s <{EX}name> ?o }} }}"
+    )
+    assert eng.store.quads.count() == 0
+
+
+def test_modify_graph_templates(spark, nt_path):
+    """Templates with GRAPH blocks: archive default-graph matches into
+    a named graph chosen per solution (variable g) or fixed (constant),
+    deleting them from the default graph."""
+    eng = make_engine(spark, nt_path)
+    # seed one named graph so the quad relation exists for the variable case
+    eng.update(
+        f"INSERT DATA {{ GRAPH <{EX}arch> {{ <{EX}z> <{EX}zz> <{EX}z> }} }}"
+    )
+    # constant-graph INSERT template: move every knows edge into <arch>
+    eng.update(
+        f"PREFIX ex: <{EX}> "
+        "DELETE { ?s ex:knows ?o } "
+        f"INSERT {{ GRAPH <{EX}arch> {{ ?s ex:knows ?o }} }} "
+        "WHERE { ?s ex:knows ?o }"
+    )
+    assert decoded_set(eng) == duck_set(
+        f"WITH {CTE} SELECT * FROM t WHERE p <> '<{EX}knows>' ORDER BY 1,2,3"
+    )
+    quads = sorted(map(tuple, eng.decode(eng.store.quads).collect()))
+    assert (f"<{EX}arch>", f"<{EX}a>", f"<{EX}knows>", f"<{EX}b>") in quads
+    assert len(quads) == 4  # 3 moved edges + the seed
+    # variable-graph DELETE template: pull the a-edge back out of the
+    # graph bound by the WHERE
+    eng.update(
+        f"PREFIX ex: <{EX}> "
+        "DELETE { GRAPH ?g { ex:a ex:knows ?o } } "
+        "INSERT { ex:a ex:knows ?o } "
+        "WHERE { GRAPH ?g { ex:a ex:knows ?o } }"
+    )
+    quads2 = sorted(map(tuple, eng.decode(eng.store.quads).collect()))
+    assert not any(s == f"<{EX}a>" for _, s, _, _ in quads2)
+    assert (f"<{EX}a>", f"<{EX}knows>", f"<{EX}b>") in decoded_set(eng)

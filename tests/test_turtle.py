@@ -224,3 +224,111 @@ def test_incremental_ingest_turtle(spark, tmp_path):
     assert all(ids2[t] == i for t, i in ids1.items())  # untouched
     assert "<http://ex.org/newguy>" in ids2
     assert enc1.count() == 1 and enc2.count() == 1
+
+
+# ---- property fuzz: random graphs rendered as abbreviated Turtle and as
+# canonical N-Triples must parse to the same relation -----------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_EXP = "http://fz.org/"
+_NAMES = [f"n{i}" for i in range(5)]
+_LIT_TEXT = st.text(
+    alphabet=st.sampled_from('abc "\\\n\tzé'), min_size=0, max_size=6
+)
+_obj = st.one_of(
+    st.tuples(st.just("iri"), st.sampled_from(_NAMES)),
+    st.tuples(st.just("int"), st.integers(min_value=-99, max_value=99)),
+    st.tuples(st.just("lit"), _LIT_TEXT),
+    st.tuples(st.just("lang"), _LIT_TEXT, st.sampled_from(["en", "fr"])),
+)
+_triple_v = st.tuples(
+    st.sampled_from(_NAMES), st.sampled_from(_NAMES[:3]), _obj
+)
+
+
+def _nt_escape(v: str) -> str:
+    out = (
+        v.replace("\\", "\\\\")
+        .replace('"', '\\"')
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+    )
+    return f'"{out}"'
+
+
+def _obj_nt(o) -> str:
+    if o[0] == "iri":
+        return f"<{_EXP}{o[1]}>"
+    if o[0] == "int":
+        return f'"{o[1]}"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    if o[0] == "lit":
+        return _nt_escape(o[1])
+    return f"{_nt_escape(o[1])}@{o[2]}"
+
+
+def _obj_ttl(o, rnd) -> str:
+    if o[0] == "iri":
+        return (
+            f"fz:{o[1]}" if rnd.random() < 0.5 else f"<{_EXP}{o[1]}>"
+        )
+    if o[0] == "int":
+        return str(o[1])  # the bare shorthand
+    if o[0] == "lit":
+        if rnd.random() < 0.3 and '"' not in o[1]:
+            body = (
+                o[1]
+                .replace("\\", "\\\\")
+            )
+            return f'"""{body}"""'  # long form: raw newlines/tabs legal
+        return _nt_escape(o[1])
+    return f"{_nt_escape(o[1])}@{o[2]}"
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    triples=st.lists(_triple_v, min_size=1, max_size=8),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_turtle_abbreviations_fuzz(spark, tmp_path_factory, triples, seed):
+    """Random graphs written as abbreviated Turtle (prefixed names,
+    ';'/',' lists, numeric shorthand, random long-string form) and as
+    canonical N-Triples parse to the same multiset of lexical terms."""
+    import random
+
+    rnd = random.Random(seed)
+    base = tmp_path_factory.mktemp("ttlfuzz")
+    nt_lines = [
+        f"<{_EXP}{s}> <{_EXP}{p}> {_obj_nt(o)} ." for s, p, o in triples
+    ]
+    # abbreviated Turtle: group by subject, then by predicate
+    by_s: dict = {}
+    for s, p, o in triples:
+        by_s.setdefault(s, {}).setdefault(p, []).append(o)
+    ttl = ["@prefix fz: <http://fz.org/> ."]
+    for s, preds in by_s.items():
+        s_tok = f"fz:{s}" if rnd.random() < 0.5 else f"<{_EXP}{s}>"
+        po = [
+            f"fz:{p} " + " , ".join(_obj_ttl(o, rnd) for o in objs)
+            for p, objs in preds.items()
+        ]
+        ttl.append(f"{s_tok} " + " ;\n   ".join(po) + " .")
+        if rnd.random() < 0.3:
+            ttl.append("# interleaved comment")
+    (base / "g.nt").write_text("\n".join(nt_lines) + "\n")
+    (base / "g.ttl").write_text("\n".join(ttl) + "\n")
+    want = sorted(
+        map(tuple, parse_ntriples(spark, str(base / "g.nt")).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            parse_turtle(spark, str(base / "g.ttl"), on_error="fail").collect(),
+        )
+    )
+    assert got == want

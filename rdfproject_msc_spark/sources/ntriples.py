@@ -179,6 +179,23 @@ def format_ntriples(parsed: DataFrame) -> DataFrame:
     )
 
 
+def format_nquads(parsed: DataFrame) -> DataFrame:
+    """``(g_term | NULL, s_term, p_term, o_term)`` lexical forms →
+    one-column N-Quads lines (the inverse of ``parse_nquads``): a NULL
+    graph term emits the 3-term default-graph statement, a named one
+    appends the graph label — so a dataset round-trips through
+    ``parse_nquads`` to the identical default/named split."""
+    return parsed.select(
+        F.concat_ws(
+            " ",
+            F.col("s_term"),
+            F.col("p_term"),
+            F.col("o_term"),
+            *( [F.col("g_term")] if "g_term" in parsed.columns else [] ),
+        ).alias("__body"),
+    ).select(F.concat(F.col("__body"), F.lit(" .")).alias("value"))
+
+
 def _lex_ranks(terms: DataFrame, num_partitions: int) -> DataFrame:
     """``(term)`` → ``(term, rank)`` with rank = 1-based lexicographic rank,
     computed without any global sort materialization or driver collect:

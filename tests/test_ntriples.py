@@ -344,6 +344,31 @@ def test_format_parse_round_trip(spark, nt_path, tmp_path):
     )
 
 
+def test_format_nquads_round_trip(spark, tmp_path):
+    """format_nquads is the inverse of parse_nquads: the default/named
+    split survives export → re-parse bit-identically (NULL graph term →
+    3-term line, named → 4-term line)."""
+    from rdfproject_msc_spark.sources.ntriples import (
+        format_nquads,
+        parse_nquads,
+    )
+
+    nq = tmp_path / "d.nq"
+    nq.write_text(
+        "<urn:a> <urn:p> <urn:b> <urn:g1> .\n"
+        "<urn:a> <urn:p> \"lit\"@en .\n"
+        "<urn:b> <urn:p> <urn:c> <urn:g2> .\n"
+    )
+    parsed = parse_nquads(spark, str(nq))
+    out = str(tmp_path / "export_nq")
+    format_nquads(parsed).write.mode("overwrite").text(out)
+    back = parse_nquads(spark, out, on_error="fail")
+    key = lambda r: tuple((v is None, v) for v in r)
+    assert sorted(map(tuple, back.collect()), key=key) == sorted(
+        map(tuple, parsed.collect()), key=key
+    )
+
+
 def test_cli_ingest_nt_then_incremental(spark, nt_path, tmp_path):
     """CLI first mile: NT → persisted store + dictionary; then an
     incremental delivery via --dict-in keeps every existing id."""

@@ -511,3 +511,88 @@ def test_modify_graph_templates(spark, nt_path):
     quads2 = sorted(map(tuple, eng.decode(eng.store.quads).collect()))
     assert not any(s == f"<{EX}a>" for _, s, _, _ in quads2)
     assert (f"<{EX}a>", f"<{EX}knows>", f"<{EX}b>") in decoded_set(eng)
+
+
+_GRAPHS = ["<urn:g1>", "<urn:g2>"]
+_gop = st.one_of(
+    st.tuples(st.just("insert_g"), st.sampled_from(_GRAPHS), _triples),
+    st.tuples(st.just("delete_g"), st.sampled_from(_GRAPHS), _triples),
+    st.tuples(
+        st.just("delete_where_g"),
+        st.tuples(_slot, st.sampled_from(_PRED), _slot),
+    ),
+    st.tuples(
+        st.just("archive"),
+        st.sampled_from(_GRAPHS),
+        st.sampled_from(_PRED),
+    ),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_gop, min_size=1, max_size=3))
+def test_named_graph_update_sequences_match_set_model(
+    spark, fuzz_base, ops
+):
+    """Named-graph op sequences (GRAPH INSERT/DELETE DATA, variable-
+    graph DELETE WHERE, archive-into-graph modify) equal the Python
+    model of one set per graph."""
+    eng = make_engine(spark, fuzz_base)
+    seed = (_SUBJ[0], _PRED[0], _SUBJ[0])
+    eng.update(
+        f"INSERT DATA {{ GRAPH {_GRAPHS[0]} {{ {' '.join(seed)} }} "
+        f"GRAPH {_GRAPHS[1]} {{ {' '.join(seed)} }} }}"
+    )
+    default = set(_UNIVERSE)
+    graphs = {g: {seed} for g in _GRAPHS}
+    for op in ops:
+        if op[0] == "insert_g":
+            _, g, ts = op
+            stmt = " . ".join(f"{s} {p} {o}" for s, p, o in ts)
+            eng.update(f"INSERT DATA {{ GRAPH {g} {{ {stmt} }} }}")
+            graphs[g] |= set(ts)
+        elif op[0] == "delete_g":
+            _, g, ts = op
+            stmt = " . ".join(f"{s} {p} {o}" for s, p, o in ts)
+            eng.update(f"DELETE DATA {{ GRAPH {g} {{ {stmt} }} }}")
+            graphs[g] -= set(ts)
+        elif op[0] == "delete_where_g":
+            s_slot, pred, o_slot = op[1]
+            s_tok = s_slot if s_slot else "?s"
+            o_tok = o_slot if o_slot else "?o"
+            eng.update(
+                f"DELETE WHERE {{ GRAPH ?g {{ {s_tok} {pred} {o_tok} }} }}"
+            )
+            for g in graphs:
+                graphs[g] = {
+                    (s, p, o)
+                    for s, p, o in graphs[g]
+                    if not (
+                        p == pred
+                        and (s_slot is None or s == s_slot)
+                        and (o_slot is None or o == o_slot)
+                    )
+                }
+        else:  # archive default-graph pred edges into g
+            _, g, pred = op
+            eng.update(
+                f"DELETE {{ ?s {pred} ?o }} "
+                f"INSERT {{ GRAPH {g} {{ ?s {pred} ?o }} }} "
+                f"WHERE {{ ?s {pred} ?o }}"
+            )
+            moved = {(s, p, o) for s, p, o in default if p == pred}
+            default -= moved
+            graphs[g] |= moved
+    assert set(decoded_set(eng)) == default
+    got_quads = {
+        (r["g"], r["s"], r["p"], r["o"])
+        for r in eng.decode(eng.store.quads).collect()
+    }
+    want_quads = {
+        (g, s, p, o) for g, ts in graphs.items() for s, p, o in ts
+    }
+    assert got_quads == want_quads

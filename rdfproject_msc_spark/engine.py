@@ -206,6 +206,32 @@ class Engine:
         apply_update(self, update_str, negative_when=negative_when)
         return self
 
+    def materialize_rdfs(self) -> "Engine":
+        """Forward-chain the RDFS (ρdf) entailments into the store
+        (operators/rdfs.py): subClassOf/subPropertyOf transitivity,
+        property inheritance, domain/range typing — schema closures are
+        ontology-sized broadcasts, the corpus pays one distinct. The
+        store swaps copy-on-write, exactly like ``update``; queries
+        over the materialized store see entailed triples with no
+        query-time rewriting."""
+        from rdfproject_msc_spark.operators.rdfs import (
+            rdfs_closure,
+            resolve_vocab,
+        )
+        from rdfproject_msc_spark.sparql.update import _clone_store
+
+        if self.dictionary is None:
+            raise ValueError(
+                "materialize_rdfs needs a dictionary (the RDFS "
+                "vocabulary ids come from it)"
+            )
+        store = self._require_store()
+        vocab = resolve_vocab(self.dictionary, self.term_style)
+        self.store = _clone_store(store, df=rdfs_closure(store.df, vocab))
+        if self._register_as:
+            self.store.register(self.spark, self._register_as)
+        return self
+
     def decode(self, df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         if self.dictionary is None:
             raise ValueError("no dictionary loaded")

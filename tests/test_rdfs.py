@@ -1,0 +1,215 @@
+"""RDFS forward-chaining materialization (operators/rdfs.py): one-pass
+broadcast-join entailment vs a naive Python fixpoint, a DuckDB
+recursive-CTE closure oracle, idempotence, and the Engine surface."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from rdfproject_msc_spark.engine import Engine
+from rdfproject_msc_spark.operators.rdfs import rdfs_closure
+
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+
+# fixed small ids for the vocabulary and terms (id-level tests)
+TYPE, SCO, SPO, DOM, RNG = 1, 2, 3, 4, 5
+VOCAB = {
+    "type": TYPE,
+    "subclassof": SCO,
+    "subpropertyof": SPO,
+    "domain": DOM,
+    "range": RNG,
+}
+
+
+def python_rdfs_fixpoint(triples: set, vocab=VOCAB) -> set:
+    """Naive ρdf fixpoint — the oracle: apply rdfs5/7/2/3/11/9 until
+    nothing new derives. Same rule set as the one-pass implementation
+    (meta-modeling corners like a domain ON rdf:type are outside ρdf
+    and outside the generator)."""
+    typ, sco, spo = vocab["type"], vocab["subclassof"], vocab["subpropertyof"]
+    dom, rng = vocab["domain"], vocab["range"]
+    out = set(triples)
+    while True:
+        new = set()
+        spo_pairs = {(s, o) for s, p, o in out if p == spo}
+        sco_pairs = {(s, o) for s, p, o in out if p == sco}
+        dom_pairs = {(s, o) for s, p, o in out if p == dom}
+        rng_pairs = {(s, o) for s, p, o in out if p == rng}
+        for a, b in spo_pairs:  # rdfs5
+            for c, d in spo_pairs:
+                if b == c:
+                    new.add((a, spo, d))
+        for a, b in sco_pairs:  # rdfs11
+            for c, d in sco_pairs:
+                if b == c:
+                    new.add((a, sco, d))
+        for s, p, o in out:
+            for a, b in spo_pairs:  # rdfs7
+                if p == a:
+                    new.add((s, b, o))
+            for a, c in dom_pairs:  # rdfs2
+                if p == a:
+                    new.add((s, typ, c))
+            for a, c in rng_pairs:  # rdfs3
+                if p == a:
+                    new.add((o, typ, c))
+            if p == typ:  # rdfs9
+                for a, b in sco_pairs:
+                    if o == a:
+                        new.add((s, typ, b))
+        if new <= out:
+            return out
+        out |= new
+
+
+FIXTURE = {
+    (10, SCO, 11),      # Dog ⊑ Mammal
+    (11, SCO, 12),      # Mammal ⊑ Animal
+    (20, SPO, 21),      # hasPet ⊑ knows
+    (21, SPO, 22),      # knows ⊑ related
+    (20, DOM, 13),      # dom(hasPet) = Person
+    (21, RNG, 12),      # rng(knows) = Animal  (fires on INHERITED edges)
+    (30, TYPE, 10),     # rex : Dog
+    (31, 20, 30),       # ann hasPet rex
+    (31, 21, 32),       # ann knows boo
+}
+
+
+def spark_closure(spark, triples: set, vocab=VOCAB) -> set:
+    df = spark.createDataFrame(sorted(triples), "s long, p long, o long")
+    return {tuple(r) for r in rdfs_closure(df, vocab).collect()}
+
+
+def test_matches_python_fixpoint(spark):
+    got = spark_closure(spark, FIXTURE)
+    want = python_rdfs_fixpoint(FIXTURE)
+    assert got == want
+    # the chained entailments a one-pass naively misses are present:
+    assert (31, 22, 30) in got        # hasPet ⊑ knows ⊑ related (rdfs5+7)
+    assert (30, TYPE, 12) in got      # rex : Animal via rng over the
+    # INHERITED ann-knows-rex edge (rdfs7 → rdfs3) AND via sco (rdfs9)
+    assert (31, TYPE, 13) in got      # ann : Person (rdfs2)
+
+
+def test_idempotent(spark):
+    """Materializing a materialized store derives nothing new — the
+    one-pass structure reaches the fixpoint in one application."""
+    once = spark_closure(spark, FIXTURE)
+    twice = spark_closure(spark, once)
+    assert twice == once
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    schema=st.lists(
+        st.tuples(
+            st.sampled_from([SCO, SPO, DOM, RNG]),
+            st.integers(min_value=10, max_value=16),
+            st.integers(min_value=10, max_value=16),
+        ),
+        max_size=8,
+    ),
+    instance=st.lists(
+        st.tuples(
+            st.integers(min_value=30, max_value=34),
+            st.sampled_from([TYPE, 10, 11, 12, 13]),
+            st.integers(min_value=10, max_value=34),
+        ),
+        max_size=8,
+    ),
+)
+def test_random_ontologies_match_fixpoint(spark, schema, instance):
+    """Random schemas (incl. subClassOf/subPropertyOf cycles) + random
+    instance triples: the broadcast one-pass equals the naive fixpoint.
+    Class/property id spaces overlap deliberately — terms may be used
+    as both."""
+    triples = {(a, p, b) for p, a, b in schema} | set(instance)
+    if not triples:
+        return
+    assert spark_closure(spark, triples) == python_rdfs_fixpoint(triples)
+
+
+def test_subclass_closure_matches_duckdb_recursive(spark):
+    """The sco transitive closure inside the materialized output equals
+    DuckDB's WITH RECURSIVE over the same base pairs."""
+    got = {
+        (s, o)
+        for s, p, o in spark_closure(spark, FIXTURE)
+        if p == SCO
+    }
+    want = duckdb.connect().execute(
+        """
+        WITH RECURSIVE base(a, b) AS (VALUES (10, 11), (11, 12)),
+        cl(a, b) AS (
+            SELECT a, b FROM base
+            UNION SELECT cl.a, base.b FROM cl JOIN base ON cl.b = base.a
+        )
+        SELECT a, b FROM cl
+        """
+    ).fetchall()
+    assert got == set(map(tuple, want))
+
+
+def test_engine_materialize_rdfs_lexical(spark, tmp_path):
+    nt = tmp_path / "o.nt"
+    nt.write_text(
+        f"<urn:Dog> <{RDFS}subClassOf> <urn:Mammal> .\n"
+        f"<urn:Mammal> <{RDFS}subClassOf> <urn:Animal> .\n"
+        f"<urn:hasPet> <{RDFS}subPropertyOf> <urn:knows> .\n"
+        f"<urn:hasPet> <{RDFS}domain> <urn:Person> .\n"
+        f"<urn:hasPet> <{RDFS}range> <urn:Animal> .\n"
+        f"<urn:rex> <{RDF}type> <urn:Dog> .\n"
+        f"<urn:ann> <urn:hasPet> <urn:rex> .\n"
+    )
+    eng = Engine(spark).load_triples(str(nt), fmt="nt", layout="sign_split")
+    eng.materialize_rdfs()
+    q = f"PREFIX rdf: <{RDF}> SELECT ?x WHERE {{ ?x rdf:type <urn:Animal> }}"
+    assert sorted(r["x"] for r in eng.sparql(q, decode=True).collect()) == [
+        "<urn:rex>"
+    ]
+    # entailed edge queryable; views re-registered over the new snapshot
+    assert (
+        eng.sql("SELECT count(*) AS n FROM table").first()["n"]
+        == eng.store.df.count()
+    )
+    res = eng.sparql(
+        "SELECT ?o WHERE { <urn:ann> <urn:knows> ?o }", decode=True
+    )
+    assert [r["o"] for r in res.collect()] == ["<urn:rex>"]
+    # and UPDATE composes with materialization (both copy-on-write)
+    eng.update(f"DELETE WHERE {{ ?s <{RDF}type> ?c }}")
+    assert (
+        eng.sparql(q).count() == 0
+    )
+
+
+def test_vocabulary_absent_rules_disable(spark, tmp_path):
+    """An ontology that never mentions rdfs:range derives no range
+    typings and raises nothing — absent vocabulary disables its rule."""
+    nt = tmp_path / "o2.nt"
+    nt.write_text(
+        f"<urn:Dog> <{RDFS}subClassOf> <urn:Animal> .\n"
+        f"<urn:rex> <{RDF}type> <urn:Dog> .\n"
+    )
+    eng = Engine(spark).load_triples(str(nt), fmt="nt", layout="single")
+    n = eng.materialize_rdfs().store.df.count()
+    assert n == 3  # base 2 + the one rdfs9 entailment
+
+
+def test_requires_dictionary(spark):
+    from rdfproject_msc_spark.store import TripleStore
+
+    eng = Engine(spark, store=TripleStore(
+        spark.createDataFrame([(1, 2, 3)], "s long, p long, o long")
+    ))
+    with pytest.raises(ValueError, match="dictionary"):
+        eng.materialize_rdfs()

@@ -238,7 +238,43 @@ def _turtle_ingest(spark, sf_dir):
     return enc.groupBy("p").count()
 
 
+def _rdfs_materialize(spark, sf_dir):
+    """RDFS materialization (r9) over the derived corpus + a synthetic
+    ontology: schema closures are ontology-sized (fixed at ANY corpus
+    scale), instance rules are broadcast joins, the corpus pays one
+    distinct — the probe measures that single data-sized stage."""
+    from rdfproject_msc_spark.operators.rdfs import rdfs_closure
+    from rdfproject_msc_spark.sources.derived import (
+        P_BY_USER,
+        P_HAS_TYPE,
+        P_IN_NATION,
+        P_IN_REGION,
+        P_LINKED_EVENT,
+        P_PLACED_BY,
+        triples_df,
+    )
+
+    TYPE, SCO, SPO, DOM, RNG = 901, 902, 903, 904, 905
+    schema = [
+        (P_PLACED_BY, SPO, P_LINKED_EVENT),   # placedBy ⊑ linkedEvent
+        (P_IN_NATION, SPO, P_IN_REGION),      # inNation ⊑ inRegion
+        (P_BY_USER, DOM, 950),                # dom(byUser) = Event
+        (P_BY_USER, RNG, 951),                # rng(byUser) = User
+        (950, SCO, 952), (952, SCO, 953),     # Event ⊑ Act ⊑ Thing
+        (P_HAS_TYPE, SPO, TYPE),              # hasType ⊑ rdf:type
+    ]
+    triples = triples_df(spark, sf_dir).unionAll(
+        spark.createDataFrame(schema, "s long, p long, o long")
+    )
+    vocab = {
+        "type": TYPE, "subclassof": SCO, "subpropertyof": SPO,
+        "domain": DOM, "range": RNG,
+    }
+    return rdfs_closure(triples, vocab)
+
+
 EXTRAS = {
+    "rdfs_materialize": _rdfs_materialize,
     "turtle_ingest": _turtle_ingest,
     "tokenize_vocab": _tokenize_vocab,
     "neardup_probe_persisted": _neardup_probe_persisted,

@@ -268,3 +268,12 @@ def test_dedup_exact_matches_oracle(spark, sf_dir):
     assert_matches_oracle(
         R.dedup_exact(spark, sf_dir), R.DEDUP_EXACT_SQL, sf_dir
     )
+
+
+def test_text_ngram_top_matches_oracle(spark, sf_dir):
+    """Demoted r9 (slot → rdf_rdfs_closure): corpus n-gram heavy
+    hitters — the explode + keyed-agg shape stays driver-checked via
+    bm25_search; this keeps the exact DuckDB twin."""
+    assert_matches_oracle(
+        R.text_ngram_top(spark, sf_dir), R.TEXT_NGRAM_TOP_SQL, sf_dir
+    )

@@ -1067,6 +1067,21 @@ def _compat_inner_join(
     return reduce(lambda a, b: a.unionByName(b), branches)
 
 
+def _check_mask_product_cap(lnv: list[str], rnv: list[str], clause: str):
+    """Keys nullable on BOTH sides take the PRODUCT of the left and
+    right bound-mask decompositions — 2^(|lnv|+|rnv|) disjoint branch
+    pairs, plan-bounded by the same cap as the single-sided forms."""
+    if 2 ** (len(lnv) + len(rnv)) > 16:
+        raise SparqlSyntaxError(
+            f"{clause} keyed on variables possibly unbound on BOTH sides "
+            f"(outer: {['?' + v for v in lnv]}, group: "
+            f"{['?' + v for v in rnv]}) expands to "
+            f"{2 ** (len(lnv) + len(rnv))} disjoint bound-mask join "
+            "branch pairs (cap 16) — bind fewer OPTIONAL/UNION variables "
+            "on one side"
+        )
+
+
 def _left_mask_branches(
     joined: DataFrame,
     bound_cols: dict[str, str],
@@ -1956,16 +1971,13 @@ def _plan_group(
         lnv = [v for v in shared if v in nullable_vars]
         # group-INTERNAL nullability (the child leaves a shared var
         # optionally bound) lowers via the RIGHT-side bound-mask branch
-        # decomposition below; only keys nullable on BOTH sides reject
-        # (the branch product would square the plan)
+        # decomposition below; keys nullable on BOTH sides (r9) take the
+        # PRODUCT of left and right mask branches — per pair, the
+        # conjuncts are the vars bound on both sides — under the same
+        # plan-bounded cap the single-sided forms use
         rnv = [v for v in shared if v in gnull]
         if rnv and lnv:
-            raise SparqlSyntaxError(
-                "OPTIONAL keyed on variables possibly unbound on BOTH "
-                f"sides is not supported (outer: "
-                f"{['?' + v for v in lnv]}, group: "
-                f"{['?' + v for v in rnv]})"
-            )
+            _check_mask_product_cap(lnv, rnv, "OPTIONAL")
         # the child's DIRECT FILTERs fold into the join condition —
         # SPARQL's LeftJoin(P1, P2, F) (§18.2.2.2): a match failing F is
         # kept null-extended, not dropped. The equi-conjuncts still drive
@@ -2018,7 +2030,54 @@ def _plan_group(
                 cond = cond & fc
             return l.join(gdf, cond, "left")
 
-        if rnv:
+        if rnv and lnv:
+            # BOTH sides nullable (r9): the left×right mask-branch
+            # product. Per (L, R) pair the equi conjuncts are the shared
+            # vars bound on BOTH sides; matched rows come from per-pair
+            # hash INNER joins over the LEFT branch (right branches
+            # partition the child rows disjointly, so unioning per-pair
+            # matches emits every compatible pair exactly once); merged
+            # values for left-nullable vars coalesce left-then-right;
+            # a left row matching NO pair falls out of the chained anti
+            # joins and null-extends — LeftJoin(P1,P2,F) exactly.
+            rcols = {v: renames[c] for v, c in gcols.items()}
+            shared_right = {rcols[v] for v in shared}
+            base_cols = list(joined.columns)
+            right_keep = [c for c in gdf.columns if c not in shared_right]
+            merged = {bound_cols[v]: rcols[v] for v in lnv}
+            right_branches = list(
+                _right_mask_branches(gdf, rcols, shared, rnv, "OPTIONAL")
+            )
+            parts = []
+            for l, kl in _left_mask_branches(
+                joined, bound_cols, shared, lnv, "OPTIONAL"
+            ):
+                remaining = l
+                for rb, kr in right_branches:
+                    keys = [v for v in kl if v in kr]
+                    cs = [
+                        F.col(bound_cols[v]) == F.col(rcols[v])
+                        for v in keys
+                    ]
+                    cond = reduce(lambda a, b: a & b, cs) if cs else F.lit(True)
+                    for fc in fconds:
+                        cond = cond & fc
+                    j = l.join(rb, cond, "inner")
+                    out = [
+                        F.coalesce(F.col(c), F.col(merged[c])).alias(c)
+                        if c in merged
+                        else F.col(c)
+                        for c in base_cols
+                    ]
+                    out.extend(F.col(c) for c in right_keep)
+                    parts.append(j.select(*out))
+                    remaining = remaining.join(rb, cond, "left_anti")
+                parts.append(remaining)
+            joined = reduce(
+                lambda a, b: a.unionByName(b, allowMissingColumns=True),
+                parts,
+            )
+        elif rnv:
             # §18.2.1 compatible LeftJoin, group-internal nullability:
             # matched solutions come from per-child-mask hash INNER joins
             # (a child row with unbound ?v drops the conjunct; the merged
@@ -2259,11 +2318,36 @@ def _plan_group(
         lnv = [v for v in shared if v in nullable_vars]
         rnv = [v for v in shared if v in gnull]
         if rnv and lnv:
-            raise SparqlSyntaxError(
-                "MINUS keyed on variables possibly unbound on BOTH sides "
-                f"is not supported (outer: {['?' + v for v in lnv]}, "
-                f"group: {['?' + v for v in rnv]})"
+            # BOTH sides nullable (r9): left×right mask product — a
+            # solution is removed when ANY pair matches it with ≥1
+            # both-bound var (§18.5: an empty effective key set means
+            # dom-disjoint, which Minus KEEPS); chained anti joins per
+            # left branch = survives every pair
+            _check_mask_product_cap(lnv, rnv, "MINUS")
+            rcols = {v: renames[c] for v, c in gcols.items()}
+            right_branches = list(
+                _right_mask_branches(gdf, rcols, shared, rnv, "MINUS")
             )
+            branches = []
+            for l, kl in _left_mask_branches(
+                joined, bound_cols, shared, lnv, "MINUS"
+            ):
+                remaining = l
+                for rb, kr in right_branches:
+                    keys = [v for v in kl if v in kr]
+                    if not keys:
+                        continue  # §18.5 dom-disjoint pair
+                    cond = reduce(
+                        lambda a, b: a & b,
+                        [
+                            F.col(bound_cols[v]) == F.col(rcols[v])
+                            for v in keys
+                        ],
+                    )
+                    remaining = remaining.join(rb, cond, "left_anti")
+                branches.append(remaining)
+            joined = reduce(lambda a, b: a.unionByName(b), branches)
+            return
         if rnv:
             # group-internal nullability: a solution is removed when ANY
             # child bound-mask branch matches it compatibly WITH domain
@@ -2330,13 +2414,39 @@ def _plan_group(
         shared = [v for v in gcols if v in bound_cols]
         lnv = [v for v in shared if v in nullable_vars]
         rnv = [v for v in shared if v in gnull]
-        if rnv and lnv:
-            raise SparqlSyntaxError(
-                "EXISTS keyed on variables possibly unbound on BOTH sides "
-                f"is not supported (outer: {['?' + v for v in lnv]}, "
-                f"group: {['?' + v for v in rnv]})"
-            )
         jt = "left_anti" if neg else "left_semi"
+        if rnv and lnv:
+            # BOTH sides nullable (r9): left×right mask product — a row
+            # passes the existence test when ANY pair matches it (empty
+            # key set = every-row-compatible = nonempty-group gate);
+            # partition each left branch's rows by FIRST matching pair
+            _check_mask_product_cap(lnv, rnv, "EXISTS")
+            rcols = {v: renames[c] for v, c in gcols.items()}
+            right_branches = list(
+                _right_mask_branches(gdf, rcols, shared, rnv, "EXISTS")
+            )
+            out_branches = []
+            for l, kl in _left_mask_branches(
+                joined, bound_cols, shared, lnv, "EXISTS"
+            ):
+                remaining = l
+                kept = []
+                for rb, kr in right_branches:
+                    keys = [v for v in kl if v in kr]
+                    cs = [
+                        F.col(bound_cols[v]) == F.col(rcols[v])
+                        for v in keys
+                    ]
+                    cond = reduce(lambda a, b: a & b, cs) if cs else F.lit(True)
+                    kept.append(remaining.join(rb, cond, "left_semi"))
+                    remaining = remaining.join(rb, cond, "left_anti")
+                out_branches.append(
+                    remaining
+                    if neg
+                    else reduce(lambda a, b: a.unionByName(b), kept)
+                )
+            joined = reduce(lambda a, b: a.unionByName(b), out_branches)
+            return
         if rnv:
             # group-internal nullability: a row passes the existence test
             # when ANY child bound-mask branch matches it — partition the

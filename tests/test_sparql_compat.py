@@ -730,13 +730,25 @@ def test_group_internal_nullable_keys(spark):
     assert r(f"SELECT * WHERE {{ ?s 5 ?x FILTER NOT EXISTS {child} }}") == [
         (3, 8), (4, 11)
     ]
-    # keys nullable on BOTH sides still reject (branch product)
-    with pytest.raises(SparqlSyntaxError, match="BOTH"):
-        sparql_to_df(
-            st_,
-            "SELECT * WHERE { ?s 5 ?a OPTIONAL { ?s 2 ?x } "
-            f"OPTIONAL {child.replace('?k', '?j')} }}",
-        )
+    # keys nullable on BOTH sides (r9): the left×right mask product —
+    # formerly the last compat reject. ?x is OPTIONAL-bound outside AND
+    # inside the child; (s=2) matches via the child's unbound ?x, the
+    # bound-bound pairs (s=1: 10 vs 7, s=4: 30 vs 99) are incompatible
+    both = child.replace("?k", "?j")
+    assert r(f"SELECT * WHERE {{ ?s 5 ?a OPTIONAL {{ ?s 2 ?x }} OPTIONAL {both} }}") == [
+        (7, None, 1, 10), (8, None, 3, None), (9, 20, 2, 20),
+        (11, None, 4, 30),
+    ]
+    assert r(f"SELECT * WHERE {{ ?s 5 ?a OPTIONAL {{ ?s 2 ?x }} MINUS {both} }}") == [
+        (7, 1, 10), (8, 3, None), (11, 4, 30)
+    ]
+    assert r(
+        f"SELECT * WHERE {{ ?s 5 ?a OPTIONAL {{ ?s 2 ?x }} FILTER EXISTS {both} }}"
+    ) == [(9, 2, 20)]
+    assert r(
+        f"SELECT * WHERE {{ ?s 5 ?a OPTIONAL {{ ?s 2 ?x }} "
+        f"FILTER NOT EXISTS {both} }}"
+    ) == [(7, 1, 10), (8, 3, None), (11, 4, 30)]
 
 
 def test_bind_vs_minus_textual_order(spark):
@@ -851,5 +863,55 @@ def test_random_clause_compositions_over_nullable_var(
         om = _py_compat_join(om, [{"x": 1}, {"x": 3}])
     want = sorted(
         (tuple(m.get(c) for c in cols) for m in om), key=_nkey
+    )
+    assert got == want
+
+
+# --- both-sides-nullable fuzz (r9: the mask-branch PRODUCT) ---------------
+
+
+@given(
+    rows=triples,
+    clause=st.sampled_from(["optional", "minus", "exists", "not_exists"]),
+)
+@settings(
+    max_examples=16,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_both_sides_nullable_matches_python_eval(spark, rows, clause):
+    """Keys nullable on BOTH sides (r9, formerly the last compat
+    reject): outer ?x is OPTIONAL-bound, the child binds ?x inside its
+    own OPTIONAL — every clause kind must equal the direct Python
+    §18.2.1/§18.5/§8.1.1 evaluation of the same two solution
+    multisets."""
+    child_src = "{ ?s 2 ?j OPTIONAL { ?j 3 ?x } }"
+    kw = {
+        "optional": f"OPTIONAL {child_src}",
+        "minus": f"MINUS {child_src}",
+        "exists": f"FILTER EXISTS {child_src}",
+        "not_exists": f"FILTER NOT EXISTS {child_src}",
+    }[clause]
+    q = f"SELECT * WHERE {{ ?s 1 ?a OPTIONAL {{ ?s 2 ?x }} {kw} }}"
+    df = spark.createDataFrame(rows, "s long, p long, o long")
+    out = sparql_to_df(TripleStore(df), q)
+    cols = sorted(out.columns)
+    got = sorted(
+        (tuple(r[c] for c in cols) for r in out.collect()), key=_nkey
+    )
+
+    om = _side(rows, "s", "a")
+    child = _py_left_join(
+        [{"s": s, "j": o} for s, p, o in rows if p == 2],
+        [{"j": s, "x": o} for s, p, o in rows if p == 3],
+    )
+    if clause == "optional":
+        model = _py_left_join(om, child)
+    elif clause == "minus":
+        model = _py_minus(om, child)
+    else:
+        model = _py_exists(om, child, clause == "not_exists")
+    want = sorted(
+        (tuple(m.get(c) for c in cols) for m in model), key=_nkey
     )
     assert got == want

@@ -795,6 +795,7 @@ def test_bind_vs_minus_textual_order(spark):
     use_minus=st.booleans(),
     exists_kind=st.sampled_from([None, "exists", "not_exists"]),
     use_values=st.booleans(),
+    both_kind=st.sampled_from([None, "optional", "minus"]),
 )
 @settings(
     max_examples=12,
@@ -802,7 +803,8 @@ def test_bind_vs_minus_textual_order(spark):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 def test_random_clause_compositions_over_nullable_var(
-    spark, rows, n_groups, n_opts, use_minus, exists_kind, use_values
+    spark, rows, n_groups, n_opts, use_minus, exists_kind, use_values,
+    both_kind,
 ):
     """Random multisets of {group join, OPTIONAL, MINUS, [NOT] EXISTS,
     VALUES} all keyed on the OPTIONAL-nullable ?x, evaluated in WRITTEN
@@ -825,6 +827,12 @@ def test_random_clause_compositions_over_nullable_var(
         parts.append(f"{kw} {{ ?x 3 ?e }}")
     if use_values:
         parts.append("VALUES ?x { 1 3 }")
+    if both_kind:
+        # a BOTH-sides-nullable child (r9): binds ?x inside its own
+        # OPTIONAL, composed AFTER the other clauses so it sees the
+        # evolved nullability state of ?x
+        kw = "OPTIONAL" if both_kind == "optional" else "MINUS"
+        parts.append(f"{kw} {{ ?s 2 ?j OPTIONAL {{ ?j 3 ?x }} }}")
     q = (
         "SELECT * WHERE { ?s 1 ?a OPTIONAL { ?s 2 ?x } "
         + " ".join(parts)
@@ -861,6 +869,16 @@ def test_random_clause_compositions_over_nullable_var(
         )
     if use_values:
         om = _py_compat_join(om, [{"x": 1}, {"x": 3}])
+    if both_kind:
+        child = _py_left_join(
+            [{"s": s, "j": o} for s, p, o in rows if p == 2],
+            [{"j": s, "x": o} for s, p, o in rows if p == 3],
+        )
+        om = (
+            _py_left_join(om, child)
+            if both_kind == "optional"
+            else _py_minus(om, child)
+        )
     want = sorted(
         (tuple(m.get(c) for c in cols) for m in om), key=_nkey
     )

@@ -232,6 +232,31 @@ class Engine:
             self.store.register(self.spark, self._register_as)
         return self
 
+    def canonicalize_same_as(self) -> "Engine":
+        """owl:sameAs smushing (operators/rdfs.py): identity clusters
+        (connected components of the sameAs graph) collapse onto their
+        min-id representative — every statement rewrites through the
+        mapping, the sameAs statements drop, the store swaps
+        copy-on-write. A dictionary without the sameAs term means no
+        such statements can exist: no-op."""
+        from rdfproject_msc_spark.operators.rdfs import (
+            resolve_vocab,
+            same_as_canonicalize,
+        )
+        from rdfproject_msc_spark.sparql.update import _clone_store
+
+        if self.dictionary is None:
+            raise ValueError("canonicalize_same_as needs a dictionary")
+        store = self._require_store()
+        vocab = resolve_vocab(self.dictionary, self.term_style)
+        if "sameas" not in vocab:
+            return self
+        out, _ = same_as_canonicalize(store.df, vocab["sameas"])
+        self.store = _clone_store(store, df=out)
+        if self._register_as:
+            self.store.register(self.spark, self._register_as)
+        return self
+
     def decode(self, df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         if self.dictionary is None:
             raise ValueError("no dictionary loaded")

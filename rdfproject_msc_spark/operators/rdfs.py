@@ -26,6 +26,18 @@ Derived-only schema triples (the closures themselves, as statements)
 are included: querying ``?c rdfs:subClassOf ?d`` post-materialization
 sees the transitive pairs, matching the RDFS entailment a user expects.
 
+OWL-lite property semantics (r9) ride the same structure through ONE
+generalization: the instance-side derivation mapping is the closure of
+the PROPERTY GRAPH whose nodes are (property, orientation) —
+``subPropertyOf`` edges preserve orientation, ``owl:inverseOf`` (and a
+``owl:SymmetricProperty``'s implicit self-inverse) flip it — so any
+interleaving (p ⊑ q, q inverseOf r, r ⊑ t, …) collapses into one
+closed (p → q, flipped?) table and the corpus still pays a single
+broadcast-join pass (straight + swapped halves). ``owl:sameAs``
+canonicalization is separate (``same_as_canonicalize``): identity
+clusters via connected components, statements rewritten to min-id
+representatives.
+
 The vocabulary ids are dictionary lookups (query-sized, the SPARQL
 constant mechanism) — ``Engine.materialize_rdfs`` resolves the
 convention automatically: full IRIs on a lexical (raw-ingested) store,
@@ -44,12 +56,17 @@ from rdfproject_msc_spark.operators.graph import transitive_closure
 RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 RDFS_NS = "http://www.w3.org/2000/01/rdf-schema#"
 
+OWL_NS = "http://www.w3.org/2002/07/owl#"
+
 LEXICAL_VOCAB = {
     "type": f"<{RDF_NS}type>",
     "subclassof": f"<{RDFS_NS}subClassOf>",
     "subpropertyof": f"<{RDFS_NS}subPropertyOf>",
     "domain": f"<{RDFS_NS}domain>",
     "range": f"<{RDFS_NS}range>",
+    "inverseof": f"<{OWL_NS}inverseOf>",
+    "symmetricproperty": f"<{OWL_NS}SymmetricProperty>",
+    "sameas": f"<{OWL_NS}sameAs>",
 }
 LOCALIZED_VOCAB = {
     "type": ":type",
@@ -57,6 +74,9 @@ LOCALIZED_VOCAB = {
     "subpropertyof": ":subPropertyOf",
     "domain": ":domain",
     "range": ":range",
+    "inverseof": ":inverseOf",
+    "symmetricproperty": ":SymmetricProperty",
+    "sameas": ":sameAs",
 }
 
 
@@ -65,6 +85,80 @@ def _closed_pairs(schema: DataFrame) -> DataFrame:
     over the ontology-sized relation (diameter-bounded rounds)."""
     return transitive_closure(schema, src="a", dst="b").select(
         F.col("cs").alias("a"), F.col("co").alias("b")
+    )
+
+
+def _node(p, flip) -> F.Column:
+    return F.struct(
+        F.col(p).cast("long").alias("prop"), F.lit(flip).alias("flip")
+    )
+
+
+def _oriented_mapping(
+    triples: DataFrame, spo, inv, sym_props: DataFrame | None
+) -> DataFrame | None:
+    """The OWL-lite property-derivation mapping ``(p, q, flipped)``:
+    every predicate q that an edge of p also holds under, with
+    orientation — reachability over the ontology-sized PROPERTY GRAPH
+    whose nodes are (property, orientation): ``subPropertyOf``
+    preserves orientation, ``inverseOf`` (and a SymmetricProperty's
+    implicit self-inverse) flips it. Arbitrary ⊑/inverse interleavings
+    (p ⊑ q, q inverseOf r, r ⊑ t, …) collapse into ONE closed mapping,
+    so the instance side stays a single broadcast-join pass."""
+    parts = []
+    if spo is not None:
+        sub = triples.filter(F.col("p") == F.lit(int(spo))).select(
+            F.col("s").alias("x"), F.col("o").alias("y")
+        )
+        for flip in (False, True):
+            parts.append(
+                sub.select(
+                    F.struct(
+                        F.col("x").alias("prop"), F.lit(flip).alias("flip")
+                    ).alias("a"),
+                    F.struct(
+                        F.col("y").alias("prop"), F.lit(flip).alias("flip")
+                    ).alias("b"),
+                )
+            )
+    inv_pairs = None
+    if inv is not None:
+        one_way = triples.filter(F.col("p") == F.lit(int(inv))).select(
+            F.col("s").alias("x"), F.col("o").alias("y")
+        )
+        inv_pairs = one_way.unionAll(
+            one_way.select(F.col("y").alias("x"), F.col("x").alias("y"))
+        )
+    if sym_props is not None:
+        self_inv = sym_props.select(
+            F.col("prop").alias("x"), F.col("prop").alias("y")
+        )
+        inv_pairs = (
+            self_inv if inv_pairs is None else inv_pairs.unionAll(self_inv)
+        )
+    if inv_pairs is not None:
+        for flip in (False, True):
+            parts.append(
+                inv_pairs.select(
+                    F.struct(
+                        F.col("x").alias("prop"), F.lit(flip).alias("flip")
+                    ).alias("a"),
+                    F.struct(
+                        F.col("y").alias("prop"),
+                        F.lit(not flip).alias("flip"),
+                    ).alias("b"),
+                )
+            )
+    if not parts:
+        return None
+    edges = parts[0]
+    for p in parts[1:]:
+        edges = edges.unionAll(p)
+    closed = transitive_closure(edges, src="a", dst="b")
+    return closed.filter(~F.col("cs.flip")).select(
+        F.col("cs.prop").alias("p"),
+        F.col("co.prop").alias("q"),
+        F.col("co.flip").alias("flipped"),
     )
 
 
@@ -78,6 +172,8 @@ def rdfs_closure(triples: DataFrame, vocab: dict[str, int]) -> DataFrame:
     spo = vocab.get("subpropertyof")
     dom = vocab.get("domain")
     rng = vocab.get("range")
+    inv = vocab.get("inverseof")
+    symc = vocab.get("symmetricproperty")
 
     parts: list[DataFrame] = [triples]
 
@@ -90,7 +186,6 @@ def rdfs_closure(triples: DataFrame, vocab: dict[str, int]) -> DataFrame:
         return _closed_pairs(p)
 
     spo_star = pairs(spo)
-    edges = triples
     if spo_star is not None:
         # rdfs5: the closed subPropertyOf pairs as statements
         parts.append(
@@ -100,13 +195,41 @@ def rdfs_closure(triples: DataFrame, vocab: dict[str, int]) -> DataFrame:
                 F.col("b").alias("o"),
             )
         )
-        # rdfs7: inherited property edges — broadcast the ontology-sized
-        # closure, never shuffle the instance side
-        inherited = triples.join(
-            F.broadcast(spo_star.withColumnRenamed("a", "p")), "p"
-        ).select("s", F.col("b").alias("p"), "o")
-        parts.append(inherited)
-        edges = triples.unionAll(inherited)
+    if inv is not None:
+        # owl:inverseOf is symmetric: (p inv q) ⊢ (q inv p) as a statement
+        parts.append(
+            triples.filter(F.col("p") == F.lit(int(inv))).select(
+                F.col("o").alias("s"), "p", F.col("s").alias("o")
+            )
+        )
+    sym_props = None
+    if symc is not None and typ is not None:
+        sym_props = triples.filter(
+            (F.col("p") == F.lit(int(typ))) & (F.col("o") == F.lit(int(symc)))
+        ).select(F.col("s").alias("prop"))
+    # rdfs7 + prp-inv/prp-symp (r9): ONE closed oriented mapping covers
+    # every ⊑/inverse interleaving; instance edges derive in one
+    # broadcast-join pass (straight and orientation-flipped halves)
+    mapping = _oriented_mapping(triples, spo, inv, sym_props)
+    edges = triples
+    if mapping is not None:
+        straight = triples.join(
+            F.broadcast(
+                mapping.filter(~F.col("flipped")).select("p", "q")
+            ),
+            "p",
+        ).select("s", F.col("q").alias("p"), "o")
+        flipped = triples.join(
+            F.broadcast(
+                mapping.filter(F.col("flipped")).select("p", "q")
+            ),
+            "p",
+        ).select(
+            F.col("o").alias("s"), F.col("q").alias("p"), F.col("s").alias("o")
+        )
+        derived = straight.unionAll(flipped)
+        parts.append(derived)
+        edges = triples.unionAll(derived)
 
     if typ is not None:
         typed_parts: list[DataFrame] = [
@@ -160,6 +283,39 @@ def rdfs_closure(triples: DataFrame, vocab: dict[str, int]) -> DataFrame:
     for part in parts[1:]:
         out = out.unionAll(part.select("s", "p", "o"))
     return out.distinct()
+
+
+def same_as_canonicalize(
+    triples: DataFrame, sameas_id: int
+) -> tuple[DataFrame, DataFrame]:
+    """owl:sameAs smushing: identity clusters = connected components of
+    the sameAs graph (min-id representative — the existing min-label
+    propagation, O(cluster diameter) rounds); every OTHER statement
+    rewrites s/p/o through the bounded-per-cluster mapping and the
+    sameAs statements themselves collapse away. Returns ``(canonical
+    triples, mapping)`` where mapping is ``(node, rep)`` for every
+    non-representative member (persist it to answer queries about
+    original ids). Exact and idempotent: re-smushing the output with
+    the (now empty) sameAs graph is the identity."""
+    from rdfproject_msc_spark.operators.graph import connected_components
+
+    sa = triples.filter(F.col("p") == F.lit(int(sameas_id)))
+    comps = connected_components(sa, src="s", dst="o")
+    mapping = comps.filter(F.col("node") != F.col("comp")).select(
+        F.col("node"), F.col("comp").alias("rep")
+    )
+    rest = triples.filter(F.col("p") != F.lit(int(sameas_id)))
+    out = rest
+    for c in ("s", "p", "o"):
+        m = mapping.select(
+            F.col("node").alias(f"__n_{c}"), F.col("rep").alias(f"__r_{c}")
+        )
+        out = (
+            out.join(m, out[c] == m[f"__n_{c}"], "left")
+            .withColumn(c, F.coalesce(F.col(f"__r_{c}"), F.col(c)))
+            .drop(f"__n_{c}", f"__r_{c}")
+        )
+    return out.distinct(), mapping
 
 
 def resolve_vocab(dictionary, term_style: str) -> dict[str, int]:

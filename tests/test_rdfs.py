@@ -16,23 +16,29 @@ RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 RDFS = "http://www.w3.org/2000/01/rdf-schema#"
 
 # fixed small ids for the vocabulary and terms (id-level tests)
-TYPE, SCO, SPO, DOM, RNG = 1, 2, 3, 4, 5
+TYPE, SCO, SPO, DOM, RNG, INV, SYMC = 1, 2, 3, 4, 5, 6, 7
 VOCAB = {
     "type": TYPE,
     "subclassof": SCO,
     "subpropertyof": SPO,
     "domain": DOM,
     "range": RNG,
+    "inverseof": INV,
+    "symmetricproperty": SYMC,
 }
 
 
 def python_rdfs_fixpoint(triples: set, vocab=VOCAB) -> set:
-    """Naive ρdf fixpoint — the oracle: apply rdfs5/7/2/3/11/9 until
-    nothing new derives. Same rule set as the one-pass implementation
-    (meta-modeling corners like a domain ON rdf:type are outside ρdf
-    and outside the generator)."""
+    """Naive ρdf+OWL-lite fixpoint — the oracle: apply rdfs5/7/2/3/11/9
+    + prp-inv1/2 + prp-symp until nothing new derives. Same rule set as
+    the one-pass implementation (meta-modeling corners like a domain ON
+    rdf:type, or a DERIVED SymmetricProperty typing, are outside the
+    regime and outside the generator; symmetry/inverse declarations are
+    read from the base statements)."""
     typ, sco, spo = vocab["type"], vocab["subclassof"], vocab["subpropertyof"]
     dom, rng = vocab["domain"], vocab["range"]
+    inv, symc = vocab.get("inverseof"), vocab.get("symmetricproperty")
+    sym_props = {s for s, p, o in triples if p == typ and o == symc}
     out = set(triples)
     while True:
         new = set()
@@ -40,6 +46,14 @@ def python_rdfs_fixpoint(triples: set, vocab=VOCAB) -> set:
         sco_pairs = {(s, o) for s, p, o in out if p == sco}
         dom_pairs = {(s, o) for s, p, o in out if p == dom}
         rng_pairs = {(s, o) for s, p, o in out if p == rng}
+        inv_stmt = {(s, o) for s, p, o in out if p == inv}
+        inv_pairs = (
+            inv_stmt
+            | {(b, a) for a, b in inv_stmt}
+            | {(p, p) for p in sym_props}
+        )
+        for a, b in inv_stmt:  # owl:inverseOf is symmetric (statement)
+            new.add((b, inv, a))
         for a, b in spo_pairs:  # rdfs5
             for c, d in spo_pairs:
                 if b == c:
@@ -52,6 +66,9 @@ def python_rdfs_fixpoint(triples: set, vocab=VOCAB) -> set:
             for a, b in spo_pairs:  # rdfs7
                 if p == a:
                     new.add((s, b, o))
+            for a, b in inv_pairs:  # prp-inv1/2, prp-symp
+                if p == a:
+                    new.add((o, b, s))
             for a, c in dom_pairs:  # rdfs2
                 if p == a:
                     new.add((s, typ, c))
@@ -138,6 +155,105 @@ def test_random_ontologies_match_fixpoint(spark, schema, instance):
     assert spark_closure(spark, triples) == python_rdfs_fixpoint(triples)
 
 
+OWL_FIXTURE = {
+    (20, SPO, 21),      # hasPet ⊑ knows
+    (21, INV, 22),      # knows inverseOf knownBy
+    (22, SPO, 23),      # knownBy ⊑ related
+    (24, TYPE, SYMC),   # touches : SymmetricProperty
+    (22, RNG, 13),      # rng(knownBy) = Person — fires on FLIPPED edges
+    (31, 20, 30),       # ann hasPet rex
+    (40, 24, 41),       # a touches b
+}
+
+
+def test_owl_inverse_and_symmetric_match_fixpoint(spark):
+    got = spark_closure(spark, OWL_FIXTURE)
+    want = python_rdfs_fixpoint(OWL_FIXTURE)
+    assert got == want
+    # the ⊑/inverse INTERLEAVING: hasPet ⊑ knows inverseOf knownBy ⊑
+    # related — one oriented mapping derives the flipped great-grandedge
+    assert (30, 22, 31) in got       # rex knownBy ann
+    assert (30, 23, 31) in got       # rex related ann (flip then ⊑)
+    assert (31, TYPE, 13) in got     # ann : Person via rng on a FLIPPED
+    # edge (knownBy range, the edge exists only by inversion)
+    assert (41, 24, 40) in got       # symmetric: b touches a
+    assert (22, INV, 21) in got      # inverseOf symmetry as a statement
+
+
+def test_owl_idempotent_and_random(spark):
+    once = spark_closure(spark, OWL_FIXTURE)
+    assert spark_closure(spark, once) == once
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    schema=st.lists(
+        st.tuples(
+            st.sampled_from([SCO, SPO, DOM, RNG, INV]),
+            st.integers(min_value=10, max_value=16),
+            st.integers(min_value=10, max_value=16),
+        ),
+        max_size=7,
+    ),
+    sym_decls=st.lists(
+        st.integers(min_value=10, max_value=16), max_size=2
+    ),
+    instance=st.lists(
+        st.tuples(
+            st.integers(min_value=30, max_value=34),
+            st.sampled_from([TYPE, 10, 11, 12, 13]),
+            st.integers(min_value=10, max_value=34),
+        ),
+        max_size=8,
+    ),
+)
+def test_random_owl_ontologies_match_fixpoint(
+    spark, schema, sym_decls, instance
+):
+    """Random schemas now including inverseOf edges and
+    SymmetricProperty declarations (⊑/inverse cycles included): the
+    oriented-mapping one-pass equals the naive fixpoint."""
+    triples = (
+        {(a, p, b) for p, a, b in schema}
+        | {(p, TYPE, SYMC) for p in sym_decls}
+        | set(instance)
+    )
+    if not triples:
+        return
+    assert spark_closure(spark, triples) == python_rdfs_fixpoint(triples)
+
+
+def test_same_as_canonicalize(spark):
+    from rdfproject_msc_spark.operators.rdfs import same_as_canonicalize
+
+    SAME = 9
+    rows = [
+        (30, SAME, 31), (31, SAME, 32),   # {30,31,32} one identity
+        (40, SAME, 41),                   # {40,41}
+        (31, 20, 40),                     # member-to-member edge
+        (32, 20, 50),
+        (50, 20, 30),
+        (60, 20, 60),                     # untouched
+    ]
+    df = spark.createDataFrame(rows, "s long, p long, o long")
+    out, mapping = same_as_canonicalize(df, SAME)
+    got = sorted(map(tuple, out.collect()))
+    # representatives are cluster minima: 30 and 40
+    assert got == sorted(
+        [(30, 20, 40), (30, 20, 50), (50, 20, 30), (60, 20, 60)]
+    )
+    m = {r["node"]: r["rep"] for r in mapping.collect()}
+    assert m == {31: 30, 32: 30, 41: 40}
+    # idempotent: no sameAs statements remain, re-smushing is identity
+    out2, m2 = same_as_canonicalize(out, SAME)
+    assert sorted(map(tuple, out2.collect())) == got
+    assert m2.count() == 0
+
+
 def test_subclass_closure_matches_duckdb_recursive(spark):
     """The sco transitive closure inside the materialized output equals
     DuckDB's WITH RECURSIVE over the same base pairs."""
@@ -213,3 +329,31 @@ def test_requires_dictionary(spark):
     ))
     with pytest.raises(ValueError, match="dictionary"):
         eng.materialize_rdfs()
+
+
+def test_engine_same_as(spark, tmp_path):
+    OWL = "http://www.w3.org/2002/07/owl#"
+    nt = tmp_path / "sa.nt"
+    nt.write_text(
+        f"<urn:a> <{OWL}sameAs> <urn:a2> .\n"
+        f"<urn:a2> <urn:knows> <urn:b> .\n"
+        f"<urn:c> <urn:knows> <urn:a2> .\n"
+    )
+    eng = Engine(spark).load_triples(str(nt), fmt="nt", layout="single")
+    eng.canonicalize_same_as()
+    got = sorted(map(tuple, eng.decode(eng.store.df).collect()))
+    # min-id representative = the lexicographically FIRST term of the
+    # cluster in the built dictionary: '<urn:a2>' < '<urn:a>' ('2' < '>')
+    assert got == sorted(
+        [
+            ("<urn:a2>", "<urn:knows>", "<urn:b>"),
+            ("<urn:c>", "<urn:knows>", "<urn:a2>"),
+        ]
+    )
+    # an engine whose dictionary lacks owl:sameAs: no-op, not an error
+    nt2 = tmp_path / "plain.nt"
+    nt2.write_text("<urn:a> <urn:knows> <urn:b> .\n")
+    eng2 = Engine(spark).load_triples(str(nt2), fmt="nt", layout="single")
+    n = eng2.store.df.count()
+    eng2.canonicalize_same_as()
+    assert eng2.store.df.count() == n

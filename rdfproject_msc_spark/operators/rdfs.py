@@ -66,6 +66,7 @@ LEXICAL_VOCAB = {
     "range": f"<{RDFS_NS}range>",
     "inverseof": f"<{OWL_NS}inverseOf>",
     "symmetricproperty": f"<{OWL_NS}SymmetricProperty>",
+    "transitiveproperty": f"<{OWL_NS}TransitiveProperty>",
     "sameas": f"<{OWL_NS}sameAs>",
 }
 LOCALIZED_VOCAB = {
@@ -76,6 +77,7 @@ LOCALIZED_VOCAB = {
     "range": ":range",
     "inverseof": ":inverseOf",
     "symmetricproperty": ":SymmetricProperty",
+    "transitiveproperty": ":TransitiveProperty",
     "sameas": ":sameAs",
 }
 
@@ -230,6 +232,81 @@ def rdfs_closure(triples: DataFrame, vocab: dict[str, int]) -> DataFrame:
         derived = straight.unionAll(flipped)
         parts.append(derived)
         edges = triples.unionAll(derived)
+
+    # owl:TransitiveProperty (prp-trp): per DECLARED transitive property
+    # (an ontology-bounded set), the semi-naive transitive closure runs
+    # over that property's FULLY-DERIVED edge set (everything ⊑/inverse
+    # feeds into it is already present), and the closed edges re-expand
+    # once through the oriented mapping. Exact in one round BECAUSE two
+    # distinct transitive properties related through the mapping REJECT
+    # (their closures would feed each other — a data-sized fixpoint this
+    # engine will not run silently; real ontologies do not stack
+    # transitive properties).
+    transc = vocab.get("transitiveproperty")
+    if transc is not None and typ is not None:
+        # ontology-bounded driver list (the IVF-centroid precedent)
+        tp_ids = sorted(
+            r["s"]
+            for r in triples.filter(
+                (F.col("p") == F.lit(int(typ)))
+                & (F.col("o") == F.lit(int(transc)))
+            ).select("s").distinct().collect()
+        )
+        if tp_ids and mapping is not None:
+            linked = (
+                mapping.filter(
+                    F.col("p").isin(tp_ids)
+                    & F.col("q").isin(tp_ids)
+                    & (F.col("p") != F.col("q"))
+                )
+                .limit(1)
+                .count()
+            )
+            if linked:
+                raise ValueError(
+                    "transitive properties related through subPropertyOf/"
+                    "inverseOf are not supported (their closures feed "
+                    "each other — a data-sized fixpoint); break the "
+                    "property hierarchy between them"
+                )
+        for pid in tp_ids:
+            pedges = edges.filter(F.col("p") == F.lit(int(pid))).select(
+                F.col("s").alias("a"), F.col("o").alias("b")
+            )
+            closed = transitive_closure(pedges, src="a", dst="b").select(
+                F.col("cs").alias("s"),
+                F.lit(int(pid)).cast("long").alias("p"),
+                F.col("co").alias("o"),
+            )
+            new_parts = [closed]
+            if mapping is not None:
+                img = mapping.filter(
+                    (F.col("p") == F.lit(int(pid)))
+                    & (F.col("q") != F.lit(int(pid)))
+                )
+                new_parts.append(
+                    closed.join(
+                        F.broadcast(
+                            img.filter(~F.col("flipped")).select("p", "q")
+                        ),
+                        "p",
+                    ).select("s", F.col("q").alias("p"), "o")
+                )
+                new_parts.append(
+                    closed.join(
+                        F.broadcast(
+                            img.filter(F.col("flipped")).select("p", "q")
+                        ),
+                        "p",
+                    ).select(
+                        F.col("o").alias("s"),
+                        F.col("q").alias("p"),
+                        F.col("s").alias("o"),
+                    )
+                )
+            for np_ in new_parts:
+                parts.append(np_)
+                edges = edges.unionAll(np_)
 
     if typ is not None:
         typed_parts: list[DataFrame] = [

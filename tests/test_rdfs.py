@@ -16,7 +16,7 @@ RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 RDFS = "http://www.w3.org/2000/01/rdf-schema#"
 
 # fixed small ids for the vocabulary and terms (id-level tests)
-TYPE, SCO, SPO, DOM, RNG, INV, SYMC = 1, 2, 3, 4, 5, 6, 7
+TYPE, SCO, SPO, DOM, RNG, INV, SYMC, TRANSC = 1, 2, 3, 4, 5, 6, 7, 8
 VOCAB = {
     "type": TYPE,
     "subclassof": SCO,
@@ -25,6 +25,7 @@ VOCAB = {
     "range": RNG,
     "inverseof": INV,
     "symmetricproperty": SYMC,
+    "transitiveproperty": TRANSC,
 }
 
 
@@ -38,7 +39,9 @@ def python_rdfs_fixpoint(triples: set, vocab=VOCAB) -> set:
     typ, sco, spo = vocab["type"], vocab["subclassof"], vocab["subpropertyof"]
     dom, rng = vocab["domain"], vocab["range"]
     inv, symc = vocab.get("inverseof"), vocab.get("symmetricproperty")
+    transc = vocab.get("transitiveproperty")
     sym_props = {s for s, p, o in triples if p == typ and o == symc}
+    trans_props = {s for s, p, o in triples if p == typ and o == transc}
     out = set(triples)
     while True:
         new = set()
@@ -79,6 +82,10 @@ def python_rdfs_fixpoint(triples: set, vocab=VOCAB) -> set:
                 for a, b in sco_pairs:
                     if o == a:
                         new.add((s, typ, b))
+            if p in trans_props:  # prp-trp
+                for s2, p2, o2 in out:
+                    if p2 == p and o == s2:
+                        new.add((s, p, o2))
         if new <= out:
             return out
         out |= new
@@ -357,3 +364,89 @@ def test_engine_same_as(spark, tmp_path):
     n = eng2.store.df.count()
     eng2.canonicalize_same_as()
     assert eng2.store.df.count() == n
+
+
+TRANS_FIXTURE = {
+    (25, TYPE, TRANSC),   # ancestor : TransitiveProperty
+    (26, SPO, 25),        # parent ⊑ ancestor
+    (25, INV, 27),        # ancestor inverseOf descendant
+    (25, DOM, 13),        # dom(ancestor) = Person
+    (30, 26, 31),         # a parent b   (feeds ancestor via ⊑)
+    (31, 25, 32),         # b ancestor c
+    (32, 25, 33),         # c ancestor d
+}
+
+
+def test_transitive_property_matches_fixpoint(spark):
+    got = spark_closure(spark, TRANS_FIXTURE)
+    want = python_rdfs_fixpoint(TRANS_FIXTURE)
+    assert got == want
+    # the closure runs over the FULLY-derived edge set: the ⊑-inherited
+    # a-ancestor-b edge chains through to d
+    assert (30, 25, 33) in got
+    # closed edges re-expand through the mapping: inverse of the chain
+    assert (33, 27, 30) in got
+    # ... and feed domain typing
+    assert (30, TYPE, 13) in got
+    # idempotent
+    assert spark_closure(spark, got) == got
+
+
+def test_transitive_stacking_rejects(spark):
+    """Two transitive properties related through the mapping: their
+    closures would feed each other — didactic reject, not a silent
+    data-sized fixpoint."""
+    bad = {
+        (25, TYPE, TRANSC),
+        (26, TYPE, TRANSC),
+        (26, SPO, 25),
+        (30, 26, 31),
+    }
+    with pytest.raises(ValueError, match="transitive properties"):
+        spark_closure(spark, bad)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    schema=st.lists(
+        st.tuples(
+            st.sampled_from([SCO, SPO, DOM, RNG, INV]),
+            st.integers(min_value=10, max_value=15),
+            st.integers(min_value=10, max_value=15),
+        ),
+        max_size=6,
+    ),
+    trans_decls=st.lists(
+        st.integers(min_value=10, max_value=15), max_size=2
+    ),
+    instance=st.lists(
+        st.tuples(
+            st.integers(min_value=30, max_value=34),
+            st.sampled_from([10, 11, 12, 13]),
+            st.integers(min_value=30, max_value=34),
+        ),
+        max_size=8,
+    ),
+)
+def test_random_transitive_ontologies_match_fixpoint(
+    spark, schema, trans_decls, instance
+):
+    """Random ontologies with transitive declarations: engine ≡ naive
+    fixpoint; mapping-linked transitive pairs reject (skipped — the
+    model has no guard)."""
+    triples = (
+        {(a, p, b) for p, a, b in schema}
+        | {(p, TYPE, TRANSC) for p in trans_decls}
+        | set(instance)
+    )
+    if not triples:
+        return
+    try:
+        got = spark_closure(spark, triples)
+    except ValueError:
+        return  # the documented stacking reject
+    assert got == python_rdfs_fixpoint(triples)

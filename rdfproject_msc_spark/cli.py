@@ -107,6 +107,26 @@ def main(argv: list[str] | None = None) -> int:
                        "NEW INSERTed terms")
     p_upd.add_argument("--cpus", type=int, default=None)
 
+    p_mat = sub.add_parser(
+        "materialize",
+        help="RDFS+OWL-lite forward chaining over a persisted store: "
+        "entailments (subclass/subproperty/domain/range/inverse/"
+        "symmetric/transitive) materialize into a new snapshot; "
+        "--same-as additionally smushes owl:sameAs identity clusters",
+    )
+    p_mat.add_argument("--store", required=True)
+    p_mat.add_argument("--layout", choices=("single", "sign_split"),
+                       default="sign_split")
+    p_mat.add_argument("--dict", dest="dict_path", required=True,
+                       help="dictionary parquet (ingest-built)")
+    p_mat.add_argument("--term-style", choices=("localized", "lexical"),
+                       default=None)
+    p_mat.add_argument("--out", required=True,
+                       help="materialized store output dir")
+    p_mat.add_argument("--same-as", action="store_true",
+                       help="canonicalize owl:sameAs clusters first")
+    p_mat.add_argument("--cpus", type=int, default=None)
+
     p_sql = sub.add_parser("sql", help="SQL over a persisted store")
     p_sql.add_argument("--store", required=True)
     p_sql.add_argument("--layout", choices=("single", "sign_split"), default="sign_split")
@@ -527,6 +547,30 @@ def main(argv: list[str] | None = None) -> int:
             f"updated: {n} triples, {nd} dictionary terms "
             f"(store={args.out}, dict={args.dict_out})"
         )
+        return 0
+
+    if args.command == "materialize":
+        import os as _os
+
+        if _os.path.realpath(args.store) == _os.path.realpath(args.out):
+            raise SystemExit(
+                "--out must differ from --store (the materialized "
+                "snapshot reads the old store while writing)"
+            )
+        spark = _spark(args.cpus)
+        eng = Engine(spark).open(
+            args.store,
+            layout=args.layout,
+            dict_path=args.dict_path,
+            term_style=args.term_style,
+        )
+        n0 = eng.store.df.count()
+        if args.same_as:
+            eng.canonicalize_same_as()
+        eng.materialize_rdfs()
+        eng.save(args.out)
+        n1 = spark.read.parquet(args.out).count()
+        print(f"materialized: {n0} -> {n1} triples ({args.out})")
         return 0
 
     if args.command == "sparql":

@@ -165,10 +165,12 @@ def _oriented_mapping(
 
 
 def rdfs_closure(triples: DataFrame, vocab: dict[str, int]) -> DataFrame:
-    """Materialize the ρdf entailments of ``triples`` (encoded ``(s, p,
-    o)``): returns base ∪ derived, distinct. ``vocab`` maps the five
-    vocabulary keys (type / subclassof / subpropertyof / domain /
-    range) to their dictionary ids; absent keys disable their rules."""
+    """Materialize the ρdf + OWL-lite entailments of ``triples``
+    (encoded ``(s, p, o)``): returns base ∪ derived, distinct.
+    ``vocab`` maps the vocabulary keys (type / subclassof /
+    subpropertyof / domain / range / inverseof / symmetricproperty /
+    transitiveproperty) to their dictionary ids; absent keys disable
+    their rules."""
     typ = vocab.get("type")
     sco = vocab.get("subclassof")
     spo = vocab.get("subpropertyof")

@@ -450,3 +450,33 @@ def test_random_transitive_ontologies_match_fixpoint(
     except ValueError:
         return  # the documented stacking reject
     assert got == python_rdfs_fixpoint(triples)
+
+
+def test_cli_materialize(spark, tmp_path):
+    """CLI loop: ingest raw NT with an ontology → materialize (with
+    sameAs smushing) → query the entailed snapshot."""
+    from rdfproject_msc_spark.cli import main
+
+    OWL = "http://www.w3.org/2002/07/owl#"
+    nt = tmp_path / "o.nt"
+    nt.write_text(
+        f"<urn:Dog> <{RDFS}subClassOf> <urn:Animal> .\n"
+        f"<urn:rex> <{RDF}type> <urn:Dog> .\n"
+        f"<urn:rexy> <{OWL}sameAs> <urn:rex> .\n"
+        f"<urn:ann> <urn:pets> <urn:rexy> .\n"
+    )
+    s1, d1 = str(tmp_path / "s1"), str(tmp_path / "d1")
+    assert main(["ingest", "--nt", str(nt), "--out", s1, "--dict-out", d1]) == 0
+    s2 = str(tmp_path / "s2")
+    rc = main(
+        ["materialize", "--store", s1, "--dict", d1, "--out", s2,
+         "--same-as"]
+    )
+    assert rc == 0
+    eng = Engine(spark).open(s2, layout="sign_split", dict_path=d1)
+    got = sorted(map(tuple, eng.decode(eng.store.df).collect()))
+    # smushing picked the lexicographically-first term (<urn:rex> <
+    # <urn:rexy>), sameAs dropped, the subclass entailment landed
+    assert ("<urn:rex>", f"<{RDF}type>", "<urn:Animal>") in got
+    assert ("<urn:ann>", "<urn:pets>", "<urn:rex>") in got
+    assert not any(p == f"<{OWL}sameAs>" for _, p, _ in got)

@@ -536,6 +536,12 @@ def main(argv: list[str] | None = None) -> int:
         if args.quads:
             eng.load_quads(args.quads)
         eng.update(args.request, negative_when=args.negative_when)
+        if eng.store.has_quads and not args.quads_out:
+            raise SystemExit(
+                "the updated store carries named graphs: pass "
+                "--quads-out or the quad relation would be dropped "
+                "from the persisted snapshot"
+            )
         eng.save(
             args.out,
             quads_path=args.quads_out if eng.store.has_quads else None,

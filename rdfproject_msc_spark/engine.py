@@ -207,13 +207,16 @@ class Engine:
         return self
 
     def materialize_rdfs(self) -> "Engine":
-        """Forward-chain the RDFS (ρdf) entailments into the store
+        """Forward-chain the RDFS + OWL-lite entailments into the store
         (operators/rdfs.py): subClassOf/subPropertyOf transitivity,
-        property inheritance, domain/range typing — schema closures are
+        property inheritance, domain/range typing, inverse/symmetric
+        property edges (the oriented property-graph mapping), and
+        per-declared-property transitive closures — schema closures are
         ontology-sized broadcasts, the corpus pays one distinct. The
         store swaps copy-on-write, exactly like ``update``; queries
         over the materialized store see entailed triples with no
-        query-time rewriting."""
+        query-time rewriting. ``canonicalize_same_as()`` first when the
+        data carries owl:sameAs identities."""
         from rdfproject_msc_spark.operators.rdfs import (
             rdfs_closure,
             resolve_vocab,

@@ -90,12 +90,6 @@ def _closed_pairs(schema: DataFrame) -> DataFrame:
     )
 
 
-def _node(p, flip) -> F.Column:
-    return F.struct(
-        F.col(p).cast("long").alias("prop"), F.lit(flip).alias("flip")
-    )
-
-
 def _oriented_mapping(
     triples: DataFrame, spo, inv, sym_props: DataFrame | None
 ) -> DataFrame | None:

@@ -596,3 +596,30 @@ def test_named_graph_update_sequences_match_set_model(
         (g, s, p, o) for g, ts in graphs.items() for s, p, o in ts
     }
     assert got_quads == want_quads
+
+
+def test_cli_update_quads_guard(spark, nt_path, tmp_path):
+    """An update that leaves named graphs behind requires --quads-out —
+    silently dropping the quad relation from the snapshot would lose
+    data."""
+    from rdfproject_msc_spark.cli import main
+
+    s1, d1 = str(tmp_path / "s1"), str(tmp_path / "d1")
+    assert main(["ingest", "--nt", nt_path, "--out", s1, "--dict-out", d1]) == 0
+    with pytest.raises(SystemExit, match="quads-out"):
+        main(
+            ["update", "--store", s1, "--dict", d1,
+             "--out", str(tmp_path / "s2"), "--dict-out", str(tmp_path / "d2"),
+             "--request",
+             f"INSERT DATA {{ GRAPH <{EX}g> {{ <{EX}a> <{EX}p2> <{EX}b> }} }}"]
+        )
+    # with --quads-out the same request persists the graph
+    rc = main(
+        ["update", "--store", s1, "--dict", d1,
+         "--out", str(tmp_path / "s3"), "--dict-out", str(tmp_path / "d3"),
+         "--quads-out", str(tmp_path / "q3"),
+         "--request",
+         f"INSERT DATA {{ GRAPH <{EX}g> {{ <{EX}a> <{EX}p2> <{EX}b> }} }}"]
+    )
+    assert rc == 0
+    assert spark.read.parquet(str(tmp_path / "q3")).count() == 1

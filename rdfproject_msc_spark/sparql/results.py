@@ -1,0 +1,177 @@
+"""W3C SPARQL 1.1 query results serialization (CSV/TSV/JSON).
+
+The interchange half a SPARQL endpoint owes its callers: decoded
+solution DataFrames serialize to the three standard result formats
+(sparql11-results-csv-tsv, sparql11-results-json). Spark-first split:
+
+- CSV and TSV are LINE-ORIENTED, so they write as distributed text
+  (one row per solution, any scale) — CSV carries plain string forms
+  (the spec's lossy human format: IRI brackets and literal quoting
+  stripped), TSV carries full N-Triples-encoded terms (lossless for
+  lexical-style stores, whose dictionary terms ARE N-Triples forms).
+- The JSON format is ONE document (``{"head":…,"results":…}``) and
+  therefore driver-sized by construction: ``results_json`` demands an
+  explicit ``limit`` and raises when the result exceeds it — the
+  didactic guard against collecting a data-sized result into one
+  string (the NOW/UUID stance applied to memory).
+
+Term-kind classification reads the engine's term text grammar (the
+same conventions the planner's accessors use): ``<iri>``/localized
+``:name`` → iri, ``"lex"@tag`` → language literal, ``"lex"^^<dt>`` /
+``"lex"^^:dt`` → typed literal, ``_:label`` → bnode, bare text →
+plain literal. NULL = unbound: the binding is omitted (JSON), the
+field stays empty (CSV/TSV) — exactly the spec's representation.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _term_kind(term: str) -> dict:
+    """One decoded term string → the results-JSON binding object."""
+    if term.startswith("<") and term.endswith(">"):
+        return {"type": "uri", "value": term[1:-1]}
+    if term.startswith("_:"):
+        return {"type": "bnode", "value": term[2:]}
+    if term.startswith('"'):
+        # find the CLOSING quote honoring backslash escapes
+        i, n = 1, len(term)
+        while i < n:
+            if term[i] == "\\":
+                i += 2
+                continue
+            if term[i] == '"':
+                break
+            i += 1
+        body = term[1:i]
+        rest = term[i + 1 :]
+        value = (
+            body.replace("\\\\", "\x00")
+            .replace('\\"', '"')
+            .replace("\\n", "\n")
+            .replace("\\r", "\r")
+            .replace("\\t", "\t")
+            .replace("\x00", "\\")
+        )
+        if rest.startswith("@"):
+            return {
+                "type": "literal",
+                "value": value,
+                "xml:lang": rest[1:],
+            }
+        if rest.startswith("^^"):
+            dt = rest[2:]
+            dt = dt[1:-1] if dt.startswith("<") else dt
+            return {"type": "literal", "value": value, "datatype": dt}
+        return {"type": "literal", "value": value}
+    if term.startswith(":"):
+        # localized-convention IRI (the reference's ':local' names)
+        return {"type": "uri", "value": term}
+    return {"type": "literal", "value": term}
+
+
+def _csv_form(term: str) -> str:
+    """The CSV results profile: plain string forms — IRI brackets
+    dropped, literal quoting/escapes undone, tags/datatypes dropped."""
+    return _term_kind(term)["value"]
+
+
+def write_results_csv(df: DataFrame, path: str) -> None:
+    """SPARQL 1.1 results CSV (distributed text write): header = the
+    projection variables, cells = plain string forms, unbound = empty.
+    The engine-side transform is pure column expressions, so the write
+    scales like any text sink."""
+    cols = []
+    for c in df.columns:
+        v = F.col(c).cast("string")
+        # strip <>-brackets; unquote plain/tagged/typed literal bodies
+        body = F.regexp_extract(v, r'^"((?:[^"\\]|\\.)*)"', 1)
+        unescaped = F.when(
+            v.startswith('"'),
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(body, r"\\n", "\n"), r"\\t", "\t"
+                ),
+                r'\\(["\\])',
+                r"$1",
+            ),
+        ).otherwise(
+            F.when(
+                v.startswith("<") & v.endswith(">"),
+                F.expr(f"substring({c}, 2, length({c}) - 2)"),
+            ).otherwise(v)
+        )
+        cols.append(F.coalesce(unescaped, F.lit("")).alias(c))
+    (
+        df.select(*cols)
+        .write.mode("overwrite")
+        .option("header", True)
+        # RFC 4180 quote-doubling (the results-CSV spec), not Spark's
+        # default backslash escaping
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
+def write_results_tsv(df: DataFrame, path: str) -> None:
+    """SPARQL 1.1 results TSV (distributed write): header = '?var'
+    names, cells = the N-Triples-encoded terms verbatim — for a
+    lexical-style store the dictionary terms already ARE those forms,
+    so this is a zero-transform sink. Quoting is DISABLED (NT-encoded
+    terms escape tabs/newlines as ``\\t``/``\\n``, so raw separators
+    never occur in a cell); unbound = empty field. Multi-part outputs
+    carry the header per part file (the same convention as the CSV
+    sink — concatenating parts needs a header strip, as with any
+    distributed header-ed text sink)."""
+    renamed = df.select(
+        *[F.coalesce(F.col(c), F.lit("")).alias(f"?{c}") for c in df.columns]
+    )
+    (
+        renamed.write.mode("overwrite")
+        .option("header", True)
+        .option("sep", "\t")
+        .option("quote", "")
+        .option("emptyValue", "")
+        .csv(path)
+    )
+
+
+def results_json(
+    df: DataFrame, limit: int, dictionary=None
+) -> str:
+    """The W3C results-JSON document — ONE string, so driver-sized by
+    construction: raises when the result exceeds ``limit`` rows (ask
+    for CSV/TSV sinks for data-sized results). ``dictionary`` decodes
+    id-valued columns first when given."""
+    if dictionary is not None:
+        df = dictionary.decode(df)
+    rows = df.limit(limit + 1).collect()
+    if len(rows) > limit:
+        raise ValueError(
+            f"result exceeds limit={limit} rows — the JSON results "
+            "format is one document (driver memory); use "
+            "write_results_csv/tsv for data-sized results"
+        )
+    cols = list(df.columns)
+    bindings = []
+    for r in rows:
+        b = {}
+        for c in cols:
+            v = r[c]
+            if v is None:
+                continue  # unbound: the binding is omitted (spec)
+            b[c] = _term_kind(str(v))
+        bindings.append(b)
+    return json.dumps(
+        {"head": {"vars": cols}, "results": {"bindings": bindings}},
+        ensure_ascii=False,
+    )
+
+
+def ask_json(answer: bool) -> str:
+    """The ASK form of the results-JSON document (§ boolean results)."""
+    return json.dumps({"head": {}, "boolean": bool(answer)})

@@ -1,0 +1,114 @@
+"""W3C SPARQL results serialization (sparql/results.py): JSON binding
+objects, CSV plain forms, TSV N-Triples forms, the bounded-JSON guard."""
+
+from __future__ import annotations
+
+import glob
+import json
+
+import pytest
+
+from rdfproject_msc_spark.engine import Engine
+from rdfproject_msc_spark.sparql.results import (
+    ask_json,
+    results_json,
+    write_results_csv,
+    write_results_tsv,
+)
+
+NT = """\
+<urn:a> <urn:knows> <urn:b> .
+<urn:a> <urn:name> "Al\\"ice" .
+<urn:b> <urn:name> "Bob"@en .
+<urn:b> <urn:age> "42"^^<http://www.w3.org/2001/XMLSchema#integer> .
+_:x <urn:knows> <urn:a> .
+"""
+
+
+@pytest.fixture(scope="module")
+def eng(spark, tmp_path_factory):
+    p = tmp_path_factory.mktemp("res") / "g.nt"
+    p.write_text(NT)
+    return Engine(spark).load_triples(str(p), fmt="nt", layout="single")
+
+
+def test_results_json_term_kinds(eng):
+    df = eng.sparql(
+        "SELECT ?s ?o WHERE { ?s <urn:name> ?o }", decode=True
+    )
+    doc = json.loads(results_json(df, limit=10))
+    assert doc["head"]["vars"] == ["s", "o"]
+    got = {
+        b["s"]["value"]: b["o"] for b in doc["results"]["bindings"]
+    }
+    assert got["urn:a"] == {"type": "literal", "value": 'Al"ice'}
+    assert got["urn:b"] == {
+        "type": "literal",
+        "value": "Bob",
+        "xml:lang": "en",
+    }
+    assert all(
+        b["s"]["type"] == "uri" for b in doc["results"]["bindings"]
+    )
+
+
+def test_results_json_typed_bnode_and_unbound(eng):
+    df = eng.sparql(
+        "SELECT ?s ?age WHERE { ?s <urn:knows> ?o "
+        "OPTIONAL { ?s <urn:age> ?age } }",
+        decode=True,
+    )
+    doc = json.loads(results_json(df, limit=10))
+    kinds = {}
+    for b in doc["results"]["bindings"]:
+        kinds[(b["s"]["type"], b["s"]["value"])] = b.get("age")
+    # the bnode subject serializes as a bnode; unbound age is OMITTED
+    assert kinds[("bnode", "x")] is None
+    assert ("uri", "urn:a") in kinds
+
+
+def test_results_json_limit_guard(eng):
+    df = eng.sparql("SELECT ?s ?p ?o WHERE { ?s ?p ?o }", decode=True)
+    with pytest.raises(ValueError, match="limit"):
+        results_json(df, limit=2)
+
+
+def test_ask_json():
+    assert json.loads(ask_json(True)) == {"head": {}, "boolean": True}
+
+
+def _read_parts(pattern):
+    lines = []
+    for f in sorted(glob.glob(pattern)):
+        with open(f) as fh:
+            lines.extend(fh.read().splitlines())
+    return lines
+
+
+def test_write_results_csv(eng, tmp_path):
+    df = eng.sparql(
+        "SELECT ?s ?o WHERE { ?s <urn:name> ?o }", decode=True
+    )
+    out = str(tmp_path / "csv")
+    write_results_csv(df, out)
+    lines = _read_parts(out + "/part-*.csv")
+    body = sorted(l for l in lines if l != "s,o")
+    # plain string forms: brackets off, quoting undone (the embedded
+    # quote doubles per CSV rules), tags dropped
+    assert body == sorted(['urn:a,"Al""ice"', "urn:b,Bob"])
+
+
+def test_write_results_tsv_round_trip(eng, tmp_path):
+    df = eng.sparql(
+        "SELECT ?s ?o WHERE { ?s <urn:name> ?o }", decode=True
+    )
+    out = str(tmp_path / "tsv")
+    write_results_tsv(df, out)
+    lines = _read_parts(out + "/part-*.csv")
+    body = sorted(l for l in lines if not l.startswith("?s"))
+    # TSV cells are the N-Triples term forms VERBATIM (lossless)
+    assert body == sorted(
+        ['<urn:a>\t"Al\\"ice"', '<urn:b>\t"Bob"@en']
+    )
+    header = [l for l in lines if l.startswith("?s")]
+    assert header and header[0] == "?s\t?o"

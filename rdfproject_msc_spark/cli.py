@@ -159,6 +159,18 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_sparql.add_argument("--decode", action="store_true")
     p_sparql.add_argument(
+        "--results",
+        choices=("csv", "tsv", "json"),
+        default=None,
+        help="ALSO write the W3C results format to --results-out "
+        "(csv/tsv: distributed sinks; json: one bounded document)",
+    )
+    p_sparql.add_argument("--results-out", default=None)
+    p_sparql.add_argument(
+        "--json-limit", type=int, default=10000,
+        help="row cap for the one-document json format",
+    )
+    p_sparql.add_argument(
         "--explain",
         action="store_true",
         help="print the physical plan instead of executing",
@@ -605,6 +617,19 @@ def main(argv: list[str] | None = None) -> int:
         if args.explain:
             df.explain("formatted")
             return 0
+        if args.results:
+            if not args.results_out:
+                raise SystemExit("--results needs --results-out")
+            from rdfproject_msc_spark.sparql import results as RES
+
+            if args.results == "csv":
+                RES.write_results_csv(df, args.results_out)
+            elif args.results == "tsv":
+                RES.write_results_tsv(df, args.results_out)
+            else:
+                doc = RES.results_json(df, limit=args.json_limit)
+                with open(args.results_out, "w") as fh:
+                    fh.write(doc)
         _emit(df, args)
         return 0
 

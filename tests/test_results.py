@@ -112,3 +112,33 @@ def test_write_results_tsv_round_trip(eng, tmp_path):
     )
     header = [l for l in lines if l.startswith("?s")]
     assert header and header[0] == "?s\t?o"
+
+
+def test_cli_sparql_results_formats(spark, tmp_path, eng):
+    """CLI: --results json/tsv write the W3C formats alongside the
+    console output."""
+    from rdfproject_msc_spark.cli import main
+
+    store, dct = str(tmp_path / "store"), str(tmp_path / "dict")
+    eng.save(store, dict_path=dct)
+    jpath = str(tmp_path / "res.json")
+    rc = main(
+        ["sparql", "--store", store, "--dict", dct,
+         "--dict-format", "parquet", "--layout", "single",
+         "--query", "SELECT ?s ?o WHERE { ?s <urn:name> ?o }",
+         "--decode", "--results", "json", "--results-out", jpath]
+    )
+    assert rc == 0
+    doc = json.loads(open(jpath).read())
+    assert doc["head"]["vars"] == ["s", "o"]
+    assert len(doc["results"]["bindings"]) == 2
+    tdir = str(tmp_path / "res_tsv")
+    rc = main(
+        ["sparql", "--store", store, "--dict", dct,
+         "--dict-format", "parquet", "--layout", "single",
+         "--query", "SELECT ?s ?o WHERE { ?s <urn:name> ?o }",
+         "--decode", "--results", "tsv", "--results-out", tdir]
+    )
+    assert rc == 0
+    lines = _read_parts(tdir + "/part-*.csv")
+    assert any(l.startswith("?s") for l in lines)

@@ -74,12 +74,6 @@ def _term_kind(term: str) -> dict:
     return {"type": "literal", "value": term}
 
 
-def _csv_form(term: str) -> str:
-    """The CSV results profile: plain string forms — IRI brackets
-    dropped, literal quoting/escapes undone, tags/datatypes dropped."""
-    return _term_kind(term)["value"]
-
-
 def write_results_csv(df: DataFrame, path: str) -> None:
     """SPARQL 1.1 results CSV (distributed text write): header = the
     projection variables, cells = plain string forms, unbound = empty.

@@ -613,7 +613,18 @@ def main(argv: list[str] | None = None) -> int:
                 )
         if args.term_style:
             eng.term_style = args.term_style
-        df = eng.sparql(args.query, decode=args.decode)
+        decode = args.decode
+        if args.results and not decode:
+            # a W3C results document of raw dictionary ids is never a
+            # valid serialization of the actual terms: auto-decode when
+            # a dictionary is present, refuse otherwise
+            if eng.dictionary is None:
+                raise SystemExit(
+                    "--results serializes TERMS, not dictionary ids: "
+                    "pass --dict-path (or --decode with a dictionary)"
+                )
+            decode = True
+        df = eng.sparql(args.query, decode=decode)
         if args.explain:
             df.explain("formatted")
             return 0

@@ -294,8 +294,13 @@ def parse_turtle(
                     )
                 if text[i : i + 2] == "_:":
                     m = _PNAME.match(text, i)
-                    i = m.end()
-                    return m.group(0)
+                    tok = m.group(0)
+                    # the statement terminator can sit flush against a
+                    # blank-node label (`_:b1.`) — same strip as pnames
+                    while tok.endswith("."):
+                        tok = tok[:-1]
+                    i += len(tok)
+                    return tok
                 m = _PNAME.match(text, i)
                 if not m:
                     err(f"unexpected character {c!r}")
@@ -374,8 +379,13 @@ def parse_turtle(
                 skip_ws()
                 if i >= n:
                     break
+                # SPARQL-style directives must be followed by whitespace
+                # (or a comment): `prefix:foo :p :o .` is a legal
+                # statement whose subject uses a prefix literally named
+                # "prefix", not a directive — a bare \b would match at
+                # the ':' boundary and misparse it
                 if text[i] == "@" or _re.match(
-                    r"(?:PREFIX|BASE)\b", text[i:], _re.I
+                    r"(?:PREFIX|BASE)(?=[\s#])", text[i:], _re.I
                 ):
                     at_form = text[i] == "@"
                     m = _re.match(

@@ -84,16 +84,16 @@ def write_results_csv(df: DataFrame, path: str) -> None:
         v = F.col(c).cast("string")
         # strip <>-brackets; unquote plain/tagged/typed literal bodies
         body = F.regexp_extract(v, r'^"((?:[^"\\]|\\.)*)"', 1)
-        unescaped = F.when(
-            v.startswith('"'),
-            F.regexp_replace(
-                F.regexp_replace(
-                    F.regexp_replace(body, r"\\n", "\n"), r"\\t", "\t"
-                ),
-                r'\\(["\\])',
-                r"$1",
-            ),
-        ).otherwise(
+        # sentinel-swap order (same as _term_kind): park escaped
+        # backslashes FIRST so a literal-backslash-then-n ("a\\nb",
+        # value a\nb) is not corrupted into a real newline, then the
+        # control escapes, then restore the parked backslashes
+        u = F.regexp_replace(body, r"\\\\", "\x00")
+        for esc, ch in ((r"\\n", "\n"), (r"\\t", "\t"), (r"\\r", "\r"),
+                        (r'\\"', '"')):
+            u = F.regexp_replace(u, esc, ch)
+        u = F.regexp_replace(u, "\x00", "\\\\")
+        unescaped = F.when(v.startswith('"'), u).otherwise(
             F.when(
                 v.startswith("<") & v.endswith(">"),
                 F.expr(f"substring({c}, 2, length({c}) - 2)"),

@@ -98,6 +98,27 @@ def test_write_results_csv(eng, tmp_path):
     assert body == sorted(['urn:a,"Al""ice"', "urn:b,Bob"])
 
 
+def test_write_results_csv_backslash_escape_order(spark, tmp_path):
+    """An NT literal with an ESCAPED backslash followed by 'n'/'t'/'r'
+    ("a\\\\nb", value a\\nb — literal backslash then the letter) must
+    not be corrupted into a control character: escaped backslashes park
+    in a sentinel before \\n/\\t/\\r unescape (same order _term_kind
+    uses), and \\r IS unescaped."""
+    df = spark.createDataFrame(
+        [('"a\\\\nb"',), ('"x\\ry"',), ('"p\\\\tq"',)], ["o"]
+    )
+    out = str(tmp_path / "csv")
+    write_results_csv(df, out)
+    raw = "".join(
+        open(f, newline="").read()
+        for f in sorted(glob.glob(out + "/part-*.csv"))
+    )
+    assert "a\\nb" in raw  # literal backslash + n survives
+    assert "p\\tq" in raw
+    assert "x\ry" in raw  # \r unescaped to a real CR
+    assert "a\nb" not in raw.replace("a\\nb", "")
+
+
 def test_write_results_tsv_round_trip(eng, tmp_path):
     df = eng.sparql(
         "SELECT ?s ?o WHERE { ?s <urn:name> ?o }", decode=True
@@ -142,3 +163,31 @@ def test_cli_sparql_results_formats(spark, tmp_path, eng):
     assert rc == 0
     lines = _read_parts(tdir + "/part-*.csv")
     assert any(l.startswith("?s") for l in lines)
+
+
+def test_cli_results_auto_decodes_or_refuses(spark, tmp_path, eng):
+    """--results without --decode: auto-decode when a dictionary is
+    loaded (a results document of integer ids is never a valid term
+    serialization); refuse when there is no dictionary at all."""
+    from rdfproject_msc_spark.cli import main
+
+    store, dct = str(tmp_path / "store"), str(tmp_path / "dict")
+    eng.save(store, dict_path=dct)
+    jpath = str(tmp_path / "auto.json")
+    rc = main(
+        ["sparql", "--store", store, "--dict", dct,
+         "--dict-format", "parquet", "--layout", "single",
+         "--query", "SELECT ?s ?o WHERE { ?s <urn:name> ?o }",
+         "--results", "json", "--results-out", jpath]
+    )
+    assert rc == 0
+    doc = json.loads(open(jpath).read())
+    vals = {b["s"]["value"] for b in doc["results"]["bindings"]}
+    assert vals == {"urn:a", "urn:b"}  # terms, not dictionary ids
+    with pytest.raises(SystemExit, match="TERMS"):
+        main(
+            ["sparql", "--store", store, "--layout", "single",
+             "--query", "SELECT ?s WHERE { ?s <urn:name> ?o }",
+             "--results", "json",
+             "--results-out", str(tmp_path / "never.json")]
+        )

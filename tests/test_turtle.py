@@ -138,6 +138,43 @@ def test_reject_shapes(spark, tmp_path, body, msg):
         parse_turtle(spark, str(p), on_error="fail").collect()
 
 
+def test_bnode_object_flush_against_dot(spark, tmp_path):
+    """A labeled blank node flush against the statement terminator
+    (`ex:s ex:p _:b1.`) parses — the '.' is the terminator, not part of
+    the label (BLANK_NODE_LABEL cannot end in '.')."""
+    (tmp_path / "b.ttl").write_text(
+        "@prefix ex: <http://ex.org/> .\n"
+        "ex:s ex:p _:b1.\n"
+        "_:b1 ex:name \"n\".\n"
+    )
+    got = rows(parse_turtle(spark, str(tmp_path / "b.ttl"), on_error="fail"))
+    assert got == sorted(
+        [
+            ("<http://ex.org/s>", "<http://ex.org/p>", "_:b1"),
+            ("_:b1", "<http://ex.org/name>", '"n"'),
+        ]
+    )
+
+
+def test_prefix_named_prefix_is_not_a_directive(spark, tmp_path):
+    """A statement whose subject uses a prefix literally named 'prefix'
+    or 'base' is a statement, not a directive (the keyword must be
+    followed by whitespace)."""
+    (tmp_path / "p.ttl").write_text(
+        "@prefix prefix: <http://p.org/> .\n"
+        "@prefix base: <http://b.org/> .\n"
+        "prefix:foo base:bar prefix:baz .\n"
+        "base:x base:y base:z .\n"
+    )
+    got = rows(parse_turtle(spark, str(tmp_path / "p.ttl"), on_error="fail"))
+    assert got == sorted(
+        [
+            ("<http://p.org/foo>", "<http://b.org/bar>", "<http://p.org/baz>"),
+            ("<http://b.org/x>", "<http://b.org/y>", "<http://b.org/z>"),
+        ]
+    )
+
+
 def test_sparql_prefix_form_directives(spark, tmp_path):
     """SPARQL-style PREFIX/BASE (no '@', no trailing dot) also parse."""
     (tmp_path / "p.ttl").write_text(

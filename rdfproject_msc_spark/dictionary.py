@@ -82,8 +82,16 @@ class Dictionary:
 
         Column ``c`` becomes string column ``c`` (term); unmatched ids decode
         to NULL (left join), matching the reference's map.get() semantics.
+        Non-integer columns (STR/LANG/aggregate BIND targets — already
+        VALUES, not ids) pass through untouched: joining the dictionary on
+        them would be a silent mis-decode (and an ANSI cast error first).
         """
-        columns = columns or df.columns
+        integral = {
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName() in ("long", "integer", "short", "byte")
+        }
+        columns = [c for c in (columns or df.columns) if c in integral]
         out = df
         for c in columns:
             d = self._dict_side().withColumnRenamed("id", f"__id_{c}").withColumnRenamed(

@@ -557,6 +557,10 @@ class BGPQuery:
     # ('term', text) | ('id', int), resolved like pattern constants.
     dataset_default: tuple[tuple[str, object], ...] = ()
     dataset_named: tuple[tuple[str, object], ...] = ()
+    # the constant-normalization style this query was parsed under
+    # (see _TERM_STYLE) — recorded so the PLANNER can pick the matching
+    # value semantics (lexical stores derive STR values from term text)
+    term_style: str = "localized"
 
     # ---- flat-view accessors: the ROOT group's content, kept so code and
     # tests written against the pre-recursive flat representation keep
@@ -811,6 +815,10 @@ def _classify_filter_literal(tok: str, src: str):
                        canon being the canonical dictionary text
     """
     if "^^" not in tok:
+        if _TERM_STYLE.get() == "lexical":
+            # lexical-form dictionaries store plain literals QUOTED with
+            # their source bytes — term identity compares that exact text
+            return ("text", tok)
         return ("text", _unescape(tok[1:-1]))
     body, dt = tok.rsplit("^^", 1)
     lex = _unescape(body[1:-1])
@@ -821,6 +829,11 @@ def _classify_filter_literal(tok: str, src: str):
                 f"bad FILTER expression {src!r}: integer-typed literal "
                 f"with non-integer lexical form {lex!r}"
             )
+        if _TERM_STYLE.get() == "lexical":
+            # ids are lexicographic ranks in a built dictionary, so an
+            # integer-typed literal compares by numeric VALUE (§17.3),
+            # never as a raw id
+            return ("vnum", float(lex))
         return ("int", int(lex))
     if local in _NUM_VAL_DATATYPES:
         try:
@@ -845,6 +858,16 @@ def _classify_filter_literal(tok: str, src: str):
                 f"{lex!r}"
             )
         return ("vdt", lex)
+    if _TERM_STYLE.get() == "lexical":
+        if dt.startswith("<") and dt.endswith(">"):
+            # full-IRI datatype: the canonical lexical term keeps the
+            # body's source bytes and the '^^<iri>' verbatim
+            return ("text", f"{body}^^{dt}")
+        raise SparqlSyntaxError(
+            f"bad FILTER expression {src!r}: on a lexical store a "
+            "typed-literal term equality needs the datatype as a full "
+            f"<iri> (prefixed name {dt!r} cannot be expanded here)"
+        )
     return ("text", f'"{lex}"^^{local}')
 
 
@@ -1477,6 +1500,9 @@ def _parse_filter_expr(src: str):
                 f"bad FILTER expression {src!r}: term equality takes a "
                 f"string literal, got {lit!r}"
             )
+        if _TERM_STYLE.get() == "lexical":
+            # the stored term is the QUOTED source-bytes form
+            return ("streq", var_tok[1:], lit, op == "!=")
         return ("streq", var_tok[1:], _unescape(lit[1:-1]), op == "!=")
 
     def comparison():
@@ -1815,8 +1841,11 @@ def _parse_filter_expr(src: str):
                 "strcase", fn, v, _unescape(lit[1:-1]), op == "!=", has_str
             )
         if lhs.lower() == "str" and peek() == "(":
-            # STR(?x) = "literal" (§17.4.2.5 wrapper + term equality): ids
-            # ARE term references here, so STR-of-var compares the term
+            # STR(?x) = "literal": localized = term equality (§17.4.2.5
+            # wrapper over the term model, id pushdown); lexical = a
+            # string comparison over the DERIVED STR value (so "Bob"
+            # matches '"Bob"', '"Bob"@en' and '<Bob>' alike — the spec's
+            # simple-literal comparison, not raw term text)
             take("(")
             v = take()
             if not v.startswith(("?", "$")):
@@ -1829,6 +1858,17 @@ def _parse_filter_expr(src: str):
                 raise SparqlSyntaxError(
                     f"bad FILTER expression {src!r}: STR() comparisons "
                     f"support = and != only, got {peek()!r}"
+                )
+            if _TERM_STYLE.get() == "lexical":
+                op = take()
+                lit = take()
+                if not (lit.startswith('"') and lit.endswith('"')):
+                    raise SparqlSyntaxError(
+                        f"bad FILTER expression {src!r}: STR() compares "
+                        f"against a string literal, got {lit!r}"
+                    )
+                return (
+                    "strexprcmp", ("sof", v[1:]), op, _unescape(lit[1:-1])
                 )
             return streq_rhs(v)
         if _DEC_RE.fullmatch(lhs):
@@ -1908,6 +1948,18 @@ def _parse_filter_expr(src: str):
         # legacy leaf shape when both sides are simple (the form every
         # existing consumer and test pins): (var, op, ('num'|'var', x))
         if l_expr[0] == "var" and r_expr[0] in ("num", "var"):
+            if (
+                _TERM_STYLE.get() == "lexical"
+                and r_expr[0] == "var"
+                and op not in ("=", "!=")
+            ):
+                raise SparqlSyntaxError(
+                    f"bad FILTER expression {src!r}: on a lexical store "
+                    "an ordered variable-variable comparison would "
+                    "compare rank-assigned dictionary ids (meaningless "
+                    "order); compare each variable against typed "
+                    "constants, or use xsd:T(?x) cast comparisons"
+                )
             return (l_expr[1], op, r_expr)
         return ("cmp", l_expr, op, r_expr)
 
@@ -1985,6 +2037,24 @@ def filter_expr_strfn_vars(node) -> set[str]:
     if node[0] == "not":
         return filter_expr_strfn_vars(node[1])
     return filter_expr_strfn_vars(node[1]) | filter_expr_strfn_vars(node[2])
+
+
+def filter_expr_barecmp_vars(node) -> set[str]:
+    """Variables compared against a BARE numeric constant
+    (`?x > 40` — the legacy id-comparison leaf). Under
+    ``term_style="lexical"`` the planner evaluates these by typed
+    numeric VALUE (ids are lexicographic ranks there), which needs the
+    term attach this collector drives; localized plans never call it."""
+    if isinstance(node[1], str) and node[1] in _CMP_OPS:
+        var, _, rhs = node
+        return {var} if rhs[0] == "num" else set()
+    if node[0] == "not":
+        return filter_expr_barecmp_vars(node[1])
+    if len(node) == 3 and node[0] in ("and", "or"):
+        return filter_expr_barecmp_vars(node[1]) | filter_expr_barecmp_vars(
+            node[2]
+        )
+    return set()
 
 
 def filter_expr_term_vars(node) -> set[str]:
@@ -3089,7 +3159,11 @@ def parse_sparql(
                 "DESCRIBE with variables needs a WHERE group "
                 "(DESCRIBE ?x WHERE { ... }), one variable only"
             )
-        return BGPQuery(projection=None, describe_terms=slots)
+        return BGPQuery(
+            projection=None,
+            describe_terms=slots,
+            term_style=_TERM_STYLE.get(),
+        )
     am = _ASK.match(query)
     cm = _CONSTRUCT.match(query) if not am else None
     if dv:
@@ -3836,4 +3910,5 @@ def parse_sparql(
         agg_exprs=tuple(agg_exprs),
         dataset_default=tuple(dataset_default),
         dataset_named=tuple(dataset_named),
+        term_style=_TERM_STYLE.get(),
     )

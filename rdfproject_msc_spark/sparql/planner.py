@@ -24,6 +24,7 @@ predicate-clustered.
 
 from __future__ import annotations
 
+import contextvars
 import itertools
 import re
 from functools import reduce
@@ -46,6 +47,7 @@ from rdfproject_msc_spark.sparql.parser import (
     _walk_groups,
     arith_expr_vars,
     strexpr_vars,
+    filter_expr_barecmp_vars,
     filter_expr_streq_literals,
     filter_expr_strfn_vars,
     filter_expr_vars,
@@ -62,6 +64,128 @@ _OPS = {
     ">": lambda a, b: a > b,
     ">=": lambda a, b: a >= b,
 }
+
+
+# The term style the CURRENT plan compiles under (set by plan_bgp from
+# the parsed query's recorded style). Kind classification below is
+# style-free (the conventions are disjoint), but VALUE semantics are
+# not: on a "lexical" store STR()/string functions must evaluate the
+# unquoted, unescaped lexical form (§17.4.2.5) and bare numeric
+# comparisons must evaluate typed VALUES — raw ids are lexicographic
+# ranks there, so id arithmetic would be silently meaningless.
+_ACTIVE_STYLE = contextvars.ContextVar("plan_term_style", default="localized")
+
+
+def _nt_unescape(c: Column) -> Column:
+    """Unescape an N-Triples string body (column form of the ECHAR +
+    UCHAR productions): park escaped backslashes in a sentinel FIRST
+    (so '\\\\n' — literal backslash then n — survives), resolve the
+    control escapes, then \\uXXXX/\\UXXXXXXXX via hex → UTF-16 code
+    units (JVM charset decode — no Python). Evaluated over dictionary
+    term text; the \\u path is guarded so escape-free strings pay one
+    contains() only."""
+    u = F.regexp_replace(c, r"\\\\", "\x00")
+    for esc, ch in (
+        (r"\\n", "\n"), (r"\\t", "\t"), (r"\\r", "\r"),
+        (r"\\b", "\b"), (r"\\f", "\f"), (r'\\"', '"'), (r"\\'", "'"),
+    ):
+        u = F.regexp_replace(u, esc, ch)
+
+    def _decode_unit(e: Column) -> Column:
+        # one split element, possibly starting with \uXXXX or \UXXXXXXXX
+        hex4 = F.substring(e, 3, 4)
+        hex8 = F.substring(e, 3, 8)
+        cp = F.conv(hex8, 16, 10).cast("long")
+        # astral code point → UTF-16 surrogate pair, else the unit itself
+        hi = (F.lit(0xD800) + ((cp - 0x10000) / 1024).cast("long")).cast("long")
+        lo = (F.lit(0xDC00) + ((cp - 0x10000) % 1024)).cast("long")
+        pair = F.when(
+            cp > 0xFFFF,
+            F.concat(
+                F.lpad(F.hex(hi), 4, "0"), F.lpad(F.hex(lo), 4, "0")
+            ),
+        ).otherwise(F.lpad(F.hex(cp), 4, "0"))
+        return (
+            F.when(
+                e.rlike(r"^\\u[0-9A-Fa-f]{4}"),
+                F.concat(
+                    F.decode(F.unhex(hex4), "UTF-16BE"),
+                    F.substring(e, 7, F.length(e)),
+                ),
+            )
+            .when(
+                e.rlike(r"^\\U[0-9A-Fa-f]{8}"),
+                F.concat(
+                    F.decode(F.unhex(pair), "UTF-16BE"),
+                    F.substring(e, 11, F.length(e)),
+                ),
+            )
+            .otherwise(e)
+        )
+
+    with_u = F.array_join(
+        F.transform(F.split(u, r"(?=\\[uU])"), _decode_unit), ""
+    )
+    u = F.when(u.contains("\\u") | u.contains("\\U"), with_u).otherwise(u)
+    return F.regexp_replace(u, "\x00", "\\\\")
+
+
+def _lex_str_value(idc: Column, t: Column) -> Column:
+    """STR(?x) per §17.4.2.5 over LEXICAL-form term text: an IRI's
+    codepoints without the angle brackets, a literal's unquoted +
+    unescaped lexical form (tag/datatype dropped), a blank node a type
+    ERROR (NULL — STR is defined on IRIs and literals only), unbound
+    NULL. The localized convention keeps raw term text instead (the
+    reference's model, where plain literals are stored bare)."""
+    body = F.regexp_extract(t, r'^"((?:[^"\\]|\\.)*)"', 1)
+    return (
+        F.when(idc.isNull(), F.lit(None).cast("string"))
+        .when(t.isNull(), idc.cast("string"))
+        .when(t.startswith("<") & t.endswith(">"),
+              F.substring(t, 2, F.length(t) - 2))
+        .when(t.startswith('"'), _nt_unescape(body))
+        .when(t.startswith("_:"), F.lit(None).cast("string"))
+        .otherwise(t)
+    )
+
+
+def _str_of(idc: Column, t: Column) -> Column:
+    """The STR value of a term under the ACTIVE style: localized = the
+    term text (dictionary-absent id = integer literal, decimal form);
+    lexical = the §17.4.2.5 derivation above."""
+    if _ACTIVE_STYLE.get() == "lexical":
+        return _lex_str_value(idc, t)
+    return F.when(idc.isNotNull(), F.coalesce(t, idc.cast("string")))
+
+
+_SV = "__sv"  # suffix of the dictionary-side derived STR-value column
+
+
+def _dict_relation(dictionary: "Dictionary", id_name: str, term_name: str):
+    """The dictionary side of a term attach, columns renamed for the
+    join. Under the LEXICAL style it carries a third column
+    ``term_name + '__sv'`` holding the §17.4.2.5 STR value, derived on
+    the DICTIONARY side of the join (|dict| rows) — string-function
+    leaves read it instead of re-deriving per solution row (solutions
+    ≥ dict always; the unescape chain must not run per output row)."""
+    d = dictionary.df
+    if _ACTIVE_STYLE.get() == "lexical":
+        d = d.withColumn(
+            term_name + _SV, _lex_str_value(F.col("id"), F.col("term"))
+        )
+    d = d.withColumnRenamed("id", id_name).withColumnRenamed(
+        "term", term_name
+    )
+    return F.broadcast(d) if dictionary.broadcast_hint else d
+
+
+def _sv_or(termmap: dict[str, str], var: str, fallback: Column) -> Column:
+    """The STR-value column for an attached term: the dictionary-side
+    derived column under lexical style, the caller's expression
+    otherwise."""
+    if _ACTIVE_STYLE.get() == "lexical":
+        return F.col(termmap[var] + _SV)
+    return fallback
 
 
 # Term-TEXT grammar of the dictionary (see SPARQL.md), covering BOTH
@@ -146,9 +270,17 @@ def _dt_alt(local: str) -> str:
     return rf"(?::{local}|<[^>]*[/#:]{local}>)"
 
 
+# integer datatypes included: on LEXICAL stores integers are real
+# dictionary terms ('"42"^^<…#integer>'), not dictionary-absent ids —
+# without these alternatives a typed-value comparison would silently
+# type-error every integer literal there. Localized dictionaries never
+# contain integer-datatype terms (they collapse to ids at ingest), so
+# the alternatives are inert under that convention.
 _NUM_LEX_RE = (
     r'^"(-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"\^\^'
-    rf"(?:{_dt_alt('decimal')}|{_dt_alt('double')}|{_dt_alt('float')})$"
+    rf"(?:{_dt_alt('decimal')}|{_dt_alt('double')}|{_dt_alt('float')}"
+    rf"|{_dt_alt('integer')}|{_dt_alt('int')}|{_dt_alt('long')}"
+    rf"|{_dt_alt('short')}|{_dt_alt('byte')})$"
 )
 _DATE_LEX_RE = rf'^"(\d{{4}}-\d{{2}}-\d{{2}})"\^\^{_dt_alt("date")}$'
 _DT_LEX_RE = (
@@ -245,12 +377,10 @@ def _term_cast(kind: str, idc: Column, t: Column) -> Column:
             return F.ceil(v).cast("double")
         return F.floor(v + F.lit(0.5)).cast("double")
     if kind == "strlen":
-        # STRLEN of the STR value: term-text length, or the decimal-form
-        # length of an integer literal; unbound → NULL
-        return F.when(
-            idc.isNotNull(),
-            F.length(F.coalesce(t, idc.cast("string"))),
-        ).cast("long")
+        # STRLEN of the STR value: localized = term-text length (or the
+        # decimal-form length of an integer literal); lexical = length
+        # of the derived unquoted lexical form; unbound → NULL
+        return F.length(_str_of(idc, t)).cast("long")
     if kind in ("date", "dateTime"):
         typed = _term_temporal(t, "date" if kind == "date" else "dt")
         if kind == "date":
@@ -298,6 +428,12 @@ def _compile_strexpr(node, idcol, termcol, colmap=None) -> Column:
         if tc is None:
             return idcol(v)
         idc = idcol(v)
+        if _ACTIVE_STYLE.get() == "lexical":
+            # termcol() under the lexical style yields the
+            # dictionary-side DERIVED STR value — consume it verbatim
+            # (re-deriving would corrupt values that merely look like
+            # terms, e.g. a literal whose value starts with '_:')
+            return tc
         # STR(?x): term text; dictionary-absent id = integer literal
         # whose STR is its decimal form
         return F.when(
@@ -469,6 +605,24 @@ def _compile_filter(
     the same three-valued logic."""
     if isinstance(node[1], str) and node[1] in _CMP_OPS:  # comparison leaf
         var, op, rhs = node
+        if (
+            _ACTIVE_STYLE.get() == "lexical"
+            and rhs[0] == "num"
+            and termmap is not None
+            and var in termmap
+            and not colmap[var].startswith("vb_")
+        ):
+            # lexical store: ids are lexicographic ranks, so a bare
+            # numeric comparison evaluates the variable's typed numeric
+            # VALUE from the attached term text (§17.3) — integer /
+            # decimal / double / float literals match, every other kind
+            # is a type ERROR (NULL → drop). Variables WITHOUT a term
+            # attach (BIND targets, aggregate aliases) hold computed
+            # values and compare directly below.
+            return _OPS[op](
+                _term_numeric(F.col(colmap[var]), F.col(termmap[var])),
+                F.lit(float(rhs[1])),
+            )
         rhs_col = F.lit(rhs[1]) if rhs[0] == "num" else F.col(colmap[rhs[1]])
         return _OPS[op](F.col(colmap[var]), rhs_col)
     if len(node) == 4 and node[0] == "cmp":  # arithmetic comparison leaf
@@ -524,7 +678,9 @@ def _compile_filter(
             raise SparqlSyntaxError(
                 "string functions are not supported in this FILTER context"
             )
-        col = F.col(termmap[var])
+        # lexical style: evaluate over the dictionary-side derived STR
+        # value (unquoted lexical form / unbracketed IRI), not raw text
+        col = _sv_or(termmap, var, F.col(termmap[var]))
         if fn == "regex":
             # SPARQL REGEX is a partial match, exactly rlike's semantics;
             # the "i" flag becomes an inline (?i) — the one regex dialect
@@ -541,6 +697,10 @@ def _compile_filter(
             raise SparqlSyntaxError(
                 "string functions are not supported in this FILTER context"
             )
+        if _ACTIVE_STYLE.get() == "lexical":
+            # lexical store: both forms measure the dictionary-side
+            # derived STR value (blanks are type errors → NULL → drop)
+            return _OPS[op](F.length(F.col(termmap[var] + _SV)), F.lit(num))
         if has_str:
             # STRLEN(STR(?x)): every term has a lexical form — a
             # dictionary-absent id measures its decimal STR (r8)
@@ -561,7 +721,11 @@ def _compile_filter(
             raise SparqlSyntaxError(
                 "string functions are not supported in this FILTER context"
             )
-        if has_str:
+        if _ACTIVE_STYLE.get() == "lexical":
+            # lexical store: case-fold the dictionary-side derived STR
+            # value for both forms (blanks are type errors → NULL → drop)
+            sval = F.col(termmap[var] + _SV)
+        elif has_str:
             # UCASE/LCASE(STR(?x)): STR of a dictionary-absent id is its
             # decimal form (r8 — the DuckDB fuzz caught the != form
             # dropping integer literals); case-folding is identity on
@@ -593,10 +757,13 @@ def _compile_filter(
             raise SparqlSyntaxError(
                 "string functions are not supported in this FILTER context"
             )
+        lexical = _ACTIVE_STYLE.get() == "lexical"
         sc = _compile_strexpr(
             tree,
             lambda v: F.col(colmap[v]),
-            lambda v: F.col(termmap[v]),
+            # under lexical style termcol() yields the dictionary-side
+            # derived STR-value column (sof consumes it verbatim)
+            lambda v: F.col(termmap[v] + _SV if lexical else termmap[v]),
             colmap,
         )
         return _OPS[op](sc, F.lit(text))
@@ -1987,9 +2154,19 @@ def _plan_group(
         # dangling term yields NULL → the condition errors →
         # null-extension, SPARQL's error-in-F behavior.
         gflts = opt.filters
-        gstr_vars = sorted(
-            {v for expr in gflts for v in filter_expr_strfn_vars(expr)}
-        )
+        gstr_set = {
+            v for expr in gflts for v in filter_expr_strfn_vars(expr)
+        }
+        if _ACTIVE_STYLE.get() == "lexical":
+            # same bare-numeric-comparison attach rule as group filters
+            gstr_set |= {
+                v
+                for expr in gflts
+                for v in filter_expr_barecmp_vars(expr)
+                if not bound_cols.get(v, "").startswith("vb_")
+                and not gcols.get(v, "").startswith("vb_")
+            }
+        gstr_vars = sorted(gstr_set)
         gterms: dict[str, str] = {}
         if gstr_vars and dictionary is None:
             raise SparqlSyntaxError(
@@ -1997,11 +2174,7 @@ def _plan_group(
             )
         for v in gstr_vars:
             tcol = f"__oterm{gi}_{v}"
-            d = (
-                dictionary._dict_side()
-                .withColumnRenamed("id", f"__osid{gi}_{v}")
-                .withColumnRenamed("term", tcol)
-            )
+            d = _dict_relation(dictionary, f"__osid{gi}_{v}", tcol)
             if v in gcols:  # group-bound: attach to the group side
                 gdf = gdf.join(
                     d,
@@ -2137,6 +2310,7 @@ def _plan_group(
             joined = joined.drop(*[renames[gcols[v]] for v in shared])
         if gterms:
             joined = joined.drop(*gterms.values())
+            joined = joined.drop(*[c + _SV for c in gterms.values()])
         for v in gorder:
             if v not in bound_cols:
                 bound_cols[v] = renames[gcols[v]]
@@ -2205,13 +2379,13 @@ def _plan_group(
                     joined = joined.withColumn(
                         tcol, F.lit(None).cast("string")
                     )
+                    if _ACTIVE_STYLE.get() == "lexical":
+                        joined = joined.withColumn(
+                            tcol + _SV, F.lit(None).cast("string")
+                        )
                     tcols[v] = tcol
                     continue
-                d = (
-                    dictionary._dict_side()
-                    .withColumnRenamed("id", f"__ssid{bi}")
-                    .withColumnRenamed("term", tcol)
-                )
+                d = _dict_relation(dictionary, f"__ssid{bi}", tcol)
                 joined = joined.join(
                     d,
                     F.col(bound_cols[v]) == F.col(f"__ssid{bi}"),
@@ -2225,6 +2399,10 @@ def _plan_group(
             def _tc(v):
                 if v in string_targets:
                     return None  # string target IS its own STR value
+                if _ACTIVE_STYLE.get() == "lexical":
+                    # the dictionary-side derived STR value (sof/svar
+                    # consumes it verbatim under this style)
+                    return F.col(tcols[v] + _SV)
                 return F.col(tcols[v])
 
             joined = joined.withColumn(
@@ -2232,6 +2410,7 @@ def _plan_group(
             )
             if tcols or tmp_unb:
                 joined = joined.drop(*tcols.values(), *tmp_unb)
+                joined = joined.drop(*[c + _SV for c in tcols.values()])
             bound_cols[bvar] = cname
             order.append(bvar)
             nullable_vars.add(bvar)
@@ -2251,16 +2430,17 @@ def _plan_group(
                 )
             bi = ctx.nid()
             tcol = f"__bterm{bi}_{src_var}"
+            lexical = _ACTIVE_STYLE.get() == "lexical"
             if src_var in missing:
                 # outer-unbound reference: id and term are both NULL —
                 # no dictionary join needed; the fn errors → unbound
                 joined = joined.withColumn(tcol, F.lit(None).cast("string"))
+                if lexical:
+                    joined = joined.withColumn(
+                        tcol + _SV, F.lit(None).cast("string")
+                    )
             else:
-                d = (
-                    dictionary._dict_side()
-                    .withColumnRenamed("id", f"__bsid{bi}")
-                    .withColumnRenamed("term", tcol)
-                )
+                d = _dict_relation(dictionary, f"__bsid{bi}", tcol)
                 joined = joined.join(
                     d,
                     F.col(bound_cols[src_var]) == F.col(f"__bsid{bi}"),
@@ -2272,17 +2452,23 @@ def _plan_group(
                 # from the term text; uncastable kinds → NULL → unbound
                 ex = _term_cast(fn, idc, tc)
             elif fn == "str":
-                # STR(?x) (§17.4.2.5): the term's lexical text; a
-                # dictionary-absent id is an integer literal whose STR is
-                # its decimal form; unbound stays unbound
-                ex = F.when(
-                    idc.isNotNull(), F.coalesce(tc, idc.cast("string"))
+                # STR(?x) (§17.4.2.5): localized = term text
+                # (dictionary-absent id = integer literal, decimal
+                # form); lexical = the dictionary-side derived value
+                ex = (
+                    F.col(tcol + _SV)
+                    if lexical
+                    else F.when(
+                        idc.isNotNull(), F.coalesce(tc, idc.cast("string"))
+                    )
                 )
             elif fn == "lang":
                 ex = _term_lang(idc, tc)
             else:
                 ex = _term_datatype(idc, tc)
             joined = joined.withColumn(cname, ex).drop(tcol, *tmp_unb)
+            if lexical:
+                joined = joined.drop(tcol + _SV)
             bound_cols[bvar] = cname
             order.append(bvar)
             nullable_vars.add(bvar)
@@ -2741,9 +2927,21 @@ def _plan_group(
             joined = joined.withColumn(cn, F.lit(None).cast("long"))
             fmap[v] = cn
             unbound_cols.append(cn)
-        str_vars = sorted(
-            {v for expr in grp.filters for v in filter_expr_strfn_vars(expr)}
-        )
+        str_vars = {
+            v for expr in grp.filters for v in filter_expr_strfn_vars(expr)
+        }
+        if _ACTIVE_STYLE.get() == "lexical":
+            # bare numeric comparisons evaluate typed VALUES over the
+            # term text on lexical stores — attach terms for their
+            # variables too, except computed (BIND-target) columns,
+            # which hold values and compare directly
+            str_vars |= {
+                v
+                for expr in grp.filters
+                for v in filter_expr_barecmp_vars(expr)
+                if not bound_cols.get(v, "").startswith("vb_")
+            }
+        str_vars = sorted(str_vars)
         termmap: dict[str, str] = {}
         if (
             any(v in bound_cols for v in str_vars)
@@ -2752,18 +2950,19 @@ def _plan_group(
             raise SparqlSyntaxError(
                 "string-function FILTERs need a dictionary to resolve terms"
             )
+        lexical = _ACTIVE_STYLE.get() == "lexical"
         for v in str_vars:
             fi = ctx.nid()
             if v not in bound_cols:  # unbound: its term is NULL too
                 cn = f"__unbt{fi}_{v}"
                 joined = joined.withColumn(cn, F.lit(None).cast("string"))
+                if lexical:
+                    joined = joined.withColumn(
+                        cn + _SV, F.lit(None).cast("string")
+                    )
                 termmap[v] = cn
                 continue
-            d = (
-                dictionary._dict_side()
-                .withColumnRenamed("id", f"__sid{fi}_{v}")
-                .withColumnRenamed("term", f"__term{fi}_{v}")
-            )
+            d = _dict_relation(dictionary, f"__sid{fi}_{v}", f"__term{fi}_{v}")
             joined = joined.join(
                 d, F.col(bound_cols[v]) == F.col(f"__sid{fi}_{v}"), "left"
             ).drop(f"__sid{fi}_{v}")
@@ -2777,6 +2976,7 @@ def _plan_group(
             )
         if termmap:
             joined = joined.drop(*termmap.values())
+            joined = joined.drop(*[c + _SV for c in termmap.values()])
         if unbound_cols:
             joined = joined.drop(*unbound_cols)
 
@@ -2846,6 +3046,16 @@ def plan_bgp(
     store: TripleStore, bgp: BGPQuery, dictionary: Dictionary | None = None
 ) -> DataFrame:
     """Compose the BGP into a single DataFrame of variable bindings (ids)."""
+    token = _ACTIVE_STYLE.set(bgp.term_style)
+    try:
+        return _plan_bgp(store, bgp, dictionary)
+    finally:
+        _ACTIVE_STYLE.reset(token)
+
+
+def _plan_bgp(
+    store: TripleStore, bgp: BGPQuery, dictionary: Dictionary | None = None
+) -> DataFrame:
     term_ids = _encode_constants(bgp, dictionary)
     store = _dataset_scoped_store(store, bgp, term_ids)
 
@@ -3002,11 +3212,7 @@ def plan_bgp(
                 "resolve terms"
             )
         for i, v in enumerate(sorted(str_keys)):
-            d = (
-                dictionary._dict_side()
-                .withColumnRenamed("id", f"__osid{i}")
-                .withColumnRenamed("term", f"__oterm{i}")
-            )
+            d = _dict_relation(dictionary, f"__osid{i}", f"__oterm{i}")
             joined = joined.join(
                 d, F.col(bound_cols[v]) == F.col(f"__osid{i}"), "left"
             ).drop(f"__osid{i}")
@@ -3015,7 +3221,12 @@ def plan_bgp(
         def _key_col(k):
             if isinstance(k, tuple):
                 if k[0] == "str":
-                    return F.col(str_cols[k[1]])
+                    # sort by the style's STR value: localized = the
+                    # decoded term text (dangling id sorts NULL — the
+                    # r6 pin); lexical = the dictionary-side derived
+                    # unquoted form, so literal order does not hinge
+                    # on the quoting character
+                    return _sv_or(str_cols, k[1], F.col(str_cols[k[1]]))
                 if k[0] == "cast":
                     # cast-VALUE sort key: numeric/date ordering over
                     # typed literals (uncastable kinds sort as NULL)
@@ -3134,11 +3345,7 @@ def _plan_grouped(
             "STR(...) aggregates need a dictionary to resolve terms"
         )
     for i, v in enumerate(str_args):
-        d = (
-            dictionary._dict_side()
-            .withColumnRenamed("id", f"__gsid{i}")
-            .withColumnRenamed("term", f"__gterm{i}")
-        )
+        d = _dict_relation(dictionary, f"__gsid{i}", f"__gterm{i}")
         joined = joined.join(
             d, F.col(bound_cols[v]) == F.col(f"__gsid{i}"), "left"
         ).drop(f"__gsid{i}")
@@ -3154,11 +3361,17 @@ def _plan_grouped(
             if isinstance(var, tuple) and var[0] == "str":
                 idc = F.col(bound_cols[var[1]])
                 tc = F.col(strcols[var[1]])
-                # STR value: term text; dictionary-absent id = integer
-                # literal in decimal form; unbound stays NULL (skipped
-                # by the null-skipping aggregates, per §11's card[...])
-                col = F.when(
-                    idc.isNotNull(), F.coalesce(tc, idc.cast("string"))
+                # STR value: localized = term text (absent id = decimal
+                # form), lexical = the dictionary-side derived column;
+                # unbound stays NULL (skipped by the null-skipping
+                # aggregates, per §11's error-removing cardinality rule)
+                col = _sv_or(
+                    strcols,
+                    var[1],
+                    F.when(
+                        idc.isNotNull(),
+                        F.coalesce(tc, idc.cast("string")),
+                    ),
                 )
             elif isinstance(var, tuple):
                 col = _compile_arith(var[1], bound_cols)
@@ -3232,11 +3445,7 @@ def _plan_grouped(
                 "terms"
             )
         for i, v in enumerate(str_vars):
-            d = (
-                dictionary._dict_side()
-                .withColumnRenamed("id", f"__hsid{i}")
-                .withColumnRenamed("term", f"__hterm{i}")
-            )
+            d = _dict_relation(dictionary, f"__hsid{i}", f"__hterm{i}")
             out = out.join(
                 d, F.col(out_map[v]) == F.col(f"__hsid{i}"), "left"
             ).drop(f"__hsid{i}")
@@ -3245,6 +3454,7 @@ def _plan_grouped(
             out = out.filter(_compile_filter(expr, out_map, tmap, litids))
         if tmap:
             out = out.drop(*tmap.values())
+            out = out.drop(*[c + _SV for c in tmap.values()])
     if defer_projection:
         # an ORDER BY expression over the grouped output needs the hidden
         # aggregate columns — the caller sorts, then projects

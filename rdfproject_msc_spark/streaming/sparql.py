@@ -162,32 +162,53 @@ def _pattern_stream(
         # stateless per micro-batch (the static dictionary broadcast is
         # reused across triggers), exactly the batch planner's strfn
         # strategy applied to the delta
-        strvars = sorted(
-            {
+        strset = {
+            v for expr in grp.filters for v in filter_expr_strfn_vars(expr)
+        }
+        if bgp.term_style == "lexical":
+            # bare numeric comparisons derive typed VALUES on lexical
+            # stores (planner r10) — their variables need terms too
+            from rdfproject_msc_spark.sparql.parser import (
+                filter_expr_barecmp_vars,
+            )
+
+            strset |= {
                 v
                 for expr in grp.filters
-                for v in filter_expr_strfn_vars(expr)
+                for v in filter_expr_barecmp_vars(expr)
             }
+        strvars = sorted(strset)
+        # attach + compile under the style the pattern was parsed with
+        # (lexical stores derive STR/numeric values from term text,
+        # dictionary-side — planner r10)
+        from rdfproject_msc_spark.sparql.planner import (
+            _SV,
+            _ACTIVE_STYLE,
+            _dict_relation,
         )
-        termmap: dict[str, str] | None = None
-        if strvars:
-            termmap = {}
-            for i, v in enumerate(strvars):
-                d = (
-                    dictionary._dict_side()
-                    .withColumnRenamed("id", f"__fsid{i}")
-                    .withColumnRenamed("term", f"__fterm{i}")
+
+        token = _ACTIVE_STYLE.set(bgp.term_style)
+        try:
+            termmap: dict[str, str] | None = None
+            if strvars:
+                termmap = {}
+                for i, v in enumerate(strvars):
+                    d = _dict_relation(dictionary, f"__fsid{i}", f"__fterm{i}")
+                    sdf = sdf.join(
+                        F.broadcast(d),
+                        F.col(v) == F.col(f"__fsid{i}"),
+                        "left",
+                    ).drop(f"__fsid{i}")
+                    termmap[v] = f"__fterm{i}"
+            for expr in grp.filters:
+                sdf = sdf.filter(
+                    _compile_filter(expr, colmap, termmap, litids)
                 )
-                sdf = sdf.join(
-                    F.broadcast(d),
-                    F.col(v) == F.col(f"__fsid{i}"),
-                    "left",
-                ).drop(f"__fsid{i}")
-                termmap[v] = f"__fterm{i}"
-        for expr in grp.filters:
-            sdf = sdf.filter(_compile_filter(expr, colmap, termmap, litids))
+        finally:
+            _ACTIVE_STYLE.reset(token)
         if termmap:
             sdf = sdf.drop(*termmap.values())
+            sdf = sdf.drop(*[c + _SV for c in termmap.values()])
     return sdf, var_order
 
 

@@ -797,9 +797,7 @@ def test_iri_and_strdt_constructors_lexical(spark, tmp_path):
     )
     eng = Engine(spark).load_triples(str(nt), fmt="nt")
     # IRI over a computed string: must produce the stored '<http://e/b>'
-    # form (string-function inputs here are query constants — variable
-    # STR() values on lexical stores are the documented raw-term-text
-    # caveat, SPARQL.md)
+    # form (string-function inputs here are query constants)
     got = eng.sparql(
         'SELECT ?u WHERE { ?s <http://e/p> ?o . '
         'BIND(IRI(CONCAT("http://e/", "b")) AS ?u) }',
@@ -812,3 +810,207 @@ def test_iri_and_strdt_constructors_lexical(spark, tmp_path):
     assert [r["t"] for r in got] == [
         '"a"^^<http://www.w3.org/2001/XMLSchema#token>'
     ]
+
+
+LEX_STR_NT = (
+    '<http://e/a> <http://e/name> "Bob" .\n'
+    '<http://e/b> <http://e/name> "Bob"@en .\n'
+    '<http://e/c> <http://e/name> "Alice" .\n'
+    '<http://e/d> <http://e/name> "say \\"hi\\"\\tnow" .\n'
+    '<http://e/a> <http://e/age> '
+    '"42"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+    '<http://e/b> <http://e/age> '
+    '"39"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+    '<http://e/c> <http://e/age> '
+    '"40.5"^^<http://www.w3.org/2001/XMLSchema#decimal> .\n'
+    '_:blank <http://e/name> "Hidden Bob" .\n'
+)
+
+# §17.4.2.5 STR over lexical term text, as DuckDB SQL (the ECHAR subset
+# this fixture uses): IRIs drop their brackets, literals unquote +
+# unescape (escaped backslashes parked in a sentinel first), blank
+# nodes are type errors (NULL)
+DUCK_STRVAL = r"""
+CASE
+  WHEN o_term LIKE '<%' THEN substr(o_term, 2, length(o_term) - 2)
+  WHEN o_term LIKE '"%' THEN
+    replace(replace(replace(replace(replace(replace(
+      regexp_extract(o_term, '^"((?:[^"\\]|\\.)*)"', 1),
+      '\\', chr(1)), '\n', chr(10)), '\t', chr(9)), '\r', chr(13)),
+      '\"', '"'), chr(1), '\')
+  ELSE NULL
+END
+"""
+
+
+def _lex_eng_and_duck(spark, tmp_path):
+    nt = tmp_path / "strsem.nt"
+    nt.write_text(LEX_STR_NT)
+    eng = Engine(spark).load_triples(str(nt), fmt="nt")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(s_term VARCHAR, p_term VARCHAR, o_term VARCHAR)")
+    rows = [
+        tuple(r)
+        for r in parse_ntriples(spark, str(nt), on_error="fail").collect()
+    ]
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    return eng, con
+
+
+def test_lexical_str_semantics_duckdb_twin(spark, tmp_path):
+    """String functions over variables on a LEXICAL store evaluate the
+    spec STR value (§17.4.2.5: unquoted, unescaped lexical form; IRIs
+    without brackets; blank nodes are type errors) — each query checked
+    against a DuckDB twin computing the same derivation in SQL over the
+    parsed term relation. Replaces the r9 raw-term-text caveat."""
+    eng, con = _lex_eng_and_duck(spark, tmp_path)
+
+    def spark_q(filt):
+        return sorted(
+            r[0]
+            for r in eng.sparql(
+                "SELECT ?s WHERE { ?s <http://e/name> ?x . "
+                f"FILTER({filt}) }}",
+                decode=True,
+            ).collect()
+        )
+
+    def duck_q(pred):
+        return sorted(
+            r[0]
+            for r in con.execute(
+                "SELECT s_term FROM "
+                f"(SELECT s_term, {DUCK_STRVAL} AS v FROM t "
+                "WHERE p_term = '<http://e/name>') "
+                f"WHERE {pred}"
+            ).fetchall()
+        )
+
+    cases = [
+        ('STR(?x) = "Bob"', "v = 'Bob'"),
+        ('STR(?x) != "Bob"', "v <> 'Bob'"),
+        ('CONTAINS(STR(?x), "ob")', "contains(v, 'ob')"),
+        ('STRSTARTS(STR(?x), "Bo")', "starts_with(v, 'Bo')"),
+        ('STRENDS(STR(?x), "ce")', "suffix(v, 'ce')"),
+        ('REGEX(STR(?x), "^B.b$")', "regexp_matches(v, '^B.b$')"),
+        ("STRLEN(STR(?x)) = 3", "length(v) = 3"),
+        ('UCASE(STR(?x)) = "BOB"', "upper(v) = 'BOB'"),
+        ('CONTAINS(STR(?x), "\\"hi\\"")', "contains(v, '\"hi\"')"),
+    ]
+    for sparql_f, duck_p in cases:
+        got, want = spark_q(sparql_f), duck_q(duck_p)
+        assert got == want, (sparql_f, got, want)
+    # escaped-tab literal: the DERIVED value holds a real tab
+    assert spark_q("STRLEN(STR(?x)) = 12") == duck_q("length(v) = 12")
+    # STR over a BLANK NODE is a type error (§17.4.2.5 defines STR on
+    # IRIs and literals only): the _:blank subject drops, IRIs match —
+    # and STR of an IRI is its codepoints WITHOUT the angle brackets
+    got = sorted(
+        r[0]
+        for r in eng.sparql(
+            "SELECT ?s WHERE { ?s <http://e/name> ?x . "
+            'FILTER(STRSTARTS(STR(?s), "http")) }',
+            decode=True,
+        ).collect()
+    )
+    assert got == sorted(
+        r[0]
+        for r in con.execute(
+            "SELECT s_term FROM t WHERE p_term = '<http://e/name>' "
+            "AND s_term LIKE '<http%'"
+        ).fetchall()
+    )
+    assert "_:blank" not in got and len(got) == 4
+
+
+def test_lexical_numeric_value_comparisons_duckdb_twin(spark, tmp_path):
+    """Bare and integer-typed numeric FILTERs on a lexical store compare
+    typed VALUES derived from the term text (§17.3) — never the
+    rank-assigned ids (the r9 id-as-value caveat, deleted). Integer,
+    decimal and mixed comparisons agree with a DuckDB twin casting the
+    extracted lexicals."""
+    eng, con = _lex_eng_and_duck(spark, tmp_path)
+
+    def spark_q(filt):
+        return sorted(
+            r[0]
+            for r in eng.sparql(
+                "SELECT ?s WHERE { ?s <http://e/age> ?x . "
+                f"FILTER({filt}) }}",
+                decode=True,
+            ).collect()
+        )
+
+    def duck_q(pred):
+        return sorted(
+            r[0]
+            for r in con.execute(
+                "SELECT s_term FROM "
+                "(SELECT s_term, TRY_CAST(regexp_extract(o_term, "
+                "'^\"(-?[0-9.eE+]+)\"', 1) AS DOUBLE) AS v "
+                "FROM t WHERE p_term = '<http://e/age>') "
+                f"WHERE {pred}"
+            ).fetchall()
+        )
+
+    for sparql_f, duck_p in [
+        ("?x > 40", "v > 40"),
+        ("?x >= 40.5", "v >= 40.5"),
+        ("?x < 40", "v < 40"),
+        ("?x = 42", "v = 42"),
+        ("?x != 42", "v <> 42"),
+        (
+            '?x > "40"^^<http://www.w3.org/2001/XMLSchema#integer>',
+            "v > 40",
+        ),
+    ]:
+        got, want = spark_q(sparql_f), duck_q(duck_p)
+        assert got == want, (sparql_f, got, want)
+    # sanity: the raw-id reading would have matched different subjects
+    # (ids here are small ranks, all < 20)
+    assert spark_q("?x > 40") == ["<http://e/a>", "<http://e/c>"]
+
+
+def test_lexical_str_unicode_escapes(spark, tmp_path):
+    """\\uXXXX and \\UXXXXXXXX escapes in stored lexical forms unescape
+    in the derived STR value (hex → UTF-16 code units, JVM-side), and a
+    parked escaped backslash before 'u' stays literal."""
+    nt = tmp_path / "uni.nt"
+    nt.write_text(
+        '<http://e/a> <http://e/note> "caf\\u00e9" .\n'
+        '<http://e/b> <http://e/note> "grin \\U0001F600" .\n'
+        '<http://e/c> <http://e/note> "raw \\\\u0041" .\n'
+    )
+    eng = Engine(spark).load_triples(str(nt), fmt="nt")
+    got = {
+        r[0]: r[1]
+        for r in eng.sparql(
+            "SELECT ?s ?v WHERE { ?s <http://e/note> ?x . "
+            "BIND(STR(?x) AS ?v) }",
+            decode=True,
+        ).collect()
+    }
+    assert got["<http://e/a>"] == "café"
+    assert got["<http://e/b>"] == "grin \U0001F600"
+    assert got["<http://e/c>"] == "raw \\u0041"  # parked, not decoded
+
+
+def test_lexical_var_var_ordered_comparison_rejects(spark, tmp_path):
+    """Ordered ?x < ?y on a lexical store would compare rank ids —
+    didactic reject (equality stays: term identity IS id identity)."""
+    nt = tmp_path / "vv.nt"
+    nt.write_text(LEX_STR_NT)
+    eng = Engine(spark).load_triples(str(nt), fmt="nt")
+    with pytest.raises(Exception, match="rank-assigned"):
+        eng.sparql(
+            "SELECT ?s WHERE { ?s <http://e/name> ?x . "
+            "?s <http://e/age> ?y . FILTER(?x < ?y) }"
+        )
+    # equality between variables still compiles (term identity)
+    assert (
+        eng.sparql(
+            "SELECT ?s WHERE { ?s <http://e/name> ?x . "
+            "?s <http://e/age> ?y . FILTER(?x = ?y) }"
+        ).count()
+        == 0
+    )

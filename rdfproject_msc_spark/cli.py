@@ -61,11 +61,14 @@ def main(argv: list[str] | None = None) -> int:
     p_ing.add_argument("--nq", default=None, help="N-Quads file/dir")
     p_ing.add_argument("--ttl", default=None,
                        help="Turtle file/dir (parsed per file)")
+    p_ing.add_argument("--trig", default=None,
+                       help="TriG file/dir (parsed per file; named-graph "
+                       "blocks land in --quads-out)")
     p_ing.add_argument("--out", required=True, help="store output dir")
     p_ing.add_argument("--dict-out", required=True,
                        help="dictionary parquet output dir")
     p_ing.add_argument("--quads-out", default=None,
-                       help="named-graph quads output dir (--nq only)")
+                       help="named-graph quads output dir (--nq/--trig)")
     p_ing.add_argument("--dict-in", default=None,
                        help="existing dictionary parquet: incremental "
                        "ingest — unseen terms append, existing ids kept")
@@ -427,9 +430,9 @@ def main(argv: list[str] | None = None) -> int:
 
         import os as _os
 
-        if sum(map(bool, (args.nt, args.nq, args.ttl))) != 1:
+        if sum(map(bool, (args.nt, args.nq, args.ttl, args.trig))) != 1:
             raise SystemExit(
-                "ingest needs exactly one of --nt / --nq / --ttl"
+                "ingest needs exactly one of --nt / --nq / --ttl / --trig"
             )
         if args.dict_in and _os.path.realpath(args.dict_in) == _os.path.realpath(
             args.dict_out
@@ -440,10 +443,10 @@ def main(argv: list[str] | None = None) -> int:
                 "--dict-out must differ from --dict-in (the append reads "
                 "the old dictionary while writing the new one)"
             )
-        if args.nq and not args.quads_out:
+        if (args.nq or args.trig) and not args.quads_out:
             raise SystemExit(
-                "--nq requires --quads-out: named-graph statements would "
-                "otherwise be parsed and silently discarded"
+                "--nq/--trig requires --quads-out: named-graph statements "
+                "would otherwise be parsed and silently discarded"
             )
         spark = _spark(args.cpus)
         if args.nt or args.ttl:
@@ -471,12 +474,22 @@ def main(argv: list[str] | None = None) -> int:
         else:
             if args.dict_in:
                 raise SystemExit("--dict-in is N-Triples-only for now")
-            _, _, d = NT.ingest_nquads(
-                spark,
-                args.nq,
-                negative_when=args.negative_when,
-                on_error=args.on_error,
-            )
+            if args.trig:
+                from rdfproject_msc_spark.sources.turtle import ingest_trig
+
+                _, _, d = ingest_trig(
+                    spark,
+                    args.trig,
+                    negative_when=args.negative_when,
+                    on_error=args.on_error,
+                )
+            else:
+                _, _, d = NT.ingest_nquads(
+                    spark,
+                    args.nq,
+                    negative_when=args.negative_when,
+                    on_error=args.on_error,
+                )
         # persist the dictionary FIRST, then encode against the STORED
         # relation: the store/quads writes read a materialized dictionary
         # instead of re-running the distributed rank build per sink
@@ -488,6 +501,13 @@ def main(argv: list[str] | None = None) -> int:
             spo = parse_turtle(spark, args.ttl, on_error=args.on_error)
         elif args.nt:
             spo = NT.parse_ntriples(spark, args.nt, on_error=args.on_error)
+        elif args.trig:
+            from rdfproject_msc_spark.sources.turtle import parse_trig
+
+            nq = parse_trig(spark, args.trig, on_error=args.on_error)
+            spo = nq.filter("g_term IS NULL").select(
+                "s_term", "p_term", "o_term"
+            )
         else:
             nq = NT.parse_nquads(spark, args.nq, on_error=args.on_error)
             spo = nq.filter("g_term IS NULL").select(
@@ -496,10 +516,8 @@ def main(argv: list[str] | None = None) -> int:
         TripleStore(
             NT.encode_triples(spo, d_stored), layout=args.layout
         ).write(args.out)
-        if args.nq and args.quads_out:
-            named = NT.parse_nquads(
-                spark, args.nq, on_error=args.on_error
-            ).filter("g_term IS NOT NULL")
+        if (args.nq or args.trig) and args.quads_out:
+            named = nq.filter("g_term IS NOT NULL")
             dg = d_stored.selectExpr("id AS g", "term AS g_term")
             q = NT.encode_triples(
                 named.join(dg, "g_term").select(

@@ -406,9 +406,24 @@ def ingest_nquads(
     quad relation ``(g, s, p, o)`` — the exact split the engine's GRAPH
     surface consumes (``TripleStore.attach_quads``: the default graph IS
     the triple relation, SPARQL §13.3)."""
-    parsed = parse_nquads(spark, path, on_error=on_error).persist(
-        StorageLevel.MEMORY_AND_DISK
+    parsed = parse_nquads(spark, path, on_error=on_error)
+    return encode_quad_relation(
+        parsed, negative_when=negative_when, num_partitions=num_partitions
     )
+
+
+def encode_quad_relation(
+    parsed: DataFrame,
+    *,
+    negative_when: Column | str | None = None,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared back half of every quad-bearing first mile (N-Quads and
+    TriG): a ``(g_term | NULL, s_term, p_term, o_term)`` relation →
+    ``(triples, quads, dictionary)`` with ONE dictionary over every term
+    including graph labels. The input is persisted here (dictionary
+    build + two encodes traverse it)."""
+    parsed = parsed.persist(StorageLevel.MEMORY_AND_DISK)
     spo = parsed.select("s_term", "p_term", "o_term")
     g_terms = parsed.filter(F.col("g_term").isNotNull()).select(
         F.col("g_term").alias("s_term"),

@@ -34,7 +34,11 @@ Canonical term forms (so Turtle- and NT-ingested graphs agree):
   contract as the dictionary build).
 
 Subset rejects (didactic errors): RDF collections ``( … )`` (expand to
-rdf:first/rest chains; write the chain explicitly) and TriG blocks.
+rdf:first/rest chains; write the chain explicitly). TriG graph blocks
+reject under ``parse_turtle`` but parse under ``parse_trig`` (r10),
+which emits the ``parse_nquads`` quad relation — ``<label> { … }`` /
+``GRAPH <label> { … }`` / bare ``{ … }`` blocks, document-scoped
+directives shared across blocks, optional final '.' inside a block.
 
 The parser lives INSIDE the mapInPandas closure: cloudpickle ships
 nested defs by value, so Python workers need no importable copy of this
@@ -53,6 +57,9 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 PARSED_SCHEMA = "s_term string, p_term string, o_term string"
+PARSED_QUAD_SCHEMA = (
+    "g_term string, s_term string, p_term string, o_term string"
+)
 
 RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
 XSD = "http://www.w3.org/2001/XMLSchema#"
@@ -69,6 +76,28 @@ def parse_turtle(
     state makes statement-level recovery unsound (after a parse error
     the prefix table may be wrong, and silently mis-expanded IRIs are
     worse than a dropped file)."""
+    return _parse_files(spark, path, on_error, trig=False)
+
+
+def parse_trig(
+    spark: SparkSession, path: str, on_error: str = "skip"
+) -> DataFrame:
+    """TriG files → ``(g_term | NULL, s_term, p_term, o_term)`` — the
+    named-graph TEXT format the quad lifecycle otherwise only gets from
+    N-Quads. Same per-FILE mapInPandas unit and skip/fail contract as
+    ``parse_turtle`` (TriG inherits Turtle's document-scoped directive
+    state, so the grammar is equally non-line-splittable); the emitted
+    relation matches ``parse_nquads`` exactly: top-level statements and
+    bare ``{ … }`` blocks land in the default graph (NULL ``g_term``),
+    ``<label> { … }`` / ``GRAPH <label> { … }`` blocks in that named
+    graph. Directives declared anywhere apply document-wide from that
+    point (TriG §5.2 — one prefix table across blocks)."""
+    return _parse_files(spark, path, on_error, trig=True)
+
+
+def _parse_files(
+    spark: SparkSession, path: str, on_error: str, trig: bool
+) -> DataFrame:
     if on_error not in ("skip", "fail"):
         raise ValueError(f"on_error must be 'skip' or 'fail', got {on_error!r}")
     files = spark.read.format("binaryFile").load(path)
@@ -114,7 +143,8 @@ def parse_turtle(
             base: str | None = None
             anon_tag = hashlib.md5(origin.encode()).hexdigest()[:8]
             anon_n = [0]
-            triples: list = []
+            triples: list = []  # (g | None, s, p, o) rows
+            cur_g: list = [None]  # active graph label inside a block
 
             def err(msg: str):
                 line = text.count("\n", 0, i) + 1
@@ -350,7 +380,7 @@ def parse_turtle(
                     while True:
                         skip_ws()
                         obj = read_term(as_subject=False)
-                        triples.append((subject, verb, obj))
+                        triples.append((cur_g[0], subject, verb, obj))
                         skip_ws()
                         if i < n and text[i] == ",":
                             i += 1
@@ -374,6 +404,45 @@ def parse_turtle(
                 if i >= n or text[i] != ".":
                     err("expected '.' at end of statement")
                 i += 1
+
+            def read_graph_block(label):
+                """One ``{ … }`` block of triples statements into graph
+                ``label`` (None = the default graph). Blocks cannot
+                nest; the FINAL '.' inside a block is optional (TriG
+                triplesBlock ::= triples ('.' triplesBlock?)?)."""
+                nonlocal i
+                i += 1  # consume '{'
+                cur_g[0] = label
+                while True:
+                    skip_ws()
+                    if i >= n:
+                        err("unterminated { graph block }")
+                    if text[i] == "}":
+                        i += 1
+                        break
+                    if text[i] == "{" or _re.match(
+                        r"GRAPH(?=[\s#])", text[i:], _re.I
+                    ):
+                        err("graph blocks cannot nest")
+                    subject = read_term(as_subject=True)
+                    skip_ws()
+                    if i < n and text[i] == "{":
+                        err("graph blocks cannot nest")
+                    if (
+                        subject.startswith("_:ttlanon-")
+                        and i < n
+                        and text[i] in ".}"
+                    ):
+                        if text[i] == ".":
+                            i += 1
+                        continue
+                    read_po_list(subject)
+                    skip_ws()
+                    if i < n and text[i] == ".":
+                        i += 1
+                    elif not (i < n and text[i] == "}"):
+                        err("expected '.' or '}' in graph block")
+                cur_g[0] = None
 
             while True:
                 skip_ws()
@@ -422,9 +491,33 @@ def parse_turtle(
                         expect_dot()
                     continue
                 if text[i] == "{":
-                    err("TriG graph blocks are not Turtle — use N-Quads")
+                    if not trig:
+                        err(
+                            "TriG graph blocks are not Turtle — parse "
+                            "with parse_trig / ingest --trig"
+                        )
+                    read_graph_block(None)  # bare block = default graph
+                    continue
+                if trig and _re.match(r"GRAPH(?=[\s#])", text[i:], _re.I):
+                    # GRAPH <label> { … } — keyword requires following
+                    # whitespace (GRAPH:foo stays a prefixed name)
+                    i += 5
+                    skip_ws()
+                    # read_term(as_subject=True) already rejects
+                    # literal labels ("a literal cannot be a subject")
+                    label = read_term(as_subject=True)
+                    skip_ws()
+                    if i >= n or text[i] != "{":
+                        err("GRAPH needs a { … } block")
+                    read_graph_block(label)
+                    continue
                 subject = read_term(as_subject=True)
                 skip_ws()
+                if trig and i < n and text[i] == "{":
+                    # labelOrSubject followed by a block: a graph label
+                    # (literals already rejected as subjects)
+                    read_graph_block(subject)
+                    continue
                 # `[ :p :o ] .` — a blankNodePropertyList statement with
                 # no outer predicate list is legal (§2.7)
                 if subject.startswith("_:ttlanon-") and i < n and text[i] == ".":
@@ -435,7 +528,7 @@ def parse_turtle(
             return triples
 
         for pdf in batches:
-            ss, ps, os_ = [], [], []
+            gs, ss, ps, os_ = [], [], [], []
             for pathv, content in zip(pdf["path"], pdf["content"]):
                 try:
                     text = bytes(content).decode("utf-8")
@@ -444,14 +537,18 @@ def parse_turtle(
                     if fail:
                         raise
                     continue  # skip mode: drop the whole file
-                for s, p, o in rows:
+                for g, s, p, o in rows:
+                    gs.append(g)
                     ss.append(s)
                     ps.append(p)
                     os_.append(o)
-            yield pd.DataFrame({"s_term": ss, "p_term": ps, "o_term": os_})
+            cols = {"s_term": ss, "p_term": ps, "o_term": os_}
+            if trig:
+                cols = {"g_term": gs, **cols}
+            yield pd.DataFrame(cols)
 
     return files.select("path", "content").mapInPandas(
-        parse_batches, schema=PARSED_SCHEMA
+        parse_batches, schema=PARSED_QUAD_SCHEMA if trig else PARSED_SCHEMA
     )
 
 
@@ -490,3 +587,26 @@ def ingest_turtle(
         full = dictionary.select("id", "term").unionAll(fresh)
     full = full.persist(StorageLevel.MEMORY_AND_DISK)
     return encode_triples(parsed, full), full
+
+
+def ingest_trig(
+    spark: SparkSession,
+    path: str,
+    *,
+    negative_when: Column | str | None = None,
+    on_error: str = "skip",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """TriG first mile: parse → ONE dictionary over every term (graph
+    labels included) → encode. Returns ``(triples, quads, dictionary)``
+    with the exact ``ingest_nquads`` contract — the encode back half is
+    SHARED (sources/ntriples.py:encode_quad_relation), so a TriG and an
+    N-Quads serialization of the same dataset produce identical
+    relations and identical ids."""
+    from rdfproject_msc_spark.sources.ntriples import encode_quad_relation
+
+    return encode_quad_relation(
+        parse_trig(spark, path, on_error=on_error),
+        negative_when=negative_when,
+        num_partitions=num_partitions,
+    )

@@ -37,7 +37,7 @@ Supported operations (';'-separated, PREFIX decls shared):
 
 Documented rejects (didactic errors, repo convention): blank nodes in
 any update payload (fresh-bnode minting has no stable oracle — the
-same stance as NOW/UUID), LOAD/CREATE/DROP/COPY/MOVE/ADD, WITH/USING,
+same stance as NOW/UUID), CREATE/DROP/COPY/MOVE/ADD, WITH/USING,
 and template variables not bound by the WHERE group (a typo guard,
 like the planner's unknown-filter-var reject; the spec would silently
 drop the instantiation).
@@ -86,7 +86,12 @@ _GRAPH_KW = re.compile(r"GRAPH\b", re.I)
 _CLEAR_RE = re.compile(
     r"CLEAR\s+(?:SILENT\s+)?(?P<tgt>DEFAULT|NAMED|ALL|GRAPH\s+\S+)", re.I
 )
-_REJECTED_OPS = re.compile(r"\b(LOAD|CREATE|DROP|COPY|MOVE|ADD)\b", re.I)
+_REJECTED_OPS = re.compile(r"\b(CREATE|DROP|COPY|MOVE|ADD)\b", re.I)
+_LOAD_RE = re.compile(
+    r"LOAD\s+(?P<silent>SILENT\s+)?<(?P<iri>[^>]*)>"
+    r"(?:\s+INTO\s+GRAPH\s+(?P<g>\S+))?",
+    re.I,
+)
 _WITH_USING = re.compile(r"\b(WITH|USING)\b", re.I)
 
 
@@ -122,6 +127,20 @@ class Modify:
 class Clear:
     target: str  # "default" | "named" | "all"
     graph_slot: tuple | None = None  # ("term", text)|("id", int) for GRAPH
+
+
+@dataclass(frozen=True)
+class Load:
+    """LOAD [SILENT] <document> [INTO GRAPH g] (§3.1.4): ground file
+    ingestion through the update surface — the document parses with the
+    engine's raw-RDF readers (N-Triples by default, Turtle for .ttl),
+    unseen terms append via the incremental dictionary path, and the
+    resulting graph set-unions into the default graph or the named
+    target. SILENT turns an unreadable document into a no-op."""
+
+    path: str
+    graph_slot: tuple | None = None  # ("term", text) | ("id", int)
+    silent: bool = False
 
 
 def _ground_slots(pattern) -> tuple:
@@ -368,6 +387,29 @@ def _parse_update_inner(src: str) -> list:
                 if g_slot[0] == "var":
                     raise SparqlSyntaxError("CLEAR GRAPH takes a constant IRI")
                 ops.append(Clear(target="graph", graph_slot=g_slot))
+            continue
+        ml = _LOAD_RE.match(head)
+        if ml:
+            from rdfproject_msc_spark.sparql.parser import _normalize_term
+
+            path = ml.group("iri")
+            if path.startswith("file://"):
+                path = path[len("file://") :]
+            g_slot = None
+            if ml.group("g"):
+                g_slot = _normalize_term(ml.group("g"), prefixes)
+                if g_slot[0] == "var":
+                    raise SparqlSyntaxError(
+                        "LOAD … INTO GRAPH takes a constant IRI"
+                    )
+            ops.append(
+                Load(
+                    path=path,
+                    graph_slot=g_slot,
+                    silent=bool(ml.group("silent")),
+                )
+            )
+            i = i + ml.end()
             continue
         mr = _REJECTED_OPS.match(head)
         if mr:
@@ -751,6 +793,83 @@ def apply_update(engine, src: str, negative_when=None) -> None:
                 engine.store = store
             finally:
                 solutions.unpersist()
+        elif isinstance(op, Load):
+            # ground file ingestion composed from the incremental
+            # raw-RDF first mile: parse → extend_dictionary (existing
+            # ids untouched) → encode → set-union into the target graph
+            if op.path.endswith((".nq", ".trig")):
+                raise SparqlSyntaxError(
+                    "LOAD takes a TRIPLE document (N-Triples/Turtle); "
+                    "datasets (N-Quads/TriG) carry their own graph "
+                    "labels — use the ingest surface for those"
+                )
+            if op.path.endswith(".ttl"):
+                from rdfproject_msc_spark.sources.turtle import (
+                    ingest_turtle as _load_ingest,
+                )
+            else:
+                from rdfproject_msc_spark.sources.ntriples import (
+                    ingest_ntriples as _load_ingest,
+                )
+            try:
+                df, dict_df = _load_ingest(
+                    spark,
+                    op.path,
+                    dictionary=engine.dictionary.df,
+                    negative_when=negative_when,
+                    on_error="skip" if op.silent else "fail",
+                )
+                # surface unreadable paths NOW (SILENT's no-op needs
+                # the failure to happen inside this try): a bounded
+                # existence probe, not a materialization
+                df.limit(1).count()
+            except Exception:
+                if op.silent:
+                    continue  # §3.1.4 SILENT: failure → no-op
+                raise
+            engine.dictionary = Dictionary(
+                dict_df, broadcast_hint=engine.dictionary.broadcast_hint
+            )
+            # localCheckpoint the encoded delta: it feeds BOTH the set-
+            # semantics anti-join and the union, and later updates would
+            # otherwise stack the whole ingest lineage per statement
+            df = df.localCheckpoint(eager=True)
+            if op.graph_slot is None:
+                fresh = df.join(store.df, ["s", "p", "o"], "left_anti")
+                store = _clone_store(store, df=store.df.unionAll(fresh))
+            else:
+                # the graph label itself may be a NEW term
+                _, engine.dictionary = _resolve_ground(
+                    spark,
+                    engine.dictionary,
+                    ((None, op.graph_slot, op.graph_slot, op.graph_slot),),
+                    extend=True,
+                    negative_when=negative_when,
+                )
+                slot = op.graph_slot
+                gid = (
+                    int(slot[1])
+                    if slot[0] == "id"
+                    else engine.dictionary.lookup_terms([slot[1]])[slot[1]]
+                )
+                q = df.select(
+                    F.lit(gid).cast("long").alias("g"), "s", "p", "o"
+                )
+                if store.has_quads:
+                    fresh = q.join(
+                        store.quads, ["g", "s", "p", "o"], "left_anti"
+                    )
+                    new_quads = store.quads.unionAll(fresh)
+                else:
+                    new_quads = q
+                # a data-sized single-graph insert: within-graph rows
+                # are trivially disjoint, but cross-graph duplicates
+                # against existing quads would need a corpus probe —
+                # drop the flag conservatively (save() re-proves)
+                store = _clone_store(
+                    store, quads=new_quads, graphs_disjoint=False
+                )
+            engine.store = store
         elif isinstance(op, Clear):
             if op.target in ("default", "all"):
                 empty = spark.createDataFrame([], TRIPLE_SCHEMA)

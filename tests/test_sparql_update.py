@@ -270,7 +270,7 @@ def test_ground_insert_plan_is_broadcast_only(spark, nt_path, tmp_path):
             f"DELETE {{ _:b <{EX}p> ?o }} WHERE {{ ?s <{EX}p> ?o }}",
             "blank nodes",
         ),
-        ("LOAD <http://ex.org/file.nt>", "not supported"),
+        ("CREATE GRAPH <http://ex.org/g>", "not supported"),
         (
             f"WITH <{EX}g> DELETE {{ ?s ?p ?o }} WHERE {{ ?s ?p ?o }}",
             "WITH/USING",
@@ -623,3 +623,89 @@ def test_cli_update_quads_guard(spark, nt_path, tmp_path):
     )
     assert rc == 0
     assert spark.read.parquet(str(tmp_path / "q3")).count() == 1
+
+
+def test_load_into_default_graph(spark, nt_path, tmp_path):
+    """LOAD <file>: the document's triples set-union into the default
+    graph, unseen terms append to the dictionary with existing ids
+    untouched, and a re-LOAD is a no-op (set semantics)."""
+    eng = make_engine(spark, nt_path)
+    ids_before = {
+        r["term"]: r["id"] for r in eng.dictionary.df.collect()
+    }
+    extra = tmp_path / "extra.nt"
+    extra.write_text(
+        f"<{EX}d> <{EX}knows> <{EX}a> .\n"
+        f'<{EX}d> <{EX}name> "Dora" .\n'
+        f"<{EX}a> <{EX}knows> <{EX}b> .\n"  # already present
+    )
+    eng.update(f"LOAD <file://{extra}>")
+    got = decoded_set(eng)
+    assert (f"<{EX}d>", f"<{EX}knows>", f"<{EX}a>") in got
+    assert (f"<{EX}d>", f"<{EX}name>", '"Dora"') in got
+    assert len(got) == 7  # 5 original + 2 genuinely new
+    ids_after = {r["term"]: r["id"] for r in eng.dictionary.df.collect()}
+    assert all(ids_after[t] == i for t, i in ids_before.items())
+    eng.update(f"LOAD <file://{extra}>")  # idempotent
+    assert len(decoded_set(eng)) == 7
+
+
+def test_load_into_named_graph(spark, nt_path, tmp_path):
+    """LOAD <file> INTO GRAPH g: triples land in the named graph (the
+    label itself may be a new dictionary term) and answer GRAPH
+    queries; the default graph is untouched."""
+    eng = make_engine(spark, nt_path)
+    extra = tmp_path / "g.nt"
+    extra.write_text(f"<{EX}x> <{EX}knows> <{EX}y> .\n")
+    eng.update(f"LOAD <file://{extra}> INTO GRAPH <{EX}g1>")
+    assert len(decoded_set(eng)) == 5  # default graph untouched
+    got = sorted(
+        map(
+            tuple,
+            eng.sparql(
+                f"SELECT ?s ?o WHERE "
+                f"{{ GRAPH <{EX}g1> {{ ?s <{EX}knows> ?o . }} }}",
+                decode=True,
+            ).collect(),
+        )
+    )
+    assert got == [(f"<{EX}x>", f"<{EX}y>")]
+    # the graph label is a dictionary term
+    assert eng.dictionary.lookup_terms([f"<{EX}g1>"])
+
+
+def test_load_turtle_document(spark, nt_path, tmp_path):
+    eng = make_engine(spark, nt_path)
+    doc = tmp_path / "doc.ttl"
+    doc.write_text(
+        f"@prefix ex: <{EX}> .\n"
+        "ex:t ex:knows ex:a ;\n"
+        '     ex:name "Tess" .\n'
+    )
+    eng.update(f"LOAD <file://{doc}>")
+    got = decoded_set(eng)
+    assert (f"<{EX}t>", f"<{EX}name>", '"Tess"') in got
+    assert len(got) == 7
+
+
+def test_load_silent_and_failure_modes(spark, nt_path, tmp_path):
+    """LOAD of an unreadable document raises; LOAD SILENT is a no-op
+    (§3.1.4) and later operations in the sequence still apply."""
+    eng = make_engine(spark, nt_path)
+    with pytest.raises(Exception):
+        eng.update(f"LOAD <file://{tmp_path}/nope.nt>")
+    eng.update(
+        f"LOAD SILENT <file://{tmp_path}/nope.nt> ; "
+        f"INSERT DATA {{ <{EX}z> <{EX}knows> <{EX}a> . }}"
+    )
+    got = decoded_set(eng)
+    assert (f"<{EX}z>", f"<{EX}knows>", f"<{EX}a>") in got
+    assert len(got) == 6
+
+
+def test_load_rejects_dataset_formats_and_var_graph(spark, nt_path, tmp_path):
+    eng = make_engine(spark, nt_path)
+    with pytest.raises(SparqlSyntaxError, match="TRIPLE document"):
+        eng.update(f"LOAD <file://{tmp_path}/d.nq>")
+    with pytest.raises(SparqlSyntaxError, match="constant IRI"):
+        eng.update(f"LOAD <file://{tmp_path}/d.nt> INTO GRAPH ?g")

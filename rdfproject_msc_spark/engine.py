@@ -46,6 +46,10 @@ class Engine:
         # from raw RDF (full '<iri>' forms). load_triples(fmt="nt") flips
         # this automatically.
         self.term_style = term_style
+        # DataFrames the raw-RDF ingest persisted (parsed relation,
+        # dictionary, rank intermediates) — released by release_caches()
+        # / close() / vacuum() once nothing reads their lineage
+        self._ingest_caches: list = []
 
     # -- entry point 3: ingest + layout -----------------------------------
     def load_triples(
@@ -94,6 +98,7 @@ class Engine:
                 triples_path,
                 negative_when=negative_when,
                 on_error=on_error,
+                caches=self._ingest_caches,
             )
             # built dictionaries scale with the corpus: no broadcast hint
             self.dictionary = Dictionary(dict_df, broadcast_hint=False)
@@ -264,6 +269,124 @@ class Engine:
         if self.dictionary is None:
             raise ValueError("no dictionary loaded")
         return self.dictionary.decode(df, columns)
+
+    # -- lifecycle: cache release + compaction ------------------------------
+    def release_caches(self) -> "Engine":
+        """Unpersist every DataFrame the raw-RDF ingest cached. Only call
+        once nothing live reads their lineage (after ``save()`` + re-
+        ``open()``, or after ``vacuum()`` — which calls this itself);
+        unpersisting earlier silently recomputes the multi-shuffle rank
+        build per downstream action instead of breaking anything."""
+        for df in self._ingest_caches:
+            df.unpersist()
+        self._ingest_caches.clear()
+        return self
+
+    def close(self) -> None:
+        """End-of-lifetime hook: release the ingest caches. The
+        SparkSession is the caller's (not stopped here); the Engine
+        object is reusable after a new ``load_triples``/``open``."""
+        self.release_caches()
+
+    def __enter__(self) -> "Engine":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def vacuum(self, reindex: bool = False) -> dict:
+        """Compact after an update chain: drop dictionary terms no
+        longer referenced by any triple or quad (DELETE never retires
+        terms on its own), cut the stacked copy-on-write lineage by
+        materializing the compacted snapshot (``localCheckpoint`` —
+        executor-local; call ``save()`` for a durable copy), and release
+        the ingest caches the snapshot no longer reads.
+
+        ``reindex=False`` (default) preserves every surviving id —
+        query answers are bit-for-bit identical, encoded ids included.
+        ``reindex=True`` additionally re-ranks the surviving terms into
+        a dense id space (lexicographic rank within the ORIGINAL sign
+        class, the build_dictionary rule) and rewrites the store/quads
+        through the old→new mapping — decoded answers identical, ids
+        dense again. Returns ``{"terms_before", "terms_after",
+        "dropped"}``."""
+        from pyspark.sql import functions as F
+
+        from rdfproject_msc_spark.sources.ntriples import _lex_ranks
+        from rdfproject_msc_spark.sparql.update import _clone_store
+
+        store = self._require_store()
+        if self.dictionary is None:
+            raise ValueError("vacuum needs a dictionary")
+        refs = (
+            store.df.select(F.col("s").alias("id"))
+            .unionAll(store.df.select(F.col("p").alias("id")))
+            .unionAll(store.df.select(F.col("o").alias("id")))
+        )
+        if store.has_quads:
+            for c in ("g", "s", "p", "o"):
+                refs = refs.unionAll(store.quads.select(F.col(c).alias("id")))
+        refs = refs.distinct()
+        before = self.dictionary.df.count()
+        live = self.dictionary.df.join(refs, "id", "left_semi")
+        new_df, new_quads = store.df, store.quads if store.has_quads else None
+        if reindex:
+            npart = int(
+                self.spark.conf.get("spark.sql.shuffle.partitions")
+            )
+            pos = _lex_ranks(
+                live.filter(F.col("id") > 0).select("term"), npart
+            )
+            neg = _lex_ranks(
+                live.filter(F.col("id") < 0).select("term"), npart
+            )
+            new_dict = pos.select(
+                F.col("rank").alias("id"), "term"
+            ).unionAll(neg.select((-F.col("rank")).alias("id"), "term"))
+            mapping = (
+                live.select(F.col("id").alias("__old"), "term")
+                .join(
+                    new_dict.select(F.col("id").alias("__new"), "term"),
+                    "term",
+                )
+                .select("__old", "__new")
+            )
+
+            def _remap(df: DataFrame, cols: list[str]) -> DataFrame:
+                # per-column id rewrite; the mapping is corpus-sized
+                # (no broadcast hint — AQE picks)
+                for c in cols:
+                    df = (
+                        df.join(mapping, df[c] == mapping["__old"], "inner")
+                        .drop(c, "__old")
+                        .withColumnRenamed("__new", c)
+                    )
+                return df.select(*cols)
+
+            new_df = _remap(store.df, ["s", "p", "o"])
+            if new_quads is not None:
+                new_quads = _remap(store.quads, ["g", "s", "p", "o"])
+        else:
+            new_dict = live
+        # materialize the compacted snapshot (cuts lineage to the
+        # superseded ingest caches AND the stacked update deltas)
+        new_dict = new_dict.localCheckpoint(eager=True)
+        new_df = new_df.localCheckpoint(eager=True)
+        if new_quads is not None:
+            new_quads = new_quads.localCheckpoint(eager=True)
+        after = new_dict.count()
+        self.dictionary = Dictionary(
+            new_dict, broadcast_hint=self.dictionary.broadcast_hint
+        )
+        self.store = _clone_store(store, df=new_df, quads=new_quads)
+        if self._register_as:
+            self.store.register(self.spark, self._register_as)
+        self.release_caches()
+        return {
+            "terms_before": before,
+            "terms_after": after,
+            "dropped": before - after,
+        }
 
     def _require_store(self) -> TripleStore:
         if self.store is None:

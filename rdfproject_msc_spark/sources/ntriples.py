@@ -50,11 +50,12 @@ Cache lifetime: the ingest paths persist the parsed relation and the
 dictionary (both are traversed by several downstream subtrees; without
 the persist the multi-shuffle rank build re-runs per consumer). The
 returned DataFrames stay lazy over those caches, so they cannot be
-unpersisted here — they live until the caller drops them or the session
-ends (Spark evicts LRU under pressure; disk spill is reclaimed at
-shutdown). Long-lived sessions ingesting many deliveries should persist
-the dictionary to Parquet (the CLI does) and re-read it, which frees the
-lineage caches.
+unpersisted here. Callers that need the lifecycle pass ``caches=[...]``
+— every persisted frame is appended, and ``Engine`` releases them via
+``release_caches()`` / ``close()`` / ``vacuum()`` once the compacted
+snapshot no longer reads them. Without a registry they live until the
+session ends (Spark evicts LRU under pressure); the CLI sidesteps this
+by persisting to Parquet and re-reading.
 """
 
 from __future__ import annotations
@@ -196,7 +197,9 @@ def format_nquads(parsed: DataFrame) -> DataFrame:
     ).select(F.concat(F.col("__body"), F.lit(" .")).alias("value"))
 
 
-def _lex_ranks(terms: DataFrame, num_partitions: int) -> DataFrame:
+def _lex_ranks(
+    terms: DataFrame, num_partitions: int, caches: list | None = None
+) -> DataFrame:
     """``(term)`` → ``(term, rank)`` with rank = 1-based lexicographic rank,
     computed without any global sort materialization or driver collect:
     range-partition by term, prefix the per-partition counts (a
@@ -207,6 +210,8 @@ def _lex_ranks(terms: DataFrame, num_partitions: int) -> DataFrame:
     ranged = terms.repartitionByRange(
         num_partitions, F.col("term").asc()
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    if caches is not None:
+        caches.append(ranged)
     with_pid = ranged.withColumn("__pid", F.spark_partition_id())
     totals = with_pid.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
     w_parts = Window.orderBy("__pid").rowsBetween(
@@ -231,6 +236,7 @@ def build_dictionary(
     parsed: DataFrame,
     negative_when: Column | str | None = None,
     num_partitions: int | None = None,
+    caches: list | None = None,
 ) -> DataFrame:
     """Distinct terms of a parsed triple relation → ``(id, term)`` with
     dense signed ids: id(t) = lexicographic rank of t within its sign
@@ -256,8 +262,12 @@ def build_dictionary(
     else:
         neg = negative_when
     classed = terms.withColumn("__neg", neg)
-    pos = _lex_ranks(classed.filter(~F.col("__neg")).select("term"), npart)
-    negs = _lex_ranks(classed.filter(F.col("__neg")).select("term"), npart)
+    pos = _lex_ranks(
+        classed.filter(~F.col("__neg")).select("term"), npart, caches
+    )
+    negs = _lex_ranks(
+        classed.filter(F.col("__neg")).select("term"), npart, caches
+    )
     return pos.select(F.col("rank").alias("id"), "term").unionAll(
         negs.select((-F.col("rank")).alias("id"), "term")
     )
@@ -268,6 +278,7 @@ def extend_dictionary(
     parsed: DataFrame,
     negative_when: Column | str | None = None,
     num_partitions: int | None = None,
+    caches: list | None = None,
 ) -> DataFrame:
     """Incremental ingest (the dictionary twin of the MinHash index's
     ``mode="append"``): assign ids to the terms of ``parsed`` that the
@@ -312,8 +323,12 @@ def extend_dictionary(
             F.max(F.when(F.col("id") < 0, -F.col("id"))), F.lit(0)
         ).alias("neg_base"),
     ).first()
-    pos = _lex_ranks(classed.filter(~F.col("__neg")).select("term"), npart)
-    negs = _lex_ranks(classed.filter(F.col("__neg")).select("term"), npart)
+    pos = _lex_ranks(
+        classed.filter(~F.col("__neg")).select("term"), npart, caches
+    )
+    negs = _lex_ranks(
+        classed.filter(F.col("__neg")).select("term"), npart, caches
+    )
     return pos.select(
         (F.col("rank") + F.lit(int(row["pos_base"]))).alias("id"), "term"
     ).unionAll(
@@ -358,6 +373,7 @@ def ingest_ntriples(
     on_error: str = "skip",
     num_partitions: int | None = None,
     dictionary: DataFrame | None = None,
+    caches: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Full first mile: parse → build dictionary → encode. Returns
     ``(encoded_triples, dictionary)`` — both lazy plans over one parsed
@@ -372,9 +388,14 @@ def ingest_ntriples(
     parsed = parse_ntriples(spark, path, on_error=on_error).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    if caches is not None:
+        caches.append(parsed)
     if dictionary is None:
         full = build_dictionary(
-            parsed, negative_when=negative_when, num_partitions=num_partitions
+            parsed,
+            negative_when=negative_when,
+            num_partitions=num_partitions,
+            caches=caches,
         )
     else:
         fresh = extend_dictionary(
@@ -382,12 +403,15 @@ def ingest_ntriples(
             parsed,
             negative_when=negative_when,
             num_partitions=num_partitions,
+            caches=caches,
         )
         full = dictionary.select("id", "term").unionAll(fresh)
     # persist the dictionary too: every downstream consumer re-traverses
     # it (three encode joins, SPARQL constant lookups, decode joins) and
     # would otherwise re-run the two-shuffle rank build each time
     full = full.persist(StorageLevel.MEMORY_AND_DISK)
+    if caches is not None:
+        caches.append(full)
     return encode_triples(parsed, full), full
 
 
@@ -417,6 +441,7 @@ def encode_quad_relation(
     *,
     negative_when: Column | str | None = None,
     num_partitions: int | None = None,
+    caches: list | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared back half of every quad-bearing first mile (N-Quads and
     TriG): a ``(g_term | NULL, s_term, p_term, o_term)`` relation →
@@ -424,6 +449,8 @@ def encode_quad_relation(
     including graph labels. The input is persisted here (dictionary
     build + two encodes traverse it)."""
     parsed = parsed.persist(StorageLevel.MEMORY_AND_DISK)
+    if caches is not None:
+        caches.append(parsed)
     spo = parsed.select("s_term", "p_term", "o_term")
     g_terms = parsed.filter(F.col("g_term").isNotNull()).select(
         F.col("g_term").alias("s_term"),
@@ -434,7 +461,10 @@ def encode_quad_relation(
         spo.unionAll(g_terms),
         negative_when=negative_when,
         num_partitions=num_partitions,
+        caches=caches,
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    if caches is not None:
+        caches.append(dictionary)
     triples = encode_triples(
         parsed.filter(F.col("g_term").isNull()).select(
             "s_term", "p_term", "o_term"

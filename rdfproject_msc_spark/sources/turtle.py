@@ -560,6 +560,7 @@ def ingest_turtle(
     on_error: str = "skip",
     num_partitions: int | None = None,
     dictionary: DataFrame | None = None,
+    caches: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Turtle first mile: parse → build/extend dictionary → encode —
     the exact ``ingest_ntriples`` contract over the Turtle parser (the
@@ -573,9 +574,14 @@ def ingest_turtle(
     parsed = parse_turtle(spark, path, on_error=on_error).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    if caches is not None:
+        caches.append(parsed)
     if dictionary is None:
         full = build_dictionary(
-            parsed, negative_when=negative_when, num_partitions=num_partitions
+            parsed,
+            negative_when=negative_when,
+            num_partitions=num_partitions,
+            caches=caches,
         )
     else:
         fresh = extend_dictionary(
@@ -586,6 +592,8 @@ def ingest_turtle(
         )
         full = dictionary.select("id", "term").unionAll(fresh)
     full = full.persist(StorageLevel.MEMORY_AND_DISK)
+    if caches is not None:
+        caches.append(full)
     return encode_triples(parsed, full), full
 
 

@@ -163,7 +163,7 @@ def main(argv: list[str] | None = None) -> int:
     p_sparql.add_argument("--decode", action="store_true")
     p_sparql.add_argument(
         "--results",
-        choices=("csv", "tsv", "json"),
+        choices=("csv", "tsv", "json", "xml"),
         default=None,
         help="ALSO write the W3C results format to --results-out "
         "(csv/tsv: distributed sinks; json: one bounded document)",
@@ -656,7 +656,12 @@ def main(argv: list[str] | None = None) -> int:
             elif args.results == "tsv":
                 RES.write_results_tsv(df, args.results_out)
             else:
-                doc = RES.results_json(df, limit=args.json_limit)
+                build = (
+                    RES.results_xml
+                    if args.results == "xml"
+                    else RES.results_json
+                )
+                doc = build(df, limit=args.json_limit)
                 with open(args.results_out, "w") as fh:
                     fh.write(doc)
         _emit(df, args)

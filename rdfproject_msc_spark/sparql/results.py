@@ -1,4 +1,4 @@
-"""W3C SPARQL 1.1 query results serialization (CSV/TSV/JSON).
+"""W3C SPARQL 1.1 query results serialization (CSV/TSV/JSON/XML).
 
 The interchange half a SPARQL endpoint owes its callers: decoded
 solution DataFrames serialize to the three standard result formats
@@ -9,10 +9,10 @@ solution DataFrames serialize to the three standard result formats
   (the spec's lossy human format: IRI brackets and literal quoting
   stripped), TSV carries full N-Triples-encoded terms (lossless for
   lexical-style stores, whose dictionary terms ARE N-Triples forms).
-- The JSON format is ONE document (``{"head":…,"results":…}``) and
-  therefore driver-sized by construction: ``results_json`` demands an
-  explicit ``limit`` and raises when the result exceeds it — the
-  didactic guard against collecting a data-sized result into one
+- The JSON and XML formats are ONE document each and therefore
+  driver-sized by construction: ``results_json`` / ``results_xml``
+  demand an explicit ``limit`` and raise when the result exceeds it —
+  the didactic guard against collecting a data-sized result into one
   string (the NOW/UUID stance applied to memory).
 
 Term-kind classification reads the engine's term text grammar (the
@@ -169,3 +169,78 @@ def results_json(
 def ask_json(answer: bool) -> str:
     """The ASK form of the results-JSON document (§ boolean results)."""
     return json.dumps({"head": {}, "boolean": bool(answer)})
+
+
+def _xml_escape(s: str, attr: bool = False) -> str:
+    out = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    if attr:
+        out = out.replace('"', "&quot;")
+    return out
+
+
+def results_xml(df: DataFrame, limit: int, dictionary=None) -> str:
+    """The W3C sparql-results-xml document (the fourth standard format,
+    completing CSV/TSV/JSON) — ONE string, so driver-sized by the same
+    ``limit`` guard as ``results_json``; ``dictionary`` decodes
+    id-valued columns first when given. Binding elements come from the
+    shared ``_term_kind`` classification: uri / bnode / literal with
+    optional ``xml:lang`` or ``datatype``."""
+    if dictionary is not None:
+        df = dictionary.decode(df)
+    rows = df.limit(limit + 1).collect()
+    if len(rows) > limit:
+        raise ValueError(
+            f"result exceeds limit={limit} rows — the XML results "
+            "format is one document (driver memory); use "
+            "write_results_csv/tsv for data-sized results"
+        )
+    cols = list(df.columns)
+    parts = [
+        '<?xml version="1.0"?>',
+        '<sparql xmlns="http://www.w3.org/2005/sparql-results#">',
+        "<head>"
+        + "".join(
+            f'<variable name="{_xml_escape(c, attr=True)}"/>' for c in cols
+        )
+        + "</head>",
+        "<results>",
+    ]
+    for r in rows:
+        b = ["<result>"]
+        for c in cols:
+            v = r[c]
+            if v is None:
+                continue  # unbound: the binding is omitted (spec)
+            k = _term_kind(str(v))
+            val = _xml_escape(k["value"])
+            if k["type"] == "uri":
+                body = f"<uri>{val}</uri>"
+            elif k["type"] == "bnode":
+                body = f"<bnode>{val}</bnode>"
+            elif "xml:lang" in k:
+                lang = _xml_escape(k["xml:lang"], attr=True)
+                body = f'<literal xml:lang="{lang}">{val}</literal>'
+            elif "datatype" in k:
+                dt = _xml_escape(k["datatype"], attr=True)
+                body = f'<literal datatype="{dt}">{val}</literal>'
+            else:
+                body = f"<literal>{val}</literal>"
+            b.append(
+                f'<binding name="{_xml_escape(c, attr=True)}">{body}'
+                "</binding>"
+            )
+        b.append("</result>")
+        parts.append("".join(b))
+    parts.extend(["</results>", "</sparql>"])
+    return "\n".join(parts)
+
+
+def ask_xml(answer: bool) -> str:
+    """The ASK form of the results-XML document."""
+    return (
+        '<?xml version="1.0"?>\n'
+        '<sparql xmlns="http://www.w3.org/2005/sparql-results#">\n'
+        "<head/>\n"
+        f"<boolean>{'true' if answer else 'false'}</boolean>\n"
+        "</sparql>"
+    )

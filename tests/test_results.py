@@ -191,3 +191,98 @@ def test_cli_results_auto_decodes_or_refuses(spark, tmp_path, eng):
              "--results", "json",
              "--results-out", str(tmp_path / "never.json")]
         )
+
+
+def test_results_xml_term_kinds_and_escaping(eng):
+    """sparql-results-xml: uri/bnode/lang/typed bindings, unbound
+    omitted, XML-escaped values — parsed back with ElementTree (the
+    well-formedness check) and compared against the JSON twin."""
+    import xml.etree.ElementTree as ET
+
+    from rdfproject_msc_spark.sparql.results import results_xml
+
+    df = eng.sparql(
+        "SELECT ?s ?p ?o WHERE { ?s ?p ?o }", decode=True
+    )
+    doc = results_xml(df, limit=50)
+    root = ET.fromstring(doc)
+    ns = "{http://www.w3.org/2005/sparql-results#}"
+    heads = [
+        v.get("name") for v in root.find(f"{ns}head").findall(f"{ns}variable")
+    ]
+    assert heads == ["s", "p", "o"]
+    results = root.find(f"{ns}results").findall(f"{ns}result")
+    jdoc = json.loads(results_json(df, limit=50))
+    assert len(results) == len(jdoc["results"]["bindings"])
+    got = set()
+    for res in results:
+        row = {}
+        for b in res.findall(f"{ns}binding"):
+            el = b[0]
+            tag = el.tag.removeprefix(ns)
+            row[b.get("name")] = (
+                tag,
+                el.text or "",
+                el.get("{http://www.w3.org/XML/1998/namespace}lang"),
+                el.get("datatype"),
+            )
+        got.add(tuple(sorted(row.items())))
+    want = set()
+    for b in jdoc["results"]["bindings"]:
+        row = {}
+        for name, k in b.items():
+            tag = "uri" if k["type"] == "uri" else (
+                "bnode" if k["type"] == "bnode" else "literal"
+            )
+            row[name] = (
+                tag, k["value"], k.get("xml:lang"), k.get("datatype")
+            )
+        want.add(tuple(sorted(row.items())))
+    assert got == want
+    kinds = {v[0] for row in got for _, v in row}
+    assert {"uri", "bnode", "literal"} <= kinds
+
+
+def test_results_xml_escapes_markup(spark):
+    import xml.etree.ElementTree as ET
+
+    from rdfproject_msc_spark.sparql.results import results_xml
+
+    df = spark.createDataFrame(
+        [('"a<b>&c"@en',), ("<urn:x?a=1&b=2>",)], ["o"]
+    )
+    doc = results_xml(df, limit=5)
+    root = ET.fromstring(doc)  # must be well-formed despite markup chars
+    texts = {el.text for el in root.iter() if el.text}
+    assert "a<b>&c" in texts
+    assert "urn:x?a=1&b=2" in texts
+
+
+def test_results_xml_limit_guard_and_ask(eng):
+    from rdfproject_msc_spark.sparql.results import ask_xml, results_xml
+
+    df = eng.sparql("SELECT ?s ?o WHERE { ?s <urn:name> ?o }", decode=True)
+    with pytest.raises(ValueError, match="one document"):
+        results_xml(df, limit=1)
+    assert "<boolean>true</boolean>" in ask_xml(True)
+    assert "<boolean>false</boolean>" in ask_xml(False)
+
+
+def test_cli_sparql_results_xml(spark, tmp_path, eng):
+    import xml.etree.ElementTree as ET
+
+    from rdfproject_msc_spark.cli import main
+
+    store, dct = str(tmp_path / "store"), str(tmp_path / "dict")
+    eng.save(store, dict_path=dct)
+    xpath = str(tmp_path / "res.xml")
+    rc = main(
+        ["sparql", "--store", store, "--dict", dct,
+         "--dict-format", "parquet", "--layout", "single",
+         "--query", "SELECT ?s ?o WHERE { ?s <urn:name> ?o }",
+         "--results", "xml", "--results-out", xpath]
+    )
+    assert rc == 0
+    root = ET.fromstring(open(xpath).read())
+    ns = "{http://www.w3.org/2005/sparql-results#}"
+    assert len(root.find(f"{ns}results").findall(f"{ns}result")) == 2

@@ -91,6 +91,34 @@ NT_TERM = rf"<[^>]*>|_:(?:[^\s.]|\.(?=\S))+|{NT_LITERAL}"
 _BLANK_OR_COMMENT = r"^[ \t]*(#|\r?$)"
 
 
+def _tokenize_validated(
+    lines: DataFrame, line_re: str, what: str, on_error: str
+) -> DataFrame:
+    """The shared validated-tokenize step of every line-oriented scan
+    (N-Triples and N-Quads use the SAME term tokenizer over different
+    anchored line grammars): blank/comment lines out, one anchored
+    validation rlike, one global term extraction, malformed lines
+    dropped (``skip``) or failed INSIDE the scan via a codegen'd
+    ``raise_error`` branch (``fail`` — no driver-side validation pass).
+    One code path, so a grammar tweak lands once for batch NT,
+    streaming NT, and NQ alike."""
+    if on_error not in ("skip", "fail"):
+        raise ValueError(f"on_error must be 'skip' or 'fail', got {on_error!r}")
+    content = lines.filter(~F.col("value").rlike(_BLANK_OR_COMMENT))
+    ok = F.col("value").rlike(line_re)
+    toks = F.regexp_extract_all("value", F.lit(NT_TERM), 0)
+    if on_error == "fail":
+        toks = F.when(
+            ok, toks
+        ).otherwise(
+            F.raise_error(
+                F.concat(F.lit(f"malformed {what} line: "), F.col("value"))
+            )
+        )
+        return content.select(toks.alias("__t"))
+    return content.filter(ok).select(toks.alias("__t"))
+
+
 def parse_ntriples_lines(lines: DataFrame, on_error: str = "skip") -> DataFrame:
     """The parse as pure column expressions over a ``value`` line relation
     — shared verbatim by the batch reader and the streaming twin
@@ -98,22 +126,7 @@ def parse_ntriples_lines(lines: DataFrame, on_error: str = "skip") -> DataFrame:
     Two regex passes per line (one anchored validation rlike + one global
     term tokenization), not one per output column.
     """
-    if on_error not in ("skip", "fail"):
-        raise ValueError(f"on_error must be 'skip' or 'fail', got {on_error!r}")
-    content = lines.filter(~F.col("value").rlike(_BLANK_OR_COMMENT))
-    ok = F.col("value").rlike(NT_LINE)
-    toks = F.regexp_extract_all("value", F.lit(NT_TERM), 0)
-    if on_error == "fail":
-        toks = F.when(
-            ok, toks
-        ).otherwise(
-            F.raise_error(
-                F.concat(F.lit("malformed N-Triples line: "), F.col("value"))
-            )
-        )
-        parsed = content.select(toks.alias("__t"))
-    else:
-        parsed = content.filter(ok).select(toks.alias("__t"))
+    parsed = _tokenize_validated(lines, NT_LINE, "N-Triples", on_error)
     return parsed.select(
         F.col("__t")[0].alias("s_term"),
         F.col("__t")[1].alias("p_term"),
@@ -140,24 +153,9 @@ def parse_nquads(
     a graph label is a default-graph statement: ``g_term`` is NULL. Same
     one-regex-per-line scan and skip/fail contract as ``parse_ntriples``.
     """
-    if on_error not in ("skip", "fail"):
-        raise ValueError(f"on_error must be 'skip' or 'fail', got {on_error!r}")
-    content = spark.read.text(path).filter(
-        ~F.col("value").rlike(_BLANK_OR_COMMENT)
+    parsed = _tokenize_validated(
+        spark.read.text(path), NQ_LINE, "N-Quads", on_error
     )
-    ok = F.col("value").rlike(NQ_LINE)
-    toks = F.regexp_extract_all("value", F.lit(NT_TERM), 0)
-    if on_error == "fail":
-        toks = F.when(
-            ok, toks
-        ).otherwise(
-            F.raise_error(
-                F.concat(F.lit("malformed N-Quads line: "), F.col("value"))
-            )
-        )
-        parsed = content.select(toks.alias("__t"))
-    else:
-        parsed = content.filter(ok).select(toks.alias("__t"))
     return parsed.select(
         # 4 tokens → labeled statement; 3 → default graph (NULL g_term)
         F.when(F.size("__t") == 4, F.col("__t")[3]).alias("g_term"),

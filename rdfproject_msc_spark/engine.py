@@ -249,7 +249,7 @@ class Engine:
         such statements can exist: no-op."""
         from rdfproject_msc_spark.operators.rdfs import (
             resolve_vocab,
-            same_as_canonicalize,
+            same_as_fixpoint,
         )
         from rdfproject_msc_spark.sparql.update import _clone_store
 
@@ -257,9 +257,11 @@ class Engine:
             raise ValueError("canonicalize_same_as needs a dictionary")
         store = self._require_store()
         vocab = resolve_vocab(self.dictionary, self.term_style)
-        if "sameas" not in vocab:
-            return self
-        out, _ = same_as_canonicalize(store.df, vocab["sameas"])
+        # explicit sameAs + prp-fp/prp-ifp identities, iterated to the
+        # merge fixpoint (operators/rdfs.py:same_as_fixpoint, r10)
+        out = same_as_fixpoint(store.df, vocab)
+        if out is None:
+            return self  # no identity vocabulary in this dictionary
         self.store = _clone_store(store, df=out)
         if self._register_as:
             self.store.register(self.spark, self._register_as)

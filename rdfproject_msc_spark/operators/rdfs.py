@@ -67,6 +67,8 @@ LEXICAL_VOCAB = {
     "inverseof": f"<{OWL_NS}inverseOf>",
     "symmetricproperty": f"<{OWL_NS}SymmetricProperty>",
     "transitiveproperty": f"<{OWL_NS}TransitiveProperty>",
+    "functionalproperty": f"<{OWL_NS}FunctionalProperty>",
+    "inversefunctionalproperty": f"<{OWL_NS}InverseFunctionalProperty>",
     "sameas": f"<{OWL_NS}sameAs>",
 }
 LOCALIZED_VOCAB = {
@@ -78,6 +80,8 @@ LOCALIZED_VOCAB = {
     "inverseof": ":inverseOf",
     "symmetricproperty": ":SymmetricProperty",
     "transitiveproperty": ":TransitiveProperty",
+    "functionalproperty": ":FunctionalProperty",
+    "inversefunctionalproperty": ":InverseFunctionalProperty",
     "sameas": ":sameAs",
 }
 
@@ -358,26 +362,126 @@ def rdfs_closure(triples: DataFrame, vocab: dict[str, int]) -> DataFrame:
     return out.distinct()
 
 
+def functional_same_as(
+    triples: DataFrame, vocab: dict[str, int]
+) -> DataFrame | None:
+    """prp-fp / prp-ifp (r10): identity pairs entailed by declared
+    owl:FunctionalProperty / owl:InverseFunctionalProperty statements —
+
+        p a FunctionalProperty,        (x p y1), (x p y2) ⊢ y1 = y2
+        p a InverseFunctionalProperty, (x1 p y), (x2 p y) ⊢ x1 = x2
+
+    Returns a ``(s, o)`` PAIR relation (or None when nothing is
+    declared) feeding ``same_as_canonicalize``'s component build —
+    pairs, not statements, so an ontology whose dictionary lacks an
+    owl:sameAs term still smushes.
+
+    Scale shape: the declared-property edge set groups by (p, key) and
+    links every member to the group MIN — k−1 pairs per violating
+    group instead of the naive self-join's k(k−1)/2, with identical
+    connected components downstream (a spanning set per group). One
+    keyed aggregation + one join per rule; the declaration list rides a
+    broadcast (ontology-bounded, like TransitiveProperty)."""
+    typ = vocab.get("type")
+    if typ is None:
+        return None
+
+    def declared(cls_key: str) -> DataFrame | None:
+        cid = vocab.get(cls_key)
+        if cid is None:
+            return None
+        return triples.filter(
+            (F.col("p") == F.lit(int(typ))) & (F.col("o") == F.lit(int(cid)))
+        ).select(F.col("s").alias("prop"))
+
+    parts: list[DataFrame] = []
+    for cls_key, key_col, val_col in (
+        ("functionalproperty", "s", "o"),
+        ("inversefunctionalproperty", "o", "s"),
+    ):
+        props = declared(cls_key)
+        if props is None:
+            continue
+        e = triples.join(
+            F.broadcast(props), triples["p"] == props["prop"]
+        ).select("p", key_col, val_col)
+        rep = e.groupBy("p", key_col).agg(F.min(val_col).alias("__rep"))
+        parts.append(
+            e.join(rep, ["p", key_col])
+            .filter(F.col(val_col) != F.col("__rep"))
+            .select(F.col("__rep").alias("s"), F.col(val_col).alias("o"))
+        )
+    if not parts:
+        return None
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionAll(part)
+    return out
+
+
+def same_as_fixpoint(
+    triples: DataFrame, vocab: dict[str, int], max_rounds: int = 50
+) -> DataFrame | None:
+    """Identity fixpoint: explicit owl:sameAs statements + prp-fp/
+    prp-ifp derived pairs, smushed to min-id representatives, ITERATED
+    — a merge can make two edges share a functional key they did not
+    share before, cascading new identities. Each round performs at
+    least one merge, so the round count is bounded by the cascade
+    depth (real ontologies converge in one or two); per-round lineage
+    is truncated with localCheckpoint. Returns the canonical triple
+    relation, or None when the vocabulary declares no identity
+    machinery at all (caller no-op)."""
+    derived = functional_same_as(triples, vocab)
+    sameas = vocab.get("sameas")
+    if sameas is None and derived is None:
+        return None
+    out, _ = same_as_canonicalize(triples, sameas, extra_pairs=derived)
+    for _round in range(max_rounds):
+        out = out.localCheckpoint(eager=True)
+        derived = functional_same_as(out, vocab)
+        if derived is None or derived.limit(1).count() == 0:
+            return out
+        out, _ = same_as_canonicalize(out, None, extra_pairs=derived)
+    raise ValueError(
+        "sameAs derivation did not converge in "
+        f"{max_rounds} rounds — the functional-property merge cascade "
+        "is data-shaped; smush in stages or review the declarations"
+    )
+
+
 def same_as_canonicalize(
-    triples: DataFrame, sameas_id: int
+    triples: DataFrame,
+    sameas_id: int | None,
+    extra_pairs: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """owl:sameAs smushing: identity clusters = connected components of
     the sameAs graph (min-id representative — the existing min-label
     propagation, O(cluster diameter) rounds); every OTHER statement
     rewrites s/p/o through the bounded-per-cluster mapping and the
-    sameAs statements themselves collapse away. Returns ``(canonical
-    triples, mapping)`` where mapping is ``(node, rep)`` for every
+    sameAs statements themselves collapse away. ``extra_pairs`` adds
+    derived ``(s, o)`` identity pairs (prp-fp/prp-ifp — they join the
+    component build but are never statements); ``sameas_id`` may be
+    None when only derived pairs exist. Returns ``(canonical triples,
+    mapping)`` where mapping is ``(node, rep)`` for every
     non-representative member (persist it to answer queries about
     original ids). Exact and idempotent: re-smushing the output with
     the (now empty) sameAs graph is the identity."""
     from rdfproject_msc_spark.operators.graph import connected_components
 
-    sa = triples.filter(F.col("p") == F.lit(int(sameas_id)))
+    if sameas_id is not None:
+        sa = triples.filter(F.col("p") == F.lit(int(sameas_id))).select(
+            "s", "o"
+        )
+        rest = triples.filter(F.col("p") != F.lit(int(sameas_id)))
+    else:
+        sa = triples.select("s", "o").limit(0)
+        rest = triples
+    if extra_pairs is not None:
+        sa = sa.unionAll(extra_pairs.select("s", "o"))
     comps = connected_components(sa, src="s", dst="o")
     mapping = comps.filter(F.col("node") != F.col("comp")).select(
         F.col("node"), F.col("comp").alias("rep")
     )
-    rest = triples.filter(F.col("p") != F.lit(int(sameas_id)))
     out = rest
     for c in ("s", "p", "o"):
         m = mapping.select(

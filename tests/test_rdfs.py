@@ -480,3 +480,194 @@ def test_cli_materialize(spark, tmp_path):
     assert ("<urn:rex>", f"<{RDF}type>", "<urn:Animal>") in got
     assert ("<urn:ann>", "<urn:pets>", "<urn:rex>") in got
     assert not any(p == f"<{OWL}sameAs>" for _, p, _ in got)
+
+
+# ---- prp-fp / prp-ifp → sameAs (r10) --------------------------------------
+
+FP, IFP, SAME = 14, 15, 9
+FVOCAB = {
+    "type": TYPE,
+    "functionalproperty": FP,
+    "inversefunctionalproperty": IFP,
+    "sameas": SAME,
+}
+
+
+def python_sameas_fixpoint(triples: set, vocab=FVOCAB) -> set:
+    """Union-find oracle: explicit sameAs + prp-fp/prp-ifp identities
+    iterated to the merge fixpoint, then every statement rewritten to
+    the MIN-id representative with sameAs statements dropped."""
+    typ, sa = vocab["type"], vocab.get("sameas")
+    fp, ifp = vocab.get("functionalproperty"), vocab.get(
+        "inversefunctionalproperty"
+    )
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx == ry:
+            return False
+        lo, hi = min(rx, ry), max(rx, ry)
+        parent[hi] = lo
+        return True
+
+    fprops = {s for s, p, o in triples if p == typ and o == fp}
+    ifprops = {s for s, p, o in triples if p == typ and o == ifp}
+    changed = True
+    while changed:
+        changed = False
+        cur = {(find(s), find(p), find(o)) for s, p, o in triples}
+        for s, p, o in cur:
+            if sa is not None and p == sa and union(s, o):
+                changed = True
+        by_fp: dict = {}
+        by_ifp: dict = {}
+        for s, p, o in cur:
+            if p in fprops:
+                by_fp.setdefault((p, s), set()).add(o)
+            if p in ifprops:
+                by_ifp.setdefault((p, o), set()).add(s)
+        for vals in list(by_fp.values()) + list(by_ifp.values()):
+            vals = sorted(vals)
+            for v in vals[1:]:
+                if union(vals[0], v):
+                    changed = True
+    return {
+        (find(s), find(p), find(o))
+        for s, p, o in triples
+        if sa is None or find(p) != sa
+    }
+
+
+def spark_sameas_fixpoint(spark, triples: set, vocab=FVOCAB) -> set:
+    from rdfproject_msc_spark.operators.rdfs import same_as_fixpoint
+
+    df = spark.createDataFrame(sorted(triples), "s long, p long, o long")
+    out = same_as_fixpoint(df, vocab)
+    assert out is not None
+    return {tuple(r) for r in out.collect()}
+
+
+def test_functional_property_merges(spark):
+    """prp-ifp: two subjects sharing a value of an InverseFunctional
+    property merge; prp-fp: two values of a Functional property on the
+    same subject merge — both to the MIN-id representative."""
+    t = {
+        (20, TYPE, IFP),          # email : InverseFunctionalProperty
+        (21, TYPE, FP),           # father : FunctionalProperty
+        (30, 20, 50), (31, 20, 50),  # a,b share an email → a=b
+        (30, 21, 60), (31, 21, 61),  # a father x / b father y → x=y
+        (60, 22, 70),             # x likes w (rides the merge)
+    }
+    got = spark_sameas_fixpoint(spark, t)
+    want = python_sameas_fixpoint(t)
+    assert got == want
+    # the cascade actually fired: 31→30 and 61→60
+    assert (30, 21, 60) in got and (31, 21, 61) not in got
+    assert (60, 22, 70) in got
+
+
+def test_fp_cascade_needs_second_round(spark):
+    """A merge that ONLY becomes derivable after an earlier merge: the
+    first round unifies a=b (shared ifp email), which makes their
+    functional `father` edges share a subject — the second round then
+    unifies the fathers. Pins the iterate-to-fixpoint behavior."""
+    t = {
+        (20, TYPE, IFP), (21, TYPE, FP),
+        (30, 20, 50), (31, 20, 50),   # round 1: 30=31
+        (30, 21, 60), (31, 21, 61),   # round 2: 60=61
+        (60, 20, 51), (62, 20, 51),   # round 1 would ALSO give 60=62
+        (60, 21, 70), (61, 21, 71), (62, 21, 72),  # → 70=71=72 eventually
+    }
+    got = spark_sameas_fixpoint(spark, t)
+    assert got == python_sameas_fixpoint(t)
+    ids = {x for row in got for x in row}
+    assert 61 not in ids and 62 not in ids and 71 not in ids and 72 not in ids
+
+
+def test_sameas_and_functional_compose(spark):
+    """Explicit sameAs statements and derived fp/ifp identities build
+    ONE component set; sameAs statements drop from the output."""
+    t = {
+        (20, TYPE, IFP),
+        (30, SAME, 32),               # explicit a = c
+        (32, 20, 50), (33, 20, 50),   # derived c = d
+        (33, 22, 90),
+    }
+    got = spark_sameas_fixpoint(spark, t)
+    assert got == python_sameas_fixpoint(t)
+    assert (30, 22, 90) in got  # d's edge lands on the min rep 30
+    assert not any(p == SAME for _, p, _ in got)
+
+
+def test_functional_fixpoint_idempotent(spark):
+    from rdfproject_msc_spark.operators.rdfs import same_as_fixpoint
+
+    t = {
+        (20, TYPE, IFP), (21, TYPE, FP),
+        (30, 20, 50), (31, 20, 50),
+        (30, 21, 60), (31, 21, 61),
+    }
+    df = spark.createDataFrame(sorted(t), "s long, p long, o long")
+    once = same_as_fixpoint(df, FVOCAB)
+    twice = same_as_fixpoint(once, FVOCAB)
+    assert sorted(map(tuple, once.collect())) == sorted(
+        map(tuple, twice.collect())
+    )
+
+
+@given(
+    st.sets(
+        st.tuples(
+            st.integers(30, 38),
+            st.sampled_from([20, 21, 22, SAME]),
+            st.integers(30, 38) | st.integers(50, 54),
+        ),
+        max_size=14,
+    ),
+    st.sampled_from(
+        [(), ((20, TYPE, FP),), ((20, TYPE, IFP),),
+         ((20, TYPE, FP), (21, TYPE, IFP)),
+         ((20, TYPE, IFP), (21, TYPE, IFP))]
+    ),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_functional_ontologies_match_fixpoint(spark, instance, decls):
+    t = set(instance) | set(decls)
+    if not any(p == SAME for _, p, _ in t) and not decls:
+        t = t | {(30, SAME, 31)}  # keep the identity machinery engaged
+    assert spark_sameas_fixpoint(spark, t) == python_sameas_fixpoint(t)
+
+
+def test_engine_functional_same_as(spark, tmp_path):
+    """Engine surface: declared owl:InverseFunctionalProperty merges
+    subjects sharing a value, composed with explicit sameAs — raw NT
+    in, canonical decoded store out."""
+    OWL = "http://www.w3.org/2002/07/owl#"
+    RDFNS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    nt = tmp_path / "fp.nt"
+    nt.write_text(
+        f"<urn:email> <{RDFNS}type> <{OWL}InverseFunctionalProperty> .\n"
+        '<urn:a> <urn:email> "x@y" .\n'
+        '<urn:b> <urn:email> "x@y" .\n'
+        "<urn:b> <urn:knows> <urn:c> .\n"
+    )
+    eng = Engine(spark).load_triples(str(nt), fmt="nt", layout="single")
+    eng.canonicalize_same_as()
+    got = sorted(map(tuple, eng.decode(eng.store.df).collect()))
+    # '<urn:a>' < '<urn:b>' lexicographically → rep is a
+    assert ("<urn:a>", "<urn:knows>", "<urn:c>") in got
+    assert not any(s == "<urn:b>" for s, _, _ in got)
+    # the declaration statement itself survives (it is not an identity)
+    assert any("InverseFunctionalProperty" in o for _, _, o in got)

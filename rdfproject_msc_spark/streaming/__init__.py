@@ -6,6 +6,7 @@ from rdfproject_msc_spark.streaming.events import (  # noqa: F401
     dedup_events_stream,
     hourly_rollup,
     near_pairs_stream,
+    near_pairs_stream_outer,
     read_events_stream,
     run_to_memory_table,
     sessionize,

@@ -255,6 +255,54 @@ def near_pairs_stream(
     return left.join(right, cond).drop("k2")
 
 
+def near_pairs_stream_outer(
+    events: DataFrame,
+    *,
+    key: str = "user_id",
+    max_delta_s: int = 300,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT-OUTER watermarked stream-stream interval self-join (r10):
+    ``near_pairs_stream`` plus one row per event with NO strictly-later
+    same-key event inside ``max_delta_s`` — null-extended ``(id2, ts2)``
+    — the streaming complement an as-of pipeline needs to see "events
+    with no successor" (session closers, last-touch attribution).
+
+    Same state-boundedness contract as the inner form (both-side
+    watermarks + a pure time-range condition), with the EXTRA semantics
+    outer joins add: a left row cannot be declared match-less until the
+    RIGHT watermark has passed ``ts1 + max_delta`` (a matching row
+    could still arrive), so null-extended rows are HELD BACK until the
+    watermark crosses that horizon and then emitted exactly once.
+    Matched pairs still emit as soon as both rows exist. Consequence: a
+    drain whose final watermark stops short of the last events' horizon
+    leaves their null-extensions unemitted — exactly Spark's outer-join
+    timing contract, pinned in the tests rather than papered over.
+
+    Interval-form trap (the outer twin of the inner form's measured
+    unsolvable-constraint trap): the OUTER support check requires
+    StreamingJoinHelper to solve a state watermark for the NULLABLE
+    side, and it solves the ``interval N seconds`` DayTimeInterval
+    arithmetic but NOT the ``make_interval(...)`` CalendarInterval form
+    the inner join uses (measured — AnalysisException at start). Hence
+    the literal form here."""
+    left = events.withWatermark("ts", watermark).select(
+        F.col(key).alias("k"),
+        F.col("event_id").alias("id1"),
+        F.col("ts").alias("ts1"),
+    )
+    right = events.withWatermark("ts", watermark).select(
+        F.col(key).alias("k2"),
+        F.col("event_id").alias("id2"),
+        F.col("ts").alias("ts2"),
+    )
+    d = int(max_delta_s)
+    cond = F.expr(
+        f"k = k2 AND ts2 > ts1 AND ts2 <= ts1 + interval {d} seconds"
+    )
+    return left.join(right, cond, "left_outer").drop("k2")
+
+
 def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exactly-once dedup: at-least-once sources (Kafka retries,
     file-source re-lists, replayed batches) redeliver events; keeping one

@@ -870,3 +870,91 @@ def test_near_pairs_stream_equals_batch(spark, sf_dir, tmp_path_factory):
     want = {(r.k, r.id1, r.id2) for r in want_df.collect()}
     assert got == want
     assert len(got) > 0
+
+
+def test_near_pairs_stream_outer_left_join_with_holdback(
+    spark, sf_dir, tmp_path_factory
+):
+    """LEFT-OUTER stream-stream interval join (r10): matched pairs come
+    out like the inner form, and events with NO later same-user event in
+    the window null-extend — but only after the RIGHT watermark passes
+    their ts + max_delta horizon. Two drains over one checkpoint pin the
+    timing: drain 1 (4 time-ordered slices) holds back the tail events'
+    null-extensions; drain 2 adds a far-future sentinel that advances
+    the watermark past every horizon, after which the accumulated file
+    sink equals the BATCH left join exactly."""
+    import datetime
+    import os
+
+    base = tmp_path_factory.mktemp("nearouter")
+    ed = S.stage_events_dir_by_time(
+        spark, sf_dir, str(base / "events"), n_files=4
+    )
+    sink, ckpt = str(base / "out"), str(base / "ckpt")
+
+    def drain():
+        stream = S.read_events_stream(spark, ed, max_files_per_trigger=1)
+        joined = S.near_pairs_stream_outer(stream, max_delta_s=1800)
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+    q1 = drain()
+    progresses = [p for p in q1.recentProgress if p["numInputRows"] > 0]
+    assert len(progresses) > 1  # genuinely multi-batch
+    got1 = spark.read.parquet(sink)
+    nulls1 = {r.id1 for r in got1.filter("id2 IS NULL").collect()}
+
+    batch = spark.read.parquet(ed)
+    l = batch.select(
+        F.col("user_id").alias("k"),
+        F.col("event_id").alias("id1"),
+        F.col("ts").alias("t1"),
+    )
+    r = batch.select(
+        F.col("user_id").alias("k2"),
+        F.col("event_id").alias("id2"),
+        F.col("ts").alias("t2"),
+    )
+    want_df = l.join(
+        r,
+        F.expr(
+            "k = k2 AND t2 > t1 AND "
+            "t2 <= t1 + make_interval(0,0,0,0,0,0,1800)"
+        ),
+        "left_outer",
+    )
+    want_nulls = {r.id1 for r in want_df.filter("id2 IS NULL").collect()}
+    # drain 1: HOLDBACK observed — the events whose ts + max_delta
+    # horizon lies beyond the final watermark cannot null-extend yet
+    assert nulls1 < want_nulls
+
+    # sentinel: one far-future event (its own null-extension is held
+    # back in turn, so it never reaches the sink) advances the
+    # watermark past every real event's horizon
+    max_ts = batch.agg(F.max("ts")).first()[0]
+    far = max_ts + datetime.timedelta(hours=3)
+    spark.createDataFrame(
+        [(10**9, far, -1, "sentinel", 0.0, "{}", 0)],
+        S.EVENT_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(ed)
+    os.utime(ed, None)
+    drain()
+
+    got = spark.read.parquet(sink).filter("id1 != 1000000000")
+    got_set = {
+        (r.k, r.id1, r.id2) for r in got.collect()
+    }
+    want_set = {(r.k, r.id1, r.id2) for r in want_df.collect()}
+    assert got_set == want_set
+    assert any(i2 is None for _, _, i2 in got_set)  # null-extensions real
+    # matched subset ≡ the inner join (outer adds rows, never changes them)
+    inner = {t for t in want_set if t[2] is not None}
+    assert {t for t in got_set if t[2] is not None} == inner

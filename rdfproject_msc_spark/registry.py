@@ -512,6 +512,75 @@ def rdf_text_lifecycle(spark, sf_dir):
     )
 
 
+
+def sparql_lexical_str(spark, sf_dir):
+    """Spec value semantics over a LEXICAL (raw-ingested) store (r10,
+    sparql/planner.py:_lex_str_value): string functions over variables
+    evaluate the §17.4.2.5 STR VALUE — the literal's unquoted lexical
+    form, derived on the DICTIONARY side of the term-attach join — and
+    bare numeric FILTERs compare typed VALUES parsed from the term text
+    (ids are lexicographic ranks, never values). Two UNION arms: a
+    tagged-literal string-function arm (CONTAINS + LCASE over STR) and
+    a decimal-typed value arm (?b >= 5000 over '^^xsd:decimal'
+    lexicals with STR-projected values)."""
+    import os
+    import tempfile
+
+    from rdfproject_msc_spark.engine import Engine
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(tempfile.gettempdir(), "rdfproject_msc_lexstr", tag)
+
+    def _line(*parts):
+        return F.concat(
+            *[F.lit(p) if isinstance(p, str) else p for p in parts]
+        ).alias("value")
+
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    sc = lambda c: F.col(c).cast("string")  # noqa: E731
+    acct = F.col("c_acctbal").cast("decimal(12,2)").cast("string")
+    lines = nation.select(
+        _line("<urn:nation_", sc("n_nationkey"),
+              '> <urn:label> "', F.col("n_name"), '"@en .')
+    ).unionAll(customer.select(
+        _line("<urn:customer_", sc("c_custkey"),
+              '> <urn:acct> "', acct,
+              '"^^<http://www.w3.org/2001/XMLSchema#decimal> .')
+    ))
+    nt_dir = os.path.join(base, "nt")
+    lines.write.mode("overwrite").text(nt_dir)
+
+    eng = Engine(spark).load_triples(
+        nt_dir, fmt="nt", layout="sign_split", cluster_by="s"
+    )
+    out = eng.sparql(
+        """SELECT ?s ?v WHERE {
+             { ?s <urn:label> ?x .
+               FILTER(CONTAINS(STR(?x), "IA"))
+               BIND(LCASE(STR(?x)) AS ?v) }
+             UNION
+             { ?s <urn:acct> ?b .
+               FILTER(?b >= 5000)
+               BIND(STR(?b) AS ?v) }
+           }"""
+    )
+    # decode the id column; ?v is already a derived STRING value
+    return eng.dictionary.decode(out)
+
+
+SPARQL_LEXICAL_STR_SQL = """
+SELECT s, v FROM (
+  SELECT '<urn:nation_' || n_nationkey || '>' AS s, lower(n_name) AS v
+  FROM nation WHERE contains(n_name, 'IA')
+  UNION ALL
+  SELECT '<urn:customer_' || c_custkey || '>' AS s,
+         CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS v
+  FROM customer WHERE CAST(c_acctbal AS DECIMAL(12,2)) >= 5000
+)
+"""
+
+
 def rdf_ingest_nt(spark, sf_dir):
     """Raw-RDF first mile (r9, sources/ntriples.py): the onboarding step
     NEITHER repo had — the reference's input arrives pre-encoded
@@ -2997,7 +3066,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "corpus_curate": QuerySpec(corpus_curate, CORPUS_CURATE_SQL, headline=True),
     "corpus_split": QuerySpec(corpus_split, CORPUS_SPLIT_SQL),
     "doc_pack": QuerySpec(doc_pack, DOC_PACK_SQL),
-    "text_stats": QuerySpec(text_stats, TEXT_STATS_SQL),
+    # text_stats demoted r10 (slot → sparql_lexical_str): the
+    # length/punct/word aggregate profile is exercised by quality/C4/
+    # Gopher rows daily; oracle kept in tests/test_demoted.py
+    "sparql_lexical_str": QuerySpec(
+        sparql_lexical_str, SPARQL_LEXICAL_STR_SQL, headline=True
+    ),
     # text_langid demoted r6 (slot -> text_ngram_top): the n-gram
     # language-ID heuristic stays oracle-pinned in tests/test_demoted.py
     # text_ngram_top demoted r9 (slot → rdf_rdfs_closure): the n-gram

@@ -277,3 +277,12 @@ def test_text_ngram_top_matches_oracle(spark, sf_dir):
     assert_matches_oracle(
         R.text_ngram_top(spark, sf_dir), R.TEXT_NGRAM_TOP_SQL, sf_dir
     )
+
+
+def test_text_stats_matches_oracle(spark, sf_dir):
+    """Demoted r10 (slot → sparql_lexical_str): the per-document
+    length/punct/word profile stays driver-adjacent through the
+    quality/C4/Gopher rows; this keeps the exact DuckDB twin."""
+    assert_matches_oracle(
+        R.text_stats(spark, sf_dir), R.TEXT_STATS_SQL, sf_dir
+    )

@@ -51,6 +51,9 @@ FAMILY = [
     "ann_lsh_topk",
     # named graphs: quad-relation scans + same-graph join keys
     "sparql_graph",
+    # lexical value semantics (r10): dictionary-side STR derivation +
+    # typed numeric values over a raw-ingested store
+    "sparql_lexical_str",
     # text/retrieval family (r6): BM25's two-full-scan zero-shuffle
     # design, decontamination's broadcast n-grams + one corpus shuffle,
     # and the 4-stage curation composition — the shapes whose scale
@@ -182,6 +185,49 @@ def _neardup_probe_persisted(spark, sf_dir):
     )
 
 
+def _trig_ingest(spark, sf_dir):
+    """TriG first mile (r10): graph blocks over the per-file Turtle
+    parse unit — the probe writes ~32 TriG documents whose statements
+    split between the default graph and per-nation named-graph blocks,
+    and measures parse + shared quad-encode (encode_quad_relation: one
+    dictionary over every term incl. graph labels + two encodes). Same
+    scaling lever as turtle_ingest: file COUNT drives parse
+    parallelism; the encode joins are the shared NT machinery."""
+    import os as _os
+    import tempfile as _tf
+
+    from rdfproject_msc_spark.registry import load_table
+    from rdfproject_msc_spark.sources.turtle import ingest_trig
+
+    tag = _os.path.basename(_os.path.normpath(sf_dir))
+    base = _os.path.join(_tf.gettempdir(), "rdfproject_msc_trig_probe", tag)
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    s = lambda c: F.col(c).cast("string")  # noqa: E731
+    lines = (
+        orders.select(
+            F.concat(
+                F.lit("<urn:order_"), s("o_orderkey"),
+                F.lit("> <urn:placedBy> <urn:customer_"), s("o_custkey"),
+                F.lit("> ."),
+            ).alias("value")
+        )
+        .unionAll(customer.select(
+            F.concat(
+                F.lit("<urn:g_nation_"), s("c_nationkey"),
+                F.lit("> { <urn:customer_"), s("c_custkey"),
+                F.lit("> <urn:inNation> <urn:nation_"), s("c_nationkey"),
+                F.lit("> . }"),
+            ).alias("value")
+        ))
+    )
+    lines.repartition(32).write.mode("overwrite").text(base)
+    triples, quads, d = ingest_trig(spark, base)
+    return triples.groupBy("p").count().unionAll(
+        quads.groupBy("g").count()
+    )
+
+
 def _tokenize_vocab(spark, sf_dir):
     """Trained-vocab tokenization (r9): the fit is one token-keyed agg +
     bounded top-V; the apply is posexplode → broadcast vocab join → one
@@ -276,6 +322,7 @@ def _rdfs_materialize(spark, sf_dir):
 EXTRAS = {
     "rdfs_materialize": _rdfs_materialize,
     "turtle_ingest": _turtle_ingest,
+    "trig_ingest": _trig_ingest,
     "tokenize_vocab": _tokenize_vocab,
     "neardup_probe_persisted": _neardup_probe_persisted,
     "passage_dedup_k32": _passage_dedup_k32,

@@ -3435,9 +3435,23 @@ def _plan_grouped(
     # via the same dictionary left join as pattern-level filters — the
     # match evaluates over |groups| rows post-aggregation.
     if bgp.having:
-        str_vars = sorted(
-            {v for e in bgp.having for v in filter_expr_strfn_vars(e)}
-        )
+        hvars = {v for e in bgp.having for v in filter_expr_strfn_vars(e)}
+        if _ACTIVE_STYLE.get() == "lexical":
+            # bare numeric HAVING comparisons over PATTERN-VAR group
+            # keys evaluate typed values on lexical stores (ids are
+            # ranks) — attach their terms; aggregate aliases and
+            # expression-key aliases (BIND targets) hold computed
+            # values and compare directly (no attach → plain compare)
+            binds = {
+                bv for g in _walk_groups(bgp.where) for bv, _ in g.binds
+            }
+            hvars |= {
+                v
+                for e in bgp.having
+                for v in filter_expr_barecmp_vars(e)
+                if v in bgp.group_by and v not in binds
+            }
+        str_vars = sorted(hvars)
         tmap: dict[str, str] = {}
         if str_vars and dictionary is None:
             raise SparqlSyntaxError(
@@ -3478,5 +3492,17 @@ def sparql_to_df(
     if decode:
         if dictionary is None:
             raise SparqlSyntaxError("decode=True requires a dictionary")
-        df = dictionary.decode(df)
+        # decode only the ID-VALUED columns: aggregate aliases,
+        # post-aggregation expression aliases, and BIND targets hold
+        # computed VALUES — joining the dictionary on them would decode
+        # a COUNT of 3 into whatever term happens to hold rank 3
+        # (string-valued targets are already skipped by dtype)
+        computed = (
+            {alias for _, _, _, alias, _ in bgp.aggregates}
+            | {alias for alias, _ in bgp.agg_exprs}
+            | {bv for g in _walk_groups(bgp.where) for bv, _ in g.binds}
+        )
+        df = dictionary.decode(
+            df, [c for c in df.columns if c not in computed]
+        )
     return df

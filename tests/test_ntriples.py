@@ -1014,3 +1014,54 @@ def test_lexical_var_var_ordered_comparison_rejects(spark, tmp_path):
         ).count()
         == 0
     )
+
+
+def test_lexical_having_and_decode_of_computed_columns(spark, tmp_path):
+    """Two r10 follow-ups pinned: (a) HAVING bare-numeric comparisons
+    over a PATTERN-VAR group key evaluate typed values on a lexical
+    store (ids are ranks), while aggregate aliases keep plain value
+    comparisons; (b) decode=True leaves computed columns (aggregate
+    aliases, BIND targets) untouched instead of mis-decoding a COUNT
+    into whatever term holds that rank."""
+    nt = tmp_path / "h.nt"
+    nt.write_text(
+        '<http://e/a> <http://e/score> '
+        '"10"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+        '<http://e/b> <http://e/score> '
+        '"10"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+        '<http://e/c> <http://e/score> '
+        '"7"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+        '<http://e/a> <http://e/knows> <http://e/b> .\n'
+    )
+    eng = Engine(spark).load_triples(str(nt), fmt="nt")
+    # group key ?v holds integer-typed literals: HAVING(?v > 8) must
+    # compare the VALUE 10 vs 8 — under rank semantics the ids here are
+    # all < 10 and the answer would silently differ
+    got = sorted(
+        map(
+            tuple,
+            eng.sparql(
+                "SELECT ?v (COUNT(?s) AS ?n) WHERE "
+                "{ ?s <http://e/score> ?v } GROUP BY ?v HAVING(?v > 8)",
+                decode=True,
+            ).collect(),
+        )
+    )
+    assert got == [
+        ('"10"^^<http://www.w3.org/2001/XMLSchema#integer>', 2)
+    ]
+    # aggregate-alias HAVING still compares the computed count, and the
+    # decoded output keeps ?n as the NUMBER 2 (not a rank-2 term)
+    got = sorted(
+        map(
+            tuple,
+            eng.sparql(
+                "SELECT ?v (COUNT(?s) AS ?n) WHERE "
+                "{ ?s <http://e/score> ?v } GROUP BY ?v HAVING(?n > 1)",
+                decode=True,
+            ).collect(),
+        )
+    )
+    assert got == [
+        ('"10"^^<http://www.w3.org/2001/XMLSchema#integer>', 2)
+    ]

@@ -455,17 +455,24 @@ def _compile_strexpr(node, idcol, termcol, colmap=None) -> Column:
         s = F.replace(s, F.lit("+"), F.lit("%20"))
         s = F.replace(s, F.lit("%7E"), F.lit("~"))
         return F.replace(s, F.lit("*"), F.lit("%2A"))
-    if k == "strlang":
-        # STRLANG (§17.4.2.8): language-tagged literal TERM text in the
-        # dictionary's canonical form '"lex"@tag' (tag already
-        # lowercased at parse). NULL input → NULL (expression error).
+    if k in ("strlang", "strdt"):
+        # STRLANG/STRDT (§17.4.2.8-9): literal TERM text in the
+        # dictionary's canonical form. On a LEXICAL store the STR value
+        # is the UNESCAPED lexical form while dictionary terms carry
+        # NT-escaped source bytes — re-escape the constructed body so
+        # the term joins back to dictionary entries (minimal NT
+        # escaping, the Turtle-ingest canonical set). Localized bodies
+        # are stored raw between quotes: no escaping. NULL input →
+        # NULL (expression error).
         s = _compile_strexpr(node[1], idcol, termcol, colmap)
-        return F.concat(F.lit('"'), s, F.lit(f'"@{node[2]}'))
-    if k == "strdt":
-        # STRDT (§17.4.2.9): typed-literal TERM text '"lex"^^:localdt'
-        # (datatype localized at parse, same form the dictionary stores)
-        s = _compile_strexpr(node[1], idcol, termcol, colmap)
-        return F.concat(F.lit('"'), s, F.lit(f'"^^{node[2]}'))
+        if _ACTIVE_STYLE.get() == "lexical":
+            # literal (non-regex) replaces; same minimal set the
+            # Turtle ingest canonicalizes to (sources/turtle.py)
+            for ch, esc in (("\\", "\\\\"), ('"', '\\"'),
+                            ("\n", "\\n"), ("\r", "\\r")):
+                s = F.replace(s, F.lit(ch), F.lit(esc))
+        suffix = f'"@{node[2]}' if k == "strlang" else f'"^^{node[2]}'
+        return F.concat(F.lit('"'), s, F.lit(suffix))
     if k == "iri":
         # IRI/URI (§17.4.2.6): IRI TERM text in the style captured at
         # parse — localized (the way every constant IRI in a query is:

@@ -1065,3 +1065,37 @@ def test_lexical_having_and_decode_of_computed_columns(spark, tmp_path):
     assert got == [
         ('"10"^^<http://www.w3.org/2001/XMLSchema#integer>', 2)
     ]
+
+
+def test_lexical_strlang_strdt_reescape(spark, tmp_path):
+    """STRLANG/STRDT on a lexical store re-escape the derived STR value
+    when constructing term text (dictionary terms carry NT-escaped
+    source bytes), so the constructed term matches stored entries
+    byte-for-byte."""
+    nt = tmp_path / "e.nt"
+    nt.write_text(
+        '<http://e/a> <http://e/note> "say \\"hi\\"" .\n'
+        '<http://e/a> <http://e/note2> "say \\"hi\\""@en .\n'
+    )
+    eng = Engine(spark).load_triples(str(nt), fmt="nt")
+    got = [
+        r[0]
+        for r in eng.sparql(
+            "SELECT ?t WHERE { ?s <http://e/note> ?x . "
+            'BIND(STRLANG(STR(?x), "en") AS ?t) }'
+        ).collect()
+    ]
+    assert got == ['"say \\"hi\\""@en']
+    # byte-identical to the stored tagged term: the id join closes
+    assert eng.dictionary.lookup_terms(got) != {}
+    got = [
+        r[0]
+        for r in eng.sparql(
+            "SELECT ?t WHERE { ?s <http://e/note> ?x . "
+            "BIND(STRDT(STR(?x), "
+            "<http://www.w3.org/2001/XMLSchema#token>) AS ?t) }"
+        ).collect()
+    ]
+    assert got == [
+        '"say \\"hi\\""^^<http://www.w3.org/2001/XMLSchema#token>'
+    ]

@@ -332,15 +332,20 @@ class Engine:
         before = self.dictionary.df.count()
         live = self.dictionary.df.join(refs, "id", "left_semi")
         new_df, new_quads = store.df, store.quads if store.has_quads else None
+        rank_caches: list = []
         if reindex:
             npart = int(
                 self.spark.conf.get("spark.sql.shuffle.partitions")
             )
             pos = _lex_ranks(
-                live.filter(F.col("id") > 0).select("term"), npart
+                live.filter(F.col("id") > 0).select("term"),
+                npart,
+                rank_caches,
             )
             neg = _lex_ranks(
-                live.filter(F.col("id") < 0).select("term"), npart
+                live.filter(F.col("id") < 0).select("term"),
+                npart,
+                rank_caches,
             )
             new_dict = pos.select(
                 F.col("rank").alias("id"), "term"
@@ -377,6 +382,8 @@ class Engine:
         if new_quads is not None:
             new_quads = new_quads.localCheckpoint(eager=True)
         after = new_dict.count()
+        for c in rank_caches:
+            c.unpersist()  # the checkpointed snapshot no longer reads them
         self.dictionary = Dictionary(
             new_dict, broadcast_hint=self.dictionary.broadcast_hint
         )

@@ -436,10 +436,15 @@ def same_as_fixpoint(
     if sameas is None and derived is None:
         return None
     out, _ = same_as_canonicalize(triples, sameas, extra_pairs=derived)
+    if derived is None:
+        # explicit sameAs only: no functional declarations means no
+        # merge can cascade — return the LAZY one-round plan (no eager
+        # corpus materialization for the common case)
+        return out
     for _round in range(max_rounds):
         out = out.localCheckpoint(eager=True)
         derived = functional_same_as(out, vocab)
-        if derived is None or derived.limit(1).count() == 0:
+        if derived.limit(1).count() == 0:
             return out
         out, _ = same_as_canonicalize(out, None, extra_pairs=derived)
     raise ValueError(

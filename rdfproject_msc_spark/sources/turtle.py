@@ -421,7 +421,7 @@ def _parse_files(
                         i += 1
                         break
                     if text[i] == "{" or _re.match(
-                        r"GRAPH(?=[\s#])", text[i:], _re.I
+                        r"GRAPH(?=[\s#<])", text[i:], _re.I
                     ):
                         err("graph blocks cannot nest")
                     subject = read_term(as_subject=True)
@@ -448,13 +448,18 @@ def _parse_files(
                 skip_ws()
                 if i >= n:
                     break
-                # SPARQL-style directives must be followed by whitespace
-                # (or a comment): `prefix:foo :p :o .` is a legal
-                # statement whose subject uses a prefix literally named
-                # "prefix", not a directive — a bare \b would match at
-                # the ':' boundary and misparse it
+                # SPARQL-style directive disambiguation:
+                # `prefix:foo :p :o .` is a statement whose subject
+                # uses a prefix literally named "prefix" (a bare \b
+                # would misparse it as a directive), while the legal
+                # whitespace-free forms still parse as directives —
+                # `PREFIX: <i>` (empty prefix label: ':' followed by
+                # whitespace or '<') and `BASE<i>` ('<' cannot start a
+                # pname local part)
                 if text[i] == "@" or _re.match(
-                    r"(?:PREFIX|BASE)(?=[\s#])", text[i:], _re.I
+                    r"(?:PREFIX(?=[\s#]|:(?=[\s#<]))|BASE(?=[\s#<]))",
+                    text[i:],
+                    _re.I,
                 ):
                     at_form = text[i] == "@"
                     m = _re.match(
@@ -498,9 +503,12 @@ def _parse_files(
                         )
                     read_graph_block(None)  # bare block = default graph
                     continue
-                if trig and _re.match(r"GRAPH(?=[\s#])", text[i:], _re.I):
+                if trig and _re.match(
+                    r"GRAPH(?=[\s#<])", text[i:], _re.I
+                ):
                     # GRAPH <label> { … } — keyword requires following
-                    # whitespace (GRAPH:foo stays a prefixed name)
+                    # whitespace or '<' (GRAPH:foo stays a prefixed
+                    # name; GRAPH<g>{…} is legal whitespace-free TriG)
                     i += 5
                     skip_ws()
                     # read_term(as_subject=True) already rejects

@@ -3500,14 +3500,25 @@ def sparql_to_df(
         if dictionary is None:
             raise SparqlSyntaxError("decode=True requires a dictionary")
         # decode only the ID-VALUED columns: aggregate aliases,
-        # post-aggregation expression aliases, and BIND targets hold
-        # computed VALUES — joining the dictionary on them would decode
-        # a COUNT of 3 into whatever term happens to hold rank 3
-        # (string-valued targets are already skipped by dtype)
+        # post-aggregation expression aliases, and computed BIND
+        # targets hold VALUES — joining the dictionary on them would
+        # decode a COUNT of 3 into whatever term happens to hold rank
+        # 3 (string-valued targets are already skipped by dtype). An
+        # IDENTITY bind `BIND(?x AS ?y)` copies an id column and DOES
+        # decode.
         computed = (
             {alias for _, _, _, alias, _ in bgp.aggregates}
             | {alias for alias, _ in bgp.agg_exprs}
-            | {bv for g in _walk_groups(bgp.where) for bv, _ in g.binds}
+            | {
+                bv
+                for g in _walk_groups(bgp.where)
+                for bv, bexpr in g.binds
+                if not (
+                    isinstance(bexpr, tuple)
+                    and len(bexpr) == 2
+                    and bexpr[0] == "var"
+                )
+            }
         )
         df = dictionary.decode(
             df, [c for c in df.columns if c not in computed]

@@ -79,20 +79,18 @@ def write_results_csv(df: DataFrame, path: str) -> None:
     projection variables, cells = plain string forms, unbound = empty.
     The engine-side transform is pure column expressions, so the write
     scales like any text sink."""
+    # the ONE column-level N-Triples unescape (sentinel-parked escaped
+    # backslashes, ECHARs, \\uXXXX/\\UXXXXXXXX) — shared with the
+    # planner's STR-value derivation so a literal renders identically
+    # through FILTER/STR and through this sink
+    from rdfproject_msc_spark.sparql.planner import _nt_unescape
+
     cols = []
     for c in df.columns:
         v = F.col(c).cast("string")
         # strip <>-brackets; unquote plain/tagged/typed literal bodies
         body = F.regexp_extract(v, r'^"((?:[^"\\]|\\.)*)"', 1)
-        # sentinel-swap order (same as _term_kind): park escaped
-        # backslashes FIRST so a literal-backslash-then-n ("a\\nb",
-        # value a\nb) is not corrupted into a real newline, then the
-        # control escapes, then restore the parked backslashes
-        u = F.regexp_replace(body, r"\\\\", "\x00")
-        for esc, ch in ((r"\\n", "\n"), (r"\\t", "\t"), (r"\\r", "\r"),
-                        (r'\\"', '"')):
-            u = F.regexp_replace(u, esc, ch)
-        u = F.regexp_replace(u, "\x00", "\\\\")
+        u = _nt_unescape(body)
         unescaped = F.when(v.startswith('"'), u).otherwise(
             F.when(
                 v.startswith("<") & v.endswith(">"),

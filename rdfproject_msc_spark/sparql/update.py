@@ -89,7 +89,7 @@ _CLEAR_RE = re.compile(
 _REJECTED_OPS = re.compile(r"\b(CREATE|DROP|COPY|MOVE|ADD)\b", re.I)
 _LOAD_RE = re.compile(
     r"LOAD\s+(?P<silent>SILENT\s+)?<(?P<iri>[^>]*)>"
-    r"(?:\s+INTO\s+GRAPH\s+(?P<g>\S+))?",
+    r"(?:\s+INTO\s+GRAPH\s+(?P<g><[^>]*>|[^\s;]+))?",
     re.I,
 )
 _WITH_USING = re.compile(r"\b(WITH|USING)\b", re.I)
@@ -803,6 +803,22 @@ def apply_update(engine, src: str, negative_when=None) -> None:
                     "datasets (N-Quads/TriG) carry their own graph "
                     "labels — use the ingest surface for those"
                 )
+            if engine.dictionary is None:
+                raise SparqlSyntaxError(
+                    "LOAD needs a dictionary-backed store (the parsed "
+                    "terms must encode); load or ingest one first"
+                )
+            if engine.term_style != "lexical":
+                # a raw RDF document parses to full lexical forms;
+                # appending those to a localized-convention dictionary
+                # would silently split every resource into two terms
+                raise SparqlSyntaxError(
+                    "LOAD parses RDF documents into lexical-form terms "
+                    "and the store's dictionary uses the localized "
+                    "convention — re-ingest the store from raw RDF, or "
+                    "add the data with INSERT DATA (whose constants "
+                    "normalize per the engine's term style)"
+                )
             if op.path.endswith(".ttl"):
                 from rdfproject_msc_spark.sources.turtle import (
                     ingest_turtle as _load_ingest,
@@ -811,6 +827,7 @@ def apply_update(engine, src: str, negative_when=None) -> None:
                 from rdfproject_msc_spark.sources.ntriples import (
                     ingest_ntriples as _load_ingest,
                 )
+            load_caches: list = []
             try:
                 df, dict_df = _load_ingest(
                     spark,
@@ -818,22 +835,30 @@ def apply_update(engine, src: str, negative_when=None) -> None:
                     dictionary=engine.dictionary.df,
                     negative_when=negative_when,
                     on_error="skip" if op.silent else "fail",
+                    caches=load_caches,
                 )
-                # surface unreadable paths NOW (SILENT's no-op needs
-                # the failure to happen inside this try): a bounded
-                # existence probe, not a materialization
-                df.limit(1).count()
+                # an RDF document is a SET of triples: intra-document
+                # duplicates collapse before the store merge
+                df = df.distinct()
+                # materialize INSIDE the try: SILENT must swallow
+                # failures surfacing anywhere in the scan (a file
+                # deleted between listing and read, a corrupt member
+                # of a directory), not just the first-row probe —
+                # and the checkpoint severs the ingest-cache lineage
+                # so those caches release below
+                df = df.localCheckpoint(eager=True)
+                dict_df = dict_df.localCheckpoint(eager=True)
             except Exception:
+                for c in load_caches:
+                    c.unpersist()
                 if op.silent:
                     continue  # §3.1.4 SILENT: failure → no-op
                 raise
+            for c in load_caches:
+                c.unpersist()  # both outputs are checkpointed copies
             engine.dictionary = Dictionary(
                 dict_df, broadcast_hint=engine.dictionary.broadcast_hint
             )
-            # localCheckpoint the encoded delta: it feeds BOTH the set-
-            # semantics anti-join and the union, and later updates would
-            # otherwise stack the whole ingest lineage per statement
-            df = df.localCheckpoint(eager=True)
             if op.graph_slot is None:
                 fresh = df.join(store.df, ["s", "p", "o"], "left_anti")
                 store = _clone_store(store, df=store.df.unionAll(fresh))

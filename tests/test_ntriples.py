@@ -1099,3 +1099,19 @@ def test_lexical_strlang_strdt_reescape(spark, tmp_path):
     assert got == [
         '"say \\"hi\\""^^<http://www.w3.org/2001/XMLSchema#token>'
     ]
+
+
+def test_decode_keeps_identity_binds(spark, tmp_path):
+    """decode=True decodes an IDENTITY bind (BIND(?x AS ?y) copies an
+    id column) while computed binds stay values (round-10 review)."""
+    nt = tmp_path / "ib.nt"
+    nt.write_text("<http://e/a> <http://e/p> <http://e/b> .\n")
+    eng = Engine(spark).load_triples(str(nt), fmt="nt")
+    row = eng.sparql(
+        "SELECT ?x ?y ?n WHERE { ?x <http://e/p> ?o . "
+        "BIND(?x AS ?y) BIND(1 + 1 AS ?n) }",
+        decode=True,
+    ).collect()[0]
+    assert row["x"] == "<http://e/a>"
+    assert row["y"] == "<http://e/a>"  # identity bind decodes
+    assert row["n"] == 2  # computed bind stays a value

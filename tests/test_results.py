@@ -286,3 +286,20 @@ def test_cli_sparql_results_xml(spark, tmp_path, eng):
     root = ET.fromstring(open(xpath).read())
     ns = "{http://www.w3.org/2005/sparql-results#}"
     assert len(root.find(f"{ns}results").findall(f"{ns}result")) == 2
+
+
+def test_results_csv_unescapes_unicode_escapes(spark, tmp_path):
+    """The CSV sink shares the planner's column-level unescape, so a
+    stored \\uXXXX escape renders as the character — identical to what
+    STR(?x) sees (round-10 review finding)."""
+    df = spark.createDataFrame(
+        [('"caf\\u00e9"',), ('"bs\\bmid\\fend"',)], ["o"]
+    )
+    out = str(tmp_path / "csv")
+    write_results_csv(df, out)
+    raw = "".join(
+        open(f, newline="").read()
+        for f in sorted(glob.glob(out + "/part-*.csv"))
+    )
+    assert "café" in raw
+    assert "bs\bmid\fend" in raw

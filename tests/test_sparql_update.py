@@ -709,3 +709,53 @@ def test_load_rejects_dataset_formats_and_var_graph(spark, nt_path, tmp_path):
         eng.update(f"LOAD <file://{tmp_path}/d.nq>")
     with pytest.raises(SparqlSyntaxError, match="constant IRI"):
         eng.update(f"LOAD <file://{tmp_path}/d.nt> INTO GRAPH ?g")
+
+
+def test_load_review_findings(spark, nt_path, tmp_path):
+    """Round-10 review pins: (1) a ';' glued to the INTO GRAPH IRI is
+    the statement separator, not part of the graph term; (2) LOAD
+    deduplicates the document (an RDF document is a SET); (4) LOAD on
+    a localized-convention store rejects didactically instead of
+    silently splitting resources into two term conventions."""
+    eng = make_engine(spark, nt_path)
+    extra = tmp_path / "dup.nt"
+    extra.write_text(
+        f"<{EX}d> <{EX}knows> <{EX}a> .\n"
+        f"<{EX}d> <{EX}knows> <{EX}a> .\n"  # intra-document duplicate
+    )
+    # (1): the separator parses as a separator — both ops apply, and
+    # the graph term is exactly <urn:g> (no trailing ';')
+    eng.update(
+        f"LOAD <file://{extra}> INTO GRAPH <{EX}g> ; "
+        f"INSERT DATA {{ <{EX}z> <{EX}knows> <{EX}a> . }}"
+    )
+    assert eng.dictionary.lookup_terms([f"<{EX}g>"])
+    assert eng.dictionary.lookup_terms([f"<{EX}g>;"]) == {}
+    got = sorted(
+        map(
+            tuple,
+            eng.sparql(
+                f"SELECT ?s ?o WHERE "
+                f"{{ GRAPH <{EX}g> {{ ?s <{EX}knows> ?o . }} }}",
+                decode=True,
+            ).collect(),
+        )
+    )
+    # (2): the duplicated statement landed ONCE
+    assert got == [(f"<{EX}d>", f"<{EX}a>")]
+    # (2) default graph too
+    eng2 = make_engine(spark, nt_path)
+    eng2.update(f"LOAD <file://{extra}>")
+    assert (
+        eng2.store.df.count() == 6  # 5 original + 1 (deduped) new
+    )
+    # (4): localized stores reject
+    eng3 = make_engine(spark, nt_path)
+    eng3.term_style = "localized"
+    with pytest.raises(SparqlSyntaxError, match="localized"):
+        eng3.update(f"LOAD <file://{extra}>")
+    eng4 = Engine(spark)
+    eng4.store = eng3.store
+    eng4.dictionary = None
+    with pytest.raises(SparqlSyntaxError, match="dictionary"):
+        eng4.update(f"LOAD <file://{extra}>")

@@ -209,3 +209,13 @@ def test_cli_ingest_trig(spark, tmp_path):
         ["<http://ex.org/g1>"]
     )["<http://ex.org/g1>"]
     assert quads.filter(F.col("g") == gid).count() == 3
+
+
+def test_trig_whitespace_free_graph_keyword(spark, tmp_path):
+    """`GRAPH<g>{…}` is legal whitespace-free TriG — the keyword
+    lookahead accepts '<' (round-10 review finding)."""
+    (tmp_path / "wf.trig").write_text(
+        "GRAPH<urn:g>{ <urn:s> <urn:p> <urn:o> . }\n"
+    )
+    got = rows(parse_trig(spark, str(tmp_path / "wf.trig"), on_error="fail"))
+    assert got == [("<urn:g>", "<urn:s>", "<urn:p>", "<urn:o>")]

@@ -369,3 +369,17 @@ def test_turtle_abbreviations_fuzz(spark, tmp_path_factory, triples, seed):
         )
     )
     assert got == want
+
+
+def test_whitespace_free_directive_and_empty_prefix(spark, tmp_path):
+    """Legal whitespace-free forms parse: `PREFIX: <i>` declares the
+    EMPTY prefix label and `BASE<i>` is a directive ('<' cannot start
+    a pname local part) — while `prefix:foo` subjects still parse as
+    statements (round-10 review finding)."""
+    (tmp_path / "wf.ttl").write_text(
+        "PREFIX: <http://e/>\n"
+        "BASE<http://b.org/>\n"
+        ":a :p <rel> .\n"
+    )
+    got = rows(parse_turtle(spark, str(tmp_path / "wf.ttl"), on_error="fail"))
+    assert got == [("<http://e/a>", "<http://e/p>", "<http://b.org/rel>")]

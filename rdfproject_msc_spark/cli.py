@@ -130,6 +130,33 @@ def main(argv: list[str] | None = None) -> int:
                        help="canonicalize owl:sameAs clusters first")
     p_mat.add_argument("--cpus", type=int, default=None)
 
+    p_vac = sub.add_parser(
+        "vacuum",
+        help="compact a persisted store after update chains: drop "
+        "dictionary terms no longer referenced by any triple/quad, "
+        "optionally re-rank survivors into a dense id space "
+        "(--reindex rewrites the store through the mapping), persist "
+        "the compacted snapshot",
+    )
+    p_vac.add_argument("--store", required=True)
+    p_vac.add_argument("--layout", choices=("single", "sign_split"),
+                       default="sign_split")
+    p_vac.add_argument("--dict", dest="dict_path", required=True,
+                       help="dictionary parquet (ingest-built)")
+    p_vac.add_argument("--quads", default=None,
+                       help="named-graph quad parquet to include in the "
+                       "reference set (and rewrite under --reindex)")
+    p_vac.add_argument("--out", required=True,
+                       help="compacted store output dir")
+    p_vac.add_argument("--dict-out", required=True,
+                       help="compacted dictionary output dir")
+    p_vac.add_argument("--quads-out", default=None,
+                       help="compacted quads output dir (with --quads)")
+    p_vac.add_argument("--reindex", action="store_true",
+                       help="re-rank surviving terms into dense ids and "
+                       "rewrite the store")
+    p_vac.add_argument("--cpus", type=int, default=None)
+
     p_sql = sub.add_parser("sql", help="SQL over a persisted store")
     p_sql.add_argument("--store", required=True)
     p_sql.add_argument("--layout", choices=("single", "sign_split"), default="sign_split")
@@ -531,6 +558,39 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"ingested {n} triples, {nd} dictionary terms "
             f"(store={args.out}, dict={args.dict_out})"
+        )
+        return 0
+
+    if args.command == "vacuum":
+        import os as _os
+
+        for a, b, what in (
+            (args.store, args.out, "--out/--store"),
+            (args.dict_path, args.dict_out, "--dict-out/--dict"),
+        ):
+            if _os.path.realpath(a) == _os.path.realpath(b):
+                raise SystemExit(
+                    f"{what} must differ (the compaction reads the old "
+                    "snapshot while writing the new one)"
+                )
+        spark = _spark(args.cpus)
+        eng = Engine(spark).open(
+            args.store, layout=args.layout, dict_path=args.dict_path
+        )
+        if args.quads:
+            if not args.quads_out:
+                raise SystemExit("--quads needs --quads-out")
+            eng.load_quads(args.quads)
+        stats = eng.vacuum(reindex=args.reindex)
+        eng.save(
+            args.out,
+            quads_path=args.quads_out if args.quads else None,
+            dict_path=args.dict_out,
+        )
+        print(
+            f"vacuumed: {stats['terms_before']} -> {stats['terms_after']} "
+            f"terms ({stats['dropped']} dropped"
+            f"{', reindexed' if args.reindex else ''}; store={args.out})"
         )
         return 0
 

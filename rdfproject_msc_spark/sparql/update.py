@@ -37,7 +37,7 @@ Supported operations (';'-separated, PREFIX decls shared):
 
 Documented rejects (didactic errors, repo convention): blank nodes in
 any update payload (fresh-bnode minting has no stable oracle — the
-same stance as NOW/UUID), CREATE/DROP/COPY/MOVE/ADD, WITH/USING,
+same stance as NOW/UUID) and CREATE/DROP/COPY/MOVE/ADD,
 and template variables not bound by the WHERE group (a typo guard,
 like the planner's unknown-filter-var reject; the spec would silently
 drop the instantiation).
@@ -92,7 +92,6 @@ _LOAD_RE = re.compile(
     r"(?:\s+INTO\s+GRAPH\s+(?P<g><[^>]*>|[^\s;]+))?",
     re.I,
 )
-_WITH_USING = re.compile(r"\b(WITH|USING)\b", re.I)
 
 
 # ---------------------------------------------------------------------------
@@ -115,12 +114,23 @@ class Modify:
     """DELETE/INSERT … WHERE (and DELETE WHERE, where the template IS
     the pattern source). Templates are tuples of ``(g_slot | None,
     TriplePattern)`` — g_slot None targets the default graph; a
-    constant or variable g_slot targets that named graph."""
+    constant or variable g_slot targets that named graph.
+
+    ``with_slot`` (r10, §3.1.3 WITH): default-graph template entries
+    retarget to that named graph, and — absent USING clauses — the
+    WHERE matches against it as the active default graph. ``using``
+    (§3.1.3 USING [NAMED]) holds ``(kind, token)`` dataset clauses
+    with kind ∈ "default"|"named"; they lower VERBATIM onto the
+    planner's FROM / FROM NAMED machinery (USING defines the WHERE's
+    dataset exactly as FROM does)."""
 
     delete_tpl: tuple
     insert_tpl: tuple
     where_src: str
     prefixes_src: str
+    with_slot: tuple | None = None  # ("term", text) — constant IRI
+    with_token: str | None = None   # the IRI as WRITTEN (query text)
+    using: tuple = ()               # (("default"|"named", token), ...)
 
 
 @dataclass(frozen=True)
@@ -324,6 +334,45 @@ def _parse_update_inner(src: str) -> list:
             )
             i = j
             continue
+        with_token, with_slot = None, None
+        mwith = re.match(r"WITH\s+(<[^>]*>|[^\s;{]+)\s+", head, re.I)
+        if mwith:
+            from rdfproject_msc_spark.sparql.parser import _normalize_term
+
+            with_token = mwith.group(1)
+            with_slot = _normalize_term(with_token, prefixes)
+            if with_slot[0] == "var":
+                raise SparqlSyntaxError("WITH takes a constant IRI")
+            i = i + mwith.end()
+            head = body[i:]
+            if not re.match(r"(DELETE|INSERT)\s*", head, re.I):
+                raise SparqlSyntaxError(
+                    "WITH prefixes a DELETE/INSERT … WHERE or DELETE "
+                    "WHERE operation (§3.1.3)"
+                )
+            # WITH + DELETE WHERE: the template-is-pattern shortcut —
+            # handled by the dedicated branch below with the slot set
+            mdw = re.match(r"DELETE\s+WHERE\b", head, re.I)
+            if mdw:
+                j = _skip_ws(body, i + mdw.end())
+                inner, j = _scan_delim(body, j, "{", "}", "DELETE WHERE block")
+                tpl = _template_quads(inner, prefixes, "DELETE WHERE")
+                if not tpl:
+                    raise SparqlSyntaxError(
+                        "DELETE WHERE needs at least one pattern"
+                    )
+                ops.append(
+                    Modify(
+                        delete_tpl=tpl,
+                        insert_tpl=(),
+                        where_src=inner,
+                        prefixes_src=prefixes_src,
+                        with_slot=with_slot,
+                        with_token=with_token,
+                    )
+                )
+                i = j
+                continue
         mm = re.match(r"(DELETE|INSERT)\s*\{", head, re.I)
         if mm:
             first_kw = mm.group(1).upper()
@@ -338,6 +387,19 @@ def _parse_update_inner(src: str) -> list:
                 j2 = j + mm2.end() - 1
                 tpl2_src, j = _scan_delim(body, j2, "{", "}", "INSERT template")
                 j = _skip_ws(body, j)
+            using: list = []
+            while True:
+                mu = re.match(
+                    r"USING\s+(NAMED\s+)?(<[^>]*>|[^\s;{]+)\s*",
+                    body[j:],
+                    re.I,
+                )
+                if not mu:
+                    break
+                using.append(
+                    ("named" if mu.group(1) else "default", mu.group(2))
+                )
+                j = j + mu.end()
             mw = re.match(r"WHERE\s*", body[j:], re.I)
             if not mw:
                 raise SparqlSyntaxError(
@@ -359,6 +421,9 @@ def _parse_update_inner(src: str) -> list:
                         insert_tpl=tpl2,
                         where_src=where_src,
                         prefixes_src=prefixes_src,
+                        with_slot=with_slot,
+                        with_token=with_token,
+                        using=tuple(using),
                     )
                 )
             else:
@@ -368,6 +433,9 @@ def _parse_update_inner(src: str) -> list:
                         insert_tpl=tpl1,
                         where_src=where_src,
                         prefixes_src=prefixes_src,
+                        with_slot=with_slot,
+                        with_token=with_token,
+                        using=tuple(using),
                     )
                 )
             i = j
@@ -417,12 +485,6 @@ def _parse_update_inner(src: str) -> list:
                 f"{mr.group(1).upper()} is not supported (graph-management "
                 "ops beyond CLEAR are out of scope: the store is a "
                 "DataFrame, not a graph-store protocol endpoint)"
-            )
-        if _WITH_USING.match(head):
-            raise SparqlSyntaxError(
-                "WITH/USING dataset clauses are not supported "
-                "(updates address the default graph; use GRAPH blocks "
-                "in INSERT DATA / DELETE DATA for named graphs)"
             )
         raise SparqlSyntaxError(
             f"unrecognized update operation at: {head[:60]!r}"
@@ -688,10 +750,22 @@ def apply_update(engine, src: str, negative_when=None) -> None:
                     store = _delete_quads(spark, store, q_rows)
             engine.store = store
         elif isinstance(op, Modify):
+            # WITH (§3.1.3): default-graph template entries retarget to
+            # the named graph; explicit GRAPH blocks keep their own
+            def _retarget(tpl):
+                if op.with_slot is None:
+                    return tpl
+                return tuple(
+                    (g if g is not None else op.with_slot, tp)
+                    for g, tp in tpl
+                )
+
+            delete_tpl = _retarget(op.delete_tpl)
+            insert_tpl = _retarget(op.insert_tpl)
             tpl_vars = sorted(
                 {
                     str(slot[1])
-                    for g_slot, tp in op.delete_tpl + op.insert_tpl
+                    for g_slot, tp in delete_tpl + insert_tpl
                     for slot in ((g_slot,) if g_slot else ())
                     + (tp.s, tp.p, tp.o)
                     if slot[0] == "var"
@@ -700,8 +774,33 @@ def apply_update(engine, src: str, negative_when=None) -> None:
             proj = (
                 " ".join(f"?{v}" for v in tpl_vars) if tpl_vars else "*"
             )
+            # USING [NAMED] lowers verbatim onto FROM / FROM NAMED —
+            # §3.1.3: when present the WHERE's dataset is exactly what
+            # the clauses describe. Absent USING, WITH's graph is the
+            # active default (FROM <g>); a GRAPH block inside would
+            # then see an EMPTY named-graph set under the planner's
+            # exact-dataset rule while the spec keeps the full graph
+            # store — reject rather than silently narrow.
+            if op.using:
+                dataset = " ".join(
+                    ("FROM NAMED " if kind == "named" else "FROM ") + tok
+                    for kind, tok in op.using
+                )
+            elif op.with_token is not None:
+                if re.search(r"\bGRAPH\b", op.where_src, re.I):
+                    raise SparqlSyntaxError(
+                        "GRAPH blocks inside a WITH-scoped WHERE need "
+                        "explicit USING NAMED clauses (the planner's "
+                        "dataset is exactly what the clauses describe; "
+                        "WITH alone would silently hide every named "
+                        "graph from the block)"
+                    )
+                dataset = f"FROM {op.with_token}"
+            else:
+                dataset = ""
             query = (
-                f"{op.prefixes_src}\nSELECT {proj} WHERE {{ {op.where_src} }}"
+                f"{op.prefixes_src}\nSELECT {proj} {dataset} "
+                f"WHERE {{ {op.where_src} }}"
             )
             solutions = sparql_to_df(
                 store, query, engine.dictionary, term_style=engine.term_style
@@ -711,7 +810,7 @@ def apply_update(engine, src: str, negative_when=None) -> None:
             ins_texts = sorted(
                 {
                     slot[1]
-                    for g_slot, tp in op.insert_tpl
+                    for g_slot, tp in insert_tpl
                     for slot in ((g_slot,) if g_slot else ())
                     + (tp.s, tp.p, tp.o)
                     if slot[0] == "term"
@@ -720,7 +819,7 @@ def apply_update(engine, src: str, negative_when=None) -> None:
             del_texts = sorted(
                 {
                     slot[1]
-                    for g_slot, tp in op.delete_tpl
+                    for g_slot, tp in delete_tpl
                     for slot in ((g_slot,) if g_slot else ())
                     + (tp.s, tp.p, tp.o)
                     if slot[0] == "term"
@@ -749,10 +848,10 @@ def apply_update(engine, src: str, negative_when=None) -> None:
             solutions = solutions.persist()
             try:
                 del_tri, del_q = _instantiate(
-                    solutions, op.delete_tpl, const_ids
+                    solutions, delete_tpl, const_ids
                 )
                 ins_tri, ins_q = _instantiate(
-                    solutions, op.insert_tpl, const_ids
+                    solutions, insert_tpl, const_ids
                 )
                 ck = lambda d: (  # noqa: E731
                     d.localCheckpoint(eager=True) if d is not None else None

@@ -272,8 +272,8 @@ def test_ground_insert_plan_is_broadcast_only(spark, nt_path, tmp_path):
         ),
         ("CREATE GRAPH <http://ex.org/g>", "not supported"),
         (
-            f"WITH <{EX}g> DELETE {{ ?s ?p ?o }} WHERE {{ ?s ?p ?o }}",
-            "WITH/USING",
+            f"DROP GRAPH <{EX}g>",
+            "not supported",
         ),
         (f"DELETE {{ ?s <{EX}p>+ ?o }} WHERE {{ ?s <{EX}p> ?o }}", ""),
         (f"INSERT {{ ?s <{EX}p> ?o }}", "WHERE"),
@@ -759,3 +759,107 @@ def test_load_review_findings(spark, nt_path, tmp_path):
     eng4.dictionary = None
     with pytest.raises(SparqlSyntaxError, match="dictionary"):
         eng4.update(f"LOAD <file://{extra}>")
+
+
+def _quad_engine(spark, tmp_path):
+    from rdfproject_msc_spark.dictionary import Dictionary
+    from rdfproject_msc_spark.sources.ntriples import ingest_nquads
+    from rdfproject_msc_spark.store import TripleStore
+
+    nq = tmp_path / "wu.nq"
+    nq.write_text(
+        f"<{EX}a> <{EX}p> <{EX}b> .\n"
+        f"<{EX}a> <{EX}p> <{EX}c> <{EX}g1> .\n"
+        f"<{EX}c> <{EX}p> <{EX}a> <{EX}g1> .\n"
+        f"<{EX}x> <{EX}p> <{EX}y> <{EX}g2> .\n"
+    )
+    triples, quads, d = ingest_nquads(spark, str(nq))
+    eng = Engine(
+        spark,
+        store=TripleStore(triples, layout="single"),
+        dictionary=Dictionary(d, broadcast_hint=False),
+        term_style="lexical",
+    )
+    eng.store.attach_quads(quads)
+    return eng
+
+
+def _dump(eng):
+    t = sorted(
+        map(tuple, eng.decode(eng.store.df).collect())
+    )
+    q = (
+        sorted(
+            map(
+                tuple,
+                eng.dictionary.decode(
+                    eng.store.quads, ["g", "s", "p", "o"]
+                ).collect(),
+            )
+        )
+        if eng.store.has_quads
+        else []
+    )
+    return t, q
+
+
+def test_with_scopes_modify_to_named_graph(spark, tmp_path):
+    """WITH <g> (§3.1.3): default-graph template entries retarget to g
+    and the WHERE matches against g as the active default — a rename
+    inside g1 leaves the default graph and g2 byte-identical."""
+    eng = _quad_engine(spark, tmp_path)
+    eng.update(
+        f"WITH <{EX}g1> DELETE {{ ?s <{EX}p> ?o }} "
+        f"INSERT {{ ?s <{EX}q> ?o }} WHERE {{ ?s <{EX}p> ?o }}"
+    )
+    t, q = _dump(eng)
+    assert t == [(f"<{EX}a>", f"<{EX}p>", f"<{EX}b>")]
+    assert (f"<{EX}g1>", f"<{EX}a>", f"<{EX}q>", f"<{EX}c>") in q
+    assert not any(
+        g == f"<{EX}g1>" and p == f"<{EX}p>" for g, _, p, _ in q
+    )
+    assert (f"<{EX}g2>", f"<{EX}x>", f"<{EX}p>", f"<{EX}y>") in q
+
+
+def test_with_delete_where_shortcut(spark, tmp_path):
+    eng = _quad_engine(spark, tmp_path)
+    eng.update(f"WITH <{EX}g2> DELETE WHERE {{ ?s <{EX}p> ?o }}")
+    t, q = _dump(eng)
+    assert not any(g == f"<{EX}g2>" for g, *_ in q)
+    assert len(t) == 1  # default graph untouched
+    assert (f"<{EX}g1>", f"<{EX}a>", f"<{EX}p>", f"<{EX}c>") in q
+
+
+def test_using_defines_the_where_dataset(spark, tmp_path):
+    """USING <g> ≡ FROM <g> for the WHERE: match in g2, insert into the
+    default graph; USING NAMED scopes GRAPH blocks."""
+    eng = _quad_engine(spark, tmp_path)
+    eng.update(
+        f"DELETE {{ }} INSERT {{ ?s <{EX}seen> ?o }} "
+        f"USING <{EX}g2> WHERE {{ ?s <{EX}p> ?o }}"
+    )
+    t, _ = _dump(eng)
+    assert (f"<{EX}x>", f"<{EX}seen>", f"<{EX}y>") in t
+    assert not any(s == f"<{EX}a>" and p == f"<{EX}seen>" for s, p, _ in t)
+    # USING NAMED: only g1 visible to the GRAPH variable
+    eng2 = _quad_engine(spark, tmp_path)
+    eng2.update(
+        f"DELETE {{ }} INSERT {{ ?s <{EX}seen> ?o }} "
+        f"USING NAMED <{EX}g1> WHERE {{ GRAPH ?g {{ ?s <{EX}p> ?o }} }}"
+    )
+    t, _ = _dump(eng2)
+    assert (f"<{EX}a>", f"<{EX}seen>", f"<{EX}c>") in t
+    assert not any(s == f"<{EX}x>" for s, p, _ in t if p == f"<{EX}seen>")
+
+
+def test_with_rejects(spark, tmp_path):
+    eng = _quad_engine(spark, tmp_path)
+    with pytest.raises(SparqlSyntaxError, match="constant IRI"):
+        eng.update(f"WITH ?g DELETE WHERE {{ ?s <{EX}p> ?o }}")
+    with pytest.raises(SparqlSyntaxError, match="USING NAMED"):
+        eng.update(
+            f"WITH <{EX}g1> DELETE {{ ?s <{EX}p> ?o }} "
+            f"WHERE {{ GRAPH ?g {{ ?s <{EX}p> ?o }} }}"
+        )
+    with pytest.raises(SparqlSyntaxError, match="WITH prefixes"):
+        eng.update(f"WITH <{EX}g1> CLEAR ALL")

@@ -171,3 +171,40 @@ def test_vacuum_requires_dictionary(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="dictionary"):
         eng.vacuum()
+
+
+def test_cli_vacuum(spark, tmp_path, capsys):
+    """CLI lifecycle: ingest → update (delete) → vacuum --reindex →
+    query the compacted snapshot."""
+    from rdfproject_msc_spark.cli import main
+
+    nt = tmp_path / "c.nt"
+    nt.write_text(NT)
+    store, dct = str(tmp_path / "s"), str(tmp_path / "d")
+    assert main(["ingest", "--nt", str(nt), "--out", store,
+                 "--dict-out", dct]) == 0
+    s2, d2 = str(tmp_path / "s2"), str(tmp_path / "d2")
+    assert main(
+        ["update", "--store", store, "--dict", dct,
+         "--request",
+         f'DELETE DATA {{ <{EX}c> <{EX}only> "unique-object" . }}',
+         "--out", s2, "--dict-out", d2]
+    ) == 0
+    s3, d3 = str(tmp_path / "s3"), str(tmp_path / "d3")
+    with pytest.raises(SystemExit, match="must differ"):
+        main(["vacuum", "--store", s2, "--dict", d2,
+              "--out", s2, "--dict-out", d3])
+    assert main(
+        ["vacuum", "--store", s2, "--dict", d2, "--out", s3,
+         "--dict-out", d3, "--reindex"]
+    ) == 0
+    assert "2 dropped" in capsys.readouterr().out
+    d_df = spark.read.parquet(d3)
+    ids = sorted(r["id"] for r in d_df.collect())
+    assert ids == list(range(1, len(ids) + 1))  # dense after reindex
+    rc = main(
+        ["sparql", "--store", s3, "--dict", d3, "--dict-format",
+         "parquet", "--decode", "--query",
+         f"SELECT ?x WHERE {{ <{EX}a> <{EX}knows> ?x }}"]
+    )
+    assert rc == 0

@@ -329,7 +329,39 @@ class Engine:
             for c in ("g", "s", "p", "o"):
                 refs = refs.unionAll(store.quads.select(F.col(c).alias("id")))
         refs = refs.distinct()
-        before = self.dictionary.df.count()
+        # ONE dictionary-sized action serves both the stats (`dropped`;
+        # terms_before derives as after + dropped, so no separate
+        # count() scan) and the reindex SAFETY probe: ids referenced by
+        # the store but ABSENT from the dictionary (raw integer literals
+        # under the localized convention — a documented store shape).
+        # The reindex rewrite below joins the store THROUGH the old→new
+        # mapping, which only dictionary-resident terms enter, so any
+        # unmapped id would silently DELETE its triples/quads — and a
+        # left join + coalesce would not be safe either (reassigned
+        # dense ids can collide with the kept raw values). Refuse.
+        stats = (
+            self.dictionary.df.select("id")
+            .withColumn("__dict", F.lit(True))
+            .join(refs.withColumn("__ref", F.lit(True)), "id", "full_outer")
+            .agg(
+                F.count(F.when(F.col("__ref").isNull(), 1)).alias("dropped"),
+                F.count(F.when(F.col("__dict").isNull(), 1)).alias(
+                    "unmapped"
+                ),
+            )
+            .first()
+        )
+        dropped, unmapped = int(stats["dropped"]), int(stats["unmapped"])
+        if reindex and unmapped:
+            raise ValueError(
+                f"vacuum(reindex=True): {unmapped} store id(s) are not "
+                "dictionary terms (raw integer literals under the "
+                "localized convention); the old→new rewrite would "
+                "silently delete every triple/quad holding one. Run "
+                "vacuum(reindex=False), or re-ingest from raw RDF "
+                "(term_style='lexical' dictionaries are total) before "
+                "reindexing."
+            )
         live = self.dictionary.df.join(refs, "id", "left_semi")
         new_df, new_quads = store.df, store.quads if store.has_quads else None
         rank_caches: list = []
@@ -392,9 +424,9 @@ class Engine:
             self.store.register(self.spark, self._register_as)
         self.release_caches()
         return {
-            "terms_before": before,
+            "terms_before": after + dropped,
             "terms_after": after,
-            "dropped": before - after,
+            "dropped": dropped,
         }
 
     def _require_store(self) -> TripleStore:

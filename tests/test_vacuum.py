@@ -98,6 +98,39 @@ def test_vacuum_reindex_dense_ids_same_answers(spark, tmp_path):
     assert got == [f"<{EX}a>", f"<{EX}b>"]
 
 
+def test_vacuum_reindex_refuses_dictionary_absent_ids(
+    spark, sf_dir, tmp_path
+):
+    """r10 ADVICE (medium): on a localized-convention store holding raw
+    integer ids absent from the dictionary (the reference model's
+    integer-literal shorthand), reindex=True would rewrite the store
+    through the old→new mapping — built from dictionary terms only —
+    and silently DELETE every triple carrying such an id. The guard
+    refuses; reindex=False still vacuums (raw ids pass through)."""
+    from rdfproject_msc_spark.sources.derived import (
+        dictionary_df,
+        triples_df,
+    )
+
+    triples_df(spark, sf_dir).write.mode("overwrite").csv(
+        str(tmp_path / "triples"), sep=" "
+    )
+    dictionary_df(spark, sf_dir).write.mode("overwrite").csv(
+        str(tmp_path / "dict"), sep="\t"
+    )
+    eng = Engine(spark).load_triples(
+        str(tmp_path / "triples"), str(tmp_path / "dict"), layout="single"
+    )
+    eng.update("INSERT DATA { 91001 91002 91003 }")
+    n0 = eng.store.df.count()
+    with pytest.raises(ValueError, match="not dictionary terms"):
+        eng.vacuum(reindex=True)
+    assert eng.store.df.count() == n0  # the refusal left the store alone
+    eng.vacuum()  # id-preserving vacuum is still safe here
+    assert eng.store.df.count() == n0
+    assert (91001, 91002, 91003) in set(map(tuple, eng.store.df.collect()))
+
+
 def test_vacuum_releases_ingest_caches(spark, tmp_path):
     """load_triples(fmt='nt') registers every persisted ingest frame;
     vacuum materializes the compacted snapshot then unpersists them

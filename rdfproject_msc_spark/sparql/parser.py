@@ -2048,6 +2048,11 @@ def filter_expr_barecmp_vars(node) -> set[str]:
     if isinstance(node[1], str) and node[1] in _CMP_OPS:
         var, _, rhs = node
         return {var} if rhs[0] == "num" else set()
+    if len(node) == 4 and node[0] == "cmp":
+        # arithmetic comparison leaf (FILTER(?x > 5+0)): every variable
+        # operand needs the same typed-value routing as the bare form —
+        # raw ids are lexicographic ranks on lexical stores (r10 ADVICE)
+        return arith_expr_vars(node[1]) | arith_expr_vars(node[3])
     if node[0] == "not":
         return filter_expr_barecmp_vars(node[1])
     if len(node) == 3 and node[0] in ("and", "or"):

@@ -634,8 +634,16 @@ def _compile_filter(
         return _OPS[op](F.col(colmap[var]), rhs_col)
     if len(node) == 4 and node[0] == "cmp":  # arithmetic comparison leaf
         _, l_expr, op, r_expr = node
+        # lexical store: pattern-var operands evaluate their typed
+        # numeric VALUE (r10 ADVICE — raw ids are lexicographic ranks
+        # there, so id arithmetic would be silently meaningless); the
+        # term columns were attached by the barecmp collector. Computed
+        # (BIND-target / aggregate) columns hold values and compare
+        # directly, same rule as the bare leaf above.
+        tm = termmap if _ACTIVE_STYLE.get() == "lexical" else None
         return _OPS[op](
-            _compile_arith(l_expr, colmap), _compile_arith(r_expr, colmap)
+            _compile_arith(l_expr, colmap, tm),
+            _compile_arith(r_expr, colmap, tm),
         )
     if len(node) == 2 and node[0] == "bound":  # BOUND leaf (§17.4.1.1)
         # unbound maps to plain FALSE (not error): exactly isNotNull —
@@ -880,29 +888,50 @@ def _compile_filter(
     return (a & b) if node[0] == "and" else (a | b)
 
 
-def _compile_arith(node, colmap: dict[str, str]) -> Column:
+def _compile_arith(
+    node, colmap: dict[str, str], termmap: dict[str, str] | None = None
+) -> Column:
     """BIND arithmetic AST → Column (long arithmetic over encoded ids;
-    NULL inputs propagate — SPARQL's expression-error-leaves-var-unbound)."""
+    NULL inputs propagate — SPARQL's expression-error-leaves-var-unbound).
+
+    ``termmap`` (lexical-store FILTER context only): pattern variables
+    with an attached term column evaluate their typed numeric VALUE via
+    ``_term_numeric`` instead of the raw id — on lexical stores ids are
+    lexicographic ranks, not values. BIND/ORDER call sites pass no
+    termmap and keep the id semantics (localized stores: id IS the
+    integer value by the reference convention)."""
     kind = node[0]
     if kind == "num":
         return F.lit(node[1]).cast("long")
     if kind == "var":
-        return F.col(colmap[node[1]])
+        v = node[1]
+        if (
+            termmap is not None
+            and v in termmap
+            and not colmap[v].startswith("vb_")
+        ):
+            return _term_numeric(F.col(colmap[v]), F.col(termmap[v]))
+        return F.col(colmap[v])
     if kind == "abs":
-        return F.abs(_compile_arith(node[1], colmap))
+        return F.abs(_compile_arith(node[1], colmap, termmap))
     if kind == "coalesce":
         # §17.4.1.3: first argument that does not error (errors are NULL
         # in the engine's lowering) — exactly Spark's coalesce
-        return F.coalesce(*[_compile_arith(a, colmap) for a in node[1]])
+        return F.coalesce(
+            *[_compile_arith(a, colmap, termmap) for a in node[1]]
+        )
     if kind == "if":
         cond = _compile_if_cond(node[1], colmap)
         # §17.4.1.2: an ERROR condition errors the whole IF — two guarded
         # when-branches and NO otherwise, so a NULL condition yields NULL
         # rather than silently taking the else branch
-        return F.when(cond, _compile_arith(node[2], colmap)).when(
-            ~cond, _compile_arith(node[3], colmap)
+        return F.when(cond, _compile_arith(node[2], colmap, termmap)).when(
+            ~cond, _compile_arith(node[3], colmap, termmap)
         )
-    a, b = _compile_arith(node[1], colmap), _compile_arith(node[2], colmap)
+    a, b = (
+        _compile_arith(node[1], colmap, termmap),
+        _compile_arith(node[2], colmap, termmap),
+    )
     if kind == "+":
         return a + b
     if kind == "-":

@@ -699,6 +699,44 @@ def test_lexical_accessor_surface(spark, tmp_path):
     ) == ["<http://e/b>"]
 
 
+def test_lexical_cmp_leaf_value_semantics(spark, tmp_path):
+    """r10 ADVICE: ARITHMETIC comparison leaves (FILTER(?x > 5+0),
+    FILTER(?x*2 > 30)) evaluate pattern variables by typed numeric
+    VALUE on lexical stores, exactly like the bare FILTER(?x > 5)
+    form — not over raw dictionary ids, which are lexicographic ranks
+    there. Non-numeric terms are type errors (NULL → drop)."""
+    nt = tmp_path / "c.nt"
+    xi = "^^<http://www.w3.org/2001/XMLSchema#integer>"
+    nt.write_text(
+        f'<http://e/a> <http://e/score> "7"{xi} .\n'
+        f'<http://e/b> <http://e/score> "19"{xi} .\n'
+        f'<http://e/c> <http://e/score> "100"{xi} .\n'
+        '<http://e/d> <http://e/score> "not-a-number" .\n'
+    )
+    eng = Engine(spark).load_triples(str(nt), fmt="nt")
+
+    def ids(q):
+        return sorted(r[0] for r in eng.sparql(q, decode=True).collect())
+
+    # the cmp leaf agrees with the bare leaf (pinned since r10); under
+    # id semantics the ranks would order "100" < "19" < "7"
+    bare = ids(
+        "SELECT ?s WHERE { ?s <http://e/score> ?v . FILTER(?v > 18) }"
+    )
+    assert bare == ["<http://e/b>", "<http://e/c>"]
+    assert ids(
+        "SELECT ?s WHERE { ?s <http://e/score> ?v . FILTER(?v > 18 + 0) }"
+    ) == bare
+    assert ids(
+        "SELECT ?s WHERE { ?s <http://e/score> ?v . FILTER(?v * 2 > 36) }"
+    ) == bare
+    # variable-bearing arithmetic on BOTH sides: values, not id order
+    assert ids(
+        "SELECT ?s WHERE { ?s <http://e/score> ?v . "
+        "FILTER(?v - 1 >= ?v / 2 + 49) }"
+    ) == ["<http://e/c>"]
+
+
 def test_engine_save_open_round_trip_lexical(spark, tmp_path):
     """Session lifecycle for a raw-ingested engine: save the layout AND
     the built dictionary, reopen in a fresh Engine, SPARQL still answers

@@ -476,70 +476,65 @@ def main(argv: list[str] | None = None) -> int:
                 "would otherwise be parsed and silently discarded"
             )
         spark = _spark(args.cpus)
+        from pyspark import StorageLevel
+
+        # ONE parse pass per corpus (r10 ADVICE): the parsed relation
+        # persists and every downstream traversal — dictionary build,
+        # store encode, quads encode — reads the cache. The Turtle/TriG
+        # parser is a per-file Python stage, so re-parsing per sink
+        # multiplied the dominant ingest cost.
+        caches: list = []
         if args.nt or args.ttl:
             existing = (
                 spark.read.parquet(args.dict_in) if args.dict_in else None
             )
             if args.ttl:
-                from rdfproject_msc_spark.sources.turtle import ingest_turtle
+                from rdfproject_msc_spark.sources.turtle import parse_turtle
 
-                _, d = ingest_turtle(
-                    spark,
-                    args.ttl,
-                    negative_when=args.negative_when,
-                    on_error=args.on_error,
-                    dictionary=existing,
+                spo = parse_turtle(spark, args.ttl, on_error=args.on_error)
+            else:
+                spo = NT.parse_ntriples(
+                    spark, args.nt, on_error=args.on_error
+                )
+            spo = spo.persist(StorageLevel.MEMORY_AND_DISK)
+            caches.append(spo)
+            if existing is None:
+                d = NT.build_dictionary(
+                    spo, negative_when=args.negative_when, caches=caches
                 )
             else:
-                _, d = NT.ingest_ntriples(
-                    spark,
-                    args.nt,
-                    negative_when=args.negative_when,
-                    on_error=args.on_error,
-                    dictionary=existing,
+                d = existing.select("id", "term").unionAll(
+                    NT.extend_dictionary(
+                        existing,
+                        spo,
+                        negative_when=args.negative_when,
+                        caches=caches,
+                    )
                 )
         else:
             if args.dict_in:
                 raise SystemExit("--dict-in is N-Triples-only for now")
             if args.trig:
-                from rdfproject_msc_spark.sources.turtle import ingest_trig
+                from rdfproject_msc_spark.sources.turtle import parse_trig
 
-                _, _, d = ingest_trig(
-                    spark,
-                    args.trig,
-                    negative_when=args.negative_when,
-                    on_error=args.on_error,
-                )
+                nq = parse_trig(spark, args.trig, on_error=args.on_error)
             else:
-                _, _, d = NT.ingest_nquads(
-                    spark,
-                    args.nq,
-                    negative_when=args.negative_when,
-                    on_error=args.on_error,
-                )
+                nq = NT.parse_nquads(spark, args.nq, on_error=args.on_error)
+            nq = nq.persist(StorageLevel.MEMORY_AND_DISK)
+            caches.append(nq)
+            spo = nq.filter("g_term IS NULL").select(
+                "s_term", "p_term", "o_term"
+            )
+            d = NT.build_dictionary(
+                NT.quad_term_relation(nq),
+                negative_when=args.negative_when,
+                caches=caches,
+            )
         # persist the dictionary FIRST, then encode against the STORED
         # relation: the store/quads writes read a materialized dictionary
         # instead of re-running the distributed rank build per sink
         d.write.mode("overwrite").parquet(args.dict_out)
         d_stored = spark.read.parquet(args.dict_out)
-        if args.ttl:
-            from rdfproject_msc_spark.sources.turtle import parse_turtle
-
-            spo = parse_turtle(spark, args.ttl, on_error=args.on_error)
-        elif args.nt:
-            spo = NT.parse_ntriples(spark, args.nt, on_error=args.on_error)
-        elif args.trig:
-            from rdfproject_msc_spark.sources.turtle import parse_trig
-
-            nq = parse_trig(spark, args.trig, on_error=args.on_error)
-            spo = nq.filter("g_term IS NULL").select(
-                "s_term", "p_term", "o_term"
-            )
-        else:
-            nq = NT.parse_nquads(spark, args.nq, on_error=args.on_error)
-            spo = nq.filter("g_term IS NULL").select(
-                "s_term", "p_term", "o_term"
-            )
         TripleStore(
             NT.encode_triples(spo, d_stored), layout=args.layout
         ).write(args.out)
@@ -553,6 +548,8 @@ def main(argv: list[str] | None = None) -> int:
                 d_stored,
             ).select("g", "s", "p", "o")
             q.write.mode("overwrite").partitionBy("g").parquet(args.quads_out)
+        for c in caches:
+            c.unpersist()
         n = spark.read.parquet(args.out).count()
         nd = d_stored.count()
         print(

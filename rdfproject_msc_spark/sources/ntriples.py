@@ -434,6 +434,20 @@ def ingest_nquads(
     )
 
 
+def quad_term_relation(parsed: DataFrame) -> DataFrame:
+    """A quad relation's FULL vocabulary as a ``(s_term, p_term,
+    o_term)`` relation: graph labels fold in as extra rows so ONE
+    dictionary covers them too. Shared by ``encode_quad_relation`` and
+    the CLI's parse-once ingest path."""
+    spo = parsed.select("s_term", "p_term", "o_term")
+    g_terms = parsed.filter(F.col("g_term").isNotNull()).select(
+        F.col("g_term").alias("s_term"),
+        F.col("g_term").alias("p_term"),
+        F.col("g_term").alias("o_term"),
+    )
+    return spo.unionAll(g_terms)
+
+
 def encode_quad_relation(
     parsed: DataFrame,
     *,
@@ -449,14 +463,8 @@ def encode_quad_relation(
     parsed = parsed.persist(StorageLevel.MEMORY_AND_DISK)
     if caches is not None:
         caches.append(parsed)
-    spo = parsed.select("s_term", "p_term", "o_term")
-    g_terms = parsed.filter(F.col("g_term").isNotNull()).select(
-        F.col("g_term").alias("s_term"),
-        F.col("g_term").alias("p_term"),
-        F.col("g_term").alias("o_term"),
-    )
     dictionary = build_dictionary(
-        spo.unionAll(g_terms),
+        quad_term_relation(parsed),
         negative_when=negative_when,
         num_partitions=num_partitions,
         caches=caches,

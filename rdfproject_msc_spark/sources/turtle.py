@@ -32,13 +32,20 @@ Canonical term forms (so Turtle- and NT-ingested graphs agree):
   ``_:ttlanon-<md5(file path)[:8]>-<n>`` in document order, so a
   replayed delivery re-derives identical terms (the same determinism
   contract as the dictionary build).
+- RDF collections ``( e1 … en )`` (r11) expand to their rdf:first /
+  rdf:rest / rdf:nil chain — one cell bnode per element, labels
+  ``_:ttllist-<md5(file path)[:8]>-<n>`` from the same document-order
+  counter as ``[…]`` (same replay determinism); ``()`` is the IRI
+  rdf:nil. The distinct label prefix keeps the ``[ … ] .``
+  bare-statement allowance (§2.7, blankNodePropertyList only) from
+  leaking to collections — ``( 1 2 ) .`` stays a syntax error, as the
+  grammar requires a predicateObjectList after a collection subject.
 
-Subset rejects (didactic errors): RDF collections ``( … )`` (expand to
-rdf:first/rest chains; write the chain explicitly). TriG graph blocks
-reject under ``parse_turtle`` but parse under ``parse_trig`` (r10),
-which emits the ``parse_nquads`` quad relation — ``<label> { … }`` /
-``GRAPH <label> { … }`` / bare ``{ … }`` blocks, document-scoped
-directives shared across blocks, optional final '.' inside a block.
+TriG graph blocks reject under ``parse_turtle`` but parse under
+``parse_trig`` (r10), which emits the ``parse_nquads`` quad relation —
+``<label> { … }`` / ``GRAPH <label> { … }`` / bare ``{ … }`` blocks,
+document-scoped directives shared across blocks, optional final '.'
+inside a block.
 
 The parser lives INSIDE the mapInPandas closure: cloudpickle ships
 nested defs by value, so Python workers need no importable copy of this
@@ -62,6 +69,9 @@ PARSED_QUAD_SCHEMA = (
 )
 
 RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+RDF_FIRST = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#first>"
+RDF_REST = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#rest>"
+RDF_NIL = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#nil>"
 XSD = "http://www.w3.org/2001/XMLSchema#"
 
 
@@ -317,11 +327,32 @@ def _parse_files(
                     i += 1
                     return label
                 if c == "(":
-                    err(
-                        "RDF collections ( … ) are not supported — they "
-                        "expand to rdf:first/rdf:rest chains; write the "
-                        "chain explicitly"
-                    )
+                    # RDF collection (§2.8): ( e1 … en ) expands to its
+                    # rdf:first/rdf:rest chain — elements read first (a
+                    # nested […] or ( … ) mints ITS nodes inline, so the
+                    # shared counter stays document-ordered), then one
+                    # cell bnode per element. () is the IRI rdf:nil.
+                    i += 1
+                    elems = []
+                    while True:
+                        skip_ws()
+                        if i >= n:
+                            err("unterminated ( collection )")
+                        if text[i] == ")":
+                            i += 1
+                            break
+                        elems.append(read_term(as_subject=False))
+                    if not elems:
+                        return RDF_NIL
+                    cells = []
+                    for _ in elems:
+                        anon_n[0] += 1
+                        cells.append(f"_:ttllist-{anon_tag}-{anon_n[0]}")
+                    for k, (cell, e) in enumerate(zip(cells, elems)):
+                        triples.append((cur_g[0], cell, RDF_FIRST, e))
+                        nxt = cells[k + 1] if k + 1 < len(cells) else RDF_NIL
+                        triples.append((cur_g[0], cell, RDF_REST, nxt))
+                    return cells[0]
                 if text[i : i + 2] == "_:":
                     m = _PNAME.match(text, i)
                     tok = m.group(0)
@@ -597,6 +628,7 @@ def ingest_turtle(
             parsed,
             negative_when=negative_when,
             num_partitions=num_partitions,
+            caches=caches,
         )
         full = dictionary.select("id", "term").unionAll(fresh)
     full = full.persist(StorageLevel.MEMORY_AND_DISK)

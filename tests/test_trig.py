@@ -211,6 +211,29 @@ def test_cli_ingest_trig(spark, tmp_path):
     assert quads.filter(F.col("g") == gid).count() == 3
 
 
+def test_trig_collection_inside_graph_block(spark, tmp_path):
+    """A collection inside a named block (r11): the whole rdf:first/
+    rdf:rest chain lands in THAT graph, matching the N-Quads twin."""
+    (tmp_path / "c.trig").write_text(
+        "@prefix ex: <http://ex.org/> .\n"
+        "ex:g { ex:a ex:list (ex:x ex:y) . }\n"
+    )
+    got = rows(parse_trig(spark, str(tmp_path / "c.trig"), on_error="fail"))
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    # every row is in <http://ex.org/g>, and the chain shape holds
+    assert all(r[0] == "<http://ex.org/g>" for r in got)
+    firsts = {(r[1], r[3]) for r in got if r[2] == f"<{RDF}first>"}
+    rests = {(r[1], r[3]) for r in got if r[2] == f"<{RDF}rest>"}
+    heads = [r[3] for r in got if r[2] == "<http://ex.org/list>"]
+    assert len(heads) == 1 and heads[0].startswith("_:ttllist-")
+    c1 = heads[0]
+    (c2,) = [o for s, o in rests if s == c1]
+    assert (c1, "<http://ex.org/x>") in firsts
+    assert (c2, "<http://ex.org/y>") in firsts
+    assert (c2, f"<{RDF}nil>") in rests
+    assert len(got) == 5
+
+
 def test_trig_whitespace_free_graph_keyword(spark, tmp_path):
     """`GRAPH<g>{…}` is legal whitespace-free TriG — the keyword
     lookahead accepts '<' (round-10 review finding)."""

@@ -89,6 +89,86 @@ def test_anon_bnodes_deterministic_per_file(spark, tmp_path):
     assert any(r[0] == "_:b1" for r in first)
 
 
+def test_collections_expand_to_first_rest_chains(spark, tmp_path):
+    """RDF collections (§2.8, r11): ``( e1 … en )`` in subject and
+    object position — nested, and empty ``()`` — parses to the EXACT
+    rdf:first/rdf:rest/rdf:nil chain an N-Triples serialization of the
+    same graph produces, with deterministic per-file cell labels
+    (replayed delivery → identical terms)."""
+    import hashlib
+
+    ttl = (
+        "@prefix ex: <http://ex.org/> .\n"
+        "ex:a ex:list (1 (2 3) ()) .\n"  # object, nested, empty element
+        "( ex:x ) ex:tag ex:t .\n"  # collection as SUBJECT
+        "ex:b ex:empty () .\n"  # empty collection = the IRI rdf:nil
+    )
+    p = tmp_path / "c.ttl"
+    p.write_text(ttl)
+    first = rows(parse_turtle(spark, str(p), on_error="fail"))
+    again = rows(parse_turtle(spark, str(p), on_error="fail"))
+    assert first == again  # replay determinism
+
+    # the cell labels are the documented scheme: md5 of the binaryFile
+    # path (a file: URI), shared document-order counter with […] nodes
+    origin = (
+        spark.read.format("binaryFile").load(str(p)).select("path").first()[0]
+    )
+    tag = hashlib.md5(origin.encode()).hexdigest()[:8]
+    L = [f"_:ttllist-{tag}-{k}" for k in range(1, 7)]
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    nt = "".join(
+        f"{s} {pr} {o} .\n"
+        for s, pr, o in [
+            # inner (2 3): cells minted while reading the outer elements
+            (L[0], f"<{RDF}first>", f'"2"^^<{XSD}integer>'),
+            (L[0], f"<{RDF}rest>", L[1]),
+            (L[1], f"<{RDF}first>", f'"3"^^<{XSD}integer>'),
+            (L[1], f"<{RDF}rest>", f"<{RDF}nil>"),
+            # outer (1 <inner> ()): three cells after the elements
+            (L[2], f"<{RDF}first>", f'"1"^^<{XSD}integer>'),
+            (L[2], f"<{RDF}rest>", L[3]),
+            (L[3], f"<{RDF}first>", L[0]),
+            (L[3], f"<{RDF}rest>", L[4]),
+            (L[4], f"<{RDF}first>", f"<{RDF}nil>"),
+            (L[4], f"<{RDF}rest>", f"<{RDF}nil>"),
+            ("<http://ex.org/a>", "<http://ex.org/list>", L[2]),
+            # ( ex:x ) as subject
+            (L[5], f"<{RDF}first>", "<http://ex.org/x>"),
+            (L[5], f"<{RDF}rest>", f"<{RDF}nil>"),
+            (L[5], "<http://ex.org/tag>", "<http://ex.org/t>"),
+            # () object = rdf:nil, no cells
+            ("<http://ex.org/b>", "<http://ex.org/empty>", f"<{RDF}nil>"),
+        ]
+    )
+    (tmp_path / "twin.nt").write_text(nt)
+    twin = rows(parse_ntriples(spark, str(tmp_path / "twin.nt")))
+    assert first == twin
+
+
+def test_engine_sparql_walks_a_collection(spark, tmp_path):
+    """Engine end-to-end over fmt='ttl' with a collection: a SPARQL
+    rdf:rest*/rdf:first walk returns exactly the list members."""
+    p = tmp_path / "menu.ttl"
+    p.write_text(
+        "@prefix ex: <http://ex.org/> .\n"
+        'ex:menu ex:items ("soup" "fish" "cake") .\n'
+    )
+    eng = Engine(spark).load_triples(str(p), fmt="ttl")
+    got = sorted(
+        r[0]
+        for r in eng.sparql(
+            "PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> "
+            "SELECT ?item WHERE { <http://ex.org/menu> "
+            "<http://ex.org/items> ?l . ?l rdf:rest* ?cell . "
+            "?cell rdf:first ?item }",
+            decode=True,
+        ).collect()
+    )
+    assert got == ['"cake"', '"fish"', '"soup"']
+
+
 def test_two_files_parse_independently(spark, tmp_path):
     """Per-file parallelism: directives are file-scoped — the same
     prefix name maps differently in each file."""
@@ -123,7 +203,8 @@ def test_skip_drops_whole_bad_file_fail_raises(spark, tmp_path):
 @pytest.mark.parametrize(
     "body, msg",
     [
-        ("ex:a ex:list (1 2 3) .", "collections"),
+        ("(1 2) .", "expected a predicate"),
+        ("ex:a ex:list (1 2", "unterminated"),
         ("{ ex:a ex:b ex:c . }", "TriG"),
         ("ex:a undeclared:b ex:c .", "undeclared prefix"),
         ('@base <http://no-slash.org> .\n<rel> a ex:T .', "must end"),

@@ -34,13 +34,19 @@ Supported operations (';'-separated, PREFIX decls shared):
 - ``CLEAR DEFAULT | NAMED | ALL | GRAPH <iri>`` (§3.2.2). Graphs are
   rows here, not resources: clearing a graph that holds no quads is a
   no-op (the SILENT distinction is moot and accepted).
+- ``CREATE / DROP / COPY / MOVE / ADD`` (§3.2.3–3.2.7, r11): graph
+  management over the quad relation. On a graphs-as-rows store these
+  lower to quad filters / relabels / set-unions
+  (``_apply_graph_manage``); CREATE is a validated no-op (empty
+  graphs are not representable), and the spec's SHOULD-error cases
+  (CREATE on an existing graph, DROP/COPY/MOVE/ADD on an absent one)
+  raise unless SILENT.
 
 Documented rejects (didactic errors, repo convention): blank nodes in
 any update payload (fresh-bnode minting has no stable oracle — the
-same stance as NOW/UUID) and CREATE/DROP/COPY/MOVE/ADD,
-and template variables not bound by the WHERE group (a typo guard,
-like the planner's unknown-filter-var reject; the spec would silently
-drop the instantiation).
+same stance as NOW/UUID), and template variables not bound by the
+WHERE group (a typo guard, like the planner's unknown-filter-var
+reject; the spec would silently drop the instantiation).
 
 Scale design (the asymmetry drives every join below):
 
@@ -86,7 +92,20 @@ _GRAPH_KW = re.compile(r"GRAPH\b", re.I)
 _CLEAR_RE = re.compile(
     r"CLEAR\s+(?:SILENT\s+)?(?P<tgt>DEFAULT|NAMED|ALL|GRAPH\s+\S+)", re.I
 )
-_REJECTED_OPS = re.compile(r"\b(CREATE|DROP|COPY|MOVE|ADD)\b", re.I)
+_CREATE_RE = re.compile(
+    r"CREATE\s+(?P<silent>SILENT\s+)?GRAPH\s+(?P<g>[^\s;]+)", re.I
+)
+_DROP_RE = re.compile(
+    r"DROP\s+(?P<silent>SILENT\s+)?"
+    r"(?P<tgt>DEFAULT\b|NAMED\b|ALL\b|GRAPH\s+[^\s;]+)",
+    re.I,
+)
+_CMA_RE = re.compile(
+    r"(?P<op>COPY|MOVE|ADD)\s+(?P<silent>SILENT\s+)?"
+    r"(?P<src>DEFAULT\b|(?:GRAPH\s+)?[^\s;]+)\s+TO\s+"
+    r"(?P<dst>DEFAULT\b|(?:GRAPH\s+)?[^\s;]+)",
+    re.I,
+)
 _LOAD_RE = re.compile(
     r"LOAD\s+(?P<silent>SILENT\s+)?<(?P<iri>[^>]*)>"
     r"(?:\s+INTO\s+GRAPH\s+(?P<g><[^>]*>|[^\s;]+))?",
@@ -151,6 +170,23 @@ class Load:
     path: str
     graph_slot: tuple | None = None  # ("term", text) | ("id", int)
     silent: bool = False
+
+
+@dataclass(frozen=True)
+class GraphManage:
+    """CREATE / DROP / COPY / MOVE / ADD (§3.2.3–3.2.7): graph
+    management over the quad relation. Graphs are ROWS here, so these
+    lower to quad filters, relabels, and set-unions — nearly free
+    compared to a protocol endpoint's graph objects. ``src``/``dst``
+    are ``"default"`` or a constant graph slot; ``target`` is DROP's
+    DEFAULT/NAMED/ALL/graph form."""
+
+    op: str  # "create" | "drop" | "copy" | "move" | "add"
+    silent: bool = False
+    target: str | None = None  # drop: "default"|"named"|"all"|"graph"
+    graph_slot: tuple | None = None  # create / DROP GRAPH
+    src: object = None  # "default" | ("term", text) | ("id", int)
+    dst: object = None
 
 
 def _ground_slots(pattern) -> tuple:
@@ -479,13 +515,78 @@ def _parse_update_inner(src: str) -> list:
             )
             i = i + ml.end()
             continue
-        mr = _REJECTED_OPS.match(head)
-        if mr:
-            raise SparqlSyntaxError(
-                f"{mr.group(1).upper()} is not supported (graph-management "
-                "ops beyond CLEAR are out of scope: the store is a "
-                "DataFrame, not a graph-store protocol endpoint)"
+        mg = _CREATE_RE.match(head)
+        if mg:
+            from rdfproject_msc_spark.sparql.parser import _normalize_term
+
+            g_slot = _normalize_term(mg.group("g"), prefixes)
+            if g_slot[0] == "var":
+                raise SparqlSyntaxError("CREATE GRAPH takes a constant IRI")
+            ops.append(
+                GraphManage(
+                    op="create",
+                    silent=bool(mg.group("silent")),
+                    graph_slot=g_slot,
+                )
             )
+            i = i + mg.end()
+            continue
+        mg = _DROP_RE.match(head)
+        if mg:
+            from rdfproject_msc_spark.sparql.parser import _normalize_term
+
+            tgt = mg.group("tgt")
+            low = tgt.lower()
+            if low in ("default", "named", "all"):
+                ops.append(
+                    GraphManage(
+                        op="drop",
+                        silent=bool(mg.group("silent")),
+                        target=low,
+                    )
+                )
+            else:
+                g_slot = _normalize_term(tgt.split(None, 1)[1], prefixes)
+                if g_slot[0] == "var":
+                    raise SparqlSyntaxError("DROP GRAPH takes a constant IRI")
+                ops.append(
+                    GraphManage(
+                        op="drop",
+                        silent=bool(mg.group("silent")),
+                        target="graph",
+                        graph_slot=g_slot,
+                    )
+                )
+            i = i + mg.end()
+            continue
+        mg = _CMA_RE.match(head)
+        if mg:
+            from rdfproject_msc_spark.sparql.parser import _normalize_term
+
+            def _graph_or_default(tok: str):
+                if tok.upper() == "DEFAULT":
+                    return "default"
+                parts = tok.split(None, 1)
+                if parts[0].upper() == "GRAPH":
+                    tok = parts[1]
+                slot = _normalize_term(tok, prefixes)
+                if slot[0] == "var":
+                    raise SparqlSyntaxError(
+                        f"{mg.group('op').upper()} takes constant graph "
+                        "IRIs (or DEFAULT)"
+                    )
+                return slot
+
+            ops.append(
+                GraphManage(
+                    op=mg.group("op").lower(),
+                    silent=bool(mg.group("silent")),
+                    src=_graph_or_default(mg.group("src")),
+                    dst=_graph_or_default(mg.group("dst")),
+                )
+            )
+            i = i + mg.end()
+            continue
         raise SparqlSyntaxError(
             f"unrecognized update operation at: {head[:60]!r}"
         )
@@ -715,6 +816,185 @@ def _instantiate(solutions: DataFrame, templates, const_ids):
     return _union(tri_parts), _union(quad_parts)
 
 
+def _slot_gid(engine, slot) -> int | None:
+    """Resolve a constant graph slot to its id (None = term unknown —
+    the graph cannot hold a single quad). Query-sized lookup."""
+    if slot[0] == "id":
+        return int(slot[1])
+    return engine.dictionary.lookup_terms([slot[1]]).get(slot[1])
+
+
+def _ensure_gid(engine, slot, negative_when) -> int:
+    """Resolve a destination graph slot, APPENDING the label to the
+    dictionary when new (same incremental path as INSERT DATA: existing
+    ids untouched, payload-bounded collect — one term)."""
+    gid = _slot_gid(engine, slot)
+    if gid is not None:
+        return gid
+    from rdfproject_msc_spark.sources.ntriples import extend_dictionary
+
+    spark = engine.spark
+    text = slot[1]
+    parsed = spark.createDataFrame(
+        [(text, text, text)],
+        "s_term string, p_term string, o_term string",
+    )
+    fresh = extend_dictionary(
+        engine.dictionary.df, parsed, negative_when=negative_when
+    )
+    gid = int(fresh.collect()[0]["id"])
+    engine.dictionary = Dictionary(
+        engine.dictionary.df.unionAll(
+            spark.createDataFrame([(gid, text)], "id long, term string")
+        ),
+        broadcast_hint=engine.dictionary.broadcast_hint,
+    )
+    return gid
+
+
+def _named_graph_exists(store: TripleStore, gid: int | None) -> bool:
+    """Bounded existence probe: one directory-prunable g-equality scan,
+    first row wins (graphs-as-rows: a graph exists iff it holds quads)."""
+    if gid is None or not store.has_quads:
+        return False
+    return (
+        store.quads.filter(F.col("g") == F.lit(int(gid))).limit(1).count()
+        > 0
+    )
+
+
+def _apply_graph_manage(
+    engine, store: TripleStore, op: GraphManage, negative_when
+) -> TripleStore:
+    """CREATE/DROP/COPY/MOVE/ADD over the quad relation (§3.2.3–3.2.7).
+
+    Graphs-as-rows consequences, all spec-sanctioned:
+    - empty named graphs are not representable, so CREATE is a
+      validated no-op (it errors on an EXISTING graph per §3.2.3
+      unless SILENT — the only state it could check);
+    - DROP GRAPH ≡ CLEAR GRAPH on the rows, plus §3.2.4's
+      absent-graph error unless SILENT;
+    - COPY/MOVE/ADD are one quad filter + relabel + set-union each —
+      no store shuffle beyond the data-sized ADD dedup anti-join.
+
+    The ``graphs_disjoint`` flag drops conservatively whenever rows
+    are ADDED to the quad relation (COPY/ADD, MOVE from default) —
+    the copied (s,p,o)s now exist in two graphs or may collide with
+    other graphs; MOVE named→named relabels-and-removes, preserving
+    disjointness; quad-shrinking forms keep the flag (a subset of a
+    disjoint relation is disjoint)."""
+    spark = engine.spark
+    if op.op == "create":
+        if op.silent:
+            return store  # unconditional no-op
+        gid = _slot_gid(engine, op.graph_slot)
+        if _named_graph_exists(store, gid):
+            raise ValueError(
+                "CREATE GRAPH: the graph already holds quads (§3.2.3 "
+                "errors on an existing graph) — use CREATE SILENT"
+            )
+        return store  # empty graphs are not representable: no-op
+    if op.op == "drop":
+        if op.target == "default":
+            return _clone_store(
+                store, df=spark.createDataFrame([], TRIPLE_SCHEMA)
+            )
+        if op.target in ("named", "all"):
+            new = store
+            if op.target == "all":
+                new = _clone_store(
+                    new, df=spark.createDataFrame([], TRIPLE_SCHEMA)
+                )
+            if new.has_quads:
+                new = _clone_store(
+                    new,
+                    quads=spark.createDataFrame([], QUAD_SCHEMA),
+                    graphs_disjoint=True,
+                )
+            return new
+        gid = _slot_gid(engine, op.graph_slot)
+        if not op.silent and not _named_graph_exists(store, gid):
+            raise ValueError(
+                "DROP GRAPH: the graph does not exist (§3.2.4 errors on "
+                "an absent graph) — use DROP SILENT"
+            )
+        if gid is None or not store.has_quads:
+            return store
+        return _clone_store(
+            store, quads=store.quads.filter(F.col("g") != F.lit(gid))
+        )
+    # COPY / MOVE / ADD
+    if op.src == "default":
+        src_gid, src_rows = None, store.df
+    else:
+        src_gid = _slot_gid(engine, op.src)
+        if not _named_graph_exists(store, src_gid):
+            if op.silent:
+                return store  # §3.2.5–7 SILENT: absent source → no-op
+            raise ValueError(
+                f"{op.op.upper()}: the source graph does not exist — "
+                f"use {op.op.upper()} SILENT"
+            )
+        src_rows = store.quads_for_graph(src_gid)
+    if op.dst == "default":
+        dst_gid = None
+    else:
+        dst_gid = _ensure_gid(engine, op.dst, negative_when)
+    if (op.src == "default") == (op.dst == "default") and src_gid == dst_gid:
+        return store  # same graph: no-op (§3.2.5–7)
+    if op.dst == "default":
+        if op.op == "add":
+            # set union: RDF graphs are sets — only genuinely-new rows
+            # join in (data-sized anti-join, no hint: AQE picks)
+            fresh = src_rows.join(store.df, ["s", "p", "o"], "left_anti")
+            new = _clone_store(store, df=store.df.unionAll(fresh))
+        else:
+            new = _clone_store(store, df=src_rows)
+        if op.op == "move":
+            new = _clone_store(
+                new, quads=new.quads.filter(F.col("g") != F.lit(src_gid))
+            )
+        return new
+    # named destination
+    relabeled = src_rows.select(
+        F.lit(dst_gid).cast("long").alias("g"), "s", "p", "o"
+    )
+    base = (
+        store.quads
+        if store.has_quads
+        else spark.createDataFrame([], QUAD_SCHEMA)
+    )
+    if op.op == "add":
+        existing = base.filter(F.col("g") == F.lit(dst_gid)).select(
+            "s", "p", "o"
+        )
+        fresh = src_rows.join(existing, ["s", "p", "o"], "left_anti")
+        new_quads = base.unionAll(
+            fresh.select(F.lit(dst_gid).cast("long").alias("g"), "s", "p", "o")
+        )
+    else:  # copy / move replace the destination graph
+        new_quads = base.filter(F.col("g") != F.lit(dst_gid)).unionAll(
+            relabeled
+        )
+    if not store.has_quads:
+        disjoint = True  # the result holds exactly one named graph
+    elif op.op == "move" and op.src != "default":
+        disjoint = store.graphs_disjoint  # relabel + remove preserves
+    else:
+        disjoint = False  # rows added to the quad relation: conservative
+    new = _clone_store(store, quads=new_quads, graphs_disjoint=disjoint)
+    if op.op == "move":
+        if op.src == "default":
+            new = _clone_store(
+                new, df=spark.createDataFrame([], TRIPLE_SCHEMA)
+            )
+        else:
+            new = _clone_store(
+                new, quads=new.quads.filter(F.col("g") != F.lit(src_gid))
+            )
+    return new
+
+
 def apply_update(engine, src: str, negative_when=None) -> None:
     """Parse ``src`` and apply each operation to ``engine`` in order
     (later operations see earlier results). Mutates ``engine.store``
@@ -933,7 +1213,13 @@ def apply_update(engine, src: str, negative_when=None) -> None:
                     op.path,
                     dictionary=engine.dictionary.df,
                     negative_when=negative_when,
-                    on_error="skip" if op.silent else "fail",
+                    # always "fail", SILENT included: §3.1.4's SILENT
+                    # contract is failure → whole-operation NO-OP, not
+                    # partial ingest — a malformed line must not make
+                    # the same document load DIFFERENT data depending
+                    # on the flag. The try/except around the eager
+                    # checkpoint below turns the failure into the no-op.
+                    on_error="fail",
                     caches=load_caches,
                 )
                 # an RDF document is a SET of triples: intra-document
@@ -1017,6 +1303,10 @@ def apply_update(engine, src: str, negative_when=None) -> None:
                         quads=store.quads.filter(F.col("g") != F.lit(gid)),
                     )
             engine.store = store
+        elif isinstance(op, GraphManage):
+            engine.store = _apply_graph_manage(
+                engine, store, op, negative_when
+            )
         else:  # pragma: no cover
             raise AssertionError(f"unknown op {op!r}")
     if getattr(engine, "_register_as", None):

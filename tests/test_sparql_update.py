@@ -270,11 +270,9 @@ def test_ground_insert_plan_is_broadcast_only(spark, nt_path, tmp_path):
             f"DELETE {{ _:b <{EX}p> ?o }} WHERE {{ ?s <{EX}p> ?o }}",
             "blank nodes",
         ),
-        ("CREATE GRAPH <http://ex.org/g>", "not supported"),
-        (
-            f"DROP GRAPH <{EX}g>",
-            "not supported",
-        ),
+        ("CREATE GRAPH ?g", "constant IRI"),
+        (f"DROP GRAPH ?g", "constant IRI"),
+        (f"COPY ?g TO <{EX}g>", "constant graph"),
         (f"DELETE {{ ?s <{EX}p>+ ?o }} WHERE {{ ?s <{EX}p> ?o }}", ""),
         (f"INSERT {{ ?s <{EX}p> ?o }}", "WHERE"),
         ("", "empty update"),
@@ -514,6 +512,7 @@ def test_modify_graph_templates(spark, nt_path):
 
 
 _GRAPHS = ["<urn:g1>", "<urn:g2>"]
+_gsrc = st.sampled_from(["default"] + _GRAPHS)
 _gop = st.one_of(
     st.tuples(st.just("insert_g"), st.sampled_from(_GRAPHS), _triples),
     st.tuples(st.just("delete_g"), st.sampled_from(_GRAPHS), _triples),
@@ -525,6 +524,13 @@ _gop = st.one_of(
         st.just("archive"),
         st.sampled_from(_GRAPHS),
         st.sampled_from(_PRED),
+    ),
+    st.tuples(st.just("drop"), st.sampled_from(_GRAPHS)),
+    st.tuples(
+        st.just("gm"),
+        st.sampled_from(["copy", "move", "add"]),
+        _gsrc,
+        _gsrc,
     ),
 )
 
@@ -577,7 +583,7 @@ def test_named_graph_update_sequences_match_set_model(
                         and (o_slot is None or o == o_slot)
                     )
                 }
-        else:  # archive default-graph pred edges into g
+        elif op[0] == "archive":  # default-graph pred edges into g
             _, g, pred = op
             eng.update(
                 f"DELETE {{ ?s {pred} ?o }} "
@@ -587,6 +593,34 @@ def test_named_graph_update_sequences_match_set_model(
             moved = {(s, p, o) for s, p, o in default if p == pred}
             default -= moved
             graphs[g] |= moved
+        elif op[0] == "drop":
+            _, g = op
+            eng.update(f"DROP SILENT GRAPH {g}")
+            graphs[g] = set()
+        else:  # gm: COPY/MOVE/ADD with DEFAULT or named on either side
+            _, kind, src, dst = op
+            s_tok = "DEFAULT" if src == "default" else f"GRAPH {src}"
+            d_tok = "DEFAULT" if dst == "default" else f"GRAPH {dst}"
+            eng.update(f"{kind.upper()} SILENT {s_tok} TO {d_tok}")
+            src_set = default if src == "default" else graphs[src]
+            absent = src != "default" and not src_set
+            if not absent and src != dst:
+                data = set(src_set)
+                if kind == "add":
+                    if dst == "default":
+                        default |= data
+                    else:
+                        graphs[dst] |= data
+                else:  # copy / move replace the destination
+                    if dst == "default":
+                        default = data
+                    else:
+                        graphs[dst] = data
+                    if kind == "move":
+                        if src == "default":
+                            default = set()
+                        else:
+                            graphs[src] = set()
     assert set(decoded_set(eng)) == default
     got_quads = {
         (r["g"], r["s"], r["p"], r["o"])
@@ -596,6 +630,122 @@ def test_named_graph_update_sequences_match_set_model(
         (g, s, p, o) for g, ts in graphs.items() for s, p, o in ts
     }
     assert got_quads == want_quads
+
+
+def test_graph_management_ops_match_duckdb_set_algebra(spark, nt_path):
+    """CREATE/DROP/COPY/MOVE/ADD (§3.2.3–3.2.7, r11): after each op the
+    quad relation equals a DuckDB set-algebra twin computed from the
+    PRE-state — graphs are rows, so the ops are filters, relabels, and
+    set-unions."""
+    eng = make_engine(spark, nt_path)
+    eng.update(
+        f"INSERT DATA {{ "
+        f"GRAPH <{EX}g1> {{ <{EX}a> <{EX}knows> <{EX}b> . "
+        f"<{EX}b> <{EX}knows> <{EX}c> }} "
+        f"GRAPH <{EX}g2> {{ <{EX}c> <{EX}knows> <{EX}a> }} }}"
+    )
+
+    def quads():
+        return sorted(map(tuple, eng.decode(eng.store.quads).collect()))
+
+    state = quads()
+
+    def vals(rows):
+        return (
+            "q(g, s, p, o) AS (VALUES "
+            + ", ".join(
+                f"('{g}', '{s}', '{p}', '{o}')" for g, s, p, o in rows
+            )
+            + ")"
+        )
+
+    def step(stmt, algebra):
+        nonlocal state
+        eng.update(stmt)
+        want = duck_set(f"WITH {vals(state)} {algebra}")
+        assert quads() == want
+        state = want
+
+    g1, g2, g3 = f"<{EX}g1>", f"<{EX}g2>", f"<{EX}g3>"
+    # CREATE on a fresh label: validated no-op (graphs are rows)
+    step(f"CREATE GRAPH <{EX}fresh>", "SELECT g, s, p, o FROM q")
+    # COPY replaces the destination graph with the source rows
+    step(
+        f"COPY GRAPH {g1} TO GRAPH {g2}",
+        f"SELECT g, s, p, o FROM q WHERE g <> '{g2}' "
+        f"UNION SELECT '{g2}', s, p, o FROM q WHERE g = '{g1}'",
+    )
+    # ADD set-unions into a brand-NEW graph label (dictionary extends)
+    step(
+        f"ADD GRAPH {g2} TO GRAPH {g3}",
+        f"SELECT g, s, p, o FROM q "
+        f"UNION SELECT '{g3}', s, p, o FROM q WHERE g = '{g2}'",
+    )
+    # MOVE relabels the source's rows and retires the source graph
+    step(
+        f"MOVE GRAPH {g3} TO GRAPH {g1}",
+        f"SELECT g, s, p, o FROM q WHERE g NOT IN ('{g3}', '{g1}') "
+        f"UNION SELECT '{g1}', s, p, o FROM q WHERE g = '{g3}'",
+    )
+    # DROP removes the graph's rows (CLEAR + label retirement)
+    step(
+        f"DROP GRAPH {g2}",
+        f"SELECT g, s, p, o FROM q WHERE g <> '{g2}'",
+    )
+    # the default graph rode along untouched
+    assert len(decoded_set(eng)) == 5
+
+
+def test_graph_management_default_interplay(spark, nt_path):
+    """COPY/MOVE/ADD with DEFAULT on either side: MOVE DEFAULT empties
+    the default graph, ADD back restores it (set union), COPY over a
+    dirty default REPLACES it, and same-graph forms are no-ops."""
+    eng = make_engine(spark, nt_path)
+    base = decoded_set(eng)
+    arch = f"<{EX}arch>"
+    eng.update(f"MOVE DEFAULT TO GRAPH {arch}")
+    assert decoded_set(eng) == []
+    got_q = sorted(map(tuple, eng.decode(eng.store.quads).collect()))
+    assert got_q == sorted((arch, s, p, o) for s, p, o in base)
+    eng.update(f"ADD GRAPH {arch} TO DEFAULT")
+    assert decoded_set(eng) == base  # union into the emptied default
+    eng.update("COPY DEFAULT TO DEFAULT")  # same graph: no-op
+    assert decoded_set(eng) == base
+    eng.update(f"INSERT DATA {{ <{EX}z> <{EX}knows> <{EX}a> }}")
+    eng.update(f"COPY GRAPH {arch} TO DEFAULT")  # replace, not union
+    assert decoded_set(eng) == base
+    # the archive copy still answers GRAPH queries after the round trip
+    got = sorted(
+        r[0]
+        for r in eng.sparql(
+            f"SELECT ?s WHERE {{ GRAPH {arch} {{ ?s <{EX}name> ?o }} }}",
+            decode=True,
+        ).collect()
+    )
+    assert got == [f"<{EX}a>", f"<{EX}b>"]
+
+
+def test_graph_management_errors_and_silent(spark, nt_path):
+    """§3.2.3–3.2.7 SHOULD-error cases raise; SILENT turns each into a
+    no-op; MOVE g TO g is a no-op, NOT a clear."""
+    eng = make_engine(spark, nt_path)
+    with pytest.raises(ValueError, match="does not exist"):
+        eng.update(f"DROP GRAPH <{EX}nope>")
+    eng.update(f"DROP SILENT GRAPH <{EX}nope>")  # no-op
+    with pytest.raises(ValueError, match="source graph"):
+        eng.update(f"COPY GRAPH <{EX}nope> TO DEFAULT")
+    before = decoded_set(eng)
+    eng.update(f"MOVE SILENT GRAPH <{EX}nope> TO DEFAULT")  # no-op
+    assert decoded_set(eng) == before
+    eng.update(
+        f"INSERT DATA {{ GRAPH <{EX}g> {{ <{EX}a> <{EX}knows> <{EX}b> }} }}"
+    )
+    with pytest.raises(ValueError, match="already"):
+        eng.update(f"CREATE GRAPH <{EX}g>")
+    eng.update(f"CREATE SILENT GRAPH <{EX}g>")  # no-op
+    q0 = sorted(map(tuple, eng.decode(eng.store.quads).collect()))
+    eng.update(f"MOVE GRAPH <{EX}g> TO GRAPH <{EX}g>")
+    assert sorted(map(tuple, eng.decode(eng.store.quads).collect())) == q0
 
 
 def test_cli_update_quads_guard(spark, nt_path, tmp_path):
@@ -700,6 +850,32 @@ def test_load_silent_and_failure_modes(spark, nt_path, tmp_path):
     )
     got = decoded_set(eng)
     assert (f"<{EX}z>", f"<{EX}knows>", f"<{EX}a>") in got
+    assert len(got) == 6
+
+
+def test_load_silent_malformed_document_is_whole_noop(
+    spark, nt_path, tmp_path
+):
+    """r10 ADVICE pin: SILENT must not change WHAT loads. A document
+    with a malformed line fails as a WHOLE under both forms — §3.1.4's
+    SILENT turns the failure into a no-op, never into a partial ingest
+    of the well-formed lines."""
+    eng = make_engine(spark, nt_path)
+    bad = tmp_path / "bad.nt"
+    bad.write_text(
+        f"<{EX}ok> <{EX}knows> <{EX}a> .\n"
+        "this line is not an N-Triple\n"
+    )
+    with pytest.raises(Exception):
+        eng.update(f"LOAD <file://{bad}>")
+    eng.update(
+        f"LOAD SILENT <file://{bad}> ; "
+        f"INSERT DATA {{ <{EX}z> <{EX}knows> <{EX}a> . }}"
+    )
+    got = decoded_set(eng)
+    assert (f"<{EX}z>", f"<{EX}knows>", f"<{EX}a>") in got
+    # the well-formed line did NOT partially ingest under either form
+    assert not any(s == f"<{EX}ok>" for s, _, _ in got)
     assert len(got) == 6
 
 

@@ -581,6 +581,77 @@ SELECT s, v FROM (
 """
 
 
+def sparql_value_order(spark, sf_dir):
+    """§15.1 value ordering + arithmetic value semantics on a LEXICAL
+    store (r11, sparql/planner.py:_value_order_keys): plain
+    `ORDER BY ?v` sorts by (term kind, typed numeric value, STR value)
+    — numeric literals by VALUE (ids are lexicographic ranks, so id
+    order would put "10" before "2"), non-numerics by codepoint STR —
+    and the arithmetic comparison FILTER(?v * 2 >= 9000) evaluates
+    typed values through the same _term_numeric routing. The LIMIT
+    makes the ordering itself the selected SET, so the DuckDB twin
+    verifies the order through the hash compare."""
+    import os
+    import tempfile
+
+    from rdfproject_msc_spark.engine import Engine
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(tempfile.gettempdir(), "rdfproject_msc_vorder", tag)
+
+    def _line(*parts):
+        return F.concat(
+            *[F.lit(p) if isinstance(p, str) else p for p in parts]
+        ).alias("value")
+
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    sc = lambda c: F.col(c).cast("string")  # noqa: E731
+    acct = F.col("c_acctbal").cast("decimal(12,2)").cast("string")
+    lines = nation.select(
+        _line("<urn:nation_", sc("n_nationkey"),
+              '> <urn:label> "', F.col("n_name"), '" .')
+    ).unionAll(customer.select(
+        _line("<urn:customer_", sc("c_custkey"),
+              '> <urn:acct> "', acct,
+              '"^^<http://www.w3.org/2001/XMLSchema#decimal> .')
+    ))
+    nt_dir = os.path.join(base, "nt")
+    lines.write.mode("overwrite").text(nt_dir)
+
+    eng = Engine(spark).load_triples(
+        nt_dir, fmt="nt", layout="sign_split", cluster_by="s"
+    )
+    return eng.sparql(
+        """SELECT ?s ?v WHERE {
+             { ?s <urn:acct> ?v . FILTER(?v * 2 >= 9000) }
+             UNION
+             { ?s <urn:label> ?v }
+           } ORDER BY ?v ?s LIMIT 150""",
+        decode=True,
+    )
+
+
+# the twin derives the SAME §15.1 keys: all values are literals (one
+# kind), numerics (non-NULL numv) before non-numerics, by value then
+# STR then subject — the LIMIT turns the order into the selected set
+SPARQL_VALUE_ORDER_SQL = """
+SELECT s, v FROM (
+  SELECT '<urn:customer_' || c_custkey || '>' AS s,
+         '"' || CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) ||
+           '"^^<http://www.w3.org/2001/XMLSchema#decimal>' AS v,
+         CAST(c_acctbal AS DECIMAL(12,2)) AS numv,
+         CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS sv
+  FROM customer
+  WHERE CAST(c_acctbal AS DECIMAL(12,2)) * 2 >= 9000
+  UNION ALL
+  SELECT '<urn:nation_' || n_nationkey || '>', '"' || n_name || '"',
+         NULL, n_name
+  FROM nation
+) ORDER BY (numv IS NULL), numv, sv, s LIMIT 150
+"""
+
+
 def rdf_ingest_nt(spark, sf_dir):
     """Raw-RDF first mile (r9, sources/ntriples.py): the onboarding step
     NEITHER repo had — the reference's input arrives pre-encoded
@@ -3105,7 +3176,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "sparql_value_cmp": QuerySpec(
         sparql_value_cmp, SPARQL_VALUE_CMP_SQL, headline=True
     ),
-    "parts_semi_anti": QuerySpec(parts_semi_anti, PARTS_SEMI_ANTI_SQL),
+    # parts_semi_anti demoted r11 (slot → sparql_value_order): the
+    # semi/anti join shapes stay driver-checked via text_decontaminate
+    # and bloom_decontam; still oracle-checked in tests/test_demoted.py
+    "sparql_value_order": QuerySpec(
+        sparql_value_order, SPARQL_VALUE_ORDER_SQL, headline=True
+    ),
     "events_props_json": QuerySpec(events_props_json, EVENTS_PROPS_JSON_SQL),
     # events_distinct_users demoted r5 (slot → sparql_subquery): per-group
     # DISTINCT aggregation, machinery shared with orders_rollup/tpch_q1;

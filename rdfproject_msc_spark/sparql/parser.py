@@ -2893,6 +2893,19 @@ def _parse_group(
                     exists.append((False, child(inner, "empty EXISTS group")))
                     seq.append(("exists", len(exists) - 1))
                     continue
+                if m2 and j < len(src) and src[j] != "(":
+                    # paren-free builtin-call constraint (r11 — the
+                    # grammar's `FILTER BuiltInCall` production:
+                    # `FILTER regex(?t, "x")`, `FILTER isIRI(?x)`):
+                    # re-assemble name(args) — the same text the
+                    # bracketted form passes as its body
+                    j3 = _skip_ws(src, m2.end())
+                    if j3 < len(src) and src[j3] == "(":
+                        args, i = _scan_delim(src, j3, "(", ")", "FILTER")
+                        filters.append(
+                            _parse_filter_expr(f"{m2.group(0)}({args})")
+                        )
+                        continue
                 inner, i = _scan_delim(src, j, "(", ")", "FILTER")
                 filters.append(_parse_filter_expr(inner))
                 continue
@@ -3479,6 +3492,12 @@ def parse_sparql(
                         "template (§16.2: templates are plain triples)"
                     )
                 if v not in pattern_vars:
+                    if v.startswith("__bn"):
+                        # a template blank node with NO co-referring
+                        # WHERE label is §16.2's fresh-per-solution
+                        # instantiation — the planner mints one node
+                        # per solution (deterministic keyed labels)
+                        continue
                     # a var in NO pattern is a typo; vars bound only in
                     # OPTIONAL are fine — §16.2 drops a template's triple
                     # for solutions where its variable is unbound (the

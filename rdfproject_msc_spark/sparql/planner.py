@@ -303,6 +303,28 @@ def _term_numeric(idc: Column, t: Column) -> Column:
     )
 
 
+def _value_order_keys(idc: Column, t: Column, sv: Column, desc: bool):
+    """§15.1 value-ordering key tuple for a plain ``ORDER BY ?v`` on a
+    LEXICAL store: (term kind, numeric value, derived STR value).
+    Kind rank is §15.1.1's order — unbound < blank nodes < IRIs <
+    literals; within literals, numeric literals sort by typed value and
+    precede the non-numerics, which sort by the §17.4.2.5 STR
+    derivation (codepoint order — respects §15.1's string, boolean and
+    dateTime comparisons; pairs the spec leaves incomparable take any
+    consistent extension, which this is). DESC reverses every
+    component, so the total order reverses exactly."""
+    kind = (
+        F.when(idc.isNull(), F.lit(0))
+        .when(F.coalesce(t.startswith("_:"), F.lit(False)), F.lit(1))
+        .when(F.coalesce(t.startswith("<"), F.lit(False)), F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    num = _term_numeric(idc, t)
+    if desc:
+        return [kind.desc(), num.desc_nulls_first(), sv.desc()]
+    return [kind.asc(), num.asc_nulls_last(), sv.asc()]
+
+
 def _term_temporal(t: Column, kind: str) -> Column:
     """Date / dateTime VALUE of a term; non-matching kinds → NULL (type
     ERROR). The lexical forms carry no timezone (parser-enforced), so the
@@ -2511,12 +2533,47 @@ def _plan_group(
             if bexpr[0] == "termfn_expr":
                 string_targets.add(bvar)  # STR/LANG/DATATYPE are strings
             return
-        joined = joined.withColumn(cname, _compile_arith(bexpr, fcols))
+        btm: dict[str, str] | None = None
+        bhelpers: list[str] = []
+        if (
+            _ACTIVE_STYLE.get() == "lexical"
+            and dictionary is not None
+            and bexpr[0] != "var"  # identity binds COPY the id column
+        ):
+            # lexical store (r11): BIND arithmetic over PATTERN
+            # variables evaluates typed numeric VALUES, not encoded ids
+            # (lexicographic ranks there) — attach each id-valued
+            # operand's term and route through _term_numeric via
+            # _compile_arith's termmap, the same value semantics as the
+            # cmp FILTER leaf. Computed (vb_/string) sources and
+            # outer-unbound NULL columns already hold values.
+            btm = {}
+            for v in sorted(arith_expr_vars(bexpr)):
+                col = fcols.get(v, "")
+                if (
+                    v in missing
+                    or col.startswith("vb_")
+                    or v in string_targets
+                ):
+                    continue
+                bi = ctx.nid()
+                tcol = f"__baterm{bi}_{v}"
+                d = _dict_relation(dictionary, f"__baid{bi}", tcol)
+                joined = joined.join(
+                    d, F.col(col) == F.col(f"__baid{bi}"), "left"
+                ).drop(f"__baid{bi}")
+                btm[v] = tcol
+                bhelpers += [tcol, tcol + _SV]
+        joined = joined.withColumn(cname, _compile_arith(bexpr, fcols, btm))
+        if bhelpers:
+            joined = joined.drop(*bhelpers)
         if tmp_unb:
             joined = joined.drop(*tmp_unb)
         bound_cols[bvar] = cname
         order.append(bvar)
-        if missing or arith_expr_vars(bexpr) & nullable_vars:
+        # bool(btm): a lexically-routed operand can be a non-numeric
+        # term — a type ERROR (NULL) leaves the target unbound (§17.3)
+        if missing or bool(btm) or arith_expr_vars(bexpr) & nullable_vars:
             nullable_vars.add(bvar)
 
     # MINUS child groups → LEFT ANTI JOIN on the shared variables (SPARQL
@@ -3079,18 +3136,27 @@ def _dataset_scoped_store(
 
 
 def plan_bgp(
-    store: TripleStore, bgp: BGPQuery, dictionary: Dictionary | None = None
+    store: TripleStore,
+    bgp: BGPQuery,
+    dictionary: Dictionary | None = None,
+    fresh_dict_out: list | None = None,
 ) -> DataFrame:
-    """Compose the BGP into a single DataFrame of variable bindings (ids)."""
+    """Compose the BGP into a single DataFrame of variable bindings
+    (ids). ``fresh_dict_out``: a CONSTRUCT minting fresh-per-solution
+    bnodes (§16.2) appends its locally-extended Dictionary here so the
+    caller can decode the minted ids."""
     token = _ACTIVE_STYLE.set(bgp.term_style)
     try:
-        return _plan_bgp(store, bgp, dictionary)
+        return _plan_bgp(store, bgp, dictionary, fresh_dict_out)
     finally:
         _ACTIVE_STYLE.reset(token)
 
 
 def _plan_bgp(
-    store: TripleStore, bgp: BGPQuery, dictionary: Dictionary | None = None
+    store: TripleStore,
+    bgp: BGPQuery,
+    dictionary: Dictionary | None = None,
+    fresh_dict_out: list | None = None,
 ) -> DataFrame:
     term_ids = _encode_constants(bgp, dictionary)
     store = _dataset_scoped_store(store, bgp, term_ids)
@@ -3153,9 +3219,97 @@ def _plan_bgp(
     # triple for that solution (§16.2 — skipped, not an error): a cheap
     # per-template isNotNull row filter, no extra shuffle.
     if bgp.construct:
+        # fresh-per-solution template blank nodes (§16.2, r11): a
+        # template bnode label NOT bound by the WHERE group mints one
+        # fresh node per SOLUTION — the label is a deterministic key,
+        # "_:c" + md5(the solution's bound ids) + the source label, so
+        # (a) the same label co-refers ACROSS template triples of one
+        # solution, (b) distinct solutions mint distinct nodes, and
+        # (c) a replayed query re-derives identical labels (the
+        # oracle/determinism stance; value-equal duplicate solutions
+        # mint the same node — the output graph is a SET). The labels
+        # are DATA-sized vocabulary, so their ids come from the same
+        # distributed incremental append as ingest; the rank build
+        # materializes eagerly (data-sized checkpoint, the UPDATE
+        # precedent) and the extended dictionary is LOCAL — returned
+        # via fresh_dict_out so decode renders the minted labels.
+        # first-appearance order (NOT the parsed names: anonymous []
+        # labels carry a global parse counter, so replay determinism
+        # needs a positional suffix fixed by the query TEXT alone)
+        fresh_labels: list[str] = []
+        for tp in bgp.construct:
+            for pos in ("s", "p", "o"):
+                kind, val = tp.slots[pos]
+                if (
+                    kind == "var"
+                    and val.startswith("__bn")
+                    and val not in bound_cols
+                    and val not in fresh_labels
+                ):
+                    fresh_labels.append(val)
+        fresh_cols: dict[str, str] = {}
+        if fresh_labels:
+            if dictionary is None:
+                raise SparqlSyntaxError(
+                    "CONSTRUCT template blank nodes need a dictionary "
+                    "(fresh labels mint dictionary ids)"
+                )
+            from rdfproject_msc_spark.sources.ntriples import (
+                extend_dictionary,
+            )
+
+            key = F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.coalesce(
+                            F.col(bound_cols[v]).cast("string"), F.lit("")
+                        )
+                        for v in sorted(bound_cols)
+                    ],
+                )
+            )
+            lab_rel = None
+            for i, lbl in enumerate(fresh_labels):
+                joined = joined.withColumn(
+                    f"__fbl_{lbl}",
+                    F.concat(F.lit("_:c"), key, F.lit(f"-{i}")),
+                )
+                part = joined.select(F.col(f"__fbl_{lbl}").alias("term"))
+                lab_rel = part if lab_rel is None else lab_rel.unionAll(part)
+            parsed = lab_rel.select(
+                F.col("term").alias("s_term"),
+                F.col("term").alias("p_term"),
+                F.col("term").alias("o_term"),
+            )
+            mint_caches: list = []
+            fresh_ids = extend_dictionary(
+                dictionary.df, parsed, caches=mint_caches
+            ).localCheckpoint(eager=True)
+            for c in mint_caches:
+                c.unpersist()  # the checkpoint no longer reads them
+            ext = Dictionary(
+                dictionary.df.unionAll(fresh_ids),
+                broadcast_hint=dictionary.broadcast_hint,
+            )
+            if fresh_dict_out is not None:
+                fresh_dict_out.append(ext)
+            for i, lbl in enumerate(fresh_labels):
+                # resolve against the EXTENDED dictionary (a minted
+                # label colliding with a pre-existing bnode term is
+                # freak-rare but must still resolve, not null out)
+                m = ext.df.withColumnRenamed(
+                    "id", f"__fbid_{i}"
+                ).withColumnRenamed("term", f"__fblt_{i}")
+                joined = joined.join(
+                    m, F.col(f"__fbl_{lbl}") == F.col(f"__fblt_{i}"), "left"
+                ).drop(f"__fblt_{i}")
+                fresh_cols[lbl] = f"__fbid_{i}"
         parts = []
         for tp in bgp.construct:
-            tnull = sorted(tp.variables() & nullable_vars)
+            tnull = sorted(
+                (tp.variables() & nullable_vars) - set(fresh_cols)
+            )
             src = joined
             for v in tnull:
                 src = src.filter(F.col(bound_cols[v]).isNotNull())
@@ -3163,7 +3317,8 @@ def _plan_bgp(
             for pos in ("s", "p", "o"):
                 kind, val = tp.slots[pos]
                 if kind == "var":
-                    cols.append(F.col(bound_cols[val]).alias(pos))
+                    c = fresh_cols.get(val) or bound_cols[val]
+                    cols.append(F.col(c).alias(pos))
                 elif kind == "id":
                     cols.append(F.lit(int(val)).cast("long").alias(pos))
                 else:
@@ -3231,16 +3386,36 @@ def _plan_bgp(
         # dangling id sorts as NULL), sort on it, and let the projection
         # drop the helper column. Spark string ordering is binary UTF-8,
         # matching DuckDB's default collation for oracles.
-        str_keys = {
-            k[1]
-            for k, _ in bgp.order_by
-            if isinstance(k, tuple) and k[0] == "str"
-        } | {
-            # xsd:T(?x) cast keys (r7) read the term text too
-            k[2]
-            for k, _ in bgp.order_by
-            if isinstance(k, tuple) and k[0] == "cast"
-        }
+        lexical = _ACTIVE_STYLE.get() == "lexical" and dictionary is not None
+        # §15.1 value ordering (r11): plain variable keys on a LEXICAL
+        # store need the term attach too — ids are lexicographic ranks
+        # per sign class there, so id order would interleave term kinds
+        # meaninglessly. Localized stores keep id order (the reference
+        # model: a dictionary-absent id IS its integer value).
+        plain_value_keys = (
+            {
+                k
+                for k, _ in bgp.order_by
+                if not isinstance(k, tuple)
+                and not bound_cols[k].startswith("vb_")
+            }
+            if lexical
+            else set()
+        )
+        str_keys = (
+            {
+                k[1]
+                for k, _ in bgp.order_by
+                if isinstance(k, tuple) and k[0] == "str"
+            }
+            | {
+                # xsd:T(?x) cast keys (r7) read the term text too
+                k[2]
+                for k, _ in bgp.order_by
+                if isinstance(k, tuple) and k[0] == "cast"
+            }
+            | plain_value_keys
+        )
         str_cols: dict[str, str] = {}
         if str_keys and dictionary is None:
             raise SparqlSyntaxError(
@@ -3274,12 +3449,19 @@ def _plan_bgp(
                 return _compile_arith(k[1], bound_cols)
             return F.col(bound_cols[k])
 
-        joined = joined.orderBy(
-            *[
-                _key_col(k).desc() if desc else _key_col(k).asc()
-                for k, desc in bgp.order_by
-            ]
-        )
+        sort_cols: list = []
+        for k, desc in bgp.order_by:
+            if not isinstance(k, tuple) and k in plain_value_keys:
+                sort_cols += _value_order_keys(
+                    F.col(bound_cols[k]),
+                    F.col(str_cols[k]),
+                    F.col(str_cols[k] + _SV),
+                    desc,
+                )
+            else:
+                c = _key_col(k)
+                sort_cols.append(c.desc() if desc else c.asc())
+        joined = joined.orderBy(*sort_cols)
         if bgp.offset is not None:
             joined = joined.offset(bgp.offset)
         if bgp.limit is not None:
@@ -3338,9 +3520,36 @@ def _plan_bgp(
         out = out.distinct()
     if not sort_pre_projection:
         if bgp.order_by:
-            out = out.orderBy(
-                *[F.col(v).desc() if desc else F.col(v).asc() for v, desc in bgp.order_by]
+            lex_order = (
+                _ACTIVE_STYLE.get() == "lexical" and dictionary is not None
             )
+            keys: list = []
+            helpers: list[str] = []
+            for ki, (v, desc) in enumerate(bgp.order_by):
+                # §15.1 value ordering (r11) for plain PATTERN-variable
+                # keys on a lexical store (the post-projection twin of
+                # the pre-projection branch above; applies to grouped
+                # output too, where group keys are still id columns).
+                # Computed columns (BIND targets, aggregate aliases —
+                # absent from bound_cols or vb_-prefixed) hold values
+                # and sort directly, as do all localized-store keys.
+                if lex_order and not bound_cols.get(v, "vb_").startswith(
+                    "vb_"
+                ):
+                    tname = f"__ovt{ki}"
+                    d = _dict_relation(dictionary, f"__ovi{ki}", tname)
+                    out = out.join(
+                        d, F.col(v) == F.col(f"__ovi{ki}"), "left"
+                    ).drop(f"__ovi{ki}")
+                    helpers += [tname, tname + _SV]
+                    keys += _value_order_keys(
+                        F.col(v), F.col(tname), F.col(tname + _SV), desc
+                    )
+                else:
+                    keys.append(F.col(v).desc() if desc else F.col(v).asc())
+            out = out.orderBy(*keys)
+            if helpers:
+                out = out.drop(*helpers)
         if bgp.offset is not None:
             out = out.offset(bgp.offset)
         if bgp.limit is not None:
@@ -3386,6 +3595,36 @@ def _plan_grouped(
             d, F.col(bound_cols[v]) == F.col(f"__gsid{i}"), "left"
         ).drop(f"__gsid{i}")
         strcols[v] = f"__gterm{i}"
+    # SUM/AVG are NUMERIC aggregates (§11.4): on a LEXICAL store their
+    # pattern-var arguments evaluate typed numeric VALUES via the same
+    # _term_numeric routing as FILTER/BIND arithmetic (r11) — ids are
+    # lexicographic ranks there, so an id sum is meaningless. Non-
+    # numeric terms are type errors (NULL → skipped, §11's error-
+    # removing cardinality). MIN/MAX/SAMPLE keep rank order (= term
+    # order within a sign class); localized stores keep id arithmetic
+    # (a dictionary-absent id IS its integer value by convention).
+    numvars: set = set()
+    if _ACTIVE_STYLE.get() == "lexical" and dictionary is not None:
+        for func, var, _, _, _ in bgp.aggregates:
+            if func not in ("sum", "avg") or var is None:
+                continue
+            cand = (
+                {var}
+                if isinstance(var, str)
+                else (arith_expr_vars(var[1]) if var[0] != "str" else set())
+            )
+            numvars |= {
+                v
+                for v in cand
+                if v in bound_cols and not bound_cols[v].startswith("vb_")
+            }
+    numcols: dict[str, str] = {}
+    for i, v in enumerate(sorted(numvars)):
+        d = _dict_relation(dictionary, f"__gnid{i}", f"__gnterm{i}")
+        joined = joined.join(
+            d, F.col(bound_cols[v]) == F.col(f"__gnid{i}"), "left"
+        ).drop(f"__gnid{i}")
+        numcols[v] = f"__gnterm{i}"
     aggs = []
     for func, var, distinct, alias, sep in bgp.aggregates:
         if var is None:  # COUNT(*)
@@ -3410,9 +3649,15 @@ def _plan_grouped(
                     ),
                 )
             elif isinstance(var, tuple):
-                col = _compile_arith(var[1], bound_cols)
+                col = _compile_arith(
+                    var[1],
+                    bound_cols,
+                    numcols if func in ("sum", "avg") else None,
+                )
             else:
                 col = F.col(bound_cols[var])
+                if func in ("sum", "avg") and var in numcols:
+                    col = _term_numeric(col, F.col(numcols[var]))
             if func == "count":
                 expr = F.count_distinct(col) if distinct else F.count(col)
             elif func == "sum":
@@ -3512,6 +3757,55 @@ def _plan_grouped(
     return out.select(*[F.col(c) for c in bgp.projection])
 
 
+def _with_construct_vocab(
+    bgp: BGPQuery, dictionary: Dictionary | None
+) -> Dictionary | None:
+    """CONSTRUCT templates introduce NEW vocabulary as a matter of
+    course (§16.2's own example emits vcard:FN over a foaf graph), so
+    template constants absent from the dictionary mint ids through the
+    incremental append path (r11) — the extension is QUERY-sized (the
+    terms come from the query STRING, the encode_terms precedent) and
+    deterministic (extend_dictionary ranks), and the LOCAL extended
+    dictionary serves both the plan's constant encoding and decode.
+    The caller's dictionary object is untouched: the supported
+    round-trip for a minted-vocabulary CONSTRUCT is ``decode=True``
+    (or re-ingesting the decoded text). WHERE constants keep the
+    typo-guard raise — a pattern constant the graph has never seen
+    matches nothing and is a typo until proven otherwise."""
+    if not bgp.construct or dictionary is None:
+        return dictionary
+    tpl_terms = sorted(
+        {
+            val
+            for tp in bgp.construct
+            for _, (kind, val) in tp.slots.items()
+            if kind == "term"
+        }
+    )
+    if not tpl_terms:
+        return dictionary
+    known = dictionary.lookup_terms(tpl_terms)
+    missing = [t for t in tpl_terms if t not in known]
+    if not missing:
+        return dictionary
+    from rdfproject_msc_spark.sources.ntriples import extend_dictionary
+
+    spark = dictionary.df.sparkSession
+    parsed = spark.createDataFrame(
+        [(t, t, t) for t in missing],
+        "s_term string, p_term string, o_term string",
+    )
+    fresh = extend_dictionary(dictionary.df, parsed)
+    rows = fresh.collect()  # query-sized by construction
+    ext = dictionary.df.unionAll(
+        spark.createDataFrame(
+            [(int(r["id"]), r["term"]) for r in rows],
+            "id long, term string",
+        )
+    )
+    return Dictionary(ext, broadcast_hint=dictionary.broadcast_hint)
+
+
 def sparql_to_df(
     store: TripleStore,
     query: str,
@@ -3524,7 +3818,13 @@ def sparql_to_df(
     lexical forms — the convention of dictionaries BUILT from raw RDF
     (sources/ntriples.py); default is the reference's localized form."""
     bgp = parse_sparql(query, term_style=term_style)
-    df = plan_bgp(store, bgp, dictionary)
+    dictionary = _with_construct_vocab(bgp, dictionary)
+    fresh_out: list = []
+    df = plan_bgp(store, bgp, dictionary, fresh_dict_out=fresh_out)
+    if fresh_out:
+        # fresh-per-solution CONSTRUCT bnodes minted ids — decode
+        # through the locally-extended dictionary
+        dictionary = fresh_out[-1]
     if decode:
         if dictionary is None:
             raise SparqlSyntaxError("decode=True requires a dictionary")
@@ -3549,7 +3849,19 @@ def sparql_to_df(
                 )
             }
         )
+        # decode joins would otherwise destroy the query's ORDER BY (a
+        # shuffled dictionary join re-partitions arbitrarily): capture a
+        # sort-consistent ordinal BEFORE the joins (monotonic ids are
+        # partition-major, and a global sort range-partitions, so the
+        # ordinal order IS the sort order) and re-sort the result-sized
+        # decoded output on it.
+        ordered = bool(bgp.order_by)
+        if ordered:
+            df = df.withColumn("__ord", F.monotonically_increasing_id())
         df = dictionary.decode(
-            df, [c for c in df.columns if c not in computed]
+            df,
+            [c for c in df.columns if c not in computed and c != "__ord"],
         )
+        if ordered:
+            df = df.orderBy("__ord").drop("__ord")
     return df

@@ -279,6 +279,15 @@ def test_text_ngram_top_matches_oracle(spark, sf_dir):
     )
 
 
+def test_parts_semi_anti_matches_oracle(spark, sf_dir):
+    """Demoted r11 (slot → sparql_value_order): LEFT SEMI / LEFT ANTI
+    join shapes stay driver-adjacent through text_decontaminate and
+    bloom_decontam; this keeps the exact DuckDB twin."""
+    assert_matches_oracle(
+        R.parts_semi_anti(spark, sf_dir), R.PARTS_SEMI_ANTI_SQL, sf_dir
+    )
+
+
 def test_text_stats_matches_oracle(spark, sf_dir):
     """Demoted r10 (slot → sparql_lexical_str): the per-document
     length/punct/word profile stays driver-adjacent through the

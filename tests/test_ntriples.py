@@ -737,6 +737,209 @@ def test_lexical_cmp_leaf_value_semantics(spark, tmp_path):
     ) == ["<http://e/c>"]
 
 
+def test_lexical_bind_arithmetic_value_semantics(spark, tmp_path):
+    """r11: BIND arithmetic over pattern variables on a lexical store
+    evaluates typed numeric VALUES (the spec §11 discounted-price
+    example), not encoded ids (lexicographic ranks); a non-numeric
+    operand is a type error — the target stays unbound."""
+    E = "http://e/"
+    xd = "^^<http://www.w3.org/2001/XMLSchema#decimal>"
+    xi = "^^<http://www.w3.org/2001/XMLSchema#integer>"
+    nt = tmp_path / "b.nt"
+    nt.write_text(
+        f'<{E}book1> <{E}title> "SPARQL Tutorial" .\n'
+        f'<{E}book1> <{E}price> "42"{xi} .\n'
+        f'<{E}book1> <{E}discount> "0.2"{xd} .\n'
+        f'<{E}book2> <{E}title> "The Semantic Web" .\n'
+        f'<{E}book2> <{E}price> "23"{xi} .\n'
+        f'<{E}book2> <{E}discount> "0.25"{xd} .\n'
+        f'<{E}book3> <{E}title> "Oddity" .\n'
+        f'<{E}book3> <{E}price> "strange" .\n'
+        f'<{E}book3> <{E}discount> "0.5"{xd} .\n'
+    )
+    eng = Engine(spark).load_triples(str(nt), fmt="nt")
+    rows = eng.sparql(
+        f"SELECT ?title ?price WHERE {{ ?x <{E}price> ?p . "
+        f"?x <{E}discount> ?d . "
+        f"BIND(?p - ?p * ?d AS ?price) ?x <{E}title> ?title }} "
+        "ORDER BY ?title",
+        decode=True,
+    ).collect()
+    got = [
+        (r["title"], None if r["price"] is None else round(r["price"], 6))
+        for r in rows
+    ]
+    assert got == [
+        ('"Oddity"', None),  # "strange": type error -> unbound
+        ('"SPARQL Tutorial"', 33.6),
+        ('"The Semantic Web"', 17.25),
+    ]
+    # identity binds still COPY the id column (and decode as terms)
+    got = sorted(
+        r["y"]
+        for r in eng.sparql(
+            f"SELECT ?y WHERE {{ ?x <{E}price> ?p . BIND(?p AS ?y) }}",
+            decode=True,
+        ).collect()
+    )
+    assert got == ['"23"' + xi, '"42"' + xi, '"strange"']
+
+
+def test_construct_fresh_bnodes_per_solution(spark, tmp_path):
+    """§16.2 fresh-per-solution template blank nodes (r11): the spec's
+    vcard example — one fresh node per solution, co-referring across
+    that solution's template triples, distinct across solutions,
+    deterministic across replays, and round-tripping into a store via
+    the decoded text."""
+    E = "http://e/"
+    V = "http://www.w3.org/2001/vcard-rdf/3.0#"
+    nt = tmp_path / "f.nt"
+    nt.write_text(
+        f'<{E}alice> <{E}name> "Alice" .\n'
+        f'<{E}bob> <{E}name> "Bob" .\n'
+    )
+    eng = Engine(spark).load_triples(str(nt), fmt="nt")
+    q = (
+        f"CONSTRUCT {{ ?x <{V}N> _:v . _:v <{V}givenName> ?name }} "
+        f"WHERE {{ ?x <{E}name> ?name }}"
+    )
+    got = sorted(map(tuple, eng.sparql(q, decode=True).collect()))
+    again = sorted(map(tuple, eng.sparql(q, decode=True).collect()))
+    assert got == again  # replay determinism (keyed labels)
+    assert len(got) == 4
+    n_edge = {s: o for s, p, o in got if p == f"<{V}N>"}
+    gname = {s: o for s, p, o in got if p == f"<{V}givenName>"}
+    assert set(n_edge) == {f"<{E}alice>", f"<{E}bob>"}
+    va, vb = n_edge[f"<{E}alice>"], n_edge[f"<{E}bob>"]
+    assert va != vb  # one FRESH node per solution
+    assert va.startswith("_:c") and vb.startswith("_:c")
+    assert gname[va] == '"Alice"' and gname[vb] == '"Bob"'
+    # round-trip: the decoded graph re-ingests and answers
+    out = tmp_path / "rt.nt"
+    out.write_text("".join(f"{s} {p} {o} .\n" for s, p, o in got))
+    e2 = Engine(spark).load_triples(str(out), fmt="nt")
+    rows = e2.sparql(
+        f"SELECT ?g WHERE {{ ?x <{V}N> ?v . ?v <{V}givenName> ?g }}",
+        decode=True,
+    ).collect()
+    assert sorted(r["g"] for r in rows) == ['"Alice"', '"Bob"']
+
+
+def test_lexical_sum_avg_value_semantics(spark, tmp_path):
+    """r11: SUM/AVG over lexical pattern variables aggregate typed
+    numeric VALUES (the spec §11.1 GROUP BY/HAVING example — total book
+    price per org, keep totals > 10), not encoded ids (ranks)."""
+    E = "http://books.example/"
+    xi = "^^<http://www.w3.org/2001/XMLSchema#integer>"
+    nt = tmp_path / "agg.nt"
+    nt.write_text(
+        f"<{E}org1> <{E}affiliates> <{E}auth1> .\n"
+        f"<{E}org1> <{E}affiliates> <{E}auth2> .\n"
+        f"<{E}auth1> <{E}writesBook> <{E}book1> .\n"
+        f'<{E}book1> <{E}price> "9"{xi} .\n'
+        f"<{E}auth2> <{E}writesBook> <{E}book2> .\n"
+        f'<{E}book2> <{E}price> "5"{xi} .\n'
+        f"<{E}org2> <{E}affiliates> <{E}auth3> .\n"
+        f"<{E}auth3> <{E}writesBook> <{E}book3> .\n"
+        f'<{E}book3> <{E}price> "7"{xi} .\n'
+    )
+    eng = Engine(spark).load_triples(str(nt), fmt="nt")
+    body = (
+        f"WHERE {{ ?org <{E}affiliates> ?auth . "
+        f"?auth <{E}writesBook> ?book . ?book <{E}price> ?lprice }} "
+        "GROUP BY ?org "
+    )
+    rows = eng.sparql(
+        "SELECT (SUM(?lprice) AS ?totalPrice) "
+        + body
+        + "HAVING (SUM(?lprice) > 10)",
+        decode=True,
+    ).collect()
+    assert [round(r["totalPrice"], 6) for r in rows] == [14.0]
+    rows = eng.sparql(
+        "SELECT ?org (AVG(?lprice) AS ?a) " + body + "ORDER BY ?org",
+        decode=True,
+    ).collect()
+    assert [(r["org"], round(r["a"], 6)) for r in rows] == [
+        (f"<{E}org1>", 7.0),
+        (f"<{E}org2>", 7.0),
+    ]
+
+
+def test_lexical_plain_order_by_value_semantics(spark, tmp_path):
+    """§15.1 value ordering (r11): plain ORDER BY ?v on a lexical store
+    sorts unbound < blank nodes < IRIs < literals (§15.1.1), numeric
+    literals by typed VALUE (2 before 10 — id order, a lexicographic
+    rank, would say otherwise), non-numerics by codepoint STR value.
+    DESC exactly reverses; DISTINCT composes; non-projected keys take
+    the pre-projection branch; LIMIT still plans TakeOrderedAndProject."""
+    E = "http://e/"
+    xi = "^^<http://www.w3.org/2001/XMLSchema#integer>"
+    nt = tmp_path / "o.nt"
+    nt.write_text(
+        f'<{E}s1> <{E}p> "10"{xi} .\n'
+        f'<{E}s2> <{E}p> "2"{xi} .\n'
+        f'<{E}s3> <{E}p> "banana" .\n'
+        f'<{E}s4> <{E}p> "apple" .\n'
+        f"<{E}s5> <{E}p> <{E}iri> .\n"
+        f"<{E}s6> <{E}p> _:bn .\n"
+        + "".join(f"<{E}s{i}> <{E}t> <{E}T> .\n" for i in range(1, 8))
+    )
+    eng = Engine(spark).load_triples(str(nt), fmt="nt")
+    value_order = [
+        None,  # unbound first (§15.1.1)
+        "_:bn",
+        f"<{E}iri>",
+        f'"2"{xi}',
+        f'"10"{xi}',
+        '"apple"',
+        '"banana"',
+    ]
+    got = [
+        r["v"]
+        for r in eng.sparql(
+            f"SELECT ?s ?v WHERE {{ ?s <{E}t> <{E}T> . "
+            f"OPTIONAL {{ ?s <{E}p> ?v }} }} ORDER BY ?v ?s",
+            decode=True,
+        ).collect()
+    ]
+    assert got == value_order
+    got_desc = [
+        r["v"]
+        for r in eng.sparql(
+            f"SELECT ?s ?v WHERE {{ ?s <{E}t> <{E}T> . "
+            f"OPTIONAL {{ ?s <{E}p> ?v }} }} ORDER BY DESC(?v) DESC(?s)",
+            decode=True,
+        ).collect()
+    ]
+    assert got_desc == value_order[::-1]
+    # DISTINCT composes (post-projection sort after dedup)
+    got = [
+        r["v"]
+        for r in eng.sparql(
+            f"SELECT DISTINCT ?v WHERE {{ ?s <{E}p> ?v }} ORDER BY ?v",
+            decode=True,
+        ).collect()
+    ]
+    assert got == value_order[1:]
+    # non-projected key: the pre-projection branch value-orders too
+    got = [
+        r["s"]
+        for r in eng.sparql(
+            f"SELECT ?s WHERE {{ ?s <{E}p> ?v }} ORDER BY ?v",
+            decode=True,
+        ).collect()
+    ]
+    assert got == [f"<{E}s{i}>" for i in (6, 5, 2, 1, 4, 3)]
+    # LIMIT keeps the no-global-sort plan
+    df = eng.sparql(
+        f"SELECT ?v WHERE {{ ?s <{E}p> ?v }} ORDER BY ?v LIMIT 3"
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_engine_save_open_round_trip_lexical(spark, tmp_path):
     """Session lifecycle for a raw-ingested engine: save the layout AND
     the built dictionary, reopen in a fresh Engine, SPARQL still answers

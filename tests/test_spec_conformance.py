@@ -1,0 +1,627 @@
+"""SPARQL 1.1 spec-example conformance suite (r11).
+
+A network-free stand-in for the W3C rdf-tests evaluation manifests:
+every case below is a hand-TRANSCRIBED normative example from the
+public SPARQL 1.1 Query Language recommendation (section numbers
+cited), as (Turtle data, query, expected solutions) triples. The
+runner ingests each distinct dataset once through the raw-RDF first
+mile (``fmt="ttl"`` → lexical store — the flagship ingest path), runs
+the query through the full Engine surface, and compares decoded
+solution multisets (order-sensitive only where the example orders).
+
+Engine deviations DOCUMENTED in SPARQL.md are asserted AS rejects
+(``expect="reject:<pattern>"``) so the tally records an honest
+pass/documented-reject split — a silent wrong answer fails the suite,
+a documented reject does not. The tally test at the bottom pins the
+split; SPARQL.md's conformance section mirrors it.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from rdfproject_msc_spark.engine import Engine
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+INT = f'^^<{XSD}integer>'
+FOAF = "http://xmlns.com/foaf/0.1/"
+DC = "http://purl.org/dc/elements/1.1/"
+
+PFX = {
+    "foaf": f"PREFIX foaf: <{FOAF}> ",
+    "dc": f"PREFIX dc: <{DC}> ",
+    "rdf": "PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> ",
+    "ex": "PREFIX : <http://example/> ",
+    "ns": "PREFIX ns: <http://example.org/ns#> ",
+    "book": "PREFIX book: <http://example.org/book/> ",
+}
+
+# ---------------------------------------------------------------------------
+# datasets (keys reused across cases; each ingests once per session)
+# ---------------------------------------------------------------------------
+
+DATA = {
+    "book1": (
+        "<http://example.org/book/book1> "
+        f'<{DC}title> "SPARQL Tutorial" .\n'
+    ),
+    "foaf2": (
+        f"@prefix foaf: <{FOAF}> .\n"
+        '_:a foaf:name "Johnny Lee Outlaw" .\n'
+        "_:a foaf:mbox <mailto:jlow@example.com> .\n"
+        '_:b foaf:name "Peter Goodguy" .\n'
+        "_:b foaf:mbox <mailto:peter@example.org> .\n"
+        "_:c foaf:mbox <mailto:carol@example.org> .\n"
+    ),
+    "literals": (
+        "@prefix ns: <http://example.org/ns#> .\n"
+        '_:x ns:p "cat"@en .\n'
+        "_:y ns:p 42 .\n"
+        '_:z ns:p "abc"^^<http://example.org/datatype#specialDatatype> .\n'
+    ),
+    "books": (
+        f"@prefix dc: <{DC}> .\n"
+        "@prefix book: <http://example.org/book/> .\n"
+        "@prefix ns: <http://example.org/ns#> .\n"
+        'book:book1 dc:title "SPARQL Tutorial" ;\n'
+        "           ns:price 42 ;\n"
+        "           ns:discount 0.2 .\n"
+        'book:book2 dc:title "The Semantic Web" ;\n'
+        "           ns:price 23 ;\n"
+        "           ns:discount 0.25 .\n"
+    ),
+    "optional": (
+        f"@prefix foaf: <{FOAF}> .\n"
+        "@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .\n"
+        "_:a rdf:type foaf:Person .\n"
+        '_:a foaf:name "Alice" .\n'
+        "_:a foaf:mbox <mailto:alice@example.com> .\n"
+        "_:a foaf:mbox <mailto:alice@work.example> .\n"
+        "_:b rdf:type foaf:Person .\n"
+        '_:b foaf:name "Bob" .\n'
+    ),
+    "union": (
+        "@prefix dc10: <http://purl.org/dc/elements/1.0/> .\n"
+        f"@prefix dc11: <{DC}> .\n"
+        '_:a dc10:title "SPARQL Query Language Tutorial" .\n'
+        '_:a dc10:creator "Alice" .\n'
+        '_:b dc11:title "SPARQL Protocol Tutorial" .\n'
+        '_:b dc11:creator "Bob" .\n'
+        '_:c dc10:title "SPARQL" .\n'
+        '_:c dc11:title "SPARQL (updated)" .\n'
+    ),
+    "notexists": (
+        "@prefix : <http://example/> .\n"
+        f"@prefix foaf: <{FOAF}> .\n"
+        "@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .\n"
+        ":alice rdf:type foaf:Person .\n"
+        ':alice foaf:name "Alice" .\n'
+        ":bob rdf:type foaf:Person .\n"
+    ),
+    "minus": (
+        "@prefix : <http://example/> .\n"
+        f"@prefix foaf: <{FOAF}> .\n"
+        ':alice foaf:givenName "Alice" ; foaf:familyName "Smith" .\n'
+        ':bob foaf:givenName "Bob" ; foaf:familyName "Jones" .\n'
+        ':carol foaf:givenName "Carol" ; foaf:familyName "Smith" .\n'
+    ),
+    "agg": (
+        "@prefix : <http://books.example/> .\n"
+        ":org1 :affiliates :auth1, :auth2 .\n"
+        ":auth1 :writesBook :book1 .\n"
+        ":book1 :price 9 .\n"
+        ":auth2 :writesBook :book2 .\n"
+        ":book2 :price 5 .\n"
+        ":org2 :affiliates :auth3 .\n"
+        ":auth3 :writesBook :book3 .\n"
+        ":book3 :price 7 .\n"
+    ),
+    "path": (
+        "@prefix : <http://example/> .\n"
+        ":a :knows :b .\n"
+        ":b :knows :c .\n"
+    ),
+    "subq": (
+        "@prefix : <http://people.example/> .\n"
+        ':alice :name "Alice", "Alice Foo", "A. Foo" .\n'
+        ":alice :knows :bob, :carol .\n"
+        ':bob :name "Bob", "Bob Bar", "B. Bar" .\n'
+        ':carol :name "Carol", "Carol Baz", "C. Baz" .\n'
+    ),
+    "collection": (
+        "@prefix : <http://example/> .\n"
+        ':menu :items ("soup" "fish" "cake") .\n'
+    ),
+}
+
+E = "http://example/"
+B = "http://books.example/"
+P = "http://people.example/"
+
+# ---------------------------------------------------------------------------
+# cases: (name, spec section, data key, query, expectation)
+# expectation: list of solution dicts (multiset compare; "ordered" for
+# order-sensitive), True/False for ASK, or "reject:<regex>" for the
+# engine's DOCUMENTED deviations (SPARQL.md)
+# ---------------------------------------------------------------------------
+
+CASES = [
+    dict(
+        name="simple-bgp",
+        section="2.1",
+        data="book1",
+        query=(
+            "SELECT ?title WHERE { <http://example.org/book/book1> "
+            f"<{DC}title> ?title . }}"
+        ),
+        expect=[{"title": '"SPARQL Tutorial"'}],
+    ),
+    dict(
+        name="two-pattern-join",
+        section="2.2",
+        data="foaf2",
+        query=(
+            PFX["foaf"]
+            + "SELECT ?name ?mbox WHERE { ?x foaf:name ?name . "
+            "?x foaf:mbox ?mbox }"
+        ),
+        expect=[
+            {
+                "name": '"Johnny Lee Outlaw"',
+                "mbox": "<mailto:jlow@example.com>",
+            },
+            {
+                "name": '"Peter Goodguy"',
+                "mbox": "<mailto:peter@example.org>",
+            },
+        ],
+    ),
+    dict(
+        # the spec's empty result for a missing plain literal is a
+        # DOCUMENTED deviation here: constants absent from the
+        # dictionary raise (typo-guard stance, SPARQL.md) instead of
+        # matching nothing
+        name="plain-literal-no-match",
+        section="2.3.1",
+        data="literals",
+        query=(PFX["ns"] + 'SELECT ?v WHERE { ?v ns:p "cat" }'),
+        expect="reject:not in dictionary",
+    ),
+    dict(
+        name="language-tagged-match",
+        section="2.3.1",
+        data="literals",
+        query=(PFX["ns"] + 'SELECT ?v WHERE { ?v ns:p "cat"@en }'),
+        expect=[{"v": "_:x"}],
+    ),
+    dict(
+        name="numeric-shorthand-match",
+        section="2.3.2",
+        data="literals",
+        query=(PFX["ns"] + "SELECT ?v WHERE { ?v ns:p 42 }"),
+        expect=[{"v": "_:y"}],
+    ),
+    dict(
+        name="typed-literal-match",
+        section="2.3.3",
+        data="literals",
+        query=(
+            PFX["ns"] + "SELECT ?v WHERE { ?v ns:p "
+            '"abc"^^<http://example.org/datatype#specialDatatype> }'
+        ),
+        expect=[{"v": "_:z"}],
+    ),
+    dict(
+        name="regex-anchored",
+        section="3.1",
+        data="books",
+        query=(
+            PFX["dc"] + "SELECT ?title WHERE { ?x dc:title ?title . "
+            'FILTER regex(?title, "^SPARQL") }'
+        ),
+        expect=[{"title": '"SPARQL Tutorial"'}],
+    ),
+    dict(
+        name="regex-case-insensitive",
+        section="3.1",
+        data="books",
+        query=(
+            PFX["dc"] + "SELECT ?title WHERE { ?x dc:title ?title . "
+            'FILTER regex(?title, "web", "i") }'
+        ),
+        expect=[{"title": '"The Semantic Web"'}],
+    ),
+    dict(
+        name="numeric-filter",
+        section="3.2",
+        data="books",
+        query=(
+            PFX["dc"] + PFX["ns"]
+            + "SELECT ?title ?price WHERE { ?x ns:price ?price . "
+            "FILTER(?price < 30.5) ?x dc:title ?title . }"
+        ),
+        expect=[{"title": '"The Semantic Web"', "price": f'"23"{INT}'}],
+    ),
+    dict(
+        name="optional",
+        section="6.1",
+        data="optional",
+        query=(
+            PFX["foaf"]
+            + "SELECT ?name ?mbox WHERE { ?x foaf:name ?name . "
+            "OPTIONAL { ?x foaf:mbox ?mbox } }"
+        ),
+        expect=[
+            {"name": '"Alice"', "mbox": "<mailto:alice@example.com>"},
+            {"name": '"Alice"', "mbox": "<mailto:alice@work.example>"},
+            {"name": '"Bob"', "mbox": None},
+        ],
+    ),
+    dict(
+        name="optional-with-filter",
+        section="6.2",
+        data="books",
+        query=(
+            PFX["dc"] + PFX["ns"]
+            + "SELECT ?title ?price WHERE { ?x dc:title ?title . "
+            "OPTIONAL { ?x ns:price ?price . FILTER(?price < 30) } }"
+        ),
+        expect=[
+            {"title": '"SPARQL Tutorial"', "price": None},
+            {"title": '"The Semantic Web"', "price": f'"23"{INT}'},
+        ],
+    ),
+    dict(
+        name="union",
+        section="7",
+        data="union",
+        query=(
+            "PREFIX dc10: <http://purl.org/dc/elements/1.0/> "
+            f"PREFIX dc11: <{DC}> "
+            "SELECT ?title WHERE { { ?book dc10:title ?title } "
+            "UNION { ?book dc11:title ?title } }"
+        ),
+        expect=[
+            {"title": '"SPARQL Query Language Tutorial"'},
+            {"title": '"SPARQL Protocol Tutorial"'},
+            {"title": '"SPARQL"'},
+            {"title": '"SPARQL (updated)"'},
+        ],
+    ),
+    dict(
+        name="filter-not-exists",
+        section="8.1.1",
+        data="notexists",
+        query=(
+            PFX["rdf"] + PFX["foaf"]
+            + "SELECT ?person WHERE { ?person rdf:type foaf:Person . "
+            "FILTER NOT EXISTS { ?person foaf:name ?name } }"
+        ),
+        expect=[{"person": f"<{E}bob>"}],
+    ),
+    dict(
+        name="filter-exists",
+        section="8.1.2",
+        data="notexists",
+        query=(
+            PFX["rdf"] + PFX["foaf"]
+            + "SELECT ?person WHERE { ?person rdf:type foaf:Person . "
+            "FILTER EXISTS { ?person foaf:name ?name } }"
+        ),
+        expect=[{"person": f"<{E}alice>"}],
+    ),
+    dict(
+        name="minus",
+        section="8.3",
+        data="minus",
+        query=(
+            PFX["foaf"]
+            + "SELECT DISTINCT ?s WHERE { ?s ?p ?o . "
+            'MINUS { ?s foaf:givenName "Bob" . } }'
+        ),
+        expect=[{"s": f"<{E}alice>"}, {"s": f"<{E}carol>"}],
+    ),
+    dict(
+        name="bind-expression",
+        section="10.1",
+        data="books",
+        query=(
+            PFX["dc"] + PFX["ns"]
+            + "SELECT ?title ?price WHERE { ?x ns:price ?p . "
+            "?x ns:discount ?discount . "
+            "BIND(?p - ?p * ?discount AS ?price) "
+            "?x dc:title ?title . }"
+        ),
+        expect=[
+            {"title": '"SPARQL Tutorial"', "price": 33.6},
+            {"title": '"The Semantic Web"', "price": 17.25},
+        ],
+    ),
+    dict(
+        name="values-inline-data",
+        section="10.2",
+        data="books",
+        query=(
+            PFX["dc"]
+            + "SELECT ?book ?title WHERE { "
+            'VALUES ?title { "SPARQL Tutorial" } '
+            "?book dc:title ?title . }"
+        ),
+        expect=[
+            {
+                "book": "<http://example.org/book/book1>",
+                "title": '"SPARQL Tutorial"',
+            }
+        ],
+    ),
+    dict(
+        name="group-sum-having",
+        section="11.1",
+        data="agg",
+        query=(
+            f"PREFIX : <{B}> "
+            "SELECT (SUM(?lprice) AS ?totalPrice) WHERE { "
+            "?org :affiliates ?auth . ?auth :writesBook ?book . "
+            "?book :price ?lprice . } GROUP BY ?org "
+            "HAVING (SUM(?lprice) > 10)"
+        ),
+        # org1 sums 9 + 5 = 14 > 10; org2's 7 fails HAVING
+        expect=[{"totalPrice": 14.0}],
+    ),
+    dict(
+        name="count-groups",
+        section="11",
+        data="agg",
+        query=(
+            f"PREFIX : <{B}> "
+            "SELECT ?org (COUNT(?auth) AS ?n) WHERE { "
+            "?org :affiliates ?auth } GROUP BY ?org ORDER BY ?org"
+        ),
+        expect=[
+            {"org": f"<{B}org1>", "n": 2},
+            {"org": f"<{B}org2>", "n": 1},
+        ],
+        ordered=True,
+    ),
+    dict(
+        name="subquery-min-per-key",
+        section="12",
+        data="subq",
+        # transcription note: the spec's example projects MIN(?name);
+        # MIN(STR(?name)) here so the aggregated value is the STRING
+        # value (a bare MIN over a variable aggregates in term order
+        # and returns an undecoded id — SPARQL.md)
+        query=(
+            f"PREFIX : <{P}> "
+            "SELECT ?y ?minName WHERE { :alice :knows ?y . "
+            "{ SELECT ?y (MIN(STR(?name)) AS ?minName) "
+            "WHERE { ?y :name ?name } GROUP BY ?y } }"
+        ),
+        expect=[
+            {"y": f"<{P}bob>", "minName": "B. Bar"},
+            {"y": f"<{P}carol>", "minName": "C. Baz"},
+        ],
+    ),
+    dict(
+        name="path-one-or-more",
+        section="9.2",
+        data="path",
+        query=(
+            PFX["ex"] + "SELECT ?x WHERE { :a :knows+ ?x }"
+        ),
+        expect=[{"x": f"<{E}b>"}, {"x": f"<{E}c>"}],
+    ),
+    dict(
+        name="path-sequence",
+        section="9.2",
+        data="path",
+        query=(PFX["ex"] + "SELECT ?x WHERE { :a :knows/:knows ?x }"),
+        expect=[{"x": f"<{E}c>"}],
+    ),
+    dict(
+        name="path-inverse",
+        section="9.2",
+        data="path",
+        query=(PFX["ex"] + "SELECT ?x WHERE { :b ^:knows ?x }"),
+        expect=[{"x": f"<{E}a>"}],
+    ),
+    dict(
+        name="path-alternative",
+        section="9.2",
+        data="union",
+        query=(
+            "PREFIX dc10: <http://purl.org/dc/elements/1.0/> "
+            f"PREFIX dc11: <{DC}> "
+            "SELECT ?title WHERE { ?book dc10:title|dc11:title ?title }"
+        ),
+        expect=[
+            {"title": '"SPARQL Query Language Tutorial"'},
+            {"title": '"SPARQL Protocol Tutorial"'},
+            {"title": '"SPARQL"'},
+            {"title": '"SPARQL (updated)"'},
+        ],
+    ),
+    dict(
+        name="collection-members",
+        section="9.2 + Turtle 2.8",
+        data="collection",
+        query=(
+            PFX["ex"] + PFX["rdf"]
+            + "SELECT ?item WHERE { :menu :items ?l . "
+            "?l rdf:rest* ?cell . ?cell rdf:first ?item }"
+        ),
+        expect=[{"item": '"soup"'}, {"item": '"fish"'}, {"item": '"cake"'}],
+    ),
+    dict(
+        name="order-by-limit",
+        section="15.1+15.5",
+        data="foaf2",
+        query=(
+            PFX["foaf"]
+            + "SELECT ?name WHERE { ?x foaf:name ?name } "
+            "ORDER BY ?name LIMIT 1"
+        ),
+        expect=[{"name": '"Johnny Lee Outlaw"'}],
+        ordered=True,
+    ),
+    dict(
+        name="distinct",
+        section="15.3",
+        data="minus",
+        query=(
+            PFX["foaf"]
+            + "SELECT DISTINCT ?f WHERE { ?s foaf:familyName ?f } "
+            "ORDER BY ?f"
+        ),
+        expect=[{"f": '"Jones"'}, {"f": '"Smith"'}],
+        ordered=True,
+    ),
+    dict(
+        name="ask-true",
+        section="16.3",
+        data="foaf2",
+        query=(
+            PFX["foaf"] + 'ASK { ?x foaf:name "Johnny Lee Outlaw" }'
+        ),
+        expect=True,
+    ),
+    dict(
+        # ASK over an absent constant: the dictionary typo-guard raises
+        # where the spec answers false — documented deviation
+        name="ask-false-absent-term",
+        section="16.3",
+        data="foaf2",
+        query=(PFX["foaf"] + 'ASK { ?x foaf:name "Walter Nobody" }'),
+        expect="reject:not in dictionary",
+    ),
+    dict(
+        name="construct",
+        section="16.2",
+        data="foaf2",
+        query=(
+            PFX["foaf"]
+            + "PREFIX vcard: <http://www.w3.org/2001/vcard-rdf/3.0#> "
+            "CONSTRUCT { ?x vcard:FN ?name } "
+            "WHERE { ?x foaf:name ?name }"
+        ),
+        expect=[
+            {
+                "s": "_:a",
+                "p": "<http://www.w3.org/2001/vcard-rdf/3.0#FN>",
+                "o": '"Johnny Lee Outlaw"',
+            },
+            {
+                "s": "_:b",
+                "p": "<http://www.w3.org/2001/vcard-rdf/3.0#FN>",
+                "o": '"Peter Goodguy"',
+            },
+        ],
+    ),
+    dict(
+        # SERVICE is federation (SPARQL 1.1 Federated Query) — out of
+        # scope for a single-store engine, documented reject
+        name="service-reject",
+        section="Federated Query",
+        data="book1",
+        query=(
+            "SELECT ?x WHERE { SERVICE <http://remote.example/sparql> "
+            "{ ?x ?p ?o } }"
+        ),
+        expect="reject:.",
+    ),
+    dict(
+        # NOW()/UUID() are non-deterministic — documented oracle-less
+        # reject (SPARQL.md)
+        name="now-reject",
+        section="17.4.5",
+        data="book1",
+        query="SELECT (NOW() AS ?t) WHERE { ?s ?p ?o }",
+        expect="reject:.",
+    ),
+]
+
+_IDS = [c["name"] for c in CASES]
+
+
+@pytest.fixture(scope="module")
+def engines(spark, tmp_path_factory):
+    """One lexical-store Engine per distinct dataset, ingested once."""
+    built = {}
+    for key, text in DATA.items():
+        p = tmp_path_factory.mktemp(f"spec_{key}") / "data.ttl"
+        p.write_text(text)
+        built[key] = Engine(spark).load_triples(str(p), fmt="ttl")
+    return built
+
+
+def _rows_to_sets(rows, variables):
+    return sorted(
+        tuple((v, row[v]) for v in variables) for row in rows
+    )
+
+
+def _canon_bnodes(solutions):
+    """Replace blank-node labels by first-appearance ordinals so the
+    engine's deterministic-but-private labels compare against the
+    spec's _:a/_:b labels up to renaming (solution-multiset
+    isomorphism — exact for the distinct-row shapes used here)."""
+    mapping: dict[str, str] = {}
+    out = []
+    for sol in solutions:
+        new = []
+        for v, t in sol:
+            if isinstance(t, str) and t.startswith("_:"):
+                t = mapping.setdefault(t, f"_:c{len(mapping)}")
+            new.append((v, t))
+        out.append(tuple(new))
+    return out
+
+
+def _normalize(val):
+    if isinstance(val, float):
+        return round(val, 6)
+    return val
+
+
+@pytest.mark.parametrize("case", CASES, ids=_IDS)
+def test_spec_example(engines, case):
+    eng = engines[case["data"]]
+    expect = case["expect"]
+    if isinstance(expect, str) and expect.startswith("reject:"):
+        with pytest.raises(Exception, match=expect[len("reject:"):]):
+            eng.sparql(case["query"], decode=True).collect()
+        return
+    df = eng.sparql(case["query"], decode=True)
+    rows = [r.asDict() for r in df.collect()]
+    if expect is True or expect is False:
+        assert [r["ask"] for r in rows] == [expect]
+        return
+    variables = sorted(expect[0].keys())
+    got = [
+        tuple((v, _normalize(r[v])) for v in variables) for r in rows
+    ]
+    want = [
+        tuple((v, _normalize(sol[v])) for v in variables)
+        for sol in expect
+    ]
+    if not case.get("ordered"):
+        got = sorted(got, key=repr)
+        want = sorted(want, key=repr)
+    assert _canon_bnodes(got) == _canon_bnodes(want)
+
+
+def test_conformance_tally():
+    """The pass/documented-reject split the suite encodes — SPARQL.md's
+    conformance section mirrors these numbers."""
+    rejects = [
+        c["name"]
+        for c in CASES
+        if isinstance(c["expect"], str) and c["expect"].startswith("reject")
+    ]
+    assert len(CASES) == 32
+    assert sorted(rejects) == [
+        "ask-false-absent-term",
+        "now-reject",
+        "plain-literal-no-match",
+        "service-reject",
+    ]

@@ -207,6 +207,35 @@ def main(argv: list[str] | None = None) -> int:
     )
     _add_common(p_sparql)
 
+    p_srv = sub.add_parser(
+        "serve",
+        help="HTTP SPARQL endpoint over a persisted store (SPARQL 1.1 "
+        "Protocol query operation; JSON/XML/CSV/TSV via Accept)",
+    )
+    p_srv.add_argument("--store", required=True)
+    p_srv.add_argument(
+        "--layout", choices=("single", "sign_split"), default="sign_split"
+    )
+    p_srv.add_argument("--dict", dest="dict_path", required=True)
+    p_srv.add_argument(
+        "--dict-format", choices=("tsv", "parquet"), default="parquet"
+    )
+    p_srv.add_argument(
+        "--term-style", choices=("localized", "lexical"), default=None
+    )
+    p_srv.add_argument("--quads", default=None)
+    p_srv.add_argument("--host", default="127.0.0.1")
+    p_srv.add_argument("--port", type=int, default=8898)
+    p_srv.add_argument(
+        "--json-limit", type=int, default=10000,
+        help="row cap for the one-document response formats",
+    )
+    p_srv.add_argument(
+        "--max-requests", type=int, default=None,
+        help="serve N requests then exit (integration tests)",
+    )
+    _add_common(p_srv)
+
     p_run = sub.add_parser("run", help="run a registry query by name")
     p_run.add_argument("--name", required=True)
     p_run.add_argument("--sf-dir", required=True)
@@ -666,7 +695,7 @@ def main(argv: list[str] | None = None) -> int:
         print(f"materialized: {n0} -> {n1} triples ({args.out})")
         return 0
 
-    if args.command == "sparql":
+    if args.command in ("sparql", "serve"):
         spark = _spark(args.cpus)
         eng = Engine(spark).open(args.store, layout=args.layout)
         if args.quads:
@@ -688,6 +717,17 @@ def main(argv: list[str] | None = None) -> int:
                 )
         if args.term_style:
             eng.term_style = args.term_style
+        if args.command == "serve":
+            from rdfproject_msc_spark.serve import serve
+
+            serve(
+                eng,
+                host=args.host,
+                port=args.port,
+                json_limit=args.json_limit,
+                max_requests=args.max_requests,
+            )
+            return 0
         decode = args.decode
         if args.results and not decode:
             # a W3C results document of raw dictionary ids is never a

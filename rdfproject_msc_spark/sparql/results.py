@@ -74,11 +74,11 @@ def _term_kind(term: str) -> dict:
     return {"type": "literal", "value": term}
 
 
-def write_results_csv(df: DataFrame, path: str) -> None:
-    """SPARQL 1.1 results CSV (distributed text write): header = the
-    projection variables, cells = plain string forms, unbound = empty.
-    The engine-side transform is pure column expressions, so the write
-    scales like any text sink."""
+def _csv_plain_cols(df: DataFrame) -> list:
+    """The results-CSV plain-string transform as pure column
+    expressions (shared by the distributed sink and the endpoint's
+    bounded document form): strip IRI brackets, unquote + N-Triples-
+    unescape literal bodies, unbound → empty."""
     # the ONE column-level N-Triples unescape (sentinel-parked escaped
     # backslashes, ECHARs, \\uXXXX/\\UXXXXXXXX) — shared with the
     # planner's STR-value derivation so a literal renders identically
@@ -98,8 +98,16 @@ def write_results_csv(df: DataFrame, path: str) -> None:
             ).otherwise(v)
         )
         cols.append(F.coalesce(unescaped, F.lit("")).alias(c))
+    return cols
+
+
+def write_results_csv(df: DataFrame, path: str) -> None:
+    """SPARQL 1.1 results CSV (distributed text write): header = the
+    projection variables, cells = plain string forms, unbound = empty.
+    The engine-side transform is pure column expressions, so the write
+    scales like any text sink."""
     (
-        df.select(*cols)
+        df.select(*_csv_plain_cols(df))
         .write.mode("overwrite")
         .option("header", True)
         # RFC 4180 quote-doubling (the results-CSV spec), not Spark's
@@ -107,6 +115,55 @@ def write_results_csv(df: DataFrame, path: str) -> None:
         .option("escape", '"')
         .csv(path)
     )
+
+
+def results_csv(df: DataFrame, limit: int, dictionary=None) -> str:
+    """Bounded ONE-document form of the CSV sink (the endpoint's
+    negotiated ``text/csv``): the same plain string forms, RFC 4180
+    quoting, CRLF line ends; raises past ``limit`` rows exactly like
+    ``results_json`` — data-sized exports belong to the distributed
+    sink."""
+    import csv
+    import io
+
+    if dictionary is not None:
+        df = dictionary.decode(df)
+    rows = df.select(*_csv_plain_cols(df)).limit(limit + 1).collect()
+    if len(rows) > limit:
+        raise ValueError(
+            f"result exceeds limit={limit} rows — the one-document CSV "
+            "form is driver-sized; use write_results_csv for data-sized "
+            "results"
+        )
+    buf = io.StringIO()
+    w = csv.writer(buf, lineterminator="\r\n")
+    w.writerow(df.columns)
+    for r in rows:
+        w.writerow([r[c] for c in df.columns])
+    return buf.getvalue()
+
+
+def results_tsv(df: DataFrame, limit: int, dictionary=None) -> str:
+    """Bounded ONE-document form of the TSV sink: '?var' header, cells
+    = N-Triples-encoded terms verbatim (tabs/newlines are escaped IN
+    the encoding, so raw separators never occur), unbound = empty;
+    same ``limit`` guard as ``results_json``."""
+    if dictionary is not None:
+        df = dictionary.decode(df)
+    rows = df.limit(limit + 1).collect()
+    if len(rows) > limit:
+        raise ValueError(
+            f"result exceeds limit={limit} rows — the one-document TSV "
+            "form is driver-sized; use write_results_tsv for data-sized "
+            "results"
+        )
+    cols = list(df.columns)
+    lines = ["\t".join(f"?{c}" for c in cols)]
+    for r in rows:
+        lines.append(
+            "\t".join("" if r[c] is None else str(r[c]) for c in cols)
+        )
+    return "\n".join(lines) + "\n"
 
 
 def write_results_tsv(df: DataFrame, path: str) -> None:

@@ -238,6 +238,24 @@ def near_pairs_stream(
     time order (``stage_events_dir_by_time``) — rows later than the
     watermark horizon behind max-seen ts are dropped as late, exactly as
     they would be in production."""
+    left, right = _near_pair_sides(events, key, watermark)
+    d = int(max_delta_s)
+    cond = F.expr(
+        f"k = k2 AND ts2 > ts1 AND ts2 <= ts1 + make_interval(0,0,0,0,0,0,{d})"
+    )
+    return left.join(right, cond).drop("k2")
+
+
+def _near_pair_sides(
+    events: DataFrame, key: str, watermark: str
+) -> tuple[DataFrame, DataFrame]:
+    """The watermarked left/right projections shared by the inner and
+    left-outer interval self-joins — one construction path, so a schema
+    tweak (say, a second key column) lands once. The JOIN CONDITIONS
+    stay explicit at each call site: the interval-literal forms differ
+    for a measured StreamingJoinHelper solver reason (see each
+    docstring), which is exactly the kind of difference a shared helper
+    must not hide."""
     left = events.withWatermark("ts", watermark).select(
         F.col(key).alias("k"),
         F.col("event_id").alias("id1"),
@@ -248,11 +266,7 @@ def near_pairs_stream(
         F.col("event_id").alias("id2"),
         F.col("ts").alias("ts2"),
     )
-    d = int(max_delta_s)
-    cond = F.expr(
-        f"k = k2 AND ts2 > ts1 AND ts2 <= ts1 + make_interval(0,0,0,0,0,0,{d})"
-    )
-    return left.join(right, cond).drop("k2")
+    return left, right
 
 
 def near_pairs_stream_outer(
@@ -286,16 +300,7 @@ def near_pairs_stream_outer(
     arithmetic but NOT the ``make_interval(...)`` CalendarInterval form
     the inner join uses (measured — AnalysisException at start). Hence
     the literal form here."""
-    left = events.withWatermark("ts", watermark).select(
-        F.col(key).alias("k"),
-        F.col("event_id").alias("id1"),
-        F.col("ts").alias("ts1"),
-    )
-    right = events.withWatermark("ts", watermark).select(
-        F.col(key).alias("k2"),
-        F.col("event_id").alias("id2"),
-        F.col("ts").alias("ts2"),
-    )
+    left, right = _near_pair_sides(events, key, watermark)
     d = int(max_delta_s)
     cond = F.expr(
         f"k = k2 AND ts2 > ts1 AND ts2 <= ts1 + interval {d} seconds"

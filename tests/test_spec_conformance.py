@@ -132,6 +132,7 @@ DATA = {
         "@prefix : <http://example/> .\n"
         ':menu :items ("soup" "fish" "cake") .\n'
     ),
+    "abc": "@prefix : <http://example/> .\n:a :b :c .\n",
 }
 
 E = "http://example/"
@@ -518,6 +519,27 @@ CASES = [
         ],
     ),
     dict(
+        # the spec's §8.3 NOT-EXISTS-vs-MINUS contrast over { :a :b :c }:
+        # the spec answers 0 rows (every solution drops) — the engine's
+        # DOCUMENTED typo guard rejects a fully variable-disjoint EXISTS
+        # group instead of evaluating it
+        name="notexists-disjoint-contrast",
+        section="8.3",
+        data="abc",
+        query="SELECT * WHERE { ?s ?p ?o FILTER NOT EXISTS { ?x ?y ?z } }",
+        expect="reject:shares no variable",
+    ),
+    dict(
+        # the MINUS half of the same contrast: the spec keeps the row
+        # (disjoint domains remove nothing) — same documented typo-guard
+        # reject (silently keeping everything would hide a typo'd var)
+        name="minus-disjoint-contrast",
+        section="8.3",
+        data="abc",
+        query="SELECT * WHERE { ?s ?p ?o MINUS { ?x ?y ?z } }",
+        expect="reject:shares no variable",
+    ),
+    dict(
         # SERVICE is federation (SPARQL 1.1 Federated Query) — out of
         # scope for a single-store engine, documented reject
         name="service-reject",
@@ -618,9 +640,11 @@ def test_conformance_tally():
         for c in CASES
         if isinstance(c["expect"], str) and c["expect"].startswith("reject")
     ]
-    assert len(CASES) == 32
+    assert len(CASES) == 34
     assert sorted(rejects) == [
         "ask-false-absent-term",
+        "minus-disjoint-contrast",
+        "notexists-disjoint-contrast",
         "now-reject",
         "plain-literal-no-match",
         "service-reject",

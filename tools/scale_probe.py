@@ -54,6 +54,9 @@ FAMILY = [
     # lexical value semantics (r10): dictionary-side STR derivation +
     # typed numeric values over a raw-ingested store
     "sparql_lexical_str",
+    # §15.1 value ordering + cmp value routing (r11): per-key term
+    # attach + TakeOrderedAndProject over a raw-ingested store
+    "sparql_value_order",
     # text/retrieval family (r6): BM25's two-full-scan zero-shuffle
     # design, decontamination's broadcast n-grams + one corpus shuffle,
     # and the 4-stage curation composition — the shapes whose scale

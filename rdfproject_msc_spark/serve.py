@@ -21,6 +21,7 @@ the distributed CSV/TSV sinks.
 
 from __future__ import annotations
 
+import re
 from http.server import BaseHTTPRequestHandler, HTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -37,6 +38,7 @@ _CTYPE = {
     "xml": "application/sparql-results+xml",
     "csv": "text/csv; charset=utf-8",
     "tsv": "text/tab-separated-values; charset=utf-8",
+    "nt": "application/n-triples; charset=utf-8",
 }
 
 
@@ -55,6 +57,21 @@ def _run_query(engine, query: str, fmt: str, limit: int) -> tuple[str, str]:
     from rdfproject_msc_spark.sparql import results as RES
 
     df = engine.sparql(query, decode=engine.dictionary is not None)
+    head = query[: query.find("{")] if "{" in query else query
+    if re.search(r"\bCONSTRUCT\b", head, re.I):
+        # a CONSTRUCT answers an RDF GRAPH, not a results document —
+        # serialize the decoded triples as N-Triples (server-chosen
+        # format; the engine's canonical term text IS the NT form),
+        # under the same one-document row cap
+        rows = df.limit(limit + 1).collect()
+        if len(rows) > limit:
+            raise ValueError(
+                f"result exceeds limit={limit} rows — CONSTRUCT over "
+                "HTTP is one document; use the engine's distributed "
+                "sinks for data-sized graphs"
+            )
+        body = "".join(f"{r['s']} {r['p']} {r['o']} .\n" for r in rows)
+        return body, "nt"
     if df.columns == ["ask"]:
         ans = bool(df.collect()[0]["ask"])
         if fmt == "xml":

@@ -943,7 +943,7 @@ def _compile_arith(
             *[_compile_arith(a, colmap, termmap) for a in node[1]]
         )
     if kind == "if":
-        cond = _compile_if_cond(node[1], colmap)
+        cond = _compile_if_cond(node[1], colmap, termmap)
         # §17.4.1.2: an ERROR condition errors the whole IF — two guarded
         # when-branches and NO otherwise, so a NULL condition yields NULL
         # rather than silently taking the else branch
@@ -969,16 +969,23 @@ def _compile_arith(
     return a * b
 
 
-def _compile_if_cond(node, colmap: dict[str, str]) -> Column:
+def _compile_if_cond(
+    node, colmap: dict[str, str], termmap: dict[str, str] | None = None
+) -> Column:
     """IF-condition AST → boolean Column. BOUND never errors (§17.4.1.1);
     a comparison with a NULL side is NULL (3VL), which the IF compiler
-    above propagates as an expression error."""
+    above propagates as an expression error. ``termmap`` threads the
+    lexical-store value routing through condition comparisons (r11 —
+    the same _term_numeric semantics as the enclosing arithmetic)."""
     if node[0] == "bound":
         return F.col(colmap[node[1]]).isNotNull()
     if node[0] == "not":
-        return ~_compile_if_cond(node[1], colmap)
+        return ~_compile_if_cond(node[1], colmap, termmap)
     _, op, l, r = node
-    a, b = _compile_arith(l, colmap), _compile_arith(r, colmap)
+    a, b = (
+        _compile_arith(l, colmap, termmap),
+        _compile_arith(r, colmap, termmap),
+    )
     return {
         "=": a == b,
         "!=": a != b,

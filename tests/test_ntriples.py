@@ -783,6 +783,21 @@ def test_lexical_bind_arithmetic_value_semantics(spark, tmp_path):
         ).collect()
     )
     assert got == ['"23"' + xi, '"42"' + xi, '"strange"']
+    # IF conditions route values too; a non-numeric operand errors the
+    # whole IF (guarded when, no otherwise) -> unbound target
+    got = sorted(
+        (r["title"], None if r["y"] is None else round(r["y"], 6))
+        for r in eng.sparql(
+            f"SELECT ?title ?y WHERE {{ ?x <{E}price> ?p . "
+            f"BIND(IF(?p > 30, ?p * 2, 0) AS ?y) ?x <{E}title> ?title }}",
+            decode=True,
+        ).collect()
+    )
+    assert got == [
+        ('"Oddity"', None),
+        ('"SPARQL Tutorial"', 84.0),
+        ('"The Semantic Web"', 0),
+    ]
 
 
 def test_construct_fresh_bnodes_per_solution(spark, tmp_path):

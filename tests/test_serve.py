@@ -98,6 +98,16 @@ def test_endpoint_formats_and_protocol(endpoint):
     with urllib.request.urlopen(req, timeout=60) as r:
         assert json.load(r)["boolean"] is True
 
+    # CONSTRUCT answers an RDF graph as N-Triples, not a results doc
+    cq = (
+        f"CONSTRUCT {{ ?o <{EX}knownBy> ?s }} "
+        f"WHERE {{ ?s <{EX}knows> ?o }}"
+    )
+    ctype, body = _get(endpoint + "?query=" + urllib.parse.quote(cq))
+    assert ctype.startswith("application/n-triples")
+    assert f"<{EX}b> <{EX}knownBy> <{EX}a> .\n" in body
+    assert len(body.splitlines()) == 2
+
     # MalformedQuery -> 400
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(

@@ -133,6 +133,29 @@ DATA = {
         ':menu :items ("soup" "fish" "cake") .\n'
     ),
     "abc": "@prefix : <http://example/> .\n:a :b :c .\n",
+    "langs": (
+        f"@prefix dc: <{DC}> .\n"
+        "@prefix : <http://example/> .\n"
+        ':a dc:title "That Seventy\'s Show"@en .\n'
+        ':a dc:title "Cette S\u00e9rie des Ann\u00e9es Soixante-dix"@fr .\n'
+        ':a dc:title "Cette S\u00e9rie des Ann\u00e9es Septante"@fr-BE .\n'
+    ),
+    "mbox_kinds": (
+        f"@prefix foaf: <{FOAF}> .\n"
+        "@prefix : <http://example/> .\n"
+        ':alice foaf:name "Alice" .\n'
+        ":alice foaf:mbox <mailto:alice@work.example> .\n"
+        ':bob foaf:name "Bob" .\n'
+        ':bob foaf:mbox "bob@work.example" .\n'
+    ),
+    "dob": (
+        f"@prefix foaf: <{FOAF}> .\n"
+        "@prefix dc: <http://purl.org/dc/elements/1.1/> .\n"
+        "@prefix : <http://example/> .\n"
+        ':alice foaf:givenName "Alice" .\n'
+        ':bob foaf:givenName "Bob" .\n'
+        ':bob dc:date "2005-04-04T04:04:04Z"^^<http://www.w3.org/2001/XMLSchema#dateTime> .\n'
+    ),
 }
 
 E = "http://example/"
@@ -519,6 +542,92 @@ CASES = [
         ],
     ),
     dict(
+        name="union-complementary-vars",
+        section="7 (second UNION example)",
+        data="union",
+        query=(
+            "PREFIX dc10: <http://purl.org/dc/elements/1.0/> "
+            f"PREFIX dc11: <{DC}> "
+            "SELECT ?x ?y WHERE { { ?book dc10:title ?x } "
+            "UNION { ?book dc11:title ?y } }"
+        ),
+        expect=[
+            {"x": '"SPARQL Query Language Tutorial"', "y": None},
+            {"x": '"SPARQL"', "y": None},
+            {"x": None, "y": '"SPARQL Protocol Tutorial"'},
+            {"x": None, "y": '"SPARQL (updated)"'},
+        ],
+    ),
+    dict(
+        # the VERBATIM §10.1 form, parentheses included
+        name="bind-expression-parens",
+        section="10.1",
+        data="books",
+        query=(
+            PFX["dc"] + PFX["ns"]
+            + "SELECT ?title ?price WHERE { ?x ns:price ?p . "
+            "?x ns:discount ?discount . "
+            "BIND(?p*(1-?discount) AS ?price) "
+            "?x dc:title ?title . }"
+        ),
+        expect=[
+            {"title": '"SPARQL Tutorial"', "price": 33.6},
+            {"title": '"The Semantic Web"', "price": 17.25},
+        ],
+    ),
+    dict(
+        name="langmatches-fr",
+        section="17.4.3.2",
+        data="langs",
+        query=(
+            PFX["dc"] + "SELECT ?title WHERE { ?x dc:title ?title . "
+            'FILTER langMatches(lang(?title), "FR") }'
+        ),
+        expect=[
+            {"title": '"Cette S\u00e9rie des Ann\u00e9es Soixante-dix"@fr'},
+            {"title": '"Cette S\u00e9rie des Ann\u00e9es Septante"@fr-BE'},
+        ],
+    ),
+    dict(
+        # "*" matches any tagged literal, never an untagged one
+        name="langmatches-star",
+        section="17.4.3.2",
+        data="langs",
+        query=(
+            PFX["dc"] + "SELECT ?title WHERE { ?x dc:title ?title . "
+            'FILTER langMatches(lang(?title), "*") }'
+        ),
+        expect=[
+            {"title": '"That Seventy\'s Show"@en'},
+            {"title": '"Cette S\u00e9rie des Ann\u00e9es Soixante-dix"@fr'},
+            {"title": '"Cette S\u00e9rie des Ann\u00e9es Septante"@fr-BE'},
+        ],
+    ),
+    dict(
+        name="isiri-mbox",
+        section="17.4.2.1",
+        data="mbox_kinds",
+        query=(
+            PFX["foaf"]
+            + "SELECT ?name ?mbox WHERE { ?x foaf:name ?name . "
+            "?x foaf:mbox ?mbox . FILTER isIRI(?mbox) }"
+        ),
+        expect=[
+            {"name": '"Alice"', "mbox": "<mailto:alice@work.example>"},
+        ],
+    ),
+    dict(
+        name="not-bound",
+        section="17.4.1.1",
+        data="dob",
+        query=(
+            PFX["foaf"] + PFX["dc"]
+            + "SELECT ?givenName WHERE { ?x foaf:givenName ?givenName . "
+            "OPTIONAL { ?x dc:date ?date } FILTER (!bound(?date)) }"
+        ),
+        expect=[{"givenName": '"Alice"'}],
+    ),
+    dict(
         # the spec's §8.3 NOT-EXISTS-vs-MINUS contrast over { :a :b :c }:
         # the spec answers 0 rows (every solution drops) — the engine's
         # DOCUMENTED typo guard rejects a fully variable-disjoint EXISTS
@@ -640,7 +749,7 @@ def test_conformance_tally():
         for c in CASES
         if isinstance(c["expect"], str) and c["expect"].startswith("reject")
     ]
-    assert len(CASES) == 34
+    assert len(CASES) == 40
     assert sorted(rejects) == [
         "ask-false-absent-term",
         "minus-disjoint-contrast",

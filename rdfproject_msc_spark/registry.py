@@ -392,8 +392,21 @@ def rdf_update_lifecycle(spark, sf_dir):
         ":nation_1 :inContinent :continent_1 } ; "
         "DELETE WHERE { ?n :hasLabel ?l } ; "
         "DELETE { ?c :inNation ?n } INSERT { ?c :locatedIn ?n } "
-        "WHERE { ?c :inNation ?n }"
+        "WHERE { ?c :inNation ?n } ; "
+        "CREATE SILENT GRAPH :arch ; "
+        "INSERT DATA { GRAPH :arch { :nation_0 :archived :nation_0 . "
+        ":nation_1 :archived :nation_0 } } ; "
+        "COPY GRAPH :arch TO GRAPH :arch2 ; "
+        "ADD GRAPH :arch2 TO DEFAULT ; "
+        "DROP GRAPH :arch"
     )
+    # r11 graph-management tail (§3.2.3–3.2.7): CREATE validates and
+    # no-ops, the named-graph INSERT creates the quad relation, COPY
+    # relabels into a brand-NEW graph label (dictionary extends), ADD
+    # set-unions the copy into the DEFAULT graph (rows visible in the
+    # histogram below), DROP retires the source graph — all quad
+    # filters / relabels / unions over a payload-sized quad relation.
+    assert eng.store.has_quads  # :arch2 remains as the named copy
     hist = eng.store.df.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
     return eng.dictionary.decode(hist, ["p"]).select(
         F.col("p").alias("pred"), "n"
@@ -408,6 +421,7 @@ UNION ALL SELECT ':hasType', COUNT(*) FROM events
 UNION ALL SELECT ':linkedEvent', COUNT(*) FROM customer
 UNION ALL SELECT ':locatedIn', COUNT(*) FROM customer
 UNION ALL SELECT ':inContinent', 2
+UNION ALL SELECT ':archived', 2
 """
 
 

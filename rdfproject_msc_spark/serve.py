@@ -58,17 +58,17 @@ def _run_query(engine, query: str, fmt: str, limit: int) -> tuple[str, str]:
 
     df = engine.sparql(query, decode=engine.dictionary is not None)
     head = query[: query.find("{")] if "{" in query else query
-    if re.search(r"\bCONSTRUCT\b", head, re.I):
-        # a CONSTRUCT answers an RDF GRAPH, not a results document —
-        # serialize the decoded triples as N-Triples (server-chosen
-        # format; the engine's canonical term text IS the NT form),
-        # under the same one-document row cap
+    if re.search(r"\b(CONSTRUCT|DESCRIBE)\b", head, re.I):
+        # CONSTRUCT/DESCRIBE answer an RDF GRAPH, not a results
+        # document — serialize the decoded triples as N-Triples
+        # (server-chosen format; the engine's canonical term text IS
+        # the NT form), under the same one-document row cap
         rows = df.limit(limit + 1).collect()
         if len(rows) > limit:
             raise ValueError(
-                f"result exceeds limit={limit} rows — CONSTRUCT over "
-                "HTTP is one document; use the engine's distributed "
-                "sinks for data-sized graphs"
+                f"result exceeds limit={limit} rows — a graph answer "
+                "over HTTP is one document; use the engine's "
+                "distributed sinks for data-sized graphs"
             )
         body = "".join(f"{r['s']} {r['p']} {r['o']} .\n" for r in rows)
         return body, "nt"

@@ -42,11 +42,19 @@ Supported operations (';'-separated, PREFIX decls shared):
   (CREATE on an existing graph, DROP/COPY/MOVE/ADD on an absent one)
   raise unless SILENT.
 
-Documented rejects (didactic errors, repo convention): blank nodes in
-any update payload (fresh-bnode minting has no stable oracle — the
-same stance as NOW/UUID), and template variables not bound by the
-WHERE group (a typo guard, like the planner's unknown-filter-var
-reject; the spec would silently drop the instantiation).
+Blank nodes in INSERT payloads (r11): INSERT DATA mints one node per
+label per operation, INSERT templates one per (label, solution) —
+both with DETERMINISTIC keyed labels (payload digest / template
+digest + solution values), so the same label co-refers within its
+scope and a replayed request re-derives identical nodes (idempotent
+by construction — the engine's replay/oracle stance applied to the
+spec's fresh-minting semantics). DELETE payloads keep the spec's
+MUST-NOT.
+
+Documented rejects (didactic errors, repo convention): template
+variables not bound by the WHERE group (a typo guard, like the
+planner's unknown-filter-var reject; the spec would silently drop the
+instantiation).
 
 Scale design (the asymmetry drives every join below):
 
@@ -189,22 +197,33 @@ class GraphManage:
     dst: object = None
 
 
-def _ground_slots(pattern) -> tuple:
-    """Validate one template/data TriplePattern into ground slots."""
+def _ground_slots(pattern, allow_bnodes: bool = False) -> tuple:
+    """Validate one template/data TriplePattern into ground slots.
+    ``allow_bnodes`` (INSERT DATA, §3.1.1): a ``_:label`` slot passes
+    through as ``("bnode", parsed-name)`` for the keyed mint in
+    ``_resolve_ground``; DELETE DATA keeps the spec's MUST-NOT (a
+    blank node never matches by label)."""
     out = []
-    for slot in (pattern.s, pattern.p, pattern.o):
+    for pos, slot in (("s", pattern.s), ("p", pattern.p), ("o", pattern.o)):
         kind = slot[0]
         if kind == "var":
             name = str(slot[1])
-            what = (
-                "blank nodes"
-                if name.startswith("__bn_")
-                else f"variable ?{name}"
-            )
+            if name.startswith("__bn"):
+                if not allow_bnodes:
+                    raise SparqlSyntaxError(
+                        "blank nodes are not allowed in DELETE DATA "
+                        "(§3.1.2: a blank node never matches by label)"
+                    )
+                if pos == "p":
+                    raise SparqlSyntaxError(
+                        "a blank node cannot be a predicate"
+                    )
+                out.append(("bnode", name))
+                continue
             raise SparqlSyntaxError(
-                f"update DATA blocks take ground triples only: {what} "
-                "is not allowed (INSERT/DELETE DATA per §3.1.1-2; use "
-                "DELETE/INSERT … WHERE for variables)"
+                f"update DATA blocks take ground triples only: "
+                f"variable ?{name} is not allowed (INSERT/DELETE DATA "
+                "per §3.1.1-2; use DELETE/INSERT … WHERE for variables)"
             )
         if kind not in ("term", "id"):
             raise SparqlSyntaxError(
@@ -215,14 +234,17 @@ def _ground_slots(pattern) -> tuple:
     return tuple(out)
 
 
-def _check_template_pattern(tp, what: str) -> None:
-    for slot in (tp.s, tp.p, tp.o):
-        if slot[0] == "var" and str(slot[1]).startswith("__bn_"):
-            raise SparqlSyntaxError(
-                f"blank nodes in {what} templates are not supported "
-                "(fresh-bnode minting has no stable oracle — the "
-                "NOW/UUID stance; use IRIs)"
-            )
+def _check_template_pattern(tp, what: str, allow_bnodes: bool) -> None:
+    for pos, slot in (("s", tp.s), ("p", tp.p), ("o", tp.o)):
+        if slot[0] == "var" and str(slot[1]).startswith("__bn"):
+            if not allow_bnodes:
+                raise SparqlSyntaxError(
+                    f"blank nodes in {what} templates are not allowed "
+                    "(§3.1.3.2 mints fresh nodes for INSERT templates "
+                    "only; a DELETE blank node never matches by label)"
+                )
+            if pos == "p":
+                raise SparqlSyntaxError("a blank node cannot be a predicate")
         if slot[0] not in ("var", "term", "id"):
             raise SparqlSyntaxError(
                 f"{what} templates take plain triples, got {slot!r}"
@@ -233,8 +255,9 @@ def _template_quads(src: str, prefixes, what: str) -> tuple:
     """Parse a template block into ``(g_slot | None, TriplePattern)``
     rows: plain triples target the default graph, ``GRAPH g {…}``
     blocks (constant OR variable g) target that named graph. Vars
-    allowed anywhere; bnodes and paths reject — the CONSTRUCT-template
-    stance (§16.2)."""
+    allowed anywhere; paths reject; blank nodes (r11) are allowed in
+    INSERT templates — §3.1.3.2's fresh-per-solution instantiation,
+    minted by ``apply_update`` — and reject in DELETE templates."""
     default, graphs = _split_graph_blocks(
         src, prefixes, allow_graph_vars=True
     )
@@ -242,7 +265,15 @@ def _template_quads(src: str, prefixes, what: str) -> tuple:
     for g_slot, pats in graphs:
         out.extend((g_slot, tp) for tp in pats)
     for g_slot, tp in out:
-        _check_template_pattern(tp, what)
+        if (
+            g_slot is not None
+            and g_slot[0] == "var"
+            and str(g_slot[1]).startswith("__bn")
+        ):
+            raise SparqlSyntaxError(
+                "a blank node cannot name a graph in a template"
+            )
+        _check_template_pattern(tp, what, allow_bnodes=what == "INSERT")
     return tuple(out)
 
 
@@ -338,8 +369,13 @@ def _parse_update_inner(src: str) -> list:
             j = _skip_ws(body, i + len(re.match(r"INSERT\s+DATA", head, re.I).group(0)))
             inner, j = _scan_delim(body, j, "{", "}", "INSERT DATA block")
             default, graphs = _split_graph_blocks(inner, prefixes)
-            quads = [(None, *_ground_slots(p)) for p in default] + [
-                (g, *_ground_slots(p)) for g, pats in graphs for p in pats
+            quads = [
+                (None, *_ground_slots(p, allow_bnodes=True))
+                for p in default
+            ] + [
+                (g, *_ground_slots(p, allow_bnodes=True))
+                for g, pats in graphs
+                for p in pats
             ]
             ops.append(GroundData(insert=True, quads=tuple(quads)))
             i = j
@@ -633,7 +669,51 @@ def _resolve_ground(
     """Ground slots → id rows. ``extend=True`` appends unseen terms to
     the dictionary (returns the possibly-extended Dictionary); with
     ``extend=False`` a row with an unknown term resolves to None (the
-    triple cannot exist — DELETE DATA no-op semantics)."""
+    triple cannot exist — DELETE DATA no-op semantics).
+
+    INSERT DATA blank nodes (§3.1.1, r11): ``("bnode", name)`` slots
+    mint deterministic terms ``_:u<md5(canonical payload)>-<k>`` with
+    k = the label's first-appearance index (NOT the parsed name —
+    anonymous ``[…]`` labels carry a global parse counter). Keyed on
+    the payload CONTENT: the same label co-refers within the
+    operation, and a REPLAYED request re-derives identical nodes —
+    deterministic and idempotent by design (re-INSERTing the same
+    payload is a set-semantics no-op; the spec's fresh-per-execution
+    reading would defeat both, the NOW/UUID stance inverted into a
+    stable key)."""
+    border: dict[str, int] = {}
+    for q in quads:
+        for slot in q:
+            if (
+                slot is not None
+                and slot[0] == "bnode"
+                and slot[1] not in border
+            ):
+                border[slot[1]] = len(border)
+    if border:
+        import hashlib
+
+        canon = repr(
+            [
+                tuple(
+                    ("bnode", border[s[1]])
+                    if (s is not None and s[0] == "bnode")
+                    else s
+                    for s in q
+                )
+                for q in quads
+            ]
+        )
+        digest = hashlib.md5(canon.encode()).hexdigest()[:16]
+        quads = tuple(
+            tuple(
+                ("term", f"_:u{digest}-{border[s[1]]}")
+                if (s is not None and s[0] == "bnode")
+                else s
+                for s in q
+            )
+            for q in quads
+        )
     texts = sorted(
         {
             slot[1]
@@ -1049,6 +1129,10 @@ def apply_update(engine, src: str, negative_when=None) -> None:
                     for slot in ((g_slot,) if g_slot else ())
                     + (tp.s, tp.p, tp.o)
                     if slot[0] == "var"
+                    # template blank nodes are NEVER WHERE bindings —
+                    # §3.1.3.2 instantiates them fresh per solution
+                    # (minted below), so they must not project
+                    and not str(slot[1]).startswith("__bn")
                 }
             )
             proj = (
@@ -1085,6 +1169,106 @@ def apply_update(engine, src: str, negative_when=None) -> None:
             solutions = sparql_to_df(
                 store, query, engine.dictionary, term_style=engine.term_style
             )
+            # INSERT-template blank nodes (§3.1.3.2, r11): one FRESH
+            # node per solution — label = "_:u" + a template digest
+            # (positional, stable under anonymous-label renaming) + a
+            # solution-value key + the label's index; co-refers across
+            # that solution's template triples, distinct across
+            # solutions and across different templates, and replay-
+            # deterministic (value-equal duplicate solutions mint the
+            # same node — the inserted graph is a set). The labels are
+            # DATA-sized vocabulary: distributed incremental append
+            # (eager checkpoint, rank caches released), the engine's
+            # dictionary extends for real — inserts persist.
+            fresh_labels: list[str] = []
+            for g_slot, tp in insert_tpl:
+                for slot in (tp.s, tp.o):
+                    name = str(slot[1])
+                    if (
+                        slot[0] == "var"
+                        and name.startswith("__bn")
+                        and name not in fresh_labels
+                    ):
+                        fresh_labels.append(name)
+            if fresh_labels:
+                import hashlib as _hashlib
+
+                from rdfproject_msc_spark.sources.ntriples import (
+                    extend_dictionary,
+                )
+
+                canon = repr(
+                    [
+                        (
+                            g,
+                            tuple(
+                                ("bnode", fresh_labels.index(str(s[1])))
+                                if (
+                                    s[0] == "var"
+                                    and str(s[1]).startswith("__bn")
+                                )
+                                else s
+                                for s in (tp.s, tp.p, tp.o)
+                            ),
+                        )
+                        for g, tp in insert_tpl
+                    ]
+                )
+                tdig = _hashlib.md5(canon.encode()).hexdigest()[:8]
+                base_cols = sorted(solutions.columns)
+                key = F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.coalesce(F.col(c).cast("string"), F.lit(""))
+                            for c in base_cols
+                        ],
+                    )
+                )
+                lab_rel = None
+                for k, lbl in enumerate(fresh_labels):
+                    solutions = solutions.withColumn(
+                        f"__ulab{k}",
+                        F.concat(
+                            F.lit(f"_:u{tdig}-"), key, F.lit(f"-{k}")
+                        ),
+                    )
+                    part = solutions.select(
+                        F.col(f"__ulab{k}").alias("s_term")
+                    )
+                    lab_rel = (
+                        part if lab_rel is None else lab_rel.unionAll(part)
+                    )
+                parsed = lab_rel.select(
+                    "s_term",
+                    F.col("s_term").alias("p_term"),
+                    F.col("s_term").alias("o_term"),
+                )
+                mint_caches: list = []
+                fresh_ids = extend_dictionary(
+                    engine.dictionary.df, parsed, caches=mint_caches
+                ).localCheckpoint(eager=True)
+                for c in mint_caches:
+                    c.unpersist()  # the checkpoint no longer reads them
+                engine.dictionary = Dictionary(
+                    engine.dictionary.df.unionAll(fresh_ids),
+                    broadcast_hint=engine.dictionary.broadcast_hint,
+                )
+                ext = engine.dictionary.df
+                for k, lbl in enumerate(fresh_labels):
+                    m = ext.withColumnRenamed(
+                        "id", f"__uid{k}"
+                    ).withColumnRenamed("term", f"__ut{k}")
+                    solutions = (
+                        solutions.join(
+                            m,
+                            F.col(f"__ulab{k}") == F.col(f"__ut{k}"),
+                            "left",
+                        )
+                        .drop(f"__ut{k}")
+                        .withColumn(lbl, F.col(f"__uid{k}"))
+                        .drop(f"__uid{k}", f"__ulab{k}")
+                    )
             # template constants: insert-side terms may be NEW (extend);
             # delete-side unknown terms simply instantiate nothing
             ins_texts = sorted(

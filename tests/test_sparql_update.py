@@ -265,11 +265,12 @@ def test_ground_insert_plan_is_broadcast_only(spark, nt_path, tmp_path):
     "stmt, msg",
     [
         (f"INSERT DATA {{ ?s <{EX}p> <{EX}o> }}", "ground"),
-        (f"INSERT DATA {{ _:b <{EX}p> <{EX}o> }}", "ground"),
+        (f"DELETE DATA {{ _:b <{EX}p> <{EX}o> }}", "blank nodes"),
         (
             f"DELETE {{ _:b <{EX}p> ?o }} WHERE {{ ?s <{EX}p> ?o }}",
             "blank nodes",
         ),
+        (f"INSERT DATA {{ <{EX}s> _:b <{EX}o> }}", "predicate"),
         ("CREATE GRAPH ?g", "constant IRI"),
         (f"DROP GRAPH ?g", "constant IRI"),
         (f"COPY ?g TO <{EX}g>", "constant graph"),
@@ -630,6 +631,56 @@ def test_named_graph_update_sequences_match_set_model(
         (g, s, p, o) for g, ts in graphs.items() for s, p, o in ts
     }
     assert got_quads == want_quads
+
+
+def test_insert_data_blank_nodes_mint_deterministically(spark, nt_path):
+    """§3.1.1 blank nodes in INSERT DATA (r11): one node per label per
+    operation (the same label co-refers within it, distinct labels
+    stay distinct), deterministic across replays — re-INSERTing the
+    same payload is a set-semantics no-op."""
+    eng = make_engine(spark, nt_path)
+    stmt = (
+        f"INSERT DATA {{ _:b <{EX}knows> <{EX}a> . "
+        f'_:b <{EX}name> "Fresh" . _:c <{EX}knows> _:b }}'
+    )
+    eng.update(stmt)
+    got = decoded_set(eng)
+    assert len(got) == 8  # 5 base + 3 minted
+    (b,) = {s for s, p, o in got if o == '"Fresh"'}
+    assert b.startswith("_:u")
+    assert (b, f"<{EX}knows>", f"<{EX}a>") in got  # _:b co-refers
+    c_rows = [
+        s for s, p, o in got if o == b and p == f"<{EX}knows>"
+    ]
+    assert len(c_rows) == 1
+    assert c_rows[0].startswith("_:u") and c_rows[0] != b  # _:c fresh
+    eng.update(stmt)  # replay re-derives the SAME nodes → no-op
+    assert decoded_set(eng) == got
+
+
+def test_insert_template_blank_nodes_fresh_per_solution(spark, nt_path):
+    """§3.1.3.2 (r11): an INSERT-template blank node mints one FRESH
+    node per solution, co-referring across that solution's template
+    triples; the dictionary extension persists; replaying the same
+    statement over unchanged solutions is a set-semantics no-op."""
+    eng = make_engine(spark, nt_path)
+    stmt = (
+        f"INSERT {{ ?s <{EX}via> _:n . _:n <{EX}tag> ?o }} "
+        f"WHERE {{ ?s <{EX}knows> ?o }}"
+    )
+    eng.update(stmt)
+    got = decoded_set(eng)
+    vias = {(s, o) for s, p, o in got if p == f"<{EX}via>"}
+    tags = {(s, o) for s, p, o in got if p == f"<{EX}tag>"}
+    assert len(vias) == 3 and len(tags) == 3  # one per solution
+    nodes = {o for _, o in vias}
+    assert len(nodes) == 3  # DISTINCT node per solution
+    assert all(n.startswith("_:u") for n in nodes)
+    # co-reference: each minted node carries exactly one tag edge
+    for node in nodes:
+        assert len([o for s, o in tags if s == node]) == 1
+    eng.update(stmt)  # unchanged solutions → same keys → no-op
+    assert decoded_set(eng) == got
 
 
 def test_graph_management_ops_match_duckdb_set_algebra(spark, nt_path):

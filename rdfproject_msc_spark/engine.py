@@ -188,14 +188,20 @@ class Engine:
         return self.spark.sql(query)
 
     # -- entry point 1: SPARQL --------------------------------------------
-    def sparql(self, query: str, decode: bool = False) -> DataFrame:
-        """SPARQL BGP → DataFrame join plan (→ optional dictionary decode)."""
+    def sparql(
+        self, query: str, decode: bool = False, strict_terms: bool = True
+    ) -> DataFrame:
+        """SPARQL BGP → DataFrame join plan (→ optional dictionary
+        decode). ``strict_terms=False``: constants the dictionary lacks
+        match NOTHING (the spec's empty result) instead of raising the
+        typo guard — the conformance stance for untrusted queries."""
         return sparql_to_df(
             self._require_store(),
             query,
             self.dictionary,
             decode=decode,
             term_style=self.term_style,
+            strict_terms=strict_terms,
         )
 
     # -- SPARQL 1.1 Update (copy-on-write) ---------------------------------

@@ -74,6 +74,10 @@ _OPS = {
 # comparisons must evaluate typed VALUES — raw ids are lexicographic
 # ranks there, so id arithmetic would be silently meaningless.
 _ACTIVE_STYLE = contextvars.ContextVar("plan_term_style", default="localized")
+# strict (default): constants absent from the dictionary RAISE (typo
+# guard); non-strict (opt-in spec mode): they resolve to the
+# never-assigned 0 sentinel and match nothing — §5.2's empty result
+_STRICT_TERMS = contextvars.ContextVar("plan_strict_terms", default=True)
 
 
 def _nt_unescape(c: Column) -> Column:
@@ -1040,7 +1044,19 @@ def _encode_constants(bgp: BGPQuery, dictionary: Dictionary | None) -> dict[str,
     }
     if terms and dictionary is None:
         raise SparqlSyntaxError("query has term constants but no dictionary was given")
-    return dictionary.encode_terms(sorted(terms)) if terms else {}
+    if not terms:
+        return {}
+    if not _STRICT_TERMS.get():
+        # spec-conformance mode (r11, opt-in): a constant the
+        # dictionary lacks appears in NO triple — resolve it to the
+        # never-assigned 0 sentinel so the pattern matches nothing
+        # (§5.2: empty solutions), instead of the default typo-guard
+        # raise. Documented edge: a VALUES binding of a graph-absent
+        # term then projects the sentinel (decodes NULL) — the
+        # dictionary cannot name a term the graph has never seen.
+        found = dictionary.lookup_terms(sorted(terms))
+        return {t: found.get(t, 0) for t in terms}
+    return dictionary.encode_terms(sorted(terms))
 
 
 def _pattern_scan(
@@ -3819,11 +3835,27 @@ def sparql_to_df(
     dictionary: Dictionary | None = None,
     decode: bool = False,
     term_style: str | None = None,
+    strict_terms: bool = True,
 ) -> DataFrame:
     """Parse + plan; optionally decode result ids back to terms (J5).
     ``term_style="lexical"`` matches constants against full N-Triples
     lexical forms — the convention of dictionaries BUILT from raw RDF
-    (sources/ntriples.py); default is the reference's localized form."""
+    (sources/ntriples.py); default is the reference's localized form.
+    ``strict_terms=False`` (r11): constants absent from the dictionary
+    match NOTHING (§5.2's empty result — the 0-sentinel lowering)
+    instead of raising the typo guard."""
+    token = _STRICT_TERMS.set(strict_terms)
+    try:
+        return _sparql_to_df_inner(
+            store, query, dictionary, decode, term_style
+        )
+    finally:
+        _STRICT_TERMS.reset(token)
+
+
+def _sparql_to_df_inner(
+    store, query, dictionary, decode, term_style
+) -> DataFrame:
     bgp = parse_sparql(query, term_style=term_style)
     dictionary = _with_construct_vocab(bgp, dictionary)
     fresh_out: list = []

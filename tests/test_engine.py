@@ -53,6 +53,18 @@ def test_save_open_roundtrip(engine, spark, tmp_path_factory):
     assert sorted(r.e for r in a.collect()) == sorted(r.e for r in b.collect())
 
 
+def test_sparql_strict_terms_mode(engine):
+    """r11: the default raises on a dictionary-absent constant (typo
+    guard); strict_terms=False resolves it to the never-assigned
+    sentinel — the spec's EMPTY result for a term the graph lacks."""
+    from rdfproject_msc_spark.dictionary import DictionaryError
+
+    q = "SELECT ?x WHERE { ?x :placedBy :no_such_customer_xyz . }"
+    with pytest.raises(DictionaryError, match="not in dictionary"):
+        engine.sparql(q).collect()
+    assert engine.sparql(q, strict_terms=False).collect() == []
+
+
 def test_errors_without_store(spark):
     e = Engine(spark)
     with pytest.raises(ValueError, match="no triples loaded"):

@@ -201,15 +201,14 @@ CASES = [
         ],
     ),
     dict(
-        # the spec's empty result for a missing plain literal is a
-        # DOCUMENTED deviation here: constants absent from the
-        # dictionary raise (typo-guard stance, SPARQL.md) instead of
-        # matching nothing
+        # strict_terms=False resolves the absent plain literal to the
+        # never-assigned sentinel: the spec's EMPTY result
         name="plain-literal-no-match",
         section="2.3.1",
         data="literals",
         query=(PFX["ns"] + 'SELECT ?v WHERE { ?v ns:p "cat" }'),
-        expect="reject:not in dictionary",
+        expect=[],
+        vars=["v"],
     ),
     dict(
         name="language-tagged-match",
@@ -510,13 +509,11 @@ CASES = [
         expect=True,
     ),
     dict(
-        # ASK over an absent constant: the dictionary typo-guard raises
-        # where the spec answers false — documented deviation
         name="ask-false-absent-term",
         section="16.3",
         data="foaf2",
         query=(PFX["foaf"] + 'ASK { ?x foaf:name "Walter Nobody" }'),
-        expect="reject:not in dictionary",
+        expect=False,
     ),
     dict(
         name="construct",
@@ -720,14 +717,19 @@ def test_spec_example(engines, case):
     expect = case["expect"]
     if isinstance(expect, str) and expect.startswith("reject:"):
         with pytest.raises(Exception, match=expect[len("reject:"):]):
-            eng.sparql(case["query"], decode=True).collect()
+            eng.sparql(
+                case["query"], decode=True, strict_terms=False
+            ).collect()
         return
-    df = eng.sparql(case["query"], decode=True)
+    # strict_terms=False: the conformance stance — a constant the
+    # dictionary lacks matches NOTHING (§5.2's empty result) instead
+    # of the engine's default typo-guard raise
+    df = eng.sparql(case["query"], decode=True, strict_terms=False)
     rows = [r.asDict() for r in df.collect()]
     if expect is True or expect is False:
         assert [r["ask"] for r in rows] == [expect]
         return
-    variables = sorted(expect[0].keys())
+    variables = case.get("vars") or sorted(expect[0].keys())
     got = [
         tuple((v, _normalize(r[v])) for v in variables) for r in rows
     ]
@@ -751,10 +753,8 @@ def test_conformance_tally():
     ]
     assert len(CASES) == 40
     assert sorted(rejects) == [
-        "ask-false-absent-term",
         "minus-disjoint-contrast",
         "notexists-disjoint-contrast",
         "now-reject",
-        "plain-literal-no-match",
         "service-reject",
     ]

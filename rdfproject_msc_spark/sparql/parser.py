@@ -630,6 +630,14 @@ def _localize_iri(inner: str) -> str:
 #   dictionaries BUILT from raw RDF (sources/ntriples.py), whose terms are
 #   exact lexical forms so decode/export round-trips.
 _TERM_STYLE = contextvars.ContextVar("sparql_term_style", default="localized")
+# strict (default): the TYPO GUARDS are on — dictionary-absent
+# constants raise at encode, and fully variable-disjoint MINUS/EXISTS
+# groups reject at validation. Non-strict (r11, `strict_terms=False`):
+# spec behavior for unusual-but-legal queries — absent constants match
+# nothing (0-sentinel), disjoint MINUS removes nothing (§18.5),
+# disjoint EXISTS gates on group nonemptiness (both lowerings already
+# exist in the planner; only the guards lift).
+_STRICT_MODE = contextvars.ContextVar("sparql_strict_mode", default=True)
 
 
 # fresh ids for anonymous blank nodes `[]` — process-global so every
@@ -3118,13 +3126,19 @@ def _validate_group_tree(
     # nothing per SPARQL — silently keeping everything hides a typo'd
     # variable)
     for grp in g.minuses:
-        if not ((grp.all_vars() | set(inherited)) & group_scope):
+        if (
+            _STRICT_MODE.get()
+            and not ((grp.all_vars() | set(inherited)) & group_scope)
+        ):
             raise SparqlSyntaxError(
                 "MINUS group shares no variable with the required patterns"
             )
         _validate_group_tree(grp, grp.all_vars(), inherited, nested=True)
     for _, grp in g.exists:
-        if not ((grp.all_vars() | set(inherited)) & group_scope):
+        if (
+            _STRICT_MODE.get()
+            and not ((grp.all_vars() | set(inherited)) & group_scope)
+        ):
             raise SparqlSyntaxError(
                 "EXISTS group shares no variable with the required patterns"
             )

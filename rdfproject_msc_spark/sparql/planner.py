@@ -47,6 +47,7 @@ from rdfproject_msc_spark.sparql.parser import (
     _walk_groups,
     arith_expr_vars,
     strexpr_vars,
+    _STRICT_MODE,
     filter_expr_barecmp_vars,
     filter_expr_streq_literals,
     filter_expr_strfn_vars,
@@ -74,10 +75,6 @@ _OPS = {
 # comparisons must evaluate typed VALUES — raw ids are lexicographic
 # ranks there, so id arithmetic would be silently meaningless.
 _ACTIVE_STYLE = contextvars.ContextVar("plan_term_style", default="localized")
-# strict (default): constants absent from the dictionary RAISE (typo
-# guard); non-strict (opt-in spec mode): they resolve to the
-# never-assigned 0 sentinel and match nothing — §5.2's empty result
-_STRICT_TERMS = contextvars.ContextVar("plan_strict_terms", default=True)
 
 
 def _nt_unescape(c: Column) -> Column:
@@ -1046,7 +1043,7 @@ def _encode_constants(bgp: BGPQuery, dictionary: Dictionary | None) -> dict[str,
         raise SparqlSyntaxError("query has term constants but no dictionary was given")
     if not terms:
         return {}
-    if not _STRICT_TERMS.get():
+    if not _STRICT_MODE.get():
         # spec-conformance mode (r11, opt-in): a constant the
         # dictionary lacks appears in NO triple — resolve it to the
         # never-assigned 0 sentinel so the pattern matches nothing
@@ -3841,16 +3838,18 @@ def sparql_to_df(
     ``term_style="lexical"`` matches constants against full N-Triples
     lexical forms — the convention of dictionaries BUILT from raw RDF
     (sources/ntriples.py); default is the reference's localized form.
-    ``strict_terms=False`` (r11): constants absent from the dictionary
-    match NOTHING (§5.2's empty result — the 0-sentinel lowering)
-    instead of raising the typo guard."""
-    token = _STRICT_TERMS.set(strict_terms)
+    ``strict_terms=False`` (r11): the typo guards lift — constants
+    absent from the dictionary match NOTHING (§5.2's empty result, the
+    0-sentinel lowering) instead of raising, and fully
+    variable-disjoint MINUS / EXISTS groups evaluate per spec (§18.5
+    removes nothing / nonemptiness gate) instead of rejecting."""
+    token = _STRICT_MODE.set(strict_terms)
     try:
         return _sparql_to_df_inner(
             store, query, dictionary, decode, term_style
         )
     finally:
-        _STRICT_TERMS.reset(token)
+        _STRICT_MODE.reset(token)
 
 
 def _sparql_to_df_inner(

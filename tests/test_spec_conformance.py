@@ -626,24 +626,27 @@ CASES = [
     ),
     dict(
         # the spec's §8.3 NOT-EXISTS-vs-MINUS contrast over { :a :b :c }:
-        # the spec answers 0 rows (every solution drops) — the engine's
-        # DOCUMENTED typo guard rejects a fully variable-disjoint EXISTS
-        # group instead of evaluating it
+        # the inner pattern matches, so every solution drops — 0 rows.
+        # (strict mode would reject the variable-disjoint group as a
+        # typo; the suite runs non-strict)
         name="notexists-disjoint-contrast",
         section="8.3",
         data="abc",
         query="SELECT * WHERE { ?s ?p ?o FILTER NOT EXISTS { ?x ?y ?z } }",
-        expect="reject:shares no variable",
+        expect=[],
+        vars=["s", "p", "o"],
     ),
     dict(
-        # the MINUS half of the same contrast: the spec keeps the row
-        # (disjoint domains remove nothing) — same documented typo-guard
-        # reject (silently keeping everything would hide a typo'd var)
+        # the MINUS half: disjoint domains share no binding, so MINUS
+        # removes NOTHING (§18.5) — the row survives
         name="minus-disjoint-contrast",
         section="8.3",
         data="abc",
         query="SELECT * WHERE { ?s ?p ?o MINUS { ?x ?y ?z } }",
-        expect="reject:shares no variable",
+        expect=[
+            {"s": "<http://example/a>", "p": "<http://example/b>",
+             "o": "<http://example/c>"}
+        ],
     ),
     dict(
         # SERVICE is federation (SPARQL 1.1 Federated Query) — out of
@@ -752,9 +755,4 @@ def test_conformance_tally():
         if isinstance(c["expect"], str) and c["expect"].startswith("reject")
     ]
     assert len(CASES) == 40
-    assert sorted(rejects) == [
-        "minus-disjoint-contrast",
-        "notexists-disjoint-contrast",
-        "now-reject",
-        "service-reject",
-    ]
+    assert sorted(rejects) == ["now-reject", "service-reject"]

@@ -234,6 +234,13 @@ def main(argv: list[str] | None = None) -> int:
         "--max-requests", type=int, default=None,
         help="serve N requests then exit (integration tests)",
     )
+    p_srv.add_argument(
+        "--strict-terms", action="store_true",
+        help="raise on dictionary-absent constants (the Python API's "
+        "typo-guard default); the endpoint default answers the spec's "
+        "EMPTY result instead — the right behavior for untrusted "
+        "queries",
+    )
     _add_common(p_srv)
 
     p_run = sub.add_parser("run", help="run a registry query by name")
@@ -726,6 +733,7 @@ def main(argv: list[str] | None = None) -> int:
                 port=args.port,
                 json_limit=args.json_limit,
                 max_requests=args.max_requests,
+                strict_terms=args.strict_terms,
             )
             return 0
         decode = args.decode

@@ -50,13 +50,19 @@ def _negotiate(accept: str) -> str:
     return "json"  # the protocol's server-chooses default
 
 
-def _run_query(engine, query: str, fmt: str, limit: int) -> tuple[str, str]:
+def _run_query(
+    engine, query: str, fmt: str, limit: int, strict_terms: bool
+) -> tuple[str, str]:
     """Execute and serialize: returns (body, format-actually-used).
     ASK has no CSV/TSV document form — those Accepts fall back to the
     JSON boolean document (server-chosen format, per protocol)."""
     from rdfproject_msc_spark.sparql import results as RES
 
-    df = engine.sparql(query, decode=engine.dictionary is not None)
+    df = engine.sparql(
+        query,
+        decode=engine.dictionary is not None,
+        strict_terms=strict_terms,
+    )
     head = query[: query.find("{")] if "{" in query else query
     if re.search(r"\b(CONSTRUCT|DESCRIBE)\b", head, re.I):
         # CONSTRUCT/DESCRIBE answer an RDF GRAPH, not a results
@@ -86,7 +92,7 @@ def _run_query(engine, query: str, fmt: str, limit: int) -> tuple[str, str]:
     return RES.results_json(df, limit=limit), "json"
 
 
-def _make_handler(engine, json_limit: int):
+def _make_handler(engine, json_limit: int, strict_terms: bool):
     from rdfproject_msc_spark.sparql.parser import SparqlSyntaxError
 
     class Handler(BaseHTTPRequestHandler):
@@ -112,7 +118,9 @@ def _make_handler(engine, json_limit: int):
                 )
             fmt = _negotiate(self.headers.get("Accept", ""))
             try:
-                body, used = _run_query(engine, query, fmt, json_limit)
+                body, used = _run_query(
+                    engine, query, fmt, json_limit, strict_terms
+                )
             except SparqlSyntaxError as e:  # MalformedQuery
                 return self._reply(
                     400, f"malformed query: {e}", "text/plain; charset=utf-8"
@@ -145,11 +153,23 @@ def _make_handler(engine, json_limit: int):
 
 
 def make_server(
-    engine, host: str = "127.0.0.1", port: int = 0, json_limit: int = 10000
+    engine,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    json_limit: int = 10000,
+    strict_terms: bool = False,
 ) -> HTTPServer:
     """Bind (port 0 = ephemeral — read ``server_address[1]``) without
-    serving; callers drive ``handle_request()`` / ``serve_forever``."""
-    return HTTPServer((host, port), _make_handler(engine, json_limit))
+    serving; callers drive ``handle_request()`` / ``serve_forever``.
+
+    ``strict_terms`` defaults to FALSE here — the endpoint is the
+    untrusted-query surface, where a constant the graph has never seen
+    should answer the spec's EMPTY result, not the engine's typo-guard
+    error (which remains the right default for hand-written queries
+    through the Python API)."""
+    return HTTPServer(
+        (host, port), _make_handler(engine, json_limit, strict_terms)
+    )
 
 
 def serve(
@@ -158,9 +178,10 @@ def serve(
     port: int = 8898,
     json_limit: int = 10000,
     max_requests: int | None = None,
+    strict_terms: bool = False,
 ) -> None:
     """Serve until interrupted (or for ``max_requests`` requests)."""
-    httpd = make_server(engine, host, port, json_limit)
+    httpd = make_server(engine, host, port, json_limit, strict_terms)
     bound = httpd.server_address
     print(f"SPARQL endpoint listening on http://{bound[0]}:{bound[1]}/sparql")
     try:

@@ -121,6 +121,16 @@ def test_endpoint_formats_and_protocol(endpoint):
         urllib.request.urlopen(endpoint, timeout=60)
     assert ei.value.code == 400
 
+    # a dictionary-absent constant answers the spec's EMPTY result
+    # (the endpoint defaults to strict_terms=False - untrusted queries
+    # should not 500 on vocabulary the graph has never seen)
+    q2 = f'SELECT ?x WHERE {{ ?x <{EX}knows> <{EX}never-seen> }}'
+    with urllib.request.urlopen(
+        endpoint + "?query=" + urllib.parse.quote(q2), timeout=60
+    ) as r:
+        doc = json.load(r)
+    assert doc["results"]["bindings"] == []
+
 
 def test_endpoint_row_cap_answers_413(engine):
     httpd = make_server(engine, port=0, json_limit=1)

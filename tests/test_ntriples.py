@@ -989,12 +989,9 @@ def test_engine_save_open_round_trip_lexical(spark, tmp_path):
 def test_graph_and_construct_over_lexical_quads(spark, tmp_path):
     """Close the named-graph loop at the SPARQL level: N-Quads ingest →
     attach_quads → GRAPH <iri> query with lexical constants; CONSTRUCT
-    emits decoded lexical terms (template constants must exist in the
-    dictionary — the id data model's standing rule, either convention)."""
-    from rdfproject_msc_spark.dictionary import (
-        Dictionary,
-        DictionaryError,
-    )
+    emits decoded lexical terms, and (r11) a template constant the
+    dictionary lacks mints a fresh id through the query-sized append."""
+    from rdfproject_msc_spark.dictionary import Dictionary
     from rdfproject_msc_spark.sources.ntriples import ingest_nquads
     from rdfproject_msc_spark.store import TripleStore
 
@@ -1035,11 +1032,20 @@ def test_graph_and_construct_over_lexical_quads(spark, tmp_path):
         )
     )
     assert built == [("<http://e/b>", "<http://e/p>", "<http://e/a>")]
-    with pytest.raises(DictionaryError, match="not in dictionary"):
-        eng.sparql(
-            "CONSTRUCT { ?o <http://e/NOPE> ?s } "
-            "WHERE { ?s <http://e/p> ?o . }"
+    # r11: a template constant the dictionary lacks MINTS an id (new
+    # vocabulary is CONSTRUCT's normal business, §16.2's own example
+    # emits vcard over foaf) — the local extension decodes it
+    minted = sorted(
+        map(
+            tuple,
+            eng.sparql(
+                "CONSTRUCT { ?o <http://e/NOPE> ?s } "
+                "WHERE { ?s <http://e/p> ?o . }",
+                decode=True,
+            ).collect(),
         )
+    )
+    assert minted == [("<http://e/b>", "<http://e/NOPE>", "<http://e/a>")]
 
 
 def test_iri_and_strdt_constructors_lexical(spark, tmp_path):

@@ -591,6 +591,121 @@ def _parse_files(
     )
 
 
+def format_turtle(
+    parsed: DataFrame, prefixes: dict[str, str] | None = None
+) -> DataFrame:
+    """``(s_term, p_term, o_term)`` lexical forms → one Turtle
+    statement-group line per SUBJECT (the inverse direction of
+    ``parse_turtle``): predicates of one subject join with ``;``,
+    repeated-predicate objects with ``,``, rdf:type compacts to ``a``,
+    and — when ``prefixes`` maps ``name → iri`` — IRIs with a safe
+    local part compact to prefixed names. One shuffle (the subject
+    groupBy); the per-subject text builds in a pure column HOF
+    (no Python). parse_turtle(format_turtle(g)) ≡ g.
+
+    Prefix-compacted output needs its ``@prefix`` directives, which
+    Turtle scopes per FILE — ``write_turtle`` handles that; WITHOUT
+    prefixes the output is directive-free, so any line split is a
+    valid Turtle document (distributed text write, like the NT sink).
+
+    Scale note: a subject's whole predicate-object list builds into
+    one row — the inherent shape of subject-grouped Turtle. Degenerate
+    million-triple subjects belong in the N-Triples sink instead
+    (format_ntriples — line-splittable both ways)."""
+
+    import re as _re
+
+    def compact(col: Column, as_predicate: bool = False) -> Column:
+        out = col
+        for name, iri in sorted((prefixes or {}).items()):
+            # only locals safe in PN_LOCAL without escaping compact;
+            # everything else keeps the full <iri> form (still valid)
+            pat = "^<" + _re.escape(iri) + "([A-Za-z][A-Za-z0-9_-]*)>$"
+            out = F.when(
+                col.rlike(pat),
+                F.concat(
+                    F.lit(name + ":"), F.regexp_extract(col, pat, 1)
+                ),
+            ).otherwise(out)
+        if as_predicate:  # `a` is PREDICATE-position-only grammar
+            out = F.when(col == RDF_TYPE, F.lit("a")).otherwise(out)
+        return out
+
+    po = parsed.select(
+        "s_term",
+        F.struct(
+            compact(F.col("p_term"), as_predicate=True).alias("p"),
+            compact(F.col("o_term")).alias("o"),
+        ).alias("po"),
+    )
+    grouped = po.groupBy("s_term").agg(
+        F.sort_array(F.collect_list("po")).alias("pos")
+    )
+    acc0 = F.struct(
+        F.lit("").alias("txt"), F.lit("").alias("lastp")
+    )
+    body = F.aggregate(
+        F.col("pos"),
+        acc0,
+        lambda acc, x: F.struct(
+            F.concat(
+                acc["txt"],
+                F.when(
+                    acc["lastp"] == x["p"],
+                    F.concat(F.lit(" , "), x["o"]),
+                ).otherwise(
+                    F.concat(
+                        F.when(acc["txt"] == "", F.lit("")).otherwise(
+                            F.lit(" ;\n    ")
+                        ),
+                        x["p"],
+                        F.lit(" "),
+                        x["o"],
+                    )
+                ),
+            ).alias("txt"),
+            x["p"].alias("lastp"),
+        ),
+        lambda acc: acc["txt"],
+    )
+    return grouped.select(
+        F.concat(compact(F.col("s_term")), F.lit(" "), body, F.lit(" .")).alias(
+            "value"
+        )
+    )
+
+
+def write_turtle(
+    parsed: DataFrame, path: str, prefixes: dict[str, str] | None = None
+) -> None:
+    """Persist a triple relation as Turtle text. Without prefixes the
+    formatted lines are directive-free and write as plain distributed
+    text. WITH prefixes, every part FILE must carry the ``@prefix``
+    header before its statements (Turtle scopes directives per file) —
+    the one per-partition stateful step, done with a mapPartitions
+    header prepend (format-mandated, same justification as the
+    per-file parse; the header is a handful of constant lines)."""
+    lines = format_turtle(parsed, prefixes)
+    if not prefixes:
+        lines.write.mode("overwrite").text(path)
+        return
+    header = [f"@prefix {k}: <{v}> ." for k, v in sorted(prefixes.items())]
+
+    def _with_header(it):
+        first = True
+        for row in it:
+            if first:
+                first = False
+                for h in header:
+                    yield (h,)
+            yield (row[0],)
+
+    spark = parsed.sparkSession
+    spark.createDataFrame(
+        lines.rdd.mapPartitions(_with_header), "value string"
+    ).write.mode("overwrite").text(path)
+
+
 def ingest_turtle(
     spark: SparkSession,
     path: str,

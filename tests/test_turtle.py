@@ -169,6 +169,37 @@ def test_engine_sparql_walks_a_collection(spark, tmp_path):
     assert got == ['"cake"', '"fish"', '"soup"']
 
 
+def test_format_turtle_round_trip(spark, tmp_path):
+    """Turtle EXPORT (r11, format_turtle/write_turtle): subject-grouped
+    ';' / ',' / 'a' abbreviations, optional prefix compaction with an
+    '@prefix' header per part FILE — parse_turtle(write_turtle(g)) ≡ g
+    both ways."""
+    from rdfproject_msc_spark.sources.turtle import (
+        format_turtle,
+        write_turtle,
+    )
+
+    (tmp_path / "g.nt").write_text(NT)
+    g = parse_ntriples(spark, str(tmp_path / "g.nt"))
+    # directive-free form: plain distributed text, any line split valid
+    out1 = tmp_path / "plain_ttl"
+    write_turtle(g, str(out1))
+    assert rows(parse_turtle(spark, str(out1), on_error="fail")) == rows(g)
+    # prefix-compacted form: per-part headers, same graph back
+    out2 = tmp_path / "pfx_ttl"
+    write_turtle(g, str(out2), prefixes={"ex": "http://ex.org/"})
+    assert rows(parse_turtle(spark, str(out2), on_error="fail")) == rows(g)
+    # the compacted text actually uses the abbreviations
+    text = "\n".join(
+        r[0]
+        for r in format_turtle(g, prefixes={"ex": "http://ex.org/"}).collect()
+    )
+    assert "ex:a " in text  # prefixed subject
+    assert " ;\n    " in text  # predicate grouping
+    assert " , " in text  # object list
+    assert " a ex:Thing" in text  # rdf:type → 'a' (predicate only)
+
+
 def test_two_files_parse_independently(spark, tmp_path):
     """Per-file parallelism: directives are file-scoped — the same
     prefix name maps differently in each file."""

@@ -3242,7 +3242,8 @@ def _plan_bgp(
         # fresh-per-solution template blank nodes (§16.2, r11): a
         # template bnode label NOT bound by the WHERE group mints one
         # fresh node per SOLUTION — the label is a deterministic key,
-        # "_:c" + md5(the solution's bound ids) + the source label, so
+        # "_:c" + md5(the solution's bound ids) + a POSITIONAL suffix
+        # (anonymous parse labels are counter-unstable across runs), so
         # (a) the same label co-refers ACROSS template triples of one
         # solution, (b) distinct solutions mint distinct nodes, and
         # (c) a replayed query re-derives identical labels (the

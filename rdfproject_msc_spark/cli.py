@@ -189,6 +189,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_sparql.add_argument("--decode", action="store_true")
     p_sparql.add_argument(
+        "--clock",
+        default=None,
+        metavar="DATETIME",
+        help="explicit xsd:dateTime lexical that folds NOW() to a "
+        "constant at plan time (determinism-preserving); without it "
+        "NOW() keeps its documented reject",
+    )
+    p_sparql.add_argument(
         "--results",
         choices=("csv", "tsv", "json", "xml"),
         default=None,
@@ -233,6 +241,13 @@ def main(argv: list[str] | None = None) -> int:
     p_srv.add_argument(
         "--max-requests", type=int, default=None,
         help="serve N requests then exit (integration tests)",
+    )
+    p_srv.add_argument(
+        "--enable-update", action="store_true",
+        help="accept the SPARQL 1.1 Protocol update operation (POST "
+        "update=… / application/sparql-update) — a WRITE surface, so "
+        "off by default; updates apply to the in-session snapshot "
+        "(copy-on-write), nothing on disk changes",
     )
     p_srv.add_argument(
         "--strict-terms", action="store_true",
@@ -734,6 +749,7 @@ def main(argv: list[str] | None = None) -> int:
                 json_limit=args.json_limit,
                 max_requests=args.max_requests,
                 strict_terms=args.strict_terms,
+                enable_update=args.enable_update,
             )
             return 0
         decode = args.decode
@@ -747,7 +763,7 @@ def main(argv: list[str] | None = None) -> int:
                     "pass --dict-path (or --decode with a dictionary)"
                 )
             decode = True
-        df = eng.sparql(args.query, decode=decode)
+        df = eng.sparql(args.query, decode=decode, clock=args.clock)
         if args.explain:
             df.explain("formatted")
             return 0

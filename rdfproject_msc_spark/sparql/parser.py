@@ -561,6 +561,11 @@ class BGPQuery:
     # (see _TERM_STYLE) — recorded so the PLANNER can pick the matching
     # value semantics (lexical stores derive STR values from term text)
     term_style: str = "localized"
+    # the prolog's PREFIX declarations, recorded verbatim (sorted
+    # (name, iri) pairs) so consumers that SERIALIZE answers — the HTTP
+    # endpoint's Turtle content negotiation — can reuse the query's own
+    # namespace map without re-scanning the query text
+    prefixes: tuple[tuple[str, str], ...] = ()
 
     # ---- flat-view accessors: the ROOT group's content, kept so code and
     # tests written against the pre-recursive flat representation keep
@@ -638,6 +643,15 @@ _TERM_STYLE = contextvars.ContextVar("sparql_term_style", default="localized")
 # disjoint EXISTS gates on group nonemptiness (both lowerings already
 # exist in the planner; only the guards lift).
 _STRICT_MODE = contextvars.ContextVar("sparql_strict_mode", default=True)
+# the query's FIXED CLOCK (r12): None (default) keeps the principled
+# NOW() reject — a per-evaluation clock breaks the engine's
+# re-runnable hash-verified contract AND Spark's retried-task
+# semantics (a retried task would observe a different value than the
+# lost attempt). An EXPLICIT xsd:dateTime lexical set via
+# `Engine.sparql(..., clock=…)` / CLI `--clock` folds every NOW() to
+# that constant at PARSE time: determinism is preserved (the constant
+# is part of the plan), and the caller owns the timestamp.
+_CLOCK = contextvars.ContextVar("sparql_clock", default=None)
 
 
 # fresh ids for anonymous blank nodes `[]` — process-global so every
@@ -944,6 +958,23 @@ def _parse_bind_body(body_expr: str):
         return ("cast_expr", "strlen", (lm.group(1) or lm.group(2))[1:])
     nd = re.match(r"\s*(NOW|RAND|UUID|STRUUID)\s*\(", body_expr, re.I)
     if nd:
+        if (
+            nd.group(1).upper() == "NOW"
+            and _CLOCK.get() is not None
+            and re.fullmatch(r"\s*NOW\s*\(\s*\)\s*", body_expr, re.I)
+        ):
+            # fixed-clock fold (r12): NOW() under an explicit
+            # `clock=` becomes a CONSTANT xsd:dateTime literal term —
+            # the exact lowering STRDT("…", xsd:dateTime) produces,
+            # so value comparisons/accessors see a normal typed
+            # literal. Determinism holds: the constant is part of the
+            # parsed query, identical across reruns and task retries.
+            dt = (
+                "<http://www.w3.org/2001/XMLSchema#dateTime>"
+                if _TERM_STYLE.get() == "lexical"
+                else _localize_datatype("xsd:dateTime")
+            )
+            return ("strexpr", ("strdt", ("slit", _CLOCK.get()), dt))
         # deliberate stance (r8, SPARQL.md "Known deviations"): a
         # per-evaluation clock/RNG breaks the engine's re-runnable
         # hash-verified contract, and a Spark task RETRY would observe a
@@ -953,7 +984,9 @@ def _parse_bind_body(body_expr: str):
             f"{nd.group(1).upper()}() is deliberately unsupported: "
             "nondeterministic built-ins break re-executable task "
             "semantics (a retried Spark task would see a different "
-            "value); bind timestamps via VALUES or use the engine's "
+            "value); bind timestamps via VALUES, pass an explicit "
+            "clock (Engine.sparql(..., clock=…) / --clock folds a "
+            "bare NOW() to that constant), or use the engine's "
             "deterministic sampling operators"
         )
     if re.match(
@@ -3195,6 +3228,7 @@ def parse_sparql(
             projection=None,
             describe_terms=slots,
             term_style=_TERM_STYLE.get(),
+            prefixes=tuple(sorted(prefixes.items())),
         )
     am = _ASK.match(query)
     cm = _CONSTRUCT.match(query) if not am else None
@@ -3949,4 +3983,5 @@ def parse_sparql(
         dataset_default=tuple(dataset_default),
         dataset_named=tuple(dataset_named),
         term_style=_TERM_STYLE.get(),
+        prefixes=tuple(sorted(prefixes.items())),
     )

@@ -31,6 +31,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class ResultSizeExceeded(ValueError):
+    """A one-document result form was asked to materialize more rows
+    than its explicit ``limit`` — the driver-memory guard every
+    single-string serializer here enforces. A DEDICATED type so the
+    HTTP endpoint can map exactly this condition to 413 Payload Too
+    Large without swallowing unrelated ``ValueError``s (dictionary
+    typo guards answer 400, planner rejects answer 500)."""
+
+
 def _term_kind(term: str) -> dict:
     """One decoded term string → the results-JSON binding object."""
     if term.startswith("<") and term.endswith(">"):
@@ -130,7 +139,7 @@ def results_csv(df: DataFrame, limit: int, dictionary=None) -> str:
         df = dictionary.decode(df)
     rows = df.select(*_csv_plain_cols(df)).limit(limit + 1).collect()
     if len(rows) > limit:
-        raise ValueError(
+        raise ResultSizeExceeded(
             f"result exceeds limit={limit} rows — the one-document CSV "
             "form is driver-sized; use write_results_csv for data-sized "
             "results"
@@ -152,7 +161,7 @@ def results_tsv(df: DataFrame, limit: int, dictionary=None) -> str:
         df = dictionary.decode(df)
     rows = df.limit(limit + 1).collect()
     if len(rows) > limit:
-        raise ValueError(
+        raise ResultSizeExceeded(
             f"result exceeds limit={limit} rows — the one-document TSV "
             "form is driver-sized; use write_results_tsv for data-sized "
             "results"
@@ -200,7 +209,7 @@ def results_json(
         df = dictionary.decode(df)
     rows = df.limit(limit + 1).collect()
     if len(rows) > limit:
-        raise ValueError(
+        raise ResultSizeExceeded(
             f"result exceeds limit={limit} rows — the JSON results "
             "format is one document (driver memory); use "
             "write_results_csv/tsv for data-sized results"
@@ -244,7 +253,7 @@ def results_xml(df: DataFrame, limit: int, dictionary=None) -> str:
         df = dictionary.decode(df)
     rows = df.limit(limit + 1).collect()
     if len(rows) > limit:
-        raise ValueError(
+        raise ResultSizeExceeded(
             f"result exceeds limit={limit} rows — the XML results "
             "format is one document (driver memory); use "
             "write_results_csv/tsv for data-sized results"

@@ -200,3 +200,149 @@ def test_cli_serve_end_to_end(spark, tmp_path):
     ]
     t.join(timeout=30)
     assert not t.is_alive()  # --max-requests 1 exited the serve loop
+
+def test_select_with_describe_prefix_iri_is_a_results_doc(endpoint):
+    """Form detection comes from the PARSED query: a SELECT whose
+    prolog declares a PREFIX IRI containing 'describe' must answer a
+    results document (a text sniff over the prolog would reroute it
+    to the graph-answer branch and 500)."""
+    q = (
+        f"PREFIX d: <{EX}describe#> "
+        f"SELECT ?o WHERE {{ <{EX}a> <{EX}knows> ?o }}"
+    )
+    ctype, body = _get(endpoint + "?query=" + urllib.parse.quote(q))
+    assert ctype.startswith("application/sparql-results+json")
+    doc = json.loads(body)
+    assert [b["o"]["value"] for b in doc["results"]["bindings"]] == [
+        f"{EX}b"
+    ]
+
+
+def test_construct_negotiates_turtle(engine, tmp_path):
+    """``Accept: text/turtle`` on a CONSTRUCT answers subject-grouped
+    Turtle with ``@prefix`` directives from the query's own prolog —
+    and the body parses back (sources/turtle.py) to the same graph."""
+    from rdfproject_msc_spark.sources.turtle import parse_turtle
+
+    httpd = make_server(engine, port=0, json_limit=100)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        cq = (
+            f"PREFIX ex: <{EX}> "
+            f"CONSTRUCT {{ ?o ex:knownBy ?s }} WHERE {{ ?s ex:knows ?o }}"
+        )
+        ctype, body = _get(
+            f"http://127.0.0.1:{port}/sparql?query="
+            + urllib.parse.quote(cq),
+            accept="text/turtle",
+        )
+        assert ctype.startswith("text/turtle")
+        assert f"@prefix ex: <{EX}> ." in body
+        assert "ex:knownBy" in body  # prefix-compacted, not <iri>
+        p = tmp_path / "answer.ttl"
+        p.write_text(body)
+        got = {
+            (r["s_term"], r["p_term"], r["o_term"])
+            for r in parse_turtle(
+                engine.spark, str(p), on_error="fail"
+            ).collect()
+        }
+        assert got == {
+            (f"<{EX}b>", f"<{EX}knownBy>", f"<{EX}a>"),
+            (f"<{EX}c>", f"<{EX}knownBy>", f"<{EX}b>"),
+        }
+        # the NT default is unchanged when turtle is not asked for
+        ctype, body = _get(
+            f"http://127.0.0.1:{port}/sparql?query="
+            + urllib.parse.quote(cq)
+        )
+        assert ctype.startswith("application/n-triples")
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_strict_mode_unknown_term_answers_400_not_413(engine):
+    """The dictionary's typo guard is the CLIENT's fault: under
+    ``--strict-terms`` an unknown constant answers 400 (it used to be
+    swallowed by a blanket ``except ValueError`` into 413)."""
+    httpd = make_server(engine, port=0, json_limit=100, strict_terms=True)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        q = f"SELECT ?x WHERE {{ ?x <{EX}knows> <{EX}never-seen> }}"
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/sparql?query="
+                + urllib.parse.quote(q),
+                timeout=60,
+            )
+        assert ei.value.code == 400
+        assert "unknown term" in ei.value.read().decode()
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_update_rejected_by_default(endpoint):
+    """The update operation is a write surface: OFF unless the server
+    opts in — both protocol spellings answer 403, and nothing else."""
+    upd = f"INSERT DATA {{ <{EX}x> <{EX}knows> <{EX}y> }}"
+    # urlencoded form field
+    data = urllib.parse.urlencode({"update": upd}).encode()
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(endpoint, data=data, timeout=60)
+    assert ei.value.code == 403
+    # direct application/sparql-update body
+    req = urllib.request.Request(
+        endpoint,
+        data=upd.encode(),
+        headers={"Content-Type": "application/sparql-update"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=60)
+    assert ei.value.code == 403
+
+
+def test_update_operation_end_to_end(spark, tmp_path):
+    """``enable_update=True``: INSERT DATA over HTTP answers 204 and
+    the inserted triple is visible to a follow-up query; a malformed
+    update answers 400. A FRESH engine — updates are copy-on-write on
+    the shared module fixture's store otherwise."""
+    p = tmp_path / "d.nt"
+    p.write_text(NT)
+    eng = Engine(spark).load_triples(str(p), fmt="nt")
+    httpd = make_server(eng, port=0, json_limit=100, enable_update=True)
+    port = httpd.server_address[1]
+    url = f"http://127.0.0.1:{port}/sparql"
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        upd = f'INSERT DATA {{ <{EX}c> <{EX}name> "Carol" }}'
+        req = urllib.request.Request(
+            url,
+            data=upd.encode(),
+            headers={"Content-Type": "application/sparql-update"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.status == 204
+            assert r.read() == b""
+        q = f"SELECT ?n WHERE {{ <{EX}c> <{EX}name> ?n }}"
+        with urllib.request.urlopen(
+            url + "?query=" + urllib.parse.quote(q), timeout=120
+        ) as r:
+            doc = json.load(r)
+        assert [b["n"]["value"] for b in doc["results"]["bindings"]] == [
+            "Carol"
+        ]
+        # MalformedUpdate -> 400 (the form-field spelling this time)
+        data = urllib.parse.urlencode({"update": "NOT AN UPDATE"}).encode()
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(url, data=data, timeout=120)
+        assert ei.value.code == 400
+    finally:
+        httpd.shutdown()
+        httpd.server_close()

@@ -682,28 +682,34 @@ def write_turtle(
     formatted lines are directive-free and write as plain distributed
     text. WITH prefixes, every part FILE must carry the ``@prefix``
     header before its statements (Turtle scopes directives per file) —
-    the one per-partition stateful step, done with a mapPartitions
-    header prepend (format-mandated, same justification as the
-    per-file parse; the header is a handful of constant lines)."""
+    the one per-partition stateful step, done with an Arrow-batched
+    ``mapInPandas`` first-batch prepend (format-mandated, same
+    justification as the per-file parse; the header is a handful of
+    constant lines, and statement batches stream through as whole
+    Arrow frames — no row-at-a-time Python)."""
     lines = format_turtle(parsed, prefixes)
     if not prefixes:
         lines.write.mode("overwrite").text(path)
         return
     header = [f"@prefix {k}: <{v}> ." for k, v in sorted(prefixes.items())]
 
-    def _with_header(it):
+    def _with_header(batches):
+        # Arrow-batched (NOT the row-at-a-time RDD API): the directive
+        # lines prepend to the partition's FIRST batch only; every
+        # statement batch passes through as a whole Arrow frame, so
+        # the per-row cost stays columnar. A partition that yields no
+        # batches writes an empty part file with no header — exactly
+        # the old behavior (a headerless EMPTY Turtle file is valid).
         first = True
-        for row in it:
+        for pdf in batches:
             if first:
                 first = False
-                for h in header:
-                    yield (h,)
-            yield (row[0],)
+                yield pd.DataFrame({"value": header})
+            yield pdf
 
-    spark = parsed.sparkSession
-    spark.createDataFrame(
-        lines.rdd.mapPartitions(_with_header), "value string"
-    ).write.mode("overwrite").text(path)
+    lines.mapInPandas(_with_header, schema="value string").write.mode(
+        "overwrite"
+    ).text(path)
 
 
 def ingest_turtle(

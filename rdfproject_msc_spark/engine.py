@@ -71,14 +71,16 @@ class Engine:
         reference's contract), ``"parquet"`` (persisted encoded layout),
         ``"nt"`` (RAW N-Triples: the dictionary is BUILT distributedly and
         the terms encoded — sources/ntriples.py; ``negative_when`` chooses
-        the Negative sign class by term, ``dict_path`` must be None), or
+        the Negative sign class by term, ``dict_path`` must be None),
         ``"ttl"`` (RAW Turtle — sources/turtle.py parses per file, same
-        built-dictionary contract as "nt")."""
+        built-dictionary contract as "nt"), or ``"rdfxml"`` (RAW RDF/XML
+        — sources/rdfxml.py, the ontology-interchange format, same
+        per-file parse and built-dictionary contract)."""
         if fmt == "text":
             df = TIO.read_triples_text(self.spark, triples_path)
         elif fmt == "parquet":
             df = TIO.read_triples_parquet(self.spark, triples_path)
-        elif fmt in ("nt", "ttl"):
+        elif fmt in ("nt", "ttl", "rdfxml"):
             if dict_path is not None:
                 raise ValueError(
                     f"fmt={fmt!r} builds its dictionary from the data; "
@@ -88,9 +90,13 @@ class Engine:
                 from rdfproject_msc_spark.sources.ntriples import (
                     ingest_ntriples as _ingest,
                 )
-            else:
+            elif fmt == "ttl":
                 from rdfproject_msc_spark.sources.turtle import (
                     ingest_turtle as _ingest,
+                )
+            else:
+                from rdfproject_msc_spark.sources.rdfxml import (
+                    ingest_rdfxml as _ingest,
                 )
 
             df, dict_df = _ingest(
@@ -189,12 +195,19 @@ class Engine:
 
     # -- entry point 1: SPARQL --------------------------------------------
     def sparql(
-        self, query: str, decode: bool = False, strict_terms: bool = True
+        self,
+        query: str,
+        decode: bool = False,
+        strict_terms: bool = True,
+        clock=None,
     ) -> DataFrame:
         """SPARQL BGP → DataFrame join plan (→ optional dictionary
         decode). ``strict_terms=False``: constants the dictionary lacks
         match NOTHING (the spec's empty result) instead of raising the
-        typo guard — the conformance stance for untrusted queries."""
+        typo guard — the conformance stance for untrusted queries.
+        ``clock``: an explicit xsd:dateTime lexical (or ``datetime``)
+        that folds bare ``NOW()`` calls to that constant at plan time;
+        without it NOW() keeps its documented nondeterminism reject."""
         return sparql_to_df(
             self._require_store(),
             query,
@@ -202,6 +215,7 @@ class Engine:
             decode=decode,
             term_style=self.term_style,
             strict_terms=strict_terms,
+            clock=clock,
         )
 
     # -- SPARQL 1.1 Update (copy-on-write) ---------------------------------

@@ -48,6 +48,7 @@ from rdfproject_msc_spark.sparql.parser import (
     arith_expr_vars,
     strexpr_vars,
     _STRICT_MODE,
+    _CLOCK as _PARSER_CLOCK,
     filter_expr_barecmp_vars,
     filter_expr_streq_literals,
     filter_expr_strfn_vars,
@@ -3827,6 +3828,31 @@ def _with_construct_vocab(
     return Dictionary(ext, broadcast_hint=dictionary.broadcast_hint)
 
 
+_CLOCK_LEXICAL = re.compile(
+    r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:\d{2})?"
+)
+
+
+def _validate_clock(clock) -> str | None:
+    """Normalize the explicit NOW() clock to an xsd:dateTime LEXICAL:
+    a ``datetime`` renders via isoformat(); a string must already be
+    a dateTime lexical (a malformed clock would silently mint a
+    literal no comparison matches — reject loudly instead)."""
+    if clock is None:
+        return None
+    import datetime as _dt
+
+    if isinstance(clock, _dt.datetime):
+        return clock.isoformat()
+    text = str(clock)
+    if not _CLOCK_LEXICAL.fullmatch(text):
+        raise SparqlSyntaxError(
+            f"clock must be an xsd:dateTime lexical "
+            f"(YYYY-MM-DDThh:mm:ss[.s…][Z|±hh:mm]), got {text!r}"
+        )
+    return text
+
+
 def sparql_to_df(
     store: TripleStore,
     query: str,
@@ -3834,6 +3860,7 @@ def sparql_to_df(
     decode: bool = False,
     term_style: str | None = None,
     strict_terms: bool = True,
+    clock: "str | object | None" = None,
 ) -> DataFrame:
     """Parse + plan; optionally decode result ids back to terms (J5).
     ``term_style="lexical"`` matches constants against full N-Triples
@@ -3843,13 +3870,20 @@ def sparql_to_df(
     absent from the dictionary match NOTHING (§5.2's empty result, the
     0-sentinel lowering) instead of raising, and fully
     variable-disjoint MINUS / EXISTS groups evaluate per spec (§18.5
-    removes nothing / nonemptiness gate) instead of rejecting."""
+    removes nothing / nonemptiness gate) instead of rejecting.
+    ``clock`` (r12): an explicit xsd:dateTime lexical (or a
+    ``datetime``) that folds every bare ``NOW()`` to that CONSTANT at
+    parse time — determinism and Spark retry semantics hold because
+    the value is part of the plan; without it the NOW() reject
+    stands (parser.py `_CLOCK`)."""
     token = _STRICT_MODE.set(strict_terms)
+    clock_token = _PARSER_CLOCK.set(_validate_clock(clock))
     try:
         return _sparql_to_df_inner(
             store, query, dictionary, decode, term_style
         )
     finally:
+        _PARSER_CLOCK.reset(clock_token)
         _STRICT_MODE.reset(token)
 
 

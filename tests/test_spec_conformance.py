@@ -756,3 +756,35 @@ def test_conformance_tally():
     ]
     assert len(CASES) == 40
     assert sorted(rejects) == ["now-reject", "service-reject"]
+
+
+def test_now_under_explicit_clock(engines):
+    """The now-reject stance has an explicit escape hatch (r12): a
+    caller-owned ``clock=`` folds bare NOW() to that CONSTANT
+    xsd:dateTime literal at plan time — determinism and Spark
+    retried-task semantics hold because the value is part of the
+    plan. Without the parameter the documented reject stands (the
+    `now-reject` case above)."""
+    eng = engines["book1"]
+    ts = "2026-08-16T12:00:00Z"
+    df = eng.sparql(
+        "SELECT (NOW() AS ?t) WHERE { ?s ?p ?o }",
+        decode=True,
+        strict_terms=False,
+        clock=ts,
+    )
+    vals = {r["t"] for r in df.collect()}
+    assert vals == {
+        f'"{ts}"^^<http://www.w3.org/2001/XMLSchema#dateTime>'
+    }
+    # a malformed clock rejects loudly (a bad lexical would mint a
+    # literal no dateTime comparison ever matches)
+    with pytest.raises(Exception, match="clock must be"):
+        eng.sparql(
+            "SELECT (NOW() AS ?t) WHERE { ?s ?p ?o }", clock="yesterday"
+        )
+    # the clock folds ONLY a bare NOW() — RAND()/UUID() stay rejected
+    with pytest.raises(Exception, match="RAND"):
+        eng.sparql(
+            "SELECT (RAND() AS ?r) WHERE { ?s ?p ?o }", clock=ts
+        )

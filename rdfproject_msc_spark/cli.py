@@ -64,6 +64,9 @@ def main(argv: list[str] | None = None) -> int:
     p_ing.add_argument("--trig", default=None,
                        help="TriG file/dir (parsed per file; named-graph "
                        "blocks land in --quads-out)")
+    p_ing.add_argument("--rdfxml", default=None,
+                       help="RDF/XML file/dir (parsed per file - the "
+                       "ontology-interchange format)")
     p_ing.add_argument("--out", required=True, help="store output dir")
     p_ing.add_argument("--dict-out", required=True,
                        help="dictionary parquet output dir")
@@ -508,9 +511,11 @@ def main(argv: list[str] | None = None) -> int:
 
         import os as _os
 
-        if sum(map(bool, (args.nt, args.nq, args.ttl, args.trig))) != 1:
+        if sum(map(bool, (args.nt, args.nq, args.ttl, args.trig,
+                          args.rdfxml))) != 1:
             raise SystemExit(
-                "ingest needs exactly one of --nt / --nq / --ttl / --trig"
+                "ingest needs exactly one of --nt / --nq / --ttl / "
+                "--trig / --rdfxml"
             )
         if args.dict_in and _os.path.realpath(args.dict_in) == _os.path.realpath(
             args.dict_out
@@ -535,7 +540,7 @@ def main(argv: list[str] | None = None) -> int:
         # parser is a per-file Python stage, so re-parsing per sink
         # multiplied the dominant ingest cost.
         caches: list = []
-        if args.nt or args.ttl:
+        if args.nt or args.ttl or args.rdfxml:
             existing = (
                 spark.read.parquet(args.dict_in) if args.dict_in else None
             )
@@ -543,6 +548,12 @@ def main(argv: list[str] | None = None) -> int:
                 from rdfproject_msc_spark.sources.turtle import parse_turtle
 
                 spo = parse_turtle(spark, args.ttl, on_error=args.on_error)
+            elif args.rdfxml:
+                from rdfproject_msc_spark.sources.rdfxml import parse_rdfxml
+
+                spo = parse_rdfxml(
+                    spark, args.rdfxml, on_error=args.on_error
+                )
             else:
                 spo = NT.parse_ntriples(
                     spark, args.nt, on_error=args.on_error

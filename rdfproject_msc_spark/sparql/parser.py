@@ -766,6 +766,18 @@ def _normalize_term(
                 f'"{tok}"^^<http://www.w3.org/2001/XMLSchema#integer>',
             )
         return ("id", int(tok))
+    if _TERM_STYLE.get() == "lexical":
+        # the remaining §19.2 bare shorthands, normalized to the SAME
+        # canonical typed-literal text the Turtle ingest writes
+        # (sources/turtle.py read_term) so pattern constants match
+        # ingested terms byte-for-byte
+        xsd = "http://www.w3.org/2001/XMLSchema#"
+        if re.fullmatch(r"[+-]?\d*\.\d+", tok):
+            return ("term", f'"{tok}"^^<{xsd}decimal>')
+        if re.fullmatch(r"[+-]?(?:\d+\.\d*|\.?\d+)[eE][+-]?\d+", tok):
+            return ("term", f'"{tok}"^^<{xsd}double>')
+        if tok in ("true", "false"):
+            return ("term", f'"{tok}"^^<{xsd}boolean>')
     # prefixed name: expand via the declared PREFIX mapping (as Jena's
     # front-end did before normalization), then localize exactly like a
     # full IRI. Undeclared prefixes (incl. bare ':name') stay verbatim —
@@ -1293,9 +1305,13 @@ def _literal_cmp_leaf(var: str, op: str, lit_tok: str, src: str):
     return ("streq", var, v, op == "!=")
 
 
-def _parse_filter_expr(src: str):
+def _parse_filter_expr(src: str, prefixes: dict[str, str] | None = None):
     """Recursive-descent parse of a FILTER expression into the AST above.
-    Precedence (SPARQL 1.1 §17, same as C): ! > && > ||."""
+    Precedence (SPARQL 1.1 §17, same as C): ! > && > ||. ``prefixes``
+    (the query's PREFIX map) resolves prefixed-name IRI constants in
+    term-equality comparisons (`?x != :b`); callers without a prefix
+    map in scope (string-expression IF conditions) pass None and full
+    ``<iri>`` spellings still work."""
     toks = _tokenize_filter(src)
     pos = 0
 
@@ -1965,6 +1981,29 @@ def _parse_filter_expr(src: str):
                 if _DEC_RE.fullmatch(lit):
                     return ("valcmp", lhs[1:], op, "num", float(lit))
                 return _literal_cmp_leaf(lhs[1:], op, lit, src)
+            if (
+                nxt in ("=", "!=")
+                and pos + 1 < len(toks)
+                and (
+                    toks[pos + 1].startswith("<")
+                    or re.fullmatch(r"\w*:\w+", toks[pos + 1])
+                )
+            ):
+                # `?x =|!= <iri>` / `pfx:name` — TERM equality against
+                # an IRI constant (§17.4.1.7 on the id model: term
+                # identity IS id identity). Lowers to the same 'streq'
+                # leaf as literal term equality — the planner resolves
+                # the canonical term text to its id with the bounded
+                # dictionary lookup, so the comparison runs as a plain
+                # id equi-filter, never a string scan.
+                op = take()
+                slot = _normalize_term(take(), prefixes)
+                if slot[0] != "term":
+                    raise SparqlSyntaxError(
+                        f"bad FILTER expression {src!r}: expected an "
+                        "IRI constant after the comparison"
+                    )
+                return ("streq", lhs[1:], slot[1], op == "!=")
             if nxt is not None and nxt.lower() == "in":
                 take()
                 return in_list(lhs[1:], negated=False)
@@ -2564,17 +2603,61 @@ def _parse_patterns(
     cur: list[str] = []
 
     def _flush() -> None:
+        """Statement flush. Predicate-object lists (`;`) and object
+        lists (`,`) — the grammar's PropertyListNotEmpty / ObjectList
+        abbreviations — expand here into plain triples sharing the
+        subject (and predicate); each expanded triple then runs the
+        single-triple logic (paths, alternations, closures all work
+        in any list position, exactly as if written unabbreviated)."""
         if not cur:
             return
-        if len(cur) != 3:
-            raise SparqlSyntaxError(f"triple pattern needs 3 terms, got {cur!r}")
-        if cur[1].startswith("!"):
+        if ";" in cur or "," in cur:
+            groups: list[list[str]] = [[]]
+            for t in cur:
+                if t == ";":
+                    groups.append([])
+                else:
+                    groups[-1].append(t)
+            if len(groups[0]) < 3:
+                raise SparqlSyntaxError(
+                    f"triple pattern needs 3 terms, got {cur!r}"
+                )
+            subj = groups[0][0]
+            trips: list[list[str]] = []
+            for gi, g in enumerate(groups):
+                if not g:
+                    continue  # a dangling ';' before '.' is legal
+                toks = g[1:] if gi == 0 else g
+                objs: list[list[str]] = [[]]
+                for t in toks[1:]:
+                    if t == ",":
+                        objs.append([])
+                    else:
+                        objs[-1].append(t)
+                if len(toks) < 2 or any(len(ob) != 1 for ob in objs):
+                    raise SparqlSyntaxError(
+                        f"malformed predicate-object list at {cur!r}"
+                    )
+                for ob in objs:
+                    trips.append([subj, toks[0], ob[0]])
+        else:
+            trips = [list(cur)]
+        for trip in trips:
+            _flush_one(trip)
+        cur.clear()
+
+    def _flush_one(trip: list[str]) -> None:
+        if len(trip) != 3:
+            raise SparqlSyntaxError(
+                f"triple pattern needs 3 terms, got {trip!r}"
+            )
+        if trip[1].startswith("!"):
             # negated property set `!p` / `!(p1|p2|...)` (§9.1): one scan
             # with a NOT-IN predicate filter — no inverse/sequence/closure
             # members, constants only. A negated set COMPOSED with other
             # path operators (`!(:p)/:q`) falls through to the full path
             # AST parser below.
-            inner = cur[1][1:]
+            inner = trip[1][1:]
             if inner.startswith("(") and inner.endswith(")"):
                 inner = inner[1:-1]
             alts = inner.split("|")
@@ -2586,33 +2669,31 @@ def _parse_patterns(
                 for a in alts
             ):
                 if paths is not None:
-                    ast = _parse_path_expr(cur[1], prefixes)
+                    ast = _parse_path_expr(trip[1], prefixes)
                     paths.append(
                         (
-                            _normalize_term(cur[0], prefixes),
+                            _normalize_term(trip[0], prefixes),
                             ast,
-                            _normalize_term(cur[2], prefixes),
+                            _normalize_term(trip[2], prefixes),
                         )
                     )
-                    cur.clear()
                     return
                 raise SparqlSyntaxError(
-                    f"unsupported negated property set: {cur[1]!r} "
+                    f"unsupported negated property set: {trip[1]!r} "
                     "(constant predicates only, e.g. !(:p1|:p2))"
                 )
             slots = tuple(_normalize_term(a, prefixes) for a in alts)
             patterns.append(
                 TriplePattern(
-                    _normalize_term(cur[0], prefixes),
+                    _normalize_term(trip[0], prefixes),
                     ("notin", slots),
-                    _normalize_term(cur[2], prefixes),
+                    _normalize_term(trip[2], prefixes),
                 )
             )
-            cur.clear()
             return
         cm = (
-            _CLOSURE.match(cur[1])
-            if not cur[1].startswith(('"', "<", "?", "$"))
+            _CLOSURE.match(trip[1])
+            if not trip[1].startswith(('"', "<", "?", "$"))
             else None
         )
         if cm:
@@ -2626,16 +2707,15 @@ def _parse_patterns(
                 raise SparqlSyntaxError("closure path predicate must be constant")
             closures.append(
                 (
-                    _normalize_term(cur[0], prefixes),
+                    _normalize_term(trip[0], prefixes),
                     pred,
-                    _normalize_term(cur[2], prefixes),
+                    _normalize_term(trip[2], prefixes),
                     cm.group(2),
                 )
             )
-            cur.clear()
             return
         try:
-            alternatives = _expand_path(*cur, prefixes, path_counter)
+            alternatives = _expand_path(*trip, prefixes, path_counter)
         except SparqlSyntaxError:
             # composite path the simple expansion cannot express — nested
             # parens, or a closure operator inside a sequence/alternation
@@ -2643,20 +2723,19 @@ def _parse_patterns(
             # planner compiles it to a pair relation. Raise the parse
             # error of the AST parser if the token is malformed outright.
             if paths is None or not (
-                cur[1]
-                and cur[1][0] not in "\"<?$"
-                and any(ch in _PATH_DELIMS for ch in cur[1])
+                trip[1]
+                and trip[1][0] not in "\"<?$"
+                and any(ch in _PATH_DELIMS for ch in trip[1])
             ):
                 raise
-            ast = _parse_path_expr(cur[1], prefixes)
+            ast = _parse_path_expr(trip[1], prefixes)
             paths.append(
                 (
-                    _normalize_term(cur[0], prefixes),
+                    _normalize_term(trip[0], prefixes),
                     ast,
-                    _normalize_term(cur[2], prefixes),
+                    _normalize_term(trip[2], prefixes),
                 )
             )
-            cur.clear()
             return
         if len(alternatives) == 1:
             patterns.extend(alternatives[0])
@@ -2667,7 +2746,6 @@ def _parse_patterns(
             )
         else:
             alt_blocks.append(tuple(tuple(arm) for arm in alternatives))
-        cur.clear()
 
     for tok in _TOKEN.findall(src):
         if tok == ".":
@@ -2679,7 +2757,16 @@ def _parse_patterns(
             # dots INSIDE the token (":n_-9.15") are preserved.
             tok = tok[:-1]
             terminate = True
-        if tok:
+        if tok and not tok.startswith(('"', "<")) and (
+            ";" in tok or "," in tok
+        ):
+            # separators glued to bare terms ("?title;" / ":a,:b") —
+            # quoted literals and <iri>s may legally CONTAIN these
+            # characters and are excluded above
+            for piece in re.split(r"([;,])", tok):
+                if piece:
+                    cur.append(piece)
+        elif tok:
             cur.append(tok)
         if terminate:
             _flush()
@@ -2944,11 +3031,13 @@ def _parse_group(
                     if j3 < len(src) and src[j3] == "(":
                         args, i = _scan_delim(src, j3, "(", ")", "FILTER")
                         filters.append(
-                            _parse_filter_expr(f"{m2.group(0)}({args})")
+                            _parse_filter_expr(
+                                f"{m2.group(0)}({args})", prefixes
+                            )
                         )
                         continue
                 inner, i = _scan_delim(src, j, "(", ")", "FILTER")
-                filters.append(_parse_filter_expr(inner))
+                filters.append(_parse_filter_expr(inner, prefixes))
                 continue
             if kw == "BIND":
                 j = _skip_ws(src, m.end())
@@ -3681,7 +3770,7 @@ def parse_sparql(
         if depth:
             raise SparqlSyntaxError("unbalanced parentheses in HAVING")
         having.append(
-            _parse_filter_expr(_lift_aggs(mods[hm.end() : i - 1]))
+            _parse_filter_expr(_lift_aggs(mods[hm.end() : i - 1]), prefixes)
         )
         mods = mods[: hm.start()] + " " + mods[i:]
     aliases = {alias for _, _, _, alias, _ in aggregates} | {

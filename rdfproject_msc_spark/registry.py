@@ -794,6 +794,93 @@ WHERE t0.p = (SELECT id FROM dict WHERE term = '<urn:placedBy>')
 """
 
 
+def rdf_ingest_rdfxml(spark, sf_dir):
+    """RDF/XML first mile (r12, sources/rdfxml.py): materialize genuine
+    MULTI-FILE RDF/XML from the base tables — row fragments build
+    JVM-side (F.concat, XML-escaped), and each writer partition wraps
+    its fragments into ONE well-formed document via an Arrow
+    ``mapInPandas`` header/footer (the same first-batch technique as
+    the Turtle ``@prefix`` prepend; per-FILE parse parallelism = the
+    partition count) — then parse per file → build the dictionary
+    distributedly → encode → sign-split layout → SPARQL with a
+    language-tagged literal → decode. The DuckDB twin recomputes the
+    join from the base tables with the same term spellings, so the
+    hash compare proves the whole XML round trip."""
+    import os
+    import tempfile
+
+    from rdfproject_msc_spark.engine import Engine
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(tempfile.gettempdir(), "rdfproject_msc_rdfxml", tag)
+
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    s = lambda c: F.col(c).cast("string")  # noqa: E731
+
+    def _xesc(col):
+        out = F.replace(col, F.lit("&"), F.lit("&amp;"))
+        out = F.replace(out, F.lit("<"), F.lit("&lt;"))
+        return F.replace(out, F.lit(">"), F.lit("&gt;"))
+
+    def _frag(*parts):
+        return F.concat(
+            *[F.lit(p) if isinstance(p, str) else p for p in parts]
+        ).alias("value")
+
+    frags = nation.select(
+        _frag('<rdf:Description rdf:about="urn:nation_', s("n_nationkey"),
+              '"><u:label xml:lang="en">', _xesc(F.col("n_name")),
+              '</u:label><u:inRegion rdf:resource="urn:region_',
+              s("n_regionkey"), '"/></rdf:Description>')
+    ).unionAll(customer.select(
+        _frag('<rdf:Description rdf:about="urn:customer_', s("c_custkey"),
+              '"><u:inNation rdf:resource="urn:nation_', s("c_nationkey"),
+              '"/></rdf:Description>')
+    ))
+
+    header = (
+        '<?xml version="1.0"?>\n'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+        ' xmlns:u="urn:v#">'
+    )
+
+    def _wrap(batches):
+        # header ALWAYS first and footer ALWAYS last, so every part
+        # file — empty partitions included — is a well-formed document
+        import pandas as pd
+
+        yield pd.DataFrame({"value": [header]})
+        yield from batches
+        yield pd.DataFrame({"value": ["</rdf:RDF>"]})
+
+    xml_dir = os.path.join(base, "xml")
+    frags.repartition(8).mapInPandas(
+        _wrap, schema="value string"
+    ).write.mode("overwrite").text(xml_dir)
+
+    eng = Engine(spark).load_triples(
+        xml_dir, fmt="rdfxml", layout="sign_split", cluster_by="s",
+        on_error="fail",
+    )
+    return eng.sparql(
+        """SELECT ?c ?r ?n WHERE {
+             ?c <urn:v#inNation> ?nat .
+             ?nat <urn:v#inRegion> ?r ;
+                  <urn:v#label> ?n .
+           }""",
+        decode=True,
+    )
+
+
+RDF_INGEST_RDFXML_SQL = """
+SELECT '<urn:customer_' || c_custkey || '>' AS c,
+       '<urn:region_' || n_regionkey || '>' AS r,
+       '"' || n_name || '"@en' AS n
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
 SPARQL_2HOP = (
     "SELECT ?c ?n WHERE { :order_1 :placedBy ?c . ?c :inNation ?n . }"
 )
@@ -3196,7 +3283,13 @@ REGISTRY: dict[str, QuerySpec] = {
     "sparql_value_order": QuerySpec(
         sparql_value_order, SPARQL_VALUE_ORDER_SQL, headline=True
     ),
-    "events_props_json": QuerySpec(events_props_json, EVENTS_PROPS_JSON_SQL),
+    # events_props_json demoted r12 (slot → rdf_ingest_rdfxml): the
+    # get_json_object extraction stays pytest-oracled in
+    # tests/test_demoted.py; JSON-props parsing also rides
+    # events_hourly_stream's payload handling
+    "rdf_ingest_rdfxml": QuerySpec(
+        rdf_ingest_rdfxml, RDF_INGEST_RDFXML_SQL, headline=True
+    ),
     # events_distinct_users demoted r5 (slot → sparql_subquery): per-group
     # DISTINCT aggregation, machinery shared with orders_rollup/tpch_q1;
     # pinned in tests/test_demoted.py (HLL error pin already lives in

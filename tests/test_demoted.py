@@ -295,3 +295,12 @@ def test_text_stats_matches_oracle(spark, sf_dir):
     assert_matches_oracle(
         R.text_stats(spark, sf_dir), R.TEXT_STATS_SQL, sf_dir
     )
+
+
+def test_events_props_json_matches_oracle(spark, sf_dir):
+    """Demoted r12 (slot → rdf_ingest_rdfxml): JVM-side JSON-props
+    extraction (get_json_object) stays driver-adjacent through the
+    streaming payload handling; this keeps the exact DuckDB twin."""
+    assert_matches_oracle(
+        R.events_props_json(spark, sf_dir), R.EVENTS_PROPS_JSON_SQL, sf_dir
+    )

@@ -95,6 +95,7 @@ FAMILY = [
     # full input), the check is that the plan shape holds and nothing
     # driver-side appears as terms grow 10×
     "rdf_ingest_nt",
+    "rdf_ingest_rdfxml",
 ]
 
 def _passage_dedup_k32(spark, sf_dir):

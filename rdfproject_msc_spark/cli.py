@@ -67,6 +67,9 @@ def main(argv: list[str] | None = None) -> int:
     p_ing.add_argument("--rdfxml", default=None,
                        help="RDF/XML file/dir (parsed per file - the "
                        "ontology-interchange format)")
+    p_ing.add_argument("--jsonld", default=None,
+                       help="JSON-LD file/dir (parsed per file - "
+                       "inline contexts only)")
     p_ing.add_argument("--out", required=True, help="store output dir")
     p_ing.add_argument("--dict-out", required=True,
                        help="dictionary parquet output dir")
@@ -512,10 +515,10 @@ def main(argv: list[str] | None = None) -> int:
         import os as _os
 
         if sum(map(bool, (args.nt, args.nq, args.ttl, args.trig,
-                          args.rdfxml))) != 1:
+                          args.rdfxml, args.jsonld))) != 1:
             raise SystemExit(
                 "ingest needs exactly one of --nt / --nq / --ttl / "
-                "--trig / --rdfxml"
+                "--trig / --rdfxml / --jsonld"
             )
         if args.dict_in and _os.path.realpath(args.dict_in) == _os.path.realpath(
             args.dict_out
@@ -540,7 +543,7 @@ def main(argv: list[str] | None = None) -> int:
         # parser is a per-file Python stage, so re-parsing per sink
         # multiplied the dominant ingest cost.
         caches: list = []
-        if args.nt or args.ttl or args.rdfxml:
+        if args.nt or args.ttl or args.rdfxml or args.jsonld:
             existing = (
                 spark.read.parquet(args.dict_in) if args.dict_in else None
             )
@@ -553,6 +556,12 @@ def main(argv: list[str] | None = None) -> int:
 
                 spo = parse_rdfxml(
                     spark, args.rdfxml, on_error=args.on_error
+                )
+            elif args.jsonld:
+                from rdfproject_msc_spark.sources.jsonld import parse_jsonld
+
+                spo = parse_jsonld(
+                    spark, args.jsonld, on_error=args.on_error
                 )
             else:
                 spo = NT.parse_ntriples(

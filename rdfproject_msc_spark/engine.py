@@ -73,14 +73,16 @@ class Engine:
         the terms encoded — sources/ntriples.py; ``negative_when`` chooses
         the Negative sign class by term, ``dict_path`` must be None),
         ``"ttl"`` (RAW Turtle — sources/turtle.py parses per file, same
-        built-dictionary contract as "nt"), or ``"rdfxml"`` (RAW RDF/XML
-        — sources/rdfxml.py, the ontology-interchange format, same
-        per-file parse and built-dictionary contract)."""
+        built-dictionary contract as "nt"), ``"rdfxml"`` (RAW RDF/XML —
+        sources/rdfxml.py, the ontology-interchange format), or
+        ``"jsonld"`` (RAW JSON-LD — sources/jsonld.py, the web-embedded
+        format; both share the per-file parse and built-dictionary
+        contract)."""
         if fmt == "text":
             df = TIO.read_triples_text(self.spark, triples_path)
         elif fmt == "parquet":
             df = TIO.read_triples_parquet(self.spark, triples_path)
-        elif fmt in ("nt", "ttl", "rdfxml"):
+        elif fmt in ("nt", "ttl", "rdfxml", "jsonld"):
             if dict_path is not None:
                 raise ValueError(
                     f"fmt={fmt!r} builds its dictionary from the data; "
@@ -94,9 +96,13 @@ class Engine:
                 from rdfproject_msc_spark.sources.turtle import (
                     ingest_turtle as _ingest,
                 )
-            else:
+            elif fmt == "rdfxml":
                 from rdfproject_msc_spark.sources.rdfxml import (
                     ingest_rdfxml as _ingest,
+                )
+            else:
+                from rdfproject_msc_spark.sources.jsonld import (
+                    ingest_jsonld as _ingest,
                 )
 
             df, dict_df = _ingest(

@@ -416,3 +416,168 @@ def ingest_rdfxml(
     if caches is not None:
         caches.append(full)
     return encode_triples(parsed, full), full
+
+
+def format_rdfxml(
+    parsed: DataFrame, prefixes: dict[str, str]
+) -> DataFrame:
+    """``(s_term, p_term, o_term)`` lexical forms → one
+    ``<rdf:Description>`` element line per SUBJECT (the inverse of
+    ``parse_rdfxml``): IRI subjects carry ``rdf:about``, blank nodes
+    ``rdf:nodeID``; IRI objects render as ``rdf:resource`` empty
+    elements, bnode objects as ``rdf:nodeID``, literals as element
+    text with ``xml:lang`` / ``rdf:datatype`` (bodies NT-unescaped
+    then XML-escaped — the one column-level unescape shared with the
+    planner's STR derivation). One shuffle (the subject groupBy); the
+    per-subject text builds in pure column expressions (no Python).
+    parse_rdfxml(write_rdfxml(g)) ≡ g.
+
+    RDF/XML's grammar requires every PROPERTY to be a QName — there is
+    no full-IRI fallback like Turtle's. Every predicate must therefore
+    match ``prefixes`` (``name → namespace``) with an NCName local
+    part; one that does not raises INSIDE the scan (codegen'd
+    ``raise_error`` — fail loudly, never emit an unparseable
+    document). rdf:type objects could compact to typed node elements;
+    they deliberately stay plain property elements (one grammar shape,
+    round-trip identical either way)."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from rdfproject_msc_spark.sparql.planner import _nt_unescape
+
+    def xesc(col, attr: bool = False):
+        out = F.replace(col, F.lit("&"), F.lit("&amp;"))
+        out = F.replace(out, F.lit("<"), F.lit("&lt;"))
+        out = F.replace(out, F.lit(">"), F.lit("&gt;"))
+        if attr:
+            out = F.replace(out, F.lit('"'), F.lit("&quot;"))
+        return out
+
+    # predicate → QName (chained constant patterns, whole-stage codegen)
+    p = F.col("p_term")
+    qname = F.lit(None).cast("string")
+    for name, iri in sorted(prefixes.items()):
+        pat = "^<" + _re.escape(iri) + r"([A-Za-z_][A-Za-z0-9_.\-]*)>$"
+        qname = F.when(
+            p.rlike(pat),
+            F.concat(F.lit(name + ":"), F.regexp_extract(p, pat, 1)),
+        ).otherwise(qname)
+    qname = F.when(qname.isNotNull(), qname).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "format_rdfxml: predicate matches no declared "
+                    "prefix + NCName (RDF/XML properties must be "
+                    "QNames): "
+                ),
+                p,
+            )
+        )
+    )
+
+    o = F.col("o_term")
+    body = F.regexp_extract(o, r'^"((?:[^"\\]|\\.)*)"', 1)
+    rest = F.regexp_replace(o, r'^"(?:[^"\\]|\\.)*"', "")
+    lang = F.regexp_extract(rest, r"^@([A-Za-z0-9\-]+)$", 1)
+    dt = F.coalesce(
+        F.nullif(F.regexp_extract(rest, r"^\^\^<(.+)>$", 1), F.lit("")),
+        F.nullif(F.regexp_extract(rest, r"^\^\^(.+)$", 1), F.lit("")),
+    )
+    obj_xml = (
+        F.when(
+            o.startswith("<"),
+            F.concat(
+                F.lit(' rdf:resource="'),
+                xesc(F.expr("substring(o_term, 2, length(o_term) - 2)"),
+                     attr=True),
+                F.lit('"/>'),
+            ),
+        )
+        .when(
+            o.startswith("_:"),
+            F.concat(
+                F.lit(' rdf:nodeID="'),
+                F.expr("substring(o_term, 3, length(o_term) - 2)"),
+                F.lit('"/>'),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.when(
+                    lang != "",
+                    F.concat(F.lit(' xml:lang="'), lang, F.lit('"')),
+                ).otherwise(F.lit("")),
+                F.when(
+                    dt.isNotNull(),
+                    F.concat(
+                        F.lit(' rdf:datatype="'), xesc(dt, attr=True),
+                        F.lit('"'),
+                    ),
+                ).otherwise(F.lit("")),
+                F.lit(">"),
+                xesc(_nt_unescape(body)),
+                F.lit("</"),
+                qname,
+                F.lit(">"),
+            )
+        )
+    )
+    el = F.concat(F.lit("<"), qname, obj_xml)
+
+    grouped = (
+        parsed.select("s_term", el.alias("el"))
+        .groupBy("s_term")
+        .agg(F.array_join(F.sort_array(F.collect_list("el")), "").alias("els"))
+    )
+    s = F.col("s_term")
+    subj_attr = F.when(
+        s.startswith("_:"),
+        F.concat(
+            F.lit('rdf:nodeID="'),
+            F.expr("substring(s_term, 3, length(s_term) - 2)"),
+            F.lit('"'),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('rdf:about="'),
+            xesc(F.expr("substring(s_term, 2, length(s_term) - 2)"),
+                 attr=True),
+            F.lit('"'),
+        )
+    )
+    return grouped.select(
+        F.concat(
+            F.lit("<rdf:Description "), subj_attr, F.lit(">"),
+            F.col("els"), F.lit("</rdf:Description>"),
+        ).alias("value")
+    )
+
+
+def write_rdfxml(
+    parsed: DataFrame, path: str, prefixes: dict[str, str]
+) -> None:
+    """Persist a triple relation as RDF/XML text: one subject element
+    per line, each part FILE wrapped into a well-formed document (the
+    ``<rdf:RDF>`` root carries the xmlns declarations — per-partition
+    header/footer via the same Arrow ``mapInPandas`` first/last-batch
+    technique as the Turtle ``@prefix`` prepend; empty partitions
+    still write a valid empty document)."""
+    lines = format_rdfxml(parsed, prefixes)
+    decls = "".join(
+        f' xmlns:{k}="{v}"' for k, v in sorted(prefixes.items())
+    )
+    header = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n<rdf:RDF '
+        'xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+        + decls + ">"
+    )
+
+    def _wrap(batches):
+        yield pd.DataFrame({"value": [header]})
+        yield from batches
+        yield pd.DataFrame({"value": ["</rdf:RDF>"]})
+
+    lines.mapInPandas(_wrap, schema="value string").write.mode(
+        "overwrite"
+    ).text(path)

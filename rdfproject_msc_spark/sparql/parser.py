@@ -219,7 +219,7 @@ _PAREN4 = r"[^()]*"
 for _ in range(10):
     _PAREN4 = r"\((?:[^()]|" + _PAREN4 + r")*\)"
 _QUERY = re.compile(
-    r"^\s*(?P<prefixes>(?:PREFIX\s+\S+\s*<[^>]*>\s*)*)"
+    r"^\s*(?P<prefixes>(?:(?:PREFIX\s+\S+\s*|BASE\s*)<[^>]*>\s*)*)"
     r"SELECT\s+(?:(?P<distinct>DISTINCT)\s+|REDUCED\s+)?"
     r"(?P<proj>\*|(?:(?:[?$]\w+|" + _PAREN4 + r")\s*)+)\s*"
     r"(?P<dataset>(?:FROM\s+(?:NAMED\s+)?\S+\s*)*)"
@@ -277,7 +277,7 @@ _HAVING_AGG = re.compile(
 )
 # ASK query form (§16.3): boolean existence of any solution
 _ASK = re.compile(
-    r"^\s*(?P<prefixes>(?:PREFIX\s+\S+\s*<[^>]*>\s*)*)"
+    r"^\s*(?P<prefixes>(?:(?:PREFIX\s+\S+\s*|BASE\s*)<[^>]*>\s*)*)"
     r"ASK\s*(?P<dataset>(?:FROM\s+(?:NAMED\s+)?\S+\s*)*)"
     r"(?:WHERE\s*)?\{(?P<bgp>.*)\}\s*$",
     re.I | re.S,
@@ -286,7 +286,7 @@ _ASK = re.compile(
 # The template is plain triples (no groups/paths — per the grammar), so its
 # braces are flat; the WHERE group may nest
 _CONSTRUCT = re.compile(
-    r"^\s*(?P<prefixes>(?:PREFIX\s+\S+\s*<[^>]*>\s*)*)"
+    r"^\s*(?P<prefixes>(?:(?:PREFIX\s+\S+\s*|BASE\s*)<[^>]*>\s*)*)"
     r"CONSTRUCT\s*\{(?P<tpl>[^{}]*)\}\s*"
     r"(?P<dataset>(?:FROM\s+(?:NAMED\s+)?\S+\s*)*)"
     r"WHERE\s*\{(?P<bgp>.*)\}"
@@ -296,18 +296,58 @@ _CONSTRUCT = re.compile(
 # DESCRIBE query form (§16.4): either constant resources (no WHERE), or
 # ONE variable scoped by a WHERE group
 _DESCRIBE_TERMS = re.compile(
-    r"^\s*(?P<prefixes>(?:PREFIX\s+\S+\s*<[^>]*>\s*)*)"
+    r"^\s*(?P<prefixes>(?:(?:PREFIX\s+\S+\s*|BASE\s*)<[^>]*>\s*)*)"
     r"DESCRIBE\s+(?P<what>[^{}]+?)\s*$",
     re.I | re.S,
 )
 _DESCRIBE_VAR = re.compile(
-    r"^\s*(?P<prefixes>(?:PREFIX\s+\S+\s*<[^>]*>\s*)*)"
+    r"^\s*(?P<prefixes>(?:(?:PREFIX\s+\S+\s*|BASE\s*)<[^>]*>\s*)*)"
     r"DESCRIBE\s+(?P<var>[?$]\w+)\s*"
     r"(?P<dataset>(?:FROM\s+(?:NAMED\s+)?\S+\s*)*)"
     r"WHERE\s*\{(?P<bgp>.*)\}\s*$",
     re.I | re.S,
 )
 _PREFIX_DECL = re.compile(r"PREFIX\s+([\w.\-]*):\s*<([^>]*)>", re.I)
+_BASE_DECL = re.compile(r"BASE\s*<([^>]*)>", re.I)
+# IRIs with a scheme are absolute — everything else resolves against
+# the prolog's BASE (when declared)
+_IRI_SCHEME = re.compile(r"[A-Za-z][A-Za-z0-9+.\-]*:")
+
+
+def _resolve_against_base(base: str, ref: str) -> str:
+    """RFC 3986 resolution that PRESERVES a trailing empty fragment —
+    ``urljoin`` drops the '#' from ``rel#``, but a namespace IRI's
+    trailing '#' is load-bearing (every localname concatenates after
+    it)."""
+    from urllib.parse import urljoin
+
+    out = urljoin(base, ref)
+    if ref.endswith("#") and not out.endswith("#"):
+        out += "#"
+    return out
+
+
+def _build_prolog_map(
+    prolog_src: str, outer: dict[str, str] | None
+) -> dict[str, str]:
+    """PREFIX declarations + the prolog's BASE (§4.1.1-2) as one map.
+    The base rides under the reserved key ``"@base"`` (never a legal
+    prefix name — prefix lookups split on ':' and cannot produce it);
+    the LAST BASE wins, and declared prefix IRIs that are themselves
+    relative resolve against it (the spec resolves each against the
+    base in force at its declaration — this subset applies the final
+    base, exact whenever a query declares at most one BASE, which the
+    grammar group here guarantees by accepting one prolog run)."""
+    out = dict(outer or {})
+    for bm in _BASE_DECL.finditer(prolog_src):
+        out["@base"] = bm.group(1)
+    base = out.get("@base")
+    for pm in _PREFIX_DECL.finditer(prolog_src):
+        iri = pm.group(2)
+        if base and not _IRI_SCHEME.match(iri):
+            iri = _resolve_against_base(base, iri)
+        out[pm.group(1)] = iri
+    return out
 _LIMIT = re.compile(r"LIMIT\s+(?P<n>\d+)", re.I)
 _OFFSET = re.compile(r"OFFSET\s+(?P<n>\d+)", re.I)
 
@@ -739,9 +779,15 @@ def _normalize_term(
             f"malformed language-tagged literal: {tok!r}"
         )
     if tok.startswith("<") and tok.endswith(">"):
+        inner = tok[1:-1]
+        base = (prefixes or {}).get("@base")
+        if base and not _IRI_SCHEME.match(inner):
+            # RFC 3986 resolution against the prolog's BASE (§4.1.1);
+            # schemed IRIs are absolute and pass through untouched
+            inner = _resolve_against_base(base, inner)
         if _TERM_STYLE.get() == "lexical":
-            return ("term", tok)  # the full '<iri>' IS the dictionary term
-        return ("term", _localize_iri(tok[1:-1]))
+            return ("term", f"<{inner}>")  # the '<iri>' IS the dictionary term
+        return ("term", _localize_iri(inner))
     if tok.startswith("_:") or tok == "[]":
         # blank nodes in a query are existential variables (§19.8 /
         # §18.1.1 RDF instance mapping): lower to hidden internal vars —
@@ -1519,10 +1565,25 @@ def _parse_filter_expr(src: str, prefixes: dict[str, str] | None = None):
                 # to its canonical dictionary text
                 slot = _normalize_term(t)
                 (ints if slot[0] == "id" else texts).append(slot[1])
+            elif t.startswith("<") or re.fullmatch(r"\w*:\w+", t):
+                # IRI constants (r12): `?x IN (:a, <http://…/b>)` is the
+                # same term-identity test — the canonical term text
+                # resolves to its id through the bounded dictionary
+                # lookup the strin leaf already performs
+                slot = _normalize_term(t, prefixes)
+                if slot[0] == "id":
+                    ints.append(slot[1])
+                elif slot[0] == "term":
+                    texts.append(slot[1])
+                else:
+                    raise SparqlSyntaxError(
+                        f"bad FILTER expression {src!r}: IN lists take "
+                        f"constants, got {t!r}"
+                    )
             else:
                 raise SparqlSyntaxError(
                     f"bad FILTER expression {src!r}: IN lists take "
-                    f"integer or string constants, got {t!r}"
+                    f"integer, string, or IRI constants, got {t!r}"
                 )
             t = take()
             if t == ")":
@@ -3298,10 +3359,7 @@ def parse_sparql(
     if dt:
         # DESCRIBE with constant resources, no WHERE: short-circuit — the
         # plan is a single filtered scan, no pattern machinery involved
-        prefixes = {
-            pm.group(1): pm.group(2)
-            for pm in _PREFIX_DECL.finditer(dt.group("prefixes"))
-        }
+        prefixes = _build_prolog_map(dt.group("prefixes"), None)
         slots = tuple(
             _normalize_term(t, prefixes)
             for t in _TOKEN.findall(dt.group("what"))
@@ -3317,7 +3375,9 @@ def parse_sparql(
             projection=None,
             describe_terms=slots,
             term_style=_TERM_STYLE.get(),
-            prefixes=tuple(sorted(prefixes.items())),
+            prefixes=tuple(
+            sorted((k, v) for k, v in prefixes.items() if k != "@base")
+        ),
         )
     am = _ASK.match(query)
     cm = _CONSTRUCT.match(query) if not am else None
@@ -3361,11 +3421,7 @@ def parse_sparql(
         dataset_src = m.group("dataset") or ""
         bgp_src, end = _scan_delim(query, m.end(), "{", "}", "WHERE group")
         mods_src = query[end:]
-    prefixes = dict(outer_prefixes or {})
-    prefixes.update(
-        (pm.group(1), pm.group(2))
-        for pm in _PREFIX_DECL.finditer(prefixes_src)
-    )
+    prefixes = _build_prolog_map(prefixes_src, outer_prefixes)
     # dataset clauses (§13.2): FROM / FROM NAMED graph IRIs normalize
     # exactly like pattern constants (localized ':name' terms or ids)
     dataset_default: list[tuple[str, object]] = []
@@ -4072,5 +4128,7 @@ def parse_sparql(
         dataset_default=tuple(dataset_default),
         dataset_named=tuple(dataset_named),
         term_style=_TERM_STYLE.get(),
-        prefixes=tuple(sorted(prefixes.items())),
+        prefixes=tuple(
+            sorted((k, v) for k, v in prefixes.items() if k != "@base")
+        ),
     )

@@ -240,3 +240,39 @@ def test_cli_ingest_rdfxml(spark, tmp_path):
         f"SELECT ?o WHERE {{ <{EX}alice> <{EX}knows> ?o }}", decode=True
     ).collect()
     assert [r["o"] for r in rows] == [f"<{EX}bob>"]
+
+
+def test_format_write_round_trip(spark, tmp_path):
+    """The write half (r12, format_rdfxml/write_rdfxml):
+    parse_rdfxml(write_rdfxml(g)) ≡ g — IRI/bnode subjects and
+    objects, lang and typed literals, escaped bodies, XML-special
+    characters; each part file a well-formed document."""
+    from rdfproject_msc_spark.sources.rdfxml import write_rdfxml
+
+    nt = tmp_path / "g.nt"
+    nt.write_text(
+        f'<{EX}a> <{EX}name> "Al<ice> & \\"co\\"\\nok" .\n'
+        f'<{EX}a> <{EX}label> "hi"@en .\n'
+        f'<{EX}a> <{EX}age> "30"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+        f'<{EX}a> <{EX}knows> _:b1 .\n'
+        f'_:b1 <{EX}name> "Bob" .\n'
+        f'<{EX}a> <{RDF}type> <{EX}Person> .\n'
+    )
+    g = parse_ntriples(spark, str(nt), on_error="fail")
+    out = tmp_path / "out"
+    write_rdfxml(g, str(out), prefixes={"ex": EX, "r": RDF})
+    back = parse_rdfxml(spark, str(out), on_error="fail")
+    assert _rel(back) == _rel(g)
+
+
+def test_format_rdfxml_qname_reject(spark, tmp_path):
+    """RDF/XML properties must be QNames — a predicate matching no
+    declared prefix raises inside the scan, never emits an
+    unparseable document."""
+    from rdfproject_msc_spark.sources.rdfxml import format_rdfxml
+
+    nt = tmp_path / "g.nt"
+    nt.write_text(f"<{EX}a> <http://other.org/p> <{EX}b> .\n")
+    g = parse_ntriples(spark, str(nt), on_error="fail")
+    with pytest.raises(Exception, match="matches no declared prefix"):
+        format_rdfxml(g, prefixes={"ex": EX}).collect()

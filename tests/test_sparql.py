@@ -1865,7 +1865,7 @@ def test_filter_in_and_not_in(tiny_store, tiny_dict):
         tiny_dict,
     )
     assert sorted((r.s, r.o) for r in df.collect()) == [(-5, 1), (2, 2)]
-    with pytest.raises(SparqlSyntaxError, match="integer or string constants"):
+    with pytest.raises(SparqlSyntaxError, match="integer, string, or IRI constants"):
         parse_sparql("SELECT ?x WHERE { ?x :p ?y . FILTER(?y IN (?x)) }")
 
 

@@ -233,9 +233,11 @@ def _parse_manifest_text(text: str, base_dir: str) -> list[dict]:
         name_lit = one(node, f"{MF}name") or '""'
         action = one(node, f"{MF}action")
         query = data = None
+        graph_data: list[str] = []
         if action and action.startswith("_:"):
             query = one(action, f"{QT}query")
             data = one(action, f"{QT}data")
+            graph_data = spo.get((action, f"<{QT}graphData>"), [])
         else:
             query = action  # syntax tests: the action IS the query file
         result = one(node, f"{MF}result")
@@ -256,6 +258,10 @@ def _parse_manifest_text(text: str, base_dir: str) -> list[dict]:
                 name=name_lit.strip('"'),
                 query=rel(query),
                 data=rel(data),
+                # (path, graph-name-as-written) pairs: the official
+                # suites name each graph by its source IRI — here the
+                # manifest-relative spelling, which the queries use
+                graph_data=[(rel(g), g) for g in graph_data],
                 result=rel(result),
                 suite=os.path.basename(base_dir),
             )
@@ -388,16 +394,57 @@ def _solset(solutions, ordered: bool):
 
 @pytest.fixture(scope="module")
 def w3c_engines(spark):
-    """One lexical-store Engine per distinct data file (ingested once
-    through the raw-Turtle first mile)."""
-    cache: dict[str, Engine] = {}
+    """One lexical-store Engine per distinct dataset (ingested once
+    through the raw-Turtle first mile). ``qt:graphData`` entries build
+    a QUAD store through the shared encode back half
+    (ntriples.encode_quad_relation — one dictionary over every term
+    including graph labels), each graph named by its manifest-relative
+    IRI exactly as the queries spell it."""
+    cache: dict = {}
 
-    def get(data_path: str) -> Engine:
-        if data_path not in cache:
-            cache[data_path] = Engine(spark).load_triples(
+    def get(data_path: str | None, graph_data: tuple = ()) -> Engine:
+        key = (data_path, tuple(graph_data))
+        if key in cache:
+            return cache[key]
+        if not graph_data:
+            cache[key] = Engine(spark).load_triples(
                 data_path, fmt="ttl", on_error="fail"
             )
-        return cache[data_path]
+            return cache[key]
+        from pyspark.sql import functions as F
+
+        from rdfproject_msc_spark.dictionary import Dictionary
+        from rdfproject_msc_spark.sources import ntriples as NT
+        from rdfproject_msc_spark.sources.turtle import parse_turtle
+        from rdfproject_msc_spark.store import TripleStore
+
+        parts = []
+        if data_path:
+            parts.append(
+                parse_turtle(spark, data_path, on_error="fail").select(
+                    F.lit(None).cast("string").alias("g_term"),
+                    "s_term", "p_term", "o_term",
+                )
+            )
+        for gpath, gname in graph_data:
+            parts.append(
+                parse_turtle(spark, gpath, on_error="fail").select(
+                    F.lit(gname).alias("g_term"),
+                    "s_term", "p_term", "o_term",
+                )
+            )
+        parsed = parts[0]
+        for p in parts[1:]:
+            parsed = parsed.unionAll(p)
+        triples, quads, d = NT.encode_quad_relation(parsed)
+        eng = Engine(spark)
+        eng.store = TripleStore(triples, layout="single")
+        eng.store.attach_quads(quads)
+        eng.store.register(spark, "w3c_graph_table")
+        eng.dictionary = Dictionary(d, broadcast_hint=False)
+        eng.term_style = "lexical"
+        cache[key] = eng
+        return eng
 
     return get
 
@@ -420,7 +467,7 @@ def test_w3c(entry, spark, w3c_engines):
     assert etype.endswith("QueryEvaluationTest>"), f"unknown type {etype}"
 
     query = _read(entry["query"])
-    eng = w3c_engines(entry["data"])
+    eng = w3c_engines(entry["data"], tuple(entry.get("graph_data") or ()))
     if entry["id"] in REJECTS:
         with pytest.raises(Exception, match=REJECTS[entry["id"]]):
             eng.sparql(query, decode=True, strict_terms=False).collect()

@@ -44,6 +44,8 @@ W3C_DIR = os.path.join(os.path.dirname(__file__), "w3c")
 
 MF = "http://www.w3.org/2001/sw/DataAccess/tests/test-manifest#"
 QT = "http://www.w3.org/2001/sw/DataAccess/tests/test-query#"
+UT = "http://www.w3.org/2009/sparql/tests/test-update#"
+RDFS = "http://www.w3.org/2000/01/rdf-schema#"
 RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 XSD = "http://www.w3.org/2001/XMLSchema#"
 SRX = "http://www.w3.org/2005/sparql-results#"
@@ -235,12 +237,41 @@ def _parse_manifest_text(text: str, base_dir: str) -> list[dict]:
         query = data = None
         graph_data: list[str] = []
         if action and action.startswith("_:"):
-            query = one(action, f"{QT}query")
-            data = one(action, f"{QT}data")
-            graph_data = spo.get((action, f"<{QT}graphData>"), [])
+            query = one(action, f"{QT}query") or one(action, f"{UT}request")
+            data = one(action, f"{QT}data") or one(action, f"{UT}data")
+            # (file-term, graph-name-term) pairs: query-vocabulary
+            # graphs are named by their source IRI as written;
+            # update-vocabulary ut:graphData is a bnode carrying
+            # ut:graph <file> + rdfs:label "name"
+            graph_data = [
+                (g, g) for g in spo.get((action, f"<{QT}graphData>"), [])
+            ]
+            for gd in spo.get((action, f"<{UT}graphData>"), []):
+                graph_data.append(
+                    (
+                        one(gd, f"{UT}graph"),
+                        "<" + (one(gd, f"{RDFS}label") or '""').strip('"')
+                        + ">",
+                    )
+                )
         else:
             query = action  # syntax tests: the action IS the query file
         result = one(node, f"{MF}result")
+        result_data = None
+        result_graphs: list[tuple] = []
+        if result is not None and result.startswith("_:"):
+            # UpdateEvaluationTest: the result is the POST state — a
+            # default graph and/or named graphs
+            result_data = one(result, f"{UT}data")
+            for gd in spo.get((result, f"<{UT}graphData>"), []):
+                result_graphs.append(
+                    (
+                        one(gd, f"{UT}graph"),
+                        "<" + (one(gd, f"{RDFS}label") or '""').strip('"')
+                        + ">",
+                    )
+                )
+            result = None
 
         def rel(term):
             if term is None or not term.startswith("<"):
@@ -258,11 +289,14 @@ def _parse_manifest_text(text: str, base_dir: str) -> list[dict]:
                 name=name_lit.strip('"'),
                 query=rel(query),
                 data=rel(data),
-                # (path, graph-name-as-written) pairs: the official
-                # suites name each graph by its source IRI — here the
-                # manifest-relative spelling, which the queries use
-                graph_data=[(rel(g), g) for g in graph_data],
+                # (path, graph-name-as-written) pairs — the spelling
+                # the queries/requests use
+                graph_data=[(rel(g), name) for g, name in graph_data],
                 result=rel(result),
+                result_data=rel(result_data),
+                result_graphs=[
+                    (rel(g), name) for g, name in result_graphs
+                ],
                 suite=os.path.basename(base_dir),
             )
         )
@@ -402,15 +436,22 @@ def w3c_engines(spark):
     IRI exactly as the queries spell it."""
     cache: dict = {}
 
-    def get(data_path: str | None, graph_data: tuple = ()) -> Engine:
+    def get(
+        data_path: str | None, graph_data: tuple = (), fresh: bool = False
+    ) -> Engine:
+        """``fresh=True`` bypasses the cache — update tests MUTATE
+        their engine (copy-on-write store swap), so each gets its
+        own."""
         key = (data_path, tuple(graph_data))
-        if key in cache:
+        if not fresh and key in cache:
             return cache[key]
         if not graph_data:
-            cache[key] = Engine(spark).load_triples(
+            eng = Engine(spark).load_triples(
                 data_path, fmt="ttl", on_error="fail"
             )
-            return cache[key]
+            if not fresh:
+                cache[key] = eng
+            return eng
         from pyspark.sql import functions as F
 
         from rdfproject_msc_spark.dictionary import Dictionary
@@ -443,7 +484,8 @@ def w3c_engines(spark):
         eng.store.register(spark, "w3c_graph_table")
         eng.dictionary = Dictionary(d, broadcast_hint=False)
         eng.term_style = "lexical"
-        cache[key] = eng
+        if not fresh:
+            cache[key] = eng
         return eng
 
     return get
@@ -463,6 +505,48 @@ def test_w3c(entry, spark, w3c_engines):
     if etype.endswith(("NegativeSyntaxTest>", "NegativeSyntaxTest11>")):
         with pytest.raises(Exception):
             parse_sparql(_read(entry["query"]), term_style="lexical")
+        return
+    if etype.endswith("UpdateEvaluationTest>"):
+        # the POST state is the assertion: apply the request to a
+        # FRESH engine, then compare each specified graph (default +
+        # named) against its expected document
+        from rdfproject_msc_spark.sources.turtle import parse_turtle
+
+        eng = w3c_engines(
+            entry["data"], tuple(entry.get("graph_data") or ()), fresh=True
+        )
+        eng.update(_read(entry["query"]))
+
+        def graph_rows(df, cols=("s", "p", "o")):
+            return [
+                {k: _norm(r[c]) for k, c in zip("spo", cols)}
+                for r in df.collect()
+            ]
+
+        def expected_rows(path):
+            return graph_rows(
+                parse_turtle(spark, path, on_error="fail"),
+                cols=("s_term", "p_term", "o_term"),
+            )
+
+        assert entry["result_data"], "update entries specify ut:data"
+        got = graph_rows(
+            eng.sparql("SELECT ?s ?p ?o WHERE { ?s ?p ?o }", decode=True)
+        )
+        assert _solset(got, False) == _solset(
+            expected_rows(entry["result_data"]), False
+        )
+        for gpath, gname in entry.get("result_graphs") or ():
+            got = graph_rows(
+                eng.sparql(
+                    f"SELECT ?s ?p ?o WHERE {{ GRAPH {gname} "
+                    "{ ?s ?p ?o } }",
+                    decode=True,
+                )
+            )
+            assert _solset(got, False) == _solset(
+                expected_rows(gpath), False
+            ), f"graph {gname} mismatch"
         return
     assert etype.endswith("QueryEvaluationTest>"), f"unknown type {etype}"
 

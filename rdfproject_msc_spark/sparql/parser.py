@@ -293,6 +293,17 @@ _CONSTRUCT = re.compile(
     r"\s*(?P<mods>[^{}]*?)\s*$",
     re.I | re.S,
 )
+# the §16.2.4 short form `CONSTRUCT WHERE { triples }`: template ≡
+# pattern — the grammar restricts the WHERE to a plain TriplesTemplate
+# (no FILTER/OPTIONAL/paths), which the template parser enforces
+_CONSTRUCT_WHERE = re.compile(
+    r"^\s*(?P<prefixes>(?:(?:PREFIX\s+\S+\s*|BASE\s*)<[^>]*>\s*)*)"
+    r"CONSTRUCT\s*"
+    r"(?P<dataset>(?:FROM\s+(?:NAMED\s+)?\S+\s*)*)"
+    r"WHERE\s*\{(?P<bgp>[^{}]*)\}"
+    r"\s*(?P<mods>[^{}]*?)\s*$",
+    re.I | re.S,
+)
 # DESCRIBE query form (§16.4): either constant resources (no WHERE), or
 # ONE variable scoped by a WHERE group
 _DESCRIBE_TERMS = re.compile(
@@ -3381,6 +3392,7 @@ def parse_sparql(
         )
     am = _ASK.match(query)
     cm = _CONSTRUCT.match(query) if not am else None
+    cw = _CONSTRUCT_WHERE.match(query) if not (am or cm) else None
     if dv:
         describe_var = dv.group("var")[1:]
         prefixes_src, bgp_src = dv.group("prefixes"), dv.group("bgp")
@@ -3393,19 +3405,41 @@ def parse_sparql(
         prefixes_src, bgp_src = am.group("prefixes"), am.group("bgp")
         proj_src, distinct_src, mods_src = "*", None, ""
         dataset_src = am.group("dataset") or ""
-    elif cm:
+    elif cm or cw:
         # CONSTRUCT (§16.2): the template parses after PREFIX resolution;
         # solution modifiers are rejected (the output graph is a set —
-        # ordering/slicing solutions would be invisible in it)
-        if cm.group("mods").strip():
+        # ordering/slicing solutions would be invisible in it). The
+        # §16.2.4 short form CONSTRUCT WHERE { triples } reuses the
+        # WHERE text as the template verbatim.
+        m_c = cm or cw
+        if m_c.group("mods").strip():
             raise SparqlSyntaxError(
                 "CONSTRUCT does not take solution modifiers: "
-                f"{cm.group('mods').strip()!r}"
+                f"{m_c.group('mods').strip()!r}"
             )
-        tpl_src = cm.group("tpl")
-        prefixes_src, bgp_src = cm.group("prefixes"), cm.group("bgp")
+        if cw:
+            # §16.2.4 restricts the short form's WHERE to a plain
+            # TriplesTemplate — group keywords reject loudly (TOKEN
+            # scan, not a text sniff: keywords inside <iri>s or
+            # literals never trigger)
+            bad = [
+                t
+                for t in _TOKEN.findall(cw.group("bgp"))
+                if not t.startswith(('"', "<"))
+                and t.split("(")[0].upper()
+                in ("FILTER", "OPTIONAL", "MINUS", "UNION", "GRAPH",
+                    "BIND", "VALUES", "SELECT", "SERVICE")
+            ]
+            if bad:
+                raise SparqlSyntaxError(
+                    f"CONSTRUCT WHERE takes a plain triples template "
+                    f"(§16.2.4), got {bad[0]!r} — use the full "
+                    "CONSTRUCT { template } WHERE { patterns } form"
+                )
+        tpl_src = cm.group("tpl") if cm else cw.group("bgp")
+        prefixes_src, bgp_src = m_c.group("prefixes"), m_c.group("bgp")
         proj_src, distinct_src, mods_src = "*", None, ""
-        dataset_src = cm.group("dataset") or ""
+        dataset_src = m_c.group("dataset") or ""
     else:
         m = _QUERY.match(query)
         if not m:

@@ -14,9 +14,13 @@ corpus-FIRST occurrence (min (doc_id, position) — an associative
 aggregate with map-side combine, ONE data shuffle; deliberately NOT a
 window: a passage duplicated across millions of documents is exactly
 the hot key that serializes a window partition at 100 TB), and
-documents reassemble from their surviving passages (one doc_id-keyed
-shuffle). Total: the explode is pipeline-local, 3 keyed shuffles, no
-all-pairs, no windows, no Python.
+documents reassemble from the SURVIVOR rows of that aggregate alone
+(one doc_id-keyed shuffle of the deduplicated passages — the full
+chunk relation is never joined back or shuffled a second time; per-doc
+totals come from the document row itself, so dropped counts are
+totals minus survivors). Total: the explode is pipeline-local, 2 data
+shuffles + a per-document-row join, no all-pairs, no windows, no
+Python.
 
 Determinism: "first occurrence" is ordered by (doc_id, position) —
 stable under re-partitioning and re-runs, unlike keep-any-one.
@@ -61,26 +65,39 @@ def passage_dedup(
     first = chunks.groupBy("__passage").agg(
         F.min(F.struct("__did", "__idx")).alias("__first")
     )
-    kept = chunks.join(first, "__passage").withColumn(
-        "__keep",
-        F.struct("__did", "__idx") == F.col("__first"),
+    # the SURVIVORS are exactly the rows of `first` — no join back onto
+    # the full chunk relation (which would re-shuffle every chunk of
+    # every document a second time just to mark the losers): reassembly
+    # aggregates the survivor rows alone, and the per-document totals
+    # come straight from the document row (n_chunks is a per-row
+    # expression), so dropped counts are totals minus survivors.
+    surv = first.select(
+        F.col("__first.__did").alias("__did"),
+        F.col("__first.__idx").alias("__idx"),
+        "__passage",
     )
-    # reassemble: collect_list skips the NULLed dropped passages; the
-    # array_sort on (idx, passage) structs restores document order
+    # reassemble: array_sort on (idx, passage) structs restores document
+    # order over the surviving passages only
     surviving = F.transform(
-        F.array_sort(
-            F.collect_list(
-                F.when(F.col("__keep"), F.struct("__idx", "__passage"))
-            )
-        ),
+        F.array_sort(F.collect_list(F.struct("__idx", "__passage"))),
         lambda s: s["__passage"],
     )
-    return (
-        kept.groupBy("__did")
-        .agg(
-            F.array_join(surviving, " ").alias(text_col),
-            F.count("*").alias("n_passages"),
-            F.count(F.when(~F.col("__keep"), 1)).alias("n_dropped"),
-        )
-        .withColumnRenamed("__did", id_col)
+    surv_agg = surv.groupBy("__did").agg(
+        F.array_join(surviving, " ").alias("__text"),
+        F.count("*").alias("__n_kept"),
+    )
+    # one row per document that produced >= 1 chunk (split() never yields
+    # an empty array, so only NULL text is excluded — matching posexplode)
+    totals = docs.select(
+        F.col(id_col).alias("__did"), n_chunks.cast("long").alias("__n")
+    ).filter(F.col("__n") >= 1)
+    return totals.join(surv_agg, "__did", "left").select(
+        F.col("__did").alias(id_col),
+        # a document whose every passage is elsewhere-first has no
+        # survivor rows at all — it reassembles to the empty string
+        F.coalesce(F.col("__text"), F.lit("")).alias(text_col),
+        F.col("__n").alias("n_passages"),
+        (F.col("__n") - F.coalesce(F.col("__n_kept"), F.lit(0))).alias(
+            "n_dropped"
+        ),
     )

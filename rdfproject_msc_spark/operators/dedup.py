@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import pandas as pd  # module-level: pandas_udf type-hint resolution needs it
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -28,23 +28,31 @@ def exact_dedup(
 ) -> DataFrame:
     """Keep one representative (min id) per distinct content value.
 
-    Returns all original columns of the surviving rows. The window partitions
-    on (xxhash64(content), length(content)) — a 16-byte sort/partition key —
+    Returns all original columns of the surviving rows. Groups on
+    (xxhash64(content), length(content)) — a 16-byte leading grouping key —
     with a final exact guard on the content itself: within a hash group, rows
-    whose content differs from the min-id row's content are NOT merged (they
-    re-window on content), so the result equals GROUP BY content bit-for-bit
-    even under hash collisions, while the common case never compares full
-    text in the shuffle comparator.
+    whose content differs are NOT merged (content is part of the key), so the
+    result equals GROUP BY content bit-for-bit even under hash collisions,
+    while the common case never compares full text in the shuffle comparator.
+
+    The survivor row is a ``min_by`` AGGREGATE (was a row_number window until
+    r12): partial aggregation combines duplicates map-side, so a text
+    duplicated a million times ships ONE row per map task instead of a
+    million rows into one sorted window partition — the same hot-key
+    argument as ``passages.passage_dedup``, and it removes the window's
+    per-partition sort outright.
     """
-    hkey = [F.xxhash64(F.col(content_col)), F.length(F.col(content_col))]
-    # Within a (hash, len) group, content is equal except on a collision;
-    # adding content_col as a final partition key resolves collisions exactly
-    # and costs nothing extra when the prefix key already separates rows.
-    w = Window.partitionBy(*hkey, F.col(content_col)).orderBy(id_col)
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    row = F.struct(*[F.col(c) for c in df.columns])
+    keep = (
+        df.groupBy(
+            F.xxhash64(F.col(content_col)).alias("__h"),
+            F.length(F.col(content_col)).alias("__l"),
+            F.col(content_col).alias("__c"),
+        )
+        .agg(F.min_by(row, F.col(id_col)).alias("__row"))
+    )
+    return keep.select(
+        *[F.col("__row").getField(c).alias(c) for c in df.columns]
     )
 
 
@@ -235,16 +243,24 @@ def minhash_signatures(
     )
 
 
-def _md5_nibbles(col: Column) -> list[Column]:
-    """16 hex nibbles of md5(col) as ints 0-15 — every primitive here (md5,
-    substring, base-16 digit value) behaves identically in Spark and DuckDB,
-    so SimHash built on it is exactly cross-engine reproducible (unlike
-    xxhash64, which only Spark has)."""
+def _md5_bits64(col: Column) -> tuple[Column, Column]:
+    """The first 16 hex nibbles of md5(col) as two 32-bit halves — every
+    primitive here (md5, substring, base-16 conversion) behaves identically
+    in Spark and DuckDB, so SimHash built on it is exactly cross-engine
+    reproducible (unlike xxhash64, which only Spark has).
+
+    Bit mapping (identical to the historical per-nibble form, which ran 16
+    ``conv`` calls per shingle instead of these 2): SimHash bit ``b`` reads
+    nibble ``15 - b//4`` (1-based digest position ``p = 16 - b//4``) at bit
+    ``b % 4``. For b < 32, p ∈ 9..16 and the 8-char substring at position 9
+    holds digit p at value-bit ``4*(16-p) + (b%4) = b``; for b >= 32, p ∈
+    1..8 and the leading 8-char substring holds it at bit ``b - 32``. So:
+    bit b = (lo32 >> b) & 1 for b < 32, (hi32 >> (b-32)) & 1 otherwise.
+    """
     digest = F.md5(col)
-    return [
-        F.conv(F.substring(digest, i + 1, 1), 16, 10).cast("int")
-        for i in range(16)
-    ]
+    lo32 = F.conv(F.substring(digest, 9, 8), 16, 10).cast("long")
+    hi32 = F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
+    return lo32, hi32
 
 
 def simhash_signatures(
@@ -271,11 +287,11 @@ def simhash_signatures(
     ex = ngram_shingles(src, content_col, id_col, n).withColumnRenamed(
         id_col, "id"
     )
-    nibs = _md5_nibbles(F.col("shingle"))
+    lo32, hi32 = _md5_bits64(F.col("shingle"))
     contribs = []
     for b in range(64):
-        nib = nibs[15 - b // 4]  # low-order hex digit carries bits 0-3
-        bit = F.shiftright(nib, b % 4).bitwiseAND(F.lit(1))
+        half = lo32 if b < 32 else hi32  # see _md5_bits64 bit mapping
+        bit = F.shiftright(half, b % 32).bitwiseAND(F.lit(1))
         contribs.append(F.sum(bit * 2 - 1).alias(f"c{b}"))
     sums = ex.groupBy("id").agg(*contribs)
     lo = sum(

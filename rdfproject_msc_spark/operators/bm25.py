@@ -67,15 +67,27 @@ def bm25_topk(
     terms = _query_terms(query)
     if not terms:
         raise ValueError("BM25 query has no tokens after normalization")
-    toks = _norm_tokens(F.col(text_col))
+    # materialize the token array ONCE per row behind a projection
+    # boundary: `toks` is referenced 1 + |terms| times below, and
+    # CollapseProject keeps a multiply-referenced non-cheap alias as its
+    # own projection — inlining _norm_tokens into every tf column would
+    # re-run the regexp+split+filter per query term per row.
+    tokd = docs.select(
+        F.col(id_col), _norm_tokens(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
 
     def _tf(qt: str):
-        # single-param lambda ONLY: a second parameter would make
-        # F.filter pass the element INDEX into it
-        return F.size(F.filter(toks, lambda t: t == F.lit(qt)))
+        # counted as size(toks) - size(array_remove(toks, qt)): both
+        # sides are plain collection expressions that run in whole-stage
+        # codegen, where the earlier F.filter(toks, ==) higher-order form
+        # was interpreted per element per query term (guide §4.1 —
+        # built-ins over HOFs). Identical counts: array_remove drops
+        # exactly the elements equal to qt.
+        return F.size(toks) - F.size(F.array_remove(toks, qt))
 
     tf_cols = [_tf(qt).alias(f"tf_{i}") for i, qt in enumerate(terms)]
-    per_doc = docs.select(F.col(id_col), F.size(toks).alias("dl"), *tf_cols)
+    per_doc = tokd.select(F.col(id_col), F.size(toks).alias("dl"), *tf_cols)
 
     # stats pass: one partial-aggregated reduction → a single driver row
     # (bounded by |query| columns, never by data size)

@@ -122,6 +122,32 @@ def dsir_log_ratios(
     )
 
 
+def dsir_fit(
+    raw: DataFrame,
+    target: DataFrame,
+    *,
+    n_buckets: int = 10_000,
+    text_col: str = "text",
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Fit the model ONCE and return the bounded (bucket, log_ratio)
+    table as a LOCAL relation (``n_buckets`` rows collected to the
+    driver, exactly like the Bloom filter's bit array, the k-means
+    centroid table and the classifier's weight vector — bounded by a
+    parameter, never by data).
+
+    ``dsir_log_ratios`` alone stays lazy, so every action over a plan
+    built on it re-runs BOTH corpus-wide bucket-count fits; scoring many
+    batches (or benchmarking the scorer) against the same model should
+    fit once and reuse. The collected doubles round-trip exactly, so
+    scores are bit-identical to the lazy-fit plan."""
+    lr = dsir_log_ratios(
+        raw, target, n_buckets=n_buckets, text_col=text_col,
+        smoothing=smoothing,
+    )
+    return raw.sparkSession.createDataFrame(lr.collect(), lr.schema)
+
+
 def dsir_weights(
     raw: DataFrame,
     target: DataFrame,

@@ -565,9 +565,11 @@ def sparql_lexical_str(spark, sf_dir):
     nt_dir = os.path.join(base, "nt")
     lines.write.mode("overwrite").text(nt_dir)
 
-    eng = Engine(spark).load_triples(
-        nt_dir, fmt="nt", layout="sign_split", cluster_by="s"
-    )
+    # no cluster_by: range-clustering pays off on a PERSISTED layout
+    # (row-group skipping — rdf_layout_matrix); for this in-memory
+    # lifecycle it would add a range Exchange + sort that the very next
+    # hash join re-partitions away (guide §2.4, measured r12)
+    eng = Engine(spark).load_triples(nt_dir, fmt="nt", layout="sign_split")
     out = eng.sparql(
         """SELECT ?s ?v WHERE {
              { ?s <urn:label> ?x .
@@ -633,9 +635,8 @@ def sparql_value_order(spark, sf_dir):
     nt_dir = os.path.join(base, "nt")
     lines.write.mode("overwrite").text(nt_dir)
 
-    eng = Engine(spark).load_triples(
-        nt_dir, fmt="nt", layout="sign_split", cluster_by="s"
-    )
+    # no cluster_by — in-memory lifecycle; see sparql_lexical_str
+    eng = Engine(spark).load_triples(nt_dir, fmt="nt", layout="sign_split")
     return eng.sparql(
         """SELECT ?s ?v WHERE {
              { ?s <urn:acct> ?v . FILTER(?v * 2 >= 9000) }
@@ -723,7 +724,7 @@ def rdf_ingest_nt(spark, sf_dir):
         nt_dir,
         fmt="nt",
         layout="sign_split",
-        cluster_by="s",
+        # no cluster_by — in-memory lifecycle; see sparql_lexical_str
         negative_when=F.col("term").startswith("<urn:event_"),
     )
     ids = eng.dictionary.encode_terms(
@@ -860,7 +861,8 @@ def rdf_ingest_rdfxml(spark, sf_dir):
     ).write.mode("overwrite").text(xml_dir)
 
     eng = Engine(spark).load_triples(
-        xml_dir, fmt="rdfxml", layout="sign_split", cluster_by="s",
+        xml_dir, fmt="rdfxml", layout="sign_split",
+        # no cluster_by — in-memory lifecycle; see sparql_lexical_str
         on_error="fail",
     )
     return eng.sparql(
@@ -2596,7 +2598,13 @@ def dsir_weights(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").repartition(64)
     target = docs.filter(F.col("doc_id") % 13 == 0)
     raw = docs.filter(F.col("doc_id") % 13 != 0)
-    w = dsir.dsir_weights(raw, target, n_buckets=DSIR_N_BUCKETS)
+    # fit-once: the bounded (bucket, log_ratio) model collects to a
+    # local relation (dsir.dsir_fit) so the scoring plan does not re-run
+    # both corpus-wide bucket-count fits per action — the same
+    # build-then-score split as the Bloom filter / centroid / classifier
+    # models; scores are bit-identical (doubles round-trip exactly)
+    lr = dsir.dsir_fit(raw, target, n_buckets=DSIR_N_BUCKETS)
+    w = dsir.dsir_weights(raw, target, n_buckets=DSIR_N_BUCKETS, log_ratios=lr)
     return w.select(
         "doc_id",
         "n_feats",

@@ -42,17 +42,25 @@ def exact_dedup(
     argument as ``passages.passage_dedup``, and it removes the window's
     per-partition sort outright.
     """
-    row = F.struct(*[F.col(c) for c in df.columns])
+    # the content column is already the tail of the grouping key — keep it
+    # OUT of the min_by payload struct (it would ship the text twice per
+    # shuffled row) and re-attach it from the key on the way out
+    others = [c for c in df.columns if c != content_col]
     keep = (
         df.groupBy(
             F.xxhash64(F.col(content_col)).alias("__h"),
             F.length(F.col(content_col)).alias("__l"),
             F.col(content_col).alias("__c"),
         )
-        .agg(F.min_by(row, F.col(id_col)).alias("__row"))
+        .agg(F.min_by(F.struct(*others), F.col(id_col)).alias("__row"))
     )
     return keep.select(
-        *[F.col("__row").getField(c).alias(c) for c in df.columns]
+        *[
+            F.col("__c").alias(c)
+            if c == content_col
+            else F.col("__row").getField(c).alias(c)
+            for c in df.columns
+        ]
     )
 
 

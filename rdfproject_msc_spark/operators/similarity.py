@@ -142,6 +142,11 @@ def lsh_signatures(
     ≥ 0); signature = bits packed MSB-first (plane 0 highest). Per-row, zero
     shuffle — at scale signatures are computed once and persisted."""
     sig = None
+    # HOF dots deliberately: an unrolled n_planes×dim literal expansion
+    # was A/B'd in r12 and LOST (0.48s vs 0.27s on the sf0.1 scan) — at
+    # this expression size codegen falls back to interpreted evaluation,
+    # where per-element element_at chains are slower than the HOF's
+    # tight array fold.
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     for p_comps in hyperplanes(dim, n_planes, seed):
         p = F.array(*[F.lit(c) for c in p_comps])
@@ -275,7 +280,10 @@ def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
     vn = _norm(vd)
     # try_divide: a zero vector has no defined direction — its scores
     # are NULL and so is its assignment (callers treat it as inert)
-    # instead of an ANSI divide-by-zero error
+    # instead of an ANSI divide-by-zero error.
+    # HOF dots deliberately: the k×dim literal unrolling was A/B'd in
+    # r12 and LOST 4× (codegen falls back at this expression size and
+    # interpreted element_at chains lose to the HOF array fold).
     scores = F.array(
         *[
             F.try_divide(

@@ -338,6 +338,19 @@ def simhash_pairs(
     """
     assert max_hamming <= 7, "8x8 banding guarantees recall only to hamming 7"
     sigs = simhash_signatures(df, content_col, id_col, n, min_partitions)
+    # Materialize the signature relation behind its OWN exchange (r12): the
+    # self-join consumes sigs twice, and without this the whole
+    # explode+md5+aggregate pipeline re-runs per side (only the raw-text
+    # exchange was reused — the signature agg needs no exchange of its own
+    # because the input is already id-partitioned, so nothing above the text
+    # shuffle was shared). One tiny (id, lo, hi) shuffle buys the second
+    # side a ReusedExchange of the computed signatures — guide §2.4's
+    # "share one exchange", §8's "move the lightweight proxy once".
+    sigs = (
+        sigs.repartition(min_partitions, "id")
+        if min_partitions
+        else sigs.repartition("id")
+    )
     bands = []
     for b in range(8):
         half = F.col("lo") if b < 4 else F.col("hi")
@@ -396,11 +409,25 @@ def _lsh_band_rows(
         # onto the scan partitions.
         src = src.repartition(min_partitions, "id")
     sh = shingle_sets(src, content_col, "id", n)
-    hs = sh.select(
-        "id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs")
-    )
     sig_udf = _minhash_sig_udf(n_hashes, seed)
-    sigs = hs.select("id", sig_udf(F.col("hs")).alias("sig"))
+    sigs = sh.select(
+        "id",
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs"),
+    ).select("id", "hs", sig_udf(F.col("hs")).alias("sig"))
+    # Materialize (id, hs, sig) behind ONE exchange (r12): every LSH caller
+    # consumes this relation 3-4 times (both band sides of the candidate
+    # join, both/one verify attach), and without a materialization point the
+    # shingle+hash pipeline re-ran per consumer and the Arrow signature UDF
+    # per band side (only the raw-TEXT exchange above was reused). The
+    # shuffle payload is the hashed proxy (8-byte shingle hashes + the
+    # signature), never text — guide §2.4 "share one exchange" / §8 "move
+    # the lightweight proxy once, decide on it many times".
+    mat = (
+        sigs.repartition(min_partitions, "id")
+        if min_partitions
+        else sigs.repartition("id")
+    )
+    hs = mat.select("id", "hs")
 
     band_vals = F.array(
         *[
@@ -412,7 +439,7 @@ def _lsh_band_rows(
     # wrapping the band array in that null makes posexplode emit ZERO rows
     # for it — empty docs can never bucket together, and there is no
     # pushable filter predicate (see the repartition note above).
-    bv = sigs.select(
+    bv = mat.select(
         F.col("id"),
         F.posexplode(F.when(F.col("sig").isNotNull(), band_vals)).alias(
             "band", "band_val"

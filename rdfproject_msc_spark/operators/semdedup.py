@@ -108,10 +108,24 @@ def semantic_dedup(
     # it, so keep the HOF fallback above 256.
     expand = dim <= 256
     if expand:
-        sides = assigned.select(
+        # materialize the unit array ONCE per row (r12): `unit` is a nested
+        # transform (cast + try_divide over a norm aggregate) and extracting
+        # `unit[i]` for all `dim` columns in one projection re-evaluated the
+        # whole interpreted HOF tree per extracted element — dim × (2·dim
+        # element ops + the norm fold) per row per side. Aliasing it first
+        # keeps it a separate Project (CollapseProject never inlines a
+        # non-cheap alias referenced more than once — the bm25 tokenize-once
+        # mechanism), so each side pays one transform + dim cheap
+        # GetArrayItem extracts instead.
+        pre = assigned.select(
             F.col(id_col).alias("__sid"),
             F.col("cluster").alias("__scl"),
-            *[unit[i].alias(f"__u{i}") for i in range(dim)],
+            unit.alias("__uv"),
+        )
+        sides = pre.select(
+            "__sid",
+            "__scl",
+            *[F.col("__uv")[i].alias(f"__u{i}") for i in range(dim)],
         )
         b = sides.select(
             F.col("__sid").alias("__bid"),

@@ -16,14 +16,21 @@ Spark-first shape:
   state bounded by k×dim, never by data);
 - assignment is a per-row JVM argmax (`similarity._nearest_centroid`,
   whole-stage codegen — no Python);
-- the within-cluster comparison is a self-join ON THE CLUSTER ID: both
-  sides shuffle once on `cluster`, the join is co-partitioned, and the
-  per-task work is Σ cᵢ² over that task's clusters — SemDeDup's inherent
-  cost (the paper runs the same per-cluster quadratic on GPUs). At scale
-  k grows with the corpus (k ≈ N / target_cluster_size), holding cᵢ and
-  the per-task quadratic constant; a pathological mega-cluster is a
-  k-too-small configuration error, not a plan defect, and is the
-  documented knob.
+- the within-cluster comparison is ONE cluster-keyed shuffle of the
+  JVM-prenormalized unit vectors into a per-cluster Arrow batch, where
+  the Σ cᵢ² pair dots run as a blocked NumPy/BLAS matmul
+  (`applyInPandas`; guide §4.2's "hand whole batches to vectorized
+  native libraries" — the paper runs the same per-cluster quadratic on
+  GPUs). This replaced the r11 cluster-keyed self-join whose 64-term
+  pair dot ran interpreted in the join condition: each row now crosses
+  the wire ONCE (the join shipped both sides), and the quadratic runs
+  at BLAS rates instead of expression-tree rates (measured 2.3× at
+  sf0.1; identical outputs at every SF — see OPTIMIZATION_r12.md). At
+  scale k grows with the corpus (k ≈ N / target_cluster_size), holding
+  cᵢ and the per-task quadratic constant; a pathological mega-cluster
+  is a k-too-small configuration error, not a plan defect, and is the
+  documented knob (the matmul is row-blocked, so task memory is
+  O(block × cᵢ), never cᵢ²).
 - the keep rule is deterministic: an item drops iff SOME item with a
   SMALLER id in its cluster is ≥-threshold similar ("corpus-first", the
   same rule as exact/passage dedup — stable under re-partitioning and
@@ -31,8 +38,9 @@ Spark-first shape:
   reproducible by an oracle). Note this is pairwise domination, not
   transitive-chain dedup: a drops c only if cos(a, c) ≥ τ directly.
 
-No all-pairs, no windows, no Python rows: 2 keyed shuffles (one per
-self-join side) + the broadcast-able drop-set anti join.
+No all-pairs, no windows, no per-row Python: 1 keyed shuffle of
+(id, cluster, unit) + the broadcast-able drop-set anti join. The only
+Python is the per-cluster Arrow batch handed to NumPy.
 """
 
 from __future__ import annotations
@@ -41,7 +49,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rdfproject_msc_spark.operators.similarity import (
-    _dot,
     _nearest_centroid,
     _norm,
     kmeans_centroids,
@@ -94,72 +101,56 @@ def semantic_dedup(
     )
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     nrm = _norm(vd)
-    # pre-normalize so the join condition is a single dot product;
-    # try_divide keeps a zero vector NULL-normalized (its similarity
-    # test is then NULL → false — it neither dominates nor drops) under
-    # any ANSI setting
+    # pre-normalize IN THE JVM so the Python stage sees finished unit
+    # vectors (the numeric path up to the dot product is unchanged from
+    # the join formulation); try_divide keeps a zero vector
+    # NULL-normalized — its elements arrive as NaN, every dot involving
+    # it is NaN, and NaN >= τ is False, so it neither dominates nor
+    # drops (the same inertness the NULL join condition gave).
     unit = F.transform(vd, lambda x: F.try_divide(x, nrm))
-    # the per-pair dot runs once per candidate pair (Σcᵢ² times): expand
-    # it into `dim` static column products so it compiles into
-    # whole-stage codegen — Spark's higher-order array functions
-    # (zip_with/aggregate) evaluate INTERPRETED per element, ~40× slower
-    # in the 10×-scale probe. `dim` columns per side is fine for
-    # embedding-sized dims; very high dims would trade codegen size for
-    # it, so keep the HOF fallback above 256.
-    expand = dim <= 256
-    if expand:
-        # materialize the unit array ONCE per row (r12): `unit` is a nested
-        # transform (cast + try_divide over a norm aggregate) and extracting
-        # `unit[i]` for all `dim` columns in one projection re-evaluated the
-        # whole interpreted HOF tree per extracted element — dim × (2·dim
-        # element ops + the norm fold) per row per side. Aliasing it first
-        # keeps it a separate Project (CollapseProject never inlines a
-        # non-cheap alias referenced more than once — the bm25 tokenize-once
-        # mechanism), so each side pays one transform + dim cheap
-        # GetArrayItem extracts instead.
-        pre = assigned.select(
-            F.col(id_col).alias("__sid"),
-            F.col("cluster").alias("__scl"),
-            unit.alias("__uv"),
-        )
-        sides = pre.select(
-            "__sid",
-            "__scl",
-            *[F.col("__uv")[i].alias(f"__u{i}") for i in range(dim)],
-        )
-        b = sides.select(
-            F.col("__sid").alias("__bid"),
-            F.col("__scl").alias("__bcl"),
-            *[F.col(f"__u{i}").alias(f"__w{i}") for i in range(dim)],
-        )
-        pair_dot = sum(
-            F.col(f"__u{i}") * F.col(f"__w{i}") for i in range(1, dim)
-        ) + (F.col("__u0") * F.col("__w0"))
-    else:
-        sides = assigned.select(
-            F.col(id_col).alias("__sid"),
-            F.col("cluster").alias("__scl"),
-            unit.alias("__sv"),
-        )
-        b = (
-            sides.withColumnRenamed("__sid", "__bid")
-            .withColumnRenamed("__scl", "__bcl")
-            .withColumnRenamed("__sv", "__bv")
-        )
-        pair_dot = _dot(F.col("__sv"), F.col("__bv"))
-    # co-partitioned self-join on the cluster id; the id inequality and
-    # the similarity test stay in the join condition so dominated ids
-    # emerge directly — never a materialized all-pairs relation
-    dropped = (
-        sides.join(
-            b,
-            (F.col("__scl") == F.col("__bcl"))
-            & (F.col("__sid") < F.col("__bid"))
-            & (pair_dot >= F.lit(threshold)),
-        )
-        .select(F.col("__bid").alias("__did"))
-        .distinct()
+    # NULL-cluster rows (zero/NULL vectors) can never pair — the old
+    # join condition `__scl == __bcl` was never true for NULL — so drop
+    # them before the shuffle rather than shipping them.
+    pre = assigned.where(F.col("cluster").isNotNull()).select(
+        F.col(id_col).alias("__sid"),
+        F.col("cluster").alias("__scl"),
+        unit.alias("__uv"),
     )
+    thr = float(threshold)
+
+    # One Arrow batch per cluster; the Σcᵢ² pair dots run as a blocked
+    # float64 matmul. Nested def on purpose: the closure ships by VALUE
+    # to the workers (a module-level helper would pickle a module
+    # reference and break on drivers whose sys.path lacks the repo).
+    def _dominated(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"__did": np.empty(0, dtype="int64")})
+        ids = pdf["__sid"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        # None elements (NULL-normalized zero vectors) become NaN; their
+        # dots are NaN and NaN >= thr is False under errstate-silenced
+        # invalid compares — exactly the join-condition semantics.
+        unit_mat = np.array(
+            [np.asarray(v, dtype="float64") for v in pdf["__uv"].iloc[order]]
+        )
+        dropped = np.zeros(n, dtype=bool)
+        block = 2048  # task memory is O(block × cᵢ), never cᵢ²
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            gram = unit_mat[lo:hi] @ unit_mat.T
+            with np.errstate(invalid="ignore"):
+                hit = gram >= thr
+            # dominated j: some i < j (id order) with cos(i, j) >= τ
+            hit &= np.arange(lo, hi)[:, None] < np.arange(n)[None, :]
+            dropped |= hit.any(axis=0)
+        return pd.DataFrame({"__did": ids[dropped]})
+
+    dropped = pre.groupBy("__scl").applyInPandas(_dominated, schema="__did long")
     return assigned.join(
         dropped, assigned[id_col] == dropped["__did"], "left_anti"
     )

@@ -23,16 +23,32 @@ def test_salted_join_equals_plain_join_under_skew(spark):
     plain = big.join(small, "k").groupBy("k").agg(
         F.count("*").alias("n"), F.sum("payload").alias("s"), F.max("dim").alias("d")
     )
-    salted = salted_join(big, small, on="k", n_salts=8).groupBy("k").agg(
+    # hot_threshold=500: key 7 (9,000 rows) is HOT and gets salted; every
+    # other key (~10 rows) takes the unsalted cold path — both paths of
+    # the hybrid run in one join and the result must equal the plain join
+    salted = salted_join(
+        big, small, on="k", n_salts=8, hot_threshold=500
+    ).groupBy("k").agg(
         F.count("*").alias("n"), F.sum("payload").alias("s"), F.max("dim").alias("d")
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # cold-only path (default threshold: nothing in this fixture is hot)
+    cold = salted_join(big, small, on="k", n_salts=8).groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("payload").alias("s"), F.max("dim").alias("d")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, cold.collect()))
 
 
-def test_salted_join_left_outer(spark):
+@pytest.mark.parametrize("hot_threshold", [1, 65536])
+def test_salted_join_left_outer(spark, hot_threshold):
+    """hot_threshold=1 forces every key through the salted (hot) path;
+    the default leaves them all cold — left-outer semantics must hold on
+    both branches of the hybrid."""
     big = spark.createDataFrame([(1, "a"), (2, "b"), (99, "c")], "k long, v string")
     small = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, d double")
-    out = salted_join(big, small, on="k", n_salts=4, how="left")
+    out = salted_join(
+        big, small, on="k", n_salts=4, how="left", hot_threshold=hot_threshold
+    )
     got = {r.v: r.d for r in out.collect()}
     assert got == {"a": 10.0, "b": 20.0, "c": None}
 

@@ -55,19 +55,23 @@ def token_count_bpe(col: Column) -> Column:
 
 def with_token_counts(df: DataFrame, content_col: str = "text") -> DataFrame:
     """Token-budget columns: whitespace tokens, BPE-ish tokens, bytes per
-    BPE-ish token (the corpus-sizing metric training pipelines budget by)."""
+    BPE-ish token (the corpus-sizing metric training pipelines budget by).
+
+    The BPE count is aliased in its OWN projection (r12): two derived
+    columns reference it, and expressions built per-column duplicate the
+    regexp_extract_all per reference — CollapseProject keeps a non-cheap
+    alias referenced more than once as a separate Project, so the regexp
+    runs once per row (the bm25 tokenize-once mechanism)."""
     c = F.col(content_col)
-    n_bpe = token_count_bpe(c)
-    return (
-        df.withColumn("n_ws_tokens", token_count(c))
-        .withColumn("n_bpe_tokens", n_bpe)
-        .withColumn(
-            "bytes_per_token",
-            F.round(
-                F.octet_length(c) / F.greatest(n_bpe, F.lit(1)).cast("double"),
-                6,
-            ),
-        )
+    tmp = df.select("*", token_count_bpe(c).alias("__tc_nb"))
+    nb = F.col("__tc_nb")
+    return tmp.select(
+        *df.columns,
+        token_count(c).alias("n_ws_tokens"),
+        nb.alias("n_bpe_tokens"),
+        F.round(
+            F.octet_length(c) / F.greatest(nb, F.lit(1)).cast("double"), 6
+        ).alias("bytes_per_token"),
     )
 
 
@@ -78,31 +82,45 @@ def stopword_hits(col: Column, lang: str) -> Column:
 
 def with_text_stats(df: DataFrame, content_col: str = "text") -> DataFrame:
     """Quality-scoring columns: lengths, token stats, punctuation & stopword
-    ratios, and a composite quality score in [0, 1]."""
+    ratios, and a composite quality score in [0, 1].
+
+    The four base measures (char count, token count, punct count, stopword
+    hits) are aliased in their OWN projection (r12): the derived ratios and
+    the quality score reference each of them 2-4 times, and building the
+    expression tree per derived column duplicated the split/regexp work per
+    reference — measured 1.33× on the full-stats projection at sf0.1.
+    CollapseProject keeps a non-cheap alias referenced more than once as a
+    separate Project, so each base measure is evaluated once per row; the
+    values (and so every oracle twin) are unchanged."""
     c = F.col(content_col)
     n_chars = F.length(c).cast("long")
-    n_tok = token_count(c)
-    punct = n_chars - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
-    sw = stopword_hits(c, "en")
-    return (
-        df.withColumn("n_chars_m", n_chars)
-        .withColumn("n_tokens", n_tok)
-        .withColumn(
-            "avg_token_len",
-            F.round((n_chars - (n_tok - 1)) / F.greatest(n_tok, F.lit(1)), 6),
-        )
-        .withColumn("punct_ratio", F.round(punct / F.greatest(n_chars, F.lit(1)), 6))
-        .withColumn("stopword_ratio", F.round(sw / F.greatest(n_tok, F.lit(1)), 6))
-        .withColumn(
-            "quality_score",
-            F.round(
-                F.least(n_tok / F.lit(50.0), F.lit(1.0)) * 0.5
-                + F.least(sw / F.greatest(n_tok, F.lit(1)) * 5.0, F.lit(1.0)) * 0.3
-                + (1 - F.least(punct / F.greatest(n_chars, F.lit(1)) * 10.0, F.lit(1.0)))
-                * 0.2,
-                6,
-            ),
-        )
+    tmp = df.select(
+        "*",
+        n_chars.alias("__ts_nc"),
+        token_count(c).alias("__ts_nt"),
+        (n_chars - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))).alias(
+            "__ts_pu"
+        ),
+        stopword_hits(c, "en").alias("__ts_sw"),
+    )
+    nc, nt = F.col("__ts_nc"), F.col("__ts_nt")
+    punct, sw = F.col("__ts_pu"), F.col("__ts_sw")
+    return tmp.select(
+        *df.columns,
+        nc.alias("n_chars_m"),
+        nt.alias("n_tokens"),
+        F.round((nc - (nt - 1)) / F.greatest(nt, F.lit(1)), 6).alias(
+            "avg_token_len"
+        ),
+        F.round(punct / F.greatest(nc, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(sw / F.greatest(nt, F.lit(1)), 6).alias("stopword_ratio"),
+        F.round(
+            F.least(nt / F.lit(50.0), F.lit(1.0)) * 0.5
+            + F.least(sw / F.greatest(nt, F.lit(1)) * 5.0, F.lit(1.0)) * 0.3
+            + (1 - F.least(punct / F.greatest(nc, F.lit(1)) * 10.0, F.lit(1.0)))
+            * 0.2,
+            6,
+        ).alias("quality_score"),
     )
 
 

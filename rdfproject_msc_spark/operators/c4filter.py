@@ -68,7 +68,15 @@ def c4_clean(
     configuration compiled into one regex alternation — plan-literal,
     zero shuffle, like the Bloom probe's constants."""
     c = F.coalesce(F.col(content_col), F.lit(""))
-    kept = _clean_lines(c, min_line_words)
+    # BIND the kept-lines array as a projected column (r12): it was
+    # referenced 3× (the keep rule, the count, the rebuilt text),
+    # re-running the per-line regex pipeline per reference
+    # (CollapseProject keeps a non-cheap multiply-referenced alias).
+    # Values unchanged.
+    tmp = df.select(
+        "*", _clean_lines(c, min_line_words).alias("__c4_kept")
+    )
+    kept = F.col("__c4_kept")
     all_lines = F.filter(
         F.transform(F.split(c, "\n"), F.trim), lambda ln: ln != ""
     )
@@ -83,8 +91,9 @@ def c4_clean(
         alternation = "|".join(_re.escape(w) for w in sorted(blocklist))
         doc_ok = doc_ok & ~c.rlike(rf"(?i)\b({alternation})\b")
     return (
-        df.withColumn("n_lines", F.size(all_lines).cast("long"))
+        tmp.withColumn("n_lines", F.size(all_lines).cast("long"))
         .withColumn("n_lines_kept", F.size(kept).cast("long"))
         .withColumn("text_c4", F.array_join(kept, "\n"))
         .withColumn("c4_keep", doc_ok)
+        .drop("__c4_kept")
     )

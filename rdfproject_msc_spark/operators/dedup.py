@@ -85,24 +85,43 @@ def exact_dedup_keys(
     )
 
 
-def _shingle_array(content_col: str, n: int) -> Column:
-    """Distinct word n-gram shingles of a text column as an array, computed
-    per-row in whole-stage codegen — no explode, no shuffle."""
+def _shingled(
+    df: DataFrame, content_col: str, id_col: str, n: int
+) -> tuple[DataFrame, Column]:
+    """The shingle front half with the token array BOUND as a projected
+    column (r12): a higher-order function evaluates its lambda BODY per
+    element, and the window lambda's ``slice(toks, i+1, n)`` captured the
+    whole split-expression tree — the text was re-tokenized once per
+    window. Projecting the token array first makes the capture a plain
+    attribute read (cheap per element); CollapseProject keeps the
+    projection separate because the alias is non-cheap and referenced
+    more than once (measured 10-16× on the n-gram family at sf0.1; same
+    arrays, element for element). Binding via a projected COLUMN rather
+    than a single-element ``transform`` let-expression is deliberate:
+    a pandas-UDF argument containing the let-form broke Python-UDF
+    extraction on one side of the banded self-join (the twin Project
+    kept the raw PythonUDF and the task failed with INTERNAL_ERROR
+    "Cannot evaluate expression"), while the projected column keeps the
+    UDF argument in the shape the extractor has always handled.
+
+    Returns (projected frame, shingle expression over the bound column).
+    """
     toks = F.split(F.trim(F.col(content_col)), r"\s+")
+    tmp = df.select(F.col(id_col), toks.alias("__sh_tk"))
+    tk = F.col("__sh_tk")
     windows = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        F.sequence(F.lit(0), F.greatest(F.size(tk) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)),
     )
-    return F.array_distinct(F.filter(windows, lambda s: s != ""))
+    return tmp, F.array_distinct(F.filter(windows, lambda s: s != ""))
 
 
 def shingle_sets(
     df: DataFrame, content_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
     """(id, shingles: array<string>) — one row per document, set semantics."""
-    return df.select(
-        F.col(id_col), _shingle_array(content_col, n).alias("shingles")
-    )
+    tmp, sh = _shingled(df, content_col, id_col, n)
+    return tmp.select(F.col(id_col), sh.alias("shingles"))
 
 
 def ngram_shingles(
@@ -123,9 +142,8 @@ def ngram_shingles(
     Capping changes which pairs become CANDIDATES, so it belongs in candidate
     generation only — verification must use the full sets.
     """
-    out = df.select(
-        F.col(id_col), F.explode(_shingle_array(content_col, n)).alias("shingle")
-    )
+    tmp, sh = _shingled(df, content_col, id_col, n)
+    out = tmp.select(F.col(id_col), F.explode(sh).alias("shingle"))
     if max_doc_freq is not None:
         freq = out.groupBy("shingle").agg(F.count("*").alias("__df"))
         out = (

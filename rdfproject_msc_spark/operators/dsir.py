@@ -56,14 +56,48 @@ def _features(col: Column) -> Column:
     )
 
 
+def _grams_of(tk: Column, n: int) -> Column:
+    """word_ngrams' gram construction (distinct=False) over an ALREADY
+    tokenized array — expression-identical to word_ngrams(col, n) after
+    its normalization step."""
+    g = F.transform(
+        F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+        lambda i: F.array_join(F.slice(tk, i, n), " "),
+    )
+    return F.when(F.size(tk) >= n, g).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _feats_exploded(
+    df: DataFrame, text_col: str, id_cols: list[str], outer: bool
+) -> DataFrame:
+    """(*id_cols, feat): the unigram+bigram occurrence explode with the
+    normalization/tokenization evaluated ONCE per row (r12): building
+    ``_features`` inline ran word_ngrams' regexp+split+filter twice per
+    document (once per n); aliasing the token array in its own projection
+    (CollapseProject keeps a non-cheap, multiply-referenced alias — the
+    bm25/textstats mechanism) measured 2.5× on the explode stage at
+    sf0.1. Same rows, same multiplicities (pinned by a groupBy-count
+    equality check and the oracle twins)."""
+    c = F.col(text_col)
+    toks = F.filter(
+        F.split(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "), " "),
+        lambda t: t != "",
+    )
+    tmp = df.select(*id_cols, toks.alias("__dsir_tk"))
+    tk = F.col("__dsir_tk")
+    feats = F.concat(_grams_of(tk, 1), _grams_of(tk, 2))
+    exploder = F.explode_outer if outer else F.explode
+    return tmp.select(*id_cols, exploder(feats).alias("feat"))
+
+
 def _bucket_counts(
     docs: DataFrame, text_col: str, n_buckets: int
 ) -> DataFrame:
     """(bucket, cnt) occurrence counts of hashed features — at most
     ``n_buckets`` output rows regardless of corpus size."""
-    feats = docs.select(
-        F.explode(_features(F.col(text_col))).alias("feat")
-    )
+    feats = _feats_exploded(docs, text_col, [], outer=False)
     return (
         feats.select(hash_bucket(F.col("feat"), n_buckets).alias("bucket"))
         .groupBy("bucket")
@@ -171,10 +205,7 @@ def dsir_weights(
             text_col=text_col,
             smoothing=smoothing,
         )
-    feats = raw.select(
-        F.col(id_col),
-        F.explode_outer(_features(F.col(text_col))).alias("feat"),
-    ).select(
+    feats = _feats_exploded(raw, text_col, [id_col], outer=True).select(
         id_col,
         F.when(
             F.col("feat").isNotNull(),

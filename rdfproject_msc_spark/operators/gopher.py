@@ -73,7 +73,26 @@ def with_gopher_rules(
     rule (rule_*), and ``gopher_pass``. NULL text behaves as empty (fails the
     word-count rule, passes the vacuous line/word-fraction rules)."""
     c = F.coalesce(F.col(content_col), F.lit(""))
-    words = _words(c)
+    # BIND the word and line arrays (and the lowercased words) as
+    # projected columns (r12): `words`/`lines` each fed 3 higher-order
+    # functions (3 evaluations of the split per row), and `lower_words`
+    # was captured INSIDE the stopword lambda — a HOF evaluates its body
+    # per element, so the transform+split re-ran once per required
+    # stopword. Attribute captures are cheap; CollapseProject keeps the
+    # non-cheap multiply-referenced aliases as their own Projects. Same
+    # expressions element for element — values unchanged.
+    tmp = df.select(
+        "*",
+        _words(c).alias("__g_w"),
+        F.filter(F.split(c, "\n"), lambda ln: F.trim(ln) != "").alias(
+            "__g_l"
+        ),
+    ).select("*", F.transform(F.col("__g_w"), F.lower).alias("__g_lw"))
+    words, lines, lower_words = (
+        F.col("__g_w"),
+        F.col("__g_l"),
+        F.col("__g_lw"),
+    )
     n_words = F.size(words).cast("long")
     nw1 = F.greatest(n_words, F.lit(1))
     # total word chars == length with ALL whitespace removed
@@ -83,7 +102,6 @@ def with_gopher_rules(
     ellipsis_sym_ratio = _count_substr(c, "...").cast("double") / nw1.cast(
         "double"
     )
-    lines = F.filter(F.split(c, "\n"), lambda ln: F.trim(ln) != "")
     n_lines = F.size(lines)
     nl1 = F.greatest(n_lines, F.lit(1))
     bullet = F.size(
@@ -96,7 +114,6 @@ def with_gopher_rules(
     ellipsis_frac = ellips.cast("double") / nl1.cast("double")
     alpha = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
     alpha_frac = alpha.cast("double") / nw1.cast("double")
-    lower_words = F.transform(words, F.lower)
     n_req = F.size(
         F.filter(
             F.array(*[F.lit(s) for s in REQUIRED_STOPWORDS]),
@@ -105,7 +122,7 @@ def with_gopher_rules(
     ).cast("long")
 
     out = (
-        df.withColumn("n_words", n_words)
+        tmp.withColumn("n_words", n_words)
         .withColumn("mean_word_len", F.round(mean_len, 6))
         .withColumn("hash_ratio", F.round(hash_ratio, 6))
         .withColumn("ellipsis_sym_ratio", F.round(ellipsis_sym_ratio, 6))
@@ -130,7 +147,9 @@ def with_gopher_rules(
     for name, expr in rules.items():
         out = out.withColumn(name, expr)
         passed = passed & F.col(name)
-    return out.withColumn("gopher_pass", passed)
+    return out.withColumn("gopher_pass", passed).drop(
+        "__g_w", "__g_l", "__g_lw"
+    )
 
 
 def gopher_rejection_histogram(

@@ -47,13 +47,26 @@ def passage_dedup(
         raise ValueError("k must be >= 1")
     words = F.split(F.col(text_col), " ")
     n_chunks = F.ceil(F.size(words) / F.lit(k)).cast("int")
-    # consecutive non-overlapping k-word passages: a codegen slice per
-    # index — whole-stage codegen, no UDF
-    chunk_texts = F.transform(
-        F.sequence(F.lit(0), n_chunks - F.lit(1)),
-        lambda i: F.array_join(
-            F.slice(words, i * F.lit(k) + F.lit(1), F.lit(k)), " "
+    # consecutive non-overlapping k-word passages, with the word array
+    # LET-BOUND via a single-element transform (r12): the lambda body's
+    # ``slice(words, ...)`` captured the split expression, and a
+    # higher-order function evaluates its body per element — the text was
+    # re-split once per passage. Binding evaluates the split once per row
+    # (the _shingled/word_ngrams fix; identical chunk arrays).
+    chunk_texts = F.element_at(
+        F.transform(
+            F.array(words),
+            lambda ws: F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size(ws) / F.lit(k)).cast("int") - F.lit(1),
+                ),
+                lambda i: F.array_join(
+                    F.slice(ws, i * F.lit(k) + F.lit(1), F.lit(k)), " "
+                ),
+            ),
         ),
+        1,
     )
     chunks = docs.select(
         F.col(id_col).alias("__did"),

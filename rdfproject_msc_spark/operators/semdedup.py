@@ -100,14 +100,33 @@ def semantic_dedup(
         "cluster", _nearest_centroid(F.col(vec_col), centroids)
     )
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    nrm = _norm(vd)
     # pre-normalize IN THE JVM so the Python stage sees finished unit
     # vectors (the numeric path up to the dot product is unchanged from
     # the join formulation); try_divide keeps a zero vector
     # NULL-normalized — its elements arrive as NaN, every dot involving
     # it is NaN, and NaN >= τ is False, so it neither dominates nor
     # drops (the same inertness the NULL join condition gave).
-    unit = F.transform(vd, lambda x: F.try_divide(x, nrm))
+    # The cast array and its norm are LET-BOUND via single-element
+    # transforms (r12): the divide lambda captured the norm FOLD, and a
+    # higher-order function evaluates its body per element — the norm
+    # (itself re-evaluating the cast tree) ran once per component,
+    # O(dim²) per row. Binding evaluates each once; same subexpressions,
+    # same fold order, bit-identical units.
+    unit = F.element_at(
+        F.transform(
+            F.array(vd),
+            lambda v: F.element_at(
+                F.transform(
+                    F.array(_norm(v)),
+                    lambda nv: F.transform(
+                        v, lambda x: F.try_divide(x, nv)
+                    ),
+                ),
+                1,
+            ),
+        ),
+        1,
+    )
     # NULL-cluster rows (zero/NULL vectors) can never pair — the old
     # join condition `__scl == __bcl` was never true for NULL — so drop
     # them before the shuffle rather than shipping them.

@@ -37,10 +37,26 @@ def _norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array<numeric> columns (double math)."""
+    """Cosine similarity of two array<numeric> columns (double math).
+
+    Each cast array is LET-BOUND via a single-element transform (r12):
+    the dot and the norm both consumed the cast tree, re-evaluating it
+    per reference. Same folds, same order — bit-identical scores."""
     ad = F.transform(a, lambda x: x.cast("double"))
     bd = F.transform(b, lambda x: x.cast("double"))
-    return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+    return F.element_at(
+        F.transform(
+            F.array(ad),
+            lambda av: F.element_at(
+                F.transform(
+                    F.array(bd),
+                    lambda bv: _dot(av, bv) / (_norm(av) * _norm(bv)),
+                ),
+                1,
+            ),
+        ),
+        1,
+    )
 
 
 def cosine_to_literal(vec_col: Column, qv: list[float]) -> Column:
@@ -141,18 +157,30 @@ def lsh_signatures(
     """Random-hyperplane (SimHash) signature per vector: bit j = (v·plane_j
     ≥ 0); signature = bits packed MSB-first (plane 0 highest). Per-row, zero
     shuffle — at scale signatures are computed once and persisted."""
-    sig = None
     # HOF dots deliberately: an unrolled n_planes×dim literal expansion
     # was A/B'd in r12 and LOST (0.48s vs 0.27s on the sf0.1 scan) — at
     # this expression size codegen falls back to interpreted evaluation,
     # where per-element element_at chains are slower than the HOF's
-    # tight array fold.
+    # tight array fold. The cast-to-double array is LET-BOUND via a
+    # single-element transform (r12): each of the n_planes dots consumed
+    # the cast expression tree, re-evaluating it per plane; binding it as
+    # a lambda argument evaluates it once per row. Fold order per dot is
+    # unchanged, so signatures are bit-identical.
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    for p_comps in hyperplanes(dim, n_planes, seed):
-        p = F.array(*[F.lit(c) for c in p_comps])
-        bit = (_dot(vd, p) >= 0).cast("long")
-        sig = bit if sig is None else sig * 2 + bit
-    return df.select(F.col(id_col), sig.alias("signature"))
+    planes = hyperplanes(dim, n_planes, seed)
+
+    def _sig(v: Column) -> Column:
+        sig = None
+        for p_comps in planes:
+            p = F.array(*[F.lit(c) for c in p_comps])
+            bit = (_dot(v, p) >= 0).cast("long")
+            sig = bit if sig is None else sig * 2 + bit
+        return sig
+
+    return df.select(
+        F.col(id_col),
+        F.element_at(F.transform(F.array(vd), _sig), 1).alias("signature"),
+    )
 
 
 def lsh_candidate_pairs(
@@ -276,24 +304,47 @@ def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
     """Index of the cosine-nearest centroid, computed per-row JVM-side.
     Deterministic tie-break: the lowest index wins (array_position finds the
     first occurrence of the max)."""
-    vd = F.transform(vec, lambda x: x.cast("double"))
-    vn = _norm(vd)
     # try_divide: a zero vector has no defined direction — its scores
     # are NULL and so is its assignment (callers treat it as inert)
     # instead of an ANSI divide-by-zero error.
     # HOF dots deliberately: the k×dim literal unrolling was A/B'd in
     # r12 and LOST 4× (codegen falls back at this expression size and
     # interpreted element_at chains lose to the HOF array fold).
-    scores = F.array(
-        *[
-            F.try_divide(
-                _dot(vd, F.array(*[F.lit(c) for c in cen])),
-                vn * F.lit(sum(c * c for c in cen) ** 0.5),
+    # The cast array, its norm, and the score array are each LET-BOUND
+    # via a single-element transform (r12): the k dots re-evaluated the
+    # cast tree per centroid, the k denominators re-evaluated the norm
+    # fold per centroid, and the argmax (array_position + array_max)
+    # evaluated the whole score array twice. Binding each as a lambda
+    # argument evaluates it once per row; every subexpression and its
+    # fold order are unchanged, so assignments are bit-identical.
+    vd = F.transform(vec, lambda x: x.cast("double"))
+
+    def _with_vd(v: Column) -> Column:
+        def _with_norm(vn: Column) -> Column:
+            scores = F.array(
+                *[
+                    F.try_divide(
+                        _dot(v, F.array(*[F.lit(c) for c in cen])),
+                        vn * F.lit(sum(c * c for c in cen) ** 0.5),
+                    )
+                    for cen in centroids
+                ]
             )
-            for cen in centroids
-        ]
-    )
-    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+            return F.element_at(
+                F.transform(
+                    F.array(scores),
+                    lambda sc: (
+                        F.array_position(sc, F.array_max(sc)) - 1
+                    ).cast("int"),
+                ),
+                1,
+            )
+
+        return F.element_at(
+            F.transform(F.array(_norm(v)), _with_norm), 1
+        )
+
+    return F.element_at(F.transform(F.array(vd), _with_vd), 1)
 
 
 def ivf_index(

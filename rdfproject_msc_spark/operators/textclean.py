@@ -51,12 +51,15 @@ def with_clean_text(
     (how many placeholder tokens the redaction inserted — the corpus-level
     PII-rate metric a pipeline monitors)."""
     cleaned = redact_pii(normalize_text(F.col(content_col), lowercase))
+    # n_redactions reads the PROJECTED text_clean column (r12): building
+    # it from the `cleaned` expression re-ran the 5-regexp chain per row
+    # a second time (CollapseProject keeps the non-cheap alias once it is
+    # referenced twice). Values unchanged.
+    out = df.withColumn("text_clean", cleaned)
     n_red = (
-        F.size(F.split(cleaned, r"<EMAIL>|<PHONE>|<IP>", -1)) - 1
+        F.size(F.split(F.col("text_clean"), r"<EMAIL>|<PHONE>|<IP>", -1)) - 1
     ).cast("long")
-    return df.withColumn("text_clean", cleaned).withColumn(
-        "n_redactions", n_red
-    )
+    return out.withColumn("n_redactions", n_red)
 
 
 def dedup_paragraphs(col: Column, sep: str = "\n") -> Column:
@@ -69,12 +72,20 @@ def dedup_paragraphs(col: Column, sep: str = "\n") -> Column:
     its first index in the array is i (array_position is 1-based). O(k²)
     comparisons per row on the document's OWN paragraph list (k = its
     paragraph count) — row-local, zero shuffle, no Python."""
+    # LET-BIND the paragraph array via a single-element transform (r12):
+    # the keep lambda's ``array_position(paras, p)`` captured the split
+    # expression, and a higher-order function evaluates its body per
+    # element — the text was re-split once per paragraph. Binding keeps
+    # the documented O(k²) position scans but splits once per row.
     paras = F.split(col, sep)
-    keep = F.filter(
-        paras,
-        lambda p, i: F.array_position(paras, p) == i + F.lit(1),
-    )
-    return F.array_join(keep, sep)
+
+    def _keep(ps: Column) -> Column:
+        kept = F.filter(
+            ps, lambda p, i: F.array_position(ps, p) == i + F.lit(1)
+        )
+        return F.array_join(kept, sep)
+
+    return F.element_at(F.transform(F.array(paras), _keep), 1)
 
 
 def with_paragraph_dedup(

@@ -267,8 +267,17 @@ def with_repetition_stats(
     from rdfproject_msc_spark.operators.decontam import word_ngrams
 
     c = F.col(content_col)
-    g2 = word_ngrams(c, 2, distinct=False)
-    g3 = word_ngrams(c, 3, distinct=False)
+    # BIND the two gram arrays as projected columns (r12): each was
+    # referenced ~4× in its ratio expression, re-running the whole
+    # word_ngrams construction per reference (the textstats/gopher
+    # mechanism — CollapseProject keeps a non-cheap alias referenced
+    # more than once). Values unchanged.
+    tmp = df.select(
+        "*",
+        word_ngrams(c, 2, distinct=False).alias("__r_g2"),
+        word_ngrams(c, 3, distinct=False).alias("__r_g3"),
+    )
+    g2, g3 = F.col("__r_g2"), F.col("__r_g3")
     top2 = max_run_length(g2).cast("double") / F.greatest(
         F.size(g2), F.lit(1)
     ).cast("double")
@@ -278,11 +287,12 @@ def with_repetition_stats(
     ) / F.greatest(F.size(g3), F.lit(1)).cast("double")
     dup3 = F.when(F.size(g3) > 0, dup3).otherwise(F.lit(0.0))
     return (
-        df.withColumn("top_bigram_frac", top2)
+        tmp.withColumn("top_bigram_frac", top2)
         .withColumn("dup_trigram_frac", dup3)
         .withColumn(
             "repetitive",
             (F.col("top_bigram_frac") > F.lit(float(top_bigram_threshold)))
             | (F.col("dup_trigram_frac") > F.lit(float(dup_trigram_threshold))),
         )
+        .drop("__r_g2", "__r_g3")
     )

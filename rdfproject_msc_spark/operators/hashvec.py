@@ -70,17 +70,22 @@ def hash_embed(
             F.element_at(F.col("m"), i.cast("long")), F.lit(0.0)
         ),
     )
+    # BIND the densified array as a projected column (r12): the norm fold
+    # and the unit transform both consumed the `dense` expression,
+    # re-running the dim map lookups per reference. Values unchanged.
+    dcol = F.col("__d")
     nrm = F.sqrt(
-        F.aggregate(dense, F.lit(0.0), lambda acc, x: acc + x * x)
+        F.aggregate(dcol, F.lit(0.0), lambda acc, x: acc + x * x)
     )
     unit = F.transform(
-        dense,
+        dcol,
         lambda x: F.when(F.col("__n") == 0, F.lit(0.0))
         .otherwise(x / F.col("__n"))
         .cast("float"),
     )
     vecs = (
-        sparse.withColumn("__n", nrm)
+        sparse.withColumn("__d", dense)
+        .withColumn("__n", nrm)
         .withColumn("embedding", unit)
         .select(id_col, "embedding")
     )

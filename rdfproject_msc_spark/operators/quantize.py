@@ -34,7 +34,10 @@ def with_qvec(
     the per-vector ``scale``) beside the existing columns. Pure per-row
     expressions — stateless, so usable identically on batch relations and
     streaming sources (the IVF streaming appender relies on this)."""
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # BIND the cast array as a projected column (r12): the abs-max fold
+    # and the quantize transform both consumed the cast expression,
+    # re-running it per reference. Values unchanged.
+    v = F.col("__qv_d")
     amax = F.aggregate(
         v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
     )
@@ -52,7 +55,15 @@ def with_qvec(
         )
         .cast("int"),
     )
-    out = df.withColumn("scale", amax / F.lit(127.0)).withColumn("qvec", q)
+    out = (
+        df.withColumn(
+            "__qv_d",
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+        )
+        .withColumn("scale", amax / F.lit(127.0))
+        .withColumn("qvec", q)
+        .drop("__qv_d")
+    )
     return out if keep_scale else out.drop("scale")
 
 

@@ -467,6 +467,11 @@ def main() -> None:
     if args.only:
         names = [n for n in args.only.split(",") if n]
     for name in names:
+        if name not in EXTRAS and name not in REGISTRY:
+            # registry slots rotate (demoted entries move to the pytest
+            # oracle suite) — skip rather than KeyError on a stale name
+            print(f"skip {name}: not in REGISTRY/EXTRAS", file=sys.stderr)
+            continue
         fn = EXTRAS[name] if name in EXTRAS else REGISTRY[name].fn
         small_df = fn(spark, args.src)
         big_df = fn(spark, args.out)

@@ -3291,10 +3291,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "sparql_value_order": QuerySpec(
         sparql_value_order, SPARQL_VALUE_ORDER_SQL, headline=True
     ),
-    # events_props_json demoted r12 (slot → rdf_ingest_rdfxml): the
-    # get_json_object extraction stays pytest-oracled in
-    # tests/test_demoted.py; JSON-props parsing also rides
-    # events_hourly_stream's payload handling
+    # events_props_json was demoted mid-r12 to make room for
+    # rdf_ingest_rdfxml under the then-assumed 50-slot convention; the
+    # r12 verdict found no hard cap in the driver artifacts and asked for
+    # BOTH rows, so r13 restores it (registry now 51 declared rows).
+    "events_props_json": QuerySpec(events_props_json, EVENTS_PROPS_JSON_SQL),
     "rdf_ingest_rdfxml": QuerySpec(
         rdf_ingest_rdfxml, RDF_INGEST_RDFXML_SQL, headline=True
     ),

@@ -29,11 +29,24 @@ class DictionaryError(ValueError):
 class Dictionary:
     """A term dictionary ``(id: long, term: string)`` backed by a DataFrame."""
 
-    def __init__(self, df: DataFrame, broadcast_hint: bool = True):
+    def __init__(
+        self,
+        df: DataFrame,
+        broadcast_hint: bool = True,
+        sv_df: DataFrame | None = None,
+    ):
         self.df = df.select(
             F.col("id").cast("long").alias("id"), F.col("term").alias("term")
         )
         self.broadcast_hint = broadcast_hint
+        # Optional pre-derived STR-value relation ``(id, term, __sv)`` —
+        # the §17.4.2.5 unquote/unescape chain evaluated ONCE (typically
+        # persisted by the raw-RDF ingest) instead of per term-attach
+        # join: every lexical-store attach re-derived it over |dict|
+        # rows per action before r13. The planner's ``_dict_relation``
+        # reads it when present; ``None`` keeps the derive-on-attach
+        # path (externally built dictionaries).
+        self.sv_df = sv_df
 
     def _dict_side(self) -> DataFrame:
         return F.broadcast(self.df) if self.broadcast_hint else self.df

@@ -16,6 +16,7 @@ persisted-Parquet path the reference lacked.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from rdfproject_msc_spark.dictionary import Dictionary
 from rdfproject_msc_spark.sources import triples as TIO
@@ -112,8 +113,37 @@ class Engine:
                 on_error=on_error,
                 caches=self._ingest_caches,
             )
+            # r13: the in-memory lifecycle materializes the ENCODED
+            # relation once, like parsed and the dictionary before it —
+            # each action otherwise re-ran the three term-encode joins
+            # per pattern reference (a 2-hop self-join re-encoded the
+            # whole corpus twice, every time), and each of those joins
+            # is a fresh broadcast-build stage because AQE never reuses
+            # broadcast exchanges over cached relations (measured r13).
+            # At corpus scale the equivalent boundary is save()+open():
+            # the encoded store is written once and scanned thereafter.
+            from pyspark.storagelevel import StorageLevel
+
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            self._ingest_caches.append(df)
+            # r13: pre-derive the §17.4.2.5 STR values next to the
+            # dictionary (one extra cached column) — every lexical-store
+            # term attach re-ran the unquote/unescape regex chain over
+            # |dict| rows per action before this.
+            from rdfproject_msc_spark.sparql.planner import _lex_str_value
+
+            dict_sv = dict_df.select(
+                "id",
+                "term",
+                _lex_str_value(F.col("id"), F.col("term")).alias("__sv"),
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            self._ingest_caches.append(dict_sv)
             # built dictionaries scale with the corpus: no broadcast hint
-            self.dictionary = Dictionary(dict_df, broadcast_hint=False)
+            self.dictionary = Dictionary(
+                dict_sv.select("id", "term"),
+                broadcast_hint=False,
+                sv_df=dict_sv,
+            )
             # built dictionaries store full lexical forms: SPARQL
             # constants must normalize to the same convention
             self.term_style = "lexical"

@@ -60,8 +60,14 @@ def curate_stats(
     min_partitions: int | None = None,
 ) -> DataFrame:
     """One-row corpus budget: surviving docs, chars, BPE-ish tokens."""
+    # the stats read nothing but (id, content) — project the other
+    # columns away BEFORE the dedup stages so (a) they never ride the
+    # two text-keyed exchanges (guide §2.3) and (b) exact_dedup's
+    # survivor aggregate takes its plain-min HashAggregate fast path
+    # instead of a struct-buffered SortAggregate (r13)
     survivors = curate(
-        df, content_col, id_col, near_dup_threshold, min_quality, min_partitions
+        df.select(id_col, content_col),
+        content_col, id_col, near_dup_threshold, min_quality, min_partitions
     )
     return survivors.agg(
         F.count("*").alias("n_docs"),

@@ -46,13 +46,28 @@ def exact_dedup(
     # OUT of the min_by payload struct (it would ship the text twice per
     # shuffled row) and re-attach it from the key on the way out
     others = [c for c in df.columns if c != content_col]
-    keep = (
-        df.groupBy(
-            F.xxhash64(F.col(content_col)).alias("__h"),
-            F.length(F.col(content_col)).alias("__l"),
-            F.col(content_col).alias("__c"),
+    grouped = df.groupBy(
+        F.xxhash64(F.col(content_col)).alias("__h"),
+        F.length(F.col(content_col)).alias("__l"),
+        F.col(content_col).alias("__c"),
+    )
+    if others == [id_col]:
+        # (id, content) input — min_by of a one-field struct IS min(id),
+        # and a LONG aggregation buffer keeps the whole thing a
+        # HashAggregate; the struct buffer below is unsupported there, so
+        # Spark falls back to SortAggregate (a per-partition sort of the
+        # corpus by the text-tailed key on BOTH sides of the exchange —
+        # r13, guide §2.4). Callers that only need (id, content) should
+        # project before calling (curate_stats does).
+        keep = grouped.agg(F.min(F.col(id_col)).alias(id_col))
+        return keep.select(
+            *[
+                F.col("__c").alias(c) if c == content_col else F.col(c)
+                for c in df.columns
+            ]
         )
-        .agg(F.min_by(F.struct(*others), F.col(id_col)).alias("__row"))
+    keep = grouped.agg(
+        F.min_by(F.struct(*others), F.col(id_col)).alias("__row")
     )
     return keep.select(
         *[

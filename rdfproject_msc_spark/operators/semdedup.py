@@ -90,6 +90,14 @@ def semantic_dedup(
     ``centroids``: pass a precomputed k×dim table to skip training (and
     to make the whole operator a pure function of its inputs — the
     DuckDB oracle path); default trains the deterministic IVF quantizer.
+
+    NaN inputs: a vector containing NaN (like the NULL-normalized zero
+    vector) is INERT — its pair dots are NaN and every ``NaN >= τ``
+    comparison is False under NumPy semantics, so it neither dominates
+    nor drops a peer (pinned in tests/test_semdedup.py). Note this
+    differs from what a Spark SQL join condition ``dot >= τ`` would do:
+    Spark's total order treats NaN as greater than every double, so a
+    NaN dot would have counted as a domination there.
     """
     if centroids is None:
         if k is None:

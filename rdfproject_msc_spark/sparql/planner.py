@@ -170,11 +170,19 @@ def _dict_relation(dictionary: "Dictionary", id_name: str, term_name: str):
     the DICTIONARY side of the join (|dict| rows) — string-function
     leaves read it instead of re-deriving per solution row (solutions
     ≥ dict always; the unescape chain must not run per output row)."""
-    d = dictionary.df
     if _ACTIVE_STYLE.get() == "lexical":
-        d = d.withColumn(
-            term_name + _SV, _lex_str_value(F.col("id"), F.col("term"))
-        )
+        sv = getattr(dictionary, "sv_df", None)
+        if sv is not None:
+            # the ingest pre-derived (and persisted) the STR values —
+            # read them instead of re-running the unescape chain over
+            # |dict| rows on every attach (r13, guide §2.3)
+            d = sv.select("id", "term", F.col("__sv").alias(term_name + _SV))
+        else:
+            d = dictionary.df.withColumn(
+                term_name + _SV, _lex_str_value(F.col("id"), F.col("term"))
+            )
+    else:
+        d = dictionary.df
     d = d.withColumnRenamed("id", id_name).withColumnRenamed(
         "term", term_name
     )

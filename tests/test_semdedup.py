@@ -132,6 +132,28 @@ def test_semdedup_zero_vector_is_inert(spark):
     assert got[1] is None and got[2] == 0
 
 
+def test_semdedup_nan_vector_is_inert(spark):
+    """A NaN-containing INPUT vector neither dominates nor drops a peer:
+    its pair dots are NaN and NumPy's ``NaN >= τ`` is False (the
+    documented semantics — a Spark SQL join condition would instead
+    rank NaN above every double and count it as a domination). Rows 2/3
+    are identical unit vectors sharing a cluster with the NaN row, so
+    the NaN row sits on both sides of the dominate comparison."""
+    nan = float("nan")
+    rows = [
+        (1, [nan, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),
+        (3, [1.0, 0.0, 0.0, 0.0]),
+        (4, [nan, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, dim=4, threshold=0.9, centroids=[[0.5] * 4])
+    got = sorted(r.vec_id for r in out.collect())
+    # 3 dominated by 2 (real duplicates); 1 and 4 survive — a NaN dot
+    # never satisfies >= τ, and nothing real can reach a NaN vector
+    assert got == [1, 2, 4]
+
+
 def test_auto_k_rule():
     from rdfproject_msc_spark.operators.semdedup import auto_k
 

@@ -1,8 +1,12 @@
-"""Dump `.explain("formatted")` for every headline registry query into
+"""Dump `.explain("formatted")` for registry queries into
 plans/<round>/<name>_<tag>.txt — the optimization round's evidence files.
 
 Usage: python tools/dump_plans.py <tag> [name ...]
   tag: "before" or "after"; optional names restrict the set.
+Env:
+  PLANS_OUT   output dir (default /root/repo/plans/r13)
+  PLANS_SF    data dir   (default /root/testdata/sf0.01)
+  PLANS_REPO  repo root to import from (default: this script's parent)
 
 Each query runs an action first (count) so AQE's final plan is captured
 alongside the initial one in the formatted output.
@@ -13,10 +17,13 @@ from __future__ import annotations
 import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+REPO = os.environ.get(
+    "PLANS_REPO", os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+sys.path.insert(0, REPO)
 
-SF = "/root/testdata/sf0.01"
-OUT = "/root/repo/plans/r12"
+SF = os.environ.get("PLANS_SF", "/root/testdata/sf0.01")
+OUT = os.environ.get("PLANS_OUT", "/root/repo/plans/r13")
 
 
 def main() -> None:

@@ -8,10 +8,14 @@ Usage: python tools/plan_walk.py <query> [sf_dir] [cpus]
 
 from __future__ import annotations
 
+import os
 import sys
 from collections import Counter
 
-sys.path.insert(0, "/root/repo")
+REPO = os.environ.get(
+    "PLANS_REPO", os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+sys.path.insert(0, REPO)
 
 
 def walk(node, counts, depth=0, lines=None):

@@ -304,6 +304,59 @@ def _md5_bits64(col: Column) -> tuple[Column, Column]:
     return lo32, hi32
 
 
+def _simhash_sig_udf():
+    """Arrow-batched Pandas UDF: per-document array of packed 64-bit md5
+    values → [lo, hi] SimHash halves.
+
+    Input element = ``shiftleft(hi32, 32) | lo32`` (see ``_md5_bits64``), so
+    bit ``b`` of the packed value IS SimHash bit ``b``. The per-bit ±1 sums
+    reduce to 2·S_b − N ≥ 0 where S_b is the count of set bits at position b
+    and N the shingle count — one vectorized unpack+sum over the whole Arrow
+    batch (rows concatenated, ``np.add.reduceat`` per document), instead of
+    64 aggregate expressions per exploded shingle row (r13, guide §4.2 —
+    same design as ``_minhash_sig_udf``, and the same reason: the pure-JVM
+    form pays per-element interpreted dispatch × 64 bit expressions plus a
+    groupBy(id) exchange; here signatures stream out of the scan stage)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    BLOCK = 1 << 20  # shingles per block: 64 MB of unpacked bits, bounded
+
+    @pandas_udf("array<bigint>")
+    def sig(packed: pd.Series) -> pd.Series:
+        weights = np.float64(2) ** np.arange(32)  # 2^b exact in float64
+        out = np.empty(len(packed), dtype=object)
+        out[:] = None
+        arrs = [np.asarray(p, dtype=np.int64) for p in packed]
+        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64)
+        idx = np.flatnonzero(lens)
+        pos = 0
+        while pos < len(idx):
+            # take a doc block whose total shingle count stays under BLOCK
+            end, tot = pos, 0
+            while end < len(idx) and (tot == 0 or tot + lens[idx[end]] <= BLOCK):
+                tot += lens[idx[end]]
+                end += 1
+            block = idx[pos:end]
+            flat = np.concatenate([arrs[i] for i in block]).astype("<u8")
+            # one byte per bit: (shingles, 64) uint8, bit b at column b
+            bits = np.unpackbits(
+                flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            )
+            starts = np.zeros(len(block), dtype=np.int64)
+            np.cumsum(lens[block][:-1], out=starts[1:])
+            s = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
+            keep = (2 * s - lens[block][:, None]) >= 0
+            lo = (keep[:, :32] @ weights).astype(np.uint64).astype(np.int64)
+            hi = (keep[:, 32:] @ weights).astype(np.uint64).astype(np.int64)
+            for j, i in enumerate(block):
+                out[i] = np.array([lo[j], hi[j]], dtype=np.int64)
+            pos = end
+        return pd.Series(out)
+
+    return sig
+
+
 def simhash_signatures(
     df: DataFrame,
     content_col: str = "text",
@@ -316,40 +369,58 @@ def simhash_signatures(
     games with bit 63).
 
     bit b = sign of Σ over shingles of (±1 depending on bit b of
-    md5(shingle)). Computed as 64 conditional-sum aggregates over the
-    exploded shingle relation — plain hash aggregation, map-side partial
-    combine, no UDF. Output: (id, lo: long, hi: long).
+    md5(shingle)). Computed per-row (r13): the shingle SET stays an array,
+    one ``transform`` packs md5 into a 64-bit value per shingle, and a
+    vectorized Arrow UDF does the 64-way bit-count (``_simhash_sig_udf``) —
+    ZERO shuffle, vs the previous exploded-shingle groupBy(id) with 64
+    conditional-sum aggregate expressions per row. Documents with no
+    shingles are dropped (the exploded form never emitted rows for them).
+    Output: (id, lo: long, hi: long).
     """
     src = df.select(F.col(id_col), F.col(content_col))
     if min_partitions is not None:
         # spread the shingle+md5 CPU work when the source is a single small
         # file (cf. minhash_lsh_pairs — same local-parallelism concern)
         src = src.repartition(min_partitions, id_col)
-    ex = ngram_shingles(src, content_col, id_col, n).withColumnRenamed(
-        id_col, "id"
+    tmp, sh = _shingled(src, content_col, id_col, n)
+    # digest array projected separately so md5 runs once per shingle (the
+    # lambda-capture rule from r12: HOF bodies re-evaluate captures per
+    # element, and there is no CSE inside interpreted lambdas)
+    rows = (
+        tmp.select(F.col(id_col).alias("id"), sh.alias("__sh_arr"))
+        .select(
+            "id", F.transform("__sh_arr", lambda s: F.md5(s)).alias("__dg")
+        )
+        .select(
+            "id",
+            F.transform(
+                "__dg",
+                lambda d: F.shiftleft(
+                    F.conv(F.substring(d, 1, 8), 16, 10).cast("long"), 32
+                ).bitwiseOR(
+                    F.conv(F.substring(d, 9, 8), 16, 10).cast("long")
+                ),
+            ).alias("__packed"),
+        )
     )
-    lo32, hi32 = _md5_bits64(F.col("shingle"))
-    contribs = []
-    for b in range(64):
-        half = lo32 if b < 32 else hi32  # see _md5_bits64 bit mapping
-        bit = F.shiftright(half, b % 32).bitwiseAND(F.lit(1))
-        contribs.append(F.sum(bit * 2 - 1).alias(f"c{b}"))
-    sums = ex.groupBy("id").agg(*contribs)
-    lo = sum(
-        [
-            (F.col(f"c{b}") >= 0).cast("long") * F.lit(1 << b)
-            for b in range(32)
-        ],
-        F.lit(0).cast("long"),
+    sig_udf = _simhash_sig_udf()
+    sigs = rows.select("id", sig_udf(F.col("__packed")).alias("__sig0"))
+    # Null signatures (shingle-less docs) are dropped via explode-of-when,
+    # NOT a Filter: a filter predicate referencing the UDF output gets
+    # pushed below the repartition exchange, where it re-runs the ENTIRE
+    # interpreted shingle+md5+UDF chain on the raw scan's partitions just
+    # to test null-ness (measured 18s vs 0.7s at sf0.1) — the same
+    # no-pushable-predicate rule as _lsh_band_rows' band wrap.
+    return sigs.select(
+        "id",
+        F.explode(
+            F.when(F.col("__sig0").isNotNull(), F.array("__sig0"))
+        ).alias("__sig"),
+    ).select(
+        "id",
+        F.element_at("__sig", 1).alias("lo"),
+        F.element_at("__sig", 2).alias("hi"),
     )
-    hi = sum(
-        [
-            (F.col(f"c{b}") >= 0).cast("long") * F.lit(1 << (b - 32))
-            for b in range(32, 64)
-        ],
-        F.lit(0).cast("long"),
-    )
-    return sums.select("id", lo.alias("lo"), hi.alias("hi"))
 
 
 def simhash_pairs(

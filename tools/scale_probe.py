@@ -466,11 +466,13 @@ def main() -> None:
     names = list(FAMILY) + list(EXTRAS)
     if args.only:
         names = [n for n in args.only.split(",") if n]
+    skipped = []
     for name in names:
         if name not in EXTRAS and name not in REGISTRY:
             # registry slots rotate (demoted entries move to the pytest
             # oracle suite) — skip rather than KeyError on a stale name
             print(f"skip {name}: not in REGISTRY/EXTRAS", file=sys.stderr)
+            skipped.append(name)
             continue
         fn = EXTRAS[name] if name in EXTRAS else REGISTRY[name].fn
         small_df = fn(spark, args.src)
@@ -506,10 +508,17 @@ def main() -> None:
                 "sf_big": args.out,
                 "factor": args.factor,
                 "queries": results,
+                "skipped": skipped,
             }
         )
     )
     spark.stop()
+    if skipped:
+        print(f"WARNING: {len(skipped)} requested name(s) skipped: {skipped}",
+              file=sys.stderr)
+    if not results:
+        # an --only list of typos must not exit 0 having probed nothing
+        sys.exit(2)
 
 
 if __name__ == "__main__":

@@ -447,6 +447,11 @@ def main() -> None:
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--skip-generate", action="store_true")
     ap.add_argument(
+        "--cpus", type=int, default=0,
+        help="local[N] core count (0 = all cores) — the r13 data-bound "
+        "core-scaling probe runs the same big fixture at 8 vs 32",
+    )
+    ap.add_argument(
         "--only",
         default=None,
         help="comma-separated subset of FAMILY/EXTRAS names to probe",
@@ -457,7 +462,9 @@ def main() -> None:
     from rdfproject_msc_spark.registry import REGISTRY
     from rdfproject_msc_spark.session import get_spark
 
-    spark = get_spark(app_name="scale_probe", cpus=os.cpu_count() or 8)
+    spark = get_spark(
+        app_name="scale_probe", cpus=args.cpus or os.cpu_count() or 8
+    )
     if not args.skip_generate:
         print(f"generating {args.factor}x into {args.out} ...", file=sys.stderr)
         generate(spark, args.src, args.out, args.factor)

@@ -35,6 +35,22 @@ def curate(
 ) -> DataFrame:
     """Surviving documents with quality + token columns attached."""
     uniq = dedup.exact_dedup(df, content_col, id_col)
+    # Pushdown BARRIER (r13): `uniq` feeds two consumers — the LSH pair
+    # generation and the anti-join/stats tail. The quality filter applied
+    # to survivors is a pure function of the content column (a grouping
+    # key), so Catalyst pushes it below the dedup aggregate all the way to
+    # the scan — but only on the stats consumer, which breaks subtree
+    # equality with the LSH consumer: the corpus was SCANNED AND
+    # DEDUP-AGGREGATED TWICE (2 FileScans, 2 text-keyed exchanges in the
+    # executed plan). The LSH side must see every uniq row regardless, so
+    # sharing one scan + one text-keyed exchange strictly beats the early
+    # filter at any scale. A one-element explode is row-preserving and
+    # blocks predicate pushdown (predicates referencing generator output
+    # cannot cross Generate) — same no-pushable-predicate device as
+    # dedup._lsh_band_rows' band wrap.
+    uniq = uniq.select(
+        F.explode(F.array(F.struct(*uniq.columns))).alias("__row")
+    ).select("__row.*")
     pairs = dedup.minhash_lsh_pairs(
         uniq,
         content_col,

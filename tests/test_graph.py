@@ -6,6 +6,8 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from tests._budget import examples
+
 from rdfproject_msc_spark.operators.graph import connected_components
 
 
@@ -63,7 +65,7 @@ def test_transitive_merge_through_bridge(spark):
     )
 )
 @settings(
-    max_examples=8,
+    max_examples=examples(8),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

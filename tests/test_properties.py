@@ -7,10 +7,12 @@ from __future__ import annotations
 import pytest
 from hypothesis import HealthCheck, assume, given, settings
 from hypothesis import strategies as st
+
+from tests._budget import examples
 from pyspark.sql import functions as F
 
 SETTINGS = dict(
-    max_examples=10,
+    max_examples=examples(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -760,7 +762,7 @@ def _eval_group_text(shape, var_in, rows, preds, counter):
 
 
 @given(rows=triples_strategy, shape=group_shape)
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=examples(8), deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_random_nested_group_trees_match_python_eval(spark, rows, shape):
     """Randomly shaped nested OPTIONAL/subgroup/UNION trees (chained so

@@ -9,6 +9,8 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from tests._budget import examples
+
 from rdfproject_msc_spark.engine import Engine
 from rdfproject_msc_spark.operators.rdfs import rdfs_closure
 
@@ -129,7 +131,7 @@ def test_idempotent(spark):
 
 
 @settings(
-    max_examples=10,
+    max_examples=examples(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -193,7 +195,7 @@ def test_owl_idempotent_and_random(spark):
 
 
 @settings(
-    max_examples=8,
+    max_examples=examples(8),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -407,7 +409,7 @@ def test_transitive_stacking_rejects(spark):
 
 
 @settings(
-    max_examples=8,
+    max_examples=examples(8),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -639,7 +641,7 @@ def test_functional_fixpoint_idempotent(spark):
     ),
 )
 @settings(
-    max_examples=12,
+    max_examples=examples(12),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

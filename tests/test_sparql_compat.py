@@ -18,6 +18,8 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from tests._budget import examples
+
 from rdfproject_msc_spark.sparql.parser import SparqlSyntaxError
 from rdfproject_msc_spark.sparql.planner import sparql_to_df
 from rdfproject_msc_spark.store import TripleStore
@@ -166,7 +168,7 @@ def _py_compat_join(om1, om2):
 
 @given(rows=triples)
 @settings(
-    max_examples=10,
+    max_examples=examples(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -295,7 +297,7 @@ def _run(spark, rows, q, *cols):
 
 @given(rows=triples)
 @settings(
-    max_examples=8,
+    max_examples=examples(8),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -321,7 +323,7 @@ def test_optional_on_nullable_key_matches_python_eval(spark, rows):
 
 @given(rows=triples)
 @settings(
-    max_examples=8,
+    max_examples=examples(8),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -346,7 +348,7 @@ def test_minus_on_nullable_key_matches_python_eval(spark, rows):
 
 @given(rows=triples, neg=st.booleans())
 @settings(
-    max_examples=8,
+    max_examples=examples(8),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -372,7 +374,7 @@ def test_exists_on_nullable_key_matches_python_eval(spark, rows, neg):
 
 @given(rows=triples)
 @settings(
-    max_examples=8,
+    max_examples=examples(8),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -554,7 +556,7 @@ def test_values_written_before_binder_joins_fresh(spark):
     clause=st.sampled_from(["optional", "minus", "exists", "not_exists"]),
 )
 @settings(
-    max_examples=10,
+    max_examples=examples(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -798,7 +800,7 @@ def test_bind_vs_minus_textual_order(spark):
     both_kind=st.sampled_from([None, "optional", "minus"]),
 )
 @settings(
-    max_examples=12,
+    max_examples=examples(12),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -893,7 +895,7 @@ def test_random_clause_compositions_over_nullable_var(
     clause=st.sampled_from(["optional", "minus", "exists", "not_exists"]),
 )
 @settings(
-    max_examples=16,
+    max_examples=examples(16),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

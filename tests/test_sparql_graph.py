@@ -555,6 +555,8 @@ def test_persisted_quads_prune_constant_graph(spark, gstore, gdict, tmp_path):
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as hst
 
+from tests._budget import examples
+
 quads_st = hst.lists(
     hst.tuples(
         hst.integers(min_value=100, max_value=102),
@@ -578,7 +580,7 @@ triples_st = hst.lists(
 
 @given(quads=quads_st, trips=triples_st, with_default=hst.booleans())
 @settings(
-    max_examples=10,
+    max_examples=examples(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -672,7 +674,7 @@ def test_closure_under_graph_var(spark, gdict):
 
 @given(quads=quads_st)
 @settings(
-    max_examples=8,
+    max_examples=examples(8),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

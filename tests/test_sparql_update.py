@@ -378,6 +378,8 @@ def test_cli_update(spark, nt_path, tmp_path):
 from hypothesis import HealthCheck, given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
 
+from tests._budget import examples
+
 _SUBJ = [f"<urn:t{i}>" for i in range(4)]
 _PRED = [f"<urn:p{i}>" for i in range(3)]
 _UNIVERSE = [(s, p, o) for s in _SUBJ for p in _PRED for o in _SUBJ]
@@ -409,7 +411,7 @@ def fuzz_base(spark, tmp_path_factory):
 
 
 @settings(
-    max_examples=8,
+    max_examples=examples(8),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -537,7 +539,7 @@ _gop = st.one_of(
 
 
 @settings(
-    max_examples=6,
+    max_examples=examples(6),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

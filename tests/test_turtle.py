@@ -381,6 +381,8 @@ def test_incremental_ingest_turtle(spark, tmp_path):
 from hypothesis import HealthCheck, given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
 
+from tests._budget import examples
+
 _EXP = "http://fz.org/"
 _NAMES = [f"n{i}" for i in range(5)]
 _LIT_TEXT = st.text(
@@ -436,7 +438,7 @@ def _obj_ttl(o, rnd) -> str:
 
 
 @settings(
-    max_examples=10,
+    max_examples=examples(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -339,40 +339,46 @@ EXTRAS = {
 TABLES = [
     "customer",
     "orders",
+    "lineitem",
     "events",
     "documents",
     "embeddings",
     "nation",
     "region",
 ]
+# table -> (shifted key or None, shifted FK or None, FK's referenced table)
 KEYED = {
-    "customer": ("c_custkey", None),
-    "orders": ("o_orderkey", "o_custkey"),
-    "events": ("event_id", "user_id"),
-    "documents": ("doc_id", None),
-    "embeddings": ("vec_id", None),
+    "customer": ("c_custkey", None, None),
+    "orders": ("o_orderkey", "o_custkey", "customer"),
+    # lineitem's composite key (l_orderkey, l_linenumber) stays unique when
+    # l_orderkey shifts with the orders copies (r13, for the skew/TPCH rows)
+    "lineitem": (None, "l_orderkey", "orders"),
+    "events": ("event_id", "user_id", "customer"),
+    "documents": ("doc_id", None, None),
+    "embeddings": ("vec_id", None, None),
 }
 
 
 def generate(spark, src: str, out: str, factor: int) -> None:
     os.makedirs(out, exist_ok=True)
-    cust_stride = None
+    strides: dict[str, int] = {}
     for t in TABLES:
         df = spark.read.parquet(os.path.join(src, t + ".parquet"))
         if t not in KEYED:  # dimension tables stay fixed at any scale
             df.write.mode("overwrite").parquet(os.path.join(out, t + ".parquet"))
             continue
-        key, fk = KEYED[t]
-        stride = df.agg(F.max(key)).first()[0] + 1
-        if t == "customer":
-            cust_stride = stride
+        key, fk, ref = KEYED[t]
         copies = spark.range(factor).select(F.col("id").alias("__copy"))
-        big = df.crossJoin(copies).withColumn(
-            key, F.col(key) + F.col("__copy") * F.lit(stride)
-        )
-        if fk is not None:  # shift FK with the customer copies
+        big = df.crossJoin(copies)
+        if key is not None:
+            stride = df.agg(F.max(key)).first()[0] + 1
+            strides[t] = stride
             big = big.withColumn(
-                fk, F.col(fk) + F.col("__copy") * F.lit(cust_stride)
+                key, F.col(key) + F.col("__copy") * F.lit(stride)
+            )
+        if fk is not None:  # shift FK with the referenced table's copies
+            big = big.withColumn(
+                fk, F.col(fk) + F.col("__copy") * F.lit(strides[ref])
             )
         if t == "documents":
             big = big.withColumn(
